@@ -1,0 +1,231 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * Sparse-matrix pairwise cosine-similarity pipeline, re-derived Spark-first
+ * from the reference's semantics (reference:
+ * analyse/MatrixCosineAnalyse.scala — fit pipeline normalize → pair → norms).
+ *
+ * Key deliberate divergences from the reference's physical plan (all are
+ * scalability fixes; semantics are identical — see SURVEY.md §4.1):
+ *
+ *   - Pair alignment is a **self-equi-join on the coordinate** instead of the
+ *     reference's per-coordinate `collect_list("vec:val")` + driver-opaque
+ *     `flatMap` C(n,2) expansion (reference :168–202). The join stays inside
+ *     Catalyst: column pruning, AQE skew-splitting (coordinate popularity is
+ *     Zipfian in doc-term matrices), and whole-stage codegen all apply.
+ *   - Dense-mode all-pairs is a **self-join of the vector-norm table** under
+ *     the canonical-order predicate instead of the reference's single-row
+ *     global `collect_list` of every vector (reference :129–160) — that 1-task
+ *     funnel is the reference's hard scalability ceiling.
+ *   - The `omitRatio` threshold is actually applied. The reference computes
+ *     `where(value/max_value > omitRadio)` but discards the result
+ *     (immutability bug, reference :92–94), so the filter documented in its
+ *     javadoc (:85) never runs. We implement the documented intent:
+ *     `omitRatio <= 0` (the default) means no filtering, matching the
+ *     reference's *observed* behavior.
+ *
+ * Semantics kept verbatim:
+ *   - Per-vector max-normalization (reference :88–102, :210–216).
+ *   - Canonical pair order `vector0 > vector1` — each unordered pair is
+ *     materialized exactly once (reference :46–50, :148–152, :188–192).
+ *   - Two similarity modes behind `isSparse` (reference :218–231, SURVEY §2.1):
+ *     sparse = intersection-restricted cosine (norms over shared support only;
+ *     disjoint pairs produce no row); dense = standard cosine (full norms,
+ *     disjoint pairs get similarity 0.0).
+ *
+ * Scale notes (100 TB design): every stage is a shuffle on a natural key
+ * (vector or coordinate or pair) with map-side partial aggregation; nothing
+ * is ever collected to one task. The aligned-pair table is the quadratic
+ * object — Σ_coord C(n_coord, 2) rows — which is inherent to exact all-pairs
+ * cosine; for web-scale vector counts use [[graft.similarity.Ann]] (top-k) or
+ * [[graft.dedup.Dedup]] (LSH-pruned near-dup) instead of the exact all-pairs
+ * surface.
+ *
+ * @param axis      which COO column ("x" or "y") identifies a vector; the
+ *                  other column is the feature/coordinate
+ *                  (reference :12–22; SURVEY §1.3).
+ * @param omitRatio drop normalized cells with value/max <= omitRatio when > 0.
+ */
+final class CosineAnalysis(
+    spark: SparkSession,
+    val axis: String = "y",
+    val omitRatio: Double = 0.0) extends Serializable {
+
+  require(axis == "x" || axis == "y", s"axis must be 'x' or 'y', got '$axis'")
+
+  import spark.implicits._
+
+  /** The non-vector axis: identifies the feature/coordinate (reference :19–22). */
+  val predictionAxis: String = if (axis == "y") "x" else "y"
+
+  /** Per-vector max values (reference genMaxValue :210–216). One shuffle, hash agg. */
+  def maxValues(matrix: Dataset[MatrixElement]): Dataset[MaxValue] =
+    matrix
+      .groupBy(col(axis).as("axis"))
+      .agg(max($"value").as("max_value"))
+      .as[MaxValue]
+
+  /**
+   * Divide every cell by its vector's max (reference genNormalizedElement
+   * :88–102). The max table has one row per vector — far smaller than the
+   * cell table — so we broadcast it and the join is shuffle-free on the big
+   * side. Applies the (fixed) omitRatio filter when omitRatio > 0.
+   */
+  def normalize(matrix: Dataset[MatrixElement]): Dataset[NormalizedElement] = {
+    val mv = maxValues(matrix)
+    val joined = matrix
+      .join(broadcast(mv), matrix(axis) === mv("axis"))
+      .select(
+        $"y",
+        $"x",
+        ($"value" / $"max_value").cast("double").as("normalized_value"))
+    val filtered =
+      if (omitRatio > 0.0) joined.where($"normalized_value" > omitRatio)
+      else joined
+    filtered.as[NormalizedElement]
+  }
+
+  /**
+   * All (vector0, vector1, coordinate) triples where both vectors have the
+   * coordinate, canonical order vector0 > vector1 — the reference's
+   * genFactorNormalizedValue (:168–202) rebuilt as a self-equi-join on the
+   * coordinate. Both join inputs are the same dataset shuffled by the same
+   * key, so Catalyst reuses the exchange; AQE splits skewed coordinates.
+   */
+  def alignedPairs(normalized: Dataset[NormalizedElement]): Dataset[FactorNormalizedValue] = {
+    val v = normalized.select(
+      col(axis).as("vector"),
+      col(predictionAxis).as("coord"),
+      $"normalized_value".as("nv"))
+    val a = v.as("a")
+    val b = v.as("b")
+    a.join(b, $"a.coord" === $"b.coord" && $"a.vector" > $"b.vector")
+      .select(
+        $"a.vector".as("vector0"),
+        $"b.vector".as("vector1"),
+        $"a.coord".as("prediction_axis"),
+        $"a.nv".as("value1"),
+        $"b.nv".as("value2"))
+      .as[FactorNormalizedValue]
+  }
+
+  /**
+   * Sparse-mode pairwise norms: L2 over ONLY the pair's co-occurring
+   * coordinates (reference genFactorMod :68–78, javadoc :61–63). Pairs with
+   * empty intersection are absent from the input, hence absent here — that
+   * is the sparse-mode contract (SURVEY §2.1).
+   */
+  def pairModsSparse(pairs: Dataset[FactorNormalizedValue]): Dataset[FactorMod] =
+    pairs
+      .groupBy($"vector0", $"vector1")
+      .agg(
+        sqrt(sum(pow($"value1", 2))).as("mod1"),
+        sqrt(sum(pow($"value2", 2))).as("mod2"))
+      .as[FactorMod]
+
+  /** Full per-vector L2 norms (reference genVectorMod :110–119). */
+  def vectorMods(normalized: Dataset[NormalizedElement]): Dataset[VectorMod] =
+    normalized
+      .groupBy(col(axis).as("vector"))
+      .agg(sqrt(sum(pow($"normalized_value", 2))).as("mod"))
+      .as[VectorMod]
+
+  /**
+   * Dense-mode pairwise norms: every C(V,2) pair of full vector norms,
+   * canonical order (reference genFactorMod2 / genFactorAllElementMod
+   * :129–160, :30–58 — rebuilt as a self-join; the reference funnels all V
+   * norms through one task via a global collect_list, which we must not
+   * reproduce). The norm table has one small row per vector, so V up to the
+   * low millions is a routine shuffle; beyond that, exact all-pairs is the
+   * wrong query (use top-k / LSH modules).
+   */
+  def pairModsDense(mods: Dataset[VectorMod]): Dataset[FactorMod] = {
+    val a = mods.toDF().as("a")
+    val b = mods.toDF().as("b")
+    a.join(b, $"a.vector" > $"b.vector")
+      .select(
+        $"a.vector".as("vector0"),
+        $"b.vector".as("vector1"),
+        $"a.mod".as("mod1"),
+        $"b.mod".as("mod2"))
+      .as[FactorMod]
+  }
+
+  /**
+   * Full fit pipeline (reference simpleFit :218–242): normalize → align
+   * pairs → pairwise norms (mode-dependent), caching the two tables every
+   * downstream query reuses.
+   */
+  def fit(matrix: Dataset[MatrixElement], isSparse: Boolean = true): MatrixModel = {
+    val normalized = normalize(matrix)
+    val pairs = alignedPairs(normalized).persist(StorageLevel.MEMORY_AND_DISK)
+    val mods =
+      if (isSparse) pairModsSparse(pairs)
+      else pairModsDense(vectorMods(normalized))
+    new MatrixModel(spark, pairs, mods.persist(StorageLevel.MEMORY_AND_DISK))
+  }
+}
+
+/**
+ * Fitted similarity model (reference: matrix/MatrixModel.scala). Holds the
+ * cached aligned-pair table and the pairwise-norm table; queries compose the
+ * cosine from them.
+ */
+final class MatrixModel(
+    spark: SparkSession,
+    val factorNormalizedValue: Dataset[FactorNormalizedValue],
+    val factorMod: Dataset[FactorMod]) extends Serializable {
+
+  import spark.implicits._
+
+  /**
+   * Cosine numerator Σ v0ᵢ·v1ᵢ per pair (reference MatrixModel.scala:58–62),
+   * then a right join onto the norm table so that — in dense mode — pairs
+   * with zero co-occurring coordinates still get a row with similarity 0.0
+   * (reference :63–69; the null numerator is coalesced to 0). In sparse mode
+   * the norm table only contains co-occurring pairs, so the right join
+   * degenerates to an inner join, which is the sparse contract.
+   */
+  private def computeSimilarity(
+      pairs: Dataset[FactorNormalizedValue],
+      mods: Dataset[FactorMod]): Dataset[SimilarityValue] = {
+    val numerator = pairs
+      .groupBy($"vector0", $"vector1")
+      .agg(sum($"value1" * $"value2").as("numerator"))
+    numerator
+      .join(mods, Seq("vector0", "vector1"), "right")
+      .select(
+        $"vector0",
+        $"vector1",
+        coalesce($"numerator" / ($"mod1" * $"mod2"), lit(0.0)).as("similarity_value"))
+      .as[SimilarityValue]
+  }
+
+  /** All pairwise similarities (reference MatrixModel.scala:26–28). */
+  def allSimilarityValue: Dataset[SimilarityValue] =
+    computeSimilarity(factorNormalizedValue, factorMod)
+
+  /**
+   * Similarities restricted to pairs whose BOTH endpoints are in `vectors`
+   * (reference MatrixModel.scala:36–47). The reference drops to an RDD
+   * filter (exits Catalyst) and leaves the numerator unfiltered — aggregating
+   * every pair then discarding most via the join. We filter BOTH inputs with
+   * Column predicates so the pushdown prunes before the aggregate.
+   */
+  def similarity(vectors: Seq[String]): Dataset[SimilarityValue] = {
+    val keep = (c: String) =>
+      col(c + "0").isin(vectors: _*) && col(c + "1").isin(vectors: _*)
+    computeSimilarity(
+      factorNormalizedValue.where(keep("vector")),
+      factorMod.where(keep("vector")))
+  }
+
+  def unpersistAll(): Unit = {
+    factorNormalizedValue.unpersist()
+    factorMod.unpersist()
+  }
+}
