@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Session factory (reference: utils/SparkSessionUtils.scala:6–15, minus its
+ * hard-coded warehouse path). One place for the settings every entry point
+ * (Verify, Bench, Demo, tests) must agree on:
+ *
+ *   - `spark.sql.session.timeZone=UTC` — oracle comparisons are tz-sensitive.
+ *   - `spark.sql.legacy.parquet.nanosAsLong=true` — the events table stores
+ *     TIMESTAMP(NANOS) which Spark cannot read natively; we read it as a
+ *     nanosecond epoch Long and do window arithmetic in integer space
+ *     (see [[graft.ext.Events]]).
+ *   - shuffle partitions sized to the local core count rather than the 200
+ *     default — on a real cluster this would be set to ~2–3× total cores.
+ */
+object SparkSessions {
+  def local(appName: String, cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

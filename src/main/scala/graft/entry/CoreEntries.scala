@@ -1,0 +1,129 @@
+package graft.entry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.CosineAnalysis
+import EntryUtil._
+
+/**
+ * Driver-contract queries for the cosine core — one per SURVEY.md §2 operator
+ * F through Q, each with a DuckDB oracle over the same lineitem-derived
+ * supplier×part matrix. Names referenced by VERDICT.md's coverage table.
+ */
+object CoreEntries {
+
+  /** Subset used by cosine_subset — suppkeys 0..11 exist at every sf. */
+  private val subsetIds: Seq[String] = (0 to 11).map(_.toString)
+
+  private def analysis(spark: SparkSession) = new CosineAnalysis(spark, axis = "y")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2-F per-vector max aggregate
+    "max_values" -> ((s, dir) =>
+      gate(analysis(s).maxValues(supplierPartMatrix(s, dir)).toDF(), "axis")),
+    // §2-G normalize join+project
+    "normalize" -> ((s, dir) =>
+      gate(analysis(s).normalize(supplierPartMatrix(s, dir)).toDF(), "y", "x")),
+    // §2-H omitRatio filter (the reference's documented-but-dead filter, fixed)
+    "normalize_omit" -> ((s, dir) =>
+      gate(new CosineAnalysis(s, axis = "y", omitRatio = 0.5)
+        .normalize(supplierPartMatrix(s, dir)).toDF(), "y", "x")),
+    // §2-K full vector norms
+    "vector_mods" -> ((s, dir) => {
+      val a = analysis(s)
+      gate(a.vectorMods(a.normalize(supplierPartMatrix(s, dir))).toDF(), "vector")
+    }),
+    // §2-I pairwise alignment (coordinate self-equi-join)
+    "aligned_pairs" -> ((s, dir) => {
+      val a = analysis(s)
+      gate(a.alignedPairs(a.normalize(supplierPartMatrix(s, dir))).toDF(),
+        "vector0", "vector1", "prediction_axis")
+    }),
+    // §2-J sparse pairwise norms (intersection-restricted)
+    "pair_mods_sparse" -> ((s, dir) => {
+      val a = analysis(s)
+      gate(a.pairModsSparse(a.alignedPairs(a.normalize(supplierPartMatrix(s, dir)))).toDF(),
+        "vector0", "vector1")
+    }),
+    // §2-L dense all-pairs norms (self-join, not the reference's 1-task agg)
+    "pair_mods_dense" -> ((s, dir) => {
+      val a = analysis(s)
+      gate(a.pairModsDense(a.vectorMods(a.normalize(supplierPartMatrix(s, dir)))).toDF(),
+        "vector0", "vector1")
+    }),
+    // §2-M dot-product aggregate (the cosine numerator)
+    "pair_dot" -> ((s, dir) => {
+      val a = analysis(s)
+      val dot = a.alignedPairs(a.normalize(supplierPartMatrix(s, dir)))
+        .groupBy("vector0", "vector1")
+        .agg(sum(col("value1") * col("value2")).as("dot"))
+      gate(dot, "vector0", "vector1")
+    }),
+    // §2-P+Q sparse fit → all pairwise similarities
+    "cosine_sparse_all" -> ((s, dir) =>
+      gate(analysis(s).fit(supplierPartMatrix(s, dir), isSparse = true)
+        .allSimilarityValue.toDF(), "vector0", "vector1")),
+    // §2-N right-outer join + coalesce(0.0): dense fit → all pairs
+    "cosine_dense_all" -> ((s, dir) =>
+      gate(analysis(s).fit(supplierPartMatrix(s, dir), isSparse = false)
+        .allSimilarityValue.toDF(), "vector0", "vector1")),
+    // §2-O subset filter on both endpoints
+    "cosine_subset" -> ((s, dir) =>
+      gate(analysis(s).fit(supplierPartMatrix(s, dir), isSparse = false)
+        .similarity(subsetIds).toDF(), "vector0", "vector1"))
+  )
+
+  /** Shared oracle CTE chain mirroring the pipeline stage by stage. */
+  private val pipelineSql: String = matrixSql + """,
+    |mx AS (SELECT y, MAX(v) AS mv FROM m GROUP BY y),
+    |n AS (SELECT m.y, m.x, m.v / mx.mv AS nv FROM m JOIN mx ON m.y = mx.y),
+    |p AS (SELECT a.y AS vector0, b.y AS vector1, a.x AS coord, a.nv AS v1, b.nv AS v2
+    |      FROM n a JOIN n b ON a.x = b.x AND a.y > b.y),
+    |vm AS (SELECT y AS vector, sqrt(SUM(nv*nv)) AS md FROM n GROUP BY y),
+    |dmods AS (SELECT a.vector AS vector0, b.vector AS vector1, a.md AS mod1, b.md AS mod2
+    |          FROM vm a JOIN vm b ON a.vector > b.vector),
+    |smods AS (SELECT vector0, vector1, sqrt(SUM(v1*v1)) AS mod1, sqrt(SUM(v2*v2)) AS mod2
+    |          FROM p GROUP BY 1, 2),
+    |num AS (SELECT vector0, vector1, SUM(v1*v2) AS numtr FROM p GROUP BY 1, 2)""".stripMargin
+
+  private val subsetList = subsetIds.map(v => s"'$v'").mkString("(", ", ", ")")
+
+  val oracles: Map[String, String] = Map(
+    "max_values" ->
+      (matrixSql + "\nSELECT y AS axis, floor((MAX(v))*1e6 + 0.5)/1e6 AS max_value FROM m GROUP BY y ORDER BY axis"),
+    "normalize" ->
+      (pipelineSql + "\nSELECT y, x, floor((nv)*1e6 + 0.5)/1e6 AS normalized_value FROM n ORDER BY y, x"),
+    "normalize_omit" ->
+      (pipelineSql + "\nSELECT y, x, floor((nv)*1e6 + 0.5)/1e6 AS normalized_value FROM n WHERE nv > 0.5 ORDER BY y, x"),
+    "vector_mods" ->
+      (pipelineSql + "\nSELECT vector, floor((md)*1e6 + 0.5)/1e6 AS \"mod\" FROM vm ORDER BY vector"),
+    "aligned_pairs" ->
+      (pipelineSql + "\nSELECT vector0, vector1, coord AS prediction_axis, floor((v1)*1e6 + 0.5)/1e6 AS value1, floor((v2)*1e6 + 0.5)/1e6 AS value2 FROM p ORDER BY vector0, vector1, prediction_axis"),
+    "pair_mods_sparse" ->
+      (pipelineSql + "\nSELECT vector0, vector1, floor((mod1)*1e6 + 0.5)/1e6 AS mod1, floor((mod2)*1e6 + 0.5)/1e6 AS mod2 FROM smods ORDER BY vector0, vector1"),
+    "pair_mods_dense" ->
+      (pipelineSql + "\nSELECT vector0, vector1, floor((mod1)*1e6 + 0.5)/1e6 AS mod1, floor((mod2)*1e6 + 0.5)/1e6 AS mod2 FROM dmods ORDER BY vector0, vector1"),
+    "pair_dot" ->
+      (pipelineSql + "\nSELECT vector0, vector1, floor((numtr)*1e6 + 0.5)/1e6 AS dot FROM num ORDER BY vector0, vector1"),
+    "cosine_sparse_all" ->
+      (pipelineSql + """
+        |SELECT s.vector0, s.vector1,
+        |       floor(COALESCE(num.numtr / (s.mod1 * s.mod2), 0.0)*1e6 + 0.5)/1e6 AS similarity_value
+        |FROM num RIGHT JOIN smods s USING (vector0, vector1)
+        |ORDER BY vector0, vector1""".stripMargin),
+    "cosine_dense_all" ->
+      (pipelineSql + """
+        |SELECT d.vector0, d.vector1,
+        |       floor(COALESCE(num.numtr / (d.mod1 * d.mod2), 0.0)*1e6 + 0.5)/1e6 AS similarity_value
+        |FROM num RIGHT JOIN dmods d USING (vector0, vector1)
+        |ORDER BY vector0, vector1""".stripMargin),
+    "cosine_subset" ->
+      (pipelineSql + s"""
+        |SELECT d.vector0, d.vector1,
+        |       floor(COALESCE(num.numtr / (d.mod1 * d.mod2), 0.0)*1e6 + 0.5)/1e6 AS similarity_value
+        |FROM num RIGHT JOIN dmods d USING (vector0, vector1)
+        |WHERE d.vector0 IN $subsetList AND d.vector1 IN $subsetList
+        |ORDER BY vector0, vector1""".stripMargin)
+  )
+}

@@ -1,0 +1,82 @@
+package graft.entry
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.core.MatrixElement
+
+/**
+ * Shared plumbing for the driver-contract queries in [[graft.SparkEntry]].
+ *
+ * Every declared query is compared against a DuckDB oracle by exact hash of
+ * the result values, so the two sides must agree bit-for-bit. The rules that
+ * make that hold (SURVEY.md §7.3(6c)):
+ *
+ *   - every double column is rounded to 6 decimals on BOTH sides, so
+ *     sum-order nondeterminism (at most a few ulps here) can never flip a
+ *     digit that survives the round;
+ *   - every result is fully ordered by a unique key prefix on BOTH sides;
+ *   - cross-engine hashing of strings/timestamps is avoided entirely —
+ *     derived keys are either the input's own values or integer arithmetic
+ *     that both engines execute exactly (see [[TextEntries]] for the
+ *     character-arithmetic token hash that replaces murmur-style hashing).
+ */
+object EntryUtil {
+
+  /**
+   * Round every DoubleType column to 6 decimals and totally order the rows.
+   *
+   * Rounding is `floor(x*1e6 + 0.5)/1e6` rather than the engine's `round`:
+   * Spark rounds via BigDecimal HALF_UP on the exact double expansion while
+   * DuckDB scales-and-std::rounds, and the two disagree on values one ulp
+   * from a midpoint (observed on real data). floor/multiply/add are each
+   * exactly-rounded IEEE ops, so identical inputs give identical outputs in
+   * any engine. [[r6sql]] is the DuckDB spelling of the same function.
+   */
+  def gate(df: DataFrame, keys: String*): DataFrame = {
+    val rounded = df.schema.fields.foldLeft(df) { (d, f) =>
+      if (f.dataType == DoubleType)
+        d.withColumn(f.name, floor(col(f.name) * lit(1e6) + lit(0.5)) / lit(1e6))
+      else d
+    }
+    rounded.orderBy(keys.map(col).toSeq: _*)
+  }
+
+  /** DuckDB spelling of [[gate]]'s rounding, for oracle SQL. */
+  def r6sql(e: String): String = s"floor(($e)*1e6 + 0.5)/1e6"
+
+  def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+
+  /**
+   * The canonical test matrix for the cosine core: suppliers are vectors,
+   * parts are coordinates, total shipped quantity is the cell value — a
+   * supplier×part COO sparse matrix derived from lineitem, mirroring the
+   * reference's doc×term matrix shape (KeyWordsDemo.scala:55,102) at a size
+   * that scales with the driver's scale factor.
+   */
+  def supplierPartMatrix(spark: SparkSession, dir: String): Dataset[MatrixElement] = {
+    import spark.implicits._
+    lineitem(spark, dir)
+      .groupBy(
+        col("l_suppkey").cast("string").as("y"),
+        col("l_partkey").cast("string").as("x"))
+      .agg(sum($"l_quantity").as("value"))
+      .as[MatrixElement]
+  }
+
+  /** DuckDB CTE mirroring [[supplierPartMatrix]] — prefix of every core oracle. */
+  val matrixSql: String =
+    """WITH m AS (
+      |  SELECT CAST(l_suppkey AS VARCHAR) AS y, CAST(l_partkey AS VARCHAR) AS x,
+      |         CAST(SUM(l_quantity) AS DOUBLE) AS v
+      |  FROM lineitem GROUP BY 1, 2
+      |)""".stripMargin
+}
