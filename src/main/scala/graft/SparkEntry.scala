@@ -35,9 +35,9 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2 + extensions. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreEntries.queries
+    CoreEntries.queries ++ TextEntries.queries
 
   /** DuckDB-equivalent SQL per query key (same column names, same order). */
   def oracleSql: Map[String, String] =
-    CoreEntries.oracles
+    CoreEntries.oracles ++ TextEntries.oracles
 }

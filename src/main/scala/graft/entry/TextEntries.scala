@@ -1,0 +1,123 @@
+package graft.entry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.text.Tokenizer
+import graft.ext.{TextAnalysis, TextHash}
+import EntryUtil._
+
+/**
+ * Driver-contract queries for the tokenizer pipeline (SURVEY.md §2 rows B–E)
+ * and the text-analysis extension operators, over the documents table.
+ */
+object TextEntries {
+
+  private def tfDF(s: SparkSession, docs: DataFrame): DataFrame = {
+    implicit val sp: SparkSession = s
+    Tokenizer.termFrequency(Tokenizer.tokens(docs, "doc_id", "text")).toDF()
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2-B tokenizer as a declarative explode (with stable positions)
+    "tokenize" -> ((s, dir) =>
+      gate(TextAnalysis.tokensWithPosition(docs(s, dir), "doc_id", "text")
+        .withColumn("pos", col("pos").cast("long")), "doc_id", "pos")),
+    // §2-D TF hash aggregate over §2-B's tokens
+    "tf_matrix" -> ((s, dir) => gate(tfDF(s, docs(s, dir)), "y", "x")),
+    // §2-C stop-word removal via broadcast left-anti join
+    "tf_stopwords" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val stops = s.createDataFrame(
+        TextAnalysis.Stopwords.map(Tuple1(_))).toDF("token")
+      gate(Tokenizer.termFrequency(
+        Tokenizer.removeStopWords(
+          Tokenizer.tokens(docs(s, dir), "doc_id", "text"), stops)).toDF(), "y", "x")
+    }),
+    // §2-E union of two disjoint TF halves
+    "tf_union" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val even = tfDF(s, d.where(col("doc_id") % 2 === 0))
+      val odd = tfDF(s, d.where(col("doc_id") % 2 === 1))
+      gate(even.union(odd), "y", "x")
+    }),
+    // ext: quality statistics
+    "text_stats" -> ((s, dir) =>
+      gate(TextAnalysis.stats(docs(s, dir), "doc_id", "text"), "doc_id")),
+    // ext: marker-based language identification
+    "lang_id" -> ((s, dir) =>
+      gate(TextAnalysis.langId(docs(s, dir), "doc_id", "text"), "doc_id")),
+    // ext: whitespace + BPE-ish subword token counting
+    "token_counts" -> ((s, dir) =>
+      gate(TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text"), "doc_id")),
+    // ext: order-sensitive rolling-hash fingerprint
+    "doc_fingerprint" -> ((s, dir) =>
+      gate(TextAnalysis.fingerprint(docs(s, dir), "doc_id", "text"), "doc_id"))
+  )
+
+  /** Tokens-with-position CTE mirroring [[TextAnalysis.tokensWithPosition]]. */
+  val tokSql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+      |tok AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i+1] AS token
+      |        FROM t, UNNEST(range(len(toks))) AS r(i)
+      |        WHERE toks[i+1] <> '')""".stripMargin
+
+  private val tfSql =
+    tokSql + """,
+      |tf AS (SELECT CAST(doc_id AS VARCHAR) AS y, token AS x,
+      |              CAST(COUNT(*) AS DOUBLE) AS value
+      |       FROM tok GROUP BY 1, 2)""".stripMargin
+
+  private def inList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("(", ", ", ")")
+
+  private val langScores = TextAnalysis.LangMarkers.map { case (lang, markers) =>
+    s"CAST(SUM(CASE WHEN token IN ${inList(markers)} THEN 1 ELSE 0 END) AS BIGINT) AS score_$lang"
+  }.mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "tokenize" ->
+      (tokSql + "\nSELECT doc_id, pos, token FROM tok ORDER BY doc_id, pos"),
+    "tf_matrix" ->
+      (tfSql + "\nSELECT y, x, value FROM tf ORDER BY y, x"),
+    "tf_stopwords" ->
+      (tokSql + s"""
+        |SELECT CAST(doc_id AS VARCHAR) AS y, token AS x, CAST(COUNT(*) AS DOUBLE) AS value
+        |FROM tok WHERE token NOT IN ${inList(TextAnalysis.Stopwords)}
+        |GROUP BY 1, 2 ORDER BY y, x""".stripMargin),
+    "tf_union" ->
+      (tokSql + """,
+        |h0 AS (SELECT CAST(doc_id AS VARCHAR) AS y, token AS x, CAST(COUNT(*) AS DOUBLE) AS value
+        |       FROM tok WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        |h1 AS (SELECT CAST(doc_id AS VARCHAR) AS y, token AS x, CAST(COUNT(*) AS DOUBLE) AS value
+        |       FROM tok WHERE doc_id % 2 = 1 GROUP BY 1, 2)
+        |SELECT * FROM (SELECT * FROM h0 UNION ALL SELECT * FROM h1) u ORDER BY y, x""".stripMargin),
+    "text_stats" ->
+      (tokSql + s"""
+        |SELECT doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |       CAST(COUNT(DISTINCT token) AS BIGINT) AS n_distinct,
+        |       ${r6sql("CAST(SUM(length(token)) AS DOUBLE) / COUNT(*)")} AS avg_token_len,
+        |       ${r6sql(s"CAST(SUM(CASE WHEN token IN ${inList(TextAnalysis.Stopwords)} THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)")} AS stopword_ratio,
+        |       ${r6sql("CAST(COUNT(DISTINCT token) AS DOUBLE) / COUNT(*)")} AS ttr
+        |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    "lang_id" ->
+      (tokSql + s""",
+        |scored AS (SELECT doc_id, $langScores FROM tok GROUP BY doc_id)
+        |SELECT doc_id, score_en, score_de, score_fr, score_es,
+        |       CASE WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
+        |            WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+        |            WHEN score_fr >= score_es THEN 'fr'
+        |            ELSE 'es' END AS pred_lang
+        |FROM scored ORDER BY doc_id""".stripMargin),
+    "token_counts" ->
+      (tokSql + """
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ws_tokens,
+        |       CAST(SUM(CAST(ceil(length(token)/4.0) AS BIGINT)) AS BIGINT) AS subword_est
+        |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    "doc_fingerprint" ->
+      (tokSql + s""",
+        |terms AS (SELECT doc_id, ${TextHash.fingerprintTerm("pos", "token")} AS term FROM tok)
+        |SELECT doc_id, CAST(SUM(term) % ${TextHash.M} AS BIGINT) AS fingerprint
+        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+  )
+}

@@ -1,0 +1,145 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines: token
+ * statistics / quality scoring, language identification, token counting,
+ * and order-sensitive document fingerprinting.
+ *
+ * Everything here is declarative Spark SQL (codegen'd, prunable — no UDFs,
+ * SURVEY.md §4.3). The hash arithmetic is deliberately built from `ascii`/
+ * `substr`/`length`/integer ops only ([[TextHash]]): those evaluate
+ * identically in any ANSI SQL engine, which is what lets the driver's DuckDB
+ * oracle check these operators exactly — murmur-style engine hashes would
+ * not be comparable across engines.
+ *
+ * At 100 TB these are all embarrassingly parallel map-side operators: one
+ * `explode` per document batch, one partial+final aggregate per doc — no
+ * joins, no skew risk beyond document length itself.
+ */
+object TextAnalysis {
+
+  /** Default whitespace tokenizer pattern — matches graft.text.Tokenizer. */
+  val WhitespacePattern = "\\s+"
+
+  /** English-ish stopword markers used by quality scoring. */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to")
+
+  /**
+   * One row per token with its 0-based position in the document.
+   * Empty tokens (leading separators) are dropped but keep their slot's
+   * position, so the numbering is reproducible from the raw split.
+   */
+  def tokensWithPosition(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), WhitespacePattern)).as(Seq("pos", "token")))
+      .where(col("token") =!= "")
+
+  /**
+   * Per-document quality statistics: token counts, type-token ratio,
+   * average token length, stopword ratio. The standard cheap quality
+   * signals used to filter web-scale training corpora.
+   */
+  def stats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val stopSet = Stopwords.map(lit): Seq[Column]
+    tokensWithPosition(docs, idCol, textCol)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("token")).as("n_distinct"),
+        (sum(length(col("token"))).cast("double") / count(lit(1))).as("avg_token_len"),
+        (sum(when(col("token").isin(stopSet: _*), 1L).otherwise(0L)).cast("double") /
+          count(lit(1))).as("stopword_ratio"),
+        (countDistinct(col("token")).cast("double") / count(lit(1))).as("ttr"))
+  }
+
+  /** Per-language marker token sets for [[langId]]. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "los", "que", "de", "una"))
+
+  /**
+   * Marker-token language identification: score each language by how many
+   * of the document's tokens are in its marker set, predict the argmax
+   * (ties broken in [[LangMarkers]] order). An n-gram-profile classifier
+   * reduced to its relational core — deterministic and oracle-checkable.
+   */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokensWithPosition(docs, idCol, textCol)
+    val scoreCols = LangMarkers.map { case (lang, markers) =>
+      sum(when(col("token").isin(markers.map(lit): _*), 1L).otherwise(0L))
+        .as(s"score_$lang")
+    }
+    val scored = toks.groupBy("doc_id").agg(scoreCols.head, scoreCols.tail: _*)
+    val langs = LangMarkers.map(_._1)
+    val pred = langs.init.zipWithIndex.foldRight(lit(langs.last): Column) {
+      case ((lang, i), els) =>
+        val isMax = langs.drop(i + 1)
+          .map(o => col(s"score_$lang") >= col(s"score_$o"))
+          .reduce(_ && _)
+        when(isMax, lit(lang)).otherwise(els)
+    }
+    scored.withColumn("pred_lang", pred)
+  }
+
+  /**
+   * Token counting: whitespace token count plus a BPE-ish subword estimate
+   * (Σ ceil(len/4) — the ~4-chars-per-token heuristic used for budget
+   * planning of LLM training corpora).
+   */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    tokensWithPosition(docs, idCol, textCol)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("ws_tokens"),
+        sum(ceil(length(col("token")).cast("double") / 4.0).cast("long")).as("subword_est"))
+
+  /**
+   * Order-sensitive document fingerprint: a position-weighted polynomial
+   * over per-token character hashes, mod 1e9+7 (a rolling-hash analogue
+   * that stays in exact int64 arithmetic — see [[TextHash.fingerprintTerm]]).
+   * Reordering tokens changes the fingerprint; near-identical docs with the
+   * same prefix share partial sums.
+   */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    tokensWithPosition(docs, idCol, textCol)
+      .withColumn("term", expr(TextHash.fingerprintTerm("pos", "token")))
+      .groupBy("doc_id")
+      .agg(expr(s"sum(term) % ${TextHash.M}").cast("long").as("fingerprint"))
+}
+
+/**
+ * SQL-portable hash arithmetic shared between the Spark operators and the
+ * DuckDB oracles: the same SQL text is `expr(...)`'d in Spark and
+ * interpolated into oracle queries, so both engines evaluate the identical
+ * exact-integer expression tree.
+ */
+object TextHash {
+
+  /** Modulus for all rolling hashes (fits comfortably in int64 math). */
+  val M: Long = 1000000007L
+
+  /**
+   * Character-arithmetic token value: length and three probe characters
+   * (first, last, middle). Injective on realistic vocabularies; collisions
+   * are harmless (it is a hash) — what matters is that `ascii`, `substr`,
+   * `length`, `floor` behave identically in Spark and DuckDB.
+   */
+  def tokenValue(c: String): String =
+    s"(length($c)*1000003 + ascii($c)*1009 + " +
+      s"ascii(substr($c, CAST(length($c) AS INT), 1))*31 + " +
+      s"ascii(substr($c, CAST(floor((length($c)+1)/2.0) AS INT), 1)))"
+
+  /** One fingerprint term: position-weighted token value, bounded < M. */
+  def fingerprintTerm(posCol: String, tokCol: String): String =
+    s"(CAST($posCol + 1 AS BIGINT) * ${tokenValue(tokCol)}) % $M"
+
+  /** Word-trigram shingle hash from three token values, bounded < M. */
+  def shingleHash(t1: String, t2: String, t3: String): String =
+    s"((($t1 * 31 + $t2) % $M) * 31 + $t3) % $M"
+}

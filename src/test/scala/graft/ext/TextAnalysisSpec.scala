@@ -1,0 +1,61 @@
+package graft.ext
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+  implicit lazy val s: SparkSession = spark
+  import s.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the cat sat on the mat"),
+    (1L, "der hund und die katze und der vogel"),
+    (2L, "short")
+  ).toDF("doc_id", "text")
+
+  test("tokensWithPosition keeps original slot positions") {
+    // "\s+" consumes runs of whitespace as ONE separator, so a double space
+    // yields no empty token; only a LEADING separator does, and that empty
+    // token is dropped while later tokens keep their slot numbers.
+    val t = TextAnalysis.tokensWithPosition(
+      Seq((9L, " a  b")).toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("pos").collect()
+    assert(t.map(r => (r.getInt(1), r.getString(2))).toSeq == Seq((1, "a"), (2, "b")))
+  }
+
+  test("stats computes counts, ttr, stopword ratio") {
+    val r = TextAnalysis.stats(docs, "doc_id", "text")
+      .where($"doc_id" === 0L).head()
+    assert(r.getAs[Long]("n_tokens") == 6L)
+    assert(r.getAs[Long]("n_distinct") == 5L) // "the" twice
+    assertApprox(r.getAs[Double]("stopword_ratio"), 2.0 / 6.0)
+    assertApprox(r.getAs[Double]("ttr"), 5.0 / 6.0)
+  }
+
+  test("langId picks the language with the most marker hits") {
+    val preds = TextAnalysis.langId(docs, "doc_id", "text")
+      .select("doc_id", "pred_lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(preds(0L) == "en")
+    assert(preds(1L) == "de") // der×2 + und×2 + die
+    assert(preds(2L) == "en") // all-zero scores → tie broken in marker order
+  }
+
+  test("tokenCounts whitespace + ceil(len/4) subword estimate") {
+    val r = TextAnalysis.tokenCounts(docs, "doc_id", "text")
+      .where($"doc_id" === 2L).head()
+    assert(r.getAs[Long]("ws_tokens") == 1L)
+    assert(r.getAs[Long]("subword_est") == 2L) // ceil(5/4)
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    val fp = (t: String) => TextAnalysis.fingerprint(
+      Seq((0L, t)).toDF("doc_id", "text"), "doc_id", "text")
+      .head().getAs[Long]("fingerprint")
+    assert(fp("a b c") == fp("a b c"))
+    assert(fp("a b c") != fp("c b a"))
+    assert(fp("a b c") >= 0L && fp("a b c") < TextHash.M)
+  }
+}

@@ -1,0 +1,46 @@
+package graft.text
+
+import org.apache.spark.sql.SparkSession
+
+import graft.SparkSpec
+
+class TokenizerSpec extends SparkSpec {
+  implicit lazy val s: SparkSession = spark
+  import s.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the cat sat on the mat"),
+    (1L, "a cat  and a dog"), // double space → empty token must be dropped
+    (2L, "dog")
+  ).toDF("doc_id", "text")
+
+  test("tokens splits on whitespace and drops empties") {
+    val t = Tokenizer.tokens(docs, "doc_id", "text")
+    assert(t.columns.toSeq == Seq("doc", "token"))
+    assert(t.count() == 6 + 5 + 1)
+    assert(t.where($"token" === "").count() == 0)
+  }
+
+  test("removeStopWords is a left-anti join on the token column") {
+    val stops = Seq("the", "a").toDF("w")
+    val t = Tokenizer.removeStopWords(Tokenizer.tokens(docs, "doc_id", "text"), stops)
+    assert(t.count() == 4 + 3 + 1)
+    assert(t.where($"token".isin("the", "a")).count() == 0)
+  }
+
+  test("termFrequency counts duplicate tokens per doc") {
+    val tf = Tokenizer.termFrequency(Tokenizer.tokens(docs, "doc_id", "text"))
+      .collect().map(m => (m.y, m.x) -> m.value).toMap
+    assert(tf((0.toString, "the")) == 2.0)
+    assert(tf(("1", "a")) == 2.0)
+    assert(tf(("2", "dog")) == 1.0)
+    assert(!tf.contains(("2", "cat")))
+  }
+
+  test("termFrequencyOf composes tokenize → stop-words → TF") {
+    val stops = Seq("the", "a").toDF("w")
+    val tf = Tokenizer.termFrequencyOf(docs, "doc_id", "text", Some(stops))
+    assert(tf.where($"x".isin("the", "a")).count() == 0)
+    assert(tf.where($"y" === "0" && $"x" === "cat").head().value == 1.0)
+  }
+}
