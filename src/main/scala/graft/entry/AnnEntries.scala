@@ -1,0 +1,72 @@
+package graft.entry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.ext.Embeddings
+import EntryUtil._
+
+/**
+ * Driver-contract queries for similarity search over the embeddings table.
+ * The query set (vec_id < 50) and k values are part of the contract.
+ */
+object AnnEntries {
+
+  private val QueryCount = 50
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // brute-force cosine top-10 for the 50 query vectors
+    "ann_topk_brute" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      gate(Embeddings.topK(e, e.where(col("vec_id") < QueryCount),
+        "vec_id", "embedding", 10), "query_id", "rank")
+    }),
+    // IVF-bucketed top-5 (argmax-dimension coarse quantizer)
+    "ann_ivf_topk" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      gate(Embeddings.ivfTopK(e, e.where(col("vec_id") < QueryCount),
+        "vec_id", "embedding", 5), "query_id", "rank")
+    })
+  )
+
+  /** Norms + query-restricted dots, shared by both oracles. */
+  private def cosSql(queryPred: String): String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |u AS (SELECT vec_id, i, embedding[i+1] AS vf, embedding[i+1]::DOUBLE AS v
+      |      FROM e, UNNEST(range(len(embedding))) AS r(i)),
+      |n AS (SELECT vec_id, sqrt(SUM(v*v)) AS nrm FROM u GROUP BY 1),
+      |d AS (SELECT a.vec_id AS query_id, b.vec_id AS cand_id, SUM(a.v * b.v) AS dot
+      |      FROM u a JOIN u b ON a.i = b.i AND $queryPred AND a.vec_id <> b.vec_id
+      |      GROUP BY 1, 2),
+      |cosr AS (SELECT query_id, cand_id,
+      |                ${r6sql("dot / (nq.nrm * nc.nrm)")} AS cosine
+      |         FROM d JOIN n nq ON nq.vec_id = query_id
+      |                JOIN n nc ON nc.vec_id = cand_id)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "ann_topk_brute" ->
+      (cosSql(s"a.vec_id < $QueryCount") + """,
+        |rk AS (SELECT query_id, cand_id, cosine,
+        |              row_number() OVER (PARTITION BY query_id
+        |                                 ORDER BY cosine DESC, cand_id) AS rn
+        |       FROM cosr)
+        |SELECT query_id, CAST(rn AS BIGINT) AS rank, cand_id AS vec_id, cosine
+        |FROM rk WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin),
+    "ann_ivf_topk" ->
+      (cosSql(s"a.vec_id < $QueryCount") + """,
+        |mx AS (SELECT vec_id, MAX(vf) AS mvf FROM u GROUP BY 1),
+        |bkt AS (SELECT u.vec_id, MIN(u.i) + 1 AS bucket
+        |        FROM u JOIN mx ON u.vec_id = mx.vec_id AND u.vf = mx.mvf
+        |        GROUP BY u.vec_id),
+        |samebkt AS (SELECT c.query_id, c.cand_id, c.cosine
+        |            FROM cosr c
+        |            JOIN bkt bq ON bq.vec_id = c.query_id
+        |            JOIN bkt bc ON bc.vec_id = c.cand_id AND bc.bucket = bq.bucket),
+        |rk AS (SELECT query_id, cand_id, cosine,
+        |              row_number() OVER (PARTITION BY query_id
+        |                                 ORDER BY cosine DESC, cand_id) AS rn
+        |       FROM samebkt)
+        |SELECT query_id, CAST(rn AS BIGINT) AS rank, cand_id AS vec_id, cosine
+        |FROM rk WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin)
+  )
+}

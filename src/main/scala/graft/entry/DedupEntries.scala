@@ -1,0 +1,110 @@
+package graft.entry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ext.{Dedup, TextHash}
+import EntryUtil._
+
+/**
+ * Driver-contract queries for the dedup extension. Thresholds are part of
+ * the contract: ngram/minhash Jaccard ≥ 0.2, simhash hamming ≤ 3,
+ * embedding cosine ≥ 0.4 — calibrated so the synthetic corpus's planted
+ * near-duplicates surface while random pairs stay out.
+ */
+object DedupEntries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, dir) =>
+      gate(Dedup.exact(docs(s, dir), "doc_id", "text"), "doc_id")),
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      gate(Dedup.ngramJaccardDups(docs(s, dir), "doc_id", "text"), "doc0", "doc1")),
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      gate(Dedup.minHashDups(docs(s, dir), "doc_id", "text"), "doc0", "doc1")),
+    "dedup_simhash" -> ((s, dir) =>
+      gate(Dedup.simHashDups(docs(s, dir), "doc_id", "text"), "doc0", "doc1")),
+    "dedup_embedding" -> ((s, dir) =>
+      gate(Dedup.embeddingDups(embeddings(s, dir), "vec_id", "embedding"), "v0", "v1"))
+  )
+
+  import TextHash.M
+
+  /** Shingle + Jaccard CTE chain mirroring Dedup.shingles/jaccardPairs. */
+  val shingleSql: String = {
+    val tv = TextHash.tokenValue("token")
+    TextEntries.tokSql + s""",
+      |tvs AS (SELECT doc_id, pos, $tv AS v FROM tok),
+      |tv3 AS (SELECT doc_id, v,
+      |        lead(v, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS v2,
+      |        lead(v, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS v3
+      |        FROM tvs),
+      |shg AS (SELECT DISTINCT doc_id, ${TextHash.shingleHash("v", "v2", "v3")} AS sh
+      |        FROM tv3 WHERE v3 IS NOT NULL),
+      |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shg GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS doc0, b.doc_id AS doc1, CAST(COUNT(*) AS BIGINT) AS i
+      |          FROM shg a JOIN shg b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |jac AS (SELECT doc0, doc1, CAST(i AS DOUBLE) / (c0.n + c1.n - i) AS jaccard
+      |        FROM inter
+      |        JOIN cnt c0 ON c0.doc_id = doc0
+      |        JOIN cnt c1 ON c1.doc_id = doc1)""".stripMargin
+  }
+
+  private val sigSelect = Dedup.HashParams.zipWithIndex.map { case ((a, b), j) =>
+    s"MIN(($a * sh + $b) % $M) AS sig_$j"
+  }.mkString(", ")
+
+  private val bandsSql = Dedup.HashParams.indices.map { j =>
+    s"SELECT doc_id, $j AS band, sig_$j AS sigv FROM sig"
+  }.mkString("\n        UNION ALL ")
+
+  private val simhashSums = (0 until Dedup.SimHashBits).map { i =>
+    s"SUM(CASE WHEN (sh >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS s_$i"
+  }.mkString(", ")
+
+  private val simhashBits = (0 until Dedup.SimHashBits).map { i =>
+    s"CASE WHEN s_$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END"
+  }.mkString(" + ")
+
+  /** Embedding pairwise-cosine CTE chain (unnest-based exact mirror). */
+  val embCosSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |u AS (SELECT vec_id, i, embedding[i+1]::DOUBLE AS v
+      |      FROM e, UNNEST(range(len(embedding))) AS r(i)),
+      |n AS (SELECT vec_id, sqrt(SUM(v*v)) AS nrm FROM u GROUP BY 1),
+      |d AS (SELECT a.vec_id AS v0, b.vec_id AS v1, SUM(a.v * b.v) AS dot
+      |      FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id
+      |      GROUP BY 1, 2),
+      |c AS (SELECT v0, v1, ${r6sql("dot / (na.nrm * nb.nrm)")} AS cosine
+      |      FROM d JOIN n na ON na.vec_id = v0 JOIN n nb ON nb.vec_id = v1)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS rep_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      (shingleSql + s"""
+        |SELECT doc0, doc1, ${r6sql("jaccard")} AS jaccard FROM jac
+        |WHERE jaccard >= 0.2 ORDER BY doc0, doc1""".stripMargin),
+    "dedup_minhash_lsh" ->
+      (shingleSql + s""",
+        |sig AS (SELECT doc_id, $sigSelect FROM shg GROUP BY doc_id),
+        |bands AS ($bandsSql),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc0, b.doc_id AS doc1
+        |         FROM bands a JOIN bands b
+        |           ON a.band = b.band AND a.sigv = b.sigv AND a.doc_id < b.doc_id)
+        |SELECT doc0, doc1, ${r6sql("jaccard")} AS jaccard
+        |FROM cand JOIN jac USING (doc0, doc1)
+        |WHERE jaccard >= 0.2 ORDER BY doc0, doc1""".stripMargin),
+    "dedup_simhash" ->
+      (shingleSql + s""",
+        |sums AS (SELECT doc_id, $simhashSums FROM shg GROUP BY doc_id),
+        |sh64 AS (SELECT doc_id, ($simhashBits) AS simhash FROM sums)
+        |SELECT a.doc_id AS doc0, b.doc_id AS doc1,
+        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |FROM sh64 a JOIN sh64 b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY doc0, doc1""".stripMargin),
+    "dedup_embedding" ->
+      (embCosSql + "\nSELECT v0, v1, cosine FROM c WHERE cosine >= 0.4 ORDER BY v0, v1")
+  )
+}

@@ -1,0 +1,111 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over embedding columns (`array<float>`): exact cosine
+ * via higher-order functions, brute-force top-k as the correctness
+ * baseline, and an IVF-style bucketed variant as the scale path.
+ *
+ * Vector math is `zip_with`/`aggregate` SQL (SURVEY.md §4.3) — codegen'd
+ * Catalyst expressions, no UDF serialization. Elements are cast to double
+ * BEFORE multiplying so every product is an exactly-rounded IEEE op that
+ * any engine reproduces bit-for-bit; only the final sum carries order
+ * noise, which the 1e-6 result grid absorbs.
+ *
+ * Scale shapes:
+ *   - [[topK]] broadcasts the (small) query set against the distributed
+ *     candidate set — the standard embarrassingly-parallel brute-force kNN.
+ *   - [[ivfTopK]] equi-joins on a coarse quantizer bucket, cutting the
+ *     candidate set by ~the bucket count; the quantizer (argmax dimension)
+ *     is comparison-only, so it is exactly reproducible everywhere.
+ *   - all-pairs ([[allPairsCosine]]) is intentionally the last resort and
+ *     documented as such — near-dup at scale goes through LSH/IVF.
+ */
+object Embeddings {
+
+  /** Exact-order dot product of two array columns, in SQL text form. */
+  def dotSql(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+      s"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  /** L2 norm of an array column, in SQL text form. */
+  def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
+
+  /** (vec_id, emb, nrm): ids, raw vectors, and precomputed L2 norms. */
+  def withNorms(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol).as("vec_id"), col(vecCol).as("emb"))
+      .withColumn("nrm", expr(normSql("emb")))
+
+  /** Snap a double column to the 1e-6 grid (reproducible thresholds/ranks). */
+  private def snap(c: String) = floor(col(c) * lit(1e6) + lit(0.5)) / lit(1e6)
+
+  /**
+   * Cosine for every vector pair (canonical v0 < v1), rounded to 1e-6.
+   * O(N²) by construction — correctness baseline and small-N tool only.
+   */
+  def allPairsCosine(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val n = withNorms(emb, idCol, vecCol)
+    val pairs = n.as("a").join(n.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("v0"), col("b.vec_id").as("v1"),
+        (expr(dotSql("a.emb", "b.emb")) / (col("a.nrm") * col("b.nrm"))).as("c"))
+    pairs.select(col("v0"), col("v1"), snap("c").as("cosine"))
+  }
+
+  /**
+   * Brute-force cosine top-k: for each query vector, the k nearest
+   * non-self candidates, ranked by (rounded cosine desc, vec_id asc) so
+   * ranking is total and reproducible. The query side is broadcast — on a
+   * cluster the candidate scan parallelizes perfectly.
+   */
+  def topK(candidates: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val cand = withNorms(candidates, idCol, vecCol)
+    val q = withNorms(queries, idCol, vecCol)
+      .withColumnRenamed("vec_id", "query_id")
+      .withColumnRenamed("emb", "qemb")
+      .withColumnRenamed("nrm", "qnrm")
+    val scored = cand.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        (expr(dotSql("qemb", "emb")) / (col("qnrm") * col("nrm"))).as("c"))
+      .select(col("query_id"), col("vec_id"), snap("c").as("cosine"))
+    rank(scored, k)
+  }
+
+  /**
+   * IVF-style top-k: vectors are bucketed by a coarse quantizer — the
+   * 1-based index of the maximum component (comparison-only, so exact in
+   * every engine; a trained k-means codebook slots in the same way) — and
+   * each query searches only its own bucket's candidates.
+   */
+  def ivfTopK(candidates: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    def bucketOf(c: String) = expr(s"array_position($c, array_max($c))")
+    val cand = withNorms(candidates, idCol, vecCol)
+      .withColumn("bucket", bucketOf("emb"))
+    val q = withNorms(queries, idCol, vecCol)
+      .withColumn("bucket", bucketOf("emb"))
+      .withColumnRenamed("vec_id", "query_id")
+      .withColumnRenamed("emb", "qemb")
+      .withColumnRenamed("nrm", "qnrm")
+    val scored = cand.join(broadcast(q), Seq("bucket"))
+      .where(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        (expr(dotSql("qemb", "emb")) / (col("qnrm") * col("nrm"))).as("c"))
+      .select(col("query_id"), col("vec_id"), snap("c").as("cosine"))
+    rank(scored, k)
+  }
+
+  /** Window-rank scored (query_id, vec_id, cosine) rows to the top k. */
+  private def rank(scored: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cosine")
+  }
+}

@@ -131,7 +131,7 @@ object TextHash {
    * `length`, `floor` behave identically in Spark and DuckDB.
    */
   def tokenValue(c: String): String =
-    s"(length($c)*1000003 + ascii($c)*1009 + " +
+    s"(CAST(length($c) AS BIGINT)*1000003 + ascii($c)*1009 + " +
       s"ascii(substr($c, CAST(length($c) AS INT), 1))*31 + " +
       s"ascii(substr($c, CAST(floor((length($c)+1)/2.0) AS INT), 1)))"
 

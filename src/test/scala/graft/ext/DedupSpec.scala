@@ -1,0 +1,72 @@
+package graft.ext
+
+import org.apache.spark.sql.SparkSession
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  implicit lazy val s: SparkSession = spark
+  import s.implicits._
+
+  // 0 and 1 are exact dups; 2 is a near-dup of them (one word changed);
+  // 3 is unrelated.
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog today"),
+    (1L, "the quick brown fox jumps over the lazy dog today"),
+    (2L, "the quick brown fox jumps over the sleepy dog today"),
+    (3L, "completely different words about spark query engines here now")
+  ).toDF("doc_id", "text")
+
+  test("exact groups byte-identical docs under the min id") {
+    val m = Dedup.exact(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 3L))
+  }
+
+  test("shingles: n-2 word trigrams per doc, identical docs share all") {
+    val sh = Dedup.shingles(docs, "doc_id", "text")
+    assert(sh.where($"doc_id" === 3L).count() == 7) // 9 tokens → 7 trigrams
+    val s0 = sh.where($"doc_id" === 0L).select("sh").collect().map(_.getLong(0)).toSet
+    val s1 = sh.where($"doc_id" === 1L).select("sh").collect().map(_.getLong(0)).toSet
+    assert(s0 == s1)
+  }
+
+  test("ngram jaccard: dups at 1.0, near-dups high, unrelated absent") {
+    val j = Dedup.ngramJaccardDups(docs, "doc_id", "text", minJaccard = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assertApprox(j((0L, 1L)), 1.0)
+    assert(j.contains((0L, 2L)) && j((0L, 2L)) > 0.3)
+    assert(!j.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("minhash LSH finds the same dups as exact jaccard here") {
+    val lsh = Dedup.minHashDups(docs, "doc_id", "text", minJaccard = 0.2)
+      .select("doc0", "doc1").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.ngramJaccardDups(docs, "doc_id", "text", minJaccard = 0.2)
+      .select("doc0", "doc1").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+  }
+
+  test("simhash: identical docs at hamming 0, near-dups close, unrelated far") {
+    val h = Dedup.simHash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(0L) == h(1L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(0L), h(2L)) < ham(h(0L), h(3L)))
+    val pairs = Dedup.simHashDups(docs, "doc_id", "text", maxHamming = 3)
+      .select("doc0", "doc1").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("embedding near-dups: proportional vectors hit cosine 1") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 2.0f, 3.0f)),
+      (1L, Seq(2.0f, 4.0f, 6.0f)),   // same direction as 0
+      (2L, Seq(-3.0f, 1.0f, 0.5f))   // unrelated
+    ).toDF("vec_id", "embedding")
+    val d = Dedup.embeddingDups(emb, "vec_id", "embedding", minCosine = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(d.keySet == Set((0L, 1L)))
+    assertApprox(d((0L, 1L)), 1.0, 1e-6)
+  }
+}

@@ -1,0 +1,40 @@
+package graft.ext
+
+import org.apache.spark.sql.SparkSession
+
+import graft.SparkSpec
+
+class EmbeddingsSpec extends SparkSpec {
+  implicit lazy val s: SparkSession = spark
+  import s.implicits._
+
+  // Unit vectors along axes + one diagonal: hand-computable cosines.
+  private lazy val emb = Seq(
+    (0L, Seq(1.0f, 0.0f, 0.0f)),
+    (1L, Seq(0.0f, 1.0f, 0.0f)),
+    (2L, Seq(1.0f, 1.0f, 0.0f)),
+    (3L, Seq(0.9f, 0.1f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("allPairsCosine: canonical order, hand-checked values") {
+    val c = Embeddings.allPairsCosine(emb, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(c.size == 6)
+    assertApprox(c((0L, 1L)), 0.0, 1e-6)
+    assertApprox(c((0L, 2L)), 1.0 / math.sqrt(2), 1e-6)
+    assert(c((0L, 3L)) > c((1L, 3L))) // 3 points mostly along x
+  }
+
+  test("topK ranks by cosine desc with vec_id tiebreak, excludes self") {
+    val top = Embeddings.topK(emb, emb.where($"vec_id" === 0L), "vec_id", "embedding", 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(top.toSeq == Seq((1L, 3L), (2L, 2L))) // rank1: v3 (cos .994), rank2: v2 (.707)
+  }
+
+  test("ivfTopK searches only the query's argmax bucket") {
+    // buckets: v0→1, v1→2, v2→1 (first max wins), v3→1
+    val top = Embeddings.ivfTopK(emb, emb.where($"vec_id" === 0L), "vec_id", "embedding", 5)
+      .collect().map(_.getLong(2)).toSet
+    assert(top == Set(2L, 3L)) // v1 is in bucket 2, not searched
+  }
+}
