@@ -1,0 +1,61 @@
+package graft.entry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ext.{Events, Multimodal}
+import EntryUtil._
+
+/**
+ * Driver-contract queries for event-stream analytics and the multimodal
+ * metadata path. Event-time arithmetic is exact int64 nanoseconds on both
+ * sides (Spark reads TIMESTAMP(NANOS) as Long via nanosAsLong; DuckDB via
+ * epoch_ns) — no float timestamps, no timezone dependence.
+ */
+object EventsEntries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_hourly" -> ((s, dir) =>
+      gate(Events.hourly(Events.read(s, dir)), "hour_start_sec", "event_type")),
+    "events_sessionize" -> ((s, dir) =>
+      gate(Events.sessionize(Events.read(s, dir)), "user_id", "session_id")),
+    "multimodal_meta" -> ((s, dir) =>
+      gate(Multimodal.metadata(docs(s, dir), "doc_id", "text"), "doc_id"))
+  )
+
+  private val nsHour = Events.NsPerHour
+  private val nsSec = Events.NsPerSec
+  private val gapNs = Events.DefaultGapNs
+
+  val oracles: Map[String, String] = Map(
+    "events_hourly" ->
+      s"""WITH ev AS (SELECT epoch_ns(ts) AS tns, event_type, value FROM events)
+        |SELECT (tns // $nsHour) * 3600 AS hour_start_sec, event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       ${r6sql("SUM(value)")} AS sum_value,
+        |       ${r6sql("AVG(value)")} AS avg_value
+        |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_sessionize" ->
+      s"""WITH ev AS (SELECT epoch_ns(ts) AS tns, user_id, event_id, value FROM events),
+        |lg AS (SELECT user_id, tns, event_id, value,
+        |              lag(tns) OVER (PARTITION BY user_id ORDER BY tns, event_id) AS prev
+        |       FROM ev),
+        |mk AS (SELECT *, CASE WHEN prev IS NULL OR tns - prev > $gapNs
+        |                      THEN 1 ELSE 0 END AS new_sess FROM lg),
+        |sess AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tns, event_id
+        |                                       ROWS UNBOUNDED PRECEDING) AS session_id
+        |         FROM mk)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       MIN(tns) // $nsSec AS start_sec,
+        |       MAX(tns) // $nsSec AS end_sec,
+        |       ${r6sql("SUM(value)")} AS sum_value
+        |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "multimodal_meta" ->
+      s"""WITH h AS (SELECT doc_id, text, least(16, length(text)) AS hl FROM documents)
+        |SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       (SELECT CAST(COALESCE(SUM(ascii(substr(h.text, CAST(i + 1 AS INT), 1)) * (i + 1)), 0) AS BIGINT)
+        |        FROM UNNEST(range(h.hl)) AS r(i)) AS header_sum
+        |FROM h ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,34 @@
+package graft.ext
+
+import org.apache.spark.sql.SparkSession
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+  implicit lazy val s: SparkSession = spark
+  import s.implicits._
+
+  private lazy val docs = Seq((0L, "abc"), (1L, "a much longer payload here")).toDF("doc_id", "text")
+
+  test("metadata: byte length and position-weighted header checksum") {
+    val m = Multimodal.metadata(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(m(0L)._1 == 3L)
+    // 'a'*1 + 'b'*2 + 'c'*3 = 97 + 196 + 297
+    assert(m(0L)._2 == 97 + 2 * 98 + 3 * 99)
+    assert(m(1L)._1 == 26L) // full byte length even though header stops at 16
+  }
+
+  test("decodeFeatures: partition-batched stub decoder, stable output") {
+    val f = Multimodal.decodeFeatures(
+      Multimodal.withPayload(docs, "text"), "doc_id", "payload")
+      .collect().map(x => x.doc_id -> x).toMap
+    assert(f(0L).n_bytes == 3L)
+    assert(f(0L).feature.length == 8)
+    // deterministic: same input → same features
+    val again = Multimodal.decodeFeatures(
+      Multimodal.withPayload(docs, "text"), "doc_id", "payload")
+      .collect().map(x => x.doc_id -> x.feature.toSeq).toMap
+    assert(again(1L) == f(1L).feature.toSeq)
+  }
+}
