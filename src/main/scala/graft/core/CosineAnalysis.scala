@@ -38,12 +38,13 @@ import org.apache.spark.storage.StorageLevel
  *     disjoint pairs get similarity 0.0).
  *
  * Scale notes (100 TB design): every stage is a shuffle on a natural key
- * (vector or coordinate or pair) with map-side partial aggregation; nothing
- * is ever collected to one task. The aligned-pair table is the quadratic
- * object — Σ_coord C(n_coord, 2) rows — which is inherent to exact all-pairs
- * cosine; for web-scale vector counts use [[graft.similarity.Ann]] (top-k) or
- * [[graft.dedup.Dedup]] (LSH-pruned near-dup) instead of the exact all-pairs
- * surface.
+ * (vector or coordinate or pair or bucket) with map-side partial
+ * aggregation; nothing is ever collected to one task and nothing is
+ * unconditionally broadcast. The aligned-pair table is the quadratic
+ * object — Σ_coord C(n_coord, 2) rows — which is inherent to exact
+ * all-pairs cosine; for web-scale vector counts use
+ * [[graft.ext.Embeddings]] (top-k / IVF) or [[graft.ext.Dedup]]
+ * (LSH-pruned near-dup) instead of the exact all-pairs surface.
  *
  * @param axis      which COO column ("x" or "y") identifies a vector; the
  *                  other column is the feature/coordinate
@@ -71,14 +72,17 @@ final class CosineAnalysis(
 
   /**
    * Divide every cell by its vector's max (reference genNormalizedElement
-   * :88–102). The max table has one row per vector — far smaller than the
-   * cell table — so we broadcast it and the join is shuffle-free on the big
-   * side. Applies the (fixed) omitRatio filter when omitRatio > 0.
+   * :88–102). The max table has one row per vector — usually far smaller
+   * than the cell table — but it is NOT force-broadcast: one row per vector
+   * means billions of rows at the 100 TB design point, past Spark's hard
+   * broadcast limits. Catalyst/AQE picks broadcast-hash whenever the table
+   * is actually small (it is at every test sf) and falls back to a shuffle
+   * join when it is not. Applies the (fixed) omitRatio filter when > 0.
    */
   def normalize(matrix: Dataset[MatrixElement]): Dataset[NormalizedElement] = {
     val mv = maxValues(matrix)
     val joined = matrix
-      .join(broadcast(mv), matrix(axis) === mv("axis"))
+      .join(mv, matrix(axis) === mv("axis"))
       .select(
         $"y",
         $"x",
@@ -137,21 +141,35 @@ final class CosineAnalysis(
   /**
    * Dense-mode pairwise norms: every C(V,2) pair of full vector norms,
    * canonical order (reference genFactorMod2 / genFactorAllElementMod
-   * :129–160, :30–58 — rebuilt as a self-join; the reference funnels all V
-   * norms through one task via a global collect_list, which we must not
-   * reproduce). The norm table has one small row per vector, so V up to the
-   * low millions is a routine shuffle; beyond that, exact all-pairs is the
-   * wrong query (use top-k / LSH modules).
+   * :129–160, :30–58 — the reference funnels all V norms through one task
+   * via a global collect_list, which we must not reproduce).
+   *
+   * A naive `a.vector > b.vector` self-join has no equi key, so Spark
+   * plans BroadcastNestedLoopJoin — all comparisons in few tasks. Instead
+   * we use the standard triangle-bucket scheme: hash every vector into one
+   * of `buckets` buckets, enumerate the B(B+1)/2 unordered bucket pairs as
+   * tasks, replicate each vector to its ~B tasks, and equi-join on the
+   * task id. The C(V,2) pair generation then shuffles on a uniform
+   * synthetic key across B(B+1)/2 partitions-worth of work — fully
+   * parallel, no broadcast of the whole table, no nested loop. Output is
+   * identical to the naive join (canonicalized inside each task).
    */
-  def pairModsDense(mods: Dataset[VectorMod]): Dataset[FactorMod] = {
-    val a = mods.toDF().as("a")
-    val b = mods.toDF().as("b")
-    a.join(b, $"a.vector" > $"b.vector")
+  def pairModsDense(mods: Dataset[VectorMod], buckets: Int = 32): Dataset[FactorMod] = {
+    require(buckets > 0)
+    val tasks = (for { i <- 0 until buckets; j <- i until buckets }
+      yield (i, j, i.toLong * buckets + j)).toDF("ti", "tj", "task")
+    val withB = mods.toDF().withColumn("b", pmod(hash($"vector"), lit(buckets)))
+    val left = withB.join(tasks, $"b" === $"ti")
+      .select($"task", $"ti", $"tj", $"vector".as("va"), $"mod".as("ma"))
+    val right = withB.join(tasks.select($"tj".as("rj"), $"task"), $"b" === $"rj")
+      .select($"task", $"vector".as("vb"), $"mod".as("mb"))
+    left.join(right, Seq("task"))
+      .where($"ti" < $"tj" || $"va" > $"vb")
       .select(
-        $"a.vector".as("vector0"),
-        $"b.vector".as("vector1"),
-        $"a.mod".as("mod1"),
-        $"b.mod".as("mod2"))
+        when($"va" > $"vb", $"va").otherwise($"vb").as("vector0"),
+        when($"va" > $"vb", $"vb").otherwise($"va").as("vector1"),
+        when($"va" > $"vb", $"ma").otherwise($"mb").as("mod1"),
+        when($"va" > $"vb", $"mb").otherwise($"ma").as("mod2"))
       .as[FactorMod]
   }
 
@@ -209,19 +227,31 @@ final class MatrixModel(
   def allSimilarityValue: Dataset[SimilarityValue] =
     computeSimilarity(factorNormalizedValue, factorMod)
 
+  /** Above this subset size, [[similarity]] switches from IN-lists to a semi-join. */
+  val IsinMaxSize = 100
+
   /**
    * Similarities restricted to pairs whose BOTH endpoints are in `vectors`
    * (reference MatrixModel.scala:36–47). The reference drops to an RDD
    * filter (exits Catalyst) and leaves the numerator unfiltered — aggregating
-   * every pair then discarding most via the join. We filter BOTH inputs with
-   * Column predicates so the pushdown prunes before the aggregate.
+   * every pair then discarding most via the join. We filter BOTH inputs
+   * before the aggregate: small subsets as IN-list predicates (pushable),
+   * large subsets as broadcast semi-joins (an IN-list with thousands of
+   * literals builds a degenerate expression tree).
    */
   def similarity(vectors: Seq[String]): Dataset[SimilarityValue] = {
-    val keep = (c: String) =>
-      col(c + "0").isin(vectors: _*) && col(c + "1").isin(vectors: _*)
+    require(vectors.nonEmpty, "similarity(vectors): the vector subset is empty")
+    def filterBoth(df: DataFrame): DataFrame =
+      if (vectors.size <= IsinMaxSize)
+        df.where(col("vector0").isin(vectors: _*) && col("vector1").isin(vectors: _*))
+      else {
+        val vs = broadcast(vectors.toDF("v"))
+        df.join(vs, df("vector0") === vs("v"), "left_semi")
+          .join(vs, df("vector1") === vs("v"), "left_semi")
+      }
     computeSimilarity(
-      factorNormalizedValue.where(keep("vector")),
-      factorMod.where(keep("vector")))
+      filterBoth(factorNormalizedValue.toDF()).as[FactorNormalizedValue],
+      filterBoth(factorMod.toDF()).as[FactorMod])
   }
 
   def unpersistAll(): Unit = {

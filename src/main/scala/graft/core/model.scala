@@ -16,6 +16,30 @@ package graft.core
 /** One non-zero cell of the sparse matrix (reference: entity/MatrixElement.scala:3). */
 final case class MatrixElement(y: String, x: String, value: Double)
 
+object MatrixElement {
+
+  /**
+   * Ingest boundary: accept a COO frame whose `value` is any numeric type —
+   * in particular the reference's BigInt, which arrives from parquet/JVM as
+   * DecimalType(38,0) (SURVEY §7.3(5)) — and whose ids are any castable
+   * type. Values are cast to Double once here; everything downstream
+   * divides into Double anyway (reference MatrixCosineAnalyse.scala:96–99).
+   */
+  def from(
+      df: org.apache.spark.sql.DataFrame,
+      yCol: String = "y",
+      xCol: String = "x",
+      valueCol: String = "value"): org.apache.spark.sql.Dataset[MatrixElement] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    df.select(
+      col(yCol).cast("string").as("y"),
+      col(xCol).cast("string").as("x"),
+      col(valueCol).cast("double").as("value")).as[MatrixElement]
+  }
+}
+
 /** Per-vector max — the normalization denominator (reference: entity/MaxValue.scala:3). */
 final case class MaxValue(axis: String, max_value: Double)
 

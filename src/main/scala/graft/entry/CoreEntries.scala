@@ -91,37 +91,37 @@ object CoreEntries {
 
   val oracles: Map[String, String] = Map(
     "max_values" ->
-      (matrixSql + "\nSELECT y AS axis, floor((MAX(v))*1e6 + 0.5)/1e6 AS max_value FROM m GROUP BY y ORDER BY axis"),
+      (matrixSql + "\nSELECT y AS axis, floor((MAX(v))*1e6 + 0.50001)/1e6 AS max_value FROM m GROUP BY y ORDER BY axis"),
     "normalize" ->
-      (pipelineSql + "\nSELECT y, x, floor((nv)*1e6 + 0.5)/1e6 AS normalized_value FROM n ORDER BY y, x"),
+      (pipelineSql + "\nSELECT y, x, floor((nv)*1e6 + 0.50001)/1e6 AS normalized_value FROM n ORDER BY y, x"),
     "normalize_omit" ->
-      (pipelineSql + "\nSELECT y, x, floor((nv)*1e6 + 0.5)/1e6 AS normalized_value FROM n WHERE nv > 0.5 ORDER BY y, x"),
+      (pipelineSql + "\nSELECT y, x, floor((nv)*1e6 + 0.50001)/1e6 AS normalized_value FROM n WHERE nv > 0.5 ORDER BY y, x"),
     "vector_mods" ->
-      (pipelineSql + "\nSELECT vector, floor((md)*1e6 + 0.5)/1e6 AS \"mod\" FROM vm ORDER BY vector"),
+      (pipelineSql + "\nSELECT vector, floor((md)*1e6 + 0.50001)/1e6 AS \"mod\" FROM vm ORDER BY vector"),
     "aligned_pairs" ->
-      (pipelineSql + "\nSELECT vector0, vector1, coord AS prediction_axis, floor((v1)*1e6 + 0.5)/1e6 AS value1, floor((v2)*1e6 + 0.5)/1e6 AS value2 FROM p ORDER BY vector0, vector1, prediction_axis"),
+      (pipelineSql + "\nSELECT vector0, vector1, coord AS prediction_axis, floor((v1)*1e6 + 0.50001)/1e6 AS value1, floor((v2)*1e6 + 0.50001)/1e6 AS value2 FROM p ORDER BY vector0, vector1, prediction_axis"),
     "pair_mods_sparse" ->
-      (pipelineSql + "\nSELECT vector0, vector1, floor((mod1)*1e6 + 0.5)/1e6 AS mod1, floor((mod2)*1e6 + 0.5)/1e6 AS mod2 FROM smods ORDER BY vector0, vector1"),
+      (pipelineSql + "\nSELECT vector0, vector1, floor((mod1)*1e6 + 0.50001)/1e6 AS mod1, floor((mod2)*1e6 + 0.50001)/1e6 AS mod2 FROM smods ORDER BY vector0, vector1"),
     "pair_mods_dense" ->
-      (pipelineSql + "\nSELECT vector0, vector1, floor((mod1)*1e6 + 0.5)/1e6 AS mod1, floor((mod2)*1e6 + 0.5)/1e6 AS mod2 FROM dmods ORDER BY vector0, vector1"),
+      (pipelineSql + "\nSELECT vector0, vector1, floor((mod1)*1e6 + 0.50001)/1e6 AS mod1, floor((mod2)*1e6 + 0.50001)/1e6 AS mod2 FROM dmods ORDER BY vector0, vector1"),
     "pair_dot" ->
-      (pipelineSql + "\nSELECT vector0, vector1, floor((numtr)*1e6 + 0.5)/1e6 AS dot FROM num ORDER BY vector0, vector1"),
+      (pipelineSql + "\nSELECT vector0, vector1, floor((numtr)*1e6 + 0.50001)/1e6 AS dot FROM num ORDER BY vector0, vector1"),
     "cosine_sparse_all" ->
       (pipelineSql + """
         |SELECT s.vector0, s.vector1,
-        |       floor(COALESCE(num.numtr / (s.mod1 * s.mod2), 0.0)*1e6 + 0.5)/1e6 AS similarity_value
+        |       floor(COALESCE(num.numtr / (s.mod1 * s.mod2), 0.0)*1e6 + 0.50001)/1e6 AS similarity_value
         |FROM num RIGHT JOIN smods s USING (vector0, vector1)
         |ORDER BY vector0, vector1""".stripMargin),
     "cosine_dense_all" ->
       (pipelineSql + """
         |SELECT d.vector0, d.vector1,
-        |       floor(COALESCE(num.numtr / (d.mod1 * d.mod2), 0.0)*1e6 + 0.5)/1e6 AS similarity_value
+        |       floor(COALESCE(num.numtr / (d.mod1 * d.mod2), 0.0)*1e6 + 0.50001)/1e6 AS similarity_value
         |FROM num RIGHT JOIN dmods d USING (vector0, vector1)
         |ORDER BY vector0, vector1""".stripMargin),
     "cosine_subset" ->
       (pipelineSql + s"""
         |SELECT d.vector0, d.vector1,
-        |       floor(COALESCE(num.numtr / (d.mod1 * d.mod2), 0.0)*1e6 + 0.5)/1e6 AS similarity_value
+        |       floor(COALESCE(num.numtr / (d.mod1 * d.mod2), 0.0)*1e6 + 0.50001)/1e6 AS similarity_value
         |FROM num RIGHT JOIN dmods d USING (vector0, vector1)
         |WHERE d.vector0 IN $subsetList AND d.vector1 IN $subsetList
         |ORDER BY vector0, vector1""".stripMargin)

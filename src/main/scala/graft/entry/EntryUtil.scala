@@ -27,24 +27,35 @@ object EntryUtil {
   /**
    * Round every DoubleType column to 6 decimals and totally order the rows.
    *
-   * Rounding is `floor(x*1e6 + 0.5)/1e6` rather than the engine's `round`:
-   * Spark rounds via BigDecimal HALF_UP on the exact double expansion while
-   * DuckDB scales-and-std::rounds, and the two disagree on values one ulp
-   * from a midpoint (observed on real data). floor/multiply/add are each
-   * exactly-rounded IEEE ops, so identical inputs give identical outputs in
-   * any engine. [[r6sql]] is the DuckDB spelling of the same function.
+   * Rounding is `floor(x*1e6 + 0.50001)/1e6` rather than the engine's
+   * `round`, for two reasons observed on real data:
+   *
+   *   - Spark rounds via BigDecimal HALF_UP on the exact double expansion
+   *     while DuckDB scales-and-std::rounds — they disagree near midpoints.
+   *     floor/multiply/add are each exactly-rounded IEEE ops, so identical
+   *     inputs give identical outputs in any engine.
+   *   - With integer-valued inputs the aggregates are small-denominator
+   *     rationals (dot products are N/(m1·m2)) that frequently sit EXACTLY
+   *     on a .5 grid midpoint (e.g. 7.6328125 = 977·2⁻⁷); there, the two
+   *     engines' sum-order noise (~1e-12) flips a bare `+0.5` floor with
+   *     ~50% probability. The 1e-5 bias rounds exact midpoints up
+   *     deterministically (bias ≫ noise), and the shifted danger zone
+   *     0.49999 needs value denominators ≥ ~1e5 that these pipelines
+   *     cannot produce.
+   *
+   * [[r6sql]] is the DuckDB spelling of the same function.
    */
   def gate(df: DataFrame, keys: String*): DataFrame = {
     val rounded = df.schema.fields.foldLeft(df) { (d, f) =>
       if (f.dataType == DoubleType)
-        d.withColumn(f.name, floor(col(f.name) * lit(1e6) + lit(0.5)) / lit(1e6))
+        d.withColumn(f.name, floor(col(f.name) * lit(1e6) + lit(0.50001)) / lit(1e6))
       else d
     }
     rounded.orderBy(keys.map(col).toSeq: _*)
   }
 
   /** DuckDB spelling of [[gate]]'s rounding, for oracle SQL. */
-  def r6sql(e: String): String = s"floor(($e)*1e6 + 0.5)/1e6"
+  def r6sql(e: String): String = s"floor(($e)*1e6 + 0.50001)/1e6"
 
   def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")

@@ -39,7 +39,8 @@ object Embeddings {
       .withColumn("nrm", expr(normSql("emb")))
 
   /** Snap a double column to the 1e-6 grid (reproducible thresholds/ranks). */
-  private def snap(c: String) = floor(col(c) * lit(1e6) + lit(0.5)) / lit(1e6)
+  // Same biased rounding as graft.entry.EntryUtil.gate — see its scaladoc.
+  private def snap(c: String) = floor(col(c) * lit(1e6) + lit(0.50001)) / lit(1e6)
 
   /**
    * Cosine for every vector pair (canonical v0 < v1), rounded to 1e-6.
