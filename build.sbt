@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // Whole-stage codegen emits hundreds of classes across a bench run; the
+  // 240m default code cache fills and the JIT silently stops compiling,
+  // making late queries 10-30x slower (profiled on the bench suite).
+  "-XX:ReservedCodeCacheSize=2g",
 )

@@ -175,38 +175,67 @@ final class CosineAnalysis(
 
   /**
    * Full fit pipeline (reference simpleFit :218–242): normalize → align
-   * pairs → pairwise norms (mode-dependent), caching the two tables every
-   * downstream query reuses.
+   * pairs → pairwise norms (mode-dependent).
+   *
+   * Unlike the reference, nothing is persisted by default: a one-shot
+   * query plan consumes each table once (the sparse path computes
+   * numerator and both norms in a single aggregation pass — see
+   * [[MatrixModel.allSimilarityValue]]), and building Spark's columnar
+   * cache for the quadratic pair table costs more than it saves
+   * (profiled: cache build dominated the sparse pipeline at sf0.1).
+   * Call [[MatrixModel.persist]] when the model will serve MANY queries —
+   * that is the reference's interactive pattern, made explicit.
    */
   def fit(matrix: Dataset[MatrixElement], isSparse: Boolean = true): MatrixModel = {
     val normalized = normalize(matrix)
-    val pairs = alignedPairs(normalized).persist(StorageLevel.MEMORY_AND_DISK)
+    val pairs = alignedPairs(normalized)
     val mods =
       if (isSparse) pairModsSparse(pairs)
       else pairModsDense(vectorMods(normalized))
-    new MatrixModel(spark, pairs, mods.persist(StorageLevel.MEMORY_AND_DISK))
+    new MatrixModel(spark, pairs, mods, isSparse)
   }
 }
 
 /**
  * Fitted similarity model (reference: matrix/MatrixModel.scala). Holds the
- * cached aligned-pair table and the pairwise-norm table; queries compose the
+ * aligned-pair table and the pairwise-norm table; queries compose the
  * cosine from them.
  */
 final class MatrixModel(
     spark: SparkSession,
     val factorNormalizedValue: Dataset[FactorNormalizedValue],
-    val factorMod: Dataset[FactorMod]) extends Serializable {
+    val factorMod: Dataset[FactorMod],
+    val isSparse: Boolean = true) extends Serializable {
 
   import spark.implicits._
 
   /**
-   * Cosine numerator Σ v0ᵢ·v1ᵢ per pair (reference MatrixModel.scala:58–62),
-   * then a right join onto the norm table so that — in dense mode — pairs
-   * with zero co-occurring coordinates still get a row with similarity 0.0
-   * (reference :63–69; the null numerator is coalesced to 0). In sparse mode
-   * the norm table only contains co-occurring pairs, so the right join
-   * degenerates to an inner join, which is the sparse contract.
+   * Sparse-mode similarity in ONE aggregation pass: the numerator
+   * Σ v0ᵢ·v1ᵢ and both intersection-restricted norms share the same
+   * groupBy(vector0, vector1), so the whole query is a single shuffle with
+   * map-side partial aggregation — no join, no cached intermediate. The
+   * reference computes the same three aggregates in two passes joined back
+   * together (MatrixModel.scala:58–69); the values are identical.
+   */
+  private def sparseSimilarity(
+      pairs: Dataset[FactorNormalizedValue]): Dataset[SimilarityValue] =
+    pairs
+      .groupBy($"vector0", $"vector1")
+      .agg(
+        sum($"value1" * $"value2").as("numerator"),
+        sqrt(sum(pow($"value1", 2))).as("mod1"),
+        sqrt(sum(pow($"value2", 2))).as("mod2"))
+      .select(
+        $"vector0",
+        $"vector1",
+        coalesce($"numerator" / ($"mod1" * $"mod2"), lit(0.0)).as("similarity_value"))
+      .as[SimilarityValue]
+
+  /**
+   * Dense-mode similarity: numerator per co-occurring pair (reference
+   * MatrixModel.scala:58–62), right-joined onto the full-norm table so
+   * pairs with zero co-occurring coordinates still get a row with
+   * similarity 0.0 (reference :63–69; null numerator coalesced to 0).
    */
   private def computeSimilarity(
       pairs: Dataset[FactorNormalizedValue],
@@ -225,7 +254,8 @@ final class MatrixModel(
 
   /** All pairwise similarities (reference MatrixModel.scala:26–28). */
   def allSimilarityValue: Dataset[SimilarityValue] =
-    computeSimilarity(factorNormalizedValue, factorMod)
+    if (isSparse) sparseSimilarity(factorNormalizedValue)
+    else computeSimilarity(factorNormalizedValue, factorMod)
 
   /** Above this subset size, [[similarity]] switches from IN-lists to a semi-join. */
   val IsinMaxSize = 100
@@ -249,9 +279,21 @@ final class MatrixModel(
         df.join(vs, df("vector0") === vs("v"), "left_semi")
           .join(vs, df("vector1") === vs("v"), "left_semi")
       }
-    computeSimilarity(
-      filterBoth(factorNormalizedValue.toDF()).as[FactorNormalizedValue],
-      filterBoth(factorMod.toDF()).as[FactorMod])
+    val pairs = filterBoth(factorNormalizedValue.toDF()).as[FactorNormalizedValue]
+    if (isSparse) sparseSimilarity(pairs)
+    else computeSimilarity(pairs, filterBoth(factorMod.toDF()).as[FactorMod])
+  }
+
+  /**
+   * Cache the model's tables for interactive use — the reference's persist
+   * points (MatrixCosineAnalyse.scala:220,225,233), opt-in because the
+   * columnar cache build only pays off when the model serves several
+   * actions.
+   */
+  def persist(): this.type = {
+    factorNormalizedValue.persist(StorageLevel.MEMORY_AND_DISK)
+    factorMod.persist(StorageLevel.MEMORY_AND_DISK)
+    this
   }
 
   def unpersistAll(): Unit = {

@@ -53,8 +53,8 @@ object DedupEntries {
     s"MIN(($a * sh + $b) % $M) AS sig_$j"
   }.mkString(", ")
 
-  private val bandsSql = Dedup.HashParams.indices.map { j =>
-    s"SELECT doc_id, $j AS band, sig_$j AS sigv FROM sig"
+  private val bandsSql = (0 until Dedup.HashParams.size / Dedup.BandRows).map { b =>
+    s"SELECT doc_id, $b AS band, ${Dedup.bandKeyExpr(b)} AS sigv FROM sig"
   }.mkString("\n        UNION ALL ")
 
   private val simhashSums = (0 until Dedup.SimHashBits).map { i =>

@@ -97,20 +97,42 @@ object Dedup {
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Rows per LSH band: 16 minhashes → 8 bands × 2 rows. */
+  val BandRows = 2
+
+  /** SQL text combining band `b`'s minhashes into one int64 key
+    * (shared verbatim with the DuckDB oracle). */
+  def bandKeyExpr(b: Int): String =
+    (0 until BandRows)
+      .map(r => s"sig_${b * BandRows + r}")
+      .reduce((acc, s) => s"(($acc * 31 + $s) % $M)")
+
   /**
-   * LSH candidate pairs: docs agreeing on any single minhash value
-   * (16 bands × 1 row — high recall down to Jaccard ≈ 0.2:
-   * P(candidate) = 1-(1-j)^16). The join key is (band, minhash value), so
-   * candidate generation is an equi-join, never an all-pairs scan.
+   * LSH candidate pairs: docs agreeing on ALL minhash values of some
+   * band (8 bands × 2 rows). The join key is (band, combined band hash),
+   * so candidate generation is an equi-join, never an all-pairs scan.
+   *
+   * Band width matters at scale: 1-row bands collide whenever ONE minhash
+   * agrees, and the minhash of a corpus-common shingle agrees across
+   * thousands of documents — C(n,2) pairs from a single bucket (measured:
+   * 5× the whole pipeline's cost at sf0.1). 2-row bands need two
+   * simultaneous agreements, so buckets stay near-singleton for unrelated
+   * docs (P = j² per band) while near-dups collide with
+   * P = 1-(1-j²)⁸ (≈ 0.83 at j = 0.45, ≈ 1 at j ≥ 0.8).
+   * Mass-duplicate corpora should run [[exact]] first — identical docs
+   * always share every bucket.
    */
   def minHashCandidates(sigs: DataFrame): DataFrame = {
-    val sigCols = HashParams.indices.map(j => col(s"sig_$j"))
-    val bands = sigs.select(col("doc_id"),
-      posexplode(array(sigCols: _*)).as(Seq("band", "sigv")))
+    val nBands = HashParams.size / BandRows
+    val bandKeys = (0 until nBands).map(b => expr(bandKeyExpr(b)).as(s"band_$b"))
+    val bands = sigs.select(col("doc_id") +: bandKeys: _*)
+      .select(col("doc_id"),
+        posexplode(array((0 until nBands).map(b => col(s"band_$b")): _*))
+          .as(Seq("band", "bkey")))
     val a = bands.as("a")
     val b = bands.as("b")
     a.join(b,
-        col("a.band") === col("b.band") && col("a.sigv") === col("b.sigv") &&
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc0"), col("b.doc_id").as("doc1"))
       .distinct()

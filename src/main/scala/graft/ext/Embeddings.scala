@@ -25,18 +25,24 @@ import org.apache.spark.sql.functions._
  */
 object Embeddings {
 
-  /** Exact-order dot product of two array columns, in SQL text form. */
-  def dotSql(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-      s"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+  /**
+   * Exact-order dot product of two array<float> columns, in SQL text form.
+   * Backed by the codegen'd [[graft.functions.FloatDot]] expression — the
+   * declarative `aggregate(zip_with(...))` spelling computes the identical
+   * value but interpretedly, with per-element boxing (~40× slower on the
+   * all-pairs path at sf0.1).
+   */
+  def dotSql(a: String, b: String): String = s"float_dot($a, $b)"
 
   /** L2 norm of an array column, in SQL text form. */
   def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
 
   /** (vec_id, emb, nrm): ids, raw vectors, and precomputed L2 norms. */
-  def withNorms(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+  def withNorms(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     emb.select(col(idCol).as("vec_id"), col(vecCol).as("emb"))
       .withColumn("nrm", expr(normSql("emb")))
+  }
 
   /** Snap a double column to the 1e-6 grid (reproducible thresholds/ranks). */
   // Same biased rounding as graft.entry.EntryUtil.gate — see its scaladoc.

@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/**
+ * `float_dot(a, b)`: dot product of two `array<float>` columns, accumulated
+ * left-to-right in double precision.
+ *
+ * Why a custom Catalyst expression (SURVEY.md §4.3's "only if hot" clause —
+ * it is hot): the declarative spelling
+ * `aggregate(zip_with(a, b, (x,y) -> ...), 0d, (acc,v) -> acc+v)` evaluates
+ * the lambda per element with boxed Doubles and cannot be whole-stage
+ * codegen'd, which measured ~300 s for 4M pairs × 64 dims at sf0.1. This
+ * expression generates a primitive `for` loop inside whole-stage codegen
+ * (and has a matching interpreted path), with identical arithmetic:
+ * each product is (double)a_i * (double)b_i, exactly-rounded IEEE, summed
+ * in array order — so results are bit-identical to the HOF spelling and
+ * reproducible in the DuckDB oracle.
+ */
+case class FloatDot(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"float_dot requires two array<float> arguments, got ($l, $r)")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "float_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Runtime registration of graft's custom SQL functions into a session. */
+object GraftFunctions {
+
+  /** Idempotently register `float_dot` so `expr("float_dot(a,b)")` resolves. */
+  def register(spark: SparkSession): Unit = {
+    val name = FunctionIdentifier("float_dot")
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(name)) {
+      registry.registerFunction(
+        name,
+        new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 2, s"float_dot takes 2 arguments, got ${exprs.length}")
+          FloatDot(exprs.head, exprs(1))
+        })
+    }
+  }
+}
