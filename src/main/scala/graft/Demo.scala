@@ -25,7 +25,12 @@ object Demo {
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .where(org.apache.spark.sql.functions.col("doc_id") < nDocs)
-    val tf = Tokenizer.termFrequencyOf(docs, "doc_id", "text")
+    // stop-word removal wired end to end, matching the reference demo's
+    // pipeline shape (KeyWordsDemo.scala:31–43) — broadcast anti-join, not
+    // the reference's driver-side collect
+    import spark.implicits._
+    val stopWords = graft.ext.TextAnalysis.Stopwords.toDF("word")
+    val tf = Tokenizer.termFrequencyOf(docs, "doc_id", "text", Some(stopWords))
     val analysis = new CosineAnalysis(spark, axis = "y")
 
     val dense = analysis.fit(tf, isSparse = false)

@@ -194,6 +194,49 @@ final class CosineAnalysis(
       else pairModsDense(vectorMods(normalized))
     new MatrixModel(spark, pairs, mods, isSparse)
   }
+
+  /**
+   * Predict missing cells from pairwise similarity — the reference's
+   * ANNOUNCED-but-unimplemented feature (README.md:23 "后续更新…预测稀疏
+   * 向量缺失值"; the `forecast_axis`/`prediction_axis` scaffolding at
+   * MatrixModel.scala:16–19 exists for it). Implemented as
+   * similarity-weighted collaborative filtering:
+   *
+   *   predicted(v, c) = Σ_{u ∈ topK(v), u has c} sim(v,u)·norm(u,c)
+   *                     / Σ sim(v,u)
+   *
+   * over each vector's `neighbors` most-similar positive neighbors (dense
+   * cosine), for coordinates v does not already have. Similarities are
+   * snapped to the 1e-6 grid before ranking and weighting so neighbor
+   * selection is totally ordered and reproducible.
+   *
+   * Scale shape: one window over the similarity table (partitioned by
+   * vector), one equi-join neighbor→cells, one aggregate — the candidate
+   * set is bounded by V · neighbors · cells-per-vector, never V².
+   */
+  def predictMissing(matrix: Dataset[MatrixElement], neighbors: Int = 5): DataFrame = {
+    require(neighbors > 0)
+    val n = normalize(matrix)
+    val sims = fit(matrix, isSparse = false).allSimilarityValue.toDF()
+    val sym = sims.select($"vector0".as("v"), $"vector1".as("u"), $"similarity_value".as("s"))
+      .union(sims.select($"vector1".as("v"), $"vector0".as("u"), $"similarity_value".as("s")))
+      .withColumn("s", floor($"s" * lit(1e6) + lit(0.50001)) / lit(1e6))
+      .where($"s" > 0.0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("v").orderBy($"s".desc, $"u".asc)
+    val top = sym.withColumn("rn", row_number().over(w)).where($"rn" <= neighbors)
+    val cells = n.select(col(axis).as("u"), col(predictionAxis).as("coord"),
+      $"normalized_value".as("nv"))
+    val contrib = top.join(cells, "u")
+      .groupBy($"v", $"coord")
+      .agg((sum($"s" * $"nv") / sum($"s")).as("predicted_value"))
+    val existing = matrix.select(col(axis).as("v"), col(predictionAxis).as("coord"))
+    val missingOnly = contrib.join(existing, Seq("v", "coord"), "left_anti")
+    if (axis == "y")
+      missingOnly.select($"v".as("y"), $"coord".as("x"), $"predicted_value")
+    else
+      missingOnly.select($"coord".as("y"), $"v".as("x"), $"predicted_value")
+  }
 }
 
 /**
@@ -282,6 +325,29 @@ final class MatrixModel(
     val pairs = filterBoth(factorNormalizedValue.toDF()).as[FactorNormalizedValue]
     if (isSparse) sparseSimilarity(pairs)
     else computeSimilarity(pairs, filterBoth(factorMod.toDF()).as[FactorMod])
+  }
+
+  /**
+   * Each vector's k most-similar neighbors: the symmetrized similarity
+   * table ranked per vector by (1e-6-snapped similarity desc, neighbor id
+   * asc) — a total order, so results are reproducible. One window over
+   * one shuffle by vector.
+   */
+  def topSimilar(k: Int): DataFrame = {
+    require(k > 0)
+    val sims = allSimilarityValue.toDF()
+    val sym = sims
+      .select($"vector0".as("vector"), $"vector1".as("neighbor"), $"similarity_value")
+      .union(sims
+        .select($"vector1".as("vector"), $"vector0".as("neighbor"), $"similarity_value"))
+      .withColumn("similarity_value",
+        floor($"similarity_value" * lit(1e6) + lit(0.50001)) / lit(1e6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vector").orderBy($"similarity_value".desc, $"neighbor".asc)
+    sym
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where($"rank" <= k)
+      .select("vector", "rank", "neighbor", "similarity_value")
   }
 
   /**

@@ -71,7 +71,15 @@ object CoreEntries {
     // §2-O subset filter on both endpoints
     "cosine_subset" -> ((s, dir) =>
       gate(analysis(s).fit(supplierPartMatrix(s, dir), isSparse = false)
-        .similarity(subsetIds).toDF(), "vector0", "vector1"))
+        .similarity(subsetIds).toDF(), "vector0", "vector1")),
+    // k most-similar neighbors per vector (windowed rank over dense sims)
+    "cosine_topk" -> ((s, dir) =>
+      gate(analysis(s).fit(supplierPartMatrix(s, dir), isSparse = false)
+        .topSimilar(5), "vector", "rank")),
+    // the reference's announced missing-value prediction, implemented
+    "cosine_predict" -> ((s, dir) =>
+      gate(analysis(s).predictMissing(supplierPartMatrix(s, dir), neighbors = 5),
+        "y", "x"))
   )
 
   /** Shared oracle CTE chain mirroring the pipeline stage by stage. */
@@ -88,6 +96,14 @@ object CoreEntries {
     |num AS (SELECT vector0, vector1, SUM(v1*v2) AS numtr FROM p GROUP BY 1, 2)""".stripMargin
 
   private val subsetList = subsetIds.map(v => s"'$v'").mkString("(", ", ", ")")
+
+  /** Dense sims snapped + symmetrized, shared by the topk/predict oracles. */
+  private val symSimsSql: String = """,
+    |sims AS (SELECT d.vector0, d.vector1,
+    |                floor(COALESCE(num.numtr / (d.mod1 * d.mod2), 0.0)*1e6 + 0.50001)/1e6 AS s
+    |         FROM num RIGHT JOIN dmods d USING (vector0, vector1)),
+    |sym AS (SELECT vector0 AS v, vector1 AS u, s FROM sims
+    |        UNION ALL SELECT vector1 AS v, vector0 AS u, s FROM sims)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "max_values" ->
@@ -124,6 +140,24 @@ object CoreEntries {
         |       floor(COALESCE(num.numtr / (d.mod1 * d.mod2), 0.0)*1e6 + 0.50001)/1e6 AS similarity_value
         |FROM num RIGHT JOIN dmods d USING (vector0, vector1)
         |WHERE d.vector0 IN $subsetList AND d.vector1 IN $subsetList
-        |ORDER BY vector0, vector1""".stripMargin)
+        |ORDER BY vector0, vector1""".stripMargin),
+    "cosine_topk" ->
+      (pipelineSql + symSimsSql + """,
+        |rk AS (SELECT v, u, s, row_number() OVER (PARTITION BY v ORDER BY s DESC, u) AS rn
+        |       FROM sym)
+        |SELECT v AS vector, CAST(rn AS BIGINT) AS rank, u AS neighbor, s AS similarity_value
+        |FROM rk WHERE rn <= 5 ORDER BY vector, rank""".stripMargin),
+    "cosine_predict" ->
+      (pipelineSql + symSimsSql + """,
+        |pos AS (SELECT v, u, s, row_number() OVER (PARTITION BY v ORDER BY s DESC, u) AS rn
+        |        FROM sym WHERE s > 0),
+        |contrib AS (SELECT t.v, n.x AS coord, SUM(t.s * n.nv) / SUM(t.s) AS pv
+        |            FROM pos t JOIN n ON n.y = t.u
+        |            WHERE t.rn <= 5 GROUP BY 1, 2),
+        |missing AS (SELECT c.v, c.coord, c.pv FROM contrib c
+        |            WHERE NOT EXISTS (SELECT 1 FROM m
+        |                              WHERE m.y = c.v AND m.x = c.coord))
+        |SELECT v AS y, coord AS x, floor((pv)*1e6 + 0.50001)/1e6 AS predicted_value
+        |FROM missing ORDER BY y, x""".stripMargin)
   )
 }
