@@ -18,7 +18,8 @@ object Bench {
   val headline: Seq[String] = Seq(
     "max_values", "normalize", "vector_mods", "aligned_pairs",
     "pair_mods_sparse", "cosine_sparse_all", "cosine_dense_all",
-    "cosine_subset", "tf_matrix", "tf_stopwords", "text_stats", "lang_id",
+    "cosine_subset", "cosine_topk", "cosine_predict",
+    "tf_matrix", "tf_stopwords", "text_stats", "lang_id",
     "doc_fingerprint", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_embedding", "ann_topk_brute",
     "ann_ivf_topk", "events_hourly", "events_sessionize", "multimodal_meta")

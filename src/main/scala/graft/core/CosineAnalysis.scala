@@ -49,14 +49,27 @@ import org.apache.spark.storage.StorageLevel
  * @param axis      which COO column ("x" or "y") identifies a vector; the
  *                  other column is the feature/coordinate
  *                  (reference :12–22; SURVEY §1.3).
- * @param omitRatio drop normalized cells with value/max <= omitRatio when > 0.
+ * @param omitRatio drop normalized cells with normalized value <= omitRatio
+ *                  when > 0 (ratio-to-max under the default scheme).
+ * @param normalizedType per-vector normalization scheme: "max" (divide by
+ *                  the vector's max — the reference's only behavior),
+ *                  "l2" (unit-norm vectors), or "none". The reference
+ *                  DECLARES this parameter but never reads it
+ *                  (MatrixCosineAnalyse.scala:15); we implement it.
+ *                  Cosine similarity is invariant to any per-vector
+ *                  positive scaling, so the scheme affects only the
+ *                  normalized table (and the omitRatio threshold's unit),
+ *                  never the similarities — pinned by a test.
  */
 final class CosineAnalysis(
     spark: SparkSession,
     val axis: String = "y",
-    val omitRatio: Double = 0.0) extends Serializable {
+    val omitRatio: Double = 0.0,
+    val normalizedType: String = "max") extends Serializable {
 
   require(axis == "x" || axis == "y", s"axis must be 'x' or 'y', got '$axis'")
+  require(Seq("max", "l2", "none").contains(normalizedType),
+    s"normalizedType must be max|l2|none, got '$normalizedType'")
 
   import spark.implicits._
 
@@ -80,13 +93,24 @@ final class CosineAnalysis(
    * join when it is not. Applies the (fixed) omitRatio filter when > 0.
    */
   def normalize(matrix: Dataset[MatrixElement]): Dataset[NormalizedElement] = {
-    val mv = maxValues(matrix)
-    val joined = matrix
-      .join(mv, matrix(axis) === mv("axis"))
-      .select(
-        $"y",
-        $"x",
-        ($"value" / $"max_value").cast("double").as("normalized_value"))
+    val joined = normalizedType match {
+      case "max" =>
+        val mv = maxValues(matrix)
+        matrix
+          .join(mv, matrix(axis) === mv("axis"))
+          .select($"y", $"x",
+            ($"value" / $"max_value").cast("double").as("normalized_value"))
+      case "l2" =>
+        val nrm = matrix
+          .groupBy(col(axis).as("axis"))
+          .agg(sqrt(sum(pow($"value", 2))).as("l2"))
+        matrix
+          .join(nrm, matrix(axis) === nrm("axis"))
+          .select($"y", $"x",
+            ($"value" / $"l2").cast("double").as("normalized_value"))
+      case "none" =>
+        matrix.select($"y", $"x", $"value".cast("double").as("normalized_value"))
+    }
     val filtered =
       if (omitRatio > 0.0) joined.where($"normalized_value" > omitRatio)
       else joined

@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.MatrixElement
+
+/**
+ * Source and sink helpers for the engine's two canonical inputs — raw text
+ * documents (the reference's input: plain article files read with
+ * `spark.read.textFile`, KeyWordsDemo.scala:19–27) and COO triple tables —
+ * plus the parquet sink used for golden outputs.
+ *
+ * All readers return plain DataFrames/Datasets so every downstream
+ * operator (tokenizer, cosine core, dedup) composes without caring where
+ * rows came from; Catalyst pushes projections/filters into the scans.
+ */
+object Sources {
+
+  /**
+   * One document per text FILE (the reference's shape: each article is a
+   * file): (doc_id = file path, text = whole file).
+   */
+  def readTextDocs(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    import spark.implicits._
+    spark.read.textFile(paths: _*)
+      .withColumn("doc_id", input_file_name())
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", collect_list($"value")).as("text"))
+  }
+
+  /** One document per LINE: (doc_id = line number per file order, text). */
+  def readTextLines(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    import spark.implicits._
+    spark.read.textFile(paths: _*)
+      .withColumn("doc_id", monotonically_increasing_id())
+      .select($"doc_id", $"value".as("text"))
+  }
+
+  /** COO triples from parquet with arbitrary column names / numeric types. */
+  def readTriplesParquet(spark: SparkSession, path: String,
+      yCol: String = "y", xCol: String = "x", valueCol: String = "value"): Dataset[MatrixElement] =
+    MatrixElement.from(spark.read.parquet(path), yCol, xCol, valueCol)
+
+  /** COO triples from headered CSV (values parsed as double). */
+  def readTriplesCsv(spark: SparkSession, path: String,
+      yCol: String = "y", xCol: String = "x", valueCol: String = "value"): Dataset[MatrixElement] =
+    MatrixElement.from(
+      spark.read.option("header", "true").csv(path), yCol, xCol, valueCol)
+
+  /** COO triples from JSON-lines. */
+  def readTriplesJson(spark: SparkSession, path: String,
+      yCol: String = "y", xCol: String = "x", valueCol: String = "value"): Dataset[MatrixElement] =
+    MatrixElement.from(spark.read.json(path), yCol, xCol, valueCol)
+
+  /** Parquet sink (golden files / handoff); overwrite by default. */
+  def writeParquet(df: DataFrame, path: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).parquet(path)
+}
