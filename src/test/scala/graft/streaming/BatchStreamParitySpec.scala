@@ -1,0 +1,91 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.ext.Events
+
+/**
+ * The streaming operators must agree with their batch twins on the same
+ * events — the seam between `ext.Events` (int64-ns batch) and
+ * `streaming.EventsStream` (timestamped unbounded) is where session/window
+ * semantics could silently drift.
+ */
+class BatchStreamParitySpec extends SparkSpec {
+  implicit lazy val s: SparkSession = spark
+  import s.implicits._
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  // A small deterministic event log: 3 users, gaps straddling 30 min.
+  private lazy val events: Seq[StreamEvent] = {
+    val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    def ev(u: Long, minutes: Long, tpe: String, v: Double) =
+      StreamEvent(u, new Timestamp(base + minutes * 60000), tpe, v)
+    Seq(
+      ev(1, 0, "click", 1.0), ev(1, 10, "click", 2.0), ev(1, 70, "buy", 5.0),
+      ev(2, 5, "click", 3.0), ev(2, 90, "click", 4.0), ev(2, 95, "buy", 6.0),
+      ev(3, 50, "click", 7.0))
+  }
+
+  /** Batch frame in the ns-long shape ext.Events expects. */
+  private lazy val batchDF = events.zipWithIndex.map { case (e, i) =>
+    (i.toLong, e.ts.getTime * 1000000L, e.user_id, e.event_type, e.value)
+  }.toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("sessionize: streaming sessions equal batch sessions") {
+    val batch = Events.sessionize(batchDF).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_sec"),
+        r.getAs[Long]("end_sec"), r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
+      .toSet
+
+    val in = MemoryStream[StreamEvent]
+    val q = EventsStream.sessionize(in.toDS(), gapSec = 1800)
+      .writeStream.format("memory").queryName("parity_sess")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(events: _*)
+      q.processAllAvailable()
+      // push the watermark past everything so open sessions flush
+      in.addData(StreamEvent(99, Timestamp.valueOf("2024-03-02 12:00:00"), "x", 0.0))
+      q.processAllAvailable()
+      in.addData(StreamEvent(99, Timestamp.valueOf("2024-03-03 12:00:00"), "x", 0.0))
+      q.processAllAvailable()
+      val stream = spark.table("parity_sess").where($"user_id" < 99)
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_sec"),
+          r.getAs[Long]("end_sec"), r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
+        .toSet
+      // batch numbers sessions; compare the session CONTENT sets
+      assert(stream == batch.map { case (u, st, en, n, sv) => (u, st, en, n, sv) })
+    } finally q.stop()
+  }
+
+  test("hourly: streaming windows equal batch windows") {
+    val batch = Events.hourly(batchDF).collect()
+      .map(r => (r.getAs[Long]("hour_start_sec"), r.getAs[String]("event_type"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
+      .toSet
+
+    val in = MemoryStream[StreamEvent]
+    val q = EventsStream.hourly(in.toDF())
+      .writeStream.format("memory").queryName("parity_hourly")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(events: _*)
+      q.processAllAvailable()
+      in.addData(StreamEvent(99, Timestamp.valueOf("2024-03-02 12:00:00"), "zz", 0.0))
+      q.processAllAvailable()
+      val stream = spark.table("parity_hourly").where($"event_type" =!= "zz")
+        .collect()
+        .map(r => (r.getAs[Long]("hour_start_sec"), r.getAs[String]("event_type"),
+          r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
+        .toSet
+      assert(stream == batch)
+    } finally q.stop()
+  }
+}
