@@ -22,7 +22,8 @@ object Bench {
     "tf_matrix", "tf_stopwords", "text_stats", "lang_id",
     "doc_fingerprint", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_embedding", "ann_topk_brute",
-    "ann_ivf_topk", "events_hourly", "events_sessionize", "multimodal_meta")
+    "ann_ivf_topk", "ann_lsh_topk", "events_hourly", "events_sessionize",
+    "multimodal_meta")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -26,8 +26,20 @@ object AnnEntries {
       val e = embeddings(s, dir)
       gate(Embeddings.ivfTopK(e, e.where(col("vec_id") < QueryCount),
         "vec_id", "embedding", 5), "query_id", "rank")
+    }),
+    // random-hyperplane LSH-bucketed top-5
+    "ann_lsh_topk" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      gate(Embeddings.lshTopK(e, e.where(col("vec_id") < QueryCount),
+        "vec_id", "embedding", 5, dim = 64), "query_id", "rank")
     })
   )
+
+  /** The hyperplane table as a literal SQL VALUES list (same triples the
+    * Spark side uses — both engines project onto identical planes). */
+  private val planesSql = Embeddings.lshPlaneRows(64)
+    .map { case (k, i, h) => s"($k, $i, $h)" }
+    .mkString("(VALUES ", ", ", ") AS hp(k, i, h)")
 
   /** Norms + query-restricted dots, shared by both oracles. */
   private def cosSql(queryPred: String): String =
@@ -58,6 +70,24 @@ object AnnEntries {
         |bkt AS (SELECT u.vec_id, MIN(u.i) + 1 AS bucket
         |        FROM u JOIN mx ON u.vec_id = mx.vec_id AND u.vf = mx.mvf
         |        GROUP BY u.vec_id),
+        |samebkt AS (SELECT c.query_id, c.cand_id, c.cosine
+        |            FROM cosr c
+        |            JOIN bkt bq ON bq.vec_id = c.query_id
+        |            JOIN bkt bc ON bc.vec_id = c.cand_id AND bc.bucket = bq.bucket),
+        |rk AS (SELECT query_id, cand_id, cosine,
+        |              row_number() OVER (PARTITION BY query_id
+        |                                 ORDER BY cosine DESC, cand_id) AS rn
+        |       FROM samebkt)
+        |SELECT query_id, CAST(rn AS BIGINT) AS rank, cand_id AS vec_id, cosine
+        |FROM rk WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin),
+    "ann_lsh_topk" ->
+      (cosSql(s"a.vec_id < $QueryCount") + s""",
+        |hp AS (SELECT * FROM $planesSql),
+        |proj AS (SELECT u.vec_id, hp.k, SUM(hp.h * u.v) AS s
+        |         FROM u JOIN hp ON hp.i = u.i GROUP BY 1, 2),
+        |bkt AS (SELECT vec_id,
+        |               CAST(SUM(CASE WHEN s > 0 THEN 1 << k ELSE 0 END) AS BIGINT) AS bucket
+        |        FROM proj GROUP BY vec_id),
         |samebkt AS (SELECT c.query_id, c.cand_id, c.cosine
         |            FROM cosr c
         |            JOIN bkt bq ON bq.vec_id = c.query_id

@@ -105,6 +105,73 @@ object Embeddings {
     rank(scored, k)
   }
 
+  /** Number of random hyperplanes for [[lshTopK]] (2^6 = 64 buckets). */
+  val LshPlanes = 6
+
+  /**
+   * Deterministic pseudo-random hyperplanes: small integer components in
+   * [-6, 6] from a fixed multiplicative formula. Small integers keep the
+   * projections' magnitude ~O(10), so the sign test is numerically far
+   * from zero and reproducible in any engine; the same (k, i, h) triples
+   * are interpolated into the DuckDB oracle as a literal VALUES table.
+   */
+  def lshPlaneRows(dim: Int): Seq[(Int, Int, Int)] =
+    for { k <- 0 until LshPlanes; i <- 0 until dim }
+      yield (k, i, ((1315423911L * (k * dim + i + 1)) % 13 - 6).toInt)
+
+  /**
+   * Random-hyperplane LSH bucket per vector: bit k of the bucket id is the
+   * sign of the projection onto hyperplane k. Vectors within ~one cone of
+   * each other collide; complements [[ivfTopK]] as the prompt-level "LSH
+   * bucketed" scale path (both cut the candidate set by ~the bucket count).
+   */
+  def lshBuckets(emb: DataFrame, idCol: String, vecCol: String, dim: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val hp = lshPlaneRows(dim).toDF("k", "i", "h")
+    val u = emb.select(col(idCol).as("vec_id"),
+        posexplode(col(vecCol)).as(Seq("i", "e")))
+      .withColumn("e", col("e").cast("double"))
+    u.join(broadcast(hp), "i")
+      .groupBy("vec_id", "k")
+      .agg(sum(col("h") * col("e")).as("proj"))
+      .groupBy("vec_id")
+      .agg(sum(expr(
+        "CASE WHEN proj > 0 THEN shiftleft(CAST(1 AS BIGINT), k) ELSE CAST(0 AS BIGINT) END"))
+        .cast("long").as("bucket"))
+  }
+
+  /**
+   * Top-k within random-hyperplane LSH buckets (cf. [[ivfTopK]]).
+   *
+   * Recall caveat, measured on the synthetic corpus: with weakly
+   * correlated vectors (best cosines ≈ 0.37, i.e. angle ≈ 68°), the
+   * probability a true neighbor shares all 6 sign bits is
+   * (1 - θ/π)⁶ ≈ 0.06 — recall@5 vs brute force ≈ 0.08. Single-probe
+   * sign-LSH only pays off when near-duplicates exist (θ → 0, as in
+   * [[graft.ext.Dedup.embeddingDups]]'s regime); for mid-similarity
+   * search, use [[topK]]/[[ivfTopK]] or extend this with multi-probe
+   * (also query the buckets at hamming distance 1).
+   */
+  def lshTopK(candidates: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int): DataFrame = {
+    val cb = lshBuckets(candidates, idCol, vecCol, dim)
+    val qb = lshBuckets(queries, idCol, vecCol, dim)
+      .withColumnRenamed("vec_id", "query_id")
+    val cand = withNorms(candidates, idCol, vecCol).join(cb, "vec_id")
+    val q = withNorms(queries, idCol, vecCol)
+      .withColumnRenamed("vec_id", "query_id")
+      .withColumnRenamed("emb", "qemb")
+      .withColumnRenamed("nrm", "qnrm")
+      .join(qb, "query_id")
+    val scored = cand.join(broadcast(q), Seq("bucket"))
+      .where(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        (expr(dotSql("qemb", "emb")) / (col("qnrm") * col("nrm"))).as("c"))
+      .select(col("query_id"), col("vec_id"), snap("c").as("cosine"))
+    rank(scored, k)
+  }
+
   /** Window-rank scored (query_id, vec_id, cosine) rows to the top k. */
   private def rank(scored: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

@@ -31,6 +31,22 @@ class EmbeddingsSpec extends SparkSpec {
     assert(top.toSeq == Seq((1L, 3L), (2L, 2L))) // rank1: v3 (cos .994), rank2: v2 (.707)
   }
 
+  test("lshTopK buckets by hyperplane signs; identical vectors collide") {
+    val dup = Seq(
+      (10L, Seq.fill(4)(0.5f)),
+      (11L, Seq.fill(4)(0.5f)),   // identical direction → same bucket
+      (12L, Seq.fill(4)(-0.5f)))  // opposite → all signs flip
+    .toDF("vec_id", "embedding")
+    val b = Embeddings.lshBuckets(dup, "vec_id", "embedding", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b(10L) == b(11L))
+    assert(b(10L) != b(12L))
+    val top = Embeddings.lshTopK(dup, dup.where($"vec_id" === 10L),
+      "vec_id", "embedding", 3, dim = 4)
+      .collect().map(_.getLong(2)).toSet
+    assert(top == Set(11L)) // only the same-bucket twin is searchable
+  }
+
   test("ivfTopK searches only the query's argmax bucket") {
     // buckets: v0→1, v1→2, v2→1 (first max wins), v3→1
     val top = Embeddings.ivfTopK(emb, emb.where($"vec_id" === 0L), "vec_id", "embedding", 5)
