@@ -242,9 +242,14 @@ final class CosineAnalysis(
     require(neighbors > 0)
     val n = normalize(matrix)
     val sims = fit(matrix, isSparse = false).allSimilarityValue.toDF()
-    val sym = sims.select($"vector0".as("v"), $"vector1".as("u"), $"similarity_value".as("s"))
-      .union(sims.select($"vector1".as("v"), $"vector0".as("u"), $"similarity_value".as("s")))
-      .withColumn("s", floor($"s" * lit(1e6) + lit(0.50001)) / lit(1e6))
+    // both directions of each canonical pair in ONE pass over sims — a
+    // union of two selects would evaluate the whole dense pipeline twice
+    val sym = sims.select(explode(array(
+        struct($"vector0".as("v"), $"vector1".as("u"), $"similarity_value".as("s")),
+        struct($"vector1".as("v"), $"vector0".as("u"), $"similarity_value".as("s"))))
+        .as("p"))
+      .select($"p.v".as("v"), $"p.u".as("u"),
+        (floor($"p.s" * lit(1e6) + lit(0.50001)) / lit(1e6)).as("s"))
       .where($"s" > 0.0)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("v").orderBy($"s".desc, $"u".asc)
@@ -360,12 +365,14 @@ final class MatrixModel(
   def topSimilar(k: Int): DataFrame = {
     require(k > 0)
     val sims = allSimilarityValue.toDF()
-    val sym = sims
-      .select($"vector0".as("vector"), $"vector1".as("neighbor"), $"similarity_value")
-      .union(sims
-        .select($"vector1".as("vector"), $"vector0".as("neighbor"), $"similarity_value"))
-      .withColumn("similarity_value",
-        floor($"similarity_value" * lit(1e6) + lit(0.50001)) / lit(1e6))
+    // single-pass symmetrization (see predictMissing): explode, not union
+    val sym = sims.select(explode(array(
+        struct($"vector0".as("vector"), $"vector1".as("neighbor"), $"similarity_value"),
+        struct($"vector1".as("vector"), $"vector0".as("neighbor"), $"similarity_value")))
+        .as("p"))
+      .select($"p.vector".as("vector"), $"p.neighbor".as("neighbor"),
+        (floor($"p.similarity_value" * lit(1e6) + lit(0.50001)) / lit(1e6))
+          .as("similarity_value"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vector").orderBy($"similarity_value".desc, $"neighbor".asc)
     sym

@@ -1,0 +1,56 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+
+class DedupStreamSpec extends SparkSpec {
+  implicit lazy val s: SparkSession = spark
+  import s.implicits._
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(m: Int) = new Timestamp(Timestamp.valueOf("2024-05-01 00:00:00").getTime + m * 60000L)
+
+  test("exactDedup drops repeated texts within the watermark horizon") {
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val docs = in.toDF().toDF("doc_id", "ts", "text")
+    val q = DedupStream.exactDedup(docs, "text", "ts")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((0L, ts(0), "alpha beta"), (1L, ts(1), "alpha beta"), (2L, ts(2), "gamma"))
+      q.processAllAvailable()
+      in.addData((3L, ts(3), "alpha beta"), (4L, ts(4), "delta"))
+      q.processAllAvailable()
+      val texts = spark.table("dedup_out").select("text").collect().map(_.getString(0))
+      // "alpha beta" arrives three times within the watermark horizon:
+      // exactly one copy survives; distinct texts all pass
+      assert(texts.count(_ == "alpha beta") == 1)
+      assert(texts.count(_ == "gamma") == 1 && texts.count(_ == "delta") == 1)
+    } finally q.stop()
+  }
+
+  test("minHashSignatures emits one signature row per doc per batch") {
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    var seen = Map.empty[Long, Long] // batchId -> row count
+    val q = DedupStream.minHashSignatures(docs, "doc_id", "text") { (sigs, id) =>
+      seen += id -> sigs.count()
+    }.outputMode(OutputMode.Append).start()
+    try {
+      in.addData((0L, "the quick brown fox jumps"), (1L, "lazy dogs sleep all day long"))
+      q.processAllAvailable()
+      assert(seen.values.sum == 2)
+      val cols = {
+        val probe = graft.ext.Dedup.minHashSignatures(
+          graft.ext.Dedup.shingles(Seq((9L, "a b c d")).toDF("doc_id", "text"), "doc_id", "text"))
+        probe.columns.toSet
+      }
+      assert(cols.contains("sig_0") && cols.contains("sig_15"))
+    } finally q.stop()
+  }
+}
