@@ -44,23 +44,48 @@ object Bench {
         spark.catalog.clearCache()
       }
     }
-    var errors = List.empty[(String, String)]
+    // One error per query (ADVICE r2: a double failure used to emit the
+    // same key twice in the errors JSON object).
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // Two timed repetitions, min per query: the host this runs on showed
     // episodic multi-second windows where runnable vCPUs get ~1% of a
     // core (steal); min-of-2 reports the query's cost in the cleaner
     // window instead of charging host noise to whichever query it hit.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
-    val results = names.map { name =>
-      val times = (1 to reps).map { _ =>
+    // Watchdog: a query that wedges (starvation window, runaway skew)
+    // must not take the whole harness down with it. The action runs on a
+    // worker thread under a job group; on timeout we cancel the group
+    // (interruptOnCancel) and keep going.
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "600").toInt
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val results = names.flatMap { name =>
+      // Failed reps contribute no time: min/total only ever see
+      // successful runs (ADVICE r2: a throwing rep's near-zero elapsed
+      // used to understate the total).
+      val times = (1 to reps).flatMap { rep =>
+        val group = s"$name#$rep"
         val t0 = System.nanoTime()
-        try { all(name)(spark, sfDir).count() }
-        catch { case e: Throwable => errors ::= (name -> e.getClass.getSimpleName) }
-        val dt = (System.nanoTime() - t0) / 1e9
+        val fut = Future {
+          // job group is a thread-local of the action thread
+          spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+          all(name)(spark, sfDir).count()
+        }
+        val ok =
+          try { Await.result(fut, timeoutSec.seconds); true }
+          catch {
+            case _: java.util.concurrent.TimeoutException =>
+              spark.sparkContext.cancelJobGroup(group)
+              errors.getOrElseUpdate(name, s"Timeout(${timeoutSec}s)"); false
+            case e: Throwable =>
+              errors.getOrElseUpdate(name, e.getClass.getSimpleName); false
+          }
         // drop persisted intermediates so each rep starts from clean state
         spark.catalog.clearCache()
-        dt
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
-      name -> times.min
+      if (times.isEmpty) None else Some(name -> times.min)
     }
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")

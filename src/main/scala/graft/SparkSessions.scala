@@ -24,6 +24,16 @@ object SparkSessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // The host this runs on shows episodic multi-second windows where
+      // runnable vCPUs get ~1% of a core (see BENCH_r02: the in-process
+      // executor missed enough 10s heartbeats that Spark killed the JVM
+      // with ExecutorExitCode.HEARTBEAT_FAILURE=56 mid-bench). Heartbeats
+      // between two threads of one JVM carry no liveness signal worth
+      // dying for — stretch every liveness timeout far past any
+      // starvation window.
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.executor.heartbeat.maxFailures", "120")
+      .config("spark.network.timeout", "7200s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -35,8 +35,8 @@ object Multimodal {
         col(idCol).as("doc_id"),
         length(col("payload")).cast("long").as("n_bytes"),
         expr(
-          "aggregate(transform(sequence(1, least(16, length(text))), " +
-            "i -> CAST(ascii(substr(text, i, 1)) * i AS BIGINT)), " +
+          s"aggregate(transform(sequence(1, least(16, length($textCol))), " +
+            s"i -> CAST(ascii(substr($textCol, i, 1)) * i AS BIGINT)), " +
             "CAST(0 AS BIGINT), (a, x) -> a + x)").as("header_sum"))
 
   /** Batched payload → fixed-width feature decoder. */

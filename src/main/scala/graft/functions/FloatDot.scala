@@ -21,7 +21,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
  * (and has a matching interpreted path), with identical arithmetic:
  * each product is (double)a_i * (double)b_i, exactly-rounded IEEE, summed
  * in array order — so results are bit-identical to the HOF spelling and
- * reproducible in the DuckDB oracle.
+ * reproducible in the DuckDB oracle. One deliberate divergence: arrays of
+ * different lengths raise (the HOF spelling nulls the zip tail) — a
+ * dimension mismatch is corrupt input and must surface, not truncate.
  */
 case class FloatDot(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -41,7 +43,13 @@ case class FloatDot(left: Expression, right: Expression) extends BinaryExpressio
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    // A dimension mismatch is corrupt input; truncating to the shorter
+    // array would return a plausible-looking wrong answer (ADVICE r2).
+    if (n != y.numElements()) {
+      throw new IllegalArgumentException(
+        s"float_dot: dimension mismatch (${x.numElements()} vs ${y.numElements()})")
+    }
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -57,7 +65,11 @@ case class FloatDot(left: Expression, right: Expression) extends BinaryExpressio
       val s = ctx.freshName("s")
       val i = ctx.freshName("i")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "float_dot: dimension mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);

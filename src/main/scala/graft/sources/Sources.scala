@@ -29,12 +29,28 @@ object Sources {
       .agg(concat_ws(" ", collect_list($"value")).as("text"))
   }
 
-  /** One document per LINE: (doc_id = line number per file order, text). */
+  /**
+   * One document per LINE, doc_id = 0-based line number in (file path,
+   * line-in-file) order — STABLE across runs and partitioning, so
+   * downstream joins keyed on doc_id are reproducible (ADVICE r2: the
+   * previous `monotonically_increasing_id` encoded partition ids, which
+   * change with parallelism). The text source exposes no line offsets, so
+   * this reads whole files and splits; the total order costs a
+   * single-partition window. Both make this a demo/small-corpus helper —
+   * at scale, ingest documents with [[readTextDocs]] or parquet, where
+   * ids come from the data, not from physical order.
+   */
   def readTextLines(spark: SparkSession, paths: Seq[String]): DataFrame = {
     import spark.implicits._
-    spark.read.textFile(paths: _*)
-      .withColumn("doc_id", monotonically_increasing_id())
-      .select($"doc_id", $"value".as("text"))
+    val byFile = spark.sparkContext.wholeTextFiles(paths.mkString(",")).toDF("file", "content")
+    byFile
+      .select($"file",
+        posexplode(split(regexp_replace($"content", "\r?\n$", ""), "\r?\n"))
+          .as(Seq("line_no", "text")))
+      .withColumn("doc_id",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy($"file", $"line_no")).cast("long") - 1)
+      .select($"doc_id", $"text")
   }
 
   /** COO triples from parquet with arbitrary column names / numeric types. */

@@ -50,6 +50,13 @@ object EventsStream {
    * closes (and is emitted) when a new event arrives more than `gapSec`
    * after the previous one, or when the watermark passes the open
    * session's end + gap (timeout path).
+   *
+   * Out-of-order input matches the batch twin with one bounded exception:
+   * an event arriving more than a gap before the CURRENT open session is
+   * emitted as a singleton session immediately; if several such stragglers
+   * would have chained into one earlier session, batch merges them while
+   * this emits them separately. State holds one open session per user, so
+   * that reordering (well past the watermark in practice) is the trade.
    */
   def sessionize(events: Dataset[StreamEvent], gapSec: Long = 1800,
       watermark: String = "1 hour"): Dataset[UserSession] = {
@@ -75,8 +82,17 @@ object EventsStream {
             batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
               val t = e.ts.getTime
               open match {
-                case Some(s) if t - s.endMs <= gapMs =>
-                  open = Some(SessionAcc(s.startMs, math.max(s.endMs, t), s.n + 1, s.sum + e.value))
+                case Some(s) if t >= s.startMs - gapMs && t - s.endMs <= gapMs =>
+                  // late-but-within-watermark events can precede the open
+                  // session's start; extend both ends so start_sec matches
+                  // the batch twin on out-of-order input (ADVICE r2)
+                  open = Some(SessionAcc(math.min(s.startMs, t), math.max(s.endMs, t),
+                    s.n + 1, s.sum + e.value))
+                case Some(s) if t < s.startMs - gapMs =>
+                  // more than a gap BEFORE the open session: the batch twin
+                  // (global sort) would close it as its own earlier session,
+                  // never merge it forward — emit it closed right away
+                  closed += finish(userId, SessionAcc(t, t, 1, e.value))
                 case Some(s) =>
                   closed += finish(userId, s)
                   open = Some(SessionAcc(t, t, 1, e.value))

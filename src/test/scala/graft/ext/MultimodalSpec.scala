@@ -19,6 +19,13 @@ class MultimodalSpec extends SparkSpec {
     assert(m(1L)._1 == 26L) // full byte length even though header stops at 16
   }
 
+  test("metadata works with a non-default text column name (ADVICE r2)") {
+    val renamed = docs.withColumnRenamed("text", "body")
+    val m = Multimodal.metadata(renamed, "doc_id", "body")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(m(0L) == (3L, 97 + 2 * 98 + 3 * 99))
+  }
+
   test("decodeFeatures: partition-batched stub decoder, stable output") {
     val f = Multimodal.decodeFeatures(
       Multimodal.withPayload(docs, "text"), "doc_id", "payload")

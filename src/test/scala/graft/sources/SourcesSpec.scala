@@ -23,6 +23,15 @@ class SourcesSpec extends SparkSpec {
     assert(sims.count() == 1)
   }
 
+  test("readTextLines: doc_id is the stable (file, line) ordinal") {
+    val dir = Files.createTempDirectory("graft-lines").toFile
+    Files.writeString(new java.io.File(dir, "a.txt").toPath, "first a\nsecond a\n")
+    Files.writeString(new java.io.File(dir, "b.txt").toPath, "first b")
+    val lines = Sources.readTextLines(spark, Seq(dir.getAbsolutePath + "/*.txt"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    assert(lines.toSeq == Seq(0L -> "first a", 1L -> "second a", 2L -> "first b"))
+  }
+
   test("readTriplesCsv parses headered CSV into MatrixElement") {
     val f = Files.createTempFile("graft", ".csv")
     Files.writeString(f, "y,x,value\nA,t1,2\nA,t2,4\nB,t1,1\n")

@@ -65,6 +65,46 @@ class BatchStreamParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize: out-of-order events within the watermark match batch") {
+    val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    def ev(u: Long, minutes: Long, v: Double) =
+      StreamEvent(u, new Timestamp(base + minutes * 60000), "click", v)
+    // u=5: event at minute 10, then a LATE event at minute 5 (within the
+    //      30-min gap) — the open session's start must extend backwards.
+    // u=6: event at minute 50, then a straggler at minute 10 (> gap before
+    //      the open session's start) — a separate singleton session.
+    val batch1 = Seq(ev(5, 10, 1.0), ev(6, 50, 2.0))
+    val batch2 = Seq(ev(5, 5, 3.0), ev(6, 10, 4.0))
+    val oooBatchDF = (batch1 ++ batch2).zipWithIndex.map { case (e, i) =>
+      (i.toLong, e.ts.getTime * 1000000L, e.user_id, e.event_type, e.value)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val batch = Events.sessionize(oooBatchDF).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_sec"),
+        r.getAs[Long]("end_sec"), r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
+      .toSet
+
+    val in = MemoryStream[StreamEvent]
+    val q = EventsStream.sessionize(in.toDS(), gapSec = 1800)
+      .writeStream.format("memory").queryName("parity_ooo")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(batch1: _*)
+      q.processAllAvailable()   // watermark now minute 50 - 1h (< 0): batch2 is admitted
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+      in.addData(StreamEvent(99, Timestamp.valueOf("2024-03-02 12:00:00"), "x", 0.0))
+      q.processAllAvailable()
+      in.addData(StreamEvent(99, Timestamp.valueOf("2024-03-03 12:00:00"), "x", 0.0))
+      q.processAllAvailable()
+      val stream = spark.table("parity_ooo").where($"user_id" < 99)
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_sec"),
+          r.getAs[Long]("end_sec"), r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
+        .toSet
+      assert(stream == batch)
+    } finally q.stop()
+  }
+
   test("hourly: streaming windows equal batch windows") {
     val batch = Events.hourly(batchDF).collect()
       .map(r => (r.getAs[Long]("hour_start_sec"), r.getAs[String]("event_type"),
