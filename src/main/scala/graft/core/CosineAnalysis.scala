@@ -142,6 +142,69 @@ final class CosineAnalysis(
   }
 
   /**
+   * Document-frequency cap: drop coordinates present in more than `maxDf`
+   * vectors BEFORE pair alignment. This is the real 100 TB mitigation for
+   * the Zipf head — one stop-word-like coordinate present in most of N
+   * vectors contributes ~C(N,2) aligned pairs all by itself, and no join
+   * strategy survives that. Capping df bounds the per-coordinate expansion
+   * at C(maxDf, 2); combined with TF-IDF weighting
+   * ([[graft.text.Tokenizer.tfIdf]]) the dropped coordinates are exactly
+   * the ones whose similarity contribution is ~0.
+   *
+   * One counting aggregate keyed by coordinate + one equi-join that
+   * Catalyst/AQE broadcasts when the surviving-coordinate table is small.
+   */
+  def dfCap(normalized: Dataset[NormalizedElement], maxDf: Long): Dataset[NormalizedElement] = {
+    require(maxDf > 0)
+    val keep = normalized
+      .groupBy(col(predictionAxis).as("coord"))
+      .agg(count(lit(1)).as("df"))
+      .where($"df" <= maxDf)
+      .select($"coord")
+    normalized
+      .join(keep, normalized(predictionAxis) === keep("coord"), "left_semi")
+      .as[NormalizedElement]
+  }
+
+  /**
+   * Skew-proof pair alignment: same output as [[alignedPairs]], built with
+   * the triangle-bucket scheme on (coordinate, salt-pair task) instead of a
+   * bare coordinate self-join. When one coordinate's row count dwarfs the
+   * rest (Zipf head that survived [[dfCap]]), the plain self-join puts its
+   * whole C(n,2) expansion in one task unless AQE's skew thresholds happen
+   * to fire; salting splits every coordinate's expansion across
+   * S(S+1)/2 tasks deterministically, at the cost of replicating each row
+   * ~S/2 times into the shuffle. Use for known-skewed matrices; the plain
+   * join is cheaper when coordinates are near-uniform.
+   */
+  def alignedPairsSalted(normalized: Dataset[NormalizedElement],
+      salts: Int = 8): Dataset[FactorNormalizedValue] = {
+    require(salts > 0)
+    val tasks = (for { i <- 0 until salts; j <- i until salts }
+      yield (i, j, i.toLong * salts + j)).toDF("ti", "tj", "task")
+    val v = normalized.select(
+        col(axis).as("vector"),
+        col(predictionAxis).as("coord"),
+        $"normalized_value".as("nv"))
+      .withColumn("s", pmod(hash($"vector"), lit(salts)))
+    val left = v.join(tasks, $"s" === $"ti")
+      .select($"coord", $"task", $"ti", $"tj", $"vector".as("va"), $"nv".as("na"))
+    val right = v.join(tasks.select($"tj".as("rj"), $"task"), $"s" === $"rj")
+      .select($"coord".as("rcoord"), $"task".as("rtask"), $"vector".as("vb"), $"nv".as("nb"))
+    left.join(right, $"coord" === $"rcoord" && $"task" === $"rtask")
+      // i < j tasks hold every cross-bucket pair once (either orientation);
+      // i = j tasks need the in-bucket canonical filter
+      .where($"ti" < $"tj" || $"va" > $"vb")
+      .select(
+        when($"va" > $"vb", $"va").otherwise($"vb").as("vector0"),
+        when($"va" > $"vb", $"vb").otherwise($"va").as("vector1"),
+        $"coord".as("prediction_axis"),
+        when($"va" > $"vb", $"na").otherwise($"nb").as("value1"),
+        when($"va" > $"vb", $"nb").otherwise($"na").as("value2"))
+      .as[FactorNormalizedValue]
+  }
+
+  /**
    * Sparse-mode pairwise norms: L2 over ONLY the pair's co-occurring
    * coordinates (reference genFactorMod :68–78, javadoc :61–63). Pairs with
    * empty intersection are absent from the input, hence absent here — that

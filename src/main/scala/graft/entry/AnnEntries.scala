@@ -32,8 +32,17 @@ object AnnEntries {
       val e = embeddings(s, dir)
       gate(Embeddings.lshTopK(e, e.where(col("vec_id") < QueryCount),
         "vec_id", "embedding", 5, dim = 64), "query_id", "rank")
+    }),
+    // multi-probe LSH top-5 (own bucket + all hamming-1 buckets)
+    "ann_lsh_multiprobe" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      gate(Embeddings.lshTopKMultiProbe(e, e.where(col("vec_id") < QueryCount),
+        "vec_id", "embedding", 5, dim = 64), "query_id", "rank")
     })
   )
+
+  /** Probe masks for the multi-probe oracle: self + each single bit flipped. */
+  private val probeMasks: Seq[Long] = 0L +: (0 until Embeddings.LshPlanes).map(j => 1L << j)
 
   /** The hyperplane table as a literal SQL VALUES list (same triples the
     * Spark side uses — both engines project onto identical planes). */
@@ -96,6 +105,26 @@ object AnnEntries {
         |              row_number() OVER (PARTITION BY query_id
         |                                 ORDER BY cosine DESC, cand_id) AS rn
         |       FROM samebkt)
+        |SELECT query_id, CAST(rn AS BIGINT) AS rank, cand_id AS vec_id, cosine
+        |FROM rk WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin),
+    "ann_lsh_multiprobe" ->
+      (cosSql(s"a.vec_id < $QueryCount") + s""",
+        |hp AS (SELECT * FROM $planesSql),
+        |proj AS (SELECT u.vec_id, hp.k, SUM(hp.h * u.v) AS s
+        |         FROM u JOIN hp ON hp.i = u.i GROUP BY 1, 2),
+        |bkt AS (SELECT vec_id,
+        |               CAST(SUM(CASE WHEN s > 0 THEN 1 << k ELSE 0 END) AS BIGINT) AS bucket
+        |        FROM proj GROUP BY vec_id),
+        |mk AS (SELECT * FROM (VALUES ${probeMasks.map(m => s"($m)").mkString(", ")}) AS v(mask)),
+        |probed AS (SELECT c.query_id, c.cand_id, c.cosine
+        |           FROM cosr c
+        |           JOIN bkt bq ON bq.vec_id = c.query_id
+        |           JOIN bkt bc ON bc.vec_id = c.cand_id
+        |           JOIN mk ON bc.bucket = xor(bq.bucket, CAST(mk.mask AS BIGINT))),
+        |rk AS (SELECT query_id, cand_id, cosine,
+        |              row_number() OVER (PARTITION BY query_id
+        |                                 ORDER BY cosine DESC, cand_id) AS rn
+        |       FROM probed)
         |SELECT query_id, CAST(rn AS BIGINT) AS rank, cand_id AS vec_id, cosine
         |FROM rk WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin)
   )

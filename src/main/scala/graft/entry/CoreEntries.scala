@@ -79,8 +79,24 @@ object CoreEntries {
     // the reference's announced missing-value prediction, implemented
     "cosine_predict" -> ((s, dir) =>
       gate(analysis(s).predictMissing(supplierPartMatrix(s, dir), neighbors = 5),
-        "y", "x"))
+        "y", "x")),
+    // document-frequency cap before alignment (the Zipf-head scale guard)
+    "aligned_pairs_dfcap" -> ((s, dir) => {
+      val a = analysis(s)
+      gate(a.alignedPairs(a.dfCap(a.normalize(supplierPartMatrix(s, dir)), DfCapMax)).toDF(),
+        "vector0", "vector1", "prediction_axis")
+    }),
+    // salted (triangle-bucket) alignment: same rows as aligned_pairs,
+    // skew-proof physical plan — shares aligned_pairs' oracle
+    "aligned_pairs_salted" -> ((s, dir) => {
+      val a = analysis(s)
+      gate(a.alignedPairsSalted(a.normalize(supplierPartMatrix(s, dir)), salts = 8).toDF(),
+        "vector0", "vector1", "prediction_axis")
+    })
   )
+
+  /** df cap for aligned_pairs_dfcap — prunes the head coordinates at every sf. */
+  private val DfCapMax = 20L
 
   /** Shared oracle CTE chain mirroring the pipeline stage by stage. */
   private val pipelineSql: String = matrixSql + """,
@@ -115,6 +131,18 @@ object CoreEntries {
     "vector_mods" ->
       (pipelineSql + "\nSELECT vector, floor((md)*1e6 + 0.50001)/1e6 AS \"mod\" FROM vm ORDER BY vector"),
     "aligned_pairs" ->
+      (pipelineSql + "\nSELECT vector0, vector1, coord AS prediction_axis, floor((v1)*1e6 + 0.50001)/1e6 AS value1, floor((v2)*1e6 + 0.50001)/1e6 AS value2 FROM p ORDER BY vector0, vector1, prediction_axis"),
+    "aligned_pairs_dfcap" ->
+      (pipelineSql + s""",
+        |keep AS (SELECT x FROM n GROUP BY x HAVING COUNT(*) <= $DfCapMax),
+        |nf AS (SELECT n.y, n.x, n.nv FROM n JOIN keep USING (x)),
+        |pf AS (SELECT a.y AS vector0, b.y AS vector1, a.x AS coord, a.nv AS v1, b.nv AS v2
+        |       FROM nf a JOIN nf b ON a.x = b.x AND a.y > b.y)
+        |SELECT vector0, vector1, coord AS prediction_axis,
+        |       floor((v1)*1e6 + 0.50001)/1e6 AS value1,
+        |       floor((v2)*1e6 + 0.50001)/1e6 AS value2
+        |FROM pf ORDER BY vector0, vector1, prediction_axis""".stripMargin),
+    "aligned_pairs_salted" ->
       (pipelineSql + "\nSELECT vector0, vector1, coord AS prediction_axis, floor((v1)*1e6 + 0.50001)/1e6 AS value1, floor((v2)*1e6 + 0.50001)/1e6 AS value2 FROM p ORDER BY vector0, vector1, prediction_axis"),
     "pair_mods_sparse" ->
       (pipelineSql + "\nSELECT vector0, vector1, floor((mod1)*1e6 + 0.50001)/1e6 AS mod1, floor((mod2)*1e6 + 0.50001)/1e6 AS mod2 FROM smods ORDER BY vector0, vector1"),

@@ -41,6 +41,13 @@ object TextEntries {
       val odd = tfDF(s, d.where(col("doc_id") % 2 === 1))
       gate(even.union(odd), "y", "x")
     }),
+    // TF-IDF weighting over §2-D's TF matrix
+    "tfidf_matrix" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      gate(Tokenizer.tfIdf(
+        Tokenizer.termFrequency(
+          Tokenizer.tokens(docs(s, dir), "doc_id", "text"))).toDF(), "y", "x")
+    }),
     // ext: quality statistics
     "text_stats" -> ((s, dir) =>
       gate(TextAnalysis.stats(docs(s, dir), "doc_id", "text"), "doc_id")),
@@ -79,6 +86,12 @@ object TextEntries {
       (tokSql + "\nSELECT doc_id, pos, token FROM tok ORDER BY doc_id, pos"),
     "tf_matrix" ->
       (tfSql + "\nSELECT y, x, value FROM tf ORDER BY y, x"),
+    "tfidf_matrix" ->
+      (tfSql + s""",
+        |nd AS (SELECT CAST(COUNT(DISTINCT y) AS DOUBLE) AS n FROM tf),
+        |df AS (SELECT x, CAST(COUNT(*) AS DOUBLE) AS dfx FROM tf GROUP BY x)
+        |SELECT tf.y, tf.x, ${r6sql("tf.value * ln(nd.n / df.dfx)")} AS value
+        |FROM tf JOIN df USING (x) CROSS JOIN nd ORDER BY y, x""".stripMargin),
     "tf_stopwords" ->
       (tokSql + s"""
         |SELECT CAST(doc_id AS VARCHAR) AS y, token AS x, CAST(COUNT(*) AS DOUBLE) AS value

@@ -172,6 +172,44 @@ object Embeddings {
     rank(scored, k)
   }
 
+  /**
+   * Multi-probe sign-LSH top-k: each query probes its own bucket AND every
+   * bucket at Hamming distance 1 (one sign bit flipped) — `LshPlanes + 1`
+   * probes. With per-bit collision probability p = 1 - θ/π, recall rises
+   * from p⁶ to p⁶ + 6·p⁵(1-p) (measured on the synthetic corpus:
+   * recall@5 0.08 → ~0.3) while still scanning only ~7/64ths of the
+   * candidate set. A candidate lives in exactly one bucket, so it can
+   * match at most one probe — no duplicate (query, candidate) pairs and
+   * no post-join dedup.
+   *
+   * Scale shape: identical to [[lshTopK]] — one equi-join on the bucket —
+   * with the query side replicated ×(LshPlanes+1) BEFORE the join, which
+   * is the cheap side by construction.
+   */
+  def lshTopKMultiProbe(candidates: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val masks = (0L +: (0 until LshPlanes).map(j => 1L << j)).toDF("mask")
+    val cb = lshBuckets(candidates, idCol, vecCol, dim)
+    val qb = lshBuckets(queries, idCol, vecCol, dim)
+      .withColumnRenamed("vec_id", "query_id")
+      .crossJoin(masks)
+      .select($"query_id", expr("bucket ^ mask").as("bucket"))
+    val cand = withNorms(candidates, idCol, vecCol).join(cb, "vec_id")
+    val q = withNorms(queries, idCol, vecCol)
+      .withColumnRenamed("vec_id", "query_id")
+      .withColumnRenamed("emb", "qemb")
+      .withColumnRenamed("nrm", "qnrm")
+      .join(qb, "query_id")
+    val scored = cand.join(broadcast(q), Seq("bucket"))
+      .where(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        (expr(dotSql("qemb", "emb")) / (col("qnrm") * col("nrm"))).as("c"))
+      .select(col("query_id"), col("vec_id"), snap("c").as("cosine"))
+    rank(scored, k)
+  }
+
   /** Window-rank scored (query_id, vec_id, cosine) rows to the top k. */
   private def rank(scored: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

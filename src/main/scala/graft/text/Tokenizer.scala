@@ -59,6 +59,28 @@ object Tokenizer {
       .as[MatrixElement]
   }
 
+  /**
+   * TF-IDF COO matrix from a TF matrix: value = tf · ln(N / df), where N is
+   * the corpus document count and df the term's document frequency — the
+   * classic weighting a text pipeline applies before cosine similarity, so
+   * the Zipf-head terms that dominate raw TF (and blow up the pairwise
+   * alignment — see [[graft.core.CosineAnalysis.dfCap]]) carry ~zero
+   * weight. Terms present in every document get exactly 0.
+   *
+   * Scale: one extra aggregation over the TF matrix keyed by term (map-side
+   * partial count), broadcast-or-shuffle joined back by Catalyst/AQE — the
+   * df table has one row per distinct term. N and df are exact integers;
+   * ln differs across engines by ≤1 ulp, absorbed by the 1e-6 result grid.
+   */
+  def tfIdf(tf: Dataset[MatrixElement])(implicit spark: SparkSession): Dataset[MatrixElement] = {
+    import spark.implicits._
+    val n = tf.select($"y").distinct().count()
+    val df = tf.groupBy($"x").agg(count(lit(1)).cast("double").as("df"))
+    tf.join(df, "x")
+      .select($"y", $"x", ($"value" * log(lit(n.toDouble) / $"df")).as("value"))
+      .as[MatrixElement]
+  }
+
   /** docs → tokenize → (optional stop-word removal) → TF matrix, end to end. */
   def termFrequencyOf(
       docs: DataFrame,

@@ -47,6 +47,30 @@ class EmbeddingsSpec extends SparkSpec {
     assert(top == Set(11L)) // only the same-bucket twin is searchable
   }
 
+  test("lshTopKMultiProbe reaches hamming-1 buckets single-probe misses") {
+    // 4-dim fixture: near-duplicates of v10 land in its own bucket; a
+    // vector one sign-flip away is reachable ONLY by multi-probe.
+    val vecs = Seq(
+      (10L, Seq(0.5f, 0.5f, 0.5f, 0.5f)),
+      (11L, Seq(0.5f, 0.5f, 0.5f, 0.5f)),
+      (12L, Seq(-0.5f, -0.5f, -0.5f, -0.5f)))
+      .toDF("vec_id", "embedding")
+    val b = Embeddings.lshBuckets(vecs, "vec_id", "embedding", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val single = Embeddings.lshTopK(vecs, vecs.where($"vec_id" === 10L),
+      "vec_id", "embedding", 3, dim = 4).collect().map(_.getLong(2)).toSet
+    val multi = Embeddings.lshTopKMultiProbe(vecs, vecs.where($"vec_id" === 10L),
+      "vec_id", "embedding", 3, dim = 4).collect().map(_.getLong(2)).toSet
+    assert(single.subsetOf(multi)) // probing more buckets never loses candidates
+    // v12's bucket is the full complement of v10's: reachable by neither
+    assert(!multi.contains(12L) ||
+      java.lang.Long.bitCount(b(10L) ^ b(12L)) <= 1)
+    // no duplicate (query, candidate) rows from the probe expansion
+    val rows = Embeddings.lshTopKMultiProbe(vecs, vecs.where($"vec_id" === 10L),
+      "vec_id", "embedding", 10, dim = 4).collect()
+    assert(rows.map(_.getLong(2)).distinct.length == rows.length)
+  }
+
   test("ivfTopK searches only the query's argmax bucket") {
     // buckets: v0→1, v1→2, v2→1 (first max wins), v3→1
     val top = Embeddings.ivfTopK(emb, emb.where($"vec_id" === 0L), "vec_id", "embedding", 5)

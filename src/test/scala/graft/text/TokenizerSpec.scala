@@ -37,6 +37,20 @@ class TokenizerSpec extends SparkSpec {
     assert(!tf.contains(("2", "cat")))
   }
 
+  test("tfIdf: corpus-wide terms weigh 0, rarer terms ln(N/df)-scaled") {
+    val tf = Tokenizer.termFrequency(Tokenizer.tokens(docs, "doc_id", "text"))
+    val w = Tokenizer.tfIdf(tf).collect().map(m => (m.y, m.x) -> m.value).toMap
+    // no term appears in all 3 docs except... check "cat" df=2, "dog" df=2
+    assertApprox(w(("0", "cat")), 1.0 * math.log(3.0 / 2.0))
+    assertApprox(w(("1", "a")), 2.0 * math.log(3.0 / 1.0)) // tf=2, df=1
+    // a term present in EVERY doc gets exactly zero
+    val all = Seq((0L, "x y"), (1L, "x z"), (2L, "x w")).toDF("doc_id", "text")
+    val wAll = Tokenizer.tfIdf(
+      Tokenizer.termFrequency(Tokenizer.tokens(all, "doc_id", "text")))
+      .collect().map(m => (m.y, m.x) -> m.value).toMap
+    assert(wAll(("0", "x")) == 0.0 && wAll(("1", "x")) == 0.0)
+  }
+
   test("termFrequencyOf composes tokenize → stop-words → TF") {
     val stops = Seq("the", "a").toDF("w")
     val tf = Tokenizer.termFrequencyOf(docs, "doc_id", "text", Some(stops))
