@@ -17,13 +17,14 @@ object Bench {
    */
   val headline: Seq[String] = Seq(
     "max_values", "normalize", "vector_mods", "aligned_pairs",
-    "pair_mods_sparse", "cosine_sparse_all", "cosine_dense_all",
-    "cosine_subset", "cosine_topk", "cosine_predict",
-    "tf_matrix", "tf_stopwords", "text_stats", "lang_id",
+    "aligned_pairs_salted", "pair_mods_sparse", "cosine_sparse_all",
+    "cosine_dense_all", "cosine_subset", "cosine_topk", "cosine_topk_ann",
+    "cosine_predict", "tf_matrix", "tf_stopwords", "tfidf_matrix",
+    "text_stats", "lang_id",
     "doc_fingerprint", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_embedding", "ann_topk_brute",
-    "ann_ivf_topk", "ann_lsh_topk", "events_hourly", "events_sessionize",
-    "multimodal_meta")
+    "ann_ivf_topk", "ann_lsh_topk", "ann_lsh_multiprobe", "events_hourly",
+    "events_sessionize", "multimodal_meta")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -63,27 +64,39 @@ object Bench {
     val results = names.flatMap { name =>
       // Failed reps contribute no time: min/total only ever see
       // successful runs (ADVICE r2: a throwing rep's near-zero elapsed
-      // used to understate the total).
+      // used to understate the total). A rep that TIMES OUT also skips
+      // the query's remaining reps (ADVICE r3): the next rep would race
+      // the still-cancelling job and inherit its noise.
+      var timedOut = false
       val times = (1 to reps).flatMap { rep =>
-        val group = s"$name#$rep"
-        val t0 = System.nanoTime()
-        val fut = Future {
-          // job group is a thread-local of the action thread
-          spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
-          all(name)(spark, sfDir).count()
-        }
-        val ok =
-          try { Await.result(fut, timeoutSec.seconds); true }
-          catch {
-            case _: java.util.concurrent.TimeoutException =>
-              spark.sparkContext.cancelJobGroup(group)
-              errors.getOrElseUpdate(name, s"Timeout(${timeoutSec}s)"); false
-            case e: Throwable =>
-              errors.getOrElseUpdate(name, e.getClass.getSimpleName); false
+        if (timedOut) None else {
+          val group = s"$name#$rep"
+          val t0 = System.nanoTime()
+          val fut = Future {
+            // job group is a thread-local of the action thread
+            spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+            all(name)(spark, sfDir).count()
           }
-        // drop persisted intermediates so each rep starts from clean state
-        spark.catalog.clearCache()
-        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+          val ok =
+            try { Await.result(fut, timeoutSec.seconds); true }
+            catch {
+              case _: java.util.concurrent.TimeoutException =>
+                spark.sparkContext.cancelJobGroup(group)
+                // cancelJobGroup is async: await the action thread's actual
+                // death (bounded) so later queries never run concurrently
+                // with a still-cancelling job — and so the global pool
+                // thread is released (ADVICE r3)
+                try Await.result(fut, 60.seconds)
+                catch { case _: Throwable => () }
+                timedOut = true
+                errors.getOrElseUpdate(name, s"Timeout(${timeoutSec}s)"); false
+              case e: Throwable =>
+                errors.getOrElseUpdate(name, e.getClass.getSimpleName); false
+            }
+          // drop persisted intermediates so each rep starts from clean state
+          spark.catalog.clearCache()
+          if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+        }
       }
       if (times.isEmpty) None else Some(name -> times.min)
     }

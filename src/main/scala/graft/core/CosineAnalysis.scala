@@ -174,8 +174,9 @@ final class CosineAnalysis(
    * whole C(n,2) expansion in one task unless AQE's skew thresholds happen
    * to fire; salting splits every coordinate's expansion across
    * S(S+1)/2 tasks deterministically, at the cost of replicating each row
-   * ~S/2 times into the shuffle. Use for known-skewed matrices; the plain
-   * join is cheaper when coordinates are near-uniform.
+   * S+1 times into the shuffle (a row with salt s joins salts−s tasks on
+   * the left side plus s+1 on the right). Use for known-skewed matrices;
+   * the plain join is cheaper when coordinates are near-uniform.
    */
   def alignedPairsSalted(normalized: Dataset[NormalizedElement],
       salts: Int = 8): Dataset[FactorNormalizedValue] = {
@@ -259,6 +260,18 @@ final class CosineAnalysis(
         when($"va" > $"vb", $"mb").otherwise($"ma").as("mod2"))
       .as[FactorMod]
   }
+
+  /**
+   * Reference-parity alias for [[pairModsDense]]: the reference publishes
+   * the dense all-pairs norm table as its own API entry,
+   * `genFactorAllElementMod` (MatrixCosineAnalyse.scala:30–58, a public
+   * near-duplicate of its internal genFactorMod2 :129–160). Same output
+   * contract — every C(V,2) pair of full vector norms, canonical order —
+   * built on the triangle-bucket equi-join instead of the reference's
+   * single-task global collect_list.
+   */
+  def genFactorAllElementMod(mods: Dataset[VectorMod]): Dataset[FactorMod] =
+    pairModsDense(mods)
 
   /**
    * Full fit pipeline (reference simpleFit :218–242): normalize → align

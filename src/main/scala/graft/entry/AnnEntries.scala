@@ -41,14 +41,8 @@ object AnnEntries {
     })
   )
 
-  /** Probe masks for the multi-probe oracle: self + each single bit flipped. */
-  private val probeMasks: Seq[Long] = 0L +: (0 until Embeddings.LshPlanes).map(j => 1L << j)
-
-  /** The hyperplane table as a literal SQL VALUES list (same triples the
-    * Spark side uses — both engines project onto identical planes). */
-  private val planesSql = Embeddings.lshPlaneRows(64)
-    .map { case (k, i, h) => s"($k, $i, $h)" }
-    .mkString("(VALUES ", ", ", ") AS hp(k, i, h)")
+  /** Hyperplane/probe-mask VALUES tables shared with [[DedupEntries]]. */
+  private val planesSql = lshPlanesSql(64)
 
   /** Norms + query-restricted dots, shared by both oracles. */
   private def cosSql(queryPred: String): String =
@@ -115,7 +109,7 @@ object AnnEntries {
         |bkt AS (SELECT vec_id,
         |               CAST(SUM(CASE WHEN s > 0 THEN 1 << k ELSE 0 END) AS BIGINT) AS bucket
         |        FROM proj GROUP BY vec_id),
-        |mk AS (SELECT * FROM (VALUES ${probeMasks.map(m => s"($m)").mkString(", ")}) AS v(mask)),
+        |mk AS (SELECT * FROM $lshProbeMasksSql),
         |probed AS (SELECT c.query_id, c.cand_id, c.cosine
         |           FROM cosr c
         |           JOIN bkt bq ON bq.vec_id = c.query_id

@@ -80,6 +80,11 @@ object CoreEntries {
     "cosine_predict" -> ((s, dir) =>
       gate(analysis(s).predictMissing(supplierPartMatrix(s, dir), neighbors = 5),
         "y", "x")),
+    // ANN-routed top-k: sign-LSH candidates instead of the dense C(V,2)
+    // table — the quadratic-free path for topSimilar at scale
+    "cosine_topk_ann" -> ((s, dir) =>
+      gate(graft.ext.SparseAnn.topSimilarAnn(analysis(s), supplierPartMatrix(s, dir), 5),
+        "vector", "rank")),
     // document-frequency cap before alignment (the Zipf-head scale guard)
     "aligned_pairs_dfcap" -> ((s, dir) => {
       val a = analysis(s)
@@ -175,6 +180,34 @@ object CoreEntries {
         |       FROM sym)
         |SELECT v AS vector, CAST(rn AS BIGINT) AS rank, u AS neighbor, s AS similarity_value
         |FROM rk WHERE rn <= 5 ORDER BY vector, rank""".stripMargin),
+    // candidate rule mirrored from SparseAnn: sparse sign-LSH buckets,
+    // probe set = own bucket + hamming-1; exact dense cosine on candidates
+    "cosine_topk_ann" ->
+      (pipelineSql + s""",
+        |sproj AS (SELECT y, ${(0 until graft.ext.SparseAnn.Planes)
+            .map(k => s"SUM(${graft.ext.SparseAnn.planeComponent(k, "x")} * nv) AS p_$k")
+            .mkString(", ")}
+        |          FROM n GROUP BY y),
+        |sbkt AS (SELECT y AS v, CAST(${(0 until graft.ext.SparseAnn.Planes)
+            .map(k => s"CASE WHEN p_$k > 0 THEN ${1L << k} ELSE 0 END")
+            .mkString(" + ")} AS BIGINT) AS bucket
+        |         FROM sproj),
+        |mk AS (SELECT * FROM $lshProbeMasksSql),
+        |cand AS (SELECT hi.v AS vector0, lo.v AS vector1
+        |         FROM sbkt lo JOIN sbkt hi ON lo.v < hi.v
+        |         JOIN mk ON xor(lo.bucket, hi.bucket) = CAST(mk.mask AS BIGINT)),
+        |csim AS (SELECT c.vector0, c.vector1,
+        |                floor(COALESCE(num.numtr / (va.md * vb.md), 0.0)*1e6 + 0.50001)/1e6 AS s
+        |         FROM cand c
+        |         JOIN vm va ON va.vector = c.vector0
+        |         JOIN vm vb ON vb.vector = c.vector1
+        |         LEFT JOIN num ON num.vector0 = c.vector0 AND num.vector1 = c.vector1),
+        |csym AS (SELECT vector0 AS v, vector1 AS u, s FROM csim
+        |         UNION ALL SELECT vector1 AS v, vector0 AS u, s FROM csim),
+        |crk AS (SELECT v, u, s, row_number() OVER (PARTITION BY v ORDER BY s DESC, u) AS rn
+        |        FROM csym)
+        |SELECT v AS vector, CAST(rn AS BIGINT) AS rank, u AS neighbor, s AS similarity_value
+        |FROM crk WHERE rn <= 5 ORDER BY vector, rank""".stripMargin),
     "cosine_predict" ->
       (pipelineSql + symSimsSql + """,
         |pos AS (SELECT v, u, s, row_number() OVER (PARTITION BY v ORDER BY s DESC, u) AS rn

@@ -104,7 +104,22 @@ object DedupEntries {
         |FROM sh64 a JOIN sh64 b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         |ORDER BY doc0, doc1""".stripMargin),
+    // candidate rule mirrored from Embeddings.lshNearPairs: only pairs whose
+    // sign-LSH buckets are within hamming 1 are cosine-verified
     "dedup_embedding" ->
-      (embCosSql + "\nSELECT v0, v1, cosine FROM c WHERE cosine >= 0.4 ORDER BY v0, v1")
+      (embCosSql + s""",
+        |hp AS (SELECT * FROM ${lshPlanesSql(64)}),
+        |proj AS (SELECT u.vec_id, hp.k, SUM(hp.h * u.v) AS s
+        |         FROM u JOIN hp ON hp.i = u.i GROUP BY 1, 2),
+        |bkt AS (SELECT vec_id,
+        |               CAST(SUM(CASE WHEN s > 0 THEN 1 << k ELSE 0 END) AS BIGINT) AS bucket
+        |        FROM proj GROUP BY vec_id),
+        |mk AS (SELECT * FROM $lshProbeMasksSql)
+        |SELECT c.v0, c.v1, c.cosine
+        |FROM c
+        |JOIN bkt b0 ON b0.vec_id = c.v0
+        |JOIN bkt b1 ON b1.vec_id = c.v1
+        |JOIN mk ON xor(b0.bucket, b1.bucket) = CAST(mk.mask AS BIGINT)
+        |WHERE c.cosine >= 0.4 ORDER BY v0, v1""".stripMargin)
   )
 }

@@ -83,6 +83,19 @@ object EntryUtil {
       .as[MatrixElement]
   }
 
+  /** The sign-LSH hyperplane table as a literal SQL VALUES list (the same
+    * triples [[graft.ext.Embeddings.lshPlaneRows]] gives the Spark side —
+    * both engines project onto identical planes). */
+  def lshPlanesSql(dim: Int): String = graft.ext.Embeddings.lshPlaneRows(dim)
+    .map { case (k, i, h) => s"($k, $i, $h)" }
+    .mkString("(VALUES ", ", ", ") AS hp(k, i, h)")
+
+  /** Multi-probe masks (own bucket + each single sign bit flipped) as a
+    * SQL VALUES list — mirrors the Spark side's Hamming-1 probe set. */
+  val lshProbeMasksSql: String =
+    (0L +: (0 until graft.ext.Embeddings.LshPlanes).map(j => 1L << j))
+      .map(m => s"($m)").mkString("(VALUES ", ", ", ") AS v(mask)")
+
   /** DuckDB CTE mirroring [[supplierPartMatrix]] — prefix of every core oracle. */
   val matrixSql: String =
     """WITH m AS (

@@ -26,14 +26,23 @@ object Dedup {
 
   /**
    * Exact-duplicate grouping: every doc mapped to the smallest doc id with
-   * byte-identical text. Singletons map to themselves. (At scale, group on
-   * sha2(text) first so the shuffle key is fixed-width; the final compare
-   * stays on the full text to be collision-proof.)
+   * byte-identical text. Singletons map to themselves.
+   *
+   * The exchange is keyed by sha2(text) — a fixed-width 64-char key, so
+   * shuffle hashing never rescans multi-KB documents — while the window
+   * partitions on (hash, full text), which the hash-only partitioning
+   * already clusters (no second exchange) and which keeps the grouping
+   * collision-proof: two texts colliding on sha2 would still land in
+   * different window partitions.
    */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(
-      col(idCol).as("doc_id"),
-      min(col(idCol)).over(Window.partitionBy(col(textCol))).as("rep_id"))
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("gr_text"))
+      .withColumn("gr_hash", sha2(col("gr_text").cast("binary"), 256))
+      .repartition(col("gr_hash"))
+      .select(
+        col("doc_id"),
+        min(col("doc_id"))
+          .over(Window.partitionBy(col("gr_hash"), col("gr_text"))).as("rep_id"))
 
   /**
    * Distinct word-trigram shingles per document, as int64 hashes. Built
@@ -123,12 +132,7 @@ object Dedup {
    * always share every bucket.
    */
   def minHashCandidates(sigs: DataFrame): DataFrame = {
-    val nBands = HashParams.size / BandRows
-    val bandKeys = (0 until nBands).map(b => expr(bandKeyExpr(b)).as(s"band_$b"))
-    val bands = sigs.select(col("doc_id") +: bandKeys: _*)
-      .select(col("doc_id"),
-        posexplode(array((0 until nBands).map(b => col(s"band_$b")): _*))
-          .as(Seq("band", "bkey")))
+    val bands = minHashBands(sigs)
     val a = bands.as("a")
     val b = bands.as("b")
     a.join(b,
@@ -138,20 +142,57 @@ object Dedup {
       .distinct()
   }
 
+  /** One (doc_id, band, bkey) row per document per LSH band — the join key
+    * table behind [[minHashCandidates]], exposed for index-building
+    * pipelines (e.g. [[graft.streaming.DedupStream]]'s parquet index). */
+  def minHashBands(sigs: DataFrame): DataFrame = {
+    val nBands = HashParams.size / BandRows
+    val bandKeys = (0 until nBands).map(b => expr(bandKeyExpr(b)).as(s"band_$b"))
+    sigs.select(col("doc_id") +: bandKeys: _*)
+      .select(col("doc_id"),
+        posexplode(array((0 until nBands).map(b => col(s"band_$b")): _*))
+          .as(Seq("band", "bkey")))
+  }
+
   /**
-   * MinHash-LSH near-dup detection end to end: LSH candidates, verified by
-   * exact shingle Jaccard ≥ `minJaccard`. Only candidate pairs are ever
-   * verified — the all-pairs surface is never touched.
+   * Exact shingle Jaccard restricted to the given (doc0, doc1) pairs —
+   * the candidate-verification kernel. Cost is bounded by
+   * |pairs| · shingles-per-doc (two id equi-joins + one aggregate), never
+   * the full co-shingled pair surface that [[jaccardPairs]] materializes.
+   * Pairs sharing no shingle produce no row (their Jaccard, 0, can never
+   * reach a positive threshold).
    */
-  def minHashDups(docs: DataFrame, idCol: String, textCol: String,
-      minJaccard: Double = 0.2): DataFrame = {
-    val sh = shingles(docs, idCol, textCol).persist()
-    val cands = minHashCandidates(minHashSignatures(sh))
-    cands
-      .join(jaccardPairs(sh), Seq("doc0", "doc1"))
-      .where(col("jaccard") >= minJaccard)
+  def jaccardFor(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("doc0"), col("sh"))
+    val b = sh.select(col("doc_id").as("doc1"), col("sh"))
+    pairs.join(a, "doc0").join(b, Seq("doc1", "sh"))
+      .groupBy("doc0", "doc1")
+      .agg(count(lit(1)).as("i"))
+      .join(counts.withColumnRenamed("doc_id", "doc0").withColumnRenamed("n", "n0"), "doc0")
+      .join(counts.withColumnRenamed("doc_id", "doc1").withColumnRenamed("n", "n1"), "doc1")
+      .withColumn("jaccard", col("i").cast("double") / (col("n0") + col("n1") - col("i")))
       .select("doc0", "doc1", "jaccard")
   }
+
+  /**
+   * MinHash-LSH near-dup detection from a prebuilt shingle table: LSH
+   * candidates, verified by exact shingle Jaccard ≥ `minJaccard`. Only
+   * candidate pairs are ever verified — the all-pairs surface is never
+   * touched. The shingle table is consumed by both the signature and the
+   * verification branch; callers who want it cached persist it themselves
+   * (caching is caller-owned, like `MatrixModel.persist` — this function
+   * must not leak cache entries from long-lived sessions).
+   */
+  def minHashDupsFromShingles(sh: DataFrame, minJaccard: Double = 0.2): DataFrame =
+    jaccardFor(minHashCandidates(minHashSignatures(sh)), sh)
+      .where(col("jaccard") >= minJaccard)
+      .select("doc0", "doc1", "jaccard")
+
+  /** MinHash-LSH near-dup detection end to end (see [[minHashDupsFromShingles]]). */
+  def minHashDups(docs: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double = 0.2): DataFrame =
+    minHashDupsFromShingles(shingles(docs, idCol, textCol), minJaccard)
 
   /** Number of SimHash bits (shingle hashes carry ~30 usable bits). */
   val SimHashBits = 24
@@ -173,34 +214,72 @@ object Dedup {
       .select(col("doc_id"), hash.as("simhash"))
   }
 
+  /** Chunks the SimHash sketch is banded into for candidate generation. */
+  val SimHashChunks = 4
+
+  /**
+   * Banded SimHash candidate pairs: the 24-bit sketch is split into 4
+   * six-bit chunks; any pair within hamming distance ≤ 3 differs in at
+   * most 3 chunks, so by pigeonhole it agrees EXACTLY on at least one —
+   * candidate generation is an equi-join on (chunk_index, chunk_value),
+   * the same banding shape as [[minHashCandidates]], never an all-pairs
+   * scan. Pairs sharing several chunks are deduplicated; both sketches
+   * ride along so the verifier needs no join back.
+   */
+  def simHashCandidates(sketches: DataFrame): DataFrame = {
+    val chunkBits = SimHashBits / SimHashChunks
+    val mask = (1 << chunkBits) - 1
+    val chunked = sketches.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until SimHashChunks).map(c =>
+        expr(s"shiftright(simhash, ${c * chunkBits}) & $mask")): _*))
+        .as(Seq("chunk", "cval")))
+    val a = chunked.as("a")
+    val b = chunked.as("b")
+    a.join(b,
+        col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc0"), col("b.doc_id").as("doc1"),
+        col("a.simhash").as("h0"), col("b.simhash").as("h1"))
+      .distinct()
+  }
+
   /**
    * Near-dup pairs by SimHash hamming distance ≤ `maxHamming`.
    *
-   * The pair scan compares only the 64-bit sketches (not documents), so the
-   * self-join input is one small row per doc; at billions of docs, band the
-   * sketch (split into 4×6-bit chunks, equi-join on any equal chunk) the
-   * same way [[minHashCandidates]] does rather than this direct compare.
+   * Candidates come from [[simHashCandidates]]'s chunk equi-join, which is
+   * complete for `maxHamming < SimHashChunks` (pigeonhole): banding only
+   * prunes pairs already above the distance bound, so the result is
+   * IDENTICAL to the direct all-pairs compare — with a shuffle-partitioned
+   * plan instead of a BroadcastNestedLoopJoin.
    */
   def simHashDups(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val h = simHash(docs, idCol, textCol)
-    val a = h.as("a")
-    val b = h.as("b")
-    a.join(b, col("a.doc_id") < col("b.doc_id"))
-      .select(
-        col("a.doc_id").as("doc0"),
-        col("b.doc_id").as("doc1"),
-        expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)").as("hamming"))
+    require(maxHamming < SimHashChunks,
+      s"banded candidates are only complete for maxHamming < $SimHashChunks chunks")
+    simHashCandidates(simHash(docs, idCol, textCol))
+      .select(col("doc0"), col("doc1"),
+        expr("CAST(bit_count(h0 ^ h1) AS BIGINT)").as("hamming"))
       .where(col("hamming") <= maxHamming)
   }
 
   /**
    * Embedding-cosine near-duplicates: pairs with cosine ≥ `minCosine`
    * (rounded to the 1e-6 grid first so thresholding is reproducible).
-   * Delegates the vector math to [[Embeddings]]; at scale route through
-   * [[Embeddings.ivfTopK]]-style bucketing instead of the all-pairs join.
+   *
+   * Candidates come from sign-LSH bucketing with Hamming-1 multi-probe
+   * ([[Embeddings.lshNearPairsCosine]]) — an equi-join on tiny (id, bucket)
+   * rows, never the C(N,2) surface — then only candidates are
+   * cosine-verified. Sign-LSH recall → 1 exactly in the near-duplicate
+   * regime (θ → 0) this operator targets; the candidate rule is part of
+   * the operator contract (the oracle mirrors it). `exhaustive = true`
+   * falls back to the exact all-pairs scan for small corpora.
    */
   def embeddingDups(emb: DataFrame, idCol: String, vecCol: String,
-      minCosine: Double = 0.4): DataFrame =
-    Embeddings.allPairsCosine(emb, idCol, vecCol).where(col("cosine") >= minCosine)
+      minCosine: Double = 0.4, dim: Int = 64, exhaustive: Boolean = false): DataFrame = {
+    val cos =
+      if (exhaustive) Embeddings.allPairsCosine(emb, idCol, vecCol)
+      else Embeddings.lshNearPairsCosine(emb, idCol, vecCol, dim)
+    cos.where(col("cosine") >= minCosine)
+  }
 }

@@ -46,7 +46,9 @@ object Embeddings {
 
   /** Snap a double column to the 1e-6 grid (reproducible thresholds/ranks). */
   // Same biased rounding as graft.entry.EntryUtil.gate — see its scaladoc.
-  private def snap(c: String) = floor(col(c) * lit(1e6) + lit(0.50001)) / lit(1e6)
+  private def snapCol(c: org.apache.spark.sql.Column) =
+    floor(c * lit(1e6) + lit(0.50001)) / lit(1e6)
+  private def snap(c: String) = snapCol(col(c))
 
   /**
    * Cosine for every vector pair (canonical v0 < v1), rounded to 1e-6.
@@ -208,6 +210,44 @@ object Embeddings {
         (expr(dotSql("qemb", "emb")) / (col("qnrm") * col("nrm"))).as("c"))
       .select(col("query_id"), col("vec_id"), snap("c").as("cosine"))
     rank(scored, k)
+  }
+
+  /**
+   * Candidate pairs whose sign-LSH buckets are within Hamming distance ≤ 1
+   * (same bucket or one sign bit apart), as (v0 < v1) id pairs. One side is
+   * replicated across the `LshPlanes + 1` probe masks BEFORE the equi-join;
+   * a pair's buckets differ by exactly one XOR value, so at most one mask
+   * matches and the output needs no dedup. Rows are (id, bucket) only —
+   * the replication never touches the vectors themselves.
+   */
+  def lshNearPairs(buckets: DataFrame): DataFrame = {
+    val maskArr = array((0L +: (0 until LshPlanes).map(j => 1L << j)).map(lit): _*)
+    val probed = buckets
+      .select(col("vec_id"), explode(maskArr).as("mask"),
+        col("bucket"))
+      .select(col("vec_id"), expr("bucket ^ mask").as("bucket"))
+    probed.as("a").join(buckets.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("v0"), col("b.vec_id").as("v1"))
+  }
+
+  /**
+   * Cosine for every sign-LSH candidate pair ([[lshNearPairs]]): the
+   * scale-safe near-duplicate kernel. Candidate generation equi-joins tiny
+   * (id, bucket) rows; vectors are joined back BY ID only for the pairs
+   * that survive bucketing, so the quadratic all-pairs surface is never
+   * touched. Recall follows the sign-LSH cone analysis on [[lshTopK]]:
+   * ≈ 1 in the near-duplicate regime (θ → 0) this kernel exists for.
+   */
+  def lshNearPairsCosine(emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int): DataFrame = {
+    val n = withNorms(emb, idCol, vecCol)
+    val cands = lshNearPairs(lshBuckets(emb, idCol, vecCol, dim))
+    cands
+      .join(n.select(col("vec_id").as("v0"), col("emb").as("e0"), col("nrm").as("n0")), "v0")
+      .join(n.select(col("vec_id").as("v1"), col("emb").as("e1"), col("nrm").as("n1")), "v1")
+      .select(col("v0"), col("v1"),
+        snapCol(expr(dotSql("e0", "e1")) / (col("n0") * col("n1"))).as("cosine"))
   }
 
   /** Window-rank scored (query_id, vec_id, cosine) rows to the top k. */

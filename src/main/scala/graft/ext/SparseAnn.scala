@@ -1,0 +1,108 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{CosineAnalysis, MatrixElement}
+
+/**
+ * ANN-routed top-k for the sparse COO cosine core — the quadratic-free
+ * escape hatch for [[graft.core.MatrixModel.topSimilar]], whose exact
+ * semantics sit on the full C(V,2) dense similarity table.
+ *
+ * Sign-LSH for sparse vectors: hyperplane k assigns every COORDINATE a
+ * small integer component via portable character arithmetic
+ * ([[TextHash.tokenValue]] — identical in Spark and DuckDB, so the
+ * candidate rule is oracle-checkable), and a vector's bit k is the sign of
+ * Σ_coords h(k, coord) · value. Near-parallel vectors agree on most signs,
+ * so candidate pairs — buckets within Hamming distance ≤ 1, via
+ * [[Embeddings.lshNearPairs]]'s probe-mask equi-join — cut the pair
+ * surface by ~the bucket count while exact cosine is computed ONLY for
+ * candidates.
+ *
+ * Scale shape: one aggregate keyed by vector (map-side partial) for the
+ * buckets, the (id, bucket) probe equi-join for candidates, then the
+ * alignment join restricted to candidate pairs — bounded by
+ * |candidates| · coords-per-vector, never Σ_coord C(n_coord, 2).
+ */
+object SparseAnn {
+
+  /** Hyperplane count — bit width of the bucket id. Matches
+    * [[Embeddings.LshPlanes]] so the probe-mask helper is shared. */
+  val Planes: Int = Embeddings.LshPlanes
+
+  /** Per-plane odd multipliers for the component hash (small enough that
+    * tokenValue · multiplier stays far from int64 overflow). */
+  val PlaneMultipliers: Seq[Long] = Seq(17L, 131L, 241L, 367L, 487L, 599L)
+
+  /**
+   * SQL text of hyperplane component k for a coordinate column: a value in
+   * [-6, 6] from exact integer arithmetic — the same text is `expr`'d in
+   * Spark and interpolated into the DuckDB oracle.
+   */
+  def planeComponent(k: Int, coordCol: String): String =
+    s"((${TextHash.tokenValue(coordCol)} * ${PlaneMultipliers(k)}) % 13 - 6)"
+
+  /**
+   * Sign-LSH bucket per sparse vector from a (vector, coord, value) table:
+   * bit k = sign of the projection onto hyperplane k. One shuffle keyed by
+   * vector, six sums in one aggregate.
+   */
+  def buckets(n: DataFrame, vecCol: String, coordCol: String, valCol: String): DataFrame = {
+    val projs = (0 until Planes).map { k =>
+      sum(expr(planeComponent(k, coordCol)) * col(valCol)).as(s"proj_$k")
+    }
+    val bucket = (0 until Planes)
+      .map(k => when(col(s"proj_$k") > 0, lit(1L << k)).otherwise(lit(0L)): Column)
+      .reduce(_ + _)
+    n.groupBy(col(vecCol).as("vec_id")).agg(projs.head, projs.tail: _*)
+      .select(col("vec_id"), bucket.cast("long").as("bucket"))
+  }
+
+  /**
+   * Each vector's k most-similar LSH-candidate neighbors by dense cosine,
+   * ranked like [[graft.core.MatrixModel.topSimilar]] (1e-6-snapped
+   * similarity desc, neighbor asc). Candidates with no shared coordinate
+   * get similarity 0.0 (dense semantics); pairs outside every probe are
+   * not considered at all — the candidate rule is part of the contract.
+   */
+  def topSimilarAnn(analysis: CosineAnalysis, matrix: Dataset[MatrixElement],
+      k: Int = 5): DataFrame = {
+    require(k > 0)
+    val norm = analysis.normalize(matrix)
+    val n = norm.toDF().select(
+      col(analysis.axis).as("vector"),
+      col(analysis.predictionAxis).as("coord"),
+      col("normalized_value").as("nv"))
+    val mods = analysis.vectorMods(norm).toDF()
+    // canonical order vector0 > vector1, matching the core's pair contract
+    val cands = Embeddings.lshNearPairs(buckets(n, "vector", "coord", "nv"))
+      .select(col("v1").as("vector0"), col("v0").as("vector1"))
+    val a = n.select(col("vector").as("vector0"), col("coord"), col("nv").as("nv0"))
+    val b = n.select(col("vector").as("vector1"), col("coord"), col("nv").as("nv1"))
+    val dots = cands.join(a, "vector0").join(b, Seq("vector1", "coord"))
+      .groupBy("vector0", "vector1")
+      .agg(sum(col("nv0") * col("nv1")).as("dot"))
+    val m0 = mods.select(col("vector").as("vector0"), col("mod").as("mod0"))
+    val m1 = mods.select(col("vector").as("vector1"), col("mod").as("mod1"))
+    val sims = cands.join(m0, "vector0").join(m1, "vector1")
+      .join(dots, Seq("vector0", "vector1"), "left")
+      .select(col("vector0"), col("vector1"),
+        (floor(coalesce(col("dot") / (col("mod0") * col("mod1")), lit(0.0)) * lit(1e6)
+          + lit(0.50001)) / lit(1e6)).as("s"))
+    // single-pass symmetrization (see MatrixModel.topSimilar): explode, not union
+    val sym = sims.select(explode(array(
+        struct(col("vector0").as("vector"), col("vector1").as("neighbor"), col("s")),
+        struct(col("vector1").as("vector"), col("vector0").as("neighbor"), col("s"))))
+        .as("p"))
+      .select(col("p.vector").as("vector"), col("p.neighbor").as("neighbor"),
+        col("p.s").as("similarity_value"))
+    val w = Window.partitionBy("vector")
+      .orderBy(col("similarity_value").desc, col("neighbor").asc)
+    sym
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("vector", "rank", "neighbor", "similarity_value")
+  }
+}

@@ -45,7 +45,9 @@ object Sources {
     val byFile = spark.sparkContext.wholeTextFiles(paths.mkString(",")).toDF("file", "content")
     byFile
       .select($"file",
-        posexplode(split(regexp_replace($"content", "\r?\n$", ""), "\r?\n"))
+        // \z (not $): $ also matches BEFORE a final line terminator, which
+        // would strip two trailing newlines and drop a blank last line
+        posexplode(split(regexp_replace($"content", "\r?\n\\z", ""), "\r?\n"))
           .as(Seq("line_no", "text")))
       .withColumn("doc_id",
         row_number().over(org.apache.spark.sql.expressions.Window

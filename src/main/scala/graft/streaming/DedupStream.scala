@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
-import org.apache.spark.sql.Row
 
 import graft.ext.Dedup
 
@@ -48,4 +48,79 @@ object DedupStream {
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       sink(Dedup.minHashSignatures(Dedup.shingles(batch, idCol, textCol)), batchId)
     }
+
+  /**
+   * End-to-end streaming near-duplicate detection: maintains a parquet LSH
+   * index under `indexDir` and emits MinHash-verified near-dup pairs per
+   * micro-batch.
+   *
+   * Index layout (all plain parquet, appended per batch):
+   *   - `shingles/` (doc_id, sh)          — shingle sets of indexed docs
+   *   - `bands/`    (doc_id, band, bkey)  — LSH band keys of indexed docs
+   *   - `dups/`     (doc0, doc1, jaccard, batch_id) — verified pairs
+   *
+   * Per batch, candidate generation is an equi-join of the NEW docs' band
+   * keys against (index ∪ new) band keys — the arriving slice never joins
+   * all-pairs against history, and history is touched only through the
+   * (band, bkey) index — then candidates are verified by exact shingle
+   * Jaccard restricted to candidate pairs ([[graft.ext.Dedup.jaccardFor]]).
+   *
+   * Delivery is at-least-once, aligned with foreachBatch's contract: a
+   * batch replayed after a crash re-appends its rows; the `batch_id`
+   * column makes downstream dedup/compaction (`max by (doc0, doc1)`)
+   * trivial. Exactly-once would need a transactional sink, which plain
+   * parquet is not.
+   */
+  def nearDupDetect(docs: DataFrame, idCol: String, textCol: String,
+      indexDir: String, minJaccard: Double = 0.2): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      nearDupBatch(batch, idCol, textCol, indexDir, minJaccard, batchId)
+    }
+
+  /**
+   * One micro-batch step of [[nearDupDetect]] — also directly callable for
+   * backfill (feed the historical corpus through as one "batch").
+   */
+  def nearDupBatch(batch: DataFrame, idCol: String, textCol: String,
+      indexDir: String, minJaccard: Double, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    def readOr(path: String, like: DataFrame): DataFrame =
+      if (new java.io.File(path).isDirectory) spark.read.parquet(path)
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], like.schema)
+    // three actions consume the batch tables (verify + two index appends):
+    // cache for the batch's lifetime, released in the finally
+    val newSh = Dedup.shingles(batch, idCol, textCol).persist()
+    val newBands = Dedup.minHashBands(Dedup.minHashSignatures(newSh)).persist()
+    try {
+      val oldSh = readOr(s"$indexDir/shingles", newSh)
+      val oldBands = readOr(s"$indexDir/bands", newBands)
+      // new vs indexed: every colliding (new, old) pair, canonical id
+      // order; a re-ingested id never pairs with itself
+      val vsOld = newBands.as("a")
+        .join(oldBands.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+        .select(
+          least(col("a.doc_id"), col("b.doc_id")).as("doc0"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("doc1"))
+      // new vs new: the batch's own collisions
+      val vsNew = newBands.as("a")
+        .join(newBands.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc0"), col("b.doc_id").as("doc1"))
+      val cands = vsOld.union(vsNew).distinct()
+      val dups = Dedup.jaccardFor(cands, oldSh.union(newSh))
+        .where(col("jaccard") >= minJaccard)
+        .withColumn("batch_id", lit(batchId))
+      dups.write.mode("append").parquet(s"$indexDir/dups")
+      // compaction: fold the batch into the index AFTER emitting its pairs,
+      // so a replayed batch re-derives the same candidates (at-least-once)
+      newSh.write.mode("append").parquet(s"$indexDir/shingles")
+      newBands.write.mode("append").parquet(s"$indexDir/bands")
+    } finally {
+      newBands.unpersist()
+      newSh.unpersist()
+    }
+  }
 }

@@ -69,15 +69,19 @@ object Tokenizer {
    *
    * Scale: one extra aggregation over the TF matrix keyed by term (map-side
    * partial count), broadcast-or-shuffle joined back by Catalyst/AQE — the
-   * df table has one row per distinct term. N and df are exact integers;
+   * df table has one row per distinct term. N is a 1-row aggregate
+   * broadcast-joined into the plan, so building the query runs NO job and
+   * the whole computation stays lazy (plan construction used to fire an
+   * eager `count()` over the TF matrix). N and df are exact integers;
    * ln differs across engines by ≤1 ulp, absorbed by the 1e-6 result grid.
    */
   def tfIdf(tf: Dataset[MatrixElement])(implicit spark: SparkSession): Dataset[MatrixElement] = {
     import spark.implicits._
-    val n = tf.select($"y").distinct().count()
+    val n = tf.agg(countDistinct($"y").cast("double").as("n_docs"))
     val df = tf.groupBy($"x").agg(count(lit(1)).cast("double").as("df"))
     tf.join(df, "x")
-      .select($"y", $"x", ($"value" * log(lit(n.toDouble) / $"df")).as("value"))
+      .crossJoin(broadcast(n))
+      .select($"y", $"x", ($"value" * log($"n_docs" / $"df")).as("value"))
       .as[MatrixElement]
   }
 

@@ -58,6 +58,34 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("simhash banding: same pairs as the direct sketch compare, equi-join plan") {
+    // ground truth: direct all-pairs compare over the sketches
+    val h = Dedup.simHash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (for {
+      a <- h.keys; b <- h.keys if a < b
+      if java.lang.Long.bitCount(h(a) ^ h(b)) <= 3
+    } yield (a, b)).toSet
+    val banded = Dedup.simHashDups(docs, "doc_id", "text", maxHamming = 3)
+    val got = banded.select("doc0", "doc1").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    // the scale contract: candidates come from a chunk equi-join, never a
+    // nested-loop/cartesian scan (the r3 scale-killer)
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    // banding is only complete below the chunk count
+    intercept[IllegalArgumentException](
+      Dedup.simHashDups(docs, "doc_id", "text", maxHamming = Dedup.SimHashChunks))
+  }
+
+  test("minHashDups leaves no cached RDDs behind (caller-owned caching)") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Dedup.minHashDups(docs, "doc_id", "text").count()
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.isEmpty, s"leaked cache entries: $added")
+  }
+
   test("embedding near-dups: proportional vectors hit cosine 1") {
     val emb = Seq(
       (0L, Seq(1.0f, 2.0f, 3.0f)),
@@ -68,5 +96,21 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(d.keySet == Set((0L, 1L)))
     assertApprox(d((0L, 1L)), 1.0, 1e-6)
+  }
+
+  test("embeddingDups routes through LSH buckets with an equi-join plan") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 2.0f, 3.0f)),
+      (1L, Seq(2.0f, 4.0f, 6.0f)),
+      (2L, Seq(-3.0f, 1.0f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val d = Dedup.embeddingDups(emb, "vec_id", "embedding", minCosine = 0.9, dim = 3)
+    val plan = d.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    // LSH path and exhaustive path agree in the near-dup regime
+    val viaLsh = d.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaAll = Dedup.embeddingDups(emb, "vec_id", "embedding", minCosine = 0.9,
+        exhaustive = true).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaLsh == viaAll)
   }
 }

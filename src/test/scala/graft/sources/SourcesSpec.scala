@@ -32,6 +32,16 @@ class SourcesSpec extends SparkSpec {
     assert(lines.toSeq == Seq(0L -> "first a", 1L -> "second a", 2L -> "first b"))
   }
 
+  test("readTextLines: a file ending in a blank line keeps its empty last row") {
+    // ADVICE r3: regex $ also matches before a final terminator, so the old
+    // "\r?\n$" strip ate TWO newlines and dropped the blank last line
+    val dir = Files.createTempDirectory("graft-blank").toFile
+    Files.writeString(new java.io.File(dir, "a.txt").toPath, "one\n\n")
+    val lines = Sources.readTextLines(spark, Seq(dir.getAbsolutePath + "/*.txt"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    assert(lines.toSeq == Seq(0L -> "one", 1L -> ""))
+  }
+
   test("readTriplesCsv parses headered CSV into MatrixElement") {
     val f = Files.createTempFile("graft", ".csv")
     Files.writeString(f, "y,x,value\nA,t1,2\nA,t2,4\nB,t1,1\n")

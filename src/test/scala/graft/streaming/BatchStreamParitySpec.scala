@@ -105,6 +105,55 @@ class BatchStreamParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize: two chained stragglers diverge from batch as documented") {
+    // The documented trade (EventsStream.sessionize scaladoc): an event
+    // more than a gap BEFORE the open session is emitted as a singleton
+    // immediately. Two such stragglers within a gap of EACH OTHER would
+    // merge into one session in batch; streaming emits two singletons.
+    val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    def ev(minutes: Long, v: Double) =
+      StreamEvent(7, new Timestamp(base + minutes * 60000), "click", v)
+    // stragglers must sit INSIDE the watermark (≥ minute 100 − 60 = 40,
+    // else the stateful operator drops them as late) while still > gap
+    // before the open session's start (< minute 100 − 30 = 70)
+    val open = Seq(ev(100, 1.0))               // open session at minute 100
+    val stragglers = Seq(ev(45, 2.0), ev(60, 3.0)) // chained: 15 min apart
+    def sessions(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("start_sec"), r.getAs[Long]("end_sec"),
+        r.getAs[Long]("n_events"))).toSet
+
+    val oooDF = (open ++ stragglers).zipWithIndex.map { case (e, i) =>
+      (i.toLong, e.ts.getTime * 1000000L, e.user_id, e.event_type, e.value)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val batch = sessions(Events.sessionize(oooDF).collect())
+    // batch (global sort): stragglers merge into ONE session [45, 60]
+    val min = 60L
+    assert(batch == Set((base / 1000 + 45 * min, base / 1000 + 60 * min, 2L),
+      (base / 1000 + 100 * min, base / 1000 + 100 * min, 1L)))
+
+    val in = MemoryStream[StreamEvent]
+    val q = EventsStream.sessionize(in.toDS(), gapSec = 1800)
+      .writeStream.format("memory").queryName("parity_chained")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(open: _*)
+      q.processAllAvailable()
+      in.addData(stragglers: _*)
+      q.processAllAvailable()
+      in.addData(StreamEvent(99, Timestamp.valueOf("2024-03-02 12:00:00"), "x", 0.0))
+      q.processAllAvailable()
+      in.addData(StreamEvent(99, Timestamp.valueOf("2024-03-03 12:00:00"), "x", 0.0))
+      q.processAllAvailable()
+      val stream = sessions(
+        spark.table("parity_chained").where($"user_id" < 99).collect())
+      // streaming: each straggler is its own singleton — the documented
+      // divergence, pinned here so a future fix updates the scaladoc too
+      assert(stream == Set((base / 1000 + 45 * min, base / 1000 + 45 * min, 1L),
+        (base / 1000 + 60 * min, base / 1000 + 60 * min, 1L),
+        (base / 1000 + 100 * min, base / 1000 + 100 * min, 1L)))
+    } finally q.stop()
+  }
+
   test("hourly: streaming windows equal batch windows") {
     val batch = Events.hourly(batchDF).collect()
       .map(r => (r.getAs[Long]("hour_start_sec"), r.getAs[String]("event_type"),

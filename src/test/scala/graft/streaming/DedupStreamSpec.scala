@@ -34,6 +34,35 @@ class DedupStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupDetect end-to-end matches batch minHashDups across micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-neardup").toString
+    val corpus = Seq(
+      0L -> "the quick brown fox jumps over the lazy dog today",
+      1L -> "the quick brown fox jumps over the lazy dog today",
+      2L -> "the quick brown fox jumps over the sleepy dog today",
+      3L -> "completely different words about spark query engines here now")
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    val q = DedupStream.nearDupDetect(docs, "doc_id", "text", dir, minJaccard = 0.2)
+      .outputMode(OutputMode.Append).start()
+    try {
+      // split so every dup pair crosses the batch boundary at least once:
+      // (0,1) and (1,2) are cross-batch, (0,2) is in-batch
+      in.addData(corpus(0), corpus(2))
+      q.processAllAvailable()
+      in.addData(corpus(1), corpus(3))
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(s"$dir/dups")
+        .select("doc0", "doc1", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val batch = graft.ext.Dedup.minHashDups(
+          corpus.toDF("doc_id", "text"), "doc_id", "text", minJaccard = 0.2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty) // the planted dups actually surfaced
+    } finally q.stop()
+  }
+
   test("minHashSignatures emits one signature row per doc per batch") {
     val in = MemoryStream[(Long, String)]
     val docs = in.toDF().toDF("doc_id", "text")

@@ -51,6 +51,34 @@ class TokenizerSpec extends SparkSpec {
     assert(wAll(("0", "x")) == 0.0 && wAll(("1", "x")) == 0.0)
   }
 
+  test("tfIdf builds its plan lazily — no Spark job at construction") {
+    val sc = spark.sparkContext
+    val other = new java.util.concurrent.atomic.AtomicInteger(0)
+    val sentinel = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (js.properties != null &&
+            js.properties.getProperty("spark.jobGroup.id") == "tfidf-sentinel")
+          sentinel.incrementAndGet()
+        else other.incrementAndGet()
+    }
+    sc.addSparkListener(listener)
+    try {
+      val planned = Tokenizer.tfIdf(
+        Tokenizer.termFrequency(Tokenizer.tokens(docs, "doc_id", "text")))
+      planned.queryExecution.optimizedPlan // force full analysis/optimization
+      // sentinel: listener events arrive in order, so once a sentinel job
+      // is visible, any job fired during plan construction would be too
+      sc.setJobGroup("tfidf-sentinel", "laziness sentinel")
+      try spark.range(1).count() finally sc.clearJobGroup()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (sentinel.get() == 0 && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(sentinel.get() > 0, "sentinel job never observed")
+      assert(other.get() == 0, s"plan construction ran ${other.get()} job(s)")
+      assert(planned.count() > 0) // the plan still computes
+    } finally sc.removeSparkListener(listener)
+  }
+
   test("termFrequencyOf composes tokenize → stop-words → TF") {
     val stops = Seq("the", "a").toDF("w")
     val tf = Tokenizer.termFrequencyOf(docs, "doc_id", "text", Some(stops))
