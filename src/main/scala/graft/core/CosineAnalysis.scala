@@ -103,7 +103,7 @@ final class CosineAnalysis(
       case "l2" =>
         val nrm = matrix
           .groupBy(col(axis).as("axis"))
-          .agg(sqrt(sum(pow($"value", 2))).as("l2"))
+          .agg(sqrt(sum($"value" * $"value")).as("l2"))
         matrix
           .join(nrm, matrix(axis) === nrm("axis"))
           .select($"y", $"x",
@@ -215,15 +215,15 @@ final class CosineAnalysis(
     pairs
       .groupBy($"vector0", $"vector1")
       .agg(
-        sqrt(sum(pow($"value1", 2))).as("mod1"),
-        sqrt(sum(pow($"value2", 2))).as("mod2"))
+        sqrt(sum($"value1" * $"value1")).as("mod1"),
+        sqrt(sum($"value2" * $"value2")).as("mod2"))
       .as[FactorMod]
 
   /** Full per-vector L2 norms (reference genVectorMod :110–119). */
   def vectorMods(normalized: Dataset[NormalizedElement]): Dataset[VectorMod] =
     normalized
       .groupBy(col(axis).as("vector"))
-      .agg(sqrt(sum(pow($"normalized_value", 2))).as("mod"))
+      .agg(sqrt(sum($"normalized_value" * $"normalized_value")).as("mod"))
       .as[VectorMod]
 
   /**
@@ -371,8 +371,8 @@ final class MatrixModel(
       .groupBy($"vector0", $"vector1")
       .agg(
         sum($"value1" * $"value2").as("numerator"),
-        sqrt(sum(pow($"value1", 2))).as("mod1"),
-        sqrt(sum(pow($"value2", 2))).as("mod2"))
+        sqrt(sum($"value1" * $"value1")).as("mod1"),
+        sqrt(sum($"value2" * $"value2")).as("mod2"))
       .select(
         $"vector0",
         $"vector1",
