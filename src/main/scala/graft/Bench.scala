@@ -19,7 +19,7 @@ object Bench {
     "max_values", "normalize", "vector_mods", "aligned_pairs",
     "aligned_pairs_salted", "pair_mods_sparse", "cosine_sparse_all",
     "cosine_dense_all", "cosine_subset", "cosine_topk", "cosine_topk_ann",
-    "cosine_predict", "tf_matrix", "tf_stopwords", "tfidf_matrix",
+    "cosine_predict", "cosine_predict_ann", "tf_matrix", "tf_stopwords", "tfidf_matrix",
     "text_stats", "lang_id",
     "doc_fingerprint", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_embedding", "ann_topk_brute",

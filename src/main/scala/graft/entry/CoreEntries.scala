@@ -85,6 +85,11 @@ object CoreEntries {
     "cosine_topk_ann" -> ((s, dir) =>
       gate(graft.ext.SparseAnn.topSimilarAnn(analysis(s), supplierPartMatrix(s, dir), 5),
         "vector", "rank")),
+    // ANN-routed missing-value prediction: same CF weighting as
+    // cosine_predict, neighbors restricted to the LSH candidate rule
+    "cosine_predict_ann" -> ((s, dir) =>
+      gate(graft.ext.SparseAnn.predictMissingAnn(analysis(s), supplierPartMatrix(s, dir), 5),
+        "y", "x")),
     // document-frequency cap before alignment (the Zipf-head scale guard)
     "aligned_pairs_dfcap" -> ((s, dir) => {
       val a = analysis(s)
@@ -117,6 +122,31 @@ object CoreEntries {
     |num AS (SELECT vector0, vector1, SUM(v1*v2) AS numtr FROM p GROUP BY 1, 2)""".stripMargin
 
   private val subsetList = subsetIds.map(v => s"'$v'").mkString("(", ", ", ")")
+
+  /** Sparse sign-LSH candidate chain (buckets → hamming≤1 pairs → snapped
+    * dense cosine, symmetrized) mirroring graft.ext.SparseAnn — the shared
+    * prefix of the cosine_topk_ann / cosine_predict_ann oracles. */
+  private val annCandSql: String = s""",
+    |sproj AS (SELECT y, ${(0 until graft.ext.SparseAnn.Planes)
+        .map(k => s"SUM(${graft.ext.SparseAnn.planeComponent(k, "x")} * nv) AS p_$k")
+        .mkString(", ")}
+    |          FROM n GROUP BY y),
+    |sbkt AS (SELECT y AS v, CAST(${(0 until graft.ext.SparseAnn.Planes)
+        .map(k => s"CASE WHEN p_$k > 0 THEN ${1L << k} ELSE 0 END")
+        .mkString(" + ")} AS BIGINT) AS bucket
+    |         FROM sproj),
+    |mk AS (SELECT * FROM $lshProbeMasksSql),
+    |cand AS (SELECT hi.v AS vector0, lo.v AS vector1
+    |         FROM sbkt lo JOIN sbkt hi ON lo.v < hi.v
+    |         JOIN mk ON xor(lo.bucket, hi.bucket) = CAST(mk.mask AS BIGINT)),
+    |csim AS (SELECT c.vector0, c.vector1,
+    |                floor(COALESCE(num.numtr / (va.md * vb.md), 0.0)*1e6 + 0.50001)/1e6 AS s
+    |         FROM cand c
+    |         JOIN vm va ON va.vector = c.vector0
+    |         JOIN vm vb ON vb.vector = c.vector1
+    |         LEFT JOIN num ON num.vector0 = c.vector0 AND num.vector1 = c.vector1),
+    |csym AS (SELECT vector0 AS v, vector1 AS u, s FROM csim
+    |         UNION ALL SELECT vector1 AS v, vector0 AS u, s FROM csim)""".stripMargin
 
   /** Dense sims snapped + symmetrized, shared by the topk/predict oracles. */
   private val symSimsSql: String = """,
@@ -183,31 +213,24 @@ object CoreEntries {
     // candidate rule mirrored from SparseAnn: sparse sign-LSH buckets,
     // probe set = own bucket + hamming-1; exact dense cosine on candidates
     "cosine_topk_ann" ->
-      (pipelineSql + s""",
-        |sproj AS (SELECT y, ${(0 until graft.ext.SparseAnn.Planes)
-            .map(k => s"SUM(${graft.ext.SparseAnn.planeComponent(k, "x")} * nv) AS p_$k")
-            .mkString(", ")}
-        |          FROM n GROUP BY y),
-        |sbkt AS (SELECT y AS v, CAST(${(0 until graft.ext.SparseAnn.Planes)
-            .map(k => s"CASE WHEN p_$k > 0 THEN ${1L << k} ELSE 0 END")
-            .mkString(" + ")} AS BIGINT) AS bucket
-        |         FROM sproj),
-        |mk AS (SELECT * FROM $lshProbeMasksSql),
-        |cand AS (SELECT hi.v AS vector0, lo.v AS vector1
-        |         FROM sbkt lo JOIN sbkt hi ON lo.v < hi.v
-        |         JOIN mk ON xor(lo.bucket, hi.bucket) = CAST(mk.mask AS BIGINT)),
-        |csim AS (SELECT c.vector0, c.vector1,
-        |                floor(COALESCE(num.numtr / (va.md * vb.md), 0.0)*1e6 + 0.50001)/1e6 AS s
-        |         FROM cand c
-        |         JOIN vm va ON va.vector = c.vector0
-        |         JOIN vm vb ON vb.vector = c.vector1
-        |         LEFT JOIN num ON num.vector0 = c.vector0 AND num.vector1 = c.vector1),
-        |csym AS (SELECT vector0 AS v, vector1 AS u, s FROM csim
-        |         UNION ALL SELECT vector1 AS v, vector0 AS u, s FROM csim),
+      (pipelineSql + annCandSql + """,
         |crk AS (SELECT v, u, s, row_number() OVER (PARTITION BY v ORDER BY s DESC, u) AS rn
         |        FROM csym)
         |SELECT v AS vector, CAST(rn AS BIGINT) AS rank, u AS neighbor, s AS similarity_value
         |FROM crk WHERE rn <= 5 ORDER BY vector, rank""".stripMargin),
+    // cosine_predict's CF tail over the SAME candidate CTE chain
+    "cosine_predict_ann" ->
+      (pipelineSql + annCandSql + """,
+        |pos AS (SELECT v, u, s, row_number() OVER (PARTITION BY v ORDER BY s DESC, u) AS rn
+        |        FROM csym WHERE s > 0),
+        |contrib AS (SELECT t.v, n.x AS coord, SUM(t.s * n.nv) / SUM(t.s) AS pv
+        |            FROM pos t JOIN n ON n.y = t.u
+        |            WHERE t.rn <= 5 GROUP BY 1, 2),
+        |missing AS (SELECT c.v, c.coord, c.pv FROM contrib c
+        |            WHERE NOT EXISTS (SELECT 1 FROM m
+        |                              WHERE m.y = c.v AND m.x = c.coord))
+        |SELECT v AS y, coord AS x, floor((pv)*1e6 + 0.50001)/1e6 AS predicted_value
+        |FROM missing ORDER BY y, x""".stripMargin),
     "cosine_predict" ->
       (pipelineSql + symSimsSql + """,
         |pos AS (SELECT v, u, s, row_number() OVER (PARTITION BY v ORDER BY s DESC, u) AS rn

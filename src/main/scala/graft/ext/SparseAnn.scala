@@ -61,22 +61,21 @@ object SparseAnn {
   }
 
   /**
-   * Each vector's k most-similar LSH-candidate neighbors by dense cosine,
-   * ranked like [[graft.core.MatrixModel.topSimilar]] (1e-6-snapped
-   * similarity desc, neighbor asc). Candidates with no shared coordinate
-   * get similarity 0.0 (dense semantics); pairs outside every probe are
-   * not considered at all — the candidate rule is part of the contract.
+   * 1e-6-snapped dense cosine for every LSH candidate pair (canonical
+   * order vector0 > vector1, matching the core's pair contract), both
+   * directions exploded into (vector, neighbor, s) rows. Candidates with
+   * no shared coordinate get similarity 0.0 (dense semantics); pairs
+   * outside every probe are not considered at all — the candidate rule is
+   * part of the contract. The shared kernel behind [[topSimilarAnn]] and
+   * [[predictMissingAnn]].
    */
-  def topSimilarAnn(analysis: CosineAnalysis, matrix: Dataset[MatrixElement],
-      k: Int = 5): DataFrame = {
-    require(k > 0)
+  def candidateSims(analysis: CosineAnalysis, matrix: Dataset[MatrixElement]): DataFrame = {
     val norm = analysis.normalize(matrix)
     val n = norm.toDF().select(
       col(analysis.axis).as("vector"),
       col(analysis.predictionAxis).as("coord"),
       col("normalized_value").as("nv"))
     val mods = analysis.vectorMods(norm).toDF()
-    // canonical order vector0 > vector1, matching the core's pair contract
     val cands = Embeddings.lshNearPairs(buckets(n, "vector", "coord", "nv"))
       .select(col("v1").as("vector0"), col("v0").as("vector1"))
     val a = n.select(col("vector").as("vector0"), col("coord"), col("nv").as("nv0"))
@@ -92,17 +91,57 @@ object SparseAnn {
         (floor(coalesce(col("dot") / (col("mod0") * col("mod1")), lit(0.0)) * lit(1e6)
           + lit(0.50001)) / lit(1e6)).as("s"))
     // single-pass symmetrization (see MatrixModel.topSimilar): explode, not union
-    val sym = sims.select(explode(array(
+    sims.select(explode(array(
         struct(col("vector0").as("vector"), col("vector1").as("neighbor"), col("s")),
         struct(col("vector1").as("vector"), col("vector0").as("neighbor"), col("s"))))
         .as("p"))
       .select(col("p.vector").as("vector"), col("p.neighbor").as("neighbor"),
-        col("p.s").as("similarity_value"))
+        col("p.s").as("s"))
+  }
+
+  /**
+   * Each vector's k most-similar LSH-candidate neighbors by dense cosine,
+   * ranked like [[graft.core.MatrixModel.topSimilar]] (1e-6-snapped
+   * similarity desc, neighbor asc).
+   */
+  def topSimilarAnn(analysis: CosineAnalysis, matrix: Dataset[MatrixElement],
+      k: Int = 5): DataFrame = {
+    require(k > 0)
     val w = Window.partitionBy("vector")
       .orderBy(col("similarity_value").desc, col("neighbor").asc)
-    sym
+    candidateSims(analysis, matrix)
+      .withColumnRenamed("s", "similarity_value")
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select("vector", "rank", "neighbor", "similarity_value")
+  }
+
+  /**
+   * ANN-routed missing-value prediction: the similarity-weighted
+   * collaborative filter of [[graft.core.CosineAnalysis.predictMissing]]
+   * with neighbor selection restricted to LSH candidates — so the last
+   * dense-all-pairs consumer in the API has a quadratic-free twin. Same
+   * weighting, ranking, and missing-only semantics; only the neighbor
+   * candidate set differs (by the documented bucket rule).
+   */
+  def predictMissingAnn(analysis: CosineAnalysis, matrix: Dataset[MatrixElement],
+      neighbors: Int = 5): DataFrame = {
+    require(neighbors > 0)
+    val sym = candidateSims(analysis, matrix).where(col("s") > 0.0)
+    val w = Window.partitionBy("vector").orderBy(col("s").desc, col("neighbor").asc)
+    val top = sym.withColumn("rn", row_number().over(w)).where(col("rn") <= neighbors)
+    val n = analysis.normalize(matrix).toDF()
+    val cells = n.select(col(analysis.axis).as("neighbor"),
+      col(analysis.predictionAxis).as("coord"), col("normalized_value").as("nv"))
+    val contrib = top.join(cells, "neighbor")
+      .groupBy(col("vector"), col("coord"))
+      .agg((sum(col("s") * col("nv")) / sum(col("s"))).as("predicted_value"))
+    val existing = matrix.toDF().select(col(analysis.axis).as("vector"),
+      col(analysis.predictionAxis).as("coord"))
+    val missingOnly = contrib.join(existing, Seq("vector", "coord"), "left_anti")
+    if (analysis.axis == "y")
+      missingOnly.select(col("vector").as("y"), col("coord").as("x"), col("predicted_value"))
+    else
+      missingOnly.select(col("coord").as("y"), col("vector").as("x"), col("predicted_value"))
   }
 }

@@ -16,6 +16,12 @@ final case class UserSession(
 /** Mutable-free accumulator for an open session. */
 final case class SessionAcc(startMs: Long, endMs: Long, n: Long, sum: Double)
 
+/** Per-user state for [[EventsStream.sessionize]]: every session the
+  * watermark has not yet finalized, kept sorted by start. Bounded — a
+  * session leaves as soon as the watermark passes `end + gap`, so the list
+  * holds at most `watermark horizon / gap` entries per user. */
+final case class OpenSessions(sessions: Seq[SessionAcc])
+
 /**
  * Structured Streaming twins of the batch [[graft.ext.Events]] operators:
  * the same semantics expressed as an unbounded query — `readStream` →
@@ -47,16 +53,18 @@ object EventsStream {
   /**
    * Streaming gap-based sessionization with custom state —
    * `flatMapGroupsWithState` keyed by user, event-time timeout. A session
-   * closes (and is emitted) when a new event arrives more than `gapSec`
-   * after the previous one, or when the watermark passes the open
-   * session's end + gap (timeout path).
+   * is emitted once the watermark passes its `end + gap`: at that point no
+   * event the watermark still admits can extend it or bridge into it, so
+   * the output EXACTLY matches the batch twin ([[graft.ext.Events
+   * .sessionize]]) for every reordering the watermark tolerates — chained
+   * stragglers included (the r3 divergence, now closed and pinned by
+   * BatchStreamParitySpec).
    *
-   * Out-of-order input matches the batch twin with one bounded exception:
-   * an event arriving more than a gap before the CURRENT open session is
-   * emitted as a singleton session immediately; if several such stragglers
-   * would have chained into one earlier session, batch merges them while
-   * this emits them separately. State holds one open session per user, so
-   * that reordering (well past the watermark in practice) is the trade.
+   * State holds every not-yet-final session per user (sorted, merged with
+   * the same sort-and-fold rule batch uses); the watermark bounds the list
+   * at ~horizon/gap entries, so state stays O(1) per user. The trade vs
+   * the old emit-on-gap design is output latency (a closed session waits
+   * for the watermark), which is the standard Append-mode contract.
    */
   def sessionize(events: Dataset[StreamEvent], gapSec: Long = 1800,
       watermark: String = "1 hour"): Dataset[UserSession] = {
@@ -66,46 +74,36 @@ object EventsStream {
     def finish(userId: Long, s: SessionAcc): UserSession =
       UserSession(userId, s.startMs / 1000, s.endMs / 1000, s.n, s.sum)
 
+    // the batch twin's rule, incremental: sort by start, merge neighbors
+    // whose gap is <= gapMs
+    def merge(xs: Seq[SessionAcc]): List[SessionAcc] =
+      xs.sortBy(s => (s.startMs, s.endMs)).foldLeft(List.empty[SessionAcc]) {
+        case (cur :: done, nxt) if nxt.startMs - cur.endMs <= gapMs =>
+          SessionAcc(cur.startMs, math.max(cur.endMs, nxt.endMs),
+            cur.n + nxt.n, cur.sum + nxt.sum) :: done
+        case (acc, nxt) => nxt :: acc
+      }.reverse
+
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, batch: Iterator[StreamEvent], state: GroupState[SessionAcc]) =>
-          if (batch.isEmpty && state.hasTimedOut) {
-            // watermark passed: close and emit the open session
-            val out = state.getOption.map(finish(userId, _))
-            state.remove()
-            out.iterator
-          } else {
-            var open = state.getOption
-            val closed = Seq.newBuilder[UserSession]
-            batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
-              val t = e.ts.getTime
-              open match {
-                case Some(s) if t >= s.startMs - gapMs && t - s.endMs <= gapMs =>
-                  // late-but-within-watermark events can precede the open
-                  // session's start; extend both ends so start_sec matches
-                  // the batch twin on out-of-order input (ADVICE r2)
-                  open = Some(SessionAcc(math.min(s.startMs, t), math.max(s.endMs, t),
-                    s.n + 1, s.sum + e.value))
-                case Some(s) if t < s.startMs - gapMs =>
-                  // more than a gap BEFORE the open session: the batch twin
-                  // (global sort) would close it as its own earlier session,
-                  // never merge it forward — emit it closed right away
-                  closed += finish(userId, SessionAcc(t, t, 1, e.value))
-                case Some(s) =>
-                  closed += finish(userId, s)
-                  open = Some(SessionAcc(t, t, 1, e.value))
-                case None =>
-                  open = Some(SessionAcc(t, t, 1, e.value))
-              }
-            }
-            open.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.endMs + gapMs)
-            }
-            closed.result().iterator
+        (userId: Long, batch: Iterator[StreamEvent], state: GroupState[OpenSessions]) =>
+          val prior = state.getOption.map(_.sessions).getOrElse(Seq.empty)
+          val incoming =
+            batch.map(e => SessionAcc(e.ts.getTime, e.ts.getTime, 1L, e.value)).toSeq
+          val wm = state.getCurrentWatermarkMs()
+          // final once the watermark strictly passes end + gap — no
+          // admissible event can reach the session anymore
+          val (closed, open) = merge(prior ++ incoming).partition(_.endMs + gapMs < wm)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(OpenSessions(open))
+            // wake when the earliest open session becomes final (timeout
+            // timestamps must sit strictly beyond the current watermark)
+            state.setTimeoutTimestamp(math.max(open.map(_.endMs).min + gapMs, wm + 1))
           }
+          closed.sortBy(_.startMs).map(finish(userId, _)).iterator
       }
   }
 

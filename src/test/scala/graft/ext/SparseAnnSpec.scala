@@ -46,6 +46,19 @@ class SparseAnnSpec extends SparkSpec {
     }
   }
 
+  test("predictMissingAnn fills only missing cells, equi-join plan") {
+    val p = SparseAnn.predictMissingAnn(analysis, matrix, neighbors = 3)
+    val plan = p.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    val preds = p.collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+    assert(preds.nonEmpty)
+    val existing = matrix.collect().map(m => (m.y, m.x)).toSet
+    assert(preds.forall { case (k, _) => !existing.contains(k) })
+    // weights are positive-similarity weighted means of normalized values
+    // in [0, 1], so predictions stay in (0, 1]
+    assert(preds.forall { case (_, v) => v > 0.0 && v <= 1.0 + 1e-9 })
+  }
+
   test("buckets: sign pattern is deterministic and bounded to Planes bits") {
     val n = analysis.normalize(matrix).toDF()
       .select($"y".as("vector"), $"x".as("coord"), $"normalized_value".as("nv"))

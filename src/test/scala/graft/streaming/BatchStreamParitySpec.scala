@@ -105,11 +105,12 @@ class BatchStreamParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("sessionize: two chained stragglers diverge from batch as documented") {
-    // The documented trade (EventsStream.sessionize scaladoc): an event
-    // more than a gap BEFORE the open session is emitted as a singleton
-    // immediately. Two such stragglers within a gap of EACH OTHER would
-    // merge into one session in batch; streaming emits two singletons.
+  test("sessionize: two chained stragglers merge exactly like batch") {
+    // r3's divergence, now closed: events more than a gap BEFORE the open
+    // session used to be emitted as singletons immediately, so two such
+    // stragglers within a gap of EACH OTHER couldn't merge. Sessions now
+    // wait in state until the watermark passes end + gap, so the chain
+    // merges exactly as the batch twin's global sort does.
     val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
     def ev(minutes: Long, v: Double) =
       StreamEvent(7, new Timestamp(base + minutes * 60000), "click", v)
@@ -146,11 +147,8 @@ class BatchStreamParitySpec extends SparkSpec {
       q.processAllAvailable()
       val stream = sessions(
         spark.table("parity_chained").where($"user_id" < 99).collect())
-      // streaming: each straggler is its own singleton — the documented
-      // divergence, pinned here so a future fix updates the scaladoc too
-      assert(stream == Set((base / 1000 + 45 * min, base / 1000 + 45 * min, 1L),
-        (base / 1000 + 60 * min, base / 1000 + 60 * min, 1L),
-        (base / 1000 + 100 * min, base / 1000 + 100 * min, 1L)))
+      // streaming now merges the straggler chain exactly like batch
+      assert(stream == batch)
     } finally q.stop()
   }
 
