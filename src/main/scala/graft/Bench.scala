@@ -22,8 +22,9 @@ object Bench {
     "cosine_predict", "cosine_predict_ann", "tf_matrix", "tf_stopwords", "tfidf_matrix",
     "text_stats", "lang_id",
     "doc_fingerprint", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_ngram_jaccard", "dedup_embedding", "ann_topk_brute",
-    "ann_ivf_topk", "ann_lsh_topk", "ann_lsh_multiprobe", "events_hourly",
+    "dedup_ngram_jaccard", "dedup_embedding", "dedup_groups", "ann_topk_brute",
+    "ann_ivf_topk", "ann_lsh_topk", "ann_lsh_multiprobe", "embed_kmeans",
+    "quality_repetition", "events_hourly",
     "events_sessionize", "multimodal_meta")
 
   def main(args: Array[String]): Unit = {

@@ -38,8 +38,16 @@ object AnnEntries {
       val e = embeddings(s, dir)
       gate(Embeddings.lshTopKMultiProbe(e, e.where(col("vec_id") < QueryCount),
         "vec_id", "embedding", 5, dim = 64), "query_id", "rank")
-    })
+    }),
+    // fixed-iteration distributed k-means (IVF training / clustering)
+    "embed_kmeans" -> ((s, dir) =>
+      gate(Embeddings.kMeansAssign(embeddings(s, dir), "vec_id", "embedding",
+        k = KMeansK, iters = KMeansIters), "vec_id"))
   )
+
+  /** Cluster count / Lloyd rounds for the contract k-means run. */
+  private val KMeansK = 8
+  private val KMeansIters = 2
 
   /** Hyperplane/probe-mask VALUES tables shared with [[DedupEntries]]. */
   private val planesSql = lshPlanesSql(64)
@@ -120,6 +128,31 @@ object AnnEntries {
         |                                 ORDER BY cosine DESC, cand_id) AS rn
         |       FROM probed)
         |SELECT query_id, CAST(rn AS BIGINT) AS rank, cand_id AS vec_id, cosine
-        |FROM rk WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin)
+        |FROM rk WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin),
+    // 2 unrolled Lloyd rounds mirroring Embeddings.kMeansAssign: snapped
+    // squared distances + snapped centroid means, argmin tiebreak by cid
+    "embed_kmeans" ->
+      s"""WITH u AS (SELECT vec_id, i, CAST(embedding[i+1] AS DOUBLE) AS x
+        |           FROM embeddings, UNNEST(range(len(embedding))) AS r(i)),
+        |seed AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid
+        |         FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $KMeansK)),
+        |c0 AS (SELECT s.cid, u.i, u.x AS c FROM u JOIN seed s ON u.vec_id = s.vec_id),
+        |d1 AS (SELECT u.vec_id, c.cid,
+        |              ${r6sql("SUM((u.x - c.c) * (u.x - c.c))")} AS d2
+        |       FROM u JOIN c0 c ON u.i = c.i GROUP BY 1, 2),
+        |a1 AS (SELECT vec_id, cid FROM
+        |         (SELECT vec_id, cid,
+        |                 row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |          FROM d1) WHERE rn = 1),
+        |c1 AS (SELECT a.cid, u.i, ${r6sql("AVG(u.x)")} AS c
+        |       FROM u JOIN a1 a ON u.vec_id = a.vec_id GROUP BY 1, 2),
+        |d2t AS (SELECT u.vec_id, c.cid,
+        |               ${r6sql("SUM((u.x - c.c) * (u.x - c.c))")} AS d2
+        |        FROM u JOIN c1 c ON u.i = c.i GROUP BY 1, 2),
+        |a2 AS (SELECT vec_id, cid, d2,
+        |              row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |       FROM d2t)
+        |SELECT vec_id, CAST(cid AS BIGINT) AS cluster, d2 AS dist2
+        |FROM a2 WHERE rn = 1 ORDER BY vec_id""".stripMargin
   )
 }

@@ -23,8 +23,18 @@ object DedupEntries {
     "dedup_simhash" -> ((s, dir) =>
       gate(Dedup.simHashDups(docs(s, dir), "doc_id", "text"), "doc0", "doc1")),
     "dedup_embedding" -> ((s, dir) =>
-      gate(Dedup.embeddingDups(embeddings(s, dir), "vec_id", "embedding"), "v0", "v1"))
+      gate(Dedup.embeddingDups(embeddings(s, dir), "vec_id", "embedding"), "v0", "v1")),
+    // component grouping over the minhash near-dup pairs (keep-one step)
+    "dedup_groups" -> ((s, dir) => {
+      val d = docs(s, dir)
+      gate(Dedup.dupGroups(d,
+        Dedup.minHashDups(d, "doc_id", "text").select("doc0", "doc1"),
+        "doc_id", rounds = GroupRounds), "doc_id")
+    })
   )
+
+  /** Label-propagation rounds for the contract grouping run. */
+  private val GroupRounds = 4
 
   import TextHash.M
 
@@ -120,6 +130,32 @@ object DedupEntries {
         |JOIN bkt b0 ON b0.vec_id = c.v0
         |JOIN bkt b1 ON b1.vec_id = c.v1
         |JOIN mk ON xor(b0.bucket, b1.bucket) = CAST(mk.mask AS BIGINT)
-        |WHERE c.cosine >= 0.4 ORDER BY v0, v1""".stripMargin)
+        |WHERE c.cosine >= 0.4 ORDER BY v0, v1""".stripMargin),
+    // GroupRounds unrolled min-label-propagation rounds over the minhash
+    // dup pairs, mirroring Dedup.dupGroups exactly (fixed-rounds contract)
+    "dedup_groups" -> {
+      val rounds = (1 to GroupRounds).map { r =>
+        val p = r - 1
+        s"""n$r AS (SELECT ed.src AS doc_id, l.rep AS nrep
+          |        FROM ed JOIN l$p l ON ed.dst = l.doc_id),
+          |l$r AS (SELECT l.doc_id,
+          |               least(MIN(l.rep), coalesce(MIN(n.nrep), MIN(l.rep))) AS rep
+          |        FROM l$p l LEFT JOIN n$r n USING (doc_id) GROUP BY l.doc_id)""".stripMargin
+      }.mkString(",\n")
+      shingleSql + s""",
+        |sig AS (SELECT doc_id, $sigSelect FROM shg GROUP BY doc_id),
+        |bands AS ($bandsSql),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc0, b.doc_id AS doc1
+        |         FROM bands a JOIN bands b
+        |           ON a.band = b.band AND a.sigv = b.sigv AND a.doc_id < b.doc_id),
+        |dups AS (SELECT doc0, doc1 FROM cand JOIN jac USING (doc0, doc1)
+        |         WHERE jaccard >= 0.2),
+        |ed AS (SELECT doc0 AS src, doc1 AS dst FROM dups
+        |       UNION ALL SELECT doc1 AS src, doc0 AS dst FROM dups),
+        |l0 AS (SELECT doc_id, doc_id AS rep FROM documents),
+        |$rounds
+        |SELECT doc_id, CAST(rep AS BIGINT) AS group_rep
+        |FROM l$GroupRounds ORDER BY doc_id""".stripMargin
+    }
   )
 }

@@ -59,7 +59,10 @@ object TextEntries {
       gate(TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text"), "doc_id")),
     // ext: order-sensitive rolling-hash fingerprint
     "doc_fingerprint" -> ((s, dir) =>
-      gate(TextAnalysis.fingerprint(docs(s, dir), "doc_id", "text"), "doc_id"))
+      gate(TextAnalysis.fingerprint(docs(s, dir), "doc_id", "text"), "doc_id")),
+    // ext: Gopher-style bigram repetition quality signals
+    "quality_repetition" -> ((s, dir) =>
+      gate(TextAnalysis.repetition(docs(s, dir), "doc_id", "text"), "doc_id"))
   )
 
   /** Tokens-with-position CTE mirroring [[TextAnalysis.tokensWithPosition]]. */
@@ -131,6 +134,21 @@ object TextEntries {
       (tokSql + s""",
         |terms AS (SELECT doc_id, ${TextHash.fingerprintTerm("pos", "token")} AS term FROM tok)
         |SELECT doc_id, CAST(SUM(term) % ${TextHash.M} AS BIGINT) AS fingerprint
-        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    "quality_repetition" ->
+      s"""WITH wf AS (SELECT doc_id,
+        |              list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS w
+        |            FROM documents),
+        |big AS (SELECT doc_id, w[i+1] || ' ' || w[i+2] AS bigram
+        |        FROM wf, UNNEST(range(len(w) - 1)) AS r(i)
+        |        WHERE len(w) >= 2),
+        |bc AS (SELECT doc_id, bigram, COUNT(*) AS cnt FROM big GROUP BY 1, 2)
+        |SELECT doc_id,
+        |       CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+        |       CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams,
+        |       CAST(MAX(cnt) AS BIGINT) AS top_bigram_count,
+        |       ${r6sql("CAST(MAX(cnt) AS DOUBLE) / SUM(cnt)")} AS top_bigram_frac,
+        |       ${r6sql("CAST(SUM(cnt) - COUNT(*) AS DOUBLE) / SUM(cnt)")} AS dup_bigram_frac
+        |FROM bc GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

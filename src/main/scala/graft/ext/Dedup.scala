@@ -282,4 +282,39 @@ object Dedup {
       else Embeddings.lshNearPairsCosine(emb, idCol, vecCol, dim)
     cos.where(col("cosine") >= minCosine)
   }
+
+  /**
+   * Duplicate-cluster grouping — the "keep one document per duplicate
+   * component" step every dedup pipeline ends with: collapse near-dup
+   * PAIRS (from any detector above, columns `doc0`/`doc1`) into connected
+   * components and map each doc to its representative, the smallest doc
+   * id reachable within `rounds` hops. Docs in no pair map to themselves.
+   *
+   * `rounds` min-label-propagation rounds unrolled into ONE lazy plan —
+   * per round one equi-join of the edge list against the label table plus
+   * one min-aggregate (map-side partial). Fixed rounds keep the operator
+   * deterministic and oracle-checkable: the contract is "representative
+   * within `rounds` hops", exact for any component whose min-eccentricity
+   * is ≤ `rounds`. Near-dup components are near-cliques in practice
+   * (similarity is ~transitive), so small `rounds` converge; a production
+   * run at unknown diameter loops until a round changes nothing (one
+   * cheap count per round) or switches to pointer-doubling.
+   */
+  def dupGroups(docs: DataFrame, pairs: DataFrame, idCol: String,
+      rounds: Int = 4): DataFrame = {
+    require(rounds >= 1)
+    val edges = pairs.select(col("doc0").as("src"), col("doc1").as("dst"))
+      .union(pairs.select(col("doc1").as("src"), col("doc0").as("dst")))
+    var lbl = docs.select(col(idCol).as("doc_id"), col(idCol).as("group_rep"))
+    for (_ <- 1 to rounds) {
+      val nbr = edges
+        .join(lbl.select(col("doc_id").as("dst"), col("group_rep").as("nrep")), "dst")
+        .select(col("src").as("doc_id"), col("nrep"))
+      lbl = lbl.join(nbr, Seq("doc_id"), "left")
+        .groupBy("doc_id")
+        .agg(least(min(col("group_rep")),
+          coalesce(min(col("nrep")), min(col("group_rep")))).as("group_rep"))
+    }
+    lbl
+  }
 }

@@ -250,6 +250,56 @@ object Embeddings {
         snapCol(expr(dotSql("e0", "e1")) / (col("n0") * col("n1"))).as("cosine"))
   }
 
+  /**
+   * Fixed-iteration distributed k-means (Lloyd) over an embedding column —
+   * the training step behind a real IVF index ([[ivfTopK]]'s argmax
+   * quantizer is the untrained stand-in) and the standard
+   * diversity-sampling / corpus-clustering primitive for training-data
+   * pipelines. Returns each vector's final cluster id and (1e-6-snapped)
+   * squared distance to its centroid.
+   *
+   * Fully declarative — the whole `iters`-round computation is ONE lazy
+   * plan (no driver actions, no collects): seeds are the `k` smallest ids
+   * (rank = cluster id), each assignment round joins the coordinate table
+   * to the broadcast centroid table (k·dim rows) and reduces map-side to
+   * one partial sum per (vector, cluster); centroid updates are a k·dim
+   * aggregate. Per round the shuffle carries O(N·k) aggregated rows —
+   * Lloyd's standard distributed shape.
+   *
+   * Cross-engine determinism: squared distances and updated centroid
+   * components are snapped to the 1e-6 grid each round, and argmin breaks
+   * ties by cluster id — so assignment is a total order on identical
+   * values in every engine (see the oracle-parity notes on [[graft.entry
+   * .EntryUtil.gate]]). A cluster that loses all members simply drops out
+   * of the next round's centroid table (deterministic on both sides).
+   */
+  def kMeansAssign(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    require(k > 0 && iters >= 1)
+    val cells = emb.select(col(idCol).as("vec_id"),
+        posexplode(col(vecCol)).as(Seq("i", "e")))
+      .select(col("vec_id"), col("i"), col("e").cast("double").as("x"))
+    val seedW = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
+    val seeds = emb.select(col(idCol).as("vec_id")).orderBy("vec_id").limit(k)
+      .select(col("vec_id"), (row_number().over(seedW) - 1).cast("long").as("cid"))
+    var cent = cells.join(seeds, "vec_id").select(col("cid"), col("i"), col("x").as("c"))
+    var assign: DataFrame = null
+    for (round <- 1 to iters) {
+      val dist = cells.join(broadcast(cent), "i")
+        .groupBy(col("vec_id"), col("cid"))
+        .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d2"))
+        .select(col("vec_id"), col("cid"), snapCol(col("d2")).as("d2"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("d2").asc, col("cid").asc)
+      assign = dist.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select("vec_id", "cid", "d2")
+      if (round < iters)
+        cent = cells.join(assign.select("vec_id", "cid"), "vec_id")
+          .groupBy(col("cid"), col("i")).agg(snapCol(avg(col("x"))).as("c"))
+    }
+    assign.select(col("vec_id"), col("cid").as("cluster"), col("d2").as("dist2"))
+  }
+
   /** Window-rank scored (query_id, vec_id, cosine) rows to the top k. */
   private def rank(scored: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

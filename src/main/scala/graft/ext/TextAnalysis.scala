@@ -100,6 +100,42 @@ object TextAnalysis {
         sum(ceil(length(col("token")).cast("double") / 4.0).cast("long")).as("subword_est"))
 
   /**
+   * Gopher/C4-style repetition quality signals per document, over word
+   * bigrams (this corpus is single-line, so line-level repetition rules
+   * degenerate — the n-gram form is the general one anyway): total and
+   * distinct bigram counts, the most frequent bigram's share of all
+   * occurrences, and the fraction of occurrences that are repeats. High
+   * shares flag boilerplate/template documents for corpus filtering.
+   *
+   * Join-free: bigrams are assembled inside each row with array HOFs
+   * (linear in document length), then counted with one partial+final
+   * aggregate keyed by doc — same embarrassingly-parallel shape as
+   * [[stats]]. Documents with fewer than two tokens have no bigrams and
+   * produce no row (both engines drop them identically at the explode).
+   * The frac columns are single IEEE divisions of identical integers, so
+   * they are bit-identical across engines even before the 1e-6 snap.
+   */
+  def repetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bigrams = docs
+      .select(col(idCol).as("doc_id"),
+        expr(s"filter(split($textCol, '\\\\s+'), t -> t <> '')").as("w"))
+      .where(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 2), " +
+          "i -> concat(element_at(w, i + 1), ' ', element_at(w, i + 2)))")).as("bigram"))
+    bigrams
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("cnt")).cast("long").as("n_bigrams"),
+        count(lit(1)).cast("long").as("n_distinct_bigrams"),
+        max(col("cnt")).cast("long").as("top_bigram_count"),
+        (max(col("cnt")).cast("double") / sum(col("cnt"))).as("top_bigram_frac"),
+        ((sum(col("cnt")) - count(lit(1))).cast("double") / sum(col("cnt")))
+          .as("dup_bigram_frac"))
+  }
+
+  /**
    * Order-sensitive document fingerprint: a position-weighted polynomial
    * over per-token character hashes, mod 1e9+7 (a rolling-hash analogue
    * that stays in exact int64 arithmetic — see [[TextHash.fingerprintTerm]]).

@@ -113,4 +113,19 @@ class DedupSpec extends SparkSpec {
         exhaustive = true).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(viaLsh == viaAll)
   }
+
+  test("dupGroups: components get their min id; rounds bound the reach") {
+    val ids = (1L to 7L).map(Tuple1(_)).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("doc0", "doc1")
+    val g = Dedup.dupGroups(ids, pairs, "doc_id", rounds = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+    // fixed-rounds contract: a 6-hop chain is NOT fully collapsed in 2
+    // rounds — doc 7 reaches only 2 hops back (to 5), as documented
+    val chain = (1L to 6L).map(i => (i, i + 1)).toDF("doc0", "doc1")
+    val g2 = Dedup.dupGroups(ids, chain, "doc_id", rounds = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g2(7L) == 5L && g2(3L) == 1L && g2(2L) == 1L)
+  }
 }

@@ -71,6 +71,29 @@ class EmbeddingsSpec extends SparkSpec {
     assert(rows.map(_.getLong(2)).distinct.length == rows.length)
   }
 
+  test("kMeansAssign separates two obvious blobs; equi-join plan") {
+    // seeds are the 2 smallest ids: v0 (left blob) and v1 (right blob)
+    val blobs = Seq(
+      (0L, Seq(0.0f, 0.0f)),
+      (1L, Seq(10.0f, 10.0f)),
+      (2L, Seq(0.5f, 0.0f)),
+      (3L, Seq(9.5f, 10.0f)),
+      (4L, Seq(0.0f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val a = Embeddings.kMeansAssign(blobs, "vec_id", "embedding", k = 2, iters = 2)
+    val plan = a.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    val rows = a.collect().map(r =>
+      r.getAs[Long]("vec_id") -> (r.getAs[Long]("cluster"), r.getAs[Double]("dist2"))).toMap
+    assert(rows.size == 5)
+    assert(rows(2L)._1 == rows(0L)._1 && rows(4L)._1 == rows(0L)._1)
+    assert(rows(3L)._1 == rows(1L)._1)
+    assert(rows(0L)._1 != rows(1L)._1)
+    assert(rows.values.forall(_._2 >= 0.0))
+    // after the centroid update, v0's distance is to the blob mean, not 0
+    assert(rows(0L)._2 > 0.0)
+  }
+
   test("ivfTopK searches only the query's argmax bucket") {
     // buckets: v0→1, v1→2, v2→1 (first max wins), v3→1
     val top = Embeddings.ivfTopK(emb, emb.where($"vec_id" === 0L), "vec_id", "embedding", 5)

@@ -50,6 +50,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Long]("subword_est") == 2L) // ceil(5/4)
   }
 
+  test("repetition: bigram counts, top share, dup fraction; <2 tokens drop") {
+    val d = Seq(
+      (0L, "a b a b a b c"), // bigrams: ab, ba, ab, ba, ab, bc
+      (1L, "x y"),
+      (2L, "short")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetition(d, "doc_id", "text").collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(!r.contains(2L)) // one token → no bigrams → no row
+    val r0 = r(0L)
+    assert(r0.getAs[Long]("n_bigrams") == 6L)
+    assert(r0.getAs[Long]("n_distinct_bigrams") == 3L)
+    assert(r0.getAs[Long]("top_bigram_count") == 3L) // "a b" ×3
+    assertApprox(r0.getAs[Double]("top_bigram_frac"), 0.5)
+    assertApprox(r0.getAs[Double]("dup_bigram_frac"), 0.5)
+    val r1 = r(1L)
+    assert(r1.getAs[Long]("n_bigrams") == 1L)
+    assertApprox(r1.getAs[Double]("top_bigram_frac"), 1.0)
+    assertApprox(r1.getAs[Double]("dup_bigram_frac"), 0.0)
+  }
+
   test("fingerprint is order-sensitive and deterministic") {
     val fp = (t: String) => TextAnalysis.fingerprint(
       Seq((0L, t)).toDF("doc_id", "text"), "doc_id", "text")
