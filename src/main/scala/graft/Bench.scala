@@ -23,7 +23,7 @@ object Bench {
     "text_stats", "lang_id",
     "doc_fingerprint", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_embedding", "dedup_groups", "ann_topk_brute",
-    "ann_ivf_topk", "ann_lsh_topk", "ann_lsh_multiprobe", "embed_kmeans",
+    "ann_ivf_topk", "ann_ivf_kmeans", "ann_lsh_topk", "ann_lsh_multiprobe", "embed_kmeans",
     "quality_repetition", "events_hourly",
     "events_sessionize", "multimodal_meta")
 
@@ -32,7 +32,12 @@ object Bench {
     val spark = SparkSessions.local("graft-bench",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val all = SparkEntry.queries
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 narrows the run for isolated
+    // re-measures on this episodically-starved host (see SparkSessions)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = headline.filter(all.contains)
+      .filter(n => only.forall(_.contains(n)))
     // Warm-up pass at the smallest sf: the plans' generated code is keyed
     // by structure (identical across sf dirs), so this JIT-compiles every
     // query's codegen classes before anything is timed. Cold-JVM runs

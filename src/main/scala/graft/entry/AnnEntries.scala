@@ -42,12 +42,20 @@ object AnnEntries {
     // fixed-iteration distributed k-means (IVF training / clustering)
     "embed_kmeans" -> ((s, dir) =>
       gate(Embeddings.kMeansAssign(embeddings(s, dir), "vec_id", "embedding",
-        k = KMeansK, iters = KMeansIters), "vec_id"))
+        k = KMeansK, iters = KMeansIters), "vec_id")),
+    // trained-IVF top-5: k-means codebook, nprobe=2 nearest lists searched
+    "ann_ivf_kmeans" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      gate(Embeddings.ivfKMeansTopK(e, e.where(col("vec_id") < QueryCount),
+        "vec_id", "embedding", 5, KMeansK, KMeansIters, nprobe = Nprobe),
+        "query_id", "rank")
+    })
   )
 
-  /** Cluster count / Lloyd rounds for the contract k-means run. */
+  /** Cluster count / Lloyd rounds / probe width for the k-means contract. */
   private val KMeansK = 8
   private val KMeansIters = 2
+  private val Nprobe = 2
 
   /** Hyperplane/probe-mask VALUES tables shared with [[DedupEntries]]. */
   private val planesSql = lshPlanesSql(64)
@@ -153,6 +161,63 @@ object AnnEntries {
         |              row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
         |       FROM d2t)
         |SELECT vec_id, CAST(cid AS BIGINT) AS cluster, d2 AS dist2
-        |FROM a2 WHERE rn = 1 ORDER BY vec_id""".stripMargin
+        |FROM a2 WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // trained-IVF search mirroring Embeddings.ivfKMeansTopK: the embed_kmeans
+    // chain + final centroid update (c2), nearest-centroid inverted lists
+    // (cb), nprobe-nearest query probes (qp), cosine rank within probed lists
+    "ann_ivf_kmeans" ->
+      s"""WITH u AS (SELECT vec_id, i, CAST(embedding[i+1] AS DOUBLE) AS x
+        |           FROM embeddings, UNNEST(range(len(embedding))) AS r(i)),
+        |n AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM u GROUP BY 1),
+        |seed AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid
+        |         FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $KMeansK)),
+        |c0 AS (SELECT s.cid, u.i, u.x AS c FROM u JOIN seed s ON u.vec_id = s.vec_id),
+        |d1 AS (SELECT u.vec_id, c.cid,
+        |              ${r6sql("SUM((u.x - c.c) * (u.x - c.c))")} AS d2
+        |       FROM u JOIN c0 c ON u.i = c.i GROUP BY 1, 2),
+        |a1 AS (SELECT vec_id, cid FROM
+        |         (SELECT vec_id, cid,
+        |                 row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |          FROM d1) WHERE rn = 1),
+        |c1 AS (SELECT a.cid, u.i, ${r6sql("AVG(u.x)")} AS c
+        |       FROM u JOIN a1 a ON u.vec_id = a.vec_id GROUP BY 1, 2),
+        |d2t AS (SELECT u.vec_id, c.cid,
+        |               ${r6sql("SUM((u.x - c.c) * (u.x - c.c))")} AS d2
+        |        FROM u JOIN c1 c ON u.i = c.i GROUP BY 1, 2),
+        |a2 AS (SELECT vec_id, cid FROM
+        |         (SELECT vec_id, cid,
+        |                 row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |          FROM d2t) WHERE rn = 1),
+        |c2 AS (SELECT a.cid, u.i, ${r6sql("AVG(u.x)")} AS c
+        |       FROM u JOIN a2 a ON u.vec_id = a.vec_id GROUP BY 1, 2),
+        |dc AS (SELECT u.vec_id, c.cid,
+        |              ${r6sql("SUM((u.x - c.c) * (u.x - c.c))")} AS d2
+        |       FROM u JOIN c2 c ON u.i = c.i GROUP BY 1, 2),
+        |cb AS (SELECT vec_id, cid FROM
+        |         (SELECT vec_id, cid,
+        |                 row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |          FROM dc) WHERE rn = 1),
+        |qp AS (SELECT vec_id AS query_id, cid FROM
+        |         (SELECT vec_id, cid,
+        |                 row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |          FROM dc WHERE vec_id < $QueryCount) WHERE rn <= $Nprobe),
+        |d AS (SELECT a.vec_id AS query_id, b.vec_id AS cand_id, SUM(a.x * b.x) AS dot
+        |      FROM u a JOIN u b ON a.i = b.i AND a.vec_id < $QueryCount
+        |                       AND a.vec_id <> b.vec_id
+        |      GROUP BY 1, 2),
+        |cosr AS (SELECT query_id, cand_id,
+        |                ${r6sql("dot / (nq.nrm * nc.nrm)")} AS cosine
+        |         FROM d JOIN n nq ON nq.vec_id = query_id
+        |                JOIN n nc ON nc.vec_id = cand_id),
+        |probed AS (SELECT c.query_id, c.cand_id, c.cosine
+        |           FROM cosr c
+        |           JOIN qp ON qp.query_id = c.query_id
+        |           JOIN cb ON cb.vec_id = c.cand_id AND cb.cid = qp.cid),
+        |rk AS (SELECT query_id, cand_id, cosine,
+        |              row_number() OVER (PARTITION BY query_id
+        |                                 ORDER BY cosine DESC, cand_id) AS rn
+        |       FROM probed)
+        |SELECT query_id, CAST(rn AS BIGINT) AS rank, cand_id AS vec_id, cosine
+        |FROM rk WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
   )
 }

@@ -273,12 +273,16 @@ object Embeddings {
    * .EntryUtil.gate]]). A cluster that loses all members simply drops out
    * of the next round's centroid table (deterministic on both sides).
    */
+  /** (vec_id, i, x): one double-cast coordinate row per vector component. */
+  private def cellsOf(emb: DataFrame, idCol: String, vecCol: String) =
+    emb.select(col(idCol).as("vec_id"),
+        posexplode(col(vecCol)).as(Seq("i", "e")))
+      .select(col("vec_id"), col("i"), col("e").cast("double").as("x"))
+
   def kMeansAssign(emb: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): DataFrame = {
     require(k > 0 && iters >= 1)
-    val cells = emb.select(col(idCol).as("vec_id"),
-        posexplode(col(vecCol)).as(Seq("i", "e")))
-      .select(col("vec_id"), col("i"), col("e").cast("double").as("x"))
+    val cells = cellsOf(emb, idCol, vecCol)
     val seedW = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
     val seeds = emb.select(col(idCol).as("vec_id")).orderBy("vec_id").limit(k)
       .select(col("vec_id"), (row_number().over(seedW) - 1).cast("long").as("cid"))
@@ -298,6 +302,66 @@ object Embeddings {
           .groupBy(col("cid"), col("i")).agg(snapCol(avg(col("x"))).as("c"))
     }
     assign.select(col("vec_id"), col("cid").as("cluster"), col("d2").as("dist2"))
+  }
+
+  /**
+   * The trained codebook: centroid coordinate rows (cid, i, c) from the
+   * final [[kMeansAssign]] assignment's update — i.e. after `iters` full
+   * Lloyd rounds. Centroid components are 1e-6-snapped (same grid as the
+   * training rounds) so downstream distance comparisons stay
+   * deterministic cross-engine.
+   */
+  def kMeansCentroids(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame =
+    cellsOf(emb, idCol, vecCol)
+      .join(kMeansAssign(emb, idCol, vecCol, k, iters)
+        .select(col("vec_id"), col("cluster").as("cid")), "vec_id")
+      .groupBy("cid", "i").agg(snapCol(avg(col("x"))).as("c"))
+
+  /**
+   * Trained-IVF top-k: the real IVF index [[ivfTopK]]'s argmax quantizer
+   * stands in for. Candidates are assigned to their nearest
+   * [[kMeansCentroids]] centroid (the inverted lists); each query probes
+   * its `nprobe` nearest centroids and ranks only those lists'
+   * candidates — the recall/cost knob of a production IVF index
+   * (nprobe/kClusters of the corpus scanned per query).
+   *
+   * Scale shape: centroids are k·dim broadcast rows; candidate and query
+   * assignment are the same broadcast-join + map-side partial aggregate
+   * as training; search is one equi-join on the cluster id. A candidate
+   * lives in exactly one list, so probing distinct clusters yields no
+   * duplicate (query, candidate) pairs. Determinism: snapped distances
+   * with cid tiebreaks, as everywhere in the k-means family.
+   */
+  def ivfKMeansTopK(candidates: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, kClusters: Int = 8, iters: Int = 2,
+      nprobe: Int = 2): DataFrame = {
+    require(k > 0 && nprobe > 0)
+    val cent = kMeansCentroids(candidates, idCol, vecCol, kClusters, iters)
+    def centDist(df: DataFrame) =
+      cellsOf(df, idCol, vecCol).join(broadcast(cent), "i")
+        .groupBy("vec_id", "cid")
+        .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d2"))
+        .select(col("vec_id"), col("cid"), snapCol(col("d2")).as("d2"))
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("d2").asc, col("cid").asc)
+    val cb = centDist(candidates).withColumn("rn", row_number().over(wA))
+      .where(col("rn") === 1).select(col("vec_id"), col("cid"))
+    val qp = centDist(queries).withColumn("rn", row_number().over(wA))
+      .where(col("rn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("cid"))
+    val cand = withNorms(candidates, idCol, vecCol).join(cb, "vec_id")
+    val q = withNorms(queries, idCol, vecCol)
+      .withColumnRenamed("vec_id", "query_id")
+      .withColumnRenamed("emb", "qemb")
+      .withColumnRenamed("nrm", "qnrm")
+      .join(qp, "query_id")
+    val scored = cand.join(broadcast(q), Seq("cid"))
+      .where(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        (expr(dotSql("qemb", "emb")) / (col("qnrm") * col("nrm"))).as("c"))
+      .select(col("query_id"), col("vec_id"), snap("c").as("cosine"))
+    rank(scored, k)
   }
 
   /** Window-rank scored (query_id, vec_id, cosine) rows to the top k. */

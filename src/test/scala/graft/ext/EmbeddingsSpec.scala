@@ -94,6 +94,24 @@ class EmbeddingsSpec extends SparkSpec {
     assert(rows(0L)._2 > 0.0)
   }
 
+  test("ivfKMeansTopK searches only the probed trained lists") {
+    val blobs = Seq(
+      (0L, Seq(0.0f, 0.1f)),
+      (1L, Seq(10.0f, 10.0f)),
+      (2L, Seq(0.5f, 0.1f)),
+      (3L, Seq(9.5f, 10.0f)),
+      (4L, Seq(0.1f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val top = Embeddings.ivfKMeansTopK(blobs, blobs.where($"vec_id" === 0L),
+      "vec_id", "embedding", k = 5, kClusters = 2, iters = 2, nprobe = 1)
+    val plan = top.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    val rows = top.collect().map(_.getLong(2))
+    // nprobe=1: only v0's own (left-blob) inverted list is scanned
+    assert(rows.toSet == Set(2L, 4L))
+    assert(rows.distinct.length == rows.length)
+  }
+
   test("ivfTopK searches only the query's argmax bucket") {
     // buckets: v0→1, v1→2, v2→1 (first max wins), v3→1
     val top = Embeddings.ivfTopK(emb, emb.where($"vec_id" === 0L), "vec_id", "embedding", 5)
