@@ -62,8 +62,17 @@ object TextEntries {
       gate(TextAnalysis.fingerprint(docs(s, dir), "doc_id", "text"), "doc_id")),
     // ext: Gopher-style bigram repetition quality signals
     "quality_repetition" -> ((s, dir) =>
-      gate(TextAnalysis.repetition(docs(s, dir), "doc_id", "text"), "doc_id"))
+      gate(TextAnalysis.repetition(docs(s, dir), "doc_id", "text"), "doc_id")),
+    // ext: deterministic content-hash stratified sampling
+    "sample_stratified" -> ((s, dir) =>
+      gate(TextAnalysis.hashSample(docs(s, dir), "doc_id", "text", "lang",
+        SampleRates, SampleDefault), "doc_id"))
   )
+
+  /** Per-language keep rates for the sampling contract (en-heavy corpus
+    * downsampled toward balance; others at the default floor). */
+  private val SampleRates = Map("en" -> 0.5, "de" -> 0.8)
+  private val SampleDefault = 0.25
 
   /** Tokens-with-position CTE mirroring [[TextAnalysis.tokensWithPosition]]. */
   val tokSql: String =
@@ -135,6 +144,18 @@ object TextEntries {
         |terms AS (SELECT doc_id, ${TextHash.fingerprintTerm("pos", "token")} AS term FROM tok)
         |SELECT doc_id, CAST(SUM(term) % ${TextHash.M} AS BIGINT) AS fingerprint
         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    "sample_stratified" ->
+      (tokSql + s""",
+        |terms AS (SELECT doc_id, ${TextHash.fingerprintTerm("pos", "token")} AS term FROM tok),
+        |fp AS (SELECT doc_id, CAST(SUM(term) % ${TextHash.M} AS BIGINT) AS fingerprint
+        |       FROM terms GROUP BY doc_id)
+        |SELECT d.doc_id, d.lang, f.fingerprint
+        |FROM documents d JOIN fp f USING (doc_id)
+        |WHERE f.fingerprint % 1000 <
+        |      CASE WHEN d.lang = 'en' THEN 500
+        |           WHEN d.lang = 'de' THEN 800
+        |           ELSE 250 END
+        |ORDER BY doc_id""".stripMargin),
     "quality_repetition" ->
       s"""WITH wf AS (SELECT doc_id,
         |              list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS w

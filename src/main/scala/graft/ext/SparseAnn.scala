@@ -25,6 +25,16 @@ import graft.core.{CosineAnalysis, MatrixElement}
  * buckets, the (id, bucket) probe equi-join for candidates, then the
  * alignment join restricted to candidate pairs — bounded by
  * |candidates| · coords-per-vector, never Σ_coord C(n_coord, 2).
+ *
+ * When to route through this (measured, isolated, sf0.1 supplier×part
+ * matrix, ~1k vectors): `cosine_topk` 8.3 s vs `cosine_topk_ann` 14.5 s,
+ * but `cosine_predict` 37.2 s vs `cosine_predict_ann` 32.2 s. On a matrix
+ * this dense the direct coordinate self-join enumerates pairs cheaply, so
+ * the candidate machinery (buckets + probe join + two id-joins back to
+ * coordinates) only pays off when the work per pair downstream is heavy
+ * (prediction's CF tail) — or, the real target regime, when vector count
+ * or Zipf-head coordinates make Σ_coord C(n_coord, 2) itself explode.
+ * The exact path stays the default; this is the scale escape hatch.
  */
 object SparseAnn {
 

@@ -136,6 +136,32 @@ object TextAnalysis {
   }
 
   /**
+   * Deterministic stratified sampling by CONTENT hash: keep a document iff
+   * `fingerprint(text) % 1000 < rate(stratum) * 1000`, with per-stratum
+   * rates (e.g. per language) and a default. The reproducible way to
+   * sample at corpus scale — stable under id reassignment, repartitioning
+   * and reruns (unlike `rand()`-based `sample`), and exact-duplicate docs
+   * always sample identically, so it composes with dedup. Cost: the
+   * per-doc fingerprint aggregate, one id equi-join back for the stratum
+   * label, and a literal CASE for the rate table — the filter prunes
+   * BEFORE anything downstream shuffles.
+   */
+  def hashSample(docs: DataFrame, idCol: String, textCol: String,
+      stratumCol: String, rates: Map[String, Double],
+      defaultRate: Double): DataFrame = {
+    require((defaultRate +: rates.values.toSeq).forall(r => r >= 0 && r <= 1))
+    val fp = fingerprint(docs, idCol, textCol)
+    val rate = rates.foldLeft(lit(math.floor(defaultRate * 1000).toLong)) {
+      case (els, (stratum, r)) =>
+        when(col(stratumCol) === stratum, lit(math.floor(r * 1000).toLong)).otherwise(els)
+    }
+    docs.select(col(idCol).as("doc_id"), col(stratumCol))
+      .join(fp, "doc_id")
+      .where(col("fingerprint") % 1000 < rate)
+      .select(col("doc_id"), col(stratumCol), col("fingerprint"))
+  }
+
+  /**
    * Order-sensitive document fingerprint: a position-weighted polynomial
    * over per-token character hashes, mod 1e9+7 (a rolling-hash analogue
    * that stays in exact int64 arithmetic — see [[TextHash.fingerprintTerm]]).

@@ -71,6 +71,22 @@ class TextAnalysisSpec extends SparkSpec {
     assertApprox(r1.getAs[Double]("dup_bigram_frac"), 0.0)
   }
 
+  test("hashSample keeps by content hash with per-stratum rates") {
+    val d = (0L until 40L).map(i => (i, s"word$i content number $i", if (i % 2 == 0) "en" else "zh"))
+      .toDF("doc_id", "text", "lang")
+    val all = TextAnalysis.hashSample(d, "doc_id", "text", "lang",
+      Map("en" -> 1.0), defaultRate = 0.0).collect()
+    // rate 1.0 keeps every en doc; rate 0.0 keeps no zh doc
+    assert(all.map(_.getLong(0)).toSet == (0L until 40L by 2).toSet)
+    // deterministic: same input → same sample, and content decides, not id
+    val relabeled = d.withColumn("doc_id", col("doc_id") + 1000)
+    val s1 = TextAnalysis.hashSample(d, "doc_id", "text", "lang",
+      Map("en" -> 0.5, "zh" -> 0.5), 0.25).collect().map(r => (r.getLong(0) % 1000, r.getLong(2))).toSet
+    val s2 = TextAnalysis.hashSample(relabeled, "doc_id", "text", "lang",
+      Map("en" -> 0.5, "zh" -> 0.5), 0.25).collect().map(r => (r.getLong(0) % 1000, r.getLong(2))).toSet
+    assert(s1 == s2)
+  }
+
   test("fingerprint is order-sensitive and deterministic") {
     val fp = (t: String) => TextAnalysis.fingerprint(
       Seq((0L, t)).toDF("doc_id", "text"), "doc_id", "text")
