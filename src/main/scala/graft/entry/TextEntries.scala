@@ -66,8 +66,15 @@ object TextEntries {
     // ext: deterministic content-hash stratified sampling
     "sample_stratified" -> ((s, dir) =>
       gate(TextAnalysis.hashSample(docs(s, dir), "doc_id", "text", "lang",
-        SampleRates, SampleDefault), "doc_id"))
+        SampleRates, SampleDefault), "doc_id")),
+    // ext: fixed-size token chunking with chunk-local fingerprints
+    "doc_chunks" -> ((s, dir) =>
+      gate(TextAnalysis.chunks(docs(s, dir), "doc_id", "text", ChunkSize),
+        "doc_id", "chunk_id"))
   )
+
+  /** Chunk width (tokens) for the chunking contract. */
+  private val ChunkSize = 64
 
   /** Per-language keep rates for the sampling contract (en-heavy corpus
     * downsampled toward balance; others at the default floor). */
@@ -144,6 +151,17 @@ object TextEntries {
         |terms AS (SELECT doc_id, ${TextHash.fingerprintTerm("pos", "token")} AS term FROM tok)
         |SELECT doc_id, CAST(SUM(term) % ${TextHash.M} AS BIGINT) AS fingerprint
         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    "doc_chunks" ->
+      (tokSql + s""",
+        |terms AS (SELECT doc_id, pos // $ChunkSize AS chunk_id, pos,
+        |                 ${TextHash.fingerprintTerm(s"pos % $ChunkSize", "token")} AS term
+        |          FROM tok)
+        |SELECT doc_id, chunk_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |       CAST(MIN(pos) AS BIGINT) AS first_pos,
+        |       CAST(MAX(pos) AS BIGINT) AS last_pos,
+        |       CAST(SUM(term) % ${TextHash.M} AS BIGINT) AS chunk_fp
+        |FROM terms GROUP BY doc_id, chunk_id ORDER BY doc_id, chunk_id""".stripMargin),
     "sample_stratified" ->
       (tokSql + s""",
         |terms AS (SELECT doc_id, ${TextHash.fingerprintTerm("pos", "token")} AS term FROM tok),

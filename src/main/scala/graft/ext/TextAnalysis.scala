@@ -136,6 +136,31 @@ object TextAnalysis {
   }
 
   /**
+   * Fixed-size token chunking — the context-window packing prep step:
+   * split each document's token stream into consecutive `chunkSize`-token
+   * windows and emit one row per chunk with its token span and a portable
+   * rolling-hash fingerprint (chunk-local positions, so identical chunk
+   * content hashes identically wherever it appears — chunk-level dedup
+   * composes for free). Chunk ids are 0-based and dense per doc; the last
+   * chunk may be short. Map-side: the chunk key is integer arithmetic on
+   * the token position, then one partial+final aggregate per (doc, chunk).
+   */
+  def chunks(docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int = 128): DataFrame = {
+    require(chunkSize > 0)
+    tokensWithPosition(docs, idCol, textCol)
+      .withColumn("chunk_id", (col("pos").cast("long") / chunkSize).cast("long"))
+      .withColumn("term", expr(TextHash.fingerprintTerm(
+        s"pos % $chunkSize", "token")))
+      .groupBy("doc_id", "chunk_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        min(col("pos")).cast("long").as("first_pos"),
+        max(col("pos")).cast("long").as("last_pos"),
+        expr(s"sum(term) % ${TextHash.M}").cast("long").as("chunk_fp"))
+  }
+
+  /**
    * Deterministic stratified sampling by CONTENT hash: keep a document iff
    * `fingerprint(text) % 1000 < rate(stratum) * 1000`, with per-stratum
    * rates (e.g. per language) and a default. The reproducible way to

@@ -71,6 +71,19 @@ class TextAnalysisSpec extends SparkSpec {
     assertApprox(r1.getAs[Double]("dup_bigram_frac"), 0.0)
   }
 
+  test("chunks: fixed token windows, chunk-local fingerprints") {
+    val d = Seq((0L, "a b c d e"), (1L, "a b c d e")).toDF("doc_id", "text")
+    val c = TextAnalysis.chunks(d, "doc_id", "text", chunkSize = 2).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id")) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("first_pos"),
+          r.getAs[Long]("last_pos"), r.getAs[Long]("chunk_fp"))).toMap
+    assert(c.keySet == Set((0L, 0L), (0L, 1L), (0L, 2L), (1L, 0L), (1L, 1L), (1L, 2L)))
+    assert(c((0L, 0L))._1 == 2L && c((0L, 0L))._2 == 0L && c((0L, 0L))._3 == 1L)
+    assert(c((0L, 2L))._1 == 1L) // short tail chunk
+    // identical content → identical chunk fingerprints across docs
+    assert((0L to 2L).forall(k => c((0L, k))._4 == c((1L, k))._4))
+  }
+
   test("hashSample keeps by content hash with per-stratum rates") {
     val d = (0L until 40L).map(i => (i, s"word$i content number $i", if (i % 2 == 0) "en" else "zh"))
       .toDF("doc_id", "text", "lang")
