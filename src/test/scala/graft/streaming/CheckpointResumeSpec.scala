@@ -81,4 +81,49 @@ class CheckpointResumeSpec extends SparkSpec {
         r.getAs[Double]("sum_value")))
     assert(got.toSet == want.toSet, s"got=${got.toSet} want=${want.toSet}")
   }
+
+  test("hourly resumes from checkpoint: a window spanning the restart is exact") {
+    val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    def ev(minutes: Long, tpe: String, v: Double) =
+      StreamEvent(1L, new Timestamp(base + minutes * 60000), tpe, v)
+
+    // hour-0 window gets events on BOTH sides of the restart; the state
+    // store must carry the partial aggregate across
+    val before = Seq(ev(10, "click", 1.0), ev(40, "click", 2.0))
+    val after = Seq(ev(50, "click", 4.0), ev(70, "buy", 8.0))
+    val flush = Seq(StreamEvent(99, Timestamp.valueOf("2024-03-01 12:00:00"), "zz", 0.0))
+
+    val dir = Files.createTempDirectory("graft_ckpt_h").toFile
+    val outPath = s"$dir/out"
+    val ckptPath = s"$dir/ckpt"
+    val in = MemoryStream[StreamEvent]
+    def start() = EventsStream.hourly(in.toDF())
+      .writeStream.format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", ckptPath)
+      .outputMode(OutputMode.Append)
+      .start()
+
+    val q1 = start()
+    try {
+      in.addData(before: _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    val q2 = start()
+    try {
+      in.addData(after: _*)
+      q2.processAllAvailable()
+      in.addData(flush: _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val got = spark.read.parquet(outPath).where($"event_type" =!= "zz").collect()
+      .map(r => (r.getAs[Long]("hour_start_sec"), r.getAs[String]("event_type"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toSet
+    val hour0 = base / 1000
+    assert(got == Set(
+      (hour0, "click", 3L, 7.0),          // 2 events pre-restart + 1 post
+      (hour0 + 3600, "buy", 1L, 8.0)))
+  }
 }
