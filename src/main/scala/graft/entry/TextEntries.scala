@@ -70,8 +70,15 @@ object TextEntries {
     // ext: fixed-size token chunking with chunk-local fingerprints
     "doc_chunks" -> ((s, dir) =>
       gate(TextAnalysis.chunks(docs(s, dir), "doc_id", "text", ChunkSize),
-        "doc_id", "chunk_id"))
+        "doc_id", "chunk_id")),
+    // ext: exact per-language length quantiles (threshold calibration)
+    "quality_percentiles" -> ((s, dir) =>
+      gate(TextAnalysis.quantiles(docs(s, dir), "lang", "n_chars", QuantileQs),
+        "lang", "q"))
   )
+
+  /** Quantile points for the calibration contract. */
+  private val QuantileQs = Seq(0.1, 0.5, 0.9, 0.99)
 
   /** Chunk width (tokens) for the chunking contract. */
   private val ChunkSize = 64
@@ -151,6 +158,18 @@ object TextEntries {
         |terms AS (SELECT doc_id, ${TextHash.fingerprintTerm("pos", "token")} AS term FROM tok)
         |SELECT doc_id, CAST(SUM(term) % ${TextHash.M} AS BIGINT) AS fingerprint
         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    "quality_percentiles" -> {
+      val qvals = QuantileQs.map(q => s"($q)").mkString(", ")
+      s"""WITH ranked AS (SELECT lang AS grp, n_chars AS v,
+        |                row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn
+        |                FROM documents),
+        |cnt AS (SELECT grp, MAX(rn) AS n FROM ranked GROUP BY grp),
+        |qs AS (SELECT * FROM (VALUES $qvals) q(q)),
+        |tgt AS (SELECT grp, q, CAST(1 + floor(q * (n - 1)) AS BIGINT) AS rn
+        |        FROM cnt CROSS JOIN qs)
+        |SELECT t.grp AS lang, ${r6sql("t.q")} AS q, CAST(r.v AS BIGINT) AS n_chars_q
+        |FROM tgt t JOIN ranked r USING (grp, rn) ORDER BY lang, q""".stripMargin
+    },
     "doc_chunks" ->
       (tokSql + s""",
         |terms AS (SELECT doc_id, pos // $ChunkSize AS chunk_id, pos,

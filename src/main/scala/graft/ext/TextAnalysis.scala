@@ -136,6 +136,35 @@ object TextAnalysis {
   }
 
   /**
+   * Exact per-group discrete quantiles (type 1: the value at rank
+   * `1 + floor(q·(n−1))`) of a numeric column — how quality-filter
+   * thresholds get calibrated per language/source before a corpus sweep.
+   * Deliberately NOT `approx_percentile`: sketch quantiles are
+   * engine-specific, these are deterministic and cross-engine exact.
+   *
+   * Scale shape: one rank window per group (single shuffle keyed by the
+   * group), a tiny counts×quantiles target table joined back by
+   * (group, rank). Rank ties are broken arbitrarily but the value AT a
+   * rank is order-independent, so the result is still deterministic.
+   */
+  def quantiles(df: DataFrame, groupCol: String, valueCol: String,
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ranked = df.select(col(groupCol).as("grp"), col(valueCol).as("v"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("grp").orderBy(col("v"))))
+    val counts = ranked.groupBy("grp").agg(max(col("rn")).as("n"))
+    val qdf = qs.map(Tuple1(_)).toDF("q")
+    val targets = counts.crossJoin(broadcast(qdf))
+      .select(col("grp"), col("q"),
+        (lit(1) + floor(col("q") * (col("n") - 1))).cast("long").as("rn"))
+    targets.join(ranked, Seq("grp", "rn"))
+      .select(col("grp").as(groupCol), col("q"), col("v").as(s"${valueCol}_q"))
+  }
+
+  /**
    * Fixed-size token chunking — the context-window packing prep step:
    * split each document's token stream into consecutive `chunkSize`-token
    * windows and emit one row per chunk with its token span and a portable

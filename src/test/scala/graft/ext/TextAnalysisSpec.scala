@@ -71,6 +71,18 @@ class TextAnalysisSpec extends SparkSpec {
     assertApprox(r1.getAs[Double]("dup_bigram_frac"), 0.0)
   }
 
+  test("quantiles: exact type-1 discrete values per group") {
+    val d = Seq(("a", 10L), ("a", 20L), ("a", 30L), ("a", 40L), ("b", 7L))
+      .toDF("lang", "n_chars")
+    val r = TextAnalysis.quantiles(d, "lang", "n_chars", Seq(0.0, 0.5, 0.99, 1.0))
+      .collect().map(x => (x.getString(0), x.getDouble(1)) -> x.getLong(2)).toMap
+    assert(r(("a", 0.0)) == 10L)  // rank 1
+    assert(r(("a", 0.5)) == 20L)  // rank 1 + floor(1.5) = 2
+    assert(r(("a", 0.99)) == 30L) // rank 1 + floor(2.97) = 3
+    assert(r(("a", 1.0)) == 40L)  // rank 4
+    assert(r(("b", 0.5)) == 7L)   // singleton group
+  }
+
   test("chunks: fixed token windows, chunk-local fingerprints") {
     val d = Seq((0L, "a b c d e"), (1L, "a b c d e")).toDF("doc_id", "text")
     val c = TextAnalysis.chunks(d, "doc_id", "text", chunkSize = 2).collect()
