@@ -132,7 +132,7 @@ object CoreEntries {
         .mkString(", ")}
     |          FROM n GROUP BY y),
     |sbkt AS (SELECT y AS v, CAST(${(0 until graft.ext.SparseAnn.Planes)
-        .map(k => s"CASE WHEN p_$k > 0 THEN ${1L << k} ELSE 0 END")
+        .map(k => s"CASE WHEN floor(p_$k*1e6 + 0.50001)/1e6 > 0 THEN ${1L << k} ELSE 0 END")
         .mkString(" + ")} AS BIGINT) AS bucket
     |         FROM sproj),
     |mk AS (SELECT * FROM $lshProbeMasksSql),

@@ -88,6 +88,13 @@ object TextEntries {
   private val SampleRates = Map("en" -> 0.5, "de" -> 0.8)
   private val SampleDefault = 0.25
 
+  /** The oracle's rate CASE, derived from the SAME constants as the Spark
+    * side (one source of truth — editing a rate cannot desync the gate). */
+  private def sampleRateCase: String =
+    SampleRates.map { case (stratum, r) =>
+      s"WHEN d.lang = '$stratum' THEN ${math.floor(r * 1000).toLong}"
+    }.mkString(" ") + s" ELSE ${math.floor(SampleDefault * 1000).toLong}"
+
   /** Tokens-with-position CTE mirroring [[TextAnalysis.tokensWithPosition]]. */
   val tokSql: String =
     """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
@@ -188,10 +195,7 @@ object TextEntries {
         |       FROM terms GROUP BY doc_id)
         |SELECT d.doc_id, d.lang, f.fingerprint
         |FROM documents d JOIN fp f USING (doc_id)
-        |WHERE f.fingerprint % 1000 <
-        |      CASE WHEN d.lang = 'en' THEN 500
-        |           WHEN d.lang = 'de' THEN 800
-        |           ELSE 250 END
+        |WHERE f.fingerprint % 1000 < CASE $sampleRateCase END
         |ORDER BY doc_id""".stripMargin),
     "quality_repetition" ->
       s"""WITH wf AS (SELECT doc_id,

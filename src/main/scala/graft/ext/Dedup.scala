@@ -247,17 +247,26 @@ object Dedup {
   /**
    * Near-dup pairs by SimHash hamming distance ≤ `maxHamming`.
    *
-   * Candidates come from [[simHashCandidates]]'s chunk equi-join, which is
-   * complete for `maxHamming < SimHashChunks` (pigeonhole): banding only
-   * prunes pairs already above the distance bound, so the result is
-   * IDENTICAL to the direct all-pairs compare — with a shuffle-partitioned
-   * plan instead of a BroadcastNestedLoopJoin.
+   * For `maxHamming < SimHashChunks` candidates come from
+   * [[simHashCandidates]]'s chunk equi-join, which is complete by
+   * pigeonhole: banding only prunes pairs already above the distance
+   * bound, so the result is IDENTICAL to the direct all-pairs compare —
+   * with a shuffle-partitioned plan instead of a BroadcastNestedLoopJoin.
+   * Wider bounds fall back to the direct sketch self-join (quadratic in
+   * document count — only the ≤ int64 sketches are scanned, but at corpus
+   * scale prefer a tighter bound or more chunks).
    */
   def simHashDups(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    require(maxHamming < SimHashChunks,
-      s"banded candidates are only complete for maxHamming < $SimHashChunks chunks")
-    simHashCandidates(simHash(docs, idCol, textCol))
+    val cands =
+      if (maxHamming < SimHashChunks) simHashCandidates(simHash(docs, idCol, textCol))
+      else {
+        val sk = simHash(docs, idCol, textCol)
+        sk.as("a").join(sk.as("b"), col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc0"), col("b.doc_id").as("doc1"),
+            col("a.simhash").as("h0"), col("b.simhash").as("h1"))
+      }
+    cands
       .select(col("doc0"), col("doc1"),
         expr("CAST(bit_count(h0 ^ h1) AS BIGINT)").as("hamming"))
       .where(col("hamming") <= maxHamming)
@@ -270,10 +279,13 @@ object Dedup {
    * Candidates come from sign-LSH bucketing with Hamming-1 multi-probe
    * ([[Embeddings.lshNearPairsCosine]]) — an equi-join on tiny (id, bucket)
    * rows, never the C(N,2) surface — then only candidates are
-   * cosine-verified. Sign-LSH recall → 1 exactly in the near-duplicate
-   * regime (θ → 0) this operator targets; the candidate rule is part of
-   * the operator contract (the oracle mirrors it). `exhaustive = true`
-   * falls back to the exact all-pairs scan for small corpora.
+   * cosine-verified. Recall is the candidate rule's, NOT 1 in general:
+   * with per-bit collision p = 1 − θ/π, P(candidate) = p⁶ + 6p⁵(1−p) —
+   * ≈ 0.28 at cosine 0.45, ≈ 0.79 at cosine 0.9, → 1 only as cosine → 1.
+   * The rule is therefore part of the operator contract (the oracle
+   * mirrors it); treat the default threshold as "find tight near-dups",
+   * and use `exhaustive = true` (exact all-pairs scan) when a moderate
+   * threshold must not miss pairs and the corpus is small enough.
    */
   def embeddingDups(emb: DataFrame, idCol: String, vecCol: String,
       minCosine: Double = 0.4, dim: Int = 64, exhaustive: Boolean = false): DataFrame = {

@@ -335,9 +335,22 @@ object Embeddings {
    */
   def ivfKMeansTopK(candidates: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, kClusters: Int = 8, iters: Int = 2,
-      nprobe: Int = 2): DataFrame = {
+      nprobe: Int = 2, materializeCodebook: Boolean = true): DataFrame = {
     require(k > 0 && nprobe > 0)
-    val cent = kMeansCentroids(candidates, idCol, vecCol, kClusters, iters)
+    val centPlan = kMeansCentroids(candidates, idCol, vecCol, kClusters, iters)
+    // The codebook is kClusters·dim MODEL rows, not data. Three consumers
+    // sit on it (list build + candidate assign + query assign); left lazy,
+    // each re-executes the whole training chain. Collecting it once is the
+    // standard eager-fit shape (MLlib does the same) and the values are
+    // identical (already snapped), so the oracle contract is unchanged.
+    // materializeCodebook = false keeps the fully-lazy single-DAG form.
+    val cent =
+      if (materializeCodebook) {
+        val spark = candidates.sparkSession
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(centPlan.collect().toSeq, 1),
+          centPlan.schema)
+      } else centPlan
     def centDist(df: DataFrame) =
       cellsOf(df, idCol, vecCol).join(broadcast(cent), "i")
         .groupBy("vec_id", "cid")

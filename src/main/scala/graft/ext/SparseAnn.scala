@@ -58,13 +58,22 @@ object SparseAnn {
    * Sign-LSH bucket per sparse vector from a (vector, coord, value) table:
    * bit k = sign of the projection onto hyperplane k. One shuffle keyed by
    * vector, six sums in one aggregate.
+   *
+   * The sign test runs on the 1e-6-SNAPPED projection: with integer plane
+   * components and integer-derived matrix values, Σ h·value can be exactly
+   * zero in real arithmetic, where FP summation-order noise would
+   * otherwise decide the sign differently per engine (or per Spark run).
+   * Snapping maps ±ε to exactly 0 → bit 0, deterministically, on both
+   * sides of the oracle.
    */
   def buckets(n: DataFrame, vecCol: String, coordCol: String, valCol: String): DataFrame = {
     val projs = (0 until Planes).map { k =>
       sum(expr(planeComponent(k, coordCol)) * col(valCol)).as(s"proj_$k")
     }
     val bucket = (0 until Planes)
-      .map(k => when(col(s"proj_$k") > 0, lit(1L << k)).otherwise(lit(0L)): Column)
+      .map(k => when(
+        floor(col(s"proj_$k") * lit(1e6) + lit(0.50001)) / lit(1e6) > 0,
+        lit(1L << k)).otherwise(lit(0L)): Column)
       .reduce(_ + _)
     n.groupBy(col(vecCol).as("vec_id")).agg(projs.head, projs.tail: _*)
       .select(col("vec_id"), bucket.cast("long").as("bucket"))

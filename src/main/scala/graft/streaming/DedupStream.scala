@@ -54,10 +54,10 @@ object DedupStream {
    * index under `indexDir` and emits MinHash-verified near-dup pairs per
    * micro-batch.
    *
-   * Index layout (all plain parquet, appended per batch):
+   * Index layout (plain parquet, one `batch_id=N` partition per batch):
    *   - `shingles/` (doc_id, sh)          — shingle sets of indexed docs
    *   - `bands/`    (doc_id, band, bkey)  — LSH band keys of indexed docs
-   *   - `dups/`     (doc0, doc1, jaccard, batch_id) — verified pairs
+   *   - `dups/`     (doc0, doc1, jaccard) — verified pairs
    *
    * Per batch, candidate generation is an equi-join of the NEW docs' band
    * keys against (index ∪ new) band keys — the arriving slice never joins
@@ -65,11 +65,20 @@ object DedupStream {
    * (band, bkey) index — then candidates are verified by exact shingle
    * Jaccard restricted to candidate pairs ([[graft.ext.Dedup.jaccardFor]]).
    *
-   * Delivery is at-least-once, aligned with foreachBatch's contract: a
-   * batch replayed after a crash re-appends its rows; the `batch_id`
-   * column makes downstream dedup/compaction (`max by (doc0, doc1)`)
-   * trivial. Exactly-once would need a transactional sink, which plain
-   * parquet is not.
+   * Delivery: foreachBatch is at-least-once, but every index table is
+   * written as ONE PARTITION PER BATCH with dynamic partition overwrite,
+   * and reads exclude the current batch's own partition — so a replayed
+   * batch (same `batchId`, per the checkpoint contract) overwrites its
+   * previous attempt instead of appending next to it, and never sees its
+   * own half-written rows as "history". Net effect: effectively-once for
+   * the index AND for the jaccard math (duplicate shingle rows would
+   * otherwise corrupt the intersection counts).
+   *
+   * Contract: `doc_id` identifies ONE document version. Re-ingesting a
+   * changed text under an existing doc_id (in a LATER batch) merges both
+   * versions' shingles under that id in the index; replacing a document
+   * needs an index compaction pass, which plain parquet appends cannot
+   * express.
    */
   def nearDupDetect(docs: DataFrame, idCol: String, textCol: String,
       indexDir: String, minJaccard: Double = 0.2): DataStreamWriter[Row] =
@@ -84,9 +93,26 @@ object DedupStream {
   def nearDupBatch(batch: DataFrame, idCol: String, textCol: String,
       indexDir: String, minJaccard: Double, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    def readOr(path: String, like: DataFrame): DataFrame =
-      if (new java.io.File(path).isDirectory) spark.read.parquet(path)
+    // Hadoop FS probe, NOT java.io.File — the index may live on HDFS/S3
+    // where a local-File isDirectory is always false (ADVICE: a remote
+    // indexDir would silently behave as an empty index every batch).
+    def readOr(path: String, like: DataFrame): DataFrame = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(p))
+        // explicit schema (no inference on possibly-empty dirs); exclude
+        // THIS batch's own partition so a replay never sees its previous
+        // attempt's rows as history
+        spark.read.schema(like.schema.add("batch_id", "long")).parquet(path)
+          .where(col("batch_id") =!= batchId).drop("batch_id")
       else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], like.schema)
+    }
+    // one partition per batch + dynamic overwrite = idempotent replay
+    def writeBatchPartition(df: DataFrame, path: String): Unit =
+      df.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(path)
     // three actions consume the batch tables (verify + two index appends):
     // cache for the batch's lifetime, released in the finally
     val newSh = Dedup.shingles(batch, idCol, textCol).persist()
@@ -112,12 +138,11 @@ object DedupStream {
       val cands = vsOld.union(vsNew).distinct()
       val dups = Dedup.jaccardFor(cands, oldSh.union(newSh))
         .where(col("jaccard") >= minJaccard)
-        .withColumn("batch_id", lit(batchId))
-      dups.write.mode("append").parquet(s"$indexDir/dups")
-      // compaction: fold the batch into the index AFTER emitting its pairs,
-      // so a replayed batch re-derives the same candidates (at-least-once)
-      newSh.write.mode("append").parquet(s"$indexDir/shingles")
-      newBands.write.mode("append").parquet(s"$indexDir/bands")
+      writeBatchPartition(dups, s"$indexDir/dups")
+      // fold the batch into the index AFTER emitting its pairs; a replay
+      // overwrites these partitions and re-derives the same candidates
+      writeBatchPartition(newSh, s"$indexDir/shingles")
+      writeBatchPartition(newBands, s"$indexDir/bands")
     } finally {
       newBands.unpersist()
       newSh.unpersist()

@@ -74,9 +74,17 @@ class DedupSpec extends SparkSpec {
     // nested-loop/cartesian scan (the r3 scale-killer)
     val plan = banded.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
-    // banding is only complete below the chunk count
-    intercept[IllegalArgumentException](
-      Dedup.simHashDups(docs, "doc_id", "text", maxHamming = Dedup.SimHashChunks))
+    // wide bounds (≥ chunk count, where banding would be incomplete) fall
+    // back to the direct sketch compare instead of narrowing the API
+    val wide = Dedup.simHashDups(docs, "doc_id", "text",
+        maxHamming = Dedup.SimHashChunks)
+      .select("doc0", "doc1").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantWide = (for {
+      a <- h.keys; b <- h.keys if a < b
+      if java.lang.Long.bitCount(h(a) ^ h(b)) <= Dedup.SimHashChunks
+    } yield (a, b)).toSet
+    assert(wide == wantWide)
   }
 
   test("minHashDups leaves no cached RDDs behind (caller-owned caching)") {

@@ -63,6 +63,30 @@ class DedupStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupBatch replay with the same batchId is idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-replay").toString
+    val corpus = Seq(
+      0L -> "the quick brown fox jumps over the lazy dog today",
+      1L -> "the quick brown fox jumps over the lazy dog today",
+      2L -> "the quick brown fox jumps over the sleepy dog today",
+      3L -> "completely different words about spark query engines here now")
+    val b1 = Seq(corpus(0), corpus(2)).toDF("doc_id", "text")
+    val b2 = Seq(corpus(1), corpus(3)).toDF("doc_id", "text")
+    DedupStream.nearDupBatch(b1, "doc_id", "text", dir, 0.2, batchId = 0L)
+    DedupStream.nearDupBatch(b2, "doc_id", "text", dir, 0.2, batchId = 1L)
+    // crash-replay of batch 1: same batchId overwrites its own partition
+    DedupStream.nearDupBatch(b2, "doc_id", "text", dir, 0.2, batchId = 1L)
+    val sh = spark.read.parquet(s"$dir/shingles")
+    assert(sh.count() == sh.dropDuplicates("doc_id", "sh").count())
+    val streamed = spark.read.parquet(s"$dir/dups")
+      .select("doc0", "doc1", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = graft.ext.Dedup.minHashDups(
+        corpus.toDF("doc_id", "text"), "doc_id", "text", minJaccard = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch)
+  }
+
   test("minHashSignatures emits one signature row per doc per batch") {
     val in = MemoryStream[(Long, String)]
     val docs = in.toDF().toDF("doc_id", "text")
