@@ -192,11 +192,13 @@ object Embeddings {
       vecCol: String, k: Int, dim: Int): DataFrame = {
     val spark = candidates.sparkSession
     import spark.implicits._
-    val masks = (0L +: (0 until LshPlanes).map(j => 1L << j)).toDF("mask")
+    // probe masks as an exploded literal array (not a crossJoin, which
+    // plans a BroadcastNestedLoopJoin node even for a 7-row literal)
+    val maskArr = array((0L +: (0 until LshPlanes).map(j => 1L << j)).map(lit): _*)
     val cb = lshBuckets(candidates, idCol, vecCol, dim)
     val qb = lshBuckets(queries, idCol, vecCol, dim)
       .withColumnRenamed("vec_id", "query_id")
-      .crossJoin(masks)
+      .select($"query_id", $"bucket", explode(maskArr).as("mask"))
       .select($"query_id", expr("bucket ^ mask").as("bucket"))
     val cand = withNorms(candidates, idCol, vecCol).join(cb, "vec_id")
     val q = withNorms(queries, idCol, vecCol)

@@ -150,14 +150,14 @@ object TextAnalysis {
   def quantiles(df: DataFrame, groupCol: String, valueCol: String,
       qs: Seq[Double]): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1))
-    val spark = df.sparkSession
-    import spark.implicits._
     val ranked = df.select(col(groupCol).as("grp"), col(valueCol).as("v"))
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("grp").orderBy(col("v"))))
     val counts = ranked.groupBy("grp").agg(max(col("rn")).as("n"))
-    val qdf = qs.map(Tuple1(_)).toDF("q")
-    val targets = counts.crossJoin(broadcast(qdf))
+    // quantile points as an exploded literal array — a crossJoin against a
+    // literal table would plan a (harmless but noisy) BNLJ node
+    val targets = counts
+      .select(col("grp"), col("n"), explode(array(qs.map(lit): _*)).as("q"))
       .select(col("grp"), col("q"),
         (lit(1) + floor(col("q") * (col("n") - 1))).cast("long").as("rn"))
     targets.join(ranked, Seq("grp", "rn"))
