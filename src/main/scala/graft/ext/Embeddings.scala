@@ -285,7 +285,11 @@ object Embeddings {
       k: Int, iters: Int): DataFrame = {
     require(k > 0 && iters >= 1)
     val cells = cellsOf(emb, idCol, vecCol)
-    val seedW = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
+    // rank over exactly k seed rows — the constant partition key keeps the
+    // window single-partition by construction (deliberate: k rows) without
+    // tripping WindowExec's unpartitioned-window warning on every run
+    val seedW = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)).orderBy("vec_id")
     val seeds = emb.select(col(idCol).as("vec_id")).orderBy("vec_id").limit(k)
       .select(col("vec_id"), (row_number().over(seedW) - 1).cast("long").as("cid"))
     var cent = cells.join(seeds, "vec_id").select(col("cid"), col("i"), col("x").as("c"))
