@@ -21,7 +21,8 @@ object Bench {
     "cosine_dense_all", "cosine_subset", "cosine_topk", "cosine_topk_ann",
     "cosine_predict", "cosine_predict_ann", "tf_matrix", "tf_stopwords", "tfidf_matrix",
     "text_stats", "lang_id", "quality_percentiles",
-    "doc_fingerprint", "sample_stratified", "doc_chunks", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "doc_fingerprint", "sample_stratified", "doc_chunks", "vocab_topk",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "decontaminate",
     "dedup_ngram_jaccard", "dedup_embedding", "dedup_groups", "ann_topk_brute",
     "ann_ivf_topk", "ann_ivf_kmeans", "ann_lsh_topk", "ann_lsh_multiprobe", "embed_kmeans",
     "quality_repetition", "events_hourly",

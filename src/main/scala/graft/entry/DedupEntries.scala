@@ -1,6 +1,7 @@
 package graft.entry
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.ext.{Dedup, TextHash}
 import EntryUtil._
@@ -24,6 +25,13 @@ object DedupEntries {
       gate(Dedup.simHashDups(docs(s, dir), "doc_id", "text"), "doc0", "doc1")),
     "dedup_embedding" -> ((s, dir) =>
       gate(Dedup.embeddingDups(embeddings(s, dir), "vec_id", "embedding"), "v0", "v1")),
+    // train/eval decontamination: eval corpus = source 'src0', train = rest
+    "decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      gate(Dedup.contamination(
+        d.where(col("source") =!= EvalSource),
+        d.where(col("source") === EvalSource), "doc_id", "text"), "doc_id")
+    }),
     // component grouping over the minhash near-dup pairs (keep-one step)
     "dedup_groups" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -36,10 +44,14 @@ object DedupEntries {
   /** Label-propagation rounds for the contract grouping run. */
   private val GroupRounds = 4
 
+  /** Source id treated as the held-out eval corpus in the
+    * decontamination contract (the other 19 sources are "train"). */
+  private val EvalSource = "src0"
+
   import TextHash.M
 
-  /** Shingle + Jaccard CTE chain mirroring Dedup.shingles/jaccardPairs. */
-  val shingleSql: String = {
+  /** Per-document distinct-shingle CTE chain mirroring Dedup.shingles. */
+  val shgSql: String = {
     val tv = TextHash.tokenValue("token")
     TextEntries.tokSql + s""",
       |tvs AS (SELECT doc_id, pos, $tv AS v FROM tok),
@@ -48,7 +60,12 @@ object DedupEntries {
       |        lead(v, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS v3
       |        FROM tvs),
       |shg AS (SELECT DISTINCT doc_id, ${TextHash.shingleHash("v", "v2", "v3")} AS sh
-      |        FROM tv3 WHERE v3 IS NOT NULL),
+      |        FROM tv3 WHERE v3 IS NOT NULL)""".stripMargin
+  }
+
+  /** Shingle + Jaccard CTE chain mirroring Dedup.shingles/jaccardPairs. */
+  val shingleSql: String = {
+    shgSql + s""",
       |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shg GROUP BY 1),
       |inter AS (SELECT a.doc_id AS doc0, b.doc_id AS doc1, CAST(COUNT(*) AS BIGINT) AS i
       |          FROM shg a JOIN shg b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -131,6 +148,21 @@ object DedupEntries {
         |JOIN bkt b1 ON b1.vec_id = c.v1
         |JOIN mk ON xor(b0.bucket, b1.bucket) = CAST(mk.mask AS BIGINT)
         |WHERE c.cosine >= 0.4 ORDER BY v0, v1""".stripMargin),
+    // shingles over ALL documents, then split by source inside the query:
+    // per-document shingling is independent of other docs, so filtering
+    // after shingling equals the Spark side's shingling of filtered docs
+    "decontaminate" ->
+      (shgSql + s""",
+        |ev AS (SELECT DISTINCT s.sh FROM shg s JOIN documents d USING (doc_id)
+        |       WHERE d.source = '$EvalSource'),
+        |tr AS (SELECT s.doc_id, s.sh FROM shg s JOIN documents d USING (doc_id)
+        |       WHERE d.source <> '$EvalSource')
+        |SELECT tr.doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        |       CAST(SUM(CASE WHEN ev.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hit_shingles,
+        |       ${r6sql("CAST(SUM(CASE WHEN ev.sh IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)")} AS contamination
+        |FROM tr LEFT JOIN ev ON tr.sh = ev.sh
+        |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin),
     // GroupRounds unrolled min-label-propagation rounds over the minhash
     // dup pairs, mirroring Dedup.dupGroups exactly (fixed-rounds contract)
     "dedup_groups" -> {

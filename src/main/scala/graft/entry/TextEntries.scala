@@ -74,8 +74,14 @@ object TextEntries {
     // ext: exact per-language length quantiles (threshold calibration)
     "quality_percentiles" -> ((s, dir) =>
       gate(TextAnalysis.quantiles(docs(s, dir), "lang", "n_chars", QuantileQs),
-        "lang", "q"))
+        "lang", "q")),
+    // ext: vocabulary heavy hitters by document frequency
+    "vocab_topk" -> ((s, dir) =>
+      gate(TextAnalysis.vocabTopK(docs(s, dir), "doc_id", "text", VocabK), "token"))
   )
+
+  /** Heavy-hitter count for the vocabulary contract. */
+  private val VocabK = 100
 
   /** Quantile points for the calibration contract. */
   private val QuantileQs = Seq(0.1, 0.5, 0.9, 0.99)
@@ -197,6 +203,16 @@ object TextEntries {
         |FROM documents d JOIN fp f USING (doc_id)
         |WHERE f.fingerprint % 1000 < CASE $sampleRateCase END
         |ORDER BY doc_id""".stripMargin),
+    // top-k is cut on the total order (doc_freq DESC, token) — ties at the
+    // boundary resolve identically in both engines — then re-sorted by the
+    // gate's unique key
+    "vocab_topk" ->
+      (tokSql + s""",
+        |dt AS (SELECT DISTINCT doc_id, token FROM tok),
+        |df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS doc_freq FROM dt GROUP BY token)
+        |SELECT token, doc_freq FROM
+        |  (SELECT token, doc_freq FROM df ORDER BY doc_freq DESC, token LIMIT $VocabK) t
+        |ORDER BY token""".stripMargin),
     "quality_repetition" ->
       s"""WITH wf AS (SELECT doc_id,
         |              list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS w

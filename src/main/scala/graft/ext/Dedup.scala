@@ -194,6 +194,37 @@ object Dedup {
       minJaccard: Double = 0.2): DataFrame =
     minHashDupsFromShingles(shingles(docs, idCol, textCol), minJaccard)
 
+  /**
+   * Train-corpus decontamination against an evaluation corpus — the
+   * benchmark-leakage guard run before every training sweep: for each
+   * train document, how many of its distinct word-trigram shingles also
+   * occur ANYWHERE in the eval corpus, and the contaminated fraction
+   * (the decision signal: drop or scrub documents above a threshold).
+   *
+   * Scale shape: the eval side collapses to its DISTINCT shingle set
+   * first — eval benchmarks are MBs while train corpora are TBs, so that
+   * set is small and AQE turns the probe into a broadcast hash join on
+   * the shingle hash; the train shingle table streams through it once and
+   * aggregates map-side per document. Neither side ever joins train
+   * against train: cost is linear in train tokens plus one tiny distinct.
+   * Documents with fewer than 3 tokens have no shingles and produce no
+   * row (nothing to leak through a trigram probe).
+   */
+  def contamination(train: DataFrame, evalCorpus: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val trainSh = shingles(train, idCol, textCol)
+    val evalSh = shingles(evalCorpus, idCol, textCol)
+      .select(col("sh")).distinct().withColumn("hit", lit(1L))
+    trainSh
+      .join(evalSh, Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("hit_shingles"))
+      .select(col("doc_id"), col("n_shingles"), col("hit_shingles"),
+        (col("hit_shingles").cast("double") / col("n_shingles")).as("contamination"))
+  }
+
   /** Number of SimHash bits (shingle hashes carry ~30 usable bits). */
   val SimHashBits = 24
 

@@ -100,6 +100,28 @@ object TextAnalysis {
         sum(ceil(length(col("token")).cast("double") / 4.0).cast("long")).as("subword_est"))
 
   /**
+   * Corpus vocabulary heavy hitters: the `k` tokens with the highest
+   * document frequency, totally ordered by (doc_freq desc, token asc) so
+   * the cutoff set is deterministic — the vocabulary-building / corpus-
+   * drift-monitoring primitive of a training-data pipeline.
+   *
+   * Scale shape: distinct (doc, token) then a token-keyed count are one
+   * shuffle each with map-side partials; the global top-k plans as
+   * TakeOrderedAndProject — each partition keeps its own k rows and only
+   * k·partitions rows reach the driver-side heap, never a global sort of
+   * the vocabulary.
+   */
+  def vocabTopK(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k > 0)
+    tokensWithPosition(docs, idCol, textCol)
+      .select(col("doc_id"), col("token")).distinct()
+      .groupBy("token").agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("token").asc)
+      .limit(k)
+  }
+
+  /**
    * Gopher/C4-style repetition quality signals per document, over word
    * bigrams (this corpus is single-line, so line-level repetition rules
    * degenerate — the n-gram form is the general one anyway): total and

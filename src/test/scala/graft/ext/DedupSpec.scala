@@ -122,6 +122,26 @@ class DedupSpec extends SparkSpec {
     assert(viaLsh == viaAll)
   }
 
+  test("contamination counts eval-shared shingles per train doc") {
+    val train = docs.where($"doc_id" =!= 1L) // 0, 2, 3
+    val evalC = docs.where($"doc_id" === 1L) // byte-identical to doc 0
+    val c = Dedup.contamination(train, evalC, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // doc 0 IS the eval doc: all 8 trigrams (10 tokens) contaminated
+    assert(c(0L) == ((8L, 8L, 1.0)))
+    // doc 2 changed one word: only the 3 trigrams containing it are clean
+    assert(c(2L) == ((8L, 5L, 0.625)))
+    // doc 3 is unrelated: 7 trigrams (9 tokens), none contaminated
+    assert(c(3L) == ((7L, 0L, 0.0)))
+  }
+
+  test("contamination plans equi-joins only — no nested-loop / cartesian") {
+    val plan = Dedup.contamination(docs, docs.limit(1), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
   test("dupGroups: components get their min id; rounds bound the reach") {
     val ids = (1L to 7L).map(Tuple1(_)).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("doc0", "doc1")

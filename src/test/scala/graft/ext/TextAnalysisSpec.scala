@@ -112,6 +112,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(s1 == s2)
   }
 
+  test("vocabTopK ranks by document frequency with deterministic tie-break") {
+    val d = Seq((0L, "a b c"), (1L, "a b b"), (2L, "a d")).toDF("doc_id", "text")
+    // df: a=3, b=2, c=1, d=1 — the c/d tie at the k=3 cutoff breaks on
+    // token order, so the cutoff set is deterministic
+    val v = TextAnalysis.vocabTopK(d, "doc_id", "text", 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(v == Seq(("a", 3L), ("b", 2L), ("c", 1L)))
+  }
+
+  test("vocabTopK plans a TakeOrdered top-k, not a global sort") {
+    val plan = TextAnalysis.vocabTopK(docs, "doc_id", "text", 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("fingerprint is order-sensitive and deterministic") {
     val fp = (t: String) => TextAnalysis.fingerprint(
       Seq((0L, t)).toDF("doc_id", "text"), "doc_id", "text")
