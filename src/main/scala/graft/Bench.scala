@@ -26,7 +26,7 @@ object Bench {
     "dedup_ngram_jaccard", "dedup_embedding", "dedup_groups", "ann_topk_brute",
     "ann_ivf_topk", "ann_ivf_kmeans", "ann_lsh_topk", "ann_lsh_multiprobe", "embed_kmeans",
     "quality_repetition", "events_hourly",
-    "events_sessionize", "multimodal_meta")
+    "events_sessionize", "events_asof", "multimodal_meta")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,6 +1,7 @@
 package graft.entry
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr}
 
 import graft.ext.{Events, Multimodal}
 import EntryUtil._
@@ -18,6 +19,19 @@ object EventsEntries {
       gate(Events.hourly(Events.read(s, dir)), "hour_start_sec", "event_type")),
     "events_sessionize" -> ((s, dir) =>
       gate(Events.sessionize(Events.read(s, dir)), "user_id", "session_id")),
+    // as-of join, inner form: the contract output stays NULL-free so the
+    // driver's hash compare never sees engine-specific null encodings.
+    // Timestamps are pre-truncated to MICROSECONDS on the Spark side
+    // because DuckDB's parquet reader truncates TIMESTAMP(NANOS) to µs —
+    // both engines then match and subtract identical integers. The
+    // library operator itself is ns-exact.
+    "events_asof" -> ((s, dir) =>
+      gate(Events.lastPriorEvent(
+          Events.read(s, dir).withColumn("ts", expr("ts div 1000")),
+          AsofProbe, AsofRef)
+        .where(col("ref_event_id").isNotNull)
+        .withColumnRenamed("ts", "ts_us")
+        .withColumnRenamed("lag_ns", "lag_us"), "event_id")),
     "multimodal_meta" -> ((s, dir) =>
       gate(Multimodal.metadata(docs(s, dir), "doc_id", "text"), "doc_id"))
   )
@@ -25,6 +39,11 @@ object EventsEntries {
   private val nsHour = Events.NsPerHour
   private val nsSec = Events.NsPerSec
   private val gapNs = Events.DefaultGapNs
+
+  /** Event types for the as-of contract: each purchase is matched to the
+    * user's most recent click at or before it. */
+  private val AsofProbe = "purchase"
+  private val AsofRef = "click"
 
   val oracles: Map[String, String] = Map(
     "events_hourly" ->
@@ -50,6 +69,20 @@ object EventsEntries {
         |       MAX(tns) // $nsSec AS end_sec,
         |       ${r6sql("SUM(value)")} AS sum_value
         |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    // DuckDB's native ASOF JOIN is the independent oracle for the
+    // union+window implementation. Both sides work in µs-truncated int64
+    // time (DuckDB's parquet reader truncates TIMESTAMP(NANOS) to µs;
+    // the Spark entry divides its ns longs by 1000 to match); events are
+    // seconds apart so µs ties never make the match ambiguous.
+    "events_asof" ->
+      s"""WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS tus, event_type, value FROM events),
+        |p AS (SELECT event_id, user_id, tus, value FROM ev WHERE event_type = '$AsofProbe'),
+        |r AS (SELECT event_id AS ref_event_id, user_id AS ruid, tus AS rtus, value AS ref_value
+        |      FROM ev WHERE event_type = '$AsofRef')
+        |SELECT p.event_id, p.user_id, p.tus AS ts_us, ${r6sql("p.value")} AS value,
+        |       r.ref_event_id, p.tus - r.rtus AS lag_us, ${r6sql("r.ref_value")} AS ref_value
+        |FROM p ASOF JOIN r ON p.user_id = r.ruid AND p.tus >= r.rtus
+        |ORDER BY event_id""".stripMargin,
     "multimodal_meta" ->
       s"""WITH h AS (SELECT doc_id, text, least(16, length(text)) AS hl FROM documents)
         |SELECT doc_id,

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -42,6 +42,48 @@ object Events {
         count(lit(1)).as("n_events"),
         sum(col("value")).as("sum_value"),
         avg(col("value")).as("avg_value"))
+
+  /**
+   * Backward as-of join within the event stream: each `probeType` event
+   * is matched to the most recent `refType` event of the SAME user at or
+   * before its timestamp — the temporal-enrichment primitive ("which
+   * click preceded this purchase", "what was the last reading before
+   * this alert").
+   *
+   * Implemented as a tagged union + one running `last(_, ignoreNulls)`
+   * window per user: a single shuffle keyed by user_id and a linear scan
+   * per user — the scale-safe Spark shape for as-of joins. A ts-range
+   * join would plan a nested loop over each user's cross product, and a
+   * per-probe lookup would be quadratic; here all three carried columns
+   * share one window frame, so Catalyst plans ONE WindowExec.
+   *
+   * Determinism at ties: at equal timestamps the reference sorts before
+   * the probe (an equal-ts reference IS visible), and among equal-ts
+   * references the larger event_id wins. Probes with no prior reference
+   * carry NULL ref columns (left-join semantics); filter
+   * `ref_event_id IS NOT NULL` for the inner form.
+   */
+  def lastPriorEvent(events: DataFrame, probeType: String, refType: String): DataFrame = {
+    require(probeType != refType, "probe and reference types must differ")
+    val tagged = events
+      .where(col("event_type").isin(probeType, refType))
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        when(col("event_type") === probeType, 1).otherwise(0).as("is_probe"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("is_probe"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def refOnly(c: Column) = when(col("is_probe") === 0, c)
+    // one select, not chained withColumn: interleaved Projects would stop
+    // CollapseWindow from fusing the three identical specs into one pass
+    tagged
+      .select(col("*"),
+        last(refOnly(col("event_id")), ignoreNulls = true).over(w).as("ref_event_id"),
+        last(refOnly(col("ts")), ignoreNulls = true).over(w).as("ref_ts"),
+        last(refOnly(col("value")), ignoreNulls = true).over(w).as("ref_value"))
+      .where(col("is_probe") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("ref_event_id"), (col("ts") - col("ref_ts")).as("lag_ns"), col("ref_value"))
+  }
 
   /**
    * Gap-based sessionization: a new session starts when a user's gap since
