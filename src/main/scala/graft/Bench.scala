@@ -20,7 +20,7 @@ object Bench {
     "aligned_pairs_salted", "pair_mods_sparse", "cosine_sparse_all",
     "cosine_dense_all", "cosine_subset", "cosine_topk", "cosine_topk_ann",
     "cosine_predict", "cosine_predict_ann", "tf_matrix", "tf_stopwords", "tfidf_matrix",
-    "text_stats", "lang_id", "quality_percentiles",
+    "text_stats", "lang_id", "quality_percentiles", "corpus_mix",
     "doc_fingerprint", "sample_stratified", "doc_chunks", "vocab_topk",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "decontaminate",
     "dedup_ngram_jaccard", "dedup_embedding", "dedup_groups", "ann_topk_brute",

@@ -77,7 +77,11 @@ object TextEntries {
         "lang", "q")),
     // ext: vocabulary heavy hitters by document frequency
     "vocab_topk" -> ((s, dir) =>
-      gate(TextAnalysis.vocabTopK(docs(s, dir), "doc_id", "text", VocabK), "token"))
+      gate(TextAnalysis.vocabTopK(docs(s, dir), "doc_id", "text", VocabK), "token")),
+    // ext: per-(source, lang) corpus mixture statistics
+    "corpus_mix" -> ((s, dir) =>
+      gate(TextAnalysis.corpusMix(docs(s, dir), "text", Seq("source", "lang")),
+        "source", "lang"))
   )
 
   /** Heavy-hitter count for the vocabulary contract. */
@@ -203,6 +207,16 @@ object TextEntries {
         |FROM documents d JOIN fp f USING (doc_id)
         |WHERE f.fingerprint % 1000 < CASE $sampleRateCase END
         |ORDER BY doc_id""".stripMargin),
+    "corpus_mix" ->
+      s"""WITH d AS (SELECT source, lang, length(text) AS nc,
+        |            len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS nt
+        |            FROM documents)
+        |SELECT source, lang,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(nc) AS BIGINT) AS n_chars,
+        |       CAST(SUM(nt) AS BIGINT) AS n_tokens,
+        |       ${r6sql("CAST(SUM(nt) AS DOUBLE) / COUNT(*)")} AS avg_tokens
+        |FROM d GROUP BY source, lang ORDER BY source, lang""".stripMargin,
     // top-k is cut on the total order (doc_freq DESC, token) — ties at the
     // boundary resolve identically in both engines — then re-sorted by the
     // gate's unique key

@@ -238,6 +238,30 @@ object TextAnalysis {
   }
 
   /**
+   * Corpus mixture statistics: per combination of the `dims` columns
+   * (e.g. source × language), document / character / whitespace-token
+   * totals and mean tokens per document — the table a data-mixing /
+   * sampling-budget decision reads before a training run.
+   *
+   * Token counts are computed per ROW with array HOFs (no explode, no
+   * join), so the whole operator is one map-side-partial aggregate over
+   * a single scan — embarrassingly parallel at any corpus size, output
+   * bounded by the dimension cardinality.
+   */
+  def corpusMix(docs: DataFrame, textCol: String, dims: Seq[String]): DataFrame = {
+    require(dims.nonEmpty)
+    docs
+      .withColumn("nt",
+        expr(s"size(filter(split($textCol, '\\\\s+'), t -> t <> ''))").cast("long"))
+      .groupBy(dims.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col(textCol))).cast("long").as("n_chars"),
+        sum(col("nt")).as("n_tokens"),
+        (sum(col("nt")).cast("double") / count(lit(1))).as("avg_tokens"))
+  }
+
+  /**
    * Order-sensitive document fingerprint: a position-weighted polynomial
    * over per-token character hashes, mod 1e9+7 (a rolling-hash analogue
    * that stays in exact int64 arithmetic — see [[TextHash.fingerprintTerm]]).

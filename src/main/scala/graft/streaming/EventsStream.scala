@@ -22,6 +22,27 @@ final case class SessionAcc(startMs: Long, endMs: Long, n: Long, sum: Double)
   * holds at most `watermark horizon / gap` entries per user. */
 final case class OpenSessions(sessions: Seq[SessionAcc])
 
+/** One identified event on the stream — input of [[EventsStream.lastPriorEvent]]
+  * (the as-of twin needs event ids for deterministic tie-breaks). */
+final case class IdStreamEvent(
+    event_id: Long, user_id: Long, ts: Timestamp, event_type: String, value: Double)
+
+/** A probe event enriched with its most recent prior reference event;
+  * ref fields are None when no reference preceded the probe. */
+final case class AsofEnriched(
+    event_id: Long, user_id: Long, ts_ms: Long, value: Double,
+    ref_event_id: Option[Long], lag_ms: Option[Long], ref_value: Option[Double])
+
+/** One event buffered in as-of state until the watermark finalizes it. */
+final case class AsofBuf(event_id: Long, tsMs: Long, isProbe: Boolean, value: Double)
+
+/** Per-user as-of state: the in-horizon event buffer plus the latest
+  * finalized reference event (id, tsMs, value). Bounded: the buffer only
+  * holds events the watermark has not passed, and the carried reference
+  * is a single row per user. */
+final case class AsofState(buffer: Seq[AsofBuf], refId: Long, refTsMs: Long,
+    refValue: Double, hasRef: Boolean)
+
 /**
  * Structured Streaming twins of the batch [[graft.ext.Events]] operators:
  * the same semantics expressed as an unbounded query — `readStream` →
@@ -104,6 +125,59 @@ object EventsStream {
             state.setTimeoutTimestamp(math.max(open.map(_.endMs).min + gapMs, wm + 1))
           }
           closed.sortBy(_.startMs).map(finish(userId, _)).iterator
+      }
+  }
+
+  /**
+   * Streaming backward as-of join — the unbounded twin of
+   * [[graft.ext.Events.lastPriorEvent]]: each `probeType` event is
+   * enriched with the user's most recent `refType` event at or before it.
+   *
+   * Exact batch parity for any reordering the watermark admits: events
+   * are buffered in per-user state and a probe is only emitted once the
+   * watermark STRICTLY passes its timestamp — at that point no admissible
+   * late reference can land between the probe and its match anymore.
+   * Finalized events replay in the batch twin's exact order (ts, ref
+   * before probe at equal ts, event_id), folding a running "last
+   * reference seen"; that reference (one row) is all that outlives
+   * finalization, so state is the in-horizon buffer + O(1) per user.
+   */
+  def lastPriorEvent(events: Dataset[IdStreamEvent], probeType: String,
+      refType: String, watermark: String = "1 hour"): Dataset[AsofEnriched] = {
+    import events.sparkSession.implicits._
+    require(probeType != refType, "probe and reference types must differ")
+    events
+      .filter(e => e.event_type == probeType || e.event_type == refType)
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[IdStreamEvent], state: GroupState[AsofState]) =>
+          val st = state.getOption.getOrElse(AsofState(Seq.empty, 0L, 0L, 0.0, hasRef = false))
+          val incoming = batch
+            .map(e => AsofBuf(e.event_id, e.ts.getTime, e.event_type == probeType, e.value))
+            .toSeq
+          val wm = state.getCurrentWatermarkMs()
+          // finalize strictly below the watermark: an event AT the
+          // watermark could still gain an equal-ts reference (which sorts
+          // before it), so it must keep waiting
+          val (fin, open) = (st.buffer ++ incoming).partition(_.tsMs < wm)
+          var (refId, refTs, refVal, hasRef) = (st.refId, st.refTsMs, st.refValue, st.hasRef)
+          val out = Seq.newBuilder[AsofEnriched]
+          // Ordering[Boolean]: false < true — references before probes
+          fin.sortBy(b => (b.tsMs, b.isProbe, b.event_id)).foreach { b =>
+            if (!b.isProbe) { refId = b.event_id; refTs = b.tsMs; refVal = b.value; hasRef = true }
+            else out += AsofEnriched(b.event_id, userId, b.tsMs, b.value,
+              if (hasRef) Some(refId) else None,
+              if (hasRef) Some(b.tsMs - refTs) else None,
+              if (hasRef) Some(refVal) else None)
+          }
+          if (open.isEmpty && !hasRef) state.remove()
+          else {
+            state.update(AsofState(open, refId, refTs, refVal, hasRef))
+            if (open.nonEmpty)
+              state.setTimeoutTimestamp(math.max(open.map(_.tsMs).min, wm + 1))
+          }
+          out.result().iterator
       }
   }
 

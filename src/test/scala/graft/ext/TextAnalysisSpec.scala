@@ -127,6 +127,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("corpusMix aggregates docs/chars/tokens per dimension combination") {
+    val d = Seq(("s1", "en", "a b c"), ("s1", "en", "d e"), ("s1", "de", "x"))
+      .toDF("source", "lang", "text")
+    val m = TextAnalysis.corpusMix(d, "text", Seq("source", "lang")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(m(("s1", "en")) == ((2L, 8L, 5L, 2.5)))
+    assert(m(("s1", "de")) == ((1L, 1L, 1L, 1.0)))
+  }
+
   test("fingerprint is order-sensitive and deterministic") {
     val fp = (t: String) => TextAnalysis.fingerprint(
       Seq((0L, t)).toDF("doc_id", "text"), "doc_id", "text")

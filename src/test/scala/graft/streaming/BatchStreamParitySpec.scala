@@ -152,6 +152,51 @@ class BatchStreamParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("as-of join: streaming enrichment equals batch, late refs included") {
+    val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    def ev(id: Long, u: Long, minutes: Long, tpe: String, v: Double) =
+      IdStreamEvent(id, u, new Timestamp(base + minutes * 60000), tpe, v)
+    // u=1: click@0 then purchase@10; a LATE click@5 arrives in the next
+    //      micro-batch (inside the watermark) — the probe must wait for
+    //      finalization and match the late click, exactly like batch
+    // u=2: purchase@3 with no prior click → None refs
+    val b1 = Seq(ev(1, 1, 0, "click", 1.0), ev(2, 1, 10, "purchase", 2.0),
+      ev(3, 2, 3, "purchase", 3.0))
+    val b2 = Seq(ev(4, 1, 5, "click", 4.0))
+    val asofBatchDF = (b1 ++ b2)
+      .map(e => (e.event_id, e.ts.getTime * 1000000L, e.user_id, e.event_type, e.value))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    // normalize lag to minutes so the ns (batch) and ms (stream) grains compare
+    val batch = Events.lastPriorEvent(asofBatchDF, "purchase", "click").collect()
+      .map(r => (r.getAs[Long]("event_id"),
+        Option(r.getAs[Any]("ref_event_id")).map(_.asInstanceOf[Long]),
+        Option(r.getAs[Any]("lag_ns")).map(_.asInstanceOf[Long] / 60000000000L)))
+      .toSet
+    assert(batch == Set((2L, Some(4L), Some(5L)), (3L, None, None)))
+
+    val in = MemoryStream[IdStreamEvent]
+    val q = EventsStream.lastPriorEvent(in.toDS(), "purchase", "click")
+      .writeStream.format("memory").queryName("parity_asof")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      in.addData(b2: _*)
+      q.processAllAvailable()
+      in.addData(ev(99, 99, 36 * 60, "click", 0.0)) // advance the watermark
+      q.processAllAvailable()
+      in.addData(ev(98, 99, 72 * 60, "click", 0.0))
+      q.processAllAvailable()
+      val stream = spark.table("parity_asof").where($"user_id" < 99)
+        .collect()
+        .map(r => (r.getAs[Long]("event_id"),
+          Option(r.getAs[Any]("ref_event_id")).map(_.asInstanceOf[Long]),
+          Option(r.getAs[Any]("lag_ms")).map(_.asInstanceOf[Long] / 60000L)))
+        .toSet
+      assert(stream == batch)
+    } finally q.stop()
+  }
+
   test("hourly: streaming windows equal batch windows") {
     val batch = Events.hourly(batchDF).collect()
       .map(r => (r.getAs[Long]("hour_start_sec"), r.getAs[String]("event_type"),
