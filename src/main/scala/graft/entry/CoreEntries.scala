@@ -82,14 +82,17 @@ object CoreEntries {
         "y", "x")),
     // ANN-routed top-k: sign-LSH candidates instead of the dense C(V,2)
     // table — the quadratic-free path for topSimilar at scale
+    // pin = persist: the contract query runs once, so materializing the
+    // shared normalized/candidate tables beats recomputing them per branch
+    // (Bench clears the cache between reps; Verify's session is one-shot)
     "cosine_topk_ann" -> ((s, dir) =>
-      gate(graft.ext.SparseAnn.topSimilarAnn(analysis(s), supplierPartMatrix(s, dir), 5),
-        "vector", "rank")),
+      gate(graft.ext.SparseAnn.topSimilarAnn(analysis(s), supplierPartMatrix(s, dir), 5,
+        pin = _.persist()), "vector", "rank")),
     // ANN-routed missing-value prediction: same CF weighting as
     // cosine_predict, neighbors restricted to the LSH candidate rule
     "cosine_predict_ann" -> ((s, dir) =>
-      gate(graft.ext.SparseAnn.predictMissingAnn(analysis(s), supplierPartMatrix(s, dir), 5),
-        "y", "x")),
+      gate(graft.ext.SparseAnn.predictMissingAnn(analysis(s), supplierPartMatrix(s, dir), 5,
+        pin = _.persist()), "y", "x")),
     // document-frequency cap before alignment (the Zipf-head scale guard)
     "aligned_pairs_dfcap" -> ((s, dir) => {
       val a = analysis(s)

@@ -27,14 +27,16 @@ import graft.core.{CosineAnalysis, MatrixElement}
  * |candidates| · coords-per-vector, never Σ_coord C(n_coord, 2).
  *
  * When to route through this (measured, isolated, sf0.1 supplier×part
- * matrix, ~1k vectors): `cosine_topk` 8.3 s vs `cosine_topk_ann` 14.5 s,
- * but `cosine_predict` 37.2 s vs `cosine_predict_ann` 32.2 s. On a matrix
- * this dense the direct coordinate self-join enumerates pairs cheaply, so
- * the candidate machinery (buckets + probe join + two id-joins back to
- * coordinates) only pays off when the work per pair downstream is heavy
- * (prediction's CF tail) — or, the real target regime, when vector count
- * or Zipf-head coordinates make Σ_coord C(n_coord, 2) itself explode.
- * The exact path stays the default; this is the scale escape hatch.
+ * matrix, ~1k vectors, caller-pinned intermediates): `cosine_topk` 9.5 s
+ * vs `cosine_topk_ann` 14.4 s; `cosine_predict` 11.0 s vs
+ * `cosine_predict_ann` 15.8 s. On a matrix this dense the direct
+ * coordinate self-join enumerates pairs cheaply, so the candidate
+ * machinery (buckets + probe join + two id-joins back to coordinates)
+ * costs ~1.5× the exact path — it pays off in the real target regime,
+ * when vector count or Zipf-head coordinates make Σ_coord C(n_coord, 2)
+ * itself explode (candidates are bounded by bucket collisions, never the
+ * pair surface). The exact path stays the default; this is the scale
+ * escape hatch.
  */
 object SparseAnn {
 
@@ -88,15 +90,35 @@ object SparseAnn {
    * part of the contract. The shared kernel behind [[topSimilarAnn]] and
    * [[predictMissingAnn]].
    */
-  def candidateSims(analysis: CosineAnalysis, matrix: Dataset[MatrixElement]): DataFrame = {
-    val norm = analysis.normalize(matrix)
-    val n = norm.toDF().select(
+  def candidateSims(analysis: CosineAnalysis, matrix: Dataset[MatrixElement],
+      pin: DataFrame => DataFrame = identity): DataFrame =
+    candidateSimsFrom(pin(normTable(analysis, matrix)), pin)
+
+  /** The (vector, coord, nv) projection of the normalized matrix — the
+    * table every stage of the candidate pipeline consumes. */
+  private def normTable(analysis: CosineAnalysis, matrix: Dataset[MatrixElement]): DataFrame =
+    analysis.normalize(matrix).toDF().select(
       col(analysis.axis).as("vector"),
       col(analysis.predictionAxis).as("coord"),
       col("normalized_value").as("nv"))
-    val mods = analysis.vectorMods(norm).toDF()
-    val cands = Embeddings.lshNearPairs(buckets(n, "vector", "coord", "nv"))
-      .select(col("v1").as("vector0"), col("v0").as("vector1"))
+
+  /**
+   * [[candidateSims]] from a prepared normalized table. `pin` is the
+   * caller-owned caching hook (`_.persist()`, checkpoint, or the identity
+   * default): the normalized table feeds four branches (buckets, both dot
+   * sides, norms) and the candidate table two, so a lazy plan recomputes
+   * them per branch — callers running the query ONCE pin both to trade
+   * one materialization for the recomputations (measured 1.35×/1.6× on
+   * the topk/predict contract queries at sf0.1); callers composing
+   * further lazy plans keep the identity default and manage caching at
+   * their own boundary (the MatrixModel.persist convention — no function
+   * here may leak cache entries into long-lived sessions).
+   */
+  def candidateSimsFrom(n: DataFrame, pin: DataFrame => DataFrame = identity): DataFrame = {
+    val mods = n.groupBy("vector")
+      .agg(sqrt(sum(col("nv") * col("nv"))).as("mod"))
+    val cands = pin(Embeddings.lshNearPairs(buckets(n, "vector", "coord", "nv"))
+      .select(col("v1").as("vector0"), col("v0").as("vector1")))
     val a = n.select(col("vector").as("vector0"), col("coord"), col("nv").as("nv0"))
     val b = n.select(col("vector").as("vector1"), col("coord"), col("nv").as("nv1"))
     val dots = cands.join(a, "vector0").join(b, Seq("vector1", "coord"))
@@ -124,11 +146,11 @@ object SparseAnn {
    * similarity desc, neighbor asc).
    */
   def topSimilarAnn(analysis: CosineAnalysis, matrix: Dataset[MatrixElement],
-      k: Int = 5): DataFrame = {
+      k: Int = 5, pin: DataFrame => DataFrame = identity): DataFrame = {
     require(k > 0)
     val w = Window.partitionBy("vector")
       .orderBy(col("similarity_value").desc, col("neighbor").asc)
-    candidateSims(analysis, matrix)
+    candidateSims(analysis, matrix, pin)
       .withColumnRenamed("s", "similarity_value")
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
@@ -144,14 +166,14 @@ object SparseAnn {
    * candidate set differs (by the documented bucket rule).
    */
   def predictMissingAnn(analysis: CosineAnalysis, matrix: Dataset[MatrixElement],
-      neighbors: Int = 5): DataFrame = {
+      neighbors: Int = 5, pin: DataFrame => DataFrame = identity): DataFrame = {
     require(neighbors > 0)
-    val sym = candidateSims(analysis, matrix).where(col("s") > 0.0)
+    val n = pin(normTable(analysis, matrix))
+    val sym = candidateSimsFrom(n, pin).where(col("s") > 0.0)
     val w = Window.partitionBy("vector").orderBy(col("s").desc, col("neighbor").asc)
     val top = sym.withColumn("rn", row_number().over(w)).where(col("rn") <= neighbors)
-    val n = analysis.normalize(matrix).toDF()
-    val cells = n.select(col(analysis.axis).as("neighbor"),
-      col(analysis.predictionAxis).as("coord"), col("normalized_value").as("nv"))
+    val cells = n.select(col("vector").as("neighbor"),
+      col("coord"), col("nv"))
     val contrib = top.join(cells, "neighbor")
       .groupBy(col("vector"), col("coord"))
       .agg((sum(col("s") * col("nv")) / sum(col("s"))).as("predicted_value"))
