@@ -54,8 +54,9 @@ object Events {
    * window per user: a single shuffle keyed by user_id and a linear scan
    * per user — the scale-safe Spark shape for as-of joins. A ts-range
    * join would plan a nested loop over each user's cross product, and a
-   * per-probe lookup would be quadratic; here all three carried columns
-   * share one window frame, so Catalyst plans ONE WindowExec.
+   * per-probe lookup would be quadratic; the carried reference is a
+   * single struct-valued window expression, so Catalyst plans ONE
+   * WindowExec and the matched reference's fields stay atomic.
    *
    * Determinism at ties: at equal timestamps the reference sorts before
    * the probe (an equal-ts reference IS visible), and among equal-ts
@@ -72,17 +73,23 @@ object Events {
     val w = Window.partitionBy("user_id")
       .orderBy(col("ts"), col("is_probe"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    def refOnly(c: Column) = when(col("is_probe") === 0, c)
-    // one select, not chained withColumn: interleaved Projects would stop
-    // CollapseWindow from fusing the three identical specs into one pass
+    // the reference rides as ONE struct through a single running-last:
+    // three independent ignoreNulls windows could stitch fields from
+    // DIFFERENT references when a reference's value is NULL (id/ts from
+    // the latest ref, value from an older one) — the struct keeps the
+    // matched reference atomic, and one window expression is also the
+    // single-WindowExec plan
+    val ref: Column = last(
+      when(col("is_probe") === 0,
+        struct(col("event_id"), col("ts"), col("value"))),
+      ignoreNulls = true).over(w)
     tagged
-      .select(col("*"),
-        last(refOnly(col("event_id")), ignoreNulls = true).over(w).as("ref_event_id"),
-        last(refOnly(col("ts")), ignoreNulls = true).over(w).as("ref_ts"),
-        last(refOnly(col("value")), ignoreNulls = true).over(w).as("ref_value"))
+      .select(col("*"), ref.as("ref"))
       .where(col("is_probe") === 1)
       .select(col("event_id"), col("user_id"), col("ts"), col("value"),
-        col("ref_event_id"), (col("ts") - col("ref_ts")).as("lag_ns"), col("ref_value"))
+        col("ref.event_id").as("ref_event_id"),
+        (col("ts") - col("ref.ts")).as("lag_ns"),
+        col("ref.value").as("ref_value"))
   }
 
   /**

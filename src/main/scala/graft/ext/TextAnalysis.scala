@@ -250,9 +250,11 @@ object TextAnalysis {
    */
   def corpusMix(docs: DataFrame, textCol: String, dims: Seq[String]): DataFrame = {
     require(dims.nonEmpty)
+    // same tokenization as tokensWithPosition, from the one constant
+    val pat = WhitespacePattern.replace("\\", "\\\\")
     docs
       .withColumn("nt",
-        expr(s"size(filter(split($textCol, '\\\\s+'), t -> t <> ''))").cast("long"))
+        expr(s"size(filter(split($textCol, '$pat'), t -> t <> ''))").cast("long"))
       .groupBy(dims.map(col): _*)
       .agg(
         count(lit(1)).as("n_docs"),

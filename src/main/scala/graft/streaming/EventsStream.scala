@@ -141,9 +141,20 @@ object EventsStream {
    * before probe at equal ts, event_id), folding a running "last
    * reference seen"; that reference (one row) is all that outlives
    * finalization, so state is the in-horizon buffer + O(1) per user.
+   *
+   * Per-STREAM state is the per-user row times the live key space: as-of
+   * semantics require remembering a user's last reference indefinitely,
+   * so with an unbounded/ephemeral user-id space the state store grows
+   * with key cardinality. `refTtlMs` bounds that: a carried reference
+   * older than the TTL (vs the watermark) is dropped and its user's
+   * state removed — an event-time timeout fires the cleanup even if the
+   * user never appears again. Probes arriving after the drop behave as
+   * if unmatched, which is the business meaning of a TTL ("a click older
+   * than X no longer explains a purchase").
    */
   def lastPriorEvent(events: Dataset[IdStreamEvent], probeType: String,
-      refType: String, watermark: String = "1 hour"): Dataset[AsofEnriched] = {
+      refType: String, watermark: String = "1 hour",
+      refTtlMs: Long = Long.MaxValue): Dataset[AsofEnriched] = {
     import events.sparkSession.implicits._
     require(probeType != refType, "probe and reference types must differ")
     events
@@ -171,11 +182,20 @@ object EventsStream {
               if (hasRef) Some(b.tsMs - refTs) else None,
               if (hasRef) Some(refVal) else None)
           }
+          // a reference the TTL has outlived can never match a future
+          // probe (any probe it could still serve is itself older than
+          // the TTL horizon) — drop it so the key's state can die
+          if (hasRef && refTtlMs != Long.MaxValue && wm - refTs > refTtlMs)
+            hasRef = false
           if (open.isEmpty && !hasRef) state.remove()
           else {
             state.update(AsofState(open, refId, refTs, refVal, hasRef))
             if (open.nonEmpty)
               state.setTimeoutTimestamp(math.max(open.map(_.tsMs).min, wm + 1))
+            else if (refTtlMs != Long.MaxValue)
+              // wake when the carried reference expires, even if this
+              // user never sends another event
+              state.setTimeoutTimestamp(math.max(refTs + refTtlMs, wm + 1))
           }
           out.result().iterator
       }

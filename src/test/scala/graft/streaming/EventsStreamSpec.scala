@@ -64,4 +64,35 @@ class EventsStreamSpec extends SparkSpec {
       assert(sessions(1)._4 == 1L && sessions(1)._5 == 5.0)
     } finally q.stop()
   }
+
+  test("as-of: an expired reference stops matching once the TTL passes") {
+    val in = MemoryStream[IdStreamEvent]
+    // 30-minute reference TTL, 10-minute watermark
+    val q = EventsStream.lastPriorEvent(in.toDS(), "purchase", "click",
+      watermark = "10 minutes", refTtlMs = 30L * 60000)
+      .writeStream.format("memory").queryName("asof_ttl")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // click at 0:00; a purchase at 0:05 matches it
+      in.addData(IdStreamEvent(1, 7, ts(0, 0), "click", 1.0),
+        IdStreamEvent(2, 7, ts(0, 5), "purchase", 2.0))
+      q.processAllAvailable()
+      // watermark sweeps far past the click's TTL (0:30), dropping it;
+      // a purchase at 2:00 then finds no reference
+      in.addData(IdStreamEvent(3, 99, ts(1, 30), "click", 0.0))
+      q.processAllAvailable()
+      in.addData(IdStreamEvent(4, 7, ts(2, 0), "purchase", 4.0))
+      q.processAllAvailable()
+      in.addData(IdStreamEvent(5, 99, ts(4, 0), "click", 0.0))
+      q.processAllAvailable()
+      in.addData(IdStreamEvent(6, 99, ts(8, 0), "click", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("asof_ttl").where($"user_id" === 7)
+        .collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[Any]("ref_event_id")).map(_.asInstanceOf[Long])).toMap
+      assert(rows(2L) == Some(1L))  // in-TTL match
+      assert(rows(4L) == None)      // reference expired before this probe
+    } finally q.stop()
+  }
 }
