@@ -82,6 +82,58 @@ class CheckpointResumeSpec extends SparkSpec {
     assert(got.toSet == want.toSet, s"got=${got.toSet} want=${want.toSet}")
   }
 
+  test("as-of resumes from checkpoint: the carried reference survives the restart") {
+    val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    def ev(id: Long, u: Long, minutes: Long, tpe: String, v: Double) =
+      IdStreamEvent(id, u, new Timestamp(base + minutes * 60000), tpe, v)
+
+    // before the restart: u1's click@0 plus enough watermark movement to
+    // FINALIZE it into the one-row carried-reference state (flushA pushes
+    // the watermark past minute 0); the probe arrives only after restart
+    val before = Seq(ev(1, 1, 0, "click", 1.0))
+    val flushA = Seq(ev(90, 99, 90, "click", 0.0))
+    // after the restart: u1's purchase@100 must match the click recovered
+    // from the state store, not come up empty
+    val after = Seq(ev(2, 1, 100, "purchase", 2.0))
+    val flushB = Seq(ev(91, 99, 60 * 36, "click", 0.0))
+    val flushC = Seq(ev(92, 99, 60 * 72, "click", 0.0))
+
+    val dir = Files.createTempDirectory("graft_ckpt_asof").toFile
+    val outPath = s"$dir/out"
+    val ckptPath = s"$dir/ckpt"
+    val in = MemoryStream[IdStreamEvent]
+    def start() = EventsStream.lastPriorEvent(in.toDS(), "purchase", "click")
+      .writeStream.format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", ckptPath)
+      .outputMode(OutputMode.Append)
+      .start()
+
+    val q1 = start()
+    try {
+      in.addData(before: _*)
+      q1.processAllAvailable()
+      in.addData(flushA: _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    val q2 = start()
+    try {
+      in.addData(after: _*)
+      q2.processAllAvailable()
+      in.addData(flushB: _*)
+      q2.processAllAvailable()
+      in.addData(flushC: _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val got = spark.read.parquet(outPath).where($"user_id" === 1).collect()
+      .map(r => (r.getAs[Long]("event_id"),
+        Option(r.getAs[Any]("ref_event_id")).map(_.asInstanceOf[Long]),
+        Option(r.getAs[Any]("lag_ms")).map(_.asInstanceOf[Long])))
+    assert(got.toSeq == Seq((2L, Some(1L), Some(100L * 60000))), got.mkString(", "))
+  }
+
   test("hourly resumes from checkpoint: a window spanning the restart is exact") {
     val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
     def ev(minutes: Long, tpe: String, v: Double) =
