@@ -285,11 +285,12 @@ object Embeddings {
       k: Int, iters: Int): DataFrame = {
     require(k > 0 && iters >= 1)
     val cells = cellsOf(emb, idCol, vecCol)
-    // rank over exactly k seed rows — the constant partition key keeps the
-    // window single-partition by construction (deliberate: k rows) without
-    // tripping WindowExec's unpartitioned-window warning on every run
+    // rank over exactly k seed rows — deliberately single-partition. The
+    // partition key must be a COLUMN-derived constant: a literal would be
+    // constant-folded out of the spec and WindowExec would warn
+    // "No Partition Defined" on every run
     val seedW = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(0)).orderBy("vec_id")
+      .partitionBy(col("vec_id") * lit(0)).orderBy("vec_id")
     val seeds = emb.select(col(idCol).as("vec_id")).orderBy("vec_id").limit(k)
       .select(col("vec_id"), (row_number().over(seedW) - 1).cast("long").as("cid"))
     var cent = cells.join(seeds, "vec_id").select(col("cid"), col("i"), col("x").as("c"))
