@@ -17,6 +17,8 @@ object DedupEntries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) =>
       gate(Dedup.exact(docs(s, dir), "doc_id", "text"), "doc_id")),
+    "dedup_exact_norm" -> ((s, dir) =>
+      gate(Dedup.exactNormalized(docs(s, dir), "doc_id", "text"), "doc_id")),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       gate(Dedup.ngramJaccardDups(docs(s, dir), "doc_id", "text"), "doc0", "doc1")),
     "dedup_minhash_lsh" -> ((s, dir) =>
@@ -108,6 +110,15 @@ object DedupEntries {
     "dedup_exact" ->
       """SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS rep_id
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // same canonicalization regexes as Dedup.normalizeText ('g' flag:
+    // DuckDB replaces first match by default, Spark replaces all)
+    "dedup_exact_norm" ->
+      """WITH nt AS (SELECT doc_id,
+        |            trim(regexp_replace(regexp_replace(lower(text),
+        |              '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+        |            FROM documents)
+        |SELECT doc_id, MIN(doc_id) OVER (PARTITION BY t) AS rep_id
+        |FROM nt ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       (shingleSql + s"""
         |SELECT doc0, doc1, ${r6sql("jaccard")} AS jaccard FROM jac

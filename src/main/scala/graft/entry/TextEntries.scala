@@ -81,8 +81,23 @@ object TextEntries {
     // ext: per-(source, lang) corpus mixture statistics
     "corpus_mix" -> ((s, dir) =>
       gate(TextAnalysis.corpusMix(docs(s, dir), "text", Seq("source", "lang")),
-        "source", "lang"))
+        "source", "lang")),
+    // ext: composite quality gate (thresholds split this corpus: ~10% on
+    // tokens, ~10% on stopwords, ~25% on type-token ratio)
+    "quality_filter" -> ((s, dir) =>
+      gate(TextAnalysis.qualityFilter(docs(s, dir), "doc_id", "text",
+        QfMinTokens, QfMaxTokens, QfMinAvgLen, QfMaxAvgLen, QfMaxStop, QfMinTtr),
+        "doc_id"))
   )
+
+  /** Quality-filter contract bounds (calibrated against the sf0.01
+    * distributions so every bound actually drops documents). */
+  private val QfMinTokens = 20L
+  private val QfMaxTokens = 100000L
+  private val QfMinAvgLen = 2.0
+  private val QfMaxAvgLen = 12.0
+  private val QfMaxStop = 0.10
+  private val QfMinTtr = 0.35
 
   /** Heavy-hitter count for the vocabulary contract. */
   private val VocabK = 100
@@ -206,6 +221,27 @@ object TextEntries {
         |SELECT d.doc_id, d.lang, f.fingerprint
         |FROM documents d JOIN fp f USING (doc_id)
         |WHERE f.fingerprint % 1000 < CASE $sampleRateCase END
+        |ORDER BY doc_id""".stripMargin),
+    // bounds compare RAW signal values exactly as the Spark side's where
+    // does (each is one IEEE division of identical integers — bit-equal
+    // across engines); rounding happens only on the projected output
+    "quality_filter" ->
+      (tokSql + s""",
+        |st AS (SELECT doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |       CAST(COUNT(DISTINCT token) AS BIGINT) AS n_distinct,
+        |       CAST(SUM(length(token)) AS DOUBLE) / COUNT(*) AS avg_token_len,
+        |       CAST(SUM(CASE WHEN token IN ${inList(TextAnalysis.Stopwords)} THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS stopword_ratio,
+        |       CAST(COUNT(DISTINCT token) AS DOUBLE) / COUNT(*) AS ttr
+        |       FROM tok GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_distinct,
+        |       ${r6sql("avg_token_len")} AS avg_token_len,
+        |       ${r6sql("stopword_ratio")} AS stopword_ratio,
+        |       ${r6sql("ttr")} AS ttr
+        |FROM st
+        |WHERE n_tokens >= $QfMinTokens AND n_tokens <= $QfMaxTokens
+        |  AND avg_token_len >= $QfMinAvgLen AND avg_token_len <= $QfMaxAvgLen
+        |  AND stopword_ratio <= $QfMaxStop AND ttr >= $QfMinTtr
         |ORDER BY doc_id""".stripMargin),
     "corpus_mix" ->
       s"""WITH d AS (SELECT source, lang, length(text) AS nc,

@@ -45,6 +45,27 @@ object Dedup {
           .over(Window.partitionBy(col("gr_hash"), col("gr_text"))).as("rep_id"))
 
   /**
+   * Text canonicalization for formatting-insensitive dedup: casefold,
+   * strip everything but letters/digits/whitespace (Unicode classes, so
+   * non-Latin text survives), collapse whitespace runs, trim. The same
+   * regex text runs in any RE2/Java-regex engine, so the DuckDB oracle
+   * mirrors it exactly.
+   */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(c), "[^\\p{L}\\p{N}\\s]", " "), "\\s+", " "))
+
+  /**
+   * Exact-duplicate grouping after [[normalizeText]] canonicalization —
+   * catches duplicates that differ only in case, punctuation, or
+   * whitespace (the first dedup pass of C4-style pipelines, between
+   * byte-exact [[exact]] and the near-dup detectors). Same scale shape
+   * as [[exact]]: one fixed-width sha2-keyed exchange.
+   */
+  def exactNormalized(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    exact(docs.withColumn(textCol, normalizeText(col(textCol))), idCol, textCol)
+
+  /**
    * Distinct word-trigram shingles per document, as int64 hashes. Built
    * with window `lead` over token positions so adjacency follows the
    * cleaned token sequence; the per-document window is cheap because a

@@ -56,6 +56,29 @@ object TextAnalysis {
         (countDistinct(col("token")).cast("double") / count(lit(1))).as("ttr"))
   }
 
+  /**
+   * Composite C4/Gopher-style quality gate over [[stats]]'s cheap
+   * signals: keep a document iff its token count, mean token length,
+   * stopword ratio, and type-token ratio all sit inside the given
+   * bounds. Returns the surviving documents with their signals, ready to
+   * drive a corpus sweep (`kept.join(docs, "doc_id")`).
+   *
+   * Every signal is a single IEEE division of exactly-aggregated
+   * integers, so the bound comparisons are bit-deterministic across
+   * engines and reruns — no epsilon at the thresholds. Same
+   * embarrassingly-parallel shape as [[stats]].
+   */
+  def qualityFilter(docs: DataFrame, idCol: String, textCol: String,
+      minTokens: Long = 10, maxTokens: Long = 100000,
+      minAvgTokenLen: Double = 2.0, maxAvgTokenLen: Double = 12.0,
+      maxStopwordRatio: Double = 0.6, minTtr: Double = 0.2): DataFrame =
+    stats(docs, idCol, textCol)
+      .where(col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
+        col("avg_token_len") >= minAvgTokenLen &&
+        col("avg_token_len") <= maxAvgTokenLen &&
+        col("stopword_ratio") <= maxStopwordRatio &&
+        col("ttr") >= minTtr)
+
   /** Per-language marker token sets for [[langId]]. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "to"),

@@ -122,6 +122,20 @@ class DedupSpec extends SparkSpec {
     assert(viaLsh == viaAll)
   }
 
+  test("exactNormalized groups case/punctuation/whitespace variants") {
+    val d = Seq(
+      (0L, "Hello, World!"), (1L, "hello   world"), (2L, "HELLO WORLD."),
+      (3L, "hello worlds")
+    ).toDF("doc_id", "text")
+    val m = Dedup.exactNormalized(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L))
+    // byte-exact dedup sees them all as distinct
+    val e = Dedup.exact(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(e == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
   test("contamination counts eval-shared shingles per train doc") {
     val train = docs.where($"doc_id" =!= 1L) // 0, 2, 3
     val evalC = docs.where($"doc_id" === 1L) // byte-identical to doc 0

@@ -127,6 +127,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("qualityFilter keeps only documents inside every signal bound") {
+    val d = Seq(
+      (0L, "alpha beta gamma delta epsilon"),        // passes
+      (1L, "tiny doc"),                              // fails minTokens
+      (2L, "the the the the of of and and to to"),   // fails stopword ratio
+      (3L, "rep rep rep rep rep rep rep rep rep rep") // fails ttr
+    ).toDF("doc_id", "text")
+    val kept = TextAnalysis.qualityFilter(d, "doc_id", "text",
+      minTokens = 3, maxTokens = 100, minAvgTokenLen = 1.0, maxAvgTokenLen = 12.0,
+      maxStopwordRatio = 0.5, minTtr = 0.3).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L))
+  }
+
   test("corpusMix aggregates docs/chars/tokens per dimension combination") {
     val d = Seq(("s1", "en", "a b c"), ("s1", "en", "d e"), ("s1", "de", "x"))
       .toDF("source", "lang", "text")
