@@ -33,8 +33,16 @@ object EventsEntries {
         .withColumnRenamed("ts", "ts_us")
         .withColumnRenamed("lag_ns", "lag_us"), "event_id")),
     "multimodal_meta" -> ((s, dir) =>
-      gate(Multimodal.metadata(docs(s, dir), "doc_id", "text"), "doc_id"))
+      gate(Multimodal.metadata(docs(s, dir), "doc_id", "text"), "doc_id")),
+    // frame sampling ahead of decode: 16-char frames, every 4th kept
+    "multimodal_frames" -> ((s, dir) =>
+      gate(Multimodal.sampleFrames(docs(s, dir), "doc_id", "text",
+        FrameChars, FrameStride), "doc_id", "frame_no"))
   )
+
+  /** Frame width (chars) and sampling stride for the frames contract. */
+  private val FrameChars = 16
+  private val FrameStride = 4
 
   private val nsHour = Events.NsPerHour
   private val nsSec = Events.NsPerSec
@@ -83,6 +91,13 @@ object EventsEntries {
         |       r.ref_event_id, p.tus - r.rtus AS lag_us, ${r6sql("r.ref_value")} AS ref_value
         |FROM p ASOF JOIN r ON p.user_id = r.ruid AND p.tus >= r.rtus
         |ORDER BY event_id""".stripMargin,
+    "multimodal_frames" ->
+      s"""WITH d AS (SELECT doc_id, text, length(text) // $FrameChars AS nf FROM documents)
+        |SELECT doc_id, CAST(i AS BIGINT) AS frame_no,
+        |       encode(substring(text, CAST(i * $FrameChars + 1 AS INT), $FrameChars)) AS frame
+        |FROM d, UNNEST(range(nf)) AS r(i)
+        |WHERE i % $FrameStride = 0
+        |ORDER BY doc_id, frame_no""".stripMargin,
     "multimodal_meta" ->
       s"""WITH h AS (SELECT doc_id, text, least(16, length(text)) AS hl FROM documents)
         |SELECT doc_id,

@@ -39,6 +39,34 @@ object Multimodal {
             s"i -> CAST(ascii(substr($textCol, i, 1)) * i AS BIGINT)), " +
             "CAST(0 AS BIGINT), (a, x) -> a + x)").as("header_sum"))
 
+  /**
+   * Frame-sample a payload WITHOUT decoding it: the payload is framed as
+   * fixed `frameChars`-character windows (the shape of fixed-length
+   * record containers) and every `stride`-th frame becomes its own
+   * binary record. Pure SQL — the sample prunes frames BEFORE any
+   * decoder touches them, which is the point at scale: a 1-in-30 frame
+   * sample of a video corpus does 1/30th of the decode work, and the
+   * emitted rows feed [[decodeFeatures]] unchanged. Trailing partial
+   * frames are dropped (container semantics); payloads shorter than one
+   * frame emit nothing. Framing is character-based so the DuckDB oracle
+   * can mirror it exactly (its BLOBs have no substring).
+   */
+  def sampleFrames(docs: DataFrame, idCol: String, textCol: String,
+      frameChars: Int = 16, stride: Int = 4): DataFrame = {
+    require(frameChars > 0 && stride > 0)
+    docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("t"))
+      .withColumn("nf", (length(col("t")) / frameChars).cast("int"))
+      .where(col("nf") >= 1)
+      .select(col("doc_id"),
+        explode(expr(
+          s"transform(filter(sequence(0, nf - 1), f -> f % $stride = 0), " +
+            s"f -> struct(CAST(f AS BIGINT) AS frame_no, " +
+            s"encode(substring(t, f * $frameChars + 1, $frameChars), 'UTF-8') AS frame))"))
+          .as("fr"))
+      .select(col("doc_id"), col("fr.frame_no").as("frame_no"), col("fr.frame").as("frame"))
+  }
+
   /** Batched payload → fixed-width feature decoder. */
   trait MediaDecoder extends Serializable {
     def dim: Int

@@ -26,6 +26,20 @@ class MultimodalSpec extends SparkSpec {
     assert(m(0L) == (3L, 97 + 2 * 98 + 3 * 99))
   }
 
+  test("sampleFrames: fixed windows, stride selection, short docs dropped") {
+    val d = Seq((0L, "abcdefgh"), (1L, "x")).toDF("doc_id", "text")
+    val f = Multimodal.sampleFrames(d, "doc_id", "text", frameChars = 2, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        new String(r.getAs[Array[Byte]](2), "UTF-8")))
+    // 4 frames ab|cd|ef|gh, every 2nd kept; doc 1 is shorter than a frame
+    assert(f.toSet == Set((0L, 0L, "ab"), (0L, 2L, "ef")))
+    // sampled frames feed the decoder seam unchanged
+    val feats = Multimodal.decodeFeatures(
+      Multimodal.sampleFrames(d, "doc_id", "text", 2, 2), "doc_id", "frame")
+      .collect()
+    assert(feats.length == 2 && feats.forall(_.n_bytes == 2L))
+  }
+
   test("decodeFeatures: partition-batched stub decoder, stable output") {
     val f = Multimodal.decodeFeatures(
       Multimodal.withPayload(docs, "text"), "doc_id", "payload")
