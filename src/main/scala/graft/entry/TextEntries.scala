@@ -82,6 +82,10 @@ object TextEntries {
     "corpus_mix" -> ((s, dir) =>
       gate(TextAnalysis.corpusMix(docs(s, dir), "text", Seq("source", "lang")),
         "source", "lang")),
+    // ext: concatenative sequence packing into 512-token bins, 8 streams
+    "doc_packing" -> ((s, dir) =>
+      gate(TextAnalysis.packSequences(docs(s, dir), "doc_id", "text",
+        PackBudget, PackBuckets), "doc_id")),
     // ext: composite quality gate (thresholds split this corpus: ~10% on
     // tokens, ~10% on stopwords, ~25% on type-token ratio)
     "quality_filter" -> ((s, dir) =>
@@ -89,6 +93,10 @@ object TextEntries {
         QfMinTokens, QfMaxTokens, QfMinAvgLen, QfMaxAvgLen, QfMaxStop, QfMinTtr),
         "doc_id"))
   )
+
+  /** Context budget (tokens) and packing-stream count for the contract. */
+  private val PackBudget = 512
+  private val PackBuckets = 8
 
   /** Quality-filter contract bounds (calibrated against the sf0.01
     * distributions so every bound actually drops documents). */
@@ -222,6 +230,19 @@ object TextEntries {
         |FROM documents d JOIN fp f USING (doc_id)
         |WHERE f.fingerprint % 1000 < CASE $sampleRateCase END
         |ORDER BY doc_id""".stripMargin),
+    "doc_packing" ->
+      s"""WITH d AS (SELECT doc_id,
+        |            CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS BIGINT) AS nt,
+        |            doc_id % $PackBuckets AS bucket
+        |            FROM documents),
+        |o AS (SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, nt,
+        |             CAST(COALESCE(SUM(nt) OVER (PARTITION BY bucket ORDER BY doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS so
+        |      FROM d WHERE nt > 0)
+        |SELECT doc_id, bucket, nt, so AS start_offset,
+        |       so // $PackBudget AS first_bin,
+        |       (so + nt - 1) // $PackBudget AS last_bin
+        |FROM o ORDER BY doc_id""".stripMargin,
     // bounds compare RAW signal values exactly as the Spark side's where
     // does (each is one IEEE division of identical integers — bit-equal
     // across engines); rounding happens only on the projected output

@@ -287,6 +287,39 @@ object TextAnalysis {
   }
 
   /**
+   * Concatenative sequence packing — the GPT-style batch-prep step:
+   * documents are conceptually concatenated and cut into fixed
+   * `budgetTokens` context windows, and each document learns its
+   * placement (token start offset, first/last bin it lands in; a
+   * document may straddle bins, exactly like training-time packing).
+   *
+   * Scale shape: documents spread across `buckets` independent packing
+   * streams by id, so the running-offset window parallelizes across
+   * buckets instead of serializing the corpus through one partition —
+   * one shuffle keyed by bucket, integer-exact arithmetic throughout.
+   * Placement is deterministic (id order within bucket) and
+   * rerun-stable. Per-row token counts are HOF-local like [[corpusMix]].
+   */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      budgetTokens: Int, buckets: Int): DataFrame = {
+    require(budgetTokens > 0 && buckets > 0)
+    val pat = WhitespacePattern.replace("\\", "\\\\")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .select(col(idCol).as("doc_id"),
+        expr(s"size(filter(split($textCol, '$pat'), t -> t <> ''))")
+          .cast("long").as("nt"))
+      .where(col("nt") > 0)
+      .withColumn("bucket", pmod(col("doc_id"), lit(buckets.toLong)))
+      .withColumn("start_offset", coalesce(sum(col("nt")).over(w), lit(0L)))
+      .select(col("doc_id"), col("bucket"), col("nt"), col("start_offset"),
+        expr(s"start_offset div $budgetTokens").as("first_bin"),
+        expr(s"(start_offset + nt - 1) div $budgetTokens").as("last_bin"))
+  }
+
+  /**
    * Order-sensitive document fingerprint: a position-weighted polynomial
    * over per-token character hashes, mod 1e9+7 (a rolling-hash analogue
    * that stays in exact int64 arithmetic — see [[TextHash.fingerprintTerm]]).

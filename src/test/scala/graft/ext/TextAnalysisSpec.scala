@@ -150,6 +150,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m(("s1", "de")) == ((1L, 1L, 1L, 1.0)))
   }
 
+  test("packSequences: bucketed running offsets, documents straddle bins") {
+    val d = Seq((0L, "a b c"), (2L, "d e f g"), (4L, "h"), (1L, "x y"))
+      .toDF("doc_id", "text")
+    // buckets=2 → stream 0 packs ids 0,2,4 in order; stream 1 packs id 1.
+    // budget=4: doc 2 starts at offset 3 and spans tokens 3..6 → bins 0..1
+    val p = TextAnalysis.packSequences(d, "doc_id", "text",
+      budgetTokens = 4, buckets = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(p(0L) == ((0L, 3L, 0L, 0L, 0L)))
+    assert(p(2L) == ((0L, 4L, 3L, 0L, 1L)))
+    assert(p(4L) == ((0L, 1L, 7L, 1L, 1L)))
+    assert(p(1L) == ((1L, 2L, 0L, 0L, 0L)))
+  }
+
   test("fingerprint is order-sensitive and deterministic") {
     val fp = (t: String) => TextAnalysis.fingerprint(
       Seq((0L, t)).toDF("doc_id", "text"), "doc_id", "text")
