@@ -1,0 +1,34 @@
+package graft
+
+import java.io.File
+
+/**
+ * Every contract query's physical plan, audited in one sweep: no
+ * CartesianProduct anywhere, and BroadcastNestedLoopJoin only where it
+ * is the documented design — `ann_topk_brute` (the brute-force baseline
+ * IS an all-pairs broadcast scan) and `tfidf_matrix` (1-row corpus-size
+ * scalar broadcast). Pins SURVEY §8's plan-audit claim over ALL queries
+ * permanently: a future operator that sneaks in an inequality-only join
+ * fails here before it ships. Planning only — nothing executes.
+ */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private val bnljByDesign = Set("ann_topk_brute", "tfidf_matrix")
+
+  test("no contract query plans a cartesian product or unsanctioned BNLJ") {
+    assume(new File(sfDir).isDirectory, s"$sfDir missing")
+    // the events table is TIMESTAMP(NANOS) parquet (see graft.SparkSessions)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try {
+      val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val cart = plan.contains("CartesianProduct")
+        val bnlj = plan.contains("BroadcastNestedLoopJoin") && !bnljByDesign(name)
+        if (cart || bnlj) Some(s"$name: cartesian=$cart unsanctionedBnlj=$bnlj")
+        else None
+      }
+      assert(bad.isEmpty, bad.mkString("\n"))
+    } finally spark.catalog.clearCache() // pin-persisting entries mark caches
+  }
+}
