@@ -34,6 +34,14 @@ object DedupEntries {
         d.where(col("source") =!= EvalSource),
         d.where(col("source") === EvalSource), "doc_id", "text"), "doc_id")
     }),
+    // near-dup leakage across the same split (MinHash bands + verify)
+    "decontaminate_fuzzy" -> ((s, dir) => {
+      val d = docs(s, dir)
+      gate(Dedup.fuzzyContamination(
+        d.where(col("source") =!= EvalSource),
+        d.where(col("source") === EvalSource), "doc_id", "text"),
+        "doc_id", "eval_id")
+    }),
     // component grouping over the minhash near-dup pairs (keep-one step)
     "dedup_groups" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -82,9 +90,12 @@ object DedupEntries {
     s"MIN(($a * sh + $b) % $M) AS sig_$j"
   }.mkString(", ")
 
-  private val bandsSql = (0 until Dedup.HashParams.size / Dedup.BandRows).map { b =>
-    s"SELECT doc_id, $b AS band, ${Dedup.bandKeyExpr(b)} AS sigv FROM sig"
-  }.mkString("\n        UNION ALL ")
+  private def bandsSqlFrom(tbl: String) =
+    (0 until Dedup.HashParams.size / Dedup.BandRows).map { b =>
+      s"SELECT doc_id, $b AS band, ${Dedup.bandKeyExpr(b)} AS sigv FROM $tbl"
+    }.mkString("\n        UNION ALL ")
+
+  private val bandsSql = bandsSqlFrom("sig")
 
   private val simhashSums = (0 until Dedup.SimHashBits).map { i =>
     s"SUM(CASE WHEN (sh >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS s_$i"
@@ -174,6 +185,32 @@ object DedupEntries {
         |       ${r6sql("CAST(SUM(CASE WHEN ev.sh IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)")} AS contamination
         |FROM tr LEFT JOIN ev ON tr.sh = ev.sh
         |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin),
+    // cross-corpus MinHash bands + exact-Jaccard verify, mirroring
+    // Dedup.fuzzyContamination over the same src0 split
+    "decontaminate_fuzzy" ->
+      (shgSql + s""",
+        |trsh AS (SELECT s.doc_id, s.sh FROM shg s JOIN documents d USING (doc_id)
+        |         WHERE d.source <> '$EvalSource'),
+        |evsh AS (SELECT s.doc_id, s.sh FROM shg s JOIN documents d USING (doc_id)
+        |         WHERE d.source = '$EvalSource'),
+        |trsig AS (SELECT doc_id, $sigSelect FROM trsh GROUP BY doc_id),
+        |evsig AS (SELECT doc_id, $sigSelect FROM evsh GROUP BY doc_id),
+        |trb AS (${bandsSqlFrom("trsig")}),
+        |evb AS (${bandsSqlFrom("evsig")}),
+        |cand AS (SELECT DISTINCT t.doc_id AS doc0, e.doc_id AS doc1
+        |         FROM trb t JOIN evb e ON t.band = e.band AND t.sigv = e.sigv),
+        |allsh AS (SELECT * FROM trsh UNION ALL SELECT * FROM evsh),
+        |cnt2 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM allsh GROUP BY 1),
+        |inter2 AS (SELECT c.doc0, c.doc1, CAST(COUNT(*) AS BIGINT) AS i
+        |           FROM cand c
+        |           JOIN allsh a ON a.doc_id = c.doc0
+        |           JOIN allsh b ON b.doc_id = c.doc1 AND b.sh = a.sh
+        |           GROUP BY 1, 2),
+        |jac2 AS (SELECT doc0, doc1, CAST(i AS DOUBLE) / (c0.n + c1.n - i) AS jaccard
+        |         FROM inter2 JOIN cnt2 c0 ON c0.doc_id = doc0
+        |                     JOIN cnt2 c1 ON c1.doc_id = doc1)
+        |SELECT doc0 AS doc_id, doc1 AS eval_id, ${r6sql("jaccard")} AS jaccard
+        |FROM jac2 WHERE jaccard >= 0.2 ORDER BY doc_id, eval_id""".stripMargin),
     // GroupRounds unrolled min-label-propagation rounds over the minhash
     // dup pairs, mirroring Dedup.dupGroups exactly (fixed-rounds contract)
     "dedup_groups" -> {

@@ -156,6 +156,16 @@ class DedupSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), plan)
   }
 
+  test("fuzzyContamination flags cross-corpus near-dups, not unrelated docs") {
+    val train = docs.where($"doc_id" =!= 1L) // 0 (identical), 2 (near), 3 (far)
+    val evalC = docs.where($"doc_id" === 1L)
+    val f = Dedup.fuzzyContamination(train, evalC, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assertApprox(f((0L, 1L)), 1.0)              // identical leak
+    assert(f.contains((2L, 1L)) && f((2L, 1L)) > 0.3) // paraphrased leak
+    assert(!f.keySet.exists(_._1 == 3L))        // unrelated train doc clean
+  }
+
   test("dupGroups: components get their min id; rounds bound the reach") {
     val ids = (1L to 7L).map(Tuple1(_)).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("doc0", "doc1")
