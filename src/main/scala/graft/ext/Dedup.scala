@@ -84,6 +84,30 @@ object Dedup {
   }
 
   /**
+   * Row-local spelling of [[shingles]]: the same distinct trigram hashes
+   * computed with array HOFs INSIDE each row — no window function, so it
+   * runs unchanged on unbounded streams (window functions are
+   * batch-only) and skips the per-document sort entirely. Token
+   * adjacency follows the same cleaned token sequence, so the emitted
+   * (doc_id, sh) rows are identical to [[shingles]] (pinned by a spec).
+   * `keepCols` ride along unchanged (e.g. an event-time column a
+   * downstream watermark needs).
+   */
+  def shinglesLocal(docs: DataFrame, idCol: String, textCol: String,
+      keepCols: Seq[String] = Nil): DataFrame = {
+    val pat = TextAnalysis.WhitespacePattern.replace("\\", "\\\\")
+    def tvAt(off: Int) = TextHash.tokenValue(s"element_at(w, i + $off)")
+    val trigrams =
+      s"transform(sequence(1, size(w) - 2), i -> ${TextHash.shingleHash(tvAt(0), tvAt(1), tvAt(2))})"
+    docs
+      .select(col(idCol).as("doc_id") +: keepCols.map(col) :+
+        expr(s"filter(split($textCol, '$pat'), t -> t <> '')").as("w"): _*)
+      .where(size(col("w")) >= 3)
+      .select(col("doc_id") +: keepCols.map(col) :+
+        explode(array_distinct(expr(trigrams))).as("sh"): _*)
+  }
+
+  /**
    * Exact pairwise shingle-Jaccard for every pair sharing at least one
    * shingle — the verification kernel for every near-dup method here.
    * The self-equi-join on `sh` is the scale-safe pair generator: output

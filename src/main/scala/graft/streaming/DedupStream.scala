@@ -39,6 +39,30 @@ object DedupStream {
       .dropDuplicatesWithinWatermark(textCol)
 
   /**
+   * Streaming decontamination guard: flag arriving documents that share
+   * at least one word trigram with a STATIC eval-corpus shingle set
+   * (column `sh`, e.g. `Dedup.shingles(evalDocs, ...)` materialized to
+   * parquet) — the ingest-time form of [[graft.ext.Dedup.contamination]].
+   *
+   * Runs natively on the stream, no foreachBatch: shingling is row-local
+   * ([[graft.ext.Dedup.shinglesLocal]] — array HOFs, no window), the
+   * probe is a stream-static equi-join on the shingle hash (the static
+   * side's distinct set broadcasts), and the per-document flag dedup is
+   * `dropDuplicatesWithinWatermark` keyed by doc id, so flag state is
+   * watermark-bounded. Emits one (doc_id, ts) row per contaminated
+   * document; route it to a quarantine sink or anti-join it against the
+   * ingest stream.
+   */
+  def contaminationFlag(docs: DataFrame, idCol: String, textCol: String,
+      tsCol: String, evalShingles: DataFrame,
+      watermark: String = "1 hour"): DataFrame =
+    Dedup.shinglesLocal(docs, idCol, textCol, keepCols = Seq(tsCol))
+      .join(evalShingles.select(col("sh")).distinct(), "sh")
+      .select(col("doc_id"), col(tsCol))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("doc_id")
+
+  /**
    * Per-micro-batch MinHash signature extraction: runs the batch
    * signature pipeline on every arriving batch and hands the result to
    * `sink` (write to the signature index, run LSH bucket joins, etc.).

@@ -136,6 +136,14 @@ class DedupSpec extends SparkSpec {
     assert(e == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
   }
 
+  test("shinglesLocal emits exactly the window-based shingle rows") {
+    val a = Dedup.shingles(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Dedup.shinglesLocal(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
   test("contamination counts eval-shared shingles per train doc") {
     val train = docs.where($"doc_id" =!= 1L) // 0, 2, 3
     val evalC = docs.where($"doc_id" === 1L) // byte-identical to doc 0

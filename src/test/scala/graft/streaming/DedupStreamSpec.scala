@@ -34,6 +34,31 @@ class DedupStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("contaminationFlag: stream docs sharing an eval trigram are flagged once") {
+    import graft.ext.Dedup
+    // static eval corpus: one doc; its trigram set is the probe index
+    val evalSh = Dedup.shingles(
+      Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val docs = in.toDF().toDF("doc_id", "ts", "text")
+    val q = DedupStream.contaminationFlag(docs, "doc_id", "text", "ts", evalSh)
+      .writeStream.format("memory").queryName("contam_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        (0L, ts(0), "here the quick brown fox appears again"), // shares trigrams
+        (1L, ts(1), "completely unrelated text about engines today ok"),
+        (2L, ts(2), "too short"))
+      q.processAllAvailable()
+      in.addData((0L, ts(3), "the quick brown fox jumps")) // same id again
+      q.processAllAvailable()
+      val flagged = spark.table("contam_out").collect().map(_.getLong(0))
+      // doc 0 flagged exactly once (watermark-deduped); 1 and 2 clean
+      assert(flagged.toSeq == Seq(0L), flagged.mkString(", "))
+    } finally q.stop()
+  }
+
   test("nearDupDetect end-to-end matches batch minHashDups across micro-batches") {
     val dir = java.nio.file.Files.createTempDirectory("graft-neardup").toString
     val corpus = Seq(
