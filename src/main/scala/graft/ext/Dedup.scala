@@ -66,22 +66,20 @@ object Dedup {
     exact(docs.withColumn(textCol, normalizeText(col(textCol))), idCol, textCol)
 
   /**
-   * Distinct word-trigram shingles per document, as int64 hashes. Built
-   * with window `lead` over token positions so adjacency follows the
-   * cleaned token sequence; the per-document window is cheap because a
-   * document's tokens always fit one partition.
+   * Distinct word-trigram shingles per document, as int64 hashes —
+   * delegates to the row-local HOF spelling ([[shinglesLocal]]): no
+   * window function, so shingling is a pure map stage with ZERO
+   * exchanges — the earlier window-`lead` + `distinct` implementation
+   * cost two shuffles of the exploded token/shingle table before the
+   * first downstream aggregate. Measured wall-clock-neutral at sf0.1 on
+   * local[32] (in-memory shuffles are nearly free); the savings are the
+   * cluster-scale kind, where those exchanges move the whole token
+   * table across the network. Same code path now serves batch and
+   * streaming; the two spellings were pinned value-identical before the
+   * window form was retired.
    */
-  def shingles(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = TextAnalysis.tokensWithPosition(docs, idCol, textCol)
-      .withColumn("tv", expr(TextHash.tokenValue("token")))
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    tok
-      .withColumn("tv2", lead("tv", 1).over(w))
-      .withColumn("tv3", lead("tv", 2).over(w))
-      .where(col("tv3").isNotNull)
-      .select(col("doc_id"), expr(TextHash.shingleHash("tv", "tv2", "tv3")).as("sh"))
-      .distinct()
-  }
+  def shingles(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    shinglesLocal(docs, idCol, textCol)
 
   /**
    * Row-local spelling of [[shingles]]: the same distinct trigram hashes
@@ -96,13 +94,18 @@ object Dedup {
   def shinglesLocal(docs: DataFrame, idCol: String, textCol: String,
       keepCols: Seq[String] = Nil): DataFrame = {
     val pat = TextAnalysis.WhitespacePattern.replace("\\", "\\\\")
-    def tvAt(off: Int) = TextHash.tokenValue(s"element_at(w, i + $off)")
+    // token values materialize ONCE into an array (each token feeds up to
+    // three trigrams — recomputing the character probes per trigram
+    // position would triple the hash arithmetic)
+    val tvs =
+      s"transform(filter(split($textCol, '$pat'), t -> t <> ''), t -> ${TextHash.tokenValue("t")})"
+    def at(off: Int) = s"element_at(tvs, i + $off)"
     val trigrams =
-      s"transform(sequence(1, size(w) - 2), i -> ${TextHash.shingleHash(tvAt(0), tvAt(1), tvAt(2))})"
+      s"transform(sequence(1, size(tvs) - 2), i -> ${TextHash.shingleHash(at(0), at(1), at(2))})"
     docs
       .select(col(idCol).as("doc_id") +: keepCols.map(col) :+
-        expr(s"filter(split($textCol, '$pat'), t -> t <> '')").as("w"): _*)
-      .where(size(col("w")) >= 3)
+        expr(tvs).as("tvs"): _*)
+      .where(size(col("tvs")) >= 3)
       .select(col("doc_id") +: keepCols.map(col) :+
         explode(array_distinct(expr(trigrams))).as("sh"): _*)
   }

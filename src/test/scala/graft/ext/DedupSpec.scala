@@ -136,12 +136,10 @@ class DedupSpec extends SparkSpec {
     assert(e == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
   }
 
-  test("shinglesLocal emits exactly the window-based shingle rows") {
-    val a = Dedup.shingles(docs, "doc_id", "text").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val b = Dedup.shinglesLocal(docs, "doc_id", "text").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(a == b)
+  test("shingles is a pure map stage — no exchange, no window") {
+    val plan = Dedup.shingles(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Window"), plan)
   }
 
   test("contamination counts eval-shared shingles per train doc") {
