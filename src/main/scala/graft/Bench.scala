@@ -22,11 +22,12 @@ object Bench {
     "cosine_predict", "cosine_predict_ann", "tf_matrix", "tf_stopwords", "tfidf_matrix",
     "text_stats", "lang_id", "quality_percentiles", "corpus_mix",
     "doc_fingerprint", "sample_stratified", "doc_chunks", "vocab_topk",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "decontaminate",
+    "dedup_exact", "dedup_exact_norm", "dedup_minhash_lsh", "dedup_simhash",
+    "decontaminate", "decontaminate_fuzzy",
     "dedup_ngram_jaccard", "dedup_embedding", "dedup_groups", "ann_topk_brute",
     "ann_ivf_topk", "ann_ivf_kmeans", "ann_lsh_topk", "ann_lsh_multiprobe", "embed_kmeans",
-    "quality_repetition", "events_hourly",
-    "events_sessionize", "events_asof", "multimodal_meta")
+    "quality_repetition", "quality_filter", "doc_packing", "events_hourly",
+    "events_sessionize", "events_asof", "multimodal_meta", "multimodal_frames")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,7 +1,7 @@
 package graft.entry
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.functions.{col, expr, hex}
 
 import graft.ext.{Events, Multimodal}
 import EntryUtil._
@@ -34,10 +34,14 @@ object EventsEntries {
         .withColumnRenamed("lag_ns", "lag_us"), "event_id")),
     "multimodal_meta" -> ((s, dir) =>
       gate(Multimodal.metadata(docs(s, dir), "doc_id", "text"), "doc_id")),
-    // frame sampling ahead of decode: 16-char frames, every 4th kept
+    // frame sampling ahead of decode: 16-char frames, every 4th kept.
+    // The CONTRACT hex-encodes the binary frame so the driver's pandas
+    // sort/hash can handle it (raw bytes are unhashable there); the
+    // library operator (Multimodal.sampleFrames) stays binary.
     "multimodal_frames" -> ((s, dir) =>
       gate(Multimodal.sampleFrames(docs(s, dir), "doc_id", "text",
-        FrameChars, FrameStride), "doc_id", "frame_no"))
+        FrameChars, FrameStride)
+        .withColumn("frame", hex(col("frame"))), "doc_id", "frame_no"))
   )
 
   /** Frame width (chars) and sampling stride for the frames contract. */
@@ -80,13 +84,21 @@ object EventsEntries {
     // DuckDB's native ASOF JOIN is the independent oracle for the
     // union+window implementation. Both sides work in µs-truncated int64
     // time (DuckDB's parquet reader truncates TIMESTAMP(NANOS) to µs;
-    // the Spark entry divides its ns longs by 1000 to match); events are
-    // seconds apart so µs ties never make the match ambiguous.
+    // the Spark entry divides its ns longs by 1000 to match). Equal-ts
+    // references are collapsed to the max-event_id row BEFORE the ASOF
+    // join (r dedup below): native ASOF picks an arbitrary row among
+    // equal-ts matches, while the Spark window deterministically keeps
+    // the larger event_id — the dedup makes the tie-break explicit
+    // instead of relying on the generator never producing equal-ts
+    // references per user.
     "events_asof" ->
       s"""WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS tus, event_type, value FROM events),
         |p AS (SELECT event_id, user_id, tus, value FROM ev WHERE event_type = '$AsofProbe'),
-        |r AS (SELECT event_id AS ref_event_id, user_id AS ruid, tus AS rtus, value AS ref_value
-        |      FROM ev WHERE event_type = '$AsofRef')
+        |r0 AS (SELECT event_id AS ref_event_id, user_id AS ruid, tus AS rtus, value AS ref_value
+        |       FROM ev WHERE event_type = '$AsofRef'),
+        |r AS (SELECT ruid, rtus, arg_max(ref_event_id, ref_event_id) AS ref_event_id,
+        |             arg_max(ref_value, ref_event_id) AS ref_value
+        |      FROM r0 GROUP BY ruid, rtus)
         |SELECT p.event_id, p.user_id, p.tus AS ts_us, ${r6sql("p.value")} AS value,
         |       r.ref_event_id, p.tus - r.rtus AS lag_us, ${r6sql("r.ref_value")} AS ref_value
         |FROM p ASOF JOIN r ON p.user_id = r.ruid AND p.tus >= r.rtus
@@ -94,7 +106,7 @@ object EventsEntries {
     "multimodal_frames" ->
       s"""WITH d AS (SELECT doc_id, text, length(text) // $FrameChars AS nf FROM documents)
         |SELECT doc_id, CAST(i AS BIGINT) AS frame_no,
-        |       encode(substring(text, CAST(i * $FrameChars + 1 AS INT), $FrameChars)) AS frame
+        |       hex(encode(substring(text, CAST(i * $FrameChars + 1 AS INT), $FrameChars))) AS frame
         |FROM d, UNNEST(range(nf)) AS r(i)
         |WHERE i % $FrameStride = 0
         |ORDER BY doc_id, frame_no""".stripMargin,

@@ -414,24 +414,75 @@ object Dedup {
    * deterministic and oracle-checkable: the contract is "representative
    * within `rounds` hops", exact for any component whose min-eccentricity
    * is ≤ `rounds`. Near-dup components are near-cliques in practice
-   * (similarity is ~transitive), so small `rounds` converge; a production
-   * run at unknown diameter loops until a round changes nothing (one
-   * cheap count per round) or switches to pointer-doubling.
+   * (similarity is ~transitive), so small `rounds` converge; for UNKNOWN
+   * diameters use [[dupGroupsConverged]], which loops to the fixed point.
    */
   def dupGroups(docs: DataFrame, pairs: DataFrame, idCol: String,
       rounds: Int = 4): DataFrame = {
     require(rounds >= 1)
-    val edges = pairs.select(col("doc0").as("src"), col("doc1").as("dst"))
-      .union(pairs.select(col("doc1").as("src"), col("doc0").as("dst")))
+    val edges = undirected(pairs)
     var lbl = docs.select(col(idCol).as("doc_id"), col(idCol).as("group_rep"))
-    for (_ <- 1 to rounds) {
-      val nbr = edges
-        .join(lbl.select(col("doc_id").as("dst"), col("group_rep").as("nrep")), "dst")
-        .select(col("src").as("doc_id"), col("nrep"))
-      lbl = lbl.join(nbr, Seq("doc_id"), "left")
-        .groupBy("doc_id")
-        .agg(least(min(col("group_rep")),
-          coalesce(min(col("nrep")), min(col("group_rep")))).as("group_rep"))
+    for (_ <- 1 to rounds) lbl = propagateMin(edges, lbl)
+    lbl
+  }
+
+  /** Both directions of the near-dup pair list, as (src, dst) edges. */
+  private def undirected(pairs: DataFrame): DataFrame =
+    pairs.select(col("doc0").as("src"), col("doc1").as("dst"))
+      .union(pairs.select(col("doc1").as("src"), col("doc0").as("dst")))
+
+  /** One min-label-propagation round: each doc's label drops to the min
+    * of its own and its neighbors' labels. */
+  private def propagateMin(edges: DataFrame, lbl: DataFrame): DataFrame = {
+    val nbr = edges
+      .join(lbl.select(col("doc_id").as("dst"), col("group_rep").as("nrep")), "dst")
+      .select(col("src").as("doc_id"), col("nrep"))
+    lbl.join(nbr, Seq("doc_id"), "left")
+      .groupBy("doc_id")
+      .agg(least(min(col("group_rep")),
+        coalesce(min(col("nrep")), min(col("group_rep")))).as("group_rep"))
+  }
+
+  /** Pointer-doubling compression: each label jumps to its own label's
+    * label. Labels are always ids of reachable docs, so the lookup is
+    * total (inner join) and the jump stays inside the component. */
+  private def compress(lbl: DataFrame): DataFrame =
+    lbl.join(
+        lbl.select(col("doc_id").as("group_rep"), col("group_rep").as("rep2")),
+        Seq("group_rep"))
+      .select(col("doc_id"), least(col("group_rep"), col("rep2")).as("group_rep"))
+
+  /**
+   * [[dupGroups]] run to the FIXED POINT — the production form for
+   * components of unknown diameter: per round one min-label propagation
+   * plus one pointer-doubling compression (labels jump to their label's
+   * label), so convergence takes O(log diameter) rounds instead of
+   * O(diameter). The loop stops when a round changes no label (one
+   * driver-side count per round — this is an eager fit-style operator,
+   * unlike the fully-lazy fixed-round form).
+   *
+   * Each round's label table is `localCheckpoint`ed: the loop's lineage
+   * would otherwise double per round (Spark re-plans the whole history
+   * every action), and on a cluster a reliable `checkpoint` directory
+   * does the same job. `maxRounds` bounds the loop against pathological
+   * inputs; log₂ of any real corpus size is < 40.
+   */
+  def dupGroupsConverged(docs: DataFrame, pairs: DataFrame, idCol: String,
+      maxRounds: Int = 40): DataFrame = {
+    require(maxRounds >= 1)
+    val edges = undirected(pairs).localCheckpoint()
+    var lbl = docs.select(col(idCol).as("doc_id"), col(idCol).as("group_rep"))
+      .localCheckpoint()
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      val next = compress(propagateMin(edges, lbl)).localCheckpoint()
+      changed = next.as("n")
+        .join(lbl.as("p"), "doc_id")
+        .where(col("n.group_rep") =!= col("p.group_rep"))
+        .count()
+      lbl = next
+      round += 1
     }
     lbl
   }

@@ -262,7 +262,10 @@ object Embeddings {
    *
    * Fully declarative — the whole `iters`-round computation is ONE lazy
    * plan (no driver actions, no collects): seeds are the `k` smallest ids
-   * (rank = cluster id), each assignment round joins the coordinate table
+   * (rank = cluster id; `seeding = "kmeans++"` swaps in the eager
+   * [[kMeansPlusPlusSeeds]] draw for spread-out, quality-seeking seeds —
+   * the Lloyd rounds stay one lazy plan either way), each assignment
+   * round joins the coordinate table
    * to the broadcast centroid table (k·dim rows) and reduces map-side to
    * one partial sum per (vector, cluster); centroid updates are a k·dim
    * aggregate. Per round the shuffle carries O(N·k) aggregated rows —
@@ -282,8 +285,9 @@ object Embeddings {
       .select(col("vec_id"), col("i"), col("e").cast("double").as("x"))
 
   def kMeansAssign(emb: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int): DataFrame = {
+      k: Int, iters: Int, seeding: String = "id"): DataFrame = {
     require(k > 0 && iters >= 1)
+    require(seeding == "id" || seeding == "kmeans++", s"unknown seeding: $seeding")
     val cells = cellsOf(emb, idCol, vecCol)
     // rank over exactly k seed rows — deliberately single-partition. The
     // partition key must be a COLUMN-derived constant: a literal would be
@@ -291,8 +295,10 @@ object Embeddings {
     // "No Partition Defined" on every run
     val seedW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id") * lit(0)).orderBy("vec_id")
-    val seeds = emb.select(col(idCol).as("vec_id")).orderBy("vec_id").limit(k)
-      .select(col("vec_id"), (row_number().over(seedW) - 1).cast("long").as("cid"))
+    val seeds =
+      if (seeding == "kmeans++") kMeansPlusPlusSeeds(emb, idCol, vecCol, k)
+      else emb.select(col(idCol).as("vec_id")).orderBy("vec_id").limit(k)
+        .select(col("vec_id"), (row_number().over(seedW) - 1).cast("long").as("cid"))
     var cent = cells.join(seeds, "vec_id").select(col("cid"), col("i"), col("x").as("c"))
     var assign: DataFrame = null
     for (round <- 1 to iters) {
@@ -312,6 +318,57 @@ object Embeddings {
   }
 
   /**
+   * Deterministic k-means++-style seeding: seed 0 is the vector with the
+   * smallest content hash of its id; each later seed is drawn with
+   * probability ∝ d² to the nearest already-chosen seed — the classic
+   * k-means++ rule — using A-Res weighted sampling (key = u^(1/d²),
+   * pick the max) with `u` derived from `xxhash64(vec_id, round)`
+   * instead of an RNG, so the draw is a pure function of the data:
+   * rerun-stable, cluster-size-independent, no `rand()` anywhere.
+   *
+   * Eager fit-style step (like [[ivfKMeansTopK]]'s codebook collect):
+   * k − 1 driver rounds, each one distributed d²-scan plus a top-1
+   * collect of a single id — model-sized driver traffic, never data.
+   * Spread-out seeds cut Lloyd's final distortion and iteration count
+   * vs the id-ordered default, which can plant every seed inside one
+   * natural cluster when small ids cluster together. Returns (vec_id,
+   * cid) seed rows; [[kMeansAssign]] uses it via `seeding = "kmeans++"`.
+   */
+  def kMeansPlusPlusSeeds(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k > 0)
+    val ids = emb.select(col(idCol).as("vec_id"))
+    val cells = cellsOf(emb, idCol, vecCol)
+    var chosen = Vector[Any](
+      ids.orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
+        .limit(1).head().get(0))
+    for (round <- 1 until k) {
+      val seedCells = cells.where(col("vec_id").isin(chosen: _*))
+        .select(col("vec_id").as("sid"), col("i"), col("x").as("c"))
+      val d2min = cells.join(broadcast(seedCells), "i")
+        .groupBy(col("vec_id"), col("sid"))
+        .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d2"))
+        .groupBy("vec_id").agg(min(col("d2")).as("w"))
+      // u in (0, 1], a pure function of (vec_id, round); w = 0 (exact
+      // duplicate of a seed) can never win unless every weight is zero
+      val u = (pmod(xxhash64(col("vec_id"), lit(round)), lit(1000000007L))
+        .cast("double") + 1.0) / 1000000008.0
+      val key = when(col("w") <= 0, lit(0.0)).otherwise(pow(u, lit(1.0) / col("w")))
+      val next = d2min
+        .where(!col("vec_id").isin(chosen: _*))
+        .select(col("vec_id"), key.as("key"))
+        .orderBy(col("key").desc, col("vec_id").asc)
+        .limit(1).head().get(0)
+      chosen = chosen :+ next
+    }
+    // reduceRight so each `otherwise` lands on a fresh un-elsed `when`
+    val cid = chosen.zipWithIndex
+      .map { case (id, c) => when(col("vec_id") === lit(id), lit(c.toLong)) }
+      .reduceRight[org.apache.spark.sql.Column](_.otherwise(_))
+    ids.where(col("vec_id").isin(chosen: _*)).select(col("vec_id"), cid.as("cid"))
+  }
+
+  /**
    * The trained codebook: centroid coordinate rows (cid, i, c) from the
    * final [[kMeansAssign]] assignment's update — i.e. after `iters` full
    * Lloyd rounds. Centroid components are 1e-6-snapped (same grid as the
@@ -319,9 +376,9 @@ object Embeddings {
    * deterministic cross-engine.
    */
   def kMeansCentroids(emb: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int): DataFrame =
+      k: Int, iters: Int, seeding: String = "id"): DataFrame =
     cellsOf(emb, idCol, vecCol)
-      .join(kMeansAssign(emb, idCol, vecCol, k, iters)
+      .join(kMeansAssign(emb, idCol, vecCol, k, iters, seeding)
         .select(col("vec_id"), col("cluster").as("cid")), "vec_id")
       .groupBy("cid", "i").agg(snapCol(avg(col("x"))).as("c"))
 
@@ -342,9 +399,10 @@ object Embeddings {
    */
   def ivfKMeansTopK(candidates: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, kClusters: Int = 8, iters: Int = 2,
-      nprobe: Int = 2, materializeCodebook: Boolean = true): DataFrame = {
+      nprobe: Int = 2, materializeCodebook: Boolean = true,
+      seeding: String = "id"): DataFrame = {
     require(k > 0 && nprobe > 0)
-    val centPlan = kMeansCentroids(candidates, idCol, vecCol, kClusters, iters)
+    val centPlan = kMeansCentroids(candidates, idCol, vecCol, kClusters, iters, seeding)
     // The codebook is kClusters·dim MODEL rows, not data. Three consumers
     // sit on it (list build + candidate assign + query assign); left lazy,
     // each re-executes the whole training chain. Collecting it once is the

@@ -100,9 +100,8 @@ object DedupStream {
    *
    * Contract: `doc_id` identifies ONE document version. Re-ingesting a
    * changed text under an existing doc_id (in a LATER batch) merges both
-   * versions' shingles under that id in the index; replacing a document
-   * needs an index compaction pass, which plain parquet appends cannot
-   * express.
+   * versions' shingles under that id in the index — run [[compactIndex]]
+   * periodically to drop superseded versions and their stale pairs.
    */
   def nearDupDetect(docs: DataFrame, idCol: String, textCol: String,
       indexDir: String, minJaccard: Double = 0.2): DataStreamWriter[Row] =
@@ -170,6 +169,71 @@ object DedupStream {
     } finally {
       newBands.unpersist()
       newSh.unpersist()
+    }
+  }
+
+  /**
+   * Periodic index compaction — the maintenance job closing
+   * [[nearDupDetect]]'s re-ingest gap: plain parquet appends can only
+   * MERGE a re-ingested doc_id's shingles with its old version's, so
+   * after re-ingest the index holds a corrupted union set and `dups/`
+   * still lists pairs derived from the stale text.
+   *
+   * The compaction keeps, per doc_id, ONLY the rows of its LATEST
+   * batch (the newest ingested version), then REBUILDS `dups/` from the
+   * compacted index: candidates from the (band, bkey) self-equi-join —
+   * the same bounded-key shape as the per-batch path, never all-pairs —
+   * verified by exact shingle Jaccard. Rebuilt pairs land in the
+   * partition of the newer endpoint's batch, so the partition layout
+   * stays what a checkpoint replay of that batch would overwrite.
+   *
+   * Each table is fully written to a `<name>.compact` sibling before the
+   * live directory is swapped out, so a crash mid-compaction leaves the
+   * live index intact. Run at a stream-quiescent point (between
+   * micro-batches or with the query stopped) — the swap is not atomic
+   * versus a concurrent reader.
+   */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      minJaccard: Double = 0.2): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def live(name: String) = s"$indexDir/$name"
+    def tmp(name: String) = s"$indexDir/$name.compact"
+    // latest ingested batch per doc — the version compaction keeps
+    val sh = spark.read.parquet(live("shingles"))
+    val bands = spark.read.parquet(live("bands"))
+    val latest = sh.select("doc_id", "batch_id")
+      .union(bands.select("doc_id", "batch_id"))
+      .groupBy("doc_id").agg(max("batch_id").as("batch_id"))
+    def keepLatest(df: DataFrame) = df.join(latest, Seq("doc_id", "batch_id"))
+    val keptSh = keepLatest(sh).persist()
+    val keptBands = keepLatest(bands).persist()
+    try {
+      // rebuild verified pairs from the compacted index only
+      val cands = keptBands.as("a")
+        .join(keptBands.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc0"), col("b.doc_id").as("doc1"))
+        .distinct()
+      val dups = Dedup.jaccardFor(cands, keptSh.select("doc_id", "sh"))
+        .where(col("jaccard") >= minJaccard)
+        .join(latest.select(col("doc_id").as("doc0"), col("batch_id").as("b0")), "doc0")
+        .join(latest.select(col("doc_id").as("doc1"), col("batch_id").as("b1")), "doc1")
+        .select(col("doc0"), col("doc1"), col("jaccard"),
+          greatest(col("b0"), col("b1")).as("batch_id"))
+      // materialize every replacement fully, then swap directories
+      keptSh.write.mode("overwrite").partitionBy("batch_id").parquet(tmp("shingles"))
+      keptBands.write.mode("overwrite").partitionBy("batch_id").parquet(tmp("bands"))
+      dups.write.mode("overwrite").partitionBy("batch_id").parquet(tmp("dups"))
+      for (name <- Seq("shingles", "bands", "dups")) {
+        fs.delete(new org.apache.hadoop.fs.Path(live(name)), true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp(name)),
+          new org.apache.hadoop.fs.Path(live(name)))
+      }
+    } finally {
+      keptBands.unpersist()
+      keptSh.unpersist()
     }
   }
 }

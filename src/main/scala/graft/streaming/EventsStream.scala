@@ -145,12 +145,13 @@ object EventsStream {
    * Per-STREAM state is the per-user row times the live key space: as-of
    * semantics require remembering a user's last reference indefinitely,
    * so with an unbounded/ephemeral user-id space the state store grows
-   * with key cardinality. `refTtlMs` bounds that: a carried reference
-   * older than the TTL (vs the watermark) is dropped and its user's
-   * state removed — an event-time timeout fires the cleanup even if the
-   * user never appears again. Probes arriving after the drop behave as
-   * if unmatched, which is the business meaning of a TTL ("a click older
-   * than X no longer explains a purchase").
+   * with key cardinality. `refTtlMs` bounds that, applied at MATCH time
+   * in event time (a probe more than refTtlMs after the reference is
+   * unmatched — "a click older than X no longer explains a purchase"),
+   * so output never depends on micro-batch or watermark granularity;
+   * the watermark comparison only CLEANS UP state a TTL-expired
+   * reference holds, via an event-time timeout that fires even if the
+   * user never appears again.
    */
   def lastPriorEvent(events: Dataset[IdStreamEvent], probeType: String,
       refType: String, watermark: String = "1 hour",
@@ -177,14 +178,24 @@ object EventsStream {
           // Ordering[Boolean]: false < true — references before probes
           fin.sortBy(b => (b.tsMs, b.isProbe, b.event_id)).foreach { b =>
             if (!b.isProbe) { refId = b.event_id; refTs = b.tsMs; refVal = b.value; hasRef = true }
-            else out += AsofEnriched(b.event_id, userId, b.tsMs, b.value,
-              if (hasRef) Some(refId) else None,
-              if (hasRef) Some(b.tsMs - refTs) else None,
-              if (hasRef) Some(refVal) else None)
+            else {
+              // TTL applies at MATCH time, in event time: a probe more
+              // than refTtlMs after the reference never matches it,
+              // regardless of how micro-batches or the watermark sliced
+              // the stream — output is a pure function of event time
+              val live = hasRef &&
+                (refTtlMs == Long.MaxValue || b.tsMs - refTs <= refTtlMs)
+              out += AsofEnriched(b.event_id, userId, b.tsMs, b.value,
+                if (live) Some(refId) else None,
+                if (live) Some(b.tsMs - refTs) else None,
+                if (live) Some(refVal) else None)
+            }
           }
-          // a reference the TTL has outlived can never match a future
-          // probe (any probe it could still serve is itself older than
-          // the TTL horizon) — drop it so the key's state can die
+          // state CLEANUP only (matching above is already event-time
+          // exact): once the watermark outruns the TTL, every future
+          // finalized probe has tsMs >= wm > refTs + refTtlMs, so the
+          // carried reference can never match again — drop it so the
+          // key's state can die
           if (hasRef && refTtlMs != Long.MaxValue && wm - refTs > refTtlMs)
             hasRef = false
           if (open.isEmpty && !hasRef) state.remove()
