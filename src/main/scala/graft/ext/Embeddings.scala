@@ -321,10 +321,16 @@ object Embeddings {
    * Deterministic k-means++-style seeding: seed 0 is the vector with the
    * smallest content hash of its id; each later seed is drawn with
    * probability ∝ d² to the nearest already-chosen seed — the classic
-   * k-means++ rule — using A-Res weighted sampling (key = u^(1/d²),
-   * pick the max) with `u` derived from `xxhash64(vec_id, round)`
-   * instead of an RNG, so the draw is a pure function of the data:
-   * rerun-stable, cluster-size-independent, no `rand()` anywhere.
+   * k-means++ rule — using A-Res weighted sampling with `u` derived from
+   * `xxhash64(vec_id, round)` instead of an RNG, so the draw is a pure
+   * function of the data: rerun-stable, cluster-size-independent, no
+   * `rand()` anywhere. The A-Res key is `ln(u)/d²` (pick the max) — it
+   * orders identically to the textbook `u^(1/d²)` (ln is monotone) but
+   * never underflows: `pow(u, 1/w)` collapses to 0.0 for the small w of
+   * normalized embeddings, which silently degraded the draw to a
+   * smallest-id tie-break (ADVICE r5). If fewer than k distinct vectors
+   * exist, the draw degrades gracefully to fewer seeds, like the "id"
+   * default.
    *
    * Eager fit-style step (like [[ivfKMeansTopK]]'s codebook collect):
    * k − 1 driver rounds, each one distributed d²-scan plus a top-1
@@ -339,27 +345,36 @@ object Embeddings {
     require(k > 0)
     val ids = emb.select(col(idCol).as("vec_id"))
     val cells = cellsOf(emb, idCol, vecCol)
-    var chosen = Vector[Any](
-      ids.orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
-        .limit(1).head().get(0))
-    for (round <- 1 until k) {
+    val first = ids.orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
+      .limit(1).collect().headOption
+    if (first.isEmpty) return ids.limit(0).withColumn("cid", lit(0L))
+    var chosen = Vector[Any](first.get.get(0))
+    var round = 1
+    var exhausted = false
+    while (round < k && !exhausted) {
       val seedCells = cells.where(col("vec_id").isin(chosen: _*))
         .select(col("vec_id").as("sid"), col("i"), col("x").as("c"))
       val d2min = cells.join(broadcast(seedCells), "i")
         .groupBy(col("vec_id"), col("sid"))
         .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d2"))
         .groupBy("vec_id").agg(min(col("d2")).as("w"))
-      // u in (0, 1], a pure function of (vec_id, round); w = 0 (exact
-      // duplicate of a seed) can never win unless every weight is zero
+      // u in (0, 1), a pure function of (vec_id, round); ln(u)/w < 0
+      // always, so a w = 0 row (exact duplicate of a seed, key -inf) can
+      // never win unless every weight is zero
       val u = (pmod(xxhash64(col("vec_id"), lit(round)), lit(1000000007L))
         .cast("double") + 1.0) / 1000000008.0
-      val key = when(col("w") <= 0, lit(0.0)).otherwise(pow(u, lit(1.0) / col("w")))
+      val key = when(col("w") <= 0, lit(Double.NegativeInfinity))
+        .otherwise(log(u) / col("w"))
       val next = d2min
         .where(!col("vec_id").isin(chosen: _*))
         .select(col("vec_id"), key.as("key"))
         .orderBy(col("key").desc, col("vec_id").asc)
-        .limit(1).head().get(0)
-      chosen = chosen :+ next
+        .limit(1).collect().headOption
+      next match {
+        case Some(r) => chosen = chosen :+ r.get(0)
+        case None => exhausted = true // k exceeds the distinct vector count
+      }
+      round += 1
     }
     // reduceRight so each `otherwise` lands on a fresh un-elsed `when`
     val cid = chosen.zipWithIndex

@@ -116,6 +116,9 @@ object DedupStream {
   def nearDupBatch(batch: DataFrame, idCol: String, textCol: String,
       indexDir: String, minJaccard: Double, batchId: Long): Unit = {
     val spark = batch.sparkSession
+    // a crashed compaction must never read as an empty index: finish or
+    // roll back any interrupted directory swap before probing existence
+    recoverIndex(spark, indexDir)
     // Hadoop FS probe, NOT java.io.File — the index may live on HDFS/S3
     // where a local-File isDirectory is always false (ADVICE: a remote
     // indexDir would silently behave as an empty index every batch).
@@ -187,11 +190,17 @@ object DedupStream {
    * partition of the newer endpoint's batch, so the partition layout
    * stays what a checkpoint replay of that batch would overwrite.
    *
-   * Each table is fully written to a `<name>.compact` sibling before the
-   * live directory is swapped out, so a crash mid-compaction leaves the
-   * live index intact. Run at a stream-quiescent point (between
-   * micro-batches or with the query stopped) — the swap is not atomic
-   * versus a concurrent reader.
+   * Crash safety: each table is fully written to a `<name>.compact`
+   * sibling before any swap begins; the swap itself is rename
+   * live→`<name>.old`, rename `.compact`→live, delete `.old` — every
+   * intermediate state is recoverable ([[recoverIndex]] rolls an
+   * interrupted swap forward when the fully-written `.compact` survives,
+   * back to `.old` otherwise), and [[nearDupBatch]] runs that recovery
+   * before reading, so no crash point leaves readers seeing a missing
+   * live directory as an empty index. A fresh/nonexistent index is a
+   * no-op. Run at a stream-quiescent point (between micro-batches or
+   * with the query stopped) — the swap is not atomic versus a CONCURRENT
+   * reader.
    */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
       minJaccard: Double = 0.2): Unit = {
@@ -199,6 +208,13 @@ object DedupStream {
       .getFileSystem(spark.sessionState.newHadoopConf())
     def live(name: String) = s"$indexDir/$name"
     def tmp(name: String) = s"$indexDir/$name.compact"
+    def old(name: String) = s"$indexDir/$name.old"
+    def path(s: String) = new org.apache.hadoop.fs.Path(s)
+    recoverIndex(spark, indexDir)
+    // nothing ingested yet (or index dir absent): no-op instead of a
+    // PATH_NOT_FOUND from the unconditional reads (ADVICE r5)
+    if (!fs.exists(path(live("shingles"))) || !fs.exists(path(live("bands"))))
+      return
     // latest ingested batch per doc — the version compaction keeps
     val sh = spark.read.parquet(live("shingles"))
     val bands = spark.read.parquet(live("bands"))
@@ -222,18 +238,57 @@ object DedupStream {
         .join(latest.select(col("doc_id").as("doc1"), col("batch_id").as("b1")), "doc1")
         .select(col("doc0"), col("doc1"), col("jaccard"),
           greatest(col("b0"), col("b1")).as("batch_id"))
-      // materialize every replacement fully, then swap directories
+      // materialize every replacement fully, then swap directories:
+      // live→.old, .compact→live, delete .old — there is no point where
+      // the live directory is simply GONE with nothing to recover from
+      // (the old delete-then-rename swap had exactly that window, and
+      // readOr would have treated it as an empty index)
       keptSh.write.mode("overwrite").partitionBy("batch_id").parquet(tmp("shingles"))
       keptBands.write.mode("overwrite").partitionBy("batch_id").parquet(tmp("bands"))
       dups.write.mode("overwrite").partitionBy("batch_id").parquet(tmp("dups"))
       for (name <- Seq("shingles", "bands", "dups")) {
-        fs.delete(new org.apache.hadoop.fs.Path(live(name)), true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp(name)),
-          new org.apache.hadoop.fs.Path(live(name)))
+        if (fs.exists(path(old(name)))) fs.delete(path(old(name)), true)
+        if (fs.exists(path(live(name))))
+          fs.rename(path(live(name)), path(old(name)))
+        fs.rename(path(tmp(name)), path(live(name)))
+        fs.delete(path(old(name)), true)
       }
     } finally {
       keptBands.unpersist()
       keptSh.unpersist()
+    }
+  }
+
+  /**
+   * Crash recovery for [[compactIndex]]'s directory swap — idempotent,
+   * cheap (a few FS existence probes), run automatically by
+   * [[nearDupBatch]] and [[compactIndex]]. Per table:
+   *
+   *   - live missing, `.compact` present → the crash hit between
+   *     live→`.old` and `.compact`→live; the `.compact` table was fully
+   *     written before any swap started, so ROLL FORWARD (also heals the
+   *     mixed compacted/uncompacted cross-table state — the surviving
+   *     `.compact` siblings are the same snapshot).
+   *   - live missing, only `.old` present → roll back to `.old`.
+   *   - live present, `.old` present → the crash hit before the final
+   *     delete; drop the `.old` leftover.
+   *   - live present, stale `.compact` → a crash before the swap began;
+   *     the next compaction overwrites it, nothing to do.
+   */
+  def recoverIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def path(s: String) = new org.apache.hadoop.fs.Path(s)
+    for (name <- Seq("shingles", "bands", "dups")) {
+      val liveP = path(s"$indexDir/$name")
+      val tmpP = path(s"$indexDir/$name.compact")
+      val oldP = path(s"$indexDir/$name.old")
+      if (!fs.exists(liveP)) {
+        if (fs.exists(tmpP)) {
+          fs.rename(tmpP, liveP)
+          if (fs.exists(oldP)) fs.delete(oldP, true)
+        } else if (fs.exists(oldP)) fs.rename(oldP, liveP)
+      } else if (fs.exists(oldP)) fs.delete(oldP, true)
     }
   }
 }

@@ -186,4 +186,32 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(g2(7L) == 5L && g2(3L) == 1L && g2(2L) == 1L)
   }
+
+  test("dupGroupsConverged collapses a chain deeper than any fixed-round reach") {
+    val ids = (1L to 12L).map(Tuple1(_)).toDF("doc_id")
+    // a 10-hop duplicate chain 1–2–…–11 (diameter 10) plus singleton 12
+    val chain = (1L to 10L).map(i => (i, i + 1)).toDF("doc0", "doc1")
+    val g = Dedup.dupGroupsConverged(ids, chain, "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 11L).forall(g(_) == 1L), g.toSeq.sorted.mkString(", "))
+    assert(g(12L) == 12L)
+    // the fixture is a real counterexample to fixed rounds: 4 plain
+    // propagation rounds reach only 4 hops back, so the chain tail is
+    // still mislabeled there — exactly the case the converged form fixes
+    val g4 = Dedup.dupGroups(ids, chain, "doc_id", rounds = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g4(11L) != 1L)
+  }
+
+  test("dupGroupsConverged matches the fixed-round form on near-cliques") {
+    val ids = (1L to 7L).map(Tuple1(_)).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (5L, 6L)).toDF("doc0", "doc1")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val conv = toMap(Dedup.dupGroupsConverged(ids, pairs, "doc_id"))
+    val fixed = toMap(Dedup.dupGroups(ids, pairs, "doc_id", rounds = 4))
+    assert(conv == fixed)
+    assert(conv == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
 }

@@ -118,4 +118,52 @@ class EmbeddingsSpec extends SparkSpec {
       .collect().map(_.getLong(2)).toSet
     assert(top == Set(2L, 3L)) // v1 is in bucket 2, not searched
   }
+
+  // Four well-separated planted clusters at SMALL scale (within-cluster
+  // d² ~1e-6) — the regime where the old pow(u, 1/d²) A-Res key
+  // underflowed to 0.0 (ADVICE r5). Ids are assigned so the "id" seeding
+  // plants ALL its seeds inside cluster 0 — the local optimum k-means++
+  // seeding exists to avoid.
+  private lazy val planted = {
+    val centers = Seq((0.0, 0.0), (0.1, 0.0), (0.0, 0.1), (0.1, 0.1))
+    val pts = for {
+      (c, ci) <- centers.zipWithIndex
+      j <- 0 until 5
+    } yield (ci * 5L + j, Seq((c._1 + 0.001 * j).toFloat, (c._2 + 0.0005 * j).toFloat))
+    pts.toDF("vec_id", "embedding")
+  }
+
+  test("kMeansPlusPlusSeeds spreads seeds across planted clusters, deterministically") {
+    val seeds = Embeddings.kMeansPlusPlusSeeds(planted, "vec_id", "embedding", k = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(seeds.size == 4)
+    assert(seeds.values.toSet == Set(0L, 1L, 2L, 3L)) // cids 0..k-1
+    // one seed per planted cluster: vec_id / 5 identifies the cluster
+    assert(seeds.keys.map(_ / 5).toSet.size == 4, seeds.toSeq.sorted.mkString(", "))
+    // pure function of the data: a second run draws identical seeds
+    val again = Embeddings.kMeansPlusPlusSeeds(planted, "vec_id", "embedding", k = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == seeds)
+  }
+
+  test("kmeans++ seeding beats id seeding on the planted fixture") {
+    def totalDist2(seeding: String) =
+      Embeddings.kMeansAssign(planted, "vec_id", "embedding", k = 4, iters = 3,
+        seeding = seeding)
+        .agg(org.apache.spark.sql.functions.sum($"dist2")).head().getDouble(0)
+    val plus = totalDist2("kmeans++")
+    val byId = totalDist2("id")
+    // id seeding plants all 4 seeds in cluster 0 (ids 0–3) and Lloyd gets
+    // stuck splitting it while merging remote clusters; kmeans++ lands one
+    // seed per cluster, so its distortion is strictly (and vastly) lower
+    assert(plus < byId, s"kmeans++ $plus !< id $byId")
+    assert(plus < byId * 0.5, s"kmeans++ $plus not clearly below id $byId")
+  }
+
+  test("kMeansPlusPlusSeeds degrades to fewer seeds when k exceeds the corpus") {
+    val tiny = Seq((0L, Seq(0.0f, 0.0f)), (1L, Seq(1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val seeds = Embeddings.kMeansPlusPlusSeeds(tiny, "vec_id", "embedding", k = 5).collect()
+    assert(seeds.length == 2)
+    assert(seeds.map(_.getLong(0)).toSet == Set(0L, 1L))
+  }
 }

@@ -131,4 +131,91 @@ class DedupStreamSpec extends SparkSpec {
       assert(cols.contains("sig_0") && cols.contains("sig_15"))
     } finally q.stop()
   }
+
+  test("compactIndex drops superseded versions and their stale pairs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val oldText = "the quick brown fox jumps over the lazy dog today"
+    val newText = "totally rewritten content about streaming index compaction logic"
+    // batch 0: docs 0 and 1 are near-dups
+    DedupStream.nearDupBatch(
+      Seq(0L -> oldText, 1L -> oldText).toDF("doc_id", "text"),
+      "doc_id", "text", dir, 0.2, batchId = 0L)
+    // batch 1: doc 0 re-ingested with UNRELATED text; doc 2 dups doc 1
+    DedupStream.nearDupBatch(
+      Seq(0L -> newText, 2L -> oldText).toDF("doc_id", "text"),
+      "doc_id", "text", dir, 0.2, batchId = 1L)
+    // pre-compaction the index is corrupted exactly as documented: doc 0
+    // holds BOTH versions' shingles and the stale (0,1) pair is on record
+    val preSh = spark.read.parquet(s"$dir/shingles")
+    val newShOnly = graft.ext.Dedup.shingles(
+        Seq(0L -> newText).toDF("doc_id", "text"), "doc_id", "text")
+      .select("sh").collect().map(_.getLong(0)).toSet
+    assert(preSh.where($"doc_id" === 0L).count() > newShOnly.size)
+    DedupStream.compactIndex(spark, dir, minJaccard = 0.2)
+    // index holds ONLY the latest version of doc 0
+    val postSh = spark.read.parquet(s"$dir/shingles")
+    assert(postSh.where($"doc_id" === 0L)
+      .select("sh").collect().map(_.getLong(0)).toSet == newShOnly)
+    // stale pair (0,1) gone; fresh pairs among current versions intact
+    val pairs = spark.read.parquet(s"$dir/dups")
+      .select("doc0", "doc1").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.contains((0L, 1L)), pairs.mkString(", "))
+    assert(pairs == Set((1L, 2L)))
+    // no leftover swap artifacts
+    for (n <- Seq("shingles", "bands", "dups")) {
+      assert(!new java.io.File(s"$dir/$n.compact").exists())
+      assert(!new java.io.File(s"$dir/$n.old").exists())
+    }
+  }
+
+  test("compactIndex on a fresh or missing index is a no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-fresh").toString
+    DedupStream.compactIndex(spark, dir)              // empty dir
+    DedupStream.compactIndex(spark, s"$dir/absent")   // nonexistent dir
+    assert(!new java.io.File(s"$dir/shingles").exists())
+  }
+
+  test("recoverIndex heals every crash window of the swap") {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path("/").getFileSystem(spark.sessionState.newHadoopConf())
+    val text = "the quick brown fox jumps over the lazy dog today"
+    def freshIndex(): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-recover").toString
+      DedupStream.nearDupBatch(Seq(0L -> text, 1L -> text).toDF("doc_id", "text"),
+        "doc_id", "text", dir, 0.2, batchId = 0L)
+      dir
+    }
+    def shingleCount(dir: String) = spark.read.parquet(s"$dir/shingles").count()
+    // crash window 1: live renamed to .old, fully-written .compact not yet
+    // swapped in — recovery must ROLL FORWARD to the compacted table
+    val d1 = freshIndex()
+    val n1 = shingleCount(d1)
+    fs.rename(new Path(s"$d1/shingles"), new Path(s"$d1/shingles.compact"))
+    fs.mkdirs(new Path(s"$d1/shingles.old")) // remnant of the displaced live dir
+    DedupStream.recoverIndex(spark, d1)
+    assert(shingleCount(d1) == n1)
+    assert(!new java.io.File(s"$d1/shingles.compact").exists())
+    assert(!new java.io.File(s"$d1/shingles.old").exists())
+    // crash window 2: live renamed to .old and .compact LOST (crashed
+    // before its write completed was impossible — but roll BACK anyway)
+    val d2 = freshIndex()
+    val n2 = shingleCount(d2)
+    fs.rename(new Path(s"$d2/shingles"), new Path(s"$d2/shingles.old"))
+    DedupStream.recoverIndex(spark, d2)
+    assert(shingleCount(d2) == n2)
+    // crash window 3: swap finished but .old not deleted — recovery drops it
+    val d3 = freshIndex()
+    fs.mkdirs(new Path(s"$d3/shingles.old"))
+    DedupStream.recoverIndex(spark, d3)
+    assert(!new java.io.File(s"$d3/shingles.old").exists())
+    // and nearDupBatch self-heals: a mid-swap index still reads as history
+    val d4 = freshIndex()
+    fs.rename(new Path(s"$d4/shingles"), new Path(s"$d4/shingles.compact"))
+    DedupStream.nearDupBatch(Seq(2L -> text).toDF("doc_id", "text"),
+      "doc_id", "text", d4, 0.2, batchId = 1L)
+    val pairs = spark.read.parquet(s"$d4/dups")
+      .select("doc0", "doc1").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // doc 2 still pairs with the RECOVERED history, not an empty index
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)), pairs.mkString(", "))
+  }
 }

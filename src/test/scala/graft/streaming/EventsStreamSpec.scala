@@ -95,4 +95,70 @@ class EventsStreamSpec extends SparkSpec {
       assert(rows(4L) == None)      // reference expired before this probe
     } finally q.stop()
   }
+
+  /** Run lastPriorEvent over explicit micro-batches; returns user 7's
+    * probes as event_id → (ref_event_id, lag_ms). */
+  private def runAsofBatches(name: String, batches: Seq[Seq[IdStreamEvent]],
+      refTtlMs: Long): Map[Long, (Option[Long], Option[Long])] = {
+    val in = MemoryStream[IdStreamEvent]
+    val q = EventsStream.lastPriorEvent(in.toDS(), "purchase", "click",
+      watermark = "10 minutes", refTtlMs = refTtlMs)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try {
+      batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      // two trailing no-op-ish batches flush timeout-driven finalization
+      in.addData(IdStreamEvent(900, 99, ts(12, 0), "click", 0.0))
+      q.processAllAvailable()
+      in.addData(IdStreamEvent(901, 99, ts(23, 0), "click", 0.0))
+      q.processAllAvailable()
+      spark.table(name).where($"user_id" === 7).collect().map { r =>
+        r.getAs[Long]("event_id") -> (
+          (Option(r.getAs[Any]("ref_event_id")).map(_.asInstanceOf[Long]),
+            Option(r.getAs[Any]("lag_ms")).map(_.asInstanceOf[Long])))
+      }.toMap
+    } finally q.stop()
+  }
+
+  test("as-of TTL is match-time exact: beyond-TTL probe unmatched even inside the watermark") {
+    // TTL 30 min. click at 0:00; purchase at 0:30 sits exactly AT the TTL
+    // (lag == TTL → matched); purchase at 0:45 is beyond it. The 0:45
+    // probe finalizes in the very trigger where the watermark first
+    // passes it — the reference is still in (or just leaving) state, so
+    // only the MATCH-TIME rule can unmatch it; watermark-time cleanup
+    // alone would have let it match.
+    val ttl = 30L * 60000
+    val events = Seq(
+      IdStreamEvent(1, 7, ts(0, 0), "click", 1.0),
+      IdStreamEvent(2, 7, ts(0, 30), "purchase", 2.0),
+      IdStreamEvent(3, 7, ts(0, 45), "purchase", 3.0))
+    val coarse = runAsofBatches("asof_coarse",
+      Seq(events, Seq(IdStreamEvent(800, 99, ts(2, 0), "click", 0.0))), ttl)
+    assert(coarse(2L) == ((Some(1L), Some(ttl))))  // lag == TTL: matched
+    assert(coarse(3L) == ((None, None)))           // lag > TTL: unmatched
+  }
+
+  test("as-of output is invariant to micro-batch slicing of the same input") {
+    val ttl = 30L * 60000
+    val u7 = Seq(
+      IdStreamEvent(1, 7, ts(0, 0), "click", 1.0),
+      IdStreamEvent(2, 7, ts(0, 30), "purchase", 2.0),
+      IdStreamEvent(3, 7, ts(0, 45), "purchase", 3.0))
+    // coarse: everything in one batch, then one big watermark jump
+    val coarse = runAsofBatches("asof_slice_a",
+      Seq(u7, Seq(IdStreamEvent(800, 99, ts(2, 0), "click", 0.0))), ttl)
+    // fine: one event per batch with filler nudging the watermark between
+    // them — including a batch where the watermark has already passed
+    // refTs + TTL (state cleanup fired) BEFORE the 0:45 probe arrives
+    val fine = runAsofBatches("asof_slice_b", Seq(
+      Seq(u7(0)),
+      Seq(IdStreamEvent(801, 99, ts(0, 20), "click", 0.0)),
+      Seq(u7(1)),
+      Seq(IdStreamEvent(802, 99, ts(0, 50), "click", 0.0)),
+      Seq(u7(2)),
+      Seq(IdStreamEvent(803, 99, ts(2, 0), "click", 0.0))), ttl)
+    assert(coarse == fine, s"coarse=$coarse fine=$fine")
+    assert(fine(2L) == ((Some(1L), Some(ttl))))
+    assert(fine(3L) == ((None, None)))
+  }
 }
