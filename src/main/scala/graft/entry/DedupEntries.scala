@@ -1,7 +1,7 @@
 package graft.entry
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, pmod}
 
 import graft.ext.{Dedup, TextHash}
 import EntryUtil._
@@ -48,11 +48,32 @@ object DedupEntries {
       gate(Dedup.dupGroups(d,
         Dedup.minHashDups(d, "doc_id", "text").select("doc0", "doc1"),
         "doc_id", rounds = GroupRounds), "doc_id")
+    }),
+    // CONVERGED grouping over a chain-shaped edge fixture (consecutive
+    // ids within blocks of ChainBlock → diameter ChainBlock-1, far past
+    // any practical fixed round count — exactly the case the fixed-round
+    // form's contract documents as needing dupGroupsConverged). The
+    // fixture is pure integer arithmetic on doc_id so the DuckDB oracle
+    // derives the SAME edges, then recomputes components INDEPENDENTLY
+    // via a recursive CTE instead of label propagation.
+    "dedup_groups_converged" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val ids = d.select(col("doc_id"))
+      val pairs = ids
+        .select(col("doc_id").as("doc0"), (col("doc_id") + lit(1)).as("doc1"))
+        .where(pmod(col("doc1"), lit(ChainBlock)) =!= 0)
+        .join(ids.select(col("doc_id").as("doc1")), "doc1")
+        .select("doc0", "doc1")
+      gate(Dedup.dupGroupsConverged(d, pairs, "doc_id"), "doc_id")
     })
   )
 
   /** Label-propagation rounds for the contract grouping run. */
   private val GroupRounds = 4
+
+  /** Chain length of the converged-grouping fixture: consecutive doc ids
+    * within each block of 25 are linked, giving components of diameter 24. */
+  private val ChainBlock = 25
 
   /** Source id treated as the held-out eval corpus in the
     * decontamination contract (the other 19 sources are "train"). */
@@ -236,6 +257,21 @@ object DedupEntries {
         |$rounds
         |SELECT doc_id, CAST(rep AS BIGINT) AS group_rep
         |FROM l$GroupRounds ORDER BY doc_id""".stripMargin
-    }
+    },
+    // independent connected-components oracle: same chain edges (pure
+    // doc_id arithmetic), components via a recursive CTE — min reachable
+    // id per doc, no label propagation anywhere on this side
+    "dedup_groups_converged" ->
+      s"""WITH RECURSIVE
+        |base AS (SELECT a.doc_id AS src, b.doc_id AS dst
+        |         FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |         WHERE (b.doc_id % $ChainBlock) <> 0),
+        |ed AS (SELECT src, dst FROM base UNION ALL SELECT dst, src FROM base),
+        |reach(doc_id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT ed.src, reach.r FROM ed JOIN reach ON ed.dst = reach.doc_id)
+        |SELECT doc_id, CAST(MIN(r) AS BIGINT) AS group_rep
+        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }
