@@ -1,0 +1,134 @@
+package graft.ext
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.SparkSession
+
+import graft.SparkSpec
+
+/**
+ * Property tests for the two banding schemes' completeness/recall claims
+ * (VERDICT r4 ask #8, carried to r6):
+ *
+ *   - SimHash chunk banding is COMPLETE for hamming ≤ SimHashChunks-1 by
+ *     pigeonhole: ≤ 3 differing bits can touch at most 3 of the 4 chunks,
+ *     so some chunk is bit-identical and the equi-join finds the pair.
+ *     Checked both as pure chunk math over generated sketch pairs and
+ *     end-to-end through [[Dedup.simHashCandidates]]'s actual SQL plan.
+ *
+ *   - MinHash band collision probability follows 1-(1-j²)⁸ (16 minhashes,
+ *     8 bands × 2 rows): measured recall on planted pairs of known
+ *     Jaccard tracks the formula at low, medium, and high j. Determinism:
+ *     fixtures derive from a fixed seed, so the measured recall is a
+ *     constant of the HashParams contract, not a flaky sample.
+ */
+class BandingPropertySpec extends SparkSpec {
+
+  /** Deterministic forAll over fixed seeds (same bridge-free pattern as
+    * CosinePropertySpec — scalatestplus is not on the offline classpath). */
+  private def forAllSampled[T](gen: Gen[T], n: Int = 200)(body: T => Unit): Unit = {
+    var seed = Seed(4242L)
+    var done = 0
+    var tries = 0
+    while (done < n && tries < n * 20) {
+      gen.apply(Gen.Parameters.default, seed).foreach { t => body(t); done += 1 }
+      seed = seed.next
+      tries += 1
+    }
+    assert(done == n, s"only $done/$n generator samples succeeded")
+  }
+
+  private val chunkBits = Dedup.SimHashBits / Dedup.SimHashChunks
+  private def chunks(h: Long): Seq[Long] =
+    (0 until Dedup.SimHashChunks).map(c => (h >> (c * chunkBits)) & ((1L << chunkBits) - 1))
+  private def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** A 24-bit sketch and a variant with 0..3 random bits flipped. */
+  private val nearSketchPair: Gen[(Long, Long)] = for {
+    a <- Gen.choose(0L, (1L << Dedup.SimHashBits) - 1)
+    nFlips <- Gen.choose(0, Dedup.SimHashChunks - 1)
+    bits <- Gen.pick(nFlips, 0 until Dedup.SimHashBits)
+  } yield (a, bits.foldLeft(a)((h, i) => h ^ (1L << i)))
+
+  test("simhash pigeonhole: hamming <= 3 sketches always share a chunk") {
+    forAllSampled(nearSketchPair) { case (a, b) =>
+      assert(hamming(a, b) < Dedup.SimHashChunks)
+      assert(chunks(a).zip(chunks(b)).exists { case (x, y) => x == y },
+        s"sketches $a/$b (hamming ${hamming(a, b)}) share no chunk")
+    }
+  }
+
+  test("simHashCandidates SQL path is complete vs brute force on random sketches") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    // 3 rounds of 40 sketches: half independent, half hamming<=3 variants
+    // of earlier ones, so the expected-candidate set is non-trivial
+    val gen40: Gen[Seq[Long]] = for {
+      base <- Gen.listOfN(20, Gen.choose(0L, (1L << Dedup.SimHashBits) - 1))
+      variants <- Gen.sequence[Seq[Long], Long](base.map { a =>
+        for {
+          n <- Gen.choose(0, 3)
+          bits <- Gen.pick(n, 0 until Dedup.SimHashBits)
+        } yield bits.foldLeft(a)((h, i) => h ^ (1L << i))
+      })
+    } yield base ++ variants
+    forAllSampled(gen40, n = 3) { sketches =>
+      val df = sketches.zipWithIndex.map { case (h, i) => (i.toLong, h) }
+        .toDF("doc_id", "simhash")
+      val got = Dedup.simHashCandidates(df)
+        .select("doc0", "doc1").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for {
+        i <- sketches.indices; j <- sketches.indices
+        if i < j && hamming(sketches(i), sketches(j)) < Dedup.SimHashChunks
+      } yield (i.toLong, j.toLong)).toSet
+      // completeness: banding may ADD far candidates (verifier drops
+      // them) but must never MISS a within-bound pair
+      assert(want.subsetOf(got), s"missed: ${want.diff(got).take(5)}")
+    }
+  }
+
+  /** Planted (doc, doc+1) shingle-set pairs with exact Jaccard
+    * s/(2n-s); shingle values are distinct per pair, drawn < TextHash.M
+    * from a fixed seed. Returns the (doc_id, sh) table. */
+  private def plantedShingles(nPairs: Int, n: Int, shared: Int, idBase: Long,
+      rnd: scala.util.Random): Seq[(Long, Long)] = {
+    val rows = Seq.newBuilder[(Long, Long)]
+    for (p <- 0 until nPairs) {
+      val pool = scala.collection.mutable.LinkedHashSet.empty[Long]
+      while (pool.size < 2 * n - shared)
+        pool += rnd.nextLong(TextHash.M)
+      val vals = pool.toSeq
+      val common = vals.take(shared)
+      val onlyA = vals.slice(shared, n)
+      val onlyB = vals.slice(n, 2 * n - shared)
+      val (a, b) = (idBase + 2 * p, idBase + 2 * p + 1)
+      (common ++ onlyA).foreach(v => rows += a -> v)
+      (common ++ onlyB).foreach(v => rows += b -> v)
+    }
+    rows.result()
+  }
+
+  test("minhash band recall tracks 1-(1-j^2)^8 on planted pairs") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    val nPairs = 200
+    // (n, shared) → j = shared/(2n-shared): 0.2, 0.5, 0.8
+    val levels = Seq(
+      (30, 10, 0.2, 0L),
+      (30, 20, 0.5, 10000L),
+      (27, 24, 0.8, 20000L))
+    val sh = levels.flatMap { case (n, k, _, base) =>
+      plantedShingles(nPairs, n, k, base, rnd)
+    }.toDF("doc_id", "sh")
+    val cands = Dedup.minHashCandidates(Dedup.minHashSignatures(sh))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for ((_, _, j, base) <- levels) {
+      val hit = (0 until nPairs).count(p => cands((base + 2 * p, base + 2 * p + 1)))
+      val recall = hit.toDouble / nPairs
+      val expected = 1.0 - math.pow(1.0 - j * j, 8)
+      assert(math.abs(recall - expected) < 0.1,
+        f"j=$j: recall $recall%.3f vs formula $expected%.3f")
+    }
+  }
+}
