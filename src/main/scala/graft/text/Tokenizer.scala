@@ -33,6 +33,52 @@ object Tokenizer {
       .where(col("token") =!= "")
   }
 
+  /** Character class of scripts written without word separators (Han +
+    * kana + Hangul) — the scripts [[tokensCjk]]'s bigram fallback covers. */
+  val CjkClass: String = "\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsHangul}"
+
+  /**
+   * Tokenization with a character-bigram fallback for unsegmented CJK
+   * text. The reference's own demo corpus is Chinese (reference
+   * src/test/data/ articles), segmented there by the external ansj library
+   * (KeyWordsDemo.scala:47–58, pom.xml:14) — unavailable offline and
+   * external to the engine's semantics; a whitespace pattern yields one
+   * useless whole-sentence token per line on such text. Character
+   * bigrams are the standard segmentation-free substitute (Lucene's
+   * CJKAnalyzer does the same): each maximal CJK run emits its
+   * overlapping 2-char grams (an isolated single CJK char emits itself),
+   * while non-CJK stretches still split on `pattern` exactly as
+   * [[tokens]] does, so mixed-script corpora keep word tokens for the
+   * Latin parts.
+   *
+   * Mechanics are pure SQL — two `regexp_replace` passes isolate CJK
+   * runs with spaces, then split + HOF `transform` + `explode` emit the
+   * grams. Everything stays inside whole-stage codegen (no UDF), and at
+   * scale the stage remains a pure map over the document table, exactly
+   * like [[tokens]].
+   */
+  def tokensCjk(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      pattern: String = "\\s+",
+      lowercase: Boolean = false): DataFrame = {
+    val txt = if (lowercase) lower(col(textCol)) else col(textCol)
+    // space-separate every boundary between a CJK and a non-CJK char, so
+    // after the whitespace split each segment is either a pure CJK run or
+    // ordinary non-CJK text
+    val sep = regexp_replace(
+      regexp_replace(txt, s"([$CjkClass])([^$CjkClass])", "$1 $2"),
+      s"([^$CjkClass])([$CjkClass])", "$1 $2")
+    docs
+      .select(col(idCol).as("doc"), explode(split(sep, pattern)).as("seg"))
+      .where(col("seg") =!= "")
+      .select(col("doc"), explode(
+        when(col("seg").rlike(s"^[$CjkClass]{2,}$$"),
+          expr("transform(sequence(1, length(seg) - 1), i -> substr(seg, i, 2))"))
+          .otherwise(array(col("seg")))).as("token"))
+  }
+
   /**
    * Remove stop words with a broadcast left-anti join (reference collects the
    * stop list to the driver and filters inside the tokenizer,
