@@ -287,7 +287,8 @@ object Embeddings {
   def kMeansAssign(emb: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, seeding: String = "id"): DataFrame = {
     require(k > 0 && iters >= 1)
-    require(seeding == "id" || seeding == "kmeans++", s"unknown seeding: $seeding")
+    require(seeding == "id" || seeding == "kmeans++" || seeding == "kmeans||",
+      s"unknown seeding: $seeding")
     val cells = cellsOf(emb, idCol, vecCol)
     // rank over exactly k seed rows — deliberately single-partition. The
     // partition key must be a COLUMN-derived constant: a literal would be
@@ -295,10 +296,12 @@ object Embeddings {
     // "No Partition Defined" on every run
     val seedW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id") * lit(0)).orderBy("vec_id")
-    val seeds =
-      if (seeding == "kmeans++") kMeansPlusPlusSeeds(emb, idCol, vecCol, k)
-      else emb.select(col(idCol).as("vec_id")).orderBy("vec_id").limit(k)
+    val seeds = seeding match {
+      case "kmeans++" => kMeansPlusPlusSeeds(emb, idCol, vecCol, k)
+      case "kmeans||" => kMeansParallelSeeds(emb, idCol, vecCol, k)
+      case _ => emb.select(col(idCol).as("vec_id")).orderBy("vec_id").limit(k)
         .select(col("vec_id"), (row_number().over(seedW) - 1).cast("long").as("cid"))
+    }
     var cent = cells.join(seeds, "vec_id").select(col("cid"), col("i"), col("x").as("c"))
     var assign: DataFrame = null
     for (round <- 1 to iters) {
@@ -335,6 +338,10 @@ object Embeddings {
    * Eager fit-style step (like [[ivfKMeansTopK]]'s codebook collect):
    * k − 1 driver rounds, each one distributed d²-scan plus a top-1
    * collect of a single id — model-sized driver traffic, never data.
+   * The O(k) full passes make this the right tool for SMALL k only; for
+   * large codebooks (IVF with thousands of lists) use
+   * [[kMeansParallelSeeds]], which reaches the same seed quality in a
+   * fixed number of rounds.
    * Spread-out seeds cut Lloyd's final distortion and iteration count
    * vs the id-ordered default, which can plant every seed inside one
    * natural cluster when small ids cluster together. Returns (vec_id,
@@ -381,6 +388,120 @@ object Embeddings {
       .map { case (id, c) => when(col("vec_id") === lit(id), lit(c.toLong)) }
       .reduceRight[org.apache.spark.sql.Column](_.otherwise(_))
     ids.where(col("vec_id").isin(chosen: _*)).select(col("vec_id"), cid.as("cid"))
+  }
+
+  /**
+   * k-means‖ seeding (Bahmani et al., "Scalable k-means++", VLDB 2012) —
+   * the large-k replacement for [[kMeansPlusPlusSeeds]]'s k − 1
+   * sequential full scans: a FIXED number of `rounds` (default 5), each
+   * sampling every point independently with probability
+   * min(1, oversample · d²/Σd²) against the current candidate set, so
+   * one round admits ~`oversample` (default 2k) new candidates at once.
+   * The model-sized candidate set (≤ rounds·oversample ids) is then
+   * weighted by how many points it attracts (one more distributed pass)
+   * and recondensed to exactly k seeds by WEIGHTED k-means++ on the
+   * driver — O(k·|candidates|·dim) scalar work on a model-sized table,
+   * the same eager-fit shape as [[ivfKMeansTopK]]'s codebook collect.
+   *
+   * Deterministic like everything in this family: the per-round sampling
+   * uses u = f(xxhash64(vec_id, round)); the driver-side recondense uses
+   * the same A-Res ln(u)/w rule with a murmur3-derived u — both pure
+   * functions of the data. Degrades to fewer seeds when fewer than k
+   * distinct vectors exist. Returns (vec_id, cid) seed rows;
+   * [[kMeansAssign]] uses it via `seeding = "kmeans||"`.
+   */
+  def kMeansParallelSeeds(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, rounds: Int = 5, oversample: Int = 0): DataFrame = {
+    require(k > 0 && rounds >= 1)
+    val l = if (oversample > 0) oversample else 2 * k
+    val ids = emb.select(col(idCol).as("vec_id"))
+    val cells = cellsOf(emb, idCol, vecCol)
+    val first = ids.orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
+      .limit(1).collect().headOption
+    if (first.isEmpty) return ids.limit(0).withColumn("cid", lit(0L))
+    var cand = Vector[Any](first.get.get(0))
+    def d2minTo(seedIds: Seq[Any]): DataFrame = {
+      val seedCells = cells.where(col("vec_id").isin(seedIds: _*))
+        .select(col("vec_id").as("sid"), col("i"), col("x").as("c"))
+      cells.join(broadcast(seedCells), "i")
+        .groupBy(col("vec_id"), col("sid"))
+        .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d2"))
+    }
+    var round = 1
+    var saturated = false
+    while (round <= rounds && !saturated) {
+      val d2min = d2minTo(cand).groupBy("vec_id").agg(min(col("d2")).as("w"))
+      val phi = d2min.agg(coalesce(sum(col("w")), lit(0.0))).head().getDouble(0)
+      if (phi <= 0) saturated = true // every point duplicates a candidate
+      else {
+        val u = (pmod(xxhash64(col("vec_id"), lit(round)), lit(1000000007L))
+          .cast("double") + 1.0) / 1000000008.0
+        val drawn = d2min
+          .where(!col("vec_id").isin(cand: _*))
+          .where(u < least(lit(1.0), col("w") * lit(l.toDouble / phi)))
+          .select("vec_id").collect().map(_.get(0))
+        cand = cand ++ drawn
+      }
+      round += 1
+    }
+    // weight candidates by attraction: points per nearest candidate
+    val wNear = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("d2").asc, col("sid").asc)
+    val weights = d2minTo(cand)
+      .withColumn("rn", row_number().over(wNear)).where(col("rn") === 1)
+      .groupBy("sid").agg(count(lit(1)).as("w"))
+      .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+    val vecs = emb.where(col(idCol).isin(cand: _*))
+      .select(col(idCol), col(vecCol)).collect()
+      .map(r => r.get(0) ->
+        r.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue()).toArray)
+      .toMap
+    val chosen = localWeightedKpp(cand.distinct, vecs, weights, k)
+    val cid = chosen.zipWithIndex
+      .map { case (id, c) => when(col("vec_id") === lit(id), lit(c.toLong)) }
+      .reduceRight[org.apache.spark.sql.Column](_.otherwise(_))
+    ids.where(col("vec_id").isin(chosen: _*)).select(col("vec_id"), cid.as("cid"))
+  }
+
+  /** Driver-side weighted k-means++ over the model-sized k-means‖
+    * candidate set: first pick by weight-proportional A-Res, each later
+    * pick by weight·d²-proportional A-Res (key ln(u)/w, max wins, ties
+    * by id string) — deterministic via murmur3-derived u. */
+  private def localWeightedKpp(cand: Seq[Any], vecs: Map[Any, Array[Double]],
+      weights: Map[Any, Long], k: Int): Seq[Any] = {
+    if (cand.size <= k) return cand
+    def u(id: Any, r: Int): Double = {
+      val h = scala.util.hashing.MurmurHash3.stringHash(s"$id#$r")
+      ((h & 0x7fffffff).toDouble + 1.0) / (Int.MaxValue.toDouble + 2.0)
+    }
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    def wOf(id: Any): Double = weights.getOrElse(id, 1L).toDouble
+    var chosen = Vector(
+      cand.maxBy(id => (math.log(u(id, 0)) / wOf(id), id.toString)))
+    val minD2 = scala.collection.mutable.Map(
+      cand.filterNot(_ == chosen.head)
+        .map(id => id -> d2(vecs(id), vecs(chosen.head))): _*)
+    var r = 1
+    while (chosen.size < k && minD2.nonEmpty) {
+      val next = minD2.keysIterator.map { id =>
+        val w = wOf(id) * minD2(id)
+        val key = if (w <= 0) Double.NegativeInfinity else math.log(u(id, r)) / w
+        (key, id.toString, id)
+      }.maxBy(t => (t._1, t._2))._3
+      chosen = chosen :+ next
+      minD2.remove(next)
+      minD2.keysIterator.toSeq.foreach { id =>
+        minD2(id) = math.min(minD2(id), d2(vecs(id), vecs(next)))
+      }
+      r += 1
+    }
+    chosen
   }
 
   /**

@@ -166,4 +166,43 @@ class EmbeddingsSpec extends SparkSpec {
     assert(seeds.length == 2)
     assert(seeds.map(_.getLong(0)).toSet == Set(0L, 1L))
   }
+
+  test("kmeans|| seeding matches kmeans++ quality on the planted fixture") {
+    val seeds = Embeddings.kMeansParallelSeeds(planted, "vec_id", "embedding", k = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(seeds.size == 4)
+    assert(seeds.keys.map(_ / 5).toSet.size == 4) // one seed per cluster
+    def totalDist2(seeding: String) =
+      Embeddings.kMeansAssign(planted, "vec_id", "embedding", k = 4, iters = 3,
+        seeding = seeding)
+        .agg(org.apache.spark.sql.functions.sum($"dist2")).head().getDouble(0)
+    val par = totalDist2("kmeans||")
+    val plus = totalDist2("kmeans++")
+    assert(par <= plus + 1e-9, s"kmeans|| $par !<= kmeans++ $plus")
+  }
+
+  test("kmeans|| covers 64 planted clusters in 5 rounds, deterministically") {
+    // 64 tight clusters of 4 points on an 8x8 grid — the large-k regime
+    // where kmeans++'s k-1 sequential scans are the wrong shape
+    val big = (for {
+      c <- 0 until 64
+      j <- 0 until 4
+    } yield (c * 4L + j,
+      Seq((c % 8 + 0.001f * j), (c / 8 + 0.0005f * j)))).toDF("vec_id", "embedding")
+    val seeds = Embeddings.kMeansParallelSeeds(big, "vec_id", "embedding",
+      k = 64, rounds = 5).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(seeds.size == 64)
+    // every planted cluster holds exactly one seed (vec_id / 4 = cluster)
+    assert(seeds.keys.map(_ / 4).toSet.size == 64)
+    val again = Embeddings.kMeansParallelSeeds(big, "vec_id", "embedding",
+      k = 64, rounds = 5).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == seeds)
+  }
+
+  test("kmeans|| degrades to fewer seeds when k exceeds the corpus") {
+    val tiny = Seq((0L, Seq(0.0f, 0.0f)), (1L, Seq(1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val seeds = Embeddings.kMeansParallelSeeds(tiny, "vec_id", "embedding", k = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(seeds == Set(0L, 1L))
+  }
 }
