@@ -331,6 +331,41 @@ object TextAnalysis {
       .withColumn("term", expr(TextHash.fingerprintTerm("pos", "token")))
       .groupBy("doc_id")
       .agg(expr(s"sum(term) % ${TextHash.M}").cast("long").as("fingerprint"))
+
+  /** PII patterns — contract constants of [[piiScrub]]. Deliberately plain
+    * leftmost-greedy regexes (no lookaround, no backreferences) so Java
+    * regex and RE2-family engines match identically. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val PhonePattern = "\\+?[0-9][0-9()\\-. ]{7,14}[0-9]"
+
+  /**
+   * PII detection + redaction — the scrub stage every training-data
+   * pipeline runs before tokenization: counts and replaces email
+   * addresses, IPv4 addresses, and phone-like digit runs with typed
+   * placeholder tokens (`<EMAIL>`, `<IP>`, `<PHONE>`).
+   *
+   * Matching is STAGED because the pattern languages overlap: emails are
+   * scrubbed first (their local parts contain digits), then IPv4 (dotted
+   * digit runs that the looser phone pattern would otherwise swallow),
+   * then phones on the twice-scrubbed text — so each count attributes a
+   * span to exactly one category and `n_emails/n_ips/n_phones` sum to
+   * the number of placeholders in `clean_text`.
+   *
+   * Scale shape: a pure row-local map stage (three `regexp_count` +
+   * three `regexp_replace`, all codegen'd) — zero exchanges; chains
+   * ahead of [[stats]]/[[qualityFilter]] without adding a shuffle.
+   */
+  def piiScrub(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val noEmail = regexp_replace(col(textCol), EmailPattern, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, Ipv4Pattern, "<IP>")
+    docs.select(
+      col(idCol).as("doc_id"),
+      regexp_count(col(textCol), lit(EmailPattern)).as("n_emails"),
+      regexp_count(noEmail, lit(Ipv4Pattern)).as("n_ips"),
+      regexp_count(noIp, lit(PhonePattern)).as("n_phones"),
+      regexp_replace(noIp, PhonePattern, "<PHONE>").as("clean_text"))
+  }
 }
 
 /**

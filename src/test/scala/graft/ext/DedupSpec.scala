@@ -214,4 +214,20 @@ class DedupSpec extends SparkSpec {
     assert(conv == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
+
+  test("grouping ignores edges referencing docs absent from the corpus") {
+    // the r5 verdict's latent-risk scenario: a caller passes pairs whose
+    // endpoints aren't in `docs` (stale pair index, filtered corpus) —
+    // foreign edges must be ignored, never corrupt or drop label rows
+    val ids = (1L to 4L).map(Tuple1(_)).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (3L, 99L), (98L, 97L), (99L, 4L))
+      .toDF("doc0", "doc1")
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L)
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fixed = toMap(Dedup.dupGroups(ids, pairs, "doc_id", rounds = 4))
+    val conv = toMap(Dedup.dupGroupsConverged(ids, pairs, "doc_id"))
+    assert(fixed == expect, fixed.toString) // exactly 4 rows, all present
+    assert(conv == expect, conv.toString)
+  }
 }

@@ -173,4 +173,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp("a b c") != fp("c b a"))
     assert(fp("a b c") >= 0L && fp("a b c") < TextHash.M)
   }
+
+  test("piiScrub counts and redacts emails, IPs, and phones by category") {
+    val d = Seq(
+      (0L, "contact alice.smith+x@example.org or bob@test.co for details"),
+      (1L, "server at 192.168.0.1 answered; call +1 (555) 123-4567 now"),
+      (2L, "no sensitive content in this row at all")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.piiScrub(d, "doc_id", "text").collect()
+      .map(x => x.getLong(0) ->
+        ((x.getInt(1), x.getInt(2), x.getInt(3), x.getString(4)))).toMap
+    assert(r(0L)._1 == 2 && r(0L)._2 == 0 && r(0L)._3 == 0)
+    assert(r(0L)._4 == "contact <EMAIL> or <EMAIL> for details")
+    assert(r(1L)._1 == 0 && r(1L)._2 == 1 && r(1L)._3 == 1)
+    assert(r(1L)._4 == "server at <IP> answered; call <PHONE> now")
+    assert(r(2L) == ((0, 0, 0, "no sensitive content in this row at all")))
+  }
+
+  test("piiScrub stages categories: an IP is never double-counted as a phone") {
+    val d = Seq((0L, "ping 10.0.0.255 then dial 5551234567")).toDF("doc_id", "text")
+    val r = TextAnalysis.piiScrub(d, "doc_id", "text").head()
+    assert(r.getInt(2) == 1 && r.getInt(3) == 1) // one IP, one phone
+    assert(r.getString(4) == "ping <IP> then dial <PHONE>")
+  }
 }
