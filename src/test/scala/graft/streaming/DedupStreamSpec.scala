@@ -166,6 +166,20 @@ class DedupStreamSpec extends SparkSpec {
       assert(!new java.io.File(s"$dir/$n.compact").exists())
       assert(!new java.io.File(s"$dir/$n.old").exists())
     }
+    // checkpoint-replay round-trip over the COMPACTED index (the ADVICE
+    // interaction case): re-running batch 1 with the same batchId must
+    // overwrite its own partition with identical content — same shingle
+    // rows, same verified pairs, no stale-version resurrection
+    val shBefore = postSh.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    DedupStream.nearDupBatch(
+      Seq(0L -> newText, 2L -> oldText).toDF("doc_id", "text"),
+      "doc_id", "text", dir, 0.2, batchId = 1L)
+    val shAfter = spark.read.parquet(s"$dir/shingles")
+      .select("doc_id", "sh").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(shAfter == shBefore)
+    val pairsAfter = spark.read.parquet(s"$dir/dups")
+      .select("doc0", "doc1").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsAfter == Set((1L, 2L)), pairsAfter.mkString(", "))
   }
 
   test("compactIndex on a fresh or missing index is a no-op") {
