@@ -461,22 +461,27 @@ object Dedup {
    * driver-side count per round — this is an eager fit-style operator,
    * unlike the fully-lazy fixed-round form).
    *
-   * Each round's label table is `localCheckpoint`ed: the loop's lineage
-   * would otherwise double per round (Spark re-plans the whole history
-   * every action), and on a cluster a reliable `checkpoint` directory
-   * does the same job. `maxRounds` bounds the loop against pathological
-   * inputs; log₂ of any real corpus size is < 40.
+   * Each round's label table is checkpointed to cut the loop's lineage
+   * (it would otherwise double per round — Spark re-plans the whole
+   * history every action): via the session's RELIABLE checkpoint
+   * directory when one is configured (`sc.setCheckpointDir` — the
+   * cluster-correct choice, survives executor loss), falling back to
+   * `localCheckpoint` (executor-local blocks) otherwise. `maxRounds`
+   * bounds the loop against pathological inputs; log₂ of any real
+   * corpus size is < 40.
    */
   def dupGroupsConverged(docs: DataFrame, pairs: DataFrame, idCol: String,
       maxRounds: Int = 40): DataFrame = {
     require(maxRounds >= 1)
-    val edges = undirected(pairs).localCheckpoint()
-    var lbl = docs.select(col(idCol).as("doc_id"), col(idCol).as("group_rep"))
-      .localCheckpoint()
+    def ckpt(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    val edges = ckpt(undirected(pairs))
+    var lbl = ckpt(docs.select(col(idCol).as("doc_id"), col(idCol).as("group_rep")))
     var round = 0
     var changed = 1L
     while (changed > 0 && round < maxRounds) {
-      val next = compress(propagateMin(edges, lbl)).localCheckpoint()
+      val next = ckpt(compress(propagateMin(edges, lbl)))
       changed = next.as("n")
         .join(lbl.as("p"), "doc_id")
         .where(col("n.group_rep") =!= col("p.group_rep"))

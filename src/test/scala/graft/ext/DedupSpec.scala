@@ -215,6 +215,24 @@ class DedupSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("dupGroupsConverged uses a reliable checkpoint dir when configured") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val ids = (1L to 8L).map(Tuple1(_)).toDF("doc_id")
+      val chain = (1L to 6L).map(i => (i, i + 1)).toDF("doc0", "doc1")
+      val g = Dedup.dupGroupsConverged(ids, chain, "doc_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert((1L to 7L).forall(g(_) == 1L) && g(8L) == 8L)
+      // the reliable path was actually taken: checkpoint files exist
+      val wrote = new java.io.File(dir).listFiles()
+      assert(wrote != null && wrote.nonEmpty)
+    } finally
+      // localCheckpoint fallback for every other suite: the shared
+      // session must not keep writing checkpoints after this test
+      spark.sparkContext.setCheckpointDir(null)
+  }
+
   test("grouping ignores edges referencing docs absent from the corpus") {
     // the r5 verdict's latent-risk scenario: a caller passes pairs whose
     // endpoints aren't in `docs` (stale pair index, filtered corpus) —
