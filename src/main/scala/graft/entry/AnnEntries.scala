@@ -49,8 +49,30 @@ object AnnEntries {
       gate(Embeddings.ivfKMeansTopK(e, e.where(col("vec_id") < QueryCount),
         "vec_id", "embedding", 5, KMeansK, KMeansIters, nprobe = Nprobe),
         "query_id", "rank")
-    })
+    }),
+    // recall@5 of multi-probe LSH against the exact top-5 — the ANN
+    // self-audit every index deployment needs
+    "ann_recall" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val q = e.where(col("vec_id") < QueryCount)
+      gate(Embeddings.recallAtK(
+        Embeddings.topK(e, q, "vec_id", "embedding", 5),
+        Embeddings.lshTopKMultiProbe(e, q, "vec_id", "embedding", 5, dim = EmbDim)),
+        "query_id")
+    }),
+    // Johnson–Lindenstrauss signed-random-projection 64 → 16 dims
+    "embed_project" -> ((s, dir) =>
+      gate(Embeddings.project(embeddings(s, dir), "vec_id", "embedding",
+        outDim = ProjDim, dim = EmbDim), "vec_id", "j")),
+    // per-dimension int8 scalar quantization (SQ8)
+    "embed_quantize" -> ((s, dir) =>
+      gate(Embeddings.quantize(embeddings(s, dir), "vec_id", "embedding"),
+        "vec_id", "i"))
   )
+
+  /** Input embedding width and the projection contract's output width. */
+  private val EmbDim = 64
+  private val ProjDim = 16
 
   /** Cluster count / Lloyd rounds / probe width for the k-means contract. */
   private val KMeansK = 8
@@ -218,6 +240,61 @@ object AnnEntries {
         |                                 ORDER BY cosine DESC, cand_id) AS rn
         |       FROM probed)
         |SELECT query_id, CAST(rn AS BIGINT) AS rank, cand_id AS vec_id, cosine
-        |FROM rk WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
+        |FROM rk WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+    // recall@5: truth = brute top-5 from cosr; approx = the multiprobe
+    // chain verbatim; score = per-query hit fraction over the truth set
+    "ann_recall" ->
+      (cosSql(s"a.vec_id < $QueryCount") + s""",
+        |truth AS (SELECT query_id, cand_id FROM (
+        |    SELECT query_id, cand_id,
+        |           row_number() OVER (PARTITION BY query_id
+        |                              ORDER BY cosine DESC, cand_id) AS rn
+        |    FROM cosr) WHERE rn <= 5),
+        |hp AS (SELECT * FROM $planesSql),
+        |proj AS (SELECT u.vec_id, hp.k, SUM(hp.h * u.v) AS s
+        |         FROM u JOIN hp ON hp.i = u.i GROUP BY 1, 2),
+        |bkt AS (SELECT vec_id,
+        |               CAST(SUM(CASE WHEN s > 0 THEN 1 << k ELSE 0 END) AS BIGINT) AS bucket
+        |        FROM proj GROUP BY vec_id),
+        |mk AS (SELECT * FROM $lshProbeMasksSql),
+        |probed AS (SELECT c.query_id, c.cand_id, c.cosine
+        |           FROM cosr c
+        |           JOIN bkt bq ON bq.vec_id = c.query_id
+        |           JOIN bkt bc ON bc.vec_id = c.cand_id
+        |           JOIN mk ON bc.bucket = xor(bq.bucket, CAST(mk.mask AS BIGINT))),
+        |approx AS (SELECT query_id, cand_id FROM (
+        |    SELECT query_id, cand_id,
+        |           row_number() OVER (PARTITION BY query_id
+        |                              ORDER BY cosine DESC, cand_id) AS rn
+        |    FROM probed) WHERE rn <= 5)
+        |SELECT t.query_id, COUNT(*) AS k, COUNT(a.cand_id) AS hits,
+        |       ${r6sql("COUNT(a.cand_id) / CAST(COUNT(*) AS DOUBLE)")} AS recall
+        |FROM truth t LEFT JOIN approx a
+        |  ON a.query_id = t.query_id AND a.cand_id = t.cand_id
+        |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin),
+    // 64→16 signed random projection: identical integer plane table,
+    // /sqrt(64) = *0.125 is exact in both engines
+    "embed_project" ->
+      s"""WITH u AS (SELECT vec_id, i, CAST(embedding[i+1] AS DOUBLE) AS x
+        |           FROM embeddings, UNNEST(range(len(embedding))) AS r(i)),
+        |hp AS (SELECT * FROM ${projPlanesSql(ProjDim, EmbDim)})
+        |SELECT u.vec_id, CAST(hp.j AS INTEGER) AS j,
+        |       ${r6sql("SUM(hp.h * u.x) / sqrt(64.0)")} AS value
+        |FROM u JOIN hp ON hp.i = u.i
+        |GROUP BY u.vec_id, hp.j ORDER BY u.vec_id, j""".stripMargin,
+    // SQ8: comparison-only min/max, then one fixed sequence of
+    // exactly-rounded IEEE ops — bit-identical in any engine
+    "embed_quantize" ->
+      """WITH u AS (SELECT vec_id, i, CAST(embedding[i+1] AS DOUBLE) AS x
+        |           FROM embeddings, UNNEST(range(len(embedding))) AS r(i)),
+        |rg AS (SELECT i, MIN(x) AS lo, MAX(x) AS hi FROM u GROUP BY i)
+        |SELECT u.vec_id, CAST(u.i AS INTEGER) AS i,
+        |       CASE WHEN rg.hi = rg.lo THEN CAST(0 AS BIGINT)
+        |            ELSE CAST(floor((u.x - rg.lo) / (rg.hi - rg.lo) * 255.0 + 0.5) AS BIGINT)
+        |                 - 128 END AS q,
+        |       floor((rg.lo)*1e6 + 0.50001)/1e6 AS lo,
+        |       floor((rg.hi)*1e6 + 0.50001)/1e6 AS hi
+        |FROM u JOIN rg USING (i)
+        |ORDER BY vec_id, i""".stripMargin
   )
 }

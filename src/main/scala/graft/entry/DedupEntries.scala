@@ -65,11 +65,19 @@ object DedupEntries {
         .join(ids.select(col("doc_id").as("doc1")), "doc1")
         .select("doc0", "doc1")
       gate(Dedup.dupGroupsConverged(d, pairs, "doc_id"), "doc_id")
-    })
+    }),
+    // cross-document repeated-span stats (substring-level dedup signal)
+    "dedup_spans" -> ((s, dir) =>
+      gate(Dedup.spanStats(docs(s, dir), "doc_id", "text", SpanTokens), "doc_id"))
   )
 
   /** Label-propagation rounds for the contract grouping run. */
   private val GroupRounds = 4
+
+  /** Span width (tokens) for the repeated-span contract: long enough that
+    * only the planted near-duplicates share windows (47 docs at sf0.01),
+    * mirroring Lee et al.'s long-span memorization criterion. */
+  private val SpanTokens = 8
 
   /** Chain length of the converged-grouping fixture: consecutive doc ids
     * within each block of 25 are linked, giving components of diameter 24. */
@@ -272,6 +280,25 @@ object DedupEntries {
         |  UNION
         |  SELECT ed.src, reach.r FROM ed JOIN reach ON ed.dst = reach.doc_id)
         |SELECT doc_id, CAST(MIN(r) AS BIGINT) AS group_rep
-        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // repeated-span stats: same whitespace tokenization, raw span strings
+    // as the grouping key (the Spark side groups by sha256 of the span —
+    // identical partition of the windows, checked value-for-value here)
+    "dedup_spans" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t
+        |  FROM documents),
+        |sp AS (SELECT doc_id, array_to_string(t[i:i+${SpanTokens - 1}], ' ') AS s
+        |       FROM toks, UNNEST(range(1, len(t) - ${SpanTokens} + 2)) AS r(i)),
+        |dup AS (SELECT s FROM sp GROUP BY s HAVING COUNT(DISTINCT doc_id) > 1),
+        |per AS (SELECT sp.doc_id, COUNT(*) AS n_spans,
+        |               CAST(SUM(CASE WHEN d.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans
+        |        FROM sp LEFT JOIN dup d USING (s) GROUP BY 1)
+        |SELECT doc.doc_id,
+        |       COALESCE(per.n_spans, 0) AS n_spans,
+        |       COALESCE(per.dup_spans, 0) AS dup_spans,
+        |       ${r6sql("CASE WHEN COALESCE(per.n_spans, 0) > 0 THEN per.dup_spans / CAST(per.n_spans AS DOUBLE) ELSE 0.0 END")} AS dup_fraction
+        |FROM documents doc LEFT JOIN per ON per.doc_id = doc.doc_id
+        |ORDER BY doc.doc_id""".stripMargin
   )
 }

@@ -90,6 +90,14 @@ object EntryUtil {
     .map { case (k, i, h) => s"($k, $i, $h)" }
     .mkString("(VALUES ", ", ", ") AS hp(k, i, h)")
 
+  /** The signed-random-projection plane table as a literal SQL VALUES list
+    * (the same triples [[graft.ext.Embeddings.projPlaneRows]] gives the
+    * Spark side — both engines project onto identical planes). */
+  def projPlanesSql(outDim: Int, dim: Int): String =
+    graft.ext.Embeddings.projPlaneRows(outDim, dim)
+      .map { case (j, i, h) => s"($j, $i, $h)" }
+      .mkString("(VALUES ", ", ", ") AS hp(j, i, h)")
+
   /** Multi-probe masks (own bucket + each single sign bit flipped) as a
     * SQL VALUES list — mirrors the Spark side's Hamming-1 probe set. */
   val lshProbeMasksSql: String =

@@ -137,6 +137,53 @@ object Dedup {
     jaccardPairs(shingles(docs, idCol, textCol)).where(col("jaccard") >= minJaccard)
 
   /**
+   * Cross-document repeated-span statistics — the detection half of
+   * substring-level dedup (Lee et al. 2022, "Deduplicating Training Data
+   * Makes Language Models Better": exact-match spans of ~50 tokens
+   * repeated across a corpus are memorization hotspots). For every
+   * document: the number of overlapping `n`-token windows, how many of
+   * them also occur in at least one OTHER document, and the duplicated
+   * fraction — the per-document signal a scrub or quality gate keys on.
+   * Documents shorter than `n` tokens report zero windows.
+   *
+   * Scale shape: window explosion is row-local (array HOFs, ~len rows per
+   * doc); each window becomes a fixed-width sha256 key, so the two
+   * aggregates and the join-back shuffle 64-byte keys, never the text.
+   * Σ len(doc) rows ≫ doc count, but that is the problem's inherent size;
+   * nothing here is quadratic and no driver action exists. The distinct
+   * window count shrinks the second shuffle; skew on a viral span is
+   * bounded by count-distinct semantics (the groupBy carries doc_id only
+   * long enough to count distinct docs per span).
+   */
+  def spanStats(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1)
+    val pat = TextAnalysis.WhitespacePattern.replace("\\", "\\\\")
+    val toks = s"filter(split($textCol, '$pat'), t -> t <> '')"
+    val windows =
+      s"transform(sequence(1, size(t) - ${n - 1}), i -> sha2(array_join(slice(t, i, $n), ' '), 256))"
+    val spans = docs
+      .select(col(idCol).as("doc_id"), expr(toks).as("t"))
+      .where(size(col("t")) >= n)
+      .select(col("doc_id"), explode(expr(windows)).as("h"))
+    val dup = spans.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") > 1)
+      .select(col("h"), lit(1L).as("isdup"))
+    val per = spans.join(dup, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        coalesce(sum(col("isdup")), lit(0L)).as("dup_spans"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_spans", "dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("dup_spans"),
+        when(col("n_spans") > 0,
+          col("dup_spans").cast("double") / col("n_spans"))
+          .otherwise(lit(0.0)).as("dup_fraction"))
+  }
+
+  /**
    * Fixed MinHash parameters: 16 universal-hash functions (a·x + b) mod M.
    * Constants are part of the operator contract (the oracle mirrors them).
    */

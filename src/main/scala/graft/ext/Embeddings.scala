@@ -588,4 +588,99 @@ object Embeddings {
       .where(col("rank") <= k)
       .select("query_id", "rank", "vec_id", "cosine")
   }
+
+  /**
+   * Recall@k of an approximate top-k result against an exact one — the
+   * standard self-audit for any ANN index ([[lshTopK]], [[ivfTopK]],
+   * [[ivfKMeansTopK]]): per query, the fraction of the exact neighbor set
+   * the approximate search retrieved. Both inputs are (query_id, rank,
+   * vec_id, ...) tables as produced by the top-k family; `k` is taken
+   * from the TRUTH side per query (so a truncated truth list — fewer than
+   * k non-self candidates — still scores to 1.0 when fully recovered),
+   * and queries the approximate side missed entirely (empty LSH bucket)
+   * score 0 rather than dropping out.
+   *
+   * Scale shape: two hash aggregates and one equi-join, all keyed on
+   * query_id — result-sized (Q·k rows), never corpus-sized. On a cluster
+   * this is a metrics query over two already-computed result tables; the
+   * expensive part is producing the inputs, not scoring them.
+   */
+  def recallAtK(truth: DataFrame, approx: DataFrame): DataFrame = {
+    val t = truth.select(col("query_id"), col("vec_id"))
+    val a = approx.select(col("query_id"), col("vec_id"))
+    val hits = t.join(a, Seq("query_id", "vec_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    t.groupBy("query_id").agg(count(lit(1)).as("k"))
+      .join(hits, Seq("query_id"), "left")
+      .na.fill(0L, Seq("hits"))
+      .select(col("query_id"), col("k"), col("hits"),
+        snapCol(col("hits").cast("double") / col("k")).as("recall"))
+  }
+
+  /**
+   * Deterministic signed-random-projection planes for [[project]]:
+   * `outDim × dim` small-integer components from a fixed multiplicative
+   * formula (Knuth constant, decorrelated from [[lshPlaneRows]]'s), so
+   * the identical matrix can be interpolated into an oracle as a literal
+   * VALUES table. Components span [-6, 6] like the LSH planes.
+   */
+  def projPlaneRows(outDim: Int, dim: Int): Seq[(Int, Int, Int)] =
+    for { j <- 0 until outDim; i <- 0 until dim }
+      yield (j, i, ((2654435761L * (j * dim + i + 1)) % 13 - 6).toInt)
+
+  /**
+   * Random-projection dimensionality reduction (Johnson–Lindenstrauss):
+   * maps each `dim`-dimensional vector to `outDim` components
+   * `y_j = Σ_i h(j,i)·x_i / √dim`, the database-style alternative to PCA
+   * for shrinking embedding columns before clustering / dedup at corpus
+   * scale (Achlioptas 2003 shows ±1-style integer projections preserve
+   * pairwise distances as well as Gaussian ones). Output is long-form
+   * (vec_id, j, value) — the COO shape every downstream operator here
+   * already consumes.
+   *
+   * Scale shape: posexplode (no shuffle) → broadcast join with the
+   * `outDim·dim`-row plane table → one hash aggregate keyed
+   * (vec_id, j) with map-side partial sums. Output is outDim/dim of the
+   * input's cell count; nothing corpus-sized crosses the driver.
+   */
+  def project(emb: DataFrame, idCol: String, vecCol: String,
+      outDim: Int, dim: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val hp = projPlaneRows(outDim, dim).toDF("j", "i", "h")
+    val scale = 1.0 / math.sqrt(dim.toDouble)
+    cellsOf(emb, idCol, vecCol)
+      .join(broadcast(hp), "i")
+      .groupBy(col("vec_id"), col("j"))
+      .agg(snapCol(sum(col("h") * col("x")) * lit(scale)).as("value"))
+  }
+
+  /**
+   * Per-dimension int8 scalar quantization — the standard 4× memory
+   * compression for embedding columns before they feed an ANN index
+   * (FAISS's SQ8): each component is affinely mapped onto [-128, 127]
+   * using that dimension's corpus-wide [min, max]. A constant dimension
+   * quantizes to 0. Output is long-form (vec_id, i, q) plus the
+   * dimension's range so a consumer can dequantize.
+   *
+   * Cross-engine exactness: min/max are comparison-only (exact), and the
+   * mapping `floor((x-lo)/(hi-lo)·255 + 0.5) - 128` is the same fixed
+   * sequence of exactly-rounded IEEE double ops in any engine — no
+   * sum-order nondeterminism exists anywhere in this operator.
+   *
+   * Scale shape: one tiny (dim-sized) min/max aggregate broadcast back
+   * over a row-local map — a single pass over the cells, no corpus-sized
+   * shuffle at all.
+   */
+  def quantize(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val cells = cellsOf(emb, idCol, vecCol)
+    val ranges = cells.groupBy("i")
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    cells.join(broadcast(ranges), "i")
+      .select(col("vec_id"), col("i"),
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(floor((col("x") - col("lo")) / (col("hi") - col("lo"))
+            * lit(255.0) + lit(0.5)).cast("long") - lit(128L)).as("q"),
+        col("lo"), col("hi"))
+  }
 }

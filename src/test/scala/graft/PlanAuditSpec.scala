@@ -6,15 +6,18 @@ import java.io.File
  * Every contract query's physical plan, audited in one sweep: no
  * CartesianProduct anywhere, and BroadcastNestedLoopJoin only where it
  * is the documented design — `ann_topk_brute` (the brute-force baseline
- * IS an all-pairs broadcast scan) and `tfidf_matrix` (1-row corpus-size
- * scalar broadcast). Pins SURVEY §8's plan-audit claim over ALL queries
+ * IS an all-pairs broadcast scan), `ann_recall` (its ground-truth side is
+ * that same brute scan), and `tfidf_matrix` (1-row corpus-size scalar
+ * broadcast). Pins SURVEY §8's plan-audit claim over ALL queries
  * permanently: a future operator that sneaks in an inequality-only join
  * fails here before it ships. Planning only — nothing executes.
  */
 class PlanAuditSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
-  private val bnljByDesign = Set("ann_topk_brute", "tfidf_matrix")
+  // ann_recall's ground-truth side IS ann_topk_brute's all-pairs broadcast
+  // scan — same sanctioned node; the approximate side stays equi-join.
+  private val bnljByDesign = Set("ann_topk_brute", "tfidf_matrix", "ann_recall")
 
   test("no contract query plans a cartesian product or unsanctioned BNLJ") {
     assume(new File(sfDir).isDirectory, s"$sfDir missing")

@@ -248,4 +248,22 @@ class DedupSpec extends SparkSpec {
     assert(fixed == expect, fixed.toString) // exactly 4 rows, all present
     assert(conv == expect, conv.toString)
   }
+
+  test("spanStats counts cross-doc repeated n-token windows only") {
+    val fixture = Seq(
+      (0L, "a b c d e"),        // windows: "a b c" "b c d" "c d e"
+      (1L, "x y a b c"),        // windows: "x y a" "y a b" "a b c"
+      (2L, "p q r"),            // one window, unshared
+      (3L, "z z"),              // shorter than n → zero windows
+      (4L, "m n o m n o m n")   // "m n o" repeats WITHIN one doc only
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanStats(fixture, "doc_id", "text", n = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(0L) == ((3L, 1L, 1.0 / 3)))  // shares "a b c" with doc 1
+    assert(got(1L) == ((3L, 1L, 1.0 / 3)))
+    assert(got(2L) == ((1L, 0L, 0.0)))
+    assert(got(3L) == ((0L, 0L, 0.0)))      // short doc present with zeros
+    assert(got(4L) == ((6L, 0L, 0.0)))      // intra-doc repeats don't count
+    assert(got.size == 5)
+  }
 }

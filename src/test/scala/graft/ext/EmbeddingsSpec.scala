@@ -205,4 +205,67 @@ class EmbeddingsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(seeds == Set(0L, 1L))
   }
+
+  test("recallAtK scores hit fraction per query; missed queries score 0") {
+    val truth = Seq((0L, 1L, 10L), (0L, 2L, 20L), (1L, 1L, 10L), (1L, 2L, 30L))
+      .toDF("query_id", "rank", "vec_id")
+    val approx = Seq((0L, 1L, 10L), (0L, 2L, 99L)) // q0: 1 of 2; q1: absent
+      .toDF("query_id", "rank", "vec_id")
+    val got = Embeddings.recallAtK(truth, approx).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(0L) == ((2L, 1L, 0.5)))
+    assert(got(1L) == ((2L, 0L, 0.0)))
+    assert(got.size == 2)
+  }
+
+  test("recallAtK is 1.0 when the approx search is the exact one") {
+    val t = Embeddings.topK(emb, emb.where($"vec_id" < 2L), "vec_id", "embedding", 2)
+    val r = Embeddings.recallAtK(t, t).collect()
+    assert(r.length == 2 && r.forall(_.getDouble(3) == 1.0))
+  }
+
+  test("project computes the deterministic SRP sum, long-form output") {
+    val one = Seq((7L, Seq(1.0f, 2.0f, -1.0f))).toDF("vec_id", "embedding")
+    val got = Embeddings.project(one, "vec_id", "embedding", outDim = 2, dim = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val planes = Embeddings.projPlaneRows(2, 3)
+    val x = Seq(1.0, 2.0, -1.0)
+    for (j <- 0 until 2) {
+      val want = (0 until 3).map(i =>
+        planes.find(p => p._1 == j && p._2 == i).get._3 * x(i)).sum / math.sqrt(3)
+      assertApprox(got((7L, j)), want, 1e-5)
+    }
+    assert(got.size == 2)
+  }
+
+  test("quantize maps each dimension onto [-128,127]; constant dim to 0") {
+    val pts = Seq(
+      (0L, Seq(0.0f, 5.0f, 2.0f)),
+      (1L, Seq(1.0f, 5.0f, 2.0f)),
+      (2L, Seq(0.5f, 5.0f, 2.0f))).toDF("vec_id", "embedding")
+    val q = Embeddings.quantize(pts, "vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(q((0L, 0)) == -128L) // min of dim 0
+    assert(q((1L, 0)) == 127L)  // max of dim 0
+    assert(q((2L, 0)) == 0L)    // floor(0.5*255+0.5)=128 → 0
+    assert(Seq(0L, 1L, 2L).forall(v => q((v, 1)) == 0L)) // constant dims
+    assert(Seq(0L, 1L, 2L).forall(v => q((v, 2)) == 0L))
+  }
+
+  test("project preserves relative distances enough to separate clusters") {
+    // two tight planted clusters stay separated after 8->2 projection
+    val pts = (for {
+      c <- 0 until 2; jj <- 0 until 5
+    } yield (c * 5L + jj,
+      (0 until 8).map(d => (if (d % 2 == c) 1.0f else 0.0f) + 0.01f * jj).toSeq))
+      .toDF("vec_id", "embedding")
+    val proj = Embeddings.project(pts, "vec_id", "embedding", outDim = 2, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    def vec(id: Long) = (0 until 2).map(j => proj((id, j)))
+    def d2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (p, q) => (p - q) * (p - q) }.sum
+    val intra = d2(vec(0L), vec(1L))
+    val inter = d2(vec(0L), vec(5L))
+    assert(inter > intra * 10, s"inter $inter vs intra $intra")
+  }
 }
