@@ -67,12 +67,21 @@ object AnnEntries {
     // per-dimension int8 scalar quantization (SQ8)
     "embed_quantize" -> ((s, dir) =>
       gate(Embeddings.quantize(embeddings(s, dir), "vec_id", "embedding"),
-        "vec_id", "i"))
+        "vec_id", "i")),
+    // product quantization: 8 subspaces x 16 codes, 2 Lloyd rounds
+    "embed_pq" -> ((s, dir) =>
+      gate(Embeddings.pqAssign(embeddings(s, dir), "vec_id", "embedding",
+        k = PqK, iters = KMeansIters, subDim = PqSubDim), "vec_id", "s"))
   )
 
   /** Input embedding width and the projection contract's output width. */
   private val EmbDim = 64
   private val ProjDim = 16
+
+  /** Codebook size / subspace width for the product-quantization contract
+    * (64 dims → 8 subspaces of 8; 16 codes each → 4 bits per subspace). */
+  private val PqK = 16
+  private val PqSubDim = 8
 
   /** Cluster count / Lloyd rounds / probe width for the k-means contract. */
   private val KMeansK = 8
@@ -295,6 +304,33 @@ object AnnEntries {
         |       floor((rg.lo)*1e6 + 0.50001)/1e6 AS lo,
         |       floor((rg.hi)*1e6 + 0.50001)/1e6 AS hi
         |FROM u JOIN rg USING (i)
-        |ORDER BY vec_id, i""".stripMargin
+        |ORDER BY vec_id, i""".stripMargin,
+    // product quantization: the embed_kmeans 2-round unrolled chain with
+    // the subspace id (i // subDim) riding through every key — the
+    // dimension index scopes each centroid component to its subspace
+    "embed_pq" ->
+      s"""WITH u AS (SELECT vec_id, i, (i // $PqSubDim) AS s,
+        |                  CAST(embedding[i+1] AS DOUBLE) AS x
+        |           FROM embeddings, UNNEST(range(len(embedding))) AS r(i)),
+        |seed AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid
+        |         FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $PqK)),
+        |c0 AS (SELECT sd.cid, u.i, u.x AS c FROM u JOIN seed sd ON u.vec_id = sd.vec_id),
+        |d1 AS (SELECT u.vec_id, u.s, c.cid,
+        |              ${r6sql("SUM((u.x - c.c) * (u.x - c.c))")} AS d2
+        |       FROM u JOIN c0 c ON u.i = c.i GROUP BY 1, 2, 3),
+        |a1 AS (SELECT vec_id, s, cid FROM
+        |         (SELECT vec_id, s, cid,
+        |                 row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rn
+        |          FROM d1) WHERE rn = 1),
+        |c1 AS (SELECT a.cid, u.i, ${r6sql("AVG(u.x)")} AS c
+        |       FROM u JOIN a1 a ON u.vec_id = a.vec_id AND u.s = a.s GROUP BY 1, 2),
+        |d2t AS (SELECT u.vec_id, u.s, c.cid,
+        |               ${r6sql("SUM((u.x - c.c) * (u.x - c.c))")} AS d2
+        |        FROM u JOIN c1 c ON u.i = c.i GROUP BY 1, 2, 3),
+        |a2 AS (SELECT vec_id, s, cid, d2,
+        |              row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rn
+        |       FROM d2t)
+        |SELECT vec_id, s, CAST(cid AS BIGINT) AS code, d2 AS dist2
+        |FROM a2 WHERE rn = 1 ORDER BY vec_id, s""".stripMargin
   )
 }

@@ -68,7 +68,11 @@ object DedupEntries {
     }),
     // cross-document repeated-span stats (substring-level dedup signal)
     "dedup_spans" -> ((s, dir) =>
-      gate(Dedup.spanStats(docs(s, dir), "doc_id", "text", SpanTokens), "doc_id"))
+      gate(Dedup.spanStats(docs(s, dir), "doc_id", "text", SpanTokens), "doc_id")),
+    // substring-level scrub: drop covered tokens everywhere but the
+    // owning (smallest-id) document, keep-first-occurrence
+    "dedup_spans_scrub" -> ((s, dir) =>
+      gate(Dedup.spanScrub(docs(s, dir), "doc_id", "text", SpanTokens), "doc_id"))
   )
 
   /** Label-propagation rounds for the contract grouping run. */
@@ -299,6 +303,29 @@ object DedupEntries {
         |       COALESCE(per.dup_spans, 0) AS dup_spans,
         |       ${r6sql("CASE WHEN COALESCE(per.n_spans, 0) > 0 THEN per.dup_spans / CAST(per.n_spans AS DOUBLE) ELSE 0.0 END")} AS dup_fraction
         |FROM documents doc LEFT JOIN per ON per.doc_id = doc.doc_id
+        |ORDER BY doc.doc_id""".stripMargin,
+    // scrub: recompute owners from raw span strings, drop covered token
+    // positions via an anti-join, rebuild the text in position order
+    "dedup_spans_scrub" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t
+        |  FROM documents),
+        |sp AS (SELECT doc_id, i AS p, array_to_string(t[i:i+${SpanTokens - 1}], ' ') AS s
+        |       FROM toks, UNNEST(range(1, len(t) - ${SpanTokens} + 2)) AS r(i)),
+        |own AS (SELECT s, MIN(doc_id) AS owner FROM sp GROUP BY s
+        |        HAVING COUNT(DISTINCT doc_id) > 1),
+        |drops AS (SELECT sp.doc_id, sp.p FROM sp JOIN own USING (s)
+        |          WHERE own.owner <> sp.doc_id),
+        |tok AS (SELECT doc_id, j + 1 AS pos, t[j + 1] AS tk
+        |        FROM toks, UNNEST(range(len(t))) AS r(j)),
+        |keep AS (SELECT k.doc_id, k.pos, k.tk FROM tok k
+        |         WHERE NOT EXISTS (SELECT 1 FROM drops d
+        |                           WHERE d.doc_id = k.doc_id
+        |                             AND k.pos >= d.p AND k.pos < d.p + ${SpanTokens})),
+        |agg AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS text
+        |        FROM keep GROUP BY doc_id)
+        |SELECT doc.doc_id, COALESCE(agg.text, '') AS text
+        |FROM documents doc LEFT JOIN agg ON agg.doc_id = doc.doc_id
         |ORDER BY doc.doc_id""".stripMargin
   )
 }

@@ -158,14 +158,7 @@ object Dedup {
   def spanStats(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     require(n >= 1)
-    val pat = TextAnalysis.WhitespacePattern.replace("\\", "\\\\")
-    val toks = s"filter(split($textCol, '$pat'), t -> t <> '')"
-    val windows =
-      s"transform(sequence(1, size(t) - ${n - 1}), i -> sha2(array_join(slice(t, i, $n), ' '), 256))"
-    val spans = docs
-      .select(col(idCol).as("doc_id"), expr(toks).as("t"))
-      .where(size(col("t")) >= n)
-      .select(col("doc_id"), explode(expr(windows)).as("h"))
+    val spans = spanHashes(docs, idCol, textCol, n).select("doc_id", "h")
     val dup = spans.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .where(col("nd") > 1)
@@ -181,6 +174,62 @@ object Dedup {
         when(col("n_spans") > 0,
           col("dup_spans").cast("double") / col("n_spans"))
           .otherwise(lit(0.0)).as("dup_fraction"))
+  }
+
+  /** (doc_id, t, p, h): token array plus one row per `n`-token window —
+    * 1-based start position and the window's sha256. Shared by
+    * [[spanStats]] / [[spanScrub]]; the explosion is row-local. */
+  private def spanHashes(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val pat = TextAnalysis.WhitespacePattern.replace("\\", "\\\\")
+    val toks = s"filter(split($textCol, '$pat'), t -> t <> '')"
+    val windows =
+      s"""transform(sequence(1, size(t) - ${n - 1}),
+         |  i -> struct(i AS p, sha2(array_join(slice(t, i, $n), ' '), 256) AS h))""".stripMargin
+    docs
+      .select(col(idCol).as("doc_id"), expr(toks).as("t"))
+      .where(size(col("t")) >= n)
+      .select(col("doc_id"), col("t"), explode(expr(windows)).as("w"))
+      .select(col("doc_id"), col("t"), col("w.p").as("p"), col("w.h").as("h"))
+  }
+
+  /**
+   * Substring-level scrub — the removal half of Lee et al. 2022 (cf.
+   * [[spanStats]] for detection): every token covered by a cross-document
+   * duplicated `n`-token span is dropped from every document EXCEPT the
+   * span's owner (the smallest doc id containing it — "keep first
+   * occurrence", the paper's rule), and the surviving tokens are rejoined.
+   * Intra-document repeats are untouched; a document can scrub to the
+   * empty string. Returns (doc_id, text) for every input document.
+   *
+   * Scale shape: the same fixed-width-key aggregate as [[spanStats]] plus
+   * one join-back and one per-document `collect_set` of covered START
+   * positions (bounded by the doc's own dup-window count, never
+   * corpus-sized); the final token filter is a row-local HOF over
+   * (position, start-set). No driver actions, nothing quadratic.
+   */
+  def spanScrub(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1)
+    val pat = TextAnalysis.WhitespacePattern.replace("\\", "\\\\")
+    val toks = s"filter(split($textCol, '$pat'), t -> t <> '')"
+    val spans = spanHashes(docs, idCol, textCol, n)
+    val owners = spans.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"), min(col("doc_id")).as("owner"))
+      .where(col("nd") > 1)
+      .select("h", "owner")
+    val drops = spans.join(owners, "h")
+      .where(col("owner") =!= col("doc_id"))
+      .groupBy("doc_id").agg(collect_set(col("p")).as("starts"))
+    docs
+      .select(col(idCol).as("doc_id"), expr(toks).as("t"))
+      .join(drops, Seq("doc_id"), "left")
+      .select(col("doc_id"), expr(
+        s"""array_join(
+           |  filter(t, (tok, i) ->
+           |    NOT exists(coalesce(starts, array()),
+           |               s -> i + 1 >= s AND i + 1 < s + $n)),
+           |  ' ')""".stripMargin).as("text"))
   }
 
   /**

@@ -656,6 +656,58 @@ object Embeddings {
   }
 
   /**
+   * Product quantization (Jégou et al. 2011, "Product Quantization for
+   * Nearest Neighbor Search"): the vector is split into `dim / subDim`
+   * contiguous subspaces and k-means runs INDEPENDENTLY inside each, so a
+   * vector compresses to one small code per subspace — at k ≤ 256 that is
+   * one byte per subspace (64 floats → 8 bytes at the contract's 8×8
+   * split), the memory step beyond [[quantize]]'s 4× that makes
+   * billion-vector ANN indexes fit in RAM. Returns long-form
+   * (vec_id, s, code, dist2): the assigned codebook entry and snapped
+   * squared distance within each subspace.
+   *
+   * One lazy plan, exactly [[kMeansAssign]]'s shape with the subspace id
+   * riding along: seeds are the `k` smallest ids (their subvector in each
+   * subspace — deterministic and oracle-mirrorable); each Lloyd round is
+   * a broadcast join against the (k·dim)-row codebook plus one aggregate
+   * keyed (vec_id, s, cid); the dimension index pins every centroid
+   * component to its subspace, so nothing mixes across subspaces and the
+   * M independent k-means runs cost ONE pass over the cells per round,
+   * not M. Same cross-engine determinism contract as [[kMeansAssign]]
+   * (snapped distances/centroids, argmin tiebreak by cid; a centroid
+   * that loses all members in one subspace drops out of that subspace's
+   * next round only).
+   */
+  def pqAssign(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, subDim: Int): DataFrame = {
+    require(k > 0 && iters >= 1 && subDim > 0)
+    val cells = cellsOf(emb, idCol, vecCol)
+      .withColumn("s", expr(s"i div $subDim"))
+    val seedW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id") * lit(0)).orderBy("vec_id")
+    val seeds = emb.select(col(idCol).as("vec_id")).orderBy("vec_id").limit(k)
+      .select(col("vec_id"), (row_number().over(seedW) - 1).cast("long").as("cid"))
+    var cent = cells.join(seeds, "vec_id")
+      .select(col("cid"), col("i"), col("x").as("c"))
+    var assign: DataFrame = null
+    for (round <- 1 to iters) {
+      val dist = cells.join(broadcast(cent), "i")
+        .groupBy(col("vec_id"), col("s"), col("cid"))
+        .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d2"))
+        .select(col("vec_id"), col("s"), col("cid"), snapCol(col("d2")).as("d2"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id", "s").orderBy(col("d2").asc, col("cid").asc)
+      assign = dist.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select("vec_id", "s", "cid", "d2")
+      if (round < iters)
+        cent = cells.join(assign.select("vec_id", "s", "cid"), Seq("vec_id", "s"))
+          .groupBy(col("cid"), col("i")).agg(snapCol(avg(col("x"))).as("c"))
+    }
+    assign.select(col("vec_id"), col("s"), col("cid").as("code"),
+      col("d2").as("dist2"))
+  }
+
+  /**
    * Per-dimension int8 scalar quantization — the standard 4× memory
    * compression for embedding columns before they feed an ANN index
    * (FAISS's SQ8): each component is affinely mapped onto [-128, 127]

@@ -266,4 +266,24 @@ class DedupSpec extends SparkSpec {
     assert(got(4L) == ((6L, 0L, 0.0)))      // intra-doc repeats don't count
     assert(got.size == 5)
   }
+
+  test("spanScrub keeps the owner's copy, drops covered tokens elsewhere") {
+    val fixture = Seq(
+      (0L, "a b c d e"),          // owns "a b c" "b c d" "c d e"
+      (1L, "x y a b c"),          // owns "x y a" "y a b"; loses "a b c"
+      (2L, "p q r"),              // unshared
+      (3L, "z z"),                // shorter than n
+      (4L, "m n o m n o m n"),    // intra-doc repeats only
+      (5L, "x y a b c d e")       // every window owned elsewhere
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanScrub(fixture, "doc_id", "text", n = 3).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(0L) == "a b c d e")
+    assert(got(1L) == "x y")
+    assert(got(2L) == "p q r")
+    assert(got(3L) == "z z")
+    assert(got(4L) == "m n o m n o m n")
+    assert(got(5L) == "")   // fully covered by spans owned by docs 0 and 1
+    assert(got.size == 6)
+  }
 }

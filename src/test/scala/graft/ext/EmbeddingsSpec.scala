@@ -238,6 +238,25 @@ class EmbeddingsSpec extends SparkSpec {
     assert(got.size == 2)
   }
 
+  test("pqAssign clusters each subspace independently") {
+    // two code groups per half: vectors agreeing in one half but not the
+    // other must share that half's code only
+    val pts = Seq(
+      (0L, Seq(0.0f, 0.0f, 9.0f, 9.0f)),
+      (1L, Seq(0.1f, 0.1f, 9.1f, 9.1f)),  // near 0 in both halves
+      (2L, Seq(0.0f, 0.1f, 5.0f, 5.0f)),  // first half like 0, second far
+      (3L, Seq(7.0f, 7.0f, 9.0f, 9.1f))   // first half far, second like 0
+    ).toDF("vec_id", "embedding")
+    val got = Embeddings.pqAssign(pts, "vec_id", "embedding",
+      k = 2, iters = 3, subDim = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.size == 8) // 4 vectors x 2 subspaces
+    assert(got((0L, 0L)) == got((1L, 0L)) && got((0L, 0L)) == got((2L, 0L)))
+    assert(got((0L, 0L)) != got((3L, 0L)))
+    assert(got((0L, 1L)) == got((1L, 1L)) && got((0L, 1L)) == got((3L, 1L)))
+    assert(got((0L, 1L)) != got((2L, 1L)))
+  }
+
   test("quantize maps each dimension onto [-128,127]; constant dim to 0") {
     val pts = Seq(
       (0L, Seq(0.0f, 5.0f, 2.0f)),
