@@ -27,7 +27,7 @@ object Bench {
     "dedup_ngram_jaccard", "dedup_embedding", "dedup_groups",
     "dedup_groups_converged", "dedup_spans", "dedup_spans_scrub", "ann_topk_brute",
     "ann_ivf_topk", "ann_ivf_kmeans", "ann_lsh_topk", "ann_lsh_multiprobe", "embed_kmeans",
-    "ann_recall", "embed_project", "embed_quantize", "embed_pq",
+    "ann_recall", "embed_project", "embed_quantize", "embed_pq", "ann_pq_adc",
     "quality_repetition", "quality_filter", "doc_packing", "events_hourly",
     "events_sessionize", "events_asof", "multimodal_meta", "multimodal_frames")
 

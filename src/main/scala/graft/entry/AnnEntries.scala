@@ -71,7 +71,14 @@ object AnnEntries {
     // product quantization: 8 subspaces x 16 codes, 2 Lloyd rounds
     "embed_pq" -> ((s, dir) =>
       gate(Embeddings.pqAssign(embeddings(s, dir), "vec_id", "embedding",
-        k = PqK, iters = KMeansIters, subDim = PqSubDim), "vec_id", "s"))
+        k = PqK, iters = KMeansIters, subDim = PqSubDim), "vec_id", "s")),
+    // PQ asymmetric-distance top-5: codes-only candidate scan
+    "ann_pq_adc" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      gate(Embeddings.pqTopK(e, e.where(col("vec_id") < QueryCount),
+        "vec_id", "embedding", knn = 5, k = PqK, iters = KMeansIters,
+        subDim = PqSubDim), "query_id", "rank")
+    })
   )
 
   /** Input embedding width and the projection contract's output width. */
@@ -331,6 +338,43 @@ object AnnEntries {
         |              row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rn
         |       FROM d2t)
         |SELECT vec_id, s, CAST(cid AS BIGINT) AS code, d2 AS dist2
-        |FROM a2 WHERE rn = 1 ORDER BY vec_id, s""".stripMargin
+        |FROM a2 WHERE rn = 1 ORDER BY vec_id, s""".stripMargin,
+    // ADC search: the embed_pq chain, then each query's distance table
+    // against the final codebook (c1) and a codes-only candidate scan
+    "ann_pq_adc" ->
+      s"""WITH u AS (SELECT vec_id, i, (i // $PqSubDim) AS s,
+        |                  CAST(embedding[i+1] AS DOUBLE) AS x
+        |           FROM embeddings, UNNEST(range(len(embedding))) AS r(i)),
+        |seed AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid
+        |         FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $PqK)),
+        |c0 AS (SELECT sd.cid, u.i, u.x AS c FROM u JOIN seed sd ON u.vec_id = sd.vec_id),
+        |d1 AS (SELECT u.vec_id, u.s, c.cid,
+        |              ${r6sql("SUM((u.x - c.c) * (u.x - c.c))")} AS d2
+        |       FROM u JOIN c0 c ON u.i = c.i GROUP BY 1, 2, 3),
+        |a1 AS (SELECT vec_id, s, cid FROM
+        |         (SELECT vec_id, s, cid,
+        |                 row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rn
+        |          FROM d1) WHERE rn = 1),
+        |c1 AS (SELECT a.cid, u.i, ${r6sql("AVG(u.x)")} AS c
+        |       FROM u JOIN a1 a ON u.vec_id = a.vec_id AND u.s = a.s GROUP BY 1, 2),
+        |d2t AS (SELECT u.vec_id, u.s, c.cid,
+        |               ${r6sql("SUM((u.x - c.c) * (u.x - c.c))")} AS d2
+        |        FROM u JOIN c1 c ON u.i = c.i GROUP BY 1, 2, 3),
+        |codes AS (SELECT vec_id, s, cid FROM
+        |            (SELECT vec_id, s, cid,
+        |                    row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rn
+        |             FROM d2t) WHERE rn = 1),
+        |qd AS (SELECT vec_id AS query_id, s, cid, d2 AS qd2
+        |       FROM d2t WHERE vec_id < $QueryCount),
+        |sc AS (SELECT qd.query_id, codes.vec_id, ${r6sql("SUM(qd.qd2)")} AS adist
+        |       FROM codes JOIN qd ON qd.s = codes.s AND qd.cid = codes.cid
+        |       WHERE qd.query_id <> codes.vec_id
+        |       GROUP BY 1, 2),
+        |rk AS (SELECT query_id, vec_id, adist,
+        |              row_number() OVER (PARTITION BY query_id
+        |                                 ORDER BY adist, vec_id) AS rn
+        |       FROM sc)
+        |SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id, adist
+        |FROM rk WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
   )
 }

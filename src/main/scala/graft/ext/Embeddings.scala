@@ -679,7 +679,17 @@ object Embeddings {
    * next round only).
    */
   def pqAssign(emb: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int, subDim: Int): DataFrame = {
+      k: Int, iters: Int, subDim: Int): DataFrame =
+    pqFit(emb, idCol, vecCol, k, iters, subDim)._2
+      .select(col("vec_id"), col("s"), col("cid").as("code"),
+        col("d2").as("dist2"))
+
+  /** (codebook, assignment) after `iters` Lloyd rounds: the (cid, i, c)
+    * centroid table the FINAL assignment was scored against, and that
+    * assignment as (vec_id, s, cid, d2). Shared by [[pqAssign]] (codes
+    * only) and [[pqTopK]] (which also needs the codebook for ADC). */
+  private def pqFit(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, subDim: Int): (DataFrame, DataFrame) = {
     require(k > 0 && iters >= 1 && subDim > 0)
     val cells = cellsOf(emb, idCol, vecCol)
       .withColumn("s", expr(s"i div $subDim"))
@@ -703,8 +713,46 @@ object Embeddings {
         cent = cells.join(assign.select("vec_id", "s", "cid"), Seq("vec_id", "s"))
           .groupBy(col("cid"), col("i")).agg(snapCol(avg(col("x"))).as("c"))
     }
-    assign.select(col("vec_id"), col("s"), col("cid").as("code"),
-      col("d2").as("dist2"))
+    (cent, assign)
+  }
+
+  /**
+   * PQ asymmetric-distance top-k (ADC — Jégou et al. 2011 §IV): queries
+   * stay full-precision while candidates are represented ONLY by their
+   * [[pqAssign]] codes. Each query precomputes its distance to every
+   * codebook entry (a Q·m·k lookup table, model-sized and broadcast);
+   * a candidate's approximate distance is then the sum of m table
+   * lookups — no candidate vector is ever touched at query time, which
+   * is the entire point: the index the scan reads is codes (one byte
+   * per subspace), 32× smaller than the float vectors.
+   *
+   * Scale shape: codebook training and encoding are [[pqFit]]'s
+   * broadcast-join passes; search is one equi-join of the code table
+   * (N·m narrow rows) against the broadcast lookup table on (s, cid)
+   * plus one (query, candidate) aggregate — Q·N·m tiny rows through a
+   * map-side-combined sum, never a vector shuffle. Ranking is snapped
+   * distance asc with vec_id tiebreak (total order in any engine).
+   */
+  def pqTopK(candidates: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, knn: Int, k: Int, iters: Int, subDim: Int): DataFrame = {
+    val (codebook, codes) = pqFit(candidates, idCol, vecCol, k, iters, subDim)
+    val qcells = cellsOf(queries, idCol, vecCol)
+      .withColumnRenamed("vec_id", "query_id")
+      .withColumn("s", expr(s"i div $subDim"))
+    val qd = qcells.join(broadcast(codebook), "i")
+      .groupBy(col("query_id"), col("s"), col("cid"))
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("qd2"))
+      .select(col("query_id"), col("s"), col("cid"), snapCol(col("qd2")).as("qd2"))
+    val scored = codes.select(col("vec_id"), col("s"), col("cid"))
+      .join(broadcast(qd), Seq("s", "cid"))
+      .where(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(snapCol(sum(col("qd2"))).as("adist"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adist").asc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= knn)
+      .select("query_id", "rank", "vec_id", "adist")
   }
 
   /**

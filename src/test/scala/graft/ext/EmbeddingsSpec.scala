@@ -257,6 +257,19 @@ class EmbeddingsSpec extends SparkSpec {
     assert(got((0L, 1L)) != got((2L, 1L)))
   }
 
+  test("pqTopK ranks same-cluster candidates first by code distance") {
+    // two tight clusters; cluster members share codes, so ADC ties within
+    // a cluster resolve by vec_id and cross-cluster distances dominate
+    val pts = (for { c <- 0 until 2; j <- 0 until 4 } yield
+      (c * 4L + j, Seq.fill(4)(c * 10.0f + 0.1f * j))).toDF("vec_id", "embedding")
+    val got = Embeddings.pqTopK(pts, pts.where($"vec_id".isin(0L, 4L)),
+      "vec_id", "embedding", knn = 3, k = 2, iters = 2, subDim = 2).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq }
+    assert(got(0L) == Seq(1L, 2L, 3L))
+    assert(got(4L) == Seq(5L, 6L, 7L))
+  }
+
   test("quantize maps each dimension onto [-128,127]; constant dim to 0") {
     val pts = Seq(
       (0L, Seq(0.0f, 5.0f, 2.0f)),
