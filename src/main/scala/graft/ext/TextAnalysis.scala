@@ -44,16 +44,34 @@ object TextAnalysis {
    * signals used to filter web-scale training corpora.
    */
   def stats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val stopSet = Stopwords.map(lit): Seq[Column]
-    tokensWithPosition(docs, idCol, textCol)
-      .groupBy("doc_id")
-      .agg(
-        count(lit(1)).as("n_tokens"),
-        countDistinct(col("token")).as("n_distinct"),
-        (sum(length(col("token"))).cast("double") / count(lit(1))).as("avg_token_len"),
-        (sum(when(col("token").isin(stopSet: _*), 1L).otherwise(0L)).cast("double") /
-          count(lit(1))).as("stopword_ratio"),
-        (countDistinct(col("token")).cast("double") / count(lit(1))).as("ttr"))
+    // Row-local HOFs over the token array, NOT explode + groupBy: the
+    // per-document signals never leave their row, so the operator is a
+    // pure codegen'd map stage — zero exchanges at any corpus size, and
+    // it runs unchanged on unbounded streams (TextOpsStreamSpec).
+    // Documents with no tokens are absent, matching the explode form.
+    val stops = Stopwords.map(s => s"'$s'").mkString("array(", ", ", ")")
+    tokenArray(docs, idCol, textCol)
+      .select(
+        col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(array_distinct(col("t"))).cast("long").as("n_distinct"),
+        (expr("aggregate(t, CAST(0 AS BIGINT), (a, x) -> a + length(x))").cast("double") /
+          size(col("t"))).as("avg_token_len"),
+        (expr(s"size(filter(t, x -> array_contains($stops, x)))").cast("double") /
+          size(col("t"))).as("stopword_ratio"),
+        (size(array_distinct(col("t"))).cast("double") / size(col("t"))).as("ttr"))
+  }
+
+  /** (doc_id, t): the non-empty whitespace tokens as ONE array column —
+    * the row-local front half shared by [[stats]] / [[langId]] /
+    * [[tokenCounts]]. Token-less documents are dropped, mirroring what
+    * posexplode + groupBy produced before these became map stages. */
+  private def tokenArray(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val pat = WhitespacePattern.replace("\\", "\\\\")
+    docs
+      .select(col(idCol).as("doc_id"),
+        expr(s"filter(split($textCol, '$pat'), x -> x <> '')").as("t"))
+      .where(size(col("t")) > 0)
   }
 
   /**
@@ -93,12 +111,14 @@ object TextAnalysis {
    * reduced to its relational core — deterministic and oracle-checkable.
    */
   def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = tokensWithPosition(docs, idCol, textCol)
+    // marker hits counted row-locally (cf. [[stats]]) — map stage only
     val scoreCols = LangMarkers.map { case (lang, markers) =>
-      sum(when(col("token").isin(markers.map(lit): _*), 1L).otherwise(0L))
-        .as(s"score_$lang")
+      val arr = markers.map(m => s"'$m'").mkString("array(", ", ", ")")
+      expr(s"size(filter(t, x -> array_contains($arr, x)))")
+        .cast("long").as(s"score_$lang")
     }
-    val scored = toks.groupBy("doc_id").agg(scoreCols.head, scoreCols.tail: _*)
+    val scored = tokenArray(docs, idCol, textCol)
+      .select(col("doc_id") +: scoreCols: _*)
     val langs = LangMarkers.map(_._1)
     val pred = langs.init.zipWithIndex.foldRight(lit(langs.last): Column) {
       case ((lang, i), els) =>
@@ -116,11 +136,14 @@ object TextAnalysis {
    * planning of LLM training corpora).
    */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    tokensWithPosition(docs, idCol, textCol)
-      .groupBy("doc_id")
-      .agg(
-        count(lit(1)).as("ws_tokens"),
-        sum(ceil(length(col("token")).cast("double") / 4.0).cast("long")).as("subword_est"))
+    // row-local HOF spelling (cf. [[stats]]) — map stage, no shuffle
+    tokenArray(docs, idCol, textCol)
+      .select(
+        col("doc_id"),
+        size(col("t")).cast("long").as("ws_tokens"),
+        expr("aggregate(t, CAST(0 AS BIGINT), " +
+          "(a, x) -> a + CAST(ceil(CAST(length(x) AS DOUBLE) / 4.0) AS BIGINT))")
+          .as("subword_est"))
 
   /**
    * Corpus vocabulary heavy hitters: the `k` tokens with the highest
@@ -326,11 +349,24 @@ object TextAnalysis {
    * Reordering tokens changes the fingerprint; near-identical docs with the
    * same prefix share partial sums.
    */
-  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    tokensWithPosition(docs, idCol, textCol)
-      .withColumn("term", expr(TextHash.fingerprintTerm("pos", "token")))
-      .groupBy("doc_id")
-      .agg(expr(s"sum(term) % ${TextHash.M}").cast("long").as("fingerprint"))
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // Row-local HOF spelling (cf. [[stats]]). Positions must be the RAW
+    // split slots — empty tokens keep their index and contribute 0 —
+    // exactly reproducing tokensWithPosition's numbering; integer
+    // addition is order-independent, so the sum matches the old
+    // aggregate bit-for-bit.
+    val pat = WhitespacePattern.replace("\\", "\\\\")
+    val term = TextHash.fingerprintTerm("i", "tok")
+    docs
+      .select(col(idCol).as("doc_id"),
+        expr(s"split($textCol, '$pat')").as("raw"))
+      .where(expr("size(filter(raw, x -> x <> ''))") > 0)
+      .select(col("doc_id"),
+        expr(s"""aggregate(
+          |  transform(raw, (tok, i) -> IF(tok = '', CAST(0 AS BIGINT), $term)),
+          |  CAST(0 AS BIGINT), (a, x) -> a + x) % ${TextHash.M}""".stripMargin)
+          .cast("long").as("fingerprint"))
+  }
 
   /** PII patterns — contract constants of [[piiScrub]]. Deliberately plain
     * leftmost-greedy regexes (no lookaround, no backreferences) so Java

@@ -174,6 +174,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp("a b c") >= 0L && fp("a b c") < TextHash.M)
   }
 
+  test("per-doc signal ops are pure map stages — no exchange, no window") {
+    val fns: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "stats" -> TextAnalysis.stats(docs, "doc_id", "text"),
+      "qualityFilter" -> TextAnalysis.qualityFilter(docs, "doc_id", "text"),
+      "langId" -> TextAnalysis.langId(docs, "doc_id", "text"),
+      "tokenCounts" -> TextAnalysis.tokenCounts(docs, "doc_id", "text"),
+      "fingerprint" -> TextAnalysis.fingerprint(docs, "doc_id", "text"),
+      "piiScrub" -> TextAnalysis.piiScrub(docs, "doc_id", "text"))
+    for ((name, df) <- fns) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange") && !plan.contains("Window"),
+        s"$name is not a pure map stage:\n$plan")
+    }
+  }
+
   test("piiScrub counts and redacts emails, IPs, and phones by category") {
     val d = Seq(
       (0L, "contact alice.smith+x@example.org or bob@test.co for details"),

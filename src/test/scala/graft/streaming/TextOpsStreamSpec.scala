@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.ext.{Dedup, TextAnalysis}
+
+/**
+ * Pins the row-local design claim end-to-end: every per-document text
+ * operator that is a pure map stage (array HOFs, no explode + groupBy,
+ * no window) runs UNCHANGED on an unbounded stream — the same function
+ * applied to a streaming DataFrame in append mode, batch-parity checked
+ * through a memory sink. This is what the HOF spelling buys beyond the
+ * removed shuffle: per-doc quality/PII/language/fingerprint gating can
+ * run at INGEST time with zero state. Corpus-level operators
+ * (vocabTopK, quantiles, spanStats, ...) are deliberately absent — their
+ * streaming stories need watermarked state (DedupStream / EventsStream).
+ */
+class TextOpsStreamSpec extends SparkSpec {
+  implicit lazy val s: SparkSession = spark
+  import s.implicits._
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private val rows = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog with me a b c"),
+    (1L, "reach me at bob@example.com or 10.0.0.1 soon please now ok"),
+    (2L, "le chat et le chien sont dans la maison avec nous aussi"),
+    (3L, "short text"))
+
+  private def streamed(fn: DataFrame => DataFrame, name: String): Seq[String] = {
+    val in = MemoryStream[(Long, String)]
+    val q = fn(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      in.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      spark.table(name).collect().map(_.toString).sorted.toSeq
+    } finally q.stop()
+  }
+
+  private def batch(fn: DataFrame => DataFrame): Seq[String] =
+    fn(rows.toDF("doc_id", "text")).collect().map(_.toString).sorted.toSeq
+
+  test("per-doc text ops are stream-native map stages with batch parity") {
+    val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
+      ("t_stats", TextAnalysis.stats(_, "doc_id", "text")),
+      ("t_qf", TextAnalysis.qualityFilter(_, "doc_id", "text")),
+      ("t_langid", TextAnalysis.langId(_, "doc_id", "text")),
+      ("t_tok", TextAnalysis.tokenCounts(_, "doc_id", "text")),
+      ("t_fp", TextAnalysis.fingerprint(_, "doc_id", "text")),
+      ("t_pii", TextAnalysis.piiScrub(_, "doc_id", "text")),
+      ("t_cjk", graft.text.Tokenizer.tokensCjk(_, "doc_id", "text")),
+      ("t_sh", Dedup.shinglesLocal(_, "doc_id", "text")))
+    for ((name, fn) <- ops) {
+      val got = streamed(fn, name)
+      val want = batch(fn)
+      assert(got.nonEmpty && got == want, s"$name stream/batch divergence")
+    }
+  }
+}
