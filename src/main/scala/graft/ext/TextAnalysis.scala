@@ -184,23 +184,38 @@ object TextAnalysis {
    * they are bit-identical across engines even before the 1e-6 snap.
    */
   def repetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val bigrams = docs
+    // Row-local like [[stats]]: the per-document bigram multiset never
+    // leaves its row. The top-bigram count is the longest equal run of
+    // the SORTED bigram array — one array_sort + one linear fold instead
+    // of a (doc, bigram)-keyed shuffle; O(n log n) per document, zero
+    // exchanges at any corpus size (plan-pinned), stream-native.
+    val bigramsExpr =
+      "transform(sequence(0, size(w) - 2), " +
+        "i -> concat(element_at(w, i + 1), ' ', element_at(w, i + 2)))"
+    val topRun =
+      """aggregate(
+        |  array_sort(bg),
+        |  named_struct('prev', CAST(NULL AS STRING),
+        |               'run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)),
+        |  (s, x) -> IF(s.prev IS NOT NULL AND x = s.prev,
+        |    named_struct('prev', x, 'run', s.run + 1,
+        |                 'best', greatest(s.best, s.run + 1)),
+        |    named_struct('prev', x, 'run', CAST(1 AS BIGINT),
+        |                 'best', greatest(s.best, CAST(1 AS BIGINT)))),
+        |  s -> s.best)""".stripMargin
+    docs
       .select(col(idCol).as("doc_id"),
         expr(s"filter(split($textCol, '\\\\s+'), t -> t <> '')").as("w"))
       .where(size(col("w")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(w) - 2), " +
-          "i -> concat(element_at(w, i + 1), ' ', element_at(w, i + 2)))")).as("bigram"))
-    bigrams
-      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("cnt"))
-      .groupBy("doc_id")
-      .agg(
-        sum(col("cnt")).cast("long").as("n_bigrams"),
-        count(lit(1)).cast("long").as("n_distinct_bigrams"),
-        max(col("cnt")).cast("long").as("top_bigram_count"),
-        (max(col("cnt")).cast("double") / sum(col("cnt"))).as("top_bigram_frac"),
-        ((sum(col("cnt")) - count(lit(1))).cast("double") / sum(col("cnt")))
-          .as("dup_bigram_frac"))
+      .select(col("doc_id"), expr(bigramsExpr).as("bg"))
+      .select(
+        col("doc_id"),
+        size(col("bg")).cast("long").as("n_bigrams"),
+        size(array_distinct(col("bg"))).cast("long").as("n_distinct_bigrams"),
+        expr(topRun).as("top_bigram_count"),
+        (expr(topRun).cast("double") / size(col("bg"))).as("top_bigram_frac"),
+        ((size(col("bg")) - size(array_distinct(col("bg")))).cast("double") /
+          size(col("bg"))).as("dup_bigram_frac"))
   }
 
   /**

@@ -181,6 +181,7 @@ class TextAnalysisSpec extends SparkSpec {
       "langId" -> TextAnalysis.langId(docs, "doc_id", "text"),
       "tokenCounts" -> TextAnalysis.tokenCounts(docs, "doc_id", "text"),
       "fingerprint" -> TextAnalysis.fingerprint(docs, "doc_id", "text"),
+      "repetition" -> TextAnalysis.repetition(docs, "doc_id", "text"),
       "piiScrub" -> TextAnalysis.piiScrub(docs, "doc_id", "text"))
     for ((name, df) <- fns) {
       val plan = df.queryExecution.executedPlan.toString

@@ -53,6 +53,7 @@ class TextOpsStreamSpec extends SparkSpec {
       ("t_langid", TextAnalysis.langId(_, "doc_id", "text")),
       ("t_tok", TextAnalysis.tokenCounts(_, "doc_id", "text")),
       ("t_fp", TextAnalysis.fingerprint(_, "doc_id", "text")),
+      ("t_rep", TextAnalysis.repetition(_, "doc_id", "text")),
       ("t_pii", TextAnalysis.piiScrub(_, "doc_id", "text")),
       ("t_cjk", graft.text.Tokenizer.tokensCjk(_, "doc_id", "text")),
       ("t_sh", Dedup.shinglesLocal(_, "doc_id", "text")))
