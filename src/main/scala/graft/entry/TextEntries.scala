@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.text.Tokenizer
-import graft.ext.{TextAnalysis, TextHash}
+import graft.ext.{Export, Retrieval, TextAnalysis, TextHash}
 import EntryUtil._
 
 /**
@@ -91,8 +91,27 @@ object TextEntries {
     "quality_filter" -> ((s, dir) =>
       gate(TextAnalysis.qualityFilter(docs(s, dir), "doc_id", "text",
         QfMinTokens, QfMaxTokens, QfMinAvgLen, QfMaxAvgLen, QfMaxStop, QfMinTtr),
-        "doc_id"))
+        "doc_id")),
+    // ext: BM25 keyword retrieval (rare + common terms, top-k cut)
+    "bm25_search" -> ((s, dir) =>
+      gate(Retrieval.bm25TopK(docs(s, dir), "doc_id", "text",
+        Bm25Terms, Bm25K), "doc_id")),
+    // ext: stable train/val/test assignment by id-hash
+    "split_assign" -> ((s, dir) =>
+      gate(Export.splitAssign(docs(s, dir), "doc_id"), "doc_id")),
+    // ext: deterministic shard + within-shard position export order
+    "export_shards" -> ((s, dir) =>
+      gate(Export.shardAssign(docs(s, dir), "doc_id", ExportShards), "doc_id"))
   )
+
+  /** BM25 contract: one rare term (df≈5% of docs) + two common ones. */
+  private val Bm25Terms = Seq("dup", "window", "spark")
+  private val Bm25K = 50
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+
+  /** Shard count for the export contract. */
+  private val ExportShards = 16
 
   /** Context budget (tokens) and packing-stream count for the contract. */
   private val PackBudget = 512
@@ -284,6 +303,51 @@ object TextEntries {
         |SELECT token, doc_freq FROM
         |  (SELECT token, doc_freq FROM df ORDER BY doc_freq DESC, token LIMIT $VocabK) t
         |ORDER BY token""".stripMargin),
+    "bm25_search" -> {
+      val tfCols = Bm25Terms.indices.map(i =>
+        s"CAST(len(list_filter(t, x -> x = '${Bm25Terms(i)}')) AS BIGINT) AS tf_$i")
+        .mkString(",\n             ")
+      val dfCols = Bm25Terms.indices.map(i =>
+        s"CAST(SUM(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i")
+        .mkString(",\n             ")
+      // each term mirrors the Spark side's exact op order:
+      //   ln(1 + (N - df + .5)/(df + .5)) * (tf*(k1+1)) / (tf + k1*(1 - b + b*dl/avgdl))
+      val terms = Bm25Terms.indices.map { i =>
+        s"ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_$i AS DOUBLE) + 0.5) / " +
+          s"(CAST(df_$i AS DOUBLE) + 0.5)) * (CAST(tf_$i AS DOUBLE) * ($Bm25K1 + 1.0)) / " +
+          s"(CAST(tf_$i AS DOUBLE) + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl / " +
+          s"(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))"
+      }.mkString(" + ")
+      s"""WITH d AS (SELECT doc_id,
+        |            list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+        |            FROM documents),
+        |p AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+        |             $tfCols
+        |      FROM d WHERE len(t) > 0),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl,
+        |             $dfCols
+        |      FROM p),
+        |sc AS (SELECT doc_id, dl, $terms AS score FROM p CROSS JOIN s)
+        |SELECT doc_id, dl, ${r6sql("score")} AS score
+        |FROM (SELECT * FROM sc WHERE score > 0 ORDER BY score DESC, doc_id LIMIT $Bm25K) x
+        |ORDER BY doc_id""".stripMargin
+    },
+    "split_assign" -> {
+      val mix = Export.mixBucketSql("doc_id", 1000, 0L)
+      s"""SELECT doc_id, CAST($mix AS BIGINT) AS bucket,
+        |       CASE WHEN $mix < 800 THEN 'train'
+        |            WHEN $mix < 900 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "export_shards" -> {
+      val mix = Export.mixBucketSql("doc_id", Int.MaxValue, 0L)
+      s"""WITH h AS (SELECT doc_id, $mix AS h FROM documents),
+        |a AS (SELECT doc_id, h % $ExportShards AS shard, h FROM h)
+        |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+        |       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+        |FROM a ORDER BY doc_id""".stripMargin
+    },
     "quality_repetition" ->
       s"""WITH wf AS (SELECT doc_id,
         |              list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS w

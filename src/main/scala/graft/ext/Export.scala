@@ -1,0 +1,108 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic split and shard assignment — the export tail of a
+ * training-data pipeline. After dedup/quality/decontamination, a corpus
+ * ships as (a) a train/val/test partition that must be STABLE across
+ * re-runs and incremental refreshes (a document's split may never flip
+ * when unrelated documents arrive), and (b) a fixed number of shard
+ * files in a deterministic pseudo-random order (so a training job's
+ * data order is reproducible without a global shuffle of 100 TB).
+ *
+ * Both derive from one integer hash chain ([[mixBucket]]) built from
+ * multiply-add-mod steps whose intermediates provably fit in an int64 —
+ * the SAME arithmetic runs exactly in Spark, DuckDB, or any engine with
+ * 64-bit integers, which is what makes the assignment auditable: the
+ * oracle recomputes it independently, and a training job years later can
+ * re-derive which split any document was in from its id alone.
+ *
+ * Scale shape: [[splitAssign]] is a pure map stage (zero exchanges, runs
+ * unchanged on streams); [[shardAssign]] is one hash-partition exchange
+ * on the shard id plus a per-shard sort — the minimal physical plan any
+ * deterministic sharded export can have (each output shard is written
+ * independently; no global ordering exists to sort).
+ */
+object Export {
+
+  /** 31-bit modulus of the mixing chain (2^31): products of any chain
+    * state with either multiplier stay below 2^63. */
+  val MixMod: Long = 2147483648L
+  /** Knuth's multiplicative constant (round 1). */
+  val MixA1: Long = 2654435761L
+  /** glibc LCG multiplier/increment (round 2) — a second independent
+    * round so consecutive ids don't land in correlated buckets. */
+  val MixA2: Long = 1103515245L
+  val MixC2: Long = 12345L
+
+  /**
+   * The deterministic bucket chain: two multiply-add-mod rounds over the
+   * non-negative id, reduced to a bucket in [0, buckets).
+   *
+   * Bound proof (why no step can overflow int64): `id % (MixMod-1)` <
+   * 2^31; `· MixA1` < 2^31·2^32 < 2^63; after `% MixMod` the state is
+   * < 2^31 again, and `· MixA2` < 2^31·2^31 < 2^63. Salt is folded in
+   * round 1 and must be in [0, 2^31).
+   */
+  def mixBucket(id: Column, buckets: Int, salt: Long): Column = {
+    require(salt >= 0 && salt < MixMod, s"salt must be in [0, ${MixMod})")
+    require(buckets > 0, "buckets must be positive")
+    val h0 = id.cast("long") % lit(MixMod - 1)
+    val h1 = (h0 * lit(MixA1) + lit(salt)) % lit(MixMod)
+    val h2 = (h1 * lit(MixA2) + lit(MixC2)) % lit(MixMod)
+    h2 % lit(buckets.toLong)
+  }
+
+  /** [[mixBucket]] spelled as engine-neutral SQL over column `c` — the
+    * oracle's side of the same arithmetic (kept adjacent so the two
+    * spellings cannot drift apart). */
+  def mixBucketSql(c: String, buckets: Int, salt: Long): String =
+    s"((((($c % ${MixMod - 1}) * $MixA1 + $salt) % $MixMod) * $MixA2 + $MixC2) % $MixMod) % $buckets"
+
+  /**
+   * Stable train/val/test assignment by id hash: bucket ∈ [0, 1000),
+   * `train` below `trainPermille`, `val` in the next `valPermille`,
+   * `test` above. Expected fractions hold in distribution; every
+   * document's split is a pure function of (id, salt) — adding or
+   * removing other documents never moves it. Ids must be non-negative
+   * (parquet surrogate ids are).
+   */
+  def splitAssign(docs: DataFrame, idCol: String,
+      trainPermille: Int = 800, valPermille: Int = 100,
+      salt: Long = 0L): DataFrame = {
+    require(trainPermille >= 0 && valPermille >= 0 &&
+      trainPermille + valPermille <= 1000, "permille bounds must fit in 1000")
+    val bucket = mixBucket(col(idCol), 1000, salt)
+    docs.select(
+      col(idCol).as("doc_id"),
+      bucket.as("bucket"),
+      when(bucket < trainPermille, lit("train"))
+        .when(bucket < trainPermille + valPermille, lit("val"))
+        .otherwise(lit("test")).as("split"))
+  }
+
+  /**
+   * Deterministic shard + position assignment: shard = id-hash mod
+   * `nShards`; `pos` numbers the shard's documents 0..n-1 in hash order
+   * (ties on the raw 31-bit hash break by id). The (shard, pos) order is
+   * the reproducible "global shuffle" a training run reads — re-running
+   * the export on the same corpus yields byte-identical shards.
+   */
+  def shardAssign(docs: DataFrame, idCol: String, nShards: Int,
+      salt: Long = 0L): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    // full 31-bit hash for the within-shard order; shard is its residue
+    val h = mixBucket(col(idCol), Int.MaxValue, salt)
+    val assigned = docs.select(
+      col(idCol).as("doc_id"),
+      (h % nShards).as("shard"),
+      h.as("h"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    assigned
+      .select(col("doc_id"), col("shard"),
+        (row_number().over(w) - 1).cast("long").as("pos"))
+  }
+}

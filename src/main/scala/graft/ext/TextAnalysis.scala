@@ -66,7 +66,7 @@ object TextAnalysis {
     * the row-local front half shared by [[stats]] / [[langId]] /
     * [[tokenCounts]]. Token-less documents are dropped, mirroring what
     * posexplode + groupBy produced before these became map stages. */
-  private def tokenArray(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  private[ext] def tokenArray(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val pat = WhitespacePattern.replace("\\", "\\\\")
     docs
       .select(col(idCol).as("doc_id"),

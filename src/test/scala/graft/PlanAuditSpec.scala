@@ -17,7 +17,9 @@ class PlanAuditSpec extends SparkSpec {
   private val sfDir = "/root/testdata/sf0.001"
   // ann_recall's ground-truth side IS ann_topk_brute's all-pairs broadcast
   // scan — same sanctioned node; the approximate side stays equi-join.
-  private val bnljByDesign = Set("ann_topk_brute", "tfidf_matrix", "ann_recall")
+  // bm25_search shares tfidf_matrix's 1-row corpus-stats scalar broadcast.
+  private val bnljByDesign =
+    Set("ann_topk_brute", "tfidf_matrix", "ann_recall", "bm25_search")
 
   test("no contract query plans a cartesian product or unsanctioned BNLJ") {
     assume(new File(sfDir).isDirectory, s"$sfDir missing")

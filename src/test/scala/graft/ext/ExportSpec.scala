@@ -1,0 +1,73 @@
+package graft.ext
+
+import graft.SparkSpec
+
+class ExportSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ids(n: Int) = (0L until n.toLong).toDF("doc_id")
+
+  test("splitAssign covers every doc exactly once with plausible fractions") {
+    val n = 5000
+    val out = Export.splitAssign(ids(n), "doc_id").collect()
+    assert(out.length == n)
+    val byS = out.groupBy(_.getString(2)).map { case (k, v) => k -> v.length }
+    // expected 80/10/10; the 2-round mix should land within ±3% absolute
+    assert(math.abs(byS("train") - 0.8 * n) < 0.03 * n, byS)
+    assert(math.abs(byS("val") - 0.1 * n) < 0.03 * n, byS)
+    assert(math.abs(byS("test") - 0.1 * n) < 0.03 * n, byS)
+    // split is consistent with the emitted bucket
+    out.foreach { r =>
+      val (b, s) = (r.getLong(1), r.getString(2))
+      assert(s == (if (b < 800) "train" else if (b < 900) "val" else "test"))
+    }
+  }
+
+  test("splitAssign is stable: a doc's split never depends on the rest") {
+    val all = Export.splitAssign(ids(1000), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val subset = Export.splitAssign(
+      ids(1000).where($"doc_id" % 7 === 0), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    subset.foreach { case (id, s) => assert(all(id) == s, s"doc $id flipped") }
+  }
+
+  test("splitAssign salt reshuffles assignments") {
+    val a = Export.splitAssign(ids(1000), "doc_id", salt = 0L)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val b = Export.splitAssign(ids(1000), "doc_id", salt = 12345L)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(a.count { case (id, s) => b(id) != s } > 100,
+      "different salts should move a sizable fraction of docs")
+  }
+
+  test("shardAssign: positions are a 0..n-1 permutation per shard, deterministic") {
+    val out = Export.shardAssign(ids(2000), "doc_id", nShards = 8).collect()
+    assert(out.length == 2000)
+    out.groupBy(_.getLong(1)).foreach { case (shard, rows) =>
+      val ps = rows.map(_.getLong(2)).sorted
+      assert(ps.toSeq == (0L until rows.length.toLong).toSeq,
+        s"shard $shard positions not contiguous")
+    }
+    // re-run is byte-identical
+    val again = Export.shardAssign(ids(2000), "doc_id", nShards = 8).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq ==
+      again.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq)
+  }
+
+  test("shardAssign order within a shard is not id order (it is a shuffle)") {
+    val out = Export.shardAssign(ids(2000), "doc_id", nShards = 2).collect()
+    val shard0 = out.filter(_.getLong(1) == 0L).sortBy(_.getLong(2)).map(_.getLong(0))
+    assert(shard0.toSeq != shard0.sorted.toSeq,
+      "within-shard order should be hash order, not ingestion order")
+  }
+
+  test("plan: shardAssign is one exchange; splitAssign is exchange-free") {
+    val splitPlan = Export.splitAssign(ids(100), "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!splitPlan.contains("Exchange"), splitPlan)
+    val shardPlan = Export.shardAssign(ids(100), "doc_id", 4)
+      .queryExecution.executedPlan.toString
+    assert(shardPlan.split("Exchange").length - 1 == 1, shardPlan)
+  }
+}
