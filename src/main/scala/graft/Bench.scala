@@ -30,7 +30,8 @@ object Bench {
     "ann_recall", "embed_project", "embed_quantize", "embed_pq", "ann_pq_adc",
     "quality_repetition", "quality_filter", "doc_packing", "events_hourly",
     "events_sessionize", "events_asof", "multimodal_meta", "multimodal_frames",
-    "bm25_search", "split_assign", "export_shards")
+    "bm25_search", "split_assign", "export_shards", "quality_buckets",
+    "events_rolling")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -32,6 +32,15 @@ object EventsEntries {
         .where(col("ref_event_id").isNotNull)
         .withColumnRenamed("ts", "ts_us")
         .withColumnRenamed("lag_ns", "lag_us"), "event_id")),
+    // rolling per-user trailing-window features. Same µs truncation as
+    // events_asof (DuckDB's parquet reader truncates ns→µs): the CONTRACT
+    // runs both engines on µs-truncated int64 time; the library operator
+    // itself is ns-exact.
+    "events_rolling" -> ((s, dir) =>
+      gate(Events.rolling(
+          Events.read(s, dir).withColumn("ts", expr("ts div 1000")),
+          span = RollingSpanUs)
+        .withColumnRenamed("ts", "ts_us"), "event_id")),
     "multimodal_meta" -> ((s, dir) =>
       gate(Multimodal.metadata(docs(s, dir), "doc_id", "text"), "doc_id")),
     // frame sampling ahead of decode: 16-char frames, every 4th kept.
@@ -51,6 +60,9 @@ object EventsEntries {
   private val nsHour = Events.NsPerHour
   private val nsSec = Events.NsPerSec
   private val gapNs = Events.DefaultGapNs
+
+  /** Trailing-window span for the rolling contract: one hour in µs. */
+  private val RollingSpanUs = 3600000000L
 
   /** Event types for the as-of contract: each purchase is matched to the
     * user's most recent click at or before it. */
@@ -102,6 +114,15 @@ object EventsEntries {
         |SELECT p.event_id, p.user_id, p.tus AS ts_us, ${r6sql("p.value")} AS value,
         |       r.ref_event_id, p.tus - r.rtus AS lag_us, ${r6sql("r.ref_value")} AS ref_value
         |FROM p ASOF JOIN r ON p.user_id = r.ruid AND p.tus >= r.rtus
+        |ORDER BY event_id""".stripMargin,
+    "events_rolling" ->
+      s"""WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS tus, value FROM events)
+        |SELECT event_id, user_id, tus AS ts_us,
+        |       CAST(COUNT(*) OVER w AS BIGINT) AS n_window,
+        |       ${r6sql("SUM(value) OVER w")} AS sum_window
+        |FROM ev
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tus
+        |             RANGE BETWEEN $RollingSpanUs PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
     "multimodal_frames" ->
       s"""WITH d AS (SELECT doc_id, text, length(text) // $FrameChars AS nf FROM documents)

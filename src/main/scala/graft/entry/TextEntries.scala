@@ -96,6 +96,10 @@ object TextEntries {
     "bm25_search" -> ((s, dir) =>
       gate(Retrieval.bm25TopK(docs(s, dir), "doc_id", "text",
         Bm25Terms, Bm25K), "doc_id")),
+    // ext: per-language quartile bucketing by document length
+    "quality_buckets" -> ((s, dir) =>
+      gate(TextAnalysis.qualityBuckets(docs(s, dir), "doc_id", "lang",
+        "n_chars", BucketK), "doc_id")),
     // ext: stable train/val/test assignment by id-hash
     "split_assign" -> ((s, dir) =>
       gate(Export.splitAssign(docs(s, dir), "doc_id"), "doc_id")),
@@ -112,6 +116,9 @@ object TextEntries {
 
   /** Shard count for the export contract. */
   private val ExportShards = 16
+
+  /** Bucket count for the quantile-bucket contract (quartiles). */
+  private val BucketK = 4
 
   /** Context budget (tokens) and packing-stream count for the contract. */
   private val PackBudget = 512
@@ -331,6 +338,21 @@ object TextEntries {
         |SELECT doc_id, dl, ${r6sql("score")} AS score
         |FROM (SELECT * FROM sc WHERE score > 0 ORDER BY score DESC, doc_id LIMIT $Bm25K) x
         |ORDER BY doc_id""".stripMargin
+    },
+    "quality_buckets" -> {
+      val qvals = (1 until BucketK).map(i => s"(${i.toDouble / BucketK})").mkString(", ")
+      s"""WITH ranked AS (SELECT lang AS grp, n_chars AS v,
+        |                row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn
+        |                FROM documents),
+        |cnt AS (SELECT grp, MAX(rn) AS n FROM ranked GROUP BY grp),
+        |qs AS (SELECT * FROM (VALUES $qvals) q(q)),
+        |tgt AS (SELECT grp, q, CAST(1 + floor(q * (n - 1)) AS BIGINT) AS rn
+        |        FROM cnt CROSS JOIN qs),
+        |th AS (SELECT t.grp, r.v AS t FROM tgt t JOIN ranked r USING (grp, rn))
+        |SELECT d.doc_id, d.lang, d.n_chars,
+        |       CAST((SELECT COUNT(*) FROM th
+        |             WHERE th.grp = d.lang AND th.t < d.n_chars) AS BIGINT) AS bucket
+        |FROM documents d ORDER BY doc_id""".stripMargin
     },
     "split_assign" -> {
       val mix = Export.mixBucketSql("doc_id", 1000, 0L)

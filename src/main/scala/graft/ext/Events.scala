@@ -93,6 +93,32 @@ object Events {
   }
 
   /**
+   * Per-event rolling-window features: for every event, the count and
+   * value-sum of the SAME user's events in the trailing window
+   * `[ts - span, ts]` (inclusive both ends) — the standard
+   * feature-engineering primitive ("how active was this user in the hour
+   * before this event"). `span` is in `ts` units (epoch-nanosecond longs
+   * here, so the default is one hour of nanoseconds).
+   *
+   * Scale shape: ONE value-based range window per user — a single
+   * shuffle keyed by user_id, then a linear two-pointer scan per user
+   * inside WindowExec (both aggregates share the frame, so Catalyst
+   * plans one window node). This is the shape that survives 100 TB: no
+   * self-join on a time inequality (which would plan a per-user cross
+   * product), no explode of the window contents. Determinism: the frame
+   * is value-based, so equal-ts rows see identical frames regardless of
+   * within-partition order.
+   */
+  def rolling(events: DataFrame, span: Long = NsPerHour): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"))
+      .rangeBetween(-span, 0)
+    events.select(
+      col("event_id"), col("user_id"), col("ts"),
+      count(lit(1)).over(w).as("n_window"),
+      sum(col("value")).over(w).as("sum_window"))
+  }
+
+  /**
    * Gap-based sessionization: a new session starts when a user's gap since
    * their previous event exceeds `gapNs`. Session ids number 1..n per user
    * in time order. One row per session with its span and value total.

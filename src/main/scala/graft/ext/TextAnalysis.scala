@@ -248,6 +248,33 @@ object TextAnalysis {
   }
 
   /**
+   * Quantile-bucket assignment — the curriculum/stratification step that
+   * follows [[quantiles]]: give every row a bucket 0..k-1 by where its
+   * value falls among its group's k-quantile thresholds
+   * (`bucket = #{thresholds strictly below the value}`). Used to order
+   * training data by a quality signal (curriculum learning) or to
+   * stratify eval pulls.
+   *
+   * Scale shape: NOT `ntile` over a global sort — the thresholds come
+   * from [[quantiles]] (one rank window per group), collapse to one
+   * array row per group (groups × (k−1) values, model-sized), and
+   * broadcast-join back; the assignment itself is a row-local array
+   * filter. No global total order ever materializes.
+   */
+  def qualityBuckets(df: DataFrame, idCol: String, groupCol: String,
+      valueCol: String, k: Int): DataFrame = {
+    require(k >= 2, "need at least 2 buckets")
+    val qs = (1 until k).map(_.toDouble / k)
+    val th = quantiles(df, groupCol, valueCol, qs)
+      .groupBy(col(groupCol))
+      .agg(sort_array(collect_list(col(s"${valueCol}_q"))).as("th"))
+    df.select(col(idCol), col(groupCol), col(valueCol))
+      .join(broadcast(th), groupCol)
+      .select(col(idCol), col(groupCol), col(valueCol),
+        expr(s"size(filter(th, t -> t < $valueCol))").cast("long").as("bucket"))
+  }
+
+  /**
    * Fixed-size token chunking — the context-window packing prep step:
    * split each document's token stream into consecutive `chunkSize`-token
    * windows and emit one row per chunk with its token span and a portable

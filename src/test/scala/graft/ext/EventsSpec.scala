@@ -40,6 +40,38 @@ class EventsSpec extends SparkSpec {
     assert(!m.contains(10L))                  // non-probe types excluded
   }
 
+  test("rolling counts the trailing value-window inclusively, per user") {
+    val ev = Seq(
+      (1L, 100L, 1L, "click", 1.0),
+      (2L, 150L, 1L, "click", 2.0),
+      (3L, 200L, 1L, "click", 4.0),   // window 100: [100..200] → all 3
+      (4L, 301L, 1L, "click", 8.0),   // [201..301] → itself only
+      (5L, 150L, 2L, "click", 16.0)   // other user never mixes in
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val m = Events.rolling(ev, span = 100L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getDouble(4)))).toMap
+    assert(m(1L) == ((1L, 1.0)))
+    assert(m(2L) == ((2L, 3.0)))      // 150-100=50 ≤ 100 → includes both
+    assert(m(3L) == ((3L, 7.0)))      // boundary ts=100 is INCLUSIVE
+    assert(m(4L) == ((1L, 8.0)))      // 301-100=201 excludes ts=200
+    assert(m(5L) == ((1L, 16.0)))
+  }
+
+  test("rolling: equal-ts rows share one frame; single window node") {
+    val ev = Seq(
+      (1L, 100L, 1L, "c", 1.0),
+      (2L, 100L, 1L, "c", 2.0)        // same user, same ts
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val rows = Events.rolling(ev, span = 10L).collect()
+    // value-based frame: BOTH rows see both events
+    rows.foreach(r => assert((r.getLong(3), r.getDouble(4)) == ((2L, 3.0))))
+    val plan = Events.rolling(ev, span = 10L)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("\n").count(_.contains("Window [")) == 1, plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
   test("lastPriorEvent plans one window exchange, no nested loop") {
     val plan = Events.lastPriorEvent(events, "purchase", "click")
       .queryExecution.executedPlan.toString

@@ -83,6 +83,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(("b", 0.5)) == 7L)   // singleton group
   }
 
+  test("qualityBuckets: quantile-threshold buckets per group, no global sort") {
+    // group a: values 10..80 → quartile thresholds at ranks 1+floor(q*7):
+    // q=.25→r2(20), q=.5→r4(40), q=.75→r6(60)
+    val d = (1L to 8L).map(i => (i, "a", i * 10L)) :+ ((9L, "b", 5L))
+    val df = d.toDF("doc_id", "lang", "n_chars")
+    val r = TextAnalysis.qualityBuckets(df, "doc_id", "lang", "n_chars", 4)
+      .collect().map(x => x.getLong(0) -> x.getLong(3)).toMap
+    assert(r(1L) == 0L && r(2L) == 0L)            // ≤ 20: no threshold below
+    assert(r(3L) == 1L && r(4L) == 1L)            // 30,40: only 20 below
+    assert(r(5L) == 2L && r(6L) == 2L)            // 50,60: 20,40 below
+    assert(r(7L) == 3L && r(8L) == 3L)            // 70,80: all three below
+    assert(r(9L) == 0L)                           // singleton group
+    // scale pin: the assignment join must be broadcast, never a sort of
+    // the full input by value
+    val plan = TextAnalysis.qualityBuckets(df, "doc_id", "lang", "n_chars", 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("chunks: fixed token windows, chunk-local fingerprints") {
     val d = Seq((0L, "a b c d e"), (1L, "a b c d e")).toDF("doc_id", "text")
     val c = TextAnalysis.chunks(d, "doc_id", "text", chunkSize = 2).collect()
