@@ -43,6 +43,20 @@ final case class AsofBuf(event_id: Long, tsMs: Long, isProbe: Boolean, value: Do
 final case class AsofState(buffer: Seq[AsofBuf], refId: Long, refTsMs: Long,
     refValue: Double, hasRef: Boolean)
 
+/** One event enriched with its trailing-window stats — output of
+  * [[EventsStream.rolling]]. */
+final case class RollingOut(
+    event_id: Long, user_id: Long, ts_ms: Long, n_window: Long, sum_window: Double)
+
+/** One event buffered in rolling-window state. `emitted` marks events whose
+  * own stats are already out but which may still sit inside a LATER event's
+  * trailing frame, so they cannot be dropped until the watermark outruns
+  * `ts + span`. */
+final case class RollingBuf(event_id: Long, tsMs: Long, value: Double, emitted: Boolean)
+
+/** Per-user rolling-window state: the still-relevant event buffer. */
+final case class RollingState(buffer: Seq[RollingBuf])
+
 /**
  * Structured Streaming twins of the batch [[graft.ext.Events]] operators:
  * the same semantics expressed as an unbounded query — `readStream` →
@@ -209,6 +223,72 @@ object EventsStream {
               state.setTimeoutTimestamp(math.max(refTs + refTtlMs, wm + 1))
           }
           out.result().iterator
+      }
+  }
+
+  /**
+   * Streaming per-event rolling-window features — the unbounded twin of
+   * [[graft.ext.Events.rolling]]: each event is enriched with the count
+   * and value-sum of the SAME user's events in `[ts - spanMs, ts]`
+   * (inclusive), emitted once the watermark STRICTLY passes its
+   * timestamp (an event at the watermark could still gain an equal-ts
+   * frame member, so it keeps waiting — same finalization rule as the
+   * as-of twin).
+   *
+   * Exact batch parity for any reordering the watermark admits: the
+   * trailing frame of a finalized event only contains events at-or-before
+   * it, all of which the watermark has already forced in. State per user
+   * is every event with `ts ≥ watermark − span` — already-emitted events
+   * stay (flagged) until no future frame can reach them — so state is
+   * bounded by span + watermark horizon, independent of stream length.
+   */
+  def rolling(events: Dataset[IdStreamEvent], spanMs: Long,
+      watermark: String = "1 hour"): Dataset[RollingOut] = {
+    import events.sparkSession.implicits._
+    require(spanMs >= 0, "spanMs must be non-negative")
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[IdStreamEvent], state: GroupState[RollingState]) =>
+          val prior = state.getOption.map(_.buffer).getOrElse(Seq.empty)
+          val incoming = batch
+            .map(e => RollingBuf(e.event_id, e.ts.getTime, e.value, emitted = false))
+            .toSeq
+          val wm = state.getCurrentWatermarkMs()
+          val all = prior ++ incoming
+          // finalize strictly below the watermark; frames read the WHOLE
+          // buffer (emitted events included — they are exactly the ones a
+          // later trailing frame still needs)
+          val out = all
+            .filter(b => !b.emitted && b.tsMs < wm)
+            .sortBy(b => (b.tsMs, b.event_id))
+            .map { b =>
+              val frame = all.filter(x => x.tsMs >= b.tsMs - spanMs && x.tsMs <= b.tsMs)
+              RollingOut(b.event_id, userId, b.tsMs,
+                frame.length.toLong,
+                // fixed fold order (ts, event_id) — deterministic across
+                // replays regardless of micro-batch slicing
+                frame.sortBy(x => (x.tsMs, x.event_id)).map(_.value).sum)
+            }
+          // retain anything a future finalized event (ts ≥ wm) could still
+          // frame: tsMs ≥ wm − span; everything older is unreachable
+          val kept = all
+            .map(b => if (b.tsMs < wm) b.copy(emitted = true) else b)
+            .filter(_.tsMs >= wm - spanMs)
+          if (kept.isEmpty) state.remove()
+          else {
+            state.update(RollingState(kept))
+            // wake when the earliest pending event finalizes, or when the
+            // last retained (emitted) event ages out of every frame — so
+            // state dies even if the user never reappears
+            val pending = kept.filter(!_.emitted)
+            val wake =
+              if (pending.nonEmpty) pending.map(_.tsMs).min
+              else kept.map(_.tsMs).max + spanMs
+            state.setTimeoutTimestamp(math.max(wake, wm + 1))
+          }
+          out.iterator
       }
   }
 

@@ -220,4 +220,49 @@ class BatchStreamParitySpec extends SparkSpec {
       assert(stream == batch)
     } finally q.stop()
   }
+
+  test("rolling: streaming trailing-window stats equal batch, across slicings") {
+    val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    def ev(id: Long, u: Long, minutes: Long, v: Double) =
+      IdStreamEvent(id, u, new Timestamp(base + minutes * 60000), "click", v)
+    // values exactly representable in binary so sum order can't matter;
+    // u=1 has a 3-deep frame, an equal-ts pair, and an aged-out event;
+    // u=2 arrives OUT OF ORDER in the second slice (inside the watermark)
+    val slice1 = Seq(
+      ev(1, 1, 0, 1.0), ev(2, 1, 10, 2.0), ev(3, 1, 20, 4.0),
+      ev(4, 1, 20, 8.0),                    // equal-ts peer of id 3
+      ev(6, 2, 50, 16.0))
+    val slice2 = Seq(
+      ev(5, 1, 95, 32.0),                   // frame excludes minutes ≤ 35
+      ev(7, 2, 40, 64.0))                   // late but in-watermark
+    val all = slice1 ++ slice2
+    val spanMs = 60L * 60000                // 1 hour
+
+    val batchDF = all.map(e =>
+      (e.event_id, e.ts.getTime * 1000000L, e.user_id, e.event_type, e.value))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("event_id"), r.getAs[Long]("n_window"), r.getAs[Double]("sum_window"))
+    val batch = Events.rolling(batchDF, span = spanMs * 1000000L)
+      .collect().map(key).toSet
+
+    def run(slices: Seq[Seq[IdStreamEvent]], name: String): Set[(Long, Long, Double)] = {
+      val in = MemoryStream[IdStreamEvent]
+      val q = EventsStream.rolling(in.toDS(), spanMs = spanMs)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      try {
+        slices.foreach { sl => in.addData(sl: _*); q.processAllAvailable() }
+        // flush: push the watermark far past every real event
+        in.addData(ev(98, 99, 24 * 60, 0.0)); q.processAllAvailable()
+        in.addData(ev(99, 99, 48 * 60, 0.0)); q.processAllAvailable()
+        spark.table(name).where($"user_id" < 99).collect().map(key).toSet
+      } finally q.stop()
+    }
+
+    val sliced = run(Seq(slice1, slice2), "parity_roll")
+    assert(sliced == batch, s"stream $sliced != batch $batch")
+    // identical input in ONE slice must give identical output
+    assert(run(Seq(all), "parity_roll_one") == batch)
+  }
 }

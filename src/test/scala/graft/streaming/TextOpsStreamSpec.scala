@@ -56,7 +56,10 @@ class TextOpsStreamSpec extends SparkSpec {
       ("t_rep", TextAnalysis.repetition(_, "doc_id", "text")),
       ("t_pii", TextAnalysis.piiScrub(_, "doc_id", "text")),
       ("t_cjk", graft.text.Tokenizer.tokensCjk(_, "doc_id", "text")),
-      ("t_sh", Dedup.shinglesLocal(_, "doc_id", "text")))
+      ("t_sh", Dedup.shinglesLocal(_, "doc_id", "text")),
+      // split assignment at INGEST time: a doc's split is a pure function
+      // of (id, salt), so the stream form trivially matches batch
+      ("t_split", graft.ext.Export.splitAssign(_, "doc_id")))
     for ((name, fn) <- ops) {
       val got = streamed(fn, name)
       val want = batch(fn)
