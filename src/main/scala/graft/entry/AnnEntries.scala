@@ -78,7 +78,15 @@ object AnnEntries {
       gate(Embeddings.pqTopK(e, e.where(col("vec_id") < QueryCount),
         "vec_id", "embedding", knn = 5, k = PqK, iters = KMeansIters,
         subDim = PqSubDim), "query_id", "rank")
-    })
+    }),
+    // per-label mean-pooled centroid (class prototypes, long form)
+    "embed_centroids" -> ((s, dir) =>
+      gate(Embeddings.classCentroids(embeddings(s, dir), "vec_id", "embedding",
+        "label"), "grp", "i")),
+    // nearest-class-mean assignment (label audit / outlier candidates)
+    "embed_prototype" -> ((s, dir) =>
+      gate(Embeddings.prototypeAssign(embeddings(s, dir), "vec_id", "embedding",
+        "label"), "vec_id"))
   )
 
   /** Input embedding width and the projection contract's output width. */
@@ -375,6 +383,31 @@ object AnnEntries {
         |                                 ORDER BY adist, vec_id) AS rn
         |       FROM sc)
         |SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id, adist
-        |FROM rk WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
+        |FROM rk WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+    // per-label mean centroid: same unnest chain, AVG snapped like the
+    // Spark side's snapCol(avg) — range() yields BIGINT so i is cast back
+    "embed_centroids" ->
+      s"""WITH u AS (SELECT vec_id, label, i, CAST(embedding[i+1] AS DOUBLE) AS x
+        |           FROM embeddings, UNNEST(range(len(embedding))) AS r(i))
+        |SELECT label AS grp, CAST(i AS INTEGER) AS i,
+        |       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |       ${r6sql("AVG(x)")} AS c
+        |FROM u GROUP BY label, i ORDER BY grp, i""".stripMargin,
+    // nearest-class-mean: snapped centroids -> snapped d2 -> argmin with
+    // (d2, grp) tie-break, mirroring prototypeAssign's window
+    "embed_prototype" ->
+      s"""WITH u AS (SELECT vec_id, label, i, CAST(embedding[i+1] AS DOUBLE) AS x
+        |           FROM embeddings, UNNEST(range(len(embedding))) AS r(i)),
+        |c AS (SELECT label AS cgrp, i, ${r6sql("AVG(x)")} AS c
+        |      FROM u GROUP BY 1, 2),
+        |d AS (SELECT u.vec_id, c.cgrp,
+        |             ${r6sql("SUM((u.x - c.c) * (u.x - c.c))")} AS d2
+        |      FROM u JOIN c ON u.i = c.i GROUP BY 1, 2),
+        |b AS (SELECT vec_id, cgrp, d2,
+        |             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cgrp) AS rn
+        |      FROM d)
+        |SELECT e.vec_id, e.label AS grp, b.cgrp AS pred, b.d2
+        |FROM embeddings e JOIN b ON b.vec_id = e.vec_id AND b.rn = 1
+        |ORDER BY e.vec_id""".stripMargin
   )
 }

@@ -72,8 +72,27 @@ object DedupEntries {
     // substring-level scrub: drop covered tokens everywhere but the
     // owning (smallest-id) document, keep-first-occurrence
     "dedup_spans_scrub" -> ((s, dir) =>
-      gate(Dedup.spanScrub(docs(s, dir), "doc_id", "text", SpanTokens), "doc_id"))
+      gate(Dedup.spanScrub(docs(s, dir), "doc_id", "text", SpanTokens), "doc_id")),
+    // SemDeDup-style within-cluster cosine dedup over the label blocking
+    "dedup_semantic" -> ((s, dir) =>
+      gate(graft.ext.Embeddings.semanticDedup(embeddings(s, dir), "vec_id",
+        "embedding", "label", SemEps), "vec_id")),
+    // quality-aware representative election over the minhash dup groups,
+    // scored by whitespace token count (longest member wins, tie -> min id)
+    "dedup_keep_best" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val groups = Dedup.dupGroups(d,
+        Dedup.minHashDups(d, "doc_id", "text").select("doc0", "doc1"),
+        "doc_id", rounds = GroupRounds)
+      val scores = graft.ext.TextAnalysis.tokenCounts(d, "doc_id", "text")
+      gate(Dedup.keepBest(groups, scores, "doc_id", "ws_tokens"), "doc_id")
+    })
   )
+
+  /** Within-cluster cosine threshold for the semantic-dedup contract —
+    * calibrated on sf0.01's within-label cosine distribution (p99 ≈ 0.29,
+    * max ≈ 0.47) so the drop set is non-trivial on both tails. */
+  private val SemEps = 0.25
 
   /** Label-propagation rounds for the contract grouping run. */
   private val GroupRounds = 4
@@ -137,6 +156,34 @@ object DedupEntries {
   private val simhashBits = (0 until Dedup.SimHashBits).map { i =>
     s"CASE WHEN s_$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END"
   }.mkString(" + ")
+
+  /** The full dedup_groups CTE chain — shingles → minhash bands →
+    * verified dup pairs → GroupRounds unrolled min-label-propagation
+    * rounds, ending at `l$GroupRounds(doc_id, rep)`. Shared by the
+    * dedup_groups and dedup_keep_best oracles (also exposes `tok`
+    * from the tokenizer prefix). */
+  private lazy val groupsChainSql: String = {
+    val rounds = (1 to GroupRounds).map { r =>
+      val p = r - 1
+      s"""n$r AS (SELECT ed.src AS doc_id, l.rep AS nrep
+        |        FROM ed JOIN l$p l ON ed.dst = l.doc_id),
+        |l$r AS (SELECT l.doc_id,
+        |               least(MIN(l.rep), coalesce(MIN(n.nrep), MIN(l.rep))) AS rep
+        |        FROM l$p l LEFT JOIN n$r n USING (doc_id) GROUP BY l.doc_id)""".stripMargin
+    }.mkString(",\n")
+    shingleSql + s""",
+      |sig AS (SELECT doc_id, $sigSelect FROM shg GROUP BY doc_id),
+      |bands AS ($bandsSql),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc0, b.doc_id AS doc1
+      |         FROM bands a JOIN bands b
+      |           ON a.band = b.band AND a.sigv = b.sigv AND a.doc_id < b.doc_id),
+      |dups AS (SELECT doc0, doc1 FROM cand JOIN jac USING (doc0, doc1)
+      |         WHERE jaccard >= 0.2),
+      |ed AS (SELECT doc0 AS src, doc1 AS dst FROM dups
+      |       UNION ALL SELECT doc1 AS src, doc0 AS dst FROM dups),
+      |l0 AS (SELECT doc_id, doc_id AS rep FROM documents),
+      |$rounds""".stripMargin
+  }
 
   /** Embedding pairwise-cosine CTE chain (unnest-based exact mirror). */
   val embCosSql: String =
@@ -246,30 +293,45 @@ object DedupEntries {
         |FROM jac2 WHERE jaccard >= 0.2 ORDER BY doc_id, eval_id""".stripMargin),
     // GroupRounds unrolled min-label-propagation rounds over the minhash
     // dup pairs, mirroring Dedup.dupGroups exactly (fixed-rounds contract)
-    "dedup_groups" -> {
-      val rounds = (1 to GroupRounds).map { r =>
-        val p = r - 1
-        s"""n$r AS (SELECT ed.src AS doc_id, l.rep AS nrep
-          |        FROM ed JOIN l$p l ON ed.dst = l.doc_id),
-          |l$r AS (SELECT l.doc_id,
-          |               least(MIN(l.rep), coalesce(MIN(n.nrep), MIN(l.rep))) AS rep
-          |        FROM l$p l LEFT JOIN n$r n USING (doc_id) GROUP BY l.doc_id)""".stripMargin
-      }.mkString(",\n")
-      shingleSql + s""",
-        |sig AS (SELECT doc_id, $sigSelect FROM shg GROUP BY doc_id),
-        |bands AS ($bandsSql),
-        |cand AS (SELECT DISTINCT a.doc_id AS doc0, b.doc_id AS doc1
-        |         FROM bands a JOIN bands b
-        |           ON a.band = b.band AND a.sigv = b.sigv AND a.doc_id < b.doc_id),
-        |dups AS (SELECT doc0, doc1 FROM cand JOIN jac USING (doc0, doc1)
-        |         WHERE jaccard >= 0.2),
-        |ed AS (SELECT doc0 AS src, doc1 AS dst FROM dups
-        |       UNION ALL SELECT doc1 AS src, doc0 AS dst FROM dups),
-        |l0 AS (SELECT doc_id, doc_id AS rep FROM documents),
-        |$rounds
+    "dedup_groups" ->
+      (groupsChainSql + s"""
         |SELECT doc_id, CAST(rep AS BIGINT) AS group_rep
-        |FROM l$GroupRounds ORDER BY doc_id""".stripMargin
-    },
+        |FROM l$GroupRounds ORDER BY doc_id""".stripMargin),
+    // the dedup_groups chain + token-count scores + per-group electee
+    // via a full-frame first_value, mirroring Dedup.keepBest's window
+    "dedup_keep_best" ->
+      (groupsChainSql + s""",
+        |tc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS score
+        |       FROM tok GROUP BY doc_id),
+        |jb AS (SELECT l.doc_id, CAST(l.rep AS BIGINT) AS group_rep, tc.score
+        |       FROM l$GroupRounds l JOIN tc USING (doc_id)),
+        |bst AS (SELECT doc_id, group_rep, score,
+        |               first_value(doc_id) OVER (PARTITION BY group_rep
+        |                 ORDER BY score DESC, doc_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS best_id
+        |        FROM jb)
+        |SELECT doc_id, group_rep, score, best_id,
+        |       CAST(CASE WHEN doc_id = best_id THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM bst ORDER BY doc_id""".stripMargin),
+    // within-label pairs only (the blocking IS the contract), exact
+    // unnest cosine on candidates, drop the larger id of any pair >= eps
+    "dedup_semantic" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+        |u AS (SELECT vec_id, i, embedding[i+1]::DOUBLE AS v
+        |      FROM e, UNNEST(range(len(embedding))) AS r(i)),
+        |n AS (SELECT vec_id, sqrt(SUM(v*v)) AS nrm FROM u GROUP BY 1),
+        |pr AS (SELECT a.vec_id AS v0, b.vec_id AS v1
+        |       FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
+        |d AS (SELECT pr.v0, pr.v1, SUM(ua.v * ub.v) AS dot
+        |      FROM pr JOIN u ua ON ua.vec_id = pr.v0
+        |              JOIN u ub ON ub.vec_id = pr.v1 AND ub.i = ua.i
+        |      GROUP BY 1, 2),
+        |c AS (SELECT v0, v1, ${r6sql("dot / (na.nrm * nb.nrm)")} AS cosine
+        |      FROM d JOIN n na ON na.vec_id = v0 JOIN n nb ON nb.vec_id = v1),
+        |drp AS (SELECT DISTINCT v1 AS vec_id FROM c WHERE cosine >= $SemEps)
+        |SELECT e.vec_id, e.label AS grp,
+        |       CAST(CASE WHEN drp.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM e LEFT JOIN drp USING (vec_id) ORDER BY vec_id""".stripMargin,
     // independent connected-components oracle: same chain edges (pure
     // doc_id arithmetic), components via a recursive CTE — min reachable
     // id per doc, no label propagation anywhere on this side

@@ -105,8 +105,19 @@ object TextEntries {
       gate(Export.splitAssign(docs(s, dir), "doc_id"), "doc_id")),
     // ext: deterministic shard + within-shard position export order
     "export_shards" -> ((s, dir) =>
-      gate(Export.shardAssign(docs(s, dir), "doc_id", ExportShards), "doc_id"))
+      gate(Export.shardAssign(docs(s, dir), "doc_id", ExportShards), "doc_id")),
+    // ext: corpus-unigram log-prob quality score (perplexity proxy)
+    "quality_unigram" -> ((s, dir) =>
+      gate(TextAnalysis.unigramLogProb(docs(s, dir), "doc_id", "text"), "doc_id")),
+    // ext: per-source token-budget sampling in deterministic hash order
+    "corpus_budget" -> ((s, dir) =>
+      gate(TextAnalysis.budgetSample(docs(s, dir), "doc_id", "text", "source",
+        BudgetTokens), "doc_id"))
   )
+
+  /** Token allowance per source for the budget-sampling contract (each
+    * sf0.01 source holds ~1350 tokens, so the cut is non-trivial). */
+  private val BudgetTokens = 600L
 
   /** BM25 contract: one rare term (df≈5% of docs) + two common ones. */
   private val Bm25Terms = Seq("dup", "window", "spark")
@@ -369,6 +380,32 @@ object TextEntries {
         |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
         |       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
         |FROM a ORDER BY doc_id""".stripMargin
+    },
+    // freq/total/lp mirror unigramLogProb's exact op order; ln-ulp and
+    // sum-order noise sit far below the r6 rounding grid
+    "quality_unigram" ->
+      (tokSql + s""",
+        |f AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY token),
+        |tt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM f),
+        |lp AS (SELECT token, ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)) AS lp
+        |       FROM f CROSS JOIN tt)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |       ${r6sql("AVG(lp)")} AS avg_logprob,
+        |       ${r6sql("MIN(lp)")} AS min_logprob
+        |FROM tok JOIN lp USING (token)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    "corpus_budget" -> {
+      val mix = Export.mixBucketSql("doc_id", Int.MaxValue, 0L)
+      s"""WITH d AS (SELECT doc_id, source AS grp,
+        |            CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS BIGINT) AS nt
+        |            FROM documents),
+        |h AS (SELECT doc_id, grp, nt, $mix AS h FROM d WHERE nt > 0),
+        |c AS (SELECT doc_id, grp, nt,
+        |             SUM(nt) OVER (PARTITION BY grp ORDER BY h, doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM h)
+        |SELECT doc_id, grp, nt, CAST(cum AS BIGINT) AS cum
+        |FROM c WHERE cum <= $BudgetTokens ORDER BY doc_id""".stripMargin
     },
     "quality_repetition" ->
       s"""WITH wf AS (SELECT doc_id,

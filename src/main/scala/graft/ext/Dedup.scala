@@ -587,4 +587,35 @@ object Dedup {
     }
     lbl
   }
+
+  /**
+   * Quality-aware representative selection — the step between grouping
+   * and deletion: instead of blindly keeping each group's smallest id,
+   * keep its highest-QUALITY member. `groups` is a [[dupGroups]]-shaped
+   * (doc_id, group_rep) table; `scores` maps each doc to one numeric
+   * quality score (token count, a composite signal from
+   * [[TextAnalysis.stats]], a model score — any total order). Within each
+   * group the max score wins, ties break on the smaller doc id. Returns
+   * every grouped-and-scored doc with its group, score, the group's
+   * elected `best_id`, and `kept` ∈ {0,1} (1 iff this doc is the
+   * electee). Docs missing a score are dropped (inner join) — score
+   * coverage is the caller's contract.
+   *
+   * Scale shape: one equi-join on doc_id, then ONE exchange keyed
+   * group_rep feeding a full-frame first_value window — no second join
+   * back, no per-group collect. Group cardinality is duplicate-cluster
+   * size (small by construction), so no skew mitigation is needed.
+   */
+  def keepBest(groups: DataFrame, scores: DataFrame, idCol: String,
+      scoreCol: String): DataFrame = {
+    val sc = scores.select(col(idCol).as("doc_id"), col(scoreCol).as("score"))
+    val w = Window.partitionBy("group_rep")
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    groups.select(col("doc_id"), col("group_rep"))
+      .join(sc, "doc_id")
+      .withColumn("best_id", first(col("doc_id")).over(w))
+      .select(col("doc_id"), col("group_rep"), col("score"), col("best_id"),
+        when(col("doc_id") === col("best_id"), lit(1L)).otherwise(lit(0L)).as("kept"))
+  }
 }

@@ -783,4 +783,95 @@ object Embeddings {
             * lit(255.0) + lit(0.5)).cast("long") - lit(128L)).as("q"),
         col("lo"), col("hi"))
   }
+
+  /**
+   * Per-group mean-pooled centroid in long form (group, i, n_vecs, c):
+   * the class prototype / cluster centroid every embedding pipeline
+   * derives — chunk-to-document pooling, SemDeDup cluster centers,
+   * nearest-class-mean classification ([[prototypeAssign]]). Components
+   * are snapped to the 1e-6 grid like [[kMeansAssign]]'s centroid update,
+   * so downstream distance comparisons reproduce across engines.
+   *
+   * Scale shape: posexplode (no shuffle) → ONE hash aggregate keyed
+   * (group, i) with map-side partial sums — the output is
+   * groups·dim rows, model-sized, never corpus-sized.
+   */
+  def classCentroids(emb: DataFrame, idCol: String, vecCol: String,
+      groupCol: String): DataFrame =
+    emb.select(col(groupCol).as("grp"),
+        posexplode(col(vecCol)).as(Seq("i", "e")))
+      .select(col("grp"), col("i"), col("e").cast("double").as("x"))
+      .groupBy("grp", "i")
+      .agg(count(lit(1)).as("n_vecs"), snapCol(avg(col("x"))).as("c"))
+
+  /**
+   * Nearest-class-mean (prototype) classification: each vector is
+   * assigned to the [[classCentroids]] prototype with the smallest
+   * snapped squared distance (ties break on the smaller group key) — the
+   * standard embedding-space label audit: rows where `pred` disagrees
+   * with the true label are the mislabeled/outlier candidates a curation
+   * pass reviews. Returns (vec_id, grp, pred, d2): true group, predicted
+   * group, and the snapped distance to the winning prototype.
+   *
+   * Scale shape: exactly one Lloyd half-round of [[kMeansAssign]] with
+   * trained-in-place prototypes: cells join a broadcast (groups·dim)-row
+   * centroid table, one aggregate keyed (vec_id, grp), one row_number
+   * window over the groups-sized candidate list per vector.
+   */
+  def prototypeAssign(emb: DataFrame, idCol: String, vecCol: String,
+      groupCol: String): DataFrame = {
+    val cent = classCentroids(emb, idCol, vecCol, groupCol)
+      .select(col("grp").as("cgrp"), col("i"), col("c"))
+    val dist = cellsOf(emb, idCol, vecCol)
+      .join(broadcast(cent), "i")
+      .groupBy(col("vec_id"), col("cgrp"))
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d2"))
+      .select(col("vec_id"), col("cgrp"), snapCol(col("d2")).as("d2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("d2").asc, col("cgrp").asc)
+    val best = dist.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("vec_id"), col("cgrp").as("pred"), col("d2"))
+    emb.select(col(idCol).as("vec_id"), col(groupCol).as("grp"))
+      .join(best, "vec_id")
+  }
+
+  /**
+   * SemDeDup-style within-cluster semantic dedup (Abbas et al. 2023,
+   * "SemDeDup: Data-efficient learning at web-scale through semantic
+   * deduplication"): vectors are blocked by a cluster id (a k-means
+   * assignment at scale; any partition column works), pairwise cosine is
+   * computed ONLY inside each cluster, and of any pair with snapped
+   * cosine ≥ `eps` the larger id is dropped. Returns every vector with
+   * its keep decision: (vec_id, grp, kept 0/1).
+   *
+   * Keep rule: a vector is dropped iff SOME lower-id vector in its
+   * cluster is eps-close — the greedy keep-lowest-id variant (the paper
+   * keeps the member farthest from the cluster centroid; the greedy rule
+   * is deterministic without a second centroid pass and is what exact
+   * near-dup grouping ([[Dedup.dupGroups]]) uses as its representative
+   * convention). Cross-cluster near-duplicates are NOT examined — that
+   * blocking miss rate is the documented SemDeDup trade for never
+   * materializing the global pair surface.
+   *
+   * Scale shape: the self-join is an equi-join on the cluster id, so the
+   * pair surface is Σ_cluster C(n_cluster, 2) — bounded by the clustering
+   * granularity (the paper uses k ≈ 10⁴⁻⁵ clusters at web scale, keeping
+   * clusters thousands-sized), never C(N, 2). One exchange keyed on the
+   * cluster id; AQE splits residual skew from oversized clusters.
+   */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+      groupCol: String, eps: Double): DataFrame = {
+    val n = withNorms(emb, idCol, vecCol)
+      .join(emb.select(col(idCol).as("vec_id"), col(groupCol).as("grp")), "vec_id")
+    val dropped = n.as("a").join(n.as("b"),
+        col("a.grp") === col("b.grp") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("b.vec_id").as("vec_id"),
+        snapCol(expr(dotSql("a.emb", "b.emb")) / (col("a.nrm") * col("b.nrm"))).as("c"))
+      .where(col("c") >= eps)
+      .select("vec_id").distinct()
+    emb.select(col(idCol).as("vec_id"), col(groupCol).as("grp"))
+      .join(dropped.withColumn("hit", lit(1L)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("grp"),
+        when(col("hit").isNull, lit(1L)).otherwise(lit(0L)).as("kept"))
+  }
 }

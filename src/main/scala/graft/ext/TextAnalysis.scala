@@ -444,6 +444,72 @@ object TextAnalysis {
       regexp_count(noIp, lit(PhonePattern)).as("n_phones"),
       regexp_replace(noIp, PhonePattern, "<PHONE>").as("clean_text"))
   }
+
+  /**
+   * Corpus-unigram log-probability scoring — the offline stand-in for the
+   * LM-perplexity quality signal (CCNet ranks documents by a wiki-LM's
+   * perplexity; with no external model, the corpus's OWN unigram
+   * distribution plays the LM). Per document: token count, mean token
+   * log-prob `avg ln(count(tok)/total_tokens)` (high = stereotypical
+   * text, low = rare-token-heavy), and the rarest token's log-prob.
+   * Useful at both tails: very high means boilerplate, very low means
+   * lexical noise/garbage.
+   *
+   * Scale shape: one token-frequency aggregate (map-side partial), the
+   * grand total as a 1-row aggregate broadcast-crossed back over the
+   * vocab (the sanctioned scalar-broadcast BNLJ shape, cf.
+   * [[Retrieval]]'s corpus stats), then ONE equi-join of the token table
+   * against the vocab-sized logprob table — at corpus scale the vocab
+   * side is dimension-sized and broadcastable — and a per-doc aggregate.
+   * Nothing corpus-sized crosses the driver.
+   */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = tokensWithPosition(docs, idCol, textCol).select("doc_id", "token")
+    val freq = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum(col("cnt")).as("total"))
+    val lp = freq.crossJoin(total)
+      .select(col("token"),
+        log(col("cnt").cast("double") / col("total").cast("double")).as("lp"))
+    tok.join(lp, "token")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        avg(col("lp")).as("avg_logprob"),
+        min(col("lp")).as("min_logprob"))
+  }
+
+  /**
+   * Per-group token-budget sampling — the epoch-mix step that cuts each
+   * source down to its token allowance: documents are ordered inside
+   * their group by the deterministic [[Export.mixBucket]] id-hash (a
+   * reproducible shuffle — id order would bias toward old documents),
+   * token counts accumulate in that order, and the documents whose
+   * running total stays within `budgetTokens` are kept. A document's
+   * keep decision depends only on the group's membership and the hash
+   * chain — rerun-stable, and auditable by recomputing the prefix sums.
+   *
+   * Scale shape: row-local token counts (HOF, cf. [[corpusMix]]), then
+   * ONE exchange keyed by the group for the running-sum window — the
+   * same per-group-stream shape as [[packSequences]]; group count is the
+   * parallelism, so at 100 TB budget-sample WITHIN natural shards (e.g.
+   * source × date) rather than a handful of giant groups.
+   */
+  def budgetSample(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, budgetTokens: Long, salt: Long = 0L): DataFrame = {
+    require(budgetTokens > 0)
+    val pat = WhitespacePattern.replace("\\", "\\\\")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(col("h").asc, col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs
+      .select(col(idCol).as("doc_id"), col(groupCol).as("grp"),
+        expr(s"size(filter(split($textCol, '$pat'), t -> t <> ''))")
+          .cast("long").as("nt"))
+      .where(col("nt") > 0)
+      .withColumn("h", Export.mixBucket(col("doc_id"), Int.MaxValue, salt))
+      .withColumn("cum", sum(col("nt")).over(w))
+      .where(col("cum") <= budgetTokens)
+      .select(col("doc_id"), col("grp"), col("nt"), col("cum"))
+  }
 }
 
 /**

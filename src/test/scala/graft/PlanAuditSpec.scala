@@ -19,7 +19,10 @@ class PlanAuditSpec extends SparkSpec {
   // scan — same sanctioned node; the approximate side stays equi-join.
   // bm25_search shares tfidf_matrix's 1-row corpus-stats scalar broadcast.
   private val bnljByDesign =
-    Set("ann_topk_brute", "tfidf_matrix", "ann_recall", "bm25_search")
+    Set("ann_topk_brute", "tfidf_matrix", "ann_recall", "bm25_search",
+      // 1-row grand-total aggregate crossed back over the vocab — the
+      // sanctioned scalar-broadcast shape (constant keys fold away)
+      "quality_unigram")
 
   test("no contract query plans a cartesian product or unsanctioned BNLJ") {
     assume(new File(sfDir).isDirectory, s"$sfDir missing")

@@ -286,4 +286,20 @@ class DedupSpec extends SparkSpec {
     assert(got(5L) == "")   // fully covered by spans owned by docs 0 and 1
     assert(got.size == 6)
   }
+
+  test("keepBest elects the highest-score member per group, tie -> min id") {
+    val groups = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L), (6L, 5L))
+      .toDF("doc_id", "group_rep")
+    val scores = Seq((1L, 5L), (2L, 9L), (3L, 9L), (4L, 2L), (5L, 7L), (6L, 7L))
+      .toDF("doc_id", "sc")
+    val r = Dedup.keepBest(groups, scores, "doc_id", "sc").collect()
+      .map(x => x.getLong(0) -> ((x.getLong(3), x.getLong(4)))).toMap
+    assert(r(1L) == ((2L, 0L)))  // group 1: score 9 ties docs 2,3 → doc 2
+    assert(r(2L) == ((2L, 1L)))
+    assert(r(3L) == ((2L, 0L)))
+    assert(r(4L) == ((4L, 1L)))  // singleton keeps itself
+    assert(r(5L) == ((5L, 1L)))  // group 5 tie → min id 5
+    assert(r(6L) == ((5L, 0L)))
+    assert(r.size == 6)
+  }
 }

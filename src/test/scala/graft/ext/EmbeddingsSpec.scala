@@ -300,4 +300,48 @@ class EmbeddingsSpec extends SparkSpec {
     val inter = d2(vec(0L), vec(5L))
     assert(inter > intra * 10, s"inter $inter vs intra $intra")
   }
+
+  test("classCentroids: per-group component means in long form") {
+    val pts = Seq(
+      (0L, Seq(1.0f, 0.0f), 0),
+      (1L, Seq(3.0f, 2.0f), 0),
+      (2L, Seq(0.0f, 4.0f), 1)).toDF("vec_id", "embedding", "label")
+    val c = Embeddings.classCentroids(pts, "vec_id", "embedding", "label")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(c == Map(
+      (0, 0) -> ((2L, 2.0)), (0, 1) -> ((2L, 1.0)),
+      (1, 0) -> ((1L, 0.0)), (1, 1) -> ((1L, 4.0))))
+  }
+
+  test("prototypeAssign: planted outlier flips to the nearer class mean") {
+    // class 0 lives on the x axis, class 1 on the y axis; vec 4 carries
+    // label 0 but sits on the y axis — its prediction must flip to 1
+    // even though it drags class 0's own centroid toward y.
+    val pts = Seq(
+      (0L, Seq(10.0f, 0.0f), 0),
+      (1L, Seq(12.0f, 0.0f), 0),
+      (2L, Seq(0.0f, 10.0f), 1),
+      (3L, Seq(0.0f, 11.0f), 1),
+      (4L, Seq(0.0f, 10.5f), 0)).toDF("vec_id", "embedding", "label")
+    val r = Embeddings.prototypeAssign(pts, "vec_id", "embedding", "label")
+      .collect().map(x => x.getLong(0) -> ((x.getInt(1), x.getInt(2)))).toMap
+    assert(r(0L) == ((0, 0)) && r(1L) == ((0, 0)), "inliers keep their label")
+    assert(r(2L) == ((1, 1)) && r(3L) == ((1, 1)))
+    assert(r(4L) == ((0, 1)), "outlier predicted into the other class")
+  }
+
+  test("semanticDedup: larger id of an eps-close SAME-cluster pair drops; " +
+      "identical cross-cluster pair survives the blocking") {
+    val pts = Seq(
+      (0L, Seq(1.0f, 0.0f), 0),
+      (1L, Seq(1.0f, 0.01f), 0),  // cosine ≈ 0.99995 with vec 0 → dropped
+      (2L, Seq(0.0f, 1.0f), 0),   // orthogonal → kept
+      (3L, Seq(1.0f, 0.0f), 1)    // identical to vec 0, other cluster → kept
+    ).toDF("vec_id", "embedding", "label")
+    val r = Embeddings.semanticDedup(pts, "vec_id", "embedding", "label", 0.9)
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(r == Map(0L -> 1L, 1L -> 0L, 2L -> 1L, 3L -> 1L))
+  }
 }

@@ -233,4 +233,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getInt(2) == 1 && r.getInt(3) == 1) // one IP, one phone
     assert(r.getString(4) == "ping <IP> then dial <PHONE>")
   }
+
+  test("unigramLogProb: hand-computed corpus unigram scores") {
+    val d = Seq((0L, "a a b"), (1L, "b c")).toDF("doc_id", "text")
+    // corpus counts: a=2, b=2, c=1, total=5 → lp(a)=lp(b)=ln(.4), lp(c)=ln(.2)
+    val r = TextAnalysis.unigramLogProb(d, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2), x.getDouble(3))))
+      .toMap
+    assert(r(0L)._1 == 3L)
+    assertApprox(r(0L)._2, math.log(0.4), 1e-9)       // all three tokens at .4
+    assertApprox(r(0L)._3, math.log(0.4), 1e-9)
+    assert(r(1L)._1 == 2L)
+    assertApprox(r(1L)._2, (math.log(0.4) + math.log(0.2)) / 2, 1e-9)
+    assertApprox(r(1L)._3, math.log(0.2), 1e-9)       // rarest token: c
+  }
+
+  test("budgetSample: per-group hash-order prefix; straddling doc excluded") {
+    def mix(id: Long): Long = {
+      val h1 = (id % (Export.MixMod - 1)) * Export.MixA1 % Export.MixMod
+      (h1 * Export.MixA2 + Export.MixC2) % Export.MixMod % Int.MaxValue
+    }
+    // ten-token docs in two groups; budget 25 keeps the first TWO docs in
+    // hash order per group (cum 10, 20) and EXCLUDES the third (cum 30)
+    // even though 5 tokens of budget remain — no partial documents.
+    val text = Seq.fill(10)("tok").mkString(" ")
+    val d = ((0L until 5L).map((_, "g0")) ++ (100L until 105L).map((_, "g1")))
+      .map { case (id, g) => (id, g, text) }.toDF("doc_id", "grp", "text")
+    val r = TextAnalysis.budgetSample(d, "doc_id", "text", "grp", 25L)
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(3)))
+    val expect = Seq((0L until 5L) -> "g0", (100L until 105L) -> "g1").flatMap {
+      case (ids, g) =>
+        ids.sortBy(id => (mix(id), id)).take(2).zipWithIndex
+          .map { case (id, k) => (id, g, 10L * (k + 1)) }
+    }
+    assert(r.sortBy(_._1).toSeq == expect.sortBy(_._1))
+  }
 }
