@@ -32,7 +32,8 @@ object Bench {
     "events_sessionize", "events_asof", "multimodal_meta", "multimodal_frames",
     "bm25_search", "split_assign", "export_shards", "quality_buckets",
     "events_rolling", "quality_unigram", "corpus_budget", "embed_centroids",
-    "embed_prototype", "dedup_semantic", "dedup_keep_best")
+    "embed_prototype", "dedup_semantic", "dedup_keep_best", "doc_winnow",
+    "dedup_group_sizes", "vocab_zipf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

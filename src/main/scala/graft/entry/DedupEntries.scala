@@ -86,7 +86,17 @@ object DedupEntries {
         "doc_id", rounds = GroupRounds)
       val scores = graft.ext.TextAnalysis.tokenCounts(d, "doc_id", "text")
       gate(Dedup.keepBest(groups, scores, "doc_id", "ws_tokens"), "doc_id")
-    })
+    }),
+    // cluster-size histogram over the same minhash dup groups (audit)
+    "dedup_group_sizes" -> ((s, dir) => {
+      val d = docs(s, dir)
+      gate(Dedup.groupSizeHistogram(Dedup.dupGroups(d,
+        Dedup.minHashDups(d, "doc_id", "text").select("doc0", "doc1"),
+        "doc_id", rounds = GroupRounds)), "group_size")
+    }),
+    // winnowing fingerprint selection (MOSS; rightmost-min per window)
+    "doc_winnow" -> ((s, dir) =>
+      gate(Dedup.winnow(docs(s, dir), "doc_id", "text"), "doc_id", "pos"))
   )
 
   /** Within-cluster cosine threshold for the semantic-dedup contract —
@@ -313,6 +323,42 @@ object DedupEntries {
         |SELECT doc_id, group_rep, score, best_id,
         |       CAST(CASE WHEN doc_id = best_id THEN 1 ELSE 0 END AS BIGINT) AS kept
         |FROM bst ORDER BY doc_id""".stripMargin),
+    // the dedup_groups chain collapsed twice: rep -> size, size -> counts
+    "dedup_group_sizes" ->
+      (groupsChainSql + s""",
+        |gs AS (SELECT rep, CAST(COUNT(*) AS BIGINT) AS group_size
+        |       FROM l$GroupRounds GROUP BY rep)
+        |SELECT group_size,
+        |       CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |       CAST(SUM(group_size) AS BIGINT) AS n_docs
+        |FROM gs GROUP BY group_size ORDER BY group_size""".stripMargin),
+    // positioned trigram hashes (filtered 1-based index p), frame-truncated
+    // window minima, rightmost argmin per window, selections deduplicated —
+    // mirroring Dedup.winnow's row-local fold exactly
+    "doc_winnow" -> {
+      val w = Dedup.WinnowWindow
+      val tv = TextHash.tokenValue("token")
+      TextEntries.tokSql + s""",
+        |tvp AS (SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS p,
+        |               $tv AS v FROM tok),
+        |wtv3 AS (SELECT doc_id, p, v,
+        |        lead(v, 1) OVER (PARTITION BY doc_id ORDER BY p) AS v2,
+        |        lead(v, 2) OVER (PARTITION BY doc_id ORDER BY p) AS v3
+        |        FROM tvp),
+        |tri AS (SELECT doc_id, p, ${TextHash.shingleHash("v", "v2", "v3")} AS h
+        |        FROM wtv3 WHERE v3 IS NOT NULL),
+        |mw AS (SELECT doc_id, p AS wstart,
+        |              MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+        |                ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS mh
+        |       FROM tri),
+        |sel AS (SELECT mw.doc_id, mw.wstart, MAX(t.p) AS pos, mw.mh AS fp
+        |        FROM mw JOIN tri t ON t.doc_id = mw.doc_id
+        |             AND t.p BETWEEN mw.wstart AND mw.wstart + ${w - 1}
+        |             AND t.h = mw.mh
+        |        GROUP BY 1, 2, 4)
+        |SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, CAST(fp AS BIGINT) AS fp
+        |FROM sel ORDER BY doc_id, pos""".stripMargin
+    },
     // within-label pairs only (the blocking IS the contract), exact
     // unnest cosine on candidates, drop the larger id of any pair >= eps
     "dedup_semantic" ->

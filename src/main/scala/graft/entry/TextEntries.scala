@@ -112,7 +112,11 @@ object TextEntries {
     // ext: per-source token-budget sampling in deterministic hash order
     "corpus_budget" -> ((s, dir) =>
       gate(TextAnalysis.budgetSample(docs(s, dir), "doc_id", "text", "source",
-        BudgetTokens), "doc_id"))
+        BudgetTokens), "doc_id")),
+    // ext: vocabulary frequency-decade histogram (Zipf audit)
+    "vocab_zipf" -> ((s, dir) =>
+      gate(TextAnalysis.zipfHistogram(docs(s, dir), "doc_id", "text"),
+        "n_digits"))
   )
 
   /** Token allowance per source for the budget-sampling contract (each
@@ -394,6 +398,16 @@ object TextEntries {
         |       ${r6sql("MIN(lp)")} AS min_logprob
         |FROM tok JOIN lp USING (token)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    // digit-count bucketing is exact integer/string arithmetic — no
+    // float log10 anywhere, so the decades cannot misbucket
+    "vocab_zipf" ->
+      (tokSql + """,
+        |f AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY token)
+        |SELECT CAST(length(CAST(cnt AS VARCHAR)) AS BIGINT) AS n_digits,
+        |       CAST(COUNT(*) AS BIGINT) AS n_types,
+        |       CAST(SUM(cnt) AS BIGINT) AS n_occurrences,
+        |       CAST(MAX(cnt) AS BIGINT) AS max_freq
+        |FROM f GROUP BY 1 ORDER BY n_digits""".stripMargin),
     "corpus_budget" -> {
       val mix = Export.mixBucketSql("doc_id", Int.MaxValue, 0L)
       s"""WITH d AS (SELECT doc_id, source AS grp,

@@ -618,4 +618,75 @@ object Dedup {
       .select(col("doc_id"), col("group_rep"), col("score"), col("best_id"),
         when(col("doc_id") === col("best_id"), lit(1L)).otherwise(lit(0L)).as("kept"))
   }
+
+  /**
+   * Duplicate-cluster size histogram — the audit table read after every
+   * dedup run (how much mass sits in big clusters decides whether the
+   * banding thresholds were right): for each distinct cluster size, how
+   * many groups have it and how many documents they hold. Singletons
+   * (docs in no pair) appear as size 1, so `sum(n_docs)` equals the
+   * corpus size — a built-in completeness check.
+   *
+   * Scale shape: two hash aggregates (group_rep → size, size →
+   * histogram), both with map-side partials; output is at most
+   * max-cluster-size rows.
+   */
+  def groupSizeHistogram(groups: DataFrame): DataFrame =
+    groups.groupBy("group_rep").agg(count(lit(1)).as("group_size"))
+      .groupBy("group_size")
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("group_size")).as("n_docs"))
+
+  /** Winnowing window width (token trigrams per window) for [[winnow]]. */
+  val WinnowWindow = 4
+
+  /**
+   * Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken 2003,
+   * "Winnowing: Local Algorithms for Document Fingerprinting" — the MOSS
+   * algorithm): over the document's token-trigram hash sequence, each
+   * sliding window of `window` consecutive hashes selects its minimum
+   * (rightmost on ties), and the selected (position, hash) pairs —
+   * deduplicated — are the document's fingerprints. The winnowing
+   * guarantee: any shared token run spanning ≥ window+2 tokens yields at
+   * least one shared fingerprint, while the selected set is ~2/(window+1)
+   * of all trigrams — the density/recall dial for substring-level
+   * near-dup detection at corpus scale (fingerprints feed the same
+   * equi-join candidate machinery as [[jaccardPairs]]).
+   *
+   * Positions are 1-based indices into the non-empty token sequence.
+   * Trailing windows (fewer than `window` hashes remain) still select —
+   * both sides of the oracle truncate the frame identically, and the
+   * extra tail picks only densify coverage.
+   *
+   * Scale shape: a pure row-local map stage — the hash array, the
+   * per-window argmin fold, and the dedup all happen INSIDE each row
+   * (array HOFs, cf. [[shinglesLocal]]), so the operator adds ZERO
+   * exchanges and runs unchanged on unbounded streams. Per-doc cost is
+   * O(tokens · window).
+   */
+  def winnow(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = WinnowWindow): DataFrame = {
+    require(window >= 1)
+    val pat = TextAnalysis.WhitespacePattern.replace("\\", "\\\\")
+    val tvs =
+      s"transform(filter(split($textCol, '$pat'), t -> t <> ''), t -> ${TextHash.tokenValue("t")})"
+    def at(off: Int) = s"element_at(tvs, i + $off)"
+    val trigrams =
+      s"transform(sequence(1, size(tvs) - 2), i -> ${TextHash.shingleHash(at(0), at(1), at(2))})"
+    // per window start i: fold the (frame-truncated) slice to its
+    // rightmost minimum — `<=` keeps the later index on ties
+    val sel =
+      s"""explode(array_distinct(transform(sequence(1, size(h)), i ->
+        |  aggregate(sequence(i, least(i + ${window - 1}, size(h))),
+        |    named_struct('pos', CAST(0 AS BIGINT), 'fp', CAST(${Long.MaxValue}L AS BIGINT)),
+        |    (acc, j) -> IF(element_at(h, j) <= acc.fp,
+        |                   named_struct('pos', CAST(j AS BIGINT), 'fp', element_at(h, j)),
+        |                   acc)))))""".stripMargin
+    docs
+      .select(col(idCol).as("doc_id"), expr(tvs).as("tvs"))
+      .where(size(col("tvs")) >= 3)
+      .select(col("doc_id"), expr(trigrams).as("h"))
+      .select(col("doc_id"), expr(sel).as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
+  }
 }

@@ -478,6 +478,29 @@ object TextAnalysis {
   }
 
   /**
+   * Vocabulary frequency-decade histogram — the Zipf-audit table of a
+   * corpus sweep: token frequencies bucketed by decimal magnitude
+   * (`n_digits` = digits of the count — exact integer/string arithmetic,
+   * deliberately NOT floor(log10) whose float rounding can misbucket
+   * exact powers), with types, total occurrences, and the max frequency
+   * per decade. A healthy natural-language corpus shows the Zipf slope
+   * (each decade ~1/10 the types of the previous); a flat or top-heavy
+   * histogram flags boilerplate or template spam before any dedup runs.
+   *
+   * Scale shape: one vocab aggregate + one decade-count-sized aggregate,
+   * both map-side partial; output is ≤ digits(max_freq) rows.
+   */
+  def zipfHistogram(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    tokensWithPosition(docs, idCol, textCol)
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .select(length(col("cnt").cast("string")).cast("long").as("n_digits"),
+        col("cnt"))
+      .groupBy("n_digits")
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("cnt")).as("n_occurrences"),
+        max(col("cnt")).as("max_freq"))
+
+  /**
    * Per-group token-budget sampling — the epoch-mix step that cuts each
    * source down to its token allowance: documents are ordered inside
    * their group by the deterministic [[Export.mixBucket]] id-hash (a

@@ -302,4 +302,37 @@ class DedupSpec extends SparkSpec {
     assert(r(6L) == ((5L, 0L)))
     assert(r.size == 6)
   }
+
+  test("groupSizeHistogram: sizes count groups and docs; total is corpus size") {
+    val groups = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L), (6L, 5L))
+      .toDF("doc_id", "group_rep")
+    val h = Dedup.groupSizeHistogram(groups).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(h == Map(1L -> ((1L, 1L)), 2L -> ((1L, 2L)), 3L -> ((1L, 3L))))
+    assert(h.values.map(_._2).sum == 6L) // completeness: every doc counted
+  }
+
+  test("winnow: coverage guarantee, shared-run overlap, short docs absent") {
+    val run = "alpha beta gamma delta epsilon zeta eta theta" // 8 shared tokens
+    val fixture = Seq(
+      (0L, s"aa bb cc dd ee ff gg hh ii jj kk ll"),  // 12 tokens → 10 trigrams
+      (1L, s"prefix1 prefix2 $run suffix1"),
+      (2L, s"other1 other2 other3 $run"),
+      (3L, "one two")                                // < 3 tokens → no trigrams
+    ).toDF("doc_id", "text")
+    val rows = Dedup.winnow(fixture, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = rows.groupBy(_._1)
+    assert(!byDoc.contains(3L))
+    // winnowing guarantee on doc 0: every window of 4 consecutive trigram
+    // positions (1..10) contains at least one selected position
+    val pos0 = byDoc(0L).map(_._2).toSet
+    for (i <- 1L to 7L)
+      assert((i until i + 4).exists(pos0), s"window at $i uncovered: $pos0")
+    // docs 1 and 2 share an 8-token run (> window+2): at least one shared
+    // fingerprint HASH must be selected in both
+    val fp1 = byDoc(1L).map(_._3).toSet
+    val fp2 = byDoc(2L).map(_._3).toSet
+    assert(fp1.intersect(fp2).nonEmpty, s"no shared fingerprint: $fp1 vs $fp2")
+  }
 }

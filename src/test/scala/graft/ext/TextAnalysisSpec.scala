@@ -248,6 +248,15 @@ class TextAnalysisSpec extends SparkSpec {
     assertApprox(r(1L)._3, math.log(0.2), 1e-9)       // rarest token: c
   }
 
+  test("zipfHistogram: decade buckets by digit count, exact integers") {
+    // counts: x=12 (two digits), y=2, z=1 (one digit)
+    val d = Seq((0L, ("x " * 12).trim), (1L, "y y z")).toDF("doc_id", "text")
+    val h = TextAnalysis.zipfHistogram(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(h == Map(1L -> ((2L, 3L, 2L)), 2L -> ((1L, 12L, 12L))))
+  }
+
   test("budgetSample: per-group hash-order prefix; straddling doc excluded") {
     def mix(id: Long): Long = {
       val h1 = (id % (Export.MixMod - 1)) * Export.MixA1 % Export.MixMod
