@@ -79,6 +79,15 @@ object AnnEntries {
         "vec_id", "embedding", knn = 5, k = PqK, iters = KMeansIters,
         subDim = PqSubDim), "query_id", "rank")
     }),
+    // kNN label vote over the brute top-10 (label-error audit /
+    // auto-labeling); the classifier itself is index-agnostic
+    "knn_classify" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      gate(Embeddings.knnClassify(
+        Embeddings.topK(e, e.where(col("vec_id") < QueryCount),
+          "vec_id", "embedding", KnnVoteK),
+        e, "vec_id", "label"), "query_id")
+    }),
     // per-label mean-pooled centroid (class prototypes, long form)
     "embed_centroids" -> ((s, dir) =>
       gate(Embeddings.classCentroids(embeddings(s, dir), "vec_id", "embedding",
@@ -103,6 +112,9 @@ object AnnEntries {
   private val KMeansIters = 2
   private val Nprobe = 2
 
+  /** Neighbors voting in the kNN-classification contract. */
+  private val KnnVoteK = 10
+
   /** Hyperplane/probe-mask VALUES tables shared with [[DedupEntries]]. */
   private val planesSql = lshPlanesSql(64)
 
@@ -121,6 +133,25 @@ object AnnEntries {
       |                JOIN n nc ON nc.vec_id = cand_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "knn_classify" ->
+      (cosSql(s"a.vec_id < $QueryCount") + s""",
+        |rk AS (SELECT query_id, cand_id,
+        |              row_number() OVER (PARTITION BY query_id
+        |                                 ORDER BY cosine DESC, cand_id) AS rn
+        |       FROM cosr),
+        |votes AS (SELECT rk.query_id, CAST(l.label AS BIGINT) AS nbr_label,
+        |                 CAST(COUNT(*) AS BIGINT) AS n_votes
+        |          FROM rk JOIN embeddings l ON l.vec_id = rk.cand_id
+        |          WHERE rn <= $KnnVoteK GROUP BY 1, 2),
+        |win AS (SELECT query_id, nbr_label, n_votes,
+        |               row_number() OVER (PARTITION BY query_id
+        |                                  ORDER BY n_votes DESC, nbr_label) AS vr
+        |        FROM votes)
+        |SELECT w.query_id, CAST(q.label AS BIGINT) AS label,
+        |       w.nbr_label AS predicted, w.n_votes,
+        |       CAST(CASE WHEN q.label = w.nbr_label THEN 1 ELSE 0 END AS BIGINT) AS agree
+        |FROM win w JOIN embeddings q ON q.vec_id = w.query_id
+        |WHERE w.vr = 1 ORDER BY w.query_id""".stripMargin),
     "ann_topk_brute" ->
       (cosSql(s"a.vec_id < $QueryCount") + """,
         |rk AS (SELECT query_id, cand_id, cosine,

@@ -3,7 +3,7 @@ package graft.entry
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, hex}
 
-import graft.ext.{Events, Multimodal}
+import graft.ext.{Audit, Events, Multimodal}
 import EntryUtil._
 
 /**
@@ -41,6 +41,24 @@ object EventsEntries {
           Events.read(s, dir).withColumn("ts", expr("ts div 1000")),
           span = RollingSpanUs)
         .withColumnRenamed("ts", "ts_us"), "event_id")),
+    // ordered funnel (view → click → purchase), per-user step times.
+    // Same µs truncation as events_asof; the contract coalesces the
+    // nullable step times to -1 so the output stays NULL-free for the
+    // driver's hash compare.
+    "events_funnel" -> ((s, dir) => {
+      val f = Events.funnel(
+        Events.read(s, dir).withColumn("ts", expr("ts div 1000")),
+        FunnelSteps)
+      gate(f.select(col("user_id"),
+        expr("coalesce(t1, -1)").as("step1_us"),
+        expr("coalesce(t2, -1)").as("step2_us"),
+        expr("coalesce(t3, -1)").as("step3_us"),
+        col("depth")), "user_id")
+    }),
+    // heavy-key shuffle-skew audit over the event stream's user_id
+    "events_skew" -> ((s, dir) =>
+      gate(Audit.skewAudit(Events.read(s, dir), "user_id", SkewTopN),
+        "rank")),
     "multimodal_meta" -> ((s, dir) =>
       gate(Multimodal.metadata(docs(s, dir), "doc_id", "text"), "doc_id")),
     // frame sampling ahead of decode: 16-char frames, every 4th kept.
@@ -68,6 +86,12 @@ object EventsEntries {
     * user's most recent click at or before it. */
   private val AsofProbe = "purchase"
   private val AsofRef = "click"
+
+  /** Funnel step sequence for the funnel contract. */
+  private val FunnelSteps = Seq("view", "click", "purchase")
+
+  /** Heavy keys reported by the skew-audit contract. */
+  private val SkewTopN = 20
 
   val oracles: Map[String, String] = Map(
     "events_hourly" ->
@@ -115,6 +139,35 @@ object EventsEntries {
         |       r.ref_event_id, p.tus - r.rtus AS lag_us, ${r6sql("r.ref_value")} AS ref_value
         |FROM p ASOF JOIN r ON p.user_id = r.ruid AND p.tus >= r.rtus
         |ORDER BY event_id""".stripMargin,
+    // step i+1's earliest hit at-or-after step i's, as a CTE chain; the
+    // Spark side computes the same chain with per-user window minima.
+    "events_funnel" ->
+      s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events
+        |            WHERE event_type IN (${FunnelSteps.map(s => s"'$s'").mkString(", ")})),
+        |s1 AS (SELECT user_id, MIN(t) AS t1 FROM ev
+        |       WHERE event_type = '${FunnelSteps(0)}' GROUP BY 1),
+        |s2 AS (SELECT ev.user_id, MIN(t) AS t2 FROM ev JOIN s1 USING (user_id)
+        |       WHERE event_type = '${FunnelSteps(1)}' AND t >= t1 GROUP BY 1),
+        |s3 AS (SELECT ev.user_id, MIN(t) AS t3 FROM ev JOIN s2 USING (user_id)
+        |       WHERE event_type = '${FunnelSteps(2)}' AND t >= t2 GROUP BY 1)
+        |SELECT u.user_id,
+        |       COALESCE(t1, -1) AS step1_us,
+        |       COALESCE(t2, -1) AS step2_us,
+        |       COALESCE(t3, -1) AS step3_us,
+        |       CAST(CASE WHEN t1 IS NULL THEN 0 WHEN t2 IS NULL THEN 1
+        |                 WHEN t3 IS NULL THEN 2 ELSE 3 END AS BIGINT) AS depth
+        |FROM (SELECT DISTINCT user_id FROM ev) u
+        |LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+    "events_skew" ->
+      s"""WITH c AS (SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1),
+        |tot AS (SELECT SUM(n) AS total FROM c),
+        |top AS (SELECT key, n FROM c ORDER BY n DESC, key LIMIT $SkewTopN)
+        |SELECT key, n, ${r6sql("CAST(n AS DOUBLE) / total")} AS fraction,
+        |       CAST(row_number() OVER (ORDER BY n DESC, key) AS BIGINT) AS rank
+        |FROM top, tot ORDER BY rank""".stripMargin,
     "events_rolling" ->
       s"""WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS tus, value FROM events)
         |SELECT event_id, user_id, tus AS ts_us,

@@ -116,7 +116,11 @@ object TextEntries {
     // ext: vocabulary frequency-decade histogram (Zipf audit)
     "vocab_zipf" -> ((s, dir) =>
       gate(TextAnalysis.zipfHistogram(docs(s, dir), "doc_id", "text"),
-        "n_digits"))
+        "n_digits")),
+    // ext: per-(lang, source) corpus coverage/diversity audit
+    "corpus_stats" -> ((s, dir) =>
+      gate(TextAnalysis.corpusStats(docs(s, dir), "text",
+        Seq("lang", "source")), "lang", "source"))
   )
 
   /** Token allowance per source for the budget-sampling contract (each
@@ -435,6 +439,22 @@ object TextEntries {
         |       CAST(MAX(cnt) AS BIGINT) AS top_bigram_count,
         |       ${r6sql("CAST(MAX(cnt) AS DOUBLE) / SUM(cnt)")} AS top_bigram_frac,
         |       ${r6sql("CAST(SUM(cnt) - COUNT(*) AS DOUBLE) / SUM(cnt)")} AS dup_bigram_frac
-        |FROM bc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM bc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "corpus_stats" ->
+      s"""WITH b AS (SELECT lang, source,
+        |             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks,
+        |             CAST(length(text) AS BIGINT) AS nc
+        |           FROM documents),
+        |tot AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |               CAST(SUM(len(toks)) AS BIGINT) AS n_tokens,
+        |               AVG(nc) AS avg_chars
+        |        FROM b GROUP BY 1, 2),
+        |ty AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_types
+        |       FROM (SELECT DISTINCT lang, source, tok
+        |             FROM b, UNNEST(toks) AS u(tok)) GROUP BY 1, 2)
+        |SELECT tot.lang, tot.source, n_docs, n_tokens,
+        |       COALESCE(n_types, 0) AS n_types, ${r6sql("avg_chars")} AS avg_chars
+        |FROM tot LEFT JOIN ty USING (lang, source)
+        |ORDER BY lang, source""".stripMargin
   )
 }

@@ -618,6 +618,47 @@ object Embeddings {
   }
 
   /**
+   * kNN label vote over any top-k family result — auto-labeling of
+   * unlabeled vectors and label-error auditing (Northcutt et al. 2021,
+   * "confident learning": examples whose neighbors systematically
+   * outvote their given label are likely mislabeled). `topk` is a
+   * (query_id, rank, vec_id, ...) table from [[topK]] / [[ivfTopK]] /
+   * [[lshTopKMultiProbe]] / [[ivfKMeansTopK]] — the classifier is
+   * index-agnostic, so the ANN escape hatch is the same one the search
+   * side already has. `labels` maps every candidate id (and every query
+   * id) to one label. Per query: each retrieved neighbor casts one vote
+   * for its label; the most-voted label wins, ties break on the smaller
+   * label value. Output: (query_id, label, predicted, n_votes, agree).
+   *
+   * Scale shape: everything downstream of the top-k table is
+   * result-sized (Q·k rows) — one equi-join to fetch neighbor labels,
+   * one hash aggregate to count votes, one Q-sized window to elect the
+   * winner, one join back for the query's own label. The corpus-sized
+   * work is producing `topk`, which is the search problem, not the
+   * classification.
+   */
+  def knnClassify(topk: DataFrame, labels: DataFrame, idCol: String,
+      labelCol: String): DataFrame = {
+    val nbr = labels.select(col(idCol).as("vec_id"),
+      col(labelCol).cast("long").as("nbr_label"))
+    val votes = topk.select(col("query_id"), col("vec_id"))
+      .join(nbr, "vec_id")
+      .groupBy("query_id", "nbr_label")
+      .agg(count(lit(1)).as("n_votes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("n_votes").desc, col("nbr_label").asc)
+    votes
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .join(labels.select(col(idCol).as("query_id"),
+        col(labelCol).cast("long").as("label")), "query_id")
+      .select(col("query_id"), col("label"),
+        col("nbr_label").as("predicted"), col("n_votes"),
+        when(col("label") === col("nbr_label"), 1L).otherwise(0L).as("agree"))
+  }
+
+  /**
    * Deterministic signed-random-projection planes for [[project]]:
    * `outDim × dim` small-integer components from a fixed multiplicative
    * formula (Knuth constant, decorrelated from [[lshPlaneRows]]'s), so

@@ -119,6 +119,51 @@ object Events {
   }
 
   /**
+   * Ordered funnel analysis: for each user, the earliest time each step of
+   * `steps` was reached, where step i+1 only counts events AT OR AFTER the
+   * matched step-i event (non-strict ordering — a same-timestamp later
+   * step still completes, which is the standard funnel convention and
+   * keeps the result independent of within-timestamp event order). Output
+   * is one row per user with `t1..tn` (the matched per-step timestamps,
+   * NULL once the funnel broke) and `depth`, the number of steps reached.
+   * Users with no event of any step type produce no row.
+   *
+   * Scale shape: filter to the step types, then ONE exchange keyed by
+   * user_id feeding `n` chained full-frame window aggregates (step i+1's
+   * conditional min refers to step i's matched time, so the windows
+   * cannot fuse into one WindowExec, but they all share the user_id
+   * partitioning — Catalyst plans a single shuffle and no sorts, since
+   * full-frame min needs no ordering), then a per-user dedup aggregate
+   * on the same key. No self-joins on time inequalities (which would plan
+   * per-user cross products), no per-step join cascade (which would
+   * shuffle n times).
+   */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      "steps must be non-empty and distinct")
+    val w = Window.partitionBy("user_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val base = events
+      .where(col("event_type").isin(steps: _*))
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val stepped = steps.zipWithIndex.foldLeft(base) { case (df, (s, i)) =>
+      val hit =
+        if (i == 0) when(col("event_type") === s, col("ts"))
+        else when(col("event_type") === s && col("ts") >= col(s"t$i"), col("ts"))
+      df.withColumn(s"t${i + 1}", min(hit).over(w))
+    }
+    val tCols = steps.indices.map(i => s"t${i + 1}")
+    stepped
+      .groupBy("user_id")
+      // the t_i are per-user constants after the windows; max() is the
+      // null-skipping dedup aggregate
+      .agg(max(col(tCols.head)).as(tCols.head),
+        tCols.tail.map(c => max(col(c)).as(c)): _*)
+      .withColumn("depth",
+        tCols.map(c => when(col(c).isNotNull, 1L).otherwise(0L)).reduce(_ + _))
+  }
+
+  /**
    * Gap-based sessionization: a new session starts when a user's gap since
    * their previous event exceeds `gapNs`. Session ids number 1..n per user
    * in time order. One row per session with its span and value total.

@@ -490,6 +490,46 @@ object TextAnalysis {
    * Scale shape: one vocab aggregate + one decade-count-sized aggregate,
    * both map-side partial; output is ≤ digits(max_freq) rows.
    */
+  /**
+   * Per-group corpus audit — the summary table a corpus sweep publishes
+   * per (language, source): document count, total token count, distinct
+   * token types, and mean character length. The coverage/diversity view
+   * that decides which sources are worth their ingest cost and feeds the
+   * mixture weights ([[corpusMix]]); a source whose type count stalls
+   * while its token count grows is boilerplate.
+   *
+   * Scale shape: two branches over the same row-local token arrays —
+   * per-group totals are ONE hash aggregate keyed by the group columns
+   * (token counts are computed INSIDE each row via `size`, so nothing
+   * token-sized shuffles), and the type count pre-dedups per document
+   * with `array_distinct` before exploding, so the (group, token)
+   * distinct shuffles one row per distinct (doc, token), not per
+   * occurrence. Output is group-cardinality-sized. Zero-token documents
+   * still count toward `n_docs`/`avg_chars` (their empty arrays explode
+   * to nothing on the type branch).
+   */
+  def corpusStats(docs: DataFrame, textCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty)
+    val g = groupCols.map(col)
+    val pat = WhitespacePattern.replace("\\", "\\\\")
+    val base = docs.select(g ++ Seq(
+      expr(s"filter(split($textCol, '$pat'), x -> x <> '')").as("t"),
+      length(col(textCol)).cast("long").as("nc")): _*)
+    val totals = base.groupBy(g: _*).agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(col("t")).cast("long")).as("n_tokens"),
+      avg(col("nc")).as("avg_chars"))
+    val types = base
+      .select(g :+ explode(array_distinct(col("t"))).as("token"): _*)
+      .distinct()
+      .groupBy(g: _*).agg(count(lit(1)).as("n_types"))
+    totals.join(types, groupCols, "left")
+      .na.fill(0L, Seq("n_types"))
+      .select(g ++ Seq(col("n_docs"), col("n_tokens"), col("n_types"),
+        col("avg_chars")): _*)
+  }
+
   def zipfHistogram(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     tokensWithPosition(docs, idCol, textCol)
       .groupBy("token").agg(count(lit(1)).as("cnt"))

@@ -22,7 +22,12 @@ class PlanAuditSpec extends SparkSpec {
     Set("ann_topk_brute", "tfidf_matrix", "ann_recall", "bm25_search",
       // 1-row grand-total aggregate crossed back over the vocab — the
       // sanctioned scalar-broadcast shape (constant keys fold away)
-      "quality_unigram")
+      "quality_unigram",
+      // knn_classify votes over ann_topk_brute's sanctioned all-pairs
+      // broadcast scan; the classification layer itself is equi-join
+      "knn_classify",
+      // 1-row corpus-total broadcast over the topN-row skew slice
+      "events_skew")
 
   test("no contract query plans a cartesian product or unsanctioned BNLJ") {
     assume(new File(sfDir).isDirectory, s"$sfDir missing")

@@ -1,0 +1,36 @@
+package graft.ext
+
+import org.apache.spark.sql.SparkSession
+
+import graft.SparkSpec
+
+class AuditSpec extends SparkSpec {
+  implicit lazy val s: SparkSession = spark
+  import s.implicits._
+
+  test("skewAudit: heavy keys first, exact fractions, topN cut") {
+    // key 7 ×4, key 3 ×2, keys 1/2 ×1 each → 8 rows total
+    val df = (Seq.fill(4)(7L) ++ Seq.fill(2)(3L) ++ Seq(1L, 2L)).toDF("k")
+    val got = Audit.skewAudit(df, "k", topN = 3).collect()
+      .map(r => (r.getLong(3), r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(got.length == 3) // topN cuts the 4 distinct keys to 3
+    assert(got(0) == ((1L, 7L, 4L, 0.5)))
+    assert(got(1) == ((2L, 3L, 2L, 0.25)))
+    // count tie between keys 1 and 2 → smaller key ranks first
+    assert(got(2) == ((3L, 1L, 1L, 0.125)))
+  }
+
+  test("skewAudit: scalar-broadcast plan only; fraction total is corpus-wide") {
+    val df = (Seq.fill(9)(1L) ++ Seq(2L)).toDF("k")
+    val audited = Audit.skewAudit(df, "k", topN = 1)
+    val plan = audited.queryExecution.executedPlan.toString
+    // the only join is the sanctioned 1-row total broadcast (no cartesian,
+    // and the topN cut is a TakeOrdered, not a global sort)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    val top = audited.collect()
+    // fraction is n / TOTAL rows (10), not n / top-slice rows
+    assert(top.length == 1 && top(0).getDouble(2) == 0.9)
+  }
+}

@@ -224,6 +224,34 @@ class EmbeddingsSpec extends SparkSpec {
     assert(r.length == 2 && r.forall(_.getDouble(3) == 1.0))
   }
 
+  test("knnClassify: majority vote wins; ties break on the smaller label") {
+    // synthetic top-k table: q0 gets labels {7,7,9} → 7 by majority;
+    // q1 gets {7,9} (1 vote each) → 7 by the smaller-label tie-break,
+    // overruling q1's own label 5 (agree=0, the label-error signal)
+    val topk = Seq(
+      (0L, 1L, 10L), (0L, 2L, 11L), (0L, 3L, 12L),
+      (1L, 1L, 11L), (1L, 2L, 13L))
+      .toDF("query_id", "rank", "vec_id")
+    val labels = Seq((0L, 7), (1L, 5), (10L, 7), (11L, 7), (12L, 9), (13L, 9))
+      .toDF("vec_id", "label")
+    val got = Embeddings.knnClassify(topk, labels, "vec_id", "label").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(0L) == ((7L, 7L, 2L, 1L)))  // own 7, predicted 7, 2 votes, agree
+    assert(got(1L) == ((5L, 7L, 1L, 0L)))  // tie 7 vs 9 → smaller label 7
+    assert(got.size == 2)
+  }
+
+  test("knnClassify over the brute top-k recovers planted blob labels") {
+    val blobs = ((0 until 6).map(i => (i.toLong, Seq(1.0f, 0.0f), 1)) ++
+      (6 until 12).map(i => (i.toLong, Seq(0.0f, 1.0f), 2)))
+      .toDF("vec_id", "embedding", "label")
+    val topk = Embeddings.topK(blobs, blobs, "vec_id", "embedding", 3)
+    val got = Embeddings.knnClassify(topk, blobs, "vec_id", "label").collect()
+    assert(got.length == 12)
+    assert(got.forall(_.getLong(4) == 1L))  // every query's vote agrees
+  }
+
   test("project computes the deterministic SRP sum, long-form output") {
     val one = Seq((7L, Seq(1.0f, 2.0f, -1.0f))).toDF("vec_id", "embedding")
     val got = Embeddings.project(one, "vec_id", "embedding", outDim = 2, dim = 3)

@@ -72,6 +72,43 @@ class EventsSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), plan)
   }
 
+  test("funnel: steps must be reached in order, at-or-after the previous") {
+    val ev = Seq(
+      // user 1 completes in order: view@10 → click@20 → purchase@30
+      (1L, 10L, 1L, "view", 0.0), (2L, 20L, 1L, "click", 0.0),
+      (3L, 30L, 1L, "purchase", 0.0),
+      // user 2: click BEFORE the first view never counts; purchase@25
+      // precedes the matched click → depth stops at 1
+      (4L, 5L, 2L, "click", 0.0), (5L, 15L, 2L, "view", 0.0),
+      (6L, 25L, 2L, "purchase", 0.0), (7L, 40L, 2L, "click", 0.0),
+      // user 3: same-ts step completes (non-strict ordering)
+      (8L, 50L, 3L, "view", 0.0), (9L, 50L, 3L, "click", 0.0),
+      // user 4: only non-step events → absent from the result
+      (10L, 60L, 4L, "error", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val f = Events.funnel(ev, Seq("view", "click", "purchase")).collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), r.getLong(4))))
+      .toMap
+    assert(f(1L) == ((Some(10L), Some(20L), Some(30L), 3L)))
+    // user 2's earliest click at-or-after view@15 is @40; purchase@25 < 40
+    assert(f(2L) == ((Some(15L), Some(40L), None, 2L)))
+    assert(f(3L) == ((Some(50L), Some(50L), None, 2L)))
+    assert(!f.contains(4L))
+  }
+
+  test("funnel: single exchange keyed by user, no join cascade") {
+    val df = Events.funnel(events, Seq("view", "click", "purchase"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      plan)
+    // one shuffle total: the user_id exchange feeds windows + final agg
+    val exchanges = plan.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected 1 exchange, plan:\n$plan")
+  }
+
   test("lastPriorEvent plans one window exchange, no nested loop") {
     val plan = Events.lastPriorEvent(events, "purchase", "click")
       .queryExecution.executedPlan.toString

@@ -277,4 +277,22 @@ class TextAnalysisSpec extends SparkSpec {
     }
     assert(r.sortBy(_._1).toSeq == expect.sortBy(_._1))
   }
+
+  test("corpusStats: per-group docs/tokens/types/chars; empty docs count") {
+    val d = Seq(
+      (0L, "en", "a", "the cat the dog"),   // 4 tokens, 3 types, 15 chars
+      (1L, "en", "a", "the cat"),           // 2 tokens, 2 types (shared!)
+      (2L, "en", "b", ""),                  // zero tokens, still a doc
+      (3L, "de", "a", "der hund")
+    ).toDF("doc_id", "lang", "source", "text")
+    val got = TextAnalysis.corpusStats(d, "text", Seq("lang", "source"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // types are distinct ACROSS the group: {the, cat, dog} = 3
+    assert(got(("en", "a")) == ((2L, 6L, 3L, 11.0)))
+    assert(got(("en", "b")) == ((1L, 0L, 0L, 0.0)))   // empty doc counted
+    assert(got(("de", "a")) == ((1L, 2L, 2L, 8.0)))
+    assert(got.size == 3)
+  }
 }
