@@ -33,7 +33,8 @@ object Bench {
     "bm25_search", "split_assign", "export_shards", "quality_buckets",
     "events_rolling", "quality_unigram", "corpus_budget", "embed_centroids",
     "embed_prototype", "dedup_semantic", "dedup_keep_best", "doc_winnow",
-    "dedup_group_sizes", "vocab_zipf")
+    "dedup_group_sizes", "vocab_zipf", "events_funnel", "events_skew",
+    "knn_classify", "corpus_stats", "corpus_diff", "dedup_source_matrix")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

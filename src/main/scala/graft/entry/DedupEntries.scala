@@ -27,6 +27,13 @@ object DedupEntries {
       gate(Dedup.simHashDups(docs(s, dir), "doc_id", "text"), "doc0", "doc1")),
     "dedup_embedding" -> ((s, dir) =>
       gate(Dedup.embeddingDups(embeddings(s, dir), "vec_id", "embedding"), "v0", "v1")),
+    // cross-source duplicate-leakage matrix over the minhash near-dups
+    "dedup_source_matrix" -> ((s, dir) => {
+      val d = docs(s, dir)
+      gate(Dedup.sourceLeakageMatrix(
+        Dedup.minHashDups(d, "doc_id", "text"), d, "doc_id", "source"),
+        "src0", "src1")
+    }),
     // train/eval decontamination: eval corpus = source 'src0', train = rest
     "decontaminate" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -42,12 +49,15 @@ object DedupEntries {
         d.where(col("source") === EvalSource), "doc_id", "text"),
         "doc_id", "eval_id")
     }),
-    // component grouping over the minhash near-dup pairs (keep-one step)
+    // component grouping over the minhash near-dup pairs (keep-one step).
+    // The pairs table is pinned (caller-owned caching, cf. Verify's
+    // clearCache) so the rounds loop joins a materialized edge list
+    // instead of re-deriving the detector pipeline per round.
     "dedup_groups" -> ((s, dir) => {
       val d = docs(s, dir)
-      gate(Dedup.dupGroups(d,
-        Dedup.minHashDups(d, "doc_id", "text").select("doc0", "doc1"),
-        "doc_id", rounds = GroupRounds), "doc_id")
+      val pairs = Dedup.minHashDups(d, "doc_id", "text")
+        .select("doc0", "doc1").localCheckpoint()
+      gate(Dedup.dupGroups(d, pairs, "doc_id", rounds = GroupRounds), "doc_id")
     }),
     // CONVERGED grouping over a chain-shaped edge fixture (consecutive
     // ids within blocks of ChainBlock → diameter ChainBlock-1, far past
@@ -81,18 +91,20 @@ object DedupEntries {
     // scored by whitespace token count (longest member wins, tie -> min id)
     "dedup_keep_best" -> ((s, dir) => {
       val d = docs(s, dir)
-      val groups = Dedup.dupGroups(d,
-        Dedup.minHashDups(d, "doc_id", "text").select("doc0", "doc1"),
-        "doc_id", rounds = GroupRounds)
+      val pairs = Dedup.minHashDups(d, "doc_id", "text")
+        .select("doc0", "doc1").localCheckpoint()
+      val groups = Dedup.dupGroups(d, pairs, "doc_id", rounds = GroupRounds)
       val scores = graft.ext.TextAnalysis.tokenCounts(d, "doc_id", "text")
       gate(Dedup.keepBest(groups, scores, "doc_id", "ws_tokens"), "doc_id")
     }),
     // cluster-size histogram over the same minhash dup groups (audit)
     "dedup_group_sizes" -> ((s, dir) => {
       val d = docs(s, dir)
-      gate(Dedup.groupSizeHistogram(Dedup.dupGroups(d,
-        Dedup.minHashDups(d, "doc_id", "text").select("doc0", "doc1"),
-        "doc_id", rounds = GroupRounds)), "group_size")
+      val pairs = Dedup.minHashDups(d, "doc_id", "text")
+        .select("doc0", "doc1").localCheckpoint()
+      gate(Dedup.groupSizeHistogram(
+        Dedup.dupGroups(d, pairs, "doc_id", rounds = GroupRounds)),
+        "group_size")
     }),
     // winnowing fingerprint selection (MOSS; rightmost-min per window)
     "doc_winnow" -> ((s, dir) =>
@@ -234,6 +246,23 @@ object DedupEntries {
         |SELECT doc0, doc1, ${r6sql("jaccard")} AS jaccard
         |FROM cand JOIN jac USING (doc0, doc1)
         |WHERE jaccard >= 0.2 ORDER BY doc0, doc1""".stripMargin),
+    "dedup_source_matrix" ->
+      (shingleSql + s""",
+        |sig AS (SELECT doc_id, $sigSelect FROM shg GROUP BY doc_id),
+        |bands AS ($bandsSql),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc0, b.doc_id AS doc1
+        |         FROM bands a JOIN bands b
+        |           ON a.band = b.band AND a.sigv = b.sigv AND a.doc_id < b.doc_id),
+        |mh AS (SELECT doc0, doc1, jaccard
+        |       FROM cand JOIN jac USING (doc0, doc1) WHERE jaccard >= 0.2),
+        |s AS (SELECT doc_id, source FROM documents)
+        |SELECT least(a.source, b.source) AS src0,
+        |       greatest(a.source, b.source) AS src1,
+        |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |       ${r6sql("AVG(jaccard)")} AS avg_jaccard
+        |FROM mh JOIN s a ON a.doc_id = mh.doc0
+        |        JOIN s b ON b.doc_id = mh.doc1
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     "dedup_simhash" ->
       (shingleSql + s""",
         |sums AS (SELECT doc_id, $simhashSums FROM shg GROUP BY doc_id),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.text.Tokenizer
-import graft.ext.{Export, Retrieval, TextAnalysis, TextHash}
+import graft.ext.{Audit, Export, Retrieval, TextAnalysis, TextHash}
 import EntryUtil._
 
 /**
@@ -120,7 +120,22 @@ object TextEntries {
     // ext: per-(lang, source) corpus coverage/diversity audit
     "corpus_stats" -> ((s, dir) =>
       gate(TextAnalysis.corpusStats(docs(s, dir), "text",
-        Seq("lang", "source")), "lang", "source"))
+        Seq("lang", "source")), "lang", "source")),
+    // ext: snapshot diff vs a deterministically-derived second snapshot
+    // (drop id%7, revise id%5, re-add id%11 under id+100000). The Spark
+    // side diffs by sha256; the oracle compares texts directly — an
+    // independent derivation of the same classification.
+    "corpus_diff" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val revised = d.where(pmod(col("doc_id"), lit(7)) =!= 0)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+      val added = d.where(pmod(col("doc_id"), lit(11)) === 0)
+        .withColumn("doc_id", col("doc_id") + lit(100000L))
+      gate(Audit.corpusDiff(d, revised.unionByName(added), "doc_id", "text"),
+        "doc_id")
+    })
   )
 
   /** Token allowance per source for the budget-sampling contract (each
@@ -455,6 +470,24 @@ object TextEntries {
         |SELECT tot.lang, tot.source, n_docs, n_tokens,
         |       COALESCE(n_types, 0) AS n_types, ${r6sql("avg_chars")} AS avg_chars
         |FROM tot LEFT JOIN ty USING (lang, source)
-        |ORDER BY lang, source""".stripMargin
+        |ORDER BY lang, source""".stripMargin,
+    // independent derivation: the oracle classifies by direct text
+    // equality where the Spark side compares sha256 content hashes
+    "corpus_diff" ->
+      """WITH oldd AS (SELECT doc_id, text FROM documents),
+        |newd AS (SELECT doc_id,
+        |                CASE WHEN doc_id % 5 = 0 THEN text || ' rev2'
+        |                     ELSE text END AS text
+        |         FROM documents WHERE doc_id % 7 <> 0
+        |         UNION ALL
+        |         SELECT doc_id + 100000 AS doc_id, text FROM documents
+        |         WHERE doc_id % 11 = 0)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |       CASE WHEN o.doc_id IS NULL THEN 'added'
+        |            WHEN n.doc_id IS NULL THEN 'removed'
+        |            WHEN o.text = n.text THEN 'unchanged'
+        |            ELSE 'changed' END AS status
+        |FROM oldd o FULL OUTER JOIN newd n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -44,4 +44,34 @@ object Audit {
         (col("n").cast("double") / col("total")).as("fraction"))
       .withColumn("rank", row_number().over(w).cast("long"))
   }
+
+  /**
+   * Corpus snapshot diff — the audit run between two versions of a
+   * corpus (before/after a recrawl, a scrub, a dedup sweep): every
+   * doc_id present in either snapshot, classified `added` (new only),
+   * `removed` (old only), `changed` (both, different text), or
+   * `unchanged`. The table incremental pipelines reconcile against —
+   * "the scrub claims it only removed documents; did anything CHANGE?"
+   * — and the input to incremental re-indexing (only `added`/`changed`
+   * docs need re-shingling).
+   *
+   * Scale shape: texts collapse to fixed-width sha256 map-side, so the
+   * full-outer join shuffles (id, 64-char hash) rows only — never the
+   * documents themselves. One exchange per side, keyed by doc_id;
+   * output is union-of-ids-sized. Comparing by content hash makes the
+   * diff order-insensitive and collision-safe at 2⁻¹²⁸.
+   */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    def hashed(df: DataFrame, as: String) =
+      df.select(col(idCol).as("doc_id"),
+        sha2(col(textCol).cast("binary"), 256).as(as))
+    hashed(oldDocs, "h_old")
+      .join(hashed(newDocs, "h_new"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") === col("h_new"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
 }

@@ -396,6 +396,40 @@ object Dedup {
       .select(col("doc0").as("doc_id"), col("doc1").as("eval_id"), col("jaccard"))
   }
 
+  /**
+   * Cross-source duplicate-leakage matrix — the provenance audit run
+   * after near-dup detection: for every unordered pair of sources, how
+   * many verified near-dup pairs straddle them (or sit inside one
+   * source) and their mean Jaccard. The table that answers "is source B
+   * just a scrape of source A?" before mixture weights are set — a
+   * source whose mass is mostly cross-duplicated against another adds
+   * tokens but no information.
+   *
+   * `pairs` is any (doc0, doc1, jaccard) detector output
+   * ([[minHashDups]], [[ngramJaccardDups]]); `docSources` maps each doc
+   * to its source. Source pairs are canonicalized lexicographically
+   * (src0 ≤ src1) so each unordered pair appears once.
+   *
+   * Scale shape: two result-sized id equi-joins to fetch the endpoint
+   * sources, then one aggregate keyed by the source pair — everything
+   * downstream of the detector is |pairs|-sized; output is at most
+   * C(sources, 2) + sources rows.
+   */
+  def sourceLeakageMatrix(pairs: DataFrame, docSources: DataFrame,
+      idCol: String, srcCol: String): DataFrame = {
+    val src = docSources.select(col(idCol).as("doc_id"), col(srcCol).as("src"))
+    pairs
+      .join(src.withColumnRenamed("doc_id", "doc0")
+        .withColumnRenamed("src", "s0"), "doc0")
+      .join(src.withColumnRenamed("doc_id", "doc1")
+        .withColumnRenamed("src", "s1"), "doc1")
+      .groupBy(
+        least(col("s0"), col("s1")).as("src0"),
+        greatest(col("s0"), col("s1")).as("src1"))
+      .agg(count(lit(1)).as("n_pairs"),
+        avg(col("jaccard")).as("avg_jaccard"))
+  }
+
   /** Number of SimHash bits (shingle hashes carry ~30 usable bits). */
   val SimHashBits = 24
 
@@ -512,12 +546,23 @@ object Dedup {
    * is ≤ `rounds`. Near-dup components are near-cliques in practice
    * (similarity is ~transitive), so small `rounds` converge; for UNKNOWN
    * diameters use [[dupGroupsConverged]], which loops to the fixed point.
+   *
+   * The edge list carries a SELF-LOOP per document, so each round's min
+   * covers the node's own label through the same join and the label
+   * table is referenced ONCE per round — the least(own, min(neighbor))
+   * spelling references it twice, doubling the unrolled lazy plan every
+   * round (2^rounds copies of the upstream detector pipeline; measured
+   * 5× wall-clock on the minhash-fed contract query at rounds = 4).
+   * The plan still references `pairs` once PER ROUND: callers should
+   * persist (or checkpoint) a detector-derived pairs table before
+   * grouping — caching is caller-owned, like `MatrixModel.persist`.
    */
   def dupGroups(docs: DataFrame, pairs: DataFrame, idCol: String,
       rounds: Int = 4): DataFrame = {
     require(rounds >= 1)
-    val edges = undirected(pairs)
-    var lbl = docs.select(col(idCol).as("doc_id"), col(idCol).as("group_rep"))
+    val ids = docs.select(col(idCol).as("doc_id"))
+    val edges = withSelfLoops(ids, undirected(pairs))
+    var lbl = ids.select(col("doc_id"), col("doc_id").as("group_rep"))
     for (_ <- 1 to rounds) lbl = propagateMin(edges, lbl)
     lbl
   }
@@ -527,17 +572,33 @@ object Dedup {
     pairs.select(col("doc0").as("src"), col("doc1").as("dst"))
       .union(pairs.select(col("doc1").as("src"), col("doc0").as("dst")))
 
-  /** One min-label-propagation round: each doc's label drops to the min
-    * of its own and its neighbors' labels. */
-  private def propagateMin(edges: DataFrame, lbl: DataFrame): DataFrame = {
-    val nbr = edges
-      .join(lbl.select(col("doc_id").as("dst"), col("group_rep").as("nrep")), "dst")
-      .select(col("src").as("doc_id"), col("nrep"))
-    lbl.join(nbr, Seq("doc_id"), "left")
-      .groupBy("doc_id")
-      .agg(least(min(col("group_rep")),
-        coalesce(min(col("nrep")), min(col("group_rep")))).as("group_rep"))
+  /** Edge list plus one (id, id) self-loop per document — the invariant
+    * [[propagateMin]] relies on to keep each node's own label in reach.
+    * Edges touching ids OUTSIDE the corpus are dropped first (two
+    * semi-joins, once, outside the rounds loop): under the self-loop
+    * formulation a foreign endpoint would otherwise enter the label
+    * table after one round and BRIDGE components through ghost nodes —
+    * the contract is that foreign edges (stale pair index, filtered
+    * corpus) are ignored. */
+  private def withSelfLoops(ids: DataFrame, edges: DataFrame): DataFrame = {
+    val clean = edges
+      .join(ids.select(col("doc_id").as("src")), Seq("src"), "left_semi")
+      .join(ids.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+    clean.select(col("src"), col("dst"))
+      .union(ids.select(col("doc_id").as("src"), col("doc_id").as("dst")))
   }
+
+  /** One min-label-propagation round: each doc's label drops to the min
+    * label over its edge targets. `edges` MUST include self-loops
+    * ([[withSelfLoops]]) — they stand in for "the min of its own and its
+    * neighbors' labels" while referencing `lbl` only once (see
+    * [[dupGroups]]'s plan-size note). */
+  private def propagateMin(edges: DataFrame, lbl: DataFrame): DataFrame =
+    edges
+      .join(lbl.select(col("doc_id").as("dst"), col("group_rep").as("nrep")), "dst")
+      .groupBy(col("src"))
+      .agg(min(col("nrep")).as("group_rep"))
+      .withColumnRenamed("src", "doc_id")
 
   /** Pointer-doubling compression: each label jumps to its own label's
     * label. Labels are always ids of reachable docs, so the lookup is
@@ -572,8 +633,9 @@ object Dedup {
     def ckpt(df: DataFrame): DataFrame =
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
       else df.localCheckpoint()
-    val edges = ckpt(undirected(pairs))
-    var lbl = ckpt(docs.select(col(idCol).as("doc_id"), col(idCol).as("group_rep")))
+    val ids = docs.select(col(idCol).as("doc_id"))
+    val edges = ckpt(withSelfLoops(ids, undirected(pairs)))
+    var lbl = ckpt(ids.select(col("doc_id"), col("doc_id").as("group_rep")))
     var round = 0
     var changed = 1L
     while (changed > 0 && round < maxRounds) {

@@ -33,4 +33,27 @@ class AuditSpec extends SparkSpec {
     // fraction is n / TOTAL rows (10), not n / top-slice rows
     assert(top.length == 1 && top(0).getDouble(2) == 0.9)
   }
+
+  test("corpusDiff classifies added/removed/changed/unchanged by content") {
+    val oldSnap = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    val newSnap = Seq((1L, "alpha"), (2L, "beta v2"), (4L, "delta"))
+      .toDF("doc_id", "text")
+    val got = Audit.corpusDiff(oldSnap, newSnap, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
+  test("corpusDiff shuffles hashes, not texts") {
+    val d = Seq((1L, "x")).toDF("doc_id", "text")
+    val plan = Audit.corpusDiff(d, d, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // the text column is hashed BELOW the join: only (doc_id, h_*)
+    // columns reach the exchange, never the raw text
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("h_old") && plan.contains("h_new") &&
+      !plan.contains("text#"), plan)
+  }
 }

@@ -335,4 +335,21 @@ class DedupSpec extends SparkSpec {
     val fp2 = byDoc(2L).map(_._3).toSet
     assert(fp1.intersect(fp2).nonEmpty, s"no shared fingerprint: $fp1 vs $fp2")
   }
+
+  test("sourceLeakageMatrix: unordered source pairs, counts and mean jaccard") {
+    val pairs = Seq(
+      (1L, 2L, 1.0),   // A-B
+      (3L, 4L, 0.5),   // B-A (opposite endpoint order → same cell)
+      (5L, 6L, 0.8))   // A-A (within-source)
+      .toDF("doc0", "doc1", "jaccard")
+    val srcs = Seq((1L, "A"), (2L, "B"), (3L, "B"), (4L, "A"),
+      (5L, "A"), (6L, "A")).toDF("doc_id", "source")
+    val got = Dedup.sourceLeakageMatrix(pairs, srcs, "doc_id", "source")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(("A", "B")) == ((2L, 0.75)))  // both orientations merged
+    assert(got(("A", "A")) == ((1L, 0.8)))
+    assert(got.size == 2)
+  }
 }

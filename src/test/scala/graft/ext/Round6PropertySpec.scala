@@ -114,4 +114,57 @@ class Round6PropertySpec extends SparkSpec {
         "doc 0 (global min id) must keep its full text")
     }
   }
+
+  test("funnel matches an in-memory reference fold on random event sets") {
+    val steps = Seq("s1", "s2", "s3")
+    val ev = for {
+      user <- Gen.chooseNum(1L, 3L)
+      ts <- Gen.chooseNum(0L, 20L)
+      tpe <- Gen.oneOf("s1", "s2", "s3", "other")
+    } yield (user, ts, tpe)
+    val gen = Gen.chooseNum(1, 18).flatMap(n => Gen.listOfN(n, ev))
+    forAllSampled(gen, n = 25) { events =>
+      val df = events.zipWithIndex
+        .map { case ((u, ts, tp), i) => (i.toLong, ts, u, tp, 0.0) }
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+      val got = Events.funnel(df, steps).collect()
+        .map(r => r.getLong(0) ->
+          ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), r.getLong(4))))
+        .toMap
+      // reference: sequential conditional minima over the raw tuples
+      val byUser = events.filter(e => steps.contains(e._3)).groupBy(_._1)
+      for ((u, evs) <- byUser) {
+        def minAtOrAfter(tpe: String, lo: Option[Long]): Option[Long] =
+          lo.flatMap(b => evs.filter(e => e._3 == tpe && e._2 >= b)
+            .map(_._2).minOption)
+        val t1 = evs.filter(_._3 == "s1").map(_._2).minOption
+        val t2 = minAtOrAfter("s2", t1)
+        val t3 = minAtOrAfter("s3", t2)
+        val depth = Seq(t1, t2, t3).count(_.isDefined).toLong
+        assert(got(u) == ((t1.map(x => x: Any), t2.map(x => x: Any),
+          t3.map(x => x: Any), depth)), s"user $u: ${got(u)}")
+      }
+      assert(got.keySet == byUser.keySet)
+    }
+  }
+
+  test("corpusDiff matches a reference classification on random snapshots") {
+    val doc = Gen.zip(Gen.chooseNum(0L, 9L), Gen.oneOf("x", "y", "z"))
+    val snap = Gen.chooseNum(0, 8).flatMap(n => Gen.listOfN(n, doc))
+      .map(_.toMap) // last write per id wins, like a keyed snapshot
+    forAllSampled(Gen.zip(snap, snap), n = 25) { case (o, n) =>
+      val oldDf = o.toSeq.toDF("doc_id", "text")
+      val newDf = n.toSeq.toDF("doc_id", "text")
+      val got = Audit.corpusDiff(oldDf, newDf, "doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val expect = (o.keySet ++ n.keySet).map { id =>
+        id -> ((o.get(id), n.get(id)) match {
+          case (None, _) => "added"
+          case (_, None) => "removed"
+          case (Some(a), Some(b)) => if (a == b) "unchanged" else "changed"
+        })
+      }.toMap
+      assert(got == expect)
+    }
+  }
 }
