@@ -43,6 +43,21 @@ final case class AsofBuf(event_id: Long, tsMs: Long, isProbe: Boolean, value: Do
 final case class AsofState(buffer: Seq[AsofBuf], refId: Long, refTsMs: Long,
     refValue: Double, hasRef: Boolean)
 
+/** One buffered funnel-step event: event-time plus the 0-based index of
+  * the step its type matches. */
+final case class FunnelBuf(tsMs: Long, step: Int)
+
+/** Per-user funnel state: the matched step-time prefix (final — a prefix
+  * entry never changes once set), the in-horizon event buffer, and
+  * whether this user has emitted at least one update. */
+final case class FunnelState(reached: Seq[Long], buffer: Seq[FunnelBuf],
+    emitted: Boolean)
+
+/** One funnel progress update — output of [[EventsStream.funnel]]. The
+  * LAST update per user always equals the batch twin's row over the same
+  * (finite) input. */
+final case class FunnelUpdate(user_id: Long, step_ms: Seq[Long], depth: Long)
+
 /** One event enriched with its trailing-window stats — output of
   * [[EventsStream.rolling]]. */
 final case class RollingOut(
@@ -223,6 +238,74 @@ object EventsStream {
               state.setTimeoutTimestamp(math.max(refTs + refTtlMs, wm + 1))
           }
           out.result().iterator
+      }
+  }
+
+  /**
+   * Streaming ordered-funnel progress — the unbounded twin of
+   * [[graft.ext.Events.funnel]]: per user, the earliest time each step of
+   * `steps` was reached, step i+1 counting only events at-or-after the
+   * matched step-i time. Emits a [[FunnelUpdate]] whenever newly
+   * watermark-finalized events EXTEND the user's matched prefix (plus one
+   * depth-0 update on a user's first finalized step-type event, so users
+   * who stall before step 1 still appear); the last update per user
+   * equals the batch twin's row over the same finite input — pinned by
+   * BatchStreamParitySpec.
+   *
+   * Correctness under reordering: buffered events are folded in event-time
+   * order (ties: earlier step first, the batch twin's non-strict `>=`)
+   * once the watermark STRICTLY passes them. The matched prefix is final
+   * by construction — a step time is the first qualifying event in event
+   * time, and every event that could qualify earlier has already been
+   * forced in by the watermark — so state per user is the in-horizon
+   * buffer plus `steps.length` longs. A COMPLETED funnel's state is
+   * dropped as soon as its buffer drains (nothing can change anymore);
+   * incomplete funnels keep their O(steps) prefix for as long as the key
+   * is live, the same per-key residency trade as the as-of twin's
+   * carried reference.
+   */
+  def funnel(events: Dataset[StreamEvent], steps: Seq[String],
+      watermark: String = "1 hour"): Dataset[FunnelUpdate] = {
+    import events.sparkSession.implicits._
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      "steps must be non-empty and distinct")
+    val stepOf = steps.zipWithIndex.toMap
+    val nSteps = steps.length
+    events
+      .filter(e => stepOf.contains(e.event_type))
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[StreamEvent], state: GroupState[FunnelState]) =>
+          val st = state.getOption.getOrElse(FunnelState(Seq.empty, Seq.empty, emitted = false))
+          val incoming = batch
+            .map(e => FunnelBuf(e.ts.getTime, stepOf(e.event_type))).toSeq
+          val wm = state.getCurrentWatermarkMs()
+          // finalize strictly below the watermark (an event AT it could
+          // still gain an equal-ts earlier-step match, which sorts first)
+          val (fin, open) = (st.buffer ++ incoming).partition(_.tsMs < wm)
+          var reached = st.reached
+          // event-time fold: an event extends the prefix iff it is the
+          // NEXT step and not before the previously matched time — the
+          // first such event in (ts, step) order is the batch minimum
+          fin.sortBy(b => (b.tsMs, b.step)).foreach { b =>
+            if (b.step == reached.length &&
+                (reached.isEmpty || b.tsMs >= reached.last))
+              reached = reached :+ b.tsMs
+          }
+          val changed = reached.length > st.reached.length
+          val out: Seq[FunnelUpdate] =
+            if (changed || (fin.nonEmpty && !st.emitted))
+              Seq(FunnelUpdate(userId, reached, reached.length.toLong))
+            else Seq.empty
+          val emitted = st.emitted || out.nonEmpty
+          if (open.isEmpty && reached.length == nSteps) state.remove()
+          else {
+            state.update(FunnelState(reached, open, emitted))
+            if (open.nonEmpty)
+              state.setTimeoutTimestamp(math.max(open.map(_.tsMs).min, wm + 1))
+          }
+          out.iterator
       }
   }
 

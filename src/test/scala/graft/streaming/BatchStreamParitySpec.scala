@@ -152,6 +152,64 @@ class BatchStreamParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnel: last streaming update per user equals batch, across slicings") {
+    val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    def ev(u: Long, minutes: Long, tpe: String) =
+      StreamEvent(u, new Timestamp(base + minutes * 60000), tpe, 0.0)
+    // user 1 completes in order; user 2's purchase precedes its matched
+    // click (depth stalls at 2); user 3 has a click but never a view
+    // (depth 0); the step events arrive OUT OF ORDER but in-watermark
+    val all = Seq(
+      ev(1, 10, "view"), ev(1, 20, "click"), ev(1, 30, "purchase"),
+      ev(2, 15, "view"), ev(2, 25, "purchase"), ev(2, 40, "click"),
+      ev(3, 35, "click"))
+    val batchDf = all.zipWithIndex.map { case (e, i) =>
+      (i.toLong, e.ts.getTime, e.user_id, e.event_type, e.value)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val steps = Seq("view", "click", "purchase")
+    val batch = Events.funnel(batchDf, steps).collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), r.getLong(4))))
+      .toMap
+
+    // slicing A: everything in one micro-batch; slicing B: out-of-order
+    // across micro-batches (click@40 for user 2 arrives first)
+    val slicings = Seq(
+      Seq(all),
+      Seq(Seq(all(5), all(6)), Seq(all(0), all(3), all(4)),
+        Seq(all(1), all(2))))
+    for ((slices, si) <- slicings.zipWithIndex) {
+      val in = MemoryStream[StreamEvent]
+      val q = EventsStream.funnel(in.toDS(), steps)
+        .writeStream.format("memory").queryName(s"parity_funnel_$si")
+        .outputMode(OutputMode.Append).start()
+      try {
+        slices.foreach { sl => in.addData(sl: _*); q.processAllAvailable() }
+        in.addData(ev(99, 24 * 60, "view"))
+        q.processAllAvailable()
+        in.addData(ev(99, 48 * 60, "view"))
+        q.processAllAvailable()
+        // keep each user's LAST update (largest depth — the prefix only
+        // ever extends)
+        val rows = spark.table(s"parity_funnel_$si")
+          .where($"user_id" < 99).collect()
+          .map(r => (r.getAs[Long]("user_id"),
+            r.getAs[scala.collection.Seq[Long]]("step_ms").toSeq,
+            r.getAs[Long]("depth")))
+        val last = rows.groupBy(_._1).map { case (u, rs) =>
+          val best = rs.maxBy(_._3)
+          u -> ((best._2.lift(0), best._2.lift(1), best._2.lift(2),
+            best._3))
+        }
+        val expect = batch.map { case (u, (t1, t2, t3, d)) =>
+          u -> ((t1.map(_.asInstanceOf[Long]), t2.map(_.asInstanceOf[Long]),
+            t3.map(_.asInstanceOf[Long]), d))
+        }
+        assert(last == expect, s"slicing $si: $last vs $expect")
+      } finally q.stop()
+    }
+  }
+
   test("as-of join: streaming enrichment equals batch, late refs included") {
     val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
     def ev(id: Long, u: Long, minutes: Long, tpe: String, v: Double) =

@@ -82,6 +82,60 @@ class CheckpointResumeSpec extends SparkSpec {
     assert(got.toSet == want.toSet, s"got=${got.toSet} want=${want.toSet}")
   }
 
+  test("funnel resumes from checkpoint: the matched prefix survives the restart") {
+    val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    def ev(u: Long, minutes: Long, tpe: String) =
+      StreamEvent(u, new Timestamp(base + minutes * 60000), tpe, 0.0)
+    val steps = Seq("view", "click", "purchase")
+
+    // before the restart: u1 reaches depth 1 — flush0 at minute 75 moves
+    // the watermark to minute 15: past view@10 (finalizes it) but NOT
+    // past the post-restart click@20/purchase@30 (still admissible)
+    val before = Seq(ev(1, 10, "view"))
+    val flush0 = Seq(ev(99, 75, "view"))
+    // after the restart: the recovered prefix must chain — click@20 and
+    // purchase@30 only count because the checkpointed state remembers
+    // view@10
+    val after = Seq(ev(1, 20, "click"), ev(1, 30, "purchase"))
+    val flush1 = Seq(ev(99, 60 * 48, "view"))
+
+    val dir = Files.createTempDirectory("graft_funnel_ckpt").toFile
+    val outPath = s"$dir/out"
+    val ckptPath = s"$dir/ckpt"
+    val in = MemoryStream[StreamEvent]
+    def start() = EventsStream.funnel(in.toDS(), steps)
+      .writeStream.format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", ckptPath)
+      .outputMode(OutputMode.Append)
+      .start()
+
+    val q1 = start()
+    try {
+      in.addData(before: _*)
+      q1.processAllAvailable()
+      in.addData(flush0: _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    val q2 = start()
+    try {
+      in.addData(after: _*)
+      q2.processAllAvailable()
+      in.addData(flush1: _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val rows = spark.read.parquet(outPath).where($"user_id" === 1).collect()
+      .map(r => (r.getAs[scala.collection.Seq[Long]]("step_ms").toSeq,
+        r.getAs[Long]("depth")))
+    val best = rows.maxBy(_._2)
+    assert(best == ((Seq(base + 10 * 60000, base + 20 * 60000,
+      base + 30 * 60000), 3L)), rows.mkString(", "))
+    // monotone updates only — no duplicate depth from offset replay
+    assert(rows.map(_._2).distinct.length == rows.length, rows.mkString(", "))
+  }
+
   test("as-of resumes from checkpoint: the carried reference survives the restart") {
     val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
     def ev(id: Long, u: Long, minutes: Long, tpe: String, v: Double) =
