@@ -21,6 +21,9 @@ object DedupEntries {
       gate(Dedup.exactNormalized(docs(s, dir), "doc_id", "text"), "doc_id")),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       gate(Dedup.ngramJaccardDups(docs(s, dir), "doc_id", "text"), "doc0", "doc1")),
+    // asymmetric containment: the subset-dup detector Jaccard misses
+    "dedup_containment" -> ((s, dir) =>
+      gate(Dedup.containmentDups(docs(s, dir), "doc_id", "text"), "doc0", "doc1")),
     "dedup_minhash_lsh" -> ((s, dir) =>
       gate(Dedup.minHashDups(docs(s, dir), "doc_id", "text"), "doc0", "doc1")),
     "dedup_simhash" -> ((s, dir) =>
@@ -236,6 +239,14 @@ object DedupEntries {
       (shingleSql + s"""
         |SELECT doc0, doc1, ${r6sql("jaccard")} AS jaccard FROM jac
         |WHERE jaccard >= 0.2 ORDER BY doc0, doc1""".stripMargin),
+    "dedup_containment" ->
+      (shingleSql + s"""
+        |SELECT doc0, doc1,
+        |       ${r6sql("CAST(i AS DOUBLE) / least(c0.n, c1.n)")} AS containment,
+        |       c0.n AS n0, c1.n AS n1
+        |FROM inter JOIN cnt c0 ON c0.doc_id = doc0 JOIN cnt c1 ON c1.doc_id = doc1
+        |WHERE CAST(i AS DOUBLE) / least(c0.n, c1.n) >= 0.6
+        |ORDER BY doc0, doc1""".stripMargin),
     "dedup_minhash_lsh" ->
       (shingleSql + s""",
         |sig AS (SELECT doc_id, $sigSelect FROM shg GROUP BY doc_id),

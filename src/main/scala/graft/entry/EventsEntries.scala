@@ -59,6 +59,9 @@ object EventsEntries {
     "events_skew" -> ((s, dir) =>
       gate(Audit.skewAudit(Events.read(s, dir), "user_id", SkewTopN),
         "rank")),
+    // daily cohort retention triangle (first-event cohort x day offset)
+    "events_retention" -> ((s, dir) =>
+      gate(Events.retention(Events.read(s, dir)), "cohort", "bucket_offset")),
     "multimodal_meta" -> ((s, dir) =>
       gate(Multimodal.metadata(docs(s, dir), "doc_id", "text"), "doc_id")),
     // frame sampling ahead of decode: 16-char frames, every 4th kept.
@@ -160,6 +163,13 @@ object EventsEntries {
         |LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
         |LEFT JOIN s3 USING (user_id)
         |ORDER BY user_id""".stripMargin,
+    "events_retention" ->
+      s"""WITH b AS (SELECT user_id, epoch_ns(ts) // ${Events.NsPerDay} AS bucket FROM events),
+        |f AS (SELECT user_id, MIN(bucket) AS cohort FROM b GROUP BY 1)
+        |SELECT f.cohort, b.bucket - f.cohort AS bucket_offset,
+        |       CAST(COUNT(DISTINCT b.user_id) AS BIGINT) AS n_users
+        |FROM b JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort, bucket_offset""".stripMargin,
     "events_skew" ->
       s"""WITH c AS (SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS n
         |           FROM events GROUP BY 1),

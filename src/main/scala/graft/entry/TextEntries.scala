@@ -121,6 +121,10 @@ object TextEntries {
     "corpus_stats" -> ((s, dir) =>
       gate(TextAnalysis.corpusStats(docs(s, dir), "text",
         Seq("lang", "source")), "lang", "source")),
+    // ext: per-language vocabulary heavy hitters (grouped top-k)
+    "vocab_topk_by_lang" -> ((s, dir) =>
+      gate(TextAnalysis.vocabTopKByGroup(docs(s, dir), "doc_id", "text",
+        "lang", VocabLangK), "grp", "rank")),
     // ext: snapshot diff vs a deterministically-derived second snapshot
     // (drop id%7, revise id%5, re-add id%11 under id+100000). The Spark
     // side diffs by sha256; the oracle compares texts directly — an
@@ -169,6 +173,9 @@ object TextEntries {
 
   /** Heavy-hitter count for the vocabulary contract. */
   private val VocabK = 100
+
+  /** Per-language heavy hitters kept by the grouped-vocab contract. */
+  private val VocabLangK = 15
 
   /** Quantile points for the calibration contract. */
   private val QuantileQs = Seq(0.1, 0.5, 0.9, 0.99)
@@ -471,6 +478,19 @@ object TextEntries {
         |       COALESCE(n_types, 0) AS n_types, ${r6sql("avg_chars")} AS avg_chars
         |FROM tot LEFT JOIN ty USING (lang, source)
         |ORDER BY lang, source""".stripMargin,
+    "vocab_topk_by_lang" ->
+      s"""WITH t AS (SELECT lang AS grp, doc_id,
+        |             string_split_regex(text, '\\s+') AS toks FROM documents),
+        |dt AS (SELECT DISTINCT grp, doc_id, tok AS token
+        |       FROM t, UNNEST(toks) AS u(tok) WHERE tok <> ''),
+        |df AS (SELECT grp, token, CAST(COUNT(*) AS BIGINT) AS doc_freq
+        |       FROM dt GROUP BY 1, 2),
+        |rk AS (SELECT grp, token, doc_freq,
+        |              row_number() OVER (PARTITION BY grp
+        |                                 ORDER BY doc_freq DESC, token) AS rn
+        |       FROM df)
+        |SELECT grp, CAST(rn AS BIGINT) AS rank, token, doc_freq
+        |FROM rk WHERE rn <= $VocabLangK ORDER BY grp, rank""".stripMargin,
     // independent derivation: the oracle classifies by direct text
     // equality where the Spark side compares sha256 content hashes
     "corpus_diff" ->

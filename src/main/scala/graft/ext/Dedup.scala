@@ -116,7 +116,15 @@ object Dedup {
    * The self-equi-join on `sh` is the scale-safe pair generator: output
    * is bounded by Σ_shingle C(docs_with_shingle, 2), not C(N,2).
    */
-  def jaccardPairs(sh: DataFrame): DataFrame = {
+  def jaccardPairs(sh: DataFrame): DataFrame =
+    overlapCounts(sh)
+      .withColumn("jaccard", col("i").cast("double") / (col("n0") + col("n1") - col("i")))
+      .select("doc0", "doc1", "jaccard")
+
+  /** Shared pair-overlap kernel: for every pair sharing ≥1 shingle, the
+    * intersection size and both set sizes — (doc0, doc1, i, n0, n1) in
+    * canonical id order. Output is bounded by Σ_sh C(docs_with_sh, 2). */
+  private def overlapCounts(sh: DataFrame): DataFrame = {
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.as("a")
     val b = sh.as("b")
@@ -127,14 +135,37 @@ object Dedup {
     inter
       .join(counts.withColumnRenamed("doc_id", "doc0").withColumnRenamed("n", "n0"), "doc0")
       .join(counts.withColumnRenamed("doc_id", "doc1").withColumnRenamed("n", "n1"), "doc1")
-      .withColumn("jaccard", col("i").cast("double") / (col("n0") + col("n1") - col("i")))
-      .select("doc0", "doc1", "jaccard")
   }
 
   /** Near-duplicate pairs by exact n-gram Jaccard at `minJaccard`. */
   def ngramJaccardDups(docs: DataFrame, idCol: String, textCol: String,
       minJaccard: Double = 0.2): DataFrame =
     jaccardPairs(shingles(docs, idCol, textCol)).where(col("jaccard") >= minJaccard)
+
+  /**
+   * Asymmetric containment near-duplicates (Broder 1997's containment
+   * coefficient, |A∩B| / min(|A|,|B|)): the subset-duplication detector.
+   * A short document quoted wholesale inside a much longer one has
+   * containment ≈ 1 while its Jaccard — normalized by the UNION — sits
+   * below any usable dedup threshold, so the symmetric passes
+   * ([[ngramJaccardDups]], [[minHashDups]]) structurally miss the
+   * quote-expansion / boilerplate-wrapper case this operator exists for.
+   * Emits (doc0, doc1, containment, n0, n1) at `minContainment`,
+   * canonical id order; the sizes let the caller pick which side is the
+   * contained one (the smaller shingle set).
+   *
+   * Scale shape: identical bounded pair generator as [[jaccardPairs]] —
+   * the shingle self-equi-join bounds pairs by shared-shingle collisions,
+   * never C(N,2); for corpora where even that explodes, feed
+   * [[minHashCandidates]]' survivors through [[jaccardFor]]-style
+   * verification instead of the exhaustive kernel.
+   */
+  def containmentDups(docs: DataFrame, idCol: String, textCol: String,
+      minContainment: Double = 0.6): DataFrame =
+    overlapCounts(shingles(docs, idCol, textCol))
+      .withColumn("containment", col("i").cast("double") / least(col("n0"), col("n1")))
+      .where(col("containment") >= minContainment)
+      .select("doc0", "doc1", "containment", "n0", "n1")
 
   /**
    * Cross-document repeated-span statistics — the detection half of

@@ -24,6 +24,7 @@ object Events {
 
   val NsPerSec: Long = 1000000000L
   val NsPerHour: Long = 3600L * NsPerSec
+  val NsPerDay: Long = 24L * NsPerHour
   val DefaultGapNs: Long = 30L * 60 * NsPerSec
 
   def read(spark: SparkSession, dir: String): DataFrame =
@@ -161,6 +162,31 @@ object Events {
         tCols.tail.map(c => max(col(c)).as(c)): _*)
       .withColumn("depth",
         tCols.map(c => when(col(c).isNotNull, 1L).otherwise(0L)).reduce(_ + _))
+  }
+
+  /**
+   * Cohort retention analysis: users are grouped into cohorts by the
+   * time bucket of their FIRST event, and each (cohort, offset) cell
+   * counts the distinct cohort members active `offset` buckets after
+   * their cohort bucket — the classic retention triangle read along its
+   * diagonals ("of the users who arrived on day X, how many were still
+   * active on day X+k"). `bucketNs` is the cohort/activity grain in `ts`
+   * units (epoch-nanosecond longs here; default one day).
+   *
+   * Scale shape: one per-user min-aggregate (map-side partial), one
+   * equi-join back on user_id — both shuffles share the user_id key, so
+   * Catalyst plans a single exchange per side — then one count-distinct
+   * aggregate keyed (cohort, offset), whose input is already deduplicated
+   * to (user, bucket) pairs. Output is at most cohorts × offsets cells;
+   * nothing is quadratic and no driver action exists.
+   */
+  def retention(events: DataFrame, bucketNs: Long = NsPerDay): DataFrame = {
+    require(bucketNs > 0)
+    val b = events.select(col("user_id"), expr(s"ts div $bucketNs").as("bucket"))
+    val first = b.groupBy("user_id").agg(min(col("bucket")).as("cohort"))
+    b.join(first, "user_id")
+      .groupBy(col("cohort"), (col("bucket") - col("cohort")).as("bucket_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
   /**

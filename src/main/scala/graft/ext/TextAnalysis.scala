@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -490,6 +491,38 @@ object TextAnalysis {
    * Scale shape: one vocab aggregate + one decade-count-sized aggregate,
    * both map-side partial; output is ≤ digits(max_freq) rows.
    */
+  /**
+   * Per-group vocabulary heavy hitters — [[vocabTopK]] partitioned by a
+   * metadata column (language, source): the `k` highest-document-frequency
+   * tokens per group, ranked (doc_freq desc, token asc). The per-language
+   * vocab audit that catches a mislabeled or boilerplate-dominated slice
+   * the global list averages away.
+   *
+   * Scale shape: tokens are pre-deduplicated per document with
+   * `array_distinct` INSIDE the row, so the (group, token) aggregate's
+   * input carries one row per distinct (doc, token) — the aggregate
+   * itself then counts rows, no second distinct. The rank window's input
+   * is the aggregated vocabulary (vocab-sized, NOT corpus-sized) with
+   * group-count parallelism — the standard grouped-top-k trade; a global
+   * TakeOrdered cannot express per-group cuts.
+   */
+  def vocabTopKByGroup(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, k: Int): DataFrame = {
+    require(k > 0)
+    val pat = WhitespacePattern.replace("\\", "\\\\")
+    val df = docs
+      .select(col(groupCol).as("grp"), col(idCol).as("doc_id"),
+        expr(s"filter(split($textCol, '$pat'), x -> x <> '')").as("t"))
+      .select(col("grp"), col("doc_id"),
+        explode(array_distinct(col("t"))).as("token"))
+      .groupBy("grp", "token").agg(count(lit(1)).as("doc_freq"))
+    val w = Window.partitionBy("grp")
+      .orderBy(col("doc_freq").desc, col("token").asc)
+    df.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("grp", "rank", "token", "doc_freq")
+  }
+
   /**
    * Per-group corpus audit — the summary table a corpus sweep publishes
    * per (language, source): document count, total token count, distinct

@@ -39,6 +39,27 @@ class DedupSpec extends SparkSpec {
     assert(!j.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("containment: subset dup scores 1.0 where jaccard misses it") {
+    // doc 11 is quoted wholesale as the prefix of the 4x-longer doc 10:
+    // every short-doc trigram appears in the long doc, so containment is
+    // exactly 1.0 while jaccard = 3/18 < 0.2 never surfaces the pair
+    val d = Seq(
+      (10L, "alpha beta gamma delta epsilon one two three four five " +
+        "six seven eight nine ten eleven twelve thirteen fourteen fifteen"),
+      (11L, "alpha beta gamma delta epsilon"),
+      (12L, "unrelated words entirely distinct tokens")
+    ).toDF("doc_id", "text")
+    val c = Dedup.containmentDups(d, "doc_id", "text", minContainment = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(c.keySet == Set((10L, 11L)))
+    val (cv, n0, n1) = c((10L, 11L))
+    assertApprox(cv, 1.0)
+    assert(n0 == 18L && n1 == 3L)
+    val j = Dedup.ngramJaccardDups(d, "doc_id", "text", minJaccard = 0.2).count()
+    assert(j == 0L, "jaccard at the standard threshold must miss the subset dup")
+  }
+
   test("minhash LSH finds the same dups as exact jaccard here") {
     val lsh = Dedup.minHashDups(docs, "doc_id", "text", minJaccard = 0.2)
       .select("doc0", "doc1").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

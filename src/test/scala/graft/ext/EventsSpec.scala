@@ -109,6 +109,18 @@ class EventsSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 exchange, plan:\n$plan")
   }
 
+  test("retention: first-bucket cohorts, distinct actives per offset") {
+    // bucket = ts div 10: u1 first in bucket 0, active in 0 and 2 (twice —
+    // distinct keeps one); u2 first in bucket 2, active in 2 only
+    val ev = Seq(
+      (1L, 5L, 1L, "c", 0.0), (2L, 25L, 1L, "c", 0.0), (3L, 27L, 1L, "c", 0.0),
+      (4L, 22L, 2L, "c", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Events.retention(ev, bucketNs = 10L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((0L, 0L) -> 1L, (0L, 2L) -> 1L, (2L, 0L) -> 1L))
+  }
+
   test("lastPriorEvent plans one window exchange, no nested loop") {
     val plan = Events.lastPriorEvent(events, "purchase", "click")
       .queryExecution.executedPlan.toString

@@ -278,6 +278,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.sortBy(_._1).toSeq == expect.sortBy(_._1))
   }
 
+  test("vocabTopKByGroup: per-group ranks, doc-frequency not occurrences") {
+    val d = Seq(
+      (0L, "en", "cat cat dog"),   // cat df only counts once per doc
+      (1L, "en", "cat fish"),
+      (2L, "de", "hund")
+    ).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.vocabTopKByGroup(d, "doc_id", "text", "lang", k = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getString(2), r.getLong(3))))
+      .toMap
+    assert(got(("en", 1L)) == (("cat", 2L)))   // df 2 despite 3 occurrences
+    assert(got(("en", 2L)) == (("dog", 1L)))   // df tie dog/fish -> token asc
+    assert(got(("de", 1L)) == (("hund", 1L)))
+    assert(got.size == 3)                      // k=2 cuts en's third token
+  }
+
   test("corpusStats: per-group docs/tokens/types/chars; empty docs count") {
     val d = Seq(
       (0L, "en", "a", "the cat the dog"),   // 4 tokens, 3 types, 15 chars
