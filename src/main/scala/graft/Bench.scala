@@ -34,7 +34,9 @@ object Bench {
     "events_rolling", "quality_unigram", "corpus_budget", "embed_centroids",
     "embed_prototype", "dedup_semantic", "dedup_keep_best", "doc_winnow",
     "dedup_group_sizes", "vocab_zipf", "events_funnel", "events_skew",
-    "knn_classify", "corpus_stats", "corpus_diff", "dedup_source_matrix")
+    "knn_classify", "corpus_stats", "corpus_diff", "dedup_source_matrix",
+    "events_retention", "events_user_profile", "vocab_topk_by_lang",
+    "dedup_containment", "embed_label_coherence", "corpus_divergence")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -95,7 +95,11 @@ object AnnEntries {
     // nearest-class-mean assignment (label audit / outlier candidates)
     "embed_prototype" -> ((s, dir) =>
       gate(Embeddings.prototypeAssign(embeddings(s, dir), "vec_id", "embedding",
-        "label"), "vec_id"))
+        "label"), "vec_id")),
+    // per-label cohesion vs nearest-other-centroid separation summary
+    "embed_label_coherence" -> ((s, dir) =>
+      gate(Embeddings.labelCoherence(embeddings(s, dir), "vec_id", "embedding",
+        "label"), "grp"))
   )
 
   /** Input embedding width and the projection contract's output width. */
@@ -439,6 +443,24 @@ object AnnEntries {
         |      FROM d)
         |SELECT e.vec_id, e.label AS grp, b.cgrp AS pred, b.d2
         |FROM embeddings e JOIN b ON b.vec_id = e.vec_id AND b.rn = 1
-        |ORDER BY e.vec_id""".stripMargin
+        |ORDER BY e.vec_id""".stripMargin,
+    // cohesion = mean snapped own-centroid d2; separation = min snapped
+    // inter-centroid d2 — same snap points as the Spark side
+    "embed_label_coherence" ->
+      s"""WITH u AS (SELECT vec_id, label, i, CAST(embedding[i+1] AS DOUBLE) AS x
+        |           FROM embeddings, UNNEST(range(len(embedding))) AS r(i)),
+        |c AS (SELECT label AS grp, i, ${r6sql("AVG(x)")} AS c
+        |      FROM u GROUP BY 1, 2),
+        |d AS (SELECT u.vec_id, u.label AS grp,
+        |             ${r6sql("SUM((u.x - c.c) * (u.x - c.c))")} AS d2
+        |      FROM u JOIN c ON u.i = c.i AND u.label = c.grp GROUP BY 1, 2),
+        |coh AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |               AVG(d2) AS mean_d2 FROM d GROUP BY 1),
+        |cd AS (SELECT a.grp AS grp, b.grp AS ogrp,
+        |              ${r6sql("SUM((a.c - b.c) * (a.c - b.c))")} AS cd2
+        |       FROM c a JOIN c b ON a.i = b.i AND a.grp <> b.grp GROUP BY 1, 2),
+        |sep AS (SELECT grp, MIN(cd2) AS min_other_d2 FROM cd GROUP BY 1)
+        |SELECT grp, n_vecs, ${r6sql("mean_d2")} AS mean_d2, min_other_d2
+        |FROM coh JOIN sep USING (grp) ORDER BY grp""".stripMargin
   )
 }

@@ -62,6 +62,9 @@ object EventsEntries {
     // daily cohort retention triangle (first-event cohort x day offset)
     "events_retention" -> ((s, dir) =>
       gate(Events.retention(Events.read(s, dir)), "cohort", "bucket_offset")),
+    // one-row-per-user engagement feature table
+    "events_user_profile" -> ((s, dir) =>
+      gate(Events.userProfile(Events.read(s, dir)), "user_id")),
     "multimodal_meta" -> ((s, dir) =>
       gate(Multimodal.metadata(docs(s, dir), "doc_id", "text"), "doc_id")),
     // frame sampling ahead of decode: 16-char frames, every 4th kept.
@@ -163,6 +166,22 @@ object EventsEntries {
         |LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
         |LEFT JOIN s3 USING (user_id)
         |ORDER BY user_id""".stripMargin,
+    "events_user_profile" ->
+      s"""WITH ev AS (SELECT epoch_ns(ts) AS tns, user_id, event_id, event_type, value
+        |            FROM events),
+        |lg AS (SELECT *, lag(tns) OVER (PARTITION BY user_id ORDER BY tns, event_id) AS prev
+        |       FROM ev),
+        |mk AS (SELECT *, CASE WHEN prev IS NULL OR tns - prev > $gapNs
+        |                      THEN 1 ELSE 0 END AS new_sess FROM lg)
+        |SELECT user_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
+        |       CAST(COUNT(DISTINCT tns // ${Events.NsPerDay}) AS BIGINT) AS n_active_days,
+        |       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+        |       MIN(tns) // $nsSec AS first_sec,
+        |       MAX(tns) // $nsSec AS last_sec,
+        |       ${r6sql("SUM(value)")} AS sum_value
+        |FROM mk GROUP BY user_id ORDER BY user_id""".stripMargin,
     "events_retention" ->
       s"""WITH b AS (SELECT user_id, epoch_ns(ts) // ${Events.NsPerDay} AS bucket FROM events),
         |f AS (SELECT user_id, MIN(bucket) AS cohort FROM b GROUP BY 1)

@@ -125,6 +125,10 @@ object TextEntries {
     "vocab_topk_by_lang" -> ((s, dir) =>
       gate(TextAnalysis.vocabTopKByGroup(docs(s, dir), "doc_id", "text",
         "lang", VocabLangK), "grp", "rank")),
+    // ext: per-source JS divergence vs the global unigram distribution
+    "corpus_divergence" -> ((s, dir) =>
+      gate(TextAnalysis.corpusDivergence(docs(s, dir), "text", "source"),
+        "grp")),
     // ext: snapshot diff vs a deterministically-derived second snapshot
     // (drop id%7, revise id%5, re-add id%11 under id+100000). The Spark
     // side diffs by sha256; the oracle compares texts directly — an
@@ -478,6 +482,22 @@ object TextEntries {
         |       COALESCE(n_types, 0) AS n_types, ${r6sql("avg_chars")} AS avg_chars
         |FROM tot LEFT JOIN ty USING (lang, source)
         |ORDER BY lang, source""".stripMargin,
+    // same formula as the Spark side: present-support JS terms plus the
+    // absent-token tail folded into 0.5*ln(2)*(1 - covered q mass)
+    "corpus_divergence" ->
+      s"""WITH t AS (SELECT source AS grp, tok AS token
+        |           FROM documents, UNNEST(string_split_regex(text, '\\s+')) AS u(tok)
+        |           WHERE tok <> ''),
+        |sl AS (SELECT grp, token, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY 1, 2),
+        |st AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS tg FROM sl GROUP BY 1),
+        |g AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cg FROM t GROUP BY 1),
+        |gt AS (SELECT CAST(SUM(cg) AS BIGINT) AS tt FROM g),
+        |pq AS (SELECT grp, CAST(c AS DOUBLE) / tg AS p, CAST(cg AS DOUBLE) / tt AS q
+        |       FROM sl JOIN st USING (grp) JOIN g USING (token) CROSS JOIN gt)
+        |SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_types,
+        |       ${r6sql("SUM(0.5*p*ln(2.0*p/(p+q)) + 0.5*q*ln(2.0*q/(p+q)))" +
+          " + 0.5*ln(2.0)*(1.0 - SUM(q))")} AS js
+        |FROM pq GROUP BY grp ORDER BY grp""".stripMargin,
     "vocab_topk_by_lang" ->
       s"""WITH t AS (SELECT lang AS grp, doc_id,
         |             string_split_regex(text, '\\s+') AS toks FROM documents),

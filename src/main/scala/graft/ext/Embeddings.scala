@@ -877,6 +877,51 @@ object Embeddings {
   }
 
   /**
+   * Per-label embedding-coherence audit — the summary behind a "which
+   * label slices are noisy" curation review: for each label, its member
+   * count, the mean squared distance of members to their OWN label
+   * centroid (cohesion), and the squared distance from its centroid to
+   * the nearest OTHER label's centroid (separation). A label whose
+   * cohesion rivals or exceeds its separation is diffuse or entangled
+   * with a neighbor — exactly the slices [[prototypeAssign]]'s per-vector
+   * disagreements come from, summarized to one row per label so the
+   * review can rank slices before drilling into vectors.
+   *
+   * Scale shape: one (grp, i) centroid aggregate (map-side partial,
+   * model-sized output), one broadcast join of cells against that
+   * centroid table with a (vec_id)-keyed distance aggregate — the same
+   * single-pass shape as [[prototypeAssign]] but restricted to the own
+   * label (equi-join on grp), so the per-vector candidate fan-out is 1,
+   * not `groups`. Separation is a self-join of the MODEL-SIZED centroid
+   * table — never touches the corpus. Per-vector d2 and inter-centroid
+   * d2 are snapped to the 1e-6 grid before averaging/min so the ranking
+   * is reproducible across engines and partitionings.
+   */
+  def labelCoherence(emb: DataFrame, idCol: String, vecCol: String,
+      groupCol: String): DataFrame = {
+    val cent = classCentroids(emb, idCol, vecCol, groupCol)
+      .select(col("grp"), col("i"), col("c"))
+    val cells = emb.select(col(idCol).as("vec_id"), col(groupCol).as("grp"),
+        posexplode(col(vecCol)).as(Seq("i", "e")))
+      .select(col("vec_id"), col("grp"), col("i"), col("e").cast("double").as("x"))
+    val ownD2 = cells
+      .join(broadcast(cent), Seq("grp", "i"))
+      .groupBy("vec_id", "grp")
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d2"))
+      .select(col("vec_id"), col("grp"), snapCol(col("d2")).as("d2"))
+    val cohesion = ownD2.groupBy("grp")
+      .agg(count(lit(1)).as("n_vecs"), avg(col("d2")).as("mean_d2"))
+    val sep = cent.as("a")
+      .join(cent.as("b"),
+        col("a.i") === col("b.i") && col("a.grp") =!= col("b.grp"))
+      .groupBy(col("a.grp").as("grp"), col("b.grp").as("ogrp"))
+      .agg(sum((col("a.c") - col("b.c")) * (col("a.c") - col("b.c"))).as("cd2"))
+      .select(col("grp"), snapCol(col("cd2")).as("cd2"))
+      .groupBy("grp").agg(min(col("cd2")).as("min_other_d2"))
+    cohesion.join(sep, "grp")
+  }
+
+  /**
    * SemDeDup-style within-cluster semantic dedup (Abbas et al. 2023,
    * "SemDeDup: Data-efficient learning at web-scale through semantic
    * deduplication"): vectors are blocked by a cluster id (a k-means

@@ -190,6 +190,39 @@ object Events {
   }
 
   /**
+   * Per-user profile features — the one-row-per-user table a churn /
+   * engagement model trains on: event count, gap-based session count,
+   * distinct active days, distinct event types, first/last activity, and
+   * value total. The session count uses the same gap rule as
+   * [[sessionize]] (a session starts when the gap since the user's
+   * previous event exceeds `gapNs`), so `n_sessions` here always equals
+   * that operator's per-user session count.
+   *
+   * Scale shape: one lag window and one aggregate, both keyed user_id —
+   * Catalyst plans a single hash exchange feeding both (the window's
+   * required distribution subsumes the groupBy's). Distinct-count state
+   * per user is bounded by active-days × types, not events.
+   */
+  def userProfile(events: DataFrame, gapNs: Long = DefaultGapNs,
+      bucketNs: Long = NsPerDay): DataFrame = {
+    require(gapNs > 0 && bucketNs > 0)
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .withColumn("prev", lag("ts", 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev").isNull || col("ts") - col("prev") > gapNs, 1L).otherwise(0L))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum("new_sess").as("n_sessions"),
+        countDistinct(expr(s"ts div $bucketNs")).as("n_active_days"),
+        countDistinct(col("event_type")).as("n_types"),
+        expr(s"min(ts) div $NsPerSec").as("first_sec"),
+        expr(s"max(ts) div $NsPerSec").as("last_sec"),
+        sum(col("value")).as("sum_value"))
+  }
+
+  /**
    * Gap-based sessionization: a new session starts when a user's gap since
    * their previous event exceeds `gapNs`. Session ids number 1..n per user
    * in time order. One row per session with its span and value total.

@@ -492,6 +492,47 @@ object TextAnalysis {
    * both map-side partial; output is ≤ digits(max_freq) rows.
    */
   /**
+   * Per-slice distribution drift: the Jensen–Shannon divergence (in
+   * nats) between each group's unigram distribution P and the GLOBAL
+   * corpus distribution Q — the one-number-per-slice audit behind
+   * mixture rebalancing ("which source drifted away from the corpus it's
+   * supposed to resemble") and ingest monitoring (yesterday's snapshot
+   * vs today's). JS rather than KL because it is finite even when a
+   * slice misses tokens (KL(Q‖P) diverges on any token the slice lacks)
+   * and symmetric-bounded in [0, ln 2].
+   *
+   * The sum runs only over the slice's OWN support: for a token absent
+   * from the slice (p = 0) the JS term collapses to ½·q·ln 2, so the
+   * whole absent-token tail folds into ½·ln 2·(1 − Σ_present q) — one
+   * correction from the already-aggregated coverage, never a join
+   * against the full global vocabulary per group.
+   *
+   * Scale shape: two token aggregates (per-group and global, both
+   * map-side partial), one vocab-sized equi-join on token, two one-row
+   * broadcast totals; output is one row per group. Nothing touches the
+   * corpus twice and nothing is quadratic.
+   */
+  def corpusDivergence(docs: DataFrame, textCol: String,
+      groupCol: String): DataFrame = {
+    val pat = WhitespacePattern.replace("\\", "\\\\")
+    val t = docs.select(col(groupCol).as("grp"),
+      explode(expr(s"filter(split($textCol, '$pat'), x -> x <> '')")).as("token"))
+    val slice = t.groupBy("grp", "token").agg(count(lit(1)).as("c"))
+    val sliceTot = slice.groupBy("grp").agg(sum(col("c")).as("tg"))
+    val glob = t.groupBy("token").agg(count(lit(1)).as("cg"))
+    val globTot = glob.agg(sum(col("cg")).as("tt"))
+    val pq = slice.join(sliceTot, "grp").crossJoin(globTot).join(glob, "token")
+      .select(col("grp"),
+        (col("c").cast("double") / col("tg")).as("p"),
+        (col("cg").cast("double") / col("tt")).as("q"))
+    pq.groupBy("grp").agg(
+      count(lit(1)).as("n_types"),
+      (sum(lit(0.5) * col("p") * log(lit(2.0) * col("p") / (col("p") + col("q"))) +
+           lit(0.5) * col("q") * log(lit(2.0) * col("q") / (col("p") + col("q")))) +
+        lit(0.5) * log(lit(2.0)) * (lit(1.0) - sum(col("q")))).as("js"))
+  }
+
+  /**
    * Per-group vocabulary heavy hitters — [[vocabTopK]] partitioned by a
    * metadata column (language, source): the `k` highest-document-frequency
    * tokens per group, ranked (doc_freq desc, token asc). The per-language

@@ -58,6 +58,20 @@ final case class FunnelState(reached: Seq[Long], buffer: Seq[FunnelBuf],
   * (finite) input. */
 final case class FunnelUpdate(user_id: Long, step_ms: Seq[Long], depth: Long)
 
+/** One finalized retention contribution — output of
+  * [[EventsStream.retention]]: exactly one row per (user, active bucket),
+  * emitted once the user's cohort can no longer change. Summing rows per
+  * (cohort, bucket_offset) gives the batch twin's `n_users`. */
+final case class RetentionHit(cohort: Long, bucket_offset: Long, user_id: Long)
+
+/** Per-user retention state. Before the cohort is final: the candidate
+  * min bucket and the distinct buckets awaiting emission. After: the
+  * cohort plus the already-counted buckets still inside the watermark
+  * horizon (dedup memory — older buckets cannot re-occur). The
+  * post-finalization row is O(1): one long plus a horizon-bounded list. */
+final case class RetentionState(minBucket: Long, pending: Seq[Long],
+    counted: Seq[Long], finalized: Boolean)
+
 /** One event enriched with its trailing-window stats — output of
   * [[EventsStream.rolling]]. */
 final case class RollingOut(
@@ -305,6 +319,77 @@ object EventsStream {
             if (open.nonEmpty)
               state.setTimeoutTimestamp(math.max(open.map(_.tsMs).min, wm + 1))
           }
+          out.iterator
+      }
+  }
+
+  /**
+   * Streaming cohort retention — the unbounded twin of
+   * [[graft.ext.Events.retention]]: emits exactly ONE [[RetentionHit]]
+   * per (user, active bucket) once the user's cohort (their minimum
+   * bucket) can no longer change; `SUM(1) GROUP BY (cohort,
+   * bucket_offset)` over the output equals the batch twin's `n_users`
+   * for every reordering the watermark admits.
+   *
+   * Finalization rule: the cohort is final once the watermark STRICTLY
+   * passes the start of the candidate minimum bucket — any event that
+   * could still lower the minimum would have to carry an event time
+   * before that start, which the watermark now rejects. Until then,
+   * observed buckets queue in state; afterwards each newly observed
+   * bucket emits immediately (its offset from the now-fixed cohort is
+   * known) with a watermark-pruned dedup list guarding re-delivery: a
+   * bucket whose END the watermark has passed cannot re-occur, so the
+   * dedup memory holds at most horizon/bucket entries.
+   *
+   * State is ONE small row per distinct user, kept for the stream's
+   * lifetime — that is the semantics' inherent floor (the batch twin's
+   * first-event aggregate holds the same per-user minimum), identical in
+   * shape to what any lifetime-cohort system retains. Timeouts only
+   * drive pre-finalization wake-ups; finalized users wake on their own
+   * next event.
+   */
+  def retention(events: Dataset[StreamEvent], bucketMs: Long,
+      watermark: String = "1 hour"): Dataset[RetentionHit] = {
+    import events.sparkSession.implicits._
+    require(bucketMs > 0)
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[StreamEvent], state: GroupState[RetentionState]) =>
+          val st = state.getOption
+            .getOrElse(RetentionState(Long.MaxValue, Seq.empty, Seq.empty, finalized = false))
+          val wm = state.getCurrentWatermarkMs()
+          val fresh = batch.map(_.ts.getTime / bucketMs).toSet
+          // a counted bucket leaves dedup memory once no admissible event
+          // can map to it anymore (watermark at or past its end)
+          def prune(bs: Seq[Long]) = bs.filter(b => (b + 1) * bucketMs > wm)
+          val out: Seq[RetentionHit] =
+            if (!st.finalized) {
+              val minB = math.min(st.minBucket,
+                if (fresh.isEmpty) Long.MaxValue else fresh.min)
+              val pend = (st.pending ++ fresh).distinct
+              if (minB != Long.MaxValue && wm > minB * bucketMs) {
+                // cohort fixed: flush the queue, switch to dedup mode
+                state.update(RetentionState(minB, Seq.empty, prune(pend),
+                  finalized = true))
+                pend.sorted.map(b => RetentionHit(minB, b - minB, userId))
+              } else {
+                state.update(RetentionState(minB, pend, Seq.empty,
+                  finalized = false))
+                // wake exactly when the candidate cohort becomes final;
+                // minB*bucketMs >= wm here, so the target is legal (> wm)
+                if (minB != Long.MaxValue)
+                  state.setTimeoutTimestamp(minB * bucketMs + 1)
+                Seq.empty
+              }
+            } else {
+              // admissible events are never below the fixed cohort: their
+              // time is >= wm > cohort bucket start
+              val novel = (fresh -- st.counted).toSeq.sorted
+              state.update(st.copy(counted = prune(st.counted ++ novel)))
+              novel.map(b => RetentionHit(st.minBucket, b - st.minBucket, userId))
+            }
           out.iterator
       }
   }

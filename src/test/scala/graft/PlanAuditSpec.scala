@@ -23,6 +23,8 @@ class PlanAuditSpec extends SparkSpec {
       // 1-row grand-total aggregate crossed back over the vocab — the
       // sanctioned scalar-broadcast shape (constant keys fold away)
       "quality_unigram",
+      // same 1-row global-token-total broadcast over the slice vocab
+      "corpus_divergence",
       // knn_classify votes over ann_topk_brute's sanctioned all-pairs
       // broadcast scan; the classification layer itself is equi-join
       "knn_classify",

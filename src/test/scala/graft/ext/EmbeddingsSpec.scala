@@ -360,6 +360,26 @@ class EmbeddingsSpec extends SparkSpec {
     assert(r(4L) == ((0, 1)), "outlier predicted into the other class")
   }
 
+  test("labelCoherence: hand-computed cohesion and nearest-other separation") {
+    // label 0: (0,0),(2,0) -> centroid (1,0), each member d2 = 1
+    // label 1: (10,0),(12,0) -> centroid (11,0), each member d2 = 1
+    // label 2: (30,0) -> centroid on itself, d2 = 0
+    // separations: 0<->1 = 100, 1<->2 = 361, 0<->2 = 841
+    val pts = Seq(
+      (0L, Seq(0.0f, 0.0f), 0), (1L, Seq(2.0f, 0.0f), 0),
+      (2L, Seq(10.0f, 0.0f), 1), (3L, Seq(12.0f, 0.0f), 1),
+      (4L, Seq(30.0f, 0.0f), 2)).toDF("vec_id", "embedding", "label")
+    val r = Embeddings.labelCoherence(pts, "vec_id", "embedding", "label")
+      .collect()
+      .map(x => x.getInt(0) -> ((x.getLong(1), x.getDouble(2), x.getDouble(3))))
+      .toMap
+    assert(r.keySet == Set(0, 1, 2))
+    assert(r(0)._1 == 2L && r(1)._1 == 2L && r(2)._1 == 1L)
+    assertApprox(r(0)._2, 1.0); assertApprox(r(0)._3, 100.0)
+    assertApprox(r(1)._2, 1.0); assertApprox(r(1)._3, 100.0)
+    assertApprox(r(2)._2, 0.0); assertApprox(r(2)._3, 361.0)
+  }
+
   test("semanticDedup: larger id of an eps-close SAME-cluster pair drops; " +
       "identical cross-cluster pair survives the blocking") {
     val pts = Seq(

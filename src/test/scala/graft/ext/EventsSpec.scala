@@ -121,6 +121,31 @@ class EventsSpec extends SparkSpec {
     assert(got == Map((0L, 0L) -> 1L, (0L, 2L) -> 1L, (2L, 0L) -> 1L))
   }
 
+  test("userProfile: sessions by gap rule, distinct days/types, spans") {
+    // gap 100ns: u1 events at 5,50,300 (gap 250 > 100 -> 2 sessions),
+    // two types, buckets (div 1000) all 0 -> 1 active day; u2 single event
+    val ev = Seq(
+      (1L, 5L, 1L, "click", 1.0), (2L, 50L, 1L, "view", 2.0),
+      (3L, 300L, 1L, "click", 4.0),
+      (4L, 2500L, 2L, "click", 8.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Events.userProfile(ev, gapNs = 100L, bucketNs = 1000L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(7)))).toMap
+    assert(got(1L) == ((3L, 2L, 1L, 2L, 7.0)))
+    assert(got(2L) == ((1L, 1L, 1L, 1L, 8.0)))
+  }
+
+  test("userProfile n_sessions equals sessionize's per-user session count") {
+    val prof = Events.userProfile(events).select("user_id", "n_sessions")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sess = Events.sessionize(events).groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(prof == sess)
+  }
+
   test("lastPriorEvent plans one window exchange, no nested loop") {
     val plan = Events.lastPriorEvent(events, "purchase", "click")
       .queryExecution.executedPlan.toString

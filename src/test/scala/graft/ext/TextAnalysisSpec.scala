@@ -278,6 +278,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.sortBy(_._1).toSeq == expect.sortBy(_._1))
   }
 
+  test("corpusDivergence: zero for corpus-identical slices, hand value else") {
+    // both groups carry the global distribution -> p = q -> js = 0
+    val same = Seq((0L, "s0", "a a b"), (1L, "s1", "a a b"))
+      .toDF("doc_id", "source", "text")
+    val r0 = TextAnalysis.corpusDivergence(same, "text", "source")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assertApprox(r0("s0")._2, 0.0); assertApprox(r0("s1")._2, 0.0)
+    assert(r0("s0")._1 == 2L)
+    // disjoint vocab: slice {x}, global {x: 1/2, y: 1/2}
+    // js = 0.5*ln(4/3) + 0.25*ln(2/3) + 0.25*ln 2 = 0.75*ln(4/3)
+    val disj = Seq((0L, "s0", "x x"), (1L, "s1", "y y"))
+      .toDF("doc_id", "source", "text")
+    val r1 = TextAnalysis.corpusDivergence(disj, "text", "source")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assertApprox(r1("s0"), 0.75 * math.log(4.0 / 3.0))
+    assertApprox(r1("s1"), 0.75 * math.log(4.0 / 3.0))
+  }
+
   test("vocabTopKByGroup: per-group ranks, doc-frequency not occurrences") {
     val d = Seq(
       (0L, "en", "cat cat dog"),   // cat df only counts once per doc

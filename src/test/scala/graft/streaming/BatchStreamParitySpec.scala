@@ -152,6 +152,57 @@ class BatchStreamParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("retention: summed streaming hits equal batch cells, across slicings") {
+    val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val bucketMs = 3600000L // hourly cohorts keep the fixture small
+    def ev(u: Long, minutes: Long) =
+      StreamEvent(u, new Timestamp(base + minutes * 60000), "x", 0.0)
+    // u1: hours 0/0/2 (the repeated hour-0 event must dedup); u2: hour 2
+    // only; u3: hours 0 and 1, with the hour-0 event arriving one
+    // micro-batch AFTER the hour-1 event in slicing B — an in-watermark
+    // straggler that must still LOWER u3's cohort before finalization
+    val all = Seq(
+      ev(1, 10), ev(1, 20), ev(1, 130),
+      ev(2, 125),
+      ev(3, 100), ev(3, 45))
+    val batchDf = all.zipWithIndex.map { case (e, i) =>
+      (i.toLong, e.ts.getTime * 1000000L, e.user_id, e.event_type, e.value)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val batch = Events.retention(batchDf, bucketNs = bucketMs * 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    // slicing B watermark walk (1 h delay): after slice 1 wm≈0, after
+    // slice 2 (max minute 100) wm = minute 40 — so the minute-45
+    // straggler in slice 3 is admissible and re-opens u3's minimum,
+    // while u1's cohort finalizes by TIMEOUT + same-batch data merge
+    val slicings = Seq(
+      Seq(all),
+      Seq(Seq(all(0), all(1)), Seq(all(4)), Seq(all(5), all(2), all(3))))
+    for ((slices, si) <- slicings.zipWithIndex) {
+      val in = MemoryStream[StreamEvent]
+      val q = EventsStream.retention(in.toDS(), bucketMs)
+        .writeStream.format("memory").queryName(s"parity_retention_$si")
+        .outputMode(OutputMode.Append).start()
+      try {
+        slices.foreach { sl => in.addData(sl: _*); q.processAllAvailable() }
+        // advance the watermark far past every fixture bucket start so
+        // all cohorts finalize and flush
+        in.addData(ev(99, 24 * 60)); q.processAllAvailable()
+        in.addData(ev(99, 48 * 60)); q.processAllAvailable()
+        val rows = spark.table(s"parity_retention_$si")
+          .where($"user_id" < 99).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        assert(rows.distinct.length == rows.length,
+          s"slicing $si emitted a duplicate (user, bucket) hit: ${rows.toSeq}")
+        val cells = rows.groupBy(t => (t._1, t._2))
+          .map { case (k, v) => k -> v.length.toLong }
+        // batch cohorts are absolute buckets of epoch time; the stream's
+        // are too (same division), so cells compare directly
+        assert(cells == batch, s"slicing $si: $cells vs $batch")
+      } finally q.stop()
+    }
+  }
+
   test("funnel: last streaming update per user equals batch, across slicings") {
     val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
     def ev(u: Long, minutes: Long, tpe: String) =
