@@ -111,7 +111,16 @@ object DedupEntries {
     }),
     // winnowing fingerprint selection (MOSS; rightmost-min per window)
     "doc_winnow" -> ((s, dir) =>
-      gate(Dedup.winnow(docs(s, dir), "doc_id", "text"), "doc_id", "pos"))
+      gate(Dedup.winnow(docs(s, dir), "doc_id", "text"), "doc_id", "pos")),
+    // the composed cleaning sweep: dedup -> keep-best -> quality gate ->
+    // decontaminate, one lazy plan end to end
+    "corpus_clean" -> ((s, dir) =>
+      gate(graft.ext.Pipelines.cleanCorpus(docs(s, dir), "doc_id", "text",
+        "source", EvalSource,
+        TextEntries.QfMinTokens, TextEntries.QfMaxTokens,
+        TextEntries.QfMinAvgLen, TextEntries.QfMaxAvgLen,
+        TextEntries.QfMaxStop, TextEntries.QfMinTtr,
+        pin = _.localCheckpoint()), "doc_id"))
   )
 
   /** Within-cluster cosine threshold for the semantic-dedup contract —
@@ -399,6 +408,41 @@ object DedupEntries {
         |SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, CAST(fp AS BIGINT) AS fp
         |FROM sel ORDER BY doc_id, pos""".stripMargin
     },
+    // the groups chain + keep-best election + quality bounds + eval
+    // shingle probe, composed exactly like Pipelines.cleanCorpus
+    "corpus_clean" ->
+      (groupsChainSql + s""",
+        |tc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS score
+        |       FROM tok GROUP BY doc_id),
+        |jb AS (SELECT l.doc_id, CAST(l.rep AS BIGINT) AS group_rep, tc.score
+        |       FROM l$GroupRounds l JOIN tc USING (doc_id)),
+        |bst AS (SELECT doc_id, group_rep, score,
+        |               first_value(doc_id) OVER (PARTITION BY group_rep
+        |                 ORDER BY score DESC, doc_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS best_id
+        |        FROM jb),
+        |kept AS (SELECT doc_id, group_rep FROM bst WHERE doc_id = best_id),
+        |qst AS (SELECT doc_id,
+        |        CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |        CAST(SUM(length(token)) AS DOUBLE) / COUNT(*) AS avg_token_len,
+        |        CAST(SUM(CASE WHEN token IN ${TextEntries.inList(graft.ext.TextAnalysis.Stopwords)} THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS stopword_ratio,
+        |        CAST(COUNT(DISTINCT token) AS DOUBLE) / COUNT(*) AS ttr
+        |        FROM tok GROUP BY doc_id),
+        |qual AS (SELECT doc_id, n_tokens FROM qst
+        |         WHERE n_tokens >= ${TextEntries.QfMinTokens}
+        |           AND n_tokens <= ${TextEntries.QfMaxTokens}
+        |           AND avg_token_len >= ${TextEntries.QfMinAvgLen}
+        |           AND avg_token_len <= ${TextEntries.QfMaxAvgLen}
+        |           AND stopword_ratio <= ${TextEntries.QfMaxStop}
+        |           AND ttr >= ${TextEntries.QfMinTtr}),
+        |evs AS (SELECT DISTINCT s.sh FROM shg s JOIN documents d USING (doc_id)
+        |        WHERE d.source = '$EvalSource'),
+        |cont AS (SELECT DISTINCT s.doc_id FROM shg s JOIN evs USING (sh))
+        |SELECT q.doc_id, k.group_rep, q.n_tokens
+        |FROM qual q JOIN kept k USING (doc_id) JOIN documents d USING (doc_id)
+        |WHERE d.source <> '$EvalSource'
+        |  AND q.doc_id NOT IN (SELECT doc_id FROM cont)
+        |ORDER BY q.doc_id""".stripMargin),
     // within-label pairs only (the blocking IS the contract), exact
     // unnest cosine on candidates, drop the larger id of any pair >= eps
     "dedup_semantic" ->

@@ -109,6 +109,9 @@ object TextEntries {
     // ext: corpus-unigram log-prob quality score (perplexity proxy)
     "quality_unigram" -> ((s, dir) =>
       gate(TextAnalysis.unigramLogProb(docs(s, dir), "doc_id", "text"), "doc_id")),
+    // ext: bigram conditional log-prob (context-aware perplexity proxy)
+    "quality_bigram" -> ((s, dir) =>
+      gate(TextAnalysis.bigramLogProb(docs(s, dir), "doc_id", "text"), "doc_id")),
     // ext: per-source token-budget sampling in deterministic hash order
     "corpus_budget" -> ((s, dir) =>
       gate(TextAnalysis.budgetSample(docs(s, dir), "doc_id", "text", "source",
@@ -168,12 +171,12 @@ object TextEntries {
 
   /** Quality-filter contract bounds (calibrated against the sf0.01
     * distributions so every bound actually drops documents). */
-  private val QfMinTokens = 20L
-  private val QfMaxTokens = 100000L
-  private val QfMinAvgLen = 2.0
-  private val QfMaxAvgLen = 12.0
-  private val QfMaxStop = 0.10
-  private val QfMinTtr = 0.35
+  private[entry] val QfMinTokens = 20L
+  private[entry] val QfMaxTokens = 100000L
+  private[entry] val QfMinAvgLen = 2.0
+  private[entry] val QfMaxAvgLen = 12.0
+  private[entry] val QfMaxStop = 0.10
+  private[entry] val QfMinTtr = 0.35
 
   /** Heavy-hitter count for the vocabulary contract. */
   private val VocabK = 100
@@ -212,7 +215,7 @@ object TextEntries {
       |              CAST(COUNT(*) AS DOUBLE) AS value
       |       FROM tok GROUP BY 1, 2)""".stripMargin
 
-  private def inList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("(", ", ", ")")
+  private[entry] def inList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("(", ", ", ")")
 
   private val langScores = TextAnalysis.LangMarkers.map { case (lang, markers) =>
     s"CAST(SUM(CASE WHEN token IN ${inList(markers)} THEN 1 ELSE 0 END) AS BIGINT) AS score_$lang"
@@ -427,6 +430,23 @@ object TextEntries {
         |       ${r6sql("AVG(lp)")} AS avg_logprob,
         |       ${r6sql("MIN(lp)")} AS min_logprob
         |FROM tok JOIN lp USING (token)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    // bigram adjacency: lead() over pos order AFTER the empty-token
+    // filter matches the Spark side's filtered-array adjacency exactly
+    "quality_bigram" ->
+      (tokSql + s""",
+        |t2 AS (SELECT doc_id, token AS w1,
+        |              lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |       FROM tok),
+        |bg AS (SELECT doc_id, w1, w2 FROM t2 WHERE w2 IS NOT NULL),
+        |bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb FROM bg GROUP BY 1, 2),
+        |pc AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS cp FROM bc GROUP BY 1),
+        |lp AS (SELECT w1, w2, ln(CAST(cb AS DOUBLE) / CAST(cp AS DOUBLE)) AS lp
+        |       FROM bc JOIN pc USING (w1))
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |       ${r6sql("AVG(lp)")} AS avg_logprob,
+        |       ${r6sql("MIN(lp)")} AS min_logprob
+        |FROM bg JOIN lp USING (w1, w2)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     // digit-count bucketing is exact integer/string arithmetic — no
     // float log10 anywhere, so the decades cannot misbucket

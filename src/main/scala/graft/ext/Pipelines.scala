@@ -1,0 +1,75 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Composed end-to-end corpus pipelines: each stage is one of the
+ * already-tested primitives, glued in the order a production
+ * training-data sweep runs them. The value of the composition is that
+ * every intermediate stays a lazy DataFrame — Catalyst sees the WHOLE
+ * pipeline as one plan, so column pruning and predicate pushdown cross
+ * stage boundaries (e.g. the quality gate's doc_id semi-join prunes the
+ * contamination scan's inputs).
+ */
+object Pipelines {
+
+  /**
+   * The standard cleaning sweep over a raw document corpus, in one call:
+   *
+   *   1. NEAR-DUP DEDUP over the full corpus — MinHash/LSH pairs
+   *      ([[Dedup.minHashDups]]), min-label grouping
+   *      ([[Dedup.dupGroups]]), then keep the highest-token-count member
+   *      of each duplicate cluster ([[Dedup.keepBest]], ties → min id).
+   *      Dedup runs FIRST (on everything) so a near-dup cluster
+   *      straddling the quality threshold still elects its best member,
+   *      not an arbitrary survivor of a pre-filter.
+   *   2. QUALITY GATE — [[TextAnalysis.qualityFilter]] bounds on token
+   *      count, mean token length, stopword ratio, and type-token ratio.
+   *   3. DECONTAMINATION — drop any document sharing a word trigram with
+   *      the held-out eval slice ([[Dedup.contamination]] with
+   *      hit_shingles > 0), and the eval slice itself.
+   *
+   * Returns the clean corpus as (doc_id, group_rep, n_tokens) — the
+   * surviving representative documents with their duplicate-cluster ids
+   * and sizes in tokens, ready to join back to the full rows for export.
+   *
+   * `pin` is the caller-owned caching hook (same convention as
+   * [[Dedup.dupGroups]]'s contract): the near-dup pair list is consumed
+   * once per grouping round, so callers should pass
+   * `_.localCheckpoint()` or `_.persist()` for real corpora.
+   *
+   * Scale shape: nothing beyond the primitives' own shapes — banded
+   * equi-join candidates, label propagation, broadcast eval-shingle
+   * probe; the glue is two semi/anti joins and one inner join, all on
+   * the fixed-width doc_id key.
+   */
+  def cleanCorpus(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, evalSource: String,
+      minTokens: Long = 10, maxTokens: Long = 100000,
+      minAvgTokenLen: Double = 2.0, maxAvgTokenLen: Double = 12.0,
+      maxStopwordRatio: Double = 0.6, minTtr: Double = 0.2,
+      pin: DataFrame => DataFrame = identity): DataFrame = {
+    val pairs = pin(Dedup.minHashDups(docs, idCol, textCol)
+      .select("doc0", "doc1"))
+    val groups = Dedup.dupGroups(docs, pairs, idCol)
+    val scores = TextAnalysis.tokenCounts(docs, idCol, textCol)
+    val elected = Dedup.keepBest(groups, scores, "doc_id", "ws_tokens")
+      .where(col("kept") === 1L)
+      .select(col("doc_id"), col("group_rep"))
+    val quality = TextAnalysis.qualityFilter(docs, idCol, textCol,
+        minTokens, maxTokens, minAvgTokenLen, maxAvgTokenLen,
+        maxStopwordRatio, minTtr)
+      .select(col("doc_id"), col("n_tokens"))
+    val train = docs.where(col(sourceCol) =!= evalSource)
+    val evalDocs = docs.where(col(sourceCol) === evalSource)
+    val contaminated = Dedup.contamination(train, evalDocs, idCol, textCol)
+      .where(col("hit_shingles") > 0)
+      .select(col("doc_id"))
+    quality
+      .join(elected, "doc_id")
+      .join(train.select(col(idCol).as("doc_id")), Seq("doc_id"), "left_semi")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("group_rep"), col("n_tokens"))
+  }
+}

@@ -492,6 +492,44 @@ object TextAnalysis {
    * both map-side partial; output is ≤ digits(max_freq) rows.
    */
   /**
+   * Per-document bigram conditional log-probability — the context-aware
+   * upgrade of [[unigramLogProb]] (the standard perplexity-style quality
+   * filter, reduced to its relational core): each document is scored by
+   * the mean and min of ln P(w₂|w₁) under the corpus's own MLE bigram
+   * model, P(w₂|w₁) = c(w₁w₂) / Σ_w c(w₁w). Word salad that sails past a
+   * unigram filter (common words, impossible transitions) scores low
+   * here. Self-scoring the training corpus means every observed bigram
+   * has count ≥ 1, so the MLE needs no smoothing and no OOV branch.
+   * Documents with fewer than two tokens have no bigrams and are absent.
+   *
+   * Scale shape: bigram extraction is row-local (array HOFs); the model
+   * is two map-side-partial aggregates (bigram counts, then prefix
+   * totals off the already-aggregated bigram table — never a second
+   * corpus pass); scoring is one vocab-sized equi-join back to the
+   * bigram stream plus one doc-keyed aggregate. Nothing quadratic, no
+   * driver action.
+   */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val pairs =
+      "transform(sequence(1, size(t) - 1), " +
+        "i -> named_struct('w1', element_at(t, i), 'w2', element_at(t, i + 1)))"
+    val big = tokenArray(docs, idCol, textCol)
+      .where(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(pairs)).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bc = big.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val pc = bc.groupBy("w1").agg(sum(col("cb")).as("cp"))
+    val lp = bc.join(pc, "w1")
+      .select(col("w1"), col("w2"),
+        log(col("cb").cast("double") / col("cp").cast("double")).as("lp"))
+    big.join(lp, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(col("lp")).as("avg_logprob"),
+        min(col("lp")).as("min_logprob"))
+  }
+
+  /**
    * Per-slice distribution drift: the Jensen–Shannon divergence (in
    * nats) between each group's unigram distribution P and the GLOBAL
    * corpus distribution Q — the one-number-per-slice audit behind

@@ -357,6 +357,28 @@ class DedupSpec extends SparkSpec {
     assert(fp1.intersect(fp2).nonEmpty, s"no shared fingerprint: $fp1 vs $fp2")
   }
 
+  test("cleanCorpus: dedup keeps best, quality and contamination drop") {
+    // cluster {0,1}: near-dups, 1 is longer -> elected; 2: clean
+    // singleton; 3: too short for the quality gate; 4: the eval slice;
+    // 5: shares the trigram "secret eval question" with the eval doc
+    val d = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta", "train"),
+      (1L, "alpha beta gamma delta epsilon zeta eta", "train"),
+      (2L, "one two three four five six seven", "train"),
+      (3L, "tiny doc", "train"),
+      (4L, "secret eval question answer here now", "eval"),
+      (5L, "prefix words then secret eval question trailing tokens", "train")
+    ).toDF("doc_id", "text", "source")
+    val r = Pipelines.cleanCorpus(d, "doc_id", "text", "source", "eval",
+        minTokens = 3, maxStopwordRatio = 1.0, minTtr = 0.0)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r.keySet == Set(1L, 2L),
+      s"kept ${r.keySet}: longer near-dup elected, clean singleton kept; " +
+        "short/contaminated/eval docs dropped")
+    assert(r(1L) == ((0L, 7L)), "cluster rep is min id 0; 7 tokens")
+    assert(r(2L) == ((2L, 7L)))
+  }
+
   test("sourceLeakageMatrix: unordered source pairs, counts and mean jaccard") {
     val pairs = Seq(
       (1L, 2L, 1.0),   // A-B

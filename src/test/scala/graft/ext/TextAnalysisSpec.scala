@@ -278,6 +278,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.sortBy(_._1).toSeq == expect.sortBy(_._1))
   }
 
+  test("bigramLogProb: MLE conditional scores, short docs absent") {
+    // corpus bigrams: (a,b)x3 [doc 0 once, doc 2 twice], (a,c)x1, (b,a)x1
+    // prefix totals: a->4, b->1
+    // lp(a,b)=ln(3/4), lp(a,c)=ln(1/4), lp(b,a)=ln(1/1)=0
+    val d = Seq(
+      (0L, "a b"), (1L, "a c"), (2L, "a b a b"), (3L, "solo")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.bigramLogProb(d, "doc_id", "text")
+      .collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2), x.getDouble(3))))
+      .toMap
+    assert(r.keySet == Set(0L, 1L, 2L), "one-token doc has no bigrams")
+    val ln34 = math.log(3.0 / 4.0)
+    assert(r(0L)._1 == 1L); assertApprox(r(0L)._2, ln34)
+    assert(r(1L)._1 == 1L); assertApprox(r(1L)._2, math.log(0.25))
+    assert(r(2L)._1 == 3L)
+    assertApprox(r(2L)._2, (2 * ln34 + 0.0) / 3.0)
+    assertApprox(r(2L)._3, ln34) // min over {ln34, 0, ln34}
+  }
+
   test("corpusDivergence: zero for corpus-identical slices, hand value else") {
     // both groups carry the global distribution -> p = q -> js = 0
     val same = Seq((0L, "s0", "a a b"), (1L, "s1", "a a b"))
