@@ -112,6 +112,12 @@ object DedupEntries {
     // winnowing fingerprint selection (MOSS; rightmost-min per window)
     "doc_winnow" -> ((s, dir) =>
       gate(Dedup.winnow(docs(s, dir), "doc_id", "text"), "doc_id", "pos")),
+    // banding recall curve vs exact jaccard (the dedup self-audit);
+    // 0.05 floor reaches below the banding's reliable zone on purpose —
+    // the LOW buckets' droop is the measurement
+    "dedup_recall" -> ((s, dir) =>
+      gate(Dedup.minHashRecallAudit(docs(s, dir), "doc_id", "text",
+        minJaccard = RecallFloor, pin = _.localCheckpoint()), "bucket")),
     // the composed cleaning sweep: dedup -> keep-best -> quality gate ->
     // decontaminate, one lazy plan end to end
     "corpus_clean" -> ((s, dir) =>
@@ -130,6 +136,10 @@ object DedupEntries {
 
   /** Label-propagation rounds for the contract grouping run. */
   private val GroupRounds = 4
+
+  /** Exact-jaccard floor of the banding recall audit — deliberately below
+    * the banding's reliable zone so the curve shows the low-j droop. */
+  private val RecallFloor = 0.05
 
   /** Span width (tokens) for the repeated-span contract: long enough that
     * only the planted near-duplicates share windows (47 docs at sf0.01),
@@ -408,6 +418,24 @@ object DedupEntries {
         |SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, CAST(fp AS BIGINT) AS fp
         |FROM sel ORDER BY doc_id, pos""".stripMargin
     },
+    // exact pairs decile-bucketed on the SNAPPED jaccard (identical
+    // float ops both engines), left-joined to the banded candidates
+    "dedup_recall" ->
+      (shingleSql + s""",
+        |sig AS (SELECT doc_id, $sigSelect FROM shg GROUP BY doc_id),
+        |bands AS ($bandsSql),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc0, b.doc_id AS doc1
+        |         FROM bands a JOIN bands b
+        |           ON a.band = b.band AND a.sigv = b.sigv AND a.doc_id < b.doc_id),
+        |ex AS (SELECT doc0, doc1, ${r6sql("jaccard")} AS sj FROM jac
+        |       WHERE jaccard >= $RecallFloor),
+        |fl AS (SELECT least(CAST(floor(sj * 10.0) AS BIGINT), 9) AS bucket,
+        |              CASE WHEN c.doc0 IS NULL THEN 0 ELSE 1 END AS found
+        |       FROM ex LEFT JOIN cand c USING (doc0, doc1))
+        |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |       CAST(SUM(found) AS BIGINT) AS n_found,
+        |       ${r6sql("CAST(SUM(found) AS DOUBLE) / COUNT(*)")} AS recall
+        |FROM fl GROUP BY bucket ORDER BY bucket""".stripMargin),
     // the groups chain + keep-best election + quality bounds + eval
     // shingle probe, composed exactly like Pipelines.cleanCorpus
     "corpus_clean" ->

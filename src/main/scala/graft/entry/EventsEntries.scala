@@ -65,6 +65,10 @@ object EventsEntries {
     // one-row-per-user engagement feature table
     "events_user_profile" -> ((s, dir) =>
       gate(Events.userProfile(Events.read(s, dir)), "user_id")),
+    // hourly volume z-scores per event type (ops anomaly monitor)
+    "events_anomaly" -> ((s, dir) =>
+      gate(Events.hourlyAnomaly(Events.read(s, dir)),
+        "hour_start_sec", "event_type")),
     "multimodal_meta" -> ((s, dir) =>
       gate(Multimodal.metadata(docs(s, dir), "doc_id", "text"), "doc_id")),
     // frame sampling ahead of decode: 16-char frames, every 4th kept.
@@ -166,6 +170,20 @@ object EventsEntries {
         |LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
         |LEFT JOIN s3 USING (user_id)
         |ORDER BY user_id""".stripMargin,
+    // stddev_pop on both engines; zero-variance types filtered the same
+    "events_anomaly" ->
+      s"""WITH ev AS (SELECT epoch_ns(ts) AS tns, event_type FROM events),
+        |cells AS (SELECT (tns // $nsHour) * 3600 AS hour_start_sec, event_type,
+        |                 CAST(COUNT(*) AS BIGINT) AS n_events
+        |          FROM ev GROUP BY 1, 2),
+        |dist AS (SELECT event_type, AVG(CAST(n_events AS DOUBLE)) AS mean_n,
+        |                stddev_pop(CAST(n_events AS DOUBLE)) AS std_n
+        |         FROM cells GROUP BY 1)
+        |SELECT hour_start_sec, event_type, n_events,
+        |       ${r6sql("(CAST(n_events AS DOUBLE) - mean_n) / std_n")} AS z
+        |FROM cells JOIN dist USING (event_type)
+        |WHERE std_n > 0.0
+        |ORDER BY hour_start_sec, event_type""".stripMargin,
     "events_user_profile" ->
       s"""WITH ev AS (SELECT epoch_ns(ts) AS tns, user_id, event_id, event_type, value
         |            FROM events),

@@ -128,6 +128,10 @@ object TextEntries {
     "vocab_topk_by_lang" -> ((s, dir) =>
       gate(TextAnalysis.vocabTopKByGroup(docs(s, dir), "doc_id", "text",
         "lang", VocabLangK), "grp", "rank")),
+    // ext: quality-signal correlation matrix (gate calibration)
+    "quality_corr" -> ((s, dir) =>
+      gate(TextAnalysis.signalCorrelation(docs(s, dir), "doc_id", "text"),
+        "sig_x", "sig_y")),
     // ext: per-source JS divergence vs the global unigram distribution
     "corpus_divergence" -> ((s, dir) =>
       gate(TextAnalysis.corpusDivergence(docs(s, dir), "text", "source"),
@@ -502,6 +506,38 @@ object TextEntries {
         |       COALESCE(n_types, 0) AS n_types, ${r6sql("avg_chars")} AS avg_chars
         |FROM tot LEFT JOIN ty USING (lang, source)
         |ORDER BY lang, source""".stripMargin,
+    // same explicit-sums formula as the Spark side (n·Σxy − Σx·Σy over
+    // sqrt of the variance product) — identical IEEE op sequence; the
+    // 1e-6 snap absorbs partial-aggregation ulps in the sums
+    "quality_corr" -> {
+      val corrSigs = Seq("n_tokens", "avg_token_len", "stopword_ratio", "ttr")
+      val corrPairs = for {
+        i <- corrSigs.indices; j <- (i + 1) until corrSigs.size
+      } yield (corrSigs(i), corrSigs(j))
+      def pairRow(x: String, y: String) = {
+        val cov = s"(n * sp_${x}__$y - s_$x * s_$y)"
+        val vx = s"(n * ss_$x - s_$x * s_$x)"
+        val vy = s"(n * ss_$y - s_$y * s_$y)"
+        s"""SELECT '$x' AS sig_x, '$y' AS sig_y,
+          |       CASE WHEN $vx > 0.0 AND $vy > 0.0
+          |            THEN ${r6sql(s"$cov / sqrt($vx * $vy)")} END AS r
+          |FROM agg""".stripMargin
+      }
+      tokSql + s""",
+        |st AS (SELECT doc_id,
+        |       CAST(COUNT(*) AS DOUBLE) AS n_tokens,
+        |       CAST(SUM(length(token)) AS DOUBLE) / COUNT(*) AS avg_token_len,
+        |       CAST(SUM(CASE WHEN token IN ${inList(TextAnalysis.Stopwords)} THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS stopword_ratio,
+        |       CAST(COUNT(DISTINCT token) AS DOUBLE) / COUNT(*) AS ttr
+        |       FROM tok GROUP BY doc_id),
+        |agg AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |${corrSigs.map(s => s"        SUM($s) AS s_$s, SUM($s * $s) AS ss_$s").mkString(",\n")},
+        |${corrPairs.map { case (x, y) => s"        SUM($x * $y) AS sp_${x}__$y" }.mkString(",\n")}
+        |        FROM st)
+        |SELECT sig_x, sig_y, r FROM (
+        |${corrPairs.map { case (x, y) => pairRow(x, y) }.mkString("\nUNION ALL\n")}
+        |) WHERE r IS NOT NULL ORDER BY sig_x, sig_y""".stripMargin
+    },
     // same formula as the Spark side: present-support JS terms plus the
     // absent-token tail folded into 0.5*ln(2)*(1 - covered q mass)
     "corpus_divergence" ->

@@ -330,6 +330,48 @@ object Dedup {
   }
 
   /**
+   * MinHash banding recall audit — the dedup analogue of the ANN
+   * family's recall@k self-check ("measure, don't guess"): every exact
+   * n-gram-Jaccard pair at `minJaccard` is bucketed by Jaccard decile
+   * and scored by whether the banded LSH candidate generator
+   * ([[minHashCandidates]], 8 bands × 2 rows) recovered it. The output
+   * is the measured recall curve to hold against the theoretical
+   * 1-(1-j²)⁸ — a drooping low-j bucket is the signal to rebalance
+   * band/row counts BEFORE a production corpus silently under-dedups.
+   *
+   * Returns (bucket, n_pairs, n_found, recall): bucket is
+   * floor(snapped jaccard · 10) clamped to 9, so 0.2 ≤ j < 0.3 lands in
+   * bucket 2 and exact duplicates (j = 1) join bucket 9.
+   *
+   * Scale shape: the exact side is [[jaccardPairs]]' bounded
+   * shared-shingle kernel (this audit is for calibration corpora — at
+   * full production scale, sample first); the LSH side is the standard
+   * banded equi-join; the comparison is one result-sized left join and
+   * one ≤10-row aggregate. The shingle table feeds both sides — pass
+   * `pin = _.localCheckpoint()` (caller-owned caching, the
+   * [[dupGroups]] convention) to avoid shingling the corpus twice.
+   */
+  def minHashRecallAudit(docs: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double = 0.2,
+      pin: DataFrame => DataFrame = identity): DataFrame = {
+    val sh = pin(shingles(docs, idCol, textCol))
+    val exact = jaccardPairs(sh).where(col("jaccard") >= minJaccard)
+    val cand = minHashCandidates(minHashSignatures(sh))
+      .withColumn("found", lit(1L))
+    // same biased 1e-6 snap as EntryUtil.gate, so the decile boundary
+    // arithmetic is bit-identical across engines
+    val snapped = floor(col("jaccard") * lit(1e6) + lit(0.50001)) / lit(1e6)
+    exact.join(cand, Seq("doc0", "doc1"), "left")
+      .select(
+        least(floor(snapped * lit(10.0)).cast("long"), lit(9L)).as("bucket"),
+        coalesce(col("found"), lit(0L)).as("found"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("found")).as("n_found"))
+      .withColumn("recall",
+        col("n_found").cast("double") / col("n_pairs").cast("double"))
+  }
+
+  /**
    * Exact shingle Jaccard restricted to the given (doc0, doc1) pairs —
    * the candidate-verification kernel. Cost is bounded by
    * |pairs| · shingles-per-doc (two id equi-joins + one aggregate), never

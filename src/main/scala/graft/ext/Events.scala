@@ -45,6 +45,31 @@ object Events {
         avg(col("value")).as("avg_value"))
 
   /**
+   * Hourly volume anomaly scores — the ops-monitoring read on top of
+   * [[hourly]]: each (hour, event_type) cell's event count is z-scored
+   * against that SAME type's across-hours distribution (population
+   * stddev), so a traffic spike, an outage hour, or a broken producer
+   * surfaces as |z| ≫ 0 without any per-type threshold tuning. Types
+   * with zero count variance carry no anomaly signal and are absent
+   * (also keeps the output NULL-free for the driver's hash compare).
+   *
+   * Scale shape: the hourly aggregate (map-side partial), a per-type
+   * aggregate of the CELLS table (hours-sized, model-small), and one
+   * broadcast-sized join back — the corpus is read once; nothing keyed
+   * finer than (hour, type).
+   */
+  def hourlyAnomaly(events: DataFrame): DataFrame = {
+    val cells = hourly(events).select("hour_start_sec", "event_type", "n_events")
+    val dist = cells.groupBy("event_type")
+      .agg(avg(col("n_events").cast("double")).as("mean_n"),
+        stddev_pop(col("n_events").cast("double")).as("std_n"))
+      .where(col("std_n") > 0.0)
+    cells.join(dist, "event_type")
+      .select(col("hour_start_sec"), col("event_type"), col("n_events"),
+        ((col("n_events").cast("double") - col("mean_n")) / col("std_n")).as("z"))
+  }
+
+  /**
    * Backward as-of join within the event stream: each `probeType` event
    * is matched to the most recent `refType` event of the SAME user at or
    * before its timestamp — the temporal-enrichment primitive ("which

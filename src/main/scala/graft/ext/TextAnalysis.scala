@@ -492,6 +492,51 @@ object TextAnalysis {
    * both map-side partial; output is ≤ digits(max_freq) rows.
    */
   /**
+   * Pairwise Pearson correlation between the per-document quality
+   * signals ([[stats]]: token count, mean token length, stopword ratio,
+   * type-token ratio) — the calibration table read before composing a
+   * quality gate: two signals correlating at |r| ≈ 1 are redundant (one
+   * threshold suffices), and a signal uncorrelated with all others is
+   * either an independent axis worth keeping or noise worth
+   * investigating. One row per unordered signal pair.
+   *
+   * Scale shape: [[stats]] is a zero-exchange map stage; all sums fold
+   * into ONE single-pass aggregate (map-side partial); the pair table is
+   * built by exploding the 1-row result — six rows, no second corpus
+   * pass, no driver action. The correlation is assembled from explicit
+   * sums (n·Σxy − Σx·Σy over the root of the variance product) rather
+   * than a co-moment `corr` aggregate, for two reasons: a constant
+   * signal must yield an ABSENT row, not an ANSI divide-by-zero, and
+   * the identical operation sequence is what lets the DuckDB oracle
+   * match bit-for-bit.
+   */
+  def signalCorrelation(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sigs = Seq("n_tokens", "avg_token_len", "stopword_ratio", "ttr")
+    val pairs = for {
+      i <- sigs.indices; j <- (i + 1) until sigs.size
+    } yield (sigs(i), sigs(j))
+    val st = stats(docs, idCol, textCol)
+      .select(sigs.map(s => col(s).cast("double").as(s)): _*)
+    val aggExprs =
+      sigs.map(s => sum(col(s)).as(s"s_$s")) ++
+        sigs.map(s => sum(col(s) * col(s)).as(s"ss_$s")) ++
+        pairs.map { case (x, y) => sum(col(x) * col(y)).as(s"sp_${x}__$y") } :+
+        count(lit(1)).cast("double").as("n")
+    st.agg(aggExprs.head, aggExprs.tail: _*)
+      .select(explode(array(pairs.map { case (x, y) =>
+        val cov = col("n") * col(s"sp_${x}__$y") - col(s"s_$x") * col(s"s_$y")
+        val vx = col("n") * col(s"ss_$x") - col(s"s_$x") * col(s"s_$x")
+        val vy = col("n") * col(s"ss_$y") - col(s"s_$y") * col(s"s_$y")
+        struct(lit(x).as("sig_x"), lit(y).as("sig_y"),
+          when(vx > 0.0 && vy > 0.0, cov / sqrt(vx * vy))
+            .otherwise(lit(null).cast("double")).as("r"))
+      }: _*)).as("p"))
+      .select(col("p.sig_x").as("sig_x"), col("p.sig_y").as("sig_y"),
+        col("p.r").as("r"))
+      .where(col("r").isNotNull)
+  }
+
+  /**
    * Per-document bigram conditional log-probability — the context-aware
    * upgrade of [[unigramLogProb]] (the standard perplexity-style quality
    * filter, reduced to its relational core): each document is scored by

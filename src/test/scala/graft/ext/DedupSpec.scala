@@ -60,6 +60,19 @@ class DedupSpec extends SparkSpec {
     assert(j == 0L, "jaccard at the standard threshold must miss the subset dup")
   }
 
+  test("minHashRecallAudit: snapped-decile buckets, full recall here") {
+    // (0,1) identical -> j=1.0 -> bucket 9; (0,2),(1,2) share 5 of 11
+    // trigrams -> j=5/11≈0.4545 -> bucket 4; identical docs share every
+    // band and the near-dups collide too (pinned by the LSH test below)
+    val r = Dedup.minHashRecallAudit(docs, "doc_id", "text")
+      .collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3))))
+      .toMap
+    assert(r.keySet == Set(4L, 9L))
+    assert(r(9L) == ((1L, 1L, 1.0)))
+    assert(r(4L) == ((2L, 2L, 1.0)))
+  }
+
   test("minhash LSH finds the same dups as exact jaccard here") {
     val lsh = Dedup.minHashDups(docs, "doc_id", "text", minJaccard = 0.2)
       .select("doc0", "doc1").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -121,6 +121,28 @@ class EventsSpec extends SparkSpec {
     assert(got == Map((0L, 0L) -> 1L, (0L, 2L) -> 1L, (2L, 0L) -> 1L))
   }
 
+  test("hourlyAnomaly: z vs own-type distribution; constant type absent") {
+    // type "a" counts per hour: 1, 1, 4 -> mean 2, std_pop sqrt(2)
+    // type "b" counts 1, 1 -> zero variance -> filtered out
+    val h = 3600L * Events.NsPerSec
+    val ev = Seq(
+      (1L, 0L * h, 1L, "a", 0.0),
+      (2L, 1L * h, 1L, "a", 0.0),
+      (3L, 2L * h, 1L, "a", 0.0), (4L, 2L * h + 5, 2L, "a", 0.0),
+      (5L, 2L * h + 6, 2L, "a", 0.0), (6L, 2L * h + 7, 2L, "a", 0.0),
+      (7L, 0L * h, 1L, "b", 0.0), (8L, 1L * h, 1L, "b", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Events.hourlyAnomaly(ev).collect()
+      .map(x => (x.getLong(0), x.getString(1)) -> ((x.getLong(2), x.getDouble(3))))
+      .toMap
+    assert(r.keySet.forall(_._2 == "a"), "zero-variance type b absent")
+    val s = math.sqrt(2.0)
+    assertApprox(r((0L, "a"))._2, -1.0 / s)
+    assertApprox(r((3600L, "a"))._2, -1.0 / s)
+    assertApprox(r((7200L, "a"))._2, 2.0 / s)
+    assert(r((7200L, "a"))._1 == 4L)
+  }
+
   test("userProfile: sessions by gap rule, distinct days/types, spans") {
     // gap 100ns: u1 events at 5,50,300 (gap 250 > 100 -> 2 sessions),
     // two types, buckets (div 1000) all 0 -> 1 active day; u2 single event

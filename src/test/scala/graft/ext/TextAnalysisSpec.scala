@@ -278,6 +278,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.sortBy(_._1).toSeq == expect.sortBy(_._1))
   }
 
+  test("signalCorrelation: constant signals absent; linear pair at r = -1") {
+    // ttr = 1.25 - 0.125 * n_tokens across the fixture -> r exactly -1;
+    // avg_token_len (all 1.0) and stopword_ratio (all 0.5) are constant,
+    // so every pair touching them is absent instead of divide-by-zero
+    val d = Seq((0L, "a b"), (1L, "a a b c"), (2L, "a a a b b c"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.signalCorrelation(d, "doc_id", "text").collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getDouble(2)).toMap
+    assert(r.keySet == Set(("n_tokens", "ttr")))
+    assertApprox(r(("n_tokens", "ttr")), -1.0)
+  }
+
   test("bigramLogProb: MLE conditional scores, short docs absent") {
     // corpus bigrams: (a,b)x3 [doc 0 once, doc 2 twice], (a,c)x1, (b,a)x1
     // prefix totals: a->4, b->1
