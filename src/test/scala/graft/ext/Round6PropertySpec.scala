@@ -148,6 +148,91 @@ class Round6PropertySpec extends SparkSpec {
     }
   }
 
+  test("containment dominates jaccard and stays in (0, 1] on random corpora") {
+    val word = Gen.oneOf("aa", "bb", "cc", "dd")
+    val doc = Gen.chooseNum(3, 10).flatMap(len => Gen.listOfN(len, word))
+    val corpus = Gen.chooseNum(2, 5).flatMap(k => Gen.listOfN(k, doc))
+    forAllSampled(corpus, n = 20) { docsList =>
+      val df = docsList.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val jac = Dedup.jaccardPairs(Dedup.shingles(df, "doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val con = Dedup.containmentDups(df, "doc_id", "text", minContainment = 0.0)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(con.keySet == jac.keySet,
+        "same bounded pair generator must yield the same pair set")
+      for ((k, c) <- con) {
+        assert(c > 0.0 && c <= 1.0 + 1e-12)
+        assert(c >= jac(k) - 1e-12,
+          s"containment $c below jaccard ${jac(k)} for $k")
+      }
+    }
+  }
+
+  test("corpusDivergence: zero for a lone slice, bounded by ln 2 always") {
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee")
+    val doc = Gen.chooseNum(1, 8).flatMap(len => Gen.listOfN(len, word))
+    val grouped = Gen.chooseNum(1, 6).flatMap(k => Gen.listOfN(k,
+      Gen.zip(Gen.oneOf("s0", "s1", "s2"), doc)))
+    forAllSampled(grouped, n = 20) { docsList =>
+      val df = docsList.zipWithIndex
+        .map { case ((src, ws), i) => (i.toLong, src, ws.mkString(" ")) }
+        .toDF("doc_id", "source", "text")
+      val r = TextAnalysis.corpusDivergence(df, "text", "source")
+        .collect().map(x => x.getString(0) -> x.getDouble(2)).toMap
+      val ln2 = math.log(2.0)
+      for ((_, js) <- r) assert(js >= -1e-9 && js <= ln2 + 1e-9, s"js $js")
+      if (r.size == 1)
+        // a single slice IS the global distribution
+        assertApprox(r.values.head, 0.0)
+    }
+  }
+
+  test("bigramLogProb: non-positive scores, n_bigrams = tokens - 1") {
+    val word = Gen.oneOf("aa", "bb", "cc")
+    val doc = Gen.chooseNum(0, 8).flatMap(len => Gen.listOfN(len, word))
+    val corpus = Gen.chooseNum(1, 5).flatMap(k => Gen.listOfN(k, doc))
+    forAllSampled(corpus, n = 20) { docsList =>
+      val df = docsList.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val r = TextAnalysis.bigramLogProb(df, "doc_id", "text").collect()
+        .map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2), x.getDouble(3))))
+        .toMap
+      for ((ws, i) <- docsList.zipWithIndex) {
+        if (ws.length >= 2) {
+          val (nb, avgLp, minLp) = r(i.toLong)
+          assert(nb == ws.length - 1)
+          assert(avgLp <= 1e-12 && minLp <= 1e-12, "MLE log-probs are <= 0")
+          assert(minLp <= avgLp + 1e-12)
+        } else assert(!r.contains(i.toLong), "short docs absent")
+      }
+    }
+  }
+
+  test("retention matches an in-memory reference fold on random event sets") {
+    val ev = Gen.zip(Gen.chooseNum(1L, 4L), Gen.chooseNum(0L, 49L))
+    val gen = Gen.chooseNum(1, 20).flatMap(n => Gen.listOfN(n, ev))
+    val bucket = 10L
+    forAllSampled(gen, n = 25) { events =>
+      val df = events.zipWithIndex
+        .map { case ((u, ts), i) => (i.toLong, ts, u, "x", 0.0) }
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+      val got = Events.retention(df, bucketNs = bucket).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val byUser = events.groupBy(_._1).view.mapValues(_.map(_._2 / bucket))
+      val expect = byUser.toSeq
+        .flatMap { case (u, bs) => bs.distinct.map(b => (bs.min, b - bs.min, u)) }
+        .groupBy(t => (t._1, t._2)).view
+        .mapValues(_.map(_._3).distinct.size.toLong).toMap
+      assert(got == expect, s"$got vs $expect")
+      // every cohort's offset-0 cell counts exactly its members
+      for (((c, off), n) <- got if off == 0L)
+        assert(n == byUser.count { case (_, bs) => bs.min == c })
+    }
+  }
+
   test("corpusDiff matches a reference classification on random snapshots") {
     val doc = Gen.zip(Gen.chooseNum(0L, 9L), Gen.oneOf("x", "y", "z"))
     val snap = Gen.chooseNum(0, 8).flatMap(n => Gen.listOfN(n, doc))
