@@ -106,6 +106,10 @@ object TextEntries {
     // ext: deterministic shard + within-shard position export order
     "export_shards" -> ((s, dir) =>
       gate(Export.shardAssign(docs(s, dir), "doc_id", ExportShards), "doc_id")),
+    // ext: per-shard integrity manifest (counts + portable checksum)
+    "export_manifest" -> ((s, dir) =>
+      gate(Export.shardManifest(docs(s, dir), "doc_id", "text", ExportShards),
+        "shard")),
     // ext: corpus-unigram log-prob quality score (perplexity proxy)
     "quality_unigram" -> ((s, dir) =>
       gate(TextAnalysis.unigramLogProb(docs(s, dir), "doc_id", "text"), "doc_id")),
@@ -421,6 +425,23 @@ object TextEntries {
         |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
         |       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
         |FROM a ORDER BY doc_id""".stripMargin
+    },
+    // shard hash + rolling-hash fingerprints, folded to one row per
+    // shard; token-less docs contribute checksum 0 via the LEFT JOIN
+    "export_manifest" -> {
+      val mix = Export.mixBucketSql("doc_id", Int.MaxValue, 0L)
+      tokSql + s""",
+        |terms AS (SELECT doc_id, ${TextHash.fingerprintTerm("pos", "token")} AS term FROM tok),
+        |fp AS (SELECT doc_id, CAST(SUM(term) % ${TextHash.M} AS BIGINT) AS fingerprint
+        |       FROM terms GROUP BY doc_id),
+        |a AS (SELECT doc_id, ($mix) % $ExportShards AS shard, length(text) AS nc
+        |      FROM documents)
+        |SELECT CAST(a.shard AS BIGINT) AS shard,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(a.nc) AS BIGINT) AS n_chars,
+        |       CAST(SUM(COALESCE(fp.fingerprint, 0)) AS BIGINT) AS checksum
+        |FROM a LEFT JOIN fp USING (doc_id)
+        |GROUP BY a.shard ORDER BY shard""".stripMargin
     },
     // freq/total/lp mirror unigramLogProb's exact op order; ln-ulp and
     // sum-order noise sit far below the r6 rounding grid

@@ -105,4 +105,41 @@ object Export {
       .select(col("doc_id"), col("shard"),
         (row_number().over(w) - 1).cast("long").as("pos"))
   }
+
+  /**
+   * Per-shard export manifest — the integrity record written NEXT TO the
+   * shard files so any later consumer (or the same pipeline re-run) can
+   * verify a shard without re-reading the corpus: document count, total
+   * characters, and an order-independent content checksum (the sum of
+   * each member's [[TextAnalysis.fingerprint]] rolling hash — int64-safe:
+   * each term is < 1e9+7, so even 2³³ docs per shard cannot overflow).
+   * A re-run that silently drops, duplicates, or mutates one document
+   * changes its shard's row; byte-for-byte identical re-runs reproduce
+   * the manifest exactly, in any engine (the hash chain is pure
+   * multiply-add-mod int64 arithmetic — the auditability contract of
+   * [[shardAssign]] extended to content).
+   *
+   * Token-less documents carry checksum term 0 (they have no fingerprint)
+   * but still count toward n_docs/n_chars — absence still changes the row.
+   *
+   * Scale shape: the shard hash is row-local, the fingerprint is a
+   * row-local fold, and the manifest is ONE nShards-row aggregate with
+   * map-side partials; the join is id-keyed. Nothing holds more than
+   * nShards rows past the scan.
+   */
+  def shardManifest(docs: DataFrame, idCol: String, textCol: String,
+      nShards: Int, salt: Long = 0L): DataFrame = {
+    val assigned = shardAssign(docs, idCol, nShards, salt)
+      .select(col("doc_id"), col("shard"))
+    val fp = TextAnalysis.fingerprint(docs, idCol, textCol)
+    val chars = docs.select(col(idCol).as("doc_id"),
+      length(col(textCol)).cast("long").as("nc"))
+    assigned
+      .join(fp, Seq("doc_id"), "left")
+      .join(chars, "doc_id")
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nc")).as("n_chars"),
+        sum(coalesce(col("fingerprint"), lit(0L))).as("checksum"))
+  }
 }

@@ -55,6 +55,31 @@ class ExportSpec extends SparkSpec {
       again.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq)
   }
 
+  test("shardManifest: totals cover the corpus; any mutation changes its shard row") {
+    val docs = (0L until 200L).map(i => (i, s"tok$i word$i end$i"))
+      .toDF("doc_id", "text")
+    val m = Export.shardManifest(docs, "doc_id", "text", nShards = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(m.keySet == Set(0L, 1L, 2L, 3L))
+    assert(m.values.map(_._1).sum == 200L, "every doc in exactly one shard")
+    assert(m.values.map(_._2).sum ==
+      docs.collect().map(_.getString(1).length.toLong).sum)
+    // mutating one document changes exactly that document's shard row
+    val mutated = docs.withColumn("text",
+      org.apache.spark.sql.functions.when($"doc_id" === 7L,
+        org.apache.spark.sql.functions.lit("something else entirely"))
+        .otherwise($"text"))
+    val m2 = Export.shardManifest(mutated, "doc_id", "text", nShards = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val changed = m.keySet.filter(k => m(k) != m2(k))
+    assert(changed.size == 1, s"exactly one shard row changes, got $changed")
+    assert(m.values.map(_._1).sum == m2.values.map(_._1).sum)
+    // re-run on identical input is byte-identical
+    val again = Export.shardManifest(docs, "doc_id", "text", nShards = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(again == m)
+  }
+
   test("shardAssign order within a shard is not id order (it is a shuffle)") {
     val out = Export.shardAssign(ids(2000), "doc_id", nShards = 2).collect()
     val shard0 = out.filter(_.getLong(1) == 0L).sortBy(_.getLong(2)).map(_.getLong(0))
