@@ -99,7 +99,11 @@ object AnnEntries {
     // per-label cohesion vs nearest-other-centroid separation summary
     "embed_label_coherence" -> ((s, dir) =>
       gate(Embeddings.labelCoherence(embeddings(s, dir), "vec_id", "embedding",
-        "label"), "grp"))
+        "label"), "grp")),
+    // per-vector within-label outlier z-score (mislabel drill-down)
+    "embed_outliers" -> ((s, dir) =>
+      gate(Embeddings.labelOutliers(embeddings(s, dir), "vec_id", "embedding",
+        "label"), "vec_id"))
   )
 
   /** Input embedding width and the projection contract's output width. */
@@ -461,6 +465,26 @@ object AnnEntries {
         |       FROM c a JOIN c b ON a.i = b.i AND a.grp <> b.grp GROUP BY 1, 2),
         |sep AS (SELECT grp, MIN(cd2) AS min_other_d2 FROM cd GROUP BY 1)
         |SELECT grp, n_vecs, ${r6sql("mean_d2")} AS mean_d2, min_other_d2
-        |FROM coh JOIN sep USING (grp) ORDER BY grp""".stripMargin
+        |FROM coh JOIN sep USING (grp) ORDER BY grp""".stripMargin,
+    // z over SNAPPED d2, with mean and variance snapped at the same
+    // points as the Spark side (explicit two-pass variance, no stddev)
+    "embed_outliers" ->
+      s"""WITH u AS (SELECT vec_id, label, i, CAST(embedding[i+1] AS DOUBLE) AS x
+        |           FROM embeddings, UNNEST(range(len(embedding))) AS r(i)),
+        |c AS (SELECT label AS grp, i, ${r6sql("AVG(x)")} AS c
+        |      FROM u GROUP BY 1, 2),
+        |d AS (SELECT u.vec_id, u.label AS grp,
+        |             ${r6sql("SUM((u.x - c.c) * (u.x - c.c))")} AS d2
+        |      FROM u JOIN c ON u.i = c.i AND u.label = c.grp GROUP BY 1, 2),
+        |m AS (SELECT grp, ${r6sql("AVG(d2)")} AS mean_d2 FROM d GROUP BY 1),
+        |v AS (SELECT d.grp,
+        |             ${r6sql("AVG((d.d2 - m.mean_d2) * (d.d2 - m.mean_d2))")} AS var_d2
+        |      FROM d JOIN m USING (grp) GROUP BY 1)
+        |SELECT d.vec_id, d.grp, d.d2,
+        |       CASE WHEN v.var_d2 > 0
+        |            THEN ${r6sql("(d.d2 - m.mean_d2) / sqrt(v.var_d2)")}
+        |            ELSE 0.0 END AS z
+        |FROM d JOIN m USING (grp) JOIN v ON v.grp = d.grp
+        |ORDER BY d.vec_id""".stripMargin
   )
 }

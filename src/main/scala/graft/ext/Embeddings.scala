@@ -922,6 +922,57 @@ object Embeddings {
   }
 
   /**
+   * Per-vector label-outlier audit — the vector-level drill-down behind
+   * [[labelCoherence]]'s per-label summary: each vector's snapped squared
+   * distance to its OWN label centroid, z-scored within the label
+   * (population mean/stddev). A large positive `z` flags the vectors a
+   * curation pass reviews first — mislabeled points sit far from their
+   * class mean, corrupt/degenerate embeddings even farther. Vectors in a
+   * zero-variance label (all members equidistant after snapping, e.g. a
+   * singleton) get `z = 0` — there is no scale to be an outlier on.
+   *
+   * The variance is computed EXPLICITLY as the mean squared deviation
+   * from the snapped per-label mean (two model-sized aggregates over the
+   * snapped d2 column) rather than via the engine's `stddev` — a fixed
+   * multiply-add-mod-free op order any engine reproduces bit-comparably
+   * on the 1e-6 grid, the same determinism contract every cross-engine
+   * double here follows.
+   *
+   * Scale shape: [[labelCoherence]]'s single-pass own-centroid distance
+   * (cells ⋈ broadcast model-sized centroids → one (vec_id)-keyed
+   * aggregate), then two label-keyed aggregates whose outputs are
+   * label-count-sized and broadcast back. Nothing corpus-sized is
+   * collected; the only corpus-wide shuffles are the centroid aggregate
+   * and the per-vector distance aggregate.
+   */
+  def labelOutliers(emb: DataFrame, idCol: String, vecCol: String,
+      groupCol: String): DataFrame = {
+    val cent = classCentroids(emb, idCol, vecCol, groupCol)
+      .select(col("grp"), col("i"), col("c"))
+    val cells = emb.select(col(idCol).as("vec_id"), col(groupCol).as("grp"),
+        posexplode(col(vecCol)).as(Seq("i", "e")))
+      .select(col("vec_id"), col("grp"), col("i"), col("e").cast("double").as("x"))
+    val ownD2 = cells
+      .join(broadcast(cent), Seq("grp", "i"))
+      .groupBy("vec_id", "grp")
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d2"))
+      .select(col("vec_id"), col("grp"), snapCol(col("d2")).as("d2"))
+    val mean = ownD2.groupBy("grp")
+      .agg(snapCol(avg(col("d2"))).as("mean_d2"))
+    val variance = ownD2.join(broadcast(mean), "grp")
+      .groupBy("grp")
+      .agg(snapCol(avg((col("d2") - col("mean_d2"))
+        * (col("d2") - col("mean_d2")))).as("var_d2"))
+    ownD2
+      .join(broadcast(mean), "grp")
+      .join(broadcast(variance), "grp")
+      .select(col("vec_id"), col("grp"), col("d2"),
+        when(col("var_d2") > 0,
+          snapCol((col("d2") - col("mean_d2")) / sqrt(col("var_d2"))))
+          .otherwise(lit(0.0)).as("z"))
+  }
+
+  /**
    * SemDeDup-style within-cluster semantic dedup (Abbas et al. 2023,
    * "SemDeDup: Data-efficient learning at web-scale through semantic
    * deduplication"): vectors are blocked by a cluster id (a k-means

@@ -380,6 +380,37 @@ class EmbeddingsSpec extends SparkSpec {
     assertApprox(r(2)._2, 0.0); assertApprox(r(2)._3, 361.0)
   }
 
+  test("labelOutliers: planted outlier carries the extreme z; degenerate labels z=0") {
+    // label 0 on the x axis: x = 0,0,0,4 -> centroid x=1, d2 = 1,1,1,9,
+    //   mean 3, var 12 -> z = -2/sqrt(12) (x3) and 6/sqrt(12) = sqrt(3)
+    // label 1: singleton -> d2 = 0, var 0 -> z = 0
+    // label 2: two identical members -> both d2 = 0, var 0 -> z = 0
+    val pts = Seq(
+      (0L, Seq(0.0f, 0.0f), 0), (1L, Seq(0.0f, 0.0f), 0),
+      (2L, Seq(0.0f, 0.0f), 0), (3L, Seq(4.0f, 0.0f), 0),
+      (4L, Seq(30.0f, 0.0f), 1),
+      (5L, Seq(0.0f, 50.0f), 2), (6L, Seq(0.0f, 50.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    def run() = Embeddings.labelOutliers(pts, "vec_id", "embedding", "label")
+      .collect()
+      .map(x => x.getLong(0) -> ((x.getInt(1), x.getDouble(2), x.getDouble(3))))
+      .toMap
+    val r = run()
+    assert(r.keySet == (0L to 6L).toSet, "every vector gets a row")
+    Seq(0L, 1L, 2L).foreach { id =>
+      assertApprox(r(id)._2, 1.0, 1e-6)
+      assertApprox(r(id)._3, -2.0 / math.sqrt(12.0), 1e-6)
+    }
+    assertApprox(r(3L)._2, 9.0, 1e-6)
+    assertApprox(r(3L)._3, math.sqrt(3.0), 1e-6)
+    assert(r(3L)._3 == r.values.map(_._3).max, "planted outlier has the max z")
+    Seq(4L, 5L, 6L).foreach { id =>
+      assertApprox(r(id)._2, 0.0, 1e-6)
+      assert(r(id)._3 == 0.0, "zero-variance label scores z = 0")
+    }
+    assert(run() == r, "deterministic across runs")
+  }
+
   test("semanticDedup: larger id of an eps-close SAME-cluster pair drops; " +
       "identical cross-cluster pair survives the blocking") {
     val pts = Seq(
