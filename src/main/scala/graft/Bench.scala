@@ -38,7 +38,8 @@ object Bench {
     "events_retention", "events_user_profile", "vocab_topk_by_lang",
     "dedup_containment", "embed_label_coherence", "corpus_divergence",
     "quality_bigram", "corpus_clean", "dedup_recall", "quality_corr",
-    "events_anomaly", "export_manifest", "embed_outliers")
+    "events_anomaly", "export_manifest", "embed_outliers",
+    "vocab_cms_audit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -78,6 +78,10 @@ object TextEntries {
     // ext: vocabulary heavy hitters by document frequency
     "vocab_topk" -> ((s, dir) =>
       gate(TextAnalysis.vocabTopK(docs(s, dir), "doc_id", "text", VocabK), "token")),
+    // ext: count-min sketch calibration vs the exact top-k occurrences
+    "vocab_cms_audit" -> ((s, dir) =>
+      gate(TextAnalysis.cmsVocabAudit(docs(s, dir), "doc_id", "text",
+        CmsDepth, CmsWidth, CmsK), "token")),
     // ext: per-(source, lang) corpus mixture statistics
     "corpus_mix" -> ((s, dir) =>
       gate(TextAnalysis.corpusMix(docs(s, dir), "text", Seq("source", "lang")),
@@ -191,6 +195,13 @@ object TextEntries {
 
   /** Per-language heavy hitters kept by the grouped-vocab contract. */
   private val VocabLangK = 15
+
+  /** Count-min sketch contract: 4 rows × 512 counters, probed with the
+    * exact top-20 — narrow enough that sf0.01's vocab visibly collides
+    * (nonzero overcounts prove the audit measures something). */
+  private val CmsDepth = 4
+  private val CmsWidth = 512
+  private val CmsK = 20
 
   /** Quantile points for the calibration contract. */
   private val QuantileQs = Seq(0.1, 0.5, 0.9, 0.99)
@@ -366,6 +377,31 @@ object TextEntries {
         |SELECT token, doc_freq FROM
         |  (SELECT token, doc_freq FROM df ORDER BY doc_freq DESC, token LIMIT $VocabK) t
         |ORDER BY token""".stripMargin),
+    // the sketch rebuilt from the same portable hash chain (tokenValue →
+    // mix with the row index as salt), one UNION ALL branch per row so
+    // Export.mixBucketSql is reused verbatim with a literal salt
+    "vocab_cms_audit" -> {
+      def mix(r: Int) = Export.mixBucketSql("v", CmsWidth, r)
+      val cellRows = (0 until CmsDepth)
+        .map(r => s"SELECT $r AS r, ${mix(r)} AS b FROM tv")
+        .mkString("\n        UNION ALL ")
+      val probeRows = (0 until CmsDepth)
+        .map(r => s"SELECT token, n_exact, $r AS r, ${mix(r)} AS b FROM exact")
+        .mkString("\n        UNION ALL ")
+      tokSql + s""",
+        |tv AS (SELECT token, ${TextHash.tokenValue("token")} AS v FROM tok),
+        |cells AS ($cellRows),
+        |sketch AS (SELECT r, b, CAST(COUNT(*) AS BIGINT) AS cnt
+        |           FROM cells GROUP BY 1, 2),
+        |exact AS (SELECT token, v, CAST(COUNT(*) AS BIGINT) AS n_exact
+        |          FROM tv GROUP BY 1, 2
+        |          ORDER BY n_exact DESC, token LIMIT $CmsK),
+        |pr AS ($probeRows)
+        |SELECT pr.token, pr.n_exact, MIN(s.cnt) AS cms_est,
+        |       MIN(s.cnt) - pr.n_exact AS overcount
+        |FROM pr JOIN sketch s USING (r, b)
+        |GROUP BY pr.token, pr.n_exact ORDER BY pr.token""".stripMargin
+    },
     "bm25_search" -> {
       val tfCols = Bm25Terms.indices.map(i =>
         s"CAST(len(list_filter(t, x -> x = '${Bm25Terms(i)}')) AS BIGINT) AS tf_$i")

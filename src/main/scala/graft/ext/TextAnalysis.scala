@@ -169,6 +169,63 @@ object TextAnalysis {
   }
 
   /**
+   * Count–Min sketch vocabulary audit (Cormode & Muthukrishnan 2005,
+   * "An improved data stream summary: the count-min sketch and its
+   * applications") — the fixed-memory scale path for token counting:
+   * `depth × width` counters replace the full vocabulary aggregate,
+   * guaranteeing estimate ≥ true count with overestimate bounded by
+   * collision mass (≈ 2·total/width with probability 1 − 2^−depth).
+   * To make the trade INSPECTABLE, this operator probes the sketch with
+   * the exact top-`k` tokens and reports, per token, the exact
+   * occurrence count, the sketch estimate (min over the `depth` rows),
+   * and the overcount — the calibration table a pipeline consults before
+   * replacing its exact vocab aggregate with the sketch at 100 TB (where
+   * the full vocab shuffle is the bottleneck and d·w counters fit in one
+   * executor's L2).
+   *
+   * Every hash is the portable multiply-add-mod chain
+   * ([[TextHash.tokenValue]] → [[Export.mixBucketSql]] with the row
+   * index as salt) — deterministic and engine-neutral, so an oracle can
+   * rebuild the identical sketch and the audit is reproducible anywhere.
+   * Token-value collisions only ever ADD to a counter, so the
+   * estimate ≥ exact invariant survives them.
+   *
+   * Scale shape: one pass over token occurrences exploded ×depth into
+   * fixed-width (r, b) keys → ONE sketch aggregate with map-side
+   * partials whose output is d·w rows (model-sized, never collected);
+   * the exact top-k is a TakeOrdered (no global sort); probes are k·d
+   * rows broadcast against the sketch. Nothing driver-side, nothing
+   * corpus-sized past the scans.
+   */
+  def cmsVocabAudit(docs: DataFrame, idCol: String, textCol: String,
+      depth: Int, width: Int, k: Int): DataFrame = {
+    require(depth >= 1 && width > 0 && k > 0)
+    require(depth < Export.MixMod, "row index is folded in as the salt")
+    val toks = tokensWithPosition(docs, idCol, textCol)
+      .select(col("token"), expr(TextHash.tokenValue("token")).as("v"))
+    def buckets = (0 until depth).map { r =>
+      expr(s"struct(CAST($r AS INT) AS r, " +
+        s"CAST(${Export.mixBucketSql("v", width, r)} AS BIGINT) AS b)")
+    }
+    val sketch = toks
+      .select(explode(array(buckets: _*)).as("rb"))
+      .select(col("rb.r").as("r"), col("rb.b").as("b"))
+      .groupBy("r", "b").agg(count(lit(1)).as("cnt"))
+    val exact = toks.groupBy("token", "v")
+      .agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("token").asc)
+      .limit(k)
+    val probes = exact
+      .select(col("token"), col("n_exact"), explode(array(buckets: _*)).as("rb"))
+      .select(col("token"), col("n_exact"), col("rb.r").as("r"), col("rb.b").as("b"))
+    sketch.join(broadcast(probes), Seq("r", "b"))
+      .groupBy("token", "n_exact")
+      .agg(min(col("cnt")).as("cms_est"))
+      .select(col("token"), col("n_exact"), col("cms_est"),
+        (col("cms_est") - col("n_exact")).as("overcount"))
+  }
+
+  /**
    * Gopher/C4-style repetition quality signals per document, over word
    * bigrams (this corpus is single-line, so line-level repetition rules
    * degenerate — the n-gram form is the general one anyway): total and

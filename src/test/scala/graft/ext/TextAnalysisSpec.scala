@@ -148,6 +148,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("cmsVocabAudit: exact when wide, pure collision mass when width=1") {
+    // occurrences: a=3, b=3, c=2, d=1 — total 9
+    val d = Seq((0L, "a a a b b c"), (1L, "b c d")).toDF("doc_id", "text")
+    def run(depth: Int, width: Int, k: Int) =
+      TextAnalysis.cmsVocabAudit(d, "doc_id", "text", depth, width, k)
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+    // wide sketch: 4 tokens in 4×4096 counters — collision-free, so the
+    // estimate IS the exact count and overcount is 0 everywhere
+    val wide = run(4, 4096, 10)
+    assert(wide == Map(
+      "a" -> ((3L, 3L, 0L)), "b" -> ((3L, 3L, 0L)),
+      "c" -> ((2L, 2L, 0L)), "d" -> ((1L, 1L, 0L))))
+    // width 1: every occurrence lands in the single counter of each row,
+    // so every estimate is the corpus total and overcount = total - n
+    val narrow = run(2, 1, 10)
+    assert(narrow == Map(
+      "a" -> ((3L, 9L, 6L)), "b" -> ((3L, 9L, 6L)),
+      "c" -> ((2L, 9L, 7L)), "d" -> ((1L, 9L, 8L))))
+    // estimate >= exact is the CMS invariant at ANY width
+    Seq(2, 3, 5, 64).foreach { w =>
+      assert(run(3, w, 10).values.forall { case (n, est, over) =>
+        est >= n && over == est - n
+      }, s"width $w")
+    }
+    // the top-k cut follows (count DESC, token ASC): a ties b at 3
+    assert(run(4, 4096, 2).keySet == Set("a", "b"))
+    assert(run(4, 4096, 10) == wide, "deterministic across runs")
+  }
+
   test("qualityFilter keeps only documents inside every signal bound") {
     val d = Seq(
       (0L, "alpha beta gamma delta epsilon"),        // passes
