@@ -3,7 +3,7 @@ package graft.entry
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit, pmod}
 
-import graft.ext.{Dedup, TextHash}
+import graft.ext.{Dedup, Export, TextHash}
 import EntryUtil._
 
 /**
@@ -35,6 +35,18 @@ object DedupEntries {
       val d = docs(s, dir)
       gate(Dedup.sourceLeakageMatrix(
         Dedup.minHashDups(d, "doc_id", "text"), d, "doc_id", "source"),
+        "src0", "src1")
+    }),
+    // ext: near-dup pairs crossing train/val/test — the dup-driven eval
+    // contamination the split assignment alone cannot see (splitAssign
+    // hashes ids, so near-identical TEXTS land in different splits);
+    // off-diagonal rows are the leak, composed from the same leakage
+    // matrix keyed by split instead of source
+    "dedup_split_leakage" -> ((s, dir) => {
+      val d = docs(s, dir)
+      gate(Dedup.sourceLeakageMatrix(
+        Dedup.minHashDups(d, "doc_id", "text"),
+        Export.splitAssign(d, "doc_id"), "doc_id", "split"),
         "src0", "src1")
     }),
     // train/eval decontamination: eval corpus = source 'src0', train = rest
@@ -293,6 +305,30 @@ object DedupEntries {
         |FROM mh JOIN s a ON a.doc_id = mh.doc0
         |        JOIN s b ON b.doc_id = mh.doc1
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    // the same leakage matrix keyed by the deterministic split hash —
+    // split names replayed from Export.mixBucketSql exactly as
+    // split_assign's oracle does
+    "dedup_split_leakage" -> {
+      val mix = Export.mixBucketSql("doc_id", 1000, 0L)
+      shingleSql + s""",
+        |sig AS (SELECT doc_id, $sigSelect FROM shg GROUP BY doc_id),
+        |bands AS ($bandsSql),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc0, b.doc_id AS doc1
+        |         FROM bands a JOIN bands b
+        |           ON a.band = b.band AND a.sigv = b.sigv AND a.doc_id < b.doc_id),
+        |mh AS (SELECT doc0, doc1, jaccard
+        |       FROM cand JOIN jac USING (doc0, doc1) WHERE jaccard >= 0.2),
+        |s AS (SELECT doc_id, CASE WHEN $mix < 800 THEN 'train'
+        |                          WHEN $mix < 900 THEN 'val'
+        |                          ELSE 'test' END AS split FROM documents)
+        |SELECT least(a.split, b.split) AS src0,
+        |       greatest(a.split, b.split) AS src1,
+        |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |       ${r6sql("AVG(jaccard)")} AS avg_jaccard
+        |FROM mh JOIN s a ON a.doc_id = mh.doc0
+        |        JOIN s b ON b.doc_id = mh.doc1
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
     "dedup_simhash" ->
       (shingleSql + s""",
         |sums AS (SELECT doc_id, $simhashSums FROM shg GROUP BY doc_id),
