@@ -132,7 +132,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // The contract line must be the LAST program output, at column 0:
+    // five rounds of driver-side BENCH_r{N}.json came back parsed:null
+    // because Spark's shutdown burst landed AFTER the JSON in the
+    // captured tail. Silence logging, stop Spark, then print — nothing
+    // follows the line but the build tool's own epilogue.
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    System.err.flush()
+    println(s"""\n{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    System.out.flush()
   }
 }
