@@ -203,14 +203,8 @@ object TextAnalysis {
     require(depth < Export.MixMod, "row index is folded in as the salt")
     val toks = tokensWithPosition(docs, idCol, textCol)
       .select(col("token"), expr(TextHash.tokenValue("token")).as("v"))
-    def buckets = (0 until depth).map { r =>
-      expr(s"struct(CAST($r AS INT) AS r, " +
-        s"CAST(${Export.mixBucketSql("v", width, r)} AS BIGINT) AS b)")
-    }
-    val sketch = toks
-      .select(explode(array(buckets: _*)).as("rb"))
-      .select(col("rb.r").as("r"), col("rb.b").as("b"))
-      .groupBy("r", "b").agg(count(lit(1)).as("cnt"))
+    def buckets = cmsBucketStructs(depth, width)
+    val sketch = cmsSketch(docs, idCol, textCol, depth, width)
     val exact = toks.groupBy("token", "v")
       .agg(count(lit(1)).as("n_exact"))
       .orderBy(col("n_exact").desc, col("token").asc)
@@ -223,6 +217,35 @@ object TextAnalysis {
       .agg(min(col("cnt")).as("cms_est"))
       .select(col("token"), col("n_exact"), col("cms_est"),
         (col("cms_est") - col("n_exact")).as("overcount"))
+  }
+
+  /** The (r, b) counter struct per sketch row — one expression per row
+    * index, shared by the sketch build and the probe side so the two
+    * hash spellings cannot drift. */
+  private def cmsBucketStructs(depth: Int, width: Int) =
+    (0 until depth).map { r =>
+      expr(s"struct(CAST($r AS INT) AS r, " +
+        s"CAST(${Export.mixBucketSql("v", width, r)} AS BIGINT) AS b)")
+    }
+
+  /**
+   * The Count–Min sketch itself: (r, b, cnt) over `depth × width`
+   * counters — the piece of [[cmsVocabAudit]] that is STREAM-NATIVE.
+   * Counter increments commute, so the same function on an unbounded
+   * stream (complete-mode aggregation) maintains the identical sketch
+   * micro-batch by micro-batch, and its state is bounded at d·w rows BY
+   * CONSTRUCTION — no watermark needed, unlike every vocabulary-keyed
+   * aggregate (a streaming `vocabTopK` would hold the unbounded vocab).
+   * Batch/stream parity is spec-pinned through a MemoryStream.
+   */
+  def cmsSketch(docs: DataFrame, idCol: String, textCol: String,
+      depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width > 0)
+    tokensWithPosition(docs, idCol, textCol)
+      .select(expr(TextHash.tokenValue("token")).as("v"))
+      .select(explode(array(cmsBucketStructs(depth, width): _*)).as("rb"))
+      .select(col("rb.r").as("r"), col("rb.b").as("b"))
+      .groupBy("r", "b").agg(count(lit(1)).as("cnt"))
   }
 
   /**

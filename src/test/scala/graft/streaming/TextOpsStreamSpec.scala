@@ -66,4 +66,31 @@ class TextOpsStreamSpec extends SparkSpec {
       assert(got.nonEmpty && got == want, s"$name stream/batch divergence")
     }
   }
+
+  test("cmsSketch streams in complete mode: batch parity, d*w-bounded state") {
+    // the one corpus-level aggregate here whose streaming state is
+    // bounded BY CONSTRUCTION (d*w counters), so it needs no watermark
+    val (depth, width) = (3, 8)
+    val in = MemoryStream[(Long, String)]
+    val q = TextAnalysis
+      .cmsSketch(in.toDF().toDF("doc_id", "text"), "doc_id", "text", depth, width)
+      .writeStream.format("memory").queryName("t_cms")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      in.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      in.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      val got = spark.table("t_cms").collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val want = TextAnalysis
+        .cmsSketch(rows.toDF("doc_id", "text"), "doc_id", "text", depth, width)
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(want.nonEmpty && got == want, "stream/batch sketch divergence")
+      assert(got.size <= depth * width, "state exceeds the d*w counter bound")
+      assert(got.values.sum == rows.map(_._2.split("\\s+").count(_.nonEmpty)).sum.toLong * depth,
+        "every token occurrence increments exactly one counter per row")
+    } finally q.stop()
+  }
 }
