@@ -7,11 +7,10 @@ import org.apache.spark.sql.SparkSession
  * hard-coded warehouse path). One place for the settings every entry point
  * (Verify, Bench, Demo, tests) must agree on:
  *
- *   - `spark.sql.session.timeZone=UTC` — oracle comparisons are tz-sensitive.
- *   - `spark.sql.legacy.parquet.nanosAsLong=true` — the events table stores
- *     TIMESTAMP(NANOS) which Spark cannot read natively; we read it as a
- *     nanosecond epoch Long and do window arithmetic in integer space
- *     (see [[graft.ext.Events]]).
+ *   - `spark.sql.session.timeZone=UTC` — oracle comparisons are tz-sensitive,
+ *     and [[graft.ext.Events.normalizeTs]] converts the events table's naive
+ *     parquet timestamps to epoch-nanosecond longs THROUGH this timezone (the
+ *     DuckDB oracles read the same naive timestamps as-is).
  *   - shuffle partitions sized to the local core count rather than the 200
  *     default — on a real cluster this would be set to ~2–3× total cores.
  */
@@ -22,7 +21,6 @@ object SparkSessions {
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       // The host this runs on shows episodic multi-second windows where
       // runnable vCPUs get ~1% of a core (see BENCH_r02: the in-process

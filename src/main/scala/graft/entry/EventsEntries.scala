@@ -9,8 +9,9 @@ import EntryUtil._
 /**
  * Driver-contract queries for event-stream analytics and the multimodal
  * metadata path. Event-time arithmetic is exact int64 nanoseconds on both
- * sides (Spark reads TIMESTAMP(NANOS) as Long via nanosAsLong; DuckDB via
- * epoch_ns) — no float timestamps, no timezone dependence.
+ * sides (Spark normalizes the parquet timestamp to an epoch-ns Long at the
+ * scan boundary, [[graft.ext.Events.normalizeTs]]; DuckDB via epoch_ns) —
+ * no float timestamps, no timezone dependence.
  */
 object EventsEntries {
 
@@ -21,10 +22,10 @@ object EventsEntries {
       gate(Events.sessionize(Events.read(s, dir)), "user_id", "session_id")),
     // as-of join, inner form: the contract output stays NULL-free so the
     // driver's hash compare never sees engine-specific null encodings.
-    // Timestamps are pre-truncated to MICROSECONDS on the Spark side
-    // because DuckDB's parquet reader truncates TIMESTAMP(NANOS) to µs —
-    // both engines then match and subtract identical integers. The
-    // library operator itself is ns-exact.
+    // Timestamps are pre-truncated to MICROSECONDS on the Spark side so
+    // both engines match and subtract identical integers (the testdata is
+    // µs-precision; DuckDB's epoch_us reads it exactly). The library
+    // operator itself is ns-exact.
     "events_asof" -> ((s, dir) =>
       gate(Events.lastPriorEvent(
           Events.read(s, dir).withColumn("ts", expr("ts div 1000")),
@@ -128,9 +129,9 @@ object EventsEntries {
         |       ${r6sql("SUM(value)")} AS sum_value
         |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
     // DuckDB's native ASOF JOIN is the independent oracle for the
-    // union+window implementation. Both sides work in µs-truncated int64
-    // time (DuckDB's parquet reader truncates TIMESTAMP(NANOS) to µs;
-    // the Spark entry divides its ns longs by 1000 to match). Equal-ts
+    // union+window implementation. Both sides work in µs int64 time
+    // (DuckDB via epoch_us over the µs-precision testdata; the Spark
+    // entry divides its normalized ns longs by 1000 to match). Equal-ts
     // references are collapsed to the max-event_id row BEFORE the ASOF
     // join (r dedup below): native ASOF picks an arbitrary row among
     // equal-ts matches, while the Spark window deterministically keeps

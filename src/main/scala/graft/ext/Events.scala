@@ -8,13 +8,13 @@ import org.apache.spark.sql.functions._
  * Batch analytics over the event stream table: tumbling-window aggregation
  * and gap-based sessionization.
  *
- * The events table stores TIMESTAMP(NANOS), which Spark's parquet reader
- * rejects; with `spark.sql.legacy.parquet.nanosAsLong` (set by
- * [[graft.SparkSessions]]) `ts` arrives as an epoch-nanosecond Long. All
- * window arithmetic here stays in exact int64 nanoseconds — no float
- * timestamps, no timezone dependence, and a double would silently lose
- * precision above 2^53 ns (~104 days). The streaming twin of these
- * operators is [[graft.streaming.EventsStream]].
+ * All window arithmetic here works on `ts` as an exact epoch-nanosecond
+ * int64 — no float timestamps, no timezone dependence, and a double would
+ * silently lose precision above 2^53 ns (~104 days). [[read]] normalizes
+ * whatever the parquet reader produced (a timestamp of any precision, or
+ * an already-long epoch column) to that representation at the scan
+ * boundary, so every operator below sees one time type. The streaming
+ * twin of these operators is [[graft.streaming.EventsStream]].
  *
  * Scale: both operators are single-shuffle — hourly by (hour, type) with
  * map-side partial aggregation; sessionize by user_id (window + final agg
@@ -28,7 +28,23 @@ object Events {
   val DefaultGapNs: Long = 30L * 60 * NsPerSec
 
   def read(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/events.parquet")
+    normalizeTs(spark.read.parquet(s"$dir/events.parquet"))
+
+  /**
+   * `ts` → epoch-nanosecond Long, whatever the source typed it as: a Long
+   * passes through untouched; any timestamp flavor (the current testdata
+   * is TIMESTAMP_NTZ at µs precision) converts via `unix_micros` in the
+   * session timezone (UTC everywhere in this library — matching how the
+   * DuckDB oracles read the same naive timestamps). Centralized here so a
+   * regenerated dataset changing the parquet time type can never silently
+   * change operator semantics again.
+   */
+  def normalizeTs(events: DataFrame): DataFrame =
+    events.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => events
+      case _ => events.withColumn("ts",
+        expr("unix_micros(cast(ts as timestamp)) * 1000"))
+    }
 
   /**
    * Tumbling 1-hour windows per event type: event counts, value sum/avg.

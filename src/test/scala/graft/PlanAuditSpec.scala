@@ -33,12 +33,6 @@ class PlanAuditSpec extends SparkSpec {
 
   test("no contract query plans a cartesian product or unsanctioned BNLJ") {
     assume(new File(sfDir).isDirectory, s"$sfDir missing")
-    // the events table is TIMESTAMP(NANOS) parquet (see graft.SparkSessions);
-    // save the prior value — the session is JVM-wide shared, so leaving the
-    // legacy reader mode set would leak into every suite that runs after
-    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
-    val priorNanos = spark.conf.getOption(nanosKey)
-    spark.conf.set(nanosKey, "true")
     try {
       val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
         val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
@@ -50,10 +44,6 @@ class PlanAuditSpec extends SparkSpec {
       assert(bad.isEmpty, bad.mkString("\n"))
     } finally {
       spark.catalog.clearCache() // pin-persisting entries mark caches
-      priorNanos match {
-        case Some(v) => spark.conf.set(nanosKey, v)
-        case None => spark.conf.unset(nanosKey)
-      }
     }
   }
 }

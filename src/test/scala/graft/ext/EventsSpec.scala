@@ -9,7 +9,7 @@ class EventsSpec extends SparkSpec {
   import s.implicits._
 
   // (event_id, ts, user_id, event_type, value) — ts as epoch-ns Long,
-  // matching the nanosAsLong reading of the events table
+  // matching Events.normalizeTs's reading of the events table
   private lazy val events = Seq(
     // user 1: click @100, click @150, purchase @150 (equal-ts ref visible),
     //         purchase @200 (matches the LATEST prior click, @150)
