@@ -158,6 +158,23 @@ object TextEntries {
         .withColumn("doc_id", col("doc_id") + lit(100000L))
       gate(Audit.corpusDiff(d, revised.unionByName(added), "doc_id", "text"),
         "doc_id")
+    }),
+    // ext: PII detection + redaction. The synthetic corpus carries no PII,
+    // so the contract plants one deterministic email/IPv4/phone per doc
+    // (pure functions of doc_id, built identically on both engines) —
+    // every regex and the staged-category attribution are exercised on
+    // all 500 rows, not vacuously green on zero matches.
+    "pii_scrub" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), concat(col("text"),
+        lit(" mail u"), col("doc_id"), lit("@ex"), pmod(col("doc_id"), lit(7)),
+        lit(".org host 10."), pmod(col("doc_id"), lit(256)),
+        lit(".0."), pmod(col("doc_id") * 3, lit(256)),
+        lit(" tel +1 555-01"),
+        lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0")).as("text"))
+      gate(TextAnalysis.piiScrub(d, "doc_id", "text")
+        .withColumn("n_emails", col("n_emails").cast("long"))
+        .withColumn("n_ips", col("n_ips").cast("long"))
+        .withColumn("n_phones", col("n_phones").cast("long")), "doc_id")
     })
   )
 
@@ -241,6 +258,25 @@ object TextEntries {
   }.mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    // the same staged scrub (emails → IPv4 → phones) over the same planted
+    // text; both regex dialects (Java / RE2) are leftmost with no
+    // lookaround, so counts and replacements agree exactly
+    "pii_scrub" ->
+      s"""WITH d AS (SELECT doc_id,
+        |  text || ' mail u' || doc_id || '@ex' || (doc_id % 7) ||
+        |  '.org host 10.' || (doc_id % 256) || '.0.' || ((doc_id * 3) % 256) ||
+        |  ' tel +1 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS text
+        |  FROM documents),
+        |s1 AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '${TextAnalysis.EmailPattern}')) AS BIGINT) AS n_emails,
+        |  regexp_replace(text, '${TextAnalysis.EmailPattern}', '<EMAIL>', 'g') AS t1 FROM d),
+        |s2 AS (SELECT doc_id, n_emails,
+        |  CAST(len(regexp_extract_all(t1, '${TextAnalysis.Ipv4Pattern}')) AS BIGINT) AS n_ips,
+        |  regexp_replace(t1, '${TextAnalysis.Ipv4Pattern}', '<IP>', 'g') AS t2 FROM s1)
+        |SELECT doc_id, n_emails, n_ips,
+        |  CAST(len(regexp_extract_all(t2, '${TextAnalysis.PhonePattern}')) AS BIGINT) AS n_phones,
+        |  regexp_replace(t2, '${TextAnalysis.PhonePattern}', '<PHONE>', 'g') AS clean_text
+        |FROM s2 ORDER BY doc_id""".stripMargin,
     "tokenize" ->
       (tokSql + "\nSELECT doc_id, pos, token FROM tok ORDER BY doc_id, pos"),
     "tf_matrix" ->
