@@ -39,7 +39,9 @@ object Bench {
     "dedup_containment", "embed_label_coherence", "corpus_divergence",
     "quality_bigram", "corpus_clean", "dedup_recall", "quality_corr",
     "events_anomaly", "export_manifest", "embed_outliers",
-    "vocab_cms_audit", "dedup_split_leakage", "pii_scrub")
+    "vocab_cms_audit", "dedup_split_leakage", "pii_scrub",
+    "rel_pricing_summary", "rel_top_orders", "rel_region_revenue",
+    "rel_table_profile")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -36,10 +36,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2 + extensions. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreEntries.queries ++ TextEntries.queries ++
-      DedupEntries.queries ++ AnnEntries.queries ++ EventsEntries.queries
+      DedupEntries.queries ++ AnnEntries.queries ++ EventsEntries.queries ++
+      RelationalEntries.queries
 
   /** DuckDB-equivalent SQL per query key (same column names, same order). */
   def oracleSql: Map[String, String] =
     CoreEntries.oracles ++ TextEntries.oracles ++
-      DedupEntries.oracles ++ AnnEntries.oracles ++ EventsEntries.oracles
+      DedupEntries.oracles ++ AnnEntries.oracles ++ EventsEntries.oracles ++
+      RelationalEntries.oracles
 }

@@ -57,6 +57,20 @@ object EntryUtil {
   /** DuckDB spelling of [[gate]]'s rounding, for oracle SQL. */
   def r6sql(e: String): String = s"floor(($e)*1e6 + 0.50001)/1e6"
 
+  /**
+   * Coarse 2-decimal rounding for LARGE-magnitude money sums (the
+   * relational fact rollups): a sum of ~10⁴-sized terms over ~10⁴ rows
+   * carries ~1e-6 of cross-engine sum-order noise — exactly [[gate]]'s
+   * grid — so those columns round to cents FIRST (the 1e-6 pass then
+   * re-rounds the already-2-decimal value, a no-op). Same floor-bias
+   * construction, same reasoning, coarser grid.
+   */
+  def r2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * lit(100.0) + lit(0.50001)) / lit(100.0)
+
+  /** DuckDB spelling of [[r2]], for oracle SQL. */
+  def r2sql(e: String): String = s"floor(($e)*100 + 0.50001)/100"
+
   def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 

@@ -1,0 +1,110 @@
+package graft.entry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.Relational
+import EntryUtil._
+
+/**
+ * Driver-contract queries for the relational star-schema operators
+ * ([[graft.ext.Relational]]) over the warehouse tables. Money sums are
+ * rounded to cents on BOTH sides ([[EntryUtil.r2]]) — at fact-table row
+ * counts their cross-engine sum-order noise reaches the 1e-6 grid the
+ * other contracts round on; per-order and per-mean values stay on the
+ * standard 1e-6 gate.
+ */
+object RelationalEntries {
+
+  /** Pricing-summary ship-date cutoff (keeps ~80% of lineitems). */
+  private val PricingCutoff = "2000-01-01"
+
+  /** Q3-shape contract: segment, order/ship cutoff, top-k kept. */
+  private val Segment = "BUILDING"
+  private val SegmentCutoff = "1998-01-01"
+  private val TopOrders = 10
+
+  /** Q5-shape contract: one shipped year. */
+  private val RevFrom = "1996-01-01"
+  private val RevUntil = "1997-01-01"
+
+  /** Profiled columns (longs + strings only: their min/max render
+    * identically as text in both engines; see tableProfile's caveat). */
+  private val ProfileCols =
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ext: TPC-H Q1 shape — single-shuffle fact rollup, pushed-down cutoff
+    "rel_pricing_summary" -> ((s, dir) =>
+      gate(Relational.pricingSummary(Relational.lineitem(s, dir), PricingCutoff)
+        .withColumn("sum_base_price", r2(col("sum_base_price")))
+        .withColumn("sum_disc_price", r2(col("sum_disc_price")))
+        .withColumn("sum_charge", r2(col("sum_charge"))),
+        "l_returnflag", "l_linestatus")),
+    // ext: TPC-H Q3 shape — broadcast segment dim, orderkey fact join, top-k
+    "rel_top_orders" -> ((s, dir) =>
+      gate(Relational.segmentTopOrders(Relational.customer(s, dir),
+          Relational.orders(s, dir), Relational.lineitem(s, dir),
+          Segment, SegmentCutoff, TopOrders)
+        .withColumn("o_orderdate",
+          expr("unix_micros(cast(o_orderdate as timestamp))"))
+        .withColumnRenamed("o_orderdate", "orderdate_us"), "o_orderkey")),
+    // ext: TPC-H Q5 shape — supplier→nation→region broadcast chain rollup
+    "rel_region_revenue" -> ((s, dir) =>
+      gate(Relational.regionRevenue(Relational.lineitem(s, dir),
+          Relational.supplier(s, dir), Relational.nation(s, dir),
+          Relational.region(s, dir), RevFrom, RevUntil)
+        .withColumn("revenue", r2(col("revenue"))), "r_name", "n_name")),
+    // ext: per-column profile audit (counts, distincts, min/max as text)
+    "rel_table_profile" -> ((s, dir) =>
+      gate(Relational.tableProfile(Relational.orders(s, dir), ProfileCols),
+        "col_name"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "rel_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+        |  ${r6sql("SUM(l_quantity)")} AS sum_qty,
+        |  ${r2sql("SUM(l_extendedprice)")} AS sum_base_price,
+        |  ${r2sql("SUM(l_extendedprice*(1-l_discount))")} AS sum_disc_price,
+        |  ${r2sql("SUM(l_extendedprice*(1-l_discount)*(1+l_tax))")} AS sum_charge,
+        |  ${r6sql("AVG(l_quantity)")} AS avg_qty,
+        |  ${r6sql("AVG(l_extendedprice)")} AS avg_price,
+        |  ${r6sql("AVG(l_discount)")} AS avg_disc,
+        |  CAST(COUNT(*) AS BIGINT) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '$PricingCutoff'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "rel_top_orders" ->
+      s"""SELECT o.o_orderkey, epoch_us(o.o_orderdate) AS orderdate_us,
+        |  ${r6sql("SUM(l.l_extendedprice*(1-l.l_discount))")} AS revenue
+        |FROM customer c
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = '$Segment'
+        |  AND o.o_orderdate < TIMESTAMP '$SegmentCutoff'
+        |  AND l.l_shipdate > TIMESTAMP '$SegmentCutoff'
+        |GROUP BY 1, 2
+        |ORDER BY SUM(l.l_extendedprice*(1-l.l_discount)) DESC, o.o_orderkey
+        |LIMIT $TopOrders""".stripMargin,
+    "rel_region_revenue" ->
+      s"""SELECT r.r_name, n.n_name,
+        |  ${r2sql("SUM(l.l_extendedprice*(1-l.l_discount))")} AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem l
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |JOIN region r ON r.r_regionkey = n.n_regionkey
+        |WHERE l.l_shipdate >= TIMESTAMP '$RevFrom'
+        |  AND l.l_shipdate < TIMESTAMP '$RevUntil'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "rel_table_profile" ->
+      ProfileCols.map { c =>
+        s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+          |  CAST(COUNT($c) AS BIGINT) AS n_nonnull,
+          |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+          |  CAST(MIN($c) AS VARCHAR) AS min_str,
+          |  CAST(MAX($c) AS VARCHAR) AS max_str
+          |FROM orders""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  )
+}

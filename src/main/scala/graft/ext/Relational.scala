@@ -1,0 +1,159 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Relational star-schema analytics over the warehouse tables
+ * (lineitem / orders / customer / supplier / nation / region) — the
+ * classic OLAP shapes (TPC-H Q1/Q3/Q5 families) expressed the way a
+ * Spark engine should plan them at fact-table scale:
+ *
+ *   - Fact-only aggregates are ONE shuffle with map-side partials and
+ *     the filter pushed into the parquet scan.
+ *   - Dimension joins broadcast (region/nation/supplier are KBs at any
+ *     scale factor; AQE picks broadcast for them without hints, and the
+ *     explicit `broadcast()` marks the ones that are dimension-sized BY
+ *     SCHEMA, not by luck of statistics).
+ *   - Fact-to-fact joins (orders⋈lineitem) shuffle on their natural key
+ *     and never broadcast — at 100 TB both sides are huge; the equi-join
+ *     hash-partitions both on the orderkey.
+ *   - Top-k is TakeOrdered (per-partition heap + driver merge of k
+ *     rows), never a global sort.
+ */
+object Relational {
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+  def orders(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/orders.parquet")
+  def customer(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/customer.parquet")
+  def supplier(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/supplier.parquet")
+  def nation(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/nation.parquet")
+  def region(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/region.parquet")
+
+  /**
+   * Pricing summary report (the TPC-H Q1 shape): per (returnflag,
+   * linestatus), quantity/price/discount/charge totals and means over
+   * lineitems shipped on or before `cutoff` (an ISO date string).
+   *
+   * Scale shape: the cutoff predicate pushes into the parquet scan
+   * (PushedFilters on l_shipdate), the scan prunes to the 7 referenced
+   * columns, and the 6-group aggregate is ONE exchange with map-side
+   * partials — the canonical fact-scan query; nothing else is planned.
+   */
+  def pricingSummary(lineitem: DataFrame, cutoff: String): DataFrame = {
+    val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    lineitem
+      .where(col("l_shipdate") <= to_timestamp_ntz(lit(cutoff)))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        sum("l_extendedprice").as("sum_base_price"),
+        sum(disc).as("sum_disc_price"),
+        sum(disc * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        avg("l_quantity").as("avg_qty"),
+        avg("l_extendedprice").as("avg_price"),
+        avg("l_discount").as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /**
+   * Unshipped-order revenue by market segment (the TPC-H Q3 shape): the
+   * `k` highest-revenue orders of `segment` customers placed before
+   * `cutoff` whose lineitems ship after it.
+   *
+   * Scale shape: the customer dimension filters to one segment and
+   * broadcasts into the orders scan (at 100 TB customer is the smallest
+   * fact by orders of magnitude; if it outgrows the broadcast threshold
+   * AQE falls back to a shuffle join on the same plan). orders⋈lineitem
+   * is the fact-to-fact edge: an orderkey equi-join that hash-partitions
+   * both sides — never broadcast. Both date predicates push into their
+   * scans, the revenue aggregate shares the orderkey partitioning of the
+   * join (no second exchange), and the top-k is TakeOrdered, not a sort.
+   */
+  def segmentTopOrders(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, segment: String, cutoff: String, k: Int): DataFrame = {
+    require(k > 0)
+    val cut = to_timestamp_ntz(lit(cutoff))
+    val cust = customer.where(col("c_mktsegment") === segment).select("c_custkey")
+    val ord = orders.where(col("o_orderdate") < cut)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    val li = lineitem.where(col("l_shipdate") > cut)
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderkey", "o_orderdate")
+      .agg(sum("rev").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(k)
+  }
+
+  /**
+   * Supplier-side revenue rollup through the geography dimensions (the
+   * TPC-H Q5 shape): lineitem revenue per (region, nation) of the
+   * supplying supplier, over lineitems shipped in `[from, until)`.
+   *
+   * Scale shape: supplier → nation → region is a broadcast chain
+   * (supplier is per-schema dimension-sized; nation/region are tens of
+   * rows at ANY scale), pre-joined into ONE small map before the fact
+   * scan touches it — the fact table is read once, filtered at the
+   * scan, and aggregated per (region, nation) with map-side partials;
+   * the only exchange is the final 2-level group key.
+   */
+  def regionRevenue(lineitem: DataFrame, supplier: DataFrame,
+      nation: DataFrame, region: DataFrame,
+      from: String, until: String): DataFrame = {
+    val geo = supplier.select("s_suppkey", "s_nationkey")
+      .join(broadcast(nation.select("n_nationkey", "n_regionkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.select("r_regionkey", "r_name")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("r_name"), col("n_name"))
+    lineitem
+      .where(col("l_shipdate") >= to_timestamp_ntz(lit(from)) &&
+        col("l_shipdate") < to_timestamp_ntz(lit(until)))
+      .select(col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      .join(broadcast(geo), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("r_name", "n_name")
+      .agg(sum("rev").as("revenue"), count(lit(1)).as("n_items"))
+  }
+
+  /**
+   * Per-column table profile — the data-quality audit run before any
+   * table joins a pipeline: for each requested column, row count,
+   * non-null count, exact distinct count, and min/max rendered as
+   * strings (so one output schema covers heterogeneous column types).
+   *
+   * Scale shape: one single-row aggregate PER COLUMN, unioned — on a
+   * columnar source each branch's scan prunes to exactly its one column
+   * (the same bytes a single multi-column pass would read), and per
+   * branch the exact distinct is a two-level hash aggregate, avoiding
+   * the Expand-multiplied shuffle that n count-distincts in ONE
+   * aggregate would plan (that shape pushes n× the table through one
+   * exchange). Output is `cols.length` rows.
+   *
+   * String rendering caveat: floating-point and timestamp columns
+   * render engine-specifically; profile those via typed aggregates
+   * ([[TextAnalysis.quantiles]], [[Audit.skewAudit]]) when exact
+   * cross-engine text equality matters.
+   */
+  def tableProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty)
+    cols.map { c =>
+      df.select(
+        lit(c).as("col_name"),
+        count(lit(1)).as("n_rows"),
+        count(col(c)).as("n_nonnull"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("string").as("min_str"),
+        max(col(c)).cast("string").as("max_str"))
+    }.reduce(_.unionByName(_))
+  }
+}

@@ -1,0 +1,121 @@
+package graft.ext
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RelationalSpec extends SparkSpec {
+  implicit lazy val s: SparkSession = spark
+  import s.implicits._
+
+  // two suppliers in two nations/regions; ship dates straddle the cutoffs
+  private lazy val lineitem = Seq(
+    // (orderkey, suppkey, qty, extprice, disc, tax, flag, status, shipdate)
+    (1L, 1L, 2.0, 100.0, 0.10, 0.05, "A", "F", "1996-03-01 00:00:00"),
+    (1L, 2L, 1.0, 50.0, 0.00, 0.00, "A", "F", "1996-06-01 00:00:00"),
+    (2L, 1L, 4.0, 200.0, 0.50, 0.10, "R", "O", "1998-06-01 00:00:00"),
+    (3L, 2L, 3.0, 30.0, 0.00, 0.00, "A", "F", "1995-01-01 00:00:00")
+  ).toDF("l_orderkey", "l_suppkey", "l_quantity", "l_extendedprice",
+      "l_discount", "l_tax", "l_returnflag", "l_linestatus", "sd")
+    .withColumn("l_shipdate", expr("to_timestamp_ntz(sd)")).drop("sd")
+
+  private lazy val orders = Seq(
+    (1L, 10L, "1996-01-01 00:00:00"),
+    (2L, 10L, "1997-06-01 00:00:00"),
+    (3L, 11L, "1994-12-01 00:00:00")
+  ).toDF("o_orderkey", "o_custkey", "od")
+    .withColumn("o_orderdate", expr("to_timestamp_ntz(od)")).drop("od")
+
+  private lazy val customer = Seq(
+    (10L, "BUILDING"), (11L, "MACHINERY")
+  ).toDF("c_custkey", "c_mktsegment")
+
+  private lazy val supplier = Seq((1L, 1), (2L, 2))
+    .toDF("s_suppkey", "s_nationkey")
+  private lazy val nation = Seq((1, 1, "FRANCE"), (2, 2, "CHINA"))
+    .toDF("n_nationkey", "n_regionkey", "n_name")
+  private lazy val region = Seq((1, "EUROPE"), (2, "ASIA"))
+    .toDF("r_regionkey", "r_name")
+
+  test("pricingSummary aggregates the cutoff-filtered fact exactly") {
+    val r = Relational.pricingSummary(lineitem, "1997-01-01")
+      .orderBy("l_returnflag").collect()
+    // rows 1, 2, 4 pass the cutoff; all are (A, F)
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[String]("l_returnflag") === "A")
+    assertApprox(row.getAs[Double]("sum_qty"), 6.0)
+    assertApprox(row.getAs[Double]("sum_base_price"), 180.0)
+    // 100*0.9 + 50 + 30
+    assertApprox(row.getAs[Double]("sum_disc_price"), 170.0)
+    // 90*1.05 + 50 + 30
+    assertApprox(row.getAs[Double]("sum_charge"), 174.5)
+    assert(row.getAs[Long]("count_order") === 3L)
+  }
+
+  test("pricingSummary pushes the ship-date cutoff into the parquet scan") {
+    val dir = java.nio.file.Files.createTempDirectory("relq1").toString
+    lineitem.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val plan = Relational.pricingSummary(
+      Relational.lineitem(spark, dir), "1997-01-01")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"),
+      s"cutoff not pushed down:\n$plan")
+    // one shuffle total: the partial/final hash aggregate pair
+    assert("Exchange (hash|range|Single)".r.findAllIn(plan).length === 1,
+      s"extra shuffle:\n$plan")
+  }
+
+  test("segmentTopOrders keeps unshipped revenue of the segment, top-k") {
+    // cutoff 1998-01-01: order 1 (BUILDING, 1996) has no post-cutoff
+    // lineitem; order 2 (BUILDING, 1997) ships 1998-06 → revenue 200*0.5;
+    // order 3 is MACHINERY → excluded
+    val r = Relational.segmentTopOrders(customer, orders, lineitem,
+      "BUILDING", "1998-01-01", 10).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("o_orderkey") === 2L)
+    assertApprox(r.head.getAs[Double]("revenue"), 100.0)
+  }
+
+  test("segmentTopOrders plans TakeOrdered, no sort, no nested loop") {
+    // k below the fixture's provable maxRows — a larger k lets the
+    // optimizer ELIMINATE the limit outright and plan a bare global sort
+    val plan = Relational.segmentTopOrders(customer, orders, lineitem,
+      "BUILDING", "1998-01-01", 2).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no top-k operator:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"bad join:\n$plan")
+  }
+
+  test("regionRevenue rolls the fact through the geo broadcast chain") {
+    val r = Relational.regionRevenue(lineitem, supplier, nation, region,
+        "1996-01-01", "1997-01-01")
+      .orderBy("r_name").collect()
+    // 1996 lineitems: (supp 1, 100*0.9) and (supp 2, 50)
+    assert(r.map(x => (x.getAs[String]("r_name"), x.getAs[String]("n_name"),
+      x.getAs[Double]("revenue"), x.getAs[Long]("n_items"))).toSeq ===
+      Seq(("ASIA", "CHINA", 50.0, 1L), ("EUROPE", "FRANCE", 90.0, 1L)))
+  }
+
+  test("regionRevenue joins the fact by broadcast, never shuffling it twice") {
+    val plan = Relational.regionRevenue(lineitem, supplier, nation, region,
+        "1996-01-01", "1997-01-01").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"geo chain not broadcast:\n$plan")
+    // the only SHUFFLE exchange partitions the final (region, nation)
+    // aggregate (BroadcastExchange nodes are the geo chain, not shuffles)
+    assert("Exchange (hash|range|Single)".r.findAllIn(plan).length === 1,
+      s"extra shuffle:\n$plan")
+  }
+
+  test("tableProfile: one row per column, exact counts, text min/max") {
+    val df = Seq((1L, Some("b")), (2L, Some("a")), (2L, None))
+      .toDF("k", "v")
+    val r = Relational.tableProfile(df, Seq("k", "v"))
+      .orderBy("col_name").collect()
+    assert(r.map(x => (x.getAs[String]("col_name"), x.getAs[Long]("n_rows"),
+      x.getAs[Long]("n_nonnull"), x.getAs[Long]("n_distinct"),
+      x.getAs[String]("min_str"), x.getAs[String]("max_str"))).toSeq ===
+      Seq(("k", 3L, 3L, 2L, "1", "2"), ("v", 3L, 2L, 2L, "a", "b")))
+  }
+}
