@@ -61,9 +61,17 @@ object EntryUtil {
    * Coarse 2-decimal rounding for LARGE-magnitude money sums (the
    * relational fact rollups): a sum of ~10⁴-sized terms over ~10⁴ rows
    * carries ~1e-6 of cross-engine sum-order noise — exactly [[gate]]'s
-   * grid — so those columns round to cents FIRST (the 1e-6 pass then
-   * re-rounds the already-2-decimal value, a no-op). Same floor-bias
+   * grid — so those columns round to cents FIRST. Same floor-bias
    * construction, same reasoning, coarser grid.
+   *
+   * [[gate]] then r6-re-rounds the already-r2 value, and that second
+   * round is NOT a no-op once y·1e6 approaches 2^52 (y ≳ 4.5e9): the
+   * double grid there is coarser than 1e-6, so floor(y·1e6+0.50001)/1e6
+   * can land off y. The Spark side therefore emits r6(r2(sum)), and
+   * every oracle for an r2 column MUST spell the identical composition
+   * — `r6sql(r2sql(...))` — never bare r2sql (ADVICE r6: bare r2sql
+   * hash-mismatches deterministically for 25–100% of values in the
+   * ~[4.4e9, 1.8e10] band).
    */
   def r2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     floor(c * lit(100.0) + lit(0.50001)) / lit(100.0)

@@ -62,33 +62,45 @@ object RelationalEntries {
   )
 
   val oracles: Map[String, String] = Map(
+    // money sums mirror the Spark side's r6∘r2 composition exactly: the
+    // entry r2-rounds, then gate r6-rounds THAT value — and for y = r2(x)
+    // with y·1e6 near/above 2^52 the re-round is NOT a no-op (the float
+    // grid there is coarser than 1e-6, so floor(y*1e6+0.50001)/1e6 ≠ y),
+    // so the oracle must compute the same two rounds in the same order
     "rel_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
         |  ${r6sql("SUM(l_quantity)")} AS sum_qty,
-        |  ${r2sql("SUM(l_extendedprice)")} AS sum_base_price,
-        |  ${r2sql("SUM(l_extendedprice*(1-l_discount))")} AS sum_disc_price,
-        |  ${r2sql("SUM(l_extendedprice*(1-l_discount)*(1+l_tax))")} AS sum_charge,
+        |  ${r6sql(r2sql("SUM(l_extendedprice)"))} AS sum_base_price,
+        |  ${r6sql(r2sql("SUM(l_extendedprice*(1-l_discount))"))} AS sum_disc_price,
+        |  ${r6sql(r2sql("SUM(l_extendedprice*(1-l_discount)*(1+l_tax))"))} AS sum_charge,
         |  ${r6sql("AVG(l_quantity)")} AS avg_qty,
         |  ${r6sql("AVG(l_extendedprice)")} AS avg_price,
         |  ${r6sql("AVG(l_discount)")} AS avg_disc,
         |  CAST(COUNT(*) AS BIGINT) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '$PricingCutoff'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // top-k set selection on the SAME 1e-6-snapped revenue the Spark side
+    // orders by (raw-double ordering can pick a different order set when
+    // adjacent ranks sit inside cross-engine sum noise), and the outer
+    // SELECT re-sorts the k rows to the gate key — the harness compares
+    // rows positionally, so both sides must emit o_orderkey order
     "rel_top_orders" ->
-      s"""SELECT o.o_orderkey, epoch_us(o.o_orderdate) AS orderdate_us,
-        |  ${r6sql("SUM(l.l_extendedprice*(1-l.l_discount))")} AS revenue
-        |FROM customer c
-        |JOIN orders o ON o.o_custkey = c.c_custkey
-        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-        |WHERE c.c_mktsegment = '$Segment'
-        |  AND o.o_orderdate < TIMESTAMP '$SegmentCutoff'
-        |  AND l.l_shipdate > TIMESTAMP '$SegmentCutoff'
-        |GROUP BY 1, 2
-        |ORDER BY SUM(l.l_extendedprice*(1-l.l_discount)) DESC, o.o_orderkey
-        |LIMIT $TopOrders""".stripMargin,
+      s"""SELECT * FROM (
+        |  SELECT o.o_orderkey, epoch_us(o.o_orderdate) AS orderdate_us,
+        |    ${r6sql("SUM(l.l_extendedprice*(1-l.l_discount))")} AS revenue
+        |  FROM customer c
+        |  JOIN orders o ON o.o_custkey = c.c_custkey
+        |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  WHERE c.c_mktsegment = '$Segment'
+        |    AND o.o_orderdate < TIMESTAMP '$SegmentCutoff'
+        |    AND l.l_shipdate > TIMESTAMP '$SegmentCutoff'
+        |  GROUP BY 1, 2
+        |  ORDER BY revenue DESC, o.o_orderkey
+        |  LIMIT $TopOrders
+        |) ORDER BY o_orderkey""".stripMargin,
     "rel_region_revenue" ->
       s"""SELECT r.r_name, n.n_name,
-        |  ${r2sql("SUM(l.l_extendedprice*(1-l.l_discount))")} AS revenue,
+        |  ${r6sql(r2sql("SUM(l.l_extendedprice*(1-l.l_discount))"))} AS revenue,
         |  CAST(COUNT(*) AS BIGINT) AS n_items
         |FROM lineitem l
         |JOIN supplier s ON s.s_suppkey = l.l_suppkey

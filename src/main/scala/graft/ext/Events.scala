@@ -32,16 +32,23 @@ object Events {
 
   /**
    * `ts` → epoch-nanosecond Long, whatever the source typed it as: a Long
-   * passes through untouched; any timestamp flavor (the current testdata
-   * is TIMESTAMP_NTZ at µs precision) converts via `unix_micros` in the
-   * session timezone (UTC everywhere in this library — matching how the
-   * DuckDB oracles read the same naive timestamps). Centralized here so a
-   * regenerated dataset changing the parquet time type can never silently
-   * change operator semantics again.
+   * passes through untouched; TIMESTAMP_NTZ (the current testdata, µs
+   * precision) converts via `timestampdiff(MICROSECOND, epoch, ts)` —
+   * pure wall-clock field arithmetic between two NTZ values, so the
+   * result is the fields-read-as-UTC epoch REGARDLESS of the session
+   * timezone (the earlier `cast(ts as timestamp)` spelling consulted
+   * `spark.sql.session.timeZone` and silently shifted every value for a
+   * non-UTC caller — ADVICE r6); an instant-typed TIMESTAMP converts via
+   * `unix_micros`, which reads the instant directly and is likewise
+   * tz-independent. Matches how the DuckDB oracles read the same naive
+   * timestamps. Centralized here so a regenerated dataset changing the
+   * parquet time type can never silently change operator semantics.
    */
   def normalizeTs(events: DataFrame): DataFrame =
     events.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => events
+      case org.apache.spark.sql.types.TimestampNTZType => events.withColumn("ts",
+        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000"))
       case _ => events.withColumn("ts",
         expr("unix_micros(cast(ts as timestamp)) * 1000"))
     }

@@ -75,6 +75,15 @@ object Relational {
    * both sides — never broadcast. Both date predicates push into their
    * scans, the revenue aggregate shares the orderkey partitioning of the
    * join (no second exchange), and the top-k is TakeOrdered, not a sort.
+   *
+   * Determinism: the emitted revenue is snapped to a 1e-6 grid (the same
+   * biased floor as the harness gate) BEFORE the top-k selection, and
+   * ties break on o_orderkey. Per-order revenue sums carry a few ulps of
+   * sum-order noise (partial-aggregation order differs run to run and
+   * engine to engine); selecting the top-k set on the raw doubles would
+   * let rank-k and rank-k+1 swap when their gap is inside that noise,
+   * silently changing WHICH orders are returned. Snapping first makes
+   * set selection a function of values both runs agree on.
    */
   def segmentTopOrders(customer: DataFrame, orders: DataFrame,
       lineitem: DataFrame, segment: String, cutoff: String, k: Int): DataFrame = {
@@ -89,7 +98,7 @@ object Relational {
         (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderkey", "o_orderdate")
-      .agg(sum("rev").as("revenue"))
+      .agg((floor(sum("rev") * lit(1e6) + lit(0.50001)) / lit(1e6)).as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey").asc)
       .limit(k)
   }

@@ -168,6 +168,24 @@ class EventsSpec extends SparkSpec {
     assert(prof == sess)
   }
 
+  test("normalizeTs is independent of the session timezone for NTZ input") {
+    // 2020-01-02 03:04:05.000006 fields-as-UTC = 1577934245.000006 epoch s
+    val expectedNs = 1577934245000006L * 1000L
+    val ntz = spark.sql(
+      "SELECT TIMESTAMP_NTZ '2020-01-02 03:04:05.000006' AS ts, 1L AS event_id")
+    def run(): Long =
+      Events.normalizeTs(ntz).select("ts").collect().head.getLong(0)
+    assert(run() == expectedNs)
+    // a non-UTC caller (ADVICE r6: the old cast-through-session-tz
+    // spelling shifted every value by the zone offset here)
+    val tzKey = "spark.sql.session.timeZone"
+    val saved = spark.conf.get(tzKey)
+    try {
+      spark.conf.set(tzKey, "America/New_York")
+      assert(run() == expectedNs)
+    } finally spark.conf.set(tzKey, saved)
+  }
+
   test("lastPriorEvent plans one window exchange, no nested loop") {
     val plan = Events.lastPriorEvent(events, "purchase", "click")
       .queryExecution.executedPlan.toString
