@@ -24,6 +24,17 @@ object DedupEntries {
     // asymmetric containment: the subset-dup detector Jaccard misses
     "dedup_containment" -> ((s, dir) =>
       gate(Dedup.containmentDups(docs(s, dir), "doc_id", "text"), "doc0", "doc1")),
+    // the sub-quadratic containment route: Broder MOD_m sketch candidates
+    // + sketch-based containment estimate (the 100 TB path; the exact
+    // kernel above is the calibration tool)
+    "dedup_containment_sketch" -> ((s, dir) =>
+      gate(Dedup.containmentSketchDups(docs(s, dir), "doc_id", "text"),
+        "doc0", "doc1")),
+    // exact Jaccard under the shingle df-cap (Zipf-head guard): the
+    // boilerplate-shingle kill switch the exact kernels need at scale
+    "dedup_jaccard_dfcap" -> ((s, dir) =>
+      gate(Dedup.ngramJaccardDups(docs(s, dir), "doc_id", "text",
+        maxDf = Some(JacMaxDf)), "doc0", "doc1")),
     "dedup_minhash_lsh" -> ((s, dir) =>
       gate(Dedup.minHashDups(docs(s, dir), "doc_id", "text"), "doc0", "doc1")),
     "dedup_simhash" -> ((s, dir) =>
@@ -148,6 +159,12 @@ object DedupEntries {
 
   /** Label-propagation rounds for the contract grouping run. */
   private val GroupRounds = 4
+
+  /** Shingle df-cap of the dedup_jaccard_dfcap contract — low enough to
+    * actually drop corpus-common shingles at sf0.01 (the near-dup
+    * clusters' shared shingles survive; cross-cluster boilerplate does
+    * not), high enough that planted pairs keep most of their overlap. */
+  private val JacMaxDf = 20L
 
   /** Exact-jaccard floor of the banding recall audit — deliberately below
     * the banding's reliable zone so the curve shows the low-j droop. */
@@ -278,6 +295,40 @@ object DedupEntries {
         |FROM inter JOIN cnt c0 ON c0.doc_id = doc0 JOIN cnt c1 ON c1.doc_id = doc1
         |WHERE CAST(i AS DOUBLE) / least(c0.n, c1.n) >= 0.6
         |ORDER BY doc0, doc1""".stripMargin),
+    // MOD_m sketch mirror: same selector hash, same mod, containment
+    // estimated on sketch sizes only (Dedup.containmentSketchDups)
+    "dedup_containment_sketch" ->
+      (shgSql + s""",
+        |sk AS (SELECT doc_id, sh FROM shg
+        |       WHERE ((${Dedup.SketchHashA} * sh + ${Dedup.SketchHashB}) % $M)
+        |             % ${Dedup.SketchMod} = 0),
+        |scnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sk GROUP BY 1),
+        |sint AS (SELECT a.doc_id AS doc0, b.doc_id AS doc1,
+        |                CAST(COUNT(*) AS BIGINT) AS i
+        |         FROM sk a JOIN sk b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2)
+        |SELECT doc0, doc1,
+        |       ${r6sql("CAST(i AS DOUBLE) / least(c0.n, c1.n)")} AS containment,
+        |       c0.n AS sk0, c1.n AS sk1
+        |FROM sint JOIN scnt c0 ON c0.doc_id = doc0 JOIN scnt c1 ON c1.doc_id = doc1
+        |WHERE CAST(i AS DOUBLE) / least(c0.n, c1.n) >= 0.6
+        |ORDER BY doc0, doc1""".stripMargin),
+    // df-capped Jaccard mirror: shingles above the cap removed BEFORE
+    // counts and intersections (Dedup.dfCapShingles semantics)
+    "dedup_jaccard_dfcap" ->
+      (shgSql + s""",
+        |keep AS (SELECT sh FROM shg GROUP BY sh HAVING COUNT(*) <= $JacMaxDf),
+        |cap AS (SELECT s.doc_id, s.sh FROM shg s JOIN keep USING (sh)),
+        |ccnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM cap GROUP BY 1),
+        |cint AS (SELECT a.doc_id AS doc0, b.doc_id AS doc1,
+        |                CAST(COUNT(*) AS BIGINT) AS i
+        |         FROM cap a JOIN cap b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2),
+        |cjac AS (SELECT doc0, doc1, CAST(i AS DOUBLE) / (c0.n + c1.n - i) AS jaccard
+        |         FROM cint JOIN ccnt c0 ON c0.doc_id = doc0
+        |                   JOIN ccnt c1 ON c1.doc_id = doc1)
+        |SELECT doc0, doc1, ${r6sql("jaccard")} AS jaccard FROM cjac
+        |WHERE jaccard >= 0.2 ORDER BY doc0, doc1""".stripMargin),
     "dedup_minhash_lsh" ->
       (shingleSql + s""",
         |sig AS (SELECT doc_id, $sigSelect FROM shg GROUP BY doc_id),
