@@ -41,7 +41,8 @@ object Bench {
     "events_anomaly", "export_manifest", "embed_outliers",
     "vocab_cms_audit", "dedup_split_leakage", "pii_scrub",
     "rel_pricing_summary", "rel_top_orders", "rel_region_revenue",
-    "rel_table_profile", "dedup_containment_sketch", "dedup_jaccard_dfcap")
+    "rel_table_profile", "dedup_containment_sketch", "dedup_jaccard_dfcap",
+    "aligned_pairs_skew", "aligned_pairs_skew_salted")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

@@ -105,6 +105,20 @@ object CoreEntries {
       val a = analysis(s)
       gate(a.alignedPairsSalted(a.normalize(supplierPartMatrix(s, dir)), salts = 8).toDF(),
         "vector0", "vector1", "prediction_axis")
+    }),
+    // the PLANTED-SKEW twins (VERDICT r6 ask #4): the same alignment on a
+    // matrix whose hot coordinate sits in ~30% of vectors — plain hands
+    // the whole C(n,2) head to one task, salted splits it; both derive the
+    // same rows (shared oracle), and Bench times them side by side
+    "aligned_pairs_skew" -> ((s, dir) => {
+      val a = analysis(s)
+      gate(a.alignedPairs(a.normalize(skewedCustomerMatrix(s, dir))).toDF(),
+        "vector0", "vector1", "prediction_axis")
+    }),
+    "aligned_pairs_skew_salted" -> ((s, dir) => {
+      val a = analysis(s)
+      gate(a.alignedPairsSalted(a.normalize(skewedCustomerMatrix(s, dir)), salts = 8).toDF(),
+        "vector0", "vector1", "prediction_axis")
     })
   )
 
@@ -125,6 +139,18 @@ object CoreEntries {
     |num AS (SELECT vector0, vector1, SUM(v1*v2) AS numtr FROM p GROUP BY 1, 2)""".stripMargin
 
   private val subsetList = subsetIds.map(v => s"'$v'").mkString("(", ", ", ")")
+
+  /** Normalize + align over the planted-skew customer matrix — shared by
+    * both skew twins (they derive identical rows by different plans). */
+  private val skewAlignedSql: String = skewMatrixSql + """,
+    |mx AS (SELECT y, MAX(v) AS mv FROM m GROUP BY y),
+    |n AS (SELECT m.y, m.x, m.v / mx.mv AS nv FROM m JOIN mx ON m.y = mx.y),
+    |p AS (SELECT a.y AS vector0, b.y AS vector1, a.x AS coord, a.nv AS v1, b.nv AS v2
+    |      FROM n a JOIN n b ON a.x = b.x AND a.y > b.y)
+    |SELECT vector0, vector1, coord AS prediction_axis,
+    |       floor((v1)*1e6 + 0.50001)/1e6 AS value1,
+    |       floor((v2)*1e6 + 0.50001)/1e6 AS value2
+    |FROM p ORDER BY vector0, vector1, prediction_axis""".stripMargin
 
   /** Sparse sign-LSH candidate chain (buckets → hamming≤1 pairs → snapped
     * dense cosine, symmetrized) mirroring graft.ext.SparseAnn — the shared
@@ -182,6 +208,8 @@ object CoreEntries {
         |FROM pf ORDER BY vector0, vector1, prediction_axis""".stripMargin),
     "aligned_pairs_salted" ->
       (pipelineSql + "\nSELECT vector0, vector1, coord AS prediction_axis, floor((v1)*1e6 + 0.50001)/1e6 AS value1, floor((v2)*1e6 + 0.50001)/1e6 AS value2 FROM p ORDER BY vector0, vector1, prediction_axis"),
+    "aligned_pairs_skew" -> skewAlignedSql,
+    "aligned_pairs_skew_salted" -> skewAlignedSql,
     "pair_mods_sparse" ->
       (pipelineSql + "\nSELECT vector0, vector1, floor((mod1)*1e6 + 0.50001)/1e6 AS mod1, floor((mod2)*1e6 + 0.50001)/1e6 AS mod2 FROM smods ORDER BY vector0, vector1"),
     "pair_mods_dense" ->

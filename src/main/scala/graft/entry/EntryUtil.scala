@@ -133,4 +133,58 @@ object EntryUtil {
       |         CAST(SUM(l_quantity) AS DOUBLE) AS v
       |  FROM lineitem GROUP BY 1, 2
       |)""".stripMargin
+
+  /**
+   * The planted-skew matrix (VERDICT r6 ask #4): a customer×part COO
+   * matrix (orders⋈lineitem — ~10× more vectors than the supplier
+   * matrix) with ONE synthetic coordinate `hot` planted into ~60% of
+   * vectors (custkey % 10 < 6). This is the Zipf-head regime the salted
+   * aligner exists for: the hot coordinate alone contributes
+   * C(0.6·customers, 2) aligned pairs, and the plain coordinate
+   * self-equi-join hands ALL of them to the single task owning
+   * hash("hot"), while [[graft.core.CosineAnalysis.alignedPairsSalted]]
+   * splits them across its S(S+1)/2 triangle tasks. Benchmarked under
+   * both plans (aligned_pairs_skew / aligned_pairs_skew_salted) so the
+   * skew trade is measured, not argued.
+   *
+   * Measured crossover (sf0.1, local[32], AQE on, S = 8): at a 30% head
+   * — C(4.5k,2) ≈ 10M of 19M pairs in the hot task — the PLAIN join
+   * still wins (~2.9 s vs ~3.6 s): salting replicates every input row
+   * S+1 times into the shuffle, and that fixed cost outweighs one
+   * medium-hot task. At this fixture's 60% head — C(9k,2) ≈ 40M of 49M
+   * pairs in one task — the hot task dominates the wall and salting wins
+   * ~2.5× (~2.7 s vs ~5.5-7 s). Rule of thumb the pair carries: salt
+   * when the head coordinate's C(df,2) clearly exceeds the total
+   * expansion divided by the task count; otherwise the plain exchange +
+   * AQE is cheaper.
+   */
+  def skewedCustomerMatrix(spark: SparkSession, dir: String): Dataset[MatrixElement] = {
+    import spark.implicits._
+    val ord = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val base = lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(
+        col("o_custkey").cast("string").as("y"),
+        col("l_partkey").cast("string").as("x"))
+      .agg(sum(col("l_quantity")).as("value"))
+    val hot = ord.select(col("o_custkey")).distinct()
+      .where(pmod(col("o_custkey"), lit(10)) < 6)
+      .select(col("o_custkey").cast("string").as("y"),
+        lit("hot").as("x"), lit(1000.0).as("value"))
+    base.unionByName(hot).as[MatrixElement]
+  }
+
+  /** DuckDB CTE mirroring [[skewedCustomerMatrix]]. */
+  val skewMatrixSql: String =
+    """WITH m AS (
+      |  SELECT CAST(o.o_custkey AS VARCHAR) AS y, CAST(l.l_partkey AS VARCHAR) AS x,
+      |         CAST(SUM(l.l_quantity) AS DOUBLE) AS v
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  GROUP BY 1, 2
+      |  UNION ALL
+      |  SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS y, 'hot' AS x, 1000.0 AS v
+      |  FROM orders WHERE o_custkey % 10 < 6
+      |)""".stripMargin
 }
