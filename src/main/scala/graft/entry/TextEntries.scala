@@ -175,6 +175,31 @@ object TextEntries {
         .withColumn("n_emails", col("n_emails").cast("long"))
         .withColumn("n_ips", col("n_ips").cast("long"))
         .withColumn("n_phones", col("n_phones").cast("long")), "doc_id")
+    }),
+    // ext: PII scrub v2 (VERDICT r6 ask #6) — six entity classes over a
+    // richer planted corpus: per doc one email, one IBAN whose digit tail
+    // would feed the card pattern if unstaged, one fixed Luhn-VALID card,
+    // one id-derived card whose Luhn validity varies with doc_id (both
+    // engines run the same checksum), one dashed SSN (a phone-shaped
+    // digit run the staging must attribute to SSN), one IPv4, one phone
+    "pii_scrub_v2" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), concat(col("text"),
+        lit(" mail u"), col("doc_id"), lit("@ex"), pmod(col("doc_id"), lit(7)),
+        lit(".org acct GB"),
+        lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0"),
+        lit("GRAFT"),
+        lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 10, "0"),
+        lit(" card 4111 1111 1111 1111 alt 1234 5678 9012 "),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" ssn "),
+        lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"), lit("-"),
+        lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0"), lit("-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" host 10."), pmod(col("doc_id"), lit(256)),
+        lit(".0."), pmod(col("doc_id") * 3, lit(256)),
+        lit(" tel +1 555-01"),
+        lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0")).as("text"))
+      gate(TextAnalysis.piiScrubV2(d, "doc_id", "text"), "doc_id")
     })
   )
 
@@ -277,6 +302,55 @@ object TextEntries {
         |  CAST(len(regexp_extract_all(t2, '${TextAnalysis.PhonePattern}')) AS BIGINT) AS n_phones,
         |  regexp_replace(t2, '${TextAnalysis.PhonePattern}', '<PHONE>', 'g') AS clean_text
         |FROM s2 ORDER BY doc_id""".stripMargin,
+    // v2: same staging order as TextAnalysis.piiScrubV2 (emails → IBANs →
+    // cards → SSNs → IPv4 → phones) and the IDENTICAL Luhn fold spelled
+    // with DuckDB's list lambdas
+    "pii_scrub_v2" -> {
+      def luhnDuck(s: String) = {
+        def digit(i: String) = s"CAST(substr($s, length($s) - $i, 1) AS INT)"
+        s"""list_aggregate(list_transform(range(0, length($s)),
+           |  i -> CASE WHEN i % 2 = 1
+           |       THEN CASE WHEN ${digit("i")} * 2 > 9
+           |            THEN ${digit("i")} * 2 - 9 ELSE ${digit("i")} * 2 END
+           |       ELSE ${digit("i")} END),
+           |  'sum') % 10 = 0""".stripMargin
+      }
+      s"""WITH d AS (SELECT doc_id,
+        |  text || ' mail u' || doc_id || '@ex' || (doc_id % 7) ||
+        |  '.org acct GB' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ||
+        |  'GRAFT' || lpad(CAST(doc_id % 1000 AS VARCHAR), 10, '0') ||
+        |  ' card 4111 1111 1111 1111 alt 1234 5678 9012 ' ||
+        |  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+        |  ' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+        |  lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-' ||
+        |  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+        |  ' host 10.' || (doc_id % 256) || '.0.' || ((doc_id * 3) % 256) ||
+        |  ' tel +1 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS text
+        |  FROM documents),
+        |s1 AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '${TextAnalysis.EmailPattern}')) AS BIGINT) AS n_emails,
+        |  regexp_replace(text, '${TextAnalysis.EmailPattern}', '<EMAIL>', 'g') AS t1 FROM d),
+        |s2 AS (SELECT doc_id, n_emails,
+        |  CAST(len(regexp_extract_all(t1, '${TextAnalysis.IbanPattern}')) AS BIGINT) AS n_ibans,
+        |  regexp_replace(t1, '${TextAnalysis.IbanPattern}', '<IBAN>', 'g') AS t2 FROM s1),
+        |s3 AS (SELECT doc_id, n_emails, n_ibans,
+        |  CAST(len(regexp_extract_all(t2, '${TextAnalysis.CardPattern}')) AS BIGINT) AS n_cardlike,
+        |  CAST(len(list_filter(
+        |    list_transform(regexp_extract_all(t2, '${TextAnalysis.CardPattern}'),
+        |      c -> replace(replace(c, '-', ''), ' ', '')),
+        |    s -> ${luhnDuck("s")})) AS BIGINT) AS n_cards_luhn,
+        |  regexp_replace(t2, '${TextAnalysis.CardPattern}', '<CARD>', 'g') AS t3 FROM s2),
+        |s4 AS (SELECT doc_id, n_emails, n_ibans, n_cardlike, n_cards_luhn,
+        |  CAST(len(regexp_extract_all(t3, '${TextAnalysis.SsnPattern}')) AS BIGINT) AS n_ssns,
+        |  regexp_replace(t3, '${TextAnalysis.SsnPattern}', '<SSN>', 'g') AS t4 FROM s3),
+        |s5 AS (SELECT doc_id, n_emails, n_ibans, n_cardlike, n_cards_luhn, n_ssns,
+        |  CAST(len(regexp_extract_all(t4, '${TextAnalysis.Ipv4Pattern}')) AS BIGINT) AS n_ips,
+        |  regexp_replace(t4, '${TextAnalysis.Ipv4Pattern}', '<IP>', 'g') AS t5 FROM s4)
+        |SELECT doc_id, n_emails, n_ibans, n_cardlike, n_cards_luhn, n_ssns, n_ips,
+        |  CAST(len(regexp_extract_all(t5, '${TextAnalysis.PhonePattern}')) AS BIGINT) AS n_phones,
+        |  regexp_replace(t5, '${TextAnalysis.PhonePattern}', '<PHONE>', 'g') AS clean_text
+        |FROM s5 ORDER BY doc_id""".stripMargin
+    },
     "tokenize" ->
       (tokSql + "\nSELECT doc_id, pos, token FROM tok ORDER BY doc_id, pos"),
     "tf_matrix" ->

@@ -526,6 +526,84 @@ object TextAnalysis {
       regexp_replace(noIp, PhonePattern, "<PHONE>").as("clean_text"))
   }
 
+  /** Card-shaped digit runs: four groups of four digits with optional
+    * single `-`/space separators (the common 16-digit card layouts). */
+  val CardPattern = "[0-9]{4}([- ]?[0-9]{4}){3}"
+
+  /** IBAN-shaped: country code + check digits + 11-28 alphanumerics,
+    * word-bounded (`\b` matches identically in Java regex and RE2). */
+  val IbanPattern = "\\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,28}\\b"
+
+  /** SSN-shaped: the unambiguous dashed ddd-dd-dddd form. */
+  val SsnPattern = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+  /**
+   * Spark-SQL Luhn checksum over a separator-free digit string `s` —
+   * expressed entirely in array HOFs (no UDF, stays inside whole-stage
+   * codegen): from the rightmost digit, every second digit doubles (minus
+   * 9 when > 9), and the total must be ≡ 0 (mod 10). The DuckDB oracle
+   * mirrors the identical arithmetic with list_transform/list_aggregate
+   * ([[graft.entry.TextEntries]]).
+   */
+  def luhnValidExpr(s: String): String = {
+    def digit(i: String) = s"CAST(substr($s, length($s) - $i, 1) AS INT)"
+    s"""aggregate(transform(sequence(0, length($s) - 1),
+       |  i -> CASE WHEN i % 2 = 1
+       |       THEN IF(${digit("i")} * 2 > 9, ${digit("i")} * 2 - 9, ${digit("i")} * 2)
+       |       ELSE ${digit("i")} END),
+       |  0, (acc, x) -> acc + x) % 10 = 0""".stripMargin
+  }
+
+  /**
+   * PII scrub v2 — [[piiScrub]]'s three classes plus card numbers
+   * (Luhn-checked), IBAN-shaped account numbers, and dashed SSNs
+   * (VERDICT r6 ask #6). Staged so overlapping pattern languages
+   * attribute each span to exactly one class, most-specific first:
+   * emails → IBANs (their digit tails would otherwise feed the card
+   * pattern — DE44 5001 0517 5407 3249 31 contains 18 straight digits)
+   * → cards → SSNs (the dashed form is a valid phone-shaped digit run)
+   * → IPv4 → phones.
+   *
+   * Card semantics: `clean_text` redacts EVERY card-shaped span (the
+   * conservative scrub — a 16-digit run is risk regardless of checksum),
+   * while `n_cards_luhn` counts only the Luhn-valid subset (the
+   * high-precision detection signal; `n_cardlike` is the total). All
+   * remaining counts attribute like v1: each class counted on the text
+   * its stage sees, so the per-class counts sum to the placeholders in
+   * `clean_text`.
+   *
+   * Scale shape: still a pure row-local map stage — regex counts/
+   * replaces plus one array-HOF fold per card candidate, all codegen'd,
+   * zero exchanges.
+   */
+  def piiScrubV2(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val luhnCount =
+      s"""size(filter(transform(cards_, c -> translate(c, '- ', '')),
+         |  s -> ${luhnValidExpr("s")}))""".stripMargin
+    docs
+      .withColumn("n_emails_", regexp_count(col(textCol), lit(EmailPattern)))
+      .withColumn("t1_", regexp_replace(col(textCol), EmailPattern, "<EMAIL>"))
+      .withColumn("n_ibans_", regexp_count(col("t1_"), lit(IbanPattern)))
+      .withColumn("t2_", regexp_replace(col("t1_"), IbanPattern, "<IBAN>"))
+      .withColumn("cards_", expr(s"regexp_extract_all(t2_, '$CardPattern', 0)"))
+      .withColumn("n_cards_luhn_", expr(luhnCount))
+      .withColumn("t3_", regexp_replace(col("t2_"), CardPattern, "<CARD>"))
+      .withColumn("n_ssns_", regexp_count(col("t3_"), lit(SsnPattern)))
+      .withColumn("t4_", regexp_replace(col("t3_"), SsnPattern, "<SSN>"))
+      .withColumn("n_ips_", regexp_count(col("t4_"), lit(Ipv4Pattern)))
+      .withColumn("t5_", regexp_replace(col("t4_"), Ipv4Pattern, "<IP>"))
+      .select(
+        col(idCol).as("doc_id"),
+        col("n_emails_").cast("long").as("n_emails"),
+        col("n_ibans_").cast("long").as("n_ibans"),
+        size(col("cards_")).cast("long").as("n_cardlike"),
+        col("n_cards_luhn_").cast("long").as("n_cards_luhn"),
+        col("n_ssns_").cast("long").as("n_ssns"),
+        col("n_ips_").cast("long").as("n_ips"),
+        regexp_count(col("t5_"), lit(PhonePattern)).cast("long").as("n_phones"),
+        regexp_replace(col("t5_"), PhonePattern, "<PHONE>").as("clean_text"))
+  }
+
   /**
    * Corpus-unigram log-probability scoring — the offline stand-in for the
    * LM-perplexity quality signal (CCNet ranks documents by a wiki-LM's
