@@ -374,4 +374,84 @@ class BatchStreamParitySpec extends SparkSpec {
     // identical input in ONE slice must give identical output
     assert(run(Seq(all), "parity_roll_one") == batch)
   }
+
+  test("hourlyAnomaly: final moments equal batch; re-scored cells match") {
+    val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    def ev(minutes: Long, tpe: String) =
+      StreamEvent(1L, new Timestamp(base + minutes * 60000), tpe, 0.0)
+    // click: hour counts 2, 1, 3 (variance > 0); buy: 1, 1 (variance 0 —
+    // batch drops the type, the stream emits its cells with z = 0)
+    val all = Seq(
+      ev(5, "click"), ev(10, "click"), ev(70, "click"),
+      ev(125, "click"), ev(130, "click"), ev(135, "click"),
+      ev(20, "buy"), ev(80, "buy"))
+
+    val in = MemoryStream[StreamEvent]
+    val q = EventsStream.hourlyAnomaly(in.toDS())
+      .writeStream.format("memory").queryName("parity_anom")
+      .outputMode(OutputMode.Append).start()
+    val updates =
+      try {
+        in.addData(all: _*); q.processAllAvailable()
+        in.addData(ev(24 * 60, "x")); q.processAllAvailable()
+        in.addData(ev(48 * 60, "x")); q.processAllAvailable()
+        spark.table("parity_anom").where($"event_type" =!= "x").collect()
+          .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("hour_start_sec"),
+            r.getAs[Long]("n_events"), r.getAs[Long]("n_cells"),
+            r.getAs[Double]("mean_n"), r.getAs[Double]("std_n"), r.getAs[Double]("z")))
+      } finally q.stop()
+
+    val batchDF = all.zipWithIndex.map { case (e, i) =>
+      (i.toLong, e.ts.getTime * 1000000L, e.user_id, e.event_type, e.value)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+
+    // every batch hourly cell emitted exactly once
+    val batchCells = Events.hourly(batchDF)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2))).toSet
+    assert(updates.map(u => (u._1, u._2, u._3)).toSet == batchCells)
+    assert(updates.length == updates.map(u => (u._1, u._2)).distinct.length)
+
+    // each type's LAST update carries the batch twin's full distribution;
+    // re-scoring every emitted cell against it reproduces the batch rows
+    val lastByType = updates.groupBy(_._1).view.mapValues(_.maxBy(_._4)).toMap
+    val batchRows = Events.hourlyAnomaly(batchDF).collect()
+      .map(r => (r.getString(1), r.getLong(0)) -> r.getDouble(3)).toMap
+    assert(batchRows.nonEmpty)
+    batchRows.foreach { case ((tpe, hour), zWant) =>
+      val (_, _, _, _, mean, std, _) = lastByType(tpe)
+      val n = updates.find(u => u._1 == tpe && u._2 == hour).get._3
+      assertApprox((n - mean) / std, zWant, 1e-9)
+    }
+    // the zero-variance type is absent from batch but streams with z = 0
+    assert(batchRows.keySet.forall(_._1 == "click"))
+    assert(updates.filter(_._1 == "buy").forall(_._7 == 0.0))
+  }
+
+  test("hourlyAnomaly: z scores against the distribution so far, in hour order") {
+    val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    def ev(minutes: Long, tpe: String) =
+      StreamEvent(1L, new Timestamp(base + minutes * 60000), tpe, 0.0)
+    // counts 1, 1, 4: cell 1 → mean 1, std 0 → z 0; cell 2 → still 0;
+    // cell 3 → mean 2, std √2 → z = 2/√2 = √2
+    val all = Seq(ev(5, "t"), ev(65, "t"),
+      ev(125, "t"), ev(130, "t"), ev(135, "t"), ev(140, "t"))
+    val in = MemoryStream[StreamEvent]
+    val q = EventsStream.hourlyAnomaly(in.toDS())
+      .writeStream.format("memory").queryName("sofar_anom")
+      .outputMode(OutputMode.Append).start()
+    val got =
+      try {
+        in.addData(all: _*); q.processAllAvailable()
+        in.addData(ev(24 * 60, "x")); q.processAllAvailable()
+        in.addData(ev(48 * 60, "x")); q.processAllAvailable()
+        spark.table("sofar_anom").where($"event_type" === "t")
+          .orderBy($"n_cells").collect()
+          .map(r => (r.getAs[Long]("n_cells"), r.getAs[Long]("n_events"),
+            r.getAs[Double]("z")))
+      } finally q.stop()
+    assert(got.map(g => (g._1, g._2)).toSeq == Seq((1L, 1L), (2L, 1L), (3L, 4L)))
+    assertApprox(got(0)._3, 0.0)
+    assertApprox(got(1)._3, 0.0)
+    assertApprox(got(2)._3, math.sqrt(2.0), 1e-9)
+  }
 }

@@ -232,4 +232,48 @@ class CheckpointResumeSpec extends SparkSpec {
       (hour0, "click", 3L, 7.0),          // 2 events pre-restart + 1 post
       (hour0 + 3600, "buy", 1L, 8.0)))
   }
+
+  test("hourlyAnomaly resumes from checkpoint: moments survive the restart") {
+    val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    def ev(minutes: Long, tpe: String) =
+      StreamEvent(1L, new Timestamp(base + minutes * 60000), tpe, 0.0)
+    // pre-restart: hour-0 (2 events) and hour-1 (1 event) cells exist;
+    // hour-0 is already finalized by the mid-stream flush, so its moment
+    // contribution lives ONLY in the state store across the restart
+    val before = Seq(ev(5, "t"), ev(10, "t"), ev(70, "t"), ev(200, "flushA"))
+    // post-restart: hour-2 gets 4 events; the final distribution over
+    // counts (2, 1, 4) must include the pre-restart cells
+    val after = Seq(ev(125, "t"), ev(130, "t"), ev(135, "t"), ev(140, "t"))
+    val flush1 = Seq(ev(24 * 60, "x"))
+    val flush2 = Seq(ev(48 * 60, "x"))
+
+    val dir = Files.createTempDirectory("graft_ckpt_anom").toFile
+    val in = MemoryStream[StreamEvent]
+    def start() = EventsStream.hourlyAnomaly(in.toDS())
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode(OutputMode.Append)
+      .start()
+
+    val q1 = start()
+    try { in.addData(before: _*); q1.processAllAvailable() } finally q1.stop()
+    val q2 = start()
+    try {
+      in.addData(after: _*); q2.processAllAvailable()
+      in.addData(flush1: _*); q2.processAllAvailable()
+      in.addData(flush2: _*); q2.processAllAvailable()
+    } finally q2.stop()
+
+    val got = spark.read.parquet(s"$dir/out").where($"event_type" === "t")
+      .orderBy($"n_cells").collect()
+      .map(r => (r.getAs[Long]("n_cells"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("mean_n"), r.getAs[Double]("std_n"))).toSeq
+    // no duplicate cells from offset replay, counts in fold order
+    assert(got.map(g => (g._1, g._2)) == Seq((1L, 2L), (2L, 1L), (3L, 4L)), got)
+    // final moments span the restart: mean 7/3, pop-std of (2,1,4)
+    val (_, _, mean, std) = got.last
+    assert(math.abs(mean - 7.0 / 3.0) < 1e-9)
+    assert(math.abs(std - math.sqrt((4.0 + 1.0 + 16.0) / 3.0 - 49.0 / 9.0)) < 1e-9)
+  }
 }
