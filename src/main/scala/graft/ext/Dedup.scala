@@ -536,12 +536,21 @@ object Dedup {
    * row (nothing to leak through a trigram probe).
    */
   def contamination(train: DataFrame, evalCorpus: DataFrame,
-      idCol: String, textCol: String): DataFrame = {
-    val trainSh = shingles(train, idCol, textCol)
-    val evalSh = shingles(evalCorpus, idCol, textCol)
-      .select(col("sh")).distinct().withColumn("hit", lit(1L))
+      idCol: String, textCol: String): DataFrame =
+    contaminationFromShingles(
+      shingles(train, idCol, textCol),
+      shingles(evalCorpus, idCol, textCol))
+
+  /** [[contamination]] from prebuilt (doc_id, sh) tables — the seam that
+    * lets an incremental pipeline probe an existing shingle INDEX
+    * ([[graft.streaming.DedupStream.currentShingles]]) instead of
+    * re-shingling the corpus. Same plan: the eval side collapses to its
+    * distinct shingle set (broadcast-sized), one left join, one per-doc
+    * aggregate. */
+  def contaminationFromShingles(trainSh: DataFrame, evalSh: DataFrame): DataFrame = {
+    val ev = evalSh.select(col("sh")).distinct().withColumn("hit", lit(1L))
     trainSh
-      .join(evalSh, Seq("sh"), "left")
+      .join(ev, Seq("sh"), "left")
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_shingles"),

@@ -72,4 +72,86 @@ object Pipelines {
       .join(contaminated, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("group_rep"), col("n_tokens"))
   }
+
+  /**
+   * INCREMENTAL cleaning sweep (VERDICT r6 ask #7) — the same contract as
+   * [[cleanCorpus]] over the NEW corpus snapshot, but the expensive work
+   * (shingling, MinHash banding, candidate verification) runs only on the
+   * docs the delta actually touched. Re-running [[cleanCorpus]] from
+   * scratch on a 100 TB corpus for a 0.1% daily delta re-shingles and
+   * re-verifies everything; this path:
+   *
+   *   1. [[graft.ext.Audit.corpusDiff]] classifies the delta — only
+   *      `added`/`changed` docs (content-hash compare) need re-indexing.
+   *   2. [[graft.streaming.DedupStream.nearDupBatch]] folds EXACTLY those
+   *      docs into the persistent banded index as one batch: candidates
+   *      are delta-vs-index + delta-vs-delta band collisions, verified
+   *      against current-version shingles — never a corpus re-scan.
+   *   3. The pair list and shingle table are then READ BACK from the
+   *      index at current versions ([[graft.streaming.DedupStream
+   *      .currentPairs]] drops pairs staled by re-ingest; edges touching
+   *      removed docs die in [[Dedup.dupGroups]]'s foreign-edge filter),
+   *      and the cheap corpus-wide tail — grouping over the result-sized
+   *      pair list, row-local quality scoring, the index-probed
+   *      decontamination ([[Dedup.contaminationFromShingles]]) — runs as
+   *      in [[cleanCorpus]].
+   *
+   * Result rows are IDENTICAL to `cleanCorpus(newDocs, ...)` (pinned by
+   * IncrementalCleanSpec) provided the index previously ingested every
+   * old doc (backfill `oldDocs` as one batch when bootstrapping).
+   *
+   * What stays corpus-linear on purpose: quality scoring and token
+   * counts are single-pass row-local map stages over the snapshot — no
+   * pair surface, no index; caching THOSE per-doc scalars is a storage
+   * trade the caller can make separately. The quadratic-risk stages are
+   * the ones the index bounds to delta size.
+   *
+   * `batchId` must be fresh per delta (monotone increasing); replaying a
+   * delta with its old id idempotently overwrites that batch's partition
+   * (the [[graft.streaming.DedupStream.nearDupBatch]] contract).
+   */
+  def incrementalClean(oldDocs: DataFrame, newDocs: DataFrame,
+      idCol: String, textCol: String,
+      sourceCol: String, evalSource: String,
+      indexDir: String, batchId: Long,
+      minTokens: Long = 10, maxTokens: Long = 100000,
+      minAvgTokenLen: Double = 2.0, maxAvgTokenLen: Double = 12.0,
+      maxStopwordRatio: Double = 0.6, minTtr: Double = 0.2,
+      minJaccard: Double = 0.2,
+      pin: DataFrame => DataFrame = identity): DataFrame = {
+    val spark = newDocs.sparkSession
+    val deltaIds = Audit.corpusDiff(oldDocs, newDocs, idCol, textCol)
+      .where(col("status").isin("added", "changed"))
+      .select(col("doc_id"))
+    val deltaDocs = newDocs
+      .join(deltaIds, newDocs(idCol) === deltaIds("doc_id"), "left_semi")
+    graft.streaming.DedupStream.nearDupBatch(
+      deltaDocs, idCol, textCol, indexDir, minJaccard, batchId)
+    val pairs = pin(graft.streaming.DedupStream.currentPairs(spark, indexDir)
+      .select("doc0", "doc1"))
+    val idxSh = graft.streaming.DedupStream.currentShingles(spark, indexDir)
+    val groups = Dedup.dupGroups(newDocs, pairs, idCol)
+    val scores = TextAnalysis.tokenCounts(newDocs, idCol, textCol)
+    val elected = Dedup.keepBest(groups, scores, "doc_id", "ws_tokens")
+      .where(col("kept") === 1L)
+      .select(col("doc_id"), col("group_rep"))
+    val quality = TextAnalysis.qualityFilter(newDocs, idCol, textCol,
+        minTokens, maxTokens, minAvgTokenLen, maxAvgTokenLen,
+        maxStopwordRatio, minTtr)
+      .select(col("doc_id"), col("n_tokens"))
+    val trainIds = newDocs.where(col(sourceCol) =!= evalSource)
+      .select(col(idCol).as("doc_id"))
+    val evalIds = newDocs.where(col(sourceCol) === evalSource)
+      .select(col(idCol).as("doc_id"))
+    val contaminated = Dedup.contaminationFromShingles(
+        idxSh.join(trainIds, Seq("doc_id"), "left_semi"),
+        idxSh.join(evalIds, Seq("doc_id"), "left_semi"))
+      .where(col("hit_shingles") > 0)
+      .select(col("doc_id"))
+    quality
+      .join(elected, "doc_id")
+      .join(trainIds, Seq("doc_id"), "left_semi")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("group_rep"), col("n_tokens"))
+  }
 }

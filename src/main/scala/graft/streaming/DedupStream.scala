@@ -98,10 +98,16 @@ object DedupStream {
    * the index AND for the jaccard math (duplicate shingle rows would
    * otherwise corrupt the intersection counts).
    *
-   * Contract: `doc_id` identifies ONE document version. Re-ingesting a
-   * changed text under an existing doc_id (in a LATER batch) merges both
-   * versions' shingles under that id in the index — run [[compactIndex]]
-   * periodically to drop superseded versions and their stale pairs.
+   * Contract: `doc_id` identifies ONE document version, and the LATEST
+   * ingested batch of an id is its current version. History reads filter
+   * to that latest version (and exclude ids re-ingested by the CURRENT
+   * batch), so verification never mixes a stale text's shingles with the
+   * replacement's — re-ingesting a changed doc yields pairs computed
+   * against current versions only (r7; the merge-corruption this used to
+   * cause was the reason compaction was load-bearing). Superseded rows
+   * and the stale pairs derived from them remain ON DISK until
+   * [[compactIndex]] reclaims them; read them through [[currentPairs]] /
+   * [[currentShingles]], which apply the same latest-version rule.
    */
   def nearDupDetect(docs: DataFrame, idCol: String, textCol: String,
       indexDir: String, minJaccard: Double = 0.2): DataStreamWriter[Row] =
@@ -128,10 +134,12 @@ object DedupStream {
       if (fs.exists(p))
         // explicit schema (no inference on possibly-empty dirs); exclude
         // THIS batch's own partition so a replay never sees its previous
-        // attempt's rows as history
+        // attempt's rows as history (batch_id rides along for the
+        // latest-version filter)
         spark.read.schema(like.schema.add("batch_id", "long")).parquet(path)
-          .where(col("batch_id") =!= batchId).drop("batch_id")
-      else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], like.schema)
+          .where(col("batch_id") =!= batchId)
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        like.schema.add("batch_id", "long"))
     }
     // one partition per batch + dynamic overwrite = idempotent replay
     def writeBatchPartition(df: DataFrame, path: String): Unit =
@@ -143,9 +151,23 @@ object DedupStream {
     // cache for the batch's lifetime, released in the finally
     val newSh = Dedup.shingles(batch, idCol, textCol).persist()
     val newBands = Dedup.minHashBands(Dedup.minHashSignatures(newSh)).persist()
+    val newIds = batch.select(col(idCol).as("doc_id")).distinct()
+    // history at CURRENT versions only: per doc its latest prior batch's
+    // rows, minus ids this batch re-ingests (their new version supersedes
+    // — mixing both versions' shingles corrupted the Jaccard before r7).
+    // Costs one (doc_id, batch_id)-column aggregate over the index scan —
+    // no text is touched, so the delta batch stays delta-shaped.
+    def latestVersion(df: DataFrame): DataFrame = {
+      val latest = df.select(col("doc_id").as("vdoc"), col("batch_id").as("vbatch"))
+        .groupBy("vdoc").agg(max("vbatch").as("vbatch"))
+      df.join(latest,
+          col("doc_id") === col("vdoc") && col("batch_id") === col("vbatch"))
+        .drop("vdoc", "vbatch", "batch_id")
+        .join(newIds, Seq("doc_id"), "left_anti")
+    }
     try {
-      val oldSh = readOr(s"$indexDir/shingles", newSh)
-      val oldBands = readOr(s"$indexDir/bands", newBands)
+      val oldSh = latestVersion(readOr(s"$indexDir/shingles", newSh))
+      val oldBands = latestVersion(readOr(s"$indexDir/bands", newBands))
       // new vs indexed: every colliding (new, old) pair, canonical id
       // order; a re-ingested id never pairs with itself
       val vsOld = newBands.as("a")
@@ -174,6 +196,63 @@ object DedupStream {
       newSh.unpersist()
     }
   }
+
+  /**
+   * The index's CURRENT shingle table: each indexed doc's latest ingested
+   * version only (superseded re-ingest rows are invisible — they stay on
+   * disk until [[compactIndex]] reclaims them). (doc_id, sh) rows; empty
+   * frame if nothing was ingested. The latest-version rule costs one
+   * two-column aggregate + an equi-join over the index scan — no text.
+   */
+  def currentShingles(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): DataFrame = {
+    recoverIndex(spark, indexDir)
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/shingles")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p))
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("sh", org.apache.spark.sql.types.LongType))))
+    val sh = spark.read.parquet(s"$indexDir/shingles")
+    sh.join(latestBatches(sh),
+        col("doc_id") === col("vdoc") && col("batch_id") === col("vbatch"))
+      .select("doc_id", "sh")
+  }
+
+  /**
+   * The index's CURRENT verified near-dup pairs: stale pairs — those
+   * computed before one of their endpoints was re-ingested — are dropped
+   * by batch arithmetic (a pair is current iff its batch is at least both
+   * endpoints' latest version batch; the batch that re-ingests an
+   * endpoint re-derives its surviving pairs, so the fresh copy always
+   * exists). Pairs whose endpoint left the corpus entirely are the
+   * CALLER's filter (a semi-join against the live id set — the same
+   * foreign-edge contract as [[graft.ext.Dedup.dupGroups]]).
+   */
+  def currentPairs(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): DataFrame = {
+    recoverIndex(spark, indexDir)
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/dups")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p))
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc0", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("doc1", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("jaccard", org.apache.spark.sql.types.DoubleType))))
+    val latest = latestBatches(spark.read.parquet(s"$indexDir/shingles"))
+    spark.read.parquet(s"$indexDir/dups")
+      .join(latest.select(col("vdoc").as("doc0"), col("vbatch").as("v0")), "doc0")
+      .join(latest.select(col("vdoc").as("doc1"), col("vbatch").as("v1")), "doc1")
+      .where(col("batch_id") >= greatest(col("v0"), col("v1")))
+      .select("doc0", "doc1", "jaccard")
+  }
+
+  /** (vdoc, vbatch): each indexed doc's latest ingested batch. */
+  private def latestBatches(indexTable: DataFrame): DataFrame =
+    indexTable.select(col("doc_id").as("vdoc"), col("batch_id").as("vbatch"))
+      .groupBy("vdoc").agg(max("vbatch").as("vbatch"))
 
   /**
    * Periodic index compaction — the maintenance job closing
