@@ -161,10 +161,10 @@ object DedupEntries {
   private val GroupRounds = 4
 
   /** Shingle df-cap of the dedup_jaccard_dfcap contract — low enough to
-    * actually drop corpus-common shingles at sf0.01 (the near-dup
-    * clusters' shared shingles survive; cross-cluster boilerplate does
-    * not), high enough that planted pairs keep most of their overlap. */
-  private val JacMaxDf = 20L
+    * actually drop corpus-common shingles at sf0.01 (max shingle df there
+    * is 7, so 5 excises the df-6/7 head — the contract is non-vacuous),
+    * high enough that planted near-dup pairs keep most of their overlap. */
+  private val JacMaxDf = 5L
 
   /** Exact-jaccard floor of the banding recall audit — deliberately below
     * the banding's reliable zone so the curve shows the low-j droop. */
