@@ -42,7 +42,8 @@ object Bench {
     "vocab_cms_audit", "dedup_split_leakage", "pii_scrub",
     "rel_pricing_summary", "rel_top_orders", "rel_region_revenue",
     "rel_table_profile", "dedup_containment_sketch", "dedup_jaccard_dfcap",
-    "aligned_pairs_skew", "aligned_pairs_skew_salted", "pii_scrub_v2")
+    "aligned_pairs_skew", "aligned_pairs_skew_salted", "pii_scrub_v2",
+    "rel_top_customers", "rel_monthly_running")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

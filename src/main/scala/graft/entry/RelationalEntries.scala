@@ -58,8 +58,25 @@ object RelationalEntries {
     // ext: per-column profile audit (counts, distincts, min/max as text)
     "rel_table_profile" -> ((s, dir) =>
       gate(Relational.tableProfile(Relational.orders(s, dir), ProfileCols),
-        "col_name"))
+        "col_name")),
+    // ext: TPC-H Q10 shape — returned-item revenue per customer, exact
+    // int64 money units rank the top-k bit-deterministically
+    "rel_top_customers" -> ((s, dir) =>
+      gate(Relational.returnedTopCustomers(Relational.customer(s, dir),
+        Relational.orders(s, dir), Relational.lineitem(s, dir),
+        Relational.nation(s, dir), RetFrom, RetUntil, TopCustomers),
+        "o_custkey")),
+    // ext: window-over-aggregate shape — monthly revenue + running
+    // cumulative, all-integer money (exact in any engine at any scale)
+    "rel_monthly_running" -> ((s, dir) =>
+      gate(Relational.monthlyRevenueRunning(Relational.lineitem(s, dir)),
+        "yr", "mo"))
   )
+
+  /** Q10-shape contract: one year of orders, top-20 customers. */
+  private val RetFrom = "1995-01-01"
+  private val RetUntil = "1996-01-01"
+  private val TopCustomers = 20
 
   val oracles: Map[String, String] = Map(
     // money sums mirror the Spark side's r6∘r2 composition exactly: the
@@ -109,6 +126,37 @@ object RelationalEntries {
         |WHERE l.l_shipdate >= TIMESTAMP '$RevFrom'
         |  AND l.l_shipdate < TIMESTAMP '$RevUntil'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // exact integer money (1e-4-dollar units): per-row floor recovery is
+    // order-free, so sums/ranks/windows are bit-identical across engines
+    "rel_top_customers" ->
+      s"""SELECT t.o_custkey, c.c_name, n.n_name, t.revenue_e4,
+        |  ${r6sql("CAST(t.revenue_e4 AS DOUBLE) / 1e4")} AS revenue
+        |FROM (
+        |  SELECT o.o_custkey,
+        |    SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1e4 + 0.5) AS BIGINT)) AS revenue_e4
+        |  FROM orders o
+        |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderdate >= TIMESTAMP '$RetFrom'
+        |    AND o.o_orderdate < TIMESTAMP '$RetUntil'
+        |    AND l.l_returnflag = 'R'
+        |  GROUP BY 1
+        |  ORDER BY revenue_e4 DESC, o.o_custkey
+        |  LIMIT $TopCustomers
+        |) t
+        |JOIN customer c ON c.c_custkey = t.o_custkey
+        |JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |ORDER BY t.o_custkey""".stripMargin,
+    "rel_monthly_running" ->
+      s"""WITH m AS (
+        |  SELECT CAST(year(l_shipdate) AS BIGINT) AS yr,
+        |         CAST(month(l_shipdate) AS BIGINT) AS mo,
+        |         CAST(COUNT(*) AS BIGINT) AS n_items,
+        |         SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 1e4 + 0.5) AS BIGINT)) AS revenue_e4
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT yr, mo, n_items, revenue_e4,
+        |  SUM(revenue_e4) OVER (ORDER BY yr, mo
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_revenue_e4
+        |FROM m ORDER BY yr, mo""".stripMargin,
     "rel_table_profile" ->
       ProfileCols.map { c =>
         s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,

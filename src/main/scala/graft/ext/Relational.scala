@@ -135,6 +135,88 @@ object Relational {
   }
 
   /**
+   * Per-row revenue in exact ten-thousandths of a dollar — money as
+   * integers at the scan boundary. l_extendedprice and l_discount carry
+   * ≤2 decimals each, so price·(1−discount) sits exactly on the 1e-4
+   * grid; `floor(x·1e4 + 0.5)` recovers that integer identically in any
+   * IEEE engine (the product of two identical doubles is exactly
+   * rounded, and the recovery is per-ROW — no sum-order anywhere). Every
+   * downstream sum/rank/cumulation is then exact int64 arithmetic:
+   * order-free, engine-free, and precision-safe at any scale. A double
+   * sum over a 100 TB fact table silently loses cents (and its last
+   * ulps differ run to run with partial-aggregation order); an int64 of
+   * 1e-4 dollars holds ~9·10¹⁴ dollars before overflow.
+   */
+  private val revE4 =
+    expr("CAST(floor(l_extendedprice * (1 - l_discount) * 1e4 + 0.5) AS BIGINT)")
+
+  /**
+   * Top-k customers by revenue from RETURNED items in a date window (the
+   * TPC-H Q10 shape): orders in `[from, until)`, lineitems flagged 'R',
+   * revenue summed per customer in exact 1e-4-dollar units, top `k`
+   * customers decorated with name and nation.
+   *
+   * Scale shape: both fact scans filter at parquet level; the
+   * orders⋈lineitem edge is the fact-to-fact orderkey equi-join (never
+   * broadcast); the per-customer aggregate reuses that partitioning
+   * shape; top-k is TakeOrdered over exact integers (bit-deterministic
+   * rank — ties break on custkey); and only the k SURVIVORS join the
+   * customer→nation dimension chain — the k-row side broadcasts into
+   * the dimension scan, so decoration costs one dimension read no
+   * matter the fact size.
+   */
+  def returnedTopCustomers(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, nation: DataFrame,
+      from: String, until: String, k: Int): DataFrame = {
+    require(k > 0)
+    val ord = orders
+      .where(col("o_orderdate") >= to_timestamp_ntz(lit(from)) &&
+        col("o_orderdate") < to_timestamp_ntz(lit(until)))
+      .select("o_orderkey", "o_custkey")
+    val li = lineitem.where(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), revE4.as("rev_e4"))
+    val top = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(sum(col("rev_e4")).as("revenue_e4"))
+      .orderBy(col("revenue_e4").desc, col("o_custkey").asc)
+      .limit(k)
+    val dim = customer.select("c_custkey", "c_name", "c_nationkey")
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+    dim.join(broadcast(top), col("c_custkey") === col("o_custkey"))
+      .select(col("o_custkey"), col("c_name"), col("n_name"),
+        col("revenue_e4"),
+        (col("revenue_e4").cast("double") / lit(1e4)).as("revenue"))
+  }
+
+  /**
+   * Monthly revenue with a running cumulative total — the
+   * window-over-aggregate report shape: per (year, month) of l_shipdate,
+   * item count and exact revenue, plus the cumulative revenue of all
+   * months so far. All money stays in int64 1e-4-dollar units ([[revE4]])
+   * END TO END: the running sum of a double column would accumulate
+   * ~1e-5 of engine- and order-dependent noise by late months (past the
+   * 1e-6 compare grid — the exact failure mode ADVICE r6 flagged on the
+   * r2 columns), while integer cumulation is bit-exact everywhere.
+   *
+   * Scale shape: ONE map-side-partial exchange for the monthly
+   * aggregate; the unpartitioned running window then runs on the
+   * months-sized result (~tens of rows for any date range — the
+   * single-partition window is on the AGGREGATE, never the fact table).
+   */
+  def monthlyRevenueRunning(lineitem: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("yr", "mo")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    lineitem
+      .groupBy(
+        year(col("l_shipdate")).cast("long").as("yr"),
+        month(col("l_shipdate")).cast("long").as("mo"))
+      .agg(count(lit(1)).as("n_items"), sum(revE4).as("revenue_e4"))
+      .withColumn("cum_revenue_e4", sum(col("revenue_e4")).over(w))
+  }
+
+  /**
    * Per-column table profile — the data-quality audit run before any
    * table joins a pipeline: for each requested column, row count,
    * non-null count, exact distinct count, and min/max rendered as

@@ -108,6 +108,68 @@ class RelationalSpec extends SparkSpec {
       s"extra shuffle:\n$plan")
   }
 
+  test("returnedTopCustomers: exact integer money, returned items only") {
+    val cust = Seq((10L, "Cust#10", 1), (11L, "Cust#11", 2))
+      .toDF("c_custkey", "c_name", "c_nationkey")
+    val got = Relational.returnedTopCustomers(cust, orders, lineitem, nation,
+        "1997-01-01", "1998-01-01", k = 5).collect()
+    // only order 2 (1997) has an 'R' lineitem: 200 * 0.5 = 100.0000 dollars
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("o_custkey") == 10L)
+    assert(r.getAs[String]("c_name") == "Cust#10")
+    assert(r.getAs[String]("n_name") == "FRANCE")
+    assert(r.getAs[Long]("revenue_e4") == 1000000L)
+    assertApprox(r.getAs[Double]("revenue"), 100.0)
+  }
+
+  test("returnedTopCustomers plans TakeOrdered + broadcast decoration only") {
+    // k strictly below the qualifying-customer count — otherwise the
+    // optimizer proves the limit redundant and eliminates the top-k
+    // (and the then-unobservable sort) outright
+    val cust = Seq((10L, "Cust#10", 1), (11L, "Cust#11", 2))
+      .toDF("c_custkey", "c_name", "c_nationkey")
+    val ord2 = orders.union(Seq((4L, 11L, "1997-03-01 00:00:00"))
+      .toDF("o_orderkey", "o_custkey", "od")
+      .withColumn("o_orderdate", expr("to_timestamp_ntz(od)")).drop("od"))
+    val li2 = lineitem.union(Seq(
+      (4L, 2L, 1.0, 80.0, 0.00, 0.00, "R", "O", "1997-04-01 00:00:00"))
+      .toDF("l_orderkey", "l_suppkey", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_returnflag", "l_linestatus", "sd")
+      .withColumn("l_shipdate", expr("to_timestamp_ntz(sd)")).drop("sd"))
+    val df = Relational.returnedTopCustomers(cust, ord2, li2, nation,
+      "1997-01-01", "1998-01-01", k = 1)
+    // the top-k sits mid-plan (decoration joins follow), so AQE only
+    // materializes the operator choice at execution time
+    val rows = df.collect()
+    assert(rows.map(_.getAs[Long]("o_custkey")).toSeq == Seq(10L)) // 100 > 80
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("monthlyRevenueRunning: exact cumulation over the monthly aggregate") {
+    val got = Relational.monthlyRevenueRunning(lineitem).orderBy("yr", "mo")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // rows: 1995-01 (30.0), 1996-03 (90.0), 1996-06 (50.0), 1998-06 (100.0)
+    assert(got.toSeq == Seq(
+      (1995L, 1L, 1L, 300000L, 300000L),
+      (1996L, 3L, 1L, 900000L, 1200000L),
+      (1996L, 6L, 1L, 500000L, 1700000L),
+      (1998L, 6L, 1L, 1000000L, 2700000L)))
+  }
+
+  test("monthlyRevenueRunning windows the AGGREGATE, one fact exchange") {
+    val plan = Relational.monthlyRevenueRunning(lineitem)
+      .queryExecution.executedPlan.toString
+    // one hash exchange for the monthly aggregate; the window's
+    // SinglePartition exchange moves only months-sized rows
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+    assert(plan.contains("Window"), plan)
+  }
+
   test("tableProfile: one row per column, exact counts, text min/max") {
     val df = Seq((1L, Some("b")), (2L, Some("a")), (2L, None))
       .toDF("k", "v")
