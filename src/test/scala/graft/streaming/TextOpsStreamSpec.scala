@@ -67,6 +67,30 @@ class TextOpsStreamSpec extends SparkSpec {
     }
   }
 
+  test("hllSketch streams in complete mode: batch parity, m-bounded state") {
+    // register maxes commute, so complete-mode aggregation maintains the
+    // identical sketch with state bounded at groups × 64 rows
+    val in = MemoryStream[(Long, String)]
+    val q = graft.ext.TextAnalysis
+      .hllSketch(in.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("t_hll")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      in.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      in.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      val got = spark.table("t_hll").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+      val want = graft.ext.TextAnalysis
+        .hllSketch(rows.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+      assert(want.nonEmpty && got == want, "stream/batch HLL divergence")
+      assert(got.groupBy(_._1._1).forall(_._2.size <= 64),
+        "state exceeds the m-register bound")
+    } finally q.stop()
+  }
+
   test("cmsSketch streams in complete mode: batch parity, d*w-bounded state") {
     // the one corpus-level aggregate here whose streaming state is
     // bounded BY CONSTRUCTION (d*w counters), so it needs no watermark
