@@ -67,6 +67,15 @@ object DedupEntries {
         d.where(col("source") =!= EvalSource),
         d.where(col("source") === EvalSource), "doc_id", "text"), "doc_id")
     }),
+    // bounded-memory Bloom probe of the same train/eval boundary: the
+    // fixed-size-filter scale path (no false negatives; FPs measured by
+    // holding this against `decontaminate`)
+    "decontaminate_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      gate(Dedup.bloomContamination(
+        d.where(col("source") =!= EvalSource),
+        d.where(col("source") === EvalSource), "doc_id", "text"), "doc_id")
+    }),
     // near-dup leakage across the same split (MinHash bands + verify)
     "decontaminate_fuzzy" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -421,6 +430,33 @@ object DedupEntries {
         |       ${r6sql("CAST(SUM(CASE WHEN ev.sh IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)")} AS contamination
         |FROM tr LEFT JOIN ev ON tr.sh = ev.sh
         |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin),
+    // the same Bloom chain: k salted avalanche positions per shingle,
+    // distinct set-bit table, all-k-positions-hit flag per train shingle
+    "decontaminate_bloom" -> {
+      val evalBits = (0 until Dedup.BloomHashes)
+        .map(i => s"SELECT DISTINCT ${Dedup.bloomPosSql("sh", i)} AS pos FROM ev")
+        .mkString("\n        UNION ")
+      val trainProbes = (0 until Dedup.BloomHashes)
+        .map(i => s"SELECT doc_id, sh, ${Dedup.bloomPosSql("sh", i)} AS pos FROM tr")
+        .mkString("\n        UNION ALL ")
+      shgSql + s""",
+        |ev AS (SELECT s.sh FROM shg s JOIN documents d USING (doc_id)
+        |       WHERE d.source = '$EvalSource'),
+        |tr AS (SELECT s.doc_id, s.sh FROM shg s JOIN documents d USING (doc_id)
+        |       WHERE d.source <> '$EvalSource'),
+        |bits AS ($evalBits),
+        |pr AS ($trainProbes),
+        |shf AS (SELECT pr.doc_id, pr.sh,
+        |               CASE WHEN CAST(SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |                    = ${Dedup.BloomHashes} THEN 1 ELSE 0 END AS flag
+        |        FROM pr LEFT JOIN bits b ON b.pos = pr.pos
+        |        GROUP BY pr.doc_id, pr.sh)
+        |SELECT doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        |       CAST(SUM(flag) AS BIGINT) AS flagged_shingles,
+        |       ${r6sql("CAST(SUM(flag) AS DOUBLE) / COUNT(*)")} AS flag_fraction
+        |FROM shf GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     // cross-corpus MinHash bands + exact-Jaccard verify, mirroring
     // Dedup.fuzzyContamination over the same src0 split
     "decontaminate_fuzzy" ->

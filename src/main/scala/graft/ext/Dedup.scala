@@ -559,6 +559,85 @@ object Dedup {
         (col("hit_shingles").cast("double") / col("n_shingles")).as("contamination"))
   }
 
+  /** Bloom-filter geometry for [[bloomContamination]]: 2^14 bit
+    * positions × 3 hashes. Part of the operator contract (the oracle
+    * mirrors the constants), sized so the sf0.01 eval set loads the
+    * filter lightly; production sizes m from the standard
+    * (1−e^(−kn/m))^k FP formula. */
+  val BloomBits = 16384
+  val BloomHashes = 3
+  /** Base salt of the Bloom hash family (hash i salts with Base + i). */
+  val BloomSalt = 90001L
+
+  /** Bloom position i of hash input `v`, as engine-neutral SQL —
+    * [[TextHash.avalancheSql]] (the squared chain: Bloom reads bit
+    * positions, which the affine mix alone would lattice-lock) reduced
+    * mod [[BloomBits]]. */
+  def bloomPosSql(v: String, i: Int): String =
+    s"(${TextHash.avalancheSql(v, BloomSalt + i)}) % $BloomBits"
+
+  /**
+   * The SET BIT POSITIONS of a Bloom filter over the `sh` column —
+   * bounded at [[BloomBits]] rows no matter how many values feed it.
+   * This is the relational encoding of the bitmap: downstream probes
+   * equi-join against it, and at ≤ 2^14 rows of one int it broadcasts
+   * everywhere for free.
+   */
+  def bloomBits(values: DataFrame): DataFrame =
+    values.select(explode(array((0 until BloomHashes).map(i =>
+        expr(s"CAST(${bloomPosSql("sh", i)} AS BIGINT)")): _*)).as("pos"))
+      .distinct()
+
+  /**
+   * Bloom-probed train/eval decontamination — the BOUNDED-MEMORY scale
+   * path for [[contamination]]: when the eval corpus outgrows "collapse
+   * to a distinct set and broadcast it" (many benchmarks × many
+   * paraphrase variants, or decontaminating against another full
+   * corpus), the probe side compresses to a [[BloomBits]]-row bit-set
+   * whose size is FIXED by construction. A train shingle is flagged iff
+   * all [[BloomHashes]] of its positions are set.
+   *
+   * Guarantee: NO FALSE NEGATIVES — every shingle actually present in
+   * the eval set has, by construction, all its positions set, so
+   * `flagged_shingles ≥ hit_shingles` of the exact probe, per document
+   * (spec-pinned). False positives inflate the flag count at the
+   * standard (1−e^(−kn/m))^k rate — the safe direction for a
+   * contamination GATE (over-dropping, never under-dropping); run the
+   * exact probe on the flagged survivors when precision matters.
+   *
+   * Scale shape: the filter build is one explode + distinct over the
+   * eval shingles (map-side partials, output ≤ m rows); the probe is a
+   * row-local position explode + ONE broadcast equi-join + per-(doc,
+   * shingle) count — linear in train tokens, and nothing eval-sized is
+   * ever shuffled or broadcast.
+   */
+  def bloomContamination(train: DataFrame, evalCorpus: DataFrame,
+      idCol: String, textCol: String): DataFrame =
+    bloomContaminationFromShingles(
+      shingles(train, idCol, textCol),
+      shingles(evalCorpus, idCol, textCol))
+
+  /** [[bloomContamination]] from prebuilt (doc_id, sh) tables — the
+    * index-probing seam, mirroring [[contaminationFromShingles]]. */
+  def bloomContaminationFromShingles(trainSh: DataFrame,
+      evalSh: DataFrame): DataFrame = {
+    val bits = bloomBits(evalSh.select("sh")).withColumn("hit", lit(1L))
+    val probes = trainSh.select(col("doc_id"), col("sh"),
+      explode(array((0 until BloomHashes).map(i =>
+        expr(s"CAST(${bloomPosSql("sh", i)} AS BIGINT)")): _*)).as("pos"))
+    probes.join(broadcast(bits), Seq("pos"), "left")
+      .groupBy("doc_id", "sh")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("nhit"))
+      .select(col("doc_id"),
+        (col("nhit") === lit(BloomHashes.toLong)).cast("long").as("flag"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(col("flag")).as("flagged_shingles"))
+      .select(col("doc_id"), col("n_shingles"), col("flagged_shingles"),
+        (col("flagged_shingles").cast("double") / col("n_shingles"))
+          .as("flag_fraction"))
+  }
+
   /**
    * Fuzzy train/eval decontamination: NEAR-duplicate leakage across the
    * corpus boundary, which [[contamination]]'s exact trigram probe misses

@@ -259,29 +259,16 @@ object TextAnalysis {
     * every other mixBucket consumer. */
   val HllSalt = 77777L
 
-  /** Prime modulus 2^31 − 1 for the squaring rounds. */
-  val HllP = 2147483647L
-
   /**
-   * Full 31-bit hash state for HLL, as engine-neutral SQL over input
-   * `v`: the [[Export.mixBucket]] affine chain followed by two modular
-   * SQUARING rounds mod the prime 2^31−1. The affine chain alone is an
-   * LCG — linear, zero avalanche — and HLL's geometric statistic reads
-   * individual BITS: on structured inputs (token values are arithmetic
-   * in length/probe chars) the affine image is an arithmetic progression
-   * whose low bits are lattice-locked, biasing every register (measured:
-   * +88% on a 200-token fixture). Squaring mod a prime is the portable
-   * nonlinearity — carries cascade across all bit positions, both
-   * engines compute it with exact int64 ops (state < 2^31 keeps the
-   * square < 2^62), and no engine-specific XOR spelling is needed.
+   * Full 31-bit avalanche hash state for HLL ([[TextHash.avalancheSql]]
+   * with the HLL salt). The affine mix alone is an LCG — linear, zero
+   * avalanche — and HLL's geometric statistic reads individual BITS: on
+   * structured inputs (token values are arithmetic in length/probe
+   * chars) the affine image is an arithmetic progression whose low bits
+   * are lattice-locked, biasing every register (measured: +88% on a
+   * 200-token fixture). The squaring rounds fix that portably.
    */
-  def hllH2Sql(v: String): String = {
-    import Export.{MixA1, MixA2, MixC2, MixMod}
-    val affine =
-      s"((((($v) % ${MixMod - 1}) * $MixA1 + $HllSalt) % $MixMod) * $MixA2 + $MixC2) % $MixMod"
-    val sq1 = s"(($affine) * ($affine) + 12345) % $HllP"
-    s"(($sq1) * ($sq1) + 678910) % $HllP"
-  }
+  def hllH2Sql(v: String): String = TextHash.avalancheSql(v, HllSalt)
 
   /** Position of the lowest set bit of `w` (1-based; ${HllWBits}+1 for
     * w = 0) — the geometric register evidence, as a pure integer CASE
@@ -1036,4 +1023,29 @@ object TextHash {
   /** Word-trigram shingle hash from three token values, bounded < M. */
   def shingleHash(t1: String, t2: String, t3: String): String =
     s"((($t1 * 31 + $t2) % $M) * 31 + $t3) % $M"
+
+  /** Prime modulus 2^31 − 1 for [[avalancheSql]]'s squaring rounds. */
+  val P31 = 2147483647L
+
+  /**
+   * Engine-neutral AVALANCHE hash: the [[graft.ext.Export.mixBucket]]
+   * affine chain (salted) followed by two modular SQUARING rounds mod
+   * the prime 2^31−1. The affine chain alone is an LCG — adequate for
+   * bucketing, but linear: consumers that read individual BITS of the
+   * state (HLL's geometric evidence, Bloom positions) see the input's
+   * lattice structure straight through it. Squaring mod a prime is the
+   * portable nonlinearity: carries cascade across every bit position,
+   * all ops are exact int64 in any engine (state < 2^31 keeps each
+   * square < 2^62), and no engine-specific XOR spelling is needed
+   * (DuckDB spells xor as a function, Spark as an operator — a shared
+   * SQL text can't use either). Result is in [0, 2^31−1).
+   */
+  def avalancheSql(v: String, salt: Long): String = {
+    import graft.ext.Export.{MixA1, MixA2, MixC2, MixMod}
+    require(salt >= 0 && salt < MixMod)
+    val affine =
+      s"((((($v) % ${MixMod - 1}) * $MixA1 + $salt) % $MixMod) * $MixA2 + $MixC2) % $MixMod"
+    val sq1 = s"(($affine) * ($affine) + 12345) % $P31"
+    s"(($sq1) * ($sq1) + 678910) % $P31"
+  }
 }
