@@ -91,6 +91,10 @@ object TextEntries {
     "corpus_mix" -> ((s, dir) =>
       gate(TextAnalysis.corpusMix(docs(s, dir), "text", Seq("source", "lang")),
         "source", "lang")),
+    // ext: temperature-sampled mixture weights (n^tau rule) per source
+    "corpus_temperature" -> ((s, dir) =>
+      gate(TextAnalysis.temperatureMix(docs(s, dir), "source", "text",
+        MixTau, MixBudget).withColumnRenamed("grp", "source"), "source")),
     // ext: concatenative sequence packing into 512-token bins, 8 streams
     "doc_packing" -> ((s, dir) =>
       gate(TextAnalysis.packSequences(docs(s, dir), "doc_id", "text",
@@ -211,6 +215,11 @@ object TextEntries {
   /** Token allowance per source for the budget-sampling contract (each
     * sf0.01 source holds ~1350 tokens, so the cut is non-trivial). */
   private val BudgetTokens = 600L
+
+  /** Temperature + epoch budget of the corpus_temperature contract: the
+    * standard up-sample-small-sources range, a budget near corpus size. */
+  private val MixTau = 0.7
+  private val MixBudget = 20000L
 
   /** BM25 contract: one rare term (df≈5% of docs) + two common ones. */
   private val Bm25Terms = Seq("dup", "window", "spark")
@@ -517,6 +526,19 @@ object TextEntries {
         |FROM pr JOIN sketch s USING (r, b)
         |GROUP BY pr.token, pr.n_exact ORDER BY pr.token""".stripMargin
     },
+    // same n^tau arithmetic: per-source token totals, one scalar Z, the
+    // weight/allocation/epoch columns all r6-rounded (pow's last-ulp
+    // engine differences sit far below the grid)
+    "corpus_temperature" ->
+      (tokSql + s""",
+        |sz AS (SELECT d.source AS grp, CAST(COUNT(*) AS BIGINT) AS n_tokens
+        |       FROM tok JOIN documents d USING (doc_id) GROUP BY 1),
+        |zt AS (SELECT SUM(pow(CAST(n_tokens AS DOUBLE), $MixTau)) AS z FROM sz)
+        |SELECT grp AS source, n_tokens,
+        |  ${r6sql(s"pow(CAST(n_tokens AS DOUBLE), $MixTau) / z")} AS weight,
+        |  ${r6sql(s"$MixBudget.0 * pow(CAST(n_tokens AS DOUBLE), $MixTau) / z")} AS alloc_tokens,
+        |  ${r6sql(s"$MixBudget.0 * pow(CAST(n_tokens AS DOUBLE), $MixTau) / z / CAST(n_tokens AS DOUBLE)")} AS epochs
+        |FROM sz CROSS JOIN zt ORDER BY source""".stripMargin),
     // the identical HLL chain: full 31-bit mix state, register = h2 % 64,
     // geometric evidence from the remaining 25 bits via the same integer
     // CASE chain, exact dyadic register sums, one ln at the very end

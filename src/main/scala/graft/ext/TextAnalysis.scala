@@ -248,6 +248,41 @@ object TextAnalysis {
       .groupBy("r", "b").agg(count(lit(1)).as("cnt"))
   }
 
+  /**
+   * Temperature-based mixture weighting (the multilingual/data-mixture
+   * sampling rule of mT5/XLM-R-style training: sample group i with
+   * probability ∝ n_i^τ) — the step that turns [[corpusMix]]'s budget
+   * table into actual per-source allocations. τ = 1 reproduces natural
+   * proportions; τ → 0 approaches uniform; the usual 0.3–0.7 range
+   * up-samples small sources without letting any dominate. Per group:
+   * token count, normalized weight, the token allocation out of
+   * `budgetTokens`, and the implied epochs over that group
+   * (allocation / size — the over-sampling factor small sources pay in
+   * repetition).
+   *
+   * Scale shape: one token-count aggregate keyed by group (map-side
+   * partials), then the 1-row Σ n^τ scalar broadcast-crossed back over
+   * the groups-sized table — the sanctioned scalar-broadcast shape
+   * ([[unigramLogProb]], BM25's corpus stats). The one transcendental
+   * (pow with fractional τ) differs across engines at most in the last
+   * ulp, absorbed by the 1e-6 result grid.
+   */
+  def temperatureMix(docs: DataFrame, groupCol: String, textCol: String,
+      tau: Double, budgetTokens: Long): DataFrame = {
+    require(tau > 0.0 && budgetTokens > 0)
+    val sizes = tokenArray(docs, groupCol, textCol)
+      .groupBy(col("doc_id").as("grp"))
+      .agg(sum(size(col("t"))).cast("long").as("n_tokens"))
+    val z = sizes.agg(sum(pow(col("n_tokens").cast("double"), tau)).as("z"))
+    sizes.crossJoin(broadcast(z))
+      .select(col("grp"), col("n_tokens"),
+        (pow(col("n_tokens").cast("double"), tau) / col("z")).as("weight"),
+        (lit(budgetTokens.toDouble) * pow(col("n_tokens").cast("double"), tau) /
+          col("z")).as("alloc_tokens"),
+        (lit(budgetTokens.toDouble) * pow(col("n_tokens").cast("double"), tau) /
+          col("z") / col("n_tokens").cast("double")).as("epochs"))
+  }
+
   /** HyperLogLog geometry: 2^6 = 64 registers; the 31-bit mix state
     * leaves 25 bits of geometric evidence per token. Constants are part
     * of the operator contract (the oracle mirrors them). */

@@ -29,7 +29,9 @@ class PlanAuditSpec extends SparkSpec {
       // broadcast scan; the classification layer itself is equi-join
       "knn_classify",
       // 1-row corpus-total broadcast over the topN-row skew slice
-      "events_skew")
+      "events_skew",
+      // 1-row Σ n^τ scalar broadcast over the groups-sized mix table
+      "corpus_temperature")
 
   test("no contract query plans a cartesian product or unsanctioned BNLJ") {
     assume(new File(sfDir).isDirectory, s"$sfDir missing")

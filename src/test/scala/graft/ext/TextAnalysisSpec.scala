@@ -392,4 +392,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(("de", "a")) == ((1L, 2L, 2L, 8.0)))
     assert(got.size == 3)
   }
+  test("temperatureMix: n^tau weights, allocation sums to budget, epochs") {
+    val s2 = spark
+    import s2.implicits._
+    // groups of 100 and 25 tokens; tau = 0.5 -> weights 10/15 and 5/15
+    val docs = Seq(
+      ("big", (1 to 100).map(i => s"w$i").mkString(" ")),
+      ("small", (1 to 25).map(i => s"v$i").mkString(" "))
+    ).toDF("source", "text")
+    val r = graft.ext.TextAnalysis
+      .temperatureMix(docs, "source", "text", tau = 0.5, budgetTokens = 3000)
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getDouble(2), x.getDouble(3), x.getDouble(4)))).toMap
+    val (nb, wb, ab, eb) = r("big")
+    val (ns, ws, as_, es) = r("small")
+    assert(nb == 100L && ns == 25L)
+    assertApprox(wb, 10.0 / 15.0, 1e-12)
+    assertApprox(ws, 5.0 / 15.0, 1e-12)
+    assertApprox(wb + ws, 1.0, 1e-12)
+    assertApprox(ab + as_, 3000.0, 1e-9)
+    // temperature up-samples the small source: more epochs than natural
+    assertApprox(eb, ab / 100.0, 1e-9)
+    assertApprox(es, as_ / 25.0, 1e-9)
+    assert(es > eb)
+  }
 }
