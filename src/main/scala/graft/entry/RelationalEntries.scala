@@ -70,8 +70,22 @@ object RelationalEntries {
     // cumulative, all-integer money (exact in any engine at any scale)
     "rel_monthly_running" -> ((s, dir) =>
       gate(Relational.monthlyRevenueRunning(Relational.lineitem(s, dir)),
-        "yr", "mo"))
+        "yr", "mo")),
+    // ext: TPC-H Q7 shape — bilateral nation shipping volume, both fact
+    // inputs nation-filtered through broadcast dims before the join
+    "rel_nation_volume" -> ((s, dir) =>
+      gate(Relational.nationVolumeShipping(Relational.lineitem(s, dir),
+        Relational.orders(s, dir), Relational.customer(s, dir),
+        Relational.supplier(s, dir), Relational.nation(s, dir),
+        VolNationA, VolNationB, VolFrom, VolUntil),
+        "supp_nation", "cust_nation", "l_year"))
   )
+
+  /** Q7-shape contract: two nations, two shipped years. */
+  private val VolNationA = "NATION_3"
+  private val VolNationB = "NATION_7"
+  private val VolFrom = "1995-01-01"
+  private val VolUntil = "1997-01-01"
 
   /** Q10-shape contract: one year of orders, top-20 customers. */
   private val RetFrom = "1995-01-01"
@@ -146,6 +160,23 @@ object RelationalEntries {
         |JOIN customer c ON c.c_custkey = t.o_custkey
         |JOIN nation n ON n.n_nationkey = c.c_nationkey
         |ORDER BY t.o_custkey""".stripMargin,
+    "rel_nation_volume" ->
+      s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+        |  SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1e4 + 0.5) AS BIGINT)) AS revenue_e4,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem l
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+        |WHERE l.l_shipdate >= TIMESTAMP '$VolFrom'
+        |  AND l.l_shipdate < TIMESTAMP '$VolUntil'
+        |  AND sn.n_name IN ('$VolNationA', '$VolNationB')
+        |  AND cn.n_name IN ('$VolNationA', '$VolNationB')
+        |  AND sn.n_name <> cn.n_name
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "rel_monthly_running" ->
       s"""WITH m AS (
         |  SELECT CAST(year(l_shipdate) AS BIGINT) AS yr,

@@ -190,6 +190,44 @@ object Relational {
   }
 
   /**
+   * Bilateral nation shipping volume (the TPC-H Q7 shape): revenue of
+   * lineitems shipped in `[from, until)` where the SUPPLIER sits in one
+   * of the two named nations and the ordering CUSTOMER in the other
+   * (both directions), per (supplier nation, customer nation, ship
+   * year). Money in exact int64 1e-4-dollar units ([[revE4]]).
+   *
+   * Scale shape: supplier→nation and customer→nation broadcast chains
+   * pre-filter BOTH fact inputs to the two nations before the
+   * fact-to-fact orderkey equi-join (the only real shuffle joins two
+   * heavily-filtered slices, never the full tables); the final aggregate
+   * is 2 × years rows with map-side partials.
+   */
+  def nationVolumeShipping(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, supplier: DataFrame, nation: DataFrame,
+      nationA: String, nationB: String, from: String, until: String): DataFrame = {
+    val nat = nation.select("n_nationkey", "n_name")
+      .where(col("n_name").isin(nationA, nationB))
+    val li = lineitem
+      .where(col("l_shipdate") >= to_timestamp_ntz(lit(from)) &&
+        col("l_shipdate") < to_timestamp_ntz(lit(until)))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("l_year"), revE4.as("rev_e4"))
+      .join(broadcast(supplier.select("s_suppkey", "s_nationkey")
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("supp_nation"))),
+        col("l_suppkey") === col("s_suppkey"))
+    val ord = orders.select("o_orderkey", "o_custkey")
+      .join(broadcast(customer.select("c_custkey", "c_nationkey")
+          .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("n_name").as("cust_nation"))),
+        col("o_custkey") === col("c_custkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .where(col("supp_nation") =!= col("cust_nation"))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(sum(col("rev_e4")).as("revenue_e4"), count(lit(1)).as("n_items"))
+  }
+
+  /**
    * Monthly revenue with a running cumulative total — the
    * window-over-aggregate report shape: per (year, month) of l_shipdate,
    * item count and exact revenue, plus the cumulative revenue of all

@@ -63,6 +63,40 @@ object DedupStream {
       .dropDuplicatesWithinWatermark("doc_id")
 
   /**
+   * Streaming decontamination guard over a BLOOM bit-set — the
+   * fixed-memory twin of [[contaminationFlag]]: when the eval corpus's
+   * distinct shingle set outgrows a comfortable broadcast, the static
+   * side compresses to [[graft.ext.Dedup.bloomBits]]'s ≤ 2^14-row
+   * position table regardless of eval size. A document is flagged when
+   * ANY of its shingles has all [[graft.ext.Dedup.BloomHashes]] positions
+   * set — a superset of [[contaminationFlag]]'s exact flags (no false
+   * negatives, the safe direction for a quarantine gate).
+   *
+   * Stream-native WITHOUT aggregation: the all-k-positions conjunction
+   * is expressed as k chained stream-static LEFT SEMI equi-joins (each
+   * probes one hash's position against the broadcast bit table) — no
+   * per-shingle hit counting, so no stateful aggregate enters the plan;
+   * the only state is the watermark-bounded per-doc flag dedup. Pass
+   * `evalBits` prebuilt (materialize [[graft.ext.Dedup.bloomBits]] to
+   * parquet at eval-set build time) so the stream never recomputes it.
+   */
+  def bloomContaminationFlag(docs: DataFrame, idCol: String, textCol: String,
+      tsCol: String, evalBits: DataFrame,
+      watermark: String = "1 hour"): DataFrame = {
+    val flagged = (0 until Dedup.BloomHashes).foldLeft(
+      Dedup.shinglesLocal(docs, idCol, textCol, keepCols = Seq(tsCol))) {
+      (df, i) =>
+        df.withColumn("pos", expr(s"CAST(${Dedup.bloomPosSql("sh", i)} AS BIGINT)"))
+          .join(evalBits.select(col("pos")), Seq("pos"), "left_semi")
+          .drop("pos")
+    }
+    flagged
+      .select(col("doc_id"), col(tsCol))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("doc_id")
+  }
+
+  /**
    * Per-micro-batch MinHash signature extraction: runs the batch
    * signature pipeline on every arriving batch and hands the result to
    * `sink` (write to the signature index, run LSH bucket joins, etc.).

@@ -149,6 +149,29 @@ class RelationalSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("nationVolumeShipping: cross-nation pairs only, both directions, exact money") {
+    val cust = Seq((10L, 2), (11L, 1)).toDF("c_custkey", "c_nationkey")
+    val got = Relational.nationVolumeShipping(lineitem, orders, cust,
+        supplier, nation, "FRANCE", "CHINA", "1995-01-01", "1997-01-01")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // FRANCE-supplied to CHINA customer: 100*0.9 in 1996; CHINA-supplied
+    // to FRANCE customer: 30 in 1995; the same-nation row is excluded
+    assert(got == Set(
+      ("FRANCE", "CHINA", 1996L, 900000L, 1L),
+      ("CHINA", "FRANCE", 1995L, 300000L, 1L)), got)
+  }
+
+  test("nationVolumeShipping broadcasts both dim chains, no cartesian") {
+    val cust = Seq((10L, 2), (11L, 1)).toDF("c_custkey", "c_nationkey")
+    val plan = Relational.nationVolumeShipping(lineitem, orders, cust,
+        supplier, nation, "FRANCE", "CHINA", "1995-01-01", "1997-01-01")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("monthlyRevenueRunning: exact cumulation over the monthly aggregate") {
     val got = Relational.monthlyRevenueRunning(lineitem).orderBy("yr", "mo")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),

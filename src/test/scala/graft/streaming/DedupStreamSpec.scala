@@ -59,6 +59,38 @@ class DedupStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bloomContaminationFlag: superset of exact flags, no aggregation state") {
+    import graft.ext.Dedup
+    val evalSh = Dedup.shingles(
+      Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val bits = Dedup.bloomBits(evalSh.select("sh"))
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val docs = in.toDF().toDF("doc_id", "ts", "text")
+    val df = DedupStream.bloomContaminationFlag(docs, "doc_id", "text", "ts", bits)
+    val q = df.writeStream.format("memory").queryName("bloom_contam_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        (0L, ts(0), "here the quick brown fox appears again"), // true hit
+        (1L, ts(1), "completely unrelated text about engines today ok"),
+        (2L, ts(2), "too short"))
+      q.processAllAvailable()
+      in.addData((0L, ts(3), "the quick brown fox jumps")) // same id again
+      q.processAllAvailable()
+      val flagged = spark.table("bloom_contam_out").collect().map(_.getLong(0))
+      // the exact-probe hit is flagged (no false negatives) exactly once;
+      // this fixture's clean docs carry no false positives
+      assert(flagged.toSeq == Seq(0L), flagged.mkString(", "))
+      // the conjunction is k semi-joins, not a stateful aggregate: the
+      // only stateful operator in the logical plan is the per-doc flag
+      // dedup (no Aggregate node anywhere)
+      val logical = df.queryExecution.logical.toString
+      assert(!logical.contains("Aggregate"), logical)
+      assert(logical.contains("DeduplicateWithinWatermark"), logical)
+    } finally q.stop()
+  }
+
   test("nearDupDetect end-to-end matches batch minHashDups across micro-batches") {
     val dir = java.nio.file.Files.createTempDirectory("graft-neardup").toString
     val corpus = Seq(
