@@ -44,7 +44,8 @@ object Bench {
     "rel_table_profile", "dedup_containment_sketch", "dedup_jaccard_dfcap",
     "aligned_pairs_skew", "aligned_pairs_skew_salted", "pii_scrub_v2",
     "rel_top_customers", "rel_monthly_running", "vocab_hll_audit",
-    "decontaminate_bloom", "corpus_temperature", "rel_nation_volume")
+    "decontaminate_bloom", "corpus_temperature", "rel_nation_volume",
+    "feature_hash")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

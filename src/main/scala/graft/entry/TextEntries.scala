@@ -95,6 +95,11 @@ object TextEntries {
     "corpus_temperature" -> ((s, dir) =>
       gate(TextAnalysis.temperatureMix(docs(s, dir), "source", "text",
         MixTau, MixBudget).withColumnRenamed("grp", "source"), "source")),
+    // ext: hashing-trick doc vectors (fixed-dim bridge into the
+    // cosine/ANN/k-means families), sparse long form
+    "feature_hash" -> ((s, dir) =>
+      gate(TextAnalysis.featureHash(docs(s, dir), "doc_id", "text"),
+        "doc_id", "j")),
     // ext: concatenative sequence packing into 512-token bins, 8 streams
     "doc_packing" -> ((s, dir) =>
       gate(TextAnalysis.packSequences(docs(s, dir), "doc_id", "text",
@@ -526,6 +531,15 @@ object TextEntries {
         |FROM pr JOIN sketch s USING (r, b)
         |GROUP BY pr.token, pr.n_exact ORDER BY pr.token""".stripMargin
     },
+    // same avalanche-hash bucket chain mod the fixed dim
+    "feature_hash" ->
+      (tokSql + s""",
+        |fb AS (SELECT doc_id,
+        |  CAST((${TextHash.avalancheSql(TextHash.tokenValue("token"),
+          TextAnalysis.FeatureHashSalt)}) % ${TextAnalysis.FeatureHashDim} AS BIGINT) AS j
+        |  FROM tok)
+        |SELECT doc_id, j, CAST(COUNT(*) AS DOUBLE) AS tf
+        |FROM fb GROUP BY 1, 2 ORDER BY doc_id, j""".stripMargin),
     // same n^tau arithmetic: per-source token totals, one scalar Z, the
     // weight/allocation/epoch columns all r6-rounded (pow's last-ulp
     // engine differences sit far below the grid)

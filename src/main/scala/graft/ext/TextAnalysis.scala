@@ -283,6 +283,55 @@ object TextAnalysis {
           col("z") / col("n_tokens").cast("double")).as("epochs"))
   }
 
+  /** Dimensionality of the hashing-trick document vectors — small enough
+    * that a dense codebook/centroid over it is trivially model-sized,
+    * large enough that the synthetic vocab doesn't saturate every
+    * bucket. Contract constant (the oracle mirrors it). */
+  val FeatureHashDim = 64
+  /** Salt of the feature-hash bucket chain. */
+  val FeatureHashSalt = 31337L
+
+  /**
+   * Feature hashing (the "hashing trick", Weinberger et al. 2009): each
+   * document becomes a `dim`-dimensional term-frequency vector with
+   * bucket = avalanche-hash(token) mod dim — the bridge from unbounded
+   * text to EVERY fixed-dimension operator in this library. Emitted in
+   * sparse long form (doc_id, j, tf), which is exactly the cosine core's
+   * COO matrix shape: feed [[featureHashMatrix]] straight into
+   * [[graft.core.CosineAnalysis.fit]], [[graft.ext.SparseAnn]], or
+   * k-means over [[Embeddings]] — text corpora get similarity search and
+   * clustering with NO external embedding model.
+   *
+   * Why this is the 100 TB shape: a learned vocabulary (tf_matrix's x =
+   * token string) grows with the corpus and needs a dictionary
+   * broadcast; the hashed bucket space is FIXED at `dim` forever, with
+   * the usual collision trade (Σ colliding tokens share a bucket —
+   * inner products are preserved in expectation). One map stage + one
+   * (doc, bucket)-keyed aggregate with map-side partials; `dim` bounds
+   * every downstream dense structure.
+   */
+  def featureHash(docs: DataFrame, idCol: String, textCol: String,
+      dim: Int = FeatureHashDim): DataFrame = {
+    require(dim > 0)
+    tokensWithPosition(docs, idCol, textCol)
+      .select(col("doc_id"), expr(
+        s"CAST((${TextHash.avalancheSql(TextHash.tokenValue("token"), FeatureHashSalt)}) % $dim AS BIGINT)")
+        .as("j"))
+      .groupBy("doc_id", "j")
+      .agg(count(lit(1)).cast("double").as("tf"))
+  }
+
+  /** [[featureHash]] as the cosine core's typed COO matrix. */
+  def featureHashMatrix(docs: DataFrame, idCol: String, textCol: String,
+      dim: Int = FeatureHashDim): org.apache.spark.sql.Dataset[graft.core.MatrixElement] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    featureHash(docs, idCol, textCol, dim)
+      .select(col("doc_id").cast("string").as("y"),
+        col("j").cast("string").as("x"), col("tf").as("value"))
+      .as[graft.core.MatrixElement]
+  }
+
   /** HyperLogLog geometry: 2^6 = 64 registers; the 31-bit mix state
     * leaves 25 bits of geometric evidence per token. Constants are part
     * of the operator contract (the oracle mirrors them). */
