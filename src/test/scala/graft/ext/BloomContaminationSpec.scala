@@ -48,6 +48,36 @@ class BloomContaminationSpec extends SparkSpec {
     assert(n > 1000L, "fixture should set a nontrivial number of bits")
   }
 
+  test("false-positive rate tracks the (1-e^{-kn/m})^k envelope") {
+    // eval: ~1.2k distinct shingles; train: ~4.6k shingles sharing NONE
+    // of them (disjoint letter tags), so every flag is a false positive
+    def corpus(tag: Char, docs: Int, words: Int) =
+      (0 until docs).map { i =>
+        val a = ('a' + i / 10).toChar
+        (i.toLong, (0 until words).map(w => s"$a${tag.toString * (w + 1)}$i").mkString(" "))
+      }.toDF("doc_id", "text")
+    val evalDocs = corpus('x', 50, 26)
+    val trainDocs = corpus('y', 100, 50)
+    val evalSh = Dedup.shingles(evalDocs, "doc_id", "text")
+    val n = Dedup.bloomBits(evalSh.select("sh")).count().toDouble
+    val r = Dedup.bloomContamination(trainDocs, evalDocs, "doc_id", "text")
+      .agg(org.apache.spark.sql.functions.sum("n_shingles"),
+        org.apache.spark.sql.functions.sum("flagged_shingles"))
+      .collect().head
+    val (total, fp) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    // load factor from the ACTUAL set-bit count (collisions included)
+    val pBit = n / Dedup.BloomBits
+    val expected = math.pow(pBit, Dedup.BloomHashes)
+    val measured = fp / total
+    // a deterministic fixture, so this is a sanity envelope (within 4x
+    // both ways), not a statistical test; it catches a broken hash
+    // family (measured ≈ 1) or a broken conjunction (measured ≈ 0 while
+    // expected is well above 1/total)
+    assert(measured < expected * 4 + 1e-9,
+      s"FP rate $measured far above envelope $expected")
+    assert(expected < 0.2, s"fixture overloads the filter: p=$pBit")
+  }
+
   test("probe plans one broadcast equi-join; nothing eval-sized shuffles") {
     val plan = Dedup.bloomContamination(train, evalDocs, "doc_id", "text")
       .queryExecution.executedPlan.toString
