@@ -301,6 +301,38 @@ object TextEntries {
     s"CAST(SUM(CASE WHEN token IN ${inList(markers)} THEN 1 ELSE 0 END) AS BIGINT) AS score_$lang"
   }.mkString(", ")
 
+  /** The HLL audit oracle chain, grouped by a documents column. */
+  private def hllAuditSql(groupCol: String): String = {
+    import TextAnalysis.{HllAlpha, HllM}
+    tokSql + s""",
+      |tv AS (SELECT d.$groupCol AS grp, ${TextHash.tokenValue("token")} AS v
+      |       FROM tok JOIN documents d USING (doc_id)),
+      |hh AS (SELECT grp, ${TextAnalysis.hllH2Sql("v")} AS h2 FROM tv),
+      |hw AS (SELECT grp, CAST(h2 % $HllM AS BIGINT) AS j,
+      |              CAST((h2 - h2 % $HllM) / $HllM AS BIGINT) AS w FROM hh),
+      |reg AS (SELECT grp, j, MAX(${TextAnalysis.hllRhoSql("w")}) AS mj
+      |        FROM hw GROUP BY 1, 2),
+      |zs AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_nonzero,
+      |              SUM(${TextAnalysis.hllInvPowSql("mj")}) AS z_live
+      |       FROM reg GROUP BY 1),
+      |ez AS (SELECT grp, n_nonzero,
+      |              ${HllAlpha * HllM * HllM} /
+      |                (z_live + CAST($HllM - n_nonzero AS DOUBLE)) AS e_raw
+      |       FROM zs),
+      |est AS (SELECT grp, n_nonzero,
+      |               CASE WHEN e_raw <= ${2.5 * HllM} AND n_nonzero < $HllM
+      |                    THEN ${HllM.toDouble} *
+      |                         ln(${HllM.toDouble} / CAST($HllM - n_nonzero AS DOUBLE))
+      |                    ELSE e_raw END AS hll_est
+      |        FROM ez),
+      |ex AS (SELECT grp, CAST(COUNT(DISTINCT v) AS BIGINT) AS n_exact
+      |       FROM tv GROUP BY 1)
+      |SELECT ex.grp AS $groupCol, ex.n_exact, est.n_nonzero,
+      |       ${r6sql("est.hll_est")} AS hll_est,
+      |       ${r6sql("(est.hll_est - ex.n_exact) / ex.n_exact")} AS rel_err
+      |FROM ex JOIN est USING (grp) ORDER BY $groupCol""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     // the same staged scrub (emails → IPv4 → phones) over the same planted
     // text; both regex dialects (Java / RE2) are leftmost with no
@@ -556,36 +588,7 @@ object TextEntries {
     // the identical HLL chain: full 31-bit mix state, register = h2 % 64,
     // geometric evidence from the remaining 25 bits via the same integer
     // CASE chain, exact dyadic register sums, one ln at the very end
-    "vocab_hll_audit" -> {
-      import TextAnalysis.{HllAlpha, HllM}
-      tokSql + s""",
-        |tv AS (SELECT d.source AS grp, ${TextHash.tokenValue("token")} AS v
-        |       FROM tok JOIN documents d USING (doc_id)),
-        |hh AS (SELECT grp, ${TextAnalysis.hllH2Sql("v")} AS h2 FROM tv),
-        |hw AS (SELECT grp, CAST(h2 % $HllM AS BIGINT) AS j,
-        |              CAST((h2 - h2 % $HllM) / $HllM AS BIGINT) AS w FROM hh),
-        |reg AS (SELECT grp, j, MAX(${TextAnalysis.hllRhoSql("w")}) AS mj
-        |        FROM hw GROUP BY 1, 2),
-        |zs AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_nonzero,
-        |              SUM(${TextAnalysis.hllInvPowSql("mj")}) AS z_live
-        |       FROM reg GROUP BY 1),
-        |ez AS (SELECT grp, n_nonzero,
-        |              ${HllAlpha * HllM * HllM} /
-        |                (z_live + CAST($HllM - n_nonzero AS DOUBLE)) AS e_raw
-        |       FROM zs),
-        |est AS (SELECT grp, n_nonzero,
-        |               CASE WHEN e_raw <= ${2.5 * HllM} AND n_nonzero < $HllM
-        |                    THEN ${HllM.toDouble} *
-        |                         ln(${HllM.toDouble} / CAST($HllM - n_nonzero AS DOUBLE))
-        |                    ELSE e_raw END AS hll_est
-        |        FROM ez),
-        |ex AS (SELECT grp, CAST(COUNT(DISTINCT v) AS BIGINT) AS n_exact
-        |       FROM tv GROUP BY 1)
-        |SELECT ex.grp AS source, ex.n_exact, est.n_nonzero,
-        |       ${r6sql("est.hll_est")} AS hll_est,
-        |       ${r6sql("(est.hll_est - ex.n_exact) / ex.n_exact")} AS rel_err
-        |FROM ex JOIN est USING (grp) ORDER BY source""".stripMargin
-    },
+    "vocab_hll_audit" -> hllAuditSql("source"),
     "bm25_search" -> {
       val tfCols = Bm25Terms.indices.map(i =>
         s"CAST(len(list_filter(t, x -> x = '${Bm25Terms(i)}')) AS BIGINT) AS tf_$i")

@@ -408,6 +408,13 @@ object TextAnalysis {
    * ln(m/V) in the small-range branch) differs at most in the last ulp,
    * absorbed by the 1e-6 result grid.
    *
+   * Branch coverage note: the synthetic contract corpus carries only 31
+   * distinct tokens TOTAL, so every contract group sits in the
+   * small-range linear-counting regime regardless of grouping; the raw
+   * alpha·m²/Z estimator branch is exercised by HllAuditSpec's
+   * 200-token-per-group fixture (both branches are therefore pinned,
+   * one by the oracle, one by the spec).
+   *
    * Scale shape: ONE aggregate keyed (group, register) over the token
    * scan — map-side partials collapse everything to ≤ 64 rows per group
    * — then group-sized arithmetic. The exact branch here exists FOR the
