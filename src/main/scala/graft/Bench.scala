@@ -45,7 +45,7 @@ object Bench {
     "aligned_pairs_skew", "aligned_pairs_skew_salted", "pii_scrub_v2",
     "rel_top_customers", "rel_monthly_running", "vocab_hll_audit",
     "decontaminate_bloom", "corpus_temperature", "rel_nation_volume",
-    "feature_hash")
+    "feature_hash", "rel_cheapest_supplier")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

@@ -71,6 +71,11 @@ object RelationalEntries {
     "rel_monthly_running" -> ((s, dir) =>
       gate(Relational.monthlyRevenueRunning(Relational.lineitem(s, dir)),
         "yr", "mo")),
+    // ext: argmin-per-group shape (Q2-style min-cost supplier; unit
+    // price from observed lineitems — no partsupp table in this corpus)
+    "rel_cheapest_supplier" -> ((s, dir) =>
+      gate(Relational.cheapestSupplierPerPart(Relational.lineitem(s, dir),
+        VolFrom, VolUntil), "l_partkey")),
     // ext: TPC-H Q7 shape — bilateral nation shipping volume, both fact
     // inputs nation-filtered through broadcast dims before the join
     "rel_nation_volume" -> ((s, dir) =>
@@ -160,6 +165,20 @@ object RelationalEntries {
         |JOIN customer c ON c.c_custkey = t.o_custkey
         |JOIN nation n ON n.n_nationkey = c.c_nationkey
         |ORDER BY t.o_custkey""".stripMargin,
+    // same argmin: row_number over (unit price, suppkey) — unit price is
+    // one per-row division of identical inputs, so both engines rank
+    // bit-identical values
+    "rel_cheapest_supplier" ->
+      s"""SELECT l_partkey, l_suppkey, ${r6sql("unit_price")} AS unit_price
+        |FROM (
+        |  SELECT l_partkey, l_suppkey,
+        |         l_extendedprice / l_quantity AS unit_price,
+        |         row_number() OVER (PARTITION BY l_partkey
+        |           ORDER BY l_extendedprice / l_quantity ASC, l_suppkey ASC) AS rn
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '$VolFrom'
+        |    AND l_shipdate < TIMESTAMP '$VolUntil'
+        |) WHERE rn = 1 ORDER BY l_partkey""".stripMargin,
     "rel_nation_volume" ->
       s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
         |  CAST(year(l.l_shipdate) AS BIGINT) AS l_year,

@@ -255,6 +255,38 @@ object Relational {
   }
 
   /**
+   * Cheapest supplier per part (the argmin-per-group report shape, cf.
+   * TPC-H Q2's min-cost supplier — this corpus has no partsupp table, so
+   * the unit price comes from observed lineitems): over lineitems shipped
+   * in `[from, until)`, each part's lowest unit price
+   * (extendedprice/quantity) and the supplier that offered it, ties
+   * broken on the smaller suppkey.
+   *
+   * Determinism: unit price is one IEEE division of identical per-row
+   * inputs — no sums anywhere — so the argmin compares bit-identical
+   * values in any engine; the (price, suppkey) tie-break totalizes it.
+   *
+   * Scale shape: the scan filter pushes down, then ONE exchange keyed by
+   * part feeds the rank window (per-part fan-in is the part's lineitem
+   * count — naturally bounded; a pathological hot part is AQE's skew
+   * territory, same as any groupBy). No joins at all.
+   */
+  def cheapestSupplierPerPart(lineitem: DataFrame,
+      from: String, until: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_partkey")
+      .orderBy(col("unit_price").asc, col("l_suppkey").asc)
+    lineitem
+      .where(col("l_shipdate") >= to_timestamp_ntz(lit(from)) &&
+        col("l_shipdate") < to_timestamp_ntz(lit(until)))
+      .select(col("l_partkey"), col("l_suppkey"),
+        (col("l_extendedprice") / col("l_quantity")).as("unit_price"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("l_partkey"), col("l_suppkey"), col("unit_price"))
+  }
+
+  /**
    * Per-column table profile — the data-quality audit run before any
    * table joins a pipeline: for each requested column, row count,
    * non-null count, exact distinct count, and min/max rendered as

@@ -193,6 +193,34 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("Window"), plan)
   }
 
+  test("cheapestSupplierPerPart: per-part argmin with suppkey tie-break") {
+    val li = Seq(
+      // part 1: supp 2 cheaper per unit (10.0 vs 50.0)
+      (1L, 1L, 2.0, 100.0, "1996-01-01 00:00:00"),
+      (1L, 2L, 5.0, 50.0, "1996-02-01 00:00:00"),
+      // part 2: exact unit-price tie (20.0) → smaller suppkey wins
+      (2L, 3L, 2.0, 40.0, "1996-03-01 00:00:00"),
+      (2L, 1L, 4.0, 80.0, "1996-04-01 00:00:00"),
+      // outside the window: ignored even though cheapest
+      (1L, 9L, 10.0, 10.0, "1999-01-01 00:00:00")
+    ).toDF("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "sd")
+      .withColumn("l_shipdate", expr("to_timestamp_ntz(sd)")).drop("sd")
+    val got = Relational.cheapestSupplierPerPart(li, "1995-01-01", "1997-01-01")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == Map(1L -> ((2L, 10.0)), 2L -> ((1L, 20.0))))
+  }
+
+  test("cheapestSupplierPerPart plans one exchange + one window, no join") {
+    val li = Seq((1L, 1L, 2.0, 100.0, "1996-01-01 00:00:00"))
+      .toDF("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "sd")
+      .withColumn("l_shipdate", expr("to_timestamp_ntz(sd)")).drop("sd")
+    val plan = Relational.cheapestSupplierPerPart(li, "1995-01-01", "1997-01-01")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+    assert(plan.contains("Window"), plan)
+  }
+
   test("tableProfile: one row per column, exact counts, text min/max") {
     val df = Seq((1L, Some("b")), (2L, Some("a")), (2L, None))
       .toDF("k", "v")
