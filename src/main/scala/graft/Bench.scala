@@ -62,8 +62,12 @@ object Bench {
     import org.apache.spark.scheduler.{SparkListenerJobStart, SparkListenerStageCompleted}
     import scala.collection.concurrent.TrieMap
     private val stageGroup = TrieMap.empty[Int, String]
-    /** group → (shuffle bytes written, shuffle bytes read). */
-    val byGroup = TrieMap.empty[String, (Long, Long)]
+    /** (group, stageId) → (bytes written, bytes read) — keyed by STAGE,
+      * last attempt wins: onStageCompleted fires once per stage ATTEMPT,
+      * and summing attempts would double-count a stage retried after a
+      * fetch failure (the plan's logical shuffle volume is what a
+      * regression check needs, not the retry-inflated transfer). */
+    private val byStage = TrieMap.empty[(String, Int), (Long, Long)]
     override def onJobStart(js: SparkListenerJobStart): Unit =
       Option(js.properties)
         .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
@@ -71,13 +75,15 @@ object Bench {
     override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
       stageGroup.get(sc.stageInfo.stageId).foreach { g =>
         val m = sc.stageInfo.taskMetrics
-        val w = m.shuffleWriteMetrics.bytesWritten
-        val r = m.shuffleReadMetrics.localBytesRead +
-          m.shuffleReadMetrics.remoteBytesRead
-        byGroup.updateWith(g) {
-          case Some((pw, pr)) => Some((pw + w, pr + r))
-          case None           => Some((w, r))
-        }
+        byStage.put((g, sc.stageInfo.stageId),
+          (m.shuffleWriteMetrics.bytesWritten,
+            m.shuffleReadMetrics.localBytesRead +
+              m.shuffleReadMetrics.remoteBytesRead))
+      }
+    /** group → summed (write, read) over its stages. */
+    def byGroup: Map[String, (Long, Long)] =
+      byStage.toSeq.groupBy(_._1._1).map { case (g, rows) =>
+        g -> ((rows.map(_._2._1).sum, rows.map(_._2._2).sum))
       }
   }
 
@@ -177,10 +183,20 @@ object Bench {
     def r3(v: Double): String = (math.round(v * 1000.0) / 1000.0).toString
     val qs = results.map { case (k, v) => s"${jstr(k)}:${r3(v)}" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    // The contract line must be the LAST program output, at column 0:
+    // five rounds of driver-side BENCH_r{N}.json came back parsed:null
+    // because Spark's shutdown burst landed AFTER the JSON in the
+    // captured tail. Silence logging, stop Spark, then print — nothing
+    // follows the line but the build tool's own epilogue. Stopping FIRST
+    // also drains the async listener bus, so the shuffle aggregation
+    // below cannot miss the final stages' completion events.
+    spark.sparkContext.setLogLevel("OFF")
+    spark.stop()
     // per-query shuffle volume: max across reps (reps re-plan the same
     // query; max is robust to a rep whose stages were cancelled mid-way)
+    val groups = shuffles.byGroup
     val sh = names.flatMap { n =>
-      val perRep = (1 to reps).flatMap(r => shuffles.byGroup.get(s"$n#$r"))
+      val perRep = (1 to reps).flatMap(r => groups.get(s"$n#$r"))
       if (perRep.isEmpty) None
       else Some(n -> ((perRep.map(_._1).max, perRep.map(_._2).max)))
     }
@@ -195,13 +211,6 @@ object Bench {
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outFile: $e") }
-    // The contract line must be the LAST program output, at column 0:
-    // five rounds of driver-side BENCH_r{N}.json came back parsed:null
-    // because Spark's shutdown burst landed AFTER the JSON in the
-    // captured tail. Silence logging, stop Spark, then print — nothing
-    // follows the line but the build tool's own epilogue.
-    spark.sparkContext.setLogLevel("OFF")
-    spark.stop()
     System.err.flush()
     println("\n" + line)
     System.out.flush()

@@ -127,9 +127,14 @@ object Pipelines {
       .join(deltaIds, newDocs(idCol) === deltaIds("doc_id"), "left_semi")
     graft.streaming.DedupStream.nearDupBatch(
       deltaDocs, idCol, textCol, indexDir, minJaccard, batchId)
-    val pairs = pin(graft.streaming.DedupStream.currentPairs(spark, indexDir)
-      .select("doc0", "doc1"))
-    val idxSh = graft.streaming.DedupStream.currentShingles(spark, indexDir)
+    // the version map is computed ONCE and pinned — each current-view
+    // reader would otherwise re-run the roster aggregate (and a recovery
+    // probe) against the full index per consumer
+    val latest = pin(graft.streaming.DedupStream.latestVersions(spark, indexDir))
+    val pairs = pin(graft.streaming.DedupStream
+      .currentPairs(spark, indexDir, Some(latest)).select("doc0", "doc1"))
+    val idxSh = graft.streaming.DedupStream
+      .currentShingles(spark, indexDir, Some(latest))
     val groups = Dedup.dupGroups(newDocs, pairs, idCol)
     val scores = TextAnalysis.tokenCounts(newDocs, idCol, textCol)
     val elected = Dedup.keepBest(groups, scores, "doc_id", "ws_tokens")

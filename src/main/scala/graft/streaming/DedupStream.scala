@@ -113,6 +113,10 @@ object DedupStream {
    * micro-batch.
    *
    * Index layout (plain parquet, one `batch_id=N` partition per batch):
+   *   - `seen/`     (doc_id)              — every ingested doc id, the
+   *     version roster (shingle-less docs included — a doc re-ingested
+   *     with < 3 tokens writes no shingle rows, and without this table
+   *     its superseded version would stay visible as "current" forever)
    *   - `shingles/` (doc_id, sh)          — shingle sets of indexed docs
    *   - `bands/`    (doc_id, band, bkey)  — LSH band keys of indexed docs
    *   - `dups/`     (doc0, doc1, jaccard) — verified pairs
@@ -189,16 +193,15 @@ object DedupStream {
     // history at CURRENT versions only: per doc its latest prior batch's
     // rows, minus ids this batch re-ingests (their new version supersedes
     // — mixing both versions' shingles corrupted the Jaccard before r7).
-    // Costs one (doc_id, batch_id)-column aggregate over the index scan —
-    // no text is touched, so the delta batch stays delta-shaped.
-    def latestVersion(df: DataFrame): DataFrame = {
-      val latest = df.select(col("doc_id").as("vdoc"), col("batch_id").as("vbatch"))
-        .groupBy("vdoc").agg(max("vbatch").as("vbatch"))
+    // Versions come from the seen/ roster, which records even shingle-less
+    // ingests. Costs one (doc_id, batch_id)-column aggregate over the
+    // roster scan — no text is touched, so the batch stays delta-shaped.
+    val latest = latestBatchesIn(spark, indexDir, excludeBatch = Some(batchId))
+    def latestVersion(df: DataFrame): DataFrame =
       df.join(latest,
           col("doc_id") === col("vdoc") && col("batch_id") === col("vbatch"))
         .drop("vdoc", "vbatch", "batch_id")
         .join(newIds, Seq("doc_id"), "left_anti")
-    }
     try {
       val oldSh = latestVersion(readOr(s"$indexDir/shingles", newSh))
       val oldBands = latestVersion(readOr(s"$indexDir/bands", newBands))
@@ -225,32 +228,74 @@ object DedupStream {
       // overwrites these partitions and re-derives the same candidates
       writeBatchPartition(newSh, s"$indexDir/shingles")
       writeBatchPartition(newBands, s"$indexDir/bands")
+      // version roster LAST: every ingested id, shingle-less ones included
+      writeBatchPartition(newIds, s"$indexDir/seen")
     } finally {
       newBands.unpersist()
       newSh.unpersist()
     }
   }
 
+  /** An index table read by path with an empty-frame fallback (hadoop FS
+    * probe, remote-safe) — the shared idiom behind every index reader. */
+  private def readIndexOr(spark: org.apache.spark.sql.SparkSession,
+      path: String, emptySchema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) spark.read.parquet(path)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], emptySchema)
+  }
+
+  private def longCols(names: String*): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(names.map(n =>
+      org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.LongType)))
+
+  /**
+   * (vdoc, vbatch): each indexed doc's latest ingested batch, from the
+   * `seen/` roster — which records every ingested doc, INCLUDING ones
+   * whose text was too short to shingle (a shingle-derived version map
+   * would leave such a re-ingest's superseded version visible forever).
+   * Pre-r7 indexes without a roster fall back to the shingle table.
+   * Public so a composed pipeline ([[graft.ext.Pipelines
+   * .incrementalClean]]) can compute it ONCE, pin it, and pass it to
+   * [[currentShingles]]/[[currentPairs]] instead of re-aggregating the
+   * roster per consumer. Runs [[recoverIndex]] first.
+   */
+  def latestVersions(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): DataFrame = {
+    recoverIndex(spark, indexDir)
+    latestBatchesIn(spark, indexDir, excludeBatch = None)
+  }
+
+  /** [[latestVersions]] minus the recovery pass, with an optional batch
+    * exclusion (the current batch during [[nearDupBatch]] reads). */
+  private def latestBatchesIn(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, excludeBatch: Option[Long]): DataFrame = {
+    val seenP = new org.apache.hadoop.fs.Path(s"$indexDir/seen")
+    val fs = seenP.getFileSystem(spark.sessionState.newHadoopConf())
+    val roster =
+      if (fs.exists(seenP)) spark.read.parquet(s"$indexDir/seen")
+      else readIndexOr(spark, s"$indexDir/shingles",
+        longCols("doc_id", "sh", "batch_id"))
+    val scoped = excludeBatch.fold(roster)(b => roster.where(col("batch_id") =!= b))
+    scoped.select(col("doc_id").as("vdoc"), col("batch_id").as("vbatch"))
+      .groupBy("vdoc").agg(max("vbatch").as("vbatch"))
+  }
+
   /**
    * The index's CURRENT shingle table: each indexed doc's latest ingested
    * version only (superseded re-ingest rows are invisible — they stay on
-   * disk until [[compactIndex]] reclaims them). (doc_id, sh) rows; empty
-   * frame if nothing was ingested. The latest-version rule costs one
-   * two-column aggregate + an equi-join over the index scan — no text.
+   * disk until [[compactIndex]] reclaims them; a doc whose latest version
+   * is shingle-less contributes NO rows). (doc_id, sh) rows; empty frame
+   * if nothing was ingested. Pass a pinned [[latestVersions]] frame when
+   * composing several current-view reads — each omitted argument costs
+   * one roster aggregate and one recovery probe.
    */
   def currentShingles(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String): DataFrame = {
-    recoverIndex(spark, indexDir)
-    val p = new org.apache.hadoop.fs.Path(s"$indexDir/shingles")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p))
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("sh", org.apache.spark.sql.types.LongType))))
-    val sh = spark.read.parquet(s"$indexDir/shingles")
-    sh.join(latestBatches(sh),
-        col("doc_id") === col("vdoc") && col("batch_id") === col("vbatch"))
+      indexDir: String, latest: Option[DataFrame] = None): DataFrame = {
+    val lv = latest.getOrElse(latestVersions(spark, indexDir))
+    readIndexOr(spark, s"$indexDir/shingles", longCols("doc_id", "sh", "batch_id"))
+      .join(lv, col("doc_id") === col("vdoc") && col("batch_id") === col("vbatch"))
       .select("doc_id", "sh")
   }
 
@@ -260,33 +305,23 @@ object DedupStream {
    * by batch arithmetic (a pair is current iff its batch is at least both
    * endpoints' latest version batch; the batch that re-ingests an
    * endpoint re-derives its surviving pairs, so the fresh copy always
-   * exists). Pairs whose endpoint left the corpus entirely are the
-   * CALLER's filter (a semi-join against the live id set — the same
-   * foreign-edge contract as [[graft.ext.Dedup.dupGroups]]).
+   * exists — and a shingle-less re-ingest emits no pairs, correctly
+   * invalidating every pair of the dead version). Pairs whose endpoint
+   * left the corpus entirely are the CALLER's filter (a semi-join against
+   * the live id set — [[graft.ext.Dedup.dupGroups]]'s foreign-edge
+   * contract). Pass a pinned [[latestVersions]] frame when composing.
    */
   def currentPairs(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String): DataFrame = {
-    recoverIndex(spark, indexDir)
-    val p = new org.apache.hadoop.fs.Path(s"$indexDir/dups")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p))
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("doc0", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("doc1", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("jaccard", org.apache.spark.sql.types.DoubleType))))
-    val latest = latestBatches(spark.read.parquet(s"$indexDir/shingles"))
-    spark.read.parquet(s"$indexDir/dups")
-      .join(latest.select(col("vdoc").as("doc0"), col("vbatch").as("v0")), "doc0")
-      .join(latest.select(col("vdoc").as("doc1"), col("vbatch").as("v1")), "doc1")
+      indexDir: String, latest: Option[DataFrame] = None): DataFrame = {
+    val lv = latest.getOrElse(latestVersions(spark, indexDir))
+    readIndexOr(spark, s"$indexDir/dups",
+      longCols("doc0", "doc1", "batch_id")
+        .add("jaccard", org.apache.spark.sql.types.DoubleType))
+      .join(lv.select(col("vdoc").as("doc0"), col("vbatch").as("v0")), "doc0")
+      .join(lv.select(col("vdoc").as("doc1"), col("vbatch").as("v1")), "doc1")
       .where(col("batch_id") >= greatest(col("v0"), col("v1")))
       .select("doc0", "doc1", "jaccard")
   }
-
-  /** (vdoc, vbatch): each indexed doc's latest ingested batch. */
-  private def latestBatches(indexTable: DataFrame): DataFrame =
-    indexTable.select(col("doc_id").as("vdoc"), col("batch_id").as("vbatch"))
-      .groupBy("vdoc").agg(max("vbatch").as("vbatch"))
 
   /**
    * Periodic index compaction — the maintenance job closing
@@ -328,12 +363,13 @@ object DedupStream {
     // PATH_NOT_FOUND from the unconditional reads (ADVICE r5)
     if (!fs.exists(path(live("shingles"))) || !fs.exists(path(live("bands"))))
       return
-    // latest ingested batch per doc — the version compaction keeps
+    // latest ingested batch per doc — from the seen/ roster (covers
+    // shingle-less versions; falls back to the shingle table on pre-r7
+    // indexes), the same rule every reader applies
     val sh = spark.read.parquet(live("shingles"))
     val bands = spark.read.parquet(live("bands"))
-    val latest = sh.select("doc_id", "batch_id")
-      .union(bands.select("doc_id", "batch_id"))
-      .groupBy("doc_id").agg(max("batch_id").as("batch_id"))
+    val latest = latestBatchesIn(spark, indexDir, excludeBatch = None)
+      .select(col("vdoc").as("doc_id"), col("vbatch").as("batch_id"))
     def keepLatest(df: DataFrame) = df.join(latest, Seq("doc_id", "batch_id"))
     val keptSh = keepLatest(sh).persist()
     val keptBands = keepLatest(bands).persist()
@@ -359,7 +395,13 @@ object DedupStream {
       keptSh.write.mode("overwrite").partitionBy("batch_id").parquet(tmp("shingles"))
       keptBands.write.mode("overwrite").partitionBy("batch_id").parquet(tmp("bands"))
       dups.write.mode("overwrite").partitionBy("batch_id").parquet(tmp("dups"))
-      for (name <- Seq("shingles", "bands", "dups")) {
+      // the roster compacts to one (doc, latest-batch) row per doc; a
+      // pre-r7 index without one simply skips the fourth swap
+      val hasSeen = fs.exists(path(live("seen")))
+      if (hasSeen)
+        latest.write.mode("overwrite").partitionBy("batch_id").parquet(tmp("seen"))
+      for (name <- Seq("shingles", "bands", "dups") ++
+          (if (hasSeen) Seq("seen") else Nil)) {
         if (fs.exists(path(old(name)))) fs.delete(path(old(name)), true)
         if (fs.exists(path(live(name))))
           fs.rename(path(live(name)), path(old(name)))
@@ -392,7 +434,7 @@ object DedupStream {
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     def path(s: String) = new org.apache.hadoop.fs.Path(s)
-    for (name <- Seq("shingles", "bands", "dups")) {
+    for (name <- Seq("shingles", "bands", "dups", "seen")) {
       val liveP = path(s"$indexDir/$name")
       val tmpP = path(s"$indexDir/$name.compact")
       val oldP = path(s"$indexDir/$name.old")

@@ -164,6 +164,39 @@ class DedupStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("shingle-less re-ingest supersedes the old version everywhere") {
+    import graft.ext.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("graft-shingleless").toString
+    val longText = "the quick brown fox jumps over the lazy dog today"
+    // batch 0: docs 1 and 2 are near-dups
+    DedupStream.nearDupBatch(
+      Seq(1L -> longText, 2L -> longText).toDF("doc_id", "text"),
+      "doc_id", "text", dir, 0.2, batchId = 0L)
+    // batch 1: doc 1 re-ingested with a 2-token text — NO shingle rows
+    // are written, so only the seen/ roster records the new version
+    DedupStream.nearDupBatch(
+      Seq(1L -> "too short").toDF("doc_id", "text"),
+      "doc_id", "text", dir, 0.2, batchId = 1L)
+    // the dead version's shingles are invisible ...
+    val curSh = DedupStream.currentShingles(spark, dir)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(curSh == Set(2L), s"doc 1's superseded shingles leaked: $curSh")
+    // ... its stale pair is invalidated ...
+    assert(DedupStream.currentPairs(spark, dir).count() == 0L)
+    // ... a later batch never sees the dead version as history ...
+    DedupStream.nearDupBatch(
+      Seq(3L -> longText).toDF("doc_id", "text"),
+      "doc_id", "text", dir, 0.2, batchId = 2L)
+    val pairs = DedupStream.currentPairs(spark, dir)
+      .select("doc0", "doc1").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((2L, 3L)), s"dead version resurfaced in pairing: $pairs")
+    // ... and compaction reclaims it from disk entirely
+    DedupStream.compactIndex(spark, dir, minJaccard = 0.2)
+    val onDisk = spark.read.parquet(s"$dir/shingles")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(onDisk == Set(2L, 3L), onDisk)
+  }
+
   test("compactIndex drops superseded versions and their stale pairs") {
     val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
     val oldText = "the quick brown fox jumps over the lazy dog today"
