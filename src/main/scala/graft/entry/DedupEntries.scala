@@ -21,6 +21,13 @@ object DedupEntries {
       gate(Dedup.exactNormalized(docs(s, dir), "doc_id", "text"), "doc_id")),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       gate(Dedup.ngramJaccardDups(docs(s, dir), "doc_id", "text"), "doc0", "doc1")),
+    // the EXACT sub-quadratic route: prefix-filtering (AllPairs/PPJoin)
+    // candidates + bounded verify. The oracle is the EXHAUSTIVE kernel —
+    // deliberately NOT a mirror of the prefix rule — so a green row
+    // proves the filter is lossless, not merely self-consistent.
+    "dedup_jaccard_prefix" -> ((s, dir) =>
+      gate(Dedup.prefixJaccardDups(docs(s, dir), "doc_id", "text",
+        minJaccard = PrefixJac, pin = _.localCheckpoint()), "doc0", "doc1")),
     // asymmetric containment: the subset-dup detector Jaccard misses
     "dedup_containment" -> ((s, dir) =>
       gate(Dedup.containmentDups(docs(s, dir), "doc_id", "text"), "doc0", "doc1")),
@@ -169,6 +176,11 @@ object DedupEntries {
   /** Label-propagation rounds for the contract grouping run. */
   private val GroupRounds = 4
 
+  /** Jaccard threshold of the prefix-filter contract — above the 0.2
+    * exhaustive-kernel contract on purpose so the two rows exercise
+    * different thresholds (the prefix length rule depends on t). */
+  private val PrefixJac = 0.3
+
   /** Shingle df-cap of the dedup_jaccard_dfcap contract — low enough to
     * actually drop corpus-common shingles at sf0.01 (max shingle df there
     * is 7, so 5 excises the df-6/7 head — the contract is non-vacuous),
@@ -296,6 +308,12 @@ object DedupEntries {
       (shingleSql + s"""
         |SELECT doc0, doc1, ${r6sql("jaccard")} AS jaccard FROM jac
         |WHERE jaccard >= 0.2 ORDER BY doc0, doc1""".stripMargin),
+    // exhaustive-kernel oracle at the prefix contract's threshold: the
+    // prefix filter is lossless, so the independent full join must agree
+    "dedup_jaccard_prefix" ->
+      (shingleSql + s"""
+        |SELECT doc0, doc1, ${r6sql("jaccard")} AS jaccard FROM jac
+        |WHERE jaccard >= $PrefixJac ORDER BY doc0, doc1""".stripMargin),
     "dedup_containment" ->
       (shingleSql + s"""
         |SELECT doc0, doc1,

@@ -75,6 +75,11 @@ object TextEntries {
     "quality_percentiles" -> ((s, dir) =>
       gate(TextAnalysis.quantiles(docs(s, dir), "lang", "n_chars", QuantileQs),
         "lang", "q")),
+    // ext: histogram quantile SKETCH over the same signal — the
+    // bounded-state mergeable path, deterministic unlike approx_percentile
+    "quality_quantiles_sketch" -> ((s, dir) =>
+      gate(TextAnalysis.quantileSketchHist(docs(s, dir), "lang", "n_chars",
+        QuantileQs, HistWidth), "lang", "q")),
     // ext: vocabulary heavy hitters by document frequency
     "vocab_topk" -> ((s, dir) =>
       gate(TextAnalysis.vocabTopK(docs(s, dir), "doc_id", "text", VocabK), "token")),
@@ -266,6 +271,11 @@ object TextEntries {
 
   /** Quantile points for the calibration contract. */
   private val QuantileQs = Seq(0.1, 0.5, 0.9, 0.99)
+
+  /** Bucket width of the histogram quantile sketch contract: n_chars at
+    * sf0.01 spans ~[40, 4000], so 50 gives ~80 occupied buckets per
+    * group — sketch-sized state with a ≤49-char error envelope. */
+  private val HistWidth = 50L
 
   /** Chunk width (tokens) for the chunking contract. */
   private val ChunkSize = 64
@@ -463,6 +473,25 @@ object TextEntries {
         |        FROM cnt CROSS JOIN qs)
         |SELECT t.grp AS lang, ${r6sql("t.q")} AS q, CAST(r.v AS BIGINT) AS n_chars_q
         |FROM tgt t JOIN ranked r USING (grp, rn) ORDER BY lang, q""".stripMargin
+    },
+    // histogram-sketch mirror: same integer bucketing, same cumulative
+    // crossing rule, same type-1 rank targets
+    "quality_quantiles_sketch" -> {
+      val qvals = QuantileQs.map(q => s"($q)").mkString(", ")
+      s"""WITH hist AS (SELECT lang AS grp, n_chars // $HistWidth AS bucket,
+        |                     CAST(COUNT(*) AS BIGINT) AS c
+        |              FROM documents GROUP BY 1, 2),
+        |cum AS (SELECT grp, bucket,
+        |               SUM(c) OVER (PARTITION BY grp ORDER BY bucket) AS cum
+        |        FROM hist),
+        |cnt AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS n FROM hist GROUP BY grp),
+        |qs AS (SELECT * FROM (VALUES $qvals) q(q)),
+        |tgt AS (SELECT grp, q, CAST(1 + floor(q * (n - 1)) AS BIGINT) AS rn
+        |        FROM cnt CROSS JOIN qs)
+        |SELECT t.grp AS lang, ${r6sql("t.q")} AS q,
+        |       CAST(MIN(c.bucket) * $HistWidth AS BIGINT) AS n_chars_q
+        |FROM tgt t JOIN cum c ON c.grp = t.grp AND c.cum >= t.rn
+        |GROUP BY t.grp, t.q ORDER BY lang, q""".stripMargin
     },
     "doc_chunks" ->
       (tokSql + s""",

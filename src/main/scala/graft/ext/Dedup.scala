@@ -179,6 +179,74 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
 
   /**
+   * Prefix-filtering candidate generation (AllPairs / PPJoin family —
+   * Bayardo et al. WWW'07, Xiao et al. WWW'08): the EXACT sub-quadratic
+   * similarity join. Order every document's shingles by global rarity
+   * (ascending document frequency, ties by shingle value — one total
+   * order shared by all docs), and keep only each document's first
+   * `n − ceil(t·n) + 1` shingles as its "prefix". Prefix-filtering
+   * lemma: if J(A,B) ≥ t then |A∩B| ≥ ceil(t·max(|A|,|B|)), and two
+   * sorted sets with overlap ≥ α MUST share an element within their
+   * (size − α + 1)-prefixes — so joining prefixes only is LOSSLESS.
+   * Unlike MinHash banding there is no recall curve to tune: candidates
+   * are a provable superset of every qualifying pair, and exact
+   * verification ([[jaccardFor]]) makes the final answer byte-identical
+   * to the exhaustive [[jaccardPairs]] kernel.
+   *
+   * The threshold enters the PREFIX-LENGTH rule in pure integer
+   * arithmetic (`ceil(t·n)` = `(num·n + den − 1) div den` with
+   * t = num/den on a 1/1000 grid) so no float rounding can ever shorten
+   * a prefix below the lemma's bound — float noise in `ceil` is the
+   * classic way prefix filters silently drop pairs.
+   *
+   * Scale shape: prefixes are built with one df aggregate, one count
+   * aggregate, and one rank window keyed by doc_id (single exchange);
+   * the candidate join runs only over prefix shingles — by construction
+   * the RAREST shingles of each doc — so the Σ_sh C(df,2) blow-up that
+   * forces `maxDf` caps on the full kernel never materializes: common
+   * shingles sit at the END of the rarity order and are exactly the
+   * ones the prefix excludes. This is the exact-answer scale path; the
+   * full [[jaccardPairs]] kernel stays as the calibration tool.
+   */
+  def prefixCandidates(sh: DataFrame, minJaccard: Double): DataFrame = {
+    val (num, den) = (math.round(minJaccard * 1000).toInt, 1000)
+    require(num > 0 && num <= den, "minJaccard must be in (0, 1]")
+    val dfs = sh.groupBy("sh").agg(count(lit(1)).as("df_sh"))
+    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // integer ceil(t·n): (num·n + den − 1) div den — no doubles anywhere
+    val alpha = (lit(num.toLong) * col("n") + lit((den - 1).toLong)) / lit(den.toLong)
+    val prefix = sh.join(dfs, "sh").join(n, "doc_id")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df_sh"), col("sh"))))
+      .where(col("rk") <= col("n") - alpha.cast("long") + lit(1L))
+      .select("doc_id", "sh")
+    prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc0"), col("b.doc_id").as("doc1"))
+      .distinct()
+  }
+
+  /**
+   * Exact Jaccard near-dup pairs via [[prefixCandidates]] + bounded
+   * verification — identical output to [[ngramJaccardDups]] at the same
+   * threshold (pinned by spec AND by an exhaustive-kernel oracle), with
+   * the candidate surface of a prefix filter instead of the full
+   * shared-shingle kernel. The shingle table feeds both the candidate
+   * and the verification branch; pass `pin = _.localCheckpoint()` to
+   * shingle the corpus once (caller-owned caching, the [[dupGroups]]
+   * convention).
+   */
+  def prefixJaccardDups(docs: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double = 0.3,
+      pin: DataFrame => DataFrame = identity): DataFrame = {
+    val sh = pin(shingles(docs, idCol, textCol))
+    jaccardFor(prefixCandidates(sh, minJaccard), sh)
+      .where(col("jaccard") >= minJaccard)
+      .select("doc0", "doc1", "jaccard")
+  }
+
+  /**
    * Asymmetric containment near-duplicates (Broder 1997's containment
    * coefficient, |A∩B| / min(|A|,|B|)): the subset-duplication detector.
    * A short document quoted wholesale inside a much longer one has

@@ -524,6 +524,54 @@ object TextAnalysis {
   }
 
   /**
+   * Histogram quantile sketch — the bounded-state scale path [[quantiles]]
+   * deliberately isn't: fixed-width value buckets, one count per occupied
+   * (group, bucket), quantile answered at the lower edge of the bucket
+   * whose cumulative count first reaches the exact type-1 rank. The
+   * sketch state is histogram-sized (value-range / width counters per
+   * group, not n rows), MERGEABLE (bucket counts add — shards and stream
+   * micro-batches combine losslessly, unlike rank windows), and fully
+   * deterministic: unlike `approx_percentile`'s engine-specific GK
+   * sketch, every arithmetic step here is exact integer SQL a DuckDB
+   * oracle replays bit-for-bit. Completes the sketch triad: CMS
+   * (frequency), HLL (cardinality), histogram (quantiles).
+   *
+   * Error contract: with v_q the exact type-1 quantile, the returned
+   * edge is `floor(v_q / width) · width` — the chosen bucket IS v_q's
+   * bucket (the cumulative count first crosses the rank exactly where
+   * the ranked value lands), so the spec pins `0 ≤ exact − approx <
+   * width`. Values must be non-negative (floor-div bucketing).
+   *
+   * Scale shape: one partial-aggregating groupBy to histogram rows, a
+   * histogram-sized rank window per group, a per-group count join — the
+   * full-data exchange of [[quantiles]]' rank window never happens; the
+   * only per-row work is the bucket map.
+   */
+  def quantileSketchHist(df: DataFrame, groupCol: String, valueCol: String,
+      qs: Seq[Double], width: Long): DataFrame = {
+    require(width >= 1 && qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1))
+    // DIV, not `/`: Spark's `/` on integers is double division, and a
+    // double round-trip breaks bucket exactness past 2^53
+    val hist = df
+      .select(col(groupCol).as("grp"),
+        expr(s"CAST($valueCol AS BIGINT) DIV $width").as("bucket"))
+      .groupBy("grp", "bucket").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy("bucket")
+    val cum = hist.withColumn("cum", sum(col("c")).over(w))
+    val counts = hist.groupBy("grp").agg(sum(col("c")).as("n"))
+    val targets = counts
+      .select(col("grp"), col("n"), explode(array(qs.map(lit): _*)).as("q"))
+      .select(col("grp"), col("q"),
+        (lit(1) + floor(col("q") * (col("n") - 1))).cast("long").as("rn"))
+    targets.join(cum, Seq("grp"))
+      .where(col("cum") >= col("rn"))
+      .groupBy(col("grp"), col("q"))
+      .agg((min(col("bucket")) * lit(width)).as(s"${valueCol}_q"))
+      .select(col("grp").as(groupCol), col("q"), col(s"${valueCol}_q"))
+  }
+
+  /**
    * Quantile-bucket assignment — the curriculum/stratification step that
    * follows [[quantiles]]: give every row a bucket 0..k-1 by where its
    * value falls among its group's k-quantile thresholds

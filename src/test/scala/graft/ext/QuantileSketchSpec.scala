@@ -1,0 +1,60 @@
+package graft.ext
+
+import org.apache.spark.sql.SparkSession
+
+import graft.SparkSpec
+
+/**
+ * Histogram quantile sketch ([[TextAnalysis.quantileSketchHist]]): the
+ * error contract (approx sits in [exact − width + 1, exact]) and the
+ * width→1 degeneration to the exact type-1 quantile.
+ */
+class QuantileSketchSpec extends SparkSpec {
+  implicit lazy val s: SparkSession = spark
+  import s.implicits._
+
+  private val Qs = Seq(0.0, 0.1, 0.5, 0.9, 0.99, 1.0)
+
+  private lazy val data = {
+    val rnd = new scala.util.Random(7L)
+    (0 until 2000).map { i =>
+      val grp = s"g${i % 3}"
+      // mixed-shape values: heavy tail in g0, uniform elsewhere
+      val v = if (i % 3 == 0) (math.pow(rnd.nextDouble(), 3) * 5000).toLong
+      else rnd.nextInt(1000).toLong
+      (grp, v)
+    }.toDF("grp", "v")
+  }
+
+  private def toMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap
+
+  test("width=1 degenerates to the exact type-1 quantile") {
+    val exact = toMap(TextAnalysis.quantiles(data, "grp", "v", Qs))
+    val sk = toMap(TextAnalysis.quantileSketchHist(data, "grp", "v", Qs, 1L))
+    assert(sk == exact)
+  }
+
+  test("error stays inside [0, width) below the exact quantile") {
+    for (width <- Seq(7L, 50L, 400L)) {
+      val exact = toMap(TextAnalysis.quantiles(data, "grp", "v", Qs))
+      val sk = toMap(TextAnalysis.quantileSketchHist(data, "grp", "v", Qs, width))
+      assert(sk.keySet == exact.keySet)
+      sk.foreach { case (k, approx) =>
+        val err = exact(k) - approx
+        assert(err >= 0 && err < width,
+          s"$k: exact=${exact(k)} approx=$approx width=$width")
+      }
+    }
+  }
+
+  test("sketch state is histogram-sized: one row per occupied bucket") {
+    // 2000 rows, width 400 → at most ceil(5000/400)+1 buckets per group;
+    // the aggregate the sketch answers from is that small, which is the
+    // whole point vs ranking all n rows
+    val hist = data
+      .selectExpr("grp", "CAST(v AS BIGINT) DIV 400 AS bucket")
+      .distinct().count()
+    assert(hist <= 3 * 14, s"unexpected bucket blow-up: $hist")
+  }
+}
