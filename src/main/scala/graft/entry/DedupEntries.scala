@@ -118,6 +118,16 @@ object DedupEntries {
         .select("doc0", "doc1")
       gate(Dedup.dupGroupsConverged(d, pairs, "doc_id"), "doc_id")
     }),
+    // GROUP-ATOMIC split: near-dup groups assigned to train/val/test as
+    // one unit — the constructive fix for the leakage dedup_split_leakage
+    // measures (id-hash splits separate near-identical texts)
+    "split_by_group" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.minHashDups(d, "doc_id", "text")
+        .select("doc0", "doc1").localCheckpoint()
+      val groups = Dedup.dupGroups(d, pairs, "doc_id", rounds = GroupRounds)
+      gate(Export.splitAssignByGroup(d, "doc_id", groups), "doc_id")
+    }),
     // cross-document repeated-span stats (substring-level dedup signal)
     "dedup_spans" -> ((s, dir) =>
       gate(Dedup.spanStats(docs(s, dir), "doc_id", "text", SpanTokens), "doc_id")),
@@ -523,6 +533,18 @@ object DedupEntries {
         |SELECT doc_id, group_rep, score, best_id,
         |       CAST(CASE WHEN doc_id = best_id THEN 1 ELSE 0 END AS BIGINT) AS kept
         |FROM bst ORDER BY doc_id""".stripMargin),
+    // the dedup_groups chain + the mix chain hashed on the REP — the
+    // same split names as split_assign's oracle, leakage-free by key
+    "split_by_group" -> {
+      val mix = Export.mixBucketSql("group_rep", 1000, 0L)
+      groupsChainSql + s""",
+        |g AS (SELECT doc_id, CAST(rep AS BIGINT) AS group_rep FROM l$GroupRounds)
+        |SELECT doc_id, group_rep,
+        |       CASE WHEN $mix < 800 THEN 'train'
+        |            WHEN $mix < 900 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM g ORDER BY doc_id""".stripMargin
+    },
     // the dedup_groups chain collapsed twice: rep -> size, size -> counts
     "dedup_group_sizes" ->
       (groupsChainSql + s""",

@@ -85,6 +85,38 @@ object Export {
   }
 
   /**
+   * GROUP-ATOMIC train/val/test assignment — the leakage-free variant of
+   * [[splitAssign]]: hash the dup-group REPRESENTATIVE instead of the
+   * document id, so every member of a near-dup group lands in the same
+   * split. [[splitAssign]] alone is exactly how eval contamination
+   * happens (near-identical texts hash to different splits — the
+   * off-diagonal rows the dedup_split_leakage matrix measures); routing
+   * the hash through `groups` (doc_id, group_rep — [[Dedup.dupGroups]]'
+   * output) closes that channel by construction: the split is a pure
+   * function of (group_rep, salt), and singletons (their own rep)
+   * degrade to id-hash behavior.
+   *
+   * Scale shape: one equi-join docs↔groups on doc_id (both sides already
+   * keyed there) + the same row-local mix chain; no new exchange beyond
+   * the join.
+   */
+  def splitAssignByGroup(docs: DataFrame, idCol: String, groups: DataFrame,
+      trainPermille: Int = 800, valPermille: Int = 100,
+      salt: Long = 0L): DataFrame = {
+    require(trainPermille >= 0 && valPermille >= 0 &&
+      trainPermille + valPermille <= 1000, "permille bounds must fit in 1000")
+    val bucket = mixBucket(col("group_rep"), 1000, salt)
+    docs.select(col(idCol).as("doc_id"))
+      .join(groups.select(col("doc_id"), col("group_rep")), "doc_id")
+      .select(
+        col("doc_id"),
+        col("group_rep"),
+        when(bucket < trainPermille, lit("train"))
+          .when(bucket < trainPermille + valPermille, lit("val"))
+          .otherwise(lit("test")).as("split"))
+  }
+
+  /**
    * Deterministic shard + position assignment: shard = id-hash mod
    * `nShards`; `pos` numbers the shard's documents 0..n-1 in hash order
    * (ties on the raw 31-bit hash break by id). The (shard, pos) order is

@@ -71,8 +71,24 @@ object Sources {
       yCol: String = "y", xCol: String = "x", valueCol: String = "value"): Dataset[MatrixElement] =
     MatrixElement.from(spark.read.json(path), yCol, xCol, valueCol)
 
+  /**
+   * COO triples from ORC — the other columnar lake format Spark ships a
+   * native vectorized reader for. Same pushdown properties as parquet:
+   * column pruning and predicate pushdown reach the stripe level, so a
+   * 2-column projection never reads the full row.
+   */
+  def readTriplesOrc(spark: SparkSession, path: String,
+      yCol: String = "y", xCol: String = "x", valueCol: String = "value"): Dataset[MatrixElement] =
+    MatrixElement.from(spark.read.orc(path), yCol, xCol, valueCol)
+
   /** Parquet sink (golden files / handoff); overwrite by default. */
   def writeParquet(df: DataFrame, path: String,
       mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).parquet(path)
+
+  /** ORC sink — for handoff into ORC-native warehouses (Hive-lineage
+    * lakes); overwrite by default. */
+  def writeOrc(df: DataFrame, path: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).orc(path)
 }

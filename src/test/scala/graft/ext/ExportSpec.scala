@@ -95,4 +95,38 @@ class ExportSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(shardPlan.split("Exchange").length - 1 == 1, shardPlan)
   }
+
+  test("splitAssignByGroup: groups move atomically, id-hash split leaks") {
+    val n = 2000
+    // synthetic grouping: docs pair up (2k, 2k+1) under rep 2k — the
+    // near-dup-group shape dupGroups emits
+    val groups = ids(n)
+      .selectExpr("doc_id", "doc_id - (doc_id % 2) AS group_rep")
+    val byGroup = Export.splitAssignByGroup(ids(n), "doc_id", groups)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(byGroup.length == n)
+    // atomic: every group's members share one split
+    byGroup.groupBy(_._2).foreach { case (rep, ms) =>
+      assert(ms.map(_._3).distinct.length == 1, s"group $rep split apart") }
+    // fractions still hold (group reps hash uniformly)
+    val byS = byGroup.groupBy(_._3).map { case (k, v) => k -> v.length }
+    assert(math.abs(byS("train") - 0.8 * n) < 0.04 * n, byS)
+    // and the plain id-hash split DOES separate many of these pairs —
+    // the leakage this operator exists to close
+    val plain = Export.splitAssign(ids(n), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val leaked = (0 until n / 2).count(k => plain(2L * k) != plain(2L * k + 1))
+    assert(leaked > n / 10, s"expected id-hash leakage, got $leaked")
+  }
+
+  test("splitAssignByGroup singletons match splitAssign exactly") {
+    // identity grouping (every doc its own rep) must reproduce the
+    // id-hash split bit for bit — the degradation contract
+    val groups = ids(500).selectExpr("doc_id", "doc_id AS group_rep")
+    val a = Export.splitAssignByGroup(ids(500), "doc_id", groups)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val b = Export.splitAssign(ids(500), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(a == b)
+  }
 }

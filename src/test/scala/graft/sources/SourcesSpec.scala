@@ -63,4 +63,21 @@ class SourcesSpec extends SparkSpec {
     Sources.writeParquet(Seq(("A", 1.0)).toDF("k", "v"), dir)
     assert(spark.read.parquet(dir).count() == 1)
   }
+
+  test("ORC triples round-trip and match the parquet read byte for byte") {
+    val base = Files.createTempDirectory("graft-orc").toFile.getAbsolutePath
+    val triples = Seq(("A", "t1", 2.0), ("A", "t2", 4.0), ("B", "t1", 1.0))
+      .toDF("y", "x", "value")
+    Sources.writeOrc(triples, s"$base/orc")
+    Sources.writeParquet(triples, s"$base/pq")
+    val viaOrc = Sources.readTriplesOrc(spark, s"$base/orc")
+      .collect().map(e => (e.y, e.x, e.value)).toSet
+    val viaPq = Sources.readTriplesParquet(spark, s"$base/pq")
+      .collect().map(e => (e.y, e.x, e.value)).toSet
+    assert(viaOrc == viaPq && viaOrc.size == 3)
+    // pushdown reaches the ORC scan: projection reads only the 2 columns
+    val plan = Sources.readTriplesOrc(spark, s"$base/orc")
+      .select("y", "value").queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema") && !plan.contains("x:string"), plan)
+  }
 }
