@@ -45,7 +45,12 @@ object Bench {
     "aligned_pairs_skew", "aligned_pairs_skew_salted", "pii_scrub_v2",
     "rel_top_customers", "rel_monthly_running", "vocab_hll_audit",
     "decontaminate_bloom", "corpus_temperature", "rel_nation_volume",
-    "feature_hash", "rel_cheapest_supplier")
+    "feature_hash", "rel_cheapest_supplier",
+    // r7 cont.: the lossless sub-quadratic jaccard join vs the full
+    // kernel it replaces, the bounded-state quantile path, the
+    // group-atomic split (dedup-groups chain + hash)
+    "dedup_jaccard_prefix", "quality_quantiles_sketch", "split_by_group",
+    "embed_covariance")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

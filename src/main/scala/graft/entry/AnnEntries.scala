@@ -64,6 +64,12 @@ object AnnEntries {
     "embed_project" -> ((s, dir) =>
       gate(Embeddings.project(embeddings(s, dir), "vec_id", "embedding",
         outDim = ProjDim, dim = EmbDim), "vec_id", "j")),
+    // population covariance of the embedding column (upper triangle) —
+    // PCA's input and the embedding-collapse anisotropy audit; the only
+    // shuffle is d²-sized regardless of N
+    "embed_covariance" -> ((s, dir) =>
+      gate(Embeddings.covariance(embeddings(s, dir), "vec_id", "embedding"),
+        "i", "j")),
     // per-dimension int8 scalar quantization (SQ8)
     "embed_quantize" -> ((s, dir) =>
       gate(Embeddings.quantize(embeddings(s, dir), "vec_id", "embedding"),
@@ -345,6 +351,19 @@ object AnnEntries {
         |       ${r6sql("SUM(hp.h * u.x) / sqrt(64.0)")} AS value
         |FROM u JOIN hp ON hp.i = u.i
         |GROUP BY u.vec_id, hp.j ORDER BY u.vec_id, j""".stripMargin,
+    // covariance mirror: unnest self-join on vec_id over the upper
+    // triangle, population normalization, same snap
+    "embed_covariance" ->
+      s"""WITH u AS (SELECT vec_id, i, CAST(embedding[i+1] AS DOUBLE) AS x
+        |           FROM embeddings, UNNEST(range(len(embedding))) AS r(i)),
+        |m AS (SELECT i, AVG(x) AS m, CAST(COUNT(*) AS BIGINT) AS n FROM u GROUP BY i),
+        |p AS (SELECT a.i AS i, b.i AS j, SUM(a.x * b.x) AS sp
+        |      FROM u a JOIN u b ON a.vec_id = b.vec_id AND b.i >= a.i
+        |      GROUP BY 1, 2)
+        |SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
+        |       ${r6sql("sp / mi.n - mi.m * mj.m")} AS cov
+        |FROM p JOIN m mi ON mi.i = p.i JOIN m mj ON mj.i = p.j
+        |ORDER BY i, j""".stripMargin,
     // SQ8: comparison-only min/max, then one fixed sequence of
     // exactly-rounded IEEE ops — bit-identical in any engine
     "embed_quantize" ->

@@ -1034,4 +1034,112 @@ object Embeddings {
       .select(col("vec_id"), col("grp"),
         when(col("hit").isNull, lit(1L)).otherwise(lit(0L)).as("kept"))
   }
+
+  /**
+   * Population covariance matrix of the embedding column — the input to
+   * PCA ([[pcaComponents]]) and the first-stop anisotropy audit
+   * (embedding collapse shows up as a handful of dominant diagonal
+   * entries). Returns the upper triangle (i ≤ j) as
+   * (i, j, cov = E[x_i·x_j] − E[x_i]·E[x_j]), snapped.
+   *
+   * Scale shape: the d·(d+1)/2 outer products per row are generated
+   * ROW-LOCALLY (nested array transform + one explode — no self-join, no
+   * pre-aggregation exchange), then one hash aggregate keyed (i, j) with
+   * map-side partials: the only shuffle is d²-sized, whatever N is. The
+   * mean join at the end is a broadcast of d rows. For very large d the
+   * d²-per-row explosion trades against a per-partition Gramian
+   * accumulation, but through d ≈ 10³ (typical embedding widths) the
+   * explode stays whole-stage-codegen'd and oracle-mirrorable.
+   */
+  def covariance(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val cells = cellsOf(emb, idCol, vecCol)
+    val means = cells.groupBy(col("i"))
+      .agg(avg(col("x")).as("m"), count(lit(1)).as("n"))
+    // upper-triangle products inside the row: struct(i, j, x_i·x_j)
+    val pairs = emb
+      .select(expr(
+        s"""explode(flatten(transform(sequence(0, size($vecCol) - 1), i ->
+           |  transform(sequence(i, size($vecCol) - 1), j -> struct(i AS i, j AS j,
+           |    CAST(element_at($vecCol, i + 1) AS DOUBLE) *
+           |    CAST(element_at($vecCol, j + 1) AS DOUBLE) AS p)))))""".stripMargin)
+        .as("c"))
+      .select(col("c.i").as("i"), col("c.j").as("j"), col("c.p").as("p"))
+    pairs.groupBy(col("i"), col("j")).agg(sum(col("p")).as("sp"))
+      .join(broadcast(means.select(col("i"), col("m").as("mi"), col("n"))), "i")
+      .join(broadcast(means.select(col("i").as("j"), col("m").as("mj"))), "j")
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        snapCol(col("sp") / col("n") - col("mi") * col("mj")).as("cov"))
+  }
+
+  /**
+   * Top-k principal components by power iteration with deflation over
+   * the collected covariance matrix — a MODEL-SIZED eager fit (d×d
+   * doubles cross the driver, never a corpus-sized row set), the same
+   * sanctioned pattern as the PQ codebook collect. Deterministic end to
+   * end: fixed start vector (uniform 1/√d plus an index-linear tilt so
+   * no eigenvector of a symmetric real matrix can be exactly orthogonal
+   * to it in practice), fixed iteration count, and a sign convention
+   * (largest-|component| coordinate made positive, ties to the lower
+   * index) so re-runs and test re-plans agree bit for bit.
+   *
+   * Returns (component, eigenvalue, vector) with components ordered by
+   * descending eigenvalue — eigenvalue k is the variance along component
+   * k, the "explained variance" curve that decides how far an embedding
+   * column can be truncated before ANN recall decays.
+   */
+  def pcaComponents(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 100): Seq[(Int, Double, Array[Double])] = {
+    require(k >= 1 && iters >= 1)
+    val tri = covariance(emb, idCol, vecCol).collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2)))
+    val d = tri.map(_._2).max + 1
+    val a = Array.ofDim[Double](d, d)
+    tri.foreach { case (i, j, c) => a(i)(j) = c; a(j)(i) = c }
+    def matVec(v: Array[Double]): Array[Double] =
+      Array.tabulate(d)(i => (0 until d).map(j => a(i)(j) * v(j)).sum)
+    def norm(v: Array[Double]): Double = math.sqrt(v.map(x => x * x).sum)
+    (0 until k).map { c =>
+      var v = Array.tabulate(d)(i => 1.0 / math.sqrt(d.toDouble) + 1e-4 * (i + 1))
+      var lambda = 0.0
+      (0 until iters).foreach { _ =>
+        val w = matVec(v)
+        val n = norm(w)
+        // a deflated-to-zero matrix (k > rank) yields the zero vector:
+        // keep the previous direction, eigenvalue 0
+        if (n > 1e-300) { v = w.map(_ / n); lambda = n }
+        else lambda = 0.0
+      }
+      // sign convention: largest-|component| coordinate positive
+      val pivot = v.indices.maxBy(i => (math.abs(v(i)), -i))
+      if (v(pivot) < 0) v = v.map(-_)
+      // deflate: A ← A − λ v vᵀ
+      for (i <- 0 until d; j <- 0 until d) a(i)(j) -= lambda * v(i) * v(j)
+      (c, lambda, v)
+    }
+  }
+
+  /**
+   * PCA projection: center each vector on the column means and dot it
+   * with the top-k [[pcaComponents]] — long-form (vec_id, pc, value),
+   * the COO shape downstream operators consume. The components and mean
+   * ride in as one broadcast k·d-row literal table; the projection
+   * itself is [[project]]'s exact plan (posexplode → broadcast join →
+   * one map-side-combined aggregate keyed (vec_id, pc)).
+   */
+  def pcaProject(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 100): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val comps = pcaComponents(emb, idCol, vecCol, k, iters)
+    val cells = cellsOf(emb, idCol, vecCol)
+    val meanRows = cells.groupBy(col("i")).agg(avg(col("x")).as("m"))
+    val compRows = comps
+      .flatMap { case (c, _, v) => v.zipWithIndex.map { case (x, i) => (c, i, x) } }
+      .toDF("pc", "i", "w")
+    cells
+      .join(broadcast(meanRows), "i")
+      .join(broadcast(compRows), "i")
+      .groupBy(col("vec_id"), col("pc"))
+      .agg(snapCol(sum((col("x") - col("m")) * col("w"))).as("value"))
+  }
 }
