@@ -556,19 +556,45 @@ object TextAnalysis {
       .select(col(groupCol).as("grp"),
         expr(s"CAST($valueCol AS BIGINT) DIV $width").as("bucket"))
       .groupBy("grp", "bucket").agg(count(lit(1)).as("c"))
+    quantilesFromHistogram(hist, Seq("grp"), qs, width, s"${valueCol}_q")
+      .withColumnRenamed("grp", groupCol)
+  }
+
+  /**
+   * Quantile extraction from prebuilt histogram rows
+   * (`groupCols…, bucket, c`) — the read side of the sketch, split out
+   * so STREAMED histograms answer the same question: bucket counts are
+   * additive, so a Structured Streaming windowed count
+   * ([[graft.streaming.EventsStream.hourlyValueHistogram]]) maintains
+   * exactly this table incrementally, and this one histogram-sized
+   * batch query turns any snapshot of it into quantiles. Same crossing
+   * rule as [[quantileSketchHist]]: per group, the answer for q is
+   * `min bucket with cumulative count ≥ 1 + floor(q·(n−1))`, returned
+   * as the bucket's lower edge `bucket · width`.
+   */
+  def quantilesFromHistogram(hist: DataFrame, groupCols: Seq[String],
+      qs: Seq[Double], width: Long, outCol: String): DataFrame = {
+    require(groupCols.nonEmpty && width >= 1 && qs.nonEmpty)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("grp").orderBy("bucket")
+      .partitionBy(groupCols.map(col): _*).orderBy("bucket")
     val cum = hist.withColumn("cum", sum(col("c")).over(w))
-    val counts = hist.groupBy("grp").agg(sum(col("c")).as("n"))
+    val counts = hist.groupBy(groupCols.map(col): _*).agg(sum(col("c")).as("n"))
     val targets = counts
-      .select(col("grp"), col("n"), explode(array(qs.map(lit): _*)).as("q"))
-      .select(col("grp"), col("q"),
-        (lit(1) + floor(col("q") * (col("n") - 1))).cast("long").as("rn"))
-    targets.join(cum, Seq("grp"))
+      .select(groupCols.map(col) :+ col("n") :+
+        explode(array(qs.map(lit): _*)).as("q"): _*)
+      .select(groupCols.map(col) :+ col("q") :+
+        (lit(1) + floor(col("q") * (col("n") - 1))).cast("long").as("rn"): _*)
+    // targets and cum are two branches of the SAME hist plan; rename the
+    // target side's keys outright so the join carries no ambiguous
+    // attribute (dataset aliases alone don't disambiguate shared
+    // attribute ids when hist is itself an aggregate/view)
+    val t = targets.select(
+      groupCols.map(g => col(g).as(s"__k_$g")) :+ col("q") :+ col("rn"): _*)
+    val joinCond = groupCols.map(g => col(s"__k_$g") === col(g)).reduce(_ && _)
+    t.join(cum, joinCond)
       .where(col("cum") >= col("rn"))
-      .groupBy(col("grp"), col("q"))
-      .agg((min(col("bucket")) * lit(width)).as(s"${valueCol}_q"))
-      .select(col("grp").as(groupCol), col("q"), col(s"${valueCol}_q"))
+      .groupBy(groupCols.map(g => col(s"__k_$g").as(g)) :+ col("q"): _*)
+      .agg((min(col("bucket")) * lit(width)).as(outCol))
   }
 
   /**

@@ -129,6 +129,37 @@ object EventsStream {
         col("event_type"), col("n_events"), col("sum_value"), col("avg_value"))
 
   /**
+   * Streaming per-hour value HISTOGRAM — the maintained state of the
+   * quantile sketch ([[graft.ext.TextAnalysis.quantilesFromHistogram]]):
+   * bucket counts are additive, so a plain watermark-finalized windowed
+   * count keyed (hour, event_type, bucket) IS the sketch, kept
+   * incrementally with built-in streaming-aggregation state (no custom
+   * state functions). Any snapshot of the sink answers per-hour value
+   * quantiles via one histogram-sized batch query — latency percentiles
+   * per metric-hour is the canonical ops-monitor readout, and an exact
+   * rank query needs the hour's full value set while this needs
+   * buckets × types.
+   *
+   * Buckets use `floor(value / width)` (floor, not truncation — values
+   * may be negative and trunc would fold the two buckets around zero
+   * into one, breaking the cumulative crossing rule's monotonicity).
+   * State is bounded: open windows (watermark horizon) × event types ×
+   * occupied buckets.
+   */
+  def hourlyValueHistogram(events: DataFrame, width: Long,
+      watermark: String = "2 hours"): DataFrame = {
+    require(width >= 1)
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"),
+        floor(col("value") / lit(width.toDouble)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .select(
+        unix_timestamp(col("window.start")).as("hour_start_sec"),
+        col("event_type"), col("bucket"), col("c"))
+  }
+
+  /**
    * Streaming gap-based sessionization with custom state —
    * `flatMapGroupsWithState` keyed by user, event-time timeout. A session
    * is emitted once the watermark passes its `end + gap`: at that point no

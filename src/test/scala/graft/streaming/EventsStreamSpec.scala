@@ -4,6 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, count, floor, lit, unix_timestamp}
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.SparkSpec
@@ -34,6 +35,63 @@ class EventsStreamSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
       val hour0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime / 1000
       assert(rows.toSet == Set((hour0, "click", 2L, 4.0), (hour0, "buy", 1L, 10.0)))
+    } finally q.stop()
+  }
+
+  test("hourlyValueHistogram: finalized counts match batch; quantiles agree") {
+    val in = MemoryStream[StreamEvent]
+    val q = EventsStream.hourlyValueHistogram(in.toDF(), width = 5L)
+      .writeStream.format("memory").queryName("vhist_out")
+      .outputMode(OutputMode.Append).start()
+    val batch1 = Seq(
+      StreamEvent(1, ts(0, 5), "click", 1.0),
+      StreamEvent(2, ts(0, 15), "click", 4.9),   // same bucket 0 as 1.0
+      StreamEvent(3, ts(0, 25), "click", 12.0),  // bucket 2
+      StreamEvent(4, ts(0, 35), "buy", -3.0),    // bucket -1 (floor, not trunc)
+      StreamEvent(5, ts(0, 45), "buy", 2.0))     // bucket 0
+    val batch2 = Seq( // out-of-order but inside the 2h watermark
+      StreamEvent(6, ts(0, 55), "click", 13.0),  // bucket 2 again
+      StreamEvent(7, ts(1, 5), "click", 7.0))
+    try {
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+      in.addData(StreamEvent(9, ts(6), "click", 0.0)) // advance watermark
+      q.processAllAvailable()
+      val streamed = spark.table("vhist_out")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      // batch twin over the same finalized hours (0 and 1)
+      val all = (batch1 ++ batch2).toDF()
+      val want = all
+        .groupBy(
+          (unix_timestamp(col("ts")) - unix_timestamp(col("ts")) % 3600).as("h"),
+          col("event_type"),
+          floor(col("value") / 5.0).cast("long").as("bucket"))
+        .count()
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(streamed == want, s"streamed $streamed\nwant $want")
+      // the floor contract: -3.0 landed in bucket -1, not bucket 0
+      assert(streamed.exists { case (_, t, b, _) => t == "buy" && b == -1L })
+      // and a snapshot of the sink answers quantiles identically to the
+      // batch sketch over the same rows
+      val sk = graft.ext.TextAnalysis.quantilesFromHistogram(
+        spark.table("vhist_out").withColumnRenamed("hour_start_sec", "h"),
+        Seq("h", "event_type"), Seq(0.5, 0.9), 5L, "value_q")
+        .collect().map(r =>
+          (r.getLong(0), r.getString(1), r.getDouble(2)) -> r.getLong(3)).toMap
+      val skBatch = graft.ext.TextAnalysis.quantilesFromHistogram(
+        all.groupBy(
+          (unix_timestamp(col("ts")) - unix_timestamp(col("ts")) % 3600).as("h"),
+          col("event_type"),
+          floor(col("value") / 5.0).cast("long").as("bucket"))
+          .agg(count(lit(1)).as("c")),
+        Seq("h", "event_type"), Seq(0.5, 0.9), 5L, "value_q")
+        .collect().map(r =>
+          (r.getLong(0), r.getString(1), r.getDouble(2)) -> r.getLong(3)).toMap
+      assert(sk == skBatch && sk.nonEmpty)
     } finally q.stop()
   }
 
