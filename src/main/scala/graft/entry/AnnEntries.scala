@@ -85,6 +85,17 @@ object AnnEntries {
         "vec_id", "embedding", knn = 5, k = PqK, iters = KMeansIters,
         subDim = PqSubDim), "query_id", "rank")
     }),
+    // Reciprocal Rank Fusion of two retrievers over the same queries —
+    // the score-free hybrid-search ensemble (exact dense top-10 fused
+    // with the sign-LSH top-5); result-sized join + one rank window
+    "hybrid_rrf" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val q = e.where(col("vec_id") < QueryCount)
+      gate(graft.ext.Retrieval.rrfFuse(
+        Embeddings.topK(e, q, "vec_id", "embedding", 10),
+        Embeddings.lshTopK(e, q, "vec_id", "embedding", 5, dim = EmbDim),
+        k = 5), "query_id", "rank")
+    }),
     // kNN label vote over the brute top-10 (label-error audit /
     // auto-labeling); the classifier itself is index-agnostic
     "knn_classify" -> ((s, dir) => {
@@ -208,6 +219,42 @@ object AnnEntries {
         |       FROM samebkt)
         |SELECT query_id, CAST(rn AS BIGINT) AS rank, cand_id AS vec_id, cosine
         |FROM rk WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin),
+    // both retriever chains share the cosr prefix; fusion mirrors
+    // Retrieval.rrfFuse: 1/(60+rank) per list, snap, rank by (rrf, cand)
+    "hybrid_rrf" ->
+      (cosSql(s"a.vec_id < $QueryCount") + s""",
+        |rkb AS (SELECT query_id, cand_id,
+        |               row_number() OVER (PARTITION BY query_id
+        |                                  ORDER BY cosine DESC, cand_id) AS rn
+        |        FROM cosr),
+        |la AS (SELECT query_id, cand_id, rn FROM rkb WHERE rn <= 10),
+        |hp AS (SELECT * FROM $planesSql),
+        |proj AS (SELECT u.vec_id, hp.k, SUM(hp.h * u.v) AS s
+        |         FROM u JOIN hp ON hp.i = u.i GROUP BY 1, 2),
+        |bkt AS (SELECT vec_id,
+        |               CAST(SUM(CASE WHEN s > 0 THEN 1 << k ELSE 0 END) AS BIGINT) AS bucket
+        |        FROM proj GROUP BY vec_id),
+        |samebkt AS (SELECT c.query_id, c.cand_id, c.cosine
+        |            FROM cosr c
+        |            JOIN bkt bq ON bq.vec_id = c.query_id
+        |            JOIN bkt bc ON bc.vec_id = c.cand_id AND bc.bucket = bq.bucket),
+        |rkl AS (SELECT query_id, cand_id,
+        |               row_number() OVER (PARTITION BY query_id
+        |                                  ORDER BY cosine DESC, cand_id) AS rn
+        |        FROM samebkt),
+        |lb AS (SELECT query_id, cand_id, rn FROM rkl WHERE rn <= 5),
+        |f AS (SELECT COALESCE(la.query_id, lb.query_id) AS query_id,
+        |             COALESCE(la.cand_id, lb.cand_id) AS cand_id,
+        |             floor((COALESCE(1.0/(60 + la.rn), 0.0)
+        |                    + COALESCE(1.0/(60 + lb.rn), 0.0))*1e6 + 0.50001)/1e6 AS rrf
+        |      FROM la FULL OUTER JOIN lb
+        |        ON la.query_id = lb.query_id AND la.cand_id = lb.cand_id),
+        |fr AS (SELECT query_id, cand_id, rrf,
+        |              row_number() OVER (PARTITION BY query_id
+        |                                 ORDER BY rrf DESC, cand_id) AS rn
+        |       FROM f)
+        |SELECT query_id, CAST(rn AS BIGINT) AS rank, cand_id, rrf
+        |FROM fr WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin),
     "ann_lsh_multiprobe" ->
       (cosSql(s"a.vec_id < $QueryCount") + s""",
         |hp AS (SELECT * FROM $planesSql),

@@ -74,4 +74,46 @@ object Retrieval {
 
   /** Single-quoted SQL string literal (term lists are caller-supplied). */
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /**
+   * Reciprocal Rank Fusion (Cormack, Clarke & Büttcher SIGIR'09) — the
+   * standard score-free ensemble of two retrieval systems: each
+   * (query, candidate) scores `Σ_lists 1/(kRrf + rank)`, so a candidate
+   * highly ranked by either list surfaces without ever comparing the
+   * lists' incomparable raw scores (BM25 log-weights vs cosine values —
+   * RRF is how lexical+semantic hybrid search is usually glued).
+   * Candidates missing from a list contribute 0 for it. Both inputs are
+   * (queryCol, candCol, rankCol ≥ 1) tables — the top-k family's shape
+   * ([[Embeddings.topK]], [[bm25TopK]] after a rank window).
+   *
+   * Determinism: each term is the same two IEEE ops (`1.0/(kRrf+rank)`)
+   * in a fixed order, the sum is snapped to the 1e-6 comparison grid
+   * BEFORE ranking, and ties break by candidate id — identical selection
+   * in any engine, the gate's usual contract.
+   *
+   * Scale shape: one full-outer equi-join on (query, candidate) between
+   * two RESULT-sized tables (Q·k rows each, never corpus-sized) and one
+   * rank window keyed by query. At 100 TB the retrieval lists are the
+   * expensive part; fusing them is a metrics-sized afterthought — which
+   * is the operational argument for RRF over trained fusion.
+   */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, kRrf: Int = 60,
+      queryCol: String = "query_id", candCol: String = "vec_id",
+      rankCol: String = "rank"): DataFrame = {
+    require(k >= 1 && kRrf >= 0)
+    def side(df: DataFrame, suffix: String) = df.select(
+      col(queryCol).as("query_id"), col(candCol).as("cand_id"),
+      col(rankCol).cast("long").as(s"rank_$suffix"))
+    def term(c: Column) = coalesce(lit(1.0) / (lit(kRrf.toLong) + c), lit(0.0))
+    val fused = side(a, "a")
+      .join(side(b, "b"), Seq("query_id", "cand_id"), "full_outer")
+      .select(col("query_id"), col("cand_id"),
+        (floor((term(col("rank_a")) + term(col("rank_b"))) * lit(1e6)
+          + lit(0.50001)) / lit(1e6)).as("rrf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("rrf").desc, col("cand_id").asc)
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "cand_id", "rrf")
+  }
 }

@@ -53,4 +53,32 @@ class RetrievalSpec extends SparkSpec {
     assert(plan.split("BroadcastNestedLoopJoin").length - 1 == 1, plan)
     assert(plan.contains("HashAggregate(keys=[]"), plan)
   }
+
+  test("rrfFuse: hand-scored fusion, one-list candidates, tie-break") {
+    // query 0: cand 10 is rank 1 in both lists; cand 11 only in a (rank 2);
+    // cand 12 only in b (rank 2) — 11 and 12 TIE at 1/62, cand id breaks it
+    val a = Seq((0L, 10L, 1L), (0L, 11L, 2L), (1L, 20L, 1L))
+      .toDF("query_id", "vec_id", "rank")
+    val b = Seq((0L, 10L, 1L), (0L, 12L, 2L), (1L, 21L, 1L))
+      .toDF("query_id", "vec_id", "rank")
+    val got = Retrieval.rrfFuse(a, b, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    def snap(x: Double) = math.floor(x * 1e6 + 0.50001) / 1e6
+    assert(got((0L, 1L)) == ((10L, snap(2.0 / 61.0))))
+    assert(got((0L, 2L)) == ((11L, snap(1.0 / 62.0)))) // tie → lower cand id
+    assert(got((0L, 3L)) == ((12L, snap(1.0 / 62.0))))
+    // query 1: two single-list candidates, equal score, id order
+    assert(got((1L, 1L))._1 == 20L && got((1L, 2L))._1 == 21L)
+    assertApprox(got((1L, 1L))._2, snap(1.0 / 61.0))
+  }
+
+  test("rrfFuse promotes cross-list consensus over either single list") {
+    // cand 5 is mid-rank in BOTH lists; cand 6 tops list a only. RRF must
+    // rank 5 over 6: 1/61+1/63 > 1/61 — the ensemble property
+    val a = Seq((0L, 6L, 1L), (0L, 5L, 3L)).toDF("query_id", "vec_id", "rank")
+    val b = Seq((0L, 7L, 1L), (0L, 5L, 3L)).toDF("query_id", "vec_id", "rank")
+    val top = Retrieval.rrfFuse(a, b, k = 1).collect().head
+    assert(top.getLong(2) == 5L, top.toString)
+  }
 }
