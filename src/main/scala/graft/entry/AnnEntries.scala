@@ -96,6 +96,18 @@ object AnnEntries {
         Embeddings.lshTopK(e, q, "vec_id", "embedding", 5, dim = EmbDim),
         k = 5), "query_id", "rank")
     }),
+    // order-sensitive retrieval metrics: MRR + nDCG@5 of the LSH list
+    // against the exact top-10 relevance set (ann_recall's companion —
+    // recall can't see right-set-wrong-order); gain constants are JVM
+    // literals shared with the oracle, so no engine runs a log
+    "retrieval_ndcg" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val q = e.where(col("vec_id") < QueryCount)
+      gate(graft.ext.Retrieval.rankEval(
+        Embeddings.topK(e, q, "vec_id", "embedding", 10),
+        Embeddings.lshTopK(e, q, "vec_id", "embedding", 5, dim = EmbDim),
+        k = 5), "query_id")
+    }),
     // kNN label vote over the brute top-10 (label-error audit /
     // auto-labeling); the classifier itself is index-agnostic
     "knn_classify" -> ((s, dir) => {
@@ -219,6 +231,54 @@ object AnnEntries {
         |       FROM samebkt)
         |SELECT query_id, CAST(rn AS BIGINT) AS rank, cand_id AS vec_id, cosine
         |FROM rk WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin),
+    // the same two chains; metrics mirror Retrieval.rankEval with the
+    // SAME JVM-computed gain literals (no engine-side log anywhere)
+    "retrieval_ndcg" -> {
+      val gains = graft.ext.Retrieval.dcgGains(5).zipWithIndex
+        .map { case (g, i) => s"(${i + 1}, $g)" }.mkString(", ")
+      val idcg = graft.ext.Retrieval.idcgPrefix(5).zipWithIndex
+        .map { case (s0, i) => s"(${i + 1}, $s0)" }.mkString(", ")
+      cosSql(s"a.vec_id < $QueryCount") + s""",
+        |rkb AS (SELECT query_id, cand_id,
+        |               row_number() OVER (PARTITION BY query_id
+        |                                  ORDER BY cosine DESC, cand_id) AS rn
+        |        FROM cosr),
+        |la AS (SELECT query_id, cand_id, rn FROM rkb WHERE rn <= 10),
+        |hp AS (SELECT * FROM $planesSql),
+        |proj AS (SELECT u.vec_id, hp.k, SUM(hp.h * u.v) AS s
+        |         FROM u JOIN hp ON hp.i = u.i GROUP BY 1, 2),
+        |bkt AS (SELECT vec_id,
+        |               CAST(SUM(CASE WHEN s > 0 THEN 1 << k ELSE 0 END) AS BIGINT) AS bucket
+        |        FROM proj GROUP BY vec_id),
+        |samebkt AS (SELECT c.query_id, c.cand_id, c.cosine
+        |            FROM cosr c
+        |            JOIN bkt bq ON bq.vec_id = c.query_id
+        |            JOIN bkt bc ON bc.vec_id = c.cand_id AND bc.bucket = bq.bucket),
+        |rkl AS (SELECT query_id, cand_id,
+        |               row_number() OVER (PARTITION BY query_id
+        |                                  ORDER BY cosine DESC, cand_id) AS rn
+        |        FROM samebkt),
+        |lb AS (SELECT query_id, cand_id, rn FROM rkl WHERE rn <= 5),
+        |g AS (SELECT * FROM (VALUES $gains) g(rnk, gain)),
+        |idt AS (SELECT * FROM (VALUES $idcg) i(m, idcg)),
+        |hits AS (SELECT l.query_id, l.rn,
+        |                CASE WHEN t.cand_id IS NOT NULL THEN 1 ELSE 0 END AS relv,
+        |                g.gain
+        |         FROM lb l LEFT JOIN la t USING (query_id, cand_id)
+        |         JOIN g ON g.rnk = l.rn),
+        |ag AS (SELECT query_id,
+        |              MIN(CASE WHEN relv = 1 THEN rn END) AS fr,
+        |              SUM(CASE WHEN relv = 1 THEN gain ELSE 0.0 END) AS dcg
+        |       FROM hits GROUP BY 1),
+        |nr AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel FROM la GROUP BY 1)
+        |SELECT nr.query_id, nr.n_rel,
+        |       CAST(COALESCE(ag.fr, 0) AS BIGINT) AS first_rel_rank,
+        |       ${r6sql("CASE WHEN ag.fr IS NULL THEN 0.0 ELSE 1.0 / ag.fr END")} AS mrr,
+        |       ${r6sql("COALESCE(ag.dcg, 0.0) / idt.idcg")} AS ndcg
+        |FROM nr LEFT JOIN ag USING (query_id)
+        |JOIN idt ON idt.m = least(5, nr.n_rel)
+        |ORDER BY query_id""".stripMargin
+    },
     // both retriever chains share the cosr prefix; fusion mirrors
     // Retrieval.rrfFuse: 1/(60+rank) per list, snap, rank by (rrf, cand)
     "hybrid_rrf" ->

@@ -97,6 +97,65 @@ object Retrieval {
    * expensive part; fusing them is a metrics-sized afterthought — which
    * is the operational argument for RRF over trained fusion.
    */
+  /** Positional DCG gains 1/log2(r+1) for r = 1..k, computed ONCE here
+    * and interpolated as plain literals into both the Spark plan and the
+    * DuckDB oracle — no engine ever evaluates a transcendental, so the
+    * two sides cannot drift by a libm ulp. */
+  def dcgGains(k: Int): Seq[Double] =
+    (1 to k).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0)))
+
+  /** Ideal-DCG prefix sums: idcg(m) = Σ_{r ≤ m} gain(r), m = 1..k. */
+  def idcgPrefix(k: Int): Seq[Double] =
+    dcgGains(k).scanLeft(0.0)(_ + _).tail
+
+  /**
+   * Ranked-retrieval evaluation: MRR and nDCG@k of a ranked list against
+   * a binary relevance set (typically the exact top-k — the same
+   * truth-vs-approx convention as [[Embeddings.recallAtK]], which this
+   * completes with ORDER-sensitive metrics: recall can't see that an
+   * index returns the right set in the wrong order). Per query:
+   * `first_rel_rank` (0 = no relevant item retrieved), `mrr` =
+   * 1/first_rel_rank, `dcg` = Σ_{relevant r ≤ k} gain(r), `ndcg` =
+   * dcg / idcg(min(k, n_rel)).
+   *
+   * Scale shape: result-sized equi-joins (Q·k rows) + one aggregate
+   * keyed by query + broadcast literal gain tables of k rows. The gain
+   * constants come from [[dcgGains]]/[[idcgPrefix]] so the oracle
+   * interpolates the same decimal literals.
+   */
+  def rankEval(truth: DataFrame, ranked: DataFrame, k: Int,
+      queryCol: String = "query_id", candCol: String = "vec_id",
+      rankCol: String = "rank"): DataFrame = {
+    require(k >= 1)
+    val spark = truth.sparkSession
+    import spark.implicits._
+    val rel = truth.select(col(queryCol).as("query_id"), col(candCol).as("cand_id"))
+    val nRel = rel.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    val gains = dcgGains(k).zipWithIndex
+      .map { case (g, i) => (i + 1L, g) }.toDF("rnk", "gain")
+    val idcg = idcgPrefix(k).zipWithIndex
+      .map { case (s, i) => (i + 1L, s) }.toDF("m", "idcg")
+    val hits = ranked
+      .select(col(queryCol).as("query_id"), col(candCol).as("cand_id"),
+        col(rankCol).cast("long").as("rnk"))
+      .where(col("rnk") <= k)
+      .join(rel.withColumn("relv", lit(1L)), Seq("query_id", "cand_id"), "left")
+      .join(broadcast(gains), Seq("rnk"))
+      .groupBy("query_id")
+      .agg(
+        min(when(col("relv").isNotNull, col("rnk"))).as("fr"),
+        sum(when(col("relv").isNotNull, col("gain")).otherwise(lit(0.0))).as("dcg"))
+    val snap = (c: Column) => floor(c * lit(1e6) + lit(0.50001)) / lit(1e6)
+    nRel.join(hits, Seq("query_id"), "left")
+      .join(broadcast(idcg), least(lit(k.toLong), col("n_rel")) === col("m"))
+      .select(
+        col("query_id"), col("n_rel"),
+        coalesce(col("fr"), lit(0L)).as("first_rel_rank"),
+        snap(when(col("fr").isNull, lit(0.0))
+          .otherwise(lit(1.0) / col("fr"))).as("mrr"),
+        snap(coalesce(col("dcg"), lit(0.0)) / col("idcg")).as("ndcg"))
+  }
+
   def rrfFuse(a: DataFrame, b: DataFrame, k: Int, kRrf: Int = 60,
       queryCol: String = "query_id", candCol: String = "vec_id",
       rankCol: String = "rank"): DataFrame = {

@@ -31,7 +31,11 @@ class PlanAuditSpec extends SparkSpec {
       // 1-row corpus-total broadcast over the topN-row skew slice
       "events_skew",
       // 1-row Σ n^τ scalar broadcast over the groups-sized mix table
-      "corpus_temperature")
+      "corpus_temperature",
+      // both fuse/score the brute exact top-10 — ann_topk_brute's
+      // sanctioned all-pairs broadcast scan is one input; the fusion /
+      // metrics layers themselves are result-sized equi-joins
+      "hybrid_rrf", "retrieval_ndcg")
 
   test("no contract query plans a cartesian product or unsanctioned BNLJ") {
     assume(new File(sfDir).isDirectory, s"$sfDir missing")

@@ -73,6 +73,34 @@ class RetrievalSpec extends SparkSpec {
     assertApprox(got((1L, 1L))._2, snap(1.0 / 61.0))
   }
 
+  test("rankEval: hand-computed MRR and nDCG, absent-query zeroes") {
+    val truth = Seq(
+      (0L, 10L, 1L), (0L, 11L, 2L), (0L, 12L, 3L), // rel {10,11,12}
+      (1L, 20L, 1L),                               // rel {20}
+      (2L, 30L, 1L), (2L, 31L, 2L),                // rel {30,31}
+      (3L, 40L, 1L)                                // query absent from ranked
+    ).toDF("query_id", "vec_id", "rank")
+    val ranked = Seq(
+      (0L, 10L, 1L), (0L, 99L, 2L), (0L, 11L, 3L),
+      (1L, 99L, 1L), (1L, 98L, 2L),
+      (2L, 31L, 1L), (2L, 30L, 2L)
+    ).toDF("query_id", "vec_id", "rank")
+    val got = Retrieval.rankEval(truth, ranked, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val g = Retrieval.dcgGains(3)            // 1, 1/log2(3), 0.5
+    def snap(x: Double) = math.floor(x * 1e6 + 0.50001) / 1e6
+    // q0: hits at ranks 1 and 3; idcg over min(3, 3) gains
+    assert(got(0L) == ((3L, 1L, 1.0,
+      snap((g(0) + g(2)) / (g(0) + g(1) + g(2))))))
+    // q1: nothing relevant retrieved
+    assert(got(1L) == ((1L, 0L, 0.0, 0.0)))
+    // q2: perfect set in some order, n_rel = 2 → ndcg exactly 1.0
+    assert(got(2L) == ((2L, 1L, 1.0, 1.0)))
+    // q3: query missing from the ranked list entirely
+    assert(got(3L) == ((1L, 0L, 0.0, 0.0)))
+  }
+
   test("rrfFuse promotes cross-list consensus over either single list") {
     // cand 5 is mid-rank in BOTH lists; cand 6 tops list a only. RRF must
     // rank 5 over 6: 1/61+1/63 > 1/61 — the ensemble property
