@@ -80,6 +80,11 @@ object TextEntries {
     "quality_quantiles_sketch" -> ((s, dir) =>
       gate(TextAnalysis.quantileSketchHist(docs(s, dir), "lang", "n_chars",
         QuantileQs, HistWidth), "lang", "q")),
+    // ext: per-doc robust z (median/MAD) — outlier-resistant gate signal;
+    // integer value column keeps median/dev/MAD exact int64 both engines
+    "quality_robust_z" -> ((s, dir) =>
+      gate(TextAnalysis.robustZ(docs(s, dir), "doc_id", "lang", "n_chars"),
+        "doc_id")),
     // ext: vocabulary heavy hitters by document frequency
     "vocab_topk" -> ((s, dir) =>
       gate(TextAnalysis.vocabTopK(docs(s, dir), "doc_id", "text", VocabK), "token")),
@@ -493,6 +498,28 @@ object TextEntries {
         |FROM tgt t JOIN cum c ON c.grp = t.grp AND c.cum >= t.rn
         |GROUP BY t.grp, t.q ORDER BY lang, q""".stripMargin
     },
+    // robust-z mirror: type-1 medians via rank windows (value AT a rank
+    // is tie-order-independent), exact int64 deviations, one snapped div
+    "quality_robust_z" ->
+      s"""WITH b AS (SELECT doc_id, lang AS grp, n_chars AS v FROM documents),
+        |r1 AS (SELECT grp, v, row_number() OVER (PARTITION BY grp ORDER BY v) AS rn
+        |       FROM b),
+        |c1 AS (SELECT grp, MAX(rn) AS n FROM r1 GROUP BY grp),
+        |md AS (SELECT r1.grp, CAST(r1.v AS BIGINT) AS med
+        |       FROM r1 JOIN c1 USING (grp)
+        |       WHERE r1.rn = 1 + CAST(floor(0.5 * (c1.n - 1)) AS BIGINT)),
+        |d AS (SELECT b.doc_id, b.grp, b.v, md.med, abs(b.v - md.med) AS dev
+        |      FROM b JOIN md USING (grp)),
+        |r2 AS (SELECT grp, dev, row_number() OVER (PARTITION BY grp ORDER BY dev) AS rn
+        |       FROM d),
+        |c2 AS (SELECT grp, MAX(rn) AS n FROM r2 GROUP BY grp),
+        |md2 AS (SELECT r2.grp, CAST(r2.dev AS BIGINT) AS mad
+        |        FROM r2 JOIN c2 USING (grp)
+        |        WHERE r2.rn = 1 + CAST(floor(0.5 * (c2.n - 1)) AS BIGINT))
+        |SELECT d.doc_id, d.grp AS lang, CAST(d.v AS BIGINT) AS n_chars,
+        |       d.med, md2.mad,
+        |       ${r6sql("CASE WHEN md2.mad = 0 THEN 0.0 ELSE (d.v - d.med) / (1.4826 * md2.mad) END")} AS robust_z
+        |FROM d JOIN md2 USING (grp) ORDER BY doc_id""".stripMargin,
     "doc_chunks" ->
       (tokSql + s""",
         |terms AS (SELECT doc_id, pos // $ChunkSize AS chunk_id, pos,

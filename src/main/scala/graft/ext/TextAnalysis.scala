@@ -598,6 +598,44 @@ object TextAnalysis {
   }
 
   /**
+   * Robust z-score per row: `(v − median) / (1.4826 · MAD)` within each
+   * group — the outlier-resistant spelling of a z-score (mean/stddev
+   * move with the outliers they're supposed to flag; median/MAD don't,
+   * and 1.4826 rescales MAD to σ under normality). The quality-gate
+   * companion to [[quantiles]]: calibrate thresholds on robust stats,
+   * then flag |z| > 3 documents for review instead of hard bounds.
+   *
+   * Determinism: medians are the exact type-1 quantile (value at rank
+   * `1 + floor(0.5·(n−1))`), so with an integer value column every
+   * intermediate (median, deviations, MAD) is EXACT int64 in any
+   * engine; the final division is one fixed IEEE op sequence, snapped.
+   * A zero MAD (over half the group at the median) yields z = 0 rather
+   * than a division blow-up.
+   *
+   * Scale shape: two rank windows per group (the exact calibration
+   * path — at full corpus scale substitute [[quantileSketchHist]]'s
+   * histogram medians) + two groups-sized broadcast joins back.
+   */
+  def robustZ(df: DataFrame, idCol: String, groupCol: String,
+      valueCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("doc_id"), col(groupCol).as("grp"),
+      col(valueCol).cast("long").as("v"))
+    val med = quantiles(base, "grp", "v", Seq(0.5))
+      .select(col("grp"), col("v_q").as("med"))
+    val dev = base.join(broadcast(med), "grp")
+      .withColumn("dev", abs(col("v") - col("med")))
+    val mad = quantiles(dev.select(col("grp"), col("dev")), "grp", "dev", Seq(0.5))
+      .select(col("grp"), col("dev_q").as("mad"))
+    dev.join(broadcast(mad), "grp")
+      .select(col("doc_id"), col("grp").as(groupCol), col("v").as(valueCol),
+        col("med"), col("mad"),
+        (floor(when(col("mad") === 0L, lit(0.0))
+          .otherwise((col("v") - col("med")).cast("double") /
+            (lit(1.4826) * col("mad").cast("double"))) * lit(1e6)
+          + lit(0.50001)) / lit(1e6)).as("robust_z"))
+  }
+
+  /**
    * Quantile-bucket assignment — the curriculum/stratification step that
    * follows [[quantiles]]: give every row a bucket 0..k-1 by where its
    * value falls among its group's k-quantile thresholds

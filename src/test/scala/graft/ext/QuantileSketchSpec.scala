@@ -48,6 +48,25 @@ class QuantileSketchSpec extends SparkSpec {
     }
   }
 
+  test("robustZ: hand-computed median/MAD, outlier immunity, zero-MAD guard") {
+    val df = Seq(
+      ("a", 1L, 1L), ("a", 2L, 2L), ("a", 3L, 3L), ("a", 4L, 4L), ("a", 5L, 100L),
+      ("b", 6L, 5L), ("b", 7L, 5L), ("b", 8L, 5L), ("b", 9L, 9L)
+    ).toDF("grp", "id", "v")
+    val got = TextAnalysis.robustZ(df, "id", "grp", "v")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    def snap(x: Double) = math.floor(x * 1e6 + 0.50001) / 1e6
+    // group a: median 3 (rank 3 of 5), devs {2,1,0,1,97} → MAD 1; the
+    // outlier does NOT drag the center (mean/std would give z ≈ 1.8)
+    assert(got(5L) == ((100L, 3L, 1L, snap(97.0 / 1.4826))))
+    assert(got(4L) == ((4L, 3L, 1L, snap(1.0 / 1.4826))))
+    assert(got(3L)._4 == 0.0)
+    // group b: median 5, >half the group at the median → MAD 0 → z = 0
+    assert(got(9L) == ((9L, 5L, 0L, 0.0)))
+    assert(got(6L)._4 == 0.0)
+  }
+
   test("sketch state is histogram-sized: one row per occupied bucket") {
     // 2000 rows, width 400 → at most ceil(5000/400)+1 buckets per group;
     // the aggregate the sketch answers from is that small, which is the
