@@ -50,7 +50,8 @@ object Bench {
     // kernel it replaces, the bounded-state quantile path, the
     // group-atomic split (dedup-groups chain + hash)
     "dedup_jaccard_prefix", "quality_quantiles_sketch", "split_by_group",
-    "embed_covariance", "hybrid_rrf", "retrieval_ndcg", "quality_robust_z")
+    "embed_covariance", "hybrid_rrf", "retrieval_ndcg", "quality_robust_z",
+    "decontaminate_13gram")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

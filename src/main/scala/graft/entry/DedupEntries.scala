@@ -74,6 +74,16 @@ object DedupEntries {
         d.where(col("source") =!= EvalSource),
         d.where(col("source") === EvalSource), "doc_id", "text"), "doc_id")
     }),
+    // the 13-gram decontamination standard (GPT-3 appendix C / The
+    // Pile): 13-token runs flag VERBATIM leakage where trigrams flag
+    // topical overlap — same linear-probe plan at gram width 13
+    "decontaminate_13gram" -> ((s, dir) => {
+      val d = docs(s, dir)
+      gate(Dedup.contamination(
+        d.where(col("source") =!= EvalSource),
+        d.where(col("source") === EvalSource), "doc_id", "text",
+        n = WideGram), "doc_id")
+    }),
     // bounded-memory Bloom probe of the same train/eval boundary: the
     // fixed-size-filter scale path (no false negatives; FPs measured by
     // holding this against `decontaminate`)
@@ -215,6 +225,25 @@ object DedupEntries {
   private val EvalSource = "src0"
 
   import TextHash.M
+
+  /** Gram width of the wide-gram decontamination contract. */
+  private val WideGram = 13
+
+  /** Per-document distinct n-gram CTE chain mirroring Dedup.shinglesK:
+    * n−1 lead windows + the same Horner fold (`shgk(doc_id, sh)`). */
+  def shgKSql(n: Int): String = {
+    val tv = TextHash.tokenValue("token")
+    val leads = (1 until n).map(k =>
+      s"lead(v, $k) OVER (PARTITION BY doc_id ORDER BY pos) AS v${k + 1}")
+    val h = Dedup.ngramHashSql((1 to n).map(i => s"v$i"))
+    TextEntries.tokSql + s""",
+      |tvs AS (SELECT doc_id, pos, $tv AS v FROM tok),
+      |tvn AS (SELECT doc_id, v AS v1,
+      |        ${leads.mkString(",\n        ")}
+      |        FROM tvs),
+      |shgk AS (SELECT DISTINCT doc_id, $h AS sh
+      |         FROM tvn WHERE v$n IS NOT NULL)""".stripMargin
+  }
 
   /** Per-document distinct-shingle CTE chain mirroring Dedup.shingles. */
   val shgSql: String = {
@@ -451,6 +480,20 @@ object DedupEntries {
         |ev AS (SELECT DISTINCT s.sh FROM shg s JOIN documents d USING (doc_id)
         |       WHERE d.source = '$EvalSource'),
         |tr AS (SELECT s.doc_id, s.sh FROM shg s JOIN documents d USING (doc_id)
+        |       WHERE d.source <> '$EvalSource')
+        |SELECT tr.doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        |       CAST(SUM(CASE WHEN ev.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hit_shingles,
+        |       ${r6sql("CAST(SUM(CASE WHEN ev.sh IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)")} AS contamination
+        |FROM tr LEFT JOIN ev ON tr.sh = ev.sh
+        |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin),
+    // the trigram probe at gram width 13: same split-inside-the-query
+    // argument (per-doc shingling is independent of other docs)
+    "decontaminate_13gram" ->
+      (shgKSql(WideGram) + s""",
+        |ev AS (SELECT DISTINCT s.sh FROM shgk s JOIN documents d USING (doc_id)
+        |       WHERE d.source = '$EvalSource'),
+        |tr AS (SELECT s.doc_id, s.sh FROM shgk s JOIN documents d USING (doc_id)
         |       WHERE d.source <> '$EvalSource')
         |SELECT tr.doc_id,
         |       CAST(COUNT(*) AS BIGINT) AS n_shingles,

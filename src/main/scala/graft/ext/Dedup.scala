@@ -610,10 +610,49 @@ object Dedup {
    * row (nothing to leak through a trigram probe).
    */
   def contamination(train: DataFrame, evalCorpus: DataFrame,
-      idCol: String, textCol: String): DataFrame =
+      idCol: String, textCol: String, n: Int = 3): DataFrame =
     contaminationFromShingles(
-      shingles(train, idCol, textCol),
-      shingles(evalCorpus, idCol, textCol))
+      if (n == 3) shingles(train, idCol, textCol)
+      else shinglesK(train, idCol, textCol, n),
+      if (n == 3) shingles(evalCorpus, idCol, textCol)
+      else shinglesK(evalCorpus, idCol, textCol, n))
+
+  /**
+   * Engine-neutral rolling n-gram hash over `n` token-value SQL
+   * expressions — the [[TextHash.shingleHash]] Horner fold generalized:
+   * `h = fold(t1, (acc, t) → (acc·31 + t) mod M)`. For n = 3 this is
+   * byte-identical to `shingleHash` (spec-pinned), so every consumer of
+   * the trigram tables composes unchanged. Each step keeps the
+   * accumulator < M < 2^30 before the ·31, so nothing approaches int64
+   * overflow at any n.
+   */
+  def ngramHashSql(ts: Seq[String]): String = {
+    require(ts.size >= 2)
+    ts.tail.foldLeft(ts.head)((acc, t) => s"(($acc) * 31 + $t) % $M")
+  }
+
+  /**
+   * Row-local word n-gram shingles for ANY n ≥ 2 — [[shinglesLocal]]'s
+   * shape with the gram width as a parameter. The standard
+   * decontamination recipe is 13-gram (GPT-3 appendix C; The Pile):
+   * trigrams flag topical overlap, 13-token runs flag verbatim leakage —
+   * both probes exist because they answer different questions. Same
+   * zero-exchange array-HOF plan: one token-value array per document,
+   * one transform over start positions, one explode of the distinct
+   * hashes; runs unchanged on unbounded streams.
+   */
+  def shinglesK(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 2)
+    val pat = TextAnalysis.WhitespacePattern.replace("\\", "\\\\")
+    val tvs =
+      s"transform(filter(split($textCol, '$pat'), t -> t <> ''), t -> ${TextHash.tokenValue("t")})"
+    val h = ngramHashSql((0 until n).map(off => s"element_at(tvs, i + $off)"))
+    val grams = s"transform(sequence(1, size(tvs) - ${n - 1}), i -> $h)"
+    docs
+      .select(col(idCol).as("doc_id"), expr(tvs).as("tvs"))
+      .where(size(col("tvs")) >= n)
+      .select(col("doc_id"), explode(array_distinct(expr(grams))).as("sh"))
+  }
 
   /** [[contamination]] from prebuilt (doc_id, sh) tables — the seam that
     * lets an incremental pipeline probe an existing shingle INDEX

@@ -408,4 +408,30 @@ class DedupSpec extends SparkSpec {
     assert(got(("A", "A")) == ((1L, 0.8)))
     assert(got.size == 2)
   }
+
+  test("shinglesK(3) is byte-identical to the trigram path") {
+    val a = Dedup.shingles(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Dedup.shinglesK(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("13-gram probe flags a 13-token verbatim run, not a 12-token one") {
+    def toks(s: String, n: Int) = (0 until n).map(i => s + ('a' + i).toChar)
+    val run = (0 until 13).map(i => s"r${('a' + i).toChar}run") // 13 shared
+    val evalDoc = (100L, (toks("ev", 5) ++ run ++ toks("ew", 5)).mkString(" "))
+    val hit = (1L, (toks("ta", 4) ++ run ++ toks("tb", 4)).mkString(" "))
+    val near = (2L, (toks("tc", 4) ++ run.take(12) ++ toks("td", 5)).mkString(" "))
+    val train = Seq(hit, near).toDF("doc_id", "text")
+    val ev = Seq(evalDoc).toDF("doc_id", "text")
+    val got = Dedup.contamination(train, ev, "doc_id", "text", n = 13)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(1L) == 1L, s"13-token run must hit exactly once: $got")
+    assert(got(2L) == 0L, s"12-token run must NOT hit a 13-gram probe: $got")
+    // and the trigram probe sees BOTH (topical-overlap semantics)
+    val tri = Dedup.contamination(train, ev, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(tri(1L) > 0L && tri(2L) > 0L)
+  }
 }
