@@ -85,6 +85,13 @@ object AnnEntries {
         "vec_id", "embedding", knn = 5, k = PqK, iters = KMeansIters,
         subDim = PqSubDim), "query_id", "rank")
     }),
+    // hard-negative mining for contrastive training: highest-cosine
+    // DIFFERENT-label candidates per anchor (label = relevance proxy)
+    "hard_negatives" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      gate(Embeddings.hardNegatives(e, e.where(col("vec_id") < QueryCount),
+        "vec_id", "embedding", "label", 5), "query_id", "rank")
+    }),
     // Reciprocal Rank Fusion of two retrievers over the same queries —
     // the score-free hybrid-search ensemble (exact dense top-10 fused
     // with the sign-LSH top-5); result-sized join + one rank window
@@ -229,6 +236,20 @@ object AnnEntries {
         |              row_number() OVER (PARTITION BY query_id
         |                                 ORDER BY cosine DESC, cand_id) AS rn
         |       FROM samebkt)
+        |SELECT query_id, CAST(rn AS BIGINT) AS rank, cand_id AS vec_id, cosine
+        |FROM rk WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin),
+    // ann_topk_brute's chain with the label inequality in the pair CTE
+    "hard_negatives" ->
+      (cosSql(s"a.vec_id < $QueryCount") + s""",
+        |lb AS (SELECT vec_id, label FROM embeddings),
+        |neg AS (SELECT c.query_id, c.cand_id, c.cosine
+        |        FROM cosr c
+        |        JOIN lb q ON q.vec_id = c.query_id
+        |        JOIN lb t ON t.vec_id = c.cand_id AND t.label <> q.label),
+        |rk AS (SELECT query_id, cand_id, cosine,
+        |              row_number() OVER (PARTITION BY query_id
+        |                                 ORDER BY cosine DESC, cand_id) AS rn
+        |       FROM neg)
         |SELECT query_id, CAST(rn AS BIGINT) AS rank, cand_id AS vec_id, cosine
         |FROM rk WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin),
     // the same two chains; metrics mirror Retrieval.rankEval with the

@@ -84,6 +84,41 @@ object Embeddings {
   }
 
   /**
+   * Hard-negative mining for contrastive training: for each anchor, the
+   * k highest-cosine candidates with a DIFFERENT label — the near-miss
+   * negatives that make embedding-model training data hard (random
+   * negatives are trivially separable; hard ones carry the gradient).
+   * The label doubles as the positive/relevance proxy, so the output is
+   * a ready (anchor, negative, rank, cosine) table for triplet/InfoNCE
+   * batch construction.
+   *
+   * [[topK]]'s exact plan with one extra label inequality in the join —
+   * the scan shape stays broadcast-queries × candidate scan, ranked by
+   * (snapped cosine desc, id asc). Swap the candidate side through an
+   * ANN index ([[lshTopK]] shape) at full scale; exact mining is the
+   * calibration path that measures what the index variant misses.
+   */
+  def hardNegatives(candidates: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val cand = withNorms(candidates, idCol, vecCol)
+      .join(candidates.select(col(idCol).as("vec_id"),
+        col(labelCol).as("lbl")), "vec_id")
+    val q = withNorms(queries, idCol, vecCol)
+      .join(queries.select(col(idCol).as("vec_id"),
+        col(labelCol).as("qlbl")), "vec_id")
+      .withColumnRenamed("vec_id", "query_id")
+      .withColumnRenamed("emb", "qemb")
+      .withColumnRenamed("nrm", "qnrm")
+    val scored = cand
+      .join(broadcast(q),
+        col("query_id") =!= col("vec_id") && col("qlbl") =!= col("lbl"))
+      .select(col("query_id"), col("vec_id"),
+        (expr(dotSql("qemb", "emb")) / (col("qnrm") * col("nrm"))).as("c"))
+      .select(col("query_id"), col("vec_id"), snap("c").as("cosine"))
+    rank(scored, k)
+  }
+
+  /**
    * IVF-style top-k: vectors are bucketed by a coarse quantizer — the
    * 1-based index of the maximum component (comparison-only, so exact in
    * every engine; a trained k-means codebook slots in the same way) — and

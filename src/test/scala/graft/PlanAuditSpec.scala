@@ -35,7 +35,10 @@ class PlanAuditSpec extends SparkSpec {
       // both fuse/score the brute exact top-10 — ann_topk_brute's
       // sanctioned all-pairs broadcast scan is one input; the fusion /
       // metrics layers themselves are result-sized equi-joins
-      "hybrid_rrf", "retrieval_ndcg")
+      "hybrid_rrf", "retrieval_ndcg",
+      // exact hard-negative mining IS ann_topk_brute's broadcast scan
+      // with a label inequality riding the same join
+      "hard_negatives")
 
   test("no contract query plans a cartesian product or unsanctioned BNLJ") {
     assume(new File(sfDir).isDirectory, s"$sfDir missing")

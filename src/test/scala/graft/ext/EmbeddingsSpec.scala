@@ -31,6 +31,23 @@ class EmbeddingsSpec extends SparkSpec {
     assert(top.toSeq == Seq((1L, 3L), (2L, 2L))) // rank1: v3 (cos .994), rank2: v2 (.707)
   }
 
+  test("hardNegatives: nearest DIFFERENT-label only; same-label near miss excluded") {
+    // anchor 0 (label A): its nearest neighbor 1 shares the label and
+    // must be excluded; the hardest negative is 2 (label B, closer than 3)
+    val le = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f), "A"),
+      (1L, Seq(0.99f, 0.01f, 0.0f), "A"),   // same-label near miss
+      (2L, Seq(0.8f, 0.6f, 0.0f), "B"),     // hard negative
+      (3L, Seq(0.0f, 1.0f, 0.0f), "B"),     // easy negative
+      (4L, Seq(0.0f, 0.0f, 1.0f), "C")
+    ).toDF("vec_id", "embedding", "label")
+    val got = Embeddings.hardNegatives(le, le.where($"vec_id" === 0L),
+      "vec_id", "embedding", "label", 3)
+      .collect().map(r => r.getLong(1) -> r.getLong(2))
+    assert(got.toSeq == Seq(1L -> 2L, 2L -> 3L, 3L -> 4L),
+      s"expected hard-negative order 2,3,4 (label A excluded): ${got.toSeq}")
+  }
+
   test("lshTopK buckets by hyperplane signs; identical vectors collide") {
     val dup = Seq(
       (10L, Seq.fill(4)(0.5f)),
