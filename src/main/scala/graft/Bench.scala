@@ -51,7 +51,8 @@ object Bench {
     // group-atomic split (dedup-groups chain + hash)
     "dedup_jaccard_prefix", "quality_quantiles_sketch", "split_by_group",
     "embed_covariance", "hybrid_rrf", "retrieval_ndcg", "quality_robust_z",
-    "decontaminate_13gram", "hard_negatives")
+    "decontaminate_13gram", "hard_negatives", "embedding_drift",
+    "events_hourly_uniques")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

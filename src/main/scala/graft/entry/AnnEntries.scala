@@ -1,7 +1,7 @@
 package graft.entry
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, pmod}
 
 import graft.ext.Embeddings
 import EntryUtil._
@@ -132,6 +132,15 @@ object AnnEntries {
     "embed_prototype" -> ((s, dir) =>
       gate(Embeddings.prototypeAssign(embeddings(s, dir), "vec_id", "embedding",
         "label"), "vec_id")),
+    // per-label centroid drift between two snapshots (vec_id parity as
+    // the deterministic snapshot split — the drift-monitor fixture)
+    "embedding_drift" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      gate(Embeddings.centroidDrift(
+        e.where(pmod(col("vec_id"), lit(2)) === 0),
+        e.where(pmod(col("vec_id"), lit(2)) === 1),
+        "vec_id", "embedding", "label"), "grp")
+    }),
     // per-label cohesion vs nearest-other-centroid separation summary
     "embed_label_coherence" -> ((s, dir) =>
       gate(Embeddings.labelCoherence(embeddings(s, dir), "vec_id", "embedding",
@@ -579,6 +588,24 @@ object AnnEntries {
         |       CAST(COUNT(*) AS BIGINT) AS n_vecs,
         |       ${r6sql("AVG(x)")} AS c
         |FROM u GROUP BY label, i ORDER BY grp, i""".stripMargin,
+    // drift mirror: two parity-filtered snapped-centroid CTEs, (grp, i)
+    // join, per-label cosine/L2 on the snapped values
+    "embedding_drift" ->
+      s"""WITH u AS (SELECT vec_id, label, i, CAST(embedding[i+1] AS DOUBLE) AS x
+        |           FROM embeddings, UNNEST(range(len(embedding))) AS r(i)),
+        |ca AS (SELECT label AS grp, i, CAST(COUNT(*) AS BIGINT) AS n_a,
+        |              ${r6sql("AVG(x)")} AS va
+        |       FROM u WHERE vec_id % 2 = 0 GROUP BY 1, 2),
+        |cb AS (SELECT label AS grp, i, CAST(COUNT(*) AS BIGINT) AS n_b,
+        |              ${r6sql("AVG(x)")} AS vb
+        |       FROM u WHERE vec_id % 2 = 1 GROUP BY 1, 2),
+        |j AS (SELECT ca.grp, ca.n_a, cb.n_b, ca.va, cb.vb
+        |      FROM ca JOIN cb ON cb.grp = ca.grp AND cb.i = ca.i)
+        |SELECT grp, MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+        |       ${r6sql("CASE WHEN SUM(va*va) = 0 OR SUM(vb*vb) = 0 THEN 0.0 " +
+          "ELSE SUM(va*vb) / (sqrt(SUM(va*va)) * sqrt(SUM(vb*vb))) END")} AS cosine,
+        |       ${r6sql("SUM((va - vb) * (va - vb))")} AS l2sq
+        |FROM j GROUP BY grp ORDER BY grp""".stripMargin,
     // nearest-class-mean: snapped centroids -> snapped d2 -> argmin with
     // (d2, grp) tie-break, mirroring prototypeAssign's window
     "embed_prototype" ->

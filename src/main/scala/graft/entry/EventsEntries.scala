@@ -18,6 +18,11 @@ object EventsEntries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_hourly" -> ((s, dir) =>
       gate(Events.hourly(Events.read(s, dir)), "hour_start_sec", "event_type")),
+    // unique reach per (hour, type) — exact count-distinct; the
+    // events/users ratio is the bot/hot-user abuse signal
+    "events_hourly_uniques" -> ((s, dir) =>
+      gate(Events.hourlyUniques(Events.read(s, dir)),
+        "hour_start_sec", "event_type")),
     "events_sessionize" -> ((s, dir) =>
       gate(Events.sessionize(Events.read(s, dir)), "user_id", "session_id")),
     // as-of join, inner form: the contract output stays NULL-free so the
@@ -111,6 +116,13 @@ object EventsEntries {
         |       CAST(COUNT(*) AS BIGINT) AS n_events,
         |       ${r6sql("SUM(value)")} AS sum_value,
         |       ${r6sql("AVG(value)")} AS avg_value
+        |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_hourly_uniques" ->
+      s"""WITH ev AS (SELECT epoch_ns(ts) AS tns, event_type, user_id FROM events)
+        |SELECT (tns // $nsHour) * 3600 AS hour_start_sec, event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |       ${r6sql("CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT user_id)")} AS events_per_user
         |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "events_sessionize" ->
       s"""WITH ev AS (SELECT epoch_ns(ts) AS tns, user_id, event_id, value FROM events),

@@ -904,6 +904,43 @@ object Embeddings {
       .agg(count(lit(1)).as("n_vecs"), snapCol(avg(col("x"))).as("c"))
 
   /**
+   * Per-label centroid drift between two corpus snapshots — the
+   * embedding-space monitor run when the data mix shifts or the
+   * embedding model is upgraded: for each label present in BOTH
+   * snapshots, member counts, the cosine between the two label
+   * centroids (1 → direction unchanged), and the snapped squared L2
+   * shift. A label whose centroid swings is where retrieval/dedup
+   * thresholds calibrated on the old snapshot silently break first.
+   *
+   * Scale shape: two [[classCentroids]] aggregates (map-side partial,
+   * model-sized outputs) + one (grp, i) equi-join of the two centroid
+   * tables + one per-label aggregate — after the centroid step nothing
+   * is corpus-sized. Centroids are snapped before the comparison
+   * arithmetic (the [[labelCoherence]] convention), and a degenerate
+   * zero-norm centroid yields cosine 0 rather than NaN.
+   */
+  def centroidDrift(embA: DataFrame, embB: DataFrame, idCol: String,
+      vecCol: String, groupCol: String): DataFrame = {
+    val ca = classCentroids(embA, idCol, vecCol, groupCol)
+      .select(col("grp"), col("i"), col("n_vecs").as("n_a"), col("c").as("va"))
+    val cb = classCentroids(embB, idCol, vecCol, groupCol)
+      .select(col("grp"), col("i"), col("n_vecs").as("n_b"), col("c").as("vb"))
+    ca.join(cb, Seq("grp", "i"))
+      .groupBy("grp")
+      .agg(
+        max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        sum(col("va") * col("vb")).as("dt"),
+        sum(col("va") * col("va")).as("na2"),
+        sum(col("vb") * col("vb")).as("nb2"),
+        sum((col("va") - col("vb")) * (col("va") - col("vb"))).as("d2"))
+      .select(col("grp"), col("n_a"), col("n_b"),
+        snapCol(when(col("na2") === 0.0 || col("nb2") === 0.0, lit(0.0))
+          .otherwise(col("dt") / (sqrt(col("na2")) * sqrt(col("nb2")))))
+          .as("cosine"),
+        snapCol(col("d2")).as("l2sq"))
+  }
+
+  /**
    * Nearest-class-mean (prototype) classification: each vector is
    * assigned to the [[classCentroids]] prototype with the smallest
    * snapped squared distance (ties break on the smaller group key) — the

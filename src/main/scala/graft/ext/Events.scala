@@ -68,6 +68,28 @@ object Events {
         avg(col("value")).as("avg_value"))
 
   /**
+   * Hourly DISTINCT-user counts per event type — the unique-reach
+   * companion to [[hourly]]'s volume counts (a bot retries or one hot
+   * user can inflate n_events while reach stays flat; the ratio is the
+   * abuse signal). Exact count-distinct: the shuffle carries one row per
+   * distinct (hour, type, user) — Spark's two-stage distinct-aggregate
+   * rewrite — which is the honest cost of exactness; at full scale the
+   * bounded-state alternative is the HLL register aggregate
+   * ([[TextAnalysis.hllVocabAudit]]'s sketch keyed by (hour, type)),
+   * calibrated against this exact form on a sample.
+   */
+  def hourlyUniques(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        (expr(s"ts div $NsPerHour") * 3600L).as("hour_start_sec"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        (count(lit(1)).cast("double") /
+          countDistinct(col("user_id")).cast("double")).as("events_per_user"))
+
+  /**
    * Hourly volume anomaly scores — the ops-monitoring read on top of
    * [[hourly]]: each (hour, event_type) cell's event count is z-scored
    * against that SAME type's across-hours distribution (population

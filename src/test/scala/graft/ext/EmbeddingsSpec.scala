@@ -48,6 +48,31 @@ class EmbeddingsSpec extends SparkSpec {
       s"expected hard-negative order 2,3,4 (label A excluded): ${got.toSeq}")
   }
 
+  test("centroidDrift: identity → cosine 1 / l2 0; shift moves both; missing labels absent") {
+    val a = Seq(
+      (0L, Seq(1.0f, 0.0f), 0), (1L, Seq(1.0f, 0.2f), 0),
+      (2L, Seq(0.0f, 1.0f), 1),
+      (4L, Seq(0.5f, 0.5f), 2)                       // label 2 only in A
+    ).toDF("vec_id", "embedding", "label")
+    val same = Embeddings.centroidDrift(a, a, "vec_id", "embedding", "label")
+      .collect().map(r => r.getInt(0) -> ((r.getDouble(3), r.getDouble(4)))).toMap
+    same.values.foreach { case (cos, l2) =>
+      assertApprox(cos, 1.0, 1e-6); assertApprox(l2, 0.0, 1e-9) }
+    // shift label 0's direction 90° in snapshot B; drop label 2
+    val b = Seq(
+      (0L, Seq(0.0f, 1.0f), 0), (1L, Seq(0.2f, 1.0f), 0),
+      (2L, Seq(0.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val drift = Embeddings.centroidDrift(a, b, "vec_id", "embedding", "label")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(drift.keySet == Set(0, 1), "label 2 has no B snapshot → absent")
+    val (na, nb, cos0, l20) = drift(0)
+    assert(na == 2L && nb == 2L)
+    assert(cos0 < 0.4 && l20 > 0.5, s"rotated centroid must drift: $cos0 $l20")
+    assertApprox(drift(1)._3, 1.0, 1e-6) // label 1 unchanged
+  }
+
   test("lshTopK buckets by hyperplane signs; identical vectors collide") {
     val dup = Seq(
       (10L, Seq.fill(4)(0.5f)),
