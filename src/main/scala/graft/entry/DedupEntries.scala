@@ -185,6 +185,15 @@ object DedupEntries {
         TextEntries.QfMinTokens, TextEntries.QfMaxTokens,
         TextEntries.QfMinAvgLen, TextEntries.QfMaxAvgLen,
         TextEntries.QfMaxStop, TextEntries.QfMinTtr,
+        pin = _.localCheckpoint()), "doc_id")),
+    // the full sweep a training run consumes: clean, then GROUP-ATOMIC
+    // split by the representative's hash (leakage-free by construction)
+    "corpus_clean_split" -> ((s, dir) =>
+      gate(graft.ext.Pipelines.cleanAndSplit(docs(s, dir), "doc_id", "text",
+        "source", EvalSource,
+        TextEntries.QfMinTokens, TextEntries.QfMaxTokens,
+        TextEntries.QfMinAvgLen, TextEntries.QfMaxAvgLen,
+        TextEntries.QfMaxStop, TextEntries.QfMinTtr,
         pin = _.localCheckpoint()), "doc_id"))
   )
 
@@ -317,6 +326,38 @@ object DedupEntries {
       |l0 AS (SELECT doc_id, doc_id AS rep FROM documents),
       |$rounds""".stripMargin
   }
+
+  /** The cleanCorpus CTE chain (groups → election → quality bounds →
+    * eval-shingle probe) up to the final SELECT — shared by the
+    * corpus_clean and corpus_clean_split oracles. */
+  private lazy val cleanChainSql: String =
+    groupsChainSql + s""",
+      |tc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS score
+      |       FROM tok GROUP BY doc_id),
+      |jb AS (SELECT l.doc_id, CAST(l.rep AS BIGINT) AS group_rep, tc.score
+      |       FROM l$GroupRounds l JOIN tc USING (doc_id)),
+      |bst AS (SELECT doc_id, group_rep, score,
+      |               first_value(doc_id) OVER (PARTITION BY group_rep
+      |                 ORDER BY score DESC, doc_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS best_id
+      |        FROM jb),
+      |kept AS (SELECT doc_id, group_rep FROM bst WHERE doc_id = best_id),
+      |qst AS (SELECT doc_id,
+      |        CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |        CAST(SUM(length(token)) AS DOUBLE) / COUNT(*) AS avg_token_len,
+      |        CAST(SUM(CASE WHEN token IN ${TextEntries.inList(graft.ext.TextAnalysis.Stopwords)} THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS stopword_ratio,
+      |        CAST(COUNT(DISTINCT token) AS DOUBLE) / COUNT(*) AS ttr
+      |        FROM tok GROUP BY doc_id),
+      |qual AS (SELECT doc_id, n_tokens FROM qst
+      |         WHERE n_tokens >= ${TextEntries.QfMinTokens}
+      |           AND n_tokens <= ${TextEntries.QfMaxTokens}
+      |           AND avg_token_len >= ${TextEntries.QfMinAvgLen}
+      |           AND avg_token_len <= ${TextEntries.QfMaxAvgLen}
+      |           AND stopword_ratio <= ${TextEntries.QfMaxStop}
+      |           AND ttr >= ${TextEntries.QfMinTtr}),
+      |evs AS (SELECT DISTINCT s.sh FROM shg s JOIN documents d USING (doc_id)
+      |        WHERE d.source = '$EvalSource'),
+      |cont AS (SELECT DISTINCT s.doc_id FROM shg s JOIN evs USING (sh))""".stripMargin
 
   /** Embedding pairwise-cosine CTE chain (unnest-based exact mirror). */
   val embCosSql: String =
@@ -645,38 +686,26 @@ object DedupEntries {
     // the groups chain + keep-best election + quality bounds + eval
     // shingle probe, composed exactly like Pipelines.cleanCorpus
     "corpus_clean" ->
-      (groupsChainSql + s""",
-        |tc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS score
-        |       FROM tok GROUP BY doc_id),
-        |jb AS (SELECT l.doc_id, CAST(l.rep AS BIGINT) AS group_rep, tc.score
-        |       FROM l$GroupRounds l JOIN tc USING (doc_id)),
-        |bst AS (SELECT doc_id, group_rep, score,
-        |               first_value(doc_id) OVER (PARTITION BY group_rep
-        |                 ORDER BY score DESC, doc_id
-        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS best_id
-        |        FROM jb),
-        |kept AS (SELECT doc_id, group_rep FROM bst WHERE doc_id = best_id),
-        |qst AS (SELECT doc_id,
-        |        CAST(COUNT(*) AS BIGINT) AS n_tokens,
-        |        CAST(SUM(length(token)) AS DOUBLE) / COUNT(*) AS avg_token_len,
-        |        CAST(SUM(CASE WHEN token IN ${TextEntries.inList(graft.ext.TextAnalysis.Stopwords)} THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS stopword_ratio,
-        |        CAST(COUNT(DISTINCT token) AS DOUBLE) / COUNT(*) AS ttr
-        |        FROM tok GROUP BY doc_id),
-        |qual AS (SELECT doc_id, n_tokens FROM qst
-        |         WHERE n_tokens >= ${TextEntries.QfMinTokens}
-        |           AND n_tokens <= ${TextEntries.QfMaxTokens}
-        |           AND avg_token_len >= ${TextEntries.QfMinAvgLen}
-        |           AND avg_token_len <= ${TextEntries.QfMaxAvgLen}
-        |           AND stopword_ratio <= ${TextEntries.QfMaxStop}
-        |           AND ttr >= ${TextEntries.QfMinTtr}),
-        |evs AS (SELECT DISTINCT s.sh FROM shg s JOIN documents d USING (doc_id)
-        |        WHERE d.source = '$EvalSource'),
-        |cont AS (SELECT DISTINCT s.doc_id FROM shg s JOIN evs USING (sh))
+      (cleanChainSql + s"""
         |SELECT q.doc_id, k.group_rep, q.n_tokens
         |FROM qual q JOIN kept k USING (doc_id) JOIN documents d USING (doc_id)
         |WHERE d.source <> '$EvalSource'
         |  AND q.doc_id NOT IN (SELECT doc_id FROM cont)
         |ORDER BY q.doc_id""".stripMargin),
+    // the same chain ending in the group-atomic split (mix chain hashed
+    // on the representative), mirroring Pipelines.cleanAndSplit
+    "corpus_clean_split" -> {
+      val mix = Export.mixBucketSql("k.group_rep", 1000, 0L)
+      cleanChainSql + s"""
+        |SELECT q.doc_id, k.group_rep, q.n_tokens,
+        |       CASE WHEN $mix < 800 THEN 'train'
+        |            WHEN $mix < 900 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM qual q JOIN kept k USING (doc_id) JOIN documents d USING (doc_id)
+        |WHERE d.source <> '$EvalSource'
+        |  AND q.doc_id NOT IN (SELECT doc_id FROM cont)
+        |ORDER BY q.doc_id""".stripMargin
+    },
     // within-label pairs only (the blocking IS the contract), exact
     // unnest cosine on candidates, drop the larger id of any pair >= eps
     "dedup_semantic" ->

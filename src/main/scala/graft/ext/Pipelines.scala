@@ -74,6 +74,33 @@ object Pipelines {
   }
 
   /**
+   * [[cleanCorpus]] ending in a GROUP-ATOMIC train/val/test assignment —
+   * the full sweep a training run actually consumes: clean, then split
+   * leakage-free by hashing each survivor's dup-group REPRESENTATIVE
+   * ([[Export.splitAssignByGroup]]'s rule). Survivors are their groups'
+   * elected representatives, so hashing `group_rep` keeps any future
+   * re-admission of a group member (threshold changes, delta re-runs) in
+   * the same split its representative landed in — the split is a pure
+   * function of (group identity, salt), not of election outcomes.
+   */
+  def cleanAndSplit(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, evalSource: String,
+      minTokens: Long = 10, maxTokens: Long = 100000,
+      minAvgTokenLen: Double = 2.0, maxAvgTokenLen: Double = 12.0,
+      maxStopwordRatio: Double = 0.6, minTtr: Double = 0.2,
+      trainPermille: Int = 800, valPermille: Int = 100, salt: Long = 0L,
+      pin: DataFrame => DataFrame = identity): DataFrame = {
+    val bucket = Export.mixBucket(col("group_rep"), 1000, salt)
+    cleanCorpus(docs, idCol, textCol, sourceCol, evalSource,
+      minTokens, maxTokens, minAvgTokenLen, maxAvgTokenLen,
+      maxStopwordRatio, minTtr, pin)
+      .select(col("doc_id"), col("group_rep"), col("n_tokens"),
+        when(bucket < trainPermille, lit("train"))
+          .when(bucket < trainPermille + valPermille, lit("val"))
+          .otherwise(lit("test")).as("split"))
+  }
+
+  /**
    * INCREMENTAL cleaning sweep (VERDICT r6 ask #7) — the same contract as
    * [[cleanCorpus]] over the NEW corpus snapshot, but the expensive work
    * (shingling, MinHash banding, candidate verification) runs only on the
