@@ -68,6 +68,10 @@ object TextEntries {
       gate(TextAnalysis.hashSample(docs(s, dir), "doc_id", "text", "lang",
         SampleRates, SampleDefault), "doc_id")),
     // ext: fixed-size token chunking with chunk-local fingerprints
+    // sliding chunks with 50% overlap — the retrieval-indexing form
+    "doc_chunks_sliding" -> ((s, dir) =>
+      gate(TextAnalysis.chunksSliding(docs(s, dir), "doc_id", "text",
+        ChunkSize, ChunkSize / 2), "doc_id", "chunk_id")),
     "doc_chunks" -> ((s, dir) =>
       gate(TextAnalysis.chunks(docs(s, dir), "doc_id", "text", ChunkSize),
         "doc_id", "chunk_id")),
@@ -531,6 +535,25 @@ object TextEntries {
         |       CAST(MAX(pos) AS BIGINT) AS last_pos,
         |       CAST(SUM(term) % ${TextHash.M} AS BIGINT) AS chunk_fp
         |FROM terms GROUP BY doc_id, chunk_id ORDER BY doc_id, chunk_id""".stripMargin),
+    // sliding mirror: per-token membership range via the same clamped
+    // integer division, chunk-local fingerprint positions
+    "doc_chunks_sliding" -> {
+      val stride = ChunkSize / 2
+      tokSql + s""",
+        |mem AS (SELECT doc_id, pos, token, k AS chunk_id
+        |        FROM tok, UNNEST(range(
+        |          greatest(CAST(0 AS BIGINT), (pos - $ChunkSize + $stride) // $stride),
+        |          pos // $stride + 1)) AS r(k)),
+        |terms AS (SELECT doc_id, chunk_id, pos,
+        |                 ${TextHash.fingerprintTerm(s"pos - chunk_id * $stride", "token")} AS term
+        |          FROM mem)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |       CAST(MIN(pos) AS BIGINT) AS first_pos,
+        |       CAST(MAX(pos) AS BIGINT) AS last_pos,
+        |       CAST(SUM(term) % ${TextHash.M} AS BIGINT) AS chunk_fp
+        |FROM terms GROUP BY doc_id, chunk_id ORDER BY doc_id, chunk_id""".stripMargin
+    },
     "sample_stratified" ->
       (tokSql + s""",
         |terms AS (SELECT doc_id, ${TextHash.fingerprintTerm("pos", "token")} AS term FROM tok),

@@ -688,6 +688,41 @@ object TextAnalysis {
   }
 
   /**
+   * SLIDING-window chunking with overlap — the retrieval-indexing
+   * standard ([[chunks]] is the training-packing form): chunk k covers
+   * token positions `[k·stride, k·stride + chunkSize)`, so consecutive
+   * chunks overlap by `chunkSize − stride` tokens and no span of up to
+   * `chunkSize` tokens is ever split across ALL the chunks containing
+   * it — the property retrieval recall depends on. Each token lands in
+   * at most ⌈chunkSize/stride⌉ chunks via one row-local integer
+   * sequence + explode (pure arithmetic, no self-join); fingerprint
+   * positions are chunk-local, so identical chunk content hashes
+   * identically wherever it appears, and chunk-level dedup composes.
+   *
+   * The membership range is pure integer arithmetic: kmin =
+   * max(0, (pos − chunkSize + stride) div stride) — the div is a true
+   * floor because the clamp discards the one regime (negative
+   * numerator) where truncation and floor disagree.
+   */
+  def chunksSliding(docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int = 128, stride: Int = 64): DataFrame = {
+    require(stride > 0 && stride <= chunkSize)
+    tokensWithPosition(docs, idCol, textCol)
+      .withColumn("chunk_id", explode(expr(
+        s"""sequence(greatest(CAST(0 AS BIGINT),
+           |  (CAST(pos AS BIGINT) - $chunkSize + $stride) DIV $stride),
+           |  CAST(pos AS BIGINT) DIV $stride)""".stripMargin)))
+      .withColumn("term", expr(TextHash.fingerprintTerm(
+        s"pos - chunk_id * $stride", "token")))
+      .groupBy("doc_id", "chunk_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        min(col("pos")).cast("long").as("first_pos"),
+        max(col("pos")).cast("long").as("last_pos"),
+        expr(s"sum(term) % ${TextHash.M}").cast("long").as("chunk_fp"))
+  }
+
+  /**
    * Deterministic stratified sampling by CONTENT hash: keep a document iff
    * `fingerprint(text) % 1000 < rate(stratum) * 1000`, with per-stratum
    * rates (e.g. per language) and a default. The reproducible way to

@@ -117,6 +117,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert((0L to 2L).forall(k => c((0L, k))._4 == c((1L, k))._4))
   }
 
+  test("chunksSliding: 50% overlap, every window covered, content-stable fp") {
+    // 6 tokens, chunkSize 4, stride 2 → chunks 0:[0,3] 1:[2,5] 2:[4,5]
+    val d = Seq((0L, "a b c d e f"), (1L, "x x a b c d")).toDF("doc_id", "text")
+    val c = TextAnalysis.chunksSliding(d, "doc_id", "text", 4, 2).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id")) ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("first_pos"),
+          r.getAs[Long]("last_pos"), r.getAs[Long]("chunk_fp")))).toMap
+    assert(c.keySet.filter(_._1 == 0L).map(_._2) == Set(0L, 1L, 2L))
+    assert(c((0L, 0L))._1 == 4L && c((0L, 0L))._2 == 0L && c((0L, 0L))._3 == 3L)
+    assert(c((0L, 1L))._2 == 2L && c((0L, 1L))._3 == 5L) // overlaps chunk 0 by 2
+    assert(c((0L, 2L))._1 == 2L) // short tail
+    // chunk-local fp: doc 1's chunk 1 is "a b c d" = doc 0's chunk 0
+    assert(c((1L, 1L))._4 == c((0L, 0L))._4,
+      "identical 4-token content must fingerprint identically across docs/offsets")
+    // every consecutive-token window of length ≤ chunkSize−stride+1 sits
+    // wholly inside SOME chunk (the retrieval-recall property, spot-checked:
+    // tokens 2..4 span chunks 1 only → contiguous inside it)
+    assert(c((0L, 1L))._2 <= 2L && c((0L, 1L))._3 >= 4L)
+  }
+
   test("hashSample keeps by content hash with per-stratum rates") {
     val d = (0L until 40L).map(i => (i, s"word$i content number $i", if (i % 2 == 0) "en" else "zh"))
       .toDF("doc_id", "text", "lang")
