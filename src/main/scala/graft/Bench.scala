@@ -52,7 +52,8 @@ object Bench {
     "dedup_jaccard_prefix", "quality_quantiles_sketch", "split_by_group",
     "embed_covariance", "hybrid_rrf", "retrieval_ndcg", "quality_robust_z",
     "decontaminate_13gram", "hard_negatives", "embedding_drift",
-    "events_hourly_uniques", "corpus_clean_split", "doc_chunks_sliding")
+    "events_hourly_uniques", "corpus_clean_split", "doc_chunks_sliding",
+    "dedup_minhash_estimate")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

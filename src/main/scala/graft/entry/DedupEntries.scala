@@ -171,6 +171,12 @@ object DedupEntries {
     // winnowing fingerprint selection (MOSS; rightmost-min per window)
     "doc_winnow" -> ((s, dir) =>
       gate(Dedup.winnow(docs(s, dir), "doc_id", "text"), "doc_id", "pos")),
+    // signature-estimator calibration: ĵ = agreements/16 vs exact
+    // jaccard per candidate pair (recall audit grades the BANDING;
+    // this grades the SIGNATURE)
+    "dedup_minhash_estimate" -> ((s, dir) =>
+      gate(Dedup.minHashEstimateAudit(docs(s, dir), "doc_id", "text",
+        pin = _.localCheckpoint()), "doc0", "doc1")),
     // banding recall curve vs exact jaccard (the dedup self-audit);
     // 0.05 floor reaches below the banding's reliable zone on purpose —
     // the LOW buckets' droop is the measurement
@@ -664,6 +670,29 @@ object DedupEntries {
         |        GROUP BY 1, 2, 4)
         |SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, CAST(fp AS BIGINT) AS fp
         |FROM sel ORDER BY doc_id, pos""".stripMargin
+    },
+    // same sig/band/cand chain; per-pair agreement count over the 16
+    // signature columns, exact jaccard left-joined (no-overlap → 0)
+    "dedup_minhash_estimate" -> {
+      val agree = Dedup.HashParams.indices
+        .map(j => s"CASE WHEN a.sig_$j = b.sig_$j THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      val nH = Dedup.HashParams.size
+      shingleSql + s""",
+        |sig AS (SELECT doc_id, $sigSelect FROM shg GROUP BY doc_id),
+        |bands AS ($bandsSql),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc0, b.doc_id AS doc1
+        |         FROM bands a JOIN bands b
+        |           ON a.band = b.band AND a.sigv = b.sigv AND a.doc_id < b.doc_id),
+        |ag AS (SELECT c.doc0, c.doc1, CAST($agree AS BIGINT) AS n_agree
+        |       FROM cand c JOIN sig a ON a.doc_id = c.doc0
+        |                   JOIN sig b ON b.doc_id = c.doc1)
+        |SELECT ag.doc0, ag.doc1, ag.n_agree,
+        |       ${r6sql(s"ag.n_agree / $nH.0")} AS j_est,
+        |       ${r6sql("COALESCE(jac.jaccard, 0.0)")} AS jaccard,
+        |       ${r6sql(s"abs(ag.n_agree / $nH.0 - COALESCE(jac.jaccard, 0.0))")} AS abs_err
+        |FROM ag LEFT JOIN jac USING (doc0, doc1)
+        |ORDER BY doc0, doc1""".stripMargin
     },
     // exact pairs decile-bucketed on the SNAPPED jaccard (identical
     // float ops both engines), left-joined to the banded candidates

@@ -554,6 +554,43 @@ object Dedup {
   }
 
   /**
+   * MinHash ESTIMATOR calibration audit — [[minHashRecallAudit]] grades
+   * the banding's candidate recall; this grades the signature itself:
+   * for every LSH candidate pair, the signature-agreement estimate
+   * ĵ = agreeing positions / 16 next to the exact shingle Jaccard and
+   * the absolute error. E[ĵ] = j (each minhash agrees with probability
+   * j), so a drifting error column means the hash family is misbehaving
+   * on this corpus's shingle distribution — the check to run BEFORE
+   * trusting ĵ as a verify-free similarity at scale (16 hashes →
+   * std-err ≈ √(j(1−j)/16) ≈ 0.12 at j = 0.5; more hashes shrink it).
+   *
+   * Scale shape: candidates only (never all pairs); two result-sized
+   * signature joins + the bounded [[jaccardFor]] verify. A candidate
+   * pair sharing NO shingle (pure hash coincidence) scores jaccard 0.
+   */
+  def minHashEstimateAudit(docs: DataFrame, idCol: String, textCol: String,
+      pin: DataFrame => DataFrame = identity): DataFrame = {
+    val sh = pin(shingles(docs, idCol, textCol))
+    val sigs = minHashSignatures(sh)
+    val cand = minHashCandidates(sigs)
+    val agree = HashParams.indices
+      .map(j => when(col(s"a.sig_$j") === col(s"b.sig_$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val est = cand
+      .join(sigs.as("a"), col("a.doc_id") === col("doc0"))
+      .join(sigs.as("b"), col("b.doc_id") === col("doc1"))
+      .select(col("doc0"), col("doc1"), agree.as("n_agree"))
+    val snap = (c: Column) => floor(c * lit(1e6) + lit(0.50001)) / lit(1e6)
+    est.join(jaccardFor(cand, sh), Seq("doc0", "doc1"), "left")
+      .select(col("doc0"), col("doc1"), col("n_agree"),
+        snap(col("n_agree").cast("double") / lit(HashParams.size.toDouble))
+          .as("j_est"),
+        snap(coalesce(col("jaccard"), lit(0.0))).as("jaccard"),
+        snap(abs(col("n_agree").cast("double") / lit(HashParams.size.toDouble)
+          - coalesce(col("jaccard"), lit(0.0)))).as("abs_err"))
+  }
+
+  /**
    * Exact shingle Jaccard restricted to the given (doc0, doc1) pairs —
    * the candidate-verification kernel. Cost is bounded by
    * |pairs| · shingles-per-doc (two id equi-joins + one aggregate), never

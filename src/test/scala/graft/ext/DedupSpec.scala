@@ -409,6 +409,23 @@ class DedupSpec extends SparkSpec {
     assert(got.size == 2)
   }
 
+  test("minHashEstimateAudit: identical docs estimate 1.0 exactly, error 0") {
+    val got = Dedup.minHashEstimateAudit(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    // docs 0 and 1 are byte-identical → every minhash agrees
+    val (n, est, jac, err) = got((0L, 1L))
+    assert(n == 16L && est == 1.0 && jac == 1.0 && err == 0.0)
+    // the near-dup pair (0,2): estimate within the 16-hash std-err band
+    // of the exact jaccard (deterministic fixture → fixed values; the
+    // bound just documents WHY they're close)
+    got.get((0L, 2L)).foreach { case (_, e2, j2, er2) =>
+      // abs_err snaps the RAW difference; comparing against the already-
+      // snapped est/jac columns carries up to 2 grid steps of slack
+      assert(er2 <= 0.35 && math.abs(math.abs(e2 - j2) - er2) <= 2e-6)
+    }
+  }
+
   test("shinglesK(3) is byte-identical to the trigram path") {
     val a = Dedup.shingles(docs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
