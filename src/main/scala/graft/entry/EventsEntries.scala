@@ -23,6 +23,10 @@ object EventsEntries {
     "events_hourly_uniques" -> ((s, dir) =>
       gate(Events.hourlyUniques(Events.read(s, dir)),
         "hour_start_sec", "event_type")),
+    // recency-weighted engagement: exp(-ln2*age/halfLife) per event,
+    // decay rate a JVM literal shared with the oracle
+    "events_decay" -> ((s, dir) =>
+      gate(Events.decayedEngagement(Events.read(s, dir)), "user_id")),
     "events_sessionize" -> ((s, dir) =>
       gate(Events.sessionize(Events.read(s, dir)), "user_id", "session_id")),
     // as-of join, inner form: the contract output stays NULL-free so the
@@ -124,6 +128,18 @@ object EventsEntries {
         |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
         |       ${r6sql("CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT user_id)")} AS events_per_user
         |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // identical exponent expression (tns − tmax)·λ with λ the SAME JVM
+    // double literal; only exp itself runs engine-side, under the snap
+    "events_decay" -> {
+      val lambdaPerNs =
+        math.log(2.0) / (7.0 * graft.ext.Events.NsPerDay.toDouble)
+      s"""WITH ev AS (SELECT user_id, epoch_ns(ts) AS tns, value FROM events),
+        |mx AS (SELECT MAX(tns) AS tmax FROM ev)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       ${r6sql(s"SUM(exp(CAST(tns - mx.tmax AS DOUBLE) * $lambdaPerNs))")} AS decayed_events,
+        |       ${r6sql(s"SUM(exp(CAST(tns - mx.tmax AS DOUBLE) * $lambdaPerNs) * value)")} AS decayed_value
+        |FROM ev CROSS JOIN mx GROUP BY user_id ORDER BY user_id""".stripMargin
+    },
     "events_sessionize" ->
       s"""WITH ev AS (SELECT epoch_ns(ts) AS tns, user_id, event_id, value FROM events),
         |lg AS (SELECT user_id, tns, event_id, value,

@@ -90,6 +90,42 @@ object Events {
           countDistinct(col("user_id")).cast("double")).as("events_per_user"))
 
   /**
+   * Exponentially-decayed per-user engagement — the recency-weighted
+   * feature a ranking/personalization model reads instead of raw
+   * counts: every event contributes `exp(−ln2 · age / halfLife)` (a
+   * half-life-days-old event counts half), so one score captures both
+   * volume and recency with no arbitrary cutoff window. Returns per
+   * user the raw count, the decayed event count, and the decayed value
+   * sum, aged relative to the corpus max timestamp.
+   *
+   * Determinism: the decay rate `ln2 / halfLife` is computed ONCE in
+   * the JVM and interpolated as a literal into both engines (the
+   * [[graft.ext.Retrieval.dcgGains]] convention), so the only
+   * engine-side transcendental is `exp` — whose last-ulp differences
+   * sit far below the 1e-6 snap grid (the `temperatureMix` argument).
+   *
+   * Scale shape: the max-timestamp aggregate is ONE row crossed back
+   * via the sanctioned scalar broadcast; the weighting is row-local;
+   * one user-keyed aggregate with map-side partials.
+   */
+  def decayedEngagement(events: DataFrame,
+      halfLifeDays: Double = 7.0): DataFrame = {
+    require(halfLifeDays > 0)
+    val lambdaPerNs = math.log(2.0) / (halfLifeDays * NsPerDay.toDouble)
+    val tmax = events.agg(max(col("ts")).as("tmax"))
+    val snapC = (c: Column) => floor(c * lit(1e6) + lit(0.50001)) / lit(1e6)
+    events.crossJoin(broadcast(tmax))
+      .select(col("user_id"), col("value"),
+        exp((col("ts") - col("tmax")).cast("double") * lit(lambdaPerNs))
+          .as("w"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        snapC(sum(col("w"))).as("decayed_events"),
+        snapC(sum(col("w") * col("value"))).as("decayed_value"))
+  }
+
+  /**
    * Hourly volume anomaly scores — the ops-monitoring read on top of
    * [[hourly]]: each (hour, event_type) cell's event count is z-scored
    * against that SAME type's across-hours distribution (population

@@ -38,7 +38,9 @@ class PlanAuditSpec extends SparkSpec {
       "hybrid_rrf", "retrieval_ndcg",
       // exact hard-negative mining IS ann_topk_brute's broadcast scan
       // with a label inequality riding the same join
-      "hard_negatives")
+      "hard_negatives",
+      // 1-row max-timestamp scalar broadcast for the decay reference
+      "events_decay")
 
   test("no contract query plans a cartesian product or unsanctioned BNLJ") {
     assume(new File(sfDir).isDirectory, s"$sfDir missing")

@@ -28,6 +28,27 @@ class EventsSpec extends SparkSpec {
     (10L, 10L, 1L, "view", 10.0)
   ).toDF("event_id", "ts", "user_id", "event_type", "value")
 
+  test("decayedEngagement: half-life weights, recency beats volume") {
+    val hl = Events.NsPerDay * 7L // one half-life in ns
+    val tmax = 100L * Events.NsPerDay
+    val ev = Seq(
+      (1L, tmax, 10L, "click", 2.0),            // age 0 → w = 1
+      (2L, tmax - hl, 10L, "click", 2.0),       // one half-life → w = 0.5
+      (3L, tmax - 2 * hl, 20L, "click", 1.0),   // w = 0.25
+      (4L, tmax - 2 * hl, 20L, "click", 1.0),
+      (5L, tmax - 2 * hl, 20L, "click", 1.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+      .select("ts", "user_id", "event_type", "value")
+    val got = Events.decayedEngagement(ev)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    def snap(x: Double) = math.floor(x * 1e6 + 0.50001) / 1e6
+    assert(got(10L) == ((2L, snap(1.5), snap(3.0))))
+    assert(got(20L) == ((3L, snap(0.75), snap(0.75))))
+    // 2 recent events outscore 3 stale ones — the point of the decay
+    assert(got(10L)._2 > got(20L)._2)
+  }
+
   test("lastPriorEvent matches each probe to the latest at-or-before ref") {
     val m = Events.lastPriorEvent(events, "purchase", "click").collect()
       .map(r => r.getLong(0) ->
