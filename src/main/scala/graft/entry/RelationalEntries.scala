@@ -76,6 +76,11 @@ object RelationalEntries {
     "rel_cheapest_supplier" -> ((s, dir) =>
       gate(Relational.cheapestSupplierPerPart(Relational.lineitem(s, dir),
         VolFrom, VolUntil), "l_partkey")),
+    // ext: TPC-H Q4 shape — EXISTS late-lineitem check per priority,
+    // planned as a semi-join with the date residual riding the key
+    "rel_order_priority" -> ((s, dir) =>
+      gate(Relational.latePriorityOrders(Relational.orders(s, dir),
+        Relational.lineitem(s, dir)), "o_orderpriority")),
     // ext: TPC-H Q7 shape — bilateral nation shipping volume, both fact
     // inputs nation-filtered through broadcast dims before the join
     "rel_nation_volume" -> ((s, dir) =>
@@ -166,6 +171,13 @@ object RelationalEntries {
         |JOIN nation n ON n.n_nationkey = c.c_nationkey
         |ORDER BY t.o_custkey""".stripMargin,
     // same argmin: row_number over (unit price, suppkey) — unit price is
+    "rel_order_priority" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_late_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // one per-row division of identical inputs, so both engines rank
     // bit-identical values
     "rel_cheapest_supplier" ->

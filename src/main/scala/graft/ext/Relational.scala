@@ -305,6 +305,32 @@ object Relational {
    * ([[TextAnalysis.quantiles]], [[Audit.skewAudit]]) when exact
    * cross-engine text equality matters.
    */
+  /**
+   * Order-priority lateness check (TPC-H Q4 shape, adapted to this
+   * schema's columns): per priority class, how many orders have AT LEAST
+   * ONE lineitem shipped more than `lateDays` after the order date —
+   * the EXISTS-subquery report shape, which plans as a LEFT SEMI
+   * equi-join on the order key with the date comparison as a residual
+   * condition (each order tested once however many lineitems are late —
+   * an inner join would double-count and a distinct would re-shuffle).
+   *
+   * Scale shape: one orderkey-keyed semi-join (the fact-to-fact
+   * exchange; AQE broadcast if the filtered order side shrinks) + one
+   * priorities-sized aggregate. The interval shift is NTZ-to-NTZ
+   * arithmetic — no session-timezone dependence.
+   */
+  def latePriorityOrders(orders: DataFrame, lineitem: DataFrame,
+      lateDays: Int = 60): DataFrame = {
+    require(lateDays >= 0)
+    orders.select("o_orderkey", "o_orderdate", "o_orderpriority")
+      .join(lineitem.select("l_orderkey", "l_shipdate"),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAY"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_late_orders"))
+  }
+
   def tableProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty)
     cols.map { c =>

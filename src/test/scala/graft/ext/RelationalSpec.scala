@@ -221,6 +221,27 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("Window"), plan)
   }
 
+  test("latePriorityOrders: EXISTS semantics (once per order), semi-join plan") {
+    val ord = Seq(
+      (1L, "2024-01-01 00:00:00", "1-URGENT"),  // two late items → counts ONCE
+      (2L, "2024-01-01 00:00:00", "1-URGENT"),  // on-time only
+      (3L, "2024-01-01 00:00:00", "5-LOW")      // one late item
+    ).toDF("o_orderkey", "od", "o_orderpriority")
+      .withColumn("o_orderdate", expr("to_timestamp_ntz(od)")).drop("od")
+    val li = Seq(
+      (1L, "2024-06-01 00:00:00"), (1L, "2024-07-01 00:00:00"),
+      (2L, "2024-01-15 00:00:00"),
+      (3L, "2024-12-01 00:00:00")
+    ).toDF("l_orderkey", "sd")
+      .withColumn("l_shipdate", expr("to_timestamp_ntz(sd)")).drop("sd")
+    val q = Relational.latePriorityOrders(ord, li, lateDays = 60)
+    val got = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("1-URGENT" -> 1L, "5-LOW" -> 1L))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("tableProfile: one row per column, exact counts, text min/max") {
     val df = Seq((1L, Some("b")), (2L, Some("a")), (2L, None))
       .toDF("k", "v")
