@@ -72,6 +72,17 @@ final case class RetentionHit(cohort: Long, bucket_offset: Long, user_id: Long)
 final case class RetentionState(minBucket: Long, pending: Seq[Long],
     counted: Seq[Long], finalized: Boolean)
 
+/** Per-user decayed-engagement state: last-seen event time plus the
+  * decayed sums AGED TO that instant — O(1) per user for any history. */
+final case class DecayState(lastTsMs: Long, n: Long,
+    dEvents: Double, dValue: Double)
+
+/** One decayed-score update emitted per touched user per micro-batch —
+  * sums are aged to `as_of_ms` (re-age by exp(−λ·Δt) to compare scores
+  * across users at one instant). */
+final case class DecayScore(user_id: Long, as_of_ms: Long, n_events: Long,
+    decayed_events: Double, decayed_value: Double)
+
 /** One hourly count cell finalized by [[EventsStream.hourlyAnomaly]],
   * z-scored against its type's cell distribution SO FAR (the running
   * moments after folding this cell in). */
@@ -157,6 +168,50 @@ object EventsStream {
       .select(
         unix_timestamp(col("window.start")).as("hour_start_sec"),
         col("event_type"), col("bucket"), col("c"))
+  }
+
+  /**
+   * Streaming exponentially-decayed per-user engagement — the unbounded
+   * twin of [[graft.ext.Events.decayedEngagement]], kept with the
+   * classic O(1) incremental-decay identity: the sums aged to the last
+   * event time re-age to any later instant by ONE multiplication
+   * (`score(t2) = score(t1) · exp(−λ·Δt)`), so state per user is four
+   * numbers for any event history. Emits one updated score per touched
+   * user per micro-batch (Update mode — a decayed score never
+   * "finalizes", so there is nothing for a watermark to close).
+   *
+   * Out-of-order events need NO watermark for correctness: an event's
+   * contribution `exp(−λ·(asOf − t))` is order-independent algebra, so
+   * a late event just adds its aged weight without touching `asOf`
+   * (parity with the batch twin is pinned to FP tolerance — the
+   * incremental form multiplies exponentials where batch sums them, a
+   * last-ulp-per-event difference, not a semantic one).
+   */
+  def decayedEngagement(events: Dataset[StreamEvent],
+      halfLifeDays: Double = 7.0): Dataset[DecayScore] = {
+    import events.sparkSession.implicits._
+    require(halfLifeDays > 0)
+    val lambdaMs = math.log(2.0) / (halfLifeDays * 24.0 * 3600.0 * 1000.0)
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[StreamEvent], state: GroupState[DecayState]) =>
+          var st = state.getOption.getOrElse(DecayState(Long.MinValue, 0L, 0.0, 0.0))
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.value)).foreach { e =>
+            val t = e.ts.getTime
+            st =
+              if (st.n == 0L) DecayState(t, 1L, 1.0, e.value)
+              else if (t >= st.lastTsMs) {
+                val f = math.exp(-lambdaMs * (t - st.lastTsMs))
+                DecayState(t, st.n + 1L, st.dEvents * f + 1.0, st.dValue * f + e.value)
+              } else { // late event: add its aged weight, asOf unchanged
+                val w = math.exp(-lambdaMs * (st.lastTsMs - t))
+                DecayState(st.lastTsMs, st.n + 1L, st.dEvents + w, st.dValue + w * e.value)
+              }
+          }
+          state.update(st)
+          Iterator.single(DecayScore(userId, st.lastTsMs, st.n, st.dEvents, st.dValue))
+      }
   }
 
   /**

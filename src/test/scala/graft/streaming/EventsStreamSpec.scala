@@ -95,6 +95,47 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("decayedEngagement: incremental decay matches batch after re-aging") {
+    val in = MemoryStream[StreamEvent]
+    val q = EventsStream.decayedEngagement(in.toDF().as[StreamEvent])
+      .writeStream.format("memory").queryName("decay_out")
+      .outputMode(OutputMode.Update).start()
+    val all = Seq(
+      StreamEvent(1, ts(0), "click", 2.0),
+      StreamEvent(1, ts(5), "click", 4.0),
+      StreamEvent(2, ts(3), "click", 1.0),
+      StreamEvent(1, ts(2), "click", 8.0),  // late for user 1 (batch 2)
+      StreamEvent(2, ts(9), "click", 1.0))
+    try {
+      in.addData(all.take(3): _*)
+      q.processAllAvailable()
+      in.addData(all.drop(3): _*)
+      q.processAllAvailable()
+      // n_events is monotone per user → max-n row is the final state
+      val fin = spark.table("decay_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4)))
+        .groupBy(_._1).map { case (u, rows) => u -> rows.maxBy(_._3) }
+      // batch twin over the same events (ts in epoch-ns), aged to tmax
+      val batchDf = all.map(e => (e.user_id, e.ts.getTime * 1000000L, e.value))
+        .toDF("user_id", "ts", "value")
+      val want = graft.ext.Events.decayedEngagement(batchDf)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+          r.getDouble(3)))).toMap
+      val tmaxMs = all.map(_.ts.getTime).max
+      val lambdaMs = math.log(2.0) / (7.0 * 24 * 3600 * 1000)
+      def snap(x: Double) = math.floor(x * 1e6 + 0.50001) / 1e6
+      fin.foreach { case (u, (_, asOf, n, de, dv)) =>
+        val f = math.exp(-lambdaMs * (tmaxMs - asOf))
+        val (wn, wde, wdv) = want(u)
+        assert(n == wn)
+        assert(math.abs(snap(de * f) - wde) <= 2e-6, s"user $u events")
+        assert(math.abs(snap(dv * f) - wdv) <= 2e-6, s"user $u value")
+      }
+      assert(fin.keySet == Set(1L, 2L))
+    } finally q.stop()
+  }
+
   test("sessionize: gap closes a session, watermark flushes the last one") {
     val in = MemoryStream[StreamEvent]
     val q = EventsStream.sessionize(in.toDS(), gapSec = 1800)
