@@ -53,7 +53,8 @@ object Bench {
     "embed_covariance", "hybrid_rrf", "retrieval_ndcg", "quality_robust_z",
     "decontaminate_13gram", "hard_negatives", "embedding_drift",
     "events_hourly_uniques", "corpus_clean_split", "doc_chunks_sliding",
-    "dedup_minhash_estimate", "events_decay", "rel_order_priority")
+    "dedup_minhash_estimate", "events_decay", "rel_order_priority",
+    "sample_weighted")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

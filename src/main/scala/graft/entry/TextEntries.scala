@@ -84,6 +84,11 @@ object TextEntries {
     "quality_quantiles_sketch" -> ((s, dir) =>
       gate(TextAnalysis.quantileSketchHist(docs(s, dir), "lang", "n_chars",
         QuantileQs, HistWidth), "lang", "q")),
+    // ext: weighted sampling without replacement (Efraimidis–Spirakis
+    // Exp(w) keys from the deterministic avalanche uniform)
+    "sample_weighted" -> ((s, dir) =>
+      gate(TextAnalysis.weightedSample(docs(s, dir), "doc_id", "lang",
+        "n_chars", WSampleK), "grp", "rank")),
     // ext: per-doc robust z (median/MAD) — outlier-resistant gate signal;
     // integer value column keeps median/dev/MAD exact int64 both engines
     "quality_robust_z" -> ((s, dir) =>
@@ -280,6 +285,9 @@ object TextEntries {
 
   /** Quantile points for the calibration contract. */
   private val QuantileQs = Seq(0.1, 0.5, 0.9, 0.99)
+
+  /** Per-language draw of the weighted-sample contract. */
+  private val WSampleK = 20
 
   /** Bucket width of the histogram quantile sketch contract: n_chars at
     * sf0.01 spans ~[40, 4000], so 50 gives ~80 occupied buckets per
@@ -501,6 +509,21 @@ object TextEntries {
         |       CAST(MIN(c.bucket) * $HistWidth AS BIGINT) AS n_chars_q
         |FROM tgt t JOIN cum c ON c.grp = t.grp AND c.cum >= t.rn
         |GROUP BY t.grp, t.q ORDER BY lang, q""".stripMargin
+    },
+    // same avalanche uniform, same snapped Exp(w) key, same rank rule
+    "sample_weighted" -> {
+      val u = s"(CAST(${TextHash.avalancheSql("doc_id", 0L)} + 1 AS DOUBLE) / ${TextHash.P31 + 1}.0)"
+      s"""WITH b AS (SELECT doc_id, lang AS grp, CAST(n_chars AS BIGINT) AS weight
+        |           FROM documents),
+        |keyed AS (SELECT doc_id, grp, weight,
+        |                 ${r6sql(s"-ln($u) / CAST(weight AS DOUBLE)")} AS key
+        |          FROM b),
+        |rk AS (SELECT doc_id, grp, weight, key,
+        |              row_number() OVER (PARTITION BY grp
+        |                                 ORDER BY key, doc_id) AS rank
+        |       FROM keyed)
+        |SELECT doc_id, grp, weight, key, CAST(rank AS BIGINT) AS rank
+        |FROM rk WHERE rank <= $WSampleK ORDER BY grp, rank""".stripMargin
     },
     // robust-z mirror: type-1 medians via rank windows (value AT a rank
     // is tie-order-independent), exact int64 deviations, one snapped div

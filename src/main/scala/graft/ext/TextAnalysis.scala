@@ -723,6 +723,45 @@ object TextAnalysis {
   }
 
   /**
+   * Deterministic WEIGHTED sampling without replacement
+   * (Efraimidis–Spirakis 2006): per group, keep the k documents with the
+   * smallest `−ln(u)/w` keys, where u is a deterministic uniform derived
+   * from the id's avalanche hash — an Exp(w) draw, so inclusion
+   * probabilities are weight-proportional (the A-ES scheme), yet every
+   * draw replays bit-for-bit from the id alone: reruns, resumes, and
+   * audits see the same sample ([[hashSample]]'s determinism argument,
+   * with weights). The weighted form is how quality- or length-biased
+   * calibration subsets get pulled at corpus scale.
+   *
+   * Keys are snapped to the 1e-6 grid BEFORE ranking with an id
+   * tie-break, so selection is decided on identical values in any
+   * engine — `ln`'s last-ulp engine differences sit below the grid. The
+   * uniform is `(avalanche(id)+1) / (2^31−1+1)` ∈ (0, 1], so the log is
+   * always finite.
+   *
+   * Scale shape: row-local key arithmetic + one rank window per group
+   * (single exchange); weights must be positive.
+   */
+  def weightedSample(docs: DataFrame, idCol: String, groupCol: String,
+      weightCol: String, k: Int, salt: Long = 0L): DataFrame = {
+    require(k >= 1)
+    val u = s"(CAST(${TextHash.avalancheSql(idCol, salt)} + 1 AS DOUBLE) / ${TextHash.P31 + 1}.0)"
+    val key = snapCol((-log(expr(u))) / col(weightCol).cast("double"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(col("key").asc, col("doc_id").asc)
+    docs
+      .select(col(idCol).as("doc_id"), col(groupCol).as("grp"),
+        col(weightCol).cast("long").as("weight"), key.as("key"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
+  /** Snap a double column to the 1e-6 comparison grid (biased floor —
+    * the [[graft.entry.EntryUtil.gate]] convention). */
+  private def snapCol(c: Column) =
+    floor(c * lit(1e6) + lit(0.50001)) / lit(1e6)
+
+  /**
    * Deterministic stratified sampling by CONTENT hash: keep a document iff
    * `fingerprint(text) % 1000 < rate(stratum) * 1000`, with per-stratum
    * rates (e.g. per language) and a default. The reproducible way to

@@ -67,6 +67,26 @@ class QuantileSketchSpec extends SparkSpec {
     assert(got(6L)._4 == 0.0)
   }
 
+  test("weightedSample: deterministic, weight-biased, k per group") {
+    // 50 heavy (w=500) + 50 light (w=5) docs per group: Exp(w) keys make
+    // a heavy doc ~100x more likely to rank early
+    val d = (0L until 200L).map { id =>
+      (id, if (id < 100) "g0" else "g1", if (id % 2 == 0) 500L else 5L)
+    }.toDF("doc_id", "grp", "w")
+    val s1 = TextAnalysis.weightedSample(d, "doc_id", "grp", "w", 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(4))).toSet
+    val s2 = TextAnalysis.weightedSample(d, "doc_id", "grp", "w", 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(4))).toSet
+    assert(s1 == s2, "rerun must reproduce the sample exactly")
+    assert(s1.count(_._2 == "g0") == 10 && s1.count(_._2 == "g1") == 10)
+    val heavy = s1.count(t => t._1 % 2 == 0)
+    assert(heavy >= 16, s"heavy-weight docs should dominate: $heavy/20")
+    // a different salt reshuffles the draw
+    val s3 = TextAnalysis.weightedSample(d, "doc_id", "grp", "w", 10, salt = 99L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(4))).toSet
+    assert(s3.map(_._1) != s1.map(_._1))
+  }
+
   test("sketch state is histogram-sized: one row per occupied bucket") {
     // 2000 rows, width 400 → at most ceil(5000/400)+1 buckets per group;
     // the aggregate the sketch answers from is that small, which is the
