@@ -54,7 +54,14 @@ object Bench {
     "decontaminate_13gram", "hard_negatives", "embedding_drift",
     "events_hourly_uniques", "corpus_clean_split", "doc_chunks_sliding",
     "dedup_minhash_estimate", "events_decay", "rel_order_priority",
-    "sample_weighted")
+    "sample_weighted",
+    // r7 cont. batch 2: new physical shapes — segment-df scrub (bounded
+    // broadcast anti-pattern kill), prefix-blocked levenshtein verify,
+    // zero-exchange entropy fold, bigram-marginal PMI top-k, Markov
+    // lead-window + aggregate-window, Q14 dim-flag conditional agg,
+    // hierarchical rollup re-aggregation
+    "boilerplate_scrub", "dedup_editdist", "quality_entropy", "vocab_pmi",
+    "events_transitions", "rel_promo_share", "rel_rollup_revenue")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

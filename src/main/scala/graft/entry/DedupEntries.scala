@@ -1,7 +1,7 @@
 package graft.entry
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, pmod}
+import org.apache.spark.sql.functions.{col, concat, lit, pmod, substring}
 
 import graft.ext.{Dedup, Export, TextHash}
 import EntryUtil._
@@ -31,6 +31,23 @@ object DedupEntries {
     // asymmetric containment: the subset-dup detector Jaccard misses
     "dedup_containment" -> ((s, dir) =>
       gate(Dedup.containmentDups(docs(s, dir), "doc_id", "text"), "doc0", "doc1")),
+    // character-level Levenshtein near-dups (record-linkage shape):
+    // prefix-block candidates + thresholded edit-distance verify. The
+    // corpus carries no short-text typo twins, so the contract plants
+    // them: each id%4 doc gets a variant (id+200000) sharing its first
+    // 57 chars with a ' zz' tail — a ≤EditMax edit landing AFTER the
+    // block prefix, so blocking finds it and the verify measures it.
+    "dedup_editdist" -> ((s, dir) => {
+      val base = docs(s, dir)
+        .select(col("doc_id"), substring(col("text"), 1, 60).as("text"))
+      val variants = docs(s, dir)
+        .where(pmod(col("doc_id"), lit(4)) === 0)
+        .select((col("doc_id") + lit(200000L)).as("doc_id"),
+          concat(substring(col("text"), 1, 57), lit(" zz")).as("text"))
+      gate(Dedup.editDistanceDups(base.unionByName(variants),
+        "doc_id", "text", maxDist = EditMax, prefixLen = EditPrefix),
+        "doc0", "doc1")
+    }),
     // the sub-quadratic containment route: Broder MOD_m sketch candidates
     // + sketch-based containment estimate (the 100 TB path; the exact
     // kernel above is the calibration tool)
@@ -216,6 +233,12 @@ object DedupEntries {
     * different thresholds (the prefix length rule depends on t). */
   private val PrefixJac = 0.3
 
+  /** Edit-distance contract: Levenshtein cap and block-prefix length —
+    * the planted ' zz' tail edit sits inside the cap and after the
+    * prefix, so blocking surfaces every planted pair. */
+  private val EditMax = 4
+  private val EditPrefix = 12
+
   /** Shingle df-cap of the dedup_jaccard_dfcap contract — low enough to
     * actually drop corpus-common shingles at sf0.01 (max shingle df there
     * is 7, so 5 excises the df-6/7 head — the contract is non-vacuous),
@@ -394,6 +417,27 @@ object DedupEntries {
       (shingleSql + s"""
         |SELECT doc0, doc1, ${r6sql("jaccard")} AS jaccard FROM jac
         |WHERE jaccard >= 0.2 ORDER BY doc0, doc1""".stripMargin),
+    // same planted corpus, same normalize, same blocking rule; DuckDB's
+    // levenshtein is the identical unit-cost edit distance (Spark's
+    // thresholded form returns the true distance whenever it is ≤ cap)
+    "dedup_editdist" ->
+      s"""WITH u AS (
+        |  SELECT doc_id, substr(text, 1, 60) AS t FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id, substr(text, 1, 57) || ' zz' AS t
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |n AS (SELECT doc_id,
+        |      trim(regexp_replace(regexp_replace(lower(t),
+        |        '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS txt
+        |      FROM u),
+        |k AS (SELECT doc_id, txt, substr(txt, 1, $EditPrefix) AS blk,
+        |             length(txt) AS len FROM n)
+        |SELECT a.doc_id AS doc0, b.doc_id AS doc1,
+        |       CAST(levenshtein(a.txt, b.txt) AS BIGINT) AS dist
+        |FROM k a JOIN k b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE abs(a.len - b.len) <= $EditMax
+        |  AND levenshtein(a.txt, b.txt) <= $EditMax
+        |ORDER BY doc0, doc1""".stripMargin,
     // exhaustive-kernel oracle at the prefix contract's threshold: the
     // prefix filter is lossless, so the independent full join must agree
     "dedup_jaccard_prefix" ->

@@ -79,6 +79,12 @@ object EventsEntries {
     "events_anomaly" -> ((s, dir) =>
       gate(Events.hourlyAnomaly(Events.read(s, dir)),
         "hour_start_sec", "event_type")),
+    // first-order (prev → next) transition counts + row-normalized
+    // probabilities; the terminal '(end)' row makes each prev row a
+    // proper distribution. Probability is one division of exact counts.
+    "events_transitions" -> ((s, dir) =>
+      gate(Events.transitionMatrix(Events.read(s, dir)),
+        "prev_type", "next_type")),
     "multimodal_meta" -> ((s, dir) =>
       gate(Multimodal.metadata(docs(s, dir), "doc_id", "text"), "doc_id")),
     // frame sampling ahead of decode: 16-char frames, every 4th kept.
@@ -253,6 +259,20 @@ object EventsEntries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY tus
         |             RANGE BETWEEN $RollingSpanUs PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    // same lead window over the same (ts, event_id) total order; µs vs ns
+    // is irrelevant here — only the ORDER of the int64 times matters, and
+    // ns = µs·1000 is order-preserving
+    "events_transitions" ->
+      s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS t, event_id, event_type FROM events),
+        |n AS (SELECT event_type AS prev_type,
+        |             coalesce(lead(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id),
+        |                      '(end)') AS next_type
+        |      FROM ev),
+        |c AS (SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+        |      FROM n GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n_transitions,
+        |       ${r6sql("CAST(n_transitions AS DOUBLE) / CAST(SUM(n_transitions) OVER (PARTITION BY prev_type) AS DOUBLE)")} AS prob
+        |FROM c ORDER BY 1, 2""".stripMargin,
     "multimodal_frames" ->
       s"""WITH d AS (SELECT doc_id, text, length(text) // $FrameChars AS nf FROM documents)
         |SELECT doc_id, CAST(i AS BIGINT) AS frame_no,

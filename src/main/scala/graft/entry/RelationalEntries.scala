@@ -88,8 +88,28 @@ object RelationalEntries {
         Relational.orders(s, dir), Relational.customer(s, dir),
         Relational.supplier(s, dir), Relational.nation(s, dir),
         VolNationA, VolNationB, VolFrom, VolUntil),
-        "supp_nation", "cust_nation", "l_year"))
+        "supp_nation", "cust_nation", "l_year")),
+    // ext: TPC-H Q14 shape — promo revenue share per month; the share is
+    // one division of two exact int64 sums, bit-identical in any engine
+    "rel_promo_share" -> ((s, dir) =>
+      gate(Relational.promoRevenueShare(Relational.lineitem(s, dir),
+        partTable(s, dir), PromoPrefix, VolFrom, VolUntil), "yr", "mo")),
+    // ext: ROLLUP grouping-sets shape — leaf/subtotal/grand-total revenue
+    // in one pass; lvl carries the grouping_id bits (identical convention
+    // in Spark and DuckDB, verified), group keys coalesced so the result
+    // totally orders on strings with no NULL-ordering dependence
+    "rel_rollup_revenue" -> ((s, dir) =>
+      gate(Relational.regionRevenueRollup(Relational.lineitem(s, dir),
+          Relational.supplier(s, dir), Relational.nation(s, dir),
+          Relational.region(s, dir), RevFrom, RevUntil)
+        .withColumn("lvl", col("lvl").cast("long")), "r_name", "n_name"))
   )
+
+  private def partTable(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/part.parquet")
+
+  /** Q14-shape contract: the corpus's promo p_type prefix. */
+  private val PromoPrefix = "PROMO"
 
   /** Q7-shape contract: two nations, two shipped years. */
   private val VolNationA = "NATION_3"
@@ -219,6 +239,37 @@ object RelationalEntries {
         |  SUM(revenue_e4) OVER (ORDER BY yr, mo
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_revenue_e4
         |FROM m ORDER BY yr, mo""".stripMargin,
+    // Q14: promo flag from the part dim; both sums exact int64, share is
+    // one IEEE division of identical integers — r6 on both sides
+    "rel_promo_share" -> {
+      val rowRev = "CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1e4 + 0.5) AS BIGINT)"
+      val promoSum = s"SUM(CASE WHEN p.p_type LIKE '$PromoPrefix%' THEN $rowRev ELSE 0 END)"
+      s"""SELECT CAST(year(l.l_shipdate) AS BIGINT) AS yr,
+        |  CAST(month(l.l_shipdate) AS BIGINT) AS mo,
+        |  $promoSum AS promo_rev_e4,
+        |  SUM($rowRev) AS rev_e4,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  ${r6sql(s"100.0 * CAST($promoSum AS DOUBLE) / CAST(SUM($rowRev) AS DOUBLE)")} AS promo_share_pct
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE l.l_shipdate >= TIMESTAMP '$VolFrom'
+        |  AND l.l_shipdate < TIMESTAMP '$VolUntil'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+    // ROLLUP: DuckDB's GROUPING(a,b) carries the same bit convention as
+    // Spark's grouping_id() (leftmost column = MSB); exact int64 money
+    "rel_rollup_revenue" ->
+      s"""SELECT coalesce(r.r_name, '(all)') AS r_name,
+        |  coalesce(n.n_name, '(all)') AS n_name,
+        |  CAST(GROUPING(r.r_name, n.n_name) AS BIGINT) AS lvl,
+        |  SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1e4 + 0.5) AS BIGINT)) AS revenue_e4,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem l
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |JOIN region r ON r.r_regionkey = n.n_regionkey
+        |WHERE l.l_shipdate >= TIMESTAMP '$RevFrom'
+        |  AND l.l_shipdate < TIMESTAMP '$RevUntil'
+        |GROUP BY ROLLUP(r.r_name, n.n_name) ORDER BY 1, 2""".stripMargin,
     "rel_table_profile" ->
       ProfileCols.map { c =>
         s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,

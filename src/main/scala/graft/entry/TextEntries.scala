@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.text.Tokenizer
-import graft.ext.{Audit, Export, Retrieval, TextAnalysis, TextHash}
+import graft.ext.{Audit, Boilerplate, Export, Retrieval, TextAnalysis, TextHash}
 import EntryUtil._
 
 /**
@@ -233,8 +233,39 @@ object TextEntries {
         lit(" tel +1 555-01"),
         lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0")).as("text"))
       gate(TextAnalysis.piiScrubV2(d, "doc_id", "text"), "doc_id")
-    })
+    }),
+    // ext: segment-df boilerplate scrub (CCNet/Dolma cleaning pass). The
+    // single-line corpus has no natural segments, so the contract plants
+    // them: per doc a unique head (df 1, kept), a 3-way shared footer
+    // (df ≈ N/3 ≫ cap, dropped), a 50-way promo line (df ≈ N/50 < cap,
+    // kept — exercises the near side of the cap), and the doc's own
+    // 40-char prefix — built identically on both engines.
+    "boilerplate_scrub" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"),
+        concat(lit("u"), col("doc_id"), lit(" unique head | footer f"),
+          pmod(col("doc_id"), lit(3)), lit(" subscribe now | promo p"),
+          pmod(col("doc_id"), lit(50)), lit(" sale | "),
+          substring(col("text"), 1, 40)).as("text"))
+      gate(Boilerplate.scrub(planted, "doc_id", "text",
+        "\\|", " | ", BoilerMaxDf), "doc_id")
+    }),
+    // ext: per-doc unigram entropy (zero-exchange sorted-run fold)
+    "quality_entropy" -> ((s, dir) =>
+      gate(TextAnalysis.tokenEntropy(docs(s, dir), "doc_id", "text"),
+        "doc_id")),
+    // ext: PMI-ranked adjacent-bigram collocations; selection on the
+    // 1e-6-snapped score so both engines pick the identical top-k set
+    "vocab_pmi" -> ((s, dir) =>
+      gate(TextAnalysis.pmiBigrams(docs(s, dir), "doc_id", "text",
+        PmiMinCount, PmiK), "t1", "t2"))
   )
+
+  /** Boilerplate contract: df cap (5% of the sf0.01 corpus). */
+  private val BoilerMaxDf = 25L
+
+  /** PMI contract: low-frequency guard and collocations kept. */
+  private val PmiMinCount = 10L
+  private val PmiK = 50
 
   /** Token allowance per source for the budget-sampling contract (each
     * sf0.01 source holds ~1350 tokens, so the cut is non-trivial). */
@@ -930,6 +961,58 @@ object TextEntries {
         |            WHEN o.text = n.text THEN 'unchanged'
         |            ELSE 'changed' END AS status
         |FROM oldd o FULL OUTER JOIN newd n ON o.doc_id = n.doc_id
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    // same planted segments, same trim/df/cap rule; reassembly via
+    // ORDER BY pos string_agg mirrors the Spark side's array_sort
+    "boilerplate_scrub" ->
+      s"""WITH src AS (SELECT doc_id,
+        |  'u' || doc_id || ' unique head | footer f' || (doc_id % 3) ||
+        |  ' subscribe now | promo p' || (doc_id % 50) || ' sale | ' ||
+        |  substr(text, 1, 40) AS btext FROM documents),
+        |sp AS (SELECT doc_id, string_split(btext, '|') AS parts FROM src),
+        |segs AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, trim(parts[i+1]) AS seg
+        |         FROM sp, UNNEST(range(len(parts))) AS r(i)
+        |         WHERE trim(parts[i+1]) <> ''),
+        |b AS (SELECT seg FROM segs GROUP BY seg
+        |      HAVING COUNT(DISTINCT doc_id) > $BoilerMaxDf),
+        |fl AS (SELECT s.doc_id, s.pos, s.seg, (b.seg IS NOT NULL) AS drp
+        |       FROM segs s LEFT JOIN b ON b.seg = s.seg)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+        |       CAST(SUM(CASE WHEN drp THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |       coalesce(string_agg(CASE WHEN NOT drp THEN seg END, ' | '
+        |                           ORDER BY pos), '') AS clean_text
+        |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // plain explode/group spelling of the same H = ln(n) − Σc·ln c / n;
+    // the cross-engine sum-order difference is ~1e-13, far inside r6
+    "quality_entropy" ->
+      (tokSql + s""",
+        |tc AS (SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS c
+        |       FROM tok GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |       ${r6sql("ln(SUM(c)) - SUM(c * ln(c)) / SUM(c)")} AS entropy,
+        |       ${r6sql("CASE WHEN COUNT(*) > 1 THEN " +
+               "(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c)) / ln(CAST(COUNT(*) AS DOUBLE)) " +
+               "ELSE 0.0 END")} AS entropy_norm
+        |FROM tc GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    // bigram-table-marginal PMI; the top-k set is selected on the SAME
+    // snapped score both engines compute, then re-sorted to the gate key
+    "vocab_pmi" ->
+      s"""WITH t AS (SELECT list_filter(string_split_regex(text, '\\s+'),
+        |                               x -> x <> '') AS w FROM documents),
+        |bg AS (SELECT w[i+1] AS t1, w[i+2] AS t2
+        |       FROM t, UNNEST(range(len(w) - 1)) AS r(i) WHERE len(w) >= 2),
+        |c AS (SELECT t1, t2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2),
+        |l AS (SELECT t1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c GROUP BY 1),
+        |r AS (SELECT t2, CAST(SUM(c12) AS BIGINT) AS c2 FROM c GROUP BY 1),
+        |n AS (SELECT CAST(SUM(c12) AS BIGINT) AS n_total FROM c)
+        |SELECT t1, t2, c12, c1, c2, pmi FROM (
+        |  SELECT c.t1 AS t1, c.t2 AS t2, c.c12, l.c1, r.c2,
+        |    floor(ln(CAST(c.c12 AS DOUBLE) * CAST(n.n_total AS DOUBLE) /
+        |      (CAST(l.c1 AS DOUBLE) * CAST(r.c2 AS DOUBLE))) * 1e6 + 0.50001) / 1e6 AS pmi
+        |  FROM c JOIN l USING (t1) JOIN r ON r.t2 = c.t2 CROSS JOIN n
+        |  WHERE c.c12 >= $PmiMinCount
+        |  ORDER BY pmi DESC, c.t1, c.t2 LIMIT $PmiK
+        |) ORDER BY t1, t2""".stripMargin
   )
 }

@@ -350,6 +350,60 @@ object Dedup {
         col("n0").as("sk0"), col("n1").as("sk1"))
 
   /**
+   * Character-level edit-distance near-dup pairs with prefix blocking —
+   * the record-linkage workhorse (Levenshtein ≤ `maxDist` after
+   * [[normalizeText]] canonicalization) for SHORT text: titles, names,
+   * URLs, OCR output, where a one-character typo is the whole difference
+   * and shingle Jaccard is too coarse (a 1-char edit inside a token
+   * flips all 3 trigrams through it).
+   *
+   * Candidate generation is standard blocking: pairs must share their
+   * normalized `prefixLen`-char prefix AND sit within `maxDist` of each
+   * other in length. That makes pair generation an EQUI-join on the
+   * block key — bounded by Σ_block C(block_size, 2), never C(N,2) — and
+   * the verify step runs Spark's thresholded `levenshtein(l, r, k)`,
+   * which abandons a pair after cost k (O(k·len) per pair, not
+   * O(len²)). Recall caveat, documented not hidden: an edit INSIDE the
+   * first `prefixLen` chars moves the pair to different blocks and is
+   * missed — the classic blocking trade. Multi-pass blocking (prefix +
+   * suffix, or q-gram keys) is the standard recall escalation; the
+   * suffix pass is this same function over `reverse(text)`.
+   *
+   * Scale: the block key is low-cardinality-skew-prone on templated
+   * corpora (every doc starting "the quick…" lands in one block);
+   * `maxBlock` guards it — blocks larger than `maxBlock` docs are
+   * dropped whole (same Zipf-head semantics as [[dfCapShingles]]: a
+   * block that common is template chrome, not near-dup signal).
+   */
+  def editDistanceDups(docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3, prefixLen: Int = 12,
+      maxBlock: Option[Long] = None): DataFrame = {
+    require(maxDist >= 0 && prefixLen >= 1)
+    val n = docs.select(col(idCol).as("id"),
+        normalizeText(col(textCol)).as("txt"))
+      .withColumn("blk", substring(col("txt"), 1, prefixLen))
+      .withColumn("len", length(col("txt")).cast("long"))
+    val blocked = maxBlock match {
+      case Some(cap) =>
+        require(cap >= 2)
+        val keep = n.groupBy(col("blk")).agg(count(lit(1)).as("bs"))
+          .where(col("bs") <= cap).select(col("blk"))
+        n.join(keep, Seq("blk"), "left_semi")
+      case None => n
+    }
+    val a = blocked.select(col("blk"), col("id").as("doc0"),
+      col("txt").as("t0"), col("len").as("len0"))
+    val b = blocked.select(col("blk"), col("id").as("doc1"),
+      col("txt").as("t1"), col("len").as("len1"))
+    a.join(b, Seq("blk"))
+      .where(col("doc0") < col("doc1") &&
+        abs(col("len0") - col("len1")) <= maxDist)
+      .withColumn("dist", levenshtein(col("t0"), col("t1"), maxDist))
+      .where(col("dist") >= 0)
+      .select(col("doc0"), col("doc1"), col("dist").cast("long").as("dist"))
+  }
+
+  /**
    * Cross-document repeated-span statistics — the detection half of
    * substring-level dedup (Lee et al. 2022, "Deduplicating Training Data
    * Makes Language Models Better": exact-match spans of ~50 tokens

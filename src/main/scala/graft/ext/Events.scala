@@ -349,4 +349,36 @@ object Events {
         expr(s"max(ts) div $NsPerSec").as("end_sec"),
         sum(col("value")).as("sum_value"))
   }
+
+  /**
+   * First-order event-type transition matrix (the Markov-chain view of
+   * user behavior): for every consecutive (prev → next) pair within a
+   * user's time-ordered stream, the pair count and the row-normalized
+   * transition probability P(next | prev). A user's last event emits a
+   * terminal transition to `"(end)"`, so each row of the matrix sums to
+   * exactly 1 and session-final behavior is visible.
+   *
+   * Determinism: equal-ts events order by event_id (the same total order
+   * every other per-user window operator here uses); the probability is
+   * one division of two exact int64 counts.
+   *
+   * Scale shape: ONE exchange keyed by user_id feeds the `lead` window
+   * (per-user fan-in is the user's event count — the same bound
+   * sessionize already carries); the (prev, next) aggregate is
+   * types²-sized with map-side partials, and the row normalization is a
+   * window over that types²-row result — never over the event stream.
+   */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val byPrev = Window.partitionBy("prev_type")
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type",
+        coalesce(lead("event_type", 1).over(byUser), lit("(end)")))
+      .groupBy(col("event_type").as("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .withColumn("prob",
+        col("n_transitions").cast("double") /
+          sum("n_transitions").over(byPrev).cast("double"))
+  }
 }

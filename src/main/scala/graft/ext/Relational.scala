@@ -331,6 +331,96 @@ object Relational {
       .agg(count(lit(1)).as("n_late_orders"))
   }
 
+  /**
+   * Promotion revenue share per ship month (the TPC-H Q14 shape): of all
+   * revenue shipped in `[from, until)`, the percentage carried by parts
+   * whose type starts with `promoPrefix`, per (year, month). Both the
+   * promo slice and the total stay in exact int64 1e-4-dollar units
+   * ([[revE4]]); the share is ONE division of two exact integers, so the
+   * emitted double is bit-identical in any engine.
+   *
+   * Scale shape: the date filter pushes into the fact scan; part is a
+   * dimension BY SCHEMA (one row per catalog part, no fact growth) and
+   * broadcasts, carrying only a pre-computed boolean — the fact side
+   * never materializes p_type; the aggregate is months-sized with
+   * map-side partials. The conditional sum is a projection inside one
+   * exchange, not a second scan or a self-join.
+   */
+  def promoRevenueShare(lineitem: DataFrame, part: DataFrame,
+      promoPrefix: String, from: String, until: String): DataFrame = {
+    val dim = part.select(col("p_partkey"),
+      col("p_type").startsWith(promoPrefix).as("is_promo"))
+    lineitem
+      .where(col("l_shipdate") >= to_timestamp_ntz(lit(from)) &&
+        col("l_shipdate") < to_timestamp_ntz(lit(until)))
+      .select(col("l_partkey"),
+        year(col("l_shipdate")).cast("long").as("yr"),
+        month(col("l_shipdate")).cast("long").as("mo"),
+        revE4.as("rev_e4"))
+      .join(broadcast(dim), col("l_partkey") === col("p_partkey"))
+      .groupBy("yr", "mo")
+      .agg(
+        sum(when(col("is_promo"), col("rev_e4")).otherwise(lit(0L)))
+          .as("promo_rev_e4"),
+        sum(col("rev_e4")).as("rev_e4"),
+        count(lit(1)).as("n_items"))
+      .withColumn("promo_share_pct",
+        lit(100.0) * col("promo_rev_e4").cast("double") /
+          col("rev_e4").cast("double"))
+  }
+
+  /**
+   * Hierarchical revenue rollup over the geography dimension (the
+   * GROUPING SETS report shape): supplier-side revenue per (region,
+   * nation), per region subtotal, and the grand total, in one pass —
+   * `ROLLUP(r_name, n_name)`. Subtotal rows surface with their grouped
+   * columns coalesced to `(all)` (never NULL, so the output totally
+   * orders on the two strings alone) plus an explicit `lvl` marker
+   * (0 = leaf, 1 = region subtotal, 3 = grand total — Spark's
+   * `grouping_id` bit convention). Money in exact int64 1e-4-dollar
+   * units ([[revE4]]).
+   *
+   * Scale shape: same broadcast geography chain as [[regionRevenue]],
+   * then HIERARCHICAL RE-AGGREGATION instead of `Dataset.rollup`: the
+   * leaf (region, nation) aggregate is the one fact-sized exchange, and
+   * both subtotal levels re-aggregate the leaf RESULT (dozens of rows —
+   * effectively free, and exact because the money is int64). Spark's
+   * Expand-based rollup instead triples every fact row before partial
+   * aggregation — 3× the map-side work for distributive aggregates that
+   * a two-level re-aggregate gets from the leaf. (It also sidesteps a
+   * Spark 4.1 `DetectAmbiguousSelfJoin` false positive: rollup's Expand
+   * re-emits the group columns of a joined input in a way the detector
+   * flags as ambiguous even when uniquely resolvable.)
+   */
+  def regionRevenueRollup(lineitem: DataFrame, supplier: DataFrame,
+      nation: DataFrame, region: DataFrame,
+      from: String, until: String): DataFrame = {
+    val geo = supplier.select("s_suppkey", "s_nationkey")
+      .join(broadcast(nation.select("n_nationkey", "n_regionkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.select("r_regionkey", "r_name")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("r_name"), col("n_name"))
+    val leaf = lineitem
+      .where(col("l_shipdate") >= to_timestamp_ntz(lit(from)) &&
+        col("l_shipdate") < to_timestamp_ntz(lit(until)))
+      .select(col("l_suppkey"), revE4.as("rev_e4"))
+      .join(broadcast(geo), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("r_name").as("rg"), col("n_name").as("ng"))
+      .agg(sum(col("rev_e4")).as("revenue_e4"), count(lit(1)).as("n_items"))
+    val leafOut = leaf.select(col("rg").as("r_name"), col("ng").as("n_name"),
+      lit(0L).as("lvl"), col("revenue_e4"), col("n_items"))
+    val regionSub = leaf.groupBy(col("rg"))
+      .agg(sum(col("revenue_e4")).as("revenue_e4"), sum(col("n_items")).as("n_items"))
+      .select(col("rg").as("r_name"), lit("(all)").as("n_name"),
+        lit(1L).as("lvl"), col("revenue_e4"), col("n_items"))
+    val grand = leaf
+      .agg(sum(col("revenue_e4")).as("revenue_e4"), sum(col("n_items")).as("n_items"))
+      .select(lit("(all)").as("r_name"), lit("(all)").as("n_name"),
+        lit(3L).as("lvl"), col("revenue_e4"), col("n_items"))
+    leafOut.unionByName(regionSub).unionByName(grand)
+  }
+
   def tableProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty)
     cols.map { c =>

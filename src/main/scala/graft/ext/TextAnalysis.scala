@@ -1269,6 +1269,107 @@ object TextAnalysis {
       .where(col("cum") <= budgetTokens)
       .select(col("doc_id"), col("grp"), col("nt"), col("cum"))
   }
+
+  /**
+   * Per-document unigram entropy (nats) — the Shannon diversity of the
+   * token distribution, a quality signal orthogonal to length and
+   * stop-ratio: near-zero entropy flags keyword-stuffed / single-token
+   * spam, entropy ≈ ln(n_tokens) flags no-repetition word salad; natural
+   * prose sits between. `entropy_norm` rescales by the maximum ln(n_distinct)
+   * into [0, 1] (0 when a document has a single distinct token).
+   *
+   * Zero exchanges: H = ln(n) − (Σ c·ln c)/n needs only per-token counts
+   * WITHIN the row, so the token multiset never leaves it — one
+   * `array_sort` + one linear fold over equal-token runs (the
+   * [[repetition]] idiom), O(n log n) per document, embarrassingly
+   * parallel and stream-native at any corpus size. The fold is
+   * sequential, so Σ c·ln c is order-deterministic on the Spark side;
+   * cross-engine it matches any re-associated sum to ~1e-13, far inside
+   * the harness's 1e-6 snap.
+   */
+  def tokenEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val pat = WhitespacePattern.replace("\\", "\\\\")
+    // state: previous token, current run length, distinct-run count, Σ c·ln c
+    val fold =
+      """aggregate(
+        |  array_sort(w),
+        |  named_struct('prev', CAST(NULL AS STRING), 'run', CAST(0 AS BIGINT),
+        |               'nd', CAST(0 AS BIGINT), 's', CAST(0.0 AS DOUBLE)),
+        |  (st, x) -> IF(st.prev IS NOT NULL AND x = st.prev,
+        |    named_struct('prev', x, 'run', st.run + 1, 'nd', st.nd, 's', st.s),
+        |    named_struct('prev', x, 'run', CAST(1 AS BIGINT), 'nd', st.nd + 1,
+        |      's', st.s + IF(st.run > 0,
+        |        CAST(st.run AS DOUBLE) * ln(CAST(st.run AS DOUBLE)), 0.0D))),
+        |  st -> named_struct('nd', st.nd,
+        |    's', st.s + IF(st.run > 0,
+        |      CAST(st.run AS DOUBLE) * ln(CAST(st.run AS DOUBLE)), 0.0D)))""".stripMargin
+    docs
+      .select(col(idCol).as("doc_id"),
+        expr(s"filter(split($textCol, '$pat'), t -> t <> '')").as("w"))
+      .where(size(col("w")) >= 1)
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+        expr(fold).as("st"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("st.nd").as("n_distinct"),
+        (log(col("n_tokens").cast("double")) -
+          col("st.s") / col("n_tokens").cast("double")).as("entropy"))
+      .withColumn("entropy_norm",
+        when(col("n_distinct") > 1,
+          col("entropy") / log(col("n_distinct").cast("double")))
+          .otherwise(lit(0.0)))
+  }
+
+  /**
+   * Adjacent-bigram collocations ranked by pointwise mutual information —
+   * the classic phrase-mining pass (Church & Hanks 1990) that finds
+   * multi-word expressions ("new york", "machine learning") worth fusing
+   * into single tokens before embedding or LM training. PMI uses the
+   * bigram table's OWN marginals (left marginal = Σ over second token,
+   * right = Σ over first), so P(t1,·), P(·,t2) and P(t1,t2) live on one
+   * consistent sample space of N = total bigram occurrences.
+   *
+   * `minCount` guards the well-known low-frequency PMI explosion (a pair
+   * seen once between two hapaxes maxes the score); `k` keeps the top
+   * collocations, ranked on the 1e-6-snapped PMI (ln differs across
+   * engines by ~1 ulp; snapping BEFORE the top-k makes the selection set
+   * engine-independent — the [[Relational.segmentTopOrders]] rule) with
+   * (t1, t2) tie-break.
+   *
+   * Scale shape: bigram assembly is row-local (the [[repetition]] HOF
+   * idiom — no (doc, pos) self-join); ONE (t1,t2)-keyed count with
+   * map-side partials; both marginals are vocab-sized aggregates OF the
+   * bigram table re-joined by equi-key; N is the sanctioned 1-row scalar
+   * broadcast; top-k is TakeOrdered, never a global sort.
+   */
+  def pmiBigrams(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long, k: Int): DataFrame = {
+    require(minCount >= 1 && k > 0)
+    val pat = WhitespacePattern.replace("\\", "\\\\")
+    val pairs = docs
+      .select(expr(s"filter(split($textCol, '$pat'), t -> t <> '')").as("w"))
+      .where(size(col("w")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(0, size(w) - 2),
+          |  i -> named_struct('t1', element_at(w, i + 1),
+          |                    't2', element_at(w, i + 2)))""".stripMargin)).as("p"))
+      .select(col("p.t1").as("t1"), col("p.t2").as("t2"))
+    val big = pairs.groupBy("t1", "t2").agg(count(lit(1)).as("c12"))
+    val left = big.groupBy("t1").agg(sum("c12").as("c1"))
+    val right = big.groupBy("t2").agg(sum("c12").as("c2"))
+    val total = big.agg(sum("c12").as("n_total"))
+    big
+      .join(left, "t1").join(right, "t2")
+      .crossJoin(broadcast(total))
+      .where(col("c12") >= minCount)
+      .withColumn("pmi",
+        floor(
+          log(col("c12").cast("double") * col("n_total").cast("double") /
+            (col("c1").cast("double") * col("c2").cast("double"))) * lit(1e6)
+          + lit(0.50001)) / lit(1e6))
+      .orderBy(col("pmi").desc, col("t1").asc, col("t2").asc)
+      .limit(k)
+      .select(col("t1"), col("t2"), col("c12"), col("c1"), col("c2"), col("pmi"))
+  }
 }
 
 /**

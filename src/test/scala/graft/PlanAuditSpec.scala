@@ -40,7 +40,9 @@ class PlanAuditSpec extends SparkSpec {
       // with a label inequality riding the same join
       "hard_negatives",
       // 1-row max-timestamp scalar broadcast for the decay reference
-      "events_decay")
+      "events_decay",
+      // 1-row total-bigram-count scalar broadcast over the PMI vocab
+      "vocab_pmi")
 
   test("no contract query plans a cartesian product or unsanctioned BNLJ") {
     assume(new File(sfDir).isDirectory, s"$sfDir missing")

@@ -215,4 +215,36 @@ class EventsSpec extends SparkSpec {
     // all three ref columns ride ONE WindowExec (CollapseWindow fused them)
     assert(plan.split("\n").count(_.contains("Window [")) == 1, plan)
   }
+
+  test("transitionMatrix: lead pairs per user, terminal (end), rows sum to 1") {
+    val got = Events.transitionMatrix(events).collect()
+      .map(r => (r.getAs[String]("prev_type"), r.getAs[String]("next_type")) ->
+        ((r.getAs[Long]("n_transitions"), r.getAs[Double]("prob")))).toMap
+    // user 1 ordered (ts, event_id): view@10, click@100, purchase@150(id2),
+    //   click@150(id3), purchase@200 → v→c, c→p, p→c, c→p, p→(end)
+    // user 2: purchase@50, click@80 → p→c, c→(end)
+    // user 3: click@10(id7), click@10(id8), purchase@20 → c→c, c→p, p→(end)
+    assert(got(("view", "click"))._1 === 1L)
+    assert(got(("click", "purchase"))._1 === 3L)
+    assert(got(("click", "click"))._1 === 1L)
+    assert(got(("click", "(end)"))._1 === 1L)
+    assert(got(("purchase", "click"))._1 === 2L)
+    assert(got(("purchase", "(end)"))._1 === 2L)
+    // row-normalization: click row = 3/5, 1/5, 1/5; purchase = 2/4, 2/4
+    assertApprox(got(("click", "purchase"))._2, 3.0 / 5.0)
+    assertApprox(got(("purchase", "(end)"))._2, 0.5)
+    val rowSums = got.toSeq.groupBy(_._1._1).view
+      .mapValues(_.map(_._2._2).sum).toMap
+    rowSums.values.foreach(s => assertApprox(s, 1.0))
+  }
+
+  test("transitionMatrix: one user-keyed window, aggregate-sized row window") {
+    val plan = Events.transitionMatrix(events)
+      .queryExecution.executedPlan.toString
+    // the lead window shuffles by user_id; the prob window runs over the
+    // types²-row aggregate, never the event stream
+    assert(plan.split("\n").count(_.contains("Window [")) == 2, plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }

@@ -252,4 +252,68 @@ class RelationalSpec extends SparkSpec {
       x.getAs[String]("min_str"), x.getAs[String]("max_str"))).toSeq ===
       Seq(("k", 3L, 3L, 2L, "1", "2"), ("v", 3L, 2L, 2L, "a", "b")))
   }
+
+  private lazy val liPart = Seq(
+    // (orderkey, partkey, extprice, disc, shipdate) — months 1996-03/06
+    (1L, 100L, 100.0, 0.10, "1996-03-01 00:00:00"),
+    (1L, 101L, 50.0, 0.00, "1996-03-10 00:00:00"),
+    (2L, 100L, 200.0, 0.00, "1996-06-01 00:00:00")
+  ).toDF("l_orderkey", "l_partkey", "l_extendedprice", "l_discount", "sd")
+    .withColumn("l_shipdate", expr("to_timestamp_ntz(sd)")).drop("sd")
+
+  private lazy val part = Seq(
+    (100L, "PROMO SHINY"), (101L, "STANDARD DULL")
+  ).toDF("p_partkey", "p_type")
+
+  test("promoRevenueShare: exact int64 slices, share from one division") {
+    val r = Relational.promoRevenueShare(liPart, part, "PROMO",
+      "1996-01-01", "1997-01-01").orderBy("yr", "mo").collect()
+    assert(r.length === 2)
+    val march = r.head
+    // March: promo 100*0.9 = 90.0000 → 900000 e4; total 90 + 50 = 140
+    assert(march.getAs[Long]("promo_rev_e4") === 900000L)
+    assert(march.getAs[Long]("rev_e4") === 1400000L)
+    assertApprox(march.getAs[Double]("promo_share_pct"), 100.0 * 90.0 / 140.0)
+    val june = r(1)
+    assert(june.getAs[Long]("promo_rev_e4") === 2000000L)
+    assertApprox(june.getAs[Double]("promo_share_pct"), 100.0)
+  }
+
+  test("promoRevenueShare broadcasts the part dim, one fact aggregate") {
+    val plan = Relational.promoRevenueShare(liPart, part, "PROMO",
+      "1996-01-01", "1997-01-01").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("regionRevenueRollup: leaf + region subtotal + grand total, exact") {
+    val r = Relational.regionRevenueRollup(lineitem, supplier, nation, region,
+        "1995-01-01", "1999-01-01")
+      .orderBy("lvl", "r_name", "n_name").collect()
+      .map(x => (x.getAs[String]("r_name"), x.getAs[String]("n_name"),
+        x.getAs[Long]("lvl"), x.getAs[Long]("revenue_e4"),
+        x.getAs[Long]("n_items")))
+    // leaves: FRANCE rows 1+3 = 90 + 100 = 190.0; CHINA rows 2+4 = 50 + 30
+    val leaves = r.filter(_._3 == 0L)
+    assert(leaves.toSet === Set(
+      ("ASIA", "CHINA", 0L, 800000L, 2L),
+      ("EUROPE", "FRANCE", 0L, 1900000L, 2L)))
+    // region subtotals mirror their single-nation leaves; grand = sum
+    assert(r.filter(_._3 == 1L).toSet === Set(
+      ("ASIA", "(all)", 1L, 800000L, 2L),
+      ("EUROPE", "(all)", 1L, 1900000L, 2L)))
+    assert(r.filter(_._3 == 3L).toSeq ===
+      Seq(("(all)", "(all)", 3L, 2700000L, 4L)))
+  }
+
+  test("regionRevenueRollup reuses the leaf exchange for the subtotals") {
+    val q = Relational.regionRevenueRollup(lineitem, supplier, nation, region,
+      "1995-01-01", "1999-01-01")
+    // hierarchical re-aggregation: the union's three branches share one
+    // identical leaf-aggregate subtree, so the fact scan+exchange is
+    // planned once and reused — never an Expand over the fact rows
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), plan)
+    assert(plan.contains("ReusedExchange") || plan.contains("Union"), plan)
+  }
 }

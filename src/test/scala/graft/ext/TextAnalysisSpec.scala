@@ -436,4 +436,69 @@ class TextAnalysisSpec extends SparkSpec {
     assertApprox(es, as_ / 25.0, 1e-9)
     assert(es > eb)
   }
+
+  test("tokenEntropy: uniform → ln n with norm 1, constant → 0, mixed exact") {
+    val s2 = spark
+    import s2.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),       // uniform over 4 distinct
+      (2L, "a a a a"),       // single distinct token
+      (3L, "a a b"),         // H = ln3 − (2 ln2)/3
+      (4L, "solo")           // one token: H = 0, norm 0
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenEntropy(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getDouble(3), x.getDouble(4)))).toMap
+    assert(r(1L)._1 === 4L && r(1L)._2 === 4L)
+    assertApprox(r(1L)._3, math.log(4.0), 1e-12)
+    assertApprox(r(1L)._4, 1.0, 1e-12)
+    assert(r(2L)._2 === 1L)
+    assertApprox(r(2L)._3, 0.0, 1e-12)
+    assertApprox(r(2L)._4, 0.0, 1e-12)
+    assertApprox(r(3L)._3, math.log(3.0) - 2.0 * math.log(2.0) / 3.0, 1e-12)
+    assertApprox(r(4L)._3, 0.0, 1e-12)
+    assertApprox(r(4L)._4, 0.0, 1e-12)
+  }
+
+  test("tokenEntropy plans zero exchanges — a pure map stage") {
+    val s2 = spark
+    import s2.implicits._
+    val docs = Seq((1L, "a b a")).toDF("doc_id", "text")
+    val plan = TextAnalysis.tokenEntropy(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("pmiBigrams: planted collocation outranks independent pairs") {
+    val s2 = spark
+    import s2.implicits._
+    // 'new york' always adjacent (perfect collocation), separated so the
+    // reverse bigram (york, new) never forms; filler tokens mix freely so
+    // their pairwise PMI sits near 0
+    val phrase = (1 to 20).map(i => s"new york s${i % 7}").mkString(" ")
+    val filler = (1 to 200).map(i => s"f${i % 4}").mkString(" ")
+    val docs = Seq((1L, phrase), (2L, filler)).toDF("doc_id", "text")
+    val top = TextAnalysis.pmiBigrams(docs, "doc_id", "text",
+        minCount = 5L, k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(5)))
+    assert(top.head._1 === "new" && top.head._2 === "york")
+    assert(top.head._4 > 0.5) // strongly associated, well above the filler
+    // counts: 20 adjacent occurrences of the planted phrase
+    assert(top.head._3 === 20L)
+  }
+
+  test("pmiBigrams: minCount suppresses hapax pairs; ties break on (t1,t2)") {
+    val s2 = spark
+    import s2.implicits._
+    val docs = Seq((1L, "x y " + Seq.fill(10)("a b").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.pmiBigrams(docs, "doc_id", "text",
+        minCount = 2L, k = 10)
+      .collect().map(x => ((x.getString(0), x.getString(1)), x.getLong(2)))
+    // 'x y' and 'y a' occur once each → filtered by minCount
+    assert(!r.map(_._1).contains(("x", "y")))
+    assert(r.forall(_._2 >= 2L))
+    assert(r.map(_._1).contains(("a", "b")))
+  }
 }
