@@ -425,22 +425,37 @@ object TextAnalysis {
       .select(col("doc_id").as("grp"),
         expr(TextHash.tokenValue("token")).as("v"))
     val exact = tok.groupBy("grp").agg(countDistinct(col("v")).as("n_exact"))
-    val est = hllSketch(docs, groupCol, textCol)
-      .groupBy("grp")
-      .agg(count(lit(1)).as("n_nonzero"),
-        sum(expr(hllInvPowSql("mj"))).as("z_live"))
-      .select(col("grp"), col("n_nonzero"),
-        (col("z_live") + (lit(HllM) - col("n_nonzero")).cast("double")).as("z"))
-      .select(col("grp"), col("n_nonzero"),
-        (lit(HllAlpha * HllM * HllM) / col("z")).as("e_raw"))
-      .select(col("grp"), col("n_nonzero"),
-        when(col("e_raw") <= lit(2.5 * HllM) && col("n_nonzero") < lit(HllM),
-          lit(HllM.toDouble) * log(lit(HllM.toDouble) /
-            (lit(HllM) - col("n_nonzero")).cast("double")))
-          .otherwise(col("e_raw")).as("hll_est"))
+    val est = hllEstimateFromRegisters(hllSketch(docs, groupCol, textCol), Seq("grp"))
     exact.join(est, "grp")
       .select(col("grp"), col("n_exact"), col("n_nonzero"), col("hll_est"),
         ((col("hll_est") - col("n_exact")) / col("n_exact")).as("rel_err"))
+  }
+
+  /**
+   * The readout half of the HLL pair, factored so ANY register table can
+   * be estimated — [[hllSketch]]'s batch output, a merged union of
+   * several sketches (re-max per (keys, j) first), or the streaming
+   * register sink ([[graft.streaming.EventsStream.hourlyUniquesHll]]):
+   * per key group, live register count, the FFGM alpha·m²/Z estimate
+   * with the small-range linear-counting branch, from exact dyadic
+   * register sums ([[hllInvPowSql]] — order- and engine-independent).
+   */
+  def hllEstimateFromRegisters(regs: DataFrame, keyCols: Seq[String],
+      mjCol: String = "mj"): DataFrame = {
+    require(keyCols.nonEmpty)
+    regs
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_nonzero"),
+        sum(expr(hllInvPowSql(mjCol))).as("z_live"))
+      .withColumn("z",
+        col("z_live") + (lit(HllM) - col("n_nonzero")).cast("double"))
+      .withColumn("e_raw", lit(HllAlpha * HllM * HllM) / col("z"))
+      .withColumn("hll_est",
+        when(col("e_raw") <= lit(2.5 * HllM) && col("n_nonzero") < lit(HllM),
+          lit(HllM.toDouble) * log(lit(HllM.toDouble) /
+            (lit(HllM) - col("n_nonzero")).cast("double")))
+          .otherwise(col("e_raw")))
+      .drop("z_live", "z", "e_raw")
   }
 
   /**

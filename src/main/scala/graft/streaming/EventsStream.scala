@@ -97,6 +97,26 @@ final case class HourBucket(hourSec: Long, n: Long)
 final case class AnomalyState(open: Seq[HourBucket], nCells: Long,
     sum: Double, sumSq: Double)
 
+/** One finalized event-type transition — output of
+  * [[EventsStream.transitions]]: the user's previous event type and the
+  * type that followed it, stamped with the LATER event's time and id.
+  * Aggregating hits per (prev_type, next_type) reproduces the batch
+  * twin's `n_transitions` (minus its terminal `(end)` rows — on an
+  * unbounded stream a "last event" never finalizes; the open anchors ARE
+  * the batch `(end)` mass). */
+final case class TransitionHit(user_id: Long, prev_type: String,
+    next_type: String, ts_ms: Long, event_id: Long)
+
+/** One event buffered in transition state until the watermark passes it. */
+final case class TransBuf(event_id: Long, tsMs: Long, tpe: String)
+
+/** Per-user transition state: the in-horizon event buffer plus the last
+  * FINALIZED event (the anchor the next transition leaves from). Bounded:
+  * the buffer only holds events the watermark has not passed; the anchor
+  * is one row per user. */
+final case class TransState(buffer: Seq[TransBuf], anchorId: Long,
+    anchorTs: Long, anchorType: String, hasAnchor: Boolean)
+
 /** One event enriched with its trailing-window stats — output of
   * [[EventsStream.rolling]]. */
 final case class RollingOut(
@@ -557,6 +577,86 @@ object EventsStream {
             state.setTimeoutTimestamp(math.max(wake, wm + 1))
           }
           out.iterator
+      }
+  }
+
+  /**
+   * Streaming hourly unique reach as a HyperLogLog REGISTER stream — the
+   * bounded-state form of [[graft.ext.Events.hourlyUniques]] (whose
+   * scaladoc documents HLL registers as the scale alternative): exact
+   * streaming count-distinct must hold every distinct (hour, type, user)
+   * in state, while this holds ≤ 64 register rows per (hour, type) cell
+   * BY CONSTRUCTION. Register maxes commute and are insensitive to
+   * duplicates, so a plain watermark-finalized windowed MAX keyed
+   * (hour, type, register) IS the sketch — built-in streaming-aggregation
+   * state, no custom state functions (the [[hourlyValueHistogram]]
+   * argument, with max in place of count). Read any snapshot of the sink
+   * with [[graft.ext.TextAnalysis.hllEstimateFromRegisters]] for
+   * per-(hour, type) unique estimates; registers from separate sinks
+   * merge by the same max.
+   */
+  def hourlyUniquesHll(events: DataFrame,
+      watermark: String = "2 hours"): DataFrame = {
+    import graft.ext.TextAnalysis.{hllH2Sql, hllRhoSql, HllM}
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("event_type"), expr(hllH2Sql("user_id")).as("h2"))
+      .select(col("ts"), col("event_type"),
+        expr(s"CAST(h2 % $HllM AS BIGINT)").as("j"),
+        expr(hllRhoSql(s"CAST((h2 - h2 % $HllM) / $HllM AS BIGINT)")).as("rho"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"), col("j"))
+      .agg(max(col("rho")).cast("long").as("mj"))
+      .select(unix_timestamp(col("window.start")).as("hour_start_sec"),
+        col("event_type"), col("j"), col("mj"))
+  }
+
+  /**
+   * Streaming event-type transitions — the unbounded twin of
+   * [[graft.ext.Events.transitionMatrix]]. Emits one [[TransitionHit]]
+   * per consecutive (prev → next) pair once the watermark passes the
+   * LATER event: at that point no admissible event can still land
+   * between the two, so the pair is final — the same argument that
+   * finalizes sessions. Summing hits per (prev_type, next_type) over any
+   * finite input reproduces the batch matrix's counts exactly, except
+   * the batch `(end)` rows: a stream never knows an event was a user's
+   * last, and each user's current anchor is precisely the batch `(end)`
+   * contribution (pinned by the parity spec).
+   *
+   * Equal-ts events order by event_id — the identical total order the
+   * batch twin's window uses — and the fold is a pure function of event
+   * time, so micro-batch re-slicing cannot change the output.
+   *
+   * State per user: the not-yet-final event buffer (watermark-horizon
+   * bounded) plus ONE anchor row; the event-time timeout drains the
+   * buffer even if the user never reappears, after which the anchor
+   * alone persists, O(1), waiting for the user's next event.
+   */
+  def transitions(events: Dataset[IdStreamEvent],
+      watermark: String = "1 hour"): Dataset[TransitionHit] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[IdStreamEvent], state: GroupState[TransState]) =>
+          val st = state.getOption
+            .getOrElse(TransState(Seq.empty, 0L, 0L, "", hasAnchor = false))
+          val wm = state.getCurrentWatermarkMs()
+          val all = st.buffer ++
+            batch.map(e => TransBuf(e.event_id, e.ts.getTime, e.event_type)).toSeq
+          val (ready, pending) = all.partition(_.tsMs < wm)
+          val out = Seq.newBuilder[TransitionHit]
+          var (aId, aTs, aType, hasA) = (st.anchorId, st.anchorTs, st.anchorType, st.hasAnchor)
+          ready.sortBy(b => (b.tsMs, b.event_id)).foreach { b =>
+            if (hasA)
+              out += TransitionHit(userId, aType, b.tpe, b.tsMs, b.event_id)
+            aId = b.event_id; aTs = b.tsMs; aType = b.tpe; hasA = true
+          }
+          state.update(TransState(pending, aId, aTs, aType, hasA))
+          if (pending.nonEmpty)
+            // wake when the earliest pending event can finalize
+            state.setTimeoutTimestamp(math.max(pending.map(_.tsMs).min, wm + 1))
+          out.result().iterator
       }
   }
 

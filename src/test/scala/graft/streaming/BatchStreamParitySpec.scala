@@ -454,4 +454,85 @@ class BatchStreamParitySpec extends SparkSpec {
     assertApprox(got(1)._3, 0.0)
     assertApprox(got(2)._3, math.sqrt(2.0), 1e-9)
   }
+
+  test("transitions: streamed pair counts equal batch minus (end); anchors are the (end) mass") {
+    val idEvents = events.zipWithIndex.map { case (e, i) =>
+      IdStreamEvent(i.toLong, e.user_id, e.ts, e.event_type, e.value)
+    }
+    val batch = Events.transitionMatrix(batchDF).collect()
+      .map(r => (r.getAs[String]("prev_type"), r.getAs[String]("next_type")) ->
+        r.getAs[Long]("n_transitions")).toMap
+    val in = MemoryStream[IdStreamEvent]
+    val q = EventsStream.transitions(in.toDS())
+      .writeStream.format("memory").queryName("parity_trans")
+      .outputMode(OutputMode.Append).start()
+    val streamed =
+      try {
+        // two slices, second out-of-order-but-in-watermark vs the first
+        val (a, b) = idEvents.splitAt(4)
+        in.addData(a: _*); q.processAllAvailable()
+        in.addData(b: _*); q.processAllAvailable()
+        def flush(day: Int) = IdStreamEvent(90L + day, 99L,
+          Timestamp.valueOf(s"2024-03-0$day 12:00:00"), "x", 0.0)
+        in.addData(flush(2)); q.processAllAvailable()
+        in.addData(flush(3)); q.processAllAvailable()
+        spark.table("parity_trans").where($"user_id" < 99)
+          .groupBy("prev_type", "next_type").count().collect()
+          .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      } finally q.stop()
+    // every non-terminal batch row is reproduced exactly
+    assert(streamed === batch.filter(_._1._2 != "(end)"))
+    // and the terminal mass equals one open anchor per user
+    val endTotal = batch.collect { case ((_, "(end)"), n) => n }.sum
+    assert(endTotal === events.map(_.user_id).distinct.size.toLong)
+  }
+
+  test("hourlyUniquesHll: finalized registers equal batch; estimate tracks exact uniques") {
+    import graft.ext.TextAnalysis.{hllH2Sql, hllRhoSql, HllM}
+    val in = MemoryStream[StreamEvent]
+    val q = EventsStream.hourlyUniquesHll(in.toDF())
+      .writeStream.format("memory").queryName("parity_hll")
+      .outputMode(OutputMode.Append).start()
+    // hour 0: click by users 1,2,3 (user 1 twice — dup must not count),
+    // buy by 1; hour 1: click by 2
+    val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    def ev(u: Long, minutes: Long, tpe: String) =
+      StreamEvent(u, new Timestamp(base + minutes * 60000), tpe, 0.0)
+    val data = Seq(ev(1, 0, "click"), ev(2, 10, "click"), ev(3, 20, "click"),
+      ev(1, 30, "click"), ev(1, 40, "buy"), ev(2, 70, "click"))
+    val streamed =
+      try {
+        in.addData(data: _*); q.processAllAvailable()
+        in.addData(ev(9, 24 * 60, "x")); q.processAllAvailable()
+        spark.table("parity_hll").where($"event_type" =!= "x").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+          .toSet
+      } finally q.stop()
+    // independent batch spelling of the same register table
+    val want = data.toDF()
+      .select((unix_timestamp($"ts") - unix_timestamp($"ts") % 3600)
+          .as("hour_start_sec"),
+        $"event_type", expr(hllH2Sql("user_id")).as("h2"))
+      .select($"hour_start_sec", $"event_type",
+        expr(s"CAST(h2 % $HllM AS BIGINT)").as("j"),
+        expr(hllRhoSql(s"CAST((h2 - h2 % $HllM) / $HllM AS BIGINT)")).as("rho"))
+      .groupBy("hour_start_sec", "event_type", "j")
+      .agg(max($"rho").cast("long").as("mj"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(streamed === want)
+    // the sink snapshot reads out to near-exact uniques at this range
+    // (tiny cardinalities sit in the linear-counting branch)
+    val est = graft.ext.TextAnalysis.hllEstimateFromRegisters(
+        spark.table("parity_hll").where($"event_type" =!= "x"),
+        Seq("hour_start_sec", "event_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        r.getAs[Double]("hll_est")).toMap
+    val exact = data.groupBy(e =>
+        ((e.ts.getTime / 1000 / 3600) * 3600, e.event_type))
+      .view.mapValues(_.map(_.user_id).distinct.size).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(est(k) - n) <= 1.0 + 0.2 * n, s"$k est=${est(k)} exact=$n")
+    }
+  }
 }

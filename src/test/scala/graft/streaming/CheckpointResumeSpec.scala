@@ -276,4 +276,43 @@ class CheckpointResumeSpec extends SparkSpec {
     assert(math.abs(mean - 7.0 / 3.0) < 1e-9)
     assert(math.abs(std - math.sqrt((4.0 + 1.0 + 16.0) / 3.0 - 49.0 / 9.0)) < 1e-9)
   }
+
+  test("transitions resumes from checkpoint: the anchor survives the restart") {
+    val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    def ev(id: Long, u: Long, minutes: Long, tpe: String) =
+      IdStreamEvent(id, u, new Timestamp(base + minutes * 60000), tpe, 0.0)
+    // pre-restart: u1 view→click finalized by the mid-stream flush, so
+    // across the restart u1's anchor (click) lives ONLY in the state store
+    val before = Seq(ev(1, 1, 0, "view"), ev(2, 1, 10, "click"),
+      ev(3, 99, 180, "flushA"))
+    // post-restart: the next u1 event must pair with the RECOVERED anchor
+    val after = Seq(ev(4, 1, 200, "purchase"))
+    val flush1 = Seq(ev(90, 99, 24 * 60, "x"))
+    val flush2 = Seq(ev(91, 99, 48 * 60, "x"))
+
+    val dir = Files.createTempDirectory("graft_ckpt_trans").toFile
+    val in = MemoryStream[IdStreamEvent]
+    def start() = EventsStream.transitions(in.toDS())
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode(OutputMode.Append)
+      .start()
+
+    val q1 = start()
+    try { in.addData(before: _*); q1.processAllAvailable() } finally q1.stop()
+    val q2 = start()
+    try {
+      in.addData(after: _*); q2.processAllAvailable()
+      in.addData(flush1: _*); q2.processAllAvailable()
+      in.addData(flush2: _*); q2.processAllAvailable()
+    } finally q2.stop()
+
+    val got = spark.read.parquet(s"$dir/out").where($"user_id" === 1L)
+      .orderBy($"ts_ms").collect()
+      .map(r => (r.getAs[String]("prev_type"), r.getAs[String]("next_type")))
+      .toSeq
+    // no duplicates from offset replay; the cross-restart pair exists
+    assert(got === Seq(("view", "click"), ("click", "purchase")), got)
+  }
 }
