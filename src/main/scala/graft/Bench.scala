@@ -61,7 +61,10 @@ object Bench {
     // lead-window + aggregate-window, Q14 dim-flag conditional agg,
     // hierarchical rollup re-aggregation
     "boilerplate_scrub", "dedup_editdist", "quality_entropy", "vocab_pmi",
-    "events_transitions", "rel_promo_share", "rel_rollup_revenue")
+    "events_transitions", "rel_promo_share", "rel_rollup_revenue",
+    // eager-fit boundary map stage + shard window; per-group threshold
+    // broadcast + row-local clamp
+    "export_range_shards", "quality_winsorize")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

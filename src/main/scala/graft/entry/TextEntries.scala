@@ -257,8 +257,25 @@ object TextEntries {
     // 1e-6-snapped score so both engines pick the identical top-k set
     "vocab_pmi" -> ((s, dir) =>
       gate(TextAnalysis.pmiBigrams(docs(s, dir), "doc_id", "text",
-        PmiMinCount, PmiK), "t1", "t2"))
+        PmiMinCount, PmiK), "t1", "t2")),
+    // ext: deterministic range-sharded export keyed by n_chars — the
+    // sorted-output layout; boundaries from the histogram sketch
+    "export_range_shards" -> ((s, dir) =>
+      gate(Export.rangeShards(docs(s, dir), "doc_id", "n_chars",
+        RangeShardK, HistWidth), "doc_id")),
+    // ext: per-(lang) winsorization of n_chars at the 5/95 band; exact
+    // int64 thresholds and clamp on both engines
+    "quality_winsorize" -> ((s, dir) =>
+      gate(TextAnalysis.winsorize(docs(s, dir), "doc_id", "lang",
+        "n_chars", WinsLo, WinsHi), "doc_id"))
   )
+
+  /** Range-shard contract: 8 shards over the HistWidth-bucket sketch. */
+  private val RangeShardK = 8
+
+  /** Winsorize contract band. */
+  private val WinsLo = 0.05
+  private val WinsHi = 0.95
 
   /** Boilerplate contract: df cap (5% of the sf0.01 corpus). */
   private val BoilerMaxDf = 25L
@@ -1013,6 +1030,50 @@ object TextEntries {
         |  FROM c JOIN l USING (t1) JOIN r ON r.t2 = c.t2 CROSS JOIN n
         |  WHERE c.c12 >= $PmiMinCount
         |  ORDER BY pmi DESC, c.t1, c.t2 LIMIT $PmiK
-        |) ORDER BY t1, t2""".stripMargin
+        |) ORDER BY t1, t2""".stripMargin,
+    // same histogram → cumulative-crossing boundaries → count-of-
+    // boundaries-at-or-below shard rule; duplicate boundaries collapse
+    // on both sides (DISTINCT here, .distinct in the Scala fit)
+    "export_range_shards" -> {
+      val qvals = (1 until RangeShardK).map(i => s"(${i.toDouble / RangeShardK})")
+        .mkString(", ")
+      s"""WITH b AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS key FROM documents),
+        |hist AS (SELECT key // $HistWidth AS bucket, CAST(COUNT(*) AS BIGINT) AS c
+        |         FROM b GROUP BY 1),
+        |cum AS (SELECT bucket, SUM(c) OVER (ORDER BY bucket) AS cum FROM hist),
+        |cnt AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM hist),
+        |qs AS (SELECT * FROM (VALUES $qvals) q(q)),
+        |tgt AS (SELECT q, CAST(1 + floor(q * (n - 1)) AS BIGINT) AS rn
+        |        FROM cnt CROSS JOIN qs),
+        |bd AS (SELECT DISTINCT bv FROM (
+        |         SELECT t.q, CAST(MIN(c.bucket) * $HistWidth AS BIGINT) AS bv
+        |         FROM tgt t JOIN cum c ON c.cum >= t.rn GROUP BY t.q)),
+        |sh AS (SELECT doc_id, key,
+        |              (SELECT CAST(COUNT(*) AS BIGINT) FROM bd
+        |               WHERE bv <= b.key) AS shard
+        |       FROM b)
+        |SELECT doc_id, key, shard,
+        |       CAST(row_number() OVER (PARTITION BY shard
+        |                               ORDER BY key, doc_id) - 1 AS BIGINT) AS pos
+        |FROM sh ORDER BY doc_id""".stripMargin
+    },
+    // same type-1 rank thresholds, same integer clamp
+    "quality_winsorize" ->
+      s"""WITH b AS (SELECT doc_id, lang AS grp, CAST(n_chars AS BIGINT) AS v
+        |           FROM documents),
+        |r1 AS (SELECT grp, v, row_number() OVER (PARTITION BY grp ORDER BY v) AS rn
+        |       FROM b),
+        |c1 AS (SELECT grp, MAX(rn) AS n FROM r1 GROUP BY grp),
+        |tlo AS (SELECT grp, CAST(1 + floor($WinsLo * (n - 1)) AS BIGINT) AS rn FROM c1),
+        |thi AS (SELECT grp, CAST(1 + floor($WinsHi * (n - 1)) AS BIGINT) AS rn FROM c1),
+        |lo AS (SELECT t.grp, CAST(r.v AS BIGINT) AS lo
+        |       FROM tlo t JOIN r1 r ON r.grp = t.grp AND r.rn = t.rn),
+        |hi AS (SELECT t.grp, CAST(r.v AS BIGINT) AS hi
+        |       FROM thi t JOIN r1 r ON r.grp = t.grp AND r.rn = t.rn)
+        |SELECT b.doc_id, b.grp AS lang, b.v AS n_chars, lo.lo, hi.hi,
+        |       greatest(lo.lo, least(hi.hi, b.v)) AS v_clipped,
+        |       CAST(CASE WHEN b.v < lo.lo OR b.v > hi.hi THEN 1 ELSE 0 END AS BIGINT) AS clipped
+        |FROM b JOIN lo USING (grp) JOIN hi USING (grp)
+        |ORDER BY doc_id""".stripMargin
   )
 }

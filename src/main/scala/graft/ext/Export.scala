@@ -159,6 +159,48 @@ object Export {
    * map-side partials; the join is id-keyed. Nothing holds more than
    * nShards rows past the scan.
    */
+  /**
+   * Deterministic RANGE-sharded export: shard `s` holds keys globally ≤
+   * shard `s+1`'s — the layout a sorted-output consumer needs (merge-join
+   * ingestion, bisectable archives, time- or length-sliced training
+   * curricula), where [[shardAssign]]'s hash shards deliberately destroy
+   * key locality. `repartitionByRange` would plan exactly this but its
+   * reservoir-SAMPLED boundaries differ run to run; here the boundaries
+   * are the histogram-sketch quantiles
+   * ([[TextAnalysis.quantileSketchHist]] — deterministic, bounded state,
+   * boundary error inside one `width` bucket, so shard SIZES are
+   * balanced to the same envelope).
+   *
+   * The `nShards − 1` boundary values are a model-sized EAGER FIT
+   * (collected to the driver and compiled into a pure map-stage
+   * expression — the PQ-codebook pattern): assignment touches the corpus
+   * once more with zero joins. Duplicate boundaries collapse (a value
+   * heavier than a whole shard never splits), so fewer than `nShards`
+   * shards can come back — the contract is monotonicity, not exact
+   * count. `pos` orders each shard by (key, id); (shard, pos) is a
+   * total order over the corpus.
+   */
+  def rangeShards(df: DataFrame, idCol: String, keyCol: String,
+      nShards: Int, width: Long): DataFrame = {
+    require(nShards >= 1 && width >= 1)
+    val keyed = df.select(col(idCol).as("doc_id"),
+      col(keyCol).cast("long").as("key"))
+    val qs = (1 until nShards).map(i => i.toDouble / nShards)
+    val bounds: Seq[Long] =
+      if (qs.isEmpty) Seq.empty
+      else TextAnalysis.quantileSketchHist(
+          keyed.select(lit(0L).as("grp"), col("key").as("v")),
+          "grp", "v", qs, width)
+        .collect().map(_.getAs[Long]("v_q")).toSeq.distinct.sorted
+    val shardExpr = bounds.foldLeft(lit(0L).cast("long")) { (acc, b) =>
+      acc + when(col("key") >= lit(b), lit(1L)).otherwise(lit(0L))
+    }
+    val w = Window.partitionBy(col("shard")).orderBy(col("key"), col("doc_id"))
+    keyed
+      .withColumn("shard", shardExpr)
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+  }
+
   def shardManifest(docs: DataFrame, idCol: String, textCol: String,
       nShards: Int, salt: Long = 0L): DataFrame = {
     val assigned = shardAssign(docs, idCol, nShards, salt)

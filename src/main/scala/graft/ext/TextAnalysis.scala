@@ -613,6 +613,39 @@ object TextAnalysis {
   }
 
   /**
+   * Per-group winsorization: clamp a signal into its own [qLo, qHi]
+   * exact type-1 quantile band — the standard outlier treatment BEFORE a
+   * mean/stddev-based gate or a length-weighted mixture computation (one
+   * 10⁸-char document otherwise owns its group's mean; dropping it wastes
+   * data, clamping keeps it at the boundary). Emits the original value,
+   * both thresholds, the clamped value, and a clipped flag per row.
+   *
+   * Determinism: thresholds are values AT ranks (order-independent,
+   * exact int64 end to end for an integer column); the clamp is
+   * greatest/least of exact integers — no floats anywhere.
+   *
+   * Scale shape: [[quantiles]]' rank window per group + one groups-sized
+   * broadcast threshold join + a row-local clamp; at full corpus scale
+   * substitute [[quantileSketchHist]] boundaries, same clamp.
+   */
+  def winsorize(df: DataFrame, idCol: String, groupCol: String,
+      valueCol: String, qLo: Double, qHi: Double): DataFrame = {
+    require(qLo >= 0 && qHi <= 1 && qLo < qHi)
+    val base = df.select(col(idCol).as("doc_id"), col(groupCol).as("grp"),
+      col(valueCol).cast("long").as("v"))
+    val th = quantiles(base, "grp", "v", Seq(qLo, qHi))
+      .groupBy("grp")
+      .agg(min(when(col("q") === qLo, col("v_q"))).as("lo"),
+        min(when(col("q") === qHi, col("v_q"))).as("hi"))
+    base.join(broadcast(th), "grp")
+      .select(col("doc_id"), col("grp").as(groupCol),
+        col("v").as(valueCol), col("lo"), col("hi"),
+        greatest(col("lo"), least(col("hi"), col("v"))).as("v_clipped"),
+        (col("v") < col("lo") || col("v") > col("hi"))
+          .cast("long").as("clipped"))
+  }
+
+  /**
    * Robust z-score per row: `(v − median) / (1.4826 · MAD)` within each
    * group — the outlier-resistant spelling of a z-score (mean/stddev
    * move with the outliers they're supposed to flag; median/MAD don't,

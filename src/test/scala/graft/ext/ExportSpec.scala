@@ -129,4 +129,53 @@ class ExportSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(a == b)
   }
+
+  test("rangeShards: shards are key-monotone, (shard, pos) totally orders") {
+    val s2 = spark
+    import s2.implicits._
+    // keys 0..399 (uniform); 4 shards, width 10 → boundaries near 100/200/300
+    val df = (0L until 400L).map(i => (i, (i * 7) % 400)).toDF("doc_id", "k")
+    val r = Export.rangeShards(df, "doc_id", "k", nShards = 4, width = 10L)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.length === 400)
+    // range property: every key in shard s ≤ every key in shard s+1
+    val byShard = r.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    val shards = byShard.keys.toSeq.sorted
+    assert(shards === Seq(0L, 1L, 2L, 3L))
+    shards.sliding(2).foreach {
+      case Seq(a, b) => assert(byShard(a).max <= byShard(b).min)
+      case _ =>
+    }
+    // balanced to the bucket envelope (width 10 on 100-per-shard targets)
+    byShard.values.foreach(v => assert(math.abs(v.size - 100) <= 10, v.size))
+    // pos is a dense 0..n-1 order by (key, id) within each shard
+    r.groupBy(_._3).values.foreach { rows =>
+      val sorted = rows.sortBy(x => (x._2, x._1))
+      assert(sorted.map(_._4).toSeq === rows.indices.map(_.toLong))
+    }
+  }
+
+  test("rangeShards: a value heavier than a shard never splits") {
+    val s2 = spark
+    import s2.implicits._
+    // 80% of rows share key 5 → several quantile boundaries collapse on
+    // it; the heavy key must land in ONE shard (duplicate-bound dedup)
+    val df = ((0L until 80L).map(i => (i, 5L)) ++
+      (80L until 100L).map(i => (i, 100L + i))).toDF("doc_id", "k")
+    val r = Export.rangeShards(df, "doc_id", "k", nShards = 4, width = 1L)
+      .collect().map(x => (x.getLong(1), x.getLong(2)))
+    assert(r.filter(_._1 == 5L).map(_._2).distinct.length === 1)
+  }
+
+  test("rangeShards plans a map stage + one shard-keyed window, no join") {
+    val s2 = spark
+    import s2.implicits._
+    val df = (0L until 100L).map(i => (i, i)).toDF("doc_id", "k")
+    val plan = Export.rangeShards(df, "doc_id", "k", nShards = 4, width = 10L)
+      .queryExecution.executedPlan.toString
+    // boundaries were eagerly fit and compiled into literals — the
+    // assignment plan itself has no join of any kind
+    assert(!plan.contains("Join"), plan)
+    assert(plan.split("\n").count(_.contains("Window [")) === 1, plan)
+  }
 }

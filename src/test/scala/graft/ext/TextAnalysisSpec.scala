@@ -501,4 +501,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.forall(_._2 >= 2L))
     assert(r.map(_._1).contains(("a", "b")))
   }
+
+  test("winsorize: clamps at exact type-1 band edges, flags the clipped") {
+    val s2 = spark
+    import s2.implicits._
+    // group g: values 1..10 → q.2 rank = 1+floor(.2*9) = 2 → lo = 2;
+    // q.8 rank = 1+floor(.8*9) = 8 → hi = 8
+    val df = (1L to 10L).map(i => (i, "g", i)).toDF("doc_id", "lang", "v")
+    val r = TextAnalysis.winsorize(df, "doc_id", "lang", "v", 0.2, 0.8)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5), x.getLong(6))))
+      .toMap
+    assert(r(1L) === ((1L, 2L, 8L, 2L, 1L)))   // below lo → clamped up
+    assert(r(2L) === ((2L, 2L, 8L, 2L, 0L)))   // at lo → untouched
+    assert(r(5L) === ((5L, 2L, 8L, 5L, 0L)))   // inside → untouched
+    assert(r(9L) === ((9L, 2L, 8L, 8L, 1L)))   // above hi → clamped down
+    assert(r.values.count(_._5 == 1L) === 3)   // 1, 9, 10 clipped
+  }
+
+  test("winsorize: thresholds are per group and broadcast back") {
+    val s2 = spark
+    import s2.implicits._
+    val df = ((1L to 4L).map(i => (i, "a", i * 10)) ++
+      (11L to 14L).map(i => (i, "b", i))).toDF("doc_id", "lang", "v")
+    val q = TextAnalysis.winsorize(df, "doc_id", "lang", "v", 0.0, 1.0)
+    val r = q.collect().map(x => x.getLong(0) -> (x.getLong(3), x.getLong(4))).toMap
+    assert(r(1L) === ((10L, 40L)))   // group a band
+    assert(r(11L) === ((11L, 14L)))  // group b band
+    // q ∈ {0,1} → nothing clipped, clamp is identity
+    assert(q.collect().forall(x => x.getLong(5) === x.getLong(2)))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }
