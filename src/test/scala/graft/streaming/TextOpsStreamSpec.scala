@@ -59,7 +59,9 @@ class TextOpsStreamSpec extends SparkSpec {
       ("t_sh", Dedup.shinglesLocal(_, "doc_id", "text")),
       // split assignment at INGEST time: a doc's split is a pure function
       // of (id, salt), so the stream form trivially matches batch
-      ("t_split", graft.ext.Export.splitAssign(_, "doc_id")))
+      ("t_split", graft.ext.Export.splitAssign(_, "doc_id")),
+      // entropy's sorted-run fold is row-local like repetition's
+      ("t_ent", TextAnalysis.tokenEntropy(_, "doc_id", "text")))
     for ((name, fn) <- ops) {
       val got = streamed(fn, name)
       val want = batch(fn)
