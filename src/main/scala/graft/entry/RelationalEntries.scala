@@ -93,7 +93,7 @@ object RelationalEntries {
     // one division of two exact int64 sums, bit-identical in any engine
     "rel_promo_share" -> ((s, dir) =>
       gate(Relational.promoRevenueShare(Relational.lineitem(s, dir),
-        partTable(s, dir), PromoPrefix, VolFrom, VolUntil), "yr", "mo")),
+        Relational.part(s, dir), PromoPrefix, VolFrom, VolUntil), "yr", "mo")),
     // ext: ROLLUP grouping-sets shape — leaf/subtotal/grand-total revenue
     // in one pass; lvl carries the grouping_id bits (identical convention
     // in Spark and DuckDB, verified), group keys coalesced so the result
@@ -104,9 +104,6 @@ object RelationalEntries {
           Relational.region(s, dir), RevFrom, RevUntil)
         .withColumn("lvl", col("lvl").cast("long")), "r_name", "n_name"))
   )
-
-  private def partTable(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/part.parquet")
 
   /** Q14-shape contract: the corpus's promo p_type prefix. */
   private val PromoPrefix = "PROMO"

@@ -993,12 +993,17 @@ object TextEntries {
         |b AS (SELECT seg FROM segs GROUP BY seg
         |      HAVING COUNT(DISTINCT doc_id) > $BoilerMaxDf),
         |fl AS (SELECT s.doc_id, s.pos, s.seg, (b.seg IS NOT NULL) AS drp
-        |       FROM segs s LEFT JOIN b ON b.seg = s.seg)
-        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
-        |       CAST(SUM(CASE WHEN drp THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
-        |       coalesce(string_agg(CASE WHEN NOT drp THEN seg END, ' | '
-        |                           ORDER BY pos), '') AS clean_text
-        |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |       FROM segs s LEFT JOIN b ON b.seg = s.seg),
+        |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+        |               CAST(SUM(CASE WHEN drp THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |               coalesce(string_agg(CASE WHEN NOT drp THEN seg END, ' | '
+        |                                   ORDER BY pos), '') AS clean_text
+        |        FROM fl GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.n_segments, 0) AS n_segments,
+        |       coalesce(a.n_dropped, 0) AS n_dropped,
+        |       coalesce(a.clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // plain explode/group spelling of the same H = ln(n) − Σc·ln c / n;
     // the cross-engine sum-order difference is ~1e-13, far inside r6
     "quality_entropy" ->

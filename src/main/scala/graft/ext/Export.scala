@@ -159,6 +159,22 @@ object Export {
    * map-side partials; the join is id-keyed. Nothing holds more than
    * nShards rows past the scan.
    */
+  def shardManifest(docs: DataFrame, idCol: String, textCol: String,
+      nShards: Int, salt: Long = 0L): DataFrame = {
+    val assigned = shardAssign(docs, idCol, nShards, salt)
+      .select(col("doc_id"), col("shard"))
+    val fp = TextAnalysis.fingerprint(docs, idCol, textCol)
+    val chars = docs.select(col(idCol).as("doc_id"),
+      length(col(textCol)).cast("long").as("nc"))
+    assigned
+      .join(fp, Seq("doc_id"), "left")
+      .join(chars, "doc_id")
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nc")).as("n_chars"),
+        sum(coalesce(col("fingerprint"), lit(0L))).as("checksum"))
+  }
+
   /**
    * Deterministic RANGE-sharded export: shard `s` holds keys globally ≤
    * shard `s+1`'s — the layout a sorted-output consumer needs (merge-join
@@ -199,21 +215,5 @@ object Export {
     keyed
       .withColumn("shard", shardExpr)
       .withColumn("pos", (row_number().over(w) - 1).cast("long"))
-  }
-
-  def shardManifest(docs: DataFrame, idCol: String, textCol: String,
-      nShards: Int, salt: Long = 0L): DataFrame = {
-    val assigned = shardAssign(docs, idCol, nShards, salt)
-      .select(col("doc_id"), col("shard"))
-    val fp = TextAnalysis.fingerprint(docs, idCol, textCol)
-    val chars = docs.select(col(idCol).as("doc_id"),
-      length(col(textCol)).cast("long").as("nc"))
-    assigned
-      .join(fp, Seq("doc_id"), "left")
-      .join(chars, "doc_id")
-      .groupBy("shard")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("nc")).as("n_chars"),
-        sum(coalesce(col("fingerprint"), lit(0L))).as("checksum"))
   }
 }

@@ -35,6 +35,8 @@ object Relational {
     spark.read.parquet(s"$dir/nation.parquet")
   def region(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/region.parquet")
+  def part(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/part.parquet")
 
   /**
    * Pricing summary report (the TPC-H Q1 shape): per (returnflag,

@@ -310,10 +310,13 @@ class RelationalSpec extends SparkSpec {
     val q = Relational.regionRevenueRollup(lineitem, supplier, nation, region,
       "1995-01-01", "1999-01-01")
     // hierarchical re-aggregation: the union's three branches share one
-    // identical leaf-aggregate subtree, so the fact scan+exchange is
-    // planned once and reused — never an Expand over the fact rows
+    // identical leaf-aggregate subtree — AQE materializes that exchange
+    // ONCE and the other two branches read it as ReusedExchange (visible
+    // only in the POST-execution adaptive plan) — and no branch ever
+    // plans an Expand over the fact rows
+    q.collect()
     val plan = q.queryExecution.executedPlan.toString
     assert(!plan.contains("Expand"), plan)
-    assert(plan.contains("ReusedExchange") || plan.contains("Union"), plan)
+    assert(plan.contains("ReusedExchange"), plan)
   }
 }
