@@ -64,7 +64,10 @@ object Bench {
     "events_transitions", "rel_promo_share", "rel_rollup_revenue",
     // eager-fit boundary map stage + shard window; per-group threshold
     // broadcast + row-local clamp
-    "export_range_shards", "quality_winsorize")
+    "export_range_shards", "quality_winsorize",
+    // 5-round power iteration (join+agg per round); stage-count audit
+    // over the composed cleaning chain
+    "graph_pagerank", "corpus_funnel")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

@@ -217,7 +217,15 @@ object DedupEntries {
         TextEntries.QfMinTokens, TextEntries.QfMaxTokens,
         TextEntries.QfMinAvgLen, TextEntries.QfMaxAvgLen,
         TextEntries.QfMaxStop, TextEntries.QfMinTtr,
-        pin = _.localCheckpoint()), "doc_id"))
+        pin = _.localCheckpoint()), "doc_id")),
+    // data-loss accounting: survivor count after each cleaning gate
+    "corpus_funnel" -> ((s, dir) =>
+      gate(graft.ext.Pipelines.cleanFunnel(docs(s, dir), "doc_id", "text",
+        "source", EvalSource,
+        TextEntries.QfMinTokens, TextEntries.QfMaxTokens,
+        TextEntries.QfMinAvgLen, TextEntries.QfMaxAvgLen,
+        TextEntries.QfMaxStop, TextEntries.QfMinTtr,
+        pin = _.localCheckpoint()), "stage"))
   )
 
   /** Within-cluster cosine threshold for the semantic-dedup contract —
@@ -765,6 +773,21 @@ object DedupEntries {
         |WHERE d.source <> '$EvalSource'
         |  AND q.doc_id NOT IN (SELECT doc_id FROM cont)
         |ORDER BY q.doc_id""".stripMargin),
+    // cumulative per-gate survivor counts over the same chain
+    "corpus_funnel" ->
+      (cleanChainSql + s""",
+        |s2 AS (SELECT q.doc_id FROM qual q JOIN kept USING (doc_id)),
+        |s3 AS (SELECT s2.doc_id FROM s2 JOIN documents d USING (doc_id)
+        |       WHERE d.source <> '$EvalSource'),
+        |s4 AS (SELECT doc_id FROM s3
+        |       WHERE doc_id NOT IN (SELECT doc_id FROM cont))
+        |SELECT * FROM (
+        |  SELECT '0_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+        |  UNION ALL SELECT '1_elected', CAST(COUNT(*) AS BIGINT) FROM kept
+        |  UNION ALL SELECT '2_quality', CAST(COUNT(*) AS BIGINT) FROM s2
+        |  UNION ALL SELECT '3_train', CAST(COUNT(*) AS BIGINT) FROM s3
+        |  UNION ALL SELECT '4_final', CAST(COUNT(*) AS BIGINT) FROM s4
+        |) ORDER BY stage""".stripMargin),
     // the same chain ending in the group-atomic split (mix chain hashed
     // on the representative), mirroring Pipelines.cleanAndSplit
     "corpus_clean_split" -> {

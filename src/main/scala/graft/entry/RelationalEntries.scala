@@ -3,7 +3,7 @@ package graft.entry
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.Relational
+import graft.ext.{Graph, Relational}
 import EntryUtil._
 
 /**
@@ -102,8 +102,27 @@ object RelationalEntries {
       gate(Relational.regionRevenueRollup(Relational.lineitem(s, dir),
           Relational.supplier(s, dir), Relational.nation(s, dir),
           Relational.region(s, dir), RevFrom, RevUntil)
-        .withColumn("lvl", col("lvl").cast("long")), "r_name", "n_name"))
+        .withColumn("lvl", col("lvl").cast("long")), "r_name", "n_name")),
+    // ext: PageRank over the symmetrized customer↔supplier order graph
+    // (prefixed string ids keep the two key spaces disjoint); fixed
+    // 5-round power iteration, rank snapped only at the gate
+    "graph_pagerank" -> ((s, dir) => {
+      val ord = Relational.orders(s, dir).select("o_orderkey", "o_custkey")
+      val li = Relational.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+      val e0 = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .agg(count(lit(1)).as("weight"))
+      val edges = e0.unionByName(
+        e0.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
+      gate(Graph.pageRank(edges, PrIters, PrDamping,
+        pin = _.localCheckpoint()), "node")
+    })
   )
+
+  /** PageRank contract: rounds and damping factor. */
+  private val PrIters = 5
+  private val PrDamping = 0.85
 
   /** Q14-shape contract: the corpus's promo p_type prefix. */
   private val PromoPrefix = "PROMO"
@@ -267,6 +286,31 @@ object RelationalEntries {
         |WHERE l.l_shipdate >= TIMESTAMP '$RevFrom'
         |  AND l.l_shipdate < TIMESTAMP '$RevUntil'
         |GROUP BY ROLLUP(r.r_name, n.n_name) ORDER BY 1, 2""".stripMargin,
+    // the same power iteration unrolled as a CTE chain: identical edge
+    // derivation, identical per-round arithmetic ((1−d)/N and d·Σ are
+    // the same IEEE op sequences), rank snapped only in the outer SELECT
+    "graph_pagerank" -> {
+      val iters = (1 to PrIters).map { i =>
+        s"""c$i AS (SELECT p.dst, SUM(p.prob * r.rank) AS c
+           |      FROM p JOIN r${i - 1} r ON r.node = p.src GROUP BY 1),
+           |r$i AS (SELECT nd.node,
+           |        (1.0 - $PrDamping) / nn.n + $PrDamping * COALESCE(c$i.c, 0.0) AS rank
+           |      FROM nd CROSS JOIN nn LEFT JOIN c$i ON c$i.dst = nd.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (SELECT 'c' || o.o_custkey AS src, 's' || l.l_suppkey AS dst,
+        |            CAST(COUNT(*) AS BIGINT) AS w
+        |     FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |     GROUP BY 1, 2),
+        |e AS (SELECT src, dst, w FROM e0 UNION ALL SELECT dst, src, w FROM e0),
+        |ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wout FROM e GROUP BY 1),
+        |p AS (SELECT e.src, e.dst, CAST(e.w AS DOUBLE) / CAST(ow.wout AS DOUBLE) AS prob
+        |      FROM e JOIN ow USING (src)),
+        |nd AS (SELECT DISTINCT src AS node FROM e),
+        |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nd),
+        |r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nd CROSS JOIN nn),
+        |$iters
+        |SELECT node, ${r6sql("rank")} AS rank FROM r$PrIters ORDER BY node""".stripMargin
+    },
     "rel_table_profile" ->
       ProfileCols.map { c =>
         s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,

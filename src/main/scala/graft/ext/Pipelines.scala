@@ -44,12 +44,18 @@ object Pipelines {
    * probe; the glue is two semi/anti joins and one inner join, all on
    * the fixed-width doc_id key.
    */
-  def cleanCorpus(docs: DataFrame, idCol: String, textCol: String,
+  /** The four stage tables [[cleanCorpus]] composes, exposed so
+    * [[cleanFunnel]] can count survivors at each gate without
+    * re-deriving the chain. */
+  private final case class CleanStages(elected: DataFrame, quality: DataFrame,
+      trainIds: DataFrame, contaminated: DataFrame)
+
+  private def cleanStages(docs: DataFrame, idCol: String, textCol: String,
       sourceCol: String, evalSource: String,
-      minTokens: Long = 10, maxTokens: Long = 100000,
-      minAvgTokenLen: Double = 2.0, maxAvgTokenLen: Double = 12.0,
-      maxStopwordRatio: Double = 0.6, minTtr: Double = 0.2,
-      pin: DataFrame => DataFrame = identity): DataFrame = {
+      minTokens: Long, maxTokens: Long,
+      minAvgTokenLen: Double, maxAvgTokenLen: Double,
+      maxStopwordRatio: Double, minTtr: Double,
+      pin: DataFrame => DataFrame): CleanStages = {
     val pairs = pin(Dedup.minHashDups(docs, idCol, textCol)
       .select("doc0", "doc1"))
     val groups = Dedup.dupGroups(docs, pairs, idCol)
@@ -66,11 +72,63 @@ object Pipelines {
     val contaminated = Dedup.contamination(train, evalDocs, idCol, textCol)
       .where(col("hit_shingles") > 0)
       .select(col("doc_id"))
-    quality
-      .join(elected, "doc_id")
-      .join(train.select(col(idCol).as("doc_id")), Seq("doc_id"), "left_semi")
-      .join(contaminated, Seq("doc_id"), "left_anti")
+    CleanStages(elected, quality,
+      train.select(col(idCol).as("doc_id")), contaminated)
+  }
+
+  def cleanCorpus(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, evalSource: String,
+      minTokens: Long = 10, maxTokens: Long = 100000,
+      minAvgTokenLen: Double = 2.0, maxAvgTokenLen: Double = 12.0,
+      maxStopwordRatio: Double = 0.6, minTtr: Double = 0.2,
+      pin: DataFrame => DataFrame = identity): DataFrame = {
+    val st = cleanStages(docs, idCol, textCol, sourceCol, evalSource,
+      minTokens, maxTokens, minAvgTokenLen, maxAvgTokenLen,
+      maxStopwordRatio, minTtr, pin)
+    st.quality
+      .join(st.elected, "doc_id")
+      .join(st.trainIds, Seq("doc_id"), "left_semi")
+      .join(st.contaminated, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("group_rep"), col("n_tokens"))
+  }
+
+  /**
+   * Data-loss accounting for [[cleanCorpus]] — one row per pipeline
+   * stage with the surviving document count, the first artifact an
+   * operator reads after ANY sweep: a quality gate that silently drops
+   * 60% of a source, or a decontamination probe that suddenly matches
+   * half the corpus, is visible here before the training run is. Stages
+   * nest cumulatively (each count applies all previous gates), so
+   * adjacent differences are the per-gate cost:
+   *
+   *   `0_raw` → `1_elected` (dup-cluster election) → `2_quality`
+   *   (signal bounds) → `3_train` (eval slice removed) → `4_final`
+   *   (decontamination).
+   *
+   * Scale shape: the stage tables are built once ([[cleanStages]]) and
+   * each count is a 1-row aggregate over doc_id-keyed semi/anti joins —
+   * the same joins [[cleanCorpus]] plans, minus the payload columns.
+   */
+  def cleanFunnel(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, evalSource: String,
+      minTokens: Long = 10, maxTokens: Long = 100000,
+      minAvgTokenLen: Double = 2.0, maxAvgTokenLen: Double = 12.0,
+      maxStopwordRatio: Double = 0.6, minTtr: Double = 0.2,
+      pin: DataFrame => DataFrame = identity): DataFrame = {
+    val st = cleanStages(docs, idCol, textCol, sourceCol, evalSource,
+      minTokens, maxTokens, minAvgTokenLen, maxAvgTokenLen,
+      maxStopwordRatio, minTtr, pin)
+    val s1 = st.elected.select("doc_id")
+    val s2 = s1.join(st.quality.select("doc_id"), "doc_id")
+    val s3 = s2.join(st.trainIds, Seq("doc_id"), "left_semi")
+    val s4 = s3.join(st.contaminated, Seq("doc_id"), "left_anti")
+    def cnt(stage: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_docs")).select(lit(stage).as("stage"), col("n_docs"))
+    cnt("0_raw", docs)
+      .unionByName(cnt("1_elected", s1))
+      .unionByName(cnt("2_quality", s2))
+      .unionByName(cnt("3_train", s3))
+      .unionByName(cnt("4_final", s4))
   }
 
   /**

@@ -392,6 +392,28 @@ class DedupSpec extends SparkSpec {
     assert(r(2L) == ((2L, 7L)))
   }
 
+  test("cleanFunnel: cumulative per-gate counts, final equals cleanCorpus") {
+    val d = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta", "train"),
+      (1L, "alpha beta gamma delta epsilon zeta eta", "train"),
+      (2L, "one two three four five six seven", "train"),
+      (3L, "tiny doc", "train"),
+      (4L, "secret eval question answer here now", "eval"),
+      (5L, "prefix words then secret eval question trailing tokens", "train")
+    ).toDF("doc_id", "text", "source")
+    val f = Pipelines.cleanFunnel(d, "doc_id", "text", "source", "eval",
+        minTokens = 3, maxStopwordRatio = 1.0, minTtr = 0.0)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 6 raw; election drops the losing near-dup (0); quality drops the
+    // 2-token doc (3); the eval slice drops 4; decontamination drops 5
+    assert(f === Map("0_raw" -> 6L, "1_elected" -> 5L, "2_quality" -> 4L,
+      "3_train" -> 3L, "4_final" -> 2L))
+    // the funnel's final gate IS cleanCorpus's survivor set
+    val kept = Pipelines.cleanCorpus(d, "doc_id", "text", "source", "eval",
+      minTokens = 3, maxStopwordRatio = 1.0, minTtr = 0.0).count()
+    assert(f("4_final") === kept)
+  }
+
   test("sourceLeakageMatrix: unordered source pairs, counts and mean jaccard") {
     val pairs = Seq(
       (1L, 2L, 1.0),   // A-B
