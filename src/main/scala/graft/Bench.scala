@@ -67,7 +67,9 @@ object Bench {
     "export_range_shards", "quality_winsorize",
     // 5-round power iteration (join+agg per round); stage-count audit
     // over the composed cleaning chain
-    "graph_pagerank", "corpus_funnel")
+    "graph_pagerank", "corpus_funnel",
+    // disjunctive pushdown-split broadcast; scalar-avg + anti-join
+    "rel_disjunctive_revenue", "rel_dormant_customers")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

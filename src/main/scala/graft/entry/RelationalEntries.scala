@@ -103,6 +103,16 @@ object RelationalEntries {
           Relational.supplier(s, dir), Relational.nation(s, dir),
           Relational.region(s, dir), RevFrom, RevUntil)
         .withColumn("lvl", col("lvl").cast("long")), "r_name", "n_name")),
+    // ext: TPC-H Q19 shape — disjunctive brand/size/quantity clauses;
+    // part-only conjuncts pushed into the dim scan before the broadcast
+    "rel_disjunctive_revenue" -> ((s, dir) =>
+      gate(Relational.disjunctiveRevenue(Relational.lineitem(s, dir),
+        Relational.part(s, dir), Q19Clauses), "revenue_e4")),
+    // ext: TPC-H Q22 shape — above-average balance, no recent order
+    // (scalar-broadcast average + anti-join on the date-filtered scan)
+    "rel_dormant_customers" -> ((s, dir) =>
+      gate(Relational.dormantHighValueCustomers(Relational.customer(s, dir),
+        Relational.orders(s, dir), DormantCutoff), "nationkey")),
     // ext: PageRank over the symmetrized customer↔supplier order graph
     // (prefixed string ids keep the two key spaces disjoint); fixed
     // 5-round power iteration, rank snapped only at the gate
@@ -123,6 +133,15 @@ object RelationalEntries {
   /** PageRank contract: rounds and damping factor. */
   private val PrIters = 5
   private val PrDamping = 0.85
+
+  /** Q19-shape contract clauses (calibrated non-empty at sf0.01). */
+  private val Q19Clauses = Seq(
+    Relational.PartQtyClause("Brand#1", 1, 15, 5.0, 25.0),
+    Relational.PartQtyClause("Brand#2", 10, 30, 10.0, 40.0),
+    Relational.PartQtyClause("Brand#3", 20, 50, 20.0, 50.0))
+
+  /** Q22-shape contract: dormancy cutoff (55 survivors at sf0.01). */
+  private val DormantCutoff = "2000-01-01"
 
   /** Q14-shape contract: the corpus's promo p_type prefix. */
   private val PromoPrefix = "PROMO"
@@ -286,6 +305,33 @@ object RelationalEntries {
         |WHERE l.l_shipdate >= TIMESTAMP '$RevFrom'
         |  AND l.l_shipdate < TIMESTAMP '$RevUntil'
         |GROUP BY ROLLUP(r.r_name, n.n_name) ORDER BY 1, 2""".stripMargin,
+    // same clause disjunction, same exact int64 money
+    "rel_disjunctive_revenue" -> {
+      val ors = Q19Clauses.map(c =>
+        s"""(p.p_brand = '${c.brand}' AND p.p_size BETWEEN ${c.sizeLo} AND ${c.sizeHi}
+           | AND l.l_quantity BETWEEN ${c.qtyLo} AND ${c.qtyHi})""".stripMargin)
+        .mkString("(", "\n OR ", ")")
+      s"""SELECT
+        |  SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1e4 + 0.5) AS BIGINT)) AS revenue_e4,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE $ors""".stripMargin
+    },
+    // same exact-integer average threshold, same NOT EXISTS dormancy
+    "rel_dormant_customers" ->
+      s"""WITH bal AS (SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nationkey,
+        |             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_e2
+        |             FROM customer),
+        |a AS (SELECT CAST(SUM(bal_e2) AS DOUBLE) / COUNT(*) AS avg_e2
+        |      FROM bal WHERE bal_e2 > 0)
+        |SELECT nationkey, CAST(COUNT(*) AS BIGINT) AS n_custs,
+        |       SUM(bal_e2) AS total_bal_e2
+        |FROM bal, a
+        |WHERE CAST(bal_e2 AS DOUBLE) > a.avg_e2
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = bal.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '$DormantCutoff')
+        |GROUP BY nationkey ORDER BY nationkey""".stripMargin,
     // the same power iteration unrolled as a CTE chain: identical edge
     // derivation, identical per-round arithmetic ((1−d)/N and d·Σ are
     // the same IEEE op sequences), rank snapped only in the outer SELECT

@@ -423,6 +423,74 @@ object Relational {
     leafOut.unionByName(regionSub).unionByName(grand)
   }
 
+  /** One branch of [[disjunctiveRevenue]]'s OR filter: a part
+    * brand/size band paired with a lineitem quantity band. */
+  final case class PartQtyClause(brand: String, sizeLo: Int, sizeHi: Int,
+      qtyLo: Double, qtyHi: Double)
+
+  /**
+   * Disjunctive-predicate revenue (the TPC-H Q19 shape): total revenue
+   * of lineitems matching ANY of several (brand, size-band, quantity
+   * band) clauses — the query pattern whose naive spelling (OR across a
+   * join) defeats pushdown entirely.
+   *
+   * Scale shape: the part-side HALF of every clause (brand ∧ size) is
+   * factored out and pushed into the dimension scan BEFORE the
+   * broadcast — the dim side ships only rows some clause could accept —
+   * while the full mixed-side disjunction stays a residual on the
+   * broadcast join's output. The fact scan reads 3 columns; the result
+   * is a 1-row aggregate with map-side partials. Money exact int64
+   * ([[revE4]]).
+   */
+  def disjunctiveRevenue(lineitem: DataFrame, part: DataFrame,
+      clauses: Seq[PartQtyClause]): DataFrame = {
+    require(clauses.nonEmpty)
+    val partPred = clauses.map(c =>
+      col("p_brand") === c.brand &&
+        col("p_size").between(c.sizeLo, c.sizeHi)).reduce(_ || _)
+    val dim = part.select("p_partkey", "p_brand", "p_size").where(partPred)
+    val full = clauses.map(c =>
+      col("p_brand") === c.brand &&
+        col("p_size").between(c.sizeLo, c.sizeHi) &&
+        col("l_quantity").between(c.qtyLo, c.qtyHi)).reduce(_ || _)
+    lineitem.select(col("l_partkey"), col("l_quantity"), revE4.as("rev_e4"))
+      .join(broadcast(dim), col("l_partkey") === col("p_partkey"))
+      .where(full)
+      .agg(sum(col("rev_e4")).as("revenue_e4"), count(lit(1)).as("n_items"))
+  }
+
+  /**
+   * Dormant high-value customers per nation (the TPC-H Q22 shape,
+   * dormancy instead of the phone-prefix filter this schema lacks):
+   * customers whose balance exceeds the average POSITIVE balance and who
+   * placed no order at or after `cutoff`, counted per nation with their
+   * total balance. Balances in exact 1e-2-dollar int64 units (the same
+   * per-row floor recovery as [[revE4]] — c_acctbal carries ≤2
+   * decimals); the average is ONE division of exact integers.
+   *
+   * Scale shape: the global average is the sanctioned 1-row scalar
+   * broadcast; the no-recent-order test is a LEFT ANTI equi-join against
+   * the date-filtered orders scan (the filter pushes down, so the anti
+   * side is the RECENT slice, not the full fact table); the rollup is
+   * nations-sized with map-side partials.
+   */
+  def dormantHighValueCustomers(customer: DataFrame, orders: DataFrame,
+      cutoff: String): DataFrame = {
+    val bal = customer.select(col("c_custkey"),
+      col("c_nationkey").cast("long").as("nationkey"),
+      expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").as("bal_e2"))
+    val avgPos = bal.where(col("bal_e2") > 0)
+      .agg((sum(col("bal_e2")).cast("double") / count(lit(1))).as("avg_e2"))
+    bal.crossJoin(broadcast(avgPos))
+      .where(col("bal_e2").cast("double") > col("avg_e2"))
+      .join(orders
+          .where(col("o_orderdate") >= to_timestamp_ntz(lit(cutoff)))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("nationkey")
+      .agg(count(lit(1)).as("n_custs"), sum(col("bal_e2")).as("total_bal_e2"))
+  }
+
   def tableProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty)
     cols.map { c =>

@@ -42,7 +42,9 @@ class PlanAuditSpec extends SparkSpec {
       // 1-row max-timestamp scalar broadcast for the decay reference
       "events_decay",
       // 1-row total-bigram-count scalar broadcast over the PMI vocab
-      "vocab_pmi")
+      "vocab_pmi",
+      // 1-row average-balance scalar broadcast over the customer scan
+      "rel_dormant_customers")
 
   test("no contract query plans a cartesian product or unsanctioned BNLJ") {
     assume(new File(sfDir).isDirectory, s"$sfDir missing")

@@ -306,6 +306,62 @@ class RelationalSpec extends SparkSpec {
       Seq(("(all)", "(all)", 3L, 2700000L, 4L)))
   }
 
+  test("disjunctiveRevenue: any-clause matches only, exact money") {
+    val li = Seq(
+      (1L, 100L, 10.0, 100.0, 0.0),  // brand A, size 5, qty 10 → clause 1
+      (2L, 101L, 30.0, 50.0, 0.0),   // brand B, size 20, qty 30 → clause 2
+      (3L, 100L, 40.0, 70.0, 0.0),   // brand A but qty outside → dropped
+      (4L, 102L, 10.0, 90.0, 0.0)    // brand C: no clause → dropped
+    ).toDF("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val part = Seq((100L, "A", 5), (101L, "B", 20), (102L, "C", 5))
+      .toDF("p_partkey", "p_brand", "p_size")
+    val clauses = Seq(
+      Relational.PartQtyClause("A", 1, 10, 5.0, 15.0),
+      Relational.PartQtyClause("B", 15, 25, 20.0, 40.0))
+    val r = Relational.disjunctiveRevenue(li, part, clauses).collect().head
+    assert(r.getAs[Long]("revenue_e4") === 1500000L) // 100 + 50 dollars
+    assert(r.getAs[Long]("n_items") === 2L)
+  }
+
+  test("disjunctiveRevenue pushes the part-only clause half into the dim scan") {
+    val dir = java.nio.file.Files.createTempDirectory("relq19").toString
+    Seq((1L, 100L, 10.0, 100.0, 0.0))
+      .toDF("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((100L, "A", 5)).toDF("p_partkey", "p_brand", "p_size")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val q = Relational.disjunctiveRevenue(Relational.lineitem(spark, dir),
+      Relational.part(spark, dir),
+      Seq(Relational.PartQtyClause("A", 1, 10, 5.0, 15.0)))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the brand/size half of the clause reaches the part parquet scan
+    // (below the broadcast), not just the post-join residual
+    val dimScan = plan.split("\n").find(l =>
+      l.contains("FileScan parquet") && l.contains("p_partkey"))
+    assert(dimScan.exists(l => l.contains("PushedFilters") &&
+      l.contains("p_brand")), s"no dim pushdown:\n$plan")
+  }
+
+  test("dormantHighValueCustomers: above-avg balance AND no recent order") {
+    val cust = Seq(
+      (1L, 1, 100.0),   // below avg → out
+      (2L, 1, 900.0),   // above avg, recent order → out
+      (3L, 2, 800.0),   // above avg, only an OLD order → in
+      (4L, 2, 700.0),   // above avg, no orders at all → in
+      (5L, 1, -50.0)    // negative: excluded from the average's base
+    ).toDF("c_custkey", "c_nationkey", "c_acctbal")
+    val ord = Seq(
+      (10L, 2L, "2001-06-01 00:00:00"),
+      (11L, 3L, "1999-01-01 00:00:00")
+    ).toDF("o_orderkey", "o_custkey", "od")
+      .withColumn("o_orderdate", expr("to_timestamp_ntz(od)")).drop("od")
+    // avg positive bal = (100 + 900 + 800 + 700)/4 = 625
+    val r = Relational.dormantHighValueCustomers(cust, ord, "2000-01-01")
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r === Map(2L -> ((2L, 150000L)))) // custs 3+4, 1500.00 dollars
+  }
+
   test("regionRevenueRollup reuses the leaf exchange for the subtotals") {
     val q = Relational.regionRevenueRollup(lineitem, supplier, nation, region,
       "1995-01-01", "1999-01-01")
