@@ -85,6 +85,10 @@ object EventsEntries {
     "events_transitions" -> ((s, dir) =>
       gate(Events.transitionMatrix(Events.read(s, dir)),
         "prev_type", "next_type")),
+    // hash-randomized A/B readout: deterministic mix-chain arms, purchase
+    // conversion, pooled two-proportion z — a 1-row summary
+    "events_abtest" -> ((s, dir) =>
+      gate(Events.abTest(Events.read(s, dir), AbConvType), "n0")),
     "multimodal_meta" -> ((s, dir) =>
       gate(Multimodal.metadata(docs(s, dir), "doc_id", "text"), "doc_id")),
     // frame sampling ahead of decode: 16-char frames, every 4th kept.
@@ -112,6 +116,9 @@ object EventsEntries {
     * user's most recent click at or before it. */
   private val AsofProbe = "purchase"
   private val AsofRef = "click"
+
+  /** Conversion event of the A/B contract. */
+  private val AbConvType = "purchase"
 
   /** Funnel step sequence for the funnel contract. */
   private val FunnelSteps = Seq("view", "click", "purchase")
@@ -259,6 +266,31 @@ object EventsEntries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY tus
         |             RANGE BETWEEN $RollingSpanUs PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    // same mix-chain arm, same conversion flag, the identical IEEE op
+    // sequence for rates and z (sqrt's last ulp absorbed by the snap)
+    "events_abtest" -> {
+      val mix = graft.ext.Export.mixBucketSql("user_id", 2, 0L)
+      s"""WITH u AS (SELECT user_id,
+        |            MAX(CASE WHEN event_type = '$AbConvType' THEN 1 ELSE 0 END) AS conv
+        |            FROM events GROUP BY user_id),
+        |v AS (SELECT ($mix) AS v, conv FROM u),
+        |s AS (SELECT CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |             CAST(SUM(CASE WHEN v = 0 THEN conv ELSE 0 END) AS BIGINT) AS c0,
+        |             CAST(SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |             CAST(SUM(CASE WHEN v = 1 THEN conv ELSE 0 END) AS BIGINT) AS c1
+        |      FROM v)
+        |SELECT n0, c0, n1, c1,
+        |  ${r6sql("CASE WHEN n0 > 0 THEN CAST(c0 AS DOUBLE)/CAST(n0 AS DOUBLE) ELSE 0.0 END")} AS rate0,
+        |  ${r6sql("CASE WHEN n1 > 0 THEN CAST(c1 AS DOUBLE)/CAST(n1 AS DOUBLE) ELSE 0.0 END")} AS rate1,
+        |  ${r6sql(
+             "CASE WHEN n0 > 0 AND n1 > 0 " +
+             "AND CAST(c0+c1 AS DOUBLE)/CAST(n0+n1 AS DOUBLE) > 0 " +
+             "AND CAST(c0+c1 AS DOUBLE)/CAST(n0+n1 AS DOUBLE) < 1 THEN " +
+             "(CAST(c0 AS DOUBLE)/CAST(n0 AS DOUBLE) - CAST(c1 AS DOUBLE)/CAST(n1 AS DOUBLE)) / " +
+             "sqrt(CAST(c0+c1 AS DOUBLE)/CAST(n0+n1 AS DOUBLE) * (1.0 - CAST(c0+c1 AS DOUBLE)/CAST(n0+n1 AS DOUBLE)) * " +
+             "(1.0/CAST(n0 AS DOUBLE) + 1.0/CAST(n1 AS DOUBLE))) ELSE 0.0 END")} AS z
+        |FROM s""".stripMargin
+    },
     // same lead window over the same (ts, event_id) total order; µs vs ns
     // is irrelevant here — only the ORDER of the int64 times matters, and
     // ns = µs·1000 is order-preserving

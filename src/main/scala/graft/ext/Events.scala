@@ -351,6 +351,51 @@ object Events {
   }
 
   /**
+   * Hash-randomized A/B readout with a two-proportion z-test: users are
+   * deterministically assigned to variants by the export mix chain
+   * ([[Export.mixBucket]] — the same auditable int64 arithmetic that
+   * assigns splits, so a user's arm never flips between runs or
+   * engines), conversion = the user emitted at least one `convType`
+   * event, and the one-row summary carries both arms' user/converter
+   * counts, rates, and the pooled-variance z statistic
+   * `(p0 − p1) / sqrt(p̂(1−p̂)(1/n0 + 1/n1))` — the standard significance
+   * readout an experimentation pipeline computes per metric.
+   *
+   * Determinism: counts are exact; rates and z are fixed IEEE op
+   * sequences over exact integers (sqrt may differ by an ulp across
+   * engines — inside the harness's 1e-6 snap). Degenerate arms (either
+   * n = 0, or pooled rate 0 or 1 → zero variance) report z = 0 rather
+   * than NaN, keeping the output NULL-free.
+   *
+   * Scale shape: ONE user-keyed aggregate (map-side partials collapse
+   * each user's events) + a 1-row final aggregate — no joins at all;
+   * the variant is a row-local pure function of the user id.
+   */
+  def abTest(events: DataFrame, convType: String, salt: Long = 0L): DataFrame = {
+    val perUser = events
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === convType, lit(1L)).otherwise(lit(0L)))
+        .as("conv"))
+      .withColumn("v", Export.mixBucket(col("user_id"), 2, salt))
+    val one = perUser.agg(
+      sum(when(col("v") === 0, lit(1L)).otherwise(lit(0L))).as("n0"),
+      sum(when(col("v") === 0, col("conv")).otherwise(lit(0L))).as("c0"),
+      sum(when(col("v") === 1, lit(1L)).otherwise(lit(0L))).as("n1"),
+      sum(when(col("v") === 1, col("conv")).otherwise(lit(0L))).as("c1"))
+    val p0 = col("c0").cast("double") / col("n0").cast("double")
+    val p1 = col("c1").cast("double") / col("n1").cast("double")
+    val p = (col("c0") + col("c1")).cast("double") /
+      (col("n0") + col("n1")).cast("double")
+    val se = sqrt(p * (lit(1.0) - p) *
+      (lit(1.0) / col("n0").cast("double") + lit(1.0) / col("n1").cast("double")))
+    one.select(col("n0"), col("c0"), col("n1"), col("c1"),
+      when(col("n0") > 0, p0).otherwise(lit(0.0)).as("rate0"),
+      when(col("n1") > 0, p1).otherwise(lit(0.0)).as("rate1"),
+      when(col("n0") > 0 && col("n1") > 0 && p > 0 && p < 1, (p0 - p1) / se)
+        .otherwise(lit(0.0)).as("z"))
+  }
+
+  /**
    * First-order event-type transition matrix (the Markov-chain view of
    * user behavior): for every consecutive (prev → next) pair within a
    * user's time-ordered stream, the pair count and the row-normalized

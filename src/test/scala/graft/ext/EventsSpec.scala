@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 
 import graft.SparkSpec
 
@@ -214,6 +215,48 @@ class EventsSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), plan)
     // all three ref columns ride ONE WindowExec (CollapseWindow fused them)
     assert(plan.split("\n").count(_.contains("Window [")) == 1, plan)
+  }
+
+  test("abTest: arms from the mix chain, exact counts, hand-computed z") {
+    val ev = (1L to 40L).flatMap { u =>
+      // every user views; users divisible by 3 purchase
+      Seq((u * 10, u * 1000L, u, "view", 1.0)) ++
+        (if (u % 3 == 0) Seq((u * 10 + 1, u * 1000L + 1, u, "purchase", 1.0))
+         else Nil)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Events.abTest(ev, "purchase").collect().head
+    // independent recomputation from the same mix chain
+    val arm = (1L to 40L).map { u =>
+      u -> spark.range(u, u + 1)
+        .select(Export.mixBucket(col("id"), 2, 0L)).collect().head.getLong(0)
+    }.toMap
+    val n0 = arm.values.count(_ == 0L).toLong
+    val c0 = arm.count { case (u, v) => v == 0L && u % 3 == 0 }.toLong
+    val n1 = 40L - n0
+    val c1 = arm.count { case (u, v) => v == 1L && u % 3 == 0 }.toLong
+    assert(got.getAs[Long]("n0") === n0)
+    assert(got.getAs[Long]("c0") === c0)
+    assert(got.getAs[Long]("n1") === n1)
+    assert(got.getAs[Long]("c1") === c1)
+    val p0 = c0.toDouble / n0
+    val p1 = c1.toDouble / n1
+    val p = (c0 + c1).toDouble / 40.0
+    val z = (p0 - p1) / math.sqrt(p * (1 - p) * (1.0 / n0 + 1.0 / n1))
+    assertApprox(got.getAs[Double]("rate0"), p0, 1e-12)
+    assertApprox(got.getAs[Double]("z"), z, 1e-12)
+  }
+
+  test("abTest: zero-variance and empty-arm degeneracies report z = 0") {
+    // every user converts → pooled rate 1 → zero variance
+    val all = Seq((1L, 1L, 1L, "purchase", 1.0), (2L, 2L, 2L, "purchase", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(Events.abTest(all, "purchase").collect().head.getAs[Double]("z") === 0.0)
+    // one user → one arm empty
+    val solo = Seq((1L, 1L, 7L, "purchase", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Events.abTest(solo, "purchase").collect().head
+    assert(r.getAs[Double]("z") === 0.0)
+    assert(r.getAs[Long]("n0") + r.getAs[Long]("n1") === 1L)
   }
 
   test("transitionMatrix: lead pairs per user, terminal (end), rows sum to 1") {
