@@ -69,7 +69,13 @@ object Bench {
     // over the composed cleaning chain
     "graph_pagerank", "corpus_funnel",
     // disjunctive pushdown-split broadcast; scalar-avg + anti-join
-    "rel_disjunctive_revenue", "rel_dormant_customers")
+    "rel_disjunctive_revenue", "rel_dormant_customers",
+    // hash-arm experiment readout (one user-keyed exchange + 1-row agg);
+    // Q12/Q13/Q17/Q18 shapes — CASE-split fact join, count-of-counts
+    // with zero fill, exact-integer below-average threshold,
+    // having-filtered rollup with skinny decoration joins
+    "events_abtest", "rel_priority_lines", "rel_custdist",
+    "rel_small_qty", "rel_large_orders")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

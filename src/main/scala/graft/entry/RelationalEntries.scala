@@ -113,6 +113,30 @@ object RelationalEntries {
     "rel_dormant_customers" -> ((s, dir) =>
       gate(Relational.dormantHighValueCustomers(Relational.customer(s, dir),
         Relational.orders(s, dir), DormantCutoff), "nationkey")),
+    // ext: TPC-H Q12 shape — fact-to-fact orderkey join with the
+    // two-way priority split as a CASE inside one aggregate
+    "rel_priority_lines" -> ((s, dir) =>
+      gate(Relational.priorityLineBreakdown(Relational.orders(s, dir),
+        Relational.lineitem(s, dir), VolFrom, VolUntil), "l_returnflag")),
+    // ext: TPC-H Q13 shape — per-customer order count including the
+    // zero-order tail, cascaded into the count-of-counts histogram
+    "rel_custdist" -> ((s, dir) =>
+      gate(Relational.customerOrderDistribution(Relational.customer(s, dir),
+        Relational.orders(s, dir)), "c_count")),
+    // ext: TPC-H Q17 shape — below-average-quantity revenue; the
+    // threshold compares exact int64 cross-products, never noisy sums
+    "rel_small_qty" -> ((s, dir) =>
+      gate(Relational.smallQuantityRevenue(Relational.lineitem(s, dir),
+        Relational.part(s, dir), SmallQtyBrand, SmallQtySizeLo,
+        SmallQtySizeHi), "rev_e4")),
+    // ext: TPC-H Q18 shape — having-filtered order rollup, skinny
+    // survivor set broadcast back onto its decorating joins
+    "rel_large_orders" -> ((s, dir) =>
+      gate(Relational.largeVolumeOrders(Relational.customer(s, dir),
+          Relational.orders(s, dir), Relational.lineitem(s, dir), LargeQtyMin)
+        .withColumn("o_orderdate",
+          expr("unix_micros(cast(o_orderdate as timestamp))"))
+        .withColumnRenamed("o_orderdate", "orderdate_us"), "o_orderkey")),
     // ext: PageRank over the symmetrized customer↔supplier order graph
     // (prefixed string ids keep the two key spaces disjoint); fixed
     // 5-round power iteration, rank snapped only at the gate
@@ -156,6 +180,15 @@ object RelationalEntries {
   private val RetFrom = "1995-01-01"
   private val RetUntil = "1996-01-01"
   private val TopCustomers = 20
+
+  /** Q17-shape contract: brand + size band (110 lines below the 1/5
+    * average-quantity threshold at sf0.01). */
+  private val SmallQtyBrand = "Brand#4"
+  private val SmallQtySizeLo = 1
+  private val SmallQtySizeHi = 25
+
+  /** Q18-shape contract: total-quantity floor (46 orders at sf0.01). */
+  private val LargeQtyMin = 300L
 
   val oracles: Map[String, String] = Map(
     // money sums mirror the Spark side's r6∘r2 composition exactly: the
@@ -332,6 +365,58 @@ object RelationalEntries {
         |                  WHERE o.o_custkey = bal.c_custkey
         |                    AND o.o_orderdate >= TIMESTAMP '$DormantCutoff')
         |GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+    // same fact join, same CASE split — exact int64 counts
+    "rel_priority_lines" ->
+      s"""SELECT l.l_returnflag,
+        |  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+        |           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |WHERE l.l_shipdate >= TIMESTAMP '$VolFrom'
+        |  AND l.l_shipdate < TIMESTAMP '$VolUntil'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same left join + coalesce(0) zero fill, same count-of-counts
+    "rel_custdist" ->
+      """WITH pc AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt
+        |            FROM orders GROUP BY 1)
+        |SELECT COALESCE(pc.cnt, 0) AS c_count,
+        |       CAST(COUNT(*) AS BIGINT) AS custdist
+        |FROM customer c LEFT JOIN pc ON pc.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same exact cross-product threshold (qty·n·den < num·sum over
+    // int64), same single division for the yearly average
+    "rel_small_qty" ->
+      s"""WITH dim AS (SELECT p_partkey FROM part
+        |             WHERE p_brand = '$SmallQtyBrand'
+        |               AND p_size BETWEEN $SmallQtySizeLo AND $SmallQtySizeHi),
+        |sl AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+        |              CAST(floor(l_extendedprice * 1e4 + 0.5) AS BIGINT) AS price_e4
+        |       FROM lineitem JOIN dim ON p_partkey = l_partkey),
+        |st AS (SELECT l_partkey AS sp_partkey, CAST(SUM(qty) AS BIGINT) AS sum_qty,
+        |              CAST(COUNT(*) AS BIGINT) AS n_lines
+        |       FROM sl GROUP BY 1),
+        |f AS (SELECT CAST(SUM(price_e4) AS BIGINT) AS rev_e4,
+        |             CAST(COUNT(*) AS BIGINT) AS n_lines
+        |      FROM sl JOIN st ON sp_partkey = l_partkey
+        |      WHERE qty * n_lines * 5 < 1 * sum_qty)
+        |SELECT ${r6sql("CAST(rev_e4 AS DOUBLE) / 70000.0")} AS avg_yearly,
+        |       rev_e4, n_lines
+        |FROM f""".stripMargin,
+    // same having-filtered rollup; o_totalprice is a per-row value (no
+    // sum noise) so bare r6 on both sides matches
+    "rel_large_orders" ->
+      s"""WITH big AS (SELECT l_orderkey,
+        |             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS tot_qty
+        |             FROM lineitem GROUP BY 1
+        |             HAVING SUM(CAST(l_quantity AS BIGINT)) > $LargeQtyMin)
+        |SELECT o.o_orderkey, c.c_custkey, c.c_name,
+        |       epoch_us(o.o_orderdate) AS orderdate_us,
+        |       ${r6sql("o.o_totalprice")} AS o_totalprice, big.tot_qty
+        |FROM big
+        |JOIN orders o ON o.o_orderkey = big.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |ORDER BY o.o_orderkey""".stripMargin,
     // the same power iteration unrolled as a CTE chain: identical edge
     // derivation, identical per-round arithmetic ((1−d)/N and d·Σ are
     // the same IEEE op sequences), rank snapped only in the outer SELECT

@@ -62,6 +62,20 @@ object Export {
   def mixBucketSql(c: String, buckets: Int, salt: Long): String =
     s"((((($c % ${MixMod - 1}) * $MixA1 + $salt) % $MixMod) * $MixA2 + $MixC2) % $MixMod) % $buckets"
 
+  /** [[mixBucket]] as plain JVM long arithmetic — the spelling stateful
+    * streaming operators use inside their per-key functions (a Column
+    * cannot run there). Same ops, same bounds proof; kept adjacent to the
+    * other two spellings so the three cannot drift apart (equality is
+    * property-tested in ExportSpec). */
+  def mixBucketLong(id: Long, buckets: Int, salt: Long): Long = {
+    require(salt >= 0 && salt < MixMod, s"salt must be in [0, ${MixMod})")
+    require(buckets > 0, "buckets must be positive")
+    val h0 = id % (MixMod - 1)
+    val h1 = (h0 * MixA1 + salt) % MixMod
+    val h2 = (h1 * MixA2 + MixC2) % MixMod
+    h2 % buckets.toLong
+  }
+
   /**
    * Stable train/val/test assignment by id hash: bucket ∈ [0, 1000),
    * `train` below `trainPermille`, `val` in the next `valPermille`,

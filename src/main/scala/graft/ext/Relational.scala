@@ -491,6 +491,133 @@ object Relational {
       .agg(count(lit(1)).as("n_custs"), sum(col("bal_e2")).as("total_bal_e2"))
   }
 
+  /**
+   * Return-class × order-priority line counts (the TPC-H Q12 shape —
+   * this corpus has no shipmode/commitdate columns, so the category
+   * axis is the return flag and "late" is shipping beyond the Q4-style
+   * order-date lag): per l_returnflag over lineitems shipped in
+   * `[from, until)`, how many lines belong to HIGH-priority orders
+   * (1-URGENT / 2-HIGH) vs all others.
+   *
+   * Scale shape: the date filter pushes into the fact scan; the
+   * orders⋈lineitem edge is the fact-to-fact orderkey equi-join (both
+   * sides hash-partition — never broadcast at 100 TB); the conditional
+   * split is a projection riding the SAME exchange (a CASE inside the
+   * sum, not two scans); the final aggregate is return-flags-sized with
+   * map-side partials. Counts are exact int64.
+   */
+  def priorityLineBreakdown(orders: DataFrame, lineitem: DataFrame,
+      from: String, until: String): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    lineitem
+      .where(col("l_shipdate") >= to_timestamp_ntz(lit(from)) &&
+        col("l_shipdate") < to_timestamp_ntz(lit(until)))
+      .select("l_orderkey", "l_returnflag")
+      .join(orders.select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(
+        sum(when(high, lit(1L)).otherwise(lit(0L))).as("high_line_count"),
+        sum(when(high, lit(0L)).otherwise(lit(1L))).as("low_line_count"))
+  }
+
+  /**
+   * Customer order-count distribution (the TPC-H Q13 shape): how many
+   * customers placed exactly N orders, for every N — INCLUDING the
+   * zero-order customers a plain `orders GROUP BY custkey` never sees.
+   *
+   * Scale shape: two cascaded aggregates and one LEFT join — first the
+   * fact-sized per-customer count (one exchange, map-side partials,
+   * output customer-sized), then customer LEFT JOIN that count keyed on
+   * custkey (dimension-to-customer-sized equi-join; AQE broadcasts the
+   * smaller side when it fits), then the histogram aggregate whose
+   * output is at most max-orders-per-customer rows. The zero fill is
+   * `coalesce(cnt, 0)` on the join output — no union, no second scan
+   * of either input. Counts exact int64.
+   */
+  def customerOrderDistribution(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val perCust = orders.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("cnt"))
+    customer.select(col("c_custkey"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("cnt"), lit(0L)).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /**
+   * Small-quantity-order revenue (the TPC-H Q17 shape — p_container is
+   * absent from this catalog, so the part slice is brand + size band):
+   * for parts of `brand` with size in `[sizeLo, sizeHi]`, the total
+   * revenue of lineitems whose quantity is below `frac` × that part's
+   * average lineitem quantity, divided by 7 (the "average yearly" Q17
+   * convention). The threshold compares `l_quantity · n_part_lines`
+   * against `frac · sum_part_qty` in EXACT int64 arithmetic (quantities
+   * are integral; frac scaled to a rational `fracNum/fracDen`), so the
+   * below-average test is bit-identical in any engine — no
+   * sum-order-noise flakes on boundary rows.
+   *
+   * Scale shape: the part slice is dimension-sized and broadcasts into
+   * the fact scan FIRST (the fact side shrinks to the slice's lineitems
+   * before anything aggregates); the per-part (sum, count) aggregate
+   * runs on that reduced slice (one partkey exchange); joining the
+   * per-part stats back to the same slice is another partkey equi-join
+   * on slice-sized inputs — AQE broadcasts the stats side (one row per
+   * sliced part). The final result is ONE row of exact int64 money,
+   * divided once.
+   */
+  def smallQuantityRevenue(lineitem: DataFrame, part: DataFrame,
+      brand: String, sizeLo: Int, sizeHi: Int,
+      fracNum: Long = 1L, fracDen: Long = 5L): DataFrame = {
+    require(fracDen > 0 && fracNum >= 0)
+    val dim = part.where(col("p_brand") === brand &&
+        col("p_size").between(sizeLo, sizeHi))
+      .select("p_partkey")
+    val slice = lineitem
+      .select(col("l_partkey"),
+        col("l_quantity").cast("long").as("qty"),
+        expr("CAST(floor(l_extendedprice * 1e4 + 0.5) AS BIGINT)").as("price_e4"))
+      .join(broadcast(dim), col("l_partkey") === col("p_partkey"))
+    val stats = slice.groupBy(col("l_partkey").as("sp_partkey"))
+      .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("n_lines"))
+    slice.join(stats, col("l_partkey") === col("sp_partkey"))
+      // qty < frac · (sum_qty / n_lines)  ⟺  qty·n·den < num·sum — exact ints
+      .where(col("qty") * col("n_lines") * lit(fracDen) <
+        lit(fracNum) * col("sum_qty"))
+      .agg(sum(col("price_e4")).as("rev_e4"), count(lit(1)).as("n_lines"))
+      .select(
+        (col("rev_e4").cast("double") / lit(7.0 * 1e4)).as("avg_yearly"),
+        col("rev_e4"), col("n_lines"))
+  }
+
+  /**
+   * Large-volume orders (the TPC-H Q18 shape): orders whose TOTAL
+   * lineitem quantity exceeds `minQty`, decorated with the ordering
+   * customer, order date, and total price.
+   *
+   * Scale shape: the per-order quantity rollup is the one fact-sized
+   * exchange (orderkey-keyed, map-side partials — quantities are exact
+   * int64); the `> minQty` filter makes the survivor set tiny by
+   * construction (Q18 thresholds select the extreme tail), so BOTH
+   * decorating joins — back to orders for the header and to customer
+   * for the name — have a skinny left side that AQE broadcasts. Never
+   * sort: callers top-k via TakeOrdered on the exact qty if they rank.
+   */
+  def largeVolumeOrders(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, minQty: Long): DataFrame = {
+    val big = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("tot_qty"))
+      .where(col("tot_qty") > minQty)
+    big.join(orders.select("o_orderkey", "o_custkey", "o_orderdate",
+          "o_totalprice"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select("c_custkey", "c_name"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
+        col("o_orderdate"), col("o_totalprice"), col("tot_qty"))
+  }
+
   def tableProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty)
     cols.map { c =>

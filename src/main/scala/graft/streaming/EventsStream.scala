@@ -117,6 +117,23 @@ final case class TransBuf(event_id: Long, tsMs: Long, tpe: String)
 final case class TransState(buffer: Seq[TransBuf], anchorId: Long,
     anchorTs: Long, anchorType: String, hasAnchor: Boolean)
 
+/** One A/B counting delta — output of [[EventsStream.abDeltas]]. Summing
+  * `d_users` / `d_conv` per variant over any stream prefix yields the
+  * arms' exact user and converter counts at that point; over a finite
+  * input the sums equal the batch [[graft.ext.Events.abTest]] n/c columns
+  * (rates and z are pure functions of the four sums — recompute them
+  * downstream). Whether a user's first sight and first conversion arrive
+  * as one row (1, 1) or two rows (1, 0) + (0, 1) depends on micro-batch
+  * slicing; the per-variant SUMS never do. */
+final case class AbDelta(user_id: Long, variant: Long, d_users: Long, d_conv: Long)
+
+/** Per-user A/B state: whether the user has already counted as a
+  * converter. The state row's existence itself marks the user as counted
+  * into their arm — O(1) per user for the experiment's lifetime, no
+  * buffer and no watermark (first-seen and first-conversion are monotone
+  * facts that no late event can retract). */
+final case class AbUserState(converted: Boolean)
+
 /** One event enriched with its trailing-window stats — output of
   * [[EventsStream.rolling]]. */
 final case class RollingOut(
@@ -721,6 +738,44 @@ object EventsStream {
             state.setTimeoutTimestamp(
               math.max((open.keys.min + 3600L) * 1000L, wm + 1))
           out.iterator
+      }
+  }
+
+  /**
+   * Streaming A/B experiment counters — the unbounded twin of
+   * [[graft.ext.Events.abTest]], the readout an experimentation platform
+   * keeps live while an experiment runs. Each user is assigned an arm by
+   * the SAME auditable mix chain as batch ([[graft.ext.Export
+   * .mixBucketLong]] — so a user's arm never differs between the live
+   * monitor and the offline readout), counted into it on first sight,
+   * and counted as a converter on their first `convType` event. Output
+   * is append-only deltas ([[AbDelta]]); a downstream per-variant sum —
+   * two rows, trivially maintainable anywhere — carries the live (n, c)
+   * the z statistic needs.
+   *
+   * No watermark, no timeout: first-seen and first-converted are
+   * MONOTONE — arrival order and lateness cannot change either fact, so
+   * nothing ever needs to be un-emitted and state needs no horizon.
+   * State is one boolean per user ever seen: the same cardinality any
+   * exactly-once experiment counter must hold somewhere, hash-partitioned
+   * across executors by the group key.
+   */
+  def abDeltas(events: Dataset[StreamEvent], convType: String,
+      salt: Long = 0L): Dataset[AbDelta] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[StreamEvent], state: GroupState[AbUserState]) =>
+          val wasKnown = state.exists
+          val wasConv = state.getOption.exists(_.converted)
+          val nowConv = wasConv || batch.exists(_.event_type == convType)
+          state.update(AbUserState(nowConv))
+          val dU = if (wasKnown) 0L else 1L
+          val dC = if (nowConv && !wasConv) 1L else 0L
+          if (dU == 0L && dC == 0L) Iterator.empty
+          else Iterator(AbDelta(userId,
+            graft.ext.Export.mixBucketLong(userId, 2, salt), dU, dC))
       }
   }
 

@@ -167,6 +167,21 @@ class ExportSpec extends SparkSpec {
     assert(r.filter(_._1 == 5L).map(_._2).distinct.length === 1)
   }
 
+  test("mixBucketLong equals the Column spelling over ids and salts") {
+    val s2 = spark
+    import s2.implicits._
+    for (salt <- Seq(0L, 7L, 123456L); buckets <- Seq(2, 10, 1000)) {
+      import org.apache.spark.sql.functions.col
+      val viaCol = (0L until 500L).toDF("id")
+        .select(col("id"), Export.mixBucket(col("id"), buckets, salt).as("b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (0L until 500L).foreach { id =>
+        assert(Export.mixBucketLong(id, buckets, salt) === viaCol(id),
+          s"id=$id salt=$salt buckets=$buckets")
+      }
+    }
+  }
+
   test("rangeShards plans a map stage + one shard-keyed window, no join") {
     val s2 = spark
     import s2.implicits._

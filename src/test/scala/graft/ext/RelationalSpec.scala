@@ -375,4 +375,87 @@ class RelationalSpec extends SparkSpec {
     assert(!plan.contains("Expand"), plan)
     assert(plan.contains("ReusedExchange"), plan)
   }
+
+  test("priorityLineBreakdown: CASE split per return flag, window filtered") {
+    val li = Seq(
+      (1L, "A", "1996-03-01 00:00:00"),
+      (1L, "R", "1996-04-01 00:00:00"),
+      (2L, "A", "1996-05-01 00:00:00"),
+      (3L, "A", "1994-01-01 00:00:00")  // outside window → dropped
+    ).toDF("l_orderkey", "l_returnflag", "sd")
+      .withColumn("l_shipdate", expr("to_timestamp_ntz(sd)")).drop("sd")
+    val ord = Seq(
+      (1L, "1-URGENT"), (2L, "5-LOW"), (3L, "1-URGENT")
+    ).toDF("o_orderkey", "o_orderpriority")
+    val r = Relational.priorityLineBreakdown(ord, li, "1996-01-01", "1997-01-01")
+      .collect().map(x => x.getAs[String]("l_returnflag") ->
+        ((x.getAs[Long]("high_line_count"), x.getAs[Long]("low_line_count"))))
+      .toMap
+    assert(r === Map("A" -> ((1L, 1L)), "R" -> ((1L, 0L))))
+  }
+
+  test("customerOrderDistribution counts the zero-order tail") {
+    val cust = Seq(1L, 2L, 3L, 4L).toDF("c_custkey")
+    val ord = Seq((10L, 1L), (11L, 1L), (12L, 2L))
+      .toDF("o_orderkey", "o_custkey")
+    val r = Relational.customerOrderDistribution(cust, ord)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // cust 1 → 2 orders, cust 2 → 1, custs 3/4 → 0
+    assert(r === Map(2L -> 1L, 1L -> 1L, 0L -> 2L))
+  }
+
+  test("smallQuantityRevenue: exact integer threshold, below-average only") {
+    // one part, qties 1,10,10,10: sum 31, n 4 → keep qty·4·5 < 31 ⇒ qty=1
+    val li = Seq(
+      (1L, 100L, 1.0, 55.5), (2L, 100L, 10.0, 100.0),
+      (3L, 100L, 10.0, 100.0), (4L, 100L, 10.0, 100.0),
+      (5L, 200L, 1.0, 999.0)  // wrong brand → out of the slice
+    ).toDF("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+    val part = Seq((100L, "B", 5), (200L, "C", 5))
+      .toDF("p_partkey", "p_brand", "p_size")
+    val r = Relational.smallQuantityRevenue(li, part, "B", 1, 10).collect().head
+    assert(r.getAs[Long]("rev_e4") === 555000L)
+    assert(r.getAs[Long]("n_lines") === 1L)
+    assertApprox(r.getAs[Double]("avg_yearly"), 55.5 / 7.0, 1e-9)
+  }
+
+  test("smallQuantityRevenue broadcasts the part slice before aggregating") {
+    val dir = java.nio.file.Files.createTempDirectory("relq17").toString
+    Seq((1L, 100L, 1.0, 55.5))
+      .toDF("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((100L, "B", 5)).toDF("p_partkey", "p_brand", "p_size")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val q = Relational.smallQuantityRevenue(Relational.lineitem(spark, dir),
+      Relational.part(spark, dir), "B", 1, 10)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan)
+    // brand/size prune reaches the part scan
+    val dimScan = plan.split("\n").find(l =>
+      l.contains("FileScan parquet") && l.contains("p_brand"))
+    assert(dimScan.exists(_.contains("PushedFilters")), s"no dim pushdown:\n$plan")
+  }
+
+  test("largeVolumeOrders: having-filtered rollup with decoration") {
+    val li = Seq(
+      (1L, 200.0), (1L, 150.0),  // order 1: 350 > 300 → kept
+      (2L, 100.0), (2L, 100.0)   // order 2: 200 → dropped
+    ).toDF("l_orderkey", "l_quantity")
+    val ord = Seq(
+      (1L, 10L, "1996-01-01 00:00:00", 1234.5),
+      (2L, 11L, "1996-02-01 00:00:00", 999.0)
+    ).toDF("o_orderkey", "o_custkey", "od", "o_totalprice")
+      .withColumn("o_orderdate", expr("to_timestamp_ntz(od)")).drop("od")
+    val cust = Seq((10L, "Customer#10"), (11L, "Customer#11"))
+      .toDF("c_custkey", "c_name")
+    val r = Relational.largeVolumeOrders(cust, ord, li, 300L).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("o_orderkey") === 1L)
+    assert(r.head.getAs[Long]("tot_qty") === 350L)
+    assert(r.head.getAs[String]("c_name") === "Customer#10")
+    assertApprox(r.head.getAs[Double]("o_totalprice"), 1234.5)
+  }
 }

@@ -535,4 +535,56 @@ class BatchStreamParitySpec extends SparkSpec {
       assert(math.abs(est(k) - n) <= 1.0 + 0.2 * n, s"$k est=${est(k)} exact=$n")
     }
   }
+
+  test("abDeltas: summed deltas equal batch arm counts, across slicings") {
+    val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    def ev(u: Long, minutes: Long, tpe: String) =
+      StreamEvent(u, new Timestamp(base + minutes * 60000), tpe, 1.0)
+    // u1 converts after two sightings; u2 converts in their FIRST batch
+    // (slicing B merges sight+conversion into one (1,1) delta); u3 never
+    // converts; u4 converts twice (second purchase must not re-count)
+    val all = Seq(
+      ev(1, 0, "view"), ev(1, 30, "purchase"),
+      ev(2, 5, "purchase"),
+      ev(3, 10, "view"), ev(3, 40, "view"),
+      ev(4, 15, "purchase"), ev(4, 50, "purchase"))
+    val batchDf = all.zipWithIndex.map { case (e, i) =>
+      (i.toLong, e.ts.getTime * 1000000L, e.user_id, e.event_type, e.value)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val b = Events.abTest(batchDf, "purchase").collect().head
+    val batchArms = Map(
+      0L -> ((b.getAs[Long]("n0"), b.getAs[Long]("c0"))),
+      1L -> ((b.getAs[Long]("n1"), b.getAs[Long]("c1"))))
+
+    val slicings = Seq(
+      Seq(all),                                     // everything at once
+      all.map(Seq(_)),                              // one event per batch
+      Seq(all.take(3), all.slice(3, 5), all.drop(5)))
+    for ((slices, si) <- slicings.zipWithIndex) {
+      val in = MemoryStream[StreamEvent]
+      val q = EventsStream.abDeltas(in.toDS(), "purchase")
+        .writeStream.format("memory").queryName(s"parity_ab_$si")
+        .outputMode(OutputMode.Append).start()
+      try {
+        slices.foreach { sl => in.addData(sl: _*); q.processAllAvailable() }
+        val rows = spark.table(s"parity_ab_$si").collect()
+          .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("variant"),
+            r.getAs[Long]("d_users"), r.getAs[Long]("d_conv")))
+        // each user contributes at most one d_users and one d_conv ever
+        rows.groupBy(_._1).foreach { case (u, rs) =>
+          assert(rs.map(_._3).sum <= 1L && rs.map(_._4).sum <= 1L,
+            s"slicing $si user $u over-counted: ${rs.toSeq}")
+        }
+        // every user's variant matches the batch mix chain
+        rows.foreach { case (u, v, _, _) =>
+          assert(v === graft.ext.Export.mixBucketLong(u, 2, 0L))
+        }
+        val arms = rows.groupBy(_._2).map { case (v, rs) =>
+          v -> ((rs.map(_._3).sum, rs.map(_._4).sum))
+        }
+        assert(arms === batchArms.filter { case (_, (n, _)) => n > 0L },
+          s"slicing $si: $arms vs $batchArms")
+      } finally q.stop()
+    }
+  }
 }
