@@ -75,7 +75,11 @@ object Bench {
     // with zero fill, exact-integer below-average threshold,
     // having-filtered rollup with skinny decoration joins
     "events_abtest", "rel_priority_lines", "rel_custdist",
-    "rel_small_qty", "rel_large_orders")
+    "rel_small_qty", "rel_large_orders",
+    // Q8 double-geo-chain share; c-TF-IDF cluster labels (one fact
+    // exchange + vocab-sized tail); greedy k-center coreset (k−1
+    // broadcast-join rounds, TakeOrdered argmax each)
+    "rel_market_share", "cluster_terms", "sample_kcenter")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

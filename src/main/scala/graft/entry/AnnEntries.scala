@@ -14,7 +14,15 @@ object AnnEntries {
 
   private val QueryCount = 50
 
+  /** k-center contract: picks (seed + 4 greedy rounds). */
+  private val KCenterK = 5
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // greedy farthest-point diversity sample (Gonzalez k-center):
+    // snapped-distance argmax per round, id tie-break
+    "sample_kcenter" -> ((s, dir) =>
+      gate(Embeddings.kCenterSample(embeddings(s, dir),
+        "vec_id", "embedding", KCenterK), "rank")),
     // brute-force cosine top-10 for the 50 query vectors
     "ann_topk_brute" -> ((s, dir) => {
       val e = embeddings(s, dir)
@@ -186,6 +194,39 @@ object AnnEntries {
       |                JOIN n nc ON nc.vec_id = cand_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the same greedy chain unrolled: round j's pick maximizes the
+    // 1e-6-snapped min-squared-distance to picks 0..j-1 (LEAST-folded
+    // exactly like the Spark side's running min), smaller id on ties
+    "sample_kcenter" -> {
+      val rounds = (2 until KCenterK).map { j =>
+        val prior = (0 until j).map(i => s"SELECT id FROM p$i")
+          .mkString(" UNION ALL ")
+        s"""d$j AS (SELECT a.vec_id, SUM((a.v - b.v)*(a.v - b.v)) AS d2
+           |      FROM u a JOIN u b ON a.i = b.i
+           |      JOIN p${j - 1} p ON b.vec_id = p.id GROUP BY 1),
+           |m$j AS (SELECT m.vec_id, LEAST(m.d2, d.d2) AS d2
+           |      FROM m${j - 1} m JOIN d$j d USING (vec_id)),
+           |p$j AS (SELECT vec_id AS id, ${r6sql("d2")} AS d2s FROM m$j
+           |      WHERE vec_id NOT IN ($prior)
+           |      ORDER BY d2s DESC, id ASC LIMIT 1)""".stripMargin
+      }.mkString(",\n")
+      val picks = (1 until KCenterK).map(j =>
+        s"SELECT id AS vec_id, CAST($j AS BIGINT) AS rank, d2s AS d2 FROM p$j")
+        .mkString("\nUNION ALL ")
+      s"""WITH u AS (SELECT vec_id, i, embedding[i+1]::DOUBLE AS v
+        |      FROM embeddings, UNNEST(range(len(embedding))) AS r(i)),
+        |p0 AS (SELECT MIN(vec_id) AS id FROM embeddings),
+        |m1 AS (SELECT a.vec_id, SUM((a.v - b.v)*(a.v - b.v)) AS d2
+        |      FROM u a JOIN u b ON a.i = b.i
+        |      JOIN p0 p ON b.vec_id = p.id GROUP BY 1),
+        |p1 AS (SELECT vec_id AS id, ${r6sql("d2")} AS d2s FROM m1
+        |      WHERE vec_id NOT IN (SELECT id FROM p0)
+        |      ORDER BY d2s DESC, id ASC LIMIT 1),
+        |$rounds
+        |SELECT id AS vec_id, CAST(0 AS BIGINT) AS rank, 0.0 AS d2 FROM p0
+        |UNION ALL $picks
+        |ORDER BY rank""".stripMargin
+    },
     "knn_classify" ->
       (cosSql(s"a.vec_id < $QueryCount") + s""",
         |rk AS (SELECT query_id, cand_id,

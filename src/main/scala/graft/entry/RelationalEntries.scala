@@ -137,6 +137,15 @@ object RelationalEntries {
         .withColumn("o_orderdate",
           expr("unix_micros(cast(o_orderdate as timestamp))"))
         .withColumnRenamed("o_orderdate", "orderdate_us"), "o_orderkey")),
+    // ext: TPC-H Q8 shape — one region's market via the customer geo
+    // chain, the supplier nation riding the fact scan as a boolean flag,
+    // share = one division of exact int64 sums per year
+    "rel_market_share" -> ((s, dir) =>
+      gate(Relational.marketShare(Relational.lineitem(s, dir),
+        Relational.orders(s, dir), Relational.customer(s, dir),
+        Relational.supplier(s, dir), Relational.nation(s, dir),
+        Relational.region(s, dir), ShareRegion, ShareNation,
+        VolFrom, VolUntil), "o_year")),
     // ext: PageRank over the symmetrized customer↔supplier order graph
     // (prefixed string ids keep the two key spaces disjoint); fixed
     // 5-round power iteration, rank snapped only at the gate
@@ -189,6 +198,11 @@ object RelationalEntries {
 
   /** Q18-shape contract: total-quantity floor (46 orders at sf0.01). */
   private val LargeQtyMin = 300L
+
+  /** Q8-shape contract: the region whose market is measured and the
+    * supplier nation whose share is reported. */
+  private val ShareRegion = "EUROPE"
+  private val ShareNation = "NATION_3"
 
   val oracles: Map[String, String] = Map(
     // money sums mirror the Spark side's r6∘r2 composition exactly: the
@@ -417,6 +431,28 @@ object RelationalEntries {
         |JOIN orders o ON o.o_orderkey = big.l_orderkey
         |JOIN customer c ON c.c_custkey = o.o_custkey
         |ORDER BY o.o_orderkey""".stripMargin,
+    // same geo chains, same CASE-flagged target sum, same one division
+    "rel_market_share" ->
+      s"""SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |  SUM(CASE WHEN sn.n_name = '$ShareNation'
+        |       THEN CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1e4 + 0.5) AS BIGINT)
+        |       ELSE CAST(0 AS BIGINT) END) AS target_rev_e4,
+        |  SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1e4 + 0.5) AS BIGINT)) AS total_rev_e4,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  ${r6sql("CAST(SUM(CASE WHEN sn.n_name = '" + ShareNation + "' " +
+            "THEN CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1e4 + 0.5) AS BIGINT) " +
+            "ELSE 0 END) AS DOUBLE) / CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1e4 + 0.5) AS BIGINT)) AS DOUBLE)")} AS mkt_share
+        |FROM lineitem l
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+        |JOIN region r ON r.r_regionkey = cn.n_regionkey
+        |WHERE r.r_name = '$ShareRegion'
+        |  AND o.o_orderdate >= TIMESTAMP '$VolFrom'
+        |  AND o.o_orderdate < TIMESTAMP '$VolUntil'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the same power iteration unrolled as a CTE chain: identical edge
     // derivation, identical per-round arithmetic ((1−d)/N and d·Σ are
     // the same IEEE op sequences), rank snapped only in the outer SELECT

@@ -263,6 +263,11 @@ object TextEntries {
     "export_range_shards" -> ((s, dir) =>
       gate(Export.rangeShards(docs(s, dir), "doc_id", "n_chars",
         RangeShardK, HistWidth), "doc_id")),
+    // ext: c-TF-IDF cluster labeling (BERTopic construction) over the
+    // source clusters; top-k on the snapped weight, token tie-break
+    "cluster_terms" -> ((s, dir) =>
+      gate(TextAnalysis.clusterTerms(docs(s, dir), "doc_id", "text",
+        "source", ClusterTermsK), "cluster", "rank")),
     // ext: per-(lang) winsorization of n_chars at the 5/95 band; exact
     // int64 thresholds and clamp on both engines
     "quality_winsorize" -> ((s, dir) =>
@@ -283,6 +288,9 @@ object TextEntries {
   /** PMI contract: low-frequency guard and collocations kept. */
   private val PmiMinCount = 10L
   private val PmiK = 50
+
+  /** c-TF-IDF contract: top terms kept per source cluster. */
+  private val ClusterTermsK = 5
 
   /** Token allowance per source for the budget-sampling contract (each
     * sf0.01 source holds ~1350 tokens, so the cut is non-trivial). */
@@ -1036,6 +1044,31 @@ object TextEntries {
         |  WHERE c.c12 >= $PmiMinCount
         |  ORDER BY pmi DESC, c.t1, c.t2 LIMIT $PmiK
         |) ORDER BY t1, t2""".stripMargin,
+    // same exact counts, same (total/clusters)/f_t division order, same
+    // ln — weight snapped to 1e-6 BEFORE the per-cluster rank
+    "cluster_terms" ->
+      s"""WITH t AS (SELECT source AS cluster,
+        |            string_split_regex(text, '\\s+') AS toks FROM documents),
+        |tok AS (SELECT cluster, toks[i+1] AS token
+        |        FROM t, UNNEST(range(len(toks))) AS r(i)
+        |        WHERE toks[i+1] <> ''),
+        |tf AS (SELECT cluster, token, CAST(COUNT(*) AS BIGINT) AS tf
+        |       FROM tok GROUP BY 1, 2),
+        |ft AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS f_t FROM tf GROUP BY 1),
+        |sc AS (SELECT CAST(SUM(tf) AS DOUBLE) AS total_tokens,
+        |              CAST(COUNT(DISTINCT cluster) AS DOUBLE) AS n_clusters
+        |       FROM tf),
+        |w AS (SELECT tf.cluster, tf.token, tf.tf, ft.f_t,
+        |        floor(CAST(tf.tf AS DOUBLE) *
+        |          ln(1.0 + sc.total_tokens / sc.n_clusters / CAST(ft.f_t AS DOUBLE)) *
+        |          1e6 + 0.50001) / 1e6 AS score
+        |      FROM tf JOIN ft USING (token) CROSS JOIN sc),
+        |rk AS (SELECT cluster, token, tf, f_t, score,
+        |         row_number() OVER (PARTITION BY cluster
+        |           ORDER BY score DESC, token ASC) AS rn
+        |       FROM w)
+        |SELECT cluster, CAST(rn AS BIGINT) AS rank, token, tf, f_t, score
+        |FROM rk WHERE rn <= $ClusterTermsK ORDER BY cluster, rank""".stripMargin,
     // same histogram → cumulative-crossing boundaries → count-of-
     // boundaries-at-or-below shard rule; duplicate boundaries collapse
     // on both sides (DISTINCT here, .distinct in the Scala fit)

@@ -431,6 +431,83 @@ object Embeddings {
       .select(col("vec_id"), cid.as("cid"))
   }
 
+  /**
+   * Greedy k-center / farthest-point diversity sample (Gonzalez 1985) —
+   * coreset selection for data curation: pick the point FARTHEST from
+   * everything picked so far, k times. The classic 2-approximation to
+   * the k-center cover, and the standard "maximally diverse subset"
+   * selector for seeding annotation batches or balancing a fine-tuning
+   * set. Output: the k picks with their selection rank and the snapped
+   * min-squared-distance that won them the pick (0 for the seed).
+   *
+   * Determinism: the seed is the minimum id; each round snaps every
+   * candidate's min-squared-distance to the 1e-6 grid BEFORE the argmax
+   * and breaks ties on the smaller id — so the pick sequence is a
+   * function of values any engine agrees on, and an unrolled SQL chain
+   * reproduces it exactly (the contract oracle does).
+   *
+   * Scale shape: k − 1 rounds, each ONE distributed pass — the newest
+   * center broadcasts as a 1-row (dim-cells) frame, each point updates
+   * its running min distance against ONLY that center (min is
+   * associative — older centers are already folded in), and the argmax
+   * is a TakeOrdered(1). Driver state is the k picks (model-sized eager
+   * fit, same sanction as [[kMeansPlusPlusSeeds]]); `localCheckpoint`
+   * truncates the per-round lineage so round r plans O(1), not O(r).
+   */
+  def kCenterSample(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k > 0)
+    val spark = emb.sparkSession
+    val ids = emb.select(col(idCol).as("vec_id"))
+    val cells = cellsOf(emb, idCol, vecCol)
+    val snap = (c: org.apache.spark.sql.Column) =>
+      floor(c * lit(1e6) + lit(0.50001)) / lit(1e6)
+    def d2To(id: Any): DataFrame = {
+      val center = cells
+        .join(broadcast(seedIdFrame(spark, Seq(id), ids)), "vec_id")
+        .select(col("i"), col("x").as("c"))
+      cells.join(broadcast(center), "i")
+        .groupBy("vec_id")
+        .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d2"))
+    }
+    val firstOpt = ids.orderBy(col("vec_id").asc).limit(1).collect().headOption
+    if (firstOpt.isEmpty)
+      return ids.limit(0)
+        .withColumn("rank", lit(0L)).withColumn("d2", lit(0.0))
+    val first = firstOpt.get.get(0)
+    var chosen = Vector[(Any, Double)]((first, 0.0))
+    var minD2 = d2To(first).localCheckpoint()
+    var exhausted = false
+    while (chosen.length < k && !exhausted) {
+      val chosenIds = seedIdFrame(spark, chosen.map(_._1), ids)
+      val next = minD2.join(broadcast(chosenIds), Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), snap(col("d2")).as("d2s"))
+        .orderBy(col("d2s").desc, col("vec_id").asc)
+        .limit(1).collect().headOption
+      next match {
+        case Some(r) =>
+          chosen = chosen :+ (r.get(0) -> r.getDouble(1))
+          if (chosen.length < k)
+            // fold the new center into the running min — unsnapped, so
+            // later rounds compare true distances (only picks snap)
+            minD2 = minD2
+              .join(d2To(r.get(0)).withColumnRenamed("d2", "nd2"), "vec_id")
+              .select(col("vec_id"), least(col("d2"), col("nd2")).as("d2"))
+              .localCheckpoint()
+        case None => exhausted = true // k exceeds the point count
+      }
+    }
+    val rankCol = chosen.zipWithIndex
+      .map { case ((id, _), r) => when(col("vec_id") === lit(id), lit(r.toLong)) }
+      .reduceRight[org.apache.spark.sql.Column](_.otherwise(_))
+    val d2Col = chosen
+      .map { case (id, d) => when(col("vec_id") === lit(id), lit(d)) }
+      .reduceRight[org.apache.spark.sql.Column](_.otherwise(_))
+    ids.join(broadcast(seedIdFrame(spark, chosen.map(_._1), ids)),
+        Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), rankCol.as("rank"), d2Col.as("d2"))
+  }
+
   /** Driver-held seed ids as a 1-column (vec_id) frame with `like`'s
     * schema — the broadcast-join replacement for growing isin lists. */
   private def seedIdFrame(spark: SparkSession, seedIds: Seq[Any],

@@ -618,6 +618,58 @@ object Relational {
         col("o_orderdate"), col("o_totalprice"), col("tot_qty"))
   }
 
+  /**
+   * Supplier-nation market share inside one region's market (the TPC-H
+   * Q8 shape): of all revenue on orders placed by `regionName` customers
+   * in `[from, until)`, the share supplied by `nationName` suppliers,
+   * per order year. Money stays in exact int64 1e-4-dollar units
+   * ([[revE4]]); each year's share is ONE division of two exact sums —
+   * bit-identical in any engine.
+   *
+   * Scale shape: two independent broadcast dimension chains — the
+   * customer→nation→region chain filters ORDERS to the region's market
+   * before the fact join, and the supplier→nation chain rides the
+   * LINEITEM scan as a precomputed boolean (the fact side never
+   * materializes nation names, mirroring [[promoRevenueShare]]'s flag
+   * trick). The one big edge is the unavoidable orders⋈lineitem
+   * fact-to-fact equi-join on the orderkey; the final aggregate is
+   * years-sized with map-side partials and the conditional target-sum
+   * is a CASE inside it, not a second scan.
+   */
+  def marketShare(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, supplier: DataFrame, nation: DataFrame,
+      region: DataFrame, regionName: String, nationName: String,
+      from: String, until: String): DataFrame = {
+    val marketCust = customer.select("c_custkey", "c_nationkey")
+      .join(broadcast(nation.select("n_nationkey", "n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.where(col("r_name") === regionName)
+          .select("r_regionkey")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey")
+    val ord = orders
+      .where(col("o_orderdate") >= to_timestamp_ntz(lit(from)) &&
+        col("o_orderdate") < to_timestamp_ntz(lit(until)))
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .join(broadcast(marketCust), col("o_custkey") === col("c_custkey"))
+    val suppDim = supplier.select("s_suppkey", "s_nationkey")
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), (col("n_name") === nationName).as("is_target"))
+    lineitem.select(col("l_orderkey"), col("l_suppkey"), revE4.as("rev_e4"))
+      .join(broadcast(suppDim), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_year")
+      .agg(
+        sum(when(col("is_target"), col("rev_e4")).otherwise(lit(0L)))
+          .as("target_rev_e4"),
+        sum(col("rev_e4")).as("total_rev_e4"),
+        count(lit(1)).as("n_items"))
+      .withColumn("mkt_share",
+        col("target_rev_e4").cast("double") / col("total_rev_e4").cast("double"))
+  }
+
   def tableProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty)
     cols.map { c =>

@@ -1418,6 +1418,56 @@ object TextAnalysis {
       .limit(k)
       .select(col("t1"), col("t2"), col("c12"), col("c1"), col("c2"), col("pmi"))
   }
+
+  /**
+   * Class-based TF-IDF top terms per cluster — the c-TF-IDF labeling
+   * step of BERTopic (Grootendorst 2022): treat each cluster's documents
+   * as ONE class document; a term's weight in cluster c is
+   * `tf_{t,c} · ln(1 + (A / f_t))` where `tf_{t,c}` is the term's count
+   * inside the cluster, `f_t` its count across ALL clusters, and `A` the
+   * average token count per cluster. The k highest-weight terms name the
+   * cluster — the human-readable readout over any doc→cluster map
+   * ([[Embeddings]] k-means assignments, a language id, a source tag).
+   *
+   * Determinism: all counts are exact int64; the weight is a fixed IEEE
+   * op sequence (two divisions, one ln, one multiply — ln may differ by
+   * an ulp across engines) SNAPPED to the 1e-6 grid BEFORE ranking, with
+   * the token string as tie-break — so which terms make the top-k is a
+   * function of values both engines agree on (same construction as
+   * [[pmiBigrams]]).
+   *
+   * Scale shape: the token explode + (cluster, term) count is the ONE
+   * fact-sized exchange; `f_t` re-aggregates that RESULT per term
+   * (vocabulary-sized); the scalar pair (total tokens, cluster count) is
+   * the sanctioned 1-row broadcast; the tf⋈f_t equi-join and the
+   * per-cluster top-k window all run on vocabulary-sized data.
+   */
+  def clusterTerms(docs: DataFrame, idCol: String, textCol: String,
+      clusterCol: String, k: Int): DataFrame = {
+    require(k > 0)
+    val pat = WhitespacePattern.replace("\\", "\\\\")
+    val tf = docs
+      .select(col(clusterCol).as("cluster"),
+        explode(expr(s"filter(split($textCol, '$pat'), x -> x <> '')")).as("token"))
+      .groupBy("cluster", "token")
+      .agg(count(lit(1)).as("tf"))
+    val termTotal = tf.groupBy("token").agg(sum("tf").as("f_t"))
+    val scalars = tf.agg(
+      sum("tf").cast("double").as("total_tokens"),
+      countDistinct("cluster").cast("double").as("n_clusters"))
+    val w = Window.partitionBy("cluster")
+      .orderBy(col("score").desc, col("token").asc)
+    tf.join(termTotal, "token")
+      .crossJoin(broadcast(scalars))
+      .withColumn("score",
+        floor(col("tf").cast("double") *
+          log(lit(1.0) +
+            col("total_tokens") / col("n_clusters") / col("f_t").cast("double")) *
+          lit(1e6) + lit(0.50001)) / lit(1e6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("cluster", "rank", "token", "tf", "f_t", "score")
+  }
 }
 
 /**

@@ -43,6 +43,9 @@ class PlanAuditSpec extends SparkSpec {
       "events_decay",
       // 1-row total-bigram-count scalar broadcast over the PMI vocab
       "vocab_pmi",
+      // 1-row (total tokens, cluster count) scalar broadcast over the
+      // vocab-sized c-TF-IDF weight table
+      "cluster_terms",
       // 1-row average-balance scalar broadcast over the customer scan
       "rel_dormant_customers")
 

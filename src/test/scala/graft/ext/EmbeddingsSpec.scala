@@ -465,4 +465,32 @@ class EmbeddingsSpec extends SparkSpec {
       .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
     assert(r == Map(0L -> 1L, 1L -> 0L, 2L -> 1L, 3L -> 1L))
   }
+
+  test("kCenterSample: greedy farthest-point picks, hand-traced") {
+    // 1-D line: 0, 1, 10, 11, 100. Seed = min id (point at 0); the
+    // farthest is 100 (d2 10000); next is 11 (min d2 to {0,100} = 121,
+    // beating 10's min of 100); after {0, 100, 11} both remaining points
+    // sit at min d2 = 1 → tie on the snapped distance, smaller id wins
+    // → point id 1
+    val pts = Seq(
+      (0L, Seq(0.0f)), (1L, Seq(1.0f)), (2L, Seq(10.0f)),
+      (3L, Seq(11.0f)), (4L, Seq(100.0f))
+    ).toDF("vec_id", "embedding")
+    val r = Embeddings.kCenterSample(pts, "vec_id", "embedding", 4)
+      .orderBy("rank").collect()
+      .map(x => (x.getAs[Long]("rank"), x.getAs[Long]("vec_id"),
+        x.getAs[Double]("d2")))
+    assert(r.map(_._2).toSeq === Seq(0L, 4L, 3L, 1L), r.toSeq)
+    assert(r(0)._3 === 0.0)
+    assertApprox(r(1)._3, 10000.0)
+    assertApprox(r(2)._3, 121.0)
+    assertApprox(r(3)._3, 1.0)
+  }
+
+  test("kCenterSample: k beyond the point count returns every point once") {
+    val pts = Seq((7L, Seq(0.0f)), (8L, Seq(5.0f))).toDF("vec_id", "embedding")
+    val r = Embeddings.kCenterSample(pts, "vec_id", "embedding", 10).collect()
+    assert(r.map(_.getAs[Long]("vec_id")).sorted.toSeq === Seq(7L, 8L))
+    assert(r.map(_.getAs[Long]("rank")).sorted.toSeq === Seq(0L, 1L))
+  }
 }

@@ -439,6 +439,38 @@ class RelationalSpec extends SparkSpec {
     assert(dimScan.exists(_.contains("PushedFilters")), s"no dim pushdown:\n$plan")
   }
 
+  test("marketShare: region market only, target-nation share per year") {
+    // suppliers: s1 in NATION_A (target), s2 in NATION_B; customers: c1
+    // in the EUROPE region, c2 outside it (their order must not count)
+    val li = Seq(
+      (1L, 1L, 100.0, 0.0),  // order 1 (c1, 1996), target supplier
+      (1L, 2L, 300.0, 0.0),  // order 1, other supplier
+      (2L, 1L, 500.0, 0.0),  // order 2 (c2 — outside the region market)
+      (3L, 1L, 40.0, 0.0)    // order 3 (c1, 1997), target supplier
+    ).toDF("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val ord = Seq(
+      (1L, 10L, "1996-06-01 00:00:00"),
+      (2L, 11L, "1996-07-01 00:00:00"),
+      (3L, 10L, "1997-03-01 00:00:00")
+    ).toDF("o_orderkey", "o_custkey", "od")
+      .withColumn("o_orderdate", expr("to_timestamp_ntz(od)")).drop("od")
+    val cust = Seq((10L, 1), (11L, 2)).toDF("c_custkey", "c_nationkey")
+    val supp = Seq((1L, 1), (2L, 2)).toDF("s_suppkey", "s_nationkey")
+    val nat = Seq((1, 1, "NATION_A"), (2, 2, "NATION_B"))
+      .toDF("n_nationkey", "n_regionkey", "n_name")
+    val reg = Seq((1, "EUROPE"), (2, "ASIA")).toDF("r_regionkey", "r_name")
+    val r = Relational.marketShare(li, ord, cust, supp, nat, reg,
+        "EUROPE", "NATION_A", "1996-01-01", "1998-01-01")
+      .collect().map(x => x.getAs[Long]("o_year") ->
+        ((x.getAs[Long]("target_rev_e4"), x.getAs[Long]("total_rev_e4"),
+          x.getAs[Double]("mkt_share")))).toMap
+    // 1996: target 100 of 400 → 0.25; 1997: target 40 of 40 → 1.0
+    assert(r.keySet === Set(1996L, 1997L))
+    assert(r(1996L)._1 === 1000000L && r(1996L)._2 === 4000000L)
+    assertApprox(r(1996L)._3, 0.25)
+    assertApprox(r(1997L)._3, 1.0)
+  }
+
   test("largeVolumeOrders: having-filtered rollup with decoration") {
     val li = Seq(
       (1L, 200.0), (1L, 150.0),  // order 1: 350 > 300 → kept

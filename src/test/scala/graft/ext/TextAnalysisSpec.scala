@@ -533,4 +533,35 @@ class TextAnalysisSpec extends SparkSpec {
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("clusterTerms: c-TF-IDF weights, hand-computed, cluster-distinctive") {
+    // cluster A: tokens {x:2, y:1}; cluster B: {y:1, z:1} →
+    // total 5, clusters 2, A = 2.5; f_x=2, f_y=2, f_z=1
+    val d = Seq(
+      (0L, "x x y", "A"), (1L, "y z", "B")
+    ).toDF("doc_id", "text", "src")
+    val r = TextAnalysis.clusterTerms(d, "doc_id", "text", "src", 2)
+      .collect()
+      .map(x => (x.getAs[String]("cluster"), x.getAs[Long]("rank")) ->
+        ((x.getAs[String]("token"), x.getAs[Long]("tf"),
+          x.getAs[Long]("f_t"), x.getAs[Double]("score"))))
+      .toMap
+    // A's top term is its repeated x; B's is its EXCLUSIVE z (higher idf
+    // than the shared y despite equal tf) — the c-TF-IDF point
+    assert(r(("A", 1L))._1 === "x")
+    assert(r(("B", 1L))._1 === "z")
+    assert(r(("A", 2L))._1 === "y")
+    assert(r(("B", 2L))._1 === "y")
+    assertApprox(r(("A", 1L))._4, 2.0 * math.log(1.0 + 2.5 / 2.0), 1e-5)
+    assertApprox(r(("B", 1L))._4, math.log(1.0 + 2.5 / 1.0), 1e-5)
+    assert(r(("A", 1L))._2 === 2L && r(("A", 1L))._3 === 2L)
+  }
+
+  test("clusterTerms top-k selection happens on the SNAPPED score") {
+    // equal snapped scores → lexicographic token tie-break inside a rank
+    val d = Seq((0L, "b a", "A")).toDF("doc_id", "text", "src")
+    val r = TextAnalysis.clusterTerms(d, "doc_id", "text", "src", 2)
+      .orderBy("rank").collect().map(_.getAs[String]("token")).toSeq
+    assert(r === Seq("a", "b"))
+  }
 }

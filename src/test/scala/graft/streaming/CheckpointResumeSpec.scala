@@ -315,4 +315,56 @@ class CheckpointResumeSpec extends SparkSpec {
     // no duplicates from offset replay; the cross-restart pair exists
     assert(got === Seq(("view", "click"), ("click", "purchase")), got)
   }
+
+  test("abDeltas resumes from checkpoint: counted users never re-count") {
+    val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    def ev(u: Long, minutes: Long, tpe: String) =
+      StreamEvent(u, new Timestamp(base + minutes * 60000), tpe, 1.0)
+
+    // before the restart: u1 sighted (no conversion), u2 sighted+converted
+    val before = Seq(ev(1, 0, "view"), ev(2, 5, "purchase"))
+    // after: u1 converts (only a d_conv delta may appear — the recovered
+    // state must remember u1 was already counted), u2 converts AGAIN
+    // (nothing may appear), u3 is new
+    val after = Seq(ev(1, 30, "purchase"), ev(2, 35, "purchase"),
+      ev(3, 40, "view"))
+
+    val dir = Files.createTempDirectory("graft_ab_ckpt").toFile
+    val outPath = s"$dir/out"
+    val ckptPath = s"$dir/ckpt"
+    val in = MemoryStream[StreamEvent]
+    def start() = EventsStream.abDeltas(in.toDS(), "purchase")
+      .writeStream.format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", ckptPath)
+      .outputMode(OutputMode.Append)
+      .start()
+
+    val q1 = start()
+    try {
+      in.addData(before: _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    val q2 = start()
+    try {
+      in.addData(after: _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val rows = spark.read.parquet(outPath).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("variant"),
+        r.getAs[Long]("d_users"), r.getAs[Long]("d_conv")))
+    // per-user lifetime sums: exactly one d_users each; d_conv only for
+    // converters, exactly once — across the restart
+    val perUser = rows.groupBy(_._1).map { case (u, rs) =>
+      u -> ((rs.map(_._3).sum, rs.map(_._4).sum))
+    }
+    assert(perUser === Map(
+      1L -> ((1L, 1L)), 2L -> ((1L, 1L)), 3L -> ((1L, 0L))), perUser)
+    // the recovered state kept u1's arm stable across the restart
+    val armsOfU1 = rows.filter(_._1 == 1L).map(_._2).distinct
+    assert(armsOfU1.length === 1 &&
+      armsOfU1.head === graft.ext.Export.mixBucketLong(1L, 2, 0L))
+  }
 }
