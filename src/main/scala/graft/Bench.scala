@@ -79,7 +79,10 @@ object Bench {
     // Q8 double-geo-chain share; c-TF-IDF cluster labels (one fact
     // exchange + vocab-sized tail); greedy k-center coreset (k−1
     // broadcast-join rounds, TakeOrdered argmax each)
-    "rel_market_share", "cluster_terms", "sample_kcenter")
+    "rel_market_share", "cluster_terms", "sample_kcenter",
+    // Q21 cascaded-aggregate sole-blame rollup; BPE rule induction
+    // (6 pair-count rounds over the word-type table)
+    "rel_waiting_suppliers", "vocab_bpe")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

@@ -137,6 +137,11 @@ object RelationalEntries {
         .withColumn("o_orderdate",
           expr("unix_micros(cast(o_orderdate as timestamp))"))
         .withColumnRenamed("o_orderdate", "orderdate_us"), "o_orderkey")),
+    // ext: TPC-H Q21 shape — sole-blame late suppliers on multi-supplier
+    // orders, planned as cascaded aggregates instead of EXISTS/NOT EXISTS
+    "rel_waiting_suppliers" -> ((s, dir) =>
+      gate(Relational.soleLateSuppliers(Relational.orders(s, dir),
+        Relational.lineitem(s, dir)), "l_suppkey")),
     // ext: TPC-H Q8 shape — one region's market via the customer geo
     // chain, the supplier nation riding the fact scan as a boolean flag,
     // share = one division of exact int64 sums per year
@@ -431,6 +436,21 @@ object RelationalEntries {
         |JOIN orders o ON o.o_orderkey = big.l_orderkey
         |JOIN customer c ON c.c_custkey = o.o_custkey
         |ORDER BY o.o_orderkey""".stripMargin,
+    // same cascaded (order, supplier) → order rollups, same sole-blame
+    // predicate — exact integer flags and counts throughout
+    "rel_waiting_suppliers" ->
+      """WITH pos AS (SELECT l.l_orderkey, l.l_suppkey,
+        |  CAST(MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS was_late
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  GROUP BY 1, 2),
+        |po AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_supps,
+        |              CAST(SUM(was_late) AS BIGINT) AS n_late
+        |       FROM pos GROUP BY 1)
+        |SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_sole_late_orders
+        |FROM pos JOIN po USING (l_orderkey)
+        |WHERE was_late = 1 AND n_supps > 1 AND n_late = 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // same geo chains, same CASE-flagged target sum, same one division
     "rel_market_share" ->
       s"""SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,

@@ -268,6 +268,11 @@ object TextEntries {
     "cluster_terms" -> ((s, dir) =>
       gate(TextAnalysis.clusterTerms(docs(s, dir), "doc_id", "text",
         "source", ClusterTermsK), "cluster", "rank")),
+    // ext: BPE merge induction (tokenizer training) — greedy most-
+    // frequent-pair rules over the word-frequency table, exact counts
+    "vocab_bpe" -> ((s, dir) =>
+      gate(TextAnalysis.bpeMerges(docs(s, dir), "doc_id", "text",
+        BpeRounds), "round")),
     // ext: per-(lang) winsorization of n_chars at the 5/95 band; exact
     // int64 thresholds and clamp on both engines
     "quality_winsorize" -> ((s, dir) =>
@@ -291,6 +296,10 @@ object TextEntries {
 
   /** c-TF-IDF contract: top terms kept per source cluster. */
   private val ClusterTermsK = 5
+
+  /** BPE contract: merge rules learned (each round is a full pair-count
+    * pass — real tokenizers run this same loop ~30k times). */
+  private val BpeRounds = 6
 
   /** Token allowance per source for the budget-sampling contract (each
     * sf0.01 source holds ~1350 tokens, so the cut is non-trivial). */
@@ -1069,6 +1078,62 @@ object TextEntries {
         |       FROM w)
         |SELECT cluster, CAST(rn AS BIGINT) AS rank, token, tf, f_t, score
         |FROM rk WHERE rn <= $ClusterTermsK ORDER BY cluster, rank""".stripMargin,
+    // the same greedy rounds replayed in SQL: pair counts weighted by
+    // word frequency, argmax on (count DESC, pair ASC), and the greedy
+    // left-to-right rewrite spelled as its window-parity equivalent —
+    // within a run of consecutive overlapping matches, exactly the
+    // 1st/3rd/5th… merge (what the Spark side's left fold does)
+    "vocab_bpe" -> {
+      val rounds = (1 to BpeRounds).map { j =>
+        val prev = s"s${j - 1}"
+        val tail =
+          if (j == BpeRounds) "" // the last rule needs no rewrite
+          else s""",
+            |mt$j AS MATERIALIZED (SELECT s.word, s.pos FROM $prev s
+            |        JOIN $prev t ON t.word = s.word AND t.pos = s.pos + 1
+            |        JOIN m$j m ON s.sym = m.a AND t.sym = m.b),
+            |vt$j AS MATERIALIZED (SELECT word, pos FROM (
+            |          SELECT word, pos,
+            |            row_number() OVER (PARTITION BY word, pos - rn
+            |                               ORDER BY pos) AS k
+            |          FROM (SELECT word, pos,
+            |                  row_number() OVER (PARTITION BY word
+            |                                     ORDER BY pos) AS rn
+            |                FROM mt$j))
+            |        WHERE k % 2 = 1),
+            |s$j AS MATERIALIZED (SELECT s.word, s.n,
+            |          CAST(row_number() OVER (PARTITION BY s.word
+            |                                  ORDER BY s.pos) - 1 AS BIGINT) AS pos,
+            |          CASE WHEN v.word IS NOT NULL THEN m.a || m.b
+            |               ELSE s.sym END AS sym
+            |        FROM $prev s
+            |        CROSS JOIN m$j m
+            |        LEFT JOIN vt$j v ON v.word = s.word AND v.pos = s.pos
+            |        WHERE NOT EXISTS (SELECT 1 FROM vt$j c
+            |                          WHERE c.word = s.word
+            |                            AND c.pos = s.pos - 1))""".stripMargin
+        s"""pc$j AS MATERIALIZED (SELECT s.sym AS a, t.sym AS b,
+           |        CAST(SUM(s.n) AS BIGINT) AS cnt
+           |        FROM $prev s JOIN $prev t
+           |          ON t.word = s.word AND t.pos = s.pos + 1
+           |        GROUP BY 1, 2),
+           |m$j AS MATERIALIZED (SELECT a, b, cnt FROM pc$j
+           |       ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)$tail""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to BpeRounds).map(j =>
+        s"""SELECT CAST($j AS BIGINT) AS round, a AS sym_a, b AS sym_b,
+           |cnt AS pair_count, a || b AS merged FROM m$j""".stripMargin)
+        .mkString("\nUNION ALL ")
+      tokSql + s""",
+        |w AS (SELECT token AS word, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM tok GROUP BY 1),
+        |s0 AS MATERIALIZED (SELECT word, n, CAST(i AS BIGINT) AS pos,
+        |              substr(word, CAST(i + 1 AS INTEGER), 1) AS sym
+        |       FROM w, UNNEST(range(length(word))) AS r(i)),
+        |$rounds
+        |$out
+        |ORDER BY round""".stripMargin
+    },
     // same histogram → cumulative-crossing boundaries → count-of-
     // boundaries-at-or-below shard rule; duplicate boundaries collapse
     // on both sides (DISTINCT here, .distinct in the Scala fit)

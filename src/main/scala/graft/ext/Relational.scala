@@ -670,6 +670,42 @@ object Relational {
         col("target_rev_e4").cast("double") / col("total_rev_e4").cast("double"))
   }
 
+  /**
+   * Suppliers who alone held up multi-supplier orders (the TPC-H Q21
+   * shape, lateness by ship-lag as in [[latePriorityOrders]] since this
+   * schema has no commit/receipt dates): per supplier, the number of
+   * orders where the supplier shipped a lineitem more than `lateDays`
+   * after the order date, at least one OTHER supplier participated, and
+   * NO other supplier was late — the sole-blame count.
+   *
+   * Scale shape: Q21's textbook spelling is EXISTS + NOT EXISTS
+   * correlated subqueries — two more fact-to-fact joins. This plans the
+   * equivalent as CASCADED AGGREGATES instead: one (order, supplier)
+   * rollup carrying a was-late flag (the single fact-sized exchange —
+   * the orders join rides it), one order-sized re-aggregate counting
+   * suppliers and late suppliers per order, and a result-sized join
+   * back on the order key that AQE resolves as it likes. Every count is
+   * exact int64; no row ever leaves with a non-equi join.
+   */
+  def soleLateSuppliers(orders: DataFrame, lineitem: DataFrame,
+      lateDays: Int = 60): DataFrame = {
+    require(lateDays >= 0)
+    val perOrderSupp = lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(orders.select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max(when(
+        col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAY"),
+        lit(1L)).otherwise(lit(0L))).as("was_late"))
+    val perOrder = perOrderSupp.groupBy(col("l_orderkey").as("ok"))
+      .agg(count(lit(1)).as("n_supps"), sum(col("was_late")).as("n_late"))
+    perOrderSupp
+      .join(perOrder, col("l_orderkey") === col("ok"))
+      .where(col("was_late") === 1L && col("n_supps") > 1L && col("n_late") === 1L)
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_sole_late_orders"))
+  }
+
   def tableProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty)
     cols.map { c =>

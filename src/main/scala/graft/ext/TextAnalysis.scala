@@ -1468,6 +1468,97 @@ object TextAnalysis {
       .where(col("rank") <= k)
       .select("cluster", "rank", "token", "tf", "f_t", "score")
   }
+
+  /**
+   * Byte-pair-encoding merge induction (Sennrich et al. 2016) — the
+   * tokenizer-training core: `rounds` greedy merge rules learned from
+   * the corpus's word-frequency table. Each round counts every adjacent
+   * symbol pair weighted by word frequency, adopts the most frequent
+   * pair (ties broken lexicographically on the pair), and rewrites every
+   * word's symbol sequence with a greedy left-to-right merge (overlapping
+   * occurrences like `aaa` under the rule `a+a` merge the FIRST pair and
+   * skip the consumed symbol — the reference BPE behavior). Output: one
+   * row per learned rule (round, sym_a, sym_b, pair_count, merged).
+   * Words are whitespace tokens split to characters; no end-of-word
+   * marker (merges never cross word boundaries by construction here).
+   *
+   * Determinism: pair counts are exact int64 sums of exact counts; the
+   * argmax orders (count DESC, sym_a ASC, sym_b ASC) — pure string/int
+   * comparisons, so any engine adopts the identical rule sequence (the
+   * contract oracle replays all rounds in SQL).
+   *
+   * Scale shape: the corpus collapses ONCE to its word-frequency table
+   * (the only fact-sized exchange); every round then runs on word TYPES
+   * — a pair explode bounded by total characters across types, one
+   * vocabulary-sized aggregate, a TakeOrdered(1) argmax, and a row-local
+   * fold (`aggregate` HOF) for the rewrite, zero additional exchanges.
+   * The adopted rule is a driver-held pair (model-sized eager fit, the
+   * [[Embeddings]] codebook sanction); `localCheckpoint` keeps round
+   * plans O(1). Real tokenizers learn ~30k rules with this exact loop —
+   * `rounds` bounds the work per call, not the design.
+   */
+  def bpeMerges(docs: DataFrame, idCol: String, textCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds > 0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pat = WhitespacePattern.replace("\\", "\\\\")
+    val words = docs
+      .select(explode(expr(s"filter(split($textCol, '$pat'), x -> x <> '')")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    var syms = words.select(col("word"), col("n"),
+      expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))").as("s"))
+      .localCheckpoint()
+    val learned = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    var round = 1
+    var dry = false
+    while (round <= rounds && !dry) {
+      val top = syms.where(size(col("s")) >= 2)
+        .select(col("n"), explode(expr(
+          """transform(sequence(0, size(s) - 2),
+            |  i -> named_struct('a', element_at(s, i + 1),
+            |                    'b', element_at(s, i + 2)))""".stripMargin)).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect().headOption
+      top match {
+        case Some(r) =>
+          val (a, b) = (r.getAs[String]("a"), r.getAs[String]("b"))
+          learned += ((round.toLong, a, b, r.getAs[Long]("cnt")))
+          if (round < rounds)
+            syms = syms
+              .withColumn("s", mergePair(col("s"), lit(a), lit(b)))
+              .localCheckpoint()
+        case None => dry = true // every word is a single symbol already
+      }
+      round += 1
+    }
+    learned.toSeq.toDF("round", "sym_a", "sym_b", "pair_count")
+      .withColumn("merged", concat(col("sym_a"), col("sym_b")))
+  }
+
+  /** Greedy left-to-right single-rule BPE rewrite of a symbol array: a
+    * left fold whose accumulator carries the emitted prefix plus one
+    * pending symbol — pending `a` followed by `b` emits the merged
+    * symbol and clears, anything else flushes the pending one. */
+  private def mergePair(s: Column, a: Column, b: Column): Column = {
+    val init = struct(
+      array().cast("array<string>").as("out"),
+      lit(null).cast("string").as("pend"))
+    def acc2(out: Column, pend: Column) =
+      struct(out.as("out"), pend.cast("string").as("pend"))
+    aggregate(s, init,
+      (acc, x) =>
+        when(acc.getField("pend").isNull, acc2(acc.getField("out"), x))
+          .when(acc.getField("pend") === a && x === b,
+            acc2(concat(acc.getField("out"), array(concat(a, b))), lit(null)))
+          .otherwise(acc2(concat(acc.getField("out"),
+            array(acc.getField("pend"))), x)),
+      acc =>
+        when(acc.getField("pend").isNull, acc.getField("out"))
+          .otherwise(concat(acc.getField("out"), array(acc.getField("pend")))))
+  }
 }
 
 /**

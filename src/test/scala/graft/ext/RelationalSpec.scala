@@ -471,6 +471,38 @@ class RelationalSpec extends SparkSpec {
     assertApprox(r(1997L)._3, 1.0)
   }
 
+  test("soleLateSuppliers: multi-supplier orders where exactly one was late") {
+    val ord = Seq(
+      (1L, "1996-01-01 00:00:00"),  // two supps, only s1 late → s1 blamed
+      (2L, "1996-01-01 00:00:00"),  // two supps, BOTH late → nobody
+      (3L, "1996-01-01 00:00:00")   // single supplier, late → nobody
+    ).toDF("o_orderkey", "od")
+      .withColumn("o_orderdate", expr("to_timestamp_ntz(od)")).drop("od")
+    def li(ok: Long, sk: Long, ship: String) = (ok, sk, ship)
+    val items = Seq(
+      li(1L, 1L, "1996-06-01 00:00:00"), li(1L, 2L, "1996-01-15 00:00:00"),
+      li(2L, 1L, "1996-06-01 00:00:00"), li(2L, 2L, "1996-07-01 00:00:00"),
+      li(3L, 1L, "1996-06-01 00:00:00")
+    ).toDF("l_orderkey", "l_suppkey", "sd")
+      .withColumn("l_shipdate", expr("to_timestamp_ntz(sd)")).drop("sd")
+    val r = Relational.soleLateSuppliers(ord, items, lateDays = 60)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r === Map(1L -> 1L))
+  }
+
+  test("soleLateSuppliers plans aggregates + equi-joins, no nested loop") {
+    val ord = Seq((1L, "1996-01-01 00:00:00")).toDF("o_orderkey", "od")
+      .withColumn("o_orderdate", expr("to_timestamp_ntz(od)")).drop("od")
+    val items = Seq((1L, 1L, "1996-06-01 00:00:00"))
+      .toDF("l_orderkey", "l_suppkey", "sd")
+      .withColumn("l_shipdate", expr("to_timestamp_ntz(sd)")).drop("sd")
+    val q = Relational.soleLateSuppliers(ord, items)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan)
+  }
+
   test("largeVolumeOrders: having-filtered rollup with decoration") {
     val li = Seq(
       (1L, 200.0), (1L, 150.0),  // order 1: 350 > 300 → kept

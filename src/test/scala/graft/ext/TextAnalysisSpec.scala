@@ -564,4 +564,39 @@ class TextAnalysisSpec extends SparkSpec {
       .orderBy("rank").collect().map(_.getAs[String]("token")).toSeq
     assert(r === Seq("a", "b"))
   }
+
+  test("bpeMerges: greedy rules, overlap handling, lexicographic ties") {
+    // words: aaa (×1), ab (×1). Round 1: pair (a,a) count 2 beats (a,b)
+    // count 1 → merge a+a; the OVERLAPPING aaa rewrites greedily to
+    // [aa, a] (first pair merged, consumed symbol skipped). Round 2:
+    // pairs (aa,a) and (a,b) both count 1 → lexicographic tie-break on
+    // sym_a picks (a,b)
+    val d = Seq((0L, "aaa ab")).toDF("doc_id", "text")
+    val r = TextAnalysis.bpeMerges(d, "doc_id", "text", 2)
+      .orderBy("round").collect()
+      .map(x => (x.getAs[Long]("round"), x.getAs[String]("sym_a"),
+        x.getAs[String]("sym_b"), x.getAs[Long]("pair_count"),
+        x.getAs[String]("merged")))
+    assert(r.toSeq === Seq(
+      (1L, "a", "a", 2L, "aa"),
+      (2L, "a", "b", 1L, "ab")))
+  }
+
+  test("bpeMerges: frequency weighting drives the argmax; learned rules chain") {
+    // "the" appears 3× so (t,h) and (h,e) lead with weight 3; tie on
+    // count → lexicographic picks (h,e) first, and round 2 then merges
+    // t+he — rules compose across rounds
+    val d = Seq((0L, "the the"), (1L, "the tx")).toDF("doc_id", "text")
+    val r = TextAnalysis.bpeMerges(d, "doc_id", "text", 2)
+      .orderBy("round").collect()
+      .map(x => (x.getAs[String]("sym_a"), x.getAs[String]("sym_b"),
+        x.getAs[Long]("pair_count")))
+    assert(r.toSeq === Seq(("h", "e", 3L), ("t", "he", 3L)))
+  }
+
+  test("bpeMerges stops early when no pairs remain") {
+    val d = Seq((0L, "a b c")).toDF("doc_id", "text")
+    // every word is one symbol — zero rules at any round budget
+    assert(TextAnalysis.bpeMerges(d, "doc_id", "text", 5).count() === 0L)
+  }
 }
