@@ -82,7 +82,10 @@ object Bench {
     "rel_market_share", "cluster_terms", "sample_kcenter",
     // Q21 cascaded-aggregate sole-blame rollup; BPE rule induction
     // (6 pair-count rounds over the word-type table)
-    "rel_waiting_suppliers", "vocab_bpe")
+    "rel_waiting_suppliers", "vocab_bpe",
+    // the layout A/B: identical fact join bucketed (zero join
+    // exchanges — see shuffle_bytes) vs plain shuffled
+    "rel_join_bucketed", "rel_join_shuffled")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

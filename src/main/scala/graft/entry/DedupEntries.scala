@@ -287,7 +287,7 @@ object DedupEntries {
       |tvn AS (SELECT doc_id, v AS v1,
       |        ${leads.mkString(",\n        ")}
       |        FROM tvs),
-      |shgk AS (SELECT DISTINCT doc_id, $h AS sh
+      |shgk AS MATERIALIZED (SELECT DISTINCT doc_id, $h AS sh
       |         FROM tvn WHERE v$n IS NOT NULL)""".stripMargin
   }
 
@@ -300,18 +300,18 @@ object DedupEntries {
       |        lead(v, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS v2,
       |        lead(v, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS v3
       |        FROM tvs),
-      |shg AS (SELECT DISTINCT doc_id, ${TextHash.shingleHash("v", "v2", "v3")} AS sh
+      |shg AS MATERIALIZED (SELECT DISTINCT doc_id, ${TextHash.shingleHash("v", "v2", "v3")} AS sh
       |        FROM tv3 WHERE v3 IS NOT NULL)""".stripMargin
   }
 
   /** Shingle + Jaccard CTE chain mirroring Dedup.shingles/jaccardPairs. */
   val shingleSql: String = {
     shgSql + s""",
-      |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shg GROUP BY 1),
-      |inter AS (SELECT a.doc_id AS doc0, b.doc_id AS doc1, CAST(COUNT(*) AS BIGINT) AS i
+      |cnt AS MATERIALIZED (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shg GROUP BY 1),
+      |inter AS MATERIALIZED (SELECT a.doc_id AS doc0, b.doc_id AS doc1, CAST(COUNT(*) AS BIGINT) AS i
       |          FROM shg a JOIN shg b ON a.sh = b.sh AND a.doc_id < b.doc_id
       |          GROUP BY 1, 2),
-      |jac AS (SELECT doc0, doc1, CAST(i AS DOUBLE) / (c0.n + c1.n - i) AS jaccard
+      |jac AS MATERIALIZED (SELECT doc0, doc1, CAST(i AS DOUBLE) / (c0.n + c1.n - i) AS jaccard
       |        FROM inter
       |        JOIN cnt c0 ON c0.doc_id = doc0
       |        JOIN cnt c1 ON c1.doc_id = doc1)""".stripMargin
@@ -344,19 +344,19 @@ object DedupEntries {
   private lazy val groupsChainSql: String = {
     val rounds = (1 to GroupRounds).map { r =>
       val p = r - 1
-      s"""n$r AS (SELECT ed.src AS doc_id, l.rep AS nrep
+      s"""n$r AS MATERIALIZED (SELECT ed.src AS doc_id, l.rep AS nrep
         |        FROM ed JOIN l$p l ON ed.dst = l.doc_id),
-        |l$r AS (SELECT l.doc_id,
+        |l$r AS MATERIALIZED (SELECT l.doc_id,
         |               least(MIN(l.rep), coalesce(MIN(n.nrep), MIN(l.rep))) AS rep
         |        FROM l$p l LEFT JOIN n$r n USING (doc_id) GROUP BY l.doc_id)""".stripMargin
     }.mkString(",\n")
     shingleSql + s""",
-      |sig AS (SELECT doc_id, $sigSelect FROM shg GROUP BY doc_id),
-      |bands AS ($bandsSql),
-      |cand AS (SELECT DISTINCT a.doc_id AS doc0, b.doc_id AS doc1
+      |sig AS MATERIALIZED (SELECT doc_id, $sigSelect FROM shg GROUP BY doc_id),
+      |bands AS MATERIALIZED ($bandsSql),
+      |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc0, b.doc_id AS doc1
       |         FROM bands a JOIN bands b
       |           ON a.band = b.band AND a.sigv = b.sigv AND a.doc_id < b.doc_id),
-      |dups AS (SELECT doc0, doc1 FROM cand JOIN jac USING (doc0, doc1)
+      |dups AS MATERIALIZED (SELECT doc0, doc1 FROM cand JOIN jac USING (doc0, doc1)
       |         WHERE jaccard >= 0.2),
       |ed AS (SELECT doc0 AS src, doc1 AS dst FROM dups
       |       UNION ALL SELECT doc1 AS src, doc0 AS dst FROM dups),
@@ -369,7 +369,7 @@ object DedupEntries {
     * corpus_clean and corpus_clean_split oracles. */
   private lazy val cleanChainSql: String =
     groupsChainSql + s""",
-      |tc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS score
+      |tc AS MATERIALIZED (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS score
       |       FROM tok GROUP BY doc_id),
       |jb AS (SELECT l.doc_id, CAST(l.rep AS BIGINT) AS group_rep, tc.score
       |       FROM l$GroupRounds l JOIN tc USING (doc_id)),
@@ -378,14 +378,14 @@ object DedupEntries {
       |                 ORDER BY score DESC, doc_id
       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS best_id
       |        FROM jb),
-      |kept AS (SELECT doc_id, group_rep FROM bst WHERE doc_id = best_id),
-      |qst AS (SELECT doc_id,
+      |kept AS MATERIALIZED (SELECT doc_id, group_rep FROM bst WHERE doc_id = best_id),
+      |qst AS MATERIALIZED (SELECT doc_id,
       |        CAST(COUNT(*) AS BIGINT) AS n_tokens,
       |        CAST(SUM(length(token)) AS DOUBLE) / COUNT(*) AS avg_token_len,
       |        CAST(SUM(CASE WHEN token IN ${TextEntries.inList(graft.ext.TextAnalysis.Stopwords)} THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS stopword_ratio,
       |        CAST(COUNT(DISTINCT token) AS DOUBLE) / COUNT(*) AS ttr
       |        FROM tok GROUP BY doc_id),
-      |qual AS (SELECT doc_id, n_tokens FROM qst
+      |qual AS MATERIALIZED (SELECT doc_id, n_tokens FROM qst
       |         WHERE n_tokens >= ${TextEntries.QfMinTokens}
       |           AND n_tokens <= ${TextEntries.QfMaxTokens}
       |           AND avg_token_len >= ${TextEntries.QfMinAvgLen}
@@ -394,7 +394,7 @@ object DedupEntries {
       |           AND ttr >= ${TextEntries.QfMinTtr}),
       |evs AS (SELECT DISTINCT s.sh FROM shg s JOIN documents d USING (doc_id)
       |        WHERE d.source = '$EvalSource'),
-      |cont AS (SELECT DISTINCT s.doc_id FROM shg s JOIN evs USING (sh))""".stripMargin
+      |cont AS MATERIALIZED (SELECT DISTINCT s.doc_id FROM shg s JOIN evs USING (sh))""".stripMargin
 
   /** Embedding pairwise-cosine CTE chain (unnest-based exact mirror). */
   val embCosSql: String =
@@ -496,9 +496,9 @@ object DedupEntries {
         |WHERE jaccard >= 0.2 ORDER BY doc0, doc1""".stripMargin),
     "dedup_minhash_lsh" ->
       (shingleSql + s""",
-        |sig AS (SELECT doc_id, $sigSelect FROM shg GROUP BY doc_id),
-        |bands AS ($bandsSql),
-        |cand AS (SELECT DISTINCT a.doc_id AS doc0, b.doc_id AS doc1
+        |sig AS MATERIALIZED (SELECT doc_id, $sigSelect FROM shg GROUP BY doc_id),
+        |bands AS MATERIALIZED ($bandsSql),
+        |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc0, b.doc_id AS doc1
         |         FROM bands a JOIN bands b
         |           ON a.band = b.band AND a.sigv = b.sigv AND a.doc_id < b.doc_id)
         |SELECT doc0, doc1, ${r6sql("jaccard")} AS jaccard
@@ -506,9 +506,9 @@ object DedupEntries {
         |WHERE jaccard >= 0.2 ORDER BY doc0, doc1""".stripMargin),
     "dedup_source_matrix" ->
       (shingleSql + s""",
-        |sig AS (SELECT doc_id, $sigSelect FROM shg GROUP BY doc_id),
-        |bands AS ($bandsSql),
-        |cand AS (SELECT DISTINCT a.doc_id AS doc0, b.doc_id AS doc1
+        |sig AS MATERIALIZED (SELECT doc_id, $sigSelect FROM shg GROUP BY doc_id),
+        |bands AS MATERIALIZED ($bandsSql),
+        |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc0, b.doc_id AS doc1
         |         FROM bands a JOIN bands b
         |           ON a.band = b.band AND a.sigv = b.sigv AND a.doc_id < b.doc_id),
         |mh AS (SELECT doc0, doc1, jaccard
@@ -527,9 +527,9 @@ object DedupEntries {
     "dedup_split_leakage" -> {
       val mix = Export.mixBucketSql("doc_id", 1000, 0L)
       shingleSql + s""",
-        |sig AS (SELECT doc_id, $sigSelect FROM shg GROUP BY doc_id),
-        |bands AS ($bandsSql),
-        |cand AS (SELECT DISTINCT a.doc_id AS doc0, b.doc_id AS doc1
+        |sig AS MATERIALIZED (SELECT doc_id, $sigSelect FROM shg GROUP BY doc_id),
+        |bands AS MATERIALIZED ($bandsSql),
+        |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc0, b.doc_id AS doc1
         |         FROM bands a JOIN bands b
         |           ON a.band = b.band AND a.sigv = b.sigv AND a.doc_id < b.doc_id),
         |mh AS (SELECT doc0, doc1, jaccard
@@ -663,7 +663,7 @@ object DedupEntries {
     // via a full-frame first_value, mirroring Dedup.keepBest's window
     "dedup_keep_best" ->
       (groupsChainSql + s""",
-        |tc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS score
+        |tc AS MATERIALIZED (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS score
         |       FROM tok GROUP BY doc_id),
         |jb AS (SELECT l.doc_id, CAST(l.rep AS BIGINT) AS group_rep, tc.score
         |       FROM l$GroupRounds l JOIN tc USING (doc_id)),
@@ -731,9 +731,9 @@ object DedupEntries {
         .mkString(" + ")
       val nH = Dedup.HashParams.size
       shingleSql + s""",
-        |sig AS (SELECT doc_id, $sigSelect FROM shg GROUP BY doc_id),
-        |bands AS ($bandsSql),
-        |cand AS (SELECT DISTINCT a.doc_id AS doc0, b.doc_id AS doc1
+        |sig AS MATERIALIZED (SELECT doc_id, $sigSelect FROM shg GROUP BY doc_id),
+        |bands AS MATERIALIZED ($bandsSql),
+        |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc0, b.doc_id AS doc1
         |         FROM bands a JOIN bands b
         |           ON a.band = b.band AND a.sigv = b.sigv AND a.doc_id < b.doc_id),
         |ag AS (SELECT c.doc0, c.doc1, CAST($agree AS BIGINT) AS n_agree
@@ -750,9 +750,9 @@ object DedupEntries {
     // float ops both engines), left-joined to the banded candidates
     "dedup_recall" ->
       (shingleSql + s""",
-        |sig AS (SELECT doc_id, $sigSelect FROM shg GROUP BY doc_id),
-        |bands AS ($bandsSql),
-        |cand AS (SELECT DISTINCT a.doc_id AS doc0, b.doc_id AS doc1
+        |sig AS MATERIALIZED (SELECT doc_id, $sigSelect FROM shg GROUP BY doc_id),
+        |bands AS MATERIALIZED ($bandsSql),
+        |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc0, b.doc_id AS doc1
         |         FROM bands a JOIN bands b
         |           ON a.band = b.band AND a.sigv = b.sigv AND a.doc_id < b.doc_id),
         |ex AS (SELECT doc0, doc1, ${r6sql("jaccard")} AS sj FROM jac

@@ -137,6 +137,13 @@ object RelationalEntries {
         .withColumn("o_orderdate",
           expr("unix_micros(cast(o_orderdate as timestamp))"))
         .withColumnRenamed("o_orderdate", "orderdate_us"), "o_orderkey")),
+    // ext: the SAME fact join under two physical layouts — bucketed
+    // co-located (zero join exchanges) vs plain shuffled; bench
+    // shuffle-bytes shows the trade, the oracle pins identical results
+    "rel_join_bucketed" -> ((s, dir) =>
+      gate(Relational.bucketedOrderRevenue(s, dir), "o_orderstatus")),
+    "rel_join_shuffled" -> ((s, dir) =>
+      gate(Relational.shuffledOrderRevenue(s, dir), "o_orderstatus")),
     // ext: TPC-H Q21 shape — sole-blame late suppliers on multi-supplier
     // orders, planned as cascaded aggregates instead of EXISTS/NOT EXISTS
     "rel_waiting_suppliers" -> ((s, dir) =>
@@ -208,6 +215,14 @@ object RelationalEntries {
     * supplier nation whose share is reported. */
   private val ShareRegion = "EUROPE"
   private val ShareNation = "NATION_3"
+
+  /** Shared oracle of the bucketed/shuffled layout pair. */
+  private val JoinRevenueSql =
+    """SELECT o.o_orderstatus,
+      |  SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1e4 + 0.5) AS BIGINT)) AS revenue_e4,
+      |  CAST(COUNT(*) AS BIGINT) AS n_items
+      |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // money sums mirror the Spark side's r6∘r2 composition exactly: the
@@ -436,6 +451,10 @@ object RelationalEntries {
         |JOIN orders o ON o.o_orderkey = big.l_orderkey
         |JOIN customer c ON c.c_custkey = o.o_custkey
         |ORDER BY o.o_orderkey""".stripMargin,
+    // one oracle for both layouts — the physical plan differs, the
+    // result may not (exact int64 money per status)
+    "rel_join_bucketed" -> JoinRevenueSql,
+    "rel_join_shuffled" -> JoinRevenueSql,
     // same cascaded (order, supplier) → order rollups, same sole-blame
     // predicate — exact integer flags and counts throughout
     "rel_waiting_suppliers" ->

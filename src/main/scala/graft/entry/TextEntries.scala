@@ -377,7 +377,7 @@ object TextEntries {
   /** Tokens-with-position CTE mirroring [[TextAnalysis.tokensWithPosition]]. */
   val tokSql: String =
     """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
-      |tok AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i+1] AS token
+      |tok AS MATERIALIZED (SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i+1] AS token
       |        FROM t, UNNEST(range(len(toks))) AS r(i)
       |        WHERE toks[i+1] <> '')""".stripMargin
 

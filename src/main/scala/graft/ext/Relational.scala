@@ -706,6 +706,54 @@ object Relational {
       .agg(count(lit(1)).as("n_sole_late_orders"))
   }
 
+  /**
+   * Fact-to-fact revenue rollup over BUCKETED table layout — the
+   * physical-design lever for the one join this library cannot
+   * broadcast: write orders and lineitem bucketed (and sorted) on the
+   * order key, and the orderkey equi-join reads co-located buckets with
+   * ZERO shuffle exchanges — at 100 TB this converts the dominant
+   * repeated cost of every orders⋈lineitem query into a one-time layout
+   * cost at ingest. [[shuffledOrderRevenue]] is the measurement twin:
+   * the identical join straight off unbucketed parquet, so the bench's
+   * per-query shuffle-bytes metric shows the trade directly (the
+   * bucketed plan's only exchange is the statuses-sized final
+   * aggregate).
+   *
+   * Tables are created once per (session, sfDir) in the session
+   * warehouse (in-memory catalog; re-created per JVM). The `merge` hint
+   * pins sort-merge so the comparison never degenerates into a broadcast
+   * at small test scale; on bucketed reads Spark may add per-bucket
+   * LOCAL sorts (multiple files per bucket) but no exchange.
+   */
+  def bucketedOrderRevenue(spark: SparkSession, dir: String,
+      buckets: Int = 8): DataFrame = {
+    require(buckets > 0)
+    val tag = math.abs(dir.hashCode).toString
+    val tO = s"graft_bkt_orders_$tag"
+    val tL = s"graft_bkt_lineitem_$tag"
+    if (!spark.catalog.tableExists(tO))
+      orders(spark, dir).write.mode("overwrite").format("parquet")
+        .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey").saveAsTable(tO)
+    if (!spark.catalog.tableExists(tL))
+      lineitem(spark, dir).write.mode("overwrite").format("parquet")
+        .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey").saveAsTable(tL)
+    revenueByStatus(spark.table(tL), spark.table(tO))
+  }
+
+  /** The unbucketed twin of [[bucketedOrderRevenue]]: same join, same
+    * aggregate, straight off the parquet scans — both fact sides
+    * hash-partition on the orderkey (the cost bucketing amortizes). */
+  def shuffledOrderRevenue(spark: SparkSession, dir: String): DataFrame =
+    revenueByStatus(lineitem(spark, dir), orders(spark, dir))
+
+  private def revenueByStatus(li: DataFrame, ord: DataFrame): DataFrame =
+    li.select(col("l_orderkey"), revE4.as("rev_e4"))
+      .hint("merge")
+      .join(ord.select("o_orderkey", "o_orderstatus"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(sum(col("rev_e4")).as("revenue_e4"), count(lit(1)).as("n_items"))
+
   def tableProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty)
     cols.map { c =>

@@ -503,6 +503,41 @@ class RelationalSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoop"), plan)
   }
 
+  test("bucketed layout joins with ZERO exchanges below the aggregate") {
+    val dir = java.nio.file.Files.createTempDirectory("relbkt").toString
+    Seq((1L, 1L, 100.0, 0.0), (2L, 2L, 50.0, 0.0), (3L, 1L, 30.0, 0.5))
+      .toDF("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((1L, "O"), (2L, "F"), (3L, "O"))
+      .toDF("o_orderkey", "o_orderstatus")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+
+    val bkt = Relational.bucketedOrderRevenue(spark, dir, buckets = 4)
+    val shf = Relational.shuffledOrderRevenue(spark, dir)
+    val want = Map("O" -> ((1150000L, 2L)), "F" -> ((500000L, 1L)))
+    def resultOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(resultOf(bkt) === want)
+    assert(resultOf(shf) === want)
+
+    // bucketed: the ONLY exchange is the statuses-sized final aggregate
+    // — the sort-merge join reads co-located buckets directly. Inspect
+    // the FINAL adaptive plan only (AQE's toString repeats the initial
+    // plan below it, which would double-count)
+    def finalPlan(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val bktPlan = finalPlan(bkt)
+    assert(bktPlan.contains("SortMergeJoin"), bktPlan)
+    assert(bktPlan.contains("Bucketed: true"), bktPlan)
+    assert(bktPlan.split("\n").count(_.contains("Exchange hashpartitioning")) === 1,
+      bktPlan)
+    // shuffled twin: both join inputs re-partition on the orderkey
+    val shfPlan = finalPlan(shf)
+    assert(shfPlan.split("\n").count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange")) >= 3,
+      shfPlan)
+  }
+
   test("largeVolumeOrders: having-filtered rollup with decoration") {
     val li = Seq(
       (1L, 200.0), (1L, 150.0),  // order 1: 350 > 300 → kept
