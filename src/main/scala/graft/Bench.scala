@@ -85,7 +85,9 @@ object Bench {
     "rel_waiting_suppliers", "vocab_bpe",
     // the layout A/B: identical fact join bucketed (zero join
     // exchanges — see shuffle_bytes) vs plain shuffled
-    "rel_join_bucketed", "rel_join_shuffled")
+    "rel_join_bucketed", "rel_join_shuffled",
+    // the encode readout after the 6 learned rules
+    "vocab_bpe_encode")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

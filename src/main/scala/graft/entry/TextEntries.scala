@@ -273,6 +273,11 @@ object TextEntries {
     "vocab_bpe" -> ((s, dir) =>
       gate(TextAnalysis.bpeMerges(docs(s, dir), "doc_id", "text",
         BpeRounds), "round")),
+    // ext: the encoding readout after applying those rules — vocab
+    // size, symbols per token, chars per symbol
+    "vocab_bpe_encode" -> ((s, dir) =>
+      gate(TextAnalysis.bpeEncodeStats(docs(s, dir), "doc_id", "text",
+        BpeRounds), "n_types")),
     // ext: per-(lang) winsorization of n_chars at the 5/95 band; exact
     // int64 thresholds and clamp on both engines
     "quality_winsorize" -> ((s, dir) =>
@@ -300,6 +305,59 @@ object TextEntries {
   /** BPE contract: merge rules learned (each round is a full pair-count
     * pass — real tokenizers run this same loop ~30k times). */
   private val BpeRounds = 6
+
+  /** The unrolled BPE round chain (word table → s0 chars → per-round
+    * pair-count, argmax, window-parity greedy rewrite), shared by the
+    * rule-learning and encoding oracles. Every per-round CTE is
+    * MATERIALIZED — DuckDB inlines CTEs and this chain references the
+    * previous round five times, which un-materialized is O(5^rounds).
+    * `rewriteLast` adds round `BpeRounds`'s rewrite (encoding needs the
+    * final symbol table; rule learning does not). */
+  private def bpeChainSql(rewriteLast: Boolean): String = {
+    val rounds = (1 to BpeRounds).map { j =>
+      val prev = s"s${j - 1}"
+      val tail =
+        if (j == BpeRounds && !rewriteLast) ""
+        else s""",
+          |mt$j AS MATERIALIZED (SELECT s.word, s.pos FROM $prev s
+          |        JOIN $prev t ON t.word = s.word AND t.pos = s.pos + 1
+          |        JOIN m$j m ON s.sym = m.a AND t.sym = m.b),
+          |vt$j AS MATERIALIZED (SELECT word, pos FROM (
+          |          SELECT word, pos,
+          |            row_number() OVER (PARTITION BY word, pos - rn
+          |                               ORDER BY pos) AS k
+          |          FROM (SELECT word, pos,
+          |                  row_number() OVER (PARTITION BY word
+          |                                     ORDER BY pos) AS rn
+          |                FROM mt$j))
+          |        WHERE k % 2 = 1),
+          |s$j AS MATERIALIZED (SELECT s.word, s.n,
+          |          CAST(row_number() OVER (PARTITION BY s.word
+          |                                  ORDER BY s.pos) - 1 AS BIGINT) AS pos,
+          |          CASE WHEN v.word IS NOT NULL THEN m.a || m.b
+          |               ELSE s.sym END AS sym
+          |        FROM $prev s
+          |        CROSS JOIN m$j m
+          |        LEFT JOIN vt$j v ON v.word = s.word AND v.pos = s.pos
+          |        WHERE NOT EXISTS (SELECT 1 FROM vt$j c
+          |                          WHERE c.word = s.word
+          |                            AND c.pos = s.pos - 1))""".stripMargin
+      s"""pc$j AS MATERIALIZED (SELECT s.sym AS a, t.sym AS b,
+         |        CAST(SUM(s.n) AS BIGINT) AS cnt
+         |        FROM $prev s JOIN $prev t
+         |          ON t.word = s.word AND t.pos = s.pos + 1
+         |        GROUP BY 1, 2),
+         |m$j AS MATERIALIZED (SELECT a, b, cnt FROM pc$j
+         |       ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)$tail""".stripMargin
+    }.mkString(",\n")
+    tokSql + s""",
+      |w AS MATERIALIZED (SELECT token AS word, CAST(COUNT(*) AS BIGINT) AS n
+      |      FROM tok GROUP BY 1),
+      |s0 AS MATERIALIZED (SELECT word, n, CAST(i AS BIGINT) AS pos,
+      |              substr(word, CAST(i + 1 AS INTEGER), 1) AS sym
+      |       FROM w, UNNEST(range(length(word))) AS r(i)),
+      |$rounds""".stripMargin
+  }
 
   /** Token allowance per source for the budget-sampling contract (each
     * sf0.01 source holds ~1350 tokens, so the cut is non-trivial). */
@@ -1083,57 +1141,28 @@ object TextEntries {
     // left-to-right rewrite spelled as its window-parity equivalent —
     // within a run of consecutive overlapping matches, exactly the
     // 1st/3rd/5th… merge (what the Spark side's left fold does)
-    "vocab_bpe" -> {
-      val rounds = (1 to BpeRounds).map { j =>
-        val prev = s"s${j - 1}"
-        val tail =
-          if (j == BpeRounds) "" // the last rule needs no rewrite
-          else s""",
-            |mt$j AS MATERIALIZED (SELECT s.word, s.pos FROM $prev s
-            |        JOIN $prev t ON t.word = s.word AND t.pos = s.pos + 1
-            |        JOIN m$j m ON s.sym = m.a AND t.sym = m.b),
-            |vt$j AS MATERIALIZED (SELECT word, pos FROM (
-            |          SELECT word, pos,
-            |            row_number() OVER (PARTITION BY word, pos - rn
-            |                               ORDER BY pos) AS k
-            |          FROM (SELECT word, pos,
-            |                  row_number() OVER (PARTITION BY word
-            |                                     ORDER BY pos) AS rn
-            |                FROM mt$j))
-            |        WHERE k % 2 = 1),
-            |s$j AS MATERIALIZED (SELECT s.word, s.n,
-            |          CAST(row_number() OVER (PARTITION BY s.word
-            |                                  ORDER BY s.pos) - 1 AS BIGINT) AS pos,
-            |          CASE WHEN v.word IS NOT NULL THEN m.a || m.b
-            |               ELSE s.sym END AS sym
-            |        FROM $prev s
-            |        CROSS JOIN m$j m
-            |        LEFT JOIN vt$j v ON v.word = s.word AND v.pos = s.pos
-            |        WHERE NOT EXISTS (SELECT 1 FROM vt$j c
-            |                          WHERE c.word = s.word
-            |                            AND c.pos = s.pos - 1))""".stripMargin
-        s"""pc$j AS MATERIALIZED (SELECT s.sym AS a, t.sym AS b,
-           |        CAST(SUM(s.n) AS BIGINT) AS cnt
-           |        FROM $prev s JOIN $prev t
-           |          ON t.word = s.word AND t.pos = s.pos + 1
-           |        GROUP BY 1, 2),
-           |m$j AS MATERIALIZED (SELECT a, b, cnt FROM pc$j
-           |       ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)$tail""".stripMargin
-      }.mkString(",\n")
-      val out = (1 to BpeRounds).map(j =>
-        s"""SELECT CAST($j AS BIGINT) AS round, a AS sym_a, b AS sym_b,
-           |cnt AS pair_count, a || b AS merged FROM m$j""".stripMargin)
-        .mkString("\nUNION ALL ")
-      tokSql + s""",
-        |w AS (SELECT token AS word, CAST(COUNT(*) AS BIGINT) AS n
-        |      FROM tok GROUP BY 1),
-        |s0 AS MATERIALIZED (SELECT word, n, CAST(i AS BIGINT) AS pos,
-        |              substr(word, CAST(i + 1 AS INTEGER), 1) AS sym
-        |       FROM w, UNNEST(range(length(word))) AS r(i)),
-        |$rounds
-        |$out
-        |ORDER BY round""".stripMargin
-    },
+    "vocab_bpe" ->
+      (bpeChainSql(rewriteLast = false) + s"""
+        |${(1 to BpeRounds).map(j =>
+             s"""SELECT CAST($j AS BIGINT) AS round, a AS sym_a, b AS sym_b,
+                |cnt AS pair_count, a || b AS merged FROM m$j""".stripMargin)
+             .mkString("\nUNION ALL ")}
+        |ORDER BY round""".stripMargin),
+    // the chain INCLUDING the final rewrite, folded to the one-row
+    // encoding readout — exact counts, two single divisions
+    "vocab_bpe_encode" ->
+      (bpeChainSql(rewriteLast = true) + s""",
+        |ws AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+        |              CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |              CAST(SUM(n * length(word)) AS BIGINT) AS total_chars
+        |       FROM w),
+        |ss AS (SELECT CAST(COUNT(DISTINCT sym) AS BIGINT) AS vocab_size,
+        |              CAST(SUM(n) AS BIGINT) AS total_syms
+        |       FROM s$BpeRounds)
+        |SELECT n_types, n_tokens, vocab_size, total_syms, total_chars,
+        |  ${r6sql("CAST(total_syms AS DOUBLE) / CAST(n_tokens AS DOUBLE)")} AS syms_per_token,
+        |  ${r6sql("CAST(total_chars AS DOUBLE) / CAST(total_syms AS DOUBLE)")} AS chars_per_sym
+        |FROM ws CROSS JOIN ss""".stripMargin),
     // same histogram → cumulative-crossing boundaries → count-of-
     // boundaries-at-or-below shard rule; duplicate boundaries collapse
     // on both sides (DISTINCT here, .distinct in the Scala fit)

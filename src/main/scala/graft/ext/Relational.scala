@@ -731,13 +731,33 @@ object Relational {
     val tag = math.abs(dir.hashCode).toString
     val tO = s"graft_bkt_orders_$tag"
     val tL = s"graft_bkt_lineitem_$tag"
-    if (!spark.catalog.tableExists(tO))
+    if (!spark.catalog.tableExists(tO)) {
+      dropStaleLocation(spark, tO)
       orders(spark, dir).write.mode("overwrite").format("parquet")
         .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey").saveAsTable(tO)
-    if (!spark.catalog.tableExists(tL))
+    }
+    if (!spark.catalog.tableExists(tL)) {
+      dropStaleLocation(spark, tL)
       lineitem(spark, dir).write.mode("overwrite").format("parquet")
         .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey").saveAsTable(tL)
+    }
     revenueByStatus(spark.table(tL), spark.table(tO))
+  }
+
+  /** The in-memory catalog forgets tables across JVMs but their
+    * warehouse directories persist — saveAsTable then refuses the
+    * "existing location". These directories are derived caches this
+    * module owns, so an unknown-to-the-catalog leftover is safe to
+    * clear before re-writing. */
+  private def dropStaleLocation(spark: SparkSession, table: String): Unit = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val base = new java.io.File(new java.net.URI(wh).getPath)
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmrf))
+      f.delete()
+    }
+    val loc = new java.io.File(base, table)
+    if (loc.exists()) rmrf(loc)
   }
 
   /** The unbucketed twin of [[bucketedOrderRevenue]]: same join, same

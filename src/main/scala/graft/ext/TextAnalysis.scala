@@ -1499,9 +1499,53 @@ object TextAnalysis {
    */
   def bpeMerges(docs: DataFrame, idCol: String, textCol: String,
       rounds: Int): DataFrame = {
-    require(rounds > 0)
     val spark = docs.sparkSession
     import spark.implicits._
+    bpeFit(docs, textCol, rounds, rewriteLast = false)._1
+      .toDF("round", "sym_a", "sym_b", "pair_count")
+      .withColumn("merged", concat(col("sym_a"), col("sym_b")))
+  }
+
+  /**
+   * Encoding statistics after applying `rounds` learned BPE rules — the
+   * readout that decides whether a merge budget is worth its vocabulary:
+   * word-type and token counts, the resulting symbol-vocabulary size,
+   * total emitted symbols across the corpus, symbols per token, and the
+   * character-per-symbol compression ratio. One row.
+   *
+   * Same fit loop as [[bpeMerges]] (including the rewrite after the
+   * LAST rule — the encoded corpus is the point here); the final
+   * aggregate is two 1-row folds over the rewritten word-type table
+   * joined by the sanctioned scalar cross — counts exact int64, the two
+   * ratios one division each.
+   */
+  def bpeEncodeStats(docs: DataFrame, idCol: String, textCol: String,
+      rounds: Int): DataFrame = {
+    val (_, syms) = bpeFit(docs, textCol, rounds, rewriteLast = true)
+    val wordSide = syms.agg(
+      count(lit(1)).as("n_types"),
+      sum(col("n")).as("n_tokens"),
+      sum(col("n") * length(col("word"))).as("total_chars"))
+    val symSide = syms.select(col("n"), explode(col("s")).as("sym"))
+      .agg(countDistinct(col("sym")).as("vocab_size"),
+        sum(col("n")).as("total_syms"))
+    wordSide.crossJoin(broadcast(symSide))
+      .select(col("n_types"), col("n_tokens"), col("vocab_size"),
+        col("total_syms"), col("total_chars"),
+        (col("total_syms").cast("double") / col("n_tokens").cast("double"))
+          .as("syms_per_token"),
+        (col("total_chars").cast("double") / col("total_syms").cast("double"))
+          .as("chars_per_sym"))
+  }
+
+  /** The shared BPE fit loop: word-frequency table → per-round pair
+    * count, argmax adoption, greedy rewrite. Returns the adopted rules
+    * and the (word, n, s) symbol table after the last applied rewrite
+    * (`rewriteLast` controls whether the final rule is applied — rule
+    * LEARNING doesn't need it, ENCODING does). */
+  private def bpeFit(docs: DataFrame, textCol: String, rounds: Int,
+      rewriteLast: Boolean): (Seq[(Long, String, String, Long)], DataFrame) = {
+    require(rounds > 0)
     val pat = WhitespacePattern.replace("\\", "\\\\")
     val words = docs
       .select(explode(expr(s"filter(split($textCol, '$pat'), x -> x <> '')")).as("word"))
@@ -1526,7 +1570,7 @@ object TextAnalysis {
         case Some(r) =>
           val (a, b) = (r.getAs[String]("a"), r.getAs[String]("b"))
           learned += ((round.toLong, a, b, r.getAs[Long]("cnt")))
-          if (round < rounds)
+          if (round < rounds || rewriteLast)
             syms = syms
               .withColumn("s", mergePair(col("s"), lit(a), lit(b)))
               .localCheckpoint()
@@ -1534,8 +1578,7 @@ object TextAnalysis {
       }
       round += 1
     }
-    learned.toSeq.toDF("round", "sym_a", "sym_b", "pair_count")
-      .withColumn("merged", concat(col("sym_a"), col("sym_b")))
+    (learned.toSeq, syms)
   }
 
   /** Greedy left-to-right single-rule BPE rewrite of a symbol array: a

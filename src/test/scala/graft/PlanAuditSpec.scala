@@ -46,6 +46,8 @@ class PlanAuditSpec extends SparkSpec {
       // 1-row (total tokens, cluster count) scalar broadcast over the
       // vocab-sized c-TF-IDF weight table
       "cluster_terms",
+      // two 1-row aggregates crossed into the single stats row
+      "vocab_bpe_encode",
       // 1-row average-balance scalar broadcast over the customer scan
       "rel_dormant_customers")
 

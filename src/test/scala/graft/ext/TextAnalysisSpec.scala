@@ -594,6 +594,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.toSeq === Seq(("h", "e", 3L), ("t", "he", 3L)))
   }
 
+  test("bpeEncodeStats: rules applied through the LAST round, exact counts") {
+    // rules learned on "aaa ab": (a,a) then (a,b). Applying both:
+    // aaa → [aa, a], ab → [ab]. Vocabulary {aa, a, ab}; 3 symbols over
+    // 2 tokens of 5 chars total
+    val d = Seq((0L, "aaa ab")).toDF("doc_id", "text")
+    val r = TextAnalysis.bpeEncodeStats(d, "doc_id", "text", 2).collect().head
+    assert(r.getAs[Long]("n_types") === 2L)
+    assert(r.getAs[Long]("n_tokens") === 2L)
+    assert(r.getAs[Long]("vocab_size") === 3L)
+    assert(r.getAs[Long]("total_syms") === 3L)
+    assert(r.getAs[Long]("total_chars") === 5L)
+    assertApprox(r.getAs[Double]("syms_per_token"), 1.5)
+    assertApprox(r.getAs[Double]("chars_per_sym"), 5.0 / 3.0)
+  }
+
   test("bpeMerges stops early when no pairs remain") {
     val d = Seq((0L, "a b c")).toDF("doc_id", "text")
     // every word is one symbol — zero rules at any round budget
