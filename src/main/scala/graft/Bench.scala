@@ -86,8 +86,9 @@ object Bench {
     // the layout A/B: identical fact join bucketed (zero join
     // exchanges — see shuffle_bytes) vs plain shuffled
     "rel_join_bucketed", "rel_join_shuffled",
-    // the encode readout after the 6 learned rules
-    "vocab_bpe_encode")
+    // the encode readout after the 6 learned rules; 5-step distributed
+    // GD distilling the rule gate into a soft scorer
+    "vocab_bpe_encode", "quality_lr")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

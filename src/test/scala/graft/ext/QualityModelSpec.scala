@@ -1,0 +1,53 @@
+package graft.ext
+
+import org.apache.spark.sql.SparkSession
+
+import graft.SparkSpec
+
+class QualityModelSpec extends SparkSpec {
+  implicit lazy val s: SparkSession = spark
+  import s.implicits._
+
+  // passers: long-ish, varied, low-stopword text; failers: stopword soup
+  // and a two-token stub — the gate separates them on stopword_ratio /
+  // n_tokens, so a working GD must push those feature weights apart
+  private lazy val docs = Seq(
+    (0L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"),
+    (1L, "mike november oscar papa quebec romeo sierra tango uniform victor whiskey xray"),
+    (2L, "the the the the the a a a a of of of and and to to the a of and"),
+    (3L, "zulu yankee")
+  ).toDF("doc_id", "text")
+
+  test("trainingFrame labels with the gate and emits exact features") {
+    val f = QualityModel.trainingFrame(docs, "doc_id", "text",
+        minTokens = 10, maxStopwordRatio = 0.10, minTtr = 0.35)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("y")).toMap
+    assert(f === Map(0L -> 1.0, 1L -> 1.0, 2L -> 0.0, 3L -> 0.0))
+  }
+
+  test("fitLogistic: loss beats the w=0 baseline and the fit is deterministic") {
+    def fit() = QualityModel.fitLogistic(docs, "doc_id", "text",
+      iters = 5, lr = 0.5, minTokens = 10, maxStopwordRatio = 0.10,
+      minTtr = 0.35)
+    val r1 = fit().collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    val r2 = fit().collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r1 === r2)
+    assert(r1.keySet === (QualityModel.Features :+ "z_log_loss").toSet)
+    // at w = 0 every p = 0.5 → mean log-loss is ln 2; training must beat it
+    assert(r1("z_log_loss") < math.log(2.0), r1)
+    assert(r1.values.forall(v => !v.isNaN && !v.isInfinite))
+  }
+
+  test("score: fitted model ranks gate-passers above gate-failers") {
+    val w = QualityModel.fitLogistic(docs, "doc_id", "text",
+        iters = 20, lr = 1.0, minTokens = 10, maxStopwordRatio = 0.10,
+        minTtr = 0.35)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    val sc = QualityModel.score(docs, "doc_id", "text", w)
+      .collect().map(r => (r.getAs[Double]("gate_pass"), r.getAs[Double]("p_quality")))
+    val pass = sc.filter(_._1 == 1.0).map(_._2)
+    val fail = sc.filter(_._1 == 0.0).map(_._2)
+    assert(pass.min > fail.max,
+      s"pass=${pass.toSeq} fail=${fail.toSeq}")
+  }
+}
