@@ -88,7 +88,9 @@ object Bench {
     "rel_join_bucketed", "rel_join_shuffled",
     // the encode readout after the 6 learned rules; 5-step distributed
     // GD distilling the rule gate into a soft scorer
-    "vocab_bpe_encode", "quality_lr")
+    "vocab_bpe_encode", "quality_lr",
+    // Q6 all-predicates-at-the-scan aggregate; Q15 all-argmax view
+    "rel_discount_revenue", "rel_top_supplier")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

@@ -137,6 +137,14 @@ object RelationalEntries {
         .withColumn("o_orderdate",
           expr("unix_micros(cast(o_orderdate as timestamp))"))
         .withColumnRenamed("o_orderdate", "orderdate_us"), "o_orderkey")),
+    // ext: TPC-H Q6 shape — all predicates at the scan, 1-row aggregate
+    "rel_discount_revenue" -> ((s, dir) =>
+      gate(Relational.discountRevenue(Relational.lineitem(s, dir),
+        VolFrom, VolUntil, DiscLo, DiscHi, DiscQtyMax), "revenue_e6")),
+    // ext: TPC-H Q15 shape — supplier revenue view + ALL-argmax rank
+    "rel_top_supplier" -> ((s, dir) =>
+      gate(Relational.topRevenueSupplier(Relational.lineitem(s, dir),
+        VolFrom, VolUntil), "l_suppkey")),
     // ext: the SAME fact join under two physical layouts — bucketed
     // co-located (zero join exchanges) vs plain shuffled; bench
     // shuffle-bytes shows the trade, the oracle pins identical results
@@ -215,6 +223,14 @@ object RelationalEntries {
     * supplier nation whose share is reported. */
   private val ShareRegion = "EUROPE"
   private val ShareNation = "NATION_3"
+
+  /** Q6-shape contract: discount band and quantity cutoff (2490
+    * lineitems at sf0.01). Stored discounts sit on an exact 2-decimal
+    * grid, so the band compare and the 1e-6-unit money floor are both
+    * engine-exact. */
+  private val DiscLo = 0.05
+  private val DiscHi = 0.07
+  private val DiscQtyMax = 24.0
 
   /** Shared oracle of the bucketed/shuffled layout pair. */
   private val JoinRevenueSql =
@@ -451,6 +467,28 @@ object RelationalEntries {
         |JOIN orders o ON o.o_orderkey = big.l_orderkey
         |JOIN customer c ON c.c_custkey = o.o_custkey
         |ORDER BY o.o_orderkey""".stripMargin,
+    // same pushed predicates, same exact 1e-6-unit money floor
+    "rel_discount_revenue" ->
+      s"""SELECT SUM(CAST(floor(l_extendedprice * l_discount * 1e6 + 0.5) AS BIGINT)) AS revenue_e6,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '$VolFrom'
+        |  AND l_shipdate < TIMESTAMP '$VolUntil'
+        |  AND l_discount BETWEEN $DiscLo AND $DiscHi
+        |  AND l_quantity < $DiscQtyMax""".stripMargin,
+    // same supplier rollup + ALL-argmax rank over exact integers
+    "rel_top_supplier" ->
+      s"""WITH pr AS (SELECT l_suppkey,
+        |  SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 1e4 + 0.5) AS BIGINT)) AS total_revenue_e4
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '$VolFrom'
+        |    AND l_shipdate < TIMESTAMP '$VolUntil'
+        |  GROUP BY 1)
+        |SELECT l_suppkey, total_revenue_e4 FROM (
+        |  SELECT l_suppkey, total_revenue_e4,
+        |         rank() OVER (ORDER BY total_revenue_e4 DESC) AS rk
+        |  FROM pr
+        |) WHERE rk = 1 ORDER BY l_suppkey""".stripMargin,
     // one oracle for both layouts — the physical plan differs, the
     // result may not (exact int64 money per status)
     "rel_join_bucketed" -> JoinRevenueSql,

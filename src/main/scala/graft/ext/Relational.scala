@@ -707,6 +707,59 @@ object Relational {
   }
 
   /**
+   * Forecast-revenue-change check (the TPC-H Q6 shape): revenue that
+   * would be recovered by dropping discounts in a band — lineitems of
+   * one shipped year with discount in `[discLo, discHi]` and quantity
+   * below `qtyMax`, summing `extendedprice · discount`.
+   *
+   * Scale shape: the minimal fact query — every predicate pushes into
+   * the parquet scan (date, discount band, quantity all appear in
+   * PushedFilters), the scan prunes to 4 columns, and the result is a
+   * 1-row aggregate with map-side partials. Money exact int64 1e-6
+   * units (price·discount carries 2+2 decimals; 1e4·1e2 recovers both
+   * factors' grids — the per-row floor is exact for TPC-H-shaped data).
+   */
+  def discountRevenue(lineitem: DataFrame, from: String, until: String,
+      discLo: Double, discHi: Double, qtyMax: Double): DataFrame =
+    lineitem
+      .where(col("l_shipdate") >= to_timestamp_ntz(lit(from)) &&
+        col("l_shipdate") < to_timestamp_ntz(lit(until)) &&
+        col("l_discount").between(discLo, discHi) &&
+        col("l_quantity") < qtyMax)
+      .agg(
+        sum(expr(
+          "CAST(floor(l_extendedprice * l_discount * 1e6 + 0.5) AS BIGINT)"))
+          .as("revenue_e6"),
+        count(lit(1)).as("n_items"))
+
+  /**
+   * Top supplier(s) by period revenue (the TPC-H Q15 view shape): each
+   * supplier's revenue over lineitems shipped in `[from, until)`, then
+   * every supplier whose revenue equals the maximum — Q15 deliberately
+   * returns ALL argmax suppliers, which is why its reference spelling
+   * needs a view/CTE.
+   *
+   * Scale shape: one fact-sized supplier-keyed aggregate (filter pushed
+   * into the scan), then a rank window over the supplier-sized RESULT —
+   * the max never touches the fact table; exact int64 revenue makes the
+   * argmax tie semantics engine-exact rather than float-lucky.
+   */
+  def topRevenueSupplier(lineitem: DataFrame,
+      from: String, until: String): DataFrame = {
+    val perSupp = lineitem
+      .where(col("l_shipdate") >= to_timestamp_ntz(lit(from)) &&
+        col("l_shipdate") < to_timestamp_ntz(lit(until)))
+      .groupBy("l_suppkey")
+      .agg(sum(revE4).as("total_revenue_e4"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("total_revenue_e4").desc)
+    perSupp
+      .withColumn("rk", rank().over(w))
+      .where(col("rk") === 1)
+      .select(col("l_suppkey"), col("total_revenue_e4"))
+  }
+
+  /**
    * Fact-to-fact revenue rollup over BUCKETED table layout — the
    * physical-design lever for the one join this library cannot
    * broadcast: write orders and lineitem bucketed (and sorted) on the

@@ -503,6 +503,47 @@ class RelationalSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoop"), plan)
   }
 
+  test("discountRevenue: band + quantity predicates, exact 1e-6 money") {
+    val li = Seq(
+      (1L, 10.0, 100.0, 0.06, "1996-03-01 00:00:00"),  // in → 6.00
+      (2L, 10.0, 200.0, 0.02, "1996-03-01 00:00:00"),  // discount out
+      (3L, 30.0, 100.0, 0.06, "1996-03-01 00:00:00"),  // qty out
+      (4L, 10.0, 100.0, 0.06, "1990-01-01 00:00:00")   // date out
+    ).toDF("l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "sd")
+      .withColumn("l_shipdate", expr("to_timestamp_ntz(sd)")).drop("sd")
+    val r = Relational.discountRevenue(li, "1996-01-01", "1997-01-01",
+      0.05, 0.07, 24.0).collect().head
+    assert(r.getAs[Long]("revenue_e6") === 6000000L)
+    assert(r.getAs[Long]("n_items") === 1L)
+  }
+
+  test("discountRevenue pushes all three predicates into the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("relq6").toString
+    Seq((1L, 10.0, 100.0, 0.06, "1996-03-01 00:00:00"))
+      .toDF("l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "sd")
+      .withColumn("l_shipdate", expr("to_timestamp_ntz(sd)")).drop("sd")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val plan = Relational.discountRevenue(Relational.lineitem(spark, dir),
+        "1996-01-01", "1997-01-01", 0.05, 0.07, 24.0)
+      .queryExecution.executedPlan.toString
+    val scan = plan.split("\n").find(_.contains("PushedFilters"))
+    assert(scan.exists(l => l.contains("l_discount") &&
+      l.contains("l_quantity") && l.contains("l_shipdate")), plan)
+  }
+
+  test("topRevenueSupplier returns ALL argmax suppliers on exact ties") {
+    val li = Seq(
+      (1L, 1L, 100.0, 0.0, "1996-03-01 00:00:00"),
+      (2L, 2L, 60.0, 0.0, "1996-03-01 00:00:00"),
+      (3L, 2L, 40.0, 0.0, "1996-03-01 00:00:00"),   // s2 also totals 100
+      (4L, 3L, 99.0, 0.0, "1996-03-01 00:00:00")
+    ).toDF("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "sd")
+      .withColumn("l_shipdate", expr("to_timestamp_ntz(sd)")).drop("sd")
+    val r = Relational.topRevenueSupplier(li, "1996-01-01", "1997-01-01")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r === Map(1L -> 1000000L, 2L -> 1000000L))
+  }
+
   test("bucketed layout joins with ZERO exchanges below the aggregate") {
     val dir = java.nio.file.Files.createTempDirectory("relbkt").toString
     Seq((1L, 1L, 100.0, 0.0), (2L, 2L, 50.0, 0.0), (3L, 1L, 30.0, 0.5))
