@@ -323,7 +323,10 @@ object TextEntries {
     * MATERIALIZED — DuckDB inlines CTEs and this chain references the
     * previous round five times, which un-materialized is O(5^rounds).
     * `rewriteLast` adds round `BpeRounds`'s rewrite (encoding needs the
-    * final symbol table; rule learning does not). */
+    * final symbol table; rule learning does not). The rewrite joins its
+    * rule row with LEFT JOIN ON true, so a round whose pair table dried
+    * up (m empty) passes symbols through UNCHANGED — matching the Spark
+    * fit loop's early stop instead of collapsing the table to empty. */
   private def bpeChainSql(rewriteLast: Boolean): String = {
     val rounds = (1 to BpeRounds).map { j =>
       val prev = s"s${j - 1}"
@@ -348,7 +351,7 @@ object TextEntries {
           |          CASE WHEN v.word IS NOT NULL THEN m.a || m.b
           |               ELSE s.sym END AS sym
           |        FROM $prev s
-          |        CROSS JOIN m$j m
+          |        LEFT JOIN m$j m ON true
           |        LEFT JOIN vt$j v ON v.word = s.word AND v.pos = s.pos
           |        WHERE NOT EXISTS (SELECT 1 FROM vt$j c
           |                          WHERE c.word = s.word

@@ -476,9 +476,11 @@ object Embeddings {
         .withColumn("rank", lit(0L)).withColumn("d2", lit(0.0))
     val first = firstOpt.get.get(0)
     var chosen = Vector[(Any, Double)]((first, 0.0))
-    var minD2 = d2To(first).localCheckpoint()
+    // deferred: localCheckpoint is EAGER, and k = 1 never reads it
+    var minD2: DataFrame = null
     var exhausted = false
     while (chosen.length < k && !exhausted) {
+      if (minD2 == null) minD2 = d2To(first).localCheckpoint()
       val chosenIds = seedIdFrame(spark, chosen.map(_._1), ids)
       val next = minD2.join(broadcast(chosenIds), Seq("vec_id"), "left_anti")
         .select(col("vec_id"), snap(col("d2")).as("d2s"))

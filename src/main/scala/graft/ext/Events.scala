@@ -370,6 +370,11 @@ object Events {
    * Scale shape: ONE user-keyed aggregate (map-side partials collapse
    * each user's events) + a 1-row final aggregate — no joins at all;
    * the variant is a row-local pure function of the user id.
+   *
+   * User ids must be non-negative (the [[Export.splitAssign]]
+   * convention — parquet surrogate ids are): the mix chain preserves
+   * sign, so a negative id would land outside both arms here while the
+   * streaming twin would emit it under variant −1.
    */
   def abTest(events: DataFrame, convType: String, salt: Long = 0L): DataFrame = {
     val perUser = events

@@ -45,11 +45,8 @@ object QualityModel {
       minTokens: Long = 10, maxTokens: Long = 100000,
       minAvgTokenLen: Double = 2.0, maxAvgTokenLen: Double = 12.0,
       maxStopwordRatio: Double = 0.6, minTtr: Double = 0.2): DataFrame = {
-    val pass = col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
-      col("avg_token_len") >= minAvgTokenLen &&
-      col("avg_token_len") <= maxAvgTokenLen &&
-      col("stopword_ratio") <= maxStopwordRatio &&
-      col("ttr") >= minTtr
+    val pass = TextAnalysis.qualityPass(minTokens, maxTokens,
+      minAvgTokenLen, maxAvgTokenLen, maxStopwordRatio, minTtr)
     // features scaled into ~[0, 1] by FIXED literals (ln(1+10^5) bounds
     // the token feature; 12 the mean-length bound) — full-batch GD at a
     // fixed rate needs comparable feature scales or it overshoots; the

@@ -781,7 +781,9 @@ object Relational {
   def bucketedOrderRevenue(spark: SparkSession, dir: String,
       buckets: Int = 8): DataFrame = {
     require(buckets > 0)
-    val tag = math.abs(dir.hashCode).toString
+    // collision-free tag: the sanitized path itself (hashCode could
+    // collide two dirs onto one cached table, or go negative)
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_").takeRight(64)
     val tO = s"graft_bkt_orders_$tag"
     val tL = s"graft_bkt_lineitem_$tag"
     if (!spark.catalog.tableExists(tO)) {
@@ -804,7 +806,10 @@ object Relational {
     * clear before re-writing. */
   private def dropStaleLocation(spark: SparkSession, table: String): Unit = {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
-    val base = new java.io.File(new java.net.URI(wh).getPath)
+    // hadoop Path parses configured locations (incl. unescaped spaces)
+    // that java.net.URI rejects
+    val base = new java.io.File(
+      new org.apache.hadoop.fs.Path(wh).toUri.getPath)
     def rmrf(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmrf))
       f.delete()

@@ -92,11 +92,21 @@ object TextAnalysis {
       minAvgTokenLen: Double = 2.0, maxAvgTokenLen: Double = 12.0,
       maxStopwordRatio: Double = 0.6, minTtr: Double = 0.2): DataFrame =
     stats(docs, idCol, textCol)
-      .where(col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
-        col("avg_token_len") >= minAvgTokenLen &&
-        col("avg_token_len") <= maxAvgTokenLen &&
-        col("stopword_ratio") <= maxStopwordRatio &&
-        col("ttr") >= minTtr)
+      .where(qualityPass(minTokens, maxTokens, minAvgTokenLen,
+        maxAvgTokenLen, maxStopwordRatio, minTtr))
+
+  /** The composite gate predicate over [[stats]] columns — ONE
+    * definition shared by [[qualityFilter]] and
+    * [[QualityModel.trainingFrame]]'s labels, so the distilled
+    * classifier can never drift from the gate it distills. */
+  def qualityPass(minTokens: Long, maxTokens: Long,
+      minAvgTokenLen: Double, maxAvgTokenLen: Double,
+      maxStopwordRatio: Double, minTtr: Double): Column =
+    col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
+      col("avg_token_len") >= minAvgTokenLen &&
+      col("avg_token_len") <= maxAvgTokenLen &&
+      col("stopword_ratio") <= maxStopwordRatio &&
+      col("ttr") >= minTtr
 
   /** Per-language marker token sets for [[langId]]. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(

@@ -758,7 +758,9 @@ object EventsStream {
    * nothing ever needs to be un-emitted and state needs no horizon.
    * State is one boolean per user ever seen: the same cardinality any
    * exactly-once experiment counter must hold somewhere, hash-partitioned
-   * across executors by the group key.
+   * across executors by the group key. User ids must be non-negative
+   * (the batch twin's precondition — a negative id's sign-preserving
+   * mix value falls outside both arms there).
    */
   def abDeltas(events: Dataset[StreamEvent], convType: String,
       salt: Long = 0L): Dataset[AbDelta] = {

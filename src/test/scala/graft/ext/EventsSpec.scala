@@ -225,11 +225,9 @@ class EventsSpec extends SparkSpec {
          else Nil)
     }.toDF("event_id", "ts", "user_id", "event_type", "value")
     val got = Events.abTest(ev, "purchase").collect().head
-    // independent recomputation from the same mix chain
-    val arm = (1L to 40L).map { u =>
-      u -> spark.range(u, u + 1)
-        .select(Export.mixBucket(col("id"), 2, 0L)).collect().head.getLong(0)
-    }.toMap
+    // independent recomputation from the same mix chain (JVM spelling —
+    // ExportSpec pins its equality with the Column form)
+    val arm = (1L to 40L).map(u => u -> Export.mixBucketLong(u, 2, 0L)).toMap
     val n0 = arm.values.count(_ == 0L).toLong
     val c0 = arm.count { case (u, v) => v == 0L && u % 3 == 0 }.toLong
     val n1 = 40L - n0
