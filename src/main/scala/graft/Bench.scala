@@ -90,7 +90,9 @@ object Bench {
     // GD distilling the rule gate into a soft scorer
     "vocab_bpe_encode", "quality_lr",
     // Q6 all-predicates-at-the-scan aggregate; Q15 all-argmax view
-    "rel_discount_revenue", "rel_top_supplier")
+    "rel_discount_revenue", "rel_top_supplier",
+    // fit + per-doc scoring map stage (the thresholdable column)
+    "quality_lr_scores")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

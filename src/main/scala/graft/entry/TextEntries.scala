@@ -285,6 +285,18 @@ object TextEntries {
       gate(graft.ext.QualityModel.fitLogistic(docs(s, dir), "doc_id", "text",
         LrIters, LrRate, QfMinTokens, QfMaxTokens, QfMinAvgLen, QfMaxAvgLen,
         QfMaxStop, QfMinTtr), "feature")),
+    // ext: the per-doc soft score under the SAME fit — the column a
+    // cleaning pipeline thresholds; weights stay full-precision into
+    // the sigmoid, only the emitted probability snaps
+    "quality_lr_scores" -> ((s, dir) => {
+      val w = graft.ext.QualityModel.fitLogistic(docs(s, dir), "doc_id",
+          "text", LrIters, LrRate, QfMinTokens, QfMaxTokens, QfMinAvgLen,
+          QfMaxAvgLen, QfMaxStop, QfMinTtr)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      gate(graft.ext.QualityModel.score(docs(s, dir), "doc_id", "text", w,
+        QfMinTokens, QfMaxTokens, QfMinAvgLen, QfMaxAvgLen, QfMaxStop,
+        QfMinTtr), "doc_id")
+    }),
     // ext: per-(lang) winsorization of n_chars at the 5/95 band; exact
     // int64 thresholds and clamp on both engines
     "quality_winsorize" -> ((s, dir) =>
@@ -1152,45 +1164,11 @@ object TextEntries {
         |FROM rk WHERE rn <= $ClusterTermsK ORDER BY cluster, rank""".stripMargin,
     // the same 5 GD steps replayed: identical left-associative z, the
     // same sigmoid/mean spellings, weights threaded through CTE columns
-    "quality_lr" -> {
-      val z = "(x0*w.w0 + x1*w.w1 + x2*w.w2 + x3*w.w3 + x4*w.w4)"
-      val p = s"(1.0 / (1.0 + exp(-$z)))"
-      val iters = (1 to LrIters).map { t =>
-        val grads = (0 until 5).map(i =>
-          s"AVG(($p - y) * x$i) AS g$i").mkString(",\n        |       ")
-        val upds = (0 until 5).map(i =>
-          s"w.w$i - $LrRate * g.g$i AS w$i").mkString(", ")
-        s"""g$t AS (SELECT $grads
-           |       FROM f CROSS JOIN w${t - 1} w),
-           |w$t AS (SELECT $upds FROM w${t - 1} w CROSS JOIN g$t g)""".stripMargin
-      }.mkString(",\n")
-      val outs = graft.ext.QualityModel.Features.zipWithIndex.map { case (nm, i) =>
-        s"SELECT '$nm' AS feature, ${r6sql(s"w$i")} AS weight FROM w$LrIters"
-      }.mkString("\nUNION ALL ")
-      tokSql + s""",
-        |qs AS MATERIALIZED (SELECT doc_id,
-        |       CAST(COUNT(*) AS BIGINT) AS n_tokens,
-        |       CAST(SUM(length(token)) AS DOUBLE) / COUNT(*) AS avg_token_len,
-        |       CAST(SUM(CASE WHEN token IN ${inList(graft.ext.TextAnalysis.Stopwords)} THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS stopword_ratio,
-        |       CAST(COUNT(DISTINCT token) AS DOUBLE) / COUNT(*) AS ttr
-        |       FROM tok GROUP BY doc_id),
-        |f AS MATERIALIZED (SELECT
-        |       CASE WHEN n_tokens >= $QfMinTokens AND n_tokens <= $QfMaxTokens
-        |             AND avg_token_len >= $QfMinAvgLen AND avg_token_len <= $QfMaxAvgLen
-        |             AND stopword_ratio <= $QfMaxStop AND ttr >= $QfMinTtr
-        |            THEN 1.0 ELSE 0.0 END AS y,
-        |       1.0 AS x0,
-        |       ln(1.0 + CAST(n_tokens AS DOUBLE)) / 12.0 AS x1,
-        |       avg_token_len / 12.0 AS x2, stopword_ratio AS x3, ttr AS x4
-        |       FROM qs),
-        |w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4),
-        |$iters,
-        |pz AS (SELECT y, $p AS p FROM f CROSS JOIN w$LrIters w),
-        |ls AS (SELECT AVG(-(y * ln(p) + (1.0 - y) * ln(1.0 - p))) AS loss FROM pz)
-        |$outs
-        |UNION ALL SELECT 'z_log_loss', ${r6sql("loss")} FROM ls
-        |ORDER BY feature""".stripMargin
-    },
+    "quality_lr" -> qualityLrSql(scores = false),
+    // the same chain, read out per document: the soft score under the
+    // full-precision fitted weights (snapped only at emission)
+    "quality_lr_scores" -> qualityLrSql(scores = true),
+
     // the same greedy rounds replayed in SQL: pair counts weighted by
     // word frequency, argmax on (count DESC, pair ASC), and the greedy
     // left-to-right rewrite spelled as its window-parity equivalent —
@@ -1263,4 +1241,54 @@ object TextEntries {
         |FROM b JOIN lo USING (grp) JOIN hi USING (grp)
         |ORDER BY doc_id""".stripMargin
   )
+
+  /** The GD-distillation oracle: the shared weight-threading chain with
+    * either the weight/loss readout (`scores = false`) or the per-doc
+    * soft-score readout under the full-precision fitted weights. */
+  private def qualityLrSql(scores: Boolean): String = {
+      val z = "(x0*w.w0 + x1*w.w1 + x2*w.w2 + x3*w.w3 + x4*w.w4)"
+      val p = s"(1.0 / (1.0 + exp(-$z)))"
+      val iters = (1 to LrIters).map { t =>
+        val grads = (0 until 5).map(i =>
+          s"AVG(($p - y) * x$i) AS g$i").mkString(",\n        |       ")
+        val upds = (0 until 5).map(i =>
+          s"w.w$i - $LrRate * g.g$i AS w$i").mkString(", ")
+        s"""g$t AS (SELECT $grads
+           |       FROM f CROSS JOIN w${t - 1} w),
+           |w$t AS (SELECT $upds FROM w${t - 1} w CROSS JOIN g$t g)""".stripMargin
+      }.mkString(",\n")
+      val outs = graft.ext.QualityModel.Features.zipWithIndex.map { case (nm, i) =>
+        s"SELECT '$nm' AS feature, ${r6sql(s"w$i")} AS weight FROM w$LrIters"
+      }.mkString("\nUNION ALL ")
+      tokSql + s""",
+        |qs AS MATERIALIZED (SELECT doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(length(token)) AS DOUBLE) / COUNT(*) AS avg_token_len,
+        |       CAST(SUM(CASE WHEN token IN ${inList(graft.ext.TextAnalysis.Stopwords)} THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS stopword_ratio,
+        |       CAST(COUNT(DISTINCT token) AS DOUBLE) / COUNT(*) AS ttr
+        |       FROM tok GROUP BY doc_id),
+        |f AS MATERIALIZED (SELECT doc_id,
+        |       CASE WHEN n_tokens >= $QfMinTokens AND n_tokens <= $QfMaxTokens
+        |             AND avg_token_len >= $QfMinAvgLen AND avg_token_len <= $QfMaxAvgLen
+        |             AND stopword_ratio <= $QfMaxStop AND ttr >= $QfMinTtr
+        |            THEN 1.0 ELSE 0.0 END AS y,
+        |       1.0 AS x0,
+        |       ln(1.0 + CAST(n_tokens AS DOUBLE)) / 12.0 AS x1,
+        |       avg_token_len / 12.0 AS x2, stopword_ratio AS x3, ttr AS x4
+        |       FROM qs),
+        |w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4),
+        |$iters,
+        |pz AS (SELECT y, $p AS p FROM f CROSS JOIN w$LrIters w),
+        |ls AS (SELECT AVG(-(y * ln(p) + (1.0 - y) * ln(1.0 - p))) AS loss FROM pz)
+        |${
+          if (scores)
+            s"""SELECT doc_id, y AS gate_pass, ${r6sql("p")} AS p_quality
+               |FROM (SELECT doc_id, y, $p AS p FROM f CROSS JOIN w$LrIters w)
+               |ORDER BY doc_id""".stripMargin
+          else
+            s"""$outs
+               |UNION ALL SELECT 'z_log_loss', ${r6sql("loss")} FROM ls
+               |ORDER BY feature""".stripMargin
+        }""".stripMargin
+  }
 }

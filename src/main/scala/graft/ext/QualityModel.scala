@@ -98,11 +98,17 @@ object QualityModel {
   }
 
   /** Per-document soft quality score under a fitted weight row set —
-    * a pure map stage (score any corpus, stream-native). */
+    * a pure map stage (score any corpus, stream-native). The gate
+    * bounds only decorate the emitted `gate_pass` reference label; pass
+    * the same bounds the fit used. */
   def score(docs: DataFrame, idCol: String, textCol: String,
-      weights: Map[String, Double]): DataFrame = {
+      weights: Map[String, Double],
+      minTokens: Long = 10, maxTokens: Long = 100000,
+      minAvgTokenLen: Double = 2.0, maxAvgTokenLen: Double = 12.0,
+      maxStopwordRatio: Double = 0.6, minTtr: Double = 0.2): DataFrame = {
     val w = Features.map(weights)
-    val f = trainingFrame(docs, idCol, textCol)
+    val f = trainingFrame(docs, idCol, textCol, minTokens, maxTokens,
+      minAvgTokenLen, maxAvgTokenLen, maxStopwordRatio, minTtr)
     val z = Features.indices.map(i => col(s"x$i") * lit(w(i))).reduce(_ + _)
     f.select(col("doc_id"), col("y").as("gate_pass"),
       (lit(1.0) / (lit(1.0) + exp(-z))).as("p_quality"))

@@ -61,7 +61,12 @@ class TextOpsStreamSpec extends SparkSpec {
       // of (id, salt), so the stream form trivially matches batch
       ("t_split", graft.ext.Export.splitAssign(_, "doc_id")),
       // entropy's sorted-run fold is row-local like repetition's
-      ("t_ent", TextAnalysis.tokenEntropy(_, "doc_id", "text")))
+      ("t_ent", TextAnalysis.tokenEntropy(_, "doc_id", "text")),
+      // scoring under FIXED fitted weights is a pure map stage — the
+      // ingest-time form of the distilled quality gate
+      ("t_lr", graft.ext.QualityModel.score(_, "doc_id", "text",
+        graft.ext.QualityModel.Features.zipWithIndex
+          .map { case (f, i) => f -> (0.1 * (i + 1)) }.toMap)))
     for ((name, fn) <- ops) {
       val got = streamed(fn, name)
       val want = batch(fn)
