@@ -98,7 +98,18 @@ object EventsEntries {
     "multimodal_frames" -> ((s, dir) =>
       gate(Multimodal.sampleFrames(docs(s, dir), "doc_id", "text",
         FrameChars, FrameStride)
-        .withColumn("frame", hex(col("frame"))), "doc_id", "frame_no"))
+        .withColumn("frame", hex(col("frame"))), "doc_id", "frame_no")),
+    // REAL codec round-trip: per-doc planted RGB image → actual ImageIO
+    // PNG encode → binary payload column → actual ImageIO decode →
+    // exact integer channel sums. PNG is lossless, so the oracle
+    // recomputes the sums in closed form from doc_id — any byte the
+    // codec pair mishandles breaks the hash.
+    "multimodal_decode" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      gate(Multimodal.imageStats(
+        Multimodal.withPngPayload(docs(s, dir), "doc_id"),
+        "doc_id", "payload").toDF(), "doc_id")
+    })
   )
 
   /** Frame width (chars) and sampling stride for the frames contract. */
@@ -318,6 +329,19 @@ object EventsEntries {
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |       (SELECT CAST(COALESCE(SUM(ascii(substr(h.text, CAST(i + 1 AS INT), 1)) * (i + 1)), 0) AS BIGINT)
         |        FROM UNNEST(range(h.hl)) AS r(i)) AS header_sum
-        |FROM h ORDER BY doc_id""".stripMargin
+        |FROM h ORDER BY doc_id""".stripMargin,
+    // closed-form replay of the planted image: PNG is lossless, so the
+    // Spark side's ImageIO encode→decode must read back exactly these
+    // per-channel linear-congruential values (Multimodal.plantedPng)
+    "multimodal_decode" ->
+      """WITH d AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+        |           FROM documents),
+        |px AS (SELECT doc_id, w, h, x, y
+        |       FROM d, UNNEST(range(w)) AS rx(x), UNNEST(range(h)) AS ry(y))
+        |SELECT doc_id, w AS width, h AS height, CAST(w * h AS BIGINT) AS n_pixels,
+        |  CAST(SUM((doc_id + 31 * x + 17 * y) % 256) AS BIGINT) AS r_sum,
+        |  CAST(SUM((2 * doc_id + 13 * x + 7 * y) % 256) AS BIGINT) AS g_sum,
+        |  CAST(SUM((3 * doc_id + 5 * x + 23 * y) % 256) AS BIGINT) AS b_sum
+        |FROM px GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin
   )
 }

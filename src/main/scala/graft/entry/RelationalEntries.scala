@@ -235,7 +235,7 @@ object RelationalEntries {
   /** Shared oracle of the bucketed/shuffled layout pair. */
   private val JoinRevenueSql =
     """SELECT o.o_orderstatus,
-      |  SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1e4 + 0.5) AS BIGINT)) AS revenue_e4,
+      |  CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1e4 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4,
       |  CAST(COUNT(*) AS BIGINT) AS n_items
       |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
@@ -295,7 +295,7 @@ object RelationalEntries {
         |  ${r6sql("CAST(t.revenue_e4 AS DOUBLE) / 1e4")} AS revenue
         |FROM (
         |  SELECT o.o_custkey,
-        |    SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1e4 + 0.5) AS BIGINT)) AS revenue_e4
+        |    CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1e4 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4
         |  FROM orders o
         |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         |  WHERE o.o_orderdate >= TIMESTAMP '$RetFrom'
@@ -332,7 +332,7 @@ object RelationalEntries {
     "rel_nation_volume" ->
       s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
         |  CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
-        |  SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1e4 + 0.5) AS BIGINT)) AS revenue_e4,
+        |  CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1e4 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4,
         |  CAST(COUNT(*) AS BIGINT) AS n_items
         |FROM lineitem l
         |JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -351,11 +351,11 @@ object RelationalEntries {
         |  SELECT CAST(year(l_shipdate) AS BIGINT) AS yr,
         |         CAST(month(l_shipdate) AS BIGINT) AS mo,
         |         CAST(COUNT(*) AS BIGINT) AS n_items,
-        |         SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 1e4 + 0.5) AS BIGINT)) AS revenue_e4
+        |         CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 1e4 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4
         |  FROM lineitem GROUP BY 1, 2)
         |SELECT yr, mo, n_items, revenue_e4,
-        |  SUM(revenue_e4) OVER (ORDER BY yr, mo
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_revenue_e4
+        |  CAST(SUM(revenue_e4) OVER (ORDER BY yr, mo
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_revenue_e4
         |FROM m ORDER BY yr, mo""".stripMargin,
     // Q14: promo flag from the part dim; both sums exact int64, share is
     // one IEEE division of identical integers — r6 on both sides
@@ -364,8 +364,8 @@ object RelationalEntries {
       val promoSum = s"SUM(CASE WHEN p.p_type LIKE '$PromoPrefix%' THEN $rowRev ELSE 0 END)"
       s"""SELECT CAST(year(l.l_shipdate) AS BIGINT) AS yr,
         |  CAST(month(l.l_shipdate) AS BIGINT) AS mo,
-        |  $promoSum AS promo_rev_e4,
-        |  SUM($rowRev) AS rev_e4,
+        |  CAST($promoSum AS BIGINT) AS promo_rev_e4,
+        |  CAST(SUM($rowRev) AS BIGINT) AS rev_e4,
         |  CAST(COUNT(*) AS BIGINT) AS n_items,
         |  ${r6sql(s"100.0 * CAST($promoSum AS DOUBLE) / CAST(SUM($rowRev) AS DOUBLE)")} AS promo_share_pct
         |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
@@ -379,7 +379,7 @@ object RelationalEntries {
       s"""SELECT coalesce(r.r_name, '(all)') AS r_name,
         |  coalesce(n.n_name, '(all)') AS n_name,
         |  CAST(GROUPING(r.r_name, n.n_name) AS BIGINT) AS lvl,
-        |  SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1e4 + 0.5) AS BIGINT)) AS revenue_e4,
+        |  CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1e4 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4,
         |  CAST(COUNT(*) AS BIGINT) AS n_items
         |FROM lineitem l
         |JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -395,7 +395,7 @@ object RelationalEntries {
            | AND l.l_quantity BETWEEN ${c.qtyLo} AND ${c.qtyHi})""".stripMargin)
         .mkString("(", "\n OR ", ")")
       s"""SELECT
-        |  SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1e4 + 0.5) AS BIGINT)) AS revenue_e4,
+        |  CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1e4 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4,
         |  CAST(COUNT(*) AS BIGINT) AS n_items
         |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
         |WHERE $ors""".stripMargin
@@ -408,7 +408,7 @@ object RelationalEntries {
         |a AS (SELECT CAST(SUM(bal_e2) AS DOUBLE) / COUNT(*) AS avg_e2
         |      FROM bal WHERE bal_e2 > 0)
         |SELECT nationkey, CAST(COUNT(*) AS BIGINT) AS n_custs,
-        |       SUM(bal_e2) AS total_bal_e2
+        |       CAST(SUM(bal_e2) AS BIGINT) AS total_bal_e2
         |FROM bal, a
         |WHERE CAST(bal_e2 AS DOUBLE) > a.avg_e2
         |  AND NOT EXISTS (SELECT 1 FROM orders o
@@ -469,7 +469,7 @@ object RelationalEntries {
         |ORDER BY o.o_orderkey""".stripMargin,
     // same pushed predicates, same exact 1e-6-unit money floor
     "rel_discount_revenue" ->
-      s"""SELECT SUM(CAST(floor(l_extendedprice * l_discount * 1e6 + 0.5) AS BIGINT)) AS revenue_e6,
+      s"""SELECT CAST(SUM(CAST(floor(l_extendedprice * l_discount * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e6,
         |  CAST(COUNT(*) AS BIGINT) AS n_items
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '$VolFrom'
@@ -479,7 +479,7 @@ object RelationalEntries {
     // same supplier rollup + ALL-argmax rank over exact integers
     "rel_top_supplier" ->
       s"""WITH pr AS (SELECT l_suppkey,
-        |  SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 1e4 + 0.5) AS BIGINT)) AS total_revenue_e4
+        |  CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 1e4 + 0.5) AS BIGINT)) AS BIGINT) AS total_revenue_e4
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '$VolFrom'
         |    AND l_shipdate < TIMESTAMP '$VolUntil'
@@ -511,10 +511,10 @@ object RelationalEntries {
     // same geo chains, same CASE-flagged target sum, same one division
     "rel_market_share" ->
       s"""SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
-        |  SUM(CASE WHEN sn.n_name = '$ShareNation'
+        |  CAST(SUM(CASE WHEN sn.n_name = '$ShareNation'
         |       THEN CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1e4 + 0.5) AS BIGINT)
-        |       ELSE CAST(0 AS BIGINT) END) AS target_rev_e4,
-        |  SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1e4 + 0.5) AS BIGINT)) AS total_rev_e4,
+        |       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS target_rev_e4,
+        |  CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1e4 + 0.5) AS BIGINT)) AS BIGINT) AS total_rev_e4,
         |  CAST(COUNT(*) AS BIGINT) AS n_items,
         |  ${r6sql("CAST(SUM(CASE WHEN sn.n_name = '" + ShareNation + "' " +
             "THEN CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1e4 + 0.5) AS BIGINT) " +

@@ -1282,7 +1282,7 @@ object TextEntries {
         |ls AS (SELECT AVG(-(y * ln(p) + (1.0 - y) * ln(1.0 - p))) AS loss FROM pz)
         |${
           if (scores)
-            s"""SELECT doc_id, y AS gate_pass, ${r6sql("p")} AS p_quality
+            s"""SELECT doc_id, CAST(y AS DOUBLE) AS gate_pass, ${r6sql("p")} AS p_quality
                |FROM (SELECT doc_id, y, $p AS p FROM f CROSS JOIN w$LrIters w)
                |ORDER BY doc_id""".stripMargin
           else

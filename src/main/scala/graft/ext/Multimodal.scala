@@ -6,16 +6,24 @@ import org.apache.spark.sql.functions._
 /** Typed metadata for one media payload. */
 final case class MediaFeatures(doc_id: Long, n_bytes: Long, feature: Array[Float])
 
+/** Decoded-image statistics: dimensions plus exact per-channel sums, the
+  * integer readout an external oracle can recompute arithmetically. */
+final case class ImageStats(doc_id: Long, width: Long, height: Long,
+    n_pixels: Long, r_sum: Long, g_sum: Long, b_sum: Long)
+
 /**
  * Multimodal column plumbing: media (image/audio/video) travel through the
  * pipeline as opaque `binary` columns with typed metadata; decode and
  * feature extraction run batched per partition.
  *
- * The real decode step needs codec libraries this environment does not
- * ship, so [[StubDecoder]] is a clearly-marked deterministic fake — the
- * Spark-side plumbing (binary column, partition batching, schema of the
- * decoded output) is real and tested, and a production codec drops in by
- * implementing [[MediaDecoder]].
+ * The IMAGE path is real end-to-end: [[plantedPng]] ImageIO-encodes a
+ * deterministic RGB image per row, [[ImageIoDecoder]]/[[imageStats]]
+ * ImageIO-decode actual PNG bytes back (javax.imageio ships with the JDK,
+ * offline-safe), and because PNG is lossless the decoded channel sums are
+ * pure integer functions of the row key — so a SQL oracle can check a real
+ * codec round-trip exactly. [[StubDecoder]] remains only as the fallback
+ * for payload formats with no JDK codec (audio/video); a production codec
+ * for those drops in by implementing [[MediaDecoder]].
  */
 object Multimodal {
 
@@ -74,9 +82,10 @@ object Multimodal {
   }
 
   /**
-   * STUB — deterministic fake standing in for a real image/audio codec
-   * (not available offline). Produces a `dim`-width feature from byte
+   * STUB — deterministic fake standing in for codecs the JDK does not
+   * ship (audio/video). Produces a `dim`-width feature from byte
    * statistics so downstream plumbing is exercised with stable values.
+   * Images have a REAL decoder: [[ImageIoDecoder]].
    */
   final class StubDecoder(val dim: Int = 8) extends MediaDecoder {
     def decode(payload: Array[Byte]): Array[Float] = {
@@ -88,6 +97,125 @@ object Multimodal {
       }
       out
     }
+  }
+
+  /** Planted-image dimension grid: small enough that a SQL oracle can
+    * expand every pixel, varied enough (13·7 co-prime periods) that docs
+    * get 91 distinct shapes. */
+  def plantedWidth(docId: Long): Int = (4 + Math.floorMod(docId, 13L)).toInt
+  def plantedHeight(docId: Long): Int = (3 + Math.floorMod(docId, 7L)).toInt
+
+  /**
+   * REAL PNG bytes, deterministically planted: an RGB image whose channel
+   * values are pure integer functions of (docId, x, y), encoded through
+   * the JDK's actual PNG codec (`javax.imageio.ImageIO`). Because PNG is
+   * lossless, whatever decodes these bytes must read back exactly the
+   * planted values — which is what lets the DuckDB oracle check a real
+   * encode→decode round-trip with closed-form arithmetic.
+   */
+  def plantedPng(docId: Long): Array[Byte] = {
+    val w = plantedWidth(docId)
+    val h = plantedHeight(docId)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = Math.floorMod(docId + 31L * x + 17L * y, 256L).toInt
+        val g = Math.floorMod(2L * docId + 13L * x + 7L * y, 256L).toInt
+        val b = Math.floorMod(3L * docId + 5L * x + 23L * y, 256L).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream(256)
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /**
+   * Attach a REAL PNG payload column derived from the id column — the
+   * fixture generator for the image-decode path. Runs in the partition
+   * batch seam (one codec context per partition, rows streamed through),
+   * exactly where a production pipeline would read image blobs from its
+   * object store.
+   */
+  def withPngPayload(docs: DataFrame, idCol: String,
+      payloadCol: String = "payload")(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"))
+      .as[Long]
+      .mapPartitions(_.map(id => (id, plantedPng(id))))
+      .toDF(idCol, payloadCol)
+  }
+
+  /**
+   * REAL image decoder over the JDK's ImageIO (PNG/JPEG/GIF/BMP — all
+   * offline, no external codec libs). Feature = [width, height, mean R,
+   * mean G, mean B]; a payload ImageIO cannot parse yields the zero
+   * vector rather than poisoning the partition (corrupt blobs are a fact
+   * of life in a 100 TB crawl — skip, don't crash).
+   */
+  final class ImageIoDecoder extends MediaDecoder {
+    val dim: Int = 5
+    def decode(payload: Array[Byte]): Array[Float] = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) return new Array[Float](dim)
+      val w = img.getWidth; val h = img.getHeight
+      var rs = 0L; var gs = 0L; var bs = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      Array(w.toFloat, h.toFloat, rs.toFloat / n, gs.toFloat / n, bs.toFloat / n)
+    }
+  }
+
+  /**
+   * Decode image payloads to exact integer statistics (dimensions +
+   * per-channel sums), batched per partition. This is the contract-
+   * checkable face of the real decoder: on [[plantedPng]] payloads the
+   * output is a closed-form function of doc_id, so the DuckDB oracle
+   * verifies the full ImageIO encode→decode round-trip value-exactly.
+   * Unparseable payloads are dropped (corrupt-blob tolerance, same policy
+   * as [[ImageIoDecoder]]).
+   */
+  def imageStats(df: DataFrame, idCol: String, payloadCol: String)(
+      implicit spark: SparkSession): Dataset[ImageStats] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        if (img == null) None
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          var rs = 0L; var gs = 0L; var bs = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          Some(ImageStats(id, w.toLong, h.toLong, w.toLong * h, rs, gs, bs))
+        }
+      })
   }
 
   /**

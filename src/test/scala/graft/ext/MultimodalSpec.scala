@@ -40,6 +40,46 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.length == 2 && feats.forall(_.n_bytes == 2L))
   }
 
+  test("plantedPng → imageStats: REAL ImageIO encode/decode round-trip") {
+    val ids = Seq(0L, 1L, 7L, 12L, 90L).toDF("doc_id")
+    val stats = Multimodal.imageStats(
+      Multimodal.withPngPayload(ids, "doc_id"), "doc_id", "payload")
+      .collect().map(x => x.doc_id -> x).toMap
+    assert(stats.size == 5)
+    ids.as[Long].collect().foreach { id =>
+      val w = Multimodal.plantedWidth(id); val h = Multimodal.plantedHeight(id)
+      val exp = (for (x <- 0 until w; y <- 0 until h) yield (
+        Math.floorMod(id + 31L * x + 17L * y, 256L),
+        Math.floorMod(2L * id + 13L * x + 7L * y, 256L),
+        Math.floorMod(3L * id + 5L * x + 23L * y, 256L)))
+      val st = stats(id)
+      assert(st.width == w && st.height == h && st.n_pixels == w.toLong * h)
+      assert(st.r_sum == exp.map(_._1).sum)
+      assert(st.g_sum == exp.map(_._2).sum)
+      assert(st.b_sum == exp.map(_._3).sum)
+    }
+  }
+
+  test("plantedPng bytes are genuine PNG; ImageIoDecoder features match") {
+    val png = Multimodal.plantedPng(3L)
+    // PNG magic: 89 50 4E 47 0D 0A 1A 0A
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    val f = new Multimodal.ImageIoDecoder().decode(png)
+    assert(f.length == 5)
+    assert(f(0) == Multimodal.plantedWidth(3L).toFloat)
+    assert(f(1) == Multimodal.plantedHeight(3L).toFloat)
+    // corrupt blob → zero vector, not a crash
+    val junk = new Multimodal.ImageIoDecoder().decode(Array[Byte](1, 2, 3))
+    assert(junk.toSeq == Seq(0f, 0f, 0f, 0f, 0f))
+  }
+
+  test("imageStats drops unparseable payloads (corrupt-blob tolerance)") {
+    val mixed = Seq((5L, Multimodal.plantedPng(5L)),
+      (6L, Array[Byte](9, 9, 9))).toDF("doc_id", "payload")
+    val out = Multimodal.imageStats(mixed, "doc_id", "payload").collect()
+    assert(out.map(_.doc_id).toSeq == Seq(5L))
+  }
+
   test("decodeFeatures: partition-batched stub decoder, stable output") {
     val f = Multimodal.decodeFeatures(
       Multimodal.withPayload(docs, "text"), "doc_id", "payload")
