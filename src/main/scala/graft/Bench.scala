@@ -94,8 +94,10 @@ object Bench {
     // fit + per-doc scoring map stage (the thresholdable column)
     "quality_lr_scores",
     // r8: the REAL codec round-trip (ImageIO PNG encode→decode in the
-    // partition-batched seam)
-    "multimodal_decode")
+    // partition-batched seam); the dangling-mass power iteration over the
+    // directed graph (per-round 1-row scalar broadcast on top of the
+    // edge join + aggregate)
+    "multimodal_decode", "graph_pagerank_dangling")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

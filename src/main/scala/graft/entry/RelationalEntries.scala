@@ -180,6 +180,20 @@ object RelationalEntries {
         e0.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
       gate(Graph.pageRank(edges, PrIters, PrDamping,
         pin = _.localCheckpoint()), "node")
+    }),
+    // ext: PageRank over the DIRECTED customer→supplier graph — every
+    // supplier is a genuine sink, so this exercises the dangling-mass
+    // redistribution (Σrank stays exactly 1; spec-pinned). Same 5-round
+    // power iteration, one extra 1-row scalar broadcast per round.
+    "graph_pagerank_dangling" -> ((s, dir) => {
+      val ord = Relational.orders(s, dir).select("o_orderkey", "o_custkey")
+      val li = Relational.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+      val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .agg(count(lit(1)).as("weight"))
+      gate(Graph.pageRankDangling(edges, PrIters, PrDamping,
+        pin = _.localCheckpoint()), "node")
     })
   )
 
@@ -552,6 +566,41 @@ object RelationalEntries {
         |nd AS (SELECT DISTINCT src AS node FROM e),
         |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nd),
         |r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nd CROSS JOIN nn),
+        |$iters
+        |SELECT node, ${r6sql("rank")} AS rank FROM r$PrIters ORDER BY node""".stripMargin
+    },
+    // the same unrolled power iteration over the DIRECTED graph, plus
+    // the dangling term: each r_{i-1} feeds BOTH the mass sum and the
+    // contribution join, so the round CTEs are MATERIALIZED (DuckDB 1.0
+    // inlines at every reference — O(2^rounds) scans otherwise)
+    "graph_pagerank_dangling" -> {
+      val iters = (1 to PrIters).map { i =>
+        s"""dm$i AS MATERIALIZED (SELECT COALESCE(SUM(r.rank), 0.0) AS m
+           |      FROM r${i - 1} r JOIN dang d ON d.node = r.node),
+           |c$i AS MATERIALIZED (SELECT p.dst, SUM(p.prob * r.rank) AS c
+           |      FROM p JOIN r${i - 1} r ON r.node = p.src GROUP BY 1),
+           |r$i AS MATERIALIZED (SELECT nd.node,
+           |        (1.0 - $PrDamping) / nn.n
+           |          + $PrDamping * (COALESCE(c$i.c, 0.0) + dm$i.m / nn.n) AS rank
+           |      FROM nd CROSS JOIN nn CROSS JOIN dm$i
+           |      LEFT JOIN c$i ON c$i.dst = nd.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS MATERIALIZED (
+        |     SELECT 'c' || o.o_custkey AS src, 's' || l.l_suppkey AS dst,
+        |            CAST(COUNT(*) AS BIGINT) AS w
+        |     FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |     GROUP BY 1, 2),
+        |ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wout FROM e GROUP BY 1),
+        |p AS MATERIALIZED (
+        |     SELECT e.src, e.dst, CAST(e.w AS DOUBLE) / CAST(ow.wout AS DOUBLE) AS prob
+        |     FROM e JOIN ow USING (src)),
+        |nd AS MATERIALIZED (
+        |     SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |dang AS MATERIALIZED (
+        |     SELECT node FROM nd
+        |     WHERE node NOT IN (SELECT DISTINCT src FROM e)),
+        |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nd),
+        |r0 AS MATERIALIZED (SELECT node, 1.0 / nn.n AS rank FROM nd CROSS JOIN nn),
         |$iters
         |SELECT node, ${r6sql("rank")} AS rank FROM r$PrIters ORDER BY node""".stripMargin
     },

@@ -21,8 +21,11 @@ object Graph {
    * Every node must appear as a `src` (symmetrize a one-directional
    * graph first — union both edge directions — which also removes
    * dangling nodes, whose leaked mass would otherwise need the
-   * redistribute-to-all correction this implementation deliberately
-   * omits). Fixed `iters` rounds: rank is a diagnostic weight here, not
+   * redistribute-to-all correction; use [[pageRankDangling]] for graphs
+   * with genuine sinks). The precondition is ENFORCED: a dst-only node
+   * would silently lose the mass flowing into it at the nodes-left-join,
+   * so the one cheap validation count (node-sized anti-join) fails fast
+   * instead. Fixed `iters` rounds: rank is a diagnostic weight here, not
    * a fixpoint contract — 5 rounds separate hubs from leaves at any
    * scale, and a fixed round count keeps the result a pure function of
    * the input (no convergence race).
@@ -51,6 +54,11 @@ object Graph {
       .select(col("src"), col("dst"),
         (col("w").cast("double") / col("wout").cast("double")).as("prob")))
     val nodes = pin(e.select(col("src").as("node")).distinct())
+    val nDstOnly = e.select(col("dst").as("node")).distinct()
+      .join(nodes, Seq("node"), "left_anti").count()
+    require(nDstOnly == 0,
+      s"$nDstOnly dst-only node(s) would silently lose incoming rank mass" +
+        " — symmetrize the edges or use pageRankDangling")
     val n = nodes.count()
     require(n > 0, "graph has no nodes")
     val base = lit((1.0 - damping) / n)
@@ -64,5 +72,91 @@ object Graph {
         .localCheckpoint()
     }
     ranks
+  }
+
+  /** Final ranks plus the measured per-round L1 movement — the readout
+    * that turns "how many rounds is enough" into data. */
+  final case class RankResult(ranks: DataFrame, l1Deltas: Seq[Double])
+
+  /**
+   * PageRank with the dangling-mass correction (the full Page et al.
+   * model): nodes are `src ∪ dst`, and each round the rank mass sitting
+   * on sink nodes (no out-edges) is redistributed uniformly —
+   *
+   *   rank_{t+1}(v) = (1 − d)/N + d · (Σ_{u→v} rank_t(u)·p(u,v) + D_t/N)
+   *
+   * where D_t = Σ_{dangling u} rank_t(u). Σ rank is exactly 1 every round
+   * (mass conservation — spec-pinned), which plain [[pageRank]] only gets
+   * by forbidding sinks.
+   *
+   * Scale shape: identical to [[pageRank]] (one edge-sized equi-join +
+   * one map-side-partial aggregate per round) plus, per round, ONE 1-row
+   * dangling-mass aggregate consumed via cross-join — a sanctioned
+   * scalar broadcast, never a driver action. The dangling node set is a
+   * node-sized anti-join computed once and reused.
+   */
+  def pageRankDangling(edges: DataFrame, iters: Int, damping: Double = 0.85,
+      pin: DataFrame => DataFrame = identity): DataFrame =
+    runDangling(edges, iters, damping, pin, tol = None).ranks
+
+  /**
+   * [[pageRankDangling]] driven to convergence: stops after the first
+   * round whose L1 movement `Σ|rank_t − rank_{t−1}|` drops below `tol`
+   * (or at `maxIters`), returning the measured per-round deltas. Each
+   * round adds one node-sized join (vs the previous ranks) and one 1-row
+   * driver action for the delta — the price of a measured stopping rule;
+   * use [[pageRankDangling]] when a fixed round count is the contract.
+   */
+  def pageRankConverged(edges: DataFrame, tol: Double, maxIters: Int = 20,
+      damping: Double = 0.85,
+      pin: DataFrame => DataFrame = identity): RankResult = {
+    require(tol > 0, "tol must be positive")
+    runDangling(edges, maxIters, damping, pin, tol = Some(tol))
+  }
+
+  private def runDangling(edges: DataFrame, iters: Int, damping: Double,
+      pin: DataFrame => DataFrame, tol: Option[Double]): RankResult = {
+    require(iters >= 0, "iters must be non-negative")
+    require(damping >= 0 && damping <= 1, "damping must be in [0, 1]")
+    val e = edges.select(col("src"), col("dst"), col("weight").cast("long").as("w"))
+    val ow = e.groupBy("src").agg(sum("w").as("wout"))
+    val p = pin(e.join(ow, "src")
+      .select(col("src"), col("dst"),
+        (col("w").cast("double") / col("wout").cast("double")).as("prob")))
+    val nodes = pin(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
+    val dangling = pin(nodes.join(e.select(col("src").as("node")).distinct(),
+      Seq("node"), "left_anti"))
+    val n = nodes.count()
+    require(n > 0, "graph has no nodes")
+    val base = lit((1.0 - damping) / n)
+    var ranks = nodes.select(col("node"), (lit(1.0) / n).as("rank"))
+    val deltas = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var round = 0
+    var converged = false
+    while (round < iters && !converged) {
+      // D_t: 1-row aggregate over the sink nodes' current rank,
+      // cross-joined into every row (scalar broadcast, stays in-plan)
+      val dm = ranks.join(dangling, Seq("node"), "left_semi")
+        .agg(coalesce(sum("rank"), lit(0.0)).as("dmass"))
+      val contrib = p.join(ranks, col("src") === col("node"))
+        .groupBy(col("dst")).agg(sum(col("prob") * col("rank")).as("c"))
+      val next = nodes.join(contrib, col("node") === col("dst"), "left")
+        .crossJoin(dm)
+        .select(col("node"),
+          (base + lit(damping) *
+            (coalesce(col("c"), lit(0.0)) + col("dmass") / n)).as("rank"))
+        .localCheckpoint()
+      tol.foreach { t =>
+        val moved = next.join(ranks.withColumnRenamed("rank", "prev"), "node")
+          .agg(sum(abs(col("rank") - col("prev"))).as("l1"))
+          .head().getDouble(0)
+        deltas += moved
+        converged = moved < t
+      }
+      ranks = next
+      round += 1
+    }
+    RankResult(ranks, deltas.toSeq)
   }
 }

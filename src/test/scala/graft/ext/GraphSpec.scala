@@ -70,4 +70,58 @@ class GraphSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("pageRank fails fast on dst-only nodes (silent mass loss)") {
+    val g = Seq(("u", "sink", 1L)).toDF("src", "dst", "weight")
+    val e = intercept[IllegalArgumentException](Graph.pageRank(g, 1))
+    assert(e.getMessage.contains("pageRankDangling"))
+  }
+
+  // directed chain u → v → sink: sink has no out-edges
+  private lazy val chain = Seq(
+    ("u", "v", 1L), ("v", "sink", 1L)
+  ).toDF("src", "dst", "weight")
+
+  private def danglingRanks(iters: Int): Map[String, Double] =
+    Graph.pageRankDangling(chain, iters).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+  test("pageRankDangling: one iteration matches the hand-computed update") {
+    val r = danglingRanks(1)
+    val n = 3.0; val d = 0.85
+    val base = (1.0 - d) / n
+    // D_0 = 1/3 (sink's uniform share), redistributed as D/n to everyone
+    val dm = (1.0 / n) / n
+    assertApprox(r("u"), base + d * dm, 1e-12)                 // no in-edges
+    assertApprox(r("v"), base + d * (1.0 / n + dm), 1e-12)     // all of u
+    assertApprox(r("sink"), base + d * (1.0 / n + dm), 1e-12)  // all of v
+    assertApprox(r.values.sum, 1.0, 1e-12)
+  }
+
+  test("pageRankDangling conserves rank mass every round") {
+    (1 to 4).foreach { iters =>
+      assertApprox(danglingRanks(iters).values.sum, 1.0, 1e-9)
+    }
+  }
+
+  test("pageRankDangling handles src-only graphs identically to pageRank") {
+    // no sinks → dangling set empty → must equal plain pageRank exactly
+    val plain = Graph.pageRank(star, 3).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val dng = Graph.pageRankDangling(star, 3).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    plain.foreach { case (k, v) => assertApprox(dng(k), v, 1e-12) }
+  }
+
+  test("pageRankConverged: L1 deltas shrink and the rule stops early") {
+    val res = Graph.pageRankConverged(chain, tol = 1e-3, maxIters = 50)
+    assert(res.l1Deltas.nonEmpty && res.l1Deltas.length < 50)
+    assert(res.l1Deltas.last < 1e-3)
+    // movement is (eventually strictly) decreasing on this contraction
+    assert(res.l1Deltas.sliding(2).forall {
+      case Seq(a, b) => b <= a + 1e-12
+      case _ => true
+    })
+    assertApprox(res.ranks.collect().map(_.getDouble(1)).sum, 1.0, 1e-9)
+  }
 }
