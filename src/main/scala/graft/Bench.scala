@@ -97,7 +97,9 @@ object Bench {
     // partition-batched seam); the dangling-mass power iteration over the
     // directed graph (per-round 1-row scalar broadcast on top of the
     // edge join + aggregate)
-    "multimodal_decode", "graph_pagerank_dangling")
+    // the inverted-index build (explode → (term,doc) agg → term-keyed df
+    // agg joined back), the static side of the streaming retrieval twin
+    "multimodal_decode", "graph_pagerank_dangling", "bm25_index")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

@@ -133,6 +133,11 @@ object TextEntries {
     "bm25_search" -> ((s, dir) =>
       gate(Retrieval.bm25TopK(docs(s, dir), "doc_id", "text",
         Bm25Terms, Bm25K), "doc_id")),
+    // ext: the term-keyed inverted index (tf/dl/df postings) — the
+    // static side of the stream-static retrieval twin
+    "bm25_index" -> ((s, dir) =>
+      gate(Retrieval.bm25Index(docs(s, dir), "doc_id", "text"),
+        "term", "doc_id")),
     // ext: per-language quartile bucketing by document length
     "quality_buckets" -> ((s, dir) =>
       gate(TextAnalysis.qualityBuckets(docs(s, dir), "doc_id", "lang",
@@ -840,6 +845,17 @@ object TextEntries {
     // geometric evidence from the remaining 25 bits via the same integer
     // CASE chain, exact dyadic register sums, one ln at the very end
     "vocab_hll_audit" -> hllAuditSql("source"),
+    // exact integer postings over the shared tokenization; tf referenced
+    // twice (df + final) → MATERIALIZED per the DuckDB 1.0 inline rule
+    "bm25_index" ->
+      (tokSql + """,
+        |idl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+        |itf AS MATERIALIZED (SELECT token AS term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+        |       FROM tok GROUP BY 1, 2),
+        |idf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM itf GROUP BY 1)
+        |SELECT itf.term, itf.doc_id, itf.tf, idl.dl, idf.df
+        |FROM itf JOIN idl USING (doc_id) JOIN idf USING (term)
+        |ORDER BY term, doc_id""".stripMargin),
     "bm25_search" -> {
       val tfCols = Bm25Terms.indices.map(i =>
         s"CAST(len(list_filter(t, x -> x = '${Bm25Terms(i)}')) AS BIGINT) AS tf_$i")

@@ -75,6 +75,75 @@ object Retrieval {
   /** Single-quoted SQL string literal (term lists are caller-supplied). */
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
 
+  /** Corpus-level BM25 constants: document count and average document
+    * length. Two scalars — the sanctioned model-sized eager fit. */
+  final case class Bm25Stats(nDocs: Long, avgdl: Double)
+
+  /**
+   * Term-keyed inverted index: one row per (term, document) posting with
+   * the term frequency, the document length, and the term's document
+   * frequency — everything a scorer needs for ARBITRARY query terms,
+   * unlike [[bm25TopK]]'s compile-time literal list. This is the static
+   * side of the stream-static twin
+   * ([[graft.streaming.RetrievalStream.bm25Scores]]): build (and
+   * typically persist/write) once, join queries against it forever.
+   *
+   * Scale shape: explode + one (term, doc) aggregate + one term-keyed
+   * df aggregate joined back on term — the posting-list layout, sized by
+   * total corpus tokens and naturally partitioned by term, which is also
+   * the join key every query probe uses (co-located, no re-shuffle).
+   */
+  def bm25Index(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = TextAnalysis.tokenArray(docs, idCol, textCol)
+      .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
+        explode(col("t")).as("term"))
+    // dl is functionally dependent on doc_id — grouping by it is free
+    val tf = tok.groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "term")
+      .select("term", "doc_id", "tf", "dl", "df")
+  }
+
+  /** The two corpus scalars for [[bm25Index]]-based scoring — ONE 1-row
+    * aggregate action. Computed over the same tokenization as the index
+    * (docs with zero tokens are excluded from both). */
+  def bm25CorpusStats(docs: DataFrame, idCol: String, textCol: String): Bm25Stats = {
+    val r = TextAnalysis.tokenArray(docs, idCol, textCol)
+      .agg(count(lit(1)).as("n"), sum(size(col("t")).cast("long")).as("sdl"))
+      .head()
+    val n = r.getLong(0)
+    require(n > 0, "corpus has no non-empty documents")
+    Bm25Stats(n, r.getLong(1).toDouble / n)
+  }
+
+  /** BM25 per-term contribution from posting columns (tf, dl, df) —
+    * shared, term-order-free arithmetic used by the index-based scorers
+    * (each term's value is a fixed IEEE op sequence; only the final sum
+    * order can differ between engines). */
+  def bm25Contrib(stats: Bm25Stats, k1: Double, b: Double): Column = {
+    val tf = col("tf").cast("double")
+    val dfreq = col("df").cast("double")
+    val idf = log(lit(1.0) +
+      (lit(stats.nDocs.toDouble) - dfreq + lit(0.5)) / (dfreq + lit(0.5)))
+    idf * (tf * lit(k1 + 1.0)) /
+      (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(stats.avgdl)))
+  }
+
+  /**
+   * Batch scorer over the prebuilt index — the exact batch twin of the
+   * streaming path: same postings join, same [[bm25Contrib]] arithmetic,
+   * same (query, doc) aggregate. `queries` is (query_id, terms) with
+   * terms an array column (duplicate terms contribute once per
+   * occurrence, like [[bm25TopK]]'s literal list).
+   */
+  def bm25ScoreQueries(queries: DataFrame, postings: DataFrame,
+      stats: Bm25Stats, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    queries
+      .select(col("query_id"), explode(col("terms")).as("term"))
+      .join(postings, Seq("term"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(bm25Contrib(stats, k1, b)).as("score"))
+
   /**
    * Reciprocal Rank Fusion (Cormack, Clarke & Büttcher SIGIR'09) — the
    * standard score-free ensemble of two retrieval systems: each
