@@ -99,7 +99,10 @@ object Bench {
     // edge join + aggregate)
     // the inverted-index build (explode → (term,doc) agg → term-keyed df
     // agg joined back), the static side of the streaming retrieval twin
-    "multimodal_decode", "graph_pagerank_dangling", "bm25_index")
+    "multimodal_decode", "graph_pagerank_dangling", "bm25_index",
+    // the planted mega-star grouping pair: plain propagation join (hub's
+    // whole in-degree on one task) vs the salted label-replication plan
+    "dedup_groups_skew", "dedup_groups_skew_salted")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

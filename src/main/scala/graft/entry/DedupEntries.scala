@@ -145,6 +145,22 @@ object DedupEntries {
         .select("doc0", "doc1")
       gate(Dedup.dupGroupsConverged(d, pairs, "doc_id"), "doc_id")
     }),
+    // the PLANTED mega-component twins (VERDICT r7 ask #7): a star
+    // pairing the minimum orders key with 60% of the key space — the
+    // boilerplate-hub regime where each propagation round's edge⋈label
+    // join hands the hub's whole in-degree to the task owning hash(hub).
+    // Plain vs salted derive the same components (shared oracle); Bench
+    // times them side by side with shuffle-byte accounting.
+    "dedup_groups_skew" -> ((s, dir) => {
+      val ids = skewIds(s, dir)
+      gate(Dedup.dupGroups(ids, starPairs(ids), "doc_id",
+        rounds = SkewRounds), "doc_id")
+    }),
+    "dedup_groups_skew_salted" -> ((s, dir) => {
+      val ids = skewIds(s, dir)
+      gate(Dedup.dupGroupsSalted(ids, starPairs(ids), "doc_id",
+        rounds = SkewRounds, salts = SkewSalts), "doc_id")
+    }),
     // GROUP-ATOMIC split: near-dup groups assigned to train/val/test as
     // one unit — the constructive fix for the leakage dedup_split_leakage
     // measures (id-hash splits separate near-identical texts)
@@ -236,6 +252,30 @@ object DedupEntries {
   /** Label-propagation rounds for the contract grouping run. */
   private val GroupRounds = 4
 
+  /** Planted mega-star contract: the hub star converges in one round;
+    * two rounds prove propagation holds the fixed point. 8 salts mirrors
+    * the aligned_pairs_salted convention. */
+  private val SkewRounds = 2
+  private val SkewSalts = 8
+
+  /** The orders key space as a grouping corpus (10×–300× more nodes than
+    * documents, so the planted hub's in-degree is bench-visible). */
+  private def skewIds(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey").as("doc_id"))
+
+  /** The planted 60%-star: hub = MIN(id) (a 1-row scalar broadcast),
+    * spokes = every id with id % 10 < 6 except the hub itself. One round
+    * of min-label propagation collapses the star to the hub (the hub is
+    * the global minimum), so the oracle is closed-form. */
+  private def starPairs(ids: DataFrame): DataFrame = {
+    val h = ids.agg(org.apache.spark.sql.functions.min(col("doc_id")).as("hub"))
+    ids.where(pmod(col("doc_id"), lit(10)) < 6)
+      .crossJoin(org.apache.spark.sql.functions.broadcast(h))
+      .where(col("doc_id") =!= col("hub"))
+      .select(col("hub").as("doc0"), col("doc_id").as("doc1"))
+  }
+
   /** Jaccard threshold of the prefix-filter contract — above the 0.2
     * exhaustive-kernel contract on purpose so the two rows exercise
     * different thresholds (the prefix length rule depends on t). */
@@ -269,6 +309,16 @@ object DedupEntries {
   /** Source id treated as the held-out eval corpus in the
     * decontamination contract (the other 19 sources are "train"). */
   private val EvalSource = "src0"
+
+  /** Closed-form oracle of the planted 60%-star grouping (see
+    * [[starPairs]]): spokes and hub map to the hub, everyone else to
+    * themselves. */
+  private val SkewStarSql =
+    """WITH h AS (SELECT MIN(o_orderkey) AS hub FROM orders)
+      |SELECT o_orderkey AS doc_id,
+      |  CAST(CASE WHEN o_orderkey % 10 < 6 OR o_orderkey = h.hub
+      |       THEN h.hub ELSE o_orderkey END AS BIGINT) AS group_rep
+      |FROM orders CROSS JOIN h ORDER BY doc_id""".stripMargin
 
   import TextHash.M
 
@@ -659,6 +709,11 @@ object DedupEntries {
       (groupsChainSql + s"""
         |SELECT doc_id, CAST(rep AS BIGINT) AS group_rep
         |FROM l$GroupRounds ORDER BY doc_id""".stripMargin),
+    // planted mega-star over the orders key space: the hub is the global
+    // minimum id, so every spoke's representative is the hub after one
+    // round — closed form, shared by the plain and salted plans
+    "dedup_groups_skew" -> SkewStarSql,
+    "dedup_groups_skew_salted" -> SkewStarSql,
     // the dedup_groups chain + token-count scores + per-group electee
     // via a full-frame first_value, mirroring Dedup.keepBest's window
     "dedup_keep_best" ->

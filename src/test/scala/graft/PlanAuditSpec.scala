@@ -49,7 +49,11 @@ class PlanAuditSpec extends SparkSpec {
       // two 1-row aggregates crossed into the single stats row
       "vocab_bpe_encode",
       // 1-row average-balance scalar broadcast over the customer scan
-      "rel_dormant_customers")
+      "rel_dormant_customers",
+      // 1-row dangling-mass scalar broadcast per power-iteration round
+      "graph_pagerank_dangling",
+      // 1-row MIN(id) hub scalar broadcast building the planted star
+      "dedup_groups_skew", "dedup_groups_skew_salted")
 
   test("no contract query plans a cartesian product or unsanctioned BNLJ") {
     assume(new File(sfDir).isDirectory, s"$sfDir missing")

@@ -221,6 +221,25 @@ class DedupSpec extends SparkSpec {
     assert(g2(7L) == 5L && g2(3L) == 1L && g2(2L) == 1L)
   }
 
+  test("dupGroupsSalted matches dupGroups row-for-row (mega-star + chain + singleton)") {
+    val ids = (1L to 40L).map(Tuple1(_)).toDF("doc_id")
+    // a 25-spoke mega-star on hub 1, a 4-chain 30–33, singletons elsewhere
+    val pairs = ((2L to 26L).map(d => (1L, d)) ++ Seq((30L, 31L), (31L, 32L), (32L, 33L)))
+      .toDF("doc0", "doc1")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1 to 3).foreach { salts =>
+      val salted = toMap(Dedup.dupGroupsSalted(ids, pairs, "doc_id",
+        rounds = 3, salts = salts))
+      val plain = toMap(Dedup.dupGroups(ids, pairs, "doc_id", rounds = 3))
+      assert(salted == plain, s"salts=$salts")
+    }
+    val g = toMap(Dedup.dupGroupsSalted(ids, pairs, "doc_id", rounds = 3))
+    assert((1L to 26L).forall(g(_) == 1L))
+    assert((30L to 33L).forall(g(_) == 30L))
+    assert(g(27L) == 27L && g(40L) == 40L)
+  }
+
   test("dupGroupsConverged collapses a chain deeper than any fixed-round reach") {
     val ids = (1L to 12L).map(Tuple1(_)).toDF("doc_id")
     // a 10-hop duplicate chain 1–2–…–11 (diameter 10) plus singleton 12
