@@ -13,14 +13,23 @@ import org.apache.spark.sql.SparkSession
  *     DuckDB oracles read the same naive timestamps as-is).
  *   - shuffle partitions sized to the local core count rather than the 200
  *     default — on a real cluster this would be set to ~2–3× total cores.
+ *   - a PER-JVM warehouse dir — the warehouse holds derived caches (the
+ *     bucketed-layout tables); sharing one directory between concurrent
+ *     JVMs (parallel test + bench runs) would let one process rm -rf a
+ *     table another is actively reading. Process-scoped paths make that
+ *     race impossible; the OS tmp reaper collects leftovers.
  */
 object SparkSessions {
   def local(appName: String, cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
+    val warehouse = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      s"graft-warehouse-${ProcessHandle.current().pid()}").getAbsolutePath
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", warehouse)
       .config("spark.ui.enabled", "false")
       // The host this runs on shows episodic multi-second windows where
       // runnable vCPUs get ~1% of a core (see BENCH_r02: the in-process

@@ -374,23 +374,36 @@ object Events {
    * User ids must be non-negative (the [[Export.splitAssign]]
    * convention — parquet surrogate ids are): the mix chain preserves
    * sign, so a negative id would land outside both arms here while the
-   * streaming twin would emit it under variant −1.
+   * streaming twin would emit it under variant −1. The precondition is
+   * ENFORCED in-plan (a row-local assert, same codegen stage as the
+   * variant hash) so batch and stream fail loudly instead of silently
+   * diverging; an empty events table yields the all-zero one-row
+   * summary, never NULLs.
    */
   def abTest(events: DataFrame, convType: String, salt: Long = 0L): DataFrame = {
     val perUser = events
+      .withColumn("user_id",
+        when(assert_true(col("user_id") >= 0,
+          lit("abTest: negative user_id — ids must be non-negative")).isNull,
+          col("user_id")))
       .groupBy("user_id")
       .agg(max(when(col("event_type") === convType, lit(1L)).otherwise(lit(0L)))
         .as("conv"))
       .withColumn("v", Export.mixBucket(col("user_id"), 2, salt))
     val one = perUser.agg(
-      sum(when(col("v") === 0, lit(1L)).otherwise(lit(0L))).as("n0"),
-      sum(when(col("v") === 0, col("conv")).otherwise(lit(0L))).as("c0"),
-      sum(when(col("v") === 1, lit(1L)).otherwise(lit(0L))).as("n1"),
-      sum(when(col("v") === 1, col("conv")).otherwise(lit(0L))).as("c1"))
+      coalesce(sum(when(col("v") === 0, lit(1L)).otherwise(lit(0L))), lit(0L)).as("n0"),
+      coalesce(sum(when(col("v") === 0, col("conv")).otherwise(lit(0L))), lit(0L)).as("c0"),
+      coalesce(sum(when(col("v") === 1, lit(1L)).otherwise(lit(0L))), lit(0L)).as("n1"),
+      coalesce(sum(when(col("v") === 1, col("conv")).otherwise(lit(0L))), lit(0L)).as("c1"))
     val p0 = col("c0").cast("double") / col("n0").cast("double")
     val p1 = col("c1").cast("double") / col("n1").cast("double")
+    // the pooled rate is evaluated in the z guard's CONDITION, so its
+    // denominator must be total even on an empty table (ANSI divide
+    // raises on /0); c0+c1 = 0 there, so the clamped denominator still
+    // yields p = 0 and the guard short-circuits z to 0
+    val nt = col("n0") + col("n1")
     val p = (col("c0") + col("c1")).cast("double") /
-      (col("n0") + col("n1")).cast("double")
+      when(nt > 0, nt).otherwise(lit(1L)).cast("double")
     val se = sqrt(p * (lit(1.0) - p) *
       (lit(1.0) / col("n0").cast("double") + lit(1.0) / col("n1").cast("double")))
     one.select(col("n0"), col("c0"), col("n1"), col("c1"),

@@ -781,9 +781,13 @@ object Relational {
   def bucketedOrderRevenue(spark: SparkSession, dir: String,
       buckets: Int = 8): DataFrame = {
     require(buckets > 0)
-    // collision-free tag: the sanitized path itself (hashCode could
-    // collide two dirs onto one cached table, or go negative)
-    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_").takeRight(64)
+    // collision-free tag: a readable sanitized-path suffix PLUS an MD5
+    // of the full dir string — sanitizing to '_' and truncating is lossy
+    // on its own ('/data/sf0.1' vs '/data/sf0_1', or two long paths
+    // sharing a suffix, would silently read each other's bucketed cache)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_").takeRight(40) + "_" + digest
     val tO = s"graft_bkt_orders_$tag"
     val tL = s"graft_bkt_lineitem_$tag"
     if (!spark.catalog.tableExists(tO)) {
@@ -803,7 +807,10 @@ object Relational {
     * warehouse directories persist — saveAsTable then refuses the
     * "existing location". These directories are derived caches this
     * module owns, so an unknown-to-the-catalog leftover is safe to
-    * clear before re-writing. */
+    * clear before re-writing. Concurrent-JVM safety comes from the
+    * warehouse itself being process-scoped ([[graft.SparkSessions]]
+    * puts it under tmp, keyed by pid) — this delete can only ever see
+    * this JVM's own leftovers. */
   private def dropStaleLocation(spark: SparkSession, table: String): Unit = {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     // hadoop Path parses configured locations (incl. unescaped spaces)

@@ -760,7 +760,10 @@ object EventsStream {
    * exactly-once experiment counter must hold somewhere, hash-partitioned
    * across executors by the group key. User ids must be non-negative
    * (the batch twin's precondition — a negative id's sign-preserving
-   * mix value falls outside both arms there).
+   * mix value falls outside both arms there); ENFORCED here exactly as
+   * the batch side enforces it, so the twins fail identically instead
+   * of silently diverging (batch: outside both arms; stream: a
+   * variant −1 row).
    */
   def abDeltas(events: Dataset[StreamEvent], convType: String,
       salt: Long = 0L): Dataset[AbDelta] = {
@@ -769,6 +772,8 @@ object EventsStream {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, batch: Iterator[StreamEvent], state: GroupState[AbUserState]) =>
+          require(userId >= 0,
+            s"abDeltas: negative user_id $userId — ids must be non-negative")
           val wasKnown = state.exists
           val wasConv = state.getOption.exists(_.converted)
           val nowConv = wasConv || batch.exists(_.event_type == convType)

@@ -257,6 +257,23 @@ class EventsSpec extends SparkSpec {
     assert(r.getAs[Long]("n0") + r.getAs[Long]("n1") === 1L)
   }
 
+  test("abTest: empty events table yields the all-zero row, never NULLs (ADVICE r7)") {
+    val empty = Seq.empty[(Long, Long, Long, String, Double)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Events.abTest(empty, "purchase").collect().head
+    Seq("n0", "c0", "n1", "c1").foreach(c => assert(r.getAs[Long](c) === 0L))
+    Seq("rate0", "rate1", "z").foreach(c => assert(r.getAs[Double](c) === 0.0))
+  }
+
+  test("abTest: negative user ids fail loudly, matching the stream twin (ADVICE r7)") {
+    val neg = Seq((1L, 1L, -5L, "view", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val e = intercept[Exception](Events.abTest(neg, "purchase").collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("non-negative")), e.toString)
+  }
+
   test("transitionMatrix: lead pairs per user, terminal (end), rows sum to 1") {
     val got = Events.transitionMatrix(events).collect()
       .map(r => (r.getAs[String]("prev_type"), r.getAs[String]("next_type")) ->
