@@ -87,12 +87,12 @@ object CoreEntries {
     // (Bench clears the cache between reps; Verify's session is one-shot)
     "cosine_topk_ann" -> ((s, dir) =>
       gate(graft.ext.SparseAnn.topSimilarAnn(analysis(s), supplierPartMatrix(s, dir), 5,
-        pin = _.persist()), "vector", "rank")),
+        pin = _.persist(), planes = AnnPlanes, center = AnnCenter), "vector", "rank")),
     // ANN-routed missing-value prediction: same CF weighting as
     // cosine_predict, neighbors restricted to the LSH candidate rule
     "cosine_predict_ann" -> ((s, dir) =>
       gate(graft.ext.SparseAnn.predictMissingAnn(analysis(s), supplierPartMatrix(s, dir), 5,
-        pin = _.persist()), "y", "x")),
+        pin = _.persist(), planes = AnnPlanes, center = AnnCenter), "y", "x")),
     // document-frequency cap before alignment (the Zipf-head scale guard)
     "aligned_pairs_dfcap" -> ((s, dir) => {
       val a = analysis(s)
@@ -125,6 +125,24 @@ object CoreEntries {
   /** df cap for aligned_pairs_dfcap — prunes the head coordinates at every sf. */
   private val DfCapMax = 20L
 
+  /** Sparse-ANN hyperplane count for the contract pair. Default = the
+    * library default (6 → 64 buckets, the driver contract); overridable
+    * via SPARK_GRAFT_ANN_PLANES for scaled runs — the ORACLE below is
+    * built from the same value, so the correctness compare stays
+    * self-consistent at any setting (the sfx1 spot-bench runs these two
+    * queries at 12 planes, where the fixed-width 64-bucket candidate
+    * surface had blown past local disk). */
+  private val AnnPlanes: Int = sys.env.get("SPARK_GRAFT_ANN_PLANES")
+    .map(_.toInt).getOrElse(graft.ext.SparseAnn.Planes)
+
+  /** Mean-centered sign test (SPARK_GRAFT_ANN_CENTER=1): the scaled-run
+    * switch for positively-valued matrices, where every vector is
+    * near-parallel to the mean and RAW sign bits leave most of the
+    * corpus in a few buckets. Oracle mirrors the same centering, so the
+    * compare is self-consistent either way; driver default off. */
+  private val AnnCenter: Boolean =
+    sys.env.get("SPARK_GRAFT_ANN_CENTER").exists(v => v == "1" || v == "true")
+
   /** Shared oracle CTE chain mirroring the pipeline stage by stage. */
   private val pipelineSql: String = matrixSql + """,
     |mx AS (SELECT y, MAX(v) AS mv FROM m GROUP BY y),
@@ -155,16 +173,34 @@ object CoreEntries {
   /** Sparse sign-LSH candidate chain (buckets → hamming≤1 pairs → snapped
     * dense cosine, symmetrized) mirroring graft.ext.SparseAnn — the shared
     * prefix of the cosine_topk_ann / cosine_predict_ann oracles. */
-  private val annCandSql: String = s""",
-    |sproj AS (SELECT y, ${(0 until graft.ext.SparseAnn.Planes)
+  private val annProbeMasksSql: String =
+    (0L +: (0 until AnnPlanes).map(j => 1L << j))
+      .map(m => s"($m)").mkString("(VALUES ", ", ", ") AS v(mask)")
+
+  /** The 1-row centering shift (per-plane mean-vector projection + the
+    * vector count) mirrored from the Spark side's `center = true` path —
+    * both engines subtract the identical scalar before the sign test. */
+  private val annTotSql: String =
+    if (!AnnCenter) ""
+    else s""",
+      |stot AS (SELECT ${(0 until AnnPlanes)
+          .map(k => s"SUM(${graft.ext.SparseAnn.planeComponent(k, "x")} * nv) AS t_$k")
+          .mkString(", ")},
+      |                CAST(COUNT(DISTINCT y) AS DOUBLE) AS n_vec
+      |         FROM n)""".stripMargin
+
+  private val annCandSql: String = annTotSql + s""",
+    |sproj AS (SELECT y, ${(0 until AnnPlanes)
         .map(k => s"SUM(${graft.ext.SparseAnn.planeComponent(k, "x")} * nv) AS p_$k")
         .mkString(", ")}
-    |          FROM n GROUP BY y),
-    |sbkt AS (SELECT y AS v, CAST(${(0 until graft.ext.SparseAnn.Planes)
+    |          FROM n GROUP BY y${if (AnnCenter) "),\nsprojc AS (SELECT y, " +
+          (0 until AnnPlanes).map(k => s"sproj.p_$k - stot.t_$k / stot.n_vec AS p_$k")
+            .mkString(", ") + " FROM sproj CROSS JOIN stot" else ""}),
+    |sbkt AS (SELECT y AS v, CAST(${(0 until AnnPlanes)
         .map(k => s"CASE WHEN floor(p_$k*1e6 + 0.50001)/1e6 > 0 THEN ${1L << k} ELSE 0 END")
         .mkString(" + ")} AS BIGINT) AS bucket
-    |         FROM sproj),
-    |mk AS (SELECT * FROM $lshProbeMasksSql),
+    |         FROM ${if (AnnCenter) "sprojc" else "sproj"}),
+    |mk AS (SELECT * FROM $annProbeMasksSql),
     |cand AS (SELECT hi.v AS vector0, lo.v AS vector1
     |         FROM sbkt lo JOIN sbkt hi ON lo.v < hi.v
     |         JOIN mk ON xor(lo.bucket, hi.bucket) = CAST(mk.mask AS BIGINT)),

@@ -257,8 +257,8 @@ object Embeddings {
    * matches and the output needs no dedup. Rows are (id, bucket) only —
    * the replication never touches the vectors themselves.
    */
-  def lshNearPairs(buckets: DataFrame): DataFrame = {
-    val maskArr = array((0L +: (0 until LshPlanes).map(j => 1L << j)).map(lit): _*)
+  def lshNearPairs(buckets: DataFrame, planes: Int = LshPlanes): DataFrame = {
+    val maskArr = array((0L +: (0 until planes).map(j => 1L << j)).map(lit): _*)
     val probed = buckets
       .select(col("vec_id"), explode(maskArr).as("mask"),
         col("bucket"))

@@ -32,21 +32,50 @@ import graft.core.{CosineAnalysis, MatrixElement}
  * `cosine_predict_ann` 15.8 s. On a matrix this dense the direct
  * coordinate self-join enumerates pairs cheaply, so the candidate
  * machinery (buckets + probe join + two id-joins back to coordinates)
- * costs ~1.5× the exact path — it pays off in the real target regime,
- * when vector count or Zipf-head coordinates make Σ_coord C(n_coord, 2)
- * itself explode (candidates are bounded by bucket collisions, never the
- * pair surface). The exact path stays the default; this is the scale
- * escape hatch.
+ * costs ~1.5× the exact path.
+ *
+ * MEASURED REGIME GUIDANCE (sfx1 spot-bench, 10× vectors, bench_sf1
+ * .json): sign-LSH candidate routing pays on sparse data with DIVERSE
+ * coordinate support — doc-term matrices, Zipf-tailed user-item — where
+ * unrelated vectors land in different buckets. It DEGRADES on
+ * dense-support, positively-correlated matrices (this CF matrix: every
+ * supplier touches most parts with positive weights), because all
+ * vectors are near-parallel to the mean direction and their sign bits
+ * correlate: at the default 6 planes the collapsed buckets made the
+ * candidate×coords join spill >80 GB and die; at 12 planes it completes
+ * but still loses to the exact path ~9× (618 s vs 67 s). `center =
+ * true` (mean-centered projections) balances each plane's split and
+ * helps (predict 847 → 710 s) but cannot undo cross-plane correlation —
+ * the residual variance concentrates along the top principal direction.
+ * For that regime use the exact alignment, [[graft.core.CosineAnalysis
+ * .dfCap]], or [[graft.core.CosineAnalysis.alignedPairsSalted]]; size
+ * `planes ≈ log₂(N/occupancy)` when this route IS appropriate.
  */
 object SparseAnn {
 
-  /** Hyperplane count — bit width of the bucket id. Matches
-    * [[Embeddings.LshPlanes]] so the probe-mask helper is shared. */
+  /** DEFAULT hyperplane count — bit width of the bucket id. Matches
+    * [[Embeddings.LshPlanes]] so the probe-mask helper is shared. The
+    * contract queries pin this default; AT SCALE THE CALLER MUST SIZE IT
+    * (see the planes parameter) — the bucket count 2^planes must track
+    * the vector count. Measured on the 10× supplier×part matrix
+    * (ScaleUp sfx1, local[32]): with the default 64 buckets the
+    * candidate surface grows ~N²/2^planes and the candidate×coords dot
+    * join spilled >80 GB of shuffle before dying, while the exact path
+    * finished — a fixed-width LSH INVERTS the ANN trade one scale factor
+    * up. Rule of thumb: planes ≈ log₂(N / targetBucketOccupancy), so
+    * +1 plane per doubling of vectors. */
   val Planes: Int = Embeddings.LshPlanes
 
   /** Per-plane odd multipliers for the component hash (small enough that
-    * tokenValue · multiplier stays far from int64 overflow). */
-  val PlaneMultipliers: Seq[Long] = Seq(17L, 131L, 241L, 367L, 487L, 599L)
+    * tokenValue · multiplier stays far from int64 overflow). Sized for
+    * up to 16 planes (65536 buckets) — beyond the default 6 so the plane
+    * count can scale with the corpus (see [[Planes]]). */
+  val PlaneMultipliers: Seq[Long] = Seq(
+    17L, 131L, 241L, 367L, 487L, 599L, 709L, 823L,
+    941L, 1063L, 1187L, 1301L, 1429L, 1543L, 1667L, 1789L)
+
+  /** Largest supported plane count. */
+  val MaxPlanes: Int = PlaneMultipliers.size
 
   /**
    * SQL text of hyperplane component k for a coordinate column: a value in
@@ -68,17 +97,43 @@ object SparseAnn {
    * Snapping maps ±ε to exactly 0 → bit 0, deterministically, on both
    * sides of the oracle.
    */
-  def buckets(n: DataFrame, vecCol: String, coordCol: String, valCol: String): DataFrame = {
-    val projs = (0 until Planes).map { k =>
+  def buckets(n: DataFrame, vecCol: String, coordCol: String, valCol: String,
+      planes: Int = Planes, center: Boolean = false): DataFrame = {
+    require(planes >= 1 && planes <= MaxPlanes,
+      s"planes must be in [1, $MaxPlanes]")
+    val projs = (0 until planes).map { k =>
       sum(expr(planeComponent(k, coordCol)) * col(valCol)).as(s"proj_$k")
     }
-    val bucket = (0 until Planes)
+    val perVec = n.groupBy(col(vecCol).as("vec_id")).agg(projs.head, projs.tail: _*)
+    // MEAN-CENTERED sign test (the sfx1 fix): an all-positive matrix's
+    // vectors are all near-parallel to the mean direction, so raw sign
+    // bits correlate across vectors and most of the corpus collapses
+    // into a few buckets — the candidate surface stays ~quadratic no
+    // matter how many planes. Projection is linear, so hashing the
+    // CENTERED vector v − μ only needs proj(μ): one 1-row aggregate
+    // (Σ over the whole table per plane, plus the vector count),
+    // cross-joined back — a sanctioned scalar broadcast. Each plane then
+    // splits the corpus near its median instead of leaving everyone on
+    // one side. Exactly-parallel vectors still agree on every centered
+    // bit (equal raw projections ⇒ equal centered ones).
+    val sided =
+      if (!center) perVec
+      else {
+        val totAggs = (0 until planes).map { k =>
+          sum(expr(planeComponent(k, coordCol)) * col(valCol)).as(s"tot_$k")
+        } :+ countDistinct(col(vecCol)).as("n_vec")
+        val tot = n.agg(totAggs.head, totAggs.tail: _*)
+        (0 until planes).foldLeft(perVec.crossJoin(broadcast(tot))) { (d, k) =>
+          d.withColumn(s"proj_$k",
+            col(s"proj_$k") - col(s"tot_$k") / col("n_vec").cast("double"))
+        }
+      }
+    val bucket = (0 until planes)
       .map(k => when(
         floor(col(s"proj_$k") * lit(1e6) + lit(0.50001)) / lit(1e6) > 0,
         lit(1L << k)).otherwise(lit(0L)): Column)
       .reduce(_ + _)
-    n.groupBy(col(vecCol).as("vec_id")).agg(projs.head, projs.tail: _*)
-      .select(col("vec_id"), bucket.cast("long").as("bucket"))
+    sided.select(col("vec_id"), bucket.cast("long").as("bucket"))
   }
 
   /**
@@ -91,8 +146,9 @@ object SparseAnn {
    * [[predictMissingAnn]].
    */
   def candidateSims(analysis: CosineAnalysis, matrix: Dataset[MatrixElement],
-      pin: DataFrame => DataFrame = identity): DataFrame =
-    candidateSimsFrom(pin(normTable(analysis, matrix)), pin)
+      pin: DataFrame => DataFrame = identity,
+      planes: Int = Planes, center: Boolean = false): DataFrame =
+    candidateSimsFrom(pin(normTable(analysis, matrix)), pin, planes, center)
 
   /** The (vector, coord, nv) projection of the normalized matrix — the
     * table every stage of the candidate pipeline consumes. */
@@ -114,10 +170,12 @@ object SparseAnn {
    * their own boundary (the MatrixModel.persist convention — no function
    * here may leak cache entries into long-lived sessions).
    */
-  def candidateSimsFrom(n: DataFrame, pin: DataFrame => DataFrame = identity): DataFrame = {
+  def candidateSimsFrom(n: DataFrame, pin: DataFrame => DataFrame = identity,
+      planes: Int = Planes, center: Boolean = false): DataFrame = {
     val mods = n.groupBy("vector")
       .agg(sqrt(sum(col("nv") * col("nv"))).as("mod"))
-    val cands = pin(Embeddings.lshNearPairs(buckets(n, "vector", "coord", "nv"))
+    val cands = pin(Embeddings.lshNearPairs(
+        buckets(n, "vector", "coord", "nv", planes, center), planes)
       .select(col("v1").as("vector0"), col("v0").as("vector1")))
     val a = n.select(col("vector").as("vector0"), col("coord"), col("nv").as("nv0"))
     val b = n.select(col("vector").as("vector1"), col("coord"), col("nv").as("nv1"))
@@ -146,11 +204,12 @@ object SparseAnn {
    * similarity desc, neighbor asc).
    */
   def topSimilarAnn(analysis: CosineAnalysis, matrix: Dataset[MatrixElement],
-      k: Int = 5, pin: DataFrame => DataFrame = identity): DataFrame = {
+      k: Int = 5, pin: DataFrame => DataFrame = identity,
+      planes: Int = Planes, center: Boolean = false): DataFrame = {
     require(k > 0)
     val w = Window.partitionBy("vector")
       .orderBy(col("similarity_value").desc, col("neighbor").asc)
-    candidateSims(analysis, matrix, pin)
+    candidateSims(analysis, matrix, pin, planes, center)
       .withColumnRenamed("s", "similarity_value")
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
@@ -166,10 +225,11 @@ object SparseAnn {
    * candidate set differs (by the documented bucket rule).
    */
   def predictMissingAnn(analysis: CosineAnalysis, matrix: Dataset[MatrixElement],
-      neighbors: Int = 5, pin: DataFrame => DataFrame = identity): DataFrame = {
+      neighbors: Int = 5, pin: DataFrame => DataFrame = identity,
+      planes: Int = Planes, center: Boolean = false): DataFrame = {
     require(neighbors > 0)
     val n = pin(normTable(analysis, matrix))
-    val sym = candidateSimsFrom(n, pin).where(col("s") > 0.0)
+    val sym = candidateSimsFrom(n, pin, planes, center).where(col("s") > 0.0)
     val w = Window.partitionBy("vector").orderBy(col("s").desc, col("neighbor").asc)
     val top = sym.withColumn("rn", row_number().over(w)).where(col("rn") <= neighbors)
     val cells = n.select(col("vector").as("neighbor"),

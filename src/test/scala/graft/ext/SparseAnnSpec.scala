@@ -69,4 +69,86 @@ class SparseAnnSpec extends SparkSpec {
     assert(b1 == b2)
     assert(b1.values.forall(b => b >= 0 && b < (1L << SparseAnn.Planes)))
   }
+
+  private def normOf(m: org.apache.spark.sql.Dataset[MatrixElement]) =
+    analysis.normalize(m).toDF()
+      .select($"y".as("vector"), $"x".as("coord"), $"normalized_value".as("nv"))
+
+  test("more planes: candidates are a SUBSET (Hamming-1 rule), parallel pairs survive") {
+    val n = normOf(matrix)
+    def candsAt(planes: Int): Set[(String, String)] =
+      Embeddings.lshNearPairs(
+        SparseAnn.buckets(n, "vector", "coord", "nv", planes), planes)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toSet
+    val c6 = candsAt(6)
+    val c12 = candsAt(12)
+    // hamming_12 >= hamming_6 on the shared prefix bits, so <=1 at 12
+    // planes implies <=1 at 6 — the wider bucket id only ever PRUNES
+    assert(c12.subsetOf(c6), s"12-plane candidates not a subset: ${c12 -- c6}")
+    // and it prunes something on this fixture (the point of scaling planes)
+    assert(c12.size < c6.size, s"c6=${c6.size} c12=${c12.size}")
+    // identical vectors agree on EVERY sign bit at any width, so a
+    // planted twin pair is still a candidate at the max plane count
+    val sess = spark
+    import sess.implicits._
+    val twin = normOf(Seq(
+      MatrixElement("a", "c1", 3.0), MatrixElement("a", "c2", 5.0),
+      MatrixElement("b", "c1", 3.0), MatrixElement("b", "c2", 5.0)).toDS())
+    val twins = Embeddings.lshNearPairs(
+      SparseAnn.buckets(twin, "vector", "coord", "nv", SparseAnn.MaxPlanes),
+      SparseAnn.MaxPlanes).collect().map(r => (r.getString(0), r.getString(1)))
+    assert(twins.toSeq == Seq(("a", "b")))
+  }
+
+  test("centered buckets spread an all-positive corpus; parallel twins stay together") {
+    val n = normOf(matrix)
+    def occupancy(center: Boolean): Map[Long, Int] =
+      SparseAnn.buckets(n, "vector", "coord", "nv", planes = 6, center = center)
+        .collect().groupBy(_.getLong(1)).map { case (b, rs) => b -> rs.length }
+    val raw = occupancy(center = false)
+    val centered = occupancy(center = true)
+    // all-positive vectors are near-parallel to the mean: raw signs
+    // concentrate the corpus; centering must strictly spread it
+    assert(centered.size > raw.size,
+      s"raw=${raw.size} buckets, centered=${centered.size}")
+    assert(centered.values.max < raw.values.max,
+      s"rawMax=${raw.values.max} centeredMax=${centered.values.max}")
+    // equal raw projections ⇒ equal centered projections: twins collide
+    val sess = spark
+    import sess.implicits._
+    val twin = normOf(Seq(
+      MatrixElement("a", "c1", 3.0), MatrixElement("a", "c2", 5.0),
+      MatrixElement("b", "c1", 3.0), MatrixElement("b", "c2", 5.0)).toDS())
+    val tb = SparseAnn.buckets(twin, "vector", "coord", "nv",
+      planes = SparseAnn.MaxPlanes, center = true)
+      .collect().map(_.getLong(1)).toSet
+    assert(tb.size == 1)
+  }
+
+  test("centered candidateSims still reports exact cosine for surviving pairs") {
+    val ann = SparseAnn.topSimilarAnn(analysis, matrix, k = 3,
+      planes = 8, center = true)
+    val rows = ann.collect()
+    val exact = analysis.fit(matrix, isSparse = false).allSimilarityValue
+      .collect().flatMap { sv =>
+        val snapped = math.floor(sv.similarity_value * 1e6 + 0.50001) / 1e6
+        Seq((sv.vector0, sv.vector1) -> snapped, (sv.vector1, sv.vector0) -> snapped)
+      }.toMap
+    rows.foreach { r =>
+      assertApprox(r.getDouble(3), exact((r.getString(0), r.getString(2))), 1e-9)
+    }
+  }
+
+  test("topSimilarAnn at scaled planes still reports exact cosine values") {
+    val ann = SparseAnn.topSimilarAnn(analysis, matrix, k = 3, planes = 10)
+    val rows = ann.collect()
+    val exact = analysis.fit(matrix, isSparse = false).allSimilarityValue
+      .collect().flatMap { sv =>
+        val snapped = math.floor(sv.similarity_value * 1e6 + 0.50001) / 1e6
+        Seq((sv.vector0, sv.vector1) -> snapped, (sv.vector1, sv.vector0) -> snapped)
+      }.toMap
+    rows.foreach { r =>
+      assertApprox(r.getDouble(3), exact((r.getString(0), r.getString(2))), 1e-9)
+    }
+  }
 }

@@ -82,6 +82,49 @@ class CheckpointResumeSpec extends SparkSpec {
     assert(got.toSet == want.toSet, s"got=${got.toSet} want=${want.toSet}")
   }
 
+  test("bm25Scores resumes from checkpoint: queries straddling the restart all score") {
+    val docs = Seq(
+      (0L, "spark shuffles data across the cluster"),
+      (1L, "broadcast joins avoid the shuffle"),
+      (2L, "watermarks bound streaming state")).toDF("doc_id", "text")
+    val postings = graft.ext.Retrieval.bm25Index(docs, "doc_id", "text")
+      .localCheckpoint()
+    val stats = graft.ext.Retrieval.bm25CorpusStats(docs, "doc_id", "text")
+    val t0 = 1700000000000L
+    val before = Seq((100L, new Timestamp(t0), Seq("spark", "shuffle")))
+    val after = Seq((101L, new Timestamp(t0 + 1000), Seq("data", "state")))
+    val flush = Seq((999L, new Timestamp(t0 + 3600000L), Seq("flush")))
+
+    val dir = Files.createTempDirectory("graft_ckpt_bm25").toFile
+    val in = MemoryStream[(Long, Timestamp, Seq[String])]
+    def start() = RetrievalStream.bm25Scores(
+      in.toDF().toDF("query_id", "ts", "terms"), postings, stats,
+      watermark = "5 seconds")
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode(OutputMode.Append)
+      .start()
+
+    val q1 = start()
+    try { in.addData(before: _*); q1.processAllAvailable() } finally q1.stop()
+    val q2 = start()
+    try {
+      in.addData(after: _*); q2.processAllAvailable()
+      in.addData(flush: _*); q2.processAllAvailable()
+    } finally q2.stop()
+
+    val got = spark.read.parquet(s"$dir/out").where($"query_id" < 999).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id")) ->
+        r.getAs[Double]("score")).toMap
+    val want = graft.ext.Retrieval.bm25ScoreQueries(
+      (before ++ after).map(q => (q._1, q._3)).toDF("query_id", "terms"),
+      postings, stats).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == want.keySet, s"got=${got.keySet} want=${want.keySet}")
+    want.foreach { case (k, v) => assertApprox(got(k), v, 1e-9) }
+  }
+
   test("funnel resumes from checkpoint: the matched prefix survives the restart") {
     val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
     def ev(u: Long, minutes: Long, tpe: String) =
