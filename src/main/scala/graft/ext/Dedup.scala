@@ -1057,6 +1057,19 @@ object Dedup {
    * plain plan on a planted 60%-star fixture (dedup_groups_skew /
    * dedup_groups_skew_salted).
    *
+   * MEASURED CROSSOVER — note the physics differ from
+   * [[graft.core.CosineAnalysis.alignedPairsSalted]]: pair alignment
+   * explodes QUADRATICALLY in the hot key (C(df,2) rows in one task —
+   * salting won 10.4× at the sfx1 scale, bench_sf1.json), while this
+   * join's hot task is only LINEAR in the hub's in-degree. So plain +
+   * AQE wins until deg(hub) ≫ |edges|/tasks: measured 60%-star over
+   * orders, local[32] — sf0.1 (9k-spoke hub) plain 1.2 s vs salted
+   * 2.4 s; sfx1 (90k-spoke hub) plain 9.3 s vs salted 12.3 s, salting
+   * paying its 3.1× label-replication shuffle both times. Reach for the
+   * salted plan when one reducer's row count (≈ max in-degree) breaks
+   * the per-task time/memory budget — boilerplate hubs touching a
+   * corpus-scale fraction of documents — not merely when a hub exists.
+   *
    * Same contract and same output as [[dupGroups]] (shared oracle): the
    * min-aggregate itself was never the bottleneck — min is algebraic, so
    * map-side partials already collapse a hot `src` before the exchange.
