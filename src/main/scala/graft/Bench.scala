@@ -102,7 +102,10 @@ object Bench {
     "multimodal_decode", "graph_pagerank_dangling", "bm25_index",
     // the planted mega-star grouping pair: plain propagation join (hub's
     // whole in-degree on one task) vs the salted label-replication plan
-    "dedup_groups_skew", "dedup_groups_skew_salted")
+    "dedup_groups_skew", "dedup_groups_skew_salted",
+    // Q9-shape profit rollup (part-slice broadcast shrinking the fact
+    // join); the partitioned-layout slice (directory pruning at plan time)
+    "rel_product_profit", "docs_lang_pruned")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

@@ -166,6 +166,14 @@ object RelationalEntries {
         Relational.supplier(s, dir), Relational.nation(s, dir),
         Relational.region(s, dir), ShareRegion, ShareNation,
         VolFrom, VolUntil), "o_year")),
+    // ext: TPC-H Q9 shape — product profit by (supplier nation, year)
+    // for name-matched parts; supply cost = 0.6·retail·qty proxy (no
+    // partsupp in this schema), per-row e4 floors so the sum is exact
+    "rel_product_profit" -> ((s, dir) =>
+      gate(Relational.productProfit(Relational.lineitem(s, dir),
+        Relational.orders(s, dir), Relational.supplier(s, dir),
+        Relational.nation(s, dir), Relational.part(s, dir),
+        ProfitNamePart), "nation", "o_year")),
     // ext: PageRank over the symmetrized customer↔supplier order graph
     // (prefixed string ids keep the two key spaces disjoint); fixed
     // 5-round power iteration, rank snapped only at the gate
@@ -237,6 +245,10 @@ object RelationalEntries {
     * supplier nation whose share is reported. */
   private val ShareRegion = "EUROPE"
   private val ShareNation = "NATION_3"
+
+  /** Q9-shape contract: the part-name substring (257 of 2000 parts at
+    * sf0.01 — the slice is real but dimension-small). */
+  private val ProfitNamePart = "red"
 
   /** Q6-shape contract: discount band and quantity cutoff (2490
     * lineitems at sf0.01). Stored discounts sit on an exact 2-decimal
@@ -569,6 +581,21 @@ object RelationalEntries {
         |$iters
         |SELECT node, ${r6sql("rank")} AS rank FROM r$PrIters ORDER BY node""".stripMargin
     },
+    // same dim slice, same per-row e4 floors on both profit terms,
+    // same (nation, year) rollup — exact int64 end to end
+    "rel_product_profit" ->
+      s"""SELECT n.n_name AS nation,
+        |  CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1e4 + 0.5) AS BIGINT)
+        |         - CAST(floor(0.6 * p.p_retailprice * l.l_quantity * 1e4 + 0.5) AS BIGINT)) AS BIGINT) AS profit_e4,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |WHERE p.p_name LIKE '%$ProfitNamePart%'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the same unrolled power iteration over the DIRECTED graph, plus
     // the dangling term: each r_{i-1} feeds BOTH the mass sum and the
     // contribution join, so the round CTEs are MATERIALIZED (DuckDB 1.0

@@ -138,6 +138,16 @@ object TextEntries {
     "bm25_index" -> ((s, dir) =>
       gate(Retrieval.bm25Index(docs(s, dir), "doc_id", "text"),
         "term", "doc_id")),
+    // ext: directory-partitioned layout + partition pruning — the slice
+    // reads ONLY the language's files (PartitionFilters, spec-pinned);
+    // the oracle replays the same rollup over the unpartitioned table
+    "docs_lang_pruned" -> ((s, dir) =>
+      gate(graft.ext.Layout.langSlice(s, dir, PrunedLang)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          min("doc_id").as("min_doc"),
+          max("doc_id").as("max_doc")), "source")),
     // ext: per-language quartile bucketing by document length
     "quality_buckets" -> ((s, dir) =>
       gate(TextAnalysis.qualityBuckets(docs(s, dir), "doc_id", "lang",
@@ -402,6 +412,10 @@ object TextEntries {
   /** BM25 contract: one rare term (df≈5% of docs) + two common ones. */
   private val Bm25Terms = Seq("dup", "window", "spark")
   private val Bm25K = 50
+
+  /** Partition-pruning contract: the biggest language slice (218 of 500
+    * docs at sf0.01) read through the lang-partitioned layout. */
+  private val PrunedLang = "en"
   private val Bm25K1 = 1.2
   private val Bm25B = 0.75
 
@@ -856,6 +870,15 @@ object TextEntries {
         |SELECT itf.term, itf.doc_id, itf.tf, idl.dl, idf.df
         |FROM itf JOIN idl USING (doc_id) JOIN idf USING (term)
         |ORDER BY term, doc_id""".stripMargin),
+    // same rollup over the UNPARTITIONED table — the layouts must agree
+    // row-for-row (partitioning moves bytes, never values)
+    "docs_lang_pruned" ->
+      s"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+        |  CAST(MAX(doc_id) AS BIGINT) AS max_doc
+        |FROM documents WHERE lang = '$PrunedLang'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "bm25_search" -> {
       val tfCols = Bm25Terms.indices.map(i =>
         s"CAST(len(list_filter(t, x -> x = '${Bm25Terms(i)}')) AS BIGINT) AS tf_$i")

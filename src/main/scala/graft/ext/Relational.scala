@@ -760,6 +760,46 @@ object Relational {
   }
 
   /**
+   * Product profit by supplier nation and order year (the TPC-H Q9
+   * shape), for parts whose name matches `namePattern`: per
+   * (nation, year), Σ(revenue − supply cost) over the matched lines.
+   * This schema carries no partsupp table, so supply cost uses the
+   * standard proxy 0.6 · p_retailprice · l_quantity; both terms floor to
+   * exact int64 1e-4-dollar units PER ROW before summing, so the rollup
+   * is engine-exact like every money sum here.
+   *
+   * Scale shape: the part slice filters FIRST and broadcasts (dimension
+   * by schema — the name pattern cuts it further), shrinking the fact
+   * scan's join fan-in; supplier→nation is a second broadcast chain
+   * riding the same scan; the only big exchange is the fact-to-fact
+   * orders⋈lineitem shuffle on the orderkey, then one (nation, year)
+   * aggregate with map-side partials.
+   */
+  def productProfit(lineitem: DataFrame, orders: DataFrame,
+      supplier: DataFrame, nation: DataFrame, part: DataFrame,
+      namePattern: String): DataFrame = {
+    val dim = broadcast(part
+      .where(col("p_name").contains(namePattern))
+      .select(col("p_partkey"), col("p_retailprice")))
+    val supNat = broadcast(supplier
+      .join(broadcast(nation), col("n_nationkey") === col("s_nationkey"))
+      .select(col("s_suppkey"), col("n_name")))
+    val costE4 = expr(
+      "CAST(floor(0.6 * p_retailprice * l_quantity * 1e4 + 0.5) AS BIGINT)")
+    lineitem
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"), col("l_quantity"))
+      .join(dim, col("p_partkey") === col("l_partkey"))
+      .join(supNat, col("s_suppkey") === col("l_suppkey"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(revE4 - costE4).as("profit_e4"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /**
    * Fact-to-fact revenue rollup over BUCKETED table layout — the
    * physical-design lever for the one join this library cannot
    * broadcast: write orders and lineitem bucketed (and sorted) on the
