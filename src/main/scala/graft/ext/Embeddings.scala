@@ -142,7 +142,12 @@ object Embeddings {
     rank(scored, k)
   }
 
-  /** Number of random hyperplanes for [[lshTopK]] (2^6 = 64 buckets). */
+  /** DEFAULT number of random hyperplanes for [[lshTopK]] (2^6 = 64
+    * buckets) — the contract setting. AT SCALE size it with the corpus:
+    * bucket count 2^planes must track the vector count
+    * (`planes ≈ log₂(N/occupancy)`), or the in-bucket candidate surface
+    * grows ~N²/2^planes — the exact failure the sfx1 spot-bench measured
+    * on the sparse twin ([[graft.ext.SparseAnn]], bench_sf1.json). */
   val LshPlanes = 6
 
   /**
@@ -151,9 +156,11 @@ object Embeddings {
    * projections' magnitude ~O(10), so the sign test is numerically far
    * from zero and reproducible in any engine; the same (k, i, h) triples
    * are interpolated into the DuckDB oracle as a literal VALUES table.
+   * The formula extends to any plane count (no multiplier table to
+   * outgrow) — `planes` scales the bucket id's bit width.
    */
-  def lshPlaneRows(dim: Int): Seq[(Int, Int, Int)] =
-    for { k <- 0 until LshPlanes; i <- 0 until dim }
+  def lshPlaneRows(dim: Int, planes: Int = LshPlanes): Seq[(Int, Int, Int)] =
+    for { k <- 0 until planes; i <- 0 until dim }
       yield (k, i, ((1315423911L * (k * dim + i + 1)) % 13 - 6).toInt)
 
   /**
@@ -162,10 +169,12 @@ object Embeddings {
    * each other collide; complements [[ivfTopK]] as the prompt-level "LSH
    * bucketed" scale path (both cut the candidate set by ~the bucket count).
    */
-  def lshBuckets(emb: DataFrame, idCol: String, vecCol: String, dim: Int): DataFrame = {
+  def lshBuckets(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+      planes: Int = LshPlanes): DataFrame = {
+    require(planes >= 1 && planes <= 62, "planes must be in [1, 62]")
     val spark = emb.sparkSession
     import spark.implicits._
-    val hp = lshPlaneRows(dim).toDF("k", "i", "h")
+    val hp = lshPlaneRows(dim, planes).toDF("k", "i", "h")
     val u = emb.select(col(idCol).as("vec_id"),
         posexplode(col(vecCol)).as(Seq("i", "e")))
       .withColumn("e", col("e").cast("double"))
@@ -191,9 +200,9 @@ object Embeddings {
    * (also query the buckets at hamming distance 1).
    */
   def lshTopK(candidates: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, dim: Int): DataFrame = {
-    val cb = lshBuckets(candidates, idCol, vecCol, dim)
-    val qb = lshBuckets(queries, idCol, vecCol, dim)
+      vecCol: String, k: Int, dim: Int, planes: Int = LshPlanes): DataFrame = {
+    val cb = lshBuckets(candidates, idCol, vecCol, dim, planes)
+    val qb = lshBuckets(queries, idCol, vecCol, dim, planes)
       .withColumnRenamed("vec_id", "query_id")
     val cand = withNorms(candidates, idCol, vecCol).join(cb, "vec_id")
     val q = withNorms(queries, idCol, vecCol)
@@ -224,14 +233,14 @@ object Embeddings {
    * is the cheap side by construction.
    */
   def lshTopKMultiProbe(candidates: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, dim: Int): DataFrame = {
+      vecCol: String, k: Int, dim: Int, planes: Int = LshPlanes): DataFrame = {
     val spark = candidates.sparkSession
     import spark.implicits._
     // probe masks as an exploded literal array (not a crossJoin, which
     // plans a BroadcastNestedLoopJoin node even for a 7-row literal)
-    val maskArr = array((0L +: (0 until LshPlanes).map(j => 1L << j)).map(lit): _*)
-    val cb = lshBuckets(candidates, idCol, vecCol, dim)
-    val qb = lshBuckets(queries, idCol, vecCol, dim)
+    val maskArr = array((0L +: (0 until planes).map(j => 1L << j)).map(lit): _*)
+    val cb = lshBuckets(candidates, idCol, vecCol, dim, planes)
+    val qb = lshBuckets(queries, idCol, vecCol, dim, planes)
       .withColumnRenamed("vec_id", "query_id")
       .select($"query_id", $"bucket", explode(maskArr).as("mask"))
       .select($"query_id", expr("bucket ^ mask").as("bucket"))
@@ -277,9 +286,9 @@ object Embeddings {
    * ≈ 1 in the near-duplicate regime (θ → 0) this kernel exists for.
    */
   def lshNearPairsCosine(emb: DataFrame, idCol: String, vecCol: String,
-      dim: Int): DataFrame = {
+      dim: Int, planes: Int = LshPlanes): DataFrame = {
     val n = withNorms(emb, idCol, vecCol)
-    val cands = lshNearPairs(lshBuckets(emb, idCol, vecCol, dim))
+    val cands = lshNearPairs(lshBuckets(emb, idCol, vecCol, dim, planes), planes)
     cands
       .join(n.select(col("vec_id").as("v0"), col("emb").as("e0"), col("nrm").as("n0")), "v0")
       .join(n.select(col("vec_id").as("v1"), col("emb").as("e1"), col("nrm").as("n1")), "v1")

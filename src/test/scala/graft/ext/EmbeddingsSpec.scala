@@ -89,6 +89,29 @@ class EmbeddingsSpec extends SparkSpec {
     assert(top == Set(11L)) // only the same-bucket twin is searchable
   }
 
+  test("lshBuckets at scaled plane counts: wider ids, twins still collide") {
+    val dup = Seq(
+      (10L, Seq.fill(4)(0.5f)),
+      (11L, Seq.fill(4)(0.5f)),
+      (12L, Seq.tabulate(4)(i => if (i % 2 == 0) 0.5f else -0.5f)))
+      .toDF("vec_id", "embedding")
+    Seq(6, 12, 20).foreach { planes =>
+      val b = Embeddings.lshBuckets(dup, "vec_id", "embedding", 4, planes)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(b(10L) == b(11L), s"planes=$planes")
+      assert(b.values.forall(v => v >= 0 && v < (1L << planes)), s"planes=$planes")
+    }
+    // more planes can only split buckets, never merge them
+    def bucketsAt(p: Int) = Embeddings.lshBuckets(dup, "vec_id", "embedding", 4, p)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b6 = bucketsAt(6); val b20 = bucketsAt(20)
+    val pairs = Seq((10L, 11L), (10L, 12L), (11L, 12L))
+    pairs.foreach { case (a, c) =>
+      if (b20(a) == b20(c)) assert(b6(a) == b6(c),
+        "20-plane collision without a 6-plane collision: prefix bits changed")
+    }
+  }
+
   test("lshTopKMultiProbe reaches hamming-1 buckets single-probe misses") {
     // 4-dim fixture: near-duplicates of v10 land in its own bucket; a
     // vector one sign-flip away is reachable ONLY by multi-probe.
