@@ -105,7 +105,12 @@ object Bench {
     "dedup_groups_skew", "dedup_groups_skew_salted",
     // Q9-shape profit rollup (part-slice broadcast shrinking the fact
     // join); the partitioned-layout slice (directory pruning at plan time)
-    "rel_product_profit", "docs_lang_pruned")
+    "rel_product_profit", "docs_lang_pruned",
+    // r8 cont.: Q11 scalar-threshold stock share, Q16 distinct-pair
+    // collapse before the class count, Q20 dominance re-aggregate —
+    // completing all 22 TPC-H shapes; the WAV codec round-trip twin
+    "rel_nation_stock", "rel_supplier_diversity", "rel_dominant_shippers",
+    "multimodal_audio")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

@@ -109,6 +109,18 @@ object EventsEntries {
       gate(Multimodal.imageStats(
         Multimodal.withPngPayload(docs(s, dir), "doc_id"),
         "doc_id", "payload").toDF(), "doc_id")
+    }),
+    // REAL audio-codec round-trip (the PNG path's WAV twin): per-doc
+    // planted 16-bit PCM clip → actual AudioSystem WAV encode → binary
+    // payload → actual RIFF parse + frame decode → exact amplitude
+    // sums. PCM is lossless, so the oracle recomputes every int16 in
+    // closed form from doc_id — a swapped endian or misread header
+    // offset shifts the sums and breaks the hash.
+    "multimodal_audio" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      gate(Multimodal.audioStats(
+        Multimodal.withWavPayload(docs(s, dir), "doc_id"),
+        "doc_id", "payload").toDF(), "doc_id")
     })
   )
 
@@ -333,6 +345,21 @@ object EventsEntries {
     // closed-form replay of the planted image: PNG is lossless, so the
     // Spark side's ImageIO encode→decode must read back exactly these
     // per-channel linear-congruential values (Multimodal.plantedPng)
+    // closed-form replay of the planted clip: PCM is lossless, so the
+    // Spark side's WAV encode→RIFF decode must read back exactly these
+    // quadratic int16 amplitudes (Multimodal.plantedWav/plantedSample)
+    "multimodal_audio" ->
+      """WITH d AS (SELECT doc_id, 64 + doc_id % 97 AS n FROM documents),
+        |s AS (SELECT doc_id, n,
+        |        (doc_id * 31 + 7 * i * i + 13 * i) % 4001 - 2000 AS amp
+        |      FROM d, UNNEST(range(n)) AS r(i))
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS n_channels,
+        |  CAST(SUM(amp) AS BIGINT) AS sum_amp,
+        |  CAST(SUM(abs(amp)) AS BIGINT) AS sum_abs,
+        |  CAST(MAX(abs(amp)) AS BIGINT) AS peak_abs
+        |FROM s GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
     "multimodal_decode" ->
       """WITH d AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
         |           FROM documents),

@@ -174,6 +174,28 @@ object RelationalEntries {
         Relational.orders(s, dir), Relational.supplier(s, dir),
         Relational.nation(s, dir), Relational.part(s, dir),
         ProfitNamePart), "nation", "o_year")),
+    // ext: TPC-H Q11 shape — one nation's important stock per part;
+    // broadcast nation-supplier slice prunes the fact scan, 1-row total
+    // re-broadcast, integer threshold compare (value·denom > total)
+    "rel_nation_stock" -> ((s, dir) =>
+      gate(Relational.nationStockShare(Relational.lineitem(s, dir),
+        Relational.supplier(s, dir), Relational.nation(s, dir),
+        Relational.part(s, dir), StockNation, StockDenom), "l_partkey")),
+    // ext: TPC-H Q16 shape — distinct suppliers per (brand, type, size)
+    // class; broadcast part slice + anti-joined complaint suppliers,
+    // DISTINCT pairs collapse before the class-level count
+    "rel_supplier_diversity" -> ((s, dir) =>
+      gate(Relational.supplierDiversity(Relational.lineitem(s, dir),
+        Relational.part(s, dir), Relational.supplier(s, dir),
+        DivBrand, DivType, DivSizes), "p_brand", "p_type", "p_size")),
+    // ext: TPC-H Q20 shape — suppliers shipping > total/denom of a
+    // name-matched part's year quantity; (part, supplier) rollup →
+    // per-part total → result-sized join back, integer dominance compare
+    "rel_dominant_shippers" -> ((s, dir) =>
+      gate(Relational.dominantShippers(Relational.lineitem(s, dir),
+        Relational.part(s, dir), Relational.supplier(s, dir),
+        Relational.nation(s, dir), ProfitNamePart, RevFrom, RevUntil,
+        DomDenom), "l_suppkey")),
     // ext: PageRank over the symmetrized customer↔supplier order graph
     // (prefixed string ids keep the two key spaces disjoint); fixed
     // 5-round power iteration, rank snapped only at the gate
@@ -257,6 +279,22 @@ object RelationalEntries {
   private val DiscLo = 0.05
   private val DiscHi = 0.07
   private val DiscQtyMax = 24.0
+
+  /** Q11-shape contract: the nation whose stock is profiled and the
+    * importance threshold (value > total/denom — 53 parts at sf0.01). */
+  private val StockNation = "NATION_3"
+  private val StockDenom = 500L
+
+  /** Q16-shape contract: excluded brand/type and the size list (178
+    * (brand, type, size) classes at sf0.01). */
+  private val DivBrand = "Brand#1"
+  private val DivType = "PROMO"
+  private val DivSizes = Seq(1, 4, 9, 16, 25, 36, 49)
+
+  /** Q20-shape contract: dominance threshold (qty > total/denom over
+    * the [[ProfitNamePart]]-matched parts in the [[RevFrom]] year — 53
+    * dominant suppliers at sf0.01). */
+  private val DomDenom = 2L
 
   /** Shared oracle of the bucketed/shuffled layout pair. */
   private val JoinRevenueSql =
@@ -631,6 +669,51 @@ object RelationalEntries {
         |$iters
         |SELECT node, ${r6sql("rank")} AS rank FROM r$PrIters ORDER BY node""".stripMargin
     },
+    // the 1/denom importance compare stays in int64 on both sides; the
+    // nation total is internal only (never an output column, so its
+    // HUGEINT typing inside DuckDB is irrelevant to the hash)
+    "rel_nation_stock" ->
+      s"""WITH rel AS MATERIALIZED (
+        |  SELECT l.l_partkey,
+        |    CAST(SUM(CAST(floor(0.6 * p.p_retailprice * l.l_quantity * 1e4 + 0.5) AS BIGINT)) AS BIGINT) AS value_e4
+        |  FROM lineitem l
+        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |  JOIN part p ON p.p_partkey = l.l_partkey
+        |  WHERE n.n_name = '$StockNation'
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(value_e4) AS BIGINT) AS t FROM rel)
+        |SELECT l_partkey, value_e4 FROM rel, tot
+        |WHERE value_e4 * $StockDenom > t
+        |ORDER BY l_partkey""".stripMargin,
+    "rel_supplier_diversity" ->
+      s"""SELECT p.p_brand, p.p_type, p.p_size,
+        |  CAST(COUNT(DISTINCT r.l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) r
+        |JOIN part p ON p.p_partkey = r.l_partkey
+        |WHERE p.p_brand <> '$DivBrand' AND p.p_type <> '$DivType'
+        |  AND p.p_size IN (${DivSizes.mkString(", ")})
+        |  AND r.l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "rel_dominant_shippers" ->
+      s"""WITH ps AS MATERIALIZED (
+        |  SELECT l.l_partkey, l.l_suppkey,
+        |    SUM(CAST(l.l_quantity AS BIGINT)) AS qty
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |  WHERE p.p_name LIKE '%$ProfitNamePart%'
+        |    AND l.l_shipdate >= TIMESTAMP '$RevFrom'
+        |    AND l.l_shipdate < TIMESTAMP '$RevUntil'
+        |  GROUP BY 1, 2),
+        |pt AS (SELECT l_partkey AS pk, SUM(qty) AS total_qty FROM ps GROUP BY 1)
+        |SELECT ps.l_suppkey, s.s_name, n.n_name,
+        |  CAST(COUNT(*) AS BIGINT) AS n_dominated_parts,
+        |  CAST(SUM(ps.qty) AS BIGINT) AS dominated_qty
+        |FROM ps JOIN pt ON pt.pk = ps.l_partkey
+        |JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |WHERE ps.qty * $DomDenom > pt.total_qty
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
     "rel_table_profile" ->
       ProfileCols.map { c =>
         s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -11,6 +11,11 @@ final case class MediaFeatures(doc_id: Long, n_bytes: Long, feature: Array[Float
 final case class ImageStats(doc_id: Long, width: Long, height: Long,
     n_pixels: Long, r_sum: Long, g_sum: Long, b_sum: Long)
 
+/** Decoded-audio statistics: container metadata plus exact integer
+  * amplitude sums, the readout an external oracle can recompute. */
+final case class AudioStats(doc_id: Long, n_samples: Long, sample_rate: Long,
+    n_channels: Long, sum_amp: Long, sum_abs: Long, peak_abs: Long)
+
 /**
  * Multimodal column plumbing: media (image/audio/video) travel through the
  * pipeline as opaque `binary` columns with typed metadata; decode and
@@ -214,6 +219,102 @@ object Multimodal {
             y += 1
           }
           Some(ImageStats(id, w.toLong, h.toLong, w.toLong * h, rs, gs, bs))
+        }
+      })
+  }
+
+  /** Planted-audio clip length: 64–160 samples, 97-periodic so clip
+    * lengths and pixel grids ([[plantedWidth]]'s 13·7) never correlate. */
+  def plantedSampleCount(docId: Long): Int =
+    (64 + Math.floorMod(docId, 97L)).toInt
+
+  /** Planted 16-bit amplitude at sample `i`: a pure integer function of
+    * (docId, i) in [-2000, 2000] — quadratic in `i` so byte-order bugs
+    * (a swapped endian reads a DIFFERENT valid int16) shift the sums. */
+  def plantedSample(docId: Long, i: Int): Int =
+    (Math.floorMod(docId * 31L + 7L * i.toLong * i + 13L * i, 4001L) - 2000L).toInt
+
+  /**
+   * REAL WAV bytes, deterministically planted: a 16-bit PCM mono clip
+   * whose amplitudes are pure integer functions of (docId, i), written
+   * through the JDK's actual WAV encoder (`javax.sound.sampled
+   * .AudioSystem.write` — ships with the JDK, offline-safe). PCM is
+   * lossless, so whatever parses the RIFF container back must read
+   * exactly the planted int16s — the audio twin of [[plantedPng]].
+   */
+  def plantedWav(docId: Long): Array[Byte] = {
+    val n = plantedSampleCount(docId)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = plantedSample(docId, i)
+      pcm(2 * i) = (s & 0xff).toByte // little-endian int16
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream(512)
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Attach a REAL WAV payload column derived from the id column — the
+    * fixture generator for the audio-decode path (same partition-batch
+    * seam as [[withPngPayload]]). */
+  def withWavPayload(docs: DataFrame, idCol: String,
+      payloadCol: String = "payload")(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"))
+      .as[Long]
+      .mapPartitions(_.map(id => (id, plantedWav(id))))
+      .toDF(idCol, payloadCol)
+  }
+
+  /**
+   * Decode WAV payloads to exact integer statistics (sample count,
+   * container-declared rate/channels, amplitude sums), batched per
+   * partition through the JDK's real RIFF/WAV parser
+   * (`AudioSystem.getAudioInputStream`). On [[plantedWav]] payloads the
+   * output is a closed-form function of doc_id, so the DuckDB oracle
+   * verifies the full encode→decode round-trip value-exactly — any byte
+   * the codec pair mishandles (header offset, endianness, frame size)
+   * shifts a sum. Unparseable payloads are dropped (corrupt-blob
+   * tolerance, same policy as [[imageStats]]).
+   */
+  def audioStats(df: DataFrame, idCol: String, payloadCol: String)(
+      implicit spark: SparkSession): Dataset[AudioStats] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          val fmt = ais.getFormat
+          val bytes = ais.readAllBytes()
+          val little = !fmt.isBigEndian
+          var sum = 0L; var sumAbs = 0L; var peak = 0L; var ns = 0L
+          var i = 0
+          while (i + 2 <= bytes.length) {
+            val lo = bytes(if (little) i else i + 1) & 0xff
+            val hi = bytes(if (little) i + 1 else i) & 0xff
+            val v = ((hi << 8) | lo).toShort.toLong
+            sum += v
+            val a = Math.abs(v)
+            sumAbs += a
+            if (a > peak) peak = a
+            ns += 1
+            i += 2
+          }
+          Some(AudioStats(id, ns, fmt.getSampleRate.toLong,
+            fmt.getChannels.toLong, sum, sumAbs, peak))
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException |
+              _: java.io.IOException => None
         }
       })
   }

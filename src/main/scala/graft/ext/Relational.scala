@@ -879,6 +879,136 @@ object Relational {
       .groupBy("o_orderstatus")
       .agg(sum(col("rev_e4")).as("revenue_e4"), count(lit(1)).as("n_items"))
 
+  /**
+   * Important-stock share per part for one nation's suppliers (the
+   * TPC-H Q11 shape): the inventory value each part represents in the
+   * nation — supply-cost proxy `0.6 · p_retailprice · l_quantity`
+   * (same proxy as [[productProfit]]; this schema carries no partsupp)
+   * summed per part over the nation's lineitems — keeping parts whose
+   * value exceeds `1/denom` of the nation's total. Value floors to
+   * exact int64 1e-4-dollar units PER ROW, and the threshold compare is
+   * `value_e4 · denom > total_e4` — pure integer arithmetic, so the
+   * "important" set is engine-exact (Q11's HAVING > SUM(...)·fraction
+   * over floats is exactly the kind of knife-edge the int grid kills).
+   *
+   * Scale shape: supplier⋈nation slices and broadcasts (dimension by
+   * schema), pruning the fact scan's rows before its ONE exchange — the
+   * per-part aggregate; part attributes never join at all (only the
+   * retailprice, which rides the broadcast part join). The nation total
+   * is a 1-row aggregate of the part-sized RESULT re-broadcast for the
+   * filter — the sanctioned scalar-broadcast pattern; the fact table is
+   * scanned exactly once.
+   */
+  def nationStockShare(lineitem: DataFrame, supplier: DataFrame,
+      nation: DataFrame, part: DataFrame, nationName: String,
+      denom: Long = 500L): DataFrame = {
+    require(denom > 0)
+    val natSupp = supplier.select("s_suppkey", "s_nationkey")
+      .join(broadcast(nation.where(col("n_name") === nationName)
+        .select("n_nationkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val perPart = lineitem.select("l_partkey", "l_suppkey", "l_quantity")
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(part.select("p_partkey", "p_retailprice")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("l_partkey")
+      .agg(sum(expr(
+        "CAST(floor(0.6 * p_retailprice * l_quantity * 1e4 + 0.5) AS BIGINT)"))
+        .as("value_e4"))
+    val total = perPart.agg(sum(col("value_e4")).as("total_e4"))
+    perPart.join(broadcast(total))
+      .where(col("value_e4") * lit(denom) > col("total_e4"))
+      .select("l_partkey", "value_e4")
+  }
+
+  /**
+   * Supplier-diversity report per part class (the TPC-H Q16 shape): how
+   * many DISTINCT suppliers have shipped parts of each (brand, type,
+   * size) combination — for sizes in `sizes`, excluding one brand and
+   * one type, and excluding "complaint" suppliers (proxy: negative
+   * account balance; this schema carries no supplier comment). The
+   * part↔supplier relationship is derived from lineitem (no partsupp
+   * table): a pair counts once no matter how many times it shipped.
+   *
+   * Scale shape: the part slice filters FIRST and broadcasts, pruning
+   * fact rows before anything shuffles; the excluded-supplier set is a
+   * broadcast left-anti join (dimension by schema). The fact then
+   * collapses to DISTINCT (partkey, suppkey) — the ONE fact-sized
+   * exchange — and the (brand, type, size) count-distinct re-aggregates
+   * the relationship-sized result. Never `COUNT(DISTINCT)` straight off
+   * the raw fact: the pre-distinct is the map-side-combine that makes
+   * the second exchange relationship-sized instead of fact-sized.
+   */
+  def supplierDiversity(lineitem: DataFrame, part: DataFrame,
+      supplier: DataFrame, excludeBrand: String, excludeType: String,
+      sizes: Seq[Int]): DataFrame = {
+    require(sizes.nonEmpty)
+    val partSlice = part
+      .where(col("p_brand") =!= excludeBrand &&
+        col("p_type") =!= excludeType &&
+        col("p_size").isin(sizes: _*))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val complainers = supplier.where(col("s_acctbal") < 0)
+      .select("s_suppkey")
+    lineitem.select("l_partkey", "l_suppkey")
+      .join(broadcast(partSlice), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(complainers), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .select("p_brand", "p_type", "p_size", "l_suppkey")
+      .distinct()
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(count(lit(1)).as("supplier_cnt"))
+  }
+
+  /**
+   * Dominant-shipper audit (the TPC-H Q20 shape): suppliers who shipped
+   * MORE than `1/denom` of some name-matched part's total shipped
+   * quantity within `[from, until)` — Q20's "excess availqty" predicate
+   * re-read against shipment history (no partsupp table). Reports each
+   * such supplier with how many parts it dominates and its total
+   * dominated quantity. Quantities sum as exact int64 (the grid is
+   * integer-valued), and the dominance compare `qty · denom > total` is
+   * integer arithmetic — engine-exact at the 50% knife edge where two
+   * suppliers split a part evenly.
+   *
+   * Scale shape: the name-pattern part slice broadcasts and prunes the
+   * fact scan (with the date window pushed into the scan) before the
+   * ONE fact-sized exchange — the (part, supplier) rollup; per-part
+   * totals re-aggregate the relationship-sized result and join back
+   * result-sized (AQE picks the strategy); the supplier decoration joins
+   * dimension-sized at the very end, after the dominance filter has cut
+   * to the final suppliers.
+   */
+  def dominantShippers(lineitem: DataFrame, part: DataFrame,
+      supplier: DataFrame, nation: DataFrame, namePattern: String,
+      from: String, until: String, denom: Long = 2L): DataFrame = {
+    require(denom > 0)
+    val partSlice = part.where(col("p_name").like(s"%$namePattern%"))
+      .select("p_partkey")
+    val perPartSupp = lineitem
+      .where(col("l_shipdate") >= to_timestamp_ntz(lit(from)) &&
+        col("l_shipdate") < to_timestamp_ntz(lit(until)))
+      .select("l_partkey", "l_suppkey", "l_quantity")
+      .join(broadcast(partSlice), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(col("l_quantity").cast("long")).as("qty"))
+    val perPart = perPartSupp.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("qty")).as("total_qty"))
+    perPartSupp
+      .join(perPart, col("l_partkey") === col("pk"))
+      .where(col("qty") * lit(denom) > col("total_qty"))
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_dominated_parts"),
+        sum(col("qty")).as("dominated_qty"))
+      .join(broadcast(supplier.select("s_suppkey", "s_name", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("l_suppkey", "s_name", "n_name", "n_dominated_parts",
+        "dominated_qty")
+  }
+
   def tableProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty)
     cols.map { c =>

@@ -80,6 +80,37 @@ class MultimodalSpec extends SparkSpec {
     assert(out.map(_.doc_id).toSeq == Seq(5L))
   }
 
+  test("audioStats reads back exactly the planted WAV amplitudes") {
+    val ids = Seq(0L, 1L, 7L, 96L, 97L).toDF("doc_id")
+    val stats = Multimodal.audioStats(
+      Multimodal.withWavPayload(ids, "doc_id"), "doc_id", "payload")
+      .collect().map(x => x.doc_id -> x).toMap
+    assert(stats.size == 5)
+    ids.as[Long].collect().foreach { id =>
+      val n = Multimodal.plantedSampleCount(id)
+      val amps = (0 until n).map(i => Multimodal.plantedSample(id, i).toLong)
+      val st = stats(id)
+      assert(st.n_samples == n.toLong)
+      assert(st.sample_rate == 8000L && st.n_channels == 1L)
+      assert(st.sum_amp == amps.sum)
+      assert(st.sum_abs == amps.map(Math.abs).sum)
+      assert(st.peak_abs == amps.map(Math.abs).max)
+    }
+  }
+
+  test("plantedWav bytes are a genuine RIFF/WAVE container") {
+    val wav = Multimodal.plantedWav(5L)
+    assert(wav(0) == 'R' && wav(1) == 'I' && wav(2) == 'F' && wav(3) == 'F')
+    assert(wav(8) == 'W' && wav(9) == 'A' && wav(10) == 'V' && wav(11) == 'E')
+  }
+
+  test("audioStats drops unparseable payloads (corrupt-blob tolerance)") {
+    val mixed = Seq((5L, Multimodal.plantedWav(5L)),
+      (6L, Array[Byte](9, 9, 9))).toDF("doc_id", "payload")
+    val out = Multimodal.audioStats(mixed, "doc_id", "payload").collect()
+    assert(out.map(_.doc_id).toSeq == Seq(5L))
+  }
+
   test("decodeFeatures: partition-batched stub decoder, stable output") {
     val f = Multimodal.decodeFeatures(
       Multimodal.withPayload(docs, "text"), "doc_id", "payload")

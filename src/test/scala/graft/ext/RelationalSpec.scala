@@ -598,4 +598,66 @@ class RelationalSpec extends SparkSpec {
     assert(r.head.getAs[String]("c_name") === "Customer#10")
     assertApprox(r.head.getAs[Double]("o_totalprice"), 1234.5)
   }
+
+  test("nationStockShare keeps parts above the integer importance bar") {
+    // two FRANCE lineitems: part 100 value 0.6·10·2 = 12, part 101 value
+    // 0.6·10·1 = 6; total 18 → with denom 2 the bar is >9: only part 100.
+    // CHINA's huge row on part 101 must not leak into FRANCE's profile.
+    val li = Seq(
+      (100L, 1L, 2.0), (101L, 1L, 1.0), (101L, 2L, 50.0)
+    ).toDF("l_partkey", "l_suppkey", "l_quantity")
+    val prt = Seq((100L, 10.0), (101L, 10.0))
+      .toDF("p_partkey", "p_retailprice")
+    val r = Relational.nationStockShare(li, supplier, nation, prt,
+      "FRANCE", denom = 2L).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("l_partkey") === 100L)
+    assert(r.head.getAs[Long]("value_e4") === 120000L)
+  }
+
+  test("supplierDiversity counts distinct suppliers, excludes complainers") {
+    // part 1 ships twice from supp 1 (distinct → 1) and once from supp 3
+    // (negative balance → excluded); part 2 is the excluded brand; part 3
+    // is an unlisted size
+    val li = Seq(
+      (1L, 1L), (1L, 1L), (1L, 3L), (2L, 1L), (3L, 1L)
+    ).toDF("l_partkey", "l_suppkey")
+    val prt = Seq(
+      (1L, "Brand#2", "SMALL", 4), (2L, "Brand#1", "SMALL", 4),
+      (3L, "Brand#2", "SMALL", 5)
+    ).toDF("p_partkey", "p_brand", "p_type", "p_size")
+    val supp = Seq((1L, 100.0), (2L, 50.0), (3L, -5.0))
+      .toDF("s_suppkey", "s_acctbal")
+    val r = Relational.supplierDiversity(li, prt, supp,
+      "Brand#1", "PROMO", Seq(4)).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[String]("p_brand") === "Brand#2")
+    assert(r.head.getAs[Int]("p_size") === 4)
+    assert(r.head.getAs[Long]("supplier_cnt") === 1L)
+  }
+
+  test("dominantShippers flags > total/denom shippers inside the window") {
+    // part 100 in-window: supp 1 ships 6 of 9 (dominant), supp 2 ships 3;
+    // supp 1's out-of-window row must not count; part 999 has no name match
+    val li = Seq(
+      (100L, 1L, 4.0, "1996-02-01 00:00:00"),
+      (100L, 1L, 2.0, "1996-07-01 00:00:00"),
+      (100L, 1L, 40.0, "1997-02-01 00:00:00"), // outside window
+      (100L, 2L, 3.0, "1996-03-01 00:00:00"),
+      (999L, 2L, 50.0, "1996-03-01 00:00:00")
+    ).toDF("l_partkey", "l_suppkey", "l_quantity", "sd")
+      .withColumn("l_shipdate", expr("to_timestamp_ntz(sd)")).drop("sd")
+    val prt = Seq((100L, "shiny red bolt"), (999L, "plain blue nut"))
+      .toDF("p_partkey", "p_name")
+    val supp = Seq((1L, "Supplier#1", 1), (2L, "Supplier#2", 2))
+      .toDF("s_suppkey", "s_name", "s_nationkey")
+    val r = Relational.dominantShippers(li, prt, supp, nation,
+      "red", "1996-01-01", "1997-01-01", denom = 2L).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("l_suppkey") === 1L)
+    assert(r.head.getAs[String]("s_name") === "Supplier#1")
+    assert(r.head.getAs[String]("n_name") === "FRANCE")
+    assert(r.head.getAs[Long]("n_dominated_parts") === 1L)
+    assert(r.head.getAs[Long]("dominated_qty") === 6L)
+  }
 }
