@@ -110,7 +110,10 @@ object Bench {
     // collapse before the class count, Q20 dominance re-aggregate —
     // completing all 22 TPC-H shapes; the WAV codec round-trip twin
     "rel_nation_stock", "rel_supplier_diversity", "rel_dominant_shippers",
-    "multimodal_audio")
+    "multimodal_audio",
+    // degree-ordered node-iterator triangle count over the co-ordered
+    // parts graph (the skew-bounded wedge join)
+    "graph_triangles")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

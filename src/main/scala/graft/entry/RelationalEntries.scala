@@ -196,6 +196,17 @@ object RelationalEntries {
         Relational.part(s, dir), Relational.supplier(s, dir),
         Relational.nation(s, dir), ProfitNamePart, RevFrom, RevUntil,
         DomDenom), "l_suppkey")),
+    // ext: triangle counts over the co-ordered-parts graph (parts
+    // sharing an order are adjacent); degree-ordered node-iterator —
+    // exact integer counts, all equi-joins
+    "graph_triangles" -> ((s, dir) => {
+      val li = Relational.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("src"), col("b.p").as("dst"))
+      gate(Graph.triangleCounts(edges), "node")
+    }),
     // ext: PageRank over the symmetrized customer↔supplier order graph
     // (prefixed string ids keep the two key spaces disjoint); fixed
     // 5-round power iteration, rank snapped only at the gate
@@ -669,6 +680,23 @@ object RelationalEntries {
         |$iters
         |SELECT node, ${r6sql("rank")} AS rank FROM r$PrIters ORDER BY node""".stripMargin
     },
+    // id-ordered orientation instead of the Spark side's degree
+    // orientation — the triangle SET is orientation-invariant, so the
+    // two derivations agreeing is a real cross-check, not a replay
+    "graph_triangles" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON b.l_orderkey = a.l_orderkey AND b.l_partkey > a.l_partkey),
+        |tri AS MATERIALIZED (
+        |  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        |  FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        |FROM (SELECT x AS node FROM tri
+        |      UNION ALL SELECT y FROM tri
+        |      UNION ALL SELECT z FROM tri)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the 1/denom importance compare stays in int64 on both sides; the
     // nation total is internal only (never an output column, so its
     // HUGEINT typing inside DuckDB is irrelevant to the hash)

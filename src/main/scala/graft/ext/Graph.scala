@@ -74,6 +74,64 @@ object Graph {
     ranks
   }
 
+  /**
+   * Per-node triangle participation counts over an undirected graph
+   * (the node-iterator of Schank & Wagner 2005 — the standard
+   * distributed triangle count): edges are canonicalized (self-loops
+   * dropped, one row per undirected edge), oriented acyclically from
+   * the (degree, id)-SMALLER endpoint to the larger, wedges enumerated
+   * by a self-join on the wedge center, and each wedge closed against
+   * the undirected edge set. Returns `(node, n_triangles)` for every
+   * node in ≥1 triangle; each triangle contributes once to each of its
+   * three corners.
+   *
+   * Why the degree orientation: wedges come only from a node's
+   * out-neighbors, and orienting toward higher degree bounds every
+   * out-degree by O(√m) — Σ outdeg² stays ~m^1.5 worst case (vs Σ deg²,
+   * which a single hub makes quadratic). That is exactly the skew story
+   * at 100 TB: a boilerplate-hub part co-ordered with everything stops
+   * being a quadratic wedge bomb because its edges all point INTO it.
+   *
+   * Scale shape: two node-sized degree joins orient the edge table, ONE
+   * edge-keyed self-equi-join on the wedge center makes wedges, ONE
+   * equi-join on the (lo, hi) closing pair filters them to triangles —
+   * all equi-joins on natural keys, no inequality join anywhere (the
+   * `b < c` wedge dedup is a post-join filter on the center's
+   * out-neighbor pair, riding the same-key join). Counts are exact
+   * int64; every triangle is found exactly once (the DAG gives each
+   * triangle a unique out-degree-2 corner).
+   */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges.select(
+        least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val oriented = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("a"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("b"))
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.a") === col("e2.a") && col("e1.b") < col("e2.b"))
+      .select(col("e1.a").as("x"),
+        col("e1.b").as("y"), col("e2.b").as("z"))
+    // closing edge in canonical (lo, hi) form — y < z by the wedge dedup
+    val tri = wedges.join(und,
+      col("y") === col("u") && col("z") === col("v"), "left_semi")
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** Final ranks plus the measured per-round L1 movement — the readout
     * that turns "how many rounds is enough" into data. */
   final case class RankResult(ranks: DataFrame, l1Deltas: Seq[Double])

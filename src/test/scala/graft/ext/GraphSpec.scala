@@ -113,6 +113,39 @@ class GraphSpec extends SparkSpec {
     plain.foreach { case (k, v) => assertApprox(dng(k), v, 1e-12) }
   }
 
+  test("triangleCounts: shared-edge triangles, stars are triangle-free") {
+    import s.implicits._
+    // triangles {1,2,3} and {2,3,4} share edge (2,3); node 5 hangs off 4
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 4L), (4L, 3L), (4L, 5L))
+      .toDF("src", "dst")
+    val r = Graph.triangleCounts(e).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r === Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+    // a star has wedges but no closing edges
+    val st = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("src", "dst")
+    assert(Graph.triangleCounts(st).count() === 0L)
+  }
+
+  test("triangleCounts canonicalizes duplicates, reversals, self-loops") {
+    import s.implicits._
+    // the SAME triangle written messily: both directions, dupes, a loop
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L),
+      (1L, 3L), (2L, 2L)).toDF("src", "dst")
+    val r = Graph.triangleCounts(e).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangleCounts orients hub edges inward (skew-bounded wedges)") {
+    import s.implicits._
+    // K4 on {1,2,3,4}: 4 triangles, each node in C(3,2)=3 of them
+    val e = (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b))
+      .toDF("src", "dst")
+    val r = Graph.triangleCounts(e).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
   test("pageRankConverged: L1 deltas shrink and the rule stops early") {
     val res = Graph.pageRankConverged(chain, tol = 1e-3, maxIters = 50)
     assert(res.l1Deltas.nonEmpty && res.l1Deltas.length < 50)
