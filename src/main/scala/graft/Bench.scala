@@ -113,7 +113,13 @@ object Bench {
     "multimodal_audio",
     // degree-ordered node-iterator triangle count over the co-ordered
     // parts graph (the skew-bounded wedge join)
-    "graph_triangles")
+    "graph_triangles",
+    // the persisted-index lifecycle: search through the reloaded
+    // cid-partitioned lists (amortized training; pruned probe scans)
+    "ann_ivf_persist",
+    // fixed-round k-core peel: two survivor semi-joins + one degree
+    // aggregate per round over the same co-ordered-parts graph
+    "graph_kcore")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

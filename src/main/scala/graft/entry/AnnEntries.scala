@@ -58,6 +58,20 @@ object AnnEntries {
         "vec_id", "embedding", 5, KMeansK, KMeansIters, nprobe = Nprobe),
         "query_id", "rank")
     }),
+    // the PERSISTED index lifecycle: train + write the codebook and
+    // cid-partitioned inverted lists once per (JVM, dir), then search
+    // through the reloaded parquet — must be bit-identical to the
+    // in-plan ivfKMeansTopK (same oracle string proves it)
+    "ann_ivf_persist" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val idx = Embeddings.ivfIndexLocation(s, dir)
+      if (!new java.io.File(s"$idx/centroids").exists())
+        Embeddings.saveIvfIndex(e, "vec_id", "embedding",
+          KMeansK, KMeansIters, idx)
+      gate(Embeddings.ivfIndexTopK(s, idx,
+        e.where(col("vec_id") < QueryCount),
+        "vec_id", "embedding", 5, nprobe = Nprobe), "query_id", "rank")
+    }),
     // recall@5 of multi-probe LSH against the exact top-5 — the ANN
     // self-audit every index deployment needs
     "ann_recall" -> ((s, dir) => {
@@ -192,6 +206,66 @@ object AnnEntries {
       |                ${r6sql("dot / (nq.nrm * nc.nrm)")} AS cosine
       |         FROM d JOIN n nq ON nq.vec_id = query_id
       |                JOIN n nc ON nc.vec_id = cand_id)""".stripMargin
+
+  /** Trained-IVF search mirroring Embeddings.ivfKMeansTopK: the
+    * embed_kmeans chain + final centroid update (c2), nearest-centroid
+    * inverted lists (cb), nprobe-nearest query probes (qp), cosine rank
+    * within probed lists. Shared by ann_ivf_kmeans AND ann_ivf_persist:
+    * the persisted index must reproduce the in-plan search exactly. */
+  private lazy val ivfKMeansOracle: String =
+    s"""WITH u AS (SELECT vec_id, i, CAST(embedding[i+1] AS DOUBLE) AS x
+        |           FROM embeddings, UNNEST(range(len(embedding))) AS r(i)),
+        |n AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM u GROUP BY 1),
+        |seed AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid
+        |         FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $KMeansK)),
+        |c0 AS (SELECT s.cid, u.i, u.x AS c FROM u JOIN seed s ON u.vec_id = s.vec_id),
+        |d1 AS (SELECT u.vec_id, c.cid,
+        |              ${r6sql("SUM((u.x - c.c) * (u.x - c.c))")} AS d2
+        |       FROM u JOIN c0 c ON u.i = c.i GROUP BY 1, 2),
+        |a1 AS (SELECT vec_id, cid FROM
+        |         (SELECT vec_id, cid,
+        |                 row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |          FROM d1) WHERE rn = 1),
+        |c1 AS (SELECT a.cid, u.i, ${r6sql("AVG(u.x)")} AS c
+        |       FROM u JOIN a1 a ON u.vec_id = a.vec_id GROUP BY 1, 2),
+        |d2t AS (SELECT u.vec_id, c.cid,
+        |               ${r6sql("SUM((u.x - c.c) * (u.x - c.c))")} AS d2
+        |        FROM u JOIN c1 c ON u.i = c.i GROUP BY 1, 2),
+        |a2 AS (SELECT vec_id, cid FROM
+        |         (SELECT vec_id, cid,
+        |                 row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |          FROM d2t) WHERE rn = 1),
+        |c2 AS (SELECT a.cid, u.i, ${r6sql("AVG(u.x)")} AS c
+        |       FROM u JOIN a2 a ON u.vec_id = a.vec_id GROUP BY 1, 2),
+        |dc AS (SELECT u.vec_id, c.cid,
+        |              ${r6sql("SUM((u.x - c.c) * (u.x - c.c))")} AS d2
+        |       FROM u JOIN c2 c ON u.i = c.i GROUP BY 1, 2),
+        |cb AS (SELECT vec_id, cid FROM
+        |         (SELECT vec_id, cid,
+        |                 row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |          FROM dc) WHERE rn = 1),
+        |qp AS (SELECT vec_id AS query_id, cid FROM
+        |         (SELECT vec_id, cid,
+        |                 row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |          FROM dc WHERE vec_id < $QueryCount) WHERE rn <= $Nprobe),
+        |d AS (SELECT a.vec_id AS query_id, b.vec_id AS cand_id, SUM(a.x * b.x) AS dot
+        |      FROM u a JOIN u b ON a.i = b.i AND a.vec_id < $QueryCount
+        |                       AND a.vec_id <> b.vec_id
+        |      GROUP BY 1, 2),
+        |cosr AS (SELECT query_id, cand_id,
+        |                ${r6sql("dot / (nq.nrm * nc.nrm)")} AS cosine
+        |         FROM d JOIN n nq ON nq.vec_id = query_id
+        |                JOIN n nc ON nc.vec_id = cand_id),
+        |probed AS (SELECT c.query_id, c.cand_id, c.cosine
+        |           FROM cosr c
+        |           JOIN qp ON qp.query_id = c.query_id
+        |           JOIN cb ON cb.vec_id = c.cand_id AND cb.cid = qp.cid),
+        |rk AS (SELECT query_id, cand_id, cosine,
+        |              row_number() OVER (PARTITION BY query_id
+        |                                 ORDER BY cosine DESC, cand_id) AS rn
+        |       FROM probed)
+        |SELECT query_id, CAST(rn AS BIGINT) AS rank, cand_id AS vec_id, cosine
+        |FROM rk WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // the same greedy chain unrolled: round j's pick maximizes the
@@ -434,60 +508,10 @@ object AnnEntries {
     // trained-IVF search mirroring Embeddings.ivfKMeansTopK: the embed_kmeans
     // chain + final centroid update (c2), nearest-centroid inverted lists
     // (cb), nprobe-nearest query probes (qp), cosine rank within probed lists
-    "ann_ivf_kmeans" ->
-      s"""WITH u AS (SELECT vec_id, i, CAST(embedding[i+1] AS DOUBLE) AS x
-        |           FROM embeddings, UNNEST(range(len(embedding))) AS r(i)),
-        |n AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM u GROUP BY 1),
-        |seed AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid
-        |         FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $KMeansK)),
-        |c0 AS (SELECT s.cid, u.i, u.x AS c FROM u JOIN seed s ON u.vec_id = s.vec_id),
-        |d1 AS (SELECT u.vec_id, c.cid,
-        |              ${r6sql("SUM((u.x - c.c) * (u.x - c.c))")} AS d2
-        |       FROM u JOIN c0 c ON u.i = c.i GROUP BY 1, 2),
-        |a1 AS (SELECT vec_id, cid FROM
-        |         (SELECT vec_id, cid,
-        |                 row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-        |          FROM d1) WHERE rn = 1),
-        |c1 AS (SELECT a.cid, u.i, ${r6sql("AVG(u.x)")} AS c
-        |       FROM u JOIN a1 a ON u.vec_id = a.vec_id GROUP BY 1, 2),
-        |d2t AS (SELECT u.vec_id, c.cid,
-        |               ${r6sql("SUM((u.x - c.c) * (u.x - c.c))")} AS d2
-        |        FROM u JOIN c1 c ON u.i = c.i GROUP BY 1, 2),
-        |a2 AS (SELECT vec_id, cid FROM
-        |         (SELECT vec_id, cid,
-        |                 row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-        |          FROM d2t) WHERE rn = 1),
-        |c2 AS (SELECT a.cid, u.i, ${r6sql("AVG(u.x)")} AS c
-        |       FROM u JOIN a2 a ON u.vec_id = a.vec_id GROUP BY 1, 2),
-        |dc AS (SELECT u.vec_id, c.cid,
-        |              ${r6sql("SUM((u.x - c.c) * (u.x - c.c))")} AS d2
-        |       FROM u JOIN c2 c ON u.i = c.i GROUP BY 1, 2),
-        |cb AS (SELECT vec_id, cid FROM
-        |         (SELECT vec_id, cid,
-        |                 row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-        |          FROM dc) WHERE rn = 1),
-        |qp AS (SELECT vec_id AS query_id, cid FROM
-        |         (SELECT vec_id, cid,
-        |                 row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-        |          FROM dc WHERE vec_id < $QueryCount) WHERE rn <= $Nprobe),
-        |d AS (SELECT a.vec_id AS query_id, b.vec_id AS cand_id, SUM(a.x * b.x) AS dot
-        |      FROM u a JOIN u b ON a.i = b.i AND a.vec_id < $QueryCount
-        |                       AND a.vec_id <> b.vec_id
-        |      GROUP BY 1, 2),
-        |cosr AS (SELECT query_id, cand_id,
-        |                ${r6sql("dot / (nq.nrm * nc.nrm)")} AS cosine
-        |         FROM d JOIN n nq ON nq.vec_id = query_id
-        |                JOIN n nc ON nc.vec_id = cand_id),
-        |probed AS (SELECT c.query_id, c.cand_id, c.cosine
-        |           FROM cosr c
-        |           JOIN qp ON qp.query_id = c.query_id
-        |           JOIN cb ON cb.vec_id = c.cand_id AND cb.cid = qp.cid),
-        |rk AS (SELECT query_id, cand_id, cosine,
-        |              row_number() OVER (PARTITION BY query_id
-        |                                 ORDER BY cosine DESC, cand_id) AS rn
-        |       FROM probed)
-        |SELECT query_id, CAST(rn AS BIGINT) AS rank, cand_id AS vec_id, cosine
-        |FROM rk WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+    "ann_ivf_kmeans" -> ivfKMeansOracle,
+    // identical by construction: the persisted index must return exactly
+    // what the in-plan trained-IVF search returns
+    "ann_ivf_persist" -> ivfKMeansOracle,
     // recall@5: truth = brute top-5 from cosr; approx = the multiprobe
     // chain verbatim; score = per-query hit fraction over the truth set
     "ann_recall" ->

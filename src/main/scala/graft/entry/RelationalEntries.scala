@@ -207,6 +207,18 @@ object RelationalEntries {
         .select(col("a.p").as("src"), col("b.p").as("dst"))
       gate(Graph.triangleCounts(edges), "node")
     }),
+    // ext: fixed-round k-core peeling on the same co-ordered-parts
+    // graph — per round two survivor semi-joins + one degree aggregate;
+    // exact integer degrees, monotone shrink
+    "graph_kcore" -> ((s, dir) => {
+      val li = Relational.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("src"), col("b.p").as("dst"))
+      gate(Graph.kCoreAlive(edges, KCoreK, KCoreRounds,
+        pin = _.localCheckpoint()), "node")
+    }),
     // ext: PageRank over the symmetrized customer↔supplier order graph
     // (prefixed string ids keep the two key spaces disjoint); fixed
     // 5-round power iteration, rank snapped only at the gate
@@ -306,6 +318,14 @@ object RelationalEntries {
     * the [[ProfitNamePart]]-matched parts in the [[RevFrom]] year — 53
     * dominant suppliers at sf0.01). */
   private val DomDenom = 2L
+
+  /** k-core contract: threshold and peel rounds chosen so the cascade
+    * genuinely removes nodes across MULTIPLE rounds at both gate scale
+    * factors (sf0.001: 200 → 185 → 177 → 169; sf0.01: 2000 → 1972 →
+    * 1971 → 1971) — a k where round 1 already reaches the fixed point
+    * would not test the peeling at all. */
+  private val KCoreK = 70
+  private val KCoreRounds = 3
 
   /** Shared oracle of the bucketed/shuffled layout pair. */
   private val JoinRevenueSql =
@@ -679,6 +699,29 @@ object RelationalEntries {
         |r0 AS MATERIALIZED (SELECT node, 1.0 / nn.n AS rank FROM nd CROSS JOIN nn),
         |$iters
         |SELECT node, ${r6sql("rank")} AS rank FROM r$PrIters ORDER BY node""".stripMargin
+    },
+    // three unrolled peel rounds; every round's survivor set feeds the
+    // next round's TWO endpoint joins, so each stage CTE materializes
+    // (DuckDB 1.0 inlines at every reference otherwise)
+    "graph_kcore" -> {
+      val rounds = (1 to KCoreRounds).map { i =>
+        s"""d$i AS MATERIALIZED (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+           |    SELECT e.u AS node FROM e
+           |    JOIN a${i - 1} x ON x.node = e.u JOIN a${i - 1} y ON y.node = e.v
+           |    UNION ALL
+           |    SELECT e.v FROM e
+           |    JOIN a${i - 1} x ON x.node = e.u JOIN a${i - 1} y ON y.node = e.v)
+           |  GROUP BY 1),
+           |a$i AS MATERIALIZED (SELECT node FROM d$i WHERE deg >= $KCoreK)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON b.l_orderkey = a.l_orderkey AND b.l_partkey > a.l_partkey),
+        |a0 AS MATERIALIZED (SELECT u AS node FROM e UNION SELECT v FROM e),
+        |$rounds
+        |SELECT node, deg FROM d$KCoreRounds WHERE deg >= $KCoreK
+        |ORDER BY node""".stripMargin
     },
     // id-ordered orientation instead of the Spark side's degree
     // orientation — the triangle SET is orientation-invariant, so the

@@ -724,6 +724,97 @@ object Embeddings {
     rank(scored, k)
   }
 
+  /**
+   * Persist a trained IVF index to `dir`: the [[kMeansCentroids]]
+   * codebook as `centroids` and the inverted lists — each candidate with
+   * its vector, precomputed L2 norm, and nearest-centroid list id — as
+   * `lists`, parquet-partitioned BY the list id. Build once, query many:
+   * the training cost (Lloyd rounds over the corpus) amortizes across
+   * every [[ivfIndexTopK]] batch that follows, which is how a production
+   * ANN index actually runs — nobody re-clusters per query batch.
+   *
+   * Scale shape: the index write is the training plan plus one
+   * partitioned parquet sink; `partitionBy(cid)` lays each inverted list
+   * in its own directory, so query-time probes of a few lists become
+   * directory-pruned scans (static pruning when the probe set is
+   * literal, dynamic partition pruning off the broadcast probe join
+   * otherwise) — the nprobe/kClusters cost knob becomes an I/O knob, not
+   * just a compute one.
+   */
+  def saveIvfIndex(candidates: DataFrame, idCol: String, vecCol: String,
+      kClusters: Int, iters: Int, dir: String,
+      seeding: String = "id"): Unit = {
+    val spark = candidates.sparkSession
+    val centPlan = kMeansCentroids(candidates, idCol, vecCol, kClusters, iters, seeding)
+    val cent = spark.createDataFrame(
+      spark.sparkContext.parallelize(centPlan.collect().toSeq, 1),
+      centPlan.schema)
+    cent.write.mode("overwrite").parquet(s"$dir/centroids")
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("d2").asc, col("cid").asc)
+    val cb = cellsOf(candidates, idCol, vecCol).join(broadcast(cent), "i")
+      .groupBy("vec_id", "cid")
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d2"))
+      .select(col("vec_id"), col("cid"), snapCol(col("d2")).as("d2"))
+      .withColumn("rn", row_number().over(wA))
+      .where(col("rn") === 1).select(col("vec_id"), col("cid"))
+    withNorms(candidates, idCol, vecCol).join(cb, "vec_id")
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/lists")
+  }
+
+  /**
+   * Top-k search over a PERSISTED IVF index ([[saveIvfIndex]]): assign
+   * each query to its `nprobe` nearest stored centroids, scan only those
+   * inverted lists, rank by exact cosine. Bit-identical to running
+   * [[ivfKMeansTopK]] with the same training parameters (same snapped
+   * distances, same cid tiebreaks) — spec-pinned — so an index built
+   * once serves any later query batch with no drift.
+   *
+   * Scale shape: centroids are k·dim model rows broadcast once; the ONE
+   * data-sized operation is the cid equi-join of the (tiny) probe table
+   * against the partitioned lists scan, which prunes to the probed
+   * directories. Queries never touch the unprobed (kClusters − nprobe)
+   * / kClusters of the corpus.
+   */
+  def ivfIndexTopK(spark: SparkSession, dir: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int = 2): DataFrame = {
+    require(k > 0 && nprobe > 0)
+    val cent = spark.read.parquet(s"$dir/centroids")
+    val lists = spark.read.parquet(s"$dir/lists")
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("d2").asc, col("cid").asc)
+    val qp = cellsOf(queries, idCol, vecCol).join(broadcast(cent), "i")
+      .groupBy("vec_id", "cid")
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d2"))
+      .select(col("vec_id"), col("cid"), snapCol(col("d2")).as("d2"))
+      .withColumn("rn", row_number().over(wA))
+      .where(col("rn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("cid"))
+    val q = withNorms(queries, idCol, vecCol)
+      .withColumnRenamed("vec_id", "query_id")
+      .withColumnRenamed("emb", "qemb")
+      .withColumnRenamed("nrm", "qnrm")
+      .join(qp, "query_id")
+    val scored = lists.join(broadcast(q), Seq("cid"))
+      .where(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        (expr(dotSql("qemb", "emb")) / (col("qnrm") * col("nrm"))).as("c"))
+      .select(col("query_id"), col("vec_id"), snap("c").as("cosine"))
+    rank(scored, k)
+  }
+
+  /** Process-scoped location for a persisted IVF index derived from
+    * `dataDir` (the [[graft.ext.Relational]] bucketed-table convention:
+    * readable suffix + MD5 digest, under this JVM's warehouse). */
+  def ivfIndexLocation(spark: SparkSession, dataDir: String): String = {
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir")).toUri.getPath
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dataDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val tag = dataDir.replaceAll("[^a-zA-Z0-9]", "_").takeRight(40) + "_" + digest
+    s"$wh/graft_ivf_$tag"
+  }
+
   /** Window-rank scored (query_id, vec_id, cosine) rows to the top k. */
   private def rank(scored: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

@@ -132,6 +132,51 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /**
+   * Fixed-round k-core peeling (Seidman 1983 coreness, the Batagelj–
+   * Zaveršnik cascade run a bounded number of rounds): start from all
+   * nodes; each round recomputes every node's degree within the subgraph
+   * induced by the current survivor set and drops nodes below `k`.
+   * Returns `(node, deg)` for the nodes still alive after `rounds`
+   * rounds, with their last-round induced degree. Run to the fixed
+   * point this is exactly the k-core; a FIXED round count keeps the
+   * result a pure function of the input (the [[pageRank]] convention)
+   * and is what the dense-subgraph curation use wants anyway — each
+   * round only ever removes, so round r is a sound over-approximation
+   * of the core from above.
+   *
+   * Scale shape: per round, two node-sized semi-joins restrict the edge
+   * table to surviving endpoints and ONE map-side-partial aggregate
+   * recomputes degrees — no edge explosion, no inequality join;
+   * `localCheckpoint` truncates lineage per round. Peeling is monotone,
+   * so the survivor set (the join's build side) only shrinks round over
+   * round.
+   */
+  def kCoreAlive(edges: DataFrame, k: Int, rounds: Int,
+      pin: DataFrame => DataFrame = identity): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    require(rounds >= 1, "rounds must be at least 1")
+    val und = pin(edges.select(
+        least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct())
+    var alive = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node"))).distinct()
+    var deg: DataFrame = null
+    for (_ <- 0 until rounds) {
+      val induced = und
+        .join(alive.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(alive.select(col("node").as("v")), Seq("v"), "left_semi")
+      deg = induced.select(col("u").as("node"))
+        .unionByName(induced.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+        .localCheckpoint()
+      alive = deg.where(col("deg") >= k).select("node")
+    }
+    deg.where(col("deg") >= k)
+  }
+
   /** Final ranks plus the measured per-round L1 movement — the readout
     * that turns "how many rounds is enough" into data. */
   final case class RankResult(ranks: DataFrame, l1Deltas: Seq[Double])

@@ -177,6 +177,33 @@ class EmbeddingsSpec extends SparkSpec {
     assert(rows.distinct.length == rows.length)
   }
 
+  test("persisted IVF index reproduces the in-plan trained search exactly") {
+    val blobs = Seq(
+      (0L, Seq(0.0f, 0.1f)),
+      (1L, Seq(10.0f, 10.0f)),
+      (2L, Seq(0.5f, 0.1f)),
+      (3L, Seq(9.5f, 10.0f)),
+      (4L, Seq(0.1f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    Embeddings.saveIvfIndex(blobs, "vec_id", "embedding",
+      kClusters = 2, iters = 2, dir = dir)
+    val queries = blobs.where($"vec_id" < 2L)
+    val persisted = Embeddings.ivfIndexTopK(spark, dir, queries,
+      "vec_id", "embedding", k = 5, nprobe = 1)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val inPlan = Embeddings.ivfKMeansTopK(blobs, queries,
+      "vec_id", "embedding", k = 5, kClusters = 2, iters = 2, nprobe = 1)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(persisted.toSeq == inPlan.toSeq)
+    // the lists really are laid out one directory per inverted list
+    val listDirs = new java.io.File(s"$dir/lists").listFiles()
+      .filter(_.getName.startsWith("cid=")).map(_.getName).sorted
+    assert(listDirs.length == 2, listDirs.mkString(", "))
+  }
+
   test("ivfTopK searches only the query's argmax bucket") {
     // buckets: v0→1, v1→2, v2→1 (first max wins), v3→1
     val top = Embeddings.ivfTopK(emb, emb.where($"vec_id" === 0L), "vec_id", "embedding", 5)

@@ -146,6 +146,37 @@ class GraphSpec extends SparkSpec {
     assert(r === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("kCoreAlive peels a chain down to its 2-core across rounds") {
+    import s.implicits._
+    // triangle {1,2,3} with a pendant path 3—4—5: k=2 peels 5 (deg 1) in
+    // round 1, then 4 (its induced degree FALLS to 1) in round 2 — the
+    // cascade needs the re-round, which is what this pins
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val r1 = Graph.kCoreAlive(e, k = 2, rounds = 1).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r1.keySet === Set(1L, 2L, 3L, 4L)) // 5 gone; 4 still deg 2
+    // round 2's degrees are measured in the ROUND-1 survivor subgraph
+    // (4 still present), so 3 reports deg 3 while the cascade drops 4
+    val r2 = Graph.kCoreAlive(e, k = 2, rounds = 2).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r2 === Map(1L -> 2L, 2L -> 2L, 3L -> 3L))
+    // fixed point: degrees settle to the induced 2-core's own degrees
+    val r3 = Graph.kCoreAlive(e, k = 2, rounds = 4).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r3 === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCoreAlive returns the whole graph when nothing is below k") {
+    import s.implicits._
+    val e = (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b))
+      .toDF("src", "dst") // K4: every degree is 3
+    val r = Graph.kCoreAlive(e, k = 3, rounds = 3).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    assert(Graph.kCoreAlive(e, k = 4, rounds = 2).count() === 0L)
+  }
+
   test("pageRankConverged: L1 deltas shrink and the rule stops early") {
     val res = Graph.pageRankConverged(chain, tol = 1e-3, maxIters = 50)
     assert(res.l1Deltas.nonEmpty && res.l1Deltas.length < 50)
