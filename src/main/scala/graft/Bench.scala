@@ -119,7 +119,10 @@ object Bench {
     "ann_ivf_persist",
     // fixed-round k-core peel: two survivor semi-joins + one degree
     // aggregate per round over the same co-ordered-parts graph
-    "graph_kcore")
+    "graph_kcore",
+    // interval attribution: the user-keyed equi-join with a time-band
+    // join filter (the batch face of the stream-stream interval join)
+    "events_attribution")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

@@ -42,6 +42,17 @@ object EventsEntries {
         .where(col("ref_event_id").isNotNull)
         .withColumnRenamed("ts", "ts_us")
         .withColumnRenamed("lag_ns", "lag_us"), "event_id")),
+    // interval attribution: EVERY click in the 24h band before each
+    // purchase (multi-touch; events_asof keeps only the last). Same µs
+    // truncation as events_asof; lag is exact integer µs
+    "events_attribution" -> ((s, dir) =>
+      gate(Events.clickAttribution(
+          Events.read(s, dir).withColumn("ts", expr("ts div 1000")),
+          AsofProbe, AsofRef, horizon = AttribHorizonUs)
+        .withColumnRenamed("p_ts", "p_ts_us")
+        .withColumnRenamed("c_ts", "c_ts_us")
+        .withColumnRenamed("lag", "lag_us"),
+        "purchase_id", "click_id")),
     // rolling per-user trailing-window features. Same µs truncation as
     // events_asof (DuckDB's parquet reader truncates ns→µs): the CONTRACT
     // runs both engines on µs-truncated int64 time; the library operator
@@ -140,6 +151,10 @@ object EventsEntries {
   private val AsofProbe = "purchase"
   private val AsofRef = "click"
 
+  /** Attribution band for the interval-join contract: 24 hours in µs
+    * (860 purchase×click pairs at sf0.01). */
+  private val AttribHorizonUs = 86400000000L
+
   /** Conversion event of the A/B contract. */
   private val AbConvType = "purchase"
 
@@ -202,6 +217,20 @@ object EventsEntries {
     // the larger event_id — the dedup makes the tie-break explicit
     // instead of relying on the generator never producing equal-ts
     // references per user.
+    // the same (probe, ref) types as events_asof but EVERY in-band pair;
+    // band membership is pure integer arithmetic on µs timestamps
+    "events_attribution" ->
+      s"""WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS tus, event_type, value FROM events),
+        |p AS (SELECT event_id AS purchase_id, user_id, tus AS p_ts_us, value AS purchase_value
+        |      FROM ev WHERE event_type = '$AsofProbe'),
+        |c AS (SELECT event_id AS click_id, user_id AS cu, tus AS c_ts_us
+        |      FROM ev WHERE event_type = '$AsofRef')
+        |SELECT p.purchase_id, c.click_id, p.user_id, p.p_ts_us, c.c_ts_us,
+        |       p.p_ts_us - c.c_ts_us AS lag_us, ${r6sql("p.purchase_value")} AS purchase_value
+        |FROM p JOIN c ON c.cu = p.user_id
+        |  AND c.c_ts_us > p.p_ts_us - $AttribHorizonUs
+        |  AND c.c_ts_us <= p.p_ts_us
+        |ORDER BY purchase_id, click_id""".stripMargin,
     "events_asof" ->
       s"""WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS tus, event_type, value FROM events),
         |p AS (SELECT event_id, user_id, tus, value FROM ev WHERE event_type = '$AsofProbe'),

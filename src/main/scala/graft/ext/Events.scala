@@ -151,6 +151,45 @@ object Events {
   }
 
   /**
+   * Interval attribution join: EVERY `refType` event of the same user
+   * within `(probe.ts − horizon, probe.ts]` is paired with the probe —
+   * multi-touch attribution ("all clicks inside the 24h window before
+   * this purchase"), where [[lastPriorEvent]] keeps only the latest one.
+   * `horizon` is in the same unit as the `ts` column (ns from
+   * [[read]]); output rows carry both event ids, both timestamps, and
+   * the lag.
+   *
+   * Scale shape: ONE equi-join keyed on user_id with the time band as a
+   * join filter — per-user work is the per-user probe×ref cross
+   * bounded by the horizon's event density, which is the inherent
+   * output size of a many-to-many attribution (unlike as-of, a window
+   * function cannot produce it without the same expansion). No
+   * time-inequality-only join anywhere: the planner gets a proper
+   * equi-key, so this is a shuffle-hash/sort-merge join, never a
+   * nested loop (PlanAuditSpec pins that).
+   *
+   * Determinism: the pair set is an exact integer/timestamp predicate —
+   * no floats, no ordering sensitivity.
+   */
+  def clickAttribution(events: DataFrame, probeType: String,
+      refType: String, horizon: Long): DataFrame = {
+    require(probeType != refType, "probe and reference types must differ")
+    require(horizon > 0, "horizon must be positive")
+    val p = events.where(col("event_type") === probeType)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"), col("value").as("purchase_value"))
+    val c = events.where(col("event_type") === refType)
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    p.join(c, col("user_id") === col("c_user") &&
+        col("c_ts") > col("p_ts") - lit(horizon) &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        col("p_ts"), col("c_ts"), (col("p_ts") - col("c_ts")).as("lag"),
+        col("purchase_value"))
+  }
+
+  /**
    * Backward as-of join within the event stream: each `probeType` event
    * is matched to the most recent `refType` event of the SAME user at or
    * before its timestamp — the temporal-enrichment primitive ("which

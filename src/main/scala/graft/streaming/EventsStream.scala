@@ -393,6 +393,48 @@ object EventsStream {
   }
 
   /**
+   * Streaming interval attribution — the unbounded twin of
+   * [[graft.ext.Events.clickAttribution]], and the repo's one genuine
+   * STREAM-STREAM join: probes and references are two watermarked
+   * streams (here: two filters of the same source) inner-joined on
+   * user_id with the attribution band `(p_ts − horizon, p_ts]` as the
+   * time-range condition. This is the built-in interval-join machinery
+   * (no custom state code): Spark buffers each side only as long as the
+   * OTHER side's watermark plus the band could still produce a match —
+   * references age out `horizon` past their timestamp, probes as soon
+   * as the reference watermark passes them — so state is bounded by
+   * event density × (watermark + horizon), per user key, regardless of
+   * stream lifetime.
+   *
+   * Inner-join rows emit as soon as both sides have arrived (no
+   * watermark wait for emission — only state CLEANUP needs it), and the
+   * pair set equals the batch twin's for any reordering the watermark
+   * admits (parity spec-pinned): membership is a pure predicate of the
+   * two rows, so arrival order cannot change it, only drop late rows
+   * past the watermark.
+   */
+  def clickAttribution(events: Dataset[IdStreamEvent], probeType: String,
+      refType: String, horizonSec: Long,
+      watermark: String = "1 hour"): DataFrame = {
+    require(probeType != refType, "probe and reference types must differ")
+    require(horizonSec > 0, "horizon must be positive")
+    val df = events.toDF()
+    val p = df.where(col("event_type") === probeType)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"), col("value").as("purchase_value"))
+      .withWatermark("p_ts", watermark)
+    val c = df.where(col("event_type") === refType)
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    p.join(c, col("user_id") === col("c_user") &&
+        col("c_ts") > col("p_ts") - expr(s"INTERVAL $horizonSec SECOND") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        col("p_ts"), col("c_ts"), col("purchase_value"))
+  }
+
+  /**
    * Streaming ordered-funnel progress — the unbounded twin of
    * [[graft.ext.Events.funnel]]: per user, the earliest time each step of
    * `steps` was reached, step i+1 counting only events at-or-after the

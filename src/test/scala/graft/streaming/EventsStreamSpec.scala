@@ -164,6 +164,41 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("clickAttribution: stream-stream interval join matches batch pairs") {
+    val in = MemoryStream[IdStreamEvent]
+    val q = EventsStream.clickAttribution(in.toDS(), "purchase", "click",
+      horizonSec = 3600, watermark = "30 minutes")
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode(OutputMode.Append).start()
+    val evs = Seq(
+      IdStreamEvent(1, 7, ts(0, 0), "click", 1.0),
+      IdStreamEvent(2, 7, ts(0, 30), "click", 1.0),
+      IdStreamEvent(3, 7, ts(0, 45), "purchase", 9.0), // matches 1, 2
+      IdStreamEvent(4, 8, ts(0, 50), "purchase", 5.0), // user 8: no clicks
+      IdStreamEvent(5, 7, ts(2, 0), "purchase", 2.0),  // clicks too old
+      // out-of-order click inside the watermark, arriving AFTER its
+      // purchase — the join must still find the already-buffered probe
+      IdStreamEvent(6, 7, ts(0, 40), "click", 1.0))
+    try {
+      in.addData(evs.take(5): _*)
+      q.processAllAvailable()
+      in.addData(evs.drop(5): _*)
+      q.processAllAvailable()
+      val rows = spark.table("attr_out").collect()
+        .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("click_id")))
+        .toSet
+      assert(rows == Set((3L, 1L), (3L, 2L), (3L, 6L)))
+      // batch parity on the identical event set (ns horizon = 3600s)
+      val batch = graft.ext.Events.clickAttribution(
+        graft.ext.Events.normalizeTs(evs.toDF()), "purchase", "click",
+        horizon = 3600L * 1000000000L)
+        .collect()
+        .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("click_id")))
+        .toSet
+      assert(batch == rows)
+    } finally q.stop()
+  }
+
   test("as-of: an expired reference stops matching once the TTL passes") {
     val in = MemoryStream[IdStreamEvent]
     // 30-minute reference TTL, 10-minute watermark
