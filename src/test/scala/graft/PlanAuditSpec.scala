@@ -41,6 +41,9 @@ class PlanAuditSpec extends SparkSpec {
       "hard_negatives",
       // 1-row max-timestamp scalar broadcast for the decay reference
       "events_decay",
+      // 1-row nation-total scalar broadcast over the per-part values
+      // (the Q11 importance threshold)
+      "rel_nation_stock",
       // 1-row total-bigram-count scalar broadcast over the PMI vocab
       "vocab_pmi",
       // 1-row (total tokens, cluster count) scalar broadcast over the

@@ -410,4 +410,59 @@ class CheckpointResumeSpec extends SparkSpec {
     assert(armsOfU1.length === 1 &&
       armsOfU1.head === graft.ext.Export.mixBucketLong(1L, 2, 0L))
   }
+
+  test("sessionize survives a restart on the RocksDB state store backend") {
+    // the production state backend for large state (spillable, compacted,
+    // incremental checkpoints): same recovery contract as the default
+    // HDFS-backed store — rocksdbjni ships with the Spark jars, so this
+    // runs the REAL provider, not a stub
+    val provider = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    val prevProvider = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+    try {
+      val base = Timestamp.valueOf("2024-05-01 00:00:00").getTime
+      def ev(u: Long, minutes: Long, v: Double) =
+        StreamEvent(u, new Timestamp(base + minutes * 60000), "click", v)
+      // u1's session straddles the restart; u2 closes before it
+      val before = Seq(ev(1, 0, 1.0), ev(1, 10, 2.0), ev(2, 5, 3.0))
+      val after = Seq(ev(1, 20, 4.0), ev(1, 120, 5.0))
+      val dir = Files.createTempDirectory("graft_ckpt_rdb").toFile
+      val in = MemoryStream[StreamEvent]
+      def start() = EventsStream.sessionize(in.toDS(), gapSec = 1800)
+        .writeStream.format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode(OutputMode.Append)
+        .start()
+      val q1 = start()
+      try { in.addData(before: _*); q1.processAllAvailable() } finally q1.stop()
+      val q2 = start()
+      try {
+        in.addData(after: _*)
+        q2.processAllAvailable()
+        in.addData(ev(99, 60 * 36, 0.0))
+        q2.processAllAvailable()
+        in.addData(ev(99, 60 * 72, 0.0))
+        q2.processAllAvailable()
+      } finally q2.stop()
+      val got = spark.read.parquet(s"$dir/out").where($"user_id" < 99)
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_sec"),
+          r.getAs[Long]("end_sec"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("sum_value")))
+      assert(got.length == got.distinct.length, got.mkString(", "))
+      val batchDF = (before ++ after).zipWithIndex.map { case (e, i) =>
+        (i.toLong, e.ts.getTime * 1000000L, e.user_id, e.event_type, e.value)
+      }.toDF("event_id", "ts", "user_id", "event_type", "value")
+      val want = Events.sessionize(batchDF).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_sec"),
+          r.getAs[Long]("end_sec"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("sum_value")))
+      assert(got.toSet == want.toSet, s"got=${got.toSet} want=${want.toSet}")
+    } finally {
+      if (prevProvider.isEmpty)
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      else spark.conf.set("spark.sql.streaming.stateStore.providerClass", prevProvider)
+    }
+  }
 }
