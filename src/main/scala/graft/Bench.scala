@@ -122,7 +122,10 @@ object Bench {
     "graph_kcore",
     // interval attribution: the user-keyed equi-join with a time-band
     // join filter (the batch face of the stream-stream interval join)
-    "events_attribution")
+    "events_attribution",
+    // rolling distinct reach via bounded explode (rolling COUNT
+    // DISTINCT has no windowed form; work = active-user-days x 7)
+    "events_rolling_reach")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

@@ -42,6 +42,15 @@ object EventsEntries {
         .where(col("ref_event_id").isNotNull)
         .withColumnRenamed("ts", "ts_us")
         .withColumnRenamed("lag_ns", "lag_us"), "event_id")),
+    // 7-day rolling distinct reach (WAU curve) via the bounded-explode
+    // shape — rolling COUNT DISTINCT has no windowed form; work is
+    // active-user-days x 7, independent of per-day volume. Day indexing
+    // on µs like the other time contracts
+    "events_rolling_reach" -> ((s, dir) =>
+      gate(Events.rollingReach(
+          Events.read(s, dir).withColumn("ts", expr("ts div 1000")),
+          windowDays = ReachWindowDays, dayTicks = 86400000000L),
+        "day_index")),
     // interval attribution: EVERY click in the 24h band before each
     // purchase (multi-touch; events_asof keeps only the last). Same µs
     // truncation as events_asof; lag is exact integer µs
@@ -155,6 +164,9 @@ object EventsEntries {
     * (860 purchase×click pairs at sf0.01). */
   private val AttribHorizonUs = 86400000000L
 
+  /** Trailing window of the rolling-reach contract (the WAU curve). */
+  private val ReachWindowDays = 7
+
   /** Conversion event of the A/B contract. */
   private val AbConvType = "purchase"
 
@@ -217,6 +229,15 @@ object EventsEntries {
     // the larger event_id — the dedup makes the tie-break explicit
     // instead of relying on the generator never producing equal-ts
     // references per user.
+    // the same bounded-explode derivation: DISTINCT (user, day) →
+    // +0..6 day contributions → DISTINCT → count per window day
+    "events_rolling_reach" ->
+      s"""WITH ud AS (SELECT DISTINCT user_id,
+        |              epoch_us(ts) // 86400000000 AS d FROM events),
+        |w AS (SELECT DISTINCT user_id, d + i AS day_index
+        |      FROM ud, UNNEST(range($ReachWindowDays)) AS r(i))
+        |SELECT day_index, CAST(COUNT(*) AS BIGINT) AS reach_${ReachWindowDays}d
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
     // the same (probe, ref) types as events_asof but EVERY in-band pair;
     // band membership is pure integer arithmetic on µs timestamps
     "events_attribution" ->

@@ -151,6 +151,40 @@ object Events {
   }
 
   /**
+   * Rolling distinct reach (the 7-day-active-users / WAU curve): for
+   * each day index, how many DISTINCT users had at least one event in
+   * the trailing `windowDays`-day window ending that day. `dayTicks` is
+   * one day in the `ts` column's unit (ns from [[read]]).
+   *
+   * Scale shape: rolling COUNT DISTINCT has no windowed form (distinct
+   * does not decompose over sliding frames), and the naive spellings —
+   * a `windowDays`-way self-join, or re-scanning the window per day —
+   * are quadratic in the horizon. This is the bounded-explode shape
+   * instead: collapse the stream to DISTINCT (user, day) — the ONE
+   * fact-sized exchange — then each active day contributes to exactly
+   * `windowDays` window rows (a row-local explode of a constant-length
+   * sequence), dedup (user, window) and count. Work is
+   * active-user-days × windowDays, independent of per-day event volume.
+   * Emitted days are those with ≥1 active user in their trailing window.
+   */
+  def rollingReach(events: DataFrame, windowDays: Int,
+      dayTicks: Long = NsPerDay): DataFrame = {
+    require(windowDays >= 1, "windowDays must be at least 1")
+    require(dayTicks > 0, "dayTicks must be positive")
+    // `div` is exact int64 division — a double round-trip would round
+    // epoch-ns values (>2^53) and could shift a day boundary
+    events
+      .select(col("user_id"),
+        expr(s"CAST(ts AS BIGINT) div $dayTicks").as("d"))
+      .distinct()
+      .select(col("user_id"),
+        explode(expr(s"sequence(d, d + ${windowDays - 1})")).as("day_index"))
+      .distinct()
+      .groupBy("day_index")
+      .agg(count(lit(1)).as(s"reach_${windowDays}d"))
+  }
+
+  /**
    * Interval attribution join: EVERY `refType` event of the same user
    * within `(probe.ts − horizon, probe.ts]` is paired with the probe —
    * multi-touch attribution ("all clicks inside the 24h window before

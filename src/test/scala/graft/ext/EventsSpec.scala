@@ -296,6 +296,32 @@ class EventsSpec extends SparkSpec {
     rowSums.values.foreach(s => assertApprox(s, 1.0))
   }
 
+  test("rollingReach: trailing distinct users via bounded explode") {
+    import s.implicits._
+    // day = ts div 10; user 1 active on days 0 and 2 (twice — the
+    // (user, day) collapse must dedup), user 2 on day 2 only
+    val ev = Seq((1L, 5L), (1L, 25L), (1L, 27L), (2L, 20L))
+      .toDF("user_id", "ts")
+    val r = Events.rollingReach(ev, windowDays = 2, dayTicks = 10L)
+      .collect().map(x => x.getAs[Long]("day_index") ->
+        x.getAs[Long]("reach_2d")).toMap
+    // windows: d0 {1}; d1 {1} (carried); d2 {1,2}; d3 {1,2} (carried)
+    assert(r === Map(0L -> 1L, 1L -> 1L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("rollingReach matches a brute-force per-day distinct recount") {
+    import s.implicits._
+    // pseudo-random-ish but deterministic activity over 12 days
+    val ev = (for (u <- 1L to 9L; k <- 0L to 5L)
+      yield (u, ((u * 7 + k * k * 3) % 12) * 100 + u)).toDF("user_id", "ts")
+    val got = Events.rollingReach(ev, windowDays = 3, dayTicks = 100L)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val days = ev.collect().map(r => (r.getLong(0), r.getLong(1) / 100))
+    val brute = days.flatMap { case (u, d) => (d until d + 3).map(u -> _) }
+      .distinct.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(got === brute)
+  }
+
   test("transitionMatrix: one user-keyed window, aggregate-sized row window") {
     val plan = Events.transitionMatrix(events)
       .queryExecution.executedPlan.toString
