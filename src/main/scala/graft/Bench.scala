@@ -125,7 +125,9 @@ object Bench {
     "events_attribution",
     // rolling distinct reach via bounded explode (rolling COUNT
     // DISTINCT has no windowed form; work = active-user-days x 7)
-    "events_rolling_reach")
+    "events_rolling_reach",
+    // the Z-ORDER sort key: row-local exact-int64 bit interleave
+    "layout_zvalue")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

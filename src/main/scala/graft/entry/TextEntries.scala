@@ -148,6 +148,15 @@ object TextEntries {
           sum("n_chars").as("sum_chars"),
           min("doc_id").as("min_doc"),
           max("doc_id").as("max_doc")), "source")),
+    // ext: Morton z-value (the Z-ORDER clustering sort key) over the
+    // part table's (p_size, p_partkey mod 64) — row-local exact integer
+    // bit interleave, replayed bit-for-bit by the oracle
+    "layout_zvalue" -> ((s, dir) => {
+      val p = s.read.parquet(s"$dir/part.parquet")
+        .withColumn("pk6", pmod(col("p_partkey"), lit(64)))
+      gate(p.select(col("p_partkey"),
+        graft.ext.Layout.zValue("p_size", "pk6", 6).as("z")), "p_partkey")
+    }),
     // ext: per-language quartile bucketing by document length
     "quality_buckets" -> ((s, dir) =>
       gate(TextAnalysis.qualityBuckets(docs(s, dir), "doc_id", "lang",
@@ -878,6 +887,15 @@ object TextEntries {
         |  CAST(MIN(doc_id) AS BIGINT) AS min_doc,
         |  CAST(MAX(doc_id) AS BIGINT) AS max_doc
         |FROM documents WHERE lang = '$PrunedLang'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the identical interleave as a SUM over the bit positions — DuckDB
+    // runs the same <<//>>/& integer ops, so agreement is bit-exact
+    "layout_zvalue" ->
+      """WITH b AS (SELECT p_partkey, p_size, p_partkey % 64 AS pk6 FROM part)
+        |SELECT p_partkey,
+        |  CAST(SUM((((p_size >> i) & 1) << (2 * i))
+        |         + (((pk6 >> i) & 1) << (2 * i + 1))) AS BIGINT) AS z
+        |FROM b, UNNEST(range(6)) AS r(i)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "bm25_search" -> {
       val tfCols = Bm25Terms.indices.map(i =>

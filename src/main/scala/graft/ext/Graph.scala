@@ -125,8 +125,14 @@ object Graph {
         col("e1.a") === col("e2.a") && col("e1.b") < col("e2.b"))
       .select(col("e1.a").as("x"),
         col("e1.b").as("y"), col("e2.b").as("z"))
-    // closing edge in canonical (lo, hi) form — y < z by the wedge dedup
-    val tri = wedges.join(und,
+    // Closing edge in canonical (lo, hi) form — y < z by the wedge dedup.
+    // The wedge side is the giant one (~m^1.5 rows vs m edges), so the
+    // close must NEVER sort it: hint the edge side as the hash-build of
+    // a shuffled-hash semi-join. Without the hint, AQE broadcasts at
+    // small scale but silently falls back to sort-merge once the edge
+    // set outgrows the broadcast threshold — measured 35x (not 10x) wall
+    // on a 10x scale-up, all of it spill-sorting wedges.
+    val tri = wedges.join(und.hint("shuffle_hash"),
       col("y") === col("u") && col("z") === col("v"), "left_semi")
     tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))

@@ -58,4 +58,50 @@ object Layout {
   def langSlice(spark: SparkSession, dir: String, lang: String): DataFrame =
     spark.read.parquet(docsByLangPath(spark, dir))
       .where(col("lang") === lang)
+
+  /**
+   * Morton Z-value of two non-negative integer columns: the low `bits`
+   * bits of `a` and `b` interleaved (a on even positions, b on odd) —
+   * the space-filling-curve sort key behind Z-ORDER clustering
+   * (Delta/Iceberg OPTIMIZE ZORDER BY). Values must already sit in
+   * `[0, 2^bits)` (clamp/quantile-rank wider domains first); `bits` ≤ 31
+   * keeps the result in exact int64 range. Pure integer bit arithmetic
+   * as a row-local fold — zero exchanges, engine-exact, so an external
+   * oracle replays it bit-for-bit.
+   */
+  def zValue(a: String, b: String, bits: Int): org.apache.spark.sql.Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    expr(
+      s"""aggregate(sequence(0, ${bits - 1}), CAST(0 AS BIGINT), (acc, i) ->
+         |  acc
+         |  + shiftleft(shiftright(CAST($a AS BIGINT), i) & 1, 2 * i)
+         |  + shiftleft(shiftright(CAST($b AS BIGINT), i) & 1, 2 * i + 1))
+         |""".stripMargin)
+  }
+
+  /**
+   * Write `df` Z-ORDER-clustered on two integer columns: rows sorted by
+   * their interleaved [[zValue]], range-partitioned into `nFiles` files.
+   * Because the Z-curve keeps 2-D-close points file-local, EVERY file
+   * covers a narrow range of BOTH columns — so parquet's per-file/
+   * row-group min-max stats prune a 2-D box predicate on either (or
+   * both) columns, which neither a single-column sort (perfect on one
+   * axis, useless on the other) nor `partitionBy` (needs low
+   * cardinality) gives. This is the third data-skipping lever next to
+   * [[docsByLangPath]] (directory pruning) and
+   * [[Relational.bucketedOrderRevenue]] (shuffle-free joins).
+   *
+   * Scale shape: one range exchange on the z key (sampled boundaries) +
+   * a within-partition sort — the standard one-shot OPTIMIZE cost,
+   * amortized over every box-sliced read after it.
+   */
+  def zOrderWrite(df: DataFrame, a: String, b: String, bits: Int,
+      nFiles: Int, outPath: String): Unit = {
+    require(nFiles >= 1)
+    df.withColumn("__z", zValue(a, b, bits))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(outPath)
+  }
 }

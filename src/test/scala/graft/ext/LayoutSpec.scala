@@ -69,6 +69,43 @@ class LayoutSpec extends SparkSpec {
     assert(en.toSeq == Seq(1L, 3L))
   }
 
+  test("zValue interleaves bits exactly; hand-checked corners") {
+    val rows = Seq((0L, 0L), (7L, 0L), (0L, 7L), (5L, 3L), (63L, 63L))
+      .toDF("a", "b")
+      .select($"a", $"b", Layout.zValue("a", "b", 6).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rows((0L, 0L)) === 0L)
+    assert(rows((7L, 0L)) === 21L)     // a bits at even positions: 10101
+    assert(rows((0L, 7L)) === 42L)     // b bits at odd positions: 101010
+    assert(rows((5L, 3L)) === 27L)     // 101 ⨯ 011 → 011011
+    assert(rows((63L, 63L)) === 4095L) // all 12 low bits set
+  }
+
+  test("z-order clustering prunes a box on EITHER axis; single-axis sort cannot") {
+    // full 64x64 grid, 16 files of 256 rows each
+    val grid = (for (a <- 0 until 64; b <- 0 until 64) yield (a, b))
+      .toDF("a", "b")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zorder").toFile
+    Layout.zOrderWrite(grid, "a", "b", bits = 6, nFiles = 16, s"$tmp/z")
+    // the comparison layout: sorted on b alone, same file count
+    grid.repartitionByRange(16, $"b").sortWithinPartitions("b")
+      .write.parquet(s"$tmp/b")
+    import org.apache.spark.sql.functions.input_file_name
+    def filesMatching(path: String, cond: String): Long =
+      spark.read.parquet(path).where(cond)
+        .select(input_file_name()).distinct().count()
+    def totalFiles(path: String): Long =
+      spark.read.parquet(path).select(input_file_name()).distinct().count()
+    assert(totalFiles(s"$tmp/z") === 16L)
+    // a-axis box: under z-order, a < 8 zeroes the three high even bit
+    // positions, so qualifying rows live in at most half the z-range;
+    // under the b-sort, EVERY file contains a < 8 rows
+    assert(filesMatching(s"$tmp/z", "a < 8") <= 8L)
+    assert(filesMatching(s"$tmp/b", "a < 8") === 16L)
+    // the 2-D corner box is 64 consecutive z values — ONE file
+    assert(filesMatching(s"$tmp/z", "a < 8 AND b < 8") === 1L)
+  }
+
   test("the layout write is idempotent per (JVM, dir)") {
     assume(new java.io.File(dir).isDirectory, s"$dir missing")
     val p1 = Layout.docsByLangPath(spark, dir)
