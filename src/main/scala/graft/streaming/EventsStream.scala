@@ -64,6 +64,14 @@ final case class FunnelUpdate(user_id: Long, step_ms: Seq[Long], depth: Long)
   * (cohort, bucket_offset) gives the batch twin's `n_users`. */
 final case class RetentionHit(cohort: Long, bucket_offset: Long, user_id: Long)
 
+/** One (window-day, user) reach contribution — summing hits per
+  * day_index reproduces the batch rolling-reach curve exactly. */
+final case class ReachHit(day_index: Long, user_id: Long)
+
+/** Window days already credited to this user and still re-creditable
+  * (pruned once the watermark makes their contributors impossible). */
+final case class ReachState(emitted: Seq[Long])
+
 /** Per-user retention state. Before the cohort is final: the candidate
   * min bucket and the distinct buckets awaiting emission. After: the
   * cohort plus the already-counted buckets still inside the watermark
@@ -570,6 +578,52 @@ object EventsStream {
               novel.map(b => RetentionHit(st.minBucket, b - st.minBucket, userId))
             }
           out.iterator
+      }
+  }
+
+  /**
+   * Streaming rolling distinct reach — the unbounded twin of
+   * [[graft.ext.Events.rollingReach]], in the retention twin's
+   * one-hit contract: emits exactly ONE [[ReachHit]] per (user,
+   * window-day) — an active day credits the user to `windowDays`
+   * trailing windows, overlapping active days dedup in state — so any
+   * consumer summing hits per day_index holds the exact WAU curve for
+   * every reordering the watermark admits (batch parity spec-pinned).
+   *
+   * State per user is the emitted window days still inside the
+   * watermark horizon: a window day `w` leaves once the watermark
+   * passes its day end, because every event that could credit `w` has
+   * day ≤ w and would be dropped as late — so state is bounded by
+   * windowDays + horizon/day entries per user, and the event-time
+   * timeout clears users who never return (state.remove, not just
+   * prune), keeping the store keyed only by users with live windows.
+   */
+  def rollingReach(events: Dataset[StreamEvent], windowDays: Int,
+      dayMs: Long, watermark: String = "1 hour"): Dataset[ReachHit] = {
+    import events.sparkSession.implicits._
+    require(windowDays >= 1, "windowDays must be at least 1")
+    require(dayMs > 0, "dayMs must be positive")
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[StreamEvent], state: GroupState[ReachState]) =>
+          val st = state.getOption.getOrElse(ReachState(Seq.empty))
+          val wm = state.getCurrentWatermarkMs()
+          val days = batch.map(e => Math.floorDiv(e.ts.getTime, dayMs)).toSet
+          val targets = days.flatMap(d => d until d + windowDays)
+          val fresh = (targets -- st.emitted.toSet).toSeq.sorted
+          // window w is re-creditable only while an admissible event can
+          // still map to a day <= w: gone once wm passes w's day end
+          val keep = (st.emitted ++ fresh).distinct
+            .filter(w => (w + 1) * dayMs > wm)
+          if (keep.isEmpty) state.remove()
+          else {
+            state.update(ReachState(keep))
+            // wake when the LAST live window expires, to free the key
+            state.setTimeoutTimestamp((keep.max + 1) * dayMs)
+          }
+          fresh.map(w => ReachHit(w, userId)).iterator
       }
   }
 

@@ -164,6 +164,40 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rollingReach: one hit per (user, window); sums match the batch curve") {
+    val in = MemoryStream[StreamEvent]
+    // "days" are hours here to keep the fixture compact
+    val dayMs = 3600000L
+    val q = EventsStream.rollingReach(in.toDS(), windowDays = 2,
+      dayMs = dayMs, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("reach_out")
+      .outputMode(OutputMode.Append).start()
+    val evs = Seq(
+      StreamEvent(1, ts(0, 0), "click", 1.0),
+      StreamEvent(1, ts(1, 5), "click", 1.0),  // windows {1,2}; {0,1} overlap dedups
+      StreamEvent(2, ts(1, 10), "click", 1.0),
+      StreamEvent(1, ts(0, 30), "click", 1.0)) // out-of-order, same day → no new hit
+    try {
+      in.addData(evs.take(3): _*)
+      q.processAllAvailable()
+      in.addData(evs.drop(3): _*)
+      q.processAllAvailable()
+      val hits = spark.table("reach_out").collect()
+        .map(r => (r.getAs[Long]("day_index"), r.getAs[Long]("user_id")))
+      assert(hits.length == hits.distinct.length, hits.mkString(", "))
+      val got = hits.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+      val batchDF = evs.map(e => (e.user_id, e.ts.getTime))
+        .toDF("user_id", "ts")
+      val want = graft.ext.Events.rollingReach(batchDF, windowDays = 2,
+        dayTicks = dayMs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want, s"got=$got want=$want")
+      // hand-check relative to the fixture's base day (epoch-hour index)
+      val d0 = got.keys.min
+      assert(got === Map(d0 -> 1L, (d0 + 1) -> 2L, (d0 + 2) -> 2L))
+    } finally q.stop()
+  }
+
   test("clickAttribution: stream-stream interval join matches batch pairs") {
     val in = MemoryStream[IdStreamEvent]
     val q = EventsStream.clickAttribution(in.toDS(), "purchase", "click",
