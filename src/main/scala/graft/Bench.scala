@@ -127,7 +127,9 @@ object Bench {
     // DISTINCT has no windowed form; work = active-user-days x 7)
     "events_rolling_reach",
     // the Z-ORDER sort key: row-local exact-int64 bit interleave
-    "layout_zvalue")
+    "layout_zvalue",
+    // per-doc OOV share vs the k-row broadcast vocab (tokenizer health)
+    "vocab_coverage")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

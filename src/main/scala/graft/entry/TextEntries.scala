@@ -97,6 +97,11 @@ object TextEntries {
     // ext: vocabulary heavy hitters by document frequency
     "vocab_topk" -> ((s, dir) =>
       gate(TextAnalysis.vocabTopK(docs(s, dir), "doc_id", "text", VocabK), "token")),
+    // ext: per-doc OOV share against the top-k vocab (tokenizer-coverage
+    // health check; the vocab join is a k-row broadcast by construction)
+    "vocab_coverage" -> ((s, dir) =>
+      gate(TextAnalysis.vocabCoverage(docs(s, dir), "doc_id", "text", VocabK),
+        "doc_id")),
     // ext: count-min sketch calibration vs the exact top-k occurrences
     "vocab_cms_audit" -> ((s, dir) =>
       gate(TextAnalysis.cmsVocabAudit(docs(s, dir), "doc_id", "text",
@@ -817,6 +822,18 @@ object TextEntries {
         |SELECT token, doc_freq FROM
         |  (SELECT token, doc_freq FROM df ORDER BY doc_freq DESC, token LIMIT $VocabK) t
         |ORDER BY token""".stripMargin),
+    // the same deterministic (df desc, token) vocab selection, then a
+    // per-occurrence LEFT probe — share is one exact-int division
+    "vocab_coverage" ->
+      (tokSql + s""",
+        |dt AS (SELECT DISTINCT doc_id, token FROM tok),
+        |dfq AS (SELECT token, COUNT(*) AS doc_freq FROM dt GROUP BY token),
+        |v AS (SELECT token FROM dfq ORDER BY doc_freq DESC, token LIMIT $VocabK)
+        |SELECT tok.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  ${r6sql("CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")} AS oov_share
+        |FROM tok LEFT JOIN v ON v.token = tok.token
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
     // the sketch rebuilt from the same portable hash chain (tokenValue →
     // mix with the row index as salt), one UNION ALL branch per row so
     // Export.mixBucketSql is reused verbatim with a literal salt

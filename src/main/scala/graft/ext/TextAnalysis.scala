@@ -179,6 +179,36 @@ object TextAnalysis {
   }
 
   /**
+   * Tokenizer-coverage audit: per document, how many token OCCURRENCES
+   * fall outside the corpus's top-`k` doc-frequency vocabulary
+   * ([[vocabTopK]]'s deterministic (df desc, token) selection) — the
+   * health check a pipeline runs before committing to a vocabulary:
+   * documents with a high out-of-vocabulary share either need a bigger
+   * vocab, a byte-fallback tokenizer, or are the wrong language/charset
+   * for the corpus.
+   *
+   * Scale shape: the vocabulary is k rows BY CONSTRUCTION (a TakeOrdered
+   * model artifact, not data), so its join is a broadcast by schema; the
+   * token explode is a row-local map stage and the per-doc rollup is the
+   * ONE fact-sized exchange. The OOV share is one exact-integer division
+   * per doc.
+   */
+  def vocabCoverage(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k > 0)
+    val vocab = vocabTopK(docs, idCol, textCol, k)
+      .select(col("token").as("vtok"))
+    tokensWithPosition(docs, idCol, textCol)
+      .select(col("doc_id"), col("token"))
+      .join(broadcast(vocab), col("token") === col("vtok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("vtok").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_share",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+  }
+
+  /**
    * Count–Min sketch vocabulary audit (Cormode & Muthukrishnan 2005,
    * "An improved data stream summary: the count-min sketch and its
    * applications") — the fixed-memory scale path for token counting:

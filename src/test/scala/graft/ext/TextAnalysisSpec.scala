@@ -168,6 +168,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("vocabCoverage: per-doc OOV occurrence share against the top-k vocab") {
+    // df: a=2 docs, b=2 docs, c=1 — the a/b tie at k=1 breaks to "a"
+    val d = Seq((0L, "a a b"), (1L, "a c"), (2L, "b b b")).toDF("doc_id", "text")
+    val r = TextAnalysis.vocabCoverage(d, "doc_id", "text", 1).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_tokens"), x.getAs[Long]("n_oov"),
+          x.getAs[Double]("oov_share")))).toMap
+    assert(r(0L)._1 == 3L && r(0L)._2 == 1L)
+    assertApprox(r(0L)._3, 1.0 / 3)
+    assert(r(1L)._2 == 1L)
+    assertApprox(r(1L)._3, 0.5)
+    assert(r(2L) == ((3L, 3L, 1.0))) // fully out-of-vocab document
+  }
+
   test("cmsVocabAudit: exact when wide, pure collision mass when width=1") {
     // occurrences: a=3, b=3, c=2, d=1 — total 9
     val d = Seq((0L, "a a a b b c"), (1L, "b c d")).toDF("doc_id", "text")
