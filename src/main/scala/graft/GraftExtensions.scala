@@ -30,5 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2, s"float_dot takes 2 arguments, got ${exprs.length}")
         FloatDot(exprs.head, exprs(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("z_interleave"),
+      new ExpressionInfo(classOf[graft.functions.ZInterleave].getName, "z_interleave"),
+      graft.functions.GraftFunctions.buildZInterleave(_)))
   }
 }

@@ -160,7 +160,7 @@ object TextEntries {
       val p = s.read.parquet(s"$dir/part.parquet")
         .withColumn("pk6", pmod(col("p_partkey"), lit(64)))
       gate(p.select(col("p_partkey"),
-        graft.ext.Layout.zValue("p_size", "pk6", 6).as("z")), "p_partkey")
+        graft.ext.Layout.zValue(s, "p_size", "pk6", 6).as("z")), "p_partkey")
     }),
     // ext: per-language quartile bucketing by document length
     "quality_buckets" -> ((s, dir) =>

@@ -65,18 +65,18 @@ object Layout {
    * the space-filling-curve sort key behind Z-ORDER clustering
    * (Delta/Iceberg OPTIMIZE ZORDER BY). Values must already sit in
    * `[0, 2^bits)` (clamp/quantile-rank wider domains first); `bits` ≤ 31
-   * keeps the result in exact int64 range. Pure integer bit arithmetic
-   * as a row-local fold — zero exchanges, engine-exact, so an external
-   * oracle replays it bit-for-bit.
+   * keeps the result in exact int64 range. Evaluates through the
+   * codegen'd [[graft.functions.ZInterleave]] expression (the clustering
+   * write computes it once per row of the whole table, right before its
+   * range exchange — exactly the hot map stage codegen exists for); the
+   * declarative fold twin is bit-identical and spec-pinned, and the
+   * DuckDB oracle replays the same integer bit arithmetic exactly.
    */
-  def zValue(a: String, b: String, bits: Int): org.apache.spark.sql.Column = {
+  def zValue(spark: SparkSession, a: String, b: String,
+      bits: Int): org.apache.spark.sql.Column = {
     require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
-    expr(
-      s"""aggregate(sequence(0, ${bits - 1}), CAST(0 AS BIGINT), (acc, i) ->
-         |  acc
-         |  + shiftleft(shiftright(CAST($a AS BIGINT), i) & 1, 2 * i)
-         |  + shiftleft(shiftright(CAST($b AS BIGINT), i) & 1, 2 * i + 1))
-         |""".stripMargin)
+    graft.functions.GraftFunctions.register(spark)
+    expr(s"z_interleave(CAST($a AS BIGINT), CAST($b AS BIGINT), $bits)")
   }
 
   /**
@@ -98,7 +98,7 @@ object Layout {
   def zOrderWrite(df: DataFrame, a: String, b: String, bits: Int,
       nFiles: Int, outPath: String): Unit = {
     require(nFiles >= 1)
-    df.withColumn("__z", zValue(a, b, bits))
+    df.withColumn("__z", zValue(df.sparkSession, a, b, bits))
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")

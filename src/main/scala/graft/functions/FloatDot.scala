@@ -86,18 +86,36 @@ case class FloatDot(left: Expression, right: Expression) extends BinaryExpressio
 /** Runtime registration of graft's custom SQL functions into a session. */
 object GraftFunctions {
 
-  /** Idempotently register `float_dot` so `expr("float_dot(a,b)")` resolves. */
+  /** `z_interleave`'s builder — `bits` must be a foldable int literal
+    * (it shapes the generated loop, so it cannot vary per row). */
+  private[graft] def buildZInterleave(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3,
+      s"z_interleave takes 3 arguments (a, b, bits), got ${exprs.length}")
+    require(exprs(2).foldable, "z_interleave bits must be a literal")
+    val bits = exprs(2).eval().asInstanceOf[Number].intValue()
+    ZInterleave(exprs.head, exprs(1), bits)
+  }
+
+  /** Idempotently register graft's custom SQL functions (`float_dot`,
+    * `z_interleave`) so their `expr(...)` spellings resolve. */
   def register(spark: SparkSession): Unit = {
-    val name = FunctionIdentifier("float_dot")
     val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(name)) {
+    val fd = FunctionIdentifier("float_dot")
+    if (!registry.functionExists(fd)) {
       registry.registerFunction(
-        name,
+        fd,
         new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),
         (exprs: Seq[Expression]) => {
           require(exprs.length == 2, s"float_dot takes 2 arguments, got ${exprs.length}")
           FloatDot(exprs.head, exprs(1))
         })
+    }
+    val zi = FunctionIdentifier("z_interleave")
+    if (!registry.functionExists(zi)) {
+      registry.registerFunction(
+        zi,
+        new ExpressionInfo(classOf[ZInterleave].getName, "z_interleave"),
+        buildZInterleave(_))
     }
   }
 }

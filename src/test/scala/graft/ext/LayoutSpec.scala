@@ -72,7 +72,7 @@ class LayoutSpec extends SparkSpec {
   test("zValue interleaves bits exactly; hand-checked corners") {
     val rows = Seq((0L, 0L), (7L, 0L), (0L, 7L), (5L, 3L), (63L, 63L))
       .toDF("a", "b")
-      .select($"a", $"b", Layout.zValue("a", "b", 6).as("z"))
+      .select($"a", $"b", Layout.zValue(spark, "a", "b", 6).as("z"))
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(rows((0L, 0L)) === 0L)
     assert(rows((7L, 0L)) === 21L)     // a bits at even positions: 10101
