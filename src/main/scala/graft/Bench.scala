@@ -129,7 +129,9 @@ object Bench {
     // the Z-ORDER sort key: row-local exact-int64 bit interleave
     "layout_zvalue",
     // per-doc OOV share vs the k-row broadcast vocab (tokenizer health)
-    "vocab_coverage")
+    "vocab_coverage",
+    // native CUBE/Expand: all four grouping levels, one scan + exchange
+    "rel_cube_revenue")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

@@ -103,6 +103,12 @@ object RelationalEntries {
           Relational.supplier(s, dir), Relational.nation(s, dir),
           Relational.region(s, dir), RevFrom, RevUntil)
         .withColumn("lvl", col("lvl").cast("long")), "r_name", "n_name")),
+    // ext: native CUBE (Expand) — all four grouping levels in one scan
+    // + one exchange; the measured counterpart to rel_rollup_revenue's
+    // manual re-aggregation
+    "rel_cube_revenue" -> ((s, dir) =>
+      gate(Relational.revenueCube(Relational.lineitem(s, dir),
+        RevFrom, RevUntil), "returnflag", "linestatus")),
     // ext: TPC-H Q19 shape — disjunctive brand/size/quantity clauses;
     // part-only conjuncts pushed into the dim scan before the broadcast
     "rel_disjunctive_revenue" -> ((s, dir) =>
@@ -483,6 +489,19 @@ object RelationalEntries {
         |WHERE l.l_shipdate >= TIMESTAMP '$RevFrom'
         |  AND l.l_shipdate < TIMESTAMP '$RevUntil'
         |GROUP BY ROLLUP(r.r_name, n.n_name) ORDER BY 1, 2""".stripMargin,
+    // the same four grouping sets via GROUP BY CUBE; GROUPING() is the
+    // identical bitmask both engines define, money exact int64
+    "rel_cube_revenue" ->
+      s"""SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+        |  coalesce(l_linestatus, '(all)') AS linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS lvl,
+        |  CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 1e4 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '$RevFrom'
+        |  AND l_shipdate < TIMESTAMP '$RevUntil'
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY 1, 2""".stripMargin,
     // same clause disjunction, same exact int64 money
     "rel_disjunctive_revenue" -> {
       val ors = Q19Clauses.map(c =>

@@ -423,6 +423,38 @@ object Relational {
     leafOut.unionByName(regionSub).unionByName(grand)
   }
 
+  /**
+   * Revenue cube over (returnflag, linestatus) — all four grouping
+   * combinations (leaf, each single-axis subtotal, grand total) in ONE
+   * pass via the native CUBE operator. `lvl` is the standard
+   * grouping-id bitmask (0 = leaf … 3 = grand total); grouped-away
+   * cells read `(all)` so the output stays NULL-free for the driver's
+   * hash compare.
+   *
+   * Scale shape: CUBE plans an Expand — each input row replicates into
+   * the 4 grouping projections BEFORE one hash aggregate with map-side
+   * partials, so all levels ride a single scan and a single exchange.
+   * That is the opposite trade from [[regionRevenueRollup]]'s manual
+   * re-aggregation (leaf aggregate reused for the subtotals): Expand
+   * multiplies map-side rows by the level count but never re-shuffles,
+   * the manual form shuffles once and re-aggregates the already-tiny
+   * leaf — at fact scale prefer Expand when the leaf grouping is high
+   * cardinality, the manual form when the leaf aggregate is small.
+   * Both are here, measured side by side.
+   */
+  def revenueCube(lineitem: DataFrame, from: String,
+      until: String): DataFrame =
+    lineitem
+      .where(col("l_shipdate") >= to_timestamp_ntz(lit(from)) &&
+        col("l_shipdate") < to_timestamp_ntz(lit(until)))
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(revE4).as("revenue_e4"), count(lit(1)).as("n_items"),
+        grouping_id().cast("long").as("lvl"))
+      .select(
+        coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+        col("lvl"), col("revenue_e4"), col("n_items"))
+
   /** One branch of [[disjunctiveRevenue]]'s OR filter: a part
     * brand/size band paired with a lineitem quantity band. */
   final case class PartQtyClause(brand: String, sizeLo: Int, sizeHi: Int,

@@ -1,7 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, expr, lit, session_window, sum}
 
 import graft.SparkSpec
 
@@ -294,6 +294,39 @@ class EventsSpec extends SparkSpec {
     val rowSums = got.toSeq.groupBy(_._1._1).view
       .mapValues(_.map(_._2._2).sum).toMap
     rowSums.values.foreach(s => assertApprox(s, 1.0))
+  }
+
+  test("sessionize agrees with Spark's native session_window") {
+    import s.implicits._
+    // independent cross-check of the gap-merge rule against the engine's
+    // own session operator. Note the one boundary divergence: at a gap of
+    // EXACTLY gapNs the custom rule (ts - prev > gap starts new) merges
+    // while the native half-open [start, last+gap) window splits — the
+    // fixture stays off that knife edge, as real timestamps do.
+    def ev(id: Long, u: Long, sec: Long, v: Double) =
+      (id, sec * 1000000000L, u, "click", v)
+    val df = Seq(
+      ev(1, 1, 0, 1.0), ev(2, 1, 600, 2.0),  // u1 session A (gap 600 < 1800)
+      ev(3, 1, 3000, 3.0),                   // 2400 > 1800 → u1 session B
+      ev(4, 2, 100, 5.0)                     // u2 single-event session
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val custom = Events.sessionize(df).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_sec"),
+        r.getAs[Long]("end_sec"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("sum_value"))).toSet
+    val native = df
+      .withColumn("tts", expr("timestamp_seconds(ts div 1000000000)"))
+      .groupBy(col("user_id"),
+        session_window(col("tts"), "1800 seconds").as("w"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+      .select(col("user_id"), expr("unix_timestamp(w.start)").as("st"),
+        expr("unix_timestamp(w.end)").as("en"), col("n"), col("sv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2) - 1800L,
+        r.getLong(3), r.getDouble(4))).toSet
+    // native window end = last event + gap; shift it back to compare
+    assert(custom === native, s"custom=$custom native=$native")
+    assert(custom.size === 3)
   }
 
   test("rollingReach: trailing distinct users via bounded explode") {
