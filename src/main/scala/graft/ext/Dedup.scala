@@ -91,24 +91,38 @@ object Dedup {
    * `keepCols` ride along unchanged (e.g. an event-time column a
    * downstream watermark needs).
    */
-  def shinglesLocal(docs: DataFrame, idCol: String, textCol: String,
-      keepCols: Seq[String] = Nil): DataFrame = {
+  /** Token-value array SQL (each cleaned token → int64 hash) — the
+    * shared front half of [[shinglesLocal]] and [[trigramArraySql]].
+    * Token values materialize ONCE into an array (each token feeds up
+    * to three trigrams — recomputing the character probes per trigram
+    * position would triple the hash arithmetic). */
+  private[graft] def tokenValuesSql(textCol: String): String = {
     val pat = TextAnalysis.WhitespacePattern.replace("\\", "\\\\")
-    // token values materialize ONCE into an array (each token feeds up to
-    // three trigrams — recomputing the character probes per trigram
-    // position would triple the hash arithmetic)
-    val tvs =
-      s"transform(filter(split($textCol, '$pat'), t -> t <> ''), t -> ${TextHash.tokenValue("t")})"
-    def at(off: Int) = s"element_at(tvs, i + $off)"
-    val trigrams =
-      s"transform(sequence(1, size(tvs) - 2), i -> ${TextHash.shingleHash(at(0), at(1), at(2))})"
+    s"transform(filter(split($textCol, '$pat'), t -> t <> ''), t -> ${TextHash.tokenValue("t")})"
+  }
+
+  /** The DISTINCT trigram-shingle hashes over a token-value array column,
+    * as ONE array — the row-local kernel [[shinglesLocal]] explodes,
+    * exposed unexploded so zero-join consumers (the Bloom bitmask probe
+    * in [[graft.streaming.DedupStream.cleanStream]]) can test a
+    * document's shingles without leaving its row. Fewer than 3 tokens →
+    * empty array (the CASE guard matters: Spark's `sequence(1, 0)`
+    * counts DOWN, it is not empty). */
+  private[graft] def trigramArraySql(tvsCol: String): String = {
+    def at(off: Int) = s"element_at($tvsCol, i + $off)"
+    s"CASE WHEN size($tvsCol) < 3 THEN CAST(array() AS ARRAY<BIGINT>) ELSE " +
+      s"array_distinct(transform(sequence(1, size($tvsCol) - 2), " +
+      s"i -> ${TextHash.shingleHash(at(0), at(1), at(2))})) END"
+  }
+
+  def shinglesLocal(docs: DataFrame, idCol: String, textCol: String,
+      keepCols: Seq[String] = Nil): DataFrame =
     docs
       .select(col(idCol).as("doc_id") +: keepCols.map(col) :+
-        expr(tvs).as("tvs"): _*)
+        expr(tokenValuesSql(textCol)).as("tvs"): _*)
       .where(size(col("tvs")) >= 3)
       .select(col("doc_id") +: keepCols.map(col) :+
-        explode(array_distinct(expr(trigrams))).as("sh"): _*)
-  }
+        explode(expr(trigramArraySql("tvs"))).as("sh"): _*)
 
   /**
    * Exact pairwise shingle-Jaccard for every pair sharing at least one

@@ -44,34 +44,38 @@ object TextAnalysis {
    * average token length, stopword ratio. The standard cheap quality
    * signals used to filter web-scale training corpora.
    */
-  def stats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def stats(docs: DataFrame, idCol: String, textCol: String,
+      keepCols: Seq[String] = Nil): DataFrame = {
     // Row-local HOFs over the token array, NOT explode + groupBy: the
     // per-document signals never leave their row, so the operator is a
     // pure codegen'd map stage — zero exchanges at any corpus size, and
     // it runs unchanged on unbounded streams (TextOpsStreamSpec).
     // Documents with no tokens are absent, matching the explode form.
+    // `keepCols` ride along unchanged (an event-time column a stream
+    // watermark needs, or the text for a later row-local gate).
     val stops = Stopwords.map(s => s"'$s'").mkString("array(", ", ", ")")
-    tokenArray(docs, idCol, textCol)
-      .select(
-        col("doc_id"),
-        size(col("t")).cast("long").as("n_tokens"),
-        size(array_distinct(col("t"))).cast("long").as("n_distinct"),
-        (expr("aggregate(t, CAST(0 AS BIGINT), (a, x) -> a + length(x))").cast("double") /
-          size(col("t"))).as("avg_token_len"),
-        (expr(s"size(filter(t, x -> array_contains($stops, x)))").cast("double") /
-          size(col("t"))).as("stopword_ratio"),
-        (size(array_distinct(col("t"))).cast("double") / size(col("t"))).as("ttr"))
+    val signals = Seq(
+      size(col("t")).cast("long").as("n_tokens"),
+      size(array_distinct(col("t"))).cast("long").as("n_distinct"),
+      (expr("aggregate(t, CAST(0 AS BIGINT), (a, x) -> a + length(x))").cast("double") /
+        size(col("t"))).as("avg_token_len"),
+      (expr(s"size(filter(t, x -> array_contains($stops, x)))").cast("double") /
+        size(col("t"))).as("stopword_ratio"),
+      (size(array_distinct(col("t"))).cast("double") / size(col("t"))).as("ttr"))
+    tokenArray(docs, idCol, textCol, keepCols)
+      .select(col("doc_id") +: keepCols.map(col) :++ signals: _*)
   }
 
   /** (doc_id, t): the non-empty whitespace tokens as ONE array column —
     * the row-local front half shared by [[stats]] / [[langId]] /
     * [[tokenCounts]]. Token-less documents are dropped, mirroring what
     * posexplode + groupBy produced before these became map stages. */
-  private[ext] def tokenArray(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  private[ext] def tokenArray(docs: DataFrame, idCol: String, textCol: String,
+      keepCols: Seq[String] = Nil): DataFrame = {
     val pat = WhitespacePattern.replace("\\", "\\\\")
     docs
-      .select(col(idCol).as("doc_id"),
-        expr(s"filter(split($textCol, '$pat'), x -> x <> '')").as("t"))
+      .select(col(idCol).as("doc_id") +: keepCols.map(col) :+
+        expr(s"filter(split($textCol, '$pat'), x -> x <> '')").as("t"): _*)
       .where(size(col("t")) > 0)
   }
 

@@ -97,6 +97,63 @@ object DedupStream {
   }
 
   /**
+   * Composed streaming ingest-cleaning pipeline — the stream-expressible
+   * face of [[graft.ext.Pipelines.cleanCorpus]], three gates in one
+   * unbounded query:
+   *
+   *   1. exact dedup within the watermark ([[exactDedup]] —
+   *      first-arrival wins, the ONE stateful operator in the plan);
+   *   2. the quality gate as a row-local predicate (the SAME
+   *      [[graft.ext.TextAnalysis.qualityPass]] bounds the batch
+   *      pipeline and the distilled classifier share);
+   *   3. Bloom decontamination as a ROW-LOCAL bitmask probe: the eval
+   *      corpus's [[graft.ext.Dedup.bloomBits]] positions collapse to a
+   *      [[graft.ext.Dedup.BloomBits]]-bit literal (a model-sized eager
+   *      fit — the k-means-codebook pattern), and each document tests
+   *      its own shingle array with O(1) bit reads — no join, no second
+   *      stateful operator, and no false negatives (Bloom's safe
+   *      direction: a contaminated doc can never slip through; the FP
+   *      surplus is what [[graft.ext.Dedup.bloomContamination]]'s batch
+   *      audit measures).
+   *
+   * Near-dup GROUP election is deliberately absent: connected components
+   * need a global view no single-pass stream has — that stays the
+   * batch/incremental path ([[nearDupDetect]] maintains the candidate
+   * index online instead). Emits (doc_id, tsCol, n_tokens) of surviving
+   * documents in append mode.
+   */
+  def cleanStream(docs: DataFrame, idCol: String, textCol: String,
+      tsCol: String, evalBitPositions: Seq[Long],
+      minTokens: Long = 10, maxTokens: Long = 100000,
+      minAvgTokenLen: Double = 2.0, maxAvgTokenLen: Double = 12.0,
+      maxStopwordRatio: Double = 0.6, minTtr: Double = 0.2,
+      watermark: String = "1 hour"): DataFrame = {
+    require(evalBitPositions.forall(p => p >= 0 && p < Dedup.BloomBits),
+      s"bloom positions must sit in [0, ${Dedup.BloomBits})")
+    val words = new Array[Long](Dedup.BloomBits / 64)
+    evalBitPositions.foreach { p =>
+      words((p / 64).toInt) |= 1L << (p % 64).toInt
+    }
+    // string-cast literals: the SQL parser cannot negate Long.MinValue
+    val wordsSql = words
+      .map(w => s"CAST('$w' AS BIGINT)").mkString("array(", ", ", ")")
+    def bitSet(pos: String) =
+      s"(shiftright(element_at($wordsSql, CAST(($pos) div 64 AS INT) + 1), " +
+        s"CAST(($pos) % 64 AS INT)) & 1) = 1"
+    val allHashesSet = (0 until Dedup.BloomHashes)
+      .map(i => bitSet(Dedup.bloomPosSql("sh", i))).mkString(" AND ")
+    graft.ext.TextAnalysis.stats(
+        exactDedup(docs, textCol, tsCol, watermark),
+        idCol, textCol, keepCols = Seq(tsCol, textCol))
+      .where(graft.ext.TextAnalysis.qualityPass(minTokens, maxTokens,
+        minAvgTokenLen, maxAvgTokenLen, maxStopwordRatio, minTtr))
+      .withColumn("tvs", expr(Dedup.tokenValuesSql(textCol)))
+      .where(expr(
+        s"NOT exists(${Dedup.trigramArraySql("tvs")}, sh -> $allHashesSet)"))
+      .select(col("doc_id"), col(tsCol), col("n_tokens"))
+  }
+
+  /**
    * Per-micro-batch MinHash signature extraction: runs the batch
    * signature pipeline on every arriving batch and hands the result to
    * `sink` (write to the signature index, run LSH bucket joins, etc.).

@@ -197,6 +197,47 @@ class DedupStreamSpec extends SparkSpec {
     assert(onDisk == Set(2L, 3L), onDisk)
   }
 
+  test("cleanStream: dedup + quality + bloom gates compose on one stream") {
+    import graft.ext.Dedup
+    // the eval corpus whose trigrams must never reach training
+    val evalDocs = Seq((100L, "the quick brown fox jumps over walls"))
+      .toDF("doc_id", "text")
+    val bits = Dedup.bloomBits(Dedup.shingles(evalDocs, "doc_id", "text"))
+      .collect().map(_.getLong(0)).toSeq
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val docs = in.toDF().toDF("doc_id", "ts", "text")
+    val q = DedupStream.cleanStream(docs, "doc_id", "text", "ts", bits,
+      minTokens = 4, maxTokens = 100, minAvgTokenLen = 1.0,
+      maxAvgTokenLen = 20.0, maxStopwordRatio = 1.0, minTtr = 0.01)
+      .writeStream.format("memory").queryName("clean_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        (0L, ts(0), "perfectly ordinary training document here"), // keeps
+        (1L, ts(1), "perfectly ordinary training document here"), // exact dup
+        (2L, ts(2), "too short"),                                 // quality gate
+        (3L, ts(3), "we saw the quick brown fox jumps today"))    // contaminated
+      q.processAllAvailable()
+      in.addData((4L, ts(4), "another clean and unique document arrives"))
+      q.processAllAvailable()
+      val kept = spark.table("clean_out").collect()
+        .map(r => r.getAs[Long]("doc_id")).sorted.toSeq
+      assert(kept == Seq(0L, 4L), kept.mkString(", "))
+      // cross-check gate 3 against the batch Bloom decontaminator: the
+      // doc the stream dropped is exactly the one batch flags
+      val streamed = Seq(
+        (0L, "perfectly ordinary training document here"),
+        (2L, "too short"),
+        (3L, "we saw the quick brown fox jumps today"),
+        (4L, "another clean and unique document arrives"))
+        .toDF("doc_id", "text")
+      val batchFlagged = Dedup.bloomContamination(streamed, evalDocs,
+        "doc_id", "text").where($"flagged_shingles" > 0)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(batchFlagged == Set(3L), batchFlagged.mkString(", "))
+    } finally q.stop()
+  }
+
   test("compactIndex drops superseded versions and their stale pairs") {
     val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
     val oldText = "the quick brown fox jumps over the lazy dog today"
