@@ -131,7 +131,10 @@ object Bench {
     // per-doc OOV share vs the k-row broadcast vocab (tokenizer health)
     "vocab_coverage",
     // native CUBE/Expand: all four grouping levels, one scan + exchange
-    "rel_cube_revenue")
+    "rel_cube_revenue",
+    // large-star/small-star contraction: the edge set shrinks per round
+    // (vs converged propagation's full edge join every round)
+    "dedup_groups_stars")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

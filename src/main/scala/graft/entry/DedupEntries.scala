@@ -1,7 +1,7 @@
 package graft.entry
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, concat, lit, pmod, substring}
+import org.apache.spark.sql.functions.{col, concat, expr, lit, pmod, substring}
 
 import graft.ext.{Dedup, Export, TextHash}
 import EntryUtil._
@@ -144,6 +144,30 @@ object DedupEntries {
         .join(ids.select(col("doc_id").as("doc1")), "doc1")
         .select("doc0", "doc1")
       gate(Dedup.dupGroupsConverged(d, pairs, "doc_id"), "doc_id")
+    }),
+    // STAR-CONTRACTION grouping (large-star/small-star — the edge set
+    // shrinks geometrically per round instead of being re-joined whole,
+    // see Dedup.dupGroupsStars). The fixture is deliberately harder than
+    // the converged chain: the same 25-blocks PLUS block-start links
+    // merging each run of 4 blocks into one 100-doc component — multi-
+    // path shapes star contraction must collapse across. Pure integer
+    // arithmetic on doc_id, so the oracle derives the same edges and
+    // recomputes components independently via a recursive CTE.
+    "dedup_groups_stars" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val ids = d.select(col("doc_id"))
+      val chain = ids
+        .select(col("doc_id").as("doc0"), (col("doc_id") + lit(1)).as("doc1"))
+        .where(pmod(col("doc1"), lit(ChainBlock)) =!= 0)
+      val links = ids
+        .select(col("doc_id").as("doc0"),
+          (col("doc_id") + lit(ChainBlock)).as("doc1"))
+        .where(pmod(col("doc0"), lit(ChainBlock)) === 0 &&
+          expr(s"pmod(doc0 div $ChainBlock, 4)") =!= 3)
+      val pairs = chain.union(links)
+        .join(ids.select(col("doc_id").as("doc1")), "doc1")
+        .select("doc0", "doc1")
+      gate(Dedup.dupGroupsStars(d, pairs, "doc_id"), "doc_id")
     }),
     // the PLANTED mega-component twins (VERDICT r7 ask #7): a star
     // pairing the minimum orders key with 60% of the key space — the
@@ -884,6 +908,26 @@ object DedupEntries {
         |base AS (SELECT a.doc_id AS src, b.doc_id AS dst
         |         FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
         |         WHERE (b.doc_id % $ChainBlock) <> 0),
+        |ed AS (SELECT src, dst FROM base UNION ALL SELECT dst, src FROM base),
+        |reach(doc_id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT ed.src, reach.r FROM ed JOIN reach ON ed.dst = reach.doc_id)
+        |SELECT doc_id, CAST(MIN(r) AS BIGINT) AS group_rep
+        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // same edge arithmetic as the Spark fixture (block chains + 4-block
+    // start links), components recomputed independently of any
+    // contraction order by the recursive reachability closure
+    "dedup_groups_stars" ->
+      s"""WITH RECURSIVE
+        |chain AS (SELECT a.doc_id AS src, b.doc_id AS dst
+        |          FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |          WHERE (b.doc_id % $ChainBlock) <> 0),
+        |links AS (SELECT a.doc_id AS src, b.doc_id AS dst
+        |          FROM documents a JOIN documents b ON b.doc_id = a.doc_id + $ChainBlock
+        |          WHERE (a.doc_id % $ChainBlock) = 0
+        |            AND ((a.doc_id // $ChainBlock) % 4) <> 3),
+        |base AS (SELECT * FROM chain UNION ALL SELECT * FROM links),
         |ed AS (SELECT src, dst FROM base UNION ALL SELECT dst, src FROM base),
         |reach(doc_id, r) AS (
         |  SELECT doc_id, doc_id FROM documents

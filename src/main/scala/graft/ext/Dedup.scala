@@ -1113,6 +1113,91 @@ object Dedup {
     pairs.select(col("doc0").as("src"), col("doc1").as("dst"))
       .union(pairs.select(col("doc1").as("src"), col("doc0").as("dst")))
 
+  /**
+   * Connected components by alternating large-star / small-star edge
+   * contraction (the Kiveris et al. "Connected Components in MapReduce
+   * and Beyond" algorithm) — same (doc_id, group_rep = component min)
+   * contract as [[dupGroupsConverged]], different scale physics:
+   *
+   *   - [[dupGroupsConverged]] re-joins the FULL edge list against the
+   *     label table every round. Per-round shuffle is Θ(|E|) forever.
+   *   - Star contraction REWRITES the edge set each round: large-star
+   *     hangs every node's larger neighbors off its neighborhood
+   *     minimum, small-star re-parents smaller neighbors the same way,
+   *     and the edge list collapses geometrically toward a star forest
+   *     — O(log n) rounds, with the per-round shuffle SHRINKING as the
+   *     rounds proceed instead of staying edge-sized. On a 100 TB
+   *     near-dup graph the first rounds dominate and later rounds are
+   *     almost free, where label propagation pays full price per round.
+   *
+   * Both emission rules produce canonically-oriented (child > parent)
+   * edges — large-star emits (v, m) with v > u ≥ m, small-star emits
+   * (v, m) / (u, m) with m strictly below both — so the edge state stays
+   * a distinct (big, small) set and convergence is an exact set-equality
+   * check (count + one anti-semi except per round; a cluster deployment
+   * chasing the last few cents can downgrade it to a hash-checksum
+   * comparison, documented rather than done because the contract here is
+   * oracle-exact). At the fixed point every edge is (node, its
+   * component's minimum): the parent map IS the answer, roots and
+   * isolated documents coalesce to themselves. Foreign endpoints are
+   * dropped up front under the same two-semi-join contract as
+   * [[dupGroups]]; each round's state is checkpointed (reliable dir when
+   * configured, executor-local otherwise) to cut the loop's lineage.
+   */
+  def dupGroupsStars(docs: DataFrame, pairs: DataFrame, idCol: String,
+      maxRounds: Int = 40): DataFrame = {
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    def ckpt(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    val ids = docs.select(col(idCol).as("doc_id"))
+    // canonical (big > small) distinct edges, corpus endpoints only
+    var edges = ckpt(pairs
+      .select(col("doc0").as("a"), col("doc1").as("b"))
+      .join(ids.select(col("doc_id").as("a")), Seq("a"), "left_semi")
+      .join(ids.select(col("doc_id").as("b")), Seq("b"), "left_semi")
+      .where(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("big"),
+        least(col("a"), col("b")).as("small"))
+      .distinct())
+    // large-star: through the SMALLER endpoint's neighborhood (every
+    // canonical edge contributes its big side as the u < v witness)
+    def largeStar(e: DataFrame): DataFrame = {
+      val dir = e.select(col("big").as("u"), col("small").as("v"))
+        .union(e.select(col("small").as("u"), col("big").as("v")))
+      val mins = dir.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      dir.join(mins, "u").where(col("v") > col("u"))
+        .select(col("v").as("big"), col("m").as("small"))
+        .where(col("big") =!= col("small"))
+        .distinct()
+    }
+    // small-star: through the LARGER endpoint; re-parents its smaller
+    // neighbors (and itself) onto their minimum
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("big").agg(min(col("small")).as("m"))
+      val kids = e.join(mins, "big")
+        .select(col("small").as("big"), col("m").as("small"))
+      val self = mins.select(col("big"), col("m").as("small"))
+      kids.union(self)
+        .where(col("big") =!= col("small"))
+        .distinct()
+    }
+    var round = 0
+    var stable = edges.isEmpty
+    while (!stable && round < maxRounds) {
+      val next = ckpt(smallStar(largeStar(edges)))
+      stable = next.count() == edges.count() &&
+        next.except(edges).isEmpty
+      edges = next
+      round += 1
+    }
+    ids.join(edges.select(col("big").as("doc_id"), col("small").as("rep")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("rep"), col("doc_id")).as("group_rep"))
+  }
+
   /** Edge list plus one (id, id) self-loop per document — the invariant
     * [[propagateMin]] relies on to keep each node's own label in reach.
     * Edges touching ids OUTSIDE the corpus are dropped first (two

@@ -268,6 +268,51 @@ class DedupSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("dupGroupsStars matches converged propagation on adversarial shapes") {
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // deep chain (worst case for fixed rounds), near-clique, star,
+    // two singletons — one corpus, all shapes at once
+    val ids = (1L to 30L).map(Tuple1(_)).toDF("doc_id")
+    val chain = (1L to 9L).map(i => (i, i + 1))
+    val clique = Seq((11L, 12L), (12L, 13L), (11L, 13L), (13L, 14L))
+    val star = (16L to 20L).map(i => (15L, i))
+    val pairs = (chain ++ clique ++ star).toDF("doc0", "doc1")
+    val stars = toMap(Dedup.dupGroupsStars(ids, pairs, "doc_id"))
+    val conv = toMap(Dedup.dupGroupsConverged(ids, pairs, "doc_id"))
+    assert(stars == conv, stars.toSeq.sorted.mkString(", "))
+    assert((1L to 10L).forall(stars(_) == 1L))
+    assert((21L to 30L).forall(i => stars(i) == i))
+  }
+
+  test("dupGroupsStars: deterministic pseudo-random graph parity") {
+    // 60 nodes, ~90 arithmetic-derived edges: enough collisions to form
+    // multi-path components the simple shapes above never exercise
+    val n = 60L
+    val ids = (0L until n).map(Tuple1(_)).toDF("doc_id")
+    val pairs = (0L until 90L)
+      .map(i => ((i * 7919L) % n, (i * i * 104729L + i) % n))
+      .filter { case (a, b) => a != b }
+      .toDF("doc0", "doc1")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(toMap(Dedup.dupGroupsStars(ids, pairs, "doc_id")) ==
+      toMap(Dedup.dupGroupsConverged(ids, pairs, "doc_id")))
+  }
+
+  test("dupGroupsStars ignores foreign edges and handles empty pairs") {
+    val ids = (1L to 5L).map(Tuple1(_)).toDF("doc_id")
+    // 99 is outside the corpus: must not bridge 1 and 2
+    val pairs = Seq((1L, 99L), (99L, 2L), (3L, 4L)).toDF("doc0", "doc1")
+    val g = Dedup.dupGroupsStars(ids, pairs, "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 3L, 5L -> 5L), g)
+    val empty = Seq.empty[(Long, Long)].toDF("doc0", "doc1")
+    val g0 = Dedup.dupGroupsStars(ids, empty, "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g0 == (1L to 5L).map(i => i -> i).toMap)
+  }
+
   test("dupGroupsConverged uses a reliable checkpoint dir when configured") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     spark.sparkContext.setCheckpointDir(dir)
