@@ -134,7 +134,10 @@ object Bench {
     "rel_cube_revenue",
     // large-star/small-star contraction: the edge set shrinks per round
     // (vs converged propagation's full edge join every round)
-    "dedup_groups_stars")
+    "dedup_groups_stars",
+    // MMR diversified top-k: one corpus-sized pool scan, then k−1
+    // result-sized greedy argmax rounds
+    "retrieval_mmr")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

@@ -17,6 +17,12 @@ object AnnEntries {
   /** k-center contract: picks (seed + 4 greedy rounds). */
   private val KCenterK = 5
 
+  /** MMR contract: 5 picks from each query's relevance top-20 at the
+    * conventional lambda = 0.7 relevance/diversity trade. */
+  private val MmrK = 5
+  private val MmrPool = 20
+  private val MmrLambda = 0.7
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // greedy farthest-point diversity sample (Gonzalez k-center):
     // snapped-distance argmax per round, id tie-break
@@ -106,6 +112,15 @@ object AnnEntries {
       gate(Embeddings.pqTopK(e, e.where(col("vec_id") < QueryCount),
         "vec_id", "embedding", knn = 5, k = PqK, iters = KMeansIters,
         subDim = PqSubDim), "query_id", "rank")
+    }),
+    // maximal-marginal-relevance diversified top-5 from each query's
+    // relevance top-20 pool: k−1 result-sized greedy rounds after the
+    // one corpus-sized pool scan (Embeddings.mmrTopK)
+    "retrieval_mmr" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      gate(Embeddings.mmrTopK(e, e.where(col("vec_id") < QueryCount),
+        "vec_id", "embedding", k = MmrK, poolSize = MmrPool,
+        lambda = MmrLambda), "query_id", "rank")
     }),
     // hard-negative mining for contrastive training: highest-cosine
     // DIFFERENT-label candidates per anchor (label = relevance proxy)
@@ -206,6 +221,70 @@ object AnnEntries {
       |                ${r6sql("dot / (nq.nrm * nc.nrm)")} AS cosine
       |         FROM d JOIN n nq ON nq.vec_id = query_id
       |                JOIN n nc ON nc.vec_id = cand_id)""".stripMargin
+
+  /** The MMR greedy selection as `k` unrolled argmax rounds. Relevance
+    * pool and candidate-candidate similarities snap to the 1e-6 grid
+    * exactly as Embeddings.mmrTopK does, so every argmax agrees; the
+    * lambda weights interpolate from the SAME JVM doubles the Spark side
+    * multiplies by. sel/s CTEs are MATERIALIZED: each is referenced by
+    * every later round, and DuckDB 1.0 inlines plain CTEs per reference
+    * (the O(r^rounds) blowup the verify notes document). */
+  private def mmrOracle(k: Int, pool: Int, lambda: Double): String = {
+    val lam = s"CAST($lambda AS DOUBLE)"
+    val mu = s"CAST(${1.0 - lambda} AS DOUBLE)"
+    val head = cosSql(s"a.vec_id < $QueryCount") + s""",
+      |pool AS MATERIALIZED (
+      |  SELECT query_id, cand_id, cosine AS rel FROM
+      |    (SELECT query_id, cand_id, cosine,
+      |            row_number() OVER (PARTITION BY query_id
+      |                               ORDER BY cosine DESC, cand_id) AS rn
+      |     FROM cosr) WHERE rn <= $pool),
+      |cp AS (SELECT DISTINCT p1.cand_id AS x, p2.cand_id AS y
+      |       FROM pool p1 JOIN pool p2 ON p1.query_id = p2.query_id
+      |        AND p1.cand_id <> p2.cand_id),
+      |ccd AS (SELECT cp.x, cp.y, SUM(a.v * b.v) AS dot
+      |        FROM cp JOIN u a ON a.vec_id = cp.x
+      |                JOIN u b ON b.vec_id = cp.y AND b.i = a.i
+      |        GROUP BY 1, 2),
+      |cc AS MATERIALIZED (
+      |  SELECT x, y, ${r6sql("dot / (nx.nrm * ny.nrm)")} AS sim
+      |  FROM ccd JOIN n nx ON nx.vec_id = x JOIN n ny ON ny.vec_id = y),
+      |s1 AS MATERIALIZED (
+      |  SELECT query_id, cand_id, rel, mmr, CAST(1 AS BIGINT) AS rank FROM
+      |    (SELECT query_id, cand_id, rel, mmr,
+      |            row_number() OVER (PARTITION BY query_id
+      |                               ORDER BY mmr DESC, cand_id) AS rn
+      |     FROM (SELECT query_id, cand_id, rel,
+      |                  ${r6sql(s"$lam * rel")} AS mmr
+      |           FROM pool)) WHERE rn = 1),
+      |sel1 AS MATERIALIZED (SELECT query_id, cand_id FROM s1)"""
+    val rounds = (2 to k).map { r =>
+      val p = r - 1
+      s""",
+      |m$r AS (SELECT p.query_id, p.cand_id, p.rel, MAX(cc.sim) AS ms
+      |        FROM pool p JOIN sel$p s ON s.query_id = p.query_id
+      |        JOIN cc ON cc.x = p.cand_id AND cc.y = s.cand_id
+      |        WHERE NOT EXISTS (SELECT 1 FROM sel$p z
+      |                          WHERE z.query_id = p.query_id
+      |                            AND z.cand_id = p.cand_id)
+      |        GROUP BY 1, 2, 3),
+      |s$r AS MATERIALIZED (
+      |  SELECT query_id, cand_id, rel, mmr, CAST($r AS BIGINT) AS rank FROM
+      |    (SELECT query_id, cand_id, rel, mmr,
+      |            row_number() OVER (PARTITION BY query_id
+      |                               ORDER BY mmr DESC, cand_id) AS rn
+      |     FROM (SELECT query_id, cand_id, rel,
+      |                  ${r6sql(s"$lam * rel - $mu * ms")} AS mmr
+      |           FROM m$r)) WHERE rn = 1),
+      |sel$r AS MATERIALIZED (SELECT query_id, cand_id FROM sel$p
+      |        UNION ALL SELECT query_id, cand_id FROM s$r)"""
+    }.mkString
+    val tail = s"""
+      |SELECT query_id, rank, cand_id AS vec_id, rel, mmr
+      |FROM (${(1 to k).map(r => s"SELECT * FROM s$r").mkString(" UNION ALL ")})
+      |ORDER BY query_id, rank"""
+    (head + rounds + tail).stripMargin
+  }
 
   /** Trained-IVF search mirroring Embeddings.ivfKMeansTopK: the
     * embed_kmeans chain + final centroid update (c2), nearest-centroid
@@ -362,6 +441,11 @@ object AnnEntries {
         |       FROM samebkt)
         |SELECT query_id, CAST(rn AS BIGINT) AS rank, cand_id AS vec_id, cosine
         |FROM rk WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin),
+    // the pool is ann_topk_brute's chain cut at MmrPool; candidate-
+    // candidate similarities only for same-pool co-members; then MmrK
+    // unrolled greedy rounds, each a MATERIALIZED argmax (the per-round
+    // CTEs are re-referenced — see the DuckDB CTE-inlining gotcha)
+    "retrieval_mmr" -> mmrOracle(MmrK, MmrPool, MmrLambda),
     // ann_topk_brute's chain with the label inequality in the pair CTE
     "hard_negatives" ->
       (cosSql(s"a.vec_id < $QueryCount") + s""",

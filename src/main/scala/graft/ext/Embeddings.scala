@@ -119,6 +119,71 @@ object Embeddings {
   }
 
   /**
+   * Maximal-marginal-relevance top-k (Carbonell & Goldstein 1998) — the
+   * diversity-aware re-rank between retrieval and use: from each query's
+   * relevance top-`poolSize` pool, greedily select `k` results maximizing
+   * `lambda·rel(d,q) − (1−lambda)·max_{s∈selected} sim(d,s)`, so near-
+   * duplicate hits don't crowd the result list (RAG context assembly,
+   * eval-set construction, dedup-aware search).
+   *
+   * Scale shape: the pool step is [[topK]]'s broadcast-queries ×
+   * candidate scan — the only corpus-sized stage. Everything after is
+   * RESULT-sized: the pool (Q·poolSize rows, checkpointed once) drives
+   * `k − 1` greedy rounds of one equi-join on query_id (pool ×
+   * selected-so-far, ≤ Q·poolSize·k rows), a max-aggregate, and a
+   * per-query argmax window — each round checkpointed so the loop's plan
+   * does not compound. The greedy argmax is inherently sequential in k
+   * (same contract as [[kCenterSample]]); k is a result knob, not a data
+   * knob. All scores snap to the 1e-6 grid BEFORE every argmax, so the
+   * selection order is engine-reproducible (ties break on vec_id).
+   */
+  def mmrTopK(candidates: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, poolSize: Int = 20,
+      lambda: Double = 0.7): DataFrame = {
+    require(k >= 1 && poolSize >= k, "need k >= 1 and poolSize >= k")
+    require(lambda >= 0.0 && lambda <= 1.0, "lambda must sit in [0, 1]")
+    val cand = withNorms(candidates, idCol, vecCol)
+    val pool = topK(candidates, queries, idCol, vecCol, poolSize)
+      .select(col("query_id"), col("vec_id"), col("cosine").as("rel"))
+      .join(cand, "vec_id")
+      .select(col("query_id"), col("vec_id"), col("rel"),
+        col("emb"), col("nrm"))
+      .localCheckpoint()
+    def argmax(df: DataFrame, score: org.apache.spark.sql.Column,
+        rank: Int): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id")
+        .orderBy(col("mmr").desc, col("vec_id").asc)
+      df.withColumn("mmr", score)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("query_id"), lit(rank.toLong).as("rank"), col("vec_id"),
+          col("rel"), col("mmr"), col("emb"), col("nrm"))
+    }
+    var all = argmax(pool, snapCol(lit(lambda) * col("rel")), 1)
+      .localCheckpoint()
+    var latest = all
+    for (r <- 2 to k) {
+      val sel = all.select(col("query_id"), col("vec_id").as("svid"),
+        col("emb").as("semb"), col("nrm").as("snrm"))
+      val remaining = pool.join(
+        all.select(col("query_id"), col("vec_id")), Seq("query_id", "vec_id"),
+        "left_anti")
+      val ms = remaining.join(sel, "query_id")
+        .select(col("query_id"), col("vec_id"),
+          snapCol(expr(dotSql("emb", "semb")) /
+            (col("nrm") * col("snrm"))).as("sim"))
+        .groupBy("query_id", "vec_id")
+        .agg(max(col("sim")).as("ms"))
+      latest = argmax(remaining.join(ms, Seq("query_id", "vec_id")),
+        snapCol(lit(lambda) * col("rel") - lit(1.0 - lambda) * col("ms")), r)
+        .localCheckpoint()
+      all = all.union(latest)
+    }
+    all.select("query_id", "rank", "vec_id", "rel", "mmr")
+  }
+
+  /**
    * IVF-style top-k: vectors are bucketed by a coarse quantizer — the
    * 1-based index of the maximum component (comparison-only, so exact in
    * every engine; a trained k-means codebook slots in the same way) — and

@@ -56,7 +56,10 @@ class PlanAuditSpec extends SparkSpec {
       // 1-row dangling-mass scalar broadcast per power-iteration round
       "graph_pagerank_dangling",
       // 1-row MIN(id) hub scalar broadcast building the planted star
-      "dedup_groups_skew", "dedup_groups_skew_salted")
+      "dedup_groups_skew", "dedup_groups_skew_salted",
+      // the MMR pool IS ann_topk_brute's sanctioned broadcast scan; the
+      // greedy rounds themselves are result-sized equi-joins
+      "retrieval_mmr")
 
   test("no contract query plans a cartesian product or unsanctioned BNLJ") {
     assume(new File(sfDir).isDirectory, s"$sfDir missing")

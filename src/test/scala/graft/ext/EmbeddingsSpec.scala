@@ -31,6 +31,40 @@ class EmbeddingsSpec extends SparkSpec {
     assert(top.toSeq == Seq((1L, 3L), (2L, 2L))) // rank1: v3 (cos .994), rank2: v2 (.707)
   }
 
+  test("mmrTopK demotes the redundant near-duplicate hit") {
+    // query 100 along x; a and its near-dup b are both highly relevant,
+    // c is less relevant and less redundant. Pure relevance ranks
+    // (a, b); at lambda=0.3 the redundancy term dominates — b's ~1.0
+    // similarity to the already-selected a (penalty 0.7·1.0) outweighs
+    // its relevance edge over c (penalty 0.7·0.62), so c is second.
+    val docs = Seq(
+      (0L, Seq(1.0f, 0.02f)),   // a: rel ~ 1
+      (1L, Seq(0.99f, 0.03f)),  // b: near-dup of a, rel ~ 1
+      (2L, Seq(0.6f, 0.8f)),    // c: rel 0.6, diverse
+      (100L, Seq(1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val q = docs.where($"vec_id" === 100L)
+    val cands = docs.where($"vec_id" < 100L)
+    val mmr = Embeddings.mmrTopK(cands, q, "vec_id", "embedding",
+        k = 2, poolSize = 3, lambda = 0.3)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(mmr.toSeq == Seq((1L, 0L), (2L, 2L)), mmr.mkString(", "))
+    val rel = Embeddings.topK(cands, q, "vec_id", "embedding", 2)
+      .orderBy("rank").collect().map(_.getLong(2))
+    assert(rel.toSeq == Seq(0L, 1L)) // the list MMR re-ordered
+  }
+
+  test("mmrTopK at lambda=1 reduces to pure relevance order") {
+    val q = emb.where($"vec_id" === 0L)
+    val cands = emb.where($"vec_id" > 0L)
+    val mmr = Embeddings.mmrTopK(cands, q, "vec_id", "embedding",
+        k = 3, poolSize = 3, lambda = 1.0)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getLong(2)))
+    val rel = Embeddings.topK(cands, q, "vec_id", "embedding", 3)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(mmr.toSeq == rel.toSeq)
+  }
+
   test("hardNegatives: nearest DIFFERENT-label only; same-label near miss excluded") {
     // anchor 0 (label A): its nearest neighbor 1 shares the label and
     // must be excluded; the hardest negative is 2 (label B, closer than 3)
