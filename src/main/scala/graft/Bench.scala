@@ -137,7 +137,10 @@ object Bench {
     "dedup_groups_stars",
     // MMR diversified top-k: one corpus-sized pool scan, then k−1
     // result-sized greedy argmax rounds
-    "retrieval_mmr")
+    "retrieval_mmr",
+    // cross-source percentile calibration: histogram cumsum + join back
+    // (no per-source document sort)
+    "quality_quantile_norm")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

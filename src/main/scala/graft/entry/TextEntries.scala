@@ -166,6 +166,17 @@ object TextEntries {
     "quality_buckets" -> ((s, dir) =>
       gate(TextAnalysis.qualityBuckets(docs(s, dir), "doc_id", "lang",
         "n_chars", BucketK), "doc_id")),
+    // ext: cross-source percentile calibration of the token-count
+    // signal — histogram cumsum over distinct values + doc-sized join
+    // back, never a per-source document sort
+    "quality_quantile_norm" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val sig = TextAnalysis.stats(d, "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"))
+        .join(d.select(col("doc_id"), col("source")), "doc_id")
+      gate(TextAnalysis.quantileNormalize(sig, "doc_id", "source",
+        "n_tokens"), "doc_id")
+    }),
     // ext: stable train/val/test assignment by id-hash
     "split_assign" -> ((s, dir) =>
       gate(Export.splitAssign(docs(s, dir), "doc_id"), "doc_id")),
@@ -958,6 +969,22 @@ object TextEntries {
         |             WHERE th.grp = d.lang AND th.t < d.n_chars) AS BIGINT) AS bucket
         |FROM documents d ORDER BY doc_id""".stripMargin
     },
+    // the same min-rank percentile from a (source, n_tokens) histogram
+    // cumsum — ties share |{v' < v}| / (n − 1), single-doc sources map
+    // to 0, token-less documents are absent (mirrors stats)
+    "quality_quantile_norm" ->
+      (tokSql + s""",
+        |sig AS (SELECT t.doc_id, d.source, CAST(COUNT(*) AS BIGINT) AS n_tokens
+        |        FROM tok t JOIN documents d ON d.doc_id = t.doc_id
+        |        GROUP BY 1, 2),
+        |h AS (SELECT source, n_tokens, COUNT(*) AS c FROM sig GROUP BY 1, 2),
+        |cs AS (SELECT source, n_tokens,
+        |              SUM(c) OVER (PARTITION BY source ORDER BY n_tokens) - c AS less,
+        |              SUM(c) OVER (PARTITION BY source) AS n
+        |       FROM h)
+        |SELECT sig.doc_id, sig.source, sig.n_tokens,
+        |       ${r6sql("CASE WHEN n > 1 THEN less / CAST(n - 1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END")} AS pctl
+        |FROM sig JOIN cs USING (source, n_tokens) ORDER BY doc_id""".stripMargin),
     "split_assign" -> {
       val mix = Export.mixBucketSql("doc_id", 1000, 0L)
       s"""SELECT doc_id, CAST($mix AS BIGINT) AS bucket,

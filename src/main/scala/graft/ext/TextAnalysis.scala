@@ -741,6 +741,41 @@ object TextAnalysis {
    * broadcast-join back; the assignment itself is a row-local array
    * filter. No global total order ever materializes.
    */
+  /**
+   * Cross-source quantile normalization — the calibration step before
+   * mixing sources whose RAW quality signals are incomparable (a "good"
+   * forum post and a "good" reference article sit on different scales):
+   * each document's signal maps to its empirical percentile WITHIN its
+   * source, `pctl = |{v' in source : v' < v}| / (n_source − 1)` (ties
+   * share the min-rank percentile; a single-document source maps to 0),
+   * so a global threshold or mixing curve applies uniformly.
+   *
+   * Scale shape — deliberately NOT a per-source row_number: a window
+   * ordered over every document of a source sorts the whole source on
+   * one reducer (a dominant source = a straggler task holding most of
+   * the corpus). Instead: one doc-sized hash aggregate to the
+   * (source, value) HISTOGRAM, a cumulative-sum window over the
+   * distinct-value table (histogram-sized, thousands of rows however
+   * big the corpus), and one doc-sized equi-join back on
+   * (source, value). The only sorted structure is the tiny histogram.
+   */
+  def quantileNormalize(df: DataFrame, idCol: String, groupCol: String,
+      valueCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col(valueCol).asc)
+    val hist = df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("less", sum(col("c")).over(w) - col("c"))
+      .withColumn("n", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(groupCol)))
+    df.select(col(idCol), col(groupCol), col(valueCol))
+      .join(hist, Seq(groupCol, valueCol))
+      .select(col(idCol), col(groupCol), col(valueCol),
+        snapCol(when(col("n") > 1,
+          col("less").cast("double") / (col("n") - lit(1)).cast("double"))
+          .otherwise(lit(0.0))).as("pctl"))
+  }
+
   def qualityBuckets(df: DataFrame, idCol: String, groupCol: String,
       valueCol: String, k: Int): DataFrame = {
     require(k >= 2, "need at least 2 buckets")

@@ -83,6 +83,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(("b", 0.5)) == 7L)   // singleton group
   }
 
+  test("quantileNormalize: min-rank percentile per group, ties share, singleton is 0") {
+    // group a: 10, 20, 20, 40 → pctl 0, 1/3, 1/3, 1; group b: one doc → 0
+    val d = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 20L),
+      (4L, "a", 40L), (5L, "b", 7L)).toDF("doc_id", "grp", "v")
+    val p = TextAnalysis.quantileNormalize(d, "doc_id", "grp", "v")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assertApprox(p(1L), 0.0, 1e-9)
+    assertApprox(p(2L), 1.0 / 3, 1e-6)
+    assertApprox(p(3L), 1.0 / 3, 1e-6)
+    assertApprox(p(4L), 1.0, 1e-9)
+    assertApprox(p(5L), 0.0, 1e-9)
+    // the plan's only sort is over the histogram, not the documents:
+    // no window exchange keyed on anything doc-unique
+    val plan = TextAnalysis.quantileNormalize(d, "doc_id", "grp", "v")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("row_number"), plan)
+  }
+
   test("qualityBuckets: quantile-threshold buckets per group, no global sort") {
     // group a: values 10..80 → quartile thresholds at ranks 1+floor(q*7):
     // q=.25→r2(20), q=.5→r4(40), q=.75→r6(60)
