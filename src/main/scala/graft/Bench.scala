@@ -140,7 +140,10 @@ object Bench {
     "retrieval_mmr",
     // cross-source percentile calibration: histogram cumsum + join back
     // (no per-source document sort)
-    "quality_quantile_norm")
+    "quality_quantile_norm",
+    // perceptual-hash image dedup over the REAL codec: decode + dHash
+    // map stage, then the 16-bit-band Hamming equi-join
+    "multimodal_phash", "multimodal_phash_dups")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

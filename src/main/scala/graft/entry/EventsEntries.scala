@@ -130,6 +130,27 @@ object EventsEntries {
         Multimodal.withPngPayload(docs(s, dir), "doc_id"),
         "doc_id", "payload").toDF(), "doc_id")
     }),
+    // perceptual dHash over the REAL codec: group-planted near-dup PNGs
+    // (one base image per 25-id block, per-member red brightness shift)
+    // decoded through actual ImageIO, reduced to the 9×8-grid
+    // difference hash. The oracle recomputes grid, integer luminance,
+    // and bit packing closed-form from doc_id.
+    "multimodal_phash" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      gate(Multimodal.imageDHash(
+        Multimodal.withGroupedPngPayload(docs(s, dir), "doc_id", PhashGroup),
+        "doc_id", "payload"), "doc_id")
+    }),
+    // banded Hamming join over those hashes: brightness variants match
+    // within a few bits (mod-256 wrap pixels), candidates only from the
+    // four 16-bit band equi-joins — never an all-pairs scan
+    "multimodal_phash_dups" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      gate(Multimodal.phashDups(Multimodal.imageDHash(
+        Multimodal.withGroupedPngPayload(docs(s, dir), "doc_id", PhashGroup),
+        "doc_id", "payload").localCheckpoint(), MaxPhashHamming),
+        "doc0", "doc1")
+    }),
     // REAL audio-codec round-trip (the PNG path's WAV twin): per-doc
     // planted 16-bit PCM clip → actual AudioSystem WAV encode → binary
     // payload → actual RIFF parse + frame decode → exact amplitude
@@ -147,6 +168,40 @@ object EventsEntries {
   /** Frame width (chars) and sampling stride for the frames contract. */
   private val FrameChars = 16
   private val FrameStride = 4
+
+  /** Near-dup image group size and the banding-complete Hamming cut. */
+  private val PhashGroup = 25
+  private val MaxPhashHamming = 3
+
+  /** The closed-form dHash words (hw CTE) of the group-planted images —
+    * shared front half of both phash oracles. Shift amounts are bounded
+    * by (j % 4) in BOTH branches: a vectorized engine may evaluate a
+    * CASE arm for unselected rows, and a raw j·8+i would hit the
+    * range-checked 1 << 63. */
+  private def phashHwSql(group: Int): String =
+    s"""WITH p AS (SELECT doc_id, doc_id // $group AS gid, doc_id % $group AS delta,
+      |            4 + (doc_id // $group) % 13 AS w, 3 + (doc_id // $group) % 7 AS h
+      |           FROM documents),
+      |gp AS (SELECT doc_id, gid, delta, i, j, (i*w)//9 AS x, (j*h)//8 AS y
+      |       FROM p, UNNEST(range(9)) r1(i), UNNEST(range(8)) r2(j)),
+      |gr AS (SELECT doc_id, i, j,
+      |              (299*((gid + 31*x + 17*y + delta) % 256)
+      |             + 587*((2*gid + 13*x + 7*y) % 256)
+      |             + 114*((3*gid + 5*x + 23*y) % 256)) // 1000 AS gray
+      |       FROM gp),
+      |bits AS (SELECT a.doc_id, a.j, a.i,
+      |                CASE WHEN b.gray > a.gray THEN 1 ELSE 0 END AS bit
+      |         FROM gr a JOIN gr b ON b.doc_id = a.doc_id AND b.j = a.j
+      |          AND b.i = a.i + 1
+      |         WHERE a.i < 8),
+      |hw AS MATERIALIZED (SELECT doc_id,
+      |        CAST(SUM(CASE WHEN j < 4
+      |                      THEN bit * (1::BIGINT << ((j % 4) * 8 + i))
+      |                      ELSE 0 END) AS BIGINT) AS lo,
+      |        CAST(SUM(CASE WHEN j >= 4
+      |                      THEN bit * (1::BIGINT << ((j % 4) * 8 + i))
+      |                      ELSE 0 END) AS BIGINT) AS hi
+      |      FROM bits GROUP BY doc_id)""".stripMargin
 
   private val nsHour = Events.NsPerHour
   private val nsSec = Events.NsPerSec
@@ -410,6 +465,26 @@ object EventsEntries {
         |  CAST(SUM(abs(amp)) AS BIGINT) AS sum_abs,
         |  CAST(MAX(abs(amp)) AS BIGINT) AS peak_abs
         |FROM s GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
+    // the hw chain alone: every decoded hash must equal its closed form
+    "multimodal_phash" ->
+      (phashHwSql(PhashGroup) + """
+        |SELECT doc_id, lo, hi FROM hw ORDER BY doc_id""".stripMargin),
+    // hw chain + 16-bit band candidates + popcount verify (mirrors
+    // Multimodal.phashDups: 4-band pigeonhole complete for hamming <= 3)
+    "multimodal_phash_dups" ->
+      (phashHwSql(PhashGroup) + s""",
+        |bands AS (SELECT doc_id, b,
+        |          CASE b WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
+        |                 WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS key
+        |          FROM hw, UNNEST(range(4)) rb(b)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc0, c.doc_id AS doc1
+        |         FROM bands a JOIN bands c ON a.b = c.b AND a.key = c.key
+        |          AND a.doc_id < c.doc_id)
+        |SELECT doc0, doc1,
+        |       CAST(bit_count(xor(h0.lo, h1.lo)) + bit_count(xor(h0.hi, h1.hi)) AS BIGINT) AS hamming
+        |FROM cand JOIN hw h0 ON h0.doc_id = doc0 JOIN hw h1 ON h1.doc_id = doc1
+        |WHERE bit_count(xor(h0.lo, h1.lo)) + bit_count(xor(h0.hi, h1.hi)) <= $MaxPhashHamming
+        |ORDER BY doc0, doc1""".stripMargin),
     "multimodal_decode" ->
       """WITH d AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
         |           FROM documents),

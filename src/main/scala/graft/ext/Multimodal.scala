@@ -223,6 +223,158 @@ object Multimodal {
       })
   }
 
+  /**
+   * Difference-hash (dHash) words of a decoded image: gray values are
+   * sampled on a fixed 9×8 nearest-neighbor grid (`x = ⌊i·w/9⌋`,
+   * `y = ⌊j·h/8⌋` — NO interpolation, so the sample is a pure integer
+   * function any engine reproduces), luminance is the integer ITU
+   * weighting `(299r + 587g + 114b) / 1000`, and each of the 64 bits
+   * records whether gray rises between horizontal neighbors. Packed as
+   * TWO 32-bit words (rows 0–3 → `lo`, rows 4–7 → `hi`): bit 63 of a
+   * single word is unrepresentable in engines that range-check
+   * `1 << 63`, and two words keep every shift ≤ 31 everywhere.
+   */
+  def dHashWords(img: java.awt.image.BufferedImage): (Long, Long) = {
+    val w = img.getWidth; val h = img.getHeight
+    val gray = Array.ofDim[Int](9, 8)
+    var j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 9) {
+        val p = img.getRGB(i * w / 9, j * h / 8)
+        gray(i)(j) = (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
+          114 * (p & 0xff)) / 1000
+        i += 1
+      }
+      j += 1
+    }
+    var lo = 0L; var hi = 0L
+    j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 8) {
+        if (gray(i + 1)(j) > gray(i)(j)) {
+          if (j < 4) lo |= 1L << (j * 8 + i)
+          else hi |= 1L << ((j - 4) * 8 + i)
+        }
+        i += 1
+      }
+      j += 1
+    }
+    (lo, hi)
+  }
+
+  /**
+   * Perceptual hash of every image payload — the multimodal face of the
+   * near-dup detectors: decode through the REAL JDK codec in the
+   * partition-batch seam, reduce each image to its 64-bit [[dHashWords]]
+   * (brightness-shift tolerant: a uniform channel shift moves every
+   * sampled gray together, so neighbor comparisons — and the hash —
+   * barely move). Unparseable payloads are dropped (corrupt-blob
+   * tolerance, same policy as [[imageStats]]).
+   */
+  def imageDHash(df: DataFrame, idCol: String, payloadCol: String)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        if (img == null) None
+        else {
+          val (lo, hi) = dHashWords(img)
+          Some((id, lo, hi))
+        }
+      })
+      .toDF("doc_id", "lo", "hi")
+  }
+
+  /**
+   * Near-duplicate image pairs from [[imageDHash]] output by banded
+   * Hamming join — [[Dedup.simHashDups]]'s pigeonhole trick on the
+   * 64-bit dHash: the hash splits into four 16-bit bands, any pair
+   * within Hamming `maxHamming ≤ 3` agrees exactly on ≥ 1 band
+   * (4 bands, ≤ 3 differing bits), so candidates come from four
+   * band-keyed equi-joins — never an all-pairs scan — and only
+   * candidates pay the popcount verify.
+   */
+  def phashDups(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4-band pigeonhole is complete only for hamming <= 3")
+    val bands = hashes.select(col("doc_id"), col("lo"), col("hi"),
+        explode(expr(
+          """array(
+            |  struct(0L AS b, lo & 65535 AS key),
+            |  struct(1L AS b, shiftright(lo, 16) & 65535 AS key),
+            |  struct(2L AS b, hi & 65535 AS key),
+            |  struct(3L AS b, shiftright(hi, 16) & 65535 AS key))""".stripMargin))
+          .as("bk"))
+      .select(col("doc_id"), col("bk.b").as("b"), col("bk.key").as("key"))
+    val cand = bands.as("a").join(bands.as("c"),
+        col("a.b") === col("c.b") && col("a.key") === col("c.key") &&
+          col("a.doc_id") < col("c.doc_id"))
+      .select(col("a.doc_id").as("doc0"), col("c.doc_id").as("doc1"))
+      .distinct()
+    cand
+      .join(hashes.select(col("doc_id").as("doc0"), col("lo").as("lo0"),
+        col("hi").as("hi0")), "doc0")
+      .join(hashes.select(col("doc_id").as("doc1"), col("lo").as("lo1"),
+        col("hi").as("hi1")), "doc1")
+      .select(col("doc0"), col("doc1"),
+        (bit_count(col("lo0").bitwiseXOR(col("lo1"))) +
+          bit_count(col("hi0").bitwiseXOR(col("hi1"))))
+          .cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /**
+   * [[plantedPng]] with PLANTED NEAR-DUPLICATE GROUPS: every
+   * `groupSize`-block of ids shares one base image (dimensions and
+   * g/b channels keyed by `gid = docId / groupSize`) and differs only
+   * by a per-member brightness shift `docId % groupSize` on the red
+   * channel — the transformation dHash is built to tolerate (uniform
+   * shifts preserve neighbor differences except where the mod-256 wrap
+   * crosses). Channel values stay pure integer functions of
+   * (docId, x, y), so the SQL oracle recomputes the hash closed-form
+   * through the REAL encode→decode round-trip.
+   */
+  def plantedPngGrouped(docId: Long, groupSize: Int): Array[Byte] = {
+    val gid = docId / groupSize
+    val delta = Math.floorMod(docId, groupSize.toLong)
+    val w = plantedWidth(gid)
+    val h = plantedHeight(gid)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = Math.floorMod(gid + 31L * x + 17L * y + delta, 256L).toInt
+        val g = Math.floorMod(2L * gid + 13L * x + 7L * y, 256L).toInt
+        val b = Math.floorMod(3L * gid + 5L * x + 23L * y, 256L).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream(256)
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Attach the group-planted PNG payload ([[plantedPngGrouped]]) —
+    * the fixture generator for the perceptual-hash dedup path. */
+  def withGroupedPngPayload(docs: DataFrame, idCol: String, groupSize: Int,
+      payloadCol: String = "payload")(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"))
+      .as[Long]
+      .mapPartitions(_.map(id => (id, plantedPngGrouped(id, groupSize))))
+      .toDF(idCol, payloadCol)
+  }
+
   /** Planted-audio clip length: 64–160 samples, 97-periodic so clip
     * lengths and pixel grids ([[plantedWidth]]'s 13·7) never correlate. */
   def plantedSampleCount(docId: Long): Int =

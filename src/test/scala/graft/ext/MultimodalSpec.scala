@@ -111,6 +111,48 @@ class MultimodalSpec extends SparkSpec {
     assert(out.map(_.doc_id).toSeq == Seq(5L))
   }
 
+  test("dHashWords: brightness-shift tolerance and cross-image distance") {
+    def hashOf(bytes: Array[Byte]) = Multimodal.dHashWords(
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    def hamming(a: (Long, Long), b: (Long, Long)) =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    // group 0, deltas 0 and 3: same base image, red channel shifted —
+    // the uniform shift preserves neighbor comparisons except at
+    // mod-256 wrap pixels, so the hash moves by at most a few bits
+    val base = hashOf(Multimodal.plantedPngGrouped(0L, 25))
+    val shifted = hashOf(Multimodal.plantedPngGrouped(3L, 25))
+    assert(hamming(base, shifted) <= 6, hamming(base, shifted))
+    // a different group's image is a different hash (far past any cut)
+    val other = hashOf(Multimodal.plantedPngGrouped(60L, 25))
+    assert(hamming(base, other) > 6, hamming(base, other))
+    // identical payloads hash identically
+    assert(hashOf(Multimodal.plantedPngGrouped(1L, 25)) ==
+      hashOf(Multimodal.plantedPngGrouped(1L, 25)))
+  }
+
+  test("imageDHash + phashDups: banded join finds the planted variants") {
+    val ids = ((0L to 4L) ++ (50L to 54L)).toDF("doc_id")
+    val hashes = Multimodal.imageDHash(
+      Multimodal.withGroupedPngPayload(ids, "doc_id", 25),
+      "doc_id", "payload").localCheckpoint()
+    assert(hashes.count() == 10)
+    val pairs = Multimodal.phashDups(hashes, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // exact duplicates of the hash must be found at hamming 0: compute
+    // the expected set independently from the hash values themselves
+    val hv = hashes.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+    val expected = (for {
+      (i, hi) <- hv; (j, hj) <- hv if i < j
+      d = java.lang.Long.bitCount(hi._1 ^ hj._1) +
+        java.lang.Long.bitCount(hi._2 ^ hj._2) if d <= 3
+    } yield (i, j) -> d.toLong).toMap
+    assert(pairs == expected, s"got $pairs expected $expected")
+    // the planted groups actually produce matches (non-vacuous fixture)
+    assert(expected.nonEmpty)
+    // and no cross-group pair sneaks under the cut in this sample
+    assert(expected.keys.forall { case (a, b) => a / 25 == b / 25 })
+  }
+
   test("decodeFeatures: partition-batched stub decoder, stable output") {
     val f = Multimodal.decodeFeatures(
       Multimodal.withPayload(docs, "text"), "doc_id", "payload")
