@@ -143,7 +143,10 @@ object Bench {
     "quality_quantile_norm",
     // perceptual-hash image dedup over the REAL codec: decode + dHash
     // map stage, then the 16-bit-band Hamming equi-join
-    "multimodal_phash", "multimodal_phash_dups")
+    "multimodal_phash", "multimodal_phash_dups",
+    // tf-weighted Jaccard: token-keyed pair join + result-sized total
+    // joins (Σmax reconstructed, never materialized per token)
+    "dedup_weighted_jaccard")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

@@ -21,6 +21,12 @@ object DedupEntries {
       gate(Dedup.exactNormalized(docs(s, dir), "doc_id", "text"), "doc_id")),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       gate(Dedup.ngramJaccardDups(docs(s, dir), "doc_id", "text"), "doc0", "doc1")),
+    // tf-weighted (multiset) Jaccard: Σmin/Σmax over unigram term
+    // frequencies — the repetition-sensitive kernel set Jaccard cannot
+    // see; computed over the df-capped sub-vocabulary
+    "dedup_weighted_jaccard" -> ((s, dir) =>
+      gate(Dedup.weightedJaccardDups(docs(s, dir), "doc_id", "text",
+        minWj = WjMin, maxDf = WjMaxDf), "doc0", "doc1")),
     // the EXACT sub-quadratic route: prefix-filtering (AllPairs/PPJoin)
     // candidates + bounded verify. The oracle is the EXHAUSTIVE kernel —
     // deliberately NOT a mirror of the prefix rule — so a green row
@@ -276,6 +282,10 @@ object DedupEntries {
   /** Label-propagation rounds for the contract grouping run. */
   private val GroupRounds = 4
 
+  /** Weighted-Jaccard contract: threshold and vocabulary df cap. */
+  private val WjMin = 0.5
+  private val WjMaxDf = 200
+
   /** Planted mega-star contract: the hub star converges in one round;
     * two rounds prove propagation holds the fixed point. 8 salts mirrors
     * the aligned_pairs_salted convention. */
@@ -499,6 +509,29 @@ object DedupEntries {
       (shingleSql + s"""
         |SELECT doc0, doc1, ${r6sql("jaccard")} AS jaccard FROM jac
         |WHERE jaccard >= 0.2 ORDER BY doc0, doc1""".stripMargin),
+    // unigram tf, df-capped vocabulary, Σmin via the token-keyed pair
+    // join, Σmax reconstructed from per-doc totals (S0 + S1 − Σmin);
+    // the threshold compares the UNsnapped ratio on both sides (all
+    // operands are exact integers, so the division is bit-identical)
+    "dedup_weighted_jaccard" ->
+      (TextEntries.tokSql + s""",
+        |tf AS MATERIALIZED (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        |       FROM tok GROUP BY 1, 2),
+        |keep AS (SELECT token FROM tf GROUP BY token
+        |         HAVING COUNT(*) <= $WjMaxDf),
+        |ctf AS MATERIALIZED (SELECT tf.* FROM tf JOIN keep USING (token)),
+        |s AS MATERIALIZED (SELECT doc_id, SUM(tf) AS s FROM ctf GROUP BY 1),
+        |sm AS (SELECT a.doc_id AS doc0, b.doc_id AS doc1,
+        |              SUM(LEAST(a.tf, b.tf)) AS smin
+        |       FROM ctf a JOIN ctf b ON a.token = b.token
+        |        AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2),
+        |wj AS (SELECT doc0, doc1,
+        |              smin / CAST(s0.s + s1.s - smin AS DOUBLE) AS w
+        |       FROM sm JOIN s s0 ON s0.doc_id = doc0
+        |               JOIN s s1 ON s1.doc_id = doc1)
+        |SELECT doc0, doc1, ${r6sql("w")} AS wjaccard
+        |FROM wj WHERE w >= $WjMin ORDER BY doc0, doc1""".stripMargin),
     // same planted corpus, same normalize, same blocking rule; DuckDB's
     // levenshtein is the identical unit-cost edit distance (Spark's
     // thresholded form returns the true distance whenever it is ≤ cap)

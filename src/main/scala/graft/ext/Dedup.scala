@@ -193,6 +193,48 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
 
   /**
+   * Exact WEIGHTED Jaccard near-dup join over unigram term frequencies:
+   * `wJ(A,B) = Σ_t min(tf_A(t), tf_B(t)) / Σ_t max(tf_A(t), tf_B(t))` —
+   * the multiset generalization the set-based kernels here cannot see
+   * (a document that repeats one paragraph five times set-matches its
+   * single-copy source perfectly; the tf weighting exposes it).
+   * Computed over the df ≤ `maxDf` token sub-vocabulary, the same
+   * contract as [[dfCapShingles]]: a corpus-wide token contributes
+   * ~C(N,2) pairs and near-zero signal, so it is excluded from the
+   * numerator, BOTH denominators, and pair generation alike (pairs
+   * sharing only capped tokens are absent by design).
+   *
+   * Scale shape mirrors [[jaccardPairs]]: one (doc, token) tf aggregate,
+   * one df aggregate for the cap, the token-keyed pair self-join bounded
+   * at C(maxDf, 2) per token, and result-sized joins back to per-doc tf
+   * totals (Σmax = S₀ + S₁ − Σmin, so only Σmin needs the pair join).
+   * All counts are exact integers; only the final ratio is floating.
+   */
+  def weightedJaccardDups(docs: DataFrame, idCol: String, textCol: String,
+      minWj: Double = 0.5, maxDf: Long = 200): DataFrame = {
+    require(maxDf >= 1)
+    val tf = TextAnalysis.tokenArray(docs, idCol, textCol)
+      .select(col("doc_id"), explode(col("t")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val keep = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf).select("token")
+    val capped = tf.join(keep, Seq("token"), "left_semi")
+    val sums = capped.groupBy("doc_id").agg(sum(col("tf")).as("s"))
+    val smin = capped.as("a").join(capped.as("b"),
+        col("a.token") === col("b.token") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc0"), col("b.doc_id").as("doc1"))
+      .agg(sum(least(col("a.tf"), col("b.tf"))).as("smin"))
+    smin
+      .join(sums.select(col("doc_id").as("doc0"), col("s").as("s0")), "doc0")
+      .join(sums.select(col("doc_id").as("doc1"), col("s").as("s1")), "doc1")
+      .select(col("doc0"), col("doc1"),
+        (col("smin").cast("double") /
+          (col("s0") + col("s1") - col("smin")).cast("double")).as("wjaccard"))
+      .where(col("wjaccard") >= minWj)
+  }
+
+  /**
    * Prefix-filtering candidate generation (AllPairs / PPJoin family —
    * Bayardo et al. WWW'07, Xiao et al. WWW'08): the EXACT sub-quadratic
    * similarity join. Order every document's shingles by global rarity

@@ -268,6 +268,35 @@ class DedupSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("weightedJaccardDups: repetition lowers the score set Jaccard cannot see") {
+    // A = (a a a b), B = (a b): identical token SETS (set J = 1.0), but
+    // weighted J = (min(3,1)+min(1,1)) / (max(3,1)+max(1,1)) = 0.5
+    val d = Seq((1L, "a a a b"), (2L, "a b"), (3L, "c d e")).toDF("doc_id", "text")
+    val wj = Dedup.weightedJaccardDups(d, "doc_id", "text",
+        minWj = 0.0, maxDf = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assertApprox(wj((1L, 2L)), 0.5, 1e-9)
+    assert(!wj.contains((1L, 3L)) && !wj.contains((2L, 3L))) // no shared token
+  }
+
+  test("weightedJaccardDups: df cap excludes hub tokens from sums and pairs") {
+    // 'the' appears in all 4 docs; with maxDf = 3 it vanishes from the
+    // vocabulary: docs 3 and 4 share ONLY 'the' -> no pair at all, and
+    // the (1,2) score is computed over {a, b} alone
+    val d = Seq((1L, "the a a b"), (2L, "the a b"),
+      (3L, "the x"), (4L, "the y")).toDF("doc_id", "text")
+    val wj = Dedup.weightedJaccardDups(d, "doc_id", "text",
+        minWj = 0.0, maxDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // A = (a:2, b:1), B = (a:1, b:1): (1+1)/(2+1) = 2/3
+    assertApprox(wj((1L, 2L)), 2.0 / 3, 1e-9)
+    assert(wj.keySet == Set((1L, 2L)), wj.keySet)
+    // threshold filters below-cut pairs
+    val cut = Dedup.weightedJaccardDups(d, "doc_id", "text",
+      minWj = 0.7, maxDf = 3).count()
+    assert(cut == 0L)
+  }
+
   test("dupGroupsStars matches converged propagation on adversarial shapes") {
     def toMap(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
