@@ -146,7 +146,10 @@ object Bench {
     "multimodal_phash", "multimodal_phash_dups",
     // tf-weighted Jaccard: token-keyed pair join + result-sized total
     // joins (Σmax reconstructed, never materialized per token)
-    "dedup_weighted_jaccard")
+    "dedup_weighted_jaccard",
+    // plurality-vote communities: per round one edge join, one
+    // (node,label) aggregate, one degree-bounded argmax window
+    "graph_lpa")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

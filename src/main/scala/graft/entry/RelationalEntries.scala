@@ -225,6 +225,19 @@ object RelationalEntries {
       gate(Graph.kCoreAlive(edges, KCoreK, KCoreRounds,
         pin = _.localCheckpoint()), "node")
     }),
+    // ext: fixed-round label-propagation communities on the same
+    // co-ordered-parts graph — plurality neighbor label, min-label
+    // ties, self-loop vote (Graph.labelPropagation); splits the graph
+    // along its dense regions where CC merges everything that touches
+    "graph_lpa" -> ((s, dir) => {
+      val li = Relational.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("src"), col("b.p").as("dst"))
+      gate(Graph.labelPropagation(edges, LpaRounds,
+        pin = _.localCheckpoint()), "node")
+    }),
     // ext: PageRank over the symmetrized customer↔supplier order graph
     // (prefixed string ids keep the two key spaces disjoint); fixed
     // 5-round power iteration, rank snapped only at the gate
@@ -332,6 +345,10 @@ object RelationalEntries {
     * would not test the peeling at all. */
   private val KCoreK = 70
   private val KCoreRounds = 3
+
+  /** Label-propagation community rounds (fixed — the pageRank/kcore
+    * pure-function convention). */
+  private val LpaRounds = 3
 
   /** Shared oracle of the bucketed/shuffled layout pair. */
   private val JoinRevenueSql =
@@ -741,6 +758,29 @@ object RelationalEntries {
         |$rounds
         |SELECT node, deg FROM d$KCoreRounds WHERE deg >= $KCoreK
         |ORDER BY node""".stripMargin
+    },
+    // three unrolled plurality-vote rounds; per-round label tables
+    // materialize (each is referenced by the next round's join)
+    "graph_lpa" -> {
+      val rounds = (1 to LpaRounds).map { i =>
+        s"""v$i AS (SELECT ed.u, l.label AS nl, COUNT(*) AS c
+           |        FROM ed JOIN l${i - 1} l ON l.node = ed.v GROUP BY 1, 2),
+           |l$i AS MATERIALIZED (SELECT u AS node, nl AS label FROM
+           |  (SELECT u, nl, row_number() OVER (PARTITION BY u
+           |          ORDER BY c DESC, nl) AS rn FROM v$i) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH c AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON b.l_orderkey = a.l_orderkey AND b.l_partkey > a.l_partkey),
+        |nd AS MATERIALIZED (SELECT u AS node FROM c UNION SELECT v FROM c),
+        |ed AS MATERIALIZED (
+        |  SELECT u, v FROM c UNION ALL SELECT v AS u, u AS v FROM c
+        |  UNION ALL SELECT node AS u, node AS v FROM nd),
+        |l0 AS MATERIALIZED (SELECT node, node AS label FROM nd),
+        |$rounds
+        |SELECT node, CAST(label AS BIGINT) AS label
+        |FROM l$LpaRounds ORDER BY node""".stripMargin
     },
     // id-ordered orientation instead of the Spark side's degree
     // orientation — the triangle SET is orientation-invariant, so the

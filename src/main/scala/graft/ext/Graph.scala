@@ -183,6 +183,53 @@ object Graph {
     deg.where(col("deg") >= k)
   }
 
+  /**
+   * Fixed-round label-propagation communities (Raghavan et al. 2007) —
+   * the cheap community detector: every node starts as its own label
+   * and each round adopts the PLURALITY label among its neighbors'
+   * current labels (ties → smallest label, making each round a pure
+   * function of the last — the determinism the async original lacks).
+   * A self-loop keeps the node's own label in its vote, damping the
+   * label oscillation bipartite structures otherwise exhibit. Distinct
+   * from connected components ([[graft.ext.Dedup.dupGroupsStars]]):
+   * LPA splits a connected graph along its dense regions, which is the
+   * curation question ("which parts cluster") rather than the dedup
+   * question ("which parts touch").
+   *
+   * Scale shape: per round ONE edge-sized equi-join on the neighbor
+   * endpoint, one (node, label) count aggregate (map-side partial), and
+   * one per-node argmax window whose partitions are degree-bounded —
+   * never node-count-bounded. Fixed rounds keep it lazy and
+   * oracle-checkable; `pin` the edge table (the [[kCoreAlive]]
+   * convention) since the unrolled plan references it every round.
+   */
+  def labelPropagation(edges: DataFrame, rounds: Int,
+      pin: DataFrame => DataFrame = identity): DataFrame = {
+    require(rounds >= 1, "rounds must be at least 1")
+    val canon = edges.select(
+        least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+    val nodes = canon.select(col("u").as("node"))
+      .union(canon.select(col("v").as("node"))).distinct()
+    val und = pin(canon
+      .union(canon.select(col("v").as("u"), col("u").as("v")))
+      .union(nodes.select(col("node").as("u"), col("node").as("v"))))
+    var lbl = nodes.select(col("node"), col("node").as("label"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("u").orderBy(col("c").desc, col("nl").asc)
+    for (_ <- 1 to rounds) {
+      lbl = und
+        .join(lbl.select(col("node").as("v"), col("label").as("nl")), "v")
+        .groupBy(col("u"), col("nl")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("u").as("node"), col("nl").as("label"))
+    }
+    lbl
+  }
+
   /** Final ranks plus the measured per-round L1 movement — the readout
     * that turns "how many rounds is enough" into data. */
   final case class RankResult(ranks: DataFrame, l1Deltas: Seq[Double])

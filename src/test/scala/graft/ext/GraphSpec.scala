@@ -71,6 +71,30 @@ class GraphSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("labelPropagation splits bridged cliques into two communities") {
+    // two triangles bridged by one edge: CC would merge them; LPA keeps
+    // the dense regions apart (hand-traced with the self-loop + min-tie
+    // rule: round 1 floods each triangle with its min id, round 2 pulls
+    // the bridge endpoint 4 back to its own side, round 3 is stable)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val got = Graph.labelPropagation(edges, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L), got.toSeq.sorted.mkString(", "))
+    // deterministic: a rerun returns the identical labeling
+    val again = Graph.labelPropagation(edges, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == got)
+  }
+
+  test("labelPropagation: a clique floods to its min id in one round") {
+    val edges = Seq((10L, 11L), (10L, 12L), (11L, 12L)).toDF("src", "dst")
+    val got = Graph.labelPropagation(edges, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L), got)
+  }
+
   test("pageRank fails fast on dst-only nodes (silent mass loss)") {
     val g = Seq(("u", "sink", 1L)).toDF("src", "dst", "weight")
     val e = intercept[IllegalArgumentException](Graph.pageRank(g, 1))
