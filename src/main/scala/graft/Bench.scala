@@ -149,7 +149,10 @@ object Bench {
     "dedup_weighted_jaccard",
     // plurality-vote communities: per round one edge join, one
     // (node,label) aggregate, one degree-bounded argmax window
-    "graph_lpa")
+    "graph_lpa",
+    // HLL register-union overlap: one distinct collapse, then
+    // types²-sized sketch arithmetic + the exact self-join audit
+    "events_reach_overlap")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

@@ -109,6 +109,11 @@ object EventsEntries {
     // conversion, pooled two-proportion z — a 1-row summary
     "events_abtest" -> ((s, dir) =>
       gate(Events.abTest(Events.read(s, dir), AbConvType), "n0")),
+    // HLL register-UNION audience overlap per event-type pair: the
+    // sketch set operation (merged registers = union's sketch) +
+    // inclusion–exclusion intersection, audited against the exact join
+    "events_reach_overlap" -> ((s, dir) =>
+      gate(Events.reachOverlap(Events.read(s, dir)), "t0", "t1")),
     "multimodal_meta" -> ((s, dir) =>
       gate(Multimodal.metadata(docs(s, dir), "doc_id", "text"), "doc_id")),
     // frame sampling ahead of decode: 16-char frames, every 4th kept.
@@ -465,6 +470,59 @@ object EventsEntries {
         |  CAST(SUM(abs(amp)) AS BIGINT) AS sum_abs,
         |  CAST(MAX(abs(amp)) AS BIGINT) AS peak_abs
         |FROM s GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
+    // the same register/estimator replay as vocab_hll_audit, over
+    // (event_type, user_id), plus the pair-merged register table and
+    // the exact self-join audit
+    "events_reach_overlap" -> {
+      import graft.ext.TextAnalysis
+      import TextAnalysis.{HllAlpha, HllM}
+      def estSql(keys: String, src: String, out: String) =
+        s"""${out}_zs AS (SELECT $keys, CAST(COUNT(*) AS BIGINT) AS n_nonzero,
+          |        SUM(${TextAnalysis.hllInvPowSql("mj")}) AS z_live
+          |        FROM $src GROUP BY $keys),
+          |$out AS MATERIALIZED (SELECT $keys,
+          |        CASE WHEN ${HllAlpha * HllM * HllM} /
+          |                  (z_live + CAST($HllM - n_nonzero AS DOUBLE)) <= ${2.5 * HllM}
+          |              AND n_nonzero < $HllM
+          |             THEN ${HllM.toDouble} *
+          |                  ln(${HllM.toDouble} / CAST($HllM - n_nonzero AS DOUBLE))
+          |             ELSE ${HllAlpha * HllM * HllM} /
+          |                  (z_live + CAST($HllM - n_nonzero AS DOUBLE)) END AS hll_est
+          |        FROM ${out}_zs)""".stripMargin
+      s"""WITH du AS MATERIALIZED (
+        |  SELECT DISTINCT event_type AS t, user_id AS u FROM events),
+        |hh AS (SELECT t, ${TextAnalysis.hllH2Sql("u")} AS h2 FROM du),
+        |hw AS (SELECT t, CAST(h2 % $HllM AS BIGINT) AS j,
+        |              CAST((h2 - h2 % $HllM) / $HllM AS BIGINT) AS w FROM hh),
+        |reg AS MATERIALIZED (SELECT t, j, MAX(${TextAnalysis.hllRhoSql("w")}) AS mj
+        |       FROM hw GROUP BY 1, 2),
+        |${estSql("t", "reg", "es")},
+        |prs AS MATERIALIZED (SELECT x.t AS t0, y.t AS t1
+        |       FROM (SELECT DISTINCT t FROM reg) x
+        |       JOIN (SELECT DISTINCT t FROM reg) y ON x.t < y.t),
+        |ur AS (SELECT p.t0, p.t1, r.j, MAX(r.mj) AS mj
+        |       FROM prs p JOIN reg r ON r.t = p.t0 OR r.t = p.t1
+        |       GROUP BY 1, 2, 3),
+        |${estSql("t0, t1", "ur", "eu")},
+        |ex AS (SELECT a.t AS t0, b.t AS t1, CAST(COUNT(*) AS BIGINT) AS n_exact
+        |       FROM du a JOIN du b ON a.u = b.u AND a.t < b.t GROUP BY 1, 2),
+        |fin AS (SELECT p.t0, p.t1,
+        |        COALESCE(ex.n_exact, CAST(0 AS BIGINT)) AS n_exact,
+        |        e0.hll_est AS est0, e1.hll_est AS est1,
+        |        eu.hll_est AS est_union,
+        |        GREATEST(CAST(0 AS DOUBLE),
+        |                 e0.hll_est + e1.hll_est - eu.hll_est) AS est_inter
+        |        FROM prs p
+        |        JOIN es e0 ON e0.t = p.t0
+        |        JOIN es e1 ON e1.t = p.t1
+        |        JOIN eu ON eu.t0 = p.t0 AND eu.t1 = p.t1
+        |        LEFT JOIN ex ON ex.t0 = p.t0 AND ex.t1 = p.t1)
+        |SELECT t0, t1, n_exact, ${r6sql("est0")} AS est0,
+        |       ${r6sql("est1")} AS est1, ${r6sql("est_union")} AS est_union,
+        |       ${r6sql("est_inter")} AS est_inter,
+        |       ${r6sql("CASE WHEN n_exact > 0 THEN (est_inter - n_exact) / CAST(n_exact AS DOUBLE) ELSE CAST(0 AS DOUBLE) END")} AS rel_err
+        |FROM fin ORDER BY t0, t1""".stripMargin
+    },
     // the hw chain alone: every decoded hash must equal its closed form
     "multimodal_phash" ->
       (phashHwSql(PhashGroup) + """

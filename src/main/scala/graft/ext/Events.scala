@@ -487,6 +487,71 @@ object Events {
   }
 
   /**
+   * Audience-overlap audit via HyperLogLog register UNION — the sketch
+   * set-operation the single-group audits don't exercise: for every
+   * unordered event-type pair, the HLL estimates of |users(A)|,
+   * |users(B)| and |A ∪ B| (register-wise max merge — the ONE set
+   * operation HLL supports exactly: the union's sketch IS the merge of
+   * the sketches, no approximation stacking), the inclusion–exclusion
+   * intersection estimate `est0 + est1 − est_union` (clamped at 0), the
+   * exact intersection, and the relative error. This is how a 100 TB
+   * deployment answers "how many users do campaigns A and B share"
+   * without ever joining the raw user sets — each side collapses to 64
+   * registers no matter how many users it saw, and merges are
+   * associative across partitions, days, and datacenters.
+   *
+   * Scale shape: ONE (type, user) distinct collapse (the only
+   * event-sized exchange), a (type, register) max aggregate (≤ 64 rows
+   * per type), then everything downstream is types²-sized. The exact
+   * intersection — a user-keyed self-join — exists FOR the audit, same
+   * contract as [[graft.ext.TextAnalysis.hllVocabAudit]]; production at
+   * scale runs the sketches alone. The type-pair frame is a
+   * types²-sized literal cross of a ≤types-row aggregate — the
+   * sanctioned tiny-broadcast shape, never data-sized.
+   */
+  def reachOverlap(events: DataFrame): DataFrame = {
+    import TextAnalysis.{HllM, hllH2Sql, hllRhoSql, hllEstimateFromRegisters}
+    val du = events.select(col("event_type").as("t"), col("user_id").as("u"))
+      .distinct()
+    val regs = du
+      .select(col("t"), expr(hllH2Sql("u")).as("h2"))
+      .select(col("t"), expr(s"CAST(h2 % $HllM AS BIGINT)").as("j"),
+        expr(hllRhoSql(s"CAST((h2 - h2 % $HllM) / $HllM AS BIGINT)")).as("rho"))
+      .groupBy("t", "j").agg(max(col("rho")).as("mj"))
+    val single = hllEstimateFromRegisters(regs, Seq("t"))
+      .select(col("t"), col("hll_est"))
+    val types = regs.select("t").distinct()
+    val pairs = types.as("x").join(types.as("y"), col("x.t") < col("y.t"))
+      .select(col("x.t").as("t0"), col("y.t").as("t1"))
+    val uniRegs = pairs
+      .select(col("t0"), col("t1"),
+        explode(array(col("t0"), col("t1"))).as("t"))
+      .join(regs, "t")
+      .groupBy("t0", "t1", "j").agg(max(col("mj")).as("mj"))
+    val uni = hllEstimateFromRegisters(uniRegs, Seq("t0", "t1"))
+      .select(col("t0"), col("t1"), col("hll_est").as("est_union"))
+    val exact = du.as("a").join(du.as("b"),
+        col("a.u") === col("b.u") && col("a.t") < col("b.t"))
+      .groupBy(col("a.t").as("t0"), col("b.t").as("t1"))
+      .agg(count(lit(1)).as("n_exact"))
+    val inter = greatest(lit(0.0),
+      col("est0") + col("est1") - col("est_union"))
+    pairs
+      .join(single.select(col("t").as("t0"), col("hll_est").as("est0")), "t0")
+      .join(single.select(col("t").as("t1"), col("hll_est").as("est1")), "t1")
+      .join(uni, Seq("t0", "t1"))
+      .join(exact, Seq("t0", "t1"), "left")
+      .select(col("t0"), col("t1"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        col("est0"), col("est1"), col("est_union"),
+        inter.as("est_inter"),
+        when(col("n_exact") > 0,
+          (inter - col("n_exact").cast("double")) /
+            col("n_exact").cast("double"))
+          .otherwise(lit(0.0)).as("rel_err"))
+  }
+
+  /**
    * First-order event-type transition matrix (the Markov-chain view of
    * user behavior): for every consecutive (prev → next) pair within a
    * user's time-ordered stream, the pair count and the row-normalized

@@ -59,7 +59,11 @@ class PlanAuditSpec extends SparkSpec {
       "dedup_groups_skew", "dedup_groups_skew_salted",
       // the MMR pool IS ann_topk_brute's sanctioned broadcast scan; the
       // greedy rounds themselves are result-sized equi-joins
-      "retrieval_mmr")
+      "retrieval_mmr",
+      // the type-PAIR frame is a types²-sized cross of a ≤types-row
+      // aggregate (event_type cardinality, never data-sized); all
+      // register/exact joins around it are equi-joins
+      "events_reach_overlap")
 
   test("no contract query plans a cartesian product or unsanctioned BNLJ") {
     assume(new File(sfDir).isDirectory, s"$sfDir missing")

@@ -217,6 +217,32 @@ class EventsSpec extends SparkSpec {
     assert(plan.split("\n").count(_.contains("Window [")) == 1, plan)
   }
 
+  test("reachOverlap: union merge + inclusion-exclusion track the exact overlap") {
+    // A = users 1..10, B = 6..15 (overlap 5), C = {100} (disjoint);
+    // at these cardinalities HLL sits in the accurate linear-counting
+    // regime, so estimates must land close to exact
+    def ev(t: String, us: Seq[Long]) = us.map(u => (t, u))
+    val events = (ev("A", 1L to 10L) ++ ev("B", 6L to 15L) ++ ev("C", Seq(100L)))
+      .toDF("event_type", "user_id")
+    val got = Events.reachOverlap(events)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(6))).toMap
+    assert(got.keySet == Set(("A", "B"), ("A", "C"), ("B", "C")))
+    assert(got(("A", "B"))._1 == 5L)
+    assert(got(("A", "C"))._1 == 0L && got(("B", "C"))._1 == 0L)
+    // intersection estimate within 40% of exact on the overlapping pair,
+    // near zero on the disjoint ones (inclusion-exclusion can dip
+    // slightly negative pre-clamp; the clamp pins it at >= 0)
+    assert(math.abs(got(("A", "B"))._2 - 5.0) <= 2.0, got(("A", "B")))
+    assert(got(("A", "C"))._2 >= 0.0 && got(("A", "C"))._2 <= 1.5)
+    // duplicate events must not change anything (user sets, not counts)
+    val doubled = events.union(events)
+    val again = Events.reachOverlap(doubled)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(6))).toMap
+    assert(again == got)
+  }
+
   test("abTest: arms from the mix chain, exact counts, hand-computed z") {
     val ev = (1L to 40L).flatMap { u =>
       // every user views; users divisible by 3 purchase
