@@ -510,7 +510,7 @@ object Events {
    * sanctioned tiny-broadcast shape, never data-sized.
    */
   def reachOverlap(events: DataFrame): DataFrame = {
-    import TextAnalysis.{HllM, hllH2Sql, hllRhoSql, hllEstimateFromRegisters}
+    import TextAnalysis.{HllM, hllH2Sql, hllRhoSql}
     val du = events.select(col("event_type").as("t"), col("user_id").as("u"))
       .distinct()
     val regs = du
@@ -518,6 +518,33 @@ object Events {
       .select(col("t"), expr(s"CAST(h2 % $HllM AS BIGINT)").as("j"),
         expr(hllRhoSql(s"CAST((h2 - h2 % $HllM) / $HllM AS BIGINT)")).as("rho"))
       .groupBy("t", "j").agg(max(col("rho")).as("mj"))
+    val exact = du.as("a").join(du.as("b"),
+        col("a.u") === col("b.u") && col("a.t") < col("b.t"))
+      .groupBy(col("a.t").as("t0"), col("b.t").as("t1"))
+      .agg(count(lit(1)).as("n_exact"))
+    reachOverlapEstimates(regs)
+      .join(exact, Seq("t0", "t1"), "left")
+      .select(col("t0"), col("t1"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        col("est0"), col("est1"), col("est_union"), col("est_inter"),
+        when(col("n_exact") > 0,
+          (col("est_inter") - col("n_exact").cast("double")) /
+            col("n_exact").cast("double"))
+          .otherwise(lit(0.0)).as("rel_err"))
+  }
+
+  /**
+   * The sketch-only face of [[reachOverlap]], factored so ANY register
+   * table works — the batch derivation above, or a SNAPSHOT of the
+   * streaming register sink ([[graft.streaming.EventsStream
+   * .hourlyUniquesHll]] after a max-merge across its hour windows:
+   * register maxes are associative, so the all-hours merge per (type, j)
+   * IS the sketch of each type's full user set). `regs` is (t, j, mj);
+   * output is (t0, t1, est0, est1, est_union, est_inter) per unordered
+   * type pair — no raw data, no exact column, types²-sized throughout.
+   */
+  def reachOverlapEstimates(regs: DataFrame): DataFrame = {
+    import TextAnalysis.hllEstimateFromRegisters
     val single = hllEstimateFromRegisters(regs, Seq("t"))
       .select(col("t"), col("hll_est"))
     val types = regs.select("t").distinct()
@@ -530,25 +557,14 @@ object Events {
       .groupBy("t0", "t1", "j").agg(max(col("mj")).as("mj"))
     val uni = hllEstimateFromRegisters(uniRegs, Seq("t0", "t1"))
       .select(col("t0"), col("t1"), col("hll_est").as("est_union"))
-    val exact = du.as("a").join(du.as("b"),
-        col("a.u") === col("b.u") && col("a.t") < col("b.t"))
-      .groupBy(col("a.t").as("t0"), col("b.t").as("t1"))
-      .agg(count(lit(1)).as("n_exact"))
-    val inter = greatest(lit(0.0),
-      col("est0") + col("est1") - col("est_union"))
     pairs
       .join(single.select(col("t").as("t0"), col("hll_est").as("est0")), "t0")
       .join(single.select(col("t").as("t1"), col("hll_est").as("est1")), "t1")
       .join(uni, Seq("t0", "t1"))
-      .join(exact, Seq("t0", "t1"), "left")
       .select(col("t0"), col("t1"),
-        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
         col("est0"), col("est1"), col("est_union"),
-        inter.as("est_inter"),
-        when(col("n_exact") > 0,
-          (inter - col("n_exact").cast("double")) /
-            col("n_exact").cast("double"))
-          .otherwise(lit(0.0)).as("rel_err"))
+        greatest(lit(0.0),
+          col("est0") + col("est1") - col("est_union")).as("est_inter"))
   }
 
   /**

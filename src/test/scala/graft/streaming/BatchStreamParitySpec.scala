@@ -536,6 +536,38 @@ class BatchStreamParitySpec extends SparkSpec {
     }
   }
 
+  test("reachOverlap estimates read out of the streaming register sink unchanged") {
+    // register maxes are associative: the all-hours max-merge of the
+    // streaming sink per (type, j) IS the batch register table, so the
+    // pair-overlap estimates must be bit-identical to batch reachOverlap
+    val in = MemoryStream[StreamEvent]
+    val q = EventsStream.hourlyUniquesHll(in.toDF())
+      .writeStream.format("memory").queryName("overlap_hll")
+      .outputMode(OutputMode.Append).start()
+    val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    def ev(u: Long, minutes: Long, tpe: String) =
+      StreamEvent(u, new Timestamp(base + minutes * 60000), tpe, 0.0)
+    // A spans three hour windows (users 1..6), B sits in hour 3 with a
+    // 3-user overlap (4..9), C is a disjoint singleton
+    val data = (1L to 6L).map(u => ev(u, u * 25, "A")) ++
+      (4L to 9L).map(u => ev(u, 200 + u, "B")) :+ ev(50L, 90, "C")
+    try {
+      in.addData(data: _*); q.processAllAvailable()
+      in.addData(ev(99, 48 * 60, "zz")); q.processAllAvailable()
+    } finally q.stop()
+    val merged = spark.table("overlap_hll").where($"event_type" =!= "zz")
+      .groupBy($"event_type".as("t"), $"j").agg(max($"mj").as("mj"))
+    val streamEst = Events.reachOverlapEstimates(merged)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    val batchEst = Events.reachOverlap(
+        data.toDF().select($"event_type", $"user_id"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    assert(streamEst == batchEst, s"stream $streamEst vs batch $batchEst")
+    assert(streamEst.keySet == Set(("A", "B"), ("A", "C"), ("B", "C")))
+  }
+
   test("abDeltas: summed deltas equal batch arm counts, across slicings") {
     val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
     def ev(u: Long, minutes: Long, tpe: String) =
