@@ -152,7 +152,10 @@ object Bench {
     "graph_lpa",
     // HLL register-union overlap: one distinct collapse, then
     // types²-sized sketch arithmetic + the exact self-join audit
-    "events_reach_overlap")
+    "events_reach_overlap",
+    // the bucket-capped phash scale path next to its uncapped twin
+    // (the measured candidate-mass lever, cf. the skew pairs)
+    "multimodal_phash_dups_capped")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

@@ -156,6 +156,17 @@ object EventsEntries {
         "doc_id", "payload").localCheckpoint(), MaxPhashHamming),
         "doc0", "doc1")
     }),
+    // the BUCKET-CAPPED scale path (banding analog of dfCapShingles):
+    // band values above the occupancy bound leave candidate generation
+    // — the lever that keeps low-entropy image corpora sub-quadratic
+    // (measured 78× candidates for 10× docs uncapped)
+    "multimodal_phash_dups_capped" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      gate(Multimodal.phashDups(Multimodal.imageDHash(
+        Multimodal.withGroupedPngPayload(docs(s, dir), "doc_id", PhashGroup),
+        "doc_id", "payload").localCheckpoint(), MaxPhashHamming,
+        maxBucket = Some(PhashMaxBucket)), "doc0", "doc1")
+    }),
     // REAL audio-codec round-trip (the PNG path's WAV twin): per-doc
     // planted 16-bit PCM clip → actual AudioSystem WAV encode → binary
     // payload → actual RIFF parse + frame decode → exact amplitude
@@ -177,6 +188,11 @@ object EventsEntries {
   /** Near-dup image group size and the banding-complete Hamming cut. */
   private val PhashGroup = 25
   private val MaxPhashHamming = 3
+
+  /** Band-bucket occupancy cap for the capped variant: comfortably
+    * above a full 25-member group's bucket, far below the hot
+    * cross-group collision buckets the cap exists to drop. */
+  private val PhashMaxBucket = 200L
 
   /** The closed-form dHash words (hw CTE) of the group-planted images —
     * shared front half of both phash oracles. Shift amounts are bounded
@@ -537,6 +553,24 @@ object EventsEntries {
         |          FROM hw, UNNEST(range(4)) rb(b)),
         |cand AS (SELECT DISTINCT a.doc_id AS doc0, c.doc_id AS doc1
         |         FROM bands a JOIN bands c ON a.b = c.b AND a.key = c.key
+        |          AND a.doc_id < c.doc_id)
+        |SELECT doc0, doc1,
+        |       CAST(bit_count(xor(h0.lo, h1.lo)) + bit_count(xor(h0.hi, h1.hi)) AS BIGINT) AS hamming
+        |FROM cand JOIN hw h0 ON h0.doc_id = doc0 JOIN hw h1 ON h1.doc_id = doc1
+        |WHERE bit_count(xor(h0.lo, h1.lo)) + bit_count(xor(h0.hi, h1.hi)) <= $MaxPhashHamming
+        |ORDER BY doc0, doc1""".stripMargin),
+    // the same chain with the occupancy HAVING-filter on band buckets
+    "multimodal_phash_dups_capped" ->
+      (phashHwSql(PhashGroup) + s""",
+        |bands AS (SELECT doc_id, b,
+        |          CASE b WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
+        |                 WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS key
+        |          FROM hw, UNNEST(range(4)) rb(b)),
+        |keep AS (SELECT b, key FROM bands GROUP BY b, key
+        |         HAVING COUNT(*) <= $PhashMaxBucket),
+        |kb AS MATERIALIZED (SELECT bands.* FROM bands JOIN keep USING (b, key)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc0, c.doc_id AS doc1
+        |         FROM kb a JOIN kb c ON a.b = c.b AND a.key = c.key
         |          AND a.doc_id < c.doc_id)
         |SELECT doc0, doc1,
         |       CAST(bit_count(xor(h0.lo, h1.lo)) + bit_count(xor(h0.hi, h1.hi)) AS BIGINT) AS hamming

@@ -298,11 +298,25 @@ object Multimodal {
    * (4 bands, ≤ 3 differing bits), so candidates come from four
    * band-keyed equi-joins — never an all-pairs scan — and only
    * candidates pay the popcount verify.
+   *
+   * `maxBucket` is the banding analog of [[Dedup.dfCapShingles]], and
+   * it is the knob that keeps this sub-quadratic on LOW-ENTROPY image
+   * corpora: a band value shared by k images contributes C(k, 2)
+   * candidates, so hot buckets (flat/gradient imagery collapsing to few
+   * hash values) grow candidate volume ~N²/2¹⁶ — measured 78× candidates
+   * for 10× docs on the planted fixture, with 25 buckets carrying 60%
+   * of the 53M-pair mass at 50k images. Capping drops buckets above the
+   * occupancy bound from CANDIDATE GENERATION (verify is untouched);
+   * the recall contract mirrors the df-cap: pairs agreeing only in
+   * capped bands are missed, so pigeonhole completeness holds for
+   * every pair with at least one surviving agreeing band.
    */
-  def phashDups(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def phashDups(hashes: DataFrame, maxHamming: Int = 3,
+      maxBucket: Option[Long] = None): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "4-band pigeonhole is complete only for hamming <= 3")
-    val bands = hashes.select(col("doc_id"), col("lo"), col("hi"),
+    require(maxBucket.forall(_ >= 2), "a bucket below 2 can never pair")
+    val allBands = hashes.select(col("doc_id"), col("lo"), col("hi"),
         explode(expr(
           """array(
             |  struct(0L AS b, lo & 65535 AS key),
@@ -311,6 +325,12 @@ object Multimodal {
             |  struct(3L AS b, shiftright(hi, 16) & 65535 AS key))""".stripMargin))
           .as("bk"))
       .select(col("doc_id"), col("bk.b").as("b"), col("bk.key").as("key"))
+    val bands = maxBucket.fold(allBands) { cap =>
+      val keep = allBands.groupBy("b", "key")
+        .agg(count(lit(1)).as("n"))
+        .where(col("n") <= cap).select("b", "key")
+      allBands.join(keep, Seq("b", "key"), "left_semi")
+    }
     val cand = bands.as("a").join(bands.as("c"),
         col("a.b") === col("c.b") && col("a.key") === col("c.key") &&
           col("a.doc_id") < col("c.doc_id"))

@@ -153,6 +153,39 @@ class MultimodalSpec extends SparkSpec {
     assert(expected.keys.forall { case (a, b) => a / 25 == b / 25 })
   }
 
+  test("phashDups maxBucket drops hot-bucket candidates, keeps the rest") {
+    val ids = (0L to 199L).toDF("doc_id") // 8 groups of 25
+    val hashes = Multimodal.imageDHash(
+      Multimodal.withGroupedPngPayload(ids, "doc_id", 25),
+      "doc_id", "payload").localCheckpoint()
+    val uncapped = Multimodal.phashDups(hashes, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // expected capped set, computed independently from the hash values:
+    // a pair survives iff hamming <= 3 AND at least one AGREEING band
+    // sits in a bucket within the cap
+    val cap = 60L
+    val hv = hashes.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+    def bandsOf(lo: Long, hi: Long) = Seq(
+      0 -> (lo & 0xffffL), 1 -> ((lo >> 16) & 0xffffL),
+      2 -> (hi & 0xffffL), 3 -> ((hi >> 16) & 0xffffL))
+    val occ = hv.flatMap { case (_, (lo, hi)) => bandsOf(lo, hi) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = (for {
+      (i, hi0) <- hv; (j, hj) <- hv if i < j
+      d = java.lang.Long.bitCount(hi0._1 ^ hj._1) +
+        java.lang.Long.bitCount(hi0._2 ^ hj._2) if d <= 3
+      shared = bandsOf(hi0._1, hi0._2).toSet
+        .intersect(bandsOf(hj._1, hj._2).toSet)
+      if shared.exists(occ(_) <= cap)
+    } yield (i, j)).toSet
+    val capped = Multimodal.phashDups(hashes, 3, maxBucket = Some(cap))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == expected, s"capped=${capped.size} expected=${expected.size}")
+    assert(capped.subsetOf(uncapped))
+    // the fixture's within-group pairs survive this cap (non-vacuous)
+    assert(capped.nonEmpty)
+  }
+
   test("decodeFeatures: partition-batched stub decoder, stable output") {
     val f = Multimodal.decodeFeatures(
       Multimodal.withPayload(docs, "text"), "doc_id", "payload")
