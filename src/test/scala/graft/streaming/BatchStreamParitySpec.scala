@@ -568,6 +568,44 @@ class BatchStreamParitySpec extends SparkSpec {
     assert(streamEst.keySet == Set(("A", "B"), ("A", "C"), ("B", "C")))
   }
 
+  test("streaming IVF search over the persisted index matches batch bit-for-bit") {
+    import graft.ext.Embeddings
+    val vecs = Map(
+      0L -> Seq(0.0f, 0.1f), 1L -> Seq(10.0f, 10.0f), 2L -> Seq(0.5f, 0.1f),
+      3L -> Seq(9.5f, 10.0f), 4L -> Seq(0.1f, 0.5f), 5L -> Seq(0.3f, 0.2f),
+      6L -> Seq(10.2f, 9.8f))
+    val blobs = vecs.toSeq.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfstream").toString
+    Embeddings.saveIvfIndex(blobs, "vec_id", "embedding",
+      kClusters = 2, iters = 2, dir = dir)
+    val in = MemoryStream[(Long, Timestamp, Seq[Float])]
+    val base = Timestamp.valueOf("2024-03-01 00:00:00")
+    val q = EmbeddingsStream.ivfIndexTopK(spark, dir,
+        in.toDF().toDF("query_id", "ts", "embedding"), k = 3, nprobe = 1)
+      .writeStream.format("memory").queryName("ann_stream")
+      .outputMode(OutputMode.Append).start()
+    val queryIds = Seq(0L, 1L, 5L)
+    val streamed = try {
+      in.addData(queryIds.map(i => (i, base, vecs(i))): _*)
+      q.processAllAvailable()
+      // a far-future dummy advances the watermark and finalizes the rest
+      in.addData((999L, new Timestamp(base.getTime + 3600L * 1000), vecs(0L)))
+      q.processAllAvailable()
+      spark.table("ann_stream").where($"query_id" =!= 999L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    } finally q.stop()
+    val batch = Embeddings.ivfIndexTopK(spark, dir,
+        blobs.where($"vec_id".isin(queryIds: _*)),
+        "vec_id", "embedding", k = 3, nprobe = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    assert(streamed.nonEmpty)
+  }
+
   test("abDeltas: summed deltas equal batch arm counts, across slicings") {
     val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
     def ev(u: Long, minutes: Long, tpe: String) =
