@@ -155,7 +155,10 @@ object Bench {
     "events_reach_overlap",
     // the bucket-capped phash scale path next to its uncapped twin
     // (the measured candidate-mass lever, cf. the skew pairs)
-    "multimodal_phash_dups_capped")
+    "multimodal_phash_dups_capped",
+    // sorted-neighborhood blocking: range-sharded global order, exactly
+    // N·(w−1) candidates by construction
+    "dedup_sorted_neighborhood")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

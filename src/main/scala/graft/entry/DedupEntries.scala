@@ -54,6 +54,22 @@ object DedupEntries {
         "doc_id", "text", maxDist = EditMax, prefixLen = EditPrefix),
         "doc0", "doc1")
     }),
+    // sorted-neighborhood blocking (Hernández–Stolfo merge/purge) over
+    // the SAME planted corpus as dedup_editdist: prefix-similar variants
+    // sort adjacent under the packed-prefix key, so the N·(w−1)
+    // candidate scan finds them — the third blocking family, with its
+    // by-construction linear candidate bound
+    "dedup_sorted_neighborhood" -> ((s, dir) => {
+      val base = docs(s, dir)
+        .select(col("doc_id"), substring(col("text"), 1, 60).as("text"))
+      val variants = docs(s, dir)
+        .where(pmod(col("doc_id"), lit(4)) === 0)
+        .select((col("doc_id") + lit(200000L)).as("doc_id"),
+          concat(substring(col("text"), 1, 57), lit(" zz")).as("text"))
+      gate(Dedup.sortedNeighborhoodDups(base.unionByName(variants),
+        "doc_id", "text", window = SnmWindow, maxDist = EditMax),
+        "doc0", "doc1")
+    }),
     // the sub-quadratic containment route: Broder MOD_m sketch candidates
     // + sketch-based containment estimate (the 100 TB path; the exact
     // kernel above is the calibration tool)
@@ -321,6 +337,9 @@ object DedupEntries {
   private val EditMax = 4
   private val EditPrefix = 12
 
+  /** Sorted-neighborhood scan window (each record vs its 3 successors). */
+  private val SnmWindow = 4
+
   /** Shingle df-cap of the dedup_jaccard_dfcap contract — low enough to
     * actually drop corpus-common shingles at sf0.01 (max shingle df there
     * is 7, so 5 excises the df-6/7 head — the contract is non-vacuous),
@@ -552,6 +571,33 @@ object DedupEntries {
         |FROM k a JOIN k b ON a.blk = b.blk AND a.doc_id < b.doc_id
         |WHERE abs(a.len - b.len) <= $EditMax
         |  AND levenshtein(a.txt, b.txt) <= $EditMax
+        |ORDER BY doc0, doc1""".stripMargin,
+    // same planted corpus + normalize as dedup_editdist; the global
+    // order is a plain row_number here (the oracle need not be
+    // scale-shaped) over the SAME packed-prefix key expression, then
+    // the d ∈ [1, w) successor join and the levenshtein verify
+    "dedup_sorted_neighborhood" ->
+      s"""WITH u AS (
+        |  SELECT doc_id, substr(text, 1, 60) AS t FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id, substr(text, 1, 57) || ' zz' AS t
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |n AS (SELECT doc_id,
+        |      trim(regexp_replace(regexp_replace(lower(t),
+        |        '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS txt
+        |      FROM u),
+        |k AS (SELECT doc_id, txt, ${Dedup.snmKeySql("txt")} AS key FROM n),
+        |r AS (SELECT doc_id, txt,
+        |             row_number() OVER (ORDER BY key, doc_id) - 1 AS g
+        |      FROM k),
+        |cand AS (SELECT a.doc_id AS ida, a.txt AS ta, b.doc_id AS idb, b.txt AS tb
+        |         FROM r a, UNNEST(range(1, $SnmWindow)) rd(d)
+        |         JOIN r b ON b.g = a.g + d)
+        |SELECT LEAST(ida, idb) AS doc0, GREATEST(ida, idb) AS doc1,
+        |       CAST(levenshtein(ta, tb) AS BIGINT) AS dist
+        |FROM cand
+        |WHERE abs(length(ta) - length(tb)) <= $EditMax
+        |  AND levenshtein(ta, tb) <= $EditMax
         |ORDER BY doc0, doc1""".stripMargin,
     // exhaustive-kernel oracle at the prefix contract's threshold: the
     // prefix filter is lossless, so the independent full join must agree

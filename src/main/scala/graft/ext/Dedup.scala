@@ -459,6 +459,70 @@ object Dedup {
       .select(col("doc0"), col("doc1"), col("dist").cast("long").as("dist"))
   }
 
+  /** The sorted-neighborhood sort key: the normalized text's first 8
+    * characters packed into ONE int64 (Horner base-128, codepoints
+    * capped at 127, space-padded) — integer-exact in any engine,
+    * locality-preserving for prefix-similar records. Shared by the
+    * Spark side and the oracle verbatim. */
+  private[graft] def snmKeySql(txt: String): String =
+    (1 to 8).map { i =>
+      val p = math.pow(128, 8 - i).toLong
+      s"least(ascii(substr(rpad($txt, 8, ' '), $i, 1)), 127) * CAST($p AS BIGINT)"
+    }.mkString("(", " + ", ")")
+
+  /**
+   * Sorted-neighborhood near-dup detection (Hernández & Stolfo 1995,
+   * merge/purge) — the THIRD blocking family next to MinHash banding
+   * (probabilistic recall) and prefix filtering (threshold-exact): sort
+   * the corpus once by a locality-preserving key and compare each record
+   * only against its `window − 1` successors in that order. Exactly
+   * N·(window−1) candidate pairs BY CONSTRUCTION — no band, bucket, or
+   * block can blow up, which is both its scale guarantee and its honest
+   * recall limit (near-dups whose keys sort far apart are missed; the
+   * classic mitigation is multiple passes under different keys).
+   *
+   * Scale shape: the global order comes from the
+   * [[graft.ext.Export.rangeShards]] machinery — histogram-sketched
+   * range boundaries, within-shard row_number, plus a shard-count
+   * prefix-sum over ≤ nShards rows (model-sized, broadcast back) — so
+   * NO single-reducer global sort exists anywhere. Neighbor candidates
+   * are an equi-join of rank against rank + d for d ∈ [1, window), and
+   * only they pay the thresholded-levenshtein verify
+   * ([[editDistanceDups]]' convention: length prefilter, cap-bounded
+   * distance). Output is canonical (doc0 < doc1, dist ≤ maxDist).
+   */
+  def sortedNeighborhoodDups(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 4, maxDist: Int = 6, nShards: Int = 32): DataFrame = {
+    require(window >= 2 && maxDist >= 0 && nShards >= 1)
+    val n = docs.select(col(idCol).as("doc_id"),
+        normalizeText(col(textCol)).as("txt"))
+      .withColumn("key", expr(snmKeySql("txt")))
+    val ranked = Export.rangeShards(n, "doc_id", "key", nShards,
+      width = 1L << 40)
+    val offsets = ranked.groupBy("shard").agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(
+        sum(col("cnt")).over(org.apache.spark.sql.expressions.Window
+          .orderBy("shard")
+          .rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select(col("shard"), col("off"))
+    val granked = ranked
+      .join(broadcast(offsets), "shard")
+      .select(col("doc_id"), (col("pos") + col("off")).as("grank"))
+      .join(n.select(col("doc_id"), col("txt")), "doc_id")
+    val succ = granked.select(col("grank").as("g2"),
+      col("doc_id").as("idB"), col("txt").as("tB"))
+    granked
+      .withColumn("d", explode(expr(s"sequence(1, ${window - 1})")))
+      .withColumn("g2", col("grank") + col("d"))
+      .join(succ, "g2")
+      .where(abs(length(col("txt")) - length(col("tB"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("txt"), col("tB"), maxDist))
+      .where(col("dist") >= 0)
+      .select(least(col("doc_id"), col("idB")).as("doc0"),
+        greatest(col("doc_id"), col("idB")).as("doc1"),
+        col("dist").cast("long").as("dist"))
+  }
+
   /**
    * Cross-document repeated-span statistics — the detection half of
    * substring-level dedup (Lee et al. 2022, "Deduplicating Training Data

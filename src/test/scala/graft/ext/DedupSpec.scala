@@ -297,6 +297,37 @@ class DedupSpec extends SparkSpec {
     assert(cut == 0L)
   }
 
+  test("sortedNeighborhoodDups: prefix-sorted variants found, linear scan") {
+    val d = Seq(
+      (1L, "alpha document one shared prefix"),
+      (2L, "alpha document one shared prefix!"), // normalize → identical to 1
+      (3L, "zebra totally different text here"),
+      (4L, "alpha document one shared prefix extra"), // 6 edits from 1
+      (5L, "mid range content")
+    ).toDF("doc_id", "text")
+    val got = Dedup.sortedNeighborhoodDups(d, "doc_id", "text",
+        window = 3, maxDist = 6, nShards = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got((1L, 2L)) == 0L, got)
+    assert(got((1L, 4L)) == 6L && got((2L, 4L)) == 6L, got)
+    assert(!got.keySet.exists { case (a, b) => a == 3L || b == 3L }, got)
+  }
+
+  test("sortedNeighborhoodDups: far-sorted near-dups are missed (recall limit)") {
+    // 10 and 14 differ by ONE leading character (dist 1) but sort to
+    // opposite ends; with window=2 three m-docs sit between them, so the
+    // scan never compares the pair — the documented SNM recall contract
+    val d = Seq(
+      (10L, "aaaa same tail text"),
+      (11L, "m one filler"), (12L, "m two filler"), (13L, "m three filler"),
+      (14L, "zaaa same tail text")
+    ).toDF("doc_id", "text")
+    val got = Dedup.sortedNeighborhoodDups(d, "doc_id", "text",
+        window = 2, maxDist = 6, nShards = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!got.contains((10L, 14L)), got)
+  }
+
   test("dupGroupsStars matches converged propagation on adversarial shapes") {
     def toMap(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
