@@ -158,7 +158,10 @@ object Bench {
     "multimodal_phash_dups_capped",
     // sorted-neighborhood blocking: range-sharded global order, exactly
     // N·(w−1) candidates by construction
-    "dedup_sorted_neighborhood")
+    "dedup_sorted_neighborhood",
+    // curriculum export order: the quantile-norm histogram plan plus
+    // two row-local columns
+    "corpus_curriculum")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

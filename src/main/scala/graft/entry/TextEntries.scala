@@ -177,6 +177,16 @@ object TextEntries {
       gate(TextAnalysis.quantileNormalize(sig, "doc_id", "source",
         "n_tokens"), "doc_id")
     }),
+    // ext: curriculum training order — phase = percentile band of the
+    // token-count signal per source, order_key = deterministic mix hash
+    "corpus_curriculum" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val sig = TextAnalysis.stats(d, "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"))
+        .join(d.select(col("doc_id"), col("source")), "doc_id")
+      gate(TextAnalysis.curriculum(sig, "doc_id", "source", "n_tokens",
+        phases = CurriculumPhases, salt = CurriculumSalt), "doc_id")
+    }),
     // ext: stable train/val/test assignment by id-hash
     "split_assign" -> ((s, dir) =>
       gate(Export.splitAssign(docs(s, dir), "doc_id"), "doc_id")),
@@ -449,6 +459,10 @@ object TextEntries {
 
   /** Bucket count for the quantile-bucket contract (quartiles). */
   private val BucketK = 4
+
+  /** Curriculum contract: 4 quality-percentile phases, fixed salt. */
+  private val CurriculumPhases = 4
+  private val CurriculumSalt = 7L
 
   /** Context budget (tokens) and packing-stream count for the contract. */
   private val PackBudget = 512
@@ -985,6 +999,26 @@ object TextEntries {
         |SELECT sig.doc_id, sig.source, sig.n_tokens,
         |       ${r6sql("CASE WHEN n > 1 THEN less / CAST(n - 1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END")} AS pctl
         |FROM sig JOIN cs USING (source, n_tokens) ORDER BY doc_id""".stripMargin),
+    // the quantile-norm chain + the phase band + the same mix hash
+    "corpus_curriculum" -> {
+      val mix = Export.mixBucketSql("doc_id", Int.MaxValue, CurriculumSalt)
+      tokSql + s""",
+        |sig AS (SELECT t.doc_id, d.source, CAST(COUNT(*) AS BIGINT) AS n_tokens
+        |        FROM tok t JOIN documents d ON d.doc_id = t.doc_id
+        |        GROUP BY 1, 2),
+        |h AS (SELECT source, n_tokens, COUNT(*) AS c FROM sig GROUP BY 1, 2),
+        |cs AS (SELECT source, n_tokens,
+        |              SUM(c) OVER (PARTITION BY source ORDER BY n_tokens) - c AS less,
+        |              SUM(c) OVER (PARTITION BY source) AS n
+        |       FROM h),
+        |p AS (SELECT sig.doc_id, sig.source, sig.n_tokens,
+        |             ${r6sql("CASE WHEN n > 1 THEN less / CAST(n - 1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END")} AS pctl
+        |      FROM sig JOIN cs USING (source, n_tokens))
+        |SELECT doc_id, source, n_tokens, pctl,
+        |       CAST(LEAST(floor(pctl * $CurriculumPhases), ${CurriculumPhases - 1}) AS BIGINT) AS phase,
+        |       CAST($mix AS BIGINT) AS order_key
+        |FROM p ORDER BY doc_id""".stripMargin
+    },
     "split_assign" -> {
       val mix = Export.mixBucketSql("doc_id", 1000, 0L)
       s"""SELECT doc_id, CAST($mix AS BIGINT) AS bucket,

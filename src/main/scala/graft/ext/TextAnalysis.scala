@@ -776,6 +776,31 @@ object TextAnalysis {
           .otherwise(lit(0.0))).as("pctl"))
   }
 
+  /**
+   * Curriculum assignment — the training-order export: each document
+   * gets a PHASE (its [[quantileNormalize]]d quality percentile cut
+   * into `phases` equal bands: low-percentile documents train first,
+   * the usual easy→hard curriculum when the signal is a quality score)
+   * and a deterministic ORDER KEY (the [[Export.mixBucket]] multiply-
+   * add-mod chain — a rerun-stable "shuffle" within each phase, no
+   * rand()). The global training order is (phase, order_key, doc_id);
+   * feed it to [[Export.rangeShards]] when materialized positions are
+   * needed — deliberately NOT computed here, because a per-phase
+   * row_number would concentrate each phase on one reducer.
+   *
+   * Scale shape: [[quantileNormalize]]'s histogram plan plus two
+   * row-local columns — nothing new shuffles.
+   */
+  def curriculum(df: DataFrame, idCol: String, groupCol: String,
+      valueCol: String, phases: Int = 4, salt: Long = 7L): DataFrame = {
+    require(phases >= 1, "need at least one phase")
+    quantileNormalize(df, idCol, groupCol, valueCol)
+      .select(col(idCol), col(groupCol), col(valueCol), col("pctl"),
+        least(floor(col("pctl") * phases), lit(phases - 1))
+          .cast("long").as("phase"),
+        Export.mixBucket(col(idCol), Int.MaxValue, salt).as("order_key"))
+  }
+
   def qualityBuckets(df: DataFrame, idCol: String, groupCol: String,
       valueCol: String, k: Int): DataFrame = {
     require(k >= 2, "need at least 2 buckets")

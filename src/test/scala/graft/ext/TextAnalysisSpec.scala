@@ -101,6 +101,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!plan.contains("row_number"), plan)
   }
 
+  test("curriculum: percentile phases with top clamp, deterministic order key") {
+    val d = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 20L),
+      (4L, "a", 40L), (5L, "b", 7L)).toDF("doc_id", "grp", "v")
+    val c = TextAnalysis.curriculum(d, "doc_id", "grp", "v", phases = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(4), r.getLong(5))).toMap
+    // pctl 0 -> phase 0; 1/3 -> floor(4/3) = 1; 1.0 -> clamped to 3
+    assert(c(1L)._1 == 0L && c(2L)._1 == 1L && c(3L)._1 == 1L)
+    assert(c(4L)._1 == 3L && c(5L)._1 == 0L, c)
+    // order key is the documented mix chain, rerun-stable
+    assert(c(1L)._2 == Export.mixBucketLong(1L, Int.MaxValue, 7L))
+    val again = TextAnalysis.curriculum(d, "doc_id", "grp", "v", phases = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(4), r.getLong(5))).toMap
+    assert(again == c)
+  }
+
   test("qualityBuckets: quantile-threshold buckets per group, no global sort") {
     // group a: values 10..80 → quartile thresholds at ranks 1+floor(q*7):
     // q=.25→r2(20), q=.5→r4(40), q=.75→r6(60)
