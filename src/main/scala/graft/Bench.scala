@@ -161,7 +161,13 @@ object Bench {
     "dedup_sorted_neighborhood",
     // curriculum export order: the quantile-norm histogram plan plus
     // two row-local columns
-    "corpus_curriculum")
+    "corpus_curriculum",
+    // RA link prediction: capped wedge join through shared neighbors +
+    // one (u,v) aggregate + result-sized anti-join
+    "graph_linkpred",
+    // CMS inner-product join-size estimate vs the exact Σdf² audit —
+    // d·w-bounded sketch aggregate next to the vocabulary-sized truth
+    "pair_budget_sketch")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

@@ -266,6 +266,19 @@ object RelationalEntries {
         .agg(count(lit(1)).as("weight"))
       gate(Graph.pageRankDangling(edges, PrIters, PrDamping,
         pin = _.localCheckpoint()), "node")
+    }),
+    // ext: resource-allocation link prediction on the co-ordered-parts
+    // graph — non-edge pairs scored Σ 1/deg(w) over shared neighbors
+    // (division-only, so the score replays exactly in any engine);
+    // hub through-nodes capped at LinkMaxDeg (the df-cap analogue,
+    // principled here: dropped hubs carry ≤ 1/maxDeg signal per pair)
+    "graph_linkpred" -> ((s, dir) => {
+      val li = Relational.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("src"), col("b.p").as("dst"))
+      gate(Graph.linkPredict(edges, LinkMinCommon, LinkMaxDeg), "u", "v")
     })
   )
 
@@ -349,6 +362,13 @@ object RelationalEntries {
   /** Label-propagation community rounds (fixed — the pageRank/kcore
     * pure-function convention). */
   private val LpaRounds = 3
+
+  /** Link-prediction contract: noise floor on shared neighbors, and the
+    * through-node degree cap (measured sf0.01/sf0.1 part degrees run
+    * ~115 median / ~220 max, so 96 keeps the informative sub-hub tail
+    * while bounding wedge generation at C(96,2) per through-node). */
+  private val LinkMinCommon = 3
+  private val LinkMaxDeg = 96
 
   /** Shared oracle of the bucketed/shuffled layout pair. */
   private val JoinRevenueSql =
@@ -799,6 +819,30 @@ object RelationalEntries {
         |      UNION ALL SELECT y FROM tri
         |      UNION ALL SELECT z FROM tri)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // identical wedge derivation through the capped shared neighbor;
+    // the RA term is CAST(1 AS DOUBLE)/deg — division only, correctly
+    // rounded IEEE in both engines — and the sum is r6-snapped at the
+    // gate grid like every double column
+    "graph_linkpred" ->
+      s"""WITH e AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON b.l_orderkey = a.l_orderkey AND b.l_partkey > a.l_partkey),
+        |adj AS MATERIALIZED (
+        |  SELECT u AS w, v AS n FROM e UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+        |cap AS MATERIALIZED (
+        |  SELECT adj.w, adj.n, deg.d FROM adj JOIN deg USING (w)
+        |  WHERE deg.d <= $LinkMaxDeg),
+        |wed AS (SELECT a.n AS u, b.n AS v, a.d
+        |        FROM cap a JOIN cap b ON a.w = b.w AND a.n < b.n),
+        |sc AS (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS cn,
+        |              SUM(CAST(1 AS DOUBLE) / d) AS ra
+        |       FROM wed GROUP BY 1, 2
+        |       HAVING COUNT(*) >= $LinkMinCommon)
+        |SELECT sc.u, sc.v, sc.cn, ${r6sql("sc.ra")} AS ra
+        |FROM sc ANTI JOIN e ON sc.u = e.u AND sc.v = e.v
+        |ORDER BY u, v""".stripMargin,
     // the 1/denom importance compare stays in int64 on both sides; the
     // nation total is internal only (never an output column, so its
     // HUGEINT typing inside DuckDB is irrelevant to the hash)

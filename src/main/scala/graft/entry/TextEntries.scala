@@ -106,6 +106,13 @@ object TextEntries {
     "vocab_cms_audit" -> ((s, dir) =>
       gate(TextAnalysis.cmsVocabAudit(docs(s, dir), "doc_id", "text",
         CmsDepth, CmsWidth, CmsK), "token")),
+    // ext: CMS inner-product join-size estimate of the token-bucket
+    // doc-pair candidate join ((Σ df² − N)/2), audited against the
+    // exact postings aggregate — the plan-before-you-run number every
+    // quadratic dedup kernel budgets against; integer end to end
+    "pair_budget_sketch" -> ((s, dir) =>
+      gate(TextAnalysis.pairBudgetSketch(docs(s, dir), "doc_id", "text",
+        CmsDepth, CmsWidth), "n_postings")),
     // ext: HyperLogLog distinct-token audit per source (the cardinality
     // sketch pairing vocab_cms_audit's frequency sketch)
     "vocab_hll_audit" -> ((s, dir) =>
@@ -883,6 +890,32 @@ object TextEntries {
         |       MIN(s.cnt) - pr.n_exact AS overcount
         |FROM pr JOIN sketch s USING (r, b)
         |GROUP BY pr.token, pr.n_exact ORDER BY pr.token""".stripMargin
+    },
+    // the same sketch rebuilt over DISTINCT (doc, token) postings, then
+    // the AMS inner product Σ cnt² per row and its min — integer all
+    // the way, so the audit row is exact in both engines
+    "pair_budget_sketch" -> {
+      def mix(r: Int) = Export.mixBucketSql("v", CmsWidth, r)
+      val cellRows = (0 until CmsDepth)
+        .map(r => s"SELECT $r AS r, ${mix(r)} AS b FROM tv")
+        .mkString("\n        UNION ALL ")
+      tokSql + s""",
+        |dt AS (SELECT DISTINCT doc_id, token FROM tok),
+        |tv AS MATERIALIZED (SELECT ${TextHash.tokenValue("token")} AS v FROM dt),
+        |cells AS ($cellRows),
+        |sketch AS (SELECT r, b, CAST(COUNT(*) AS BIGINT) AS cnt
+        |           FROM cells GROUP BY 1, 2),
+        |est AS (SELECT MIN(s2) AS est_sq FROM
+        |        (SELECT r, CAST(SUM(cnt * cnt) AS BIGINT) AS s2
+        |         FROM sketch GROUP BY 1)),
+        |f AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS f FROM tv GROUP BY 1),
+        |ex AS (SELECT CAST(SUM(f) AS BIGINT) AS n_postings,
+        |              CAST(SUM(f * f) AS BIGINT) AS exact_sq FROM f)
+        |SELECT n_postings, exact_sq, est_sq,
+        |  (exact_sq - n_postings) // 2 AS exact_pairs,
+        |  (est_sq - n_postings) // 2 AS est_pairs,
+        |  est_sq - exact_sq AS overcount
+        |FROM ex CROSS JOIN est""".stripMargin
     },
     // same avalanche-hash bucket chain mod the fixed dim
     "feature_hash" ->

@@ -230,6 +230,56 @@ object Graph {
     lbl
   }
 
+  /**
+   * Resource-allocation link prediction (Zhou, Lü & Zhang 2009): score
+   * every NON-edge pair (u, v) by RA(u,v) = Σ_{w ∈ N(u)∩N(v)} 1/deg(w),
+   * alongside the raw common-neighbor count. RA is the strongest of the
+   * classic local similarity indices on most benchmark graphs (it
+   * down-weights promiscuous hubs harder than Adamic–Adar's 1/log deg)
+   * and — unlike AA — needs only IEEE division, which is correctly
+   * rounded in every engine, so the score replays exactly from the
+   * degree table with no transcendental-parity caveat.
+   *
+   * Through-nodes with deg > `maxDeg` are excluded from generating
+   * candidate pairs — the [[graft.ext.Dedup]] df-cap analogue, and here
+   * it is PRINCIPLED rather than lossy-but-documented: a hub's RA
+   * contribution is 1/deg ≤ 1/maxDeg per pair, so the dropped signal is
+   * bounded and the dropped pairs are exactly the ones RA itself calls
+   * uninformative. Pairs below `minCommon` shared neighbors are cut
+   * (noise floor + output bound). Output: (u, v, cn, ra) for predicted
+   * links only (known edges anti-joined away), u < v.
+   *
+   * Scale shape: candidate generation is the wedge join through the
+   * shared neighbor — Σ_w C(deg w, 2) pairs, bounded by the maxDeg cap
+   * at C(maxDeg, 2)·|nodes| worst case; then ONE (u,v)-keyed aggregate
+   * with map-side partials, a result-sized anti-join against the edge
+   * set, and nothing driver-side. The degree join rides the same
+   * adjacency shuffle the wedge join needs.
+   */
+  def linkPredict(edges: DataFrame, minCommon: Int, maxDeg: Int): DataFrame = {
+    require(minCommon >= 1, "minCommon must be at least 1")
+    require(maxDeg >= 2, "a through-node needs degree >= 2 to form a wedge")
+    val und = edges.select(
+        least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+    val adj = und.select(col("u").as("w"), col("v").as("n"))
+      .union(und.select(col("v").as("w"), col("u").as("n")))
+    val deg = adj.groupBy("w").agg(count(lit(1)).as("deg"))
+    val capped = adj.join(deg.where(col("deg") <= maxDeg), "w")
+    val wedges = capped.as("a")
+      .join(capped.as("b"),
+        col("a.w") === col("b.w") && col("a.n") < col("b.n"))
+      .select(col("a.n").as("u"), col("b.n").as("v"),
+        col("a.deg").as("dw"))
+    wedges.groupBy("u", "v")
+      .agg(count(lit(1)).as("cn"),
+        sum(lit(1.0) / col("dw").cast("double")).as("ra"))
+      .where(col("cn") >= minCommon)
+      .join(und, Seq("u", "v"), "left_anti")
+  }
+
   /** Final ranks plus the measured per-round L1 movement — the readout
     * that turns "how many rounds is enough" into data. */
   final case class RankResult(ranks: DataFrame, l1Deltas: Seq[Double])

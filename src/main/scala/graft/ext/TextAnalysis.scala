@@ -293,6 +293,55 @@ object TextAnalysis {
   }
 
   /**
+   * Candidate-pair budget estimate for the doc-pair join, from a
+   * Count–Min inner product (the AMS/CMS join-size estimator: for two
+   * relations sharing a key, |R ⋈ S| = Σ_k f_R(k)·f_S(k), estimated as
+   * min over sketch rows of Σ_b cntR·cntS — here R = S = the distinct
+   * (doc, token) postings, so Σ_k f(k)² bounds the token-bucket
+   * candidate join that every exact-Jaccard kernel and the df-cap
+   * reason about: candidate pairs = (Σf² − N)/2). The estimate is an
+   * UPPER bound (bucket collisions only add), so planning against it
+   * is safe: a pair budget that fits under the sketch estimate fits
+   * under the truth.
+   *
+   * Everything is integer arithmetic end to end — counts, squares,
+   * sums, the min across sketch rows — so the audit row is exact and
+   * engine-neutral (the oracle rebuilds the identical sketch from the
+   * same portable hash chain). One row out: postings count, exact and
+   * estimated Σf², the implied candidate-pair counts, and the
+   * collision overcount.
+   *
+   * Scale shape: the SKETCH side is the 100 TB path — one pass over
+   * postings exploded ×depth into fixed (r, b) keys, a d·w-row
+   * aggregate, then a d-row per-row-sum and a 1-row min. The EXACT side
+   * (vocabulary-sized Σf²) is the calibration audit; at full scale you
+   * run the sketch alone and skip it. Both ends fold to 1-row frames
+   * whose cross is the sanctioned scalar-broadcast shape.
+   */
+  def pairBudgetSketch(docs: DataFrame, idCol: String, textCol: String,
+      depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width > 0)
+    val dt = tokensWithPosition(docs, idCol, textCol)
+      .select(col(idCol), col("token")).distinct()
+      .select(expr(TextHash.tokenValue("token")).as("v"))
+    val sketch = dt
+      .select(explode(array(cmsBucketStructs(depth, width): _*)).as("rb"))
+      .select(col("rb.r").as("r"), col("rb.b").as("b"))
+      .groupBy("r", "b").agg(count(lit(1)).as("cnt"))
+    val est = sketch.groupBy("r")
+      .agg(sum(col("cnt") * col("cnt")).as("s2"))
+      .agg(min(col("s2")).as("est_sq"))
+    val exact = dt.groupBy("v").agg(count(lit(1)).as("f"))
+      .agg(sum(col("f")).as("n_postings"),
+        sum(col("f") * col("f")).as("exact_sq"))
+    exact.crossJoin(broadcast(est))
+      .select(col("n_postings"), col("exact_sq"), col("est_sq"),
+        expr("(exact_sq - n_postings) DIV 2").as("exact_pairs"),
+        expr("(est_sq - n_postings) DIV 2").as("est_pairs"),
+        (col("est_sq") - col("exact_sq")).as("overcount"))
+  }
+
+  /**
    * Temperature-based mixture weighting (the multilingual/data-mixture
    * sampling rule of mT5/XLM-R-style training: sample group i with
    * probability ∝ n_i^τ) — the step that turns [[corpusMix]]'s budget

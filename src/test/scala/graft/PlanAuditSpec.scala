@@ -51,6 +51,9 @@ class PlanAuditSpec extends SparkSpec {
       "cluster_terms",
       // two 1-row aggregates crossed into the single stats row
       "vocab_bpe_encode",
+      // the exact-Σf² and sketch-min 1-row frames crossed into the
+      // single audit row
+      "pair_budget_sketch",
       // 1-row average-balance scalar broadcast over the customer scan
       "rel_dormant_customers",
       // 1-row dangling-mass scalar broadcast per power-iteration round

@@ -212,4 +212,35 @@ class GraphSpec extends SparkSpec {
     })
     assertApprox(res.ranks.collect().map(_.getDouble(1)).sum, 1.0, 1e-9)
   }
+
+  test("linkPredict: 4-cycle diagonals, hand-computed RA, edges never predicted") {
+    // square a–b–c–d–a: the only non-edges are the diagonals (a,c) and
+    // (b,d); each shares BOTH its neighbors (deg 2 each) → cn = 2,
+    // ra = 1/2 + 1/2 = 1.0 exactly
+    val square = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))
+      .toDF("src", "dst")
+    val got = Graph.linkPredict(square, minCommon = 2, maxDeg = 96)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq == Seq(("a", "c", 2L, 1.0), ("b", "d", 2L, 1.0)))
+    // minCommon above the shared-neighbor count empties the prediction
+    assert(Graph.linkPredict(square, minCommon = 3, maxDeg = 96).isEmpty)
+  }
+
+  test("linkPredict: the maxDeg cap silences hub through-nodes") {
+    // star h–{a,b,c} plus edge a–b: through h the wedge (a,c),(b,c)
+    // predictions exist ((a,b) is a real edge); capping h away (deg 3)
+    // leaves only deg-2 a and b as through-nodes, whose wedges all
+    // close over existing edges → empty
+    val star = Seq(("h", "a"), ("h", "b"), ("h", "c"), ("a", "b"))
+      .toDF("src", "dst")
+    val uncapped = Graph.linkPredict(star, minCommon = 1, maxDeg = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(uncapped.toSeq == Seq(
+      ("a", "c", 1L, 1.0 / 3), ("b", "c", 1L, 1.0 / 3)))
+    assert(Graph.linkPredict(star, minCommon = 1, maxDeg = 2).isEmpty)
+  }
 }

@@ -246,6 +246,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(run(4, 4096, 10) == wide, "deterministic across runs")
   }
 
+  test("pairBudgetSketch: exact postings math, upper bound, width-1 worst case") {
+    // distinct (doc, token) postings: d0{a,b}, d1{a}, d2{a,b} →
+    // n = 5, df(a) = 3, df(b) = 2, Σdf² = 13, pairs = (13 − 5)/2 = 4
+    val d = Seq((0L, "a a b"), (1L, "a"), (2L, "b a b")).toDF("doc_id", "text")
+    def run(depth: Int, width: Int) =
+      TextAnalysis.pairBudgetSketch(d, "doc_id", "text", depth, width)
+        .collect().head
+    val wide = run(4, 4096)
+    assert(wide.getLong(0) == 5L, "n_postings")
+    assert(wide.getLong(1) == 13L, "exact_sq")
+    assert(wide.getLong(3) == 4L, "exact_pairs")
+    // 2 tokens across 4×4096 counters: collision-free, estimate exact
+    assert(wide.getLong(2) == 13L && wide.getLong(5) == 0L)
+    // width 1: every posting shares the single counter → est_sq = n²,
+    // est_pairs = C(n, 2) — the all-pairs worst case, still an upper bound
+    val narrow = run(2, 1)
+    assert(narrow.getLong(2) == 25L && narrow.getLong(4) == 10L)
+    // estimate ≥ exact at ANY width, and the derived columns stay coherent
+    Seq(2, 3, 5, 64).foreach { w =>
+      val r = run(3, w)
+      assert(r.getLong(2) >= r.getLong(1), s"width $w upper bound")
+      assert(r.getLong(4) == (r.getLong(2) - r.getLong(0)) / 2, s"width $w pairs")
+      assert(r.getLong(5) == r.getLong(2) - r.getLong(1), s"width $w overcount")
+    }
+  }
+
   test("qualityFilter keeps only documents inside every signal bound") {
     val d = Seq(
       (0L, "alpha beta gamma delta epsilon"),        // passes
