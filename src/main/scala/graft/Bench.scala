@@ -167,7 +167,10 @@ object Bench {
     "graph_linkpred",
     // CMS inner-product join-size estimate vs the exact Σdf² audit —
     // d·w-bounded sketch aggregate next to the vocabulary-sized truth
-    "pair_budget_sketch")
+    "pair_budget_sketch",
+    // MERGE-INTO snapshot resolution: one key-shuffled max_by arg-max
+    // over the commit log, no window sort
+    "corpus_upsert")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

@@ -249,6 +249,25 @@ object TextEntries {
       gate(Audit.corpusDiff(d, revised.unionByName(added), "doc_id", "text"),
         "doc_id")
     }),
+    // ext: MERGE-INTO snapshot resolution over a two-commit log derived
+    // deterministically from the corpus (v2 revises id%5, tombstones
+    // id%7 — %35 overlaps resolve D-first like a real CDC feed). The
+    // Spark side resolves via ONE max_by arg-max aggregate; the oracle
+    // independently re-derives the winner with a version-desc window.
+    "corpus_upsert" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val v1 = d.select(col("doc_id"), lit(1L).as("version"),
+        lit("U").as("op"), col("text"))
+      val v2 = d.where(pmod(col("doc_id"), lit(5)) === 0 ||
+          pmod(col("doc_id"), lit(7)) === 0)
+        .select(col("doc_id"), lit(2L).as("version"),
+          when(pmod(col("doc_id"), lit(7)) === 0, "D").otherwise("U").as("op"),
+          concat(col("text"), lit(" v2")).as("text"))
+      val snap = Audit.mergeSnapshots(v1.unionByName(v2),
+        "doc_id", "version", "op")
+      gate(snap.select(col("doc_id"), col("version"),
+        length(col("text")).cast("long").as("n_chars")), "doc_id")
+    }),
     // ext: PII detection + redaction. The synthetic corpus carries no PII,
     // so the contract plants one deterministic email/IPv4/phone per doc
     // (pure functions of doc_id, built identically on both engines) —
@@ -1248,6 +1267,23 @@ object TextEntries {
         |            ELSE 'changed' END AS status
         |FROM oldd o FULL OUTER JOIN newd n ON o.doc_id = n.doc_id
         |ORDER BY doc_id""".stripMargin,
+    // independent winner derivation: version-desc row_number window vs
+    // the Spark side's max_by arg-max aggregate
+    "corpus_upsert" ->
+      """WITH c AS (
+        |  SELECT doc_id, 1 AS version, 'U' AS op, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 2 AS version,
+        |         CASE WHEN doc_id % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+        |         text || ' v2' AS text
+        |  FROM documents WHERE doc_id % 5 = 0 OR doc_id % 7 = 0),
+        |w AS (SELECT doc_id, version, op, text,
+        |        row_number() OVER (PARTITION BY doc_id
+        |                           ORDER BY version DESC) AS rn
+        |      FROM c)
+        |SELECT doc_id, CAST(version AS BIGINT) AS version,
+        |       CAST(length(text) AS BIGINT) AS n_chars
+        |FROM w WHERE rn = 1 AND op <> 'D' ORDER BY doc_id""".stripMargin,
     // same planted segments, same trim/df/cap rule; reassembly via
     // ORDER BY pos string_agg mirrors the Spark side's array_sort
     "boilerplate_scrub" ->

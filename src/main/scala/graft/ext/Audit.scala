@@ -74,4 +74,35 @@ object Audit {
           .when(col("h_old") === col("h_new"), "unchanged")
           .otherwise("changed").as("status"))
   }
+
+  /**
+   * Versioned-snapshot MERGE resolution — the `MERGE INTO` / CDC-upsert
+   * semantics of table formats (Delta, Iceberg) expressed engine-side
+   * over a plain append-only commit log: `commits` holds one row per
+   * (key, version) with an op column (`'D'` = tombstone, anything else
+   * = upsert) and arbitrary payload columns; the current snapshot is,
+   * per key, the highest-version row — dropped entirely when that
+   * winning row is a tombstone. [[corpusDiff]] answers "what changed
+   * between two snapshots"; this materializes the snapshot itself from
+   * the change history. Versions must be unique per key (the commit-log
+   * invariant every table format already enforces); ties would make the
+   * winner nondeterministic.
+   *
+   * Scale shape: ONE key-shuffled arg-max aggregate (`max_by` over the
+   * payload struct) with map-side partials — each mapper pre-reduces
+   * its slice to one candidate per key before the exchange, so the
+   * shuffle carries ≤ one row per (mapper, key), not the commit log.
+   * No window sort over the log (the row_number spelling re-sorts every
+   * partition; the aggregate never does), and the tombstone filter is a
+   * result-sized map stage.
+   */
+  def mergeSnapshots(commits: DataFrame, keyCol: String,
+      versionCol: String, opCol: String): DataFrame = {
+    val payload = commits.columns.filter(_ != keyCol)
+    commits.groupBy(col(keyCol))
+      .agg(max_by(struct(payload.map(col).toSeq: _*),
+        col(versionCol)).as("w"))
+      .select(col(keyCol) +: payload.map(c => col(s"w.$c").as(c)): _*)
+      .where(col(opCol) =!= "D")
+  }
 }

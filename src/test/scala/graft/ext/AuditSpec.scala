@@ -56,4 +56,31 @@ class AuditSpec extends SparkSpec {
     assert(plan.contains("h_old") && plan.contains("h_new") &&
       !plan.contains("text#"), plan)
   }
+
+  test("mergeSnapshots: latest version wins, tombstones drop, re-adds resurrect") {
+    // key 1: plain upsert chain (v1 -> v2) — v2 payload wins
+    // key 2: deleted at v2 — absent from the snapshot
+    // key 3: deleted at v2, re-added at v3 — present with the v3 payload
+    // key 4: only a tombstone — never present
+    val commits = Seq(
+      (1L, 1L, "U", "one"), (1L, 2L, "U", "one v2"),
+      (2L, 1L, "U", "two"), (2L, 2L, "D", "two"),
+      (3L, 1L, "U", "three"), (3L, 2L, "D", "three"), (3L, 3L, "U", "three v3"),
+      (4L, 1L, "D", "four")
+    ).toDF("doc_id", "version", "op", "text")
+    val got = Audit.mergeSnapshots(commits, "doc_id", "version", "op")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 2L, "one v2"), (3L, 3L, "three v3")))
+  }
+
+  test("mergeSnapshots resolves through one aggregate, no window sort") {
+    val commits = Seq((1L, 1L, "U", "x")).toDF("doc_id", "version", "op", "text")
+    val plan = Audit.mergeSnapshots(commits, "doc_id", "version", "op")
+      .queryExecution.executedPlan.toString
+    // arg-max aggregate with map-side partials; the row_number spelling
+    // would show a Window + Sort pair here
+    assert(plan.contains("max_by") && !plan.contains("Window"), plan)
+  }
 }
