@@ -170,7 +170,9 @@ object Bench {
     "pair_budget_sketch",
     // MERGE-INTO snapshot resolution: one key-shuffled max_by arg-max
     // over the commit log, no window sort
-    "corpus_upsert")
+    "corpus_upsert",
+    // TextRank keywords: lead-window adjacency + 5 pageRank rounds
+    "keywords_textrank")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

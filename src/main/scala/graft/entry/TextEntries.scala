@@ -106,6 +106,13 @@ object TextEntries {
     "vocab_cms_audit" -> ((s, dir) =>
       gate(TextAnalysis.cmsVocabAudit(docs(s, dir), "doc_id", "text",
         CmsDepth, CmsWidth, CmsK), "token")),
+    // ext: TextRank keyword scores — PageRank over the corpus-wide
+    // content-token co-occurrence graph (adjacency over the filtered
+    // sequence via ONE lead window, never a pos+1 self-join); full
+    // (token, rank) distribution, no top-k tie policy needed
+    "keywords_textrank" -> ((s, dir) =>
+      gate(TextAnalysis.textRank(docs(s, dir), "doc_id", "text",
+        TrIters, TrDamping, TrMinLen), "token")),
     // ext: CMS inner-product join-size estimate of the token-bucket
     // doc-pair candidate join ((Σ df² − N)/2), audited against the
     // exact postings aggregate — the plan-before-you-run number every
@@ -505,6 +512,12 @@ object TextEntries {
 
   /** Heavy-hitter count for the vocabulary contract. */
   private val VocabK = 100
+
+  /** TextRank contract: 5 power-iteration rounds at the standard 0.85
+    * damping (the graph_pagerank convention), content tokens ≥ 3 chars. */
+  private val TrIters = 5
+  private val TrDamping = 0.85
+  private val TrMinLen = 3
 
   /** Per-language heavy hitters kept by the grouped-vocab contract. */
   private val VocabLangK = 15
@@ -909,6 +922,43 @@ object TextEntries {
         |       MIN(s.cnt) - pr.n_exact AS overcount
         |FROM pr JOIN sketch s USING (r, b)
         |GROUP BY pr.token, pr.n_exact ORDER BY pr.token""".stripMargin
+    },
+    // the same unrolled power iteration as graph_pagerank, over the
+    // lead-window co-occurrence graph; identical per-round arithmetic,
+    // rank snapped only in the outer SELECT
+    "keywords_textrank" -> {
+      val iters = (1 to TrIters).map { i =>
+        s"""c$i AS (SELECT p.dst, SUM(p.prob * r.rank) AS c
+           |      FROM p JOIN r${i - 1} r ON r.node = p.src GROUP BY 1),
+           |r$i AS (SELECT nd.node,
+           |        (1.0 - $TrDamping) / nn.n + $TrDamping * COALESCE(c$i.c, 0.0) AS rank
+           |      FROM nd CROSS JOIN nn LEFT JOIN c$i ON c$i.dst = nd.node)""".stripMargin
+      }.mkString(",\n")
+      tokSql + s""",
+        |kept AS MATERIALIZED (SELECT doc_id, pos, token FROM tok
+        |  WHERE length(token) >= $TrMinLen
+        |    AND token NOT IN ${inList(TextAnalysis.Stopwords)}),
+        |adj AS (SELECT token AS src,
+        |               lead(token, 1) OVER (PARTITION BY doc_id
+        |                                    ORDER BY pos) AS dst
+        |        FROM kept),
+        |e0 AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM adj
+        |       WHERE dst IS NOT NULL AND dst <> src GROUP BY 1, 2),
+        |e AS MATERIALIZED (
+        |  SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM
+        |    (SELECT src, dst, w FROM e0
+        |     UNION ALL SELECT dst AS src, src AS dst, w FROM e0)
+        |  GROUP BY 1, 2),
+        |ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wout FROM e GROUP BY 1),
+        |p AS MATERIALIZED (
+        |  SELECT e.src, e.dst, CAST(e.w AS DOUBLE) / CAST(ow.wout AS DOUBLE) AS prob
+        |  FROM e JOIN ow USING (src)),
+        |nd AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+        |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nd),
+        |r0 AS MATERIALIZED (SELECT node, 1.0 / nn.n AS rank FROM nd CROSS JOIN nn),
+        |$iters
+        |SELECT node AS token, ${r6sql("rank")} AS rank FROM r$TrIters
+        |ORDER BY token""".stripMargin
     },
     // the same sketch rebuilt over DISTINCT (doc, token) postings, then
     // the AMS inner product Σ cnt² per row and its min — integer all

@@ -342,6 +342,47 @@ object TextAnalysis {
   }
 
   /**
+   * TextRank keyword scoring (Mihalcea & Tarau 2004) — the unsupervised
+   * keyword extractor: tokens are nodes, consecutive CONTENT tokens
+   * (length ≥ `minLen`, non-stopword — adjacency over the filtered
+   * sequence, the standard formulation) are co-occurrence edges
+   * weighted by corpus-wide count, and a token's keyword score is its
+   * PageRank in that graph. Corpus-level rather than per-document: one
+   * graph over the whole corpus gives the topic lexicon (per-doc
+   * keywords are then the doc's tokens ranked by this score). Returns
+   * every node's (token, rank) — no top-k cut, so downstream choosers
+   * see the full distribution and the contract needs no tie policy.
+   * Equal adjacent tokens are skipped (a self-loop is pure rank
+   * self-feedback, signal-free). Isolated content tokens (no content
+   * neighbor anywhere) have no edges and thus no node — documented.
+   *
+   * Scale shape: adjacency via ONE `lead` window over (doc, pos) — a
+   * single exchange keyed by doc, partitions bounded by document
+   * length, never a self-join on pos+1 — then a vocabulary²-bounded
+   * (in practice edge-sparse) count aggregate, symmetrize + one more
+   * aggregate, and [[Graph.pageRank]]'s per-round edge-join/aggregate
+   * with `localCheckpoint` lineage truncation. Nothing driver-side.
+   */
+  def textRank(docs: DataFrame, idCol: String, textCol: String,
+      iters: Int, damping: Double = 0.85, minLen: Int = 3,
+      stopWords: Seq[String] = Stopwords): DataFrame = {
+    val kept = tokensWithPosition(docs, idCol, textCol)
+      .where(length(col("token")) >= minLen &&
+        !col("token").isin(stopWords: _*))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val e0 = kept
+      .withColumn("next", lead(col("token"), 1).over(w))
+      .where(col("next").isNotNull && col("next") =!= col("token"))
+      .groupBy(col("token").as("src"), col("next").as("dst"))
+      .agg(count(lit(1)).as("weight"))
+    val edges = e0.unionByName(
+        e0.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
+      .groupBy("src", "dst").agg(sum(col("weight")).as("weight"))
+    Graph.pageRank(edges, iters, damping, pin = _.localCheckpoint())
+      .select(col("node").as("token"), col("rank"))
+  }
+
+  /**
    * Temperature-based mixture weighting (the multilingual/data-mixture
    * sampling rule of mT5/XLM-R-style training: sample group i with
    * probability ∝ n_i^τ) — the step that turns [[corpusMix]]'s budget

@@ -272,6 +272,27 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("textRank: filtered-sequence adjacency, mass 1, hub token dominates") {
+    // content adjacency skips stopwords and short tokens: "alpha the xy
+    // beta" still links alpha–beta; "core" co-occurs with everything,
+    // "edge"/"leaf"/"rare" only with core → core must rank highest
+    val d = Seq(
+      (0L, "core edge the core leaf"),
+      (1L, "alpha the xy beta"),
+      (2L, "core rare a core edge"),
+      (3L, "core beta")).toDF("doc_id", "text")
+    val got = TextAnalysis.textRank(d, "doc_id", "text", iters = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // "the"/"a" (stopwords) and "xy" (short) are not nodes
+    assert(!got.contains("the") && !got.contains("a") && !got.contains("xy"))
+    assert(got.keySet == Set("core", "edge", "leaf", "alpha", "beta", "rare"))
+    // symmetrized co-occurrence graph has no sinks → rank mass stays 1
+    assertApprox(got.values.sum, 1.0, 1e-9)
+    assert(got("core") > got("edge") && got("core") > got("beta"))
+    // doc 1's bridge: alpha–beta adjacency crossed the filtered gap
+    assert(got("alpha") > 0.0 && got("beta") > got("alpha"))
+  }
+
   test("qualityFilter keeps only documents inside every signal bound") {
     val d = Seq(
       (0L, "alpha beta gamma delta epsilon"),        // passes
