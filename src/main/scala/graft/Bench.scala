@@ -172,7 +172,9 @@ object Bench {
     // over the commit log, no window sort
     "corpus_upsert",
     // TextRank keywords: lead-window adjacency + 5 pageRank rounds
-    "keywords_textrank")
+    "keywords_textrank",
+    // KMV bottom-k cardinality: distinct-collapse + k-row TakeOrdered
+    "vocab_kmv_audit")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

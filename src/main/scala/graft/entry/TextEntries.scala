@@ -125,6 +125,12 @@ object TextEntries {
     "vocab_hll_audit" -> ((s, dir) =>
       gate(TextAnalysis.hllVocabAudit(docs(s, dir), "source", "text")
         .withColumnRenamed("grp", "source"), "source")),
+    // ext: KMV bottom-k cardinality sketch vs the exact distinct count —
+    // hash-independent second estimator next to HLL, whose k retained
+    // rows double as a mergeable uniform sample of the distinct domain
+    "vocab_kmv_audit" -> ((s, dir) =>
+      gate(TextAnalysis.kmvVocabAudit(docs(s, dir), "doc_id", "text", KmvK),
+        "k_eff")),
     // ext: per-(source, lang) corpus mixture statistics
     "corpus_mix" -> ((s, dir) =>
       gate(TextAnalysis.corpusMix(docs(s, dir), "text", Seq("source", "lang")),
@@ -518,6 +524,10 @@ object TextEntries {
   private val TrIters = 5
   private val TrDamping = 0.85
   private val TrMinLen = 3
+
+  /** KMV contract: bottom-16 hashes — small enough that the estimator
+    * (not the ≤k exact path) is exercised on the sf corpora's vocab. */
+  private val KmvK = 16
 
   /** Per-language heavy hitters kept by the grouped-vocab contract. */
   private val VocabLangK = 15
@@ -923,6 +933,23 @@ object TextEntries {
         |FROM pr JOIN sketch s USING (r, b)
         |GROUP BY pr.token, pr.n_exact ORDER BY pr.token""".stripMargin
     },
+    // the identical avalanche chain over the distinct vocabulary; the
+    // k-th min is integer and the one estimator division is IEEE
+    "vocab_kmv_audit" ->
+      (tokSql + s""",
+        |tv AS MATERIALIZED (SELECT DISTINCT token FROM tok),
+        |hv AS (SELECT DISTINCT ${TextHash.avalancheSql(
+          TextHash.tokenValue("token"), TextAnalysis.KmvSalt)} AS h FROM tv),
+        |bot AS (SELECT h FROM hv ORDER BY h LIMIT $KmvK),
+        |kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_eff,
+        |              CAST(MAX(h) AS BIGINT) AS kth_h FROM bot),
+        |ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM tv)
+        |SELECT kk.k_eff, kk.kth_h,
+        |  ${r6sql(s"CASE WHEN kk.k_eff < $KmvK THEN CAST(kk.k_eff AS DOUBLE)" +
+            s" ELSE CAST(kk.k_eff - 1 AS DOUBLE) * ${TextHash.P31}" +
+            " / CAST(kk.kth_h AS DOUBLE) END")} AS est_distinct,
+        |  ex.n_exact
+        |FROM kk CROSS JOIN ex""".stripMargin),
     // the same unrolled power iteration as graph_pagerank, over the
     // lead-window co-occurrence graph; identical per-round arithmetic,
     // rank snapped only in the outer SELECT

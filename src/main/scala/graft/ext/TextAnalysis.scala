@@ -341,6 +341,53 @@ object TextAnalysis {
         (col("est_sq") - col("exact_sq")).as("overcount"))
   }
 
+  /** Salt for the KMV hash — distinct from [[HllSalt]] so the two
+    * cardinality sketches are hash-independent estimators. */
+  val KmvSalt = 31337L
+
+  /**
+   * KMV (k-minimum-values, Bar-Yossef et al. 2002) distinct-count
+   * sketch over the vocabulary, audited against the exact distinct
+   * count — the fourth member of the sketch family (CMS frequencies,
+   * HLL cardinality, histogram quantiles): keep the k smallest DISTINCT
+   * hash values; with U_(k) = h_k/P the k-th order statistic of n
+   * uniforms, n̂ = (k−1)/U_(k). Two things HLL's registers cannot give:
+   * (a) the retained k rows ARE a uniform random sample of the distinct
+   * domain (mergeable bottom-k — union two sketches, keep the k
+   * smallest — so distributed sampling of a keyed domain rides the
+   * sketch for free), and (b) an independent second cardinality path
+   * (different salt, different estimator family) to cross-check
+   * `vocab_hll_audit`. When the domain has ≤ k values the sketch holds
+   * ALL of them and the estimate is exact by construction.
+   *
+   * Deterministic cross-engine: the hash chain is the portable
+   * avalanche, the k-th min is integer, and the one division is IEEE.
+   *
+   * Scale shape: distinct-collapse then a k-row TakeOrdered (never a
+   * global sort), a 1-row max/count, and the 1-row exact audit crossed
+   * in — at full scale you keep the sketch and drop the audit, and the
+   * bottom-k union-merges across partitions/streams by construction.
+   */
+  def kmvVocabAudit(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, "the (k-1)/U_k estimator needs k >= 2")
+    val tokens = tokensWithPosition(docs, idCol, textCol)
+      .select(col("token")).distinct()
+    val hs = tokens
+      .select(expr(TextHash.avalancheSql(
+        TextHash.tokenValue("token"), KmvSalt)).as("h"))
+      .distinct()
+    val kth = hs.orderBy(col("h").asc).limit(k)
+      .agg(max(col("h")).as("kth_h"), count(lit(1)).as("k_eff"))
+    val exact = tokens.agg(count(lit(1)).as("n_exact"))
+    kth.crossJoin(broadcast(exact))
+      .select(col("k_eff"), col("kth_h"),
+        when(col("k_eff") < k, col("k_eff").cast("double"))
+          .otherwise((col("k_eff") - 1).cast("double") * lit(TextHash.P31)
+            / col("kth_h").cast("double")).as("est_distinct"),
+        col("n_exact"))
+  }
+
   /**
    * TextRank keyword scoring (Mihalcea & Tarau 2004) — the unsupervised
    * keyword extractor: tokens are nodes, consecutive CONTENT tokens

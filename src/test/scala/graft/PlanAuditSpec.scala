@@ -54,6 +54,8 @@ class PlanAuditSpec extends SparkSpec {
       // the exact-Σf² and sketch-min 1-row frames crossed into the
       // single audit row
       "pair_budget_sketch",
+      // the bottom-k 1-row max/count crossed with the 1-row exact count
+      "vocab_kmv_audit",
       // 1-row average-balance scalar broadcast over the customer scan
       "rel_dormant_customers",
       // 1-row dangling-mass scalar broadcast per power-iteration round

@@ -272,6 +272,23 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("kmvVocabAudit: exact when the domain fits in k, estimator above it") {
+    val d = Seq((0L, "a b c a"), (1L, "c d")).toDF("doc_id", "text")
+    // 4 distinct tokens, k = 8 ≥ domain → the sketch holds everything
+    // and the estimate is the exact count by construction
+    val fit = TextAnalysis.kmvVocabAudit(d, "doc_id", "text", 8).collect().head
+    assert(fit.getLong(0) == 4L && fit.getLong(3) == 4L)
+    assertApprox(fit.getDouble(2), 4.0, 1e-9)
+    // k = 2 < domain → the (k−1)/U_(k) estimator: positive, finite, and
+    // a pure function of the 2nd-smallest hash (deterministic re-runs)
+    val est = TextAnalysis.kmvVocabAudit(d, "doc_id", "text", 2).collect().head
+    assert(est.getLong(0) == 2L && est.getLong(1) > 0L)
+    assert(est.getDouble(2) > 0.0 && !est.getDouble(2).isInfinite)
+    val again = TextAnalysis.kmvVocabAudit(d, "doc_id", "text", 2).collect().head
+    assert(est.getDouble(2) == again.getDouble(2) &&
+      est.getLong(1) == again.getLong(1))
+  }
+
   test("textRank: filtered-sequence adjacency, mass 1, hub token dominates") {
     // content adjacency skips stopwords and short tokens: "alpha the xy
     // beta" still links alpha–beta; "core" co-occurs with everything,
