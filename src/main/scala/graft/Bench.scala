@@ -174,7 +174,9 @@ object Bench {
     // TextRank keywords: lead-window adjacency + 5 pageRank rounds
     "keywords_textrank",
     // KMV bottom-k cardinality: distinct-collapse + k-row TakeOrdered
-    "vocab_kmv_audit")
+    "vocab_kmv_audit",
+    // Matryoshka truncation audit: broadcast-queries scan, 2 dots/pair
+    "embed_truncation_audit")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

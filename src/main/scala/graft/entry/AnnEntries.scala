@@ -23,12 +23,24 @@ object AnnEntries {
   private val MmrPool = 20
   private val MmrLambda = 0.7
 
+  /** Truncation-audit contract: keep the first 32 of 64 dims, sample
+    * queries at ids ≡ 0 mod 50, count moves above the 1e-3 grid. */
+  private val TruncDim = 32
+  private val TruncQueryMod = 50
+  private val TruncEps = 0.001
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // greedy farthest-point diversity sample (Gonzalez k-center):
     // snapped-distance argmax per round, id tie-break
     "sample_kcenter" -> ((s, dir) =>
       gate(Embeddings.kCenterSample(embeddings(s, dir),
         "vec_id", "embedding", KCenterK), "rank")),
+    // Matryoshka truncation audit: per query the |Δcosine| distribution
+    // between full-dim and prefix-dim similarity — both snapped before
+    // differencing, so the deltas are bit-identical in any engine
+    "embed_truncation_audit" -> ((s, dir) =>
+      gate(Embeddings.truncationAudit(embeddings(s, dir), "vec_id",
+        "embedding", TruncDim, TruncQueryMod, TruncEps), "query_id")),
     // brute-force cosine top-10 for the 50 query vectors
     "ann_topk_brute" -> ((s, dir) => {
       val e = embeddings(s, dir)
@@ -347,6 +359,42 @@ object AnnEntries {
         |FROM rk WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // full- and prefix-dim cosines from the same exploded elements (the
+    // prefix is i < TruncDim), each r6-snapped BEFORE the abs diff —
+    // identical doubles in both engines, so every comparison agrees
+    "embed_truncation_audit" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |u AS MATERIALIZED (SELECT vec_id, i, embedding[i+1]::DOUBLE AS v
+        |      FROM e, UNNEST(range(len(embedding))) AS r(i)),
+        |nf AS (SELECT vec_id, sqrt(SUM(v*v)) AS nrm FROM u GROUP BY 1),
+        |nh AS (SELECT vec_id, sqrt(SUM(v*v)) AS nrm FROM u
+        |       WHERE i < $TruncDim GROUP BY 1),
+        |df AS (SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+        |              SUM(a.v * b.v) AS dot
+        |       FROM u a JOIN u b ON a.i = b.i
+        |         AND a.vec_id % $TruncQueryMod = 0 AND a.vec_id <> b.vec_id
+        |       GROUP BY 1, 2),
+        |dh AS (SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+        |              SUM(a.v * b.v) AS dot
+        |       FROM u a JOIN u b ON a.i = b.i AND a.i < $TruncDim
+        |         AND a.vec_id % $TruncQueryMod = 0 AND a.vec_id <> b.vec_id
+        |       GROUP BY 1, 2),
+        |dd AS (SELECT df.query_id,
+        |          abs(${r6sql("df.dot / (nqf.nrm * ncf.nrm)")}
+        |            - ${r6sql("CASE WHEN nqh.nrm = 0 OR nch.nrm = 0 THEN 0.0" +
+                  " ELSE dh.dot / (nqh.nrm * nch.nrm) END")}) AS d
+        |       FROM df JOIN dh ON dh.query_id = df.query_id
+        |                      AND dh.cand_id = df.cand_id
+        |       JOIN nf nqf ON nqf.vec_id = df.query_id
+        |       JOIN nf ncf ON ncf.vec_id = df.cand_id
+        |       JOIN nh nqh ON nqh.vec_id = df.query_id
+        |       JOIN nh nch ON nch.vec_id = df.cand_id)
+        |SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_cands,
+        |  ${r6sql("AVG(d)")} AS mean_abs_delta,
+        |  ${r6sql("MAX(d)")} AS max_abs_delta,
+        |  CAST(SUM(CASE WHEN d > CAST($TruncEps AS DOUBLE) THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_moved
+        |FROM dd GROUP BY 1 ORDER BY 1""".stripMargin,
     // the same greedy chain unrolled: round j's pick maximizes the
     // 1e-6-snapped min-squared-distance to picks 0..j-1 (LEAST-folded
     // exactly like the Spark side's running min), smaller id on ties

@@ -920,6 +920,58 @@ object Embeddings {
   }
 
   /**
+   * Truncation fidelity audit (the Matryoshka question, Kusupati et al.
+   * 2022: how much similarity structure survives keeping only the first
+   * `prefixDim` dimensions?): for each query vector (ids ≡ 0 mod
+   * `queryMod`), cosine to every other vector is computed at FULL
+   * dimension and at the `prefixDim` prefix, and the per-query
+   * distribution of |Δcosine| is summarized — candidate count, mean and
+   * max |Δ|, and how many candidates moved by more than `eps`. That is
+   * the evidence for the storage/recall trade of truncated embeddings
+   * (serve prefix-dim, rerank full-dim): a small max |Δ| bounds the
+   * rank damage any truncated ANN route can cause.
+   *
+   * Both cosines are snapped to the 1e-6 grid BEFORE differencing, so
+   * the deltas (and the eps threshold) compare bit-identical values in
+   * any engine. Aggregate, not top-k: no tie policy needed.
+   *
+   * Scale shape: [[topK]]'s broadcast-queries × candidate-scan shape
+   * with two codegen'd float_dot's per pair instead of one (the prefix
+   * slice is row-local), folding straight into a query-keyed aggregate
+   * with map-side partials — Q·N dots, result is Q rows. At corpus
+   * scale you run it on a sampled query set exactly as here.
+   */
+  def truncationAudit(emb: DataFrame, idCol: String, vecCol: String,
+      prefixDim: Int, queryMod: Int, eps: Double = 0.001): DataFrame = {
+    require(prefixDim >= 1 && queryMod >= 1 && eps >= 0)
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val base = emb.select(col(idCol).as("vec_id"), col(vecCol).as("emb"),
+        expr(s"slice($vecCol, 1, $prefixDim)").as("hemb"))
+      .withColumn("nrm", expr(normSql("emb")))
+      .withColumn("hnrm", expr(normSql("hemb")))
+    val q = base.where(pmod(col("vec_id"), lit(queryMod)) === 0)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"),
+        col("hemb").as("qhemb"), col("nrm").as("qnrm"), col("hnrm").as("qhnrm"))
+    // a zero-mass PREFIX (all leading dims 0) is a failure mode slicing
+    // introduces that full-dim cosine doesn't have: score it 0
+    // (orthogonal by convention) instead of leaking a NaN division
+    val delta = base.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"),
+        snapCol(expr(dotSql("qemb", "emb")) / (col("qnrm") * col("nrm")))
+          .as("cf"),
+        snapCol(when(col("qhnrm") === 0.0 || col("hnrm") === 0.0, lit(0.0))
+          .otherwise(expr(dotSql("qhemb", "hemb"))
+            / (col("qhnrm") * col("hnrm"))))
+          .as("ch"))
+      .select(col("query_id"), abs(col("cf") - col("ch")).as("d"))
+    delta.groupBy("query_id")
+      .agg(count(lit(1)).as("n_cands"),
+        avg(col("d")).as("mean_abs_delta"),
+        max(col("d")).as("max_abs_delta"),
+        sum(when(col("d") > eps, 1L).otherwise(0L)).as("n_moved"))
+  }
+
+  /**
    * kNN label vote over any top-k family result — auto-labeling of
    * unlabeled vectors and label-error auditing (Northcutt et al. 2021,
    * "confident learning": examples whose neighbors systematically

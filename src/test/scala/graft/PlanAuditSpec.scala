@@ -56,6 +56,9 @@ class PlanAuditSpec extends SparkSpec {
       "pair_budget_sketch",
       // the bottom-k 1-row max/count crossed with the 1-row exact count
       "vocab_kmv_audit",
+      // ann_topk_brute's sanctioned broadcast-queries × candidate scan
+      // with two dots per pair instead of one
+      "embed_truncation_audit",
       // 1-row average-balance scalar broadcast over the customer scan
       "rel_dormant_customers",
       // 1-row dangling-mass scalar broadcast per power-iteration round

@@ -577,4 +577,24 @@ class EmbeddingsSpec extends SparkSpec {
     assert(r.map(_.getAs[Long]("vec_id")).sorted.toSeq === Seq(7L, 8L))
     assert(r.map(_.getAs[Long]("rank")).sorted.toSeq === Seq(0L, 1L))
   }
+
+  test("truncationAudit: hand-computed deltas, zero-prefix convention") {
+    // query (1,0,0,0), prefix = first 2 dims:
+    //  id 1 identical            → cf = 1,    ch = 1    → d = 0
+    //  id 2 orthogonal in prefix → cf = 0,    ch = 0    → d = 0
+    //  id 3 ZERO prefix          → cf = 0,    ch = 0 (convention) → d = 0
+    //  id 4 (1,0,1,0)            → cf = 1/√2, ch = 1    → d ≈ 0.292893
+    val pts = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(1f, 0f, 0f, 0f)),
+      (2L, Seq(0f, 1f, 0f, 0f)), (3L, Seq(0f, 0f, 1f, 0f)),
+      (4L, Seq(1f, 0f, 1f, 0f))).toDF("vec_id", "embedding")
+    val r = Embeddings.truncationAudit(pts, "vec_id", "embedding",
+        prefixDim = 2, queryMod = 10).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(0) == 0L && row.getLong(1) == 4L)
+    assertApprox(row.getDouble(3), 1.0 - 0.707107, 1e-6)   // max |Δ|
+    assertApprox(row.getDouble(2), (1.0 - 0.707107) / 4, 1e-6)
+    assert(row.getLong(4) == 1L)                           // only id 4 moved
+  }
 }
