@@ -176,7 +176,9 @@ object Bench {
     // KMV bottom-k cardinality: distinct-collapse + k-row TakeOrdered
     "vocab_kmv_audit",
     // Matryoshka truncation audit: broadcast-queries scan, 2 dots/pair
-    "embed_truncation_audit")
+    "embed_truncation_audit",
+    // per-chunk language voting: two keyed aggregates + a ≤4-row window
+    "lang_consistency")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

@@ -54,6 +54,12 @@ object TextEntries {
     // ext: marker-based language identification
     "lang_id" -> ((s, dir) =>
       gate(TextAnalysis.langId(docs(s, dir), "doc_id", "text"), "doc_id")),
+    // ext: per-chunk language consistency (code-switching detector) —
+    // chunk-lang argmax re-aggregated per doc; the window partitions
+    // are language-count bounded, never corpus bounded
+    "lang_consistency" -> ((s, dir) =>
+      gate(TextAnalysis.langConsistency(docs(s, dir), "doc_id", "text",
+        LcChunkTokens), "doc_id")),
     // ext: whitespace + BPE-ish subword token counting
     "token_counts" -> ((s, dir) =>
       gate(TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text"), "doc_id")),
@@ -529,6 +535,10 @@ object TextEntries {
     * (not the ≤k exact path) is exercised on the sf corpora's vocab. */
   private val KmvK = 16
 
+  /** Language-consistency chunk width: 16 tokens gives the 10–99-token
+    * corpus docs 1–7 chunks each, so multi-chunk voting is exercised. */
+  private val LcChunkTokens = 16
+
   /** Per-language heavy hitters kept by the grouped-vocab contract. */
   private val VocabLangK = 15
 
@@ -725,6 +735,29 @@ object TextEntries {
         |            WHEN score_fr >= score_es THEN 'fr'
         |            ELSE 'es' END AS pred_lang
         |FROM scored ORDER BY doc_id""".stripMargin),
+    // same chunk split (pos // width), same marker scores and argmax
+    // cascade per chunk, winner via (count desc, lang) row_number
+    "lang_consistency" ->
+      (tokSql + s""",
+        |ck AS (SELECT doc_id, pos // $LcChunkTokens AS chunk_id, token FROM tok),
+        |scored AS (SELECT doc_id, chunk_id, $langScores
+        |           FROM ck GROUP BY doc_id, chunk_id),
+        |cl AS (SELECT doc_id, chunk_id,
+        |       CASE WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
+        |            WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+        |            WHEN score_fr >= score_es THEN 'fr'
+        |            ELSE 'es' END AS pred_lang FROM scored),
+        |pl AS (SELECT doc_id, pred_lang, CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM cl GROUP BY 1, 2),
+        |rk AS (SELECT doc_id, pred_lang, c,
+        |       row_number() OVER (PARTITION BY doc_id
+        |                          ORDER BY c DESC, pred_lang) AS rn FROM pl)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chunks,
+        |  CAST(COUNT(*) AS BIGINT) AS n_langs,
+        |  MAX(CASE WHEN rn = 1 THEN pred_lang END) AS majority_lang,
+        |  ${r6sql("CAST(MAX(CASE WHEN rn = 1 THEN c END) AS DOUBLE)" +
+            " / CAST(SUM(c) AS DOUBLE)")} AS majority_share
+        |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "token_counts" ->
       (tokSql + """
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ws_tokens,

@@ -346,6 +346,58 @@ object TextAnalysis {
   val KmvSalt = 31337L
 
   /**
+   * Language-consistency audit — the code-switching / wrong-language-
+   * segment detector multilingual curation runs after document-level
+   * [[langId]]: the document is cut into fixed `chunkTokens` chunks,
+   * each chunk is language-identified independently (same marker
+   * argmax, same tie order), and the per-document chunk-lang
+   * distribution is summarized: chunk count, distinct predicted
+   * languages, the majority language (most chunks; ties → smaller lang
+   * code) and its share. A document whose majority share is low is
+   * either genuinely mixed-language (split it, or route to a
+   * multilingual bucket) or boilerplate-noisy — either way it is
+   * exactly the document a per-doc language label silently mislabels.
+   *
+   * Scale shape: one map-side chunk assignment on the token stream
+   * (pos DIV chunkTokens — row-local), ONE (doc, chunk)-keyed count
+   * aggregate, one (doc, lang)-keyed re-aggregate of the chunk table,
+   * and a per-doc argmax window whose partitions are bounded by the
+   * LANGUAGE COUNT (≤ 4), never by document or corpus size.
+   */
+  def langConsistency(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int): DataFrame = {
+    require(chunkTokens >= 1)
+    val toks = tokensWithPosition(docs, idCol, textCol)
+      .withColumn("chunk_id",
+        (col("pos").cast("long") / chunkTokens).cast("long"))
+    val scoreCols = LangMarkers.map { case (lang, markers) =>
+      sum(when(col("token").isin(markers: _*), 1L).otherwise(0L))
+        .as(s"score_$lang")
+    }
+    val scored = toks.groupBy("doc_id", "chunk_id")
+      .agg(scoreCols.head, scoreCols.tail: _*)
+    val langs = LangMarkers.map(_._1)
+    val pred = langs.init.zipWithIndex.foldRight(lit(langs.last): Column) {
+      case ((lang, i), els) =>
+        val isMax = langs.drop(i + 1)
+          .map(o => col(s"score_$lang") >= col(s"score_$o"))
+          .reduce(_ && _)
+        when(isMax, lit(lang)).otherwise(els)
+    }
+    val perLang = scored.withColumn("pred_lang", pred)
+      .groupBy("doc_id", "pred_lang").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("c").desc, col("pred_lang").asc)
+    perLang.withColumn("rn", row_number().over(w))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_chunks"),
+        count(lit(1)).as("n_langs"),
+        max(when(col("rn") === 1, col("pred_lang"))).as("majority_lang"),
+        (max(when(col("rn") === 1, col("c"))).cast("double")
+          / sum(col("c")).cast("double")).as("majority_share"))
+  }
+
+  /**
    * KMV (k-minimum-values, Bar-Yossef et al. 2002) distinct-count
    * sketch over the vocabulary, audited against the exact distinct
    * count — the fourth member of the sketch family (CMS frequencies,

@@ -272,6 +272,22 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("langConsistency: mixed doc flagged, ties break to the smaller lang") {
+    // doc 0: chunk 0 pure-en markers, chunk 1 pure-de markers → 2 langs,
+    // 1–1 chunk tie → majority = 'de' (count desc, lang asc), share 0.5
+    // doc 1: one all-en chunk → monolingual, share 1.0
+    val d = Seq(
+      (0L, "the the the the der der der der"),
+      (1L, "the a of and")).toDF("doc_id", "text")
+    val got = TextAnalysis.langConsistency(d, "doc_id", "text", 4)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4))))
+      .toMap
+    assert(got(0L) == ((2L, 2L, "de", 0.5)))
+    assert(got(1L) == ((1L, 1L, "en", 1.0)))
+  }
+
   test("kmvVocabAudit: exact when the domain fits in k, estimator above it") {
     val d = Seq((0L, "a b c a"), (1L, "c d")).toDF("doc_id", "text")
     // 4 distinct tokens, k = 8 ≥ domain → the sketch holds everything
