@@ -178,7 +178,9 @@ object Bench {
     // Matryoshka truncation audit: broadcast-queries scan, 2 dots/pair
     "embed_truncation_audit",
     // per-chunk language voting: two keyed aggregates + a ≤4-row window
-    "lang_consistency")
+    "lang_consistency",
+    // Mann–Whitney AUC: score-histogram aggregate + one bounded window
+    "quality_lr_auc")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

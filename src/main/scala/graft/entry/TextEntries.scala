@@ -392,6 +392,19 @@ object TextEntries {
         QfMinTokens, QfMaxTokens, QfMinAvgLen, QfMaxAvgLen, QfMaxStop,
         QfMinTtr), "doc_id")
     }),
+    // ext: exact Mann–Whitney AUC of the distilled classifier against
+    // its rule-gate labels — the evaluate leg of train/score/evaluate;
+    // 2U stays int64, one score-histogram window, division at the end
+    "quality_lr_auc" -> ((s, dir) => {
+      val w = graft.ext.QualityModel.fitLogistic(docs(s, dir), "doc_id",
+          "text", LrIters, LrRate, QfMinTokens, QfMaxTokens, QfMinAvgLen,
+          QfMaxAvgLen, QfMaxStop, QfMinTtr)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      gate(graft.ext.QualityModel.auc(
+        graft.ext.QualityModel.score(docs(s, dir), "doc_id", "text", w,
+          QfMinTokens, QfMaxTokens, QfMinAvgLen, QfMaxAvgLen, QfMaxStop,
+          QfMinTtr), "gate_pass", "p_quality"), "n_pos")
+    }),
     // ext: per-(lang) winsorization of n_chars at the 5/95 band; exact
     // int64 thresholds and clamp on both engines
     "quality_winsorize" -> ((s, dir) =>
@@ -1478,10 +1491,12 @@ object TextEntries {
         |FROM rk WHERE rn <= $ClusterTermsK ORDER BY cluster, rank""".stripMargin,
     // the same 5 GD steps replayed: identical left-associative z, the
     // same sigmoid/mean spellings, weights threaded through CTE columns
-    "quality_lr" -> qualityLrSql(scores = false),
+    "quality_lr" -> qualityLrSql("weights"),
     // the same chain, read out per document: the soft score under the
     // full-precision fitted weights (snapped only at emission)
-    "quality_lr_scores" -> qualityLrSql(scores = true),
+    "quality_lr_scores" -> qualityLrSql("scores"),
+    // the same replayed fit + scores, folded to the Mann–Whitney AUC
+    "quality_lr_auc" -> qualityLrSql("auc"),
 
     // the same greedy rounds replayed in SQL: pair counts weighted by
     // word frequency, argmax on (count DESC, pair ASC), and the greedy
@@ -1559,7 +1574,7 @@ object TextEntries {
   /** The GD-distillation oracle: the shared weight-threading chain with
     * either the weight/loss readout (`scores = false`) or the per-doc
     * soft-score readout under the full-precision fitted weights. */
-  private def qualityLrSql(scores: Boolean): String = {
+  private def qualityLrSql(mode: String): String = {
       val z = "(x0*w.w0 + x1*w.w1 + x2*w.w2 + x3*w.w3 + x4*w.w4)"
       val p = s"(1.0 / (1.0 + exp(-$z)))"
       val iters = (1 to LrIters).map { t =>
@@ -1595,14 +1610,38 @@ object TextEntries {
         |pz AS (SELECT y, $p AS p FROM f CROSS JOIN w$LrIters w),
         |ls AS (SELECT AVG(-(y * ln(p) + (1.0 - y) * ln(1.0 - p))) AS loss FROM pz)
         |${
-          if (scores)
-            s"""SELECT doc_id, CAST(y AS DOUBLE) AS gate_pass, ${r6sql("p")} AS p_quality
-               |FROM (SELECT doc_id, y, $p AS p FROM f CROSS JOIN w$LrIters w)
-               |ORDER BY doc_id""".stripMargin
-          else
-            s"""$outs
-               |UNION ALL SELECT 'z_log_loss', ${r6sql("loss")} FROM ls
-               |ORDER BY feature""".stripMargin
+          mode match {
+            case "scores" =>
+              s"""SELECT doc_id, CAST(y AS DOUBLE) AS gate_pass, ${r6sql("p")} AS p_quality
+                 |FROM (SELECT doc_id, y, $p AS p FROM f CROSS JOIN w$LrIters w)
+                 |ORDER BY doc_id""".stripMargin
+            case "auc" =>
+              // snapped-score histogram → running neg count below each
+              // group → exact int64 2U; the Spark side's identical
+              // Mann–Whitney spelling (QualityModel.auc)
+              s""", sc AS (SELECT y, ${r6sql("p")} AS s
+                 |       FROM (SELECT y, $p AS p FROM f CROSS JOIN w$LrIters w)),
+                 |gg AS (SELECT s,
+                 |        CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+                 |        CAST(SUM(CASE WHEN y = 1.0 THEN 0 ELSE 1 END) AS BIGINT) AS nn
+                 |       FROM sc GROUP BY s),
+                 |cc AS (SELECT s, np, nn,
+                 |        CAST(COALESCE(SUM(nn) OVER (ORDER BY s
+                 |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 |          AS BIGINT) AS cumnn
+                 |       FROM gg)
+                 |SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+                 |  CAST(SUM(nn) AS BIGINT) AS n_neg,
+                 |  CAST(SUM(np * (2 * cumnn + nn)) AS BIGINT) AS u2,
+                 |  ${r6sql("CASE WHEN SUM(np) = 0 OR SUM(nn) = 0 THEN 0.5" +
+                    " ELSE CAST(SUM(np * (2 * cumnn + nn)) AS DOUBLE)" +
+                    " / (2.0 * SUM(np) * SUM(nn)) END")} AS auc
+                 |FROM cc""".stripMargin
+            case _ =>
+              s"""$outs
+                 |UNION ALL SELECT 'z_log_loss', ${r6sql("loss")} FROM ls
+                 |ORDER BY feature""".stripMargin
+          }
         }""".stripMargin
   }
 }

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -112,5 +113,40 @@ object QualityModel {
     val z = Features.indices.map(i => col(s"x$i") * lit(w(i))).reduce(_ + _)
     f.select(col("doc_id"), col("y").as("gate_pass"),
       (lit(1.0) / (lit(1.0) + exp(-z))).as("p_quality"))
+  }
+
+  /**
+   * Exact AUC of any scored table against a binary label — the
+   * evaluation leg of the train ([[fitLogistic]]) / apply ([[score]])
+   * pair: AUC = P(score(pos) > score(neg)) + ½·P(tie), computed from
+   * the Mann–Whitney U statistic without ever ranking rows. Scores are
+   * snapped to the 1e-6 grid BEFORE grouping, so tie groups — and
+   * therefore the statistic — are identical in any engine, and 2U is
+   * kept as an exact int64 (`u2 = Σ_g np_g·(2·cumneg_below + nn_g)`):
+   * the one division happens at the very end. Degenerate single-class
+   * inputs score 0.5 by convention instead of dividing by zero.
+   *
+   * Scale shape: one score-group hash aggregate (map-side partials)
+   * collapses the corpus to the SCORE HISTOGRAM, then one running-sum
+   * window over that histogram — partitions bounded by distinct score
+   * count, the [[TextAnalysis.quantileNormalize]] argument, never by
+   * corpus size — and a 1-row fold. Nothing row-ranked, nothing
+   * driver-side.
+   */
+  def auc(scored: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
+    val g = scored
+      .select(col(labelCol).as("y"),
+        (floor(col(scoreCol) * lit(1e6) + lit(0.50001)) / lit(1e6)).as("s"))
+      .groupBy("s")
+      .agg(sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("np"),
+        sum(when(col("y") === 1.0, 0L).otherwise(1L)).as("nn"))
+    val w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("cumnn", coalesce(sum(col("nn")).over(w), lit(0L)))
+      .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        sum(col("np") * (lit(2L) * col("cumnn") + col("nn"))).as("u2"))
+      .select(col("n_pos"), col("n_neg"), col("u2"),
+        when(col("n_pos") === 0L || col("n_neg") === 0L, lit(0.5))
+          .otherwise(col("u2").cast("double")
+            / (lit(2.0) * col("n_pos") * col("n_neg"))).as("auc"))
   }
 }

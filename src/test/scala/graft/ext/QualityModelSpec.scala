@@ -50,4 +50,24 @@ class QualityModelSpec extends SparkSpec {
     assert(pass.min > fail.max,
       s"pass=${pass.toSeq} fail=${fail.toSeq}")
   }
+
+  test("auc: hand-computed Mann–Whitney with ties, degenerate convention") {
+    import spark.implicits._
+    // scores: pos {0.9, 0.5}, neg {0.5, 0.1} →
+    // pairs: (0.9 beats both) = 2, (0.5 vs 0.1) = 1, (0.5 ties 0.5) = ½
+    // U = 3.5, AUC = 3.5/4 = 0.875, 2U = 7
+    val d = Seq((1.0, 0.9), (1.0, 0.5), (0.0, 0.5), (0.0, 0.1))
+      .toDF("y", "p")
+    val r = QualityModel.auc(d, "y", "p").collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L && r.getLong(2) == 7L)
+    assertApprox(r.getDouble(3), 0.875, 1e-12)
+    // perfect separation → 1.0
+    val sep = Seq((1.0, 0.9), (1.0, 0.8), (0.0, 0.2)).toDF("y", "p")
+    assertApprox(QualityModel.auc(sep, "y", "p").collect().head.getDouble(3),
+      1.0, 1e-12)
+    // single-class input → 0.5 by convention, no division by zero
+    val one = Seq((1.0, 0.9), (1.0, 0.1)).toDF("y", "p")
+    assertApprox(QualityModel.auc(one, "y", "p").collect().head.getDouble(3),
+      0.5, 1e-12)
+  }
 }
