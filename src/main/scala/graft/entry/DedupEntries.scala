@@ -21,6 +21,11 @@ object DedupEntries {
       gate(Dedup.exactNormalized(docs(s, dir), "doc_id", "text"), "doc_id")),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       gate(Dedup.ngramJaccardDups(docs(s, dir), "doc_id", "text"), "doc0", "doc1")),
+    // ext: threshold-calibration sweep over the same exact pair table —
+    // pairs matched + distinct docs touched per candidate minJaccard
+    "dedup_threshold_sweep" -> ((s, dir) =>
+      gate(Dedup.jaccardThresholdSweep(docs(s, dir), "doc_id", "text",
+        SweepThresholds), "t")),
     // tf-weighted (multiset) Jaccard: Σmin/Σmax over unigram term
     // frequencies — the repetition-sensitive kernel set Jaccard cannot
     // see; computed over the df-capped sub-vocabulary
@@ -302,6 +307,9 @@ object DedupEntries {
   private val WjMin = 0.5
   private val WjMaxDf = 200
 
+  /** Candidate minJaccard grid for the calibration sweep. */
+  private val SweepThresholds = Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+
   /** Planted mega-star contract: the hub star converges in one round;
     * two rounds prove propagation holds the fixed point. 8 salts mirrors
     * the aligned_pairs_salted convention. */
@@ -528,6 +536,23 @@ object DedupEntries {
       (shingleSql + s"""
         |SELECT doc0, doc1, ${r6sql("jaccard")} AS jaccard FROM jac
         |WHERE jaccard >= 0.2 ORDER BY doc0, doc1""".stripMargin),
+    // the same exact pair table, fanned out over the threshold grid;
+    // comparisons use the unsnapped integer-operand ratio on both sides
+    "dedup_threshold_sweep" ->
+      (shingleSql + s""",
+        |th AS (SELECT CAST(unnest([${SweepThresholds.mkString(", ")}]) AS DOUBLE) AS t),
+        |hit AS MATERIALIZED (SELECT th.t, j.doc0, j.doc1
+        |       FROM jac j JOIN th ON j.jaccard >= th.t),
+        |np AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM hit GROUP BY 1),
+        |nd AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_docs FROM
+        |       (SELECT DISTINCT t, d FROM
+        |         (SELECT t, doc0 AS d FROM hit
+        |          UNION ALL SELECT t, doc1 FROM hit)) GROUP BY 1)
+        |SELECT ${r6sql("th.t")} AS t,
+        |  CAST(COALESCE(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+        |  CAST(COALESCE(nd.n_docs, 0) AS BIGINT) AS n_docs
+        |FROM th LEFT JOIN np USING (t) LEFT JOIN nd USING (t)
+        |ORDER BY t""".stripMargin),
     // unigram tf, df-capped vocabulary, Σmin via the token-keyed pair
     // join, Σmax reconstructed from per-doc totals (S0 + S1 − Σmin);
     // the threshold compares the UNsnapped ratio on both sides (all

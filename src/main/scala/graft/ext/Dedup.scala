@@ -185,6 +185,41 @@ object Dedup {
       .join(counts.withColumnRenamed("doc_id", "doc1").withColumnRenamed("n", "n1"), "doc1")
   }
 
+  /**
+   * Threshold-calibration sweep for the exact Jaccard kernel — the
+   * table a curation run reads BEFORE committing to a `minJaccard`:
+   * for each candidate threshold, how many pairs would match and how
+   * many distinct documents those pairs touch (the removal-volume
+   * upper bound). One pass over the SAME pair table every exact kernel
+   * already produces — the sweep is a fan-out of comparisons, not a
+   * re-join per threshold. Comparisons use the UNsnapped ratio (exact
+   * integer operands make the division bit-identical cross-engine, the
+   * [[weightedJaccardDups]] argument), so every threshold cut agrees
+   * in any engine. Thresholds with zero matches keep their row.
+   *
+   * Scale shape: the pair join is the bounded [[jaccardPairs]] kernel
+   * (df-cap applies); the sweep explodes each pair row ×|thresholds|
+   * (a constant), then two result-sized aggregates keyed by threshold
+   * and a |thresholds|-row assembly join.
+   */
+  def jaccardThresholdSweep(docs: DataFrame, idCol: String, textCol: String,
+      thresholds: Seq[Double], maxDf: Option[Long] = None): DataFrame = {
+    require(thresholds.nonEmpty)
+    val pairs = jaccardPairs(shingles(docs, idCol, textCol), maxDf)
+    val expl = pairs.select(col("doc0"), col("doc1"),
+        explode(array(thresholds.map(lit): _*)).as("t"), col("jaccard"))
+      .where(col("jaccard") >= col("t"))
+    val nPairs = expl.groupBy("t").agg(count(lit(1)).as("n_pairs"))
+    val nDocs = expl
+      .select(col("t"), explode(array(col("doc0"), col("doc1"))).as("d"))
+      .distinct()
+      .groupBy("t").agg(count(lit(1)).as("n_docs"))
+    docs.sparkSession.createDataFrame(thresholds.map(Tuple1(_))).toDF("t")
+      .join(nPairs, Seq("t"), "left")
+      .join(nDocs, Seq("t"), "left")
+      .na.fill(0L, Seq("n_pairs", "n_docs"))
+  }
+
   /** Near-duplicate pairs by exact n-gram Jaccard at `minJaccard`.
     * `maxDf` caps per-shingle pair expansion ([[dfCapShingles]]). */
   def ngramJaccardDups(docs: DataFrame, idCol: String, textCol: String,

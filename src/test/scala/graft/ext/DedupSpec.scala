@@ -597,4 +597,18 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(tri(1L) > 0L && tri(2L) > 0L)
   }
+
+  test("jaccardThresholdSweep: known pair counts per cut, zero rows kept") {
+    // trigram sets: doc0 {abc,bcd}, doc1 {abc,bcx} → jaccard 1/3;
+    // doc2 fully disjoint — so the only pair is (0,1) at 1/3
+    val d = Seq(
+      (0L, "a b c d"), (1L, "a b c x"), (2L, "p q r s"))
+      .toDF("doc_id", "text")
+    val got = Dedup.jaccardThresholdSweep(d, "doc_id", "text",
+        thresholds = Seq(0.2, 0.5)).collect()
+      .map(r => r.getDouble(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(0.2) == ((1L, 2L)))
+    // above the pair's jaccard: the threshold keeps its zero row
+    assert(got(0.5) == ((0L, 0L)))
+  }
 }
