@@ -180,7 +180,16 @@ object Bench {
     // per-chunk language voting: two keyed aggregates + a ≤4-row window
     "lang_consistency",
     // Mann–Whitney AUC: score-histogram aggregate + one bounded window
-    "quality_lr_auc")
+    "quality_lr_auc",
+    // ROC sweep: the same histogram fanned out ×|thresholds|
+    "quality_lr_roc",
+    // exact KS drift test: value-histogram aggregate + bounded window
+    "quality_ks",
+    // CUPED + SRM: one user-keyed exchange + 1-row moment fold (the
+    // abTest plan plus the covariate sums)
+    "events_cuped",
+    // threshold-calibration sweep over the exact Jaccard pair table
+    "dedup_threshold_sweep")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

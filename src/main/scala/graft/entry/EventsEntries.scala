@@ -109,6 +109,12 @@ object EventsEntries {
     // conversion, pooled two-proportion z — a 1-row summary
     "events_abtest" -> ((s, dir) =>
       gate(Events.abTest(Events.read(s, dir), AbConvType), "n0")),
+    // ext: CUPED variance-reduced A/B readout + SRM chi-square — the
+    // pre-period covariate (midpoint cut, exact int64) removes
+    // θ²·var(X) of the metric variance; every moment is an exact int64
+    // sum, divisions only at the end
+    "events_cuped" -> ((s, dir) =>
+      gate(Events.abTestCuped(Events.read(s, dir), AbConvType), "n0")),
     // HLL register-UNION audience overlap per event-type pair: the
     // sketch set operation (merged registers = union's sketch) +
     // inclusion–exclusion intersection, audited against the exact join
@@ -439,6 +445,57 @@ object EventsEntries {
              "sqrt(CAST(c0+c1 AS DOUBLE)/CAST(n0+n1 AS DOUBLE) * (1.0 - CAST(c0+c1 AS DOUBLE)/CAST(n0+n1 AS DOUBLE)) * " +
              "(1.0/CAST(n0 AS DOUBLE) + 1.0/CAST(n1 AS DOUBLE))) ELSE 0.0 END")} AS z
         |FROM s""".stripMargin
+    },
+    // the same exact-moment CUPED arithmetic: µs·1000 = the Spark side's
+    // exact epoch-ns int64, midpoint cut via integer //, every sum an
+    // exact integer (DuckDB's HUGEINT intermediates are exact too), the
+    // identical division order at the end
+    "events_cuped" -> {
+      val mix = graft.ext.Export.mixBucketSql("user_id", 2, 0L)
+      val theta = "CASE WHEN n > 0 AND CAST(n*sxx - sx*sx AS DOUBLE) > 0 " +
+        "THEN CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) ELSE 0.0 END"
+      val meanX = "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+      def armMean(s: String, c: String) =
+        s"CASE WHEN $c > 0 THEN CAST($s AS DOUBLE) / CAST($c AS DOUBLE) ELSE 0.0 END"
+      val my0 = armMean("sy0", "n0")
+      val my1 = armMean("sy1", "n1")
+      val adj0 = s"CASE WHEN n0 > 0 AND n > 0 THEN $my0 - ($theta) * " +
+        s"(${armMean("sx0", "n0")} - $meanX) ELSE 0.0 END"
+      val adj1 = s"CASE WHEN n1 > 0 AND n > 0 THEN $my1 - ($theta) * " +
+        s"(${armMean("sx1", "n1")} - $meanX) ELSE 0.0 END"
+      val varY = "CASE WHEN n > 0 THEN CAST(n*syy - sy*sy AS DOUBLE) / " +
+        "(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) ELSE 0.0 END"
+      val varX = "CASE WHEN n > 0 THEN CAST(n*sxx - sx*sx AS DOUBLE) / " +
+        "(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) ELSE 0.0 END"
+      s"""WITH ev AS (SELECT user_id, epoch_us(ts) * 1000 AS t, event_type FROM events),
+        |b AS (SELECT MIN(t) + (MAX(t) - MIN(t)) // 2 AS cut FROM ev),
+        |u AS (SELECT user_id,
+        |        SUM(CASE WHEN t <= b.cut THEN 1 ELSE 0 END) AS x,
+        |        SUM(CASE WHEN t > b.cut AND event_type = '$AbConvType'
+        |            THEN 1 ELSE 0 END) AS y
+        |      FROM ev CROSS JOIN b GROUP BY user_id),
+        |v AS (SELECT ($mix) AS v, x, y FROM u),
+        |m AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |        SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy,
+        |        SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS n0,
+        |        SUM(CASE WHEN v = 0 THEN x ELSE 0 END) AS sx0,
+        |        SUM(CASE WHEN v = 0 THEN y ELSE 0 END) AS sy0,
+        |        SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS n1,
+        |        SUM(CASE WHEN v = 1 THEN x ELSE 0 END) AS sx1,
+        |        SUM(CASE WHEN v = 1 THEN y ELSE 0 END) AS sy1
+        |      FROM v)
+        |SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+        |  ${r6sql(my0)} AS mean_y0, ${r6sql(my1)} AS mean_y1,
+        |  ${r6sql(theta)} AS theta,
+        |  ${r6sql(adj0)} AS adj_mean_y0, ${r6sql(adj1)} AS adj_mean_y1,
+        |  ${r6sql(s"($my1) - ($my0)")} AS diff,
+        |  ${r6sql(s"($adj1) - ($adj0)")} AS adj_diff,
+        |  ${r6sql(varY)} AS var_y,
+        |  ${r6sql(s"($varY) - ($theta) * ($theta) * ($varX)")} AS var_adj,
+        |  ${r6sql("CASE WHEN n0 + n1 > 0 THEN " +
+             "CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / CAST(n0 + n1 AS DOUBLE) " +
+             "ELSE 0.0 END")} AS srm_chi2
+        |FROM m""".stripMargin
     },
     // same lead window over the same (ts, event_id) total order; µs vs ns
     // is irrelevant here — only the ORDER of the int64 times matters, and

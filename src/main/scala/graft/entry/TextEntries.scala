@@ -405,6 +405,28 @@ object TextEntries {
           QfMinTokens, QfMaxTokens, QfMinAvgLen, QfMaxAvgLen, QfMaxStop,
           QfMinTtr), "gate_pass", "p_quality"), "n_pos")
     }),
+    // ext: the ROC/PR operating-point table for the same fit — exact
+    // int64 confusion matrix per candidate threshold from the snapped
+    // score histogram (never a rescan per cut)
+    "quality_lr_roc" -> ((s, dir) => {
+      val w = graft.ext.QualityModel.fitLogistic(docs(s, dir), "doc_id",
+          "text", LrIters, LrRate, QfMinTokens, QfMaxTokens, QfMinAvgLen,
+          QfMaxAvgLen, QfMaxStop, QfMinTtr)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      gate(graft.ext.QualityModel.confusionSweep(
+        graft.ext.QualityModel.score(docs(s, dir), "doc_id", "text", w,
+          QfMinTokens, QfMaxTokens, QfMinAvgLen, QfMaxAvgLen, QfMaxStop,
+          QfMinTtr), "gate_pass", "p_quality", RocThresholds), "t")
+    }),
+    // ext: exact two-sample KS drift test — is the en-slice's length
+    // distribution the same population as the rest? D and its arg-cut
+    // stay int64 (max of |cum1·n0 − cum0·n1|), one division + one exp
+    "quality_ks" -> ((s, dir) => {
+      val d = docs(s, dir).select(
+        when(col("lang") === KsLang, lit(1L)).otherwise(lit(0L)).as("grp"),
+        col("n_chars"))
+      gate(graft.ext.QualityModel.ksTest(d, "grp", "n_chars"), "n1")
+    }),
     // ext: per-(lang) winsorization of n_chars at the 5/95 band; exact
     // int64 thresholds and clamp on both engines
     "quality_winsorize" -> ((s, dir) =>
@@ -436,6 +458,13 @@ object TextEntries {
   /** Logistic-gate distillation contract: GD steps and learning rate. */
   private val LrIters = 5
   private val LrRate = 0.5
+
+  /** Candidate score cuts for the ROC/PR operating-point sweep —
+    * interpolated as the SAME decimal literals into both plans. */
+  private val RocThresholds = Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+
+  /** KS drift contract: the en slice vs the rest of the corpus. */
+  private val KsLang = "en"
 
   /** The unrolled BPE round chain (word table → s0 chars → per-round
     * pair-count, argmax, window-parity greedy rewrite), shared by the
@@ -1497,6 +1526,31 @@ object TextEntries {
     "quality_lr_scores" -> qualityLrSql("scores"),
     // the same replayed fit + scores, folded to the Mann–Whitney AUC
     "quality_lr_auc" -> qualityLrSql("auc"),
+    "quality_lr_roc" -> qualityLrSql("roc"),
+    // the same int64 CDF-gap max (exact numerator, division at the end),
+    // the same min-v arg-cut among tied maxima, one exp under the snap
+    "quality_ks" -> {
+      val dEx = "CASE WHEN n1 > 0 AND n0 > 0 THEN " +
+        "CAST(d_num AS DOUBLE) / CAST(n1 * n0 AS DOUBLE) ELSE 0.0 END"
+      val neEx = "CAST(n1 * n0 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE)"
+      s"""WITH b AS (SELECT CASE WHEN lang = '$KsLang' THEN 1 ELSE 0 END AS y,
+        |            CAST(n_chars AS BIGINT) AS v FROM documents),
+        |h AS (SELECT v, SUM(y) AS c1, SUM(1 - y) AS c0 FROM b GROUP BY v),
+        |c AS (SELECT v, SUM(c1) OVER (ORDER BY v) AS cum1,
+        |             SUM(c0) OVER (ORDER BY v) AS cum0 FROM h),
+        |t AS (SELECT CAST(COALESCE(SUM(c1), 0) AS BIGINT) AS n1,
+        |             CAST(COALESCE(SUM(c0), 0) AS BIGINT) AS n0 FROM h),
+        |gp AS MATERIALIZED (SELECT t.n1, t.n0, c.v,
+        |             abs(c.cum1 * t.n0 - c.cum0 * t.n1) AS gap
+        |      FROM c CROSS JOIN t),
+        |mx AS (SELECT CAST(MAX(gap) AS BIGINT) AS d_num FROM gp)
+        |SELECT n1, n0, d_num,
+        |  (SELECT CAST(MIN(v) AS BIGINT) FROM gp WHERE gp.gap = mx.d_num) AS d_at,
+        |  ${r6sql(dEx)} AS d,
+        |  ${r6sql(s"CASE WHEN n1 > 0 AND n0 > 0 THEN least(1.0, " +
+           s"2.0 * exp(-2.0 * ($dEx) * ($dEx) * $neEx)) ELSE 1.0 END")} AS p_value
+        |FROM (SELECT DISTINCT n1, n0 FROM gp) CROSS JOIN mx""".stripMargin
+    },
 
     // the same greedy rounds replayed in SQL: pair counts weighted by
     // word frequency, argmax on (count DESC, pair ASC), and the greedy
@@ -1637,6 +1691,31 @@ object TextEntries {
                     " ELSE CAST(SUM(np * (2 * cumnn + nn)) AS DOUBLE)" +
                     " / (2.0 * SUM(np) * SUM(nn)) END")} AS auc
                  |FROM cc""".stripMargin
+            case "roc" =>
+              // snapped-score histogram fanned out over the threshold
+              // grid: exact int64 confusion counts per cut, complement
+              // counts from the one total row (QualityModel.confusionSweep)
+              val tvals = RocThresholds.map(t => s"($t)").mkString(", ")
+              s""", sc AS (SELECT y, ${r6sql("p")} AS s
+                 |       FROM (SELECT y, $p AS p FROM f CROSS JOIN w$LrIters w)),
+                 |gg AS MATERIALIZED (SELECT s,
+                 |        CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+                 |        CAST(SUM(CASE WHEN y = 1.0 THEN 0 ELSE 1 END) AS BIGINT) AS nn
+                 |       FROM sc GROUP BY s),
+                 |tt AS (SELECT COALESCE(SUM(np), 0) AS n_pos,
+                 |              COALESCE(SUM(nn), 0) AS n_neg FROM gg),
+                 |th AS (SELECT CAST(t AS DOUBLE) AS t FROM (VALUES $tvals) v(t)),
+                 |sw AS (SELECT th.t,
+                 |        CAST(COALESCE(SUM(CASE WHEN gg.s >= th.t THEN gg.np END), 0) AS BIGINT) AS tp,
+                 |        CAST(COALESCE(SUM(CASE WHEN gg.s >= th.t THEN gg.nn END), 0) AS BIGINT) AS fp
+                 |       FROM th LEFT JOIN gg ON true GROUP BY th.t)
+                 |SELECT t, tp, fp,
+                 |  CAST(n_pos - tp AS BIGINT) AS fn,
+                 |  CAST(n_neg - fp AS BIGINT) AS tn,
+                 |  ${r6sql("CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) ELSE 0.0 END")} AS prec,
+                 |  ${r6sql("CASE WHEN n_pos > 0 THEN CAST(tp AS DOUBLE) / CAST(n_pos AS DOUBLE) ELSE 0.0 END")} AS recall,
+                 |  ${r6sql("CASE WHEN tp > 0 THEN 2.0 * (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)) * (CAST(tp AS DOUBLE) / CAST(n_pos AS DOUBLE)) / ((CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)) + (CAST(tp AS DOUBLE) / CAST(n_pos AS DOUBLE))) ELSE 0.0 END")} AS f1
+                 |FROM sw CROSS JOIN tt ORDER BY t""".stripMargin
             case _ =>
               s"""$outs
                  |UNION ALL SELECT 'z_log_loss', ${r6sql("loss")} FROM ls

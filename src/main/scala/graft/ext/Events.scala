@@ -487,6 +487,102 @@ object Events {
   }
 
   /**
+   * CUPED variance-reduced A/B readout (Deng, Xu, Kohavi & Walker WSDM'13)
+   * plus the sample-ratio-mismatch chi-square — the two standard guards a
+   * production experimentation readout adds on top of [[abTest]]'s z:
+   *
+   *   - the experiment window splits at its own midpoint (`cut` =
+   *     min_ts + (max_ts − min_ts)/2, exact int64): the PRE period
+   *     supplies the covariate X = per-user event count, the POST period
+   *     the metric Y = per-user `convType` count. θ = cov(X,Y)/var(X) is
+   *     fitted POOLED (pre-period behaviour is independent of the arm, so
+   *     pooling is unbiased and halves θ's own noise), and each arm's
+   *     adjusted mean is `mean(Y_a) − θ·(mean(X_a) − mean(X))`. The
+   *     emitted `var_y` / `var_adj` = var(Y) − θ²·var(X) pair measures the
+   *     variance the covariate removed — the whole point of CUPED: the
+   *     same experiment decides in var_adj/var_y of the traffic-days.
+   *   - `srm_chi2` = (n0 − n1)²/(n0 + n1), the 1-df chi-square against
+   *     the 50/50 design split — the assignment-pipeline tripwire that
+   *     must be checked BEFORE believing any delta.
+   *
+   * Determinism: every aggregate is an exact int64 sum (X, Y are counts;
+   * Σx, Σy, Σx², Σy², Σxy all fit — per-user counts are tiny next to the
+   * 2⁶³ headroom, and the cross-moment numerators n·Σxy − Σx·Σy stay well
+   * under 2⁶² for any corpus this library's int64 event counts fit);
+   * θ and every mean are single exact-rational divisions; the few
+   * remaining double ops are the same fixed-order IEEE sequence in any
+   * engine, inside the gate snap. Degenerate cases (an empty arm,
+   * var(X) = 0) report 0 rather than NULL/NaN.
+   *
+   * Scale shape: ONE 1-row min/max aggregate (the cut — an in-plan scalar
+   * broadcast, no driver action), ONE user-keyed aggregate with map-side
+   * partials collapsing each user's events to (x, y), and ONE 1-row
+   * moment fold. No joins beyond the sanctioned 1-row cross; the arm is
+   * row-local mix arithmetic. Identical exchange count to [[abTest]].
+   */
+  def abTestCuped(events: DataFrame, convType: String, salt: Long = 0L): DataFrame = {
+    val bounds = events.agg(min(col("ts")).as("t_min"), max(col("ts")).as("t_max"))
+      .select(expr("t_min + (t_max - t_min) div 2").as("cut"))
+    val perUser = events
+      .withColumn("user_id",
+        when(assert_true(col("user_id") >= 0,
+          lit("abTestCuped: negative user_id — ids must be non-negative")).isNull,
+          col("user_id")))
+      .crossJoin(broadcast(bounds))
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("ts") <= col("cut"), lit(1L)).otherwise(lit(0L))).as("x"),
+        sum(when(col("ts") > col("cut") && col("event_type") === convType,
+          lit(1L)).otherwise(lit(0L))).as("y"))
+      .withColumn("v", Export.mixBucket(col("user_id"), 2, salt))
+    val m = perUser.agg(
+      coalesce(count(lit(1L)), lit(0L)).as("n"),
+      coalesce(sum(col("x")), lit(0L)).as("sx"),
+      coalesce(sum(col("y")), lit(0L)).as("sy"),
+      coalesce(sum(col("x") * col("x")), lit(0L)).as("sxx"),
+      coalesce(sum(col("y") * col("y")), lit(0L)).as("syy"),
+      coalesce(sum(col("x") * col("y")), lit(0L)).as("sxy"),
+      coalesce(sum(when(col("v") === 0, lit(1L)).otherwise(lit(0L))), lit(0L)).as("n0"),
+      coalesce(sum(when(col("v") === 0, col("x")).otherwise(lit(0L))), lit(0L)).as("sx0"),
+      coalesce(sum(when(col("v") === 0, col("y")).otherwise(lit(0L))), lit(0L)).as("sy0"),
+      coalesce(sum(when(col("v") === 1, lit(1L)).otherwise(lit(0L))), lit(0L)).as("n1"),
+      coalesce(sum(when(col("v") === 1, col("x")).otherwise(lit(0L))), lit(0L)).as("sx1"),
+      coalesce(sum(when(col("v") === 1, col("y")).otherwise(lit(0L))), lit(0L)).as("sy1"))
+    val nD = col("n").cast("double")
+    // θ = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²): one exact int64 numerator and
+    // denominator, one correctly-rounded division — bit-identical anywhere
+    val covNum = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val varXNum = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val varYNum = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    val theta = when(col("n") > 0 && varXNum > 0, covNum / varXNum)
+      .otherwise(lit(0.0))
+    val meanX = col("sx").cast("double") / nD
+    def armMean(s: Column, cnt: Column) =
+      when(cnt > 0, s.cast("double") / cnt.cast("double")).otherwise(lit(0.0))
+    val my0 = armMean(col("sy0"), col("n0"))
+    val my1 = armMean(col("sy1"), col("n1"))
+    val adj0 = when(col("n0") > 0 && col("n") > 0,
+      my0 - theta * (armMean(col("sx0"), col("n0")) - meanX)).otherwise(lit(0.0))
+    val adj1 = when(col("n1") > 0 && col("n") > 0,
+      my1 - theta * (armMean(col("sx1"), col("n1")) - meanX)).otherwise(lit(0.0))
+    val varY = when(col("n") > 0, varYNum / (nD * nD)).otherwise(lit(0.0))
+    val varX = when(col("n") > 0, varXNum / (nD * nD)).otherwise(lit(0.0))
+    m.select(
+      col("n0"), col("n1"),
+      my0.as("mean_y0"), my1.as("mean_y1"),
+      theta.as("theta"),
+      adj0.as("adj_mean_y0"), adj1.as("adj_mean_y1"),
+      (my1 - my0).as("diff"),
+      (adj1 - adj0).as("adj_diff"),
+      varY.as("var_y"),
+      (varY - theta * theta * varX).as("var_adj"),
+      when(col("n0") + col("n1") > 0,
+        ((col("n0") - col("n1")) * (col("n0") - col("n1"))).cast("double")
+          / (col("n0") + col("n1")).cast("double"))
+        .otherwise(lit(0.0)).as("srm_chi2"))
+  }
+
+  /**
    * Audience-overlap audit via HyperLogLog register UNION — the sketch
    * set-operation the single-group audits don't exercise: for every
    * unordered event-type pair, the HLL estimates of |users(A)|,

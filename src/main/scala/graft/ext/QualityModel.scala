@@ -149,4 +149,116 @@ object QualityModel {
           .otherwise(col("u2").cast("double")
             / (lit(2.0) * col("n_pos") * col("n_neg"))).as("auc"))
   }
+
+  /**
+   * Operating-point sweep — the ROC/PR table that turns [[auc]]'s single
+   * ranking number into the table an operator actually thresholds on:
+   * for each candidate cut `t`, the exact confusion matrix (tp/fp/fn/tn
+   * as int64) of `score >= t` against the binary label, plus
+   * precision/recall/F1. The complement counts come from ONE total row
+   * (fn = n_pos − tp), so the sweep never rescans below-threshold rows.
+   *
+   * Determinism: scores snap to the 1e-6 grid BEFORE the threshold
+   * compare (the [[auc]] convention — group identity, and therefore
+   * every `s >= t` cut, is engine-exact); counts are exact int64;
+   * the emitted ratios are exact-rational divisions under the gate snap,
+   * with empty denominators reported as 0 rather than NULL/NaN.
+   *
+   * Scale shape: the same score-histogram collapse as [[auc]] (ONE
+   * hash aggregate with map-side partials), then a constant ×|thresholds|
+   * fan-out of the HISTOGRAM (never the corpus), one threshold-keyed
+   * aggregate, and a 1-row scalar broadcast of the totals.
+   */
+  /**
+   * Exact two-sample Kolmogorov–Smirnov statistic between the integer
+   * signal distributions of two document groups — the distribution-drift
+   * test a curation pipeline runs before pooling sources ("is this
+   * crawl's length profile the same population as last month's?"). For
+   * binary group `g` and int64 value `v`:
+   *
+   *   D = max_v |F₁(v) − F₀(v)|
+   *
+   * computed EXACTLY as `d_num = max_v |cum₁(v)·n₀ − cum₀(v)·n₁|` over
+   * int64 (one division at the very end — so the max, and the argmax cut
+   * `d_at`, are engine-exact with no floating-point CDF ties to break),
+   * plus the asymptotic two-sided p-value
+   * `min(1, 2·exp(−2·D²·n₁n₀/(n₁+n₀)))` (Smirnov's limit law; one exp,
+   * inside the gate snap). Degenerate single-group inputs report D = 0,
+   * p = 1.
+   *
+   * Int64 headroom: cum·n ≤ n₁·n₀ < n²/4 — exact up to ~6·10⁹ rows, far
+   * past any per-group document count this signal family sees.
+   *
+   * Scale shape: ONE value-histogram hash aggregate with map-side
+   * partials (the corpus collapses to the distinct-value histogram — the
+   * [[auc]] argument), one running-sum window bounded by distinct values,
+   * one 1-row fold. Nothing row-sorted, nothing driver-side.
+   */
+  def ksTest(data: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val g = data
+      .select(col(groupCol).cast("long").as("y"), col(valueCol).cast("long").as("v"))
+      .groupBy("v")
+      .agg(sum(col("y")).as("c1"), sum(lit(1L) - col("y")).as("c0"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = g.select(col("v"),
+      sum(col("c1")).over(w).as("cum1"), sum(col("c0")).over(w).as("cum0"))
+    val tot = g.agg(coalesce(sum(col("c1")), lit(0L)).as("n1"),
+      coalesce(sum(col("c0")), lit(0L)).as("n0"))
+    // arg-cut: among the max-gap values take the SMALLEST v — one struct
+    // max (lexicographic on (gap, −v)), no second pass, engine-exact ints
+    val folded = cum.crossJoin(broadcast(tot))
+      .select(col("n1"), col("n0"), col("v"),
+        abs(col("cum1") * col("n0") - col("cum0") * col("n1")).as("gap"))
+      .groupBy("n1", "n0")
+      .agg(max(col("gap")).as("d_num"),
+        max(struct(col("gap"), (-col("v")).as("nv"))).as("m"))
+      .withColumn("d_at", -col("m.nv"))
+      .drop("m")
+    val d = when(col("n1") > 0 && col("n0") > 0,
+      col("d_num").cast("double") / (col("n1") * col("n0")).cast("double"))
+      .otherwise(lit(0.0))
+    val ne = (col("n1") * col("n0")).cast("double") /
+      (col("n1") + col("n0")).cast("double")
+    folded.select(col("n1"), col("n0"), col("d_num"), col("d_at"),
+      d.as("d"),
+      when(col("n1") > 0 && col("n0") > 0,
+        least(lit(1.0), lit(2.0) * exp(lit(-2.0) * d * d * ne)))
+        .otherwise(lit(1.0)).as("p_value"))
+  }
+
+  def confusionSweep(scored: DataFrame, labelCol: String, scoreCol: String,
+      thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "thresholds must be non-empty")
+    val g = scored
+      .select(col(labelCol).as("y"),
+        (floor(col(scoreCol) * lit(1e6) + lit(0.50001)) / lit(1e6)).as("s"))
+      .groupBy("s")
+      .agg(sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("np"),
+        sum(when(col("y") === 1.0, 0L).otherwise(1L)).as("nn"))
+    val tot = g.agg(
+      coalesce(sum(col("np")), lit(0L)).as("n_pos"),
+      coalesce(sum(col("nn")), lit(0L)).as("n_neg"))
+    val sw = g
+      .select(explode(array(thresholds.map(lit): _*)).as("t"),
+        col("s"), col("np"), col("nn"))
+      .groupBy("t")
+      .agg(sum(when(col("s") >= col("t"), col("np")).otherwise(0L)).as("tp"),
+        sum(when(col("s") >= col("t"), col("nn")).otherwise(0L)).as("fp"))
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val prec = col("tp").cast("double") / (col("tp") + col("fp")).cast("double")
+    val rec = col("tp").cast("double") / col("n_pos").cast("double")
+    thresholds.toDF("t")
+      .join(sw, Seq("t"), "left")
+      .na.fill(0L, Seq("tp", "fp"))
+      .crossJoin(broadcast(tot))
+      .select(col("t"), col("tp"), col("fp"),
+        (col("n_pos") - col("tp")).as("fn"),
+        (col("n_neg") - col("fp")).as("tn"),
+        when(col("tp") + col("fp") > 0, prec).otherwise(lit(0.0)).as("prec"),
+        when(col("n_pos") > 0, rec).otherwise(lit(0.0)).as("recall"),
+        when(col("tp") > 0,
+          lit(2.0) * prec * rec / (prec + rec)).otherwise(lit(0.0)).as("f1"))
+  }
 }

@@ -300,6 +300,60 @@ class EventsSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("non-negative")), e.toString)
   }
 
+  test("abTestCuped: hand-computed theta, adjusted means, SRM chi-square") {
+    // pre period: ts 0..50, post: 51..100 (cut = 0 + (100-0) div 2 = 50);
+    // user u emits u%4+1 pre 'view's and, if u%3==0, one post 'purchase'
+    val ev = (1L to 40L).flatMap { u =>
+      val pre = (0 until (u % 4 + 1).toInt).map(i =>
+        (u * 100 + i, i.toLong, u, "view", 1.0))
+      val post = if (u % 3 == 0) Seq((u * 100 + 99, 100L, u, "purchase", 1.0))
+                 else Seq((u * 100 + 98, 100L, u, "view", 1.0))
+      pre ++ post
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Events.abTestCuped(ev, "purchase").collect().head
+    // independent recomputation
+    val xs = (1L to 40L).map(u => u -> (u % 4 + 1)).toMap
+    val ys = (1L to 40L).map(u => u -> (if (u % 3 == 0) 1L else 0L)).toMap
+    val arm = (1L to 40L).map(u => u -> Export.mixBucketLong(u, 2, 0L)).toMap
+    val n = 40.0
+    val (sx, sy) = (xs.values.sum.toDouble, ys.values.sum.toDouble)
+    val sxx = xs.values.map(x => x * x).sum.toDouble
+    val sxy = (1L to 40L).map(u => xs(u) * ys(u)).sum.toDouble
+    val theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assertApprox(got.getAs[Double]("theta"), theta, 1e-9)
+    val a0 = (1L to 40L).filter(arm(_) == 0L)
+    val a1 = (1L to 40L).filter(arm(_) == 1L)
+    assert(got.getAs[Long]("n0") === a0.size.toLong)
+    assert(got.getAs[Long]("n1") === a1.size.toLong)
+    val my1 = a1.map(ys).sum.toDouble / a1.size
+    val adj1 = my1 - theta * (a1.map(xs).sum.toDouble / a1.size - sx / n)
+    assertApprox(got.getAs[Double]("mean_y1"), my1, 1e-9)
+    assertApprox(got.getAs[Double]("adj_mean_y1"), adj1, 1e-9)
+    val srm = math.pow(a0.size - a1.size, 2).toDouble / 40.0
+    assertApprox(got.getAs[Double]("srm_chi2"), srm, 1e-12)
+    // CUPED never increases variance: var_adj = var_y − θ²·var_x ≤ var_y
+    assert(got.getAs[Double]("var_adj") <= got.getAs[Double]("var_y") + 1e-12)
+    assert(got.getAs[Double]("var_adj") >= 0.0)
+  }
+
+  test("abTestCuped: empty table and zero-variance covariate degrade to 0, no NULLs") {
+    val empty = Seq.empty[(Long, Long, Long, String, Double)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Events.abTestCuped(empty, "purchase").collect().head
+    assert(r.getAs[Long]("n0") === 0L && r.getAs[Long]("n1") === 0L)
+    Seq("mean_y0", "mean_y1", "theta", "adj_mean_y0", "adj_mean_y1",
+      "diff", "adj_diff", "var_y", "var_adj", "srm_chi2")
+      .foreach(c => assert(r.getAs[Double](c) === 0.0, c))
+    // identical pre-counts → var(X) = 0 → theta 0, adj means = raw means
+    val flat = (1L to 6L).flatMap(u => Seq(
+      (u * 10, 0L, u, "view", 1.0),
+      (u * 10 + 1, 100L, u, if (u % 2 == 0) "purchase" else "view", 1.0)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val f = Events.abTestCuped(flat, "purchase").collect().head
+    assert(f.getAs[Double]("theta") === 0.0)
+    assert(f.getAs[Double]("adj_mean_y0") === f.getAs[Double]("mean_y0"))
+  }
+
   test("transitionMatrix: lead pairs per user, terminal (end), rows sum to 1") {
     val got = Events.transitionMatrix(events).collect()
       .map(r => (r.getAs[String]("prev_type"), r.getAs[String]("next_type")) ->

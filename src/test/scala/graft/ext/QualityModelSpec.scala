@@ -70,4 +70,53 @@ class QualityModelSpec extends SparkSpec {
     assertApprox(QualityModel.auc(one, "y", "p").collect().head.getDouble(3),
       0.5, 1e-12)
   }
+
+  test("ksTest: hand-computed D, arg-cut, and clamped p-value") {
+    import spark.implicits._
+    // fully separated: group1 = {1,2}, group0 = {3,4} → D = 1 at v = 2
+    val sep = Seq((1L, 1L), (1L, 2L), (0L, 3L), (0L, 4L)).toDF("g", "v")
+    val r = QualityModel.ksTest(sep, "g", "v").collect().head
+    assert(r.getAs[Long]("n1") == 2L && r.getAs[Long]("n0") == 2L)
+    assert(r.getAs[Long]("d_num") == 4L && r.getAs[Long]("d_at") == 2L)
+    assertApprox(r.getAs[Double]("d"), 1.0, 1e-12)
+    assertApprox(r.getAs[Double]("p_value"), 2.0 * math.exp(-2.0), 1e-12)
+    // interleaved: {1,3} vs {2,4} → max gap 2 first attained at v = 1,
+    // and the tiny D clamps the asymptotic p at 1
+    val mix = Seq((1L, 1L), (0L, 2L), (1L, 3L), (0L, 4L)).toDF("g", "v")
+    val m = QualityModel.ksTest(mix, "g", "v").collect().head
+    assert(m.getAs[Long]("d_num") == 2L && m.getAs[Long]("d_at") == 1L)
+    assertApprox(m.getAs[Double]("d"), 0.5, 1e-12)
+    assertApprox(m.getAs[Double]("p_value"), 1.0, 1e-12)
+    // single-group degenerate: D = 0, p = 1, no division by zero
+    val one = Seq((1L, 5L), (1L, 6L)).toDF("g", "v")
+    val o = QualityModel.ksTest(one, "g", "v").collect().head
+    assert(o.getAs[Double]("d") == 0.0 && o.getAs[Double]("p_value") == 1.0)
+  }
+
+  test("confusionSweep: hand-computed confusion matrix per cut") {
+    import spark.implicits._
+    // pos scores {0.9, 0.5}, neg scores {0.5, 0.1}
+    val d = Seq((1.0, 0.9), (1.0, 0.5), (0.0, 0.5), (0.0, 0.1))
+      .toDF("y", "p")
+    val got = QualityModel.confusionSweep(d, "y", "p", Seq(0.3, 0.5, 0.95))
+      .collect()
+      .map(r => r.getDouble(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getAs[Double]("prec"), r.getAs[Double]("recall"),
+          r.getAs[Double]("f1"))))
+      .toMap
+    // t=0.3: tp=2 fp=1 fn=0 tn=1; prec=2/3 rec=1 f1=0.8
+    val a = got(0.3)
+    assert((a._1, a._2, a._3, a._4) === ((2L, 1L, 0L, 1L)))
+    assertApprox(a._5, 2.0 / 3.0, 1e-12)
+    assertApprox(a._6, 1.0, 1e-12)
+    assertApprox(a._7, 0.8, 1e-12)
+    // t=0.5: the tied 0.5 scores are >= the cut on both labels
+    assert((got(0.5)._1, got(0.5)._2, got(0.5)._3, got(0.5)._4) ===
+      ((2L, 1L, 0L, 1L)))
+    // t=0.95: nothing retrieved — zero row kept, ratios 0 not NULL
+    val z = got(0.95)
+    assert((z._1, z._2, z._3, z._4) === ((0L, 0L, 2L, 2L)))
+    assert(z._5 == 0.0 && z._6 == 0.0 && z._7 == 0.0)
+  }
 }
