@@ -189,7 +189,11 @@ object Bench {
     // abTest plan plus the covariate sums)
     "events_cuped",
     // threshold-calibration sweep over the exact Jaccard pair table
-    "dedup_threshold_sweep")
+    "dedup_threshold_sweep",
+    // HITS: two edge joins + two 1-row normalizations per round
+    "graph_hits",
+    // Dirichlet query likelihood: the bm25TopK plan with LM arithmetic
+    "retrieval_qlm")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

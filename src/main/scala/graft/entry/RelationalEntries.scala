@@ -267,6 +267,18 @@ object RelationalEntries {
       gate(Graph.pageRankDangling(edges, PrIters, PrDamping,
         pin = _.localCheckpoint()), "node")
     }),
+    // ext: HITS hubs/authorities over the DIRECTED customer→supplier
+    // graph (customers are pure hubs, suppliers pure authorities —
+    // the bipartite case where HITS and PageRank genuinely differ);
+    // L1-normalized per half-round so each table sums to exactly 1
+    "graph_hits" -> ((s, dir) => {
+      val ord = Relational.orders(s, dir).select("o_orderkey", "o_custkey")
+      val li = Relational.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+      val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      gate(Graph.hits(edges, HitsIters, pin = _.localCheckpoint()), "node")
+    }),
     // ext: resource-allocation link prediction on the co-ordered-parts
     // graph — non-edge pairs scored Σ 1/deg(w) over shared neighbors
     // (division-only, so the score replays exactly in any engine);
@@ -285,6 +297,9 @@ object RelationalEntries {
   /** PageRank contract: rounds and damping factor. */
   private val PrIters = 5
   private val PrDamping = 0.85
+
+  /** HITS contract: fixed power-iteration rounds. */
+  private val HitsIters = 5
 
   /** Q19-shape contract clauses (calibrated non-empty at sf0.01). */
   private val Q19Clauses = Seq(
@@ -755,6 +770,39 @@ object RelationalEntries {
         |r0 AS MATERIALIZED (SELECT node, 1.0 / nn.n AS rank FROM nd CROSS JOIN nn),
         |$iters
         |SELECT node, ${r6sql("rank")} AS rank FROM r$PrIters ORDER BY node""".stripMargin
+    },
+    // the same unrolled hub→auth→hub half-rounds: identical join/agg
+    // arithmetic, identical L1 normalization via a 1-row sum CTE; every
+    // stage CTE materializes (referenced twice — DuckDB 1.0 inlines)
+    "graph_hits" -> {
+      val iters = (1 to HitsIters).map { i =>
+        s"""ar$i AS MATERIALIZED (SELECT e.dst, SUM(h.hub) AS a
+           |      FROM e JOIN h${i - 1} h ON h.node = e.src GROUP BY 1),
+           |sa$i AS (SELECT COALESCE(SUM(a), 0.0) AS s FROM ar$i),
+           |a$i AS MATERIALIZED (SELECT nd.node,
+           |        CASE WHEN sa$i.s > 0 THEN COALESCE(ar$i.a, 0.0) / sa$i.s
+           |             ELSE 0.0 END AS auth
+           |      FROM nd CROSS JOIN sa$i LEFT JOIN ar$i ON ar$i.dst = nd.node),
+           |hr$i AS MATERIALIZED (SELECT e.src, SUM(a.auth) AS h
+           |      FROM e JOIN a$i a ON a.node = e.dst GROUP BY 1),
+           |sh$i AS (SELECT COALESCE(SUM(h), 0.0) AS s FROM hr$i),
+           |h$i AS MATERIALIZED (SELECT nd.node,
+           |        CASE WHEN sh$i.s > 0 THEN COALESCE(hr$i.h, 0.0) / sh$i.s
+           |             ELSE 0.0 END AS hub
+           |      FROM nd CROSS JOIN sh$i LEFT JOIN hr$i ON hr$i.src = nd.node)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS MATERIALIZED (
+        |     SELECT DISTINCT 'c' || o.o_custkey AS src, 's' || l.l_suppkey AS dst
+        |     FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+        |nd AS MATERIALIZED (
+        |     SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nd),
+        |h0 AS MATERIALIZED (SELECT node, 1.0 / nn.n AS hub FROM nd CROSS JOIN nn),
+        |$iters
+        |SELECT h.node, ${r6sql("h.hub")} AS hub, ${r6sql("a.auth")} AS auth
+        |FROM h$HitsIters h JOIN a$HitsIters a ON a.node = h.node
+        |ORDER BY h.node""".stripMargin
     },
     // three unrolled peel rounds; every round's survivor set feeds the
     // next round's TWO endpoint joins, so each stage CTE materializes

@@ -164,6 +164,12 @@ object TextEntries {
     "bm25_search" -> ((s, dir) =>
       gate(Retrieval.bm25TopK(docs(s, dir), "doc_id", "text",
         Bm25Terms, Bm25K), "doc_id")),
+    // ext: Dirichlet query-likelihood retrieval — the LM scoring family
+    // next to BM25 over the same tf/dl/corpus stats; score snapped
+    // BEFORE the rank cut so the top-k set is engine-exact
+    "retrieval_qlm" -> ((s, dir) =>
+      gate(Retrieval.qlmTopK(docs(s, dir), "doc_id", "text",
+        Bm25Terms, Bm25K, QlmMu), "doc_id")),
     // ext: the term-keyed inverted index (tf/dl/df postings) — the
     // static side of the stream-static retrieval twin
     "bm25_index" -> ((s, dir) =>
@@ -534,6 +540,10 @@ object TextEntries {
   /** BM25 contract: one rare term (df≈5% of docs) + two common ones. */
   private val Bm25Terms = Seq("dup", "window", "spark")
   private val Bm25K = 50
+
+  /** Dirichlet smoothing mass for the query-likelihood contract (near
+    * the corpus's ~40-token average document length × a few). */
+  private val QlmMu = 300.0
 
   /** Partition-pruning contract: the biggest language slice (218 of 500
     * docs at sf0.01) read through the lang-partitioned layout. */
@@ -1170,6 +1180,34 @@ object TextEntries {
         |sc AS (SELECT doc_id, dl, $terms AS score FROM p CROSS JOIN s)
         |SELECT doc_id, dl, ${r6sql("score")} AS score
         |FROM (SELECT * FROM sc WHERE score > 0 ORDER BY score DESC, doc_id LIMIT $Bm25K) x
+        |ORDER BY doc_id""".stripMargin
+    },
+    // the same LM arithmetic: per term ln((tf + μ·cf/|C|)/(dl + μ)) over
+    // exact integers, the identical snapped-then-ranked cut
+    "retrieval_qlm" -> {
+      val tfCols = Bm25Terms.indices.map(i =>
+        s"CAST(len(list_filter(t, x -> x = '${Bm25Terms(i)}')) AS BIGINT) AS tf_$i")
+        .mkString(",\n             ")
+      val cfCols = Bm25Terms.indices.map(i =>
+        s"CAST(SUM(tf_$i) AS BIGINT) AS cf_$i").mkString(",\n             ")
+      val terms = Bm25Terms.indices.map { i =>
+        s"ln((CAST(tf_$i AS DOUBLE) + $QlmMu * (CAST(cf_$i AS DOUBLE) / " +
+          s"CAST(c_total AS DOUBLE))) / (CAST(dl AS DOUBLE) + $QlmMu))"
+      }.mkString(" + ")
+      val matched = Bm25Terms.indices.map(i => s"tf_$i > 0").mkString(" OR ")
+      s"""WITH d AS (SELECT doc_id,
+        |            list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+        |            FROM documents),
+        |p AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+        |             $tfCols
+        |      FROM d WHERE len(t) > 0),
+        |s AS (SELECT CAST(SUM(dl) AS BIGINT) AS c_total,
+        |             $cfCols
+        |      FROM p),
+        |sc AS (SELECT doc_id, dl, ${r6sql(terms)} AS score
+        |       FROM p CROSS JOIN s WHERE $matched)
+        |SELECT doc_id, dl, score
+        |FROM (SELECT * FROM sc ORDER BY score DESC, doc_id LIMIT $Bm25K) x
         |ORDER BY doc_id""".stripMargin
     },
     "quality_buckets" -> {

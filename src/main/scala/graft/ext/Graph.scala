@@ -280,6 +280,67 @@ object Graph {
       .join(und, Seq("u", "v"), "left_anti")
   }
 
+  /**
+   * HITS hubs and authorities (Kleinberg 1999) by fixed-round power
+   * iteration over a DIRECTED edge table `(src, dst)` — the
+   * complementary ranking to [[pageRank]]: a good hub points AT good
+   * authorities, a good authority is pointed at BY good hubs. Each round:
+   *
+   *   auth(v) = Σ_{u→v} hub(u),  then L1-normalized;
+   *   hub(u)  = Σ_{u→v} auth(v), then L1-normalized
+   *
+   * (the classic ‖·‖₂ normalization only rescales the fixed point — L1
+   * keeps each table summing to exactly 1, the [[pageRankDangling]]
+   * mass-conservation contract, and its normalizer is a plain SUM).
+   * Returns `(node, hub, auth)` for every node; pure sources carry
+   * auth = 0 and pure sinks hub = 0 rather than dropping out. Duplicate
+   * edges are collapsed first (classic HITS is over the 0/1 adjacency).
+   *
+   * Determinism: per-round sums carry ~1e-15 of engine sum-order noise
+   * and the normalizing division is correctly rounded — compounded over
+   * the fixed rounds this stays far inside the harness's 1e-6 snap (the
+   * [[pageRank]] argument).
+   *
+   * Scale shape: per round TWO edge-sized equi-joins (one per direction)
+   * each feeding a map-side-partial aggregate, plus two 1-row
+   * normalization aggregates consumed via cross-join — sanctioned scalar
+   * broadcasts, never driver actions; `localCheckpoint` truncates
+   * lineage per half-round. The single driver action is the node COUNT
+   * (the [[pageRank]] convention) seeding hub₀ = 1/N.
+   */
+  def hits(edges: DataFrame, iters: Int,
+      pin: DataFrame => DataFrame = identity): DataFrame = {
+    require(iters >= 1, "iters must be at least 1")
+    val e = pin(edges.select(col("src"), col("dst")).distinct())
+    val nodes = pin(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
+    val n = nodes.count()
+    require(n > 0, "graph has no nodes")
+    var hub = nodes.select(col("node"), (lit(1.0) / n).as("hub"))
+    var auth = nodes.select(col("node"), lit(0.0).as("auth"))
+    for (_ <- 1 to iters) {
+      val araw = e.join(hub, col("src") === col("node"))
+        .groupBy(col("dst")).agg(sum(col("hub")).as("a"))
+      val asum = araw.agg(coalesce(sum(col("a")), lit(0.0)).as("s"))
+      auth = nodes.join(araw, col("node") === col("dst"), "left")
+        .crossJoin(broadcast(asum))
+        .select(col("node"),
+          when(col("s") > 0, coalesce(col("a"), lit(0.0)) / col("s"))
+            .otherwise(lit(0.0)).as("auth"))
+        .localCheckpoint()
+      val hraw = e.join(auth, col("dst") === col("node"))
+        .groupBy(col("src")).agg(sum(col("auth")).as("h"))
+      val hsum = hraw.agg(coalesce(sum(col("h")), lit(0.0)).as("s"))
+      hub = nodes.join(hraw, col("node") === col("src"), "left")
+        .crossJoin(broadcast(hsum))
+        .select(col("node"),
+          when(col("s") > 0, coalesce(col("h"), lit(0.0)) / col("s"))
+            .otherwise(lit(0.0)).as("hub"))
+        .localCheckpoint()
+    }
+    hub.join(auth, "node")
+  }
+
   /** Final ranks plus the measured per-round L1 movement — the readout
     * that turns "how many rounds is enough" into data. */
   final case class RankResult(ranks: DataFrame, l1Deltas: Seq[Double])

@@ -72,6 +72,64 @@ object Retrieval {
       .limit(k)
   }
 
+  /**
+   * Dirichlet-smoothed query-likelihood top-k (Zhai & Lafferty SIGIR'01)
+   * — the language-modeling scoring family next to [[bm25TopK]]'s
+   * probabilistic-relevance one (the two classic lexical rankers weight
+   * the same tf/dl/corpus statistics differently, and a retrieval layer
+   * should offer both):
+   *
+   *   score(d) = Σ_t ln( (tf_{t,d} + μ·cf_t/|C|) / (dl_d + μ) )
+   *
+   * with cf the collection frequency and |C| total corpus tokens.
+   * Documents matching no query term are dropped (their score is pure
+   * smoothing mass — rank noise); ties break on `doc_id` after the score
+   * snaps to the 1e-6 grid, so the cut is engine-exact. Every query term
+   * must occur somewhere in the corpus (cf ≥ 1 — otherwise the zero-tf
+   * smoothing term is ln 0): ENFORCED in-plan on the 1-row stats whenever
+   * any document survives the match filter (an all-absent query folds to
+   * the empty plan before the guard — and empty IS that query's answer).
+   *
+   * Scale shape: identical to [[bm25TopK]] — a row-local tf/dl map
+   * stage, ONE 1-row corpus aggregate re-attached by the sanctioned
+   * scalar broadcast, one TakeOrdered. Nothing grows with the query.
+   */
+  def qlmTopK(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int, mu: Double = 300.0): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(mu > 0, "mu must be positive")
+    val tfCols = queryTerms.zipWithIndex.map { case (t, i) =>
+      val lit = sqlLit(t)
+      expr(s"size(filter(t, x -> x = $lit))").cast("long").as(s"tf_$i")
+    }
+    val perDoc = TextAnalysis.tokenArray(docs, idCol, textCol)
+      .select(col("doc_id") +: size(col("t")).cast("long").as("dl") +: tfCols: _*)
+    val cfAggs = queryTerms.indices.map(i => sum(col(s"tf_$i")).as(s"cf_$i"))
+    val stats0 = perDoc.agg(sum(col("dl")).as("c_total"), cfAggs: _*)
+    // fail loudly on an out-of-corpus term (cf = 0) — same row, in-plan
+    val stats = queryTerms.indices.foldLeft(stats0) { (s, i) =>
+      s.withColumn(s"cf_$i",
+        when(assert_true(col(s"cf_$i") > 0,
+          lit(s"qlmTopK: query term '${queryTerms(i)}' absent from corpus"))
+          .isNull, col(s"cf_$i")))
+    }
+    val joined = perDoc.crossJoin(broadcast(stats))
+    val score = queryTerms.indices.map { i =>
+      val tf = col(s"tf_$i").cast("double")
+      val cf = col(s"cf_$i").cast("double")
+      log((tf + lit(mu) * (cf / col("c_total").cast("double")))
+        / (col("dl").cast("double") + lit(mu)))
+    }.reduce[Column](_ + _)
+    val matched = queryTerms.indices.map(i => col(s"tf_$i") > 0L)
+      .reduce[Column](_ || _)
+    joined
+      .where(matched)
+      .select(col("doc_id"), col("dl"),
+        (floor(score * lit(1e6) + lit(0.50001)) / lit(1e6)).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Single-quoted SQL string literal (term lists are caller-supplied). */
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
 

@@ -71,7 +71,16 @@ class PlanAuditSpec extends SparkSpec {
       // the type-PAIR frame is a types²-sized cross of a ≤types-row
       // aggregate (event_type cardinality, never data-sized); all
       // register/exact joins around it are equi-joins
-      "events_reach_overlap")
+      "events_reach_overlap",
+      // 1-row midpoint-cut broadcast over the events scan, then the
+      // 1-row moment fold — the abTest shape plus the covariate sums
+      "events_cuped",
+      // 1-row (n_pos, n_neg) totals crossed over the |thresholds|-row
+      // sweep; 1-row n1·n0 totals crossed over the value histogram
+      "quality_lr_roc", "quality_ks",
+      // bm25_search's sanctioned 1-row corpus-stats scalar broadcast
+      // with the LM arithmetic instead
+      "retrieval_qlm")
 
   test("no contract query plans a cartesian product or unsanctioned BNLJ") {
     assume(new File(sfDir).isDirectory, s"$sfDir missing")

@@ -243,4 +243,30 @@ class GraphSpec extends SparkSpec {
       ("a", "c", 1L, 1.0 / 3), ("b", "c", 1L, 1.0 / 3)))
     assert(Graph.linkPredict(star, minCommon = 1, maxDeg = 2).isEmpty)
   }
+
+  test("hits: hand-computed two-round hubs/authorities, both L1-normalized") {
+    // 1→3, 2→3, 2→4: node 2 points at both authorities → best hub;
+    // node 3 has both hubs pointing in → best authority
+    val e = Seq((1L, 3L), (2L, 3L), (2L, 4L)).toDF("src", "dst")
+    val got = Graph.hits(e, iters = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Double]("hub"), r.getAs[Double]("auth"))))
+      .toMap
+    // round 1: auth ∝ (3: ½, 4: ¼) → (⅔, ⅓); hub ∝ (1: ⅔, 2: 1) → (0.4, 0.6)
+    // round 2: auth ∝ (3: 1, 4: 0.6) → (0.625, 0.375);
+    //          hub ∝ (1: 0.625, 2: 1) → (5/13, 8/13)
+    assertApprox(got(1L)._1, 5.0 / 13.0, 1e-12)
+    assertApprox(got(2L)._1, 8.0 / 13.0, 1e-12)
+    assertApprox(got(3L)._2, 0.625, 1e-12)
+    assertApprox(got(4L)._2, 0.375, 1e-12)
+    // pure sources carry auth = 0, pure sinks hub = 0 — and stay present
+    assert(got(1L)._2 == 0.0 && got(3L)._1 == 0.0)
+    // L1 conservation on both tables
+    assertApprox(got.values.map(_._1).sum, 1.0, 1e-12)
+    assertApprox(got.values.map(_._2).sum, 1.0, 1e-12)
+    // duplicate edges collapse to the 0/1 adjacency
+    val dup = Seq((1L, 3L), (1L, 3L), (2L, 3L), (2L, 4L)).toDF("src", "dst")
+    val d = Graph.hits(dup, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("hub")).toMap
+    assertApprox(d(2L), 8.0 / 13.0, 1e-12)
+  }
 }

@@ -109,4 +109,35 @@ class RetrievalSpec extends SparkSpec {
     val top = Retrieval.rrfFuse(a, b, k = 1).collect().head
     assert(top.getLong(2) == 5L, top.toString)
   }
+
+  test("qlmTopK: closed-form Dirichlet scores, non-matchers dropped") {
+    val docs = Seq(
+      (0L, "apple banana apple"), // dl=3, tf=2
+      (1L, "banana cherry"),      // no query term — dropped
+      (2L, "apple")               // dl=1, tf=1
+    ).toDF("doc_id", "text")
+    val rows = Retrieval.qlmTopK(docs, "doc_id", "text",
+        Seq("apple"), k = 5, mu = 2.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(rows.keySet == Set(0L, 2L))
+    // |C| = 6, cf = 3 → p(apple|C) = 0.5
+    val s0 = math.log((2.0 + 2.0 * 0.5) / (3.0 + 2.0))
+    val s2 = math.log((1.0 + 2.0 * 0.5) / (1.0 + 2.0))
+    assertApprox(rows(0L), math.floor(s0 * 1e6 + 0.50001) / 1e6, 1e-12)
+    assertApprox(rows(2L), math.floor(s2 * 1e6 + 0.50001) / 1e6, 1e-12)
+    // the short exact match outranks the longer double match — the
+    // length normalization BM25 gets from b, QLM gets from dl + μ
+    assert(s2 > s0)
+    // a mixed query with an out-of-corpus term fails loudly — the absent
+    // term would poison every SURVIVOR's score with ln 0 smoothing mass
+    val e = intercept[Exception](
+      Retrieval.qlmTopK(docs, "doc_id", "text", Seq("apple", "zzz"), k = 5)
+        .collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("absent from corpus")), e.toString)
+    // an ALL-absent query has no survivors — the empty result is the
+    // right answer and the guard need not fire
+    assert(Retrieval.qlmTopK(docs, "doc_id", "text", Seq("zzz"), k = 5).isEmpty)
+  }
 }
