@@ -193,7 +193,9 @@ object Bench {
     // HITS: two edge joins + two 1-row normalizations per round
     "graph_hits",
     // Dirichlet query likelihood: the bm25TopK plan with LM arithmetic
-    "retrieval_qlm")
+    "retrieval_qlm",
+    // centroid silhouette: the Lloyd fit + one pivot + k-row aggregate
+    "embed_silhouette")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

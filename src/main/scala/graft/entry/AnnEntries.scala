@@ -69,6 +69,13 @@ object AnnEntries {
     "embed_kmeans" -> ((s, dir) =>
       gate(Embeddings.kMeansAssign(embeddings(s, dir), "vec_id", "embedding",
         k = KMeansK, iters = KMeansIters), "vec_id")),
+    // ext: per-cluster simplified (centroid) silhouette of the SAME fit —
+    // a and b are the argmin and runner-up of the distance table the
+    // assignment round already ranks, so the readout costs one extra
+    // pivot + a k-row aggregate beyond the fit
+    "embed_silhouette" -> ((s, dir) =>
+      gate(Embeddings.silhouette(embeddings(s, dir), "vec_id", "embedding",
+        k = KMeansK, iters = KMeansIters), "cluster")),
     // trained-IVF top-5: k-means codebook, nprobe=2 nearest lists searched
     "ann_ivf_kmeans" -> ((s, dir) => {
       val e = embeddings(s, dir)
@@ -637,6 +644,45 @@ object AnnEntries {
         |       FROM d2t)
         |SELECT vec_id, CAST(cid AS BIGINT) AS cluster, d2 AS dist2
         |FROM a2 WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // the same 2-round chain's FINAL distance table, pivoted to the
+    // argmin (a) and runner-up (b) rows, the identical s spelling, and
+    // the per-cluster mean — Embeddings.silhouette
+    "embed_silhouette" ->
+      s"""WITH u AS (SELECT vec_id, i, CAST(embedding[i+1] AS DOUBLE) AS x
+        |           FROM embeddings, UNNEST(range(len(embedding))) AS r(i)),
+        |seed AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid
+        |         FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $KMeansK)),
+        |c0 AS (SELECT s.cid, u.i, u.x AS c FROM u JOIN seed s ON u.vec_id = s.vec_id),
+        |d1 AS (SELECT u.vec_id, c.cid,
+        |              ${r6sql("SUM((u.x - c.c) * (u.x - c.c))")} AS d2
+        |       FROM u JOIN c0 c ON u.i = c.i GROUP BY 1, 2),
+        |a1 AS (SELECT vec_id, cid FROM
+        |         (SELECT vec_id, cid,
+        |                 row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |          FROM d1) WHERE rn = 1),
+        |c1 AS (SELECT a.cid, u.i, ${r6sql("AVG(u.x)")} AS c
+        |       FROM u JOIN a1 a ON u.vec_id = a.vec_id GROUP BY 1, 2),
+        |d2t AS (SELECT u.vec_id, c.cid,
+        |               ${r6sql("SUM((u.x - c.c) * (u.x - c.c))")} AS d2
+        |        FROM u JOIN c1 c ON u.i = c.i GROUP BY 1, 2),
+        |rk AS (SELECT vec_id, cid, d2,
+        |              row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |       FROM d2t),
+        |ab AS (SELECT vec_id,
+        |         MIN(CASE WHEN rn = 1 THEN cid END) AS cluster,
+        |         MIN(CASE WHEN rn = 1 THEN d2 END) AS a2,
+        |         MIN(CASE WHEN rn = 2 THEN d2 END) AS b2
+        |       FROM rk WHERE rn <= 2 GROUP BY vec_id),
+        |sv AS (SELECT cluster,
+        |         CASE WHEN b2 IS NULL THEN 0.0
+        |              WHEN greatest(sqrt(a2), sqrt(b2)) > 0
+        |              THEN (sqrt(b2) - sqrt(a2)) / greatest(sqrt(a2), sqrt(b2))
+        |              ELSE 0.0 END AS s
+        |       FROM ab)
+        |SELECT CAST(cluster AS BIGINT) AS cluster,
+        |  CAST(COUNT(*) AS BIGINT) AS n_points,
+        |  ${r6sql("AVG(s)")} AS mean_silhouette
+        |FROM sv GROUP BY 1 ORDER BY 1""".stripMargin,
     // trained-IVF search mirroring Embeddings.ivfKMeansTopK: the embed_kmeans
     // chain + final centroid update (c2), nearest-centroid inverted lists
     // (cb), nprobe-nearest query probes (qp), cosine rank within probed lists

@@ -395,6 +395,18 @@ object Embeddings {
 
   def kMeansAssign(emb: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, seeding: String = "id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("d2").asc, col("cid").asc)
+    lloydFinalDistances(emb, idCol, vecCol, k, iters, seeding)
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("vec_id"), col("cid").as("cluster"), col("d2").as("dist2"))
+  }
+
+  /** The last Lloyd round's FULL (vec_id, cid, d2) distance table — the
+    * argmin of which is [[kMeansAssign]]'s answer, and whose runner-up
+    * row is exactly what [[silhouette]] needs. One lazy plan. */
+  private def lloydFinalDistances(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, seeding: String): DataFrame = {
     require(k > 0 && iters >= 1)
     require(seeding == "id" || seeding == "kmeans++" || seeding == "kmeans||",
       s"unknown seeding: $seeding")
@@ -412,21 +424,66 @@ object Embeddings {
         .select(col("vec_id"), (row_number().over(seedW) - 1).cast("long").as("cid"))
     }
     var cent = cells.join(seeds, "vec_id").select(col("cid"), col("i"), col("x").as("c"))
-    var assign: DataFrame = null
+    var dist: DataFrame = null
     for (round <- 1 to iters) {
-      val dist = cells.join(broadcast(cent), "i")
+      dist = cells.join(broadcast(cent), "i")
         .groupBy(col("vec_id"), col("cid"))
         .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d2"))
         .select(col("vec_id"), col("cid"), snapCol(col("d2")).as("d2"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("vec_id").orderBy(col("d2").asc, col("cid").asc)
-      assign = dist.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-        .select("vec_id", "cid", "d2")
-      if (round < iters)
-        cent = cells.join(assign.select("vec_id", "cid"), "vec_id")
+      if (round < iters) {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_id").orderBy(col("d2").asc, col("cid").asc)
+        val assign = dist.withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1).select("vec_id", "cid")
+        cent = cells.join(assign, "vec_id")
           .groupBy(col("cid"), col("i")).agg(snapCol(avg(col("x"))).as("c"))
+      }
     }
-    assign.select(col("vec_id"), col("cid").as("cluster"), col("d2").as("dist2"))
+    dist
+  }
+
+  /**
+   * Per-cluster simplified (centroid) silhouette of the same fixed-round
+   * Lloyd fit [[kMeansAssign]] runs — the standard "did k make sense"
+   * readout: per vector, `a` = distance to its own centroid and `b` =
+   * distance to the nearest OTHER centroid, s = (b − a)/max(a, b); one
+   * row per surviving cluster with its member count and mean s. The
+   * centroid form (Hruschka et al.'s simplified silhouette) is the one
+   * that scales — the classic pairwise silhouette is Θ(N²) by
+   * definition; against k centroids both distances already exist in the
+   * assignment round's distance table, so the readout is FREE beyond
+   * the fit itself.
+   *
+   * Determinism: a and b come from the same per-round-snapped d2 table
+   * kMeansAssign ranks (argmin/runner-up tie-break by cid), sqrt and the
+   * ratio are correctly-rounded fixed-order IEEE ops, and the per-cluster
+   * mean's sum-order noise sits inside the gate snap. A vector on its
+   * centroid with max(a,b) = 0, or left with NO other cluster (k
+   * collapsed to 1), scores s = 0 rather than NULL/NaN.
+   *
+   * Scale shape: [[kMeansAssign]]'s exact plan (the O(N·k) aggregated
+   * distance shuffle) + one rn ≤ 2 window keyed by vector, one
+   * vector-keyed pivot aggregate, one k-row cluster aggregate.
+   */
+  def silhouette(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, seeding: String = "id"): DataFrame = {
+    require(k >= 2, "silhouette needs at least 2 clusters")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("d2").asc, col("cid").asc)
+    val ab = lloydFinalDistances(emb, idCol, vecCol, k, iters, seeding)
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= 2)
+      .groupBy("vec_id")
+      .agg(min(when(col("rn") === 1, col("cid"))).as("cluster"),
+        min(when(col("rn") === 1, col("d2"))).as("a2"),
+        min(when(col("rn") === 2, col("d2"))).as("b2"))
+    val a = sqrt(col("a2"))
+    val b = sqrt(col("b2"))
+    val s = when(col("b2").isNull, lit(0.0))
+      .when(greatest(a, b) > 0, (b - a) / greatest(a, b))
+      .otherwise(lit(0.0))
+    ab.select(col("cluster"), s.as("s"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_points"), avg(col("s")).as("mean_silhouette"))
   }
 
   /**

@@ -193,6 +193,37 @@ class EmbeddingsSpec extends SparkSpec {
     assert(rows(0L)._2 > 0.0)
   }
 
+  test("silhouette: tight separated blobs score near 1, counts match the fit") {
+    val blobs = Seq(
+      (0L, Seq(0.0f, 0.0f)),
+      (1L, Seq(10.0f, 10.0f)),
+      (2L, Seq(0.5f, 0.0f)),
+      (3L, Seq(9.5f, 10.0f)),
+      (4L, Seq(0.0f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val s = Embeddings.silhouette(blobs, "vec_id", "embedding", k = 2, iters = 2)
+      .collect()
+      .map(r => r.getAs[Long]("cluster") ->
+        ((r.getAs[Long]("n_points"), r.getAs[Double]("mean_silhouette"))))
+      .toMap
+    // same membership as the kMeansAssign fit: blob sizes 3 and 2
+    assert(s.values.map(_._1).toSeq.sorted == Seq(2L, 3L))
+    // inter-blob distance ~14 dwarfs intra-blob ~0.5 → s near 1
+    assert(s.values.forall(_._2 > 0.9), s.toString)
+    // hand-check the 2-member cluster: own centroid (9.75, 10), other
+    // centroid (1/6, 1/6); a = 0.25 for both, b differs per member
+    val a = 0.25
+    def bOf(x: Double, y: Double) =
+      math.sqrt(math.pow(x - 1.0 / 6, 2) + math.pow(y - 1.0 / 6, 2))
+    val expected = ((bOf(10, 10) - a) / bOf(10, 10) +
+      (bOf(9.5, 10) - a) / bOf(9.5, 10)) / 2.0
+    val c1 = s.values.find(_._1 == 2L).get._2
+    assertApprox(c1, expected, 1e-4)
+    // k = 1 is meaningless for a silhouette — rejected loudly
+    intercept[IllegalArgumentException](
+      Embeddings.silhouette(blobs, "vec_id", "embedding", k = 1, iters = 1))
+  }
+
   test("ivfKMeansTopK searches only the probed trained lists") {
     val blobs = Seq(
       (0L, Seq(0.0f, 0.1f)),
