@@ -195,7 +195,13 @@ object Bench {
     // Dirichlet query likelihood: the bm25TopK plan with LM arithmetic
     "retrieval_qlm",
     // centroid silhouette: the Lloyd fit + one pivot + k-row aggregate
-    "embed_silhouette")
+    "embed_silhouette",
+    // reliability diagram: one bins-keyed aggregate off the score map
+    "quality_lr_calibration",
+    // lang×source chi2/V/MI: one cells collapse + marginal re-aggregates
+    "corpus_chi2",
+    // 3-step path mining: one lead window + path-keyed TakeOrdered
+    "events_paths")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

@@ -109,6 +109,10 @@ object EventsEntries {
     // conversion, pooled two-proportion z — a 1-row summary
     "events_abtest" -> ((s, dir) =>
       gate(Events.abTest(Events.read(s, dir), AbConvType), "n0")),
+    // ext: top-k 3-step event paths — the sequence-mining layer past the
+    // first-order transition matrix; one lead window, exact-count top-k
+    "events_paths" -> ((s, dir) =>
+      gate(Events.topPaths(Events.read(s, dir), PathLen, PathK), "path")),
     // ext: CUPED variance-reduced A/B readout + SRM chi-square — the
     // pre-period covariate (midpoint cut, exact int64) removes
     // θ²·var(X) of the metric variance; every moment is an exact int64
@@ -251,6 +255,10 @@ object EventsEntries {
 
   /** Conversion event of the A/B contract. */
   private val AbConvType = "purchase"
+
+  /** Path-mining contract: 3-step windows, top-20 cut. */
+  private val PathLen = 3
+  private val PathK = 20
 
   /** Funnel step sequence for the funnel contract. */
   private val FunnelSteps = Seq("view", "click", "purchase")
@@ -445,6 +453,23 @@ object EventsEntries {
              "sqrt(CAST(c0+c1 AS DOUBLE)/CAST(n0+n1 AS DOUBLE) * (1.0 - CAST(c0+c1 AS DOUBLE)/CAST(n0+n1 AS DOUBLE)) * " +
              "(1.0/CAST(n0 AS DOUBLE) + 1.0/CAST(n1 AS DOUBLE))) ELSE 0.0 END")} AS z
         |FROM s""".stripMargin
+    },
+    // the same lead windows over the same (ts, event_id) total order
+    // (µs vs ns is order-preserving), exact-count (n DESC, path) cut
+    "events_paths" -> {
+      val leadCols = (1 until PathLen).map(i =>
+        s"lead(event_type, $i) OVER (PARTITION BY user_id ORDER BY t, event_id) AS e$i")
+        .mkString(",\n        |       ")
+      val concatExpr = (0 until PathLen).map(i => s"e$i").mkString(" || '>' || ")
+      s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS t, event_id, event_type FROM events),
+        |w AS (SELECT event_type AS e0,
+        |       $leadCols
+        |      FROM ev),
+        |p AS (SELECT $concatExpr AS path FROM w WHERE e${PathLen - 1} IS NOT NULL),
+        |c AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n_paths FROM p GROUP BY 1)
+        |SELECT path, n_paths
+        |FROM (SELECT * FROM c ORDER BY n_paths DESC, path LIMIT $PathK) x
+        |ORDER BY path""".stripMargin
     },
     // the same exact-moment CUPED arithmetic: µs·1000 = the Spark side's
     // exact epoch-ns int64, midpoint cut via integer //, every sum an

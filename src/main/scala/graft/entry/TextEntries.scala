@@ -424,6 +424,19 @@ object TextEntries {
           QfMinTokens, QfMaxTokens, QfMinAvgLen, QfMaxAvgLen, QfMaxStop,
           QfMinTtr), "gate_pass", "p_quality", RocThresholds), "t")
     }),
+    // ext: reliability diagram for the same fit — per equal-width score
+    // bin the count, mean predicted p, empirical positive rate, and the
+    // signed calibration gap; bins from the SNAPPED score, zero rows kept
+    "quality_lr_calibration" -> ((s, dir) => {
+      val w = graft.ext.QualityModel.fitLogistic(docs(s, dir), "doc_id",
+          "text", LrIters, LrRate, QfMinTokens, QfMaxTokens, QfMinAvgLen,
+          QfMaxAvgLen, QfMaxStop, QfMinTtr)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      gate(graft.ext.QualityModel.calibration(
+        graft.ext.QualityModel.score(docs(s, dir), "doc_id", "text", w,
+          QfMinTokens, QfMaxTokens, QfMinAvgLen, QfMaxAvgLen, QfMaxStop,
+          QfMinTtr), "gate_pass", "p_quality", CalibBins), "bin")
+    }),
     // ext: exact two-sample KS drift test — is the en-slice's length
     // distribution the same population as the rest? D and its arg-cut
     // stay int64 (max of |cum1·n0 − cum0·n1|), one division + one exp
@@ -433,6 +446,12 @@ object TextEntries {
         col("n_chars"))
       gate(graft.ext.QualityModel.ksTest(d, "grp", "n_chars"), "n1")
     }),
+    // ext: lang × source contingency audit — chi-square independence,
+    // Cramér's V, mutual information; observed-cells-only algebra
+    // (Σ(o−e)²/e = Σo²/e − n), exact int64 marginals
+    "corpus_chi2" -> ((s, dir) =>
+      gate(graft.ext.Audit.contingencyStats(docs(s, dir), "lang", "source"),
+        "n")),
     // ext: per-(lang) winsorization of n_chars at the 5/95 band; exact
     // int64 thresholds and clamp on both engines
     "quality_winsorize" -> ((s, dir) =>
@@ -471,6 +490,9 @@ object TextEntries {
 
   /** KS drift contract: the en slice vs the rest of the corpus. */
   private val KsLang = "en"
+
+  /** Reliability-diagram contract: equal-width score bins. */
+  private val CalibBins = 10
 
   /** The unrolled BPE round chain (word table → s0 chars → per-round
     * pair-count, argmax, window-parity greedy rewrite), shared by the
@@ -1565,6 +1587,34 @@ object TextEntries {
     // the same replayed fit + scores, folded to the Mann–Whitney AUC
     "quality_lr_auc" -> qualityLrSql("auc"),
     "quality_lr_roc" -> qualityLrSql("roc"),
+    "quality_lr_calibration" -> qualityLrSql("calibration"),
+    // the same observed-cells-only contingency algebra: exact marginals,
+    // identical per-cell IEEE term order, the same 0-clamp before sqrt
+    "corpus_chi2" -> {
+      val chi = "greatest(0.0, sum_chi - CAST(n AS DOUBLE))"
+      s"""WITH o AS (SELECT lang AS a, source AS b, CAST(COUNT(*) AS BIGINT) AS o
+        |           FROM documents GROUP BY 1, 2),
+        |ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS ra FROM o GROUP BY 1),
+        |cb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS cb FROM o GROUP BY 1),
+        |t AS (SELECT CAST(COALESCE(SUM(o), 0) AS BIGINT) AS n,
+        |             CAST(COUNT(DISTINCT a) AS BIGINT) AS n_a,
+        |             CAST(COUNT(DISTINCT b) AS BIGINT) AS n_b FROM o),
+        |cells AS (SELECT o.o, ra.ra, cb.cb, t.n, t.n_a, t.n_b
+        |          FROM o JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN t),
+        |f AS (SELECT n, n_a, n_b,
+        |       SUM(CAST(o AS DOUBLE) * CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+        |           / CAST(ra * cb AS DOUBLE)) AS sum_chi,
+        |       SUM((CAST(o AS DOUBLE) / CAST(n AS DOUBLE))
+        |           * ln(CAST(o AS DOUBLE) * CAST(n AS DOUBLE) / CAST(ra * cb AS DOUBLE))) AS mi_raw
+        |      FROM cells GROUP BY 1, 2, 3)
+        |SELECT n, n_a, n_b, CAST((n_a - 1) * (n_b - 1) AS BIGINT) AS dof,
+        |  ${r6sql(s"CASE WHEN LEAST(n_a, n_b) > 1 THEN $chi ELSE 0.0 END")} AS chi2,
+        |  ${r6sql(s"CASE WHEN LEAST(n_a, n_b) > 1 AND n > 0 THEN " +
+           s"sqrt(($chi) / (CAST(n AS DOUBLE) * CAST(LEAST(n_a, n_b) - 1 AS DOUBLE))) " +
+           "ELSE 0.0 END")} AS cramers_v,
+        |  ${r6sql("CASE WHEN LEAST(n_a, n_b) > 1 THEN mi_raw ELSE 0.0 END")} AS mi
+        |FROM f""".stripMargin
+    },
     // the same int64 CDF-gap max (exact numerator, division at the end),
     // the same min-v arg-cut among tied maxima, one exp under the snap
     "quality_ks" -> {
@@ -1729,6 +1779,26 @@ object TextEntries {
                     " ELSE CAST(SUM(np * (2 * cumnn + nn)) AS DOUBLE)" +
                     " / (2.0 * SUM(np) * SUM(nn)) END")} AS auc
                  |FROM cc""".stripMargin
+            case "calibration" =>
+              // snapped scores → equal-width bins → per-bin count, mean
+              // predicted p, empirical rate (QualityModel.calibration);
+              // empty bins keep their zero row
+              s""", sc AS (SELECT y, ${r6sql("p")} AS s
+                 |       FROM (SELECT y, $p AS p FROM f CROSS JOIN w$LrIters w)),
+                 |ag AS (SELECT LEAST(CAST(${CalibBins - 1} AS BIGINT),
+                 |               CAST(floor(s * $CalibBins.0) AS BIGINT)) AS bin,
+                 |        CAST(COUNT(*) AS BIGINT) AS n,
+                 |        SUM(s) AS sum_s,
+                 |        CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+                 |       FROM sc GROUP BY 1),
+                 |bn AS (SELECT CAST(i AS BIGINT) AS bin
+                 |       FROM (SELECT UNNEST(range($CalibBins)) AS i))
+                 |SELECT bn.bin, CAST(COALESCE(ag.n, 0) AS BIGINT) AS n,
+                 |  CAST(COALESCE(ag.n_pos, 0) AS BIGINT) AS n_pos,
+                 |  ${r6sql("CASE WHEN COALESCE(ag.n, 0) > 0 THEN ag.sum_s / CAST(ag.n AS DOUBLE) ELSE 0.0 END")} AS mean_score,
+                 |  ${r6sql("CASE WHEN COALESCE(ag.n, 0) > 0 THEN CAST(ag.n_pos AS DOUBLE) / CAST(ag.n AS DOUBLE) ELSE 0.0 END")} AS frac_pos,
+                 |  ${r6sql("(CASE WHEN COALESCE(ag.n, 0) > 0 THEN CAST(ag.n_pos AS DOUBLE) / CAST(ag.n AS DOUBLE) ELSE 0.0 END) - (CASE WHEN COALESCE(ag.n, 0) > 0 THEN ag.sum_s / CAST(ag.n AS DOUBLE) ELSE 0.0 END)")} AS gap
+                 |FROM bn LEFT JOIN ag USING (bin) ORDER BY bin""".stripMargin
             case "roc" =>
               // snapped-score histogram fanned out over the threshold
               // grid: exact int64 confusion counts per cut, complement

@@ -61,6 +61,59 @@ object Audit {
    * output is union-of-ids-sized. Comparing by content hash makes the
    * diff order-insensitive and collision-safe at 2⁻¹²⁸.
    */
+  /**
+   * Contingency-table independence audit between two categorical corpus
+   * columns (lang × source here): Pearson's chi-square, its degrees of
+   * freedom, Cramér's V effect size, and the mutual information in nats
+   * — one row. This is the "are my slices confounded" check a mixture
+   * design runs before trusting per-source or per-language statistics:
+   * high V means the two facets are entangled and any per-facet quota
+   * silently reweights the other.
+   *
+   * The zero-cell algebra: Σ_all (o−e)²/e = Σ_obs o²/e − n (since
+   * Σ_all o = Σ_all e = n), so only OBSERVED cells are ever enumerated —
+   * the table never densifies. MI's o·ln(o…) terms vanish at o = 0, so
+   * the observed-cell sum is already exact.
+   *
+   * Determinism: counts and marginals are exact int64; each cell term is
+   * the same fixed IEEE op sequence; the cell sums carry engine
+   * sum-order noise ~1e-13 relative — inside the gate snap. chi2 is
+   * clamped at 0 before the Cramér sqrt (fp noise on an independent
+   * table can leave Σ − n at −1e-12). Degenerate single-level facets
+   * (dof = 0) report chi2/V/MI = 0.
+   *
+   * Scale shape: ONE (a, b)-keyed hash aggregate collapses the corpus to
+   * the observed contingency cells (map-side partials); marginals are
+   * cell-sized re-aggregates joined back on their own keys; the 1-row
+   * grand total rides the sanctioned scalar broadcast. Everything
+   * downstream is cells-sized.
+   */
+  def contingencyStats(data: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val o = data.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("o"))
+    val ra = o.groupBy("a").agg(sum(col("o")).as("ra"))
+    val cb = o.groupBy("b").agg(sum(col("o")).as("cb"))
+    val tot = o.agg(coalesce(sum(col("o")), lit(0L)).as("n"),
+      countDistinct(col("a")).as("n_a"), countDistinct(col("b")).as("n_b"))
+    val cells = o.join(ra, "a").join(cb, "b").crossJoin(broadcast(tot))
+    val oD = col("o").cast("double")
+    val nD = col("n").cast("double")
+    val rcD = (col("ra") * col("cb")).cast("double")
+    val chiTerm = oD * oD * nD / rcD
+    val miTerm = (oD / nD) * log(oD * nD / rcD)
+    val folded = cells.groupBy("n", "n_a", "n_b")
+      .agg(sum(chiTerm).as("sum_chi"), sum(miTerm).as("mi_raw"))
+    val chi2 = greatest(lit(0.0), col("sum_chi") - col("n").cast("double"))
+    val minDim = least(col("n_a"), col("n_b"))
+    folded.select(col("n"), col("n_a"), col("n_b"),
+      ((col("n_a") - 1L) * (col("n_b") - 1L)).as("dof"),
+      when(minDim > 1L, chi2).otherwise(lit(0.0)).as("chi2"),
+      when(minDim > 1L && col("n") > 0L,
+        sqrt(chi2 / (col("n").cast("double") * (minDim - 1L).cast("double"))))
+        .otherwise(lit(0.0)).as("cramers_v"),
+      when(minDim > 1L, col("mi_raw")).otherwise(lit(0.0)).as("mi"))
+  }
+
   def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     def hashed(df: DataFrame, as: String) =

@@ -424,6 +424,36 @@ object Events {
   }
 
   /**
+   * Top-k most common `len`-step event paths — the sequence-mining step
+   * past [[transitionMatrix]]'s first-order view: consecutive event-type
+   * runs per user (ordered by the same (ts, event_id) total order),
+   * joined into a `a>b>c` path string, counted corpus-wide, top-k by
+   * (count DESC, path ASC) — exact integer ordering, so the cut is
+   * engine-exact. Overlapping windows all count (every event starts a
+   * path), the standard n-gram convention.
+   *
+   * Scale shape: ONE user-keyed window (len−1 leads share one frame —
+   * a single exchange), a row-local concat, one path-keyed hash
+   * aggregate with map-side partials, and a TakeOrdered top-k cut
+   * (per-partition top-k, no global sort). Nothing is sequence-length
+   * quadratic; the aggregate's key space is bounded by |types|^len.
+   */
+  def topPaths(events: DataFrame, len: Int = 3, k: Int = 20): DataFrame = {
+    require(len >= 2, "a path needs at least 2 steps")
+    require(k >= 1)
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val leads = col("event_type") +:
+      (1 until len).map(i => lead(col("event_type"), i).over(byUser))
+    val paths = events
+      .select(concat_ws(">", leads: _*).as("path"),
+        leads.last.isNotNull.as("complete"))
+      .where(col("complete"))
+    paths.groupBy("path").agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("path").asc)
+      .limit(k)
+  }
+
+  /**
    * Hash-randomized A/B readout with a two-proportion z-test: users are
    * deterministically assigned to variants by the export mix chain
    * ([[Export.mixBucket]] — the same auditable int64 arithmetic that

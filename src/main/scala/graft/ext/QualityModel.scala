@@ -227,6 +227,51 @@ object QualityModel {
         .otherwise(lit(1.0)).as("p_value"))
   }
 
+  /**
+   * Reliability diagram — the calibration readout that completes the
+   * [[auc]] (ranking) / [[confusionSweep]] (operating point) evaluation
+   * suite: scores bin into `bins` equal-width cells and each bin reports
+   * its member count, mean predicted probability, and empirical positive
+   * rate. A calibrated scorer has `frac_pos ≈ mean_score` per bin; the
+   * signed `gap` column is the per-bin calibration error (its
+   * count-weighted |·| average is the standard ECE, computable from
+   * these rows).
+   *
+   * Determinism: scores snap to the 1e-6 grid BEFORE binning (bin
+   * identity is then one exactly-rounded multiply + floor — engine-exact
+   * even for scores ON a bin boundary), counts are exact int64,
+   * `frac_pos` is one exact-rational division, and `mean_score`'s
+   * sum-order noise sits ~1e-10 under the gate snap. Empty bins keep a
+   * zero row (the sweep convention), so the output is always `bins` rows.
+   *
+   * Scale shape: one row-local bin map + ONE bins-keyed hash aggregate
+   * with map-side partials; the bins-row assembly join is constant-sized.
+   */
+  def calibration(scored: DataFrame, labelCol: String, scoreCol: String,
+      bins: Int): DataFrame = {
+    require(bins >= 2, "bins must be at least 2")
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val s = floor(col(scoreCol) * lit(1e6) + lit(0.50001)) / lit(1e6)
+    val b = least(lit(bins - 1L), floor(s * lit(bins.toDouble)).cast("long"))
+    val g = scored
+      .select(b.as("bin"), s.as("s"), col(labelCol).as("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(col("s")).as("sum_s"),
+        sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("n_pos"))
+    val mean = when(col("n") > 0, col("sum_s") / col("n").cast("double"))
+      .otherwise(lit(0.0))
+    val frac = when(col("n") > 0, col("n_pos").cast("double") / col("n").cast("double"))
+      .otherwise(lit(0.0))
+    (0L until bins.toLong).toDF("bin")
+      .join(g, Seq("bin"), "left")
+      .na.fill(0L, Seq("n", "n_pos")).na.fill(0.0, Seq("sum_s"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        mean.as("mean_score"), frac.as("frac_pos"),
+        (frac - mean).as("gap"))
+  }
+
   def confusionSweep(scored: DataFrame, labelCol: String, scoreCol: String,
       thresholds: Seq[Double]): DataFrame = {
     require(thresholds.nonEmpty, "thresholds must be non-empty")

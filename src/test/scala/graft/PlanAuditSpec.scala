@@ -80,7 +80,10 @@ class PlanAuditSpec extends SparkSpec {
       "quality_lr_roc", "quality_ks",
       // bm25_search's sanctioned 1-row corpus-stats scalar broadcast
       // with the LM arithmetic instead
-      "retrieval_qlm")
+      "retrieval_qlm",
+      // 1-row grand-total (n, n_a, n_b) broadcast over the
+      // contingency-cells frame
+      "corpus_chi2")
 
   test("no contract query plans a cartesian product or unsanctioned BNLJ") {
     assume(new File(sfDir).isDirectory, s"$sfDir missing")

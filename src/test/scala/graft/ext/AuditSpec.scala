@@ -83,4 +83,32 @@ class AuditSpec extends SparkSpec {
     // would show a Window + Sort pair here
     assert(plan.contains("max_by") && !plan.contains("Window"), plan)
   }
+
+  test("contingencyStats: hand-computed chi2, Cramér's V, MI on a 2×2") {
+    // 30/10/10/30 — a strongly associated square table
+    def rows(a: String, b: String, n: Int) = Seq.fill(n)((a, b))
+    val d = (rows("x", "u", 30) ++ rows("x", "v", 10) ++
+      rows("y", "u", 10) ++ rows("y", "v", 30)).toDF("lang", "source")
+    val r = Audit.contingencyStats(d, "lang", "source").collect().head
+    assert(r.getAs[Long]("n") == 80L && r.getAs[Long]("dof") == 1L)
+    // e = 20 per cell → chi2 = 4·(10²/20) = 20; V = sqrt(20/80) = 0.5
+    assertApprox(r.getAs[Double]("chi2"), 20.0, 1e-9)
+    assertApprox(r.getAs[Double]("cramers_v"), 0.5, 1e-9)
+    val mi = 2 * (30.0 / 80) * math.log(1.5) + 2 * (10.0 / 80) * math.log(0.5)
+    assertApprox(r.getAs[Double]("mi"), mi, 1e-9)
+  }
+
+  test("contingencyStats: independent table scores 0; single-level facet degrades") {
+    def rows(a: String, b: String, n: Int) = Seq.fill(n)((a, b))
+    val ind = (rows("x", "u", 10) ++ rows("x", "v", 10) ++
+      rows("y", "u", 10) ++ rows("y", "v", 10)).toDF("lang", "source")
+    val r = Audit.contingencyStats(ind, "lang", "source").collect().head
+    assert(r.getAs[Double]("chi2") == 0.0 && r.getAs[Double]("cramers_v") == 0.0)
+    assert(r.getAs[Double]("mi") == 0.0)
+    // one source level only → dof 0, all stats 0, no division blow-up
+    val flat = (rows("x", "u", 5) ++ rows("y", "u", 7)).toDF("lang", "source")
+    val f = Audit.contingencyStats(flat, "lang", "source").collect().head
+    assert(f.getAs[Long]("dof") == 0L && f.getAs[Double]("chi2") == 0.0)
+    assert(f.getAs[Double]("cramers_v") == 0.0 && f.getAs[Double]("mi") == 0.0)
+  }
 }

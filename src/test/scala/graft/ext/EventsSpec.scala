@@ -300,6 +300,26 @@ class EventsSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("non-negative")), e.toString)
   }
 
+  test("topPaths: overlapping 3-step windows per user, exact-count cut") {
+    val ev = Seq(
+      (1L, 1L, 1L, "a", 1.0), (2L, 2L, 1L, "b", 1.0),
+      (3L, 3L, 1L, "c", 1.0), (4L, 4L, 1L, "d", 1.0),
+      (5L, 1L, 2L, "a", 1.0), (6L, 2L, 2L, "b", 1.0),
+      (7L, 3L, 2L, "c", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Events.topPaths(ev, len = 3, k = 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // user 1 contributes a>b>c and b>c>d; user 2 a>b>c; never cross-user
+    assert(got == Map("a>b>c" -> 2L, "b>c>d" -> 1L))
+    // the k cut keeps the higher count; ties would break on path asc
+    val top = Events.topPaths(ev, len = 3, k = 1).collect()
+    assert(top.length == 1 && top.head.getString(0) == "a>b>c")
+    // len = 2 degenerates to raw transition pairs (no '(end)' row here)
+    val two = Events.topPaths(ev, len = 2, k = 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(two == Map("a>b" -> 2L, "b>c" -> 2L, "c>d" -> 1L))
+  }
+
   test("abTestCuped: hand-computed theta, adjusted means, SRM chi-square") {
     // pre period: ts 0..50, post: 51..100 (cut = 0 + (100-0) div 2 = 50);
     // user u emits u%4+1 pre 'view's and, if u%3==0, one post 'purchase'

@@ -71,6 +71,30 @@ class QualityModelSpec extends SparkSpec {
       0.5, 1e-12)
   }
 
+  test("calibration: hand-binned reliability rows, boundaries, zero bins") {
+    import spark.implicits._
+    val d = Seq((1.0, 0.95), (0.0, 0.91), (1.0, 0.55), (0.0, 0.12),
+        (1.0, 1.0), (0.0, 0.5))
+      .toDF("y", "p")
+    val got = QualityModel.calibration(d, "y", "p", bins = 10).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getAs[Double]("mean_score"),
+          r.getAs[Double]("frac_pos"), r.getAs[Double]("gap"))))
+      .toMap
+    assert(got.size == 10)
+    // score 1.0 clamps into the top bin; 0.5 sits exactly ON the 5 edge
+    val b9 = got(9L)
+    assert(b9._1 == 3L && b9._2 == 2L)
+    assertApprox(b9._3, (0.95 + 0.91 + 1.0) / 3, 1e-9)
+    assertApprox(b9._4, 2.0 / 3.0, 1e-9)
+    assertApprox(b9._5, b9._4 - b9._3, 1e-12)
+    val b5 = got(5L)
+    assert(b5._1 == 2L && b5._2 == 1L)
+    assertApprox(b5._3, (0.55 + 0.5) / 2, 1e-9)
+    // untouched bins keep explicit zero rows
+    assert(got(7L) == ((0L, 0L, 0.0, 0.0, 0.0)))
+  }
+
   test("ksTest: hand-computed D, arg-cut, and clamped p-value") {
     import spark.implicits._
     // fully separated: group1 = {1,2}, group0 = {3,4} → D = 1 at v = 2
