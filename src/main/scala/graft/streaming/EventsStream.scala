@@ -142,6 +142,31 @@ final case class AbDelta(user_id: Long, variant: Long, d_users: Long, d_conv: Lo
   * facts that no late event can retract). */
 final case class AbUserState(converted: Boolean)
 
+/** One finalized `len`-step path occurrence — output of
+  * [[EventsStream.pathHits]]. Counting paths downstream reproduces
+  * [[graft.ext.Events.topPaths]]'s pre-cut table exactly. */
+final case class PathHit(user_id: Long, path: String, end_ts_ms: Long,
+  end_event_id: Long)
+
+/** Per-user path state: the in-horizon event buffer plus the (len−1)-type
+  * tail of already-finalized events (the prefix every future path of this
+  * user starts from). */
+final case class PathState(buffer: Seq[TransBuf], tail: Seq[String])
+
+/** One CUPED moment delta — output of [[EventsStream.cupedDeltas]].
+  * Summing each column over all deltas (optionally also keyed by
+  * `variant`) yields the EXACT live int64 moments
+  * (n, Σx, Σy, Σx², Σy², Σxy and the per-arm n/Σx/Σy) that
+  * [[graft.ext.Events.abTestCuped]]'s one-row readout is pure arithmetic
+  * over — θ, adjusted means, removed variance, SRM, all recomputable
+  * from the maintained sums at any moment. */
+final case class CupedDelta(user_id: Long, variant: Long, d_n: Long,
+  d_x: Long, d_y: Long, d_xx: Long, d_yy: Long, d_xy: Long)
+
+/** Per-user CUPED state: the running pre-period count x and post-period
+  * conversion count y. */
+final case class CupedUserState(x: Long, y: Long)
+
 /** One event enriched with its trailing-window stats — output of
   * [[EventsStream.rolling]]. */
 final case class RollingOut(
@@ -834,6 +859,98 @@ object EventsStream {
             state.setTimeoutTimestamp(
               math.max((open.keys.min + 3600L) * 1000L, wm + 1))
           out.iterator
+      }
+  }
+
+  /**
+   * Streaming `len`-step path miner — the unbounded twin of
+   * [[graft.ext.Events.topPaths]]: per user, events buffer until the
+   * watermark finalizes them (the [[transitions]] convention — lateness
+   * inside the horizon cannot reorder a path), are folded in (ts,
+   * event_id) order, and every completed `len`-run emits ONE
+   * [[PathHit]]. A downstream path count over the hits reproduces the
+   * batch pre-cut table exactly; the top-k cut is a two-column sort of
+   * that maintained count, not a stream concern.
+   *
+   * State per user: the in-horizon buffer plus a (len−1)-type tail —
+   * O(horizon events + len), independent of stream length. Emission is a
+   * pure function of event time (batch slicing cannot reorder the fold).
+   */
+  def pathHits(events: Dataset[IdStreamEvent], len: Int = 3,
+      watermark: String = "1 hour"): Dataset[PathHit] = {
+    require(len >= 2, "a path needs at least 2 steps")
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[IdStreamEvent], state: GroupState[PathState]) =>
+          val st = state.getOption.getOrElse(PathState(Seq.empty, Seq.empty))
+          val wm = state.getCurrentWatermarkMs()
+          val all = st.buffer ++
+            batch.map(e => TransBuf(e.event_id, e.ts.getTime, e.event_type)).toSeq
+          val (ready, pending) = all.partition(_.tsMs < wm)
+          var tail = st.tail
+          val out = Seq.newBuilder[PathHit]
+          ready.sortBy(b => (b.tsMs, b.event_id)).foreach { b =>
+            val run = tail :+ b.tpe
+            if (run.length == len)
+              out += PathHit(userId, run.mkString(">"), b.tsMs, b.event_id)
+            tail = run.takeRight(len - 1)
+          }
+          state.update(PathState(pending, tail))
+          if (pending.nonEmpty)
+            state.setTimeoutTimestamp(math.max(pending.map(_.tsMs).min, wm + 1))
+          out.result().iterator
+      }
+  }
+
+  /**
+   * Streaming CUPED moment counters — the live twin of
+   * [[graft.ext.Events.abTestCuped]] for a RUNNING experiment, where the
+   * pre/post cut is a known design constant (`cutMs`, the experiment
+   * start) rather than batch's data-midpoint. Per user the state is the
+   * exact (x, y) pair — pre-period event count and post-period `convType`
+   * count — and each micro-batch that changes it emits the int64 DELTAS
+   * of every moment the CUPED readout needs, including the quadratic
+   * ones (d_xx = x₁² − x₀², …): quadratic-in-total moments cannot be
+   * rebuilt from raw (dx, dy) deltas alone, but their per-user
+   * differences telescope, so plain SUMs over [[CupedDelta]] maintain
+   * Σx², Σy², Σxy exactly. θ, the adjusted means, the removed variance
+   * and the SRM chi-square are then closed-form over the maintained sums
+   * at ANY point in the stream.
+   *
+   * No watermark, no timeout: every moment is MONOTONE-accumulating
+   * arithmetic over per-user counts (late events just arrive as new
+   * deltas — nothing is ever un-emitted), the [[abDeltas]] argument.
+   * State is two longs per user ever seen. Non-negative user ids are
+   * ENFORCED exactly as the batch twin enforces them.
+   */
+  def cupedDeltas(events: Dataset[StreamEvent], convType: String,
+      cutMs: Long, salt: Long = 0L): Dataset[CupedDelta] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[StreamEvent], state: GroupState[CupedUserState]) =>
+          require(userId >= 0,
+            s"cupedDeltas: negative user_id $userId — ids must be non-negative")
+          val wasKnown = state.exists
+          val st = state.getOption.getOrElse(CupedUserState(0L, 0L))
+          var dx = 0L
+          var dy = 0L
+          batch.foreach { e =>
+            if (e.ts.getTime <= cutMs) dx += 1L
+            else if (e.event_type == convType) dy += 1L
+          }
+          val (x0, y0) = (st.x, st.y)
+          val (x1, y1) = (x0 + dx, y0 + dy)
+          state.update(CupedUserState(x1, y1))
+          val dn = if (wasKnown) 0L else 1L
+          if (dn == 0L && dx == 0L && dy == 0L) Iterator.empty
+          else Iterator(CupedDelta(userId,
+            graft.ext.Export.mixBucketLong(userId, 2, salt), dn, dx, dy,
+            x1 * x1 - x0 * x0, y1 * y1 - y0 * y0, x1 * y1 - x0 * y0))
       }
   }
 

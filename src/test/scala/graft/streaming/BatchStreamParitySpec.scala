@@ -606,6 +606,79 @@ class BatchStreamParitySpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("pathHits: streamed path counts equal batch topPaths, out-of-order in-horizon") {
+    val idEvents = events.zipWithIndex.map { case (e, i) =>
+      IdStreamEvent(i.toLong, e.user_id, e.ts, e.event_type, e.value)
+    }
+    // k above the path-type count → the full pre-cut table
+    val batch = Events.topPaths(batchDF, len = 3, k = 1000).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val in = MemoryStream[IdStreamEvent]
+    val q = EventsStream.pathHits(in.toDS(), len = 3)
+      .writeStream.format("memory").queryName("parity_paths")
+      .outputMode(OutputMode.Append).start()
+    val streamed =
+      try {
+        // second slice is out-of-order vs the first but inside the horizon
+        val (a, b) = idEvents.splitAt(4)
+        in.addData(a: _*); q.processAllAvailable()
+        in.addData(b: _*); q.processAllAvailable()
+        def flush(day: Int) = IdStreamEvent(90L + day, 99L,
+          Timestamp.valueOf(s"2024-03-0$day 12:00:00"), "x", 0.0)
+        in.addData(flush(2)); q.processAllAvailable()
+        in.addData(flush(3)); q.processAllAvailable()
+        spark.table("parity_paths").where($"user_id" < 99)
+          .groupBy("path").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+      } finally q.stop()
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("cupedDeltas: summed moments equal the batch CUPED inputs, across slicings") {
+    // batch cut = midpoint of the fixture's ns range; the stream twin
+    // takes the same instant as its design constant (ms grid here)
+    val tsNs = events.map(_.ts.getTime * 1000000L)
+    val cutNs = tsNs.min + (tsNs.max - tsNs.min) / 2
+    assert(cutNs % 1000000L == 0L, "fixture must sit on the ms grid")
+    val cutMs = cutNs / 1000000L
+    // independent recomputation of the per-user (x, y) the batch folds
+    val xs = events.groupBy(_.user_id).map { case (u, es) =>
+      u -> es.count(_.ts.getTime <= cutMs).toLong
+    }
+    val ys = events.groupBy(_.user_id).map { case (u, es) =>
+      u -> es.count(e => e.ts.getTime > cutMs && e.event_type == "buy").toLong
+    }
+    val users = events.map(_.user_id).distinct
+    val slicings = Seq(Seq(events), events.map(Seq(_)),
+      Seq(events.take(3), events.drop(3)))
+    for ((slices, si) <- slicings.zipWithIndex) {
+      val in = MemoryStream[StreamEvent]
+      val q = EventsStream.cupedDeltas(in.toDS(), "buy", cutMs)
+        .writeStream.format("memory").queryName(s"parity_cuped_$si")
+        .outputMode(OutputMode.Append).start()
+      try {
+        slices.foreach { sl => in.addData(sl: _*); q.processAllAvailable() }
+        val sums = spark.table(s"parity_cuped_$si")
+          .agg(sum("d_n"), sum("d_x"), sum("d_y"),
+            sum("d_xx"), sum("d_yy"), sum("d_xy"))
+          .collect().head
+        assert(sums.getLong(0) === users.size.toLong, s"slicing $si n")
+        assert(sums.getLong(1) === xs.values.sum, s"slicing $si sx")
+        assert(sums.getLong(2) === ys.values.sum, s"slicing $si sy")
+        assert(sums.getLong(3) === xs.values.map(x => x * x).sum, s"slicing $si sxx")
+        assert(sums.getLong(4) === ys.values.map(y => y * y).sum, s"slicing $si syy")
+        assert(sums.getLong(5) === users.map(u => xs(u) * ys(u)).sum, s"slicing $si sxy")
+      } finally q.stop()
+    }
+    // transitivity: the batch one-row readout is pure arithmetic over
+    // exactly these moments — EventsSpec pins that arithmetic against
+    // the same independent recomputation
+    val b = Events.abTestCuped(batchDF, "buy").collect().head
+    val n0 = users.count(u => graft.ext.Export.mixBucketLong(u, 2, 0L) == 0L)
+    assert(b.getAs[Long]("n0") === n0.toLong)
+  }
+
   test("abDeltas: summed deltas equal batch arm counts, across slicings") {
     val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
     def ev(u: Long, minutes: Long, tpe: String) =

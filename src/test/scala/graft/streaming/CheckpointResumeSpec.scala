@@ -411,6 +411,45 @@ class CheckpointResumeSpec extends SparkSpec {
       armsOfU1.head === graft.ext.Export.mixBucketLong(1L, 2, 0L))
   }
 
+  test("cupedDeltas resumes from checkpoint: quadratic moments telescope across restarts") {
+    val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    def ev(u: Long, minutes: Long, tpe: String) =
+      StreamEvent(u, new Timestamp(base + minutes * 60000), tpe, 1.0)
+    val cutMs = base + 60 * 60000 // minute 60 splits pre/post
+
+    // before restart: u1 has 2 pre events; after: 1 more pre + 1 post conv.
+    // Recovered state must telescope x² through 2²−0² then 3²−2², never
+    // restart the square from zero.
+    val before = Seq(ev(1, 0, "view"), ev(1, 10, "view"))
+    val after = Seq(ev(1, 20, "view"), ev(1, 90, "purchase"))
+
+    val dir = Files.createTempDirectory("graft_cuped_ckpt").toFile
+    val outPath = s"$dir/out"
+    val ckptPath = s"$dir/ckpt"
+    val in = MemoryStream[StreamEvent]
+    def start() = EventsStream.cupedDeltas(in.toDS(), "purchase", cutMs)
+      .writeStream.format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", ckptPath)
+      .outputMode(OutputMode.Append)
+      .start()
+
+    val q1 = start()
+    try { in.addData(before: _*); q1.processAllAvailable() } finally q1.stop()
+    val q2 = start()
+    try { in.addData(after: _*); q2.processAllAvailable() } finally q2.stop()
+
+    import org.apache.spark.sql.functions.{sum => sqlSum}
+    val sums = spark.read.parquet(outPath)
+      .agg(sqlSum("d_n"), sqlSum("d_x"), sqlSum("d_y"), sqlSum("d_xx"),
+        sqlSum("d_yy"), sqlSum("d_xy"))
+      .collect().head
+    assert((sums.getLong(0), sums.getLong(1), sums.getLong(2)) === ((1L, 3L, 1L)))
+    // x = 3, y = 1 → Σx² = 9, Σy² = 1, Σxy = 3 — only if the squares
+    // telescoped over the RECOVERED totals
+    assert((sums.getLong(3), sums.getLong(4), sums.getLong(5)) === ((9L, 1L, 3L)))
+  }
+
   test("sessionize survives a restart on the RocksDB state store backend") {
     // the production state backend for large state (spillable, compacted,
     // incremental checkpoints): same recovery contract as the default
