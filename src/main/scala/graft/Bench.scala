@@ -201,7 +201,11 @@ object Bench {
     // lang×source chi2/V/MI: one cells collapse + marginal re-aggregates
     "corpus_chi2",
     // 3-step path mining: one lead window + path-keyed TakeOrdered
-    "events_paths")
+    "events_paths",
+    // KM survival: user min/max collapse + exit-time-sized windows
+    "events_survival",
+    // shingle novelty: one min-owner aggregate + join on the same key
+    "dedup_novelty")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

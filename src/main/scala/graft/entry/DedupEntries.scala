@@ -26,6 +26,11 @@ object DedupEntries {
     "dedup_threshold_sweep" -> ((s, dir) =>
       gate(Dedup.jaccardThresholdSweep(docs(s, dir), "doc_id", "text",
         SweepThresholds), "t")),
+    // ext: per-doc shingle novelty — the fraction of a document's
+    // trigrams whose FIRST corpus occurrence (min doc_id) is this
+    // document; the redundancy histogram next to the pair kernels
+    "dedup_novelty" -> ((s, dir) =>
+      gate(Dedup.shingleNovelty(docs(s, dir), "doc_id", "text"), "doc_id")),
     // tf-weighted (multiset) Jaccard: Σmin/Σmax over unigram term
     // frequencies — the repetition-sensitive kernel set Jaccard cannot
     // see; computed over the df-capped sub-vocabulary
@@ -536,6 +541,17 @@ object DedupEntries {
       (shingleSql + s"""
         |SELECT doc0, doc1, ${r6sql("jaccard")} AS jaccard FROM jac
         |WHERE jaccard >= 0.2 ORDER BY doc0, doc1""".stripMargin),
+    // the same distinct-shingle chain, the same min-doc_id first-owner
+    // attribution, one exact-rational division
+    "dedup_novelty" ->
+      (shgSql + s""",
+        |fo AS (SELECT sh, MIN(doc_id) AS first_doc FROM shg GROUP BY 1)
+        |SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        |  CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  ${r6sql("CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE)" +
+           " / CAST(COUNT(*) AS DOUBLE)")} AS novelty
+        |FROM shg s JOIN fo f USING (sh)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
     // the same exact pair table, fanned out over the threshold grid;
     // comparisons use the unsnapped integer-operand ratio on both sides
     "dedup_threshold_sweep" ->

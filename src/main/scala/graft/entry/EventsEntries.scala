@@ -113,6 +113,12 @@ object EventsEntries {
     // first-order transition matrix; one lead window, exact-count top-k
     "events_paths" -> ((s, dir) =>
       gate(Events.topPaths(Events.read(s, dir), PathLen, PathK), "path")),
+    // ext: Kaplan–Meier lifetime survival with right censoring — the
+    // churn curve; exact int64 risk sets, the KM product folded as a
+    // window-ordered exp(Σ ln), extinction pinned to exactly 0
+    "events_survival" -> ((s, dir) =>
+      gate(Events.survivalCurve(Events.read(s, dir),
+        censorBuckets = SurvivalCensorDays), "t")),
     // ext: CUPED variance-reduced A/B readout + SRM chi-square — the
     // pre-period covariate (midpoint cut, exact int64) removes
     // θ²·var(X) of the metric variance; every moment is an exact int64
@@ -259,6 +265,9 @@ object EventsEntries {
   /** Path-mining contract: 3-step windows, top-20 cut. */
   private val PathLen = 3
   private val PathK = 20
+
+  /** Survival contract: users active in the final week are censored. */
+  private val SurvivalCensorDays = 7L
 
   /** Funnel step sequence for the funnel contract. */
   private val FunnelSteps = Seq("view", "click", "purchase")
@@ -453,6 +462,41 @@ object EventsEntries {
              "sqrt(CAST(c0+c1 AS DOUBLE)/CAST(n0+n1 AS DOUBLE) * (1.0 - CAST(c0+c1 AS DOUBLE)/CAST(n0+n1 AS DOUBLE)) * " +
              "(1.0/CAST(n0 AS DOUBLE) + 1.0/CAST(n1 AS DOUBLE))) ELSE 0.0 END")} AS z
         |FROM s""".stripMargin
+    },
+    // the same day grid (µs·1000 = the exact ns int64), the same
+    // censoring rule, the identical window-ordered exp(Σ ln) KM fold
+    // with the same extinction pin
+    "events_survival" -> {
+      val day = graft.ext.Events.NsPerDay
+      s"""WITH ev AS (SELECT user_id, epoch_us(ts) * 1000 AS t FROM events),
+        |dd AS (SELECT user_id, t // $day AS day FROM ev),
+        |us AS (SELECT user_id, MIN(day) AS f, MAX(day) AS l FROM dd GROUP BY 1),
+        |en AS (SELECT MAX(day) AS end_day FROM dd),
+        |u AS (SELECT l - f AS t,
+        |        CASE WHEN l > end_day - $SurvivalCensorDays THEN 1 ELSE 0 END AS cen
+        |      FROM us CROSS JOIN en),
+        |ex AS (SELECT t, CAST(SUM(1 - cen) AS BIGINT) AS d,
+        |        CAST(SUM(cen) AS BIGINT) AS c FROM u GROUP BY 1),
+        |tt AS (SELECT CAST(COALESCE(SUM(d + c), 0) AS BIGINT) AS n_users FROM ex),
+        |rk AS (SELECT t, d, c,
+        |        n_users - CAST(COALESCE(SUM(d + c) OVER (ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+        |       FROM ex CROSS JOIN tt),
+        |s1 AS (SELECT t, n_risk, d, c,
+        |        CASE WHEN d > 0 AND d < n_risk
+        |             THEN ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+        |             ELSE 0.0 END AS ln_t,
+        |        CASE WHEN d = n_risk THEN 1 ELSE 0 END AS deadrow
+        |       FROM rk),
+        |s2 AS (SELECT t, n_risk, d, c,
+        |        SUM(ln_t) OVER (ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ln_cum,
+        |        MAX(deadrow) OVER (ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+        |       FROM s1)
+        |SELECT t, n_risk, d AS n_deaths, c AS n_censored,
+        |  ${r6sql("CASE WHEN dead = 1 THEN 0.0 ELSE exp(ln_cum) END")} AS survival
+        |FROM s2 ORDER BY t""".stripMargin
     },
     // the same lead windows over the same (ts, event_id) total order
     // (µs vs ns is order-preserving), exact-count (n DESC, path) cut

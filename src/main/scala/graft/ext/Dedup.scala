@@ -220,6 +220,38 @@ object Dedup {
       .na.fill(0L, Seq("n_pairs", "n_docs"))
   }
 
+  /**
+   * Per-document shingle novelty — the n-gram-level memorization/
+   * redundancy readout (the Lee et al. 2022 "how much of this document
+   * is new text" question at corpus grain): for each document, the count
+   * of its distinct trigram shingles, how many of them FIRST occur in
+   * this document (first occurrence = smallest doc_id owning the
+   * shingle — a deterministic total order, so the attribution replays
+   * exactly), and the novel fraction. A low-novelty tail is boilerplate
+   * even when no single pair crosses a dedup threshold — this is the
+   * corpus-health histogram a curation run reads next to the pair
+   * tables. Documents under 3 tokens have no shingles and no row (the
+   * [[shingles]] convention).
+   *
+   * Scale shape: the shingle table every dedup kernel already produces,
+   * ONE shingle-keyed min aggregate (map-side partials), one equi-join
+   * back riding the same shingle-hash shuffle key, one doc-keyed
+   * aggregate. Nothing pairwise, nothing quadratic — novelty is strictly
+   * cheaper than any join kernel over the same shingles.
+   */
+  def shingleNovelty(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sh = shingles(docs, idCol, textCol)
+    val first = sh.groupBy("sh").agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_shingles").cast("double"))
+          .as("novelty"))
+  }
+
   /** Near-duplicate pairs by exact n-gram Jaccard at `minJaccard`.
     * `maxDf` caps per-shingle pair expansion ([[dfCapShingles]]). */
   def ngramJaccardDups(docs: DataFrame, idCol: String, textCol: String,

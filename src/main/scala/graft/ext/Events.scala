@@ -424,6 +424,67 @@ object Events {
   }
 
   /**
+   * Kaplan–Meier user-lifetime survival curve (Kaplan & Meier 1958) —
+   * the churn readout [[retention]]'s cohort triangle doesn't give:
+   * S(t) = P(user stays active ≥ t days), estimated with proper RIGHT
+   * CENSORING. A user's lifetime is `last_day − first_day`; users whose
+   * last activity falls within `censorBuckets` of the corpus end are
+   * censored (still plausibly active — their true lifetime is only known
+   * to be ≥ t), exit the risk set without counting as churn, and make
+   * the estimate unbiased where the naive "fraction with lifetime ≥ t"
+   * curve systematically under-survives. One row per distinct exit time:
+   * the risk-set size, deaths, censored exits, and
+   * S(t) = Π_{s ≤ t} (1 − d_s/n_s).
+   *
+   * Determinism: day indices, lifetimes, risk sets and exit counts are
+   * exact int64; the KM product is folded as exp(Σ ln(1 − d/n)) over the
+   * WINDOW-ORDERED exit times — a sequential fixed-order fold in both
+   * engines (per-term libm ulps sit far under the gate snap) — with a
+   * cumulative extinction flag pinning S = 0 exactly from the first
+   * d = n row (Spark's ln(0) is NULL, DuckDB's −inf; neither spelling is
+   * allowed to matter).
+   *
+   * Scale shape: one user-keyed min/max aggregate (map-side partials),
+   * one 1-row corpus-end broadcast, one lifetime-keyed aggregate that
+   * collapses users to the EXIT-TIME table, then windows bounded by
+   * distinct lifetimes — the quantile-histogram argument; never a
+   * per-user sort, nothing driver-side.
+   */
+  def survivalCurve(events: DataFrame, bucketNs: Long = NsPerDay,
+      censorBuckets: Long = 7L): DataFrame = {
+    require(bucketNs > 0 && censorBuckets >= 0)
+    val days = events.select(col("user_id"), expr(s"ts div $bucketNs").as("day"))
+    val users = days.groupBy("user_id")
+      .agg(min(col("day")).as("first"), max(col("day")).as("last"))
+    val end = days.agg(max(col("day")).as("end_day"))
+    val u = users.crossJoin(broadcast(end))
+      .select((col("last") - col("first")).as("t"),
+        when(col("last") > col("end_day") - lit(censorBuckets), 1L)
+          .otherwise(0L).as("cen"))
+    val exits = u.groupBy("t")
+      .agg(sum(lit(1L) - col("cen")).as("d"), sum(col("cen")).as("c"))
+    val tot = exits.agg(coalesce(sum(col("d") + col("c")), lit(0L)).as("n_users"))
+    val before = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    val upTo = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risk = exits.crossJoin(broadcast(tot))
+      .withColumn("n_risk",
+        col("n_users") - coalesce(sum(col("d") + col("c")).over(before), lit(0L)))
+    val lnTerm = when(col("d") > 0 && col("d") < col("n_risk"),
+      log(lit(1.0) - col("d").cast("double") / col("n_risk").cast("double")))
+      .otherwise(lit(0.0))
+    risk
+      .withColumn("ln_t", lnTerm)
+      .withColumn("ln_cum", sum(col("ln_t")).over(upTo))
+      .withColumn("dead",
+        max(when(col("d") === col("n_risk"), 1L).otherwise(0L)).over(upTo))
+      .select(col("t"), col("n_risk"), col("d").as("n_deaths"),
+        col("c").as("n_censored"),
+        when(col("dead") === 1L, lit(0.0)).otherwise(exp(col("ln_cum")))
+          .as("survival"))
+  }
+
+  /**
    * Top-k most common `len`-step event paths — the sequence-mining step
    * past [[transitionMatrix]]'s first-order view: consecutive event-type
    * runs per user (ordered by the same (ts, event_id) total order),

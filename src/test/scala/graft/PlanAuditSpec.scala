@@ -83,7 +83,10 @@ class PlanAuditSpec extends SparkSpec {
       "retrieval_qlm",
       // 1-row grand-total (n, n_a, n_b) broadcast over the
       // contingency-cells frame
-      "corpus_chi2")
+      "corpus_chi2",
+      // 1-row corpus-end + 1-row user-total broadcasts feeding the
+      // exit-time-sized KM fold
+      "events_survival")
 
   test("no contract query plans a cartesian product or unsanctioned BNLJ") {
     assume(new File(sfDir).isDirectory, s"$sfDir missing")

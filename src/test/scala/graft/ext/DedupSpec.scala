@@ -598,6 +598,18 @@ class DedupSpec extends SparkSpec {
     assert(tri(1L) > 0L && tri(2L) > 0L)
   }
 
+  test("shingleNovelty: first-owner attribution by min doc_id, short docs absent") {
+    // doc0 {abc,bcd} all first; doc1 {abc,bcx} shares abc; doc2 too short
+    val d = Seq((0L, "a b c d"), (1L, "a b c x"), (2L, "a b"))
+      .toDF("doc_id", "text")
+    val got = Dedup.shingleNovelty(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet == Set(0L, 1L))
+    assert(got(0L) == ((2L, 2L, 1.0)))
+    assert(got(1L) == ((2L, 1L, 0.5)))
+  }
+
   test("jaccardThresholdSweep: known pair counts per cut, zero rows kept") {
     // trigram sets: doc0 {abc,bcd}, doc1 {abc,bcx} → jaccard 1/3;
     // doc2 fully disjoint — so the only pair is (0,1) at 1/3

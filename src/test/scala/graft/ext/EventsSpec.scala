@@ -300,6 +300,37 @@ class EventsSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("non-negative")), e.toString)
   }
 
+  test("survivalCurve: hand-computed KM steps with right censoring") {
+    // bucketNs = 1 so ts IS the day index; end_day = 9, censor window 2
+    // → u4 (last = 9 > 7) is censored, the rest are deaths
+    def ev(id: Long, ts: Long, u: Long) = (id, ts, u, "e", 1.0)
+    val ev4 = Seq(
+      ev(1, 0, 1), ev(2, 3, 1),
+      ev(3, 0, 2), ev(4, 3, 2),
+      ev(5, 0, 3), ev(6, 1, 3),
+      ev(7, 0, 4), ev(8, 9, 4))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Events.survivalCurve(ev4, bucketNs = 1L, censorBuckets = 2L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getAs[Double]("survival"))))
+      .toMap
+    // t=1: risk 4, 1 death → S = 3/4; t=3: risk 3, 2 deaths → S = 1/4;
+    // t=9: risk 1, censored exit only → S unchanged
+    assert(got(1L)._1 == 4L && got(1L)._2 == 1L)
+    assertApprox(got(1L)._4, 0.75, 1e-12)
+    assert(got(3L)._1 == 3L && got(3L)._2 == 2L)
+    assertApprox(got(3L)._4, 0.25, 1e-12)
+    assert(got(9L) == ((1L, 0L, 1L, got(9L)._4)))
+    assertApprox(got(9L)._4, 0.25, 1e-12)
+    // extinction pins S to exactly 0 (not exp of a NULL-skipping sum)
+    val all = Seq(ev(1, 0, 1), ev(2, 2, 1), ev(3, 0, 2), ev(4, 2, 2))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val ext = Events.survivalCurve(all, bucketNs = 1L, censorBuckets = 0L)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("survival")).toMap
+    assert(ext(2L) == 0.0)
+  }
+
   test("topPaths: overlapping 3-step windows per user, exact-count cut") {
     val ev = Seq(
       (1L, 1L, 1L, "a", 1.0), (2L, 2L, 1L, "b", 1.0),
