@@ -205,7 +205,12 @@ object Bench {
     // KM survival: user min/max collapse + exit-time-sized windows
     "events_survival",
     // shingle novelty: one min-owner aggregate + join on the same key
-    "dedup_novelty")
+    "dedup_novelty",
+    // seed-teleport power iteration (the dangling plan over tele)
+    "graph_ppr",
+    // the nprobe pareto: one IVF scoring plan fanned ×maxNprobe + the
+    // brute-truth calibration side
+    "ann_pareto")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

@@ -76,6 +76,16 @@ object AnnEntries {
     "embed_silhouette" -> ((s, dir) =>
       gate(Embeddings.silhouette(embeddings(s, dir), "vec_id", "embedding",
         k = KMeansK, iters = KMeansIters), "cluster")),
+    // ext: the nprobe recall/cost pareto curve — exact recall@5 vs
+    // candidate volume per probe budget, ONE scored table fanned out
+    // over nprobe (a candidate lives in exactly one list, so each pair
+    // carries its list's probe rank)
+    "ann_pareto" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      gate(Embeddings.ivfParetoSweep(e, e.where(col("vec_id") < QueryCount),
+        "vec_id", "embedding", k = 5, KMeansK, KMeansIters, MaxNprobe),
+        "nprobe")
+    }),
     // trained-IVF top-5: k-means codebook, nprobe=2 nearest lists searched
     "ann_ivf_kmeans" -> ((s, dir) => {
       val e = embeddings(s, dir)
@@ -220,6 +230,9 @@ object AnnEntries {
   private val KMeansK = 8
   private val KMeansIters = 2
   private val Nprobe = 2
+
+  /** Probe budgets swept by the pareto contract (half the codebook). */
+  private val MaxNprobe = 4
 
   /** Neighbors voting in the kNN-classification contract. */
   private val KnnVoteK = 10
@@ -687,6 +700,87 @@ object AnnEntries {
     // chain + final centroid update (c2), nearest-centroid inverted lists
     // (cb), nprobe-nearest query probes (qp), cosine rank within probed lists
     "ann_ivf_kmeans" -> ivfKMeansOracle,
+    // the same trained-IVF chain, qp keeping the probe RANK, fanned out
+    // over the nprobe grid; truth = the brute cosr ranking; exact counts
+    "ann_pareto" ->
+      s"""WITH u AS (SELECT vec_id, i, CAST(embedding[i+1] AS DOUBLE) AS x
+        |           FROM embeddings, UNNEST(range(len(embedding))) AS r(i)),
+        |n AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM u GROUP BY 1),
+        |seed AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid
+        |         FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $KMeansK)),
+        |c0 AS (SELECT s.cid, u.i, u.x AS c FROM u JOIN seed s ON u.vec_id = s.vec_id),
+        |d1 AS (SELECT u.vec_id, c.cid,
+        |              ${r6sql("SUM((u.x - c.c) * (u.x - c.c))")} AS d2
+        |       FROM u JOIN c0 c ON u.i = c.i GROUP BY 1, 2),
+        |a1 AS (SELECT vec_id, cid FROM
+        |         (SELECT vec_id, cid,
+        |                 row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |          FROM d1) WHERE rn = 1),
+        |c1 AS (SELECT a.cid, u.i, ${r6sql("AVG(u.x)")} AS c
+        |       FROM u JOIN a1 a ON u.vec_id = a.vec_id GROUP BY 1, 2),
+        |d2t AS (SELECT u.vec_id, c.cid,
+        |               ${r6sql("SUM((u.x - c.c) * (u.x - c.c))")} AS d2
+        |        FROM u JOIN c1 c ON u.i = c.i GROUP BY 1, 2),
+        |a2 AS (SELECT vec_id, cid FROM
+        |         (SELECT vec_id, cid,
+        |                 row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |          FROM d2t) WHERE rn = 1),
+        |c2 AS (SELECT a.cid, u.i, ${r6sql("AVG(u.x)")} AS c
+        |       FROM u JOIN a2 a ON u.vec_id = a.vec_id GROUP BY 1, 2),
+        |dc AS MATERIALIZED (SELECT u.vec_id, c.cid,
+        |              ${r6sql("SUM((u.x - c.c) * (u.x - c.c))")} AS d2
+        |       FROM u JOIN c2 c ON u.i = c.i GROUP BY 1, 2),
+        |cb AS (SELECT vec_id, cid FROM
+        |         (SELECT vec_id, cid,
+        |                 row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |          FROM dc) WHERE rn = 1),
+        |qp AS (SELECT vec_id AS query_id, cid, CAST(rn AS BIGINT) AS pr FROM
+        |         (SELECT vec_id, cid,
+        |                 row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |          FROM dc WHERE vec_id < $QueryCount) WHERE rn <= $MaxNprobe),
+        |d AS (SELECT a.vec_id AS query_id, b.vec_id AS cand_id, SUM(a.x * b.x) AS dot
+        |      FROM u a JOIN u b ON a.i = b.i AND a.vec_id < $QueryCount
+        |                       AND a.vec_id <> b.vec_id
+        |      GROUP BY 1, 2),
+        |cosr AS MATERIALIZED (SELECT query_id, cand_id,
+        |                ${r6sql("dot / (nq.nrm * nc.nrm)")} AS cosine
+        |         FROM d JOIN n nq ON nq.vec_id = query_id
+        |                JOIN n nc ON nc.vec_id = cand_id),
+        |probed AS (SELECT c.query_id, c.cand_id, c.cosine, qp.pr
+        |           FROM cosr c
+        |           JOIN qp ON qp.query_id = c.query_id
+        |           JOIN cb ON cb.vec_id = c.cand_id AND cb.cid = qp.cid),
+        |npt AS (SELECT CAST(i + 1 AS BIGINT) AS np
+        |        FROM (SELECT UNNEST(range($MaxNprobe)) AS i)),
+        |ex AS MATERIALIZED (SELECT npt.np, p.query_id, p.cand_id, p.cosine
+        |      FROM probed p JOIN npt ON p.pr <= npt.np),
+        |rk AS (SELECT np, query_id, cand_id,
+        |              row_number() OVER (PARTITION BY np, query_id
+        |                                 ORDER BY cosine DESC, cand_id) AS rn
+        |       FROM ex),
+        |tru AS (SELECT query_id, cand_id FROM
+        |          (SELECT query_id, cand_id,
+        |                  row_number() OVER (PARTITION BY query_id
+        |                                     ORDER BY cosine DESC, cand_id) AS rn
+        |           FROM cosr) WHERE rn <= 5),
+        |hits AS (SELECT np, CAST(COUNT(*) AS BIGINT) AS n_hits
+        |         FROM (SELECT np, query_id, cand_id FROM rk WHERE rn <= 5) a
+        |         JOIN tru USING (query_id, cand_id) GROUP BY 1),
+        |cnds AS (SELECT np, CAST(COUNT(*) AS BIGINT) AS n_candidates
+        |         FROM ex GROUP BY 1),
+        |qs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries
+        |       FROM embeddings WHERE vec_id < $QueryCount)
+        |SELECT npt.np AS nprobe, qs.n_queries,
+        |  CAST(COALESCE(cnds.n_candidates, 0) AS BIGINT) AS n_candidates,
+        |  CAST(COALESCE(hits.n_hits, 0) AS BIGINT) AS n_hits,
+        |  ${r6sql("CASE WHEN qs.n_queries > 0 THEN " +
+           "CAST(COALESCE(cnds.n_candidates, 0) AS DOUBLE) / CAST(qs.n_queries AS DOUBLE) " +
+           "ELSE 0.0 END")} AS avg_candidates,
+        |  ${r6sql("CASE WHEN qs.n_queries > 0 THEN " +
+           "CAST(COALESCE(hits.n_hits, 0) AS DOUBLE) / CAST(5 * qs.n_queries AS DOUBLE) " +
+           "ELSE 0.0 END")} AS avg_recall
+        |FROM npt LEFT JOIN cnds USING (np) LEFT JOIN hits USING (np) CROSS JOIN qs
+        |ORDER BY nprobe""".stripMargin,
     // identical by construction: the persisted index must return exactly
     // what the in-plan trained-IVF search returns
     "ann_ivf_persist" -> ivfKMeansOracle,

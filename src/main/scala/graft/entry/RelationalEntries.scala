@@ -267,6 +267,22 @@ object RelationalEntries {
       gate(Graph.pageRankDangling(edges, PrIters, PrDamping,
         pin = _.localCheckpoint()), "node")
     }),
+    // ext: personalized PageRank from a trusted seed set (every 100th
+    // customer) over the DIRECTED graph — teleport AND dangling mass
+    // return to the seeds, so rank decays with distance from them
+    "graph_ppr" -> ((s, dir) => {
+      val ord = Relational.orders(s, dir).select("o_orderkey", "o_custkey")
+      val li = Relational.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+      val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .agg(count(lit(1)).as("weight"))
+      val seeds = ord.select(col("o_custkey")).distinct()
+        .where(pmod(col("o_custkey"), lit(PprSeedMod)) === 0)
+        .select(concat(lit("c"), col("o_custkey")).as("node"))
+      gate(Graph.personalizedPageRank(edges, seeds, PrIters, PrDamping,
+        pin = _.localCheckpoint()), "node")
+    }),
     // ext: HITS hubs/authorities over the DIRECTED customer→supplier
     // graph (customers are pure hubs, suppliers pure authorities —
     // the bipartite case where HITS and PageRank genuinely differ);
@@ -300,6 +316,9 @@ object RelationalEntries {
 
   /** HITS contract: fixed power-iteration rounds. */
   private val HitsIters = 5
+
+  /** PPR contract: every `PprSeedMod`-th customer is a trusted seed. */
+  private val PprSeedMod = 100
 
   /** Q19-shape contract clauses (calibrated non-empty at sf0.01). */
   private val Q19Clauses = Seq(
@@ -768,6 +787,49 @@ object RelationalEntries {
         |     WHERE node NOT IN (SELECT DISTINCT src FROM e)),
         |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nd),
         |r0 AS MATERIALIZED (SELECT node, 1.0 / nn.n AS rank FROM nd CROSS JOIN nn),
+        |$iters
+        |SELECT node, ${r6sql("rank")} AS rank FROM r$PrIters ORDER BY node""".stripMargin
+    },
+    // the same unrolled dangling power iteration with the teleport table
+    // replacing the uniform base: (1−d)·e + d·(Σ + D·e), e = 1/|S| on
+    // seeds; every stage CTE materializes (referenced twice per round)
+    "graph_ppr" -> {
+      val iters = (1 to PrIters).map { i =>
+        s"""dm$i AS MATERIALIZED (SELECT COALESCE(SUM(r.rank), 0.0) AS m
+           |      FROM r${i - 1} r JOIN dang d ON d.node = r.node),
+           |c$i AS MATERIALIZED (SELECT p.dst, SUM(p.prob * r.rank) AS c
+           |      FROM p JOIN r${i - 1} r ON r.node = p.src GROUP BY 1),
+           |r$i AS MATERIALIZED (SELECT t.node,
+           |        (1.0 - $PrDamping) * t.e
+           |          + $PrDamping * (COALESCE(c$i.c, 0.0) + dm$i.m * t.e) AS rank
+           |      FROM tele t CROSS JOIN dm$i
+           |      LEFT JOIN c$i ON c$i.dst = t.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS MATERIALIZED (
+        |     SELECT 'c' || o.o_custkey AS src, 's' || l.l_suppkey AS dst,
+        |            CAST(COUNT(*) AS BIGINT) AS w
+        |     FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |     GROUP BY 1, 2),
+        |ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wout FROM e GROUP BY 1),
+        |p AS MATERIALIZED (
+        |     SELECT e.src, e.dst, CAST(e.w AS DOUBLE) / CAST(ow.wout AS DOUBLE) AS prob
+        |     FROM e JOIN ow USING (src)),
+        |nd AS MATERIALIZED (
+        |     SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |dang AS MATERIALIZED (
+        |     SELECT node FROM nd
+        |     WHERE node NOT IN (SELECT DISTINCT src FROM e)),
+        |sd AS MATERIALIZED (
+        |     SELECT DISTINCT 'c' || o_custkey AS node FROM orders
+        |     WHERE o_custkey % $PprSeedMod = 0
+        |       AND 'c' || o_custkey IN (SELECT node FROM nd)),
+        |sc AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM sd),
+        |tele AS MATERIALIZED (
+        |     SELECT nd.node,
+        |            CASE WHEN sd.node IS NOT NULL
+        |                 THEN 1.0 / CAST(sc.m AS DOUBLE) ELSE 0.0 END AS e
+        |     FROM nd CROSS JOIN sc LEFT JOIN sd ON sd.node = nd.node),
+        |r0 AS MATERIALIZED (SELECT node, e AS rank FROM tele),
         |$iters
         |SELECT node, ${r6sql("rank")} AS rank FROM r$PrIters ORDER BY node""".stripMargin
     },

@@ -964,6 +964,96 @@ object Embeddings {
    * this is a metrics query over two already-computed result tables; the
    * expensive part is producing the inputs, not scoring them.
    */
+  /**
+   * IVF recall/cost pareto sweep — the table that CHOOSES `nprobe`: for
+   * every probe budget 1..`maxNprobe`, the exact recall@k of the trained
+   * IVF search against the brute top-k truth AND the candidate volume it
+   * scanned (the cost axis — candidates/query ≈ nprobe/kClusters of the
+   * corpus). [[recallAtK]] audits ONE operating point; production tuning
+   * needs the curve, measured on the engine's own index, before a 100 TB
+   * corpus commits to a probe budget. Emits one row per nprobe with
+   * exact int64 hit/candidate counts and the two averages.
+   *
+   * The sweep is a fan-out, not a re-search: a candidate lives in
+   * exactly ONE inverted list, so each (query, candidate) pair carries
+   * the probe rank of its list and "search at nprobe = p" is the filter
+   * `probe_rank ≤ p` over ONE scored table — the
+   * [[graft.ext.Dedup.jaccardThresholdSweep]] shape applied to ANN.
+   *
+   * Determinism: the same snapped-distance/snapped-cosine/cid-and-id
+   * tie-break rules as [[ivfKMeansTopK]] and [[topK]] everywhere; counts
+   * exact int64; two exact-rational divisions per row.
+   *
+   * Scale shape: the trained-IVF scoring plan once (broadcast codebook,
+   * one list equi-join), exploded ×maxNprobe (a constant), one
+   * (nprobe, query)-keyed rank window, result-sized recall joins, and a
+   * maxNprobe-row assembly. The brute-truth side is the sanctioned
+   * all-pairs broadcast baseline — the calibration cost recallAtK
+   * already pays, amortized over every nprobe at once.
+   */
+  def ivfParetoSweep(candidates: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, kClusters: Int = 8, iters: Int = 2,
+      maxNprobe: Int = 4, seeding: String = "id"): DataFrame = {
+    require(k > 0 && maxNprobe > 0)
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val centPlan = kMeansCentroids(candidates, idCol, vecCol, kClusters, iters, seeding)
+    val cent = spark.createDataFrame(
+      spark.sparkContext.parallelize(centPlan.collect().toSeq, 1), centPlan.schema)
+    def centDist(df: DataFrame) =
+      cellsOf(df, idCol, vecCol).join(broadcast(cent), "i")
+        .groupBy("vec_id", "cid")
+        .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d2"))
+        .select(col("vec_id"), col("cid"), snapCol(col("d2")).as("d2"))
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("d2").asc, col("cid").asc)
+    val cb = centDist(candidates).withColumn("rn", row_number().over(wA))
+      .where(col("rn") === 1).select(col("vec_id"), col("cid"))
+    val qp = centDist(queries).withColumn("rn", row_number().over(wA))
+      .where(col("rn") <= maxNprobe)
+      .select(col("vec_id").as("query_id"), col("cid"),
+        col("rn").cast("long").as("pr"))
+    val cand = withNorms(candidates, idCol, vecCol).join(cb, "vec_id")
+    val q = withNorms(queries, idCol, vecCol)
+      .withColumnRenamed("vec_id", "query_id")
+      .withColumnRenamed("emb", "qemb")
+      .withColumnRenamed("nrm", "qnrm")
+      .join(qp, "query_id")
+    val probed = cand.join(broadcast(q), Seq("cid"))
+      .where(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("pr"),
+        snapCol(expr(dotSql("qemb", "emb")) / (col("qnrm") * col("nrm")))
+          .as("cosine"))
+    val ex = probed.select(col("query_id"), col("vec_id"), col("cosine"),
+        explode(array((1 to maxNprobe).map(i => lit(i.toLong)): _*)).as("np"),
+        col("pr"))
+      .where(col("pr") <= col("np"))
+    val wR = org.apache.spark.sql.expressions.Window
+      .partitionBy("np", "query_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    val ap = ex.withColumn("rn", row_number().over(wR)).where(col("rn") <= k)
+      .select("np", "query_id", "vec_id")
+    val truth = topK(candidates, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("vec_id"))
+    val hits = ap.join(truth, Seq("query_id", "vec_id"))
+      .groupBy("np").agg(count(lit(1)).as("n_hits"))
+    val cands = ex.groupBy("np").agg(count(lit(1)).as("n_candidates"))
+    val qs = queries.agg(countDistinct(col(idCol)).as("n_queries"))
+    (1 to maxNprobe).map(_.toLong).toDF("np")
+      .join(cands, Seq("np"), "left")
+      .join(hits, Seq("np"), "left")
+      .na.fill(0L, Seq("n_candidates", "n_hits"))
+      .crossJoin(broadcast(qs))
+      .select(col("np").as("nprobe"), col("n_queries"),
+        col("n_candidates"), col("n_hits"),
+        when(col("n_queries") > 0,
+          col("n_candidates").cast("double") / col("n_queries").cast("double"))
+          .otherwise(lit(0.0)).as("avg_candidates"),
+        when(col("n_queries") > 0,
+          col("n_hits").cast("double")
+            / (lit(k.toLong) * col("n_queries")).cast("double"))
+          .otherwise(lit(0.0)).as("avg_recall"))
+  }
+
   def recallAtK(truth: DataFrame, approx: DataFrame): DataFrame = {
     val t = truth.select(col("query_id"), col("vec_id"))
     val a = approx.select(col("query_id"), col("vec_id"))

@@ -381,6 +381,68 @@ object Graph {
     runDangling(edges, maxIters, damping, pin, tol = Some(tol))
   }
 
+  /**
+   * Personalized PageRank (the topic-sensitive variant, Haveliwala 2002):
+   * the same dangling-corrected power iteration as [[pageRankDangling]],
+   * but BOTH the teleport and the dangling-mass redistribution return to
+   * a uniform distribution over a SEED set instead of all nodes —
+   *
+   *   rank_{t+1}(v) = (1 − d)·e(v) + d·(Σ_{u→v} rank_t(u)·p(u,v) + D_t·e(v))
+   *
+   * with e = 1/|S| on the seeds, 0 elsewhere. This is the "relevance
+   * from these known-good pages" ranking a crawl-quality pipeline seeds
+   * with a trusted domain list — mass can only ever re-enter through
+   * the seeds, so rank decays with graph distance FROM them (non-seed
+   * sources with no inbound path score exactly (1−d)·0 = 0). Σrank = 1
+   * every round, same conservation contract as the dangling variant.
+   *
+   * Seeds outside the graph are ignored (the intersection seeds∩nodes
+   * must be non-empty — validated by the same count that sizes e).
+   *
+   * Scale shape: [[pageRankDangling]]'s exact per-round plan (one
+   * edge-sized equi-join + one map-side-partial aggregate + one 1-row
+   * dangling scalar) over a node-sized teleport table computed ONCE
+   * (one semi-join-shaped left join); the one extra driver action is
+   * the model-sized seed COUNT.
+   */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
+      damping: Double = 0.85,
+      pin: DataFrame => DataFrame = identity): DataFrame = {
+    require(iters >= 0, "iters must be non-negative")
+    require(damping >= 0 && damping <= 1, "damping must be in [0, 1]")
+    val e = edges.select(col("src"), col("dst"), col("weight").cast("long").as("w"))
+    val ow = e.groupBy("src").agg(sum("w").as("wout"))
+    val p = pin(e.join(ow, "src")
+      .select(col("src"), col("dst"),
+        (col("w").cast("double") / col("wout").cast("double")).as("prob")))
+    val nodes = pin(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
+    val dangling = pin(nodes.join(e.select(col("src").as("node")).distinct(),
+      Seq("node"), "left_anti"))
+    val sd = seeds.select(col("node")).distinct()
+      .join(nodes, Seq("node"), "left_semi")
+    val m = sd.count()
+    require(m > 0, "no seed is a node of the graph")
+    val tele = pin(nodes
+      .join(sd.withColumn("in_s", lit(1L)), Seq("node"), "left")
+      .select(col("node"),
+        (coalesce(col("in_s"), lit(0L)).cast("double") / m).as("e")))
+    var ranks = tele.select(col("node"), col("e").as("rank"))
+    for (_ <- 0 until iters) {
+      val dm = ranks.join(dangling, Seq("node"), "left_semi")
+        .agg(coalesce(sum("rank"), lit(0.0)).as("dmass"))
+      val contrib = p.join(ranks, col("src") === col("node"))
+        .groupBy(col("dst")).agg(sum(col("prob") * col("rank")).as("c"))
+      ranks = tele.join(contrib, col("node") === col("dst"), "left")
+        .crossJoin(dm)
+        .select(col("node"),
+          ((lit(1.0) - lit(damping)) * col("e") + lit(damping) *
+            (coalesce(col("c"), lit(0.0)) + col("dmass") * col("e"))).as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
   private def runDangling(edges: DataFrame, iters: Int, damping: Double,
       pin: DataFrame => DataFrame, tol: Option[Double]): RankResult = {
     require(iters >= 0, "iters must be non-negative")

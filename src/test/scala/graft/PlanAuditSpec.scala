@@ -86,7 +86,11 @@ class PlanAuditSpec extends SparkSpec {
       "corpus_chi2",
       // 1-row corpus-end + 1-row user-total broadcasts feeding the
       // exit-time-sized KM fold
-      "events_survival")
+      "events_survival",
+      // its truth side IS ann_topk_brute's sanctioned all-pairs
+      // broadcast scan, plus the 1-row query-count scalar; the IVF
+      // search side stays equi-join
+      "ann_pareto")
 
   test("no contract query plans a cartesian product or unsanctioned BNLJ") {
     assume(new File(sfDir).isDirectory, s"$sfDir missing")

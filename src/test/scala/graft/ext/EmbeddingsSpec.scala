@@ -193,6 +193,36 @@ class EmbeddingsSpec extends SparkSpec {
     assert(rows(0L)._2 > 0.0)
   }
 
+  test("ivfParetoSweep: recall climbs to 1 at full probes, candidates monotone") {
+    val blobs = Seq(
+      (0L, Seq(0.0f, 0.1f)),
+      (1L, Seq(10.0f, 10.0f)),
+      (2L, Seq(0.5f, 0.1f)),
+      (3L, Seq(9.5f, 10.0f)),
+      (4L, Seq(0.1f, 0.5f)),
+      (5L, Seq(10.2f, 9.8f))
+    ).toDF("vec_id", "embedding")
+    val got = Embeddings.ivfParetoSweep(blobs, blobs.where($"vec_id" < 2),
+        "vec_id", "embedding", k = 3, kClusters = 2, iters = 2, maxNprobe = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getAs[Double]("avg_candidates"), r.getAs[Double]("avg_recall"))))
+      .toMap
+    assert(got.keySet == Set(1L, 2L))
+    // both budgets answer for the same 2 queries
+    assert(got.values.forall(_._1 == 2L))
+    // probing BOTH lists scans every non-self candidate and recalls the
+    // brute truth exactly
+    assert(got(2L)._2 == 10L && got(2L)._5 == 1.0, got.toString)
+    assertApprox(got(2L)._4, 5.0, 1e-12)
+    // fewer probes never scan more or recall more
+    assert(got(1L)._2 <= got(2L)._2 && got(1L)._5 <= got(2L)._5)
+    // each blob holds only 2 other members, so rank 3 must come from the
+    // far list (and cosine even ranks cross-blob vecs above q0's noisy
+    // own-blob neighbor): hits = 1 (q0) + 2 (q1) of 6 → recall ½
+    assertApprox(got(1L)._5, 0.5, 1e-9)
+  }
+
   test("silhouette: tight separated blobs score near 1, counts match the fit") {
     val blobs = Seq(
       (0L, Seq(0.0f, 0.0f)),

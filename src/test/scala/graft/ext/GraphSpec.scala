@@ -244,6 +244,29 @@ class GraphSpec extends SparkSpec {
     assert(Graph.linkPredict(star, minCommon = 1, maxDeg = 2).isEmpty)
   }
 
+  test("personalizedPageRank: mass re-enters only through seeds, hand-computed") {
+    // a ⇄ b, a → s (sink), plus an x ⇄ y island unreachable from the seed
+    val e = Seq(("a", "b", 1L), ("b", "a", 1L), ("a", "s", 1L),
+        ("x", "y", 1L), ("y", "x", 1L))
+      .toDF("src", "dst", "weight")
+    val seeds = Seq("a").toDF("node")
+    val r2 = Graph.personalizedPageRank(e, seeds, iters = 2).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // round 1: r = (0.15, 0.425, 0.425) on (a, b, s);
+    // round 2: D = 0.425 teleports BACK to a →
+    //   a = 0.15 + 0.85·(0.425 + 0.425) = 0.8725, b = s = 0.85·0.075
+    assertApprox(r2("a"), 0.8725, 1e-12)
+    assertApprox(r2("b"), 0.06375, 1e-12)
+    assertApprox(r2("s"), 0.06375, 1e-12)
+    // the island can never receive mass: no seed, no inbound path
+    assert(r2("x") == 0.0 && r2("y") == 0.0)
+    // Σrank = 1 even with the sink and the dead island
+    assertApprox(r2.values.sum, 1.0, 1e-12)
+    // a seed set disjoint from the graph is rejected loudly
+    intercept[IllegalArgumentException](
+      Graph.personalizedPageRank(e, Seq("zzz").toDF("node"), iters = 1))
+  }
+
   test("hits: hand-computed two-round hubs/authorities, both L1-normalized") {
     // 1→3, 2→3, 2→4: node 2 points at both authorities → best hub;
     // node 3 has both hubs pointing in → best authority
