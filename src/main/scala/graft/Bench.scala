@@ -210,7 +210,9 @@ object Bench {
     "graph_ppr",
     // the nprobe pareto: one IVF scoring plan fanned ×maxNprobe + the
     // brute-truth calibration side
-    "ann_pareto")
+    "ann_pareto",
+    // decode + fixed-grid resample through the real codec seam
+    "multimodal_resize")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

@@ -151,6 +151,16 @@ object EventsEntries {
         Multimodal.withPngPayload(docs(s, dir), "doc_id"),
         "doc_id", "payload").toDF(), "doc_id")
     }),
+    // REAL decode + nearest-neighbor RESIZE through the same codec seam:
+    // per-channel sums of the fixed thumbnail grid — the preprocessing
+    // step between decode and any vision featurizer; the oracle replays
+    // the exact sampling arithmetic closed-form
+    "multimodal_resize" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      gate(Multimodal.resizeStats(
+        Multimodal.withPngPayload(docs(s, dir), "doc_id"),
+        "doc_id", "payload", ResizeW, ResizeH).toDF(), "doc_id")
+    }),
     // perceptual dHash over the REAL codec: group-planted near-dup PNGs
     // (one base image per 25-id block, per-member red brightness shift)
     // decoded through actual ImageIO, reduced to the 9×8-grid
@@ -268,6 +278,11 @@ object EventsEntries {
 
   /** Survival contract: users active in the final week are censored. */
   private val SurvivalCensorDays = 7L
+
+  /** Thumbnail grid of the resize contract (below the smallest planted
+    * source on one axis, above it on the other — both directions hit). */
+  private val ResizeW = 8
+  private val ResizeH = 6
 
   /** Funnel step sequence for the funnel contract. */
   private val FunnelSteps = Seq("view", "click", "purchase")
@@ -709,6 +724,22 @@ object EventsEntries {
         |px AS (SELECT doc_id, w, h, x, y
         |       FROM d, UNNEST(range(w)) AS rx(x), UNNEST(range(h)) AS ry(y))
         |SELECT doc_id, w AS width, h AS height, CAST(w * h AS BIGINT) AS n_pixels,
+        |  CAST(SUM((doc_id + 31 * x + 17 * y) % 256) AS BIGINT) AS r_sum,
+        |  CAST(SUM((2 * doc_id + 13 * x + 7 * y) % 256) AS BIGINT) AS g_sum,
+        |  CAST(SUM((3 * doc_id + 5 * x + 23 * y) % 256) AS BIGINT) AS b_sum
+        |FROM px GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
+    // the planted channel formulas sampled on the SAME integer thumbnail
+    // grid (x = i·w // tw, y = j·h // th) the Spark seam resamples on —
+    // decode AND resample arithmetic check value-exactly
+    "multimodal_resize" ->
+      s"""WITH d AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+        |           FROM documents),
+        |px AS (SELECT doc_id, w, h,
+        |              (i * w) // $ResizeW AS x, (j * h) // $ResizeH AS y
+        |       FROM d, UNNEST(range($ResizeW)) AS ri(i),
+        |              UNNEST(range($ResizeH)) AS rj(j))
+        |SELECT doc_id, w AS src_w, h AS src_h,
+        |  CAST($ResizeW AS BIGINT) AS dst_w, CAST($ResizeH AS BIGINT) AS dst_h,
         |  CAST(SUM((doc_id + 31 * x + 17 * y) % 256) AS BIGINT) AS r_sum,
         |  CAST(SUM((2 * doc_id + 13 * x + 7 * y) % 256) AS BIGINT) AS g_sum,
         |  CAST(SUM((3 * doc_id + 5 * x + 23 * y) % 256) AS BIGINT) AS b_sum

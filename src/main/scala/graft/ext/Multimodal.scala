@@ -16,6 +16,12 @@ final case class ImageStats(doc_id: Long, width: Long, height: Long,
 final case class AudioStats(doc_id: Long, n_samples: Long, sample_rate: Long,
     n_channels: Long, sum_amp: Long, sum_abs: Long, peak_abs: Long)
 
+/** Resized-image statistics: source/target dimensions plus exact
+  * per-channel sums of the RESAMPLED image — the integer readout an
+  * external oracle can recompute from the sampling arithmetic. */
+final case class ResizeStats(doc_id: Long, src_w: Long, src_h: Long,
+    dst_w: Long, dst_h: Long, r_sum: Long, g_sum: Long, b_sum: Long)
+
 /**
  * Multimodal column plumbing: media (image/audio/video) travel through the
  * pipeline as opaque `binary` columns with typed metadata; decode and
@@ -219,6 +225,53 @@ object Multimodal {
             y += 1
           }
           Some(ImageStats(id, w.toLong, h.toLong, w.toLong * h, rs, gs, bs))
+        }
+      })
+  }
+
+  /**
+   * Decode + RESIZE image payloads to a fixed thumbnail grid — the
+   * standard preprocessing step between decode and feature extraction
+   * (every vision encoder eats a fixed resolution): nearest-neighbor
+   * resampling on the same integer grid as [[dHashWords]]
+   * (`x = ⌊i·w/tw⌋`, `y = ⌊j·h/th⌋` — no interpolation, so the sample is
+   * a pure integer function any engine reproduces), emitted as exact
+   * per-channel sums of the RESIZED image. On [[plantedPng]] payloads the
+   * output is closed-form in doc_id, so the oracle checks the real
+   * ImageIO decode AND the exact resample arithmetic value-exactly.
+   * Unparseable payloads are dropped ([[imageStats]]'s corrupt-blob
+   * policy).
+   *
+   * Scale shape: the partition-batch codec seam (one decoder context per
+   * partition, rows streamed through); per row the work is tw·th samples
+   * REGARDLESS of source resolution — which is why a pipeline resizes
+   * before it featurizes.
+   */
+  def resizeStats(df: DataFrame, idCol: String, payloadCol: String,
+      tw: Int, th: Int)(implicit spark: SparkSession): Dataset[ResizeStats] = {
+    require(tw > 0 && th > 0)
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        if (img == null) None
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          var rs = 0L; var gs = 0L; var bs = 0L
+          var j = 0
+          while (j < th) {
+            var i = 0
+            while (i < tw) {
+              val p = img.getRGB(i * w / tw, j * h / th)
+              rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
+              i += 1
+            }
+            j += 1
+          }
+          Some(ResizeStats(id, w.toLong, h.toLong, tw.toLong, th.toLong,
+            rs, gs, bs))
         }
       })
   }

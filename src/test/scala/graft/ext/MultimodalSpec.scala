@@ -60,6 +60,30 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resizeStats: nearest-neighbor thumbnail sums match the closed form") {
+    val ids = Seq(5L, 17L)
+    val d = ids.toDF("doc_id")
+    val got = Multimodal.resizeStats(
+        Multimodal.withPngPayload(d, "doc_id"), "doc_id", "payload",
+        tw = 8, th = 6)
+      .collect().map(r => r.doc_id -> r).toMap
+    for (id <- ids) {
+      val w = Multimodal.plantedWidth(id)
+      val h = Multimodal.plantedHeight(id)
+      var rs = 0L; var gs = 0L; var bs = 0L
+      for (j <- 0 until 6; i <- 0 until 8) {
+        val x = i * w / 8; val y = j * h / 6
+        rs += Math.floorMod(id + 31L * x + 17L * y, 256L)
+        gs += Math.floorMod(2L * id + 13L * x + 7L * y, 256L)
+        bs += Math.floorMod(3L * id + 5L * x + 23L * y, 256L)
+      }
+      val r = got(id)
+      assert((r.src_w, r.src_h, r.dst_w, r.dst_h) ===
+        ((w.toLong, h.toLong, 8L, 6L)))
+      assert((r.r_sum, r.g_sum, r.b_sum) === ((rs, gs, bs)), s"doc $id")
+    }
+  }
+
   test("plantedPng bytes are genuine PNG; ImageIoDecoder features match") {
     val png = Multimodal.plantedPng(3L)
     // PNG magic: 89 50 4E 47 0D 0A 1A 0A
