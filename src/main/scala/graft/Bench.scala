@@ -212,7 +212,11 @@ object Bench {
     // brute-truth calibration side
     "ann_pareto",
     // decode + fixed-grid resample through the real codec seam
-    "multimodal_resize")
+    "multimodal_resize",
+    // Lloyd on the unit sphere: broadcast codebook + O(N·k) dot shuffle
+    "embed_kmeans_spherical",
+    // binned PSI: observed-bin histogram + 1-row totals
+    "quality_psi")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

@@ -69,6 +69,12 @@ object AnnEntries {
     "embed_kmeans" -> ((s, dir) =>
       gate(Embeddings.kMeansAssign(embeddings(s, dir), "vec_id", "embedding",
         k = KMeansK, iters = KMeansIters), "vec_id")),
+    // ext: spherical k-means — Lloyd on the unit sphere (argmax cosine,
+    // re-normalized mean-direction updates); the clustering semantic
+    // similarity actually wants, magnitude-free
+    "embed_kmeans_spherical" -> ((s, dir) =>
+      gate(Embeddings.sphericalKMeansAssign(embeddings(s, dir), "vec_id",
+        "embedding", k = KMeansK, iters = KMeansIters), "vec_id")),
     // ext: per-cluster simplified (centroid) silhouette of the SAME fit —
     // a and b are the argmin and runner-up of the distance table the
     // assignment round already ranks, so the readout costs one extra
@@ -656,6 +662,38 @@ object AnnEntries {
         |              row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
         |       FROM d2t)
         |SELECT vec_id, CAST(cid AS BIGINT) AS cluster, d2 AS dist2
+        |FROM a2 WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // the same 2 unrolled rounds on the unit sphere: exact-division unit
+    // components, snapped dots with (d DESC, cid) argmax, re-normalized
+    // snapped mean-direction updates
+    "embed_kmeans_spherical" ->
+      s"""WITH u0 AS (SELECT vec_id, i, CAST(embedding[i+1] AS DOUBLE) AS x
+        |           FROM embeddings, UNNEST(range(len(embedding))) AS r(i)),
+        |n AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM u0 GROUP BY 1
+        |      HAVING sqrt(SUM(x*x)) > 0),
+        |u AS MATERIALIZED (SELECT u0.vec_id, u0.i, u0.x / n.nrm AS x
+        |      FROM u0 JOIN n USING (vec_id)),
+        |seed AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid
+        |         FROM (SELECT vec_id FROM n ORDER BY vec_id LIMIT $KMeansK)),
+        |c0 AS (SELECT s.cid, u.i, u.x AS c FROM u JOIN seed s ON u.vec_id = s.vec_id),
+        |d1 AS (SELECT u.vec_id, c.cid, ${r6sql("SUM(u.x * c.c)")} AS d
+        |       FROM u JOIN c0 c ON u.i = c.i GROUP BY 1, 2),
+        |a1 AS (SELECT vec_id, cid FROM
+        |         (SELECT vec_id, cid,
+        |                 row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+        |          FROM d1) WHERE rn = 1),
+        |m1 AS (SELECT a.cid, u.i, AVG(u.x) AS m
+        |       FROM u JOIN a1 a ON u.vec_id = a.vec_id GROUP BY 1, 2),
+        |cn1 AS (SELECT cid, sqrt(SUM(m*m)) AS cn FROM m1 GROUP BY 1
+        |        HAVING sqrt(SUM(m*m)) > 0),
+        |c1 AS (SELECT m1.cid, m1.i, ${r6sql("m1.m / cn1.cn")} AS c
+        |       FROM m1 JOIN cn1 USING (cid)),
+        |d2 AS (SELECT u.vec_id, c.cid, ${r6sql("SUM(u.x * c.c)")} AS d
+        |       FROM u JOIN c1 c ON u.i = c.i GROUP BY 1, 2),
+        |a2 AS (SELECT vec_id, cid, d,
+        |              row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+        |       FROM d2)
+        |SELECT vec_id, CAST(cid AS BIGINT) AS cluster, d AS cosine
         |FROM a2 WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     // the same 2-round chain's FINAL distance table, pivoted to the
     // argmin (a) and runner-up (b) rows, the identical s spelling, and

@@ -452,6 +452,16 @@ object TextEntries {
     "corpus_chi2" -> ((s, dir) =>
       gate(graft.ext.Audit.contingencyStats(docs(s, dir), "lang", "source"),
         "n")),
+    // ext: binned Population Stability Index over the same split — the
+    // whole-distribution drift score next to KS's worst-gap statistic;
+    // Laplace-smoothed observed bins, exact-rational probabilities
+    "quality_psi" -> ((s, dir) => {
+      val d = docs(s, dir).select(
+        when(col("lang") === KsLang, lit(1L)).otherwise(lit(0L)).as("grp"),
+        col("n_chars"))
+      gate(graft.ext.QualityModel.psiDrift(d, "grp", "n_chars", PsiBinWidth),
+        "n1")
+    }),
     // ext: per-(lang) winsorization of n_chars at the 5/95 band; exact
     // int64 thresholds and clamp on both engines
     "quality_winsorize" -> ((s, dir) =>
@@ -493,6 +503,9 @@ object TextEntries {
 
   /** Reliability-diagram contract: equal-width score bins. */
   private val CalibBins = 10
+
+  /** PSI contract: n_chars bin width (dozens of observed bins at sf0.01). */
+  private val PsiBinWidth = 200L
 
   /** The unrolled BPE round chain (word table → s0 chars → per-round
     * pair-count, argmax, window-parity greedy rewrite), shared by the
@@ -1613,6 +1626,26 @@ object TextEntries {
            s"sqrt(($chi) / (CAST(n AS DOUBLE) * CAST(LEAST(n_a, n_b) - 1 AS DOUBLE))) " +
            "ELSE 0.0 END")} AS cramers_v,
         |  ${r6sql("CASE WHEN LEAST(n_a, n_b) > 1 THEN mi_raw ELSE 0.0 END")} AS mi
+        |FROM f""".stripMargin
+    },
+    // the same observed-bin histogram, the same Laplace-smoothed
+    // exact-rational probabilities, the identical per-bin term order
+    "quality_psi" -> {
+      val p = "(CAST(c1 AS DOUBLE) + 0.5) / " +
+        "(CAST(n1 AS DOUBLE) + CAST(nb AS DOUBLE) * 0.5)"
+      val q = "(CAST(c0 AS DOUBLE) + 0.5) / " +
+        "(CAST(n0 AS DOUBLE) + CAST(nb AS DOUBLE) * 0.5)"
+      s"""WITH b AS (SELECT CASE WHEN lang = '$KsLang' THEN 1 ELSE 0 END AS y,
+        |            CAST(n_chars AS BIGINT) // $PsiBinWidth AS b FROM documents),
+        |h AS (SELECT b, SUM(y) AS c1, SUM(1 - y) AS c0 FROM b GROUP BY 1),
+        |t AS (SELECT CAST(COALESCE(SUM(c1), 0) AS BIGINT) AS n1,
+        |             CAST(COALESCE(SUM(c0), 0) AS BIGINT) AS n0,
+        |             CAST(COUNT(*) AS BIGINT) AS nb FROM h),
+        |f AS (SELECT n1, n0, nb,
+        |        SUM((($p) - ($q)) * ln(($p) / ($q))) AS psi_raw
+        |      FROM h CROSS JOIN t GROUP BY 1, 2, 3)
+        |SELECT n1, n0, nb AS n_bins,
+        |  ${r6sql("CASE WHEN n1 > 0 AND n0 > 0 THEN psi_raw ELSE 0.0 END")} AS psi
         |FROM f""".stripMargin
     },
     // the same int64 CDF-gap max (exact numerator, division at the end),

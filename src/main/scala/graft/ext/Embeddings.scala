@@ -487,6 +487,64 @@ object Embeddings {
   }
 
   /**
+   * Spherical k-means (Dhillon & Modha 2001) — Lloyd on the unit sphere:
+   * vectors and centroids are L2-normalized, assignment is argMAX cosine
+   * (= dot of unit vectors), and the centroid update is the re-normalized
+   * mean direction. This is the clustering embedding practice actually
+   * wants: semantic similarity is cosine, and Euclidean Lloyd
+   * ([[kMeansAssign]]) lets vector MAGNITUDE (document length, token
+   * count artifacts) pull centroids off the direction manifold. Returns
+   * each vector's final cluster and its cosine to the centroid.
+   * Zero-norm vectors have no direction and are dropped.
+   *
+   * Determinism: unit components are exact divisions of deterministic
+   * values; per-round dots snap to the 1e-6 grid and argmax ties break
+   * by cid (the [[kMeansAssign]] convention, max instead of min);
+   * updated centroid components snap AFTER re-normalization. A cluster
+   * whose mean direction is exactly zero (theoretical antipodal
+   * collapse) drops out of the next round, like an emptied Lloyd
+   * cluster.
+   *
+   * Scale shape: identical to [[kMeansAssign]] — broadcast k·dim
+   * centroid table, one O(N·k) aggregated-dot shuffle per round, k·dim
+   * centroid update; the extra normalization is a k-row aggregate.
+   */
+  def sphericalKMeansAssign(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    require(k > 0 && iters >= 1)
+    val cells0 = cellsOf(emb, idCol, vecCol)
+    val nrm = cells0.groupBy("vec_id").agg(sqrt(sum(col("x") * col("x"))).as("nrm"))
+      .where(col("nrm") > 0)
+    val cells = cells0.join(nrm, "vec_id")
+      .select(col("vec_id"), col("i"), (col("x") / col("nrm")).as("x"))
+    val seedW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id") * lit(0)).orderBy("vec_id")
+    val seeds = nrm.select(col("vec_id")).orderBy("vec_id").limit(k)
+      .select(col("vec_id"), (row_number().over(seedW) - 1).cast("long").as("cid"))
+    var cent = cells.join(seeds, "vec_id").select(col("cid"), col("i"), col("x").as("c"))
+    var assign: DataFrame = null
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("d").desc, col("cid").asc)
+    for (round <- 1 to iters) {
+      val dots = cells.join(broadcast(cent), "i")
+        .groupBy(col("vec_id"), col("cid"))
+        .agg(sum(col("x") * col("c")).as("d0"))
+        .select(col("vec_id"), col("cid"), snapCol(col("d0")).as("d"))
+      assign = dots.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select("vec_id", "cid", "d")
+      if (round < iters) {
+        val m = cells.join(assign.select("vec_id", "cid"), "vec_id")
+          .groupBy(col("cid"), col("i")).agg(avg(col("x")).as("m"))
+        val cn = m.groupBy("cid").agg(sqrt(sum(col("m") * col("m"))).as("cn"))
+          .where(col("cn") > 0)
+        cent = m.join(cn, "cid")
+          .select(col("cid"), col("i"), snapCol(col("m") / col("cn")).as("c"))
+      }
+    }
+    assign.select(col("vec_id"), col("cid").as("cluster"), col("d").as("cosine"))
+  }
+
+  /**
    * Deterministic k-means++-style seeding: seed 0 is the vector with the
    * smallest content hash of its id; each later seed is drawn with
    * probability ∝ d² to the nearest already-chosen seed — the classic

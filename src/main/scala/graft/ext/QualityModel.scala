@@ -151,6 +151,51 @@ object QualityModel {
   }
 
   /**
+   * Population Stability Index — the binned drift score ML monitoring
+   * dashboards actually alarm on (PSI < 0.1 stable / 0.1–0.25 moderate /
+   * > 0.25 shifted), next to [[ksTest]]'s exact-CDF statistic: the
+   * signal bins at fixed width, both groups' bin distributions are
+   * Laplace-smoothed (`alpha` per OBSERVED bin — a bin one side never
+   * hit would otherwise put ln 0 in the sum), and
+   * PSI = Σ_bins (p − q)·ln(p/q). KS sees the single worst CDF gap; PSI
+   * integrates mismatch over the whole distribution — monitoring wants
+   * both, which is why both ship.
+   *
+   * Determinism: bin ids and counts are exact int64; smoothed
+   * probabilities are exact-rational divisions; each bin's term is a
+   * fixed IEEE op sequence and the bin-sum's order noise sits far under
+   * the gate snap. Degenerate single-group inputs score 0.
+   *
+   * Scale shape: ONE bin-keyed hash aggregate (map-side partials
+   * collapse the corpus to observed bins), a 1-row total broadcast, one
+   * bins-sized fold. The histogram, not the corpus, is the state —
+   * the [[ksTest]]/quantile argument.
+   */
+  def psiDrift(data: DataFrame, groupCol: String, valueCol: String,
+      binWidth: Long, alpha: Double = 0.5): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    require(alpha > 0, "alpha must be positive (smoothing guards ln 0)")
+    val g = data
+      .select(col(groupCol).cast("long").as("y"),
+        expr(s"CAST($valueCol AS BIGINT) div $binWidth").as("b"))
+      .groupBy("b")
+      .agg(sum(col("y")).as("c1"), sum(lit(1L) - col("y")).as("c0"))
+    val tot = g.agg(coalesce(sum(col("c1")), lit(0L)).as("n1"),
+      coalesce(sum(col("c0")), lit(0L)).as("n0"),
+      count(lit(1)).as("n_bins"))
+    val p = (col("c1").cast("double") + lit(alpha)) /
+      (col("n1").cast("double") + col("n_bins").cast("double") * lit(alpha))
+    val q = (col("c0").cast("double") + lit(alpha)) /
+      (col("n0").cast("double") + col("n_bins").cast("double") * lit(alpha))
+    g.crossJoin(broadcast(tot))
+      .groupBy("n1", "n0", "n_bins")
+      .agg(sum((p - q) * log(p / q)).as("psi_raw"))
+      .select(col("n1"), col("n0"), col("n_bins"),
+        when(col("n1") > 0 && col("n0") > 0, col("psi_raw"))
+          .otherwise(lit(0.0)).as("psi"))
+  }
+
+  /**
    * Operating-point sweep — the ROC/PR table that turns [[auc]]'s single
    * ranking number into the table an operator actually thresholds on:
    * for each candidate cut `t`, the exact confusion matrix (tp/fp/fn/tn

@@ -90,7 +90,10 @@ class PlanAuditSpec extends SparkSpec {
       // its truth side IS ann_topk_brute's sanctioned all-pairs
       // broadcast scan, plus the 1-row query-count scalar; the IVF
       // search side stays equi-join
-      "ann_pareto")
+      "ann_pareto",
+      // 1-row (n1, n0, n_bins) totals crossed over the observed-bin
+      // histogram
+      "quality_psi")
 
   test("no contract query plans a cartesian product or unsanctioned BNLJ") {
     assume(new File(sfDir).isDirectory, s"$sfDir missing")

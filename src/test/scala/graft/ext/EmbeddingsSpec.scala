@@ -193,6 +193,35 @@ class EmbeddingsSpec extends SparkSpec {
     assert(rows(0L)._2 > 0.0)
   }
 
+  test("sphericalKMeansAssign clusters by direction, blind to magnitude") {
+    // seeds: v0 → (1,0), v1 → (0,1); v2 is HUGE but points along x,
+    // v3 is tiny but points mostly along y — Euclidean Lloyd would see
+    // magnitudes, spherical sees only direction
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.0f, 1.0f)),
+      (2L, Seq(50.0f, 1.0f)),
+      (3L, Seq(0.01f, 0.02f))
+    ).toDF("vec_id", "embedding")
+    val a = Embeddings.sphericalKMeansAssign(vecs, "vec_id", "embedding",
+        k = 2, iters = 2)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("cluster"), r.getAs[Double]("cosine"))))
+      .toMap
+    assert(a.size == 4)
+    assert(a(2L)._1 == a(0L)._1, a.toString)
+    assert(a(3L)._1 == a(1L)._1, a.toString)
+    assert(a(0L)._1 != a(1L)._1)
+    // cosines are dots of unit vectors: all in (0, 1]
+    assert(a.values.forall(v => v._2 > 0.0 && v._2 <= 1.0 + 1e-9))
+    // zero-norm vectors have no direction — dropped, not crashed
+    val withZero = vecs.union(Seq((9L, Seq(0.0f, 0.0f))).toDF("vec_id", "embedding"))
+    val z = Embeddings.sphericalKMeansAssign(withZero, "vec_id", "embedding",
+      k = 2, iters = 1).collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(!z.contains(9L) && z.size == 4)
+  }
+
   test("ivfParetoSweep: recall climbs to 1 at full probes, candidates monotone") {
     val blobs = Seq(
       (0L, Seq(0.0f, 0.1f)),

@@ -71,6 +71,30 @@ class QualityModelSpec extends SparkSpec {
       0.5, 1e-12)
   }
 
+  test("psiDrift: hand-computed smoothed PSI over observed bins") {
+    import spark.implicits._
+    // width 200 → bins: g1 {0,0,1}, g0 {0,2,2}; 3 observed bins
+    val d = Seq((1L, 10L), (1L, 10L), (1L, 250L),
+        (0L, 30L), (0L, 450L), (0L, 450L))
+      .toDF("g", "v")
+    val r = QualityModel.psiDrift(d, "g", "v", binWidth = 200L).collect().head
+    assert(r.getAs[Long]("n1") == 3L && r.getAs[Long]("n0") == 3L)
+    assert(r.getAs[Long]("n_bins") == 3L)
+    def sm(c: Double) = (c + 0.5) / (3.0 + 3.0 * 0.5)
+    val expected = Seq((2.0, 1.0), (1.0, 0.0), (0.0, 2.0)).map { case (c1, c0) =>
+      (sm(c1) - sm(c0)) * math.log(sm(c1) / sm(c0))
+    }.sum
+    assertApprox(r.getAs[Double]("psi"), expected, 1e-12)
+    // identical distributions → PSI exactly 0 (every term ln 1 = 0)
+    val same = Seq((1L, 10L), (0L, 10L), (1L, 300L), (0L, 300L)).toDF("g", "v")
+    assert(QualityModel.psiDrift(same, "g", "v", 200L)
+      .collect().head.getAs[Double]("psi") == 0.0)
+    // single-group degenerate → 0, no ln(0)
+    val one = Seq((1L, 10L), (1L, 20L)).toDF("g", "v")
+    assert(QualityModel.psiDrift(one, "g", "v", 200L)
+      .collect().head.getAs[Double]("psi") == 0.0)
+  }
+
   test("calibration: hand-binned reliability rows, boundaries, zero bins") {
     import spark.implicits._
     val d = Seq((1.0, 0.95), (0.0, 0.91), (1.0, 0.55), (0.0, 0.12),
