@@ -216,7 +216,9 @@ object Bench {
     // Lloyd on the unit sphere: broadcast codebook + O(N·k) dot shuffle
     "embed_kmeans_spherical",
     // binned PSI: observed-bin histogram + 1-row totals
-    "quality_psi")
+    "quality_psi",
+    // the interval-overlap self-join via bucket decomposition
+    "events_concurrency")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

@@ -113,6 +113,12 @@ object EventsEntries {
     // first-order transition matrix; one lead window, exact-count top-k
     "events_paths" -> ((s, dir) =>
       gate(Events.topPaths(Events.read(s, dir), PathLen, PathK), "path")),
+    // ext: session concurrency — the interval-overlap self-join spelled
+    // as a bucket-keyed equi-join with the exact overlap predicate
+    // riding it; overlaps pair-deduped, zero-overlap rows kept
+    "events_concurrency" -> ((s, dir) =>
+      gate(Events.concurrentSessions(Events.read(s, dir),
+        bucketSec = ConcBucketSec), "user_id", "session_id")),
     // ext: Kaplan–Meier lifetime survival with right censoring — the
     // churn curve; exact int64 risk sets, the KM product folded as a
     // window-ordered exp(Σ ln), extinction pinned to exactly 0
@@ -283,6 +289,9 @@ object EventsEntries {
     * source on one axis, above it on the other — both directions hit). */
   private val ResizeW = 8
   private val ResizeH = 6
+
+  /** Concurrency contract: hour-wide interval buckets. */
+  private val ConcBucketSec = 3600L
 
   /** Funnel step sequence for the funnel contract. */
   private val FunnelSteps = Seq("view", "click", "purchase")
@@ -478,6 +487,31 @@ object EventsEntries {
              "(1.0/CAST(n0 AS DOUBLE) + 1.0/CAST(n1 AS DOUBLE))) ELSE 0.0 END")} AS z
         |FROM s""".stripMargin
     },
+    // the same gap-rule sessions, overlap counted by the BRUTE
+    // inequality self-join (DuckDB's IEJoin affords it at oracle scale —
+    // the bucketed plan must match it exactly)
+    "events_concurrency" ->
+      s"""WITH ev AS (SELECT epoch_ns(ts) AS tns, user_id, event_id FROM events),
+        |lg AS (SELECT user_id, tns, event_id,
+        |              lag(tns) OVER (PARTITION BY user_id ORDER BY tns, event_id) AS prev
+        |       FROM ev),
+        |mk AS (SELECT *, CASE WHEN prev IS NULL OR tns - prev > $gapNs
+        |                      THEN 1 ELSE 0 END AS new_sess FROM lg),
+        |ss AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tns, event_id
+        |                                     ROWS UNBOUNDED PRECEDING) AS session_id
+        |       FROM mk),
+        |s AS MATERIALIZED (SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |            MIN(tns) // $nsSec AS start_sec, MAX(tns) // $nsSec AS end_sec
+        |     FROM ss GROUP BY user_id, session_id),
+        |ov AS (SELECT a.user_id, a.session_id, CAST(COUNT(*) AS BIGINT) AS n_concurrent
+        |       FROM s a JOIN s c
+        |         ON (a.user_id <> c.user_id OR a.session_id <> c.session_id)
+        |        AND a.start_sec <= c.end_sec AND c.start_sec <= a.end_sec
+        |       GROUP BY 1, 2)
+        |SELECT s.user_id, s.session_id, s.start_sec, s.end_sec,
+        |       CAST(COALESCE(ov.n_concurrent, 0) AS BIGINT) AS n_concurrent
+        |FROM s LEFT JOIN ov USING (user_id, session_id)
+        |ORDER BY user_id, session_id""".stripMargin,
     // the same day grid (µs·1000 = the exact ns int64), the same
     // censoring rule, the identical window-ordered exp(Σ ln) KM fold
     // with the same extinction pin

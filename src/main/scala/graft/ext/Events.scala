@@ -424,6 +424,51 @@ object Events {
   }
 
   /**
+   * Session concurrency — an INTERVAL OVERLAP self-join, the join shape
+   * Spark has no native operator for (a naive `a.start ≤ b.end AND
+   * b.start ≤ a.end` self-join is a nested-loop over all pairs):
+   * for every [[sessionize]] session, how many OTHER sessions overlap it
+   * in time — the live-concurrency readout capacity planning reads.
+   * Expressed scalably as the standard time-bucket decomposition: each
+   * session explodes to the fixed-width buckets it touches (bounded by
+   * span/bucket + 1), candidates come from ONE bucket-keyed equi-join,
+   * and the exact overlap predicate rides that join as a post-filter
+   * (the [[graft.core.CosineAnalysis]] aligned-pairs trick applied to
+   * time). A pair co-occupying several buckets is deduplicated before
+   * counting, so each overlap counts exactly once.
+   *
+   * Scale shape: work = Σ_buckets occupancy² — `bucketSec` is the knob
+   * (width ≈ median session span keeps the explode factor ~2 while
+   * bounding per-bucket candidates); at 100 TB the bucket key is also
+   * the natural partition key, so candidates never cross executors. All
+   * counts exact int64; zero-overlap sessions keep their row.
+   */
+  def concurrentSessions(events: DataFrame, gapNs: Long = DefaultGapNs,
+      bucketSec: Long = 3600L): DataFrame = {
+    require(bucketSec > 0)
+    val sess = sessionize(events, gapNs)
+      .select(col("user_id"), col("session_id"), col("start_sec"), col("end_sec"))
+    val b = sess.withColumn("b",
+      explode(expr(s"sequence(start_sec div $bucketSec, end_sec div $bucketSec)")))
+    val pairs = b.as("a").join(b.as("c"),
+        col("a.b") === col("c.b") &&
+          (col("a.user_id") =!= col("c.user_id") ||
+            col("a.session_id") =!= col("c.session_id")) &&
+          col("a.start_sec") <= col("c.end_sec") &&
+          col("c.start_sec") <= col("a.end_sec"))
+      .select(col("a.user_id"), col("a.session_id"),
+        col("c.user_id").as("u2"), col("c.session_id").as("s2"))
+      .distinct()
+    sess
+      .join(pairs.groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_concurrent")),
+        Seq("user_id", "session_id"), "left")
+      .na.fill(0L, Seq("n_concurrent"))
+      .select(col("user_id"), col("session_id"), col("start_sec"),
+        col("end_sec"), col("n_concurrent"))
+  }
+
+  /**
    * Kaplan–Meier user-lifetime survival curve (Kaplan & Meier 1958) —
    * the churn readout [[retention]]'s cohort triangle doesn't give:
    * S(t) = P(user stays active ≥ t days), estimated with proper RIGHT

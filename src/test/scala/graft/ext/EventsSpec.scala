@@ -300,6 +300,28 @@ class EventsSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("non-negative")), e.toString)
   }
 
+  test("concurrentSessions: bucketed equi-join overlap, pair-deduped, inclusive ends") {
+    val e9 = 1000000000L
+    // one session per user: u1 [0,10]s, u2 [5,15]s, u3 [100,110]s,
+    // u4 [15,20]s — u2 touches u4 exactly at the endpoint (inclusive)
+    val ev = Seq(
+      (1L, 0L, 1L), (2L, 10 * e9, 1L),
+      (3L, 5 * e9, 2L), (4L, 15 * e9, 2L),
+      (5L, 100 * e9, 3L), (6L, 110 * e9, 3L),
+      (7L, 15 * e9, 4L), (8L, 20 * e9, 4L))
+      .map { case (id, ts, u) => (id, ts, u, "e", 1.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    // 4-second buckets: the u1/u2 overlap co-occupies buckets 1 and 2 —
+    // the pair dedup must keep it a single concurrent count
+    val got = Events.concurrentSessions(ev, bucketSec = 4L).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_concurrent")).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 0L, 4L -> 1L), got.toString)
+    // a coarse bucket (everyone in bucket 0..) must give the same answer
+    val coarse = Events.concurrentSessions(ev, bucketSec = 1000L).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_concurrent")).toMap
+    assert(coarse == got)
+  }
+
   test("survivalCurve: hand-computed KM steps with right censoring") {
     // bucketNs = 1 so ts IS the day index; end_day = 9, censor window 2
     // → u4 (last = 9 > 7) is censored, the rest are deaths
