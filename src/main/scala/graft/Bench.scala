@@ -218,7 +218,9 @@ object Bench {
     // binned PSI: observed-bin histogram + 1-row totals
     "quality_psi",
     // the interval-overlap self-join via bucket decomposition
-    "events_concurrency")
+    "events_concurrency",
+    // 64x-compressed signature estimate next to full-sig + exact truth
+    "dedup_minhash_bbit")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

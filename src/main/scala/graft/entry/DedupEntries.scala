@@ -26,6 +26,12 @@ object DedupEntries {
     "dedup_threshold_sweep" -> ((s, dir) =>
       gate(Dedup.jaccardThresholdSweep(docs(s, dir), "doc_id", "text",
         SweepThresholds), "t")),
+    // ext: b-bit (b = 1) minhash audit — the 64×-compressed signature's
+    // debiased estimate ĵ₁ = max(0, 2f − 1) next to the full-signature
+    // estimate and the exact Jaccard: compression priced, not guessed
+    "dedup_minhash_bbit" -> ((s, dir) =>
+      gate(Dedup.minHashBbitAudit(docs(s, dir), "doc_id", "text",
+        pin = _.localCheckpoint()), "doc0", "doc1")),
     // ext: per-doc shingle novelty — the fraction of a document's
     // trigrams whose FIRST corpus occurrence (min doc_id) is this
     // document; the redundancy histogram next to the pair kernels
@@ -942,6 +948,36 @@ object DedupEntries {
         |       ${r6sql(s"ag.n_agree / $nH.0")} AS j_est,
         |       ${r6sql("COALESCE(jac.jaccard, 0.0)")} AS jaccard,
         |       ${r6sql(s"abs(ag.n_agree / $nH.0 - COALESCE(jac.jaccard, 0.0))")} AS abs_err
+        |FROM ag LEFT JOIN jac USING (doc0, doc1)
+        |ORDER BY doc0, doc1""".stripMargin
+    },
+    // the same candidates and signatures, lowest-bit agreement with the
+    // identical debias arithmetic next to the full-signature estimate
+    "dedup_minhash_bbit" -> {
+      val bitAgree = Dedup.HashParams.indices
+        .map(j => s"CASE WHEN a.sig_$j % 2 = b.sig_$j % 2 THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      val fullAgree = Dedup.HashParams.indices
+        .map(j => s"CASE WHEN a.sig_$j = b.sig_$j THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      val nH = Dedup.HashParams.size
+      val j1 = s"greatest(0.0, 2.0 * (CAST(n_bit_agree AS DOUBLE) / $nH.0) - 1.0)"
+      shingleSql + s""",
+        |sig AS MATERIALIZED (SELECT doc_id, $sigSelect FROM shg GROUP BY doc_id),
+        |bands AS MATERIALIZED ($bandsSql),
+        |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc0, b.doc_id AS doc1
+        |         FROM bands a JOIN bands b
+        |           ON a.band = b.band AND a.sigv = b.sigv AND a.doc_id < b.doc_id),
+        |ag AS (SELECT c.doc0, c.doc1,
+        |         CAST($bitAgree AS BIGINT) AS n_bit_agree,
+        |         CAST($fullAgree AS BIGINT) AS n_agree
+        |       FROM cand c JOIN sig a ON a.doc_id = c.doc0
+        |                   JOIN sig b ON b.doc_id = c.doc1)
+        |SELECT ag.doc0, ag.doc1, ag.n_bit_agree, ag.n_agree,
+        |       ${r6sql(j1)} AS j_est_1bit,
+        |       ${r6sql(s"CAST(n_agree AS DOUBLE) / $nH.0")} AS j_est_full,
+        |       ${r6sql("COALESCE(jac.jaccard, 0.0)")} AS jaccard,
+        |       ${r6sql(s"abs(($j1) - COALESCE(jac.jaccard, 0.0))")} AS abs_err_1bit
         |FROM ag LEFT JOIN jac USING (doc0, doc1)
         |ORDER BY doc0, doc1""".stripMargin
     },

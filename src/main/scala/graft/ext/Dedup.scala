@@ -832,6 +832,53 @@ object Dedup {
   }
 
   /**
+   * b-bit MinHash calibration audit (Li & König 2010, b = 1) — the
+   * SIGNATURE-COMPRESSION face of [[minHashEstimateAudit]]: store only
+   * the LOWEST BIT of each minhash (16 bits instead of 16 int64s — a
+   * 64× signature shrink, which is what lets a 100 TB corpus keep its
+   * sketch index in memory) and estimate Jaccard from the bit-agreement
+   * fraction. Unrelated minhashes still agree on a bit half the time,
+   * so the estimator debiases: ĵ₁ = max(0, 2·f − 1) for bit-match
+   * fraction f (the b = 1 case of Li–König's (f − C)/(1 − C), C = ½).
+   * Emitted per candidate pair next to the FULL-signature estimate and
+   * the exact Jaccard, so the audit shows precisely what the 64×
+   * compression costs in estimator variance (√(4·f(1−f)/16) ≈ 2× the
+   * full-signature std-err — compression is not free, it is priced).
+   *
+   * Scale shape: [[minHashEstimateAudit]]'s exact plan — candidates
+   * only, two result-sized signature joins, the bounded [[jaccardFor]]
+   * verify; the bit extraction is row-local integer arithmetic.
+   */
+  def minHashBbitAudit(docs: DataFrame, idCol: String, textCol: String,
+      pin: DataFrame => DataFrame = identity): DataFrame = {
+    val sh = pin(shingles(docs, idCol, textCol))
+    val sigs = minHashSignatures(sh)
+    val cand = minHashCandidates(sigs)
+    val bitAgree = HashParams.indices
+      .map(j => when(col(s"a.sig_$j") % 2 === col(s"b.sig_$j") % 2, 1L)
+        .otherwise(0L))
+      .reduce(_ + _)
+    val fullAgree = HashParams.indices
+      .map(j => when(col(s"a.sig_$j") === col(s"b.sig_$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val est = cand
+      .join(sigs.as("a"), col("a.doc_id") === col("doc0"))
+      .join(sigs.as("b"), col("b.doc_id") === col("doc1"))
+      .select(col("doc0"), col("doc1"),
+        bitAgree.as("n_bit_agree"), fullAgree.as("n_agree"))
+    val nH = HashParams.size.toDouble
+    val snap = (c: Column) => floor(c * lit(1e6) + lit(0.50001)) / lit(1e6)
+    val j1 = greatest(lit(0.0),
+      lit(2.0) * (col("n_bit_agree").cast("double") / lit(nH)) - lit(1.0))
+    est.join(jaccardFor(cand, sh), Seq("doc0", "doc1"), "left")
+      .select(col("doc0"), col("doc1"), col("n_bit_agree"), col("n_agree"),
+        snap(j1).as("j_est_1bit"),
+        snap(col("n_agree").cast("double") / lit(nH)).as("j_est_full"),
+        snap(coalesce(col("jaccard"), lit(0.0))).as("jaccard"),
+        snap(abs(j1 - coalesce(col("jaccard"), lit(0.0)))).as("abs_err_1bit"))
+  }
+
+  /**
    * Exact shingle Jaccard restricted to the given (doc0, doc1) pairs —
    * the candidate-verification kernel. Cost is bounded by
    * |pairs| · shingles-per-doc (two id equi-joins + one aggregate), never

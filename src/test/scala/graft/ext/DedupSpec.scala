@@ -598,6 +598,27 @@ class DedupSpec extends SparkSpec {
     assert(tri(1L) > 0L && tri(2L) > 0L)
   }
 
+  test("minHashBbitAudit: exact duplicates estimate 1, debias clamps at 0") {
+    val d = Seq(
+      (0L, "a b c d e f"), (1L, "a b c d e f"), (2L, "a b c d e x"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.minHashBbitAudit(d, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getAs[Double]("j_est_1bit"),
+          r.getAs[Double]("j_est_full"), r.getAs[Double]("jaccard"),
+          r.getAs[Double]("abs_err_1bit"))))
+      .toMap
+    // identical docs: every bit agrees → debiased estimate exactly 1
+    val dup = rows((0L, 1L))
+    assert(dup._1 == 16L && dup._2 == 1.0 && dup._3 == 1.0 && dup._4 == 1.0)
+    assert(dup._5 == 0.0)
+    // the clamp keeps every estimate in [0, 1] even when bit noise
+    // pushes the raw 2f−1 negative
+    rows.values.foreach { v =>
+      assert(v._2 >= 0.0 && v._2 <= 1.0, v.toString)
+    }
+  }
+
   test("shingleNovelty: first-owner attribution by min doc_id, short docs absent") {
     // doc0 {abc,bcd} all first; doc1 {abc,bcx} shares abc; doc2 too short
     val d = Seq((0L, "a b c d"), (1L, "a b c x"), (2L, "a b"))
