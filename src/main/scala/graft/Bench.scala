@@ -220,7 +220,13 @@ object Bench {
     // the interval-overlap self-join via bucket decomposition
     "events_concurrency",
     // 64x-compressed signature estimate next to full-sig + exact truth
-    "dedup_minhash_bbit")
+    "dedup_minhash_bbit",
+    // DSIR: dim-row LM aggregates + broadcast scoring over the tf frame
+    "corpus_dsir",
+    // 3-level ROLLUP k-anonymity lattice in one shuffled aggregate
+    "pii_kanon",
+    // bot signals: one user-keyed exchange shared by window + 2 aggs
+    "events_bots")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

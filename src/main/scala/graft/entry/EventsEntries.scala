@@ -210,7 +210,12 @@ object EventsEntries {
       gate(Multimodal.audioStats(
         Multimodal.withWavPayload(docs(s, dir), "doc_id"),
         "doc_id", "payload").toDF(), "doc_id")
-    })
+    }),
+    // ext: per-user bot signals — fast-gap counts, type entropy, span,
+    // and an int64-exact flag; ONE exchange (window + both aggregates
+    // share the user_id clustering)
+    "events_bots" -> ((s, dir) =>
+      gate(Events.botScores(Events.read(s, dir)), "user_id"))
   )
 
   /** Frame width (chars) and sampling stride for the frames contract. */
@@ -777,6 +782,28 @@ object EventsEntries {
         |  CAST(SUM((doc_id + 31 * x + 17 * y) % 256) AS BIGINT) AS r_sum,
         |  CAST(SUM((2 * doc_id + 13 * x + 7 * y) % 256) AS BIGINT) AS g_sum,
         |  CAST(SUM((3 * doc_id + 5 * x + 23 * y) % 256) AS BIGINT) AS b_sum
-        |FROM px GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin
+        |FROM px GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
+    // same lag gaps, same integer flag algebra; ln only on exact int64
+    // counts, snapped at 1e-6
+    "events_bots" ->
+      s"""WITH ev AS (SELECT epoch_ns(ts) AS tns, user_id, event_id, event_type
+        |            FROM events),
+        |lg AS (SELECT *, tns - lag(tns) OVER (PARTITION BY user_id
+        |                                      ORDER BY tns, event_id) AS gap
+        |       FROM ev),
+        |pt AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c,
+        |              CAST(SUM(CASE WHEN gap IS NOT NULL AND gap < ${Events.NsPerHour}
+        |                            THEN 1 ELSE 0 END) AS BIGINT) AS nf,
+        |              MIN(tns) AS mn, MAX(tns) AS mx
+        |       FROM lg GROUP BY 1, 2)
+        |SELECT user_id,
+        |       CAST(SUM(c) AS BIGINT) AS n_events,
+        |       CAST(COUNT(*) AS BIGINT) AS n_types,
+        |       CAST(SUM(nf) AS BIGINT) AS n_fast,
+        |       (MAX(mx) - MIN(mn)) // $nsSec AS span_sec,
+        |       ${r6sql("ln(CAST(SUM(c) AS DOUBLE)) - SUM(c * ln(CAST(c AS DOUBLE))) / SUM(c)")} AS type_entropy,
+        |       CAST(CASE WHEN SUM(c) >= 30 AND SUM(nf) * 4 >= SUM(c) - 1
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS is_bot
+        |FROM pt GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

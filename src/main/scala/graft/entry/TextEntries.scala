@@ -466,7 +466,24 @@ object TextEntries {
     // int64 thresholds and clamp on both engines
     "quality_winsorize" -> ((s, dir) =>
       gate(TextAnalysis.winsorize(docs(s, dir), "doc_id", "lang",
-        "n_chars", WinsLo, WinsHi), "doc_id"))
+        "n_chars", WinsLo, WinsHi), "doc_id")),
+    // ext: DSIR importance weights (Xie et al. 2023) — per-doc hashed-
+    // unigram target/raw log ratio; dim-row LM aggregates, broadcast
+    // scoring join, integer token counts
+    "corpus_dsir" -> ((s, dir) =>
+      gate(TextAnalysis.dsirWeights(docs(s, dir), "doc_id", "text",
+        "source", DsirTarget), "doc_id")),
+    // ext: the DSIR selection step — snapped-weight TakeOrdered top-m,
+    // doc_id tie-break; the resampled raw slice itself
+    "corpus_dsir_sample" -> ((s, dir) =>
+      gate(TextAnalysis.dsirSample(docs(s, dir), "doc_id", "text",
+        "source", DsirTarget, DsirSampleM), "rank")),
+    // ext: k-anonymity release audit over the (lang, source, len-bucket)
+    // quasi-identifiers — one ROLLUP pass over a 3-level generalization
+    // lattice, int64 risk counts, one share division
+    "pii_kanon" -> ((s, dir) =>
+      gate(TextAnalysis.kAnonymity(docs(s, dir), "lang", "source",
+        "n_chars", KanonWidth, KanonK), "level"))
   )
 
   /** Range-shard contract: 8 shards over the HistWidth-bucket sketch. */
@@ -661,6 +678,43 @@ object TextEntries {
     SampleRates.map { case (stratum, r) =>
       s"WHEN d.lang = '$stratum' THEN ${math.floor(r * 1000).toLong}"
     }.mkString(" ") + s" ELSE ${math.floor(SampleDefault * 1000).toLong}"
+
+  /** Target slice of the DSIR contract (5% of docs at every sf — the
+    * small high-quality domain the raw crawl is steered toward). */
+  private val DsirTarget = "src0"
+  /** Kept raw docs of the DSIR selection contract (~10% at sf0.01). */
+  private val DsirSampleM = 50
+
+  /** Shared DSIR oracle chain: hashed-unigram buckets → per-(doc, slice,
+    * bucket) tf → the two add-1 smoothed LMs → per-bucket log ratio.
+    * `dtf` is MATERIALIZED — both finals reference it twice and DuckDB
+    * 1.0 inlines CTEs at every reference. */
+  private lazy val dsirChainSql: String = {
+    import TextAnalysis.{DsirDim, DsirSalt}
+    tokSql + s""",
+      |lab AS (SELECT doc_id,
+      |               CAST(CASE WHEN source = '$DsirTarget' THEN 1 ELSE 0 END AS BIGINT) AS is_target
+      |        FROM documents),
+      |bk AS (SELECT tok.doc_id, lab.is_target,
+      |              CAST((${TextHash.avalancheSql(TextHash.tokenValue("token"), DsirSalt)}) % $DsirDim AS BIGINT) AS j
+      |       FROM tok JOIN lab USING (doc_id)),
+      |dtf AS MATERIALIZED (SELECT doc_id, is_target, j, CAST(COUNT(*) AS BIGINT) AS tf
+      |        FROM bk GROUP BY 1, 2, 3),
+      |cnt AS (SELECT j,
+      |               CAST(SUM(CASE WHEN is_target = 1 THEN tf ELSE 0 END) AS BIGINT) AS ct,
+      |               CAST(SUM(CASE WHEN is_target = 0 THEN tf ELSE 0 END) AS BIGINT) AS cr
+      |        FROM dtf GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt, CAST(SUM(cr) AS BIGINT) AS tr FROM cnt),
+      |lw AS (SELECT j, ln((ct + 1) / CAST(tt + $DsirDim AS DOUBLE))
+      |               - ln((cr + 1) / CAST(tr + $DsirDim AS DOUBLE)) AS lw
+      |       FROM cnt, tot)""".stripMargin
+  }
+
+  /** Length-bucket width and k threshold of the k-anonymity contract:
+    * n_chars spans ~[40, 4000], so 500 gives ~8 buckets — QI classes of
+    * a few docs each at sf0.01, mixed risky/safe at every level. */
+  private val KanonWidth = 500L
+  private val KanonK = 5L
 
   /** Tokens-with-position CTE mirroring [[TextAnalysis.tokensWithPosition]]. */
   val tokSql: String =
@@ -1743,7 +1797,43 @@ object TextEntries {
         |       greatest(lo.lo, least(hi.hi, b.v)) AS v_clipped,
         |       CAST(CASE WHEN b.v < lo.lo OR b.v > hi.hi THEN 1 ELSE 0 END AS BIGINT) AS clipped
         |FROM b JOIN lo USING (grp) JOIN hi USING (grp)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    // same hashed buckets, same add-1 smoothing, ln on identical exact
+    // rationals; the per-doc sum snaps at 1e-6
+    "corpus_dsir" ->
+      s"""$dsirChainSql
+        |SELECT d.doc_id, d.is_target, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |       ${r6sql("SUM(tf * lw)")} AS log_weight
+        |FROM dtf d JOIN lw USING (j)
+        |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
+    // the selection step: rank the SNAPPED weights (identical on both
+    // engines by the r6 argument), doc_id tie-break, keep top m
+    "corpus_dsir_sample" ->
+      s"""$dsirChainSql,
+        |w AS (SELECT d.doc_id, ${r6sql("SUM(tf * lw)")} AS log_weight
+        |      FROM dtf d JOIN lw USING (j)
+        |      WHERE d.is_target = 0 GROUP BY 1),
+        |rk AS (SELECT doc_id, log_weight,
+        |              CAST(row_number() OVER (ORDER BY log_weight DESC, doc_id) AS BIGINT) AS rank
+        |       FROM w)
+        |SELECT doc_id, log_weight, rank FROM rk
+        |WHERE rank <= $DsirSampleM ORDER BY rank""".stripMargin,
+    // same ROLLUP lattice, same int64 counts; only the share divides
+    "pii_kanon" ->
+      s"""WITH base AS (SELECT lang AS qi1, source AS qi2,
+        |                      CAST(n_chars AS BIGINT) // $KanonWidth AS qi3
+        |               FROM documents),
+        |cells AS (SELECT qi1, qi2, qi3, CAST(COUNT(*) AS BIGINT) AS n,
+        |                 CAST(GROUPING(qi1) + GROUPING(qi2) + GROUPING(qi3) AS BIGINT) AS level
+        |          FROM base GROUP BY ROLLUP (qi1, qi2, qi3))
+        |SELECT level,
+        |       CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |       CAST(SUM(CASE WHEN n < $KanonK THEN 1 ELSE 0 END) AS BIGINT) AS risky_groups,
+        |       CAST(SUM(CASE WHEN n < $KanonK THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk,
+        |       CAST(MIN(n) AS BIGINT) AS min_group,
+        |       ${r6sql(s"SUM(CASE WHEN n < $KanonK THEN n ELSE 0 END) / CAST(SUM(n) AS DOUBLE)")} AS risk_share
+        |FROM cells WHERE level < 3
+        |GROUP BY 1 ORDER BY level""".stripMargin
   )
 
   /** The GD-distillation oracle: the shared weight-threading chain with

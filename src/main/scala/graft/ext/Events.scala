@@ -402,6 +402,52 @@ object Events {
   }
 
   /**
+   * Per-user bot / automation signals: event volume, type diversity
+   * (count + Shannon entropy over the event-type distribution), the count
+   * of "fast" inter-arrival gaps (< `fastGapNs` since the user's previous
+   * event of ANY type), activity span, and an integer-exact bot flag —
+   * fired when the user is high-volume (`n >= minEvents`) AND at least
+   * `fastNum/fastDen` of their gaps are fast. The flag deliberately uses
+   * only int64 compares (`n_fast·fastDen >= (n−1)·fastNum`), never the
+   * double entropy, so it can never flip on cross-engine ulp noise; the
+   * entropy rides along as a ranked signal for downstream thresholds.
+   *
+   * Scale: ONE exchange total. The lag window hash-partitions by user_id;
+   * both downstream aggregates — (user_id, event_type) counts, then the
+   * per-user rollup — are clustering-satisfied by that same partitioning
+   * (HashPartitioning(user) ⊆ ClusteredDistribution(user, type)), so
+   * Catalyst plans no further shuffle, and per-user state is bounded by
+   * the type-alphabet size.
+   */
+  def botScores(events: DataFrame, fastGapNs: Long = NsPerHour,
+      minEvents: Long = 30L, fastNum: Long = 1L, fastDen: Long = 4L): DataFrame = {
+    require(fastGapNs > 0 && minEvents > 0 && fastNum > 0 && fastDen > 0)
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val n = sum(col("c"))
+    val nFast = sum(col("n_fast_t"))
+    events
+      .withColumn("gap", col("ts") - lag("ts", 1).over(byUser))
+      .groupBy("user_id", "event_type")
+      .agg(
+        count(lit(1)).as("c"),
+        sum(when(col("gap").isNotNull && col("gap") < fastGapNs, 1L)
+          .otherwise(0L)).as("n_fast_t"),
+        min("ts").as("min_t"),
+        max("ts").as("max_t"))
+      .groupBy("user_id")
+      .agg(
+        n.as("n_events"),
+        count(lit(1)).as("n_types"),
+        nFast.as("n_fast"),
+        expr(s"(max(max_t) - min(min_t)) div $NsPerSec").as("span_sec"),
+        (log(n.cast("double")) -
+          sum(col("c").cast("double") * log(col("c").cast("double"))) / n)
+          .as("type_entropy"),
+        when(n >= minEvents && nFast * fastDen >= (n - lit(1L)) * fastNum, 1L)
+          .otherwise(0L).as("is_bot"))
+  }
+
+  /**
    * Gap-based sessionization: a new session starts when a user's gap since
    * their previous event exceeds `gapNs`. Session ids number 1..n per user
    * in time order. One row per session with its span and value total.

@@ -565,6 +565,123 @@ object TextAnalysis {
       .as[graft.core.MatrixElement]
   }
 
+  /** Hashed-feature space of the DSIR importance model. Coarser than a
+    * vocabulary (collisions pool rare tokens' evidence — the point of
+    * Xie et al. 2023's hashed n-gram features), large enough that the
+    * target/raw ratio still separates sources. Contract constant. */
+  val DsirDim = 128
+  /** Salt of the DSIR bucket chain (independent of featureHash buckets). */
+  val DsirSalt = 99991L
+
+  /**
+   * DSIR importance weights (Data Selection via Importance Resampling,
+   * Xie et al. 2023): fit two bag-of-hashed-unigram language models — one
+   * on the TARGET slice (`srcCol = target`), one on the RAW rest — and
+   * score every document with its log importance ratio
+   * `Σ_tokens log p_target(bucket) / p_raw(bucket)` (add-1 smoothed).
+   * Resampling then keeps the raw documents whose weight ranks highest —
+   * the standard recipe for steering a web-scale crawl toward a small
+   * high-quality domain without training a classifier. Emits one row per
+   * document: its slice label, token count, and log weight.
+   *
+   * Scale: one tokenize scan folds to a (doc, bucket) term-frequency
+   * aggregate (map-side partials); BOTH language models are `dim`-row
+   * aggregates of that — model-sized, never a vocabulary broadcast — and
+   * the scoring join is a `dim`-row broadcast back onto the doc×bucket
+   * frame. No data-sized structure ever crosses the driver, and the
+   * feature space stays fixed at any corpus size (same argument as
+   * [[featureHash]]).
+   */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      srcCol: String, target: String, dim: Int = DsirDim): DataFrame = {
+    require(dim > 0)
+    val bucket = expr(s"CAST((${TextHash.avalancheSql(TextHash.tokenValue("token"), DsirSalt)}) % $dim AS BIGINT)")
+    val dtf = docs
+      .select(col(idCol).as("doc_id"),
+        when(col(srcCol) === target, 1L).otherwise(0L).as("is_target"),
+        explode(split(col(textCol), WhitespacePattern)).as("token"))
+      .where(col("token") =!= "")
+      .select(col("doc_id"), col("is_target"), bucket.as("j"))
+      .groupBy("doc_id", "is_target", "j")
+      .agg(count(lit(1)).as("tf"))
+    val counts = dtf.groupBy("j").agg(
+      sum(when(col("is_target") === 1L, col("tf")).otherwise(0L)).as("ct"),
+      sum(when(col("is_target") === 0L, col("tf")).otherwise(0L)).as("cr"))
+    val logRatio = counts
+      .crossJoin(broadcast(counts.agg(sum("ct").as("tt"), sum("cr").as("tr"))))
+      .select(col("j"),
+        (log((col("ct") + lit(1L)).cast("double") / (col("tt") + lit(dim.toLong)).cast("double")) -
+          log((col("cr") + lit(1L)).cast("double") / (col("tr") + lit(dim.toLong)).cast("double")))
+          .as("lw"))
+    dtf
+      .join(broadcast(logRatio), "j")
+      .groupBy("doc_id", "is_target")
+      .agg(sum("tf").as("n_tokens"),
+        sum(col("tf").cast("double") * col("lw")).as("log_weight"))
+  }
+
+  /**
+   * The DSIR selection step: keep the `m` RAW documents whose importance
+   * weight ranks highest ([[dsirWeights]] descending, doc_id tie-break) —
+   * the resampled slice a target-steered training mix actually ingests.
+   * Ranking reads the 1e-6-SNAPPED weight, so the order (and thus the
+   * kept set) is identical on any engine despite sum-order ulps.
+   *
+   * Scale: the global top-m is TakeOrdered — per-partition heaps of m,
+   * one m-row merge, never a global sort; the rank window then runs over
+   * the m-row result (model-sized by construction).
+   */
+  def dsirSample(docs: DataFrame, idCol: String, textCol: String,
+      srcCol: String, target: String, m: Int, dim: Int = DsirDim): DataFrame = {
+    require(m > 0)
+    val raw = dsirWeights(docs, idCol, textCol, srcCol, target, dim)
+      .where(col("is_target") === 0L)
+      .select(col("doc_id"), snapCol(col("log_weight")).as("log_weight"))
+    val order = Seq(col("log_weight").desc, col("doc_id").asc)
+    raw.orderBy(order: _*).limit(m)
+      .withColumn("rank", row_number()
+        .over(org.apache.spark.sql.expressions.Window.orderBy(order: _*))
+        .cast("long"))
+  }
+
+  /**
+   * k-anonymity audit over a 3-level generalization hierarchy of the
+   * quasi-identifiers (`qi1`, `qi2`, `numCol` bucketed at `width`): one
+   * ROLLUP pass counts every QI equivalence class at full precision
+   * (level 0), with the numeric bucket generalized away (level 1), and
+   * with `qi2` also dropped (level 2); a class of size < k re-identifies
+   * its members under linkage. Emits one row per level — class count,
+   * risky-class count, rows at risk (with share), and the smallest class
+   * — the table a release/retention decision reads to pick the cheapest
+   * generalization level that clears its k threshold.
+   *
+   * Scale: ROLLUP is ONE shuffled aggregate whose map-side partials carry
+   * all three levels (3× the level-0 partial rows, still bounded by QI
+   * cardinality, never by corpus size); the level summary is a 3-row
+   * re-aggregate. The risky flag and row counts are pure int64; only the
+   * share divides.
+   */
+  def kAnonymity(docs: DataFrame, qi1: String, qi2: String, numCol: String,
+      width: Long, k: Long): DataFrame = {
+    require(width > 0 && k > 0)
+    val risky = sum(when(col("n") < k, col("n")).otherwise(0L))
+    docs
+      .select(col(qi1).as("qi1"), col(qi2).as("qi2"),
+        expr(s"CAST($numCol AS BIGINT) div $width").as("qi3"))
+      .rollup("qi1", "qi2", "qi3")
+      .agg(count(lit(1)).as("n"),
+        (grouping(col("qi1")) + grouping(col("qi2")) + grouping(col("qi3")))
+          .cast("long").as("level"))
+      .where(col("level") < 3)
+      .groupBy("level")
+      .agg(
+        count(lit(1)).as("n_groups"),
+        sum(when(col("n") < k, 1L).otherwise(0L)).as("risky_groups"),
+        risky.as("rows_at_risk"),
+        min("n").as("min_group"),
+        (risky.cast("double") / sum(col("n")).cast("double")).as("risk_share"))
+  }
+
   /** HyperLogLog geometry: 2^6 = 64 registers; the 31-bit mix state
     * leaves 25 bits of geometric evidence per token. Constants are part
     * of the operator contract (the oracle mirrors them). */

@@ -43,6 +43,20 @@ final case class AsofBuf(event_id: Long, tsMs: Long, isProbe: Boolean, value: Do
 final case class AsofState(buffer: Seq[AsofBuf], refId: Long, refTsMs: Long,
     refValue: Double, hasRef: Boolean)
 
+/** Per-user bot-signal state for [[EventsStream.botDeltas]]: the event-time
+  * frontier, activity extremes, fast-gap count, and per-type counts.
+  * Bounded by construction: four longs plus one counter per DISTINCT
+  * event type the user ever emits (the type alphabet, never the event
+  * volume). */
+final case class BotUserState(lastTsMs: Long, minTsMs: Long, maxTsMs: Long,
+    nFast: Long, counts: Map[String, Long])
+
+/** One live per-user bot readout — output of [[EventsStream.botDeltas]].
+  * The LAST update per user equals the batch twin's row over the same
+  * (finite, in-order) input. */
+final case class BotUpdate(user_id: Long, n_events: Long, n_types: Long,
+    n_fast: Long, span_sec: Long, type_entropy: Double, is_bot: Long)
+
 /** One buffered funnel-step event: event-time plus the 0-based index of
   * the step its type matches. */
 final case class FunnelBuf(tsMs: Long, step: Int)
@@ -951,6 +965,58 @@ object EventsStream {
           else Iterator(CupedDelta(userId,
             graft.ext.Export.mixBucketLong(userId, 2, salt), dn, dx, dy,
             x1 * x1 - x0 * x0, y1 * y1 - y0 * y0, x1 * y1 - x0 * y0))
+      }
+  }
+
+  /**
+   * Streaming per-user bot signals — the unbounded twin of
+   * [[graft.ext.Events.botScores]], the live face of an abuse monitor.
+   * State per user is four longs plus one counter per distinct event
+   * type (alphabet-bounded, never volume-bounded); each touched user
+   * re-emits their full readout per micro-batch (Update mode — a bot
+   * score never "finalizes", there is nothing for a watermark to close).
+   *
+   * Gap semantics: the batch twin differences the globally time-sorted
+   * timeline, so the twins match exactly on in-order input (each
+   * micro-batch is sorted by (ts, event_id) before folding — intra-batch
+   * disorder is free). A CROSS-batch late event cannot reconstruct the
+   * gap it would have split in batch (that would need the full history);
+   * it counts its distance to the frontier it arrived under —
+   * |frontier − ts| — and widens the span extremes, the honest
+   * approximation with O(1) state. BotStreamParitySpec pins both the
+   * exact in-order parity and this documented late-event divergence.
+   */
+  def botDeltas(events: Dataset[IdStreamEvent], fastGapMs: Long = 3600L * 1000L,
+      minEvents: Long = 30L, fastNum: Long = 1L, fastDen: Long = 4L): Dataset[BotUpdate] = {
+    import events.sparkSession.implicits._
+    require(fastGapMs > 0 && minEvents > 0 && fastNum > 0 && fastDen > 0)
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[IdStreamEvent], state: GroupState[BotUserState]) =>
+          var st = state.getOption.getOrElse(
+            BotUserState(Long.MinValue, Long.MaxValue, Long.MinValue, 0L, Map.empty))
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val t = e.ts.getTime
+            val fast = st.lastTsMs != Long.MinValue &&
+              math.abs(t - st.lastTsMs) < fastGapMs
+            st = BotUserState(
+              math.max(t, st.lastTsMs), math.min(t, st.minTsMs),
+              math.max(t, st.maxTsMs),
+              st.nFast + (if (fast) 1L else 0L),
+              st.counts.updated(e.event_type,
+                st.counts.getOrElse(e.event_type, 0L) + 1L))
+          }
+          state.update(st)
+          val n = st.counts.valuesIterator.sum
+          val entropy =
+            if (n == 0L) 0.0
+            else math.log(n.toDouble) -
+              st.counts.valuesIterator.map(c => c * math.log(c.toDouble)).sum / n
+          val isBot =
+            if (n >= minEvents && st.nFast * fastDen >= (n - 1L) * fastNum) 1L else 0L
+          Iterator.single(BotUpdate(userId, n, st.counts.size.toLong, st.nFast,
+            (st.maxTsMs - st.minTsMs) / 1000L, entropy, isBot))
       }
   }
 

@@ -93,7 +93,10 @@ class PlanAuditSpec extends SparkSpec {
       "ann_pareto",
       // 1-row (n1, n0, n_bins) totals crossed over the observed-bin
       // histogram
-      "quality_psi")
+      "quality_psi",
+      // 1-row (target-total, raw-total) scalar broadcast over the
+      // dim-row DSIR language-model counts
+      "corpus_dsir")
 
   test("no contract query plans a cartesian product or unsanctioned BNLJ") {
     assume(new File(sfDir).isDirectory, s"$sfDir missing")

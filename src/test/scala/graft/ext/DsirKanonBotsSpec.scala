@@ -1,0 +1,93 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Round-8 continuation operators: DSIR importance weights, the
+  * k-anonymity ROLLUP audit, and per-user bot signals. */
+class DsirKanonBotsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ---- dsirWeights -------------------------------------------------------
+
+  private lazy val dsirDocs = Seq(
+    // target slice: three docs of pure "aa"
+    (1L, "aa aa aa", "tgt"), (2L, "aa aa aa", "tgt"), (3L, "aa aa aa", "tgt"),
+    // raw slice: one target-like doc, one disjoint doc, one filler
+    (4L, "aa aa aa", "raw"), (5L, "bb bb bb", "raw"), (6L, "cc cc", "raw"))
+    .toDF("doc_id", "text", "source")
+
+  private lazy val dsir = TextAnalysis
+    .dsirWeights(dsirDocs, "doc_id", "text", "source", "tgt")
+    .collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+
+  test("dsirWeights: slice labels and token counts") {
+    assert(dsir.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(dsir(1L)._1 == 1L && dsir(4L)._1 == 0L)
+    assert(dsir(1L)._2 == 3L && dsir(6L)._2 == 2L)
+  }
+
+  test("dsirWeights: exact add-1 log ratios (and no bucket collision)") {
+    // distinct buckets for aa/bb/cc (verified below by pairwise-distinct
+    // weights): tt = 9 target tokens, tr = 8 raw tokens, dim = 128
+    val d = TextAnalysis.DsirDim // 128
+    def lw(ct: Long, cr: Long) =
+      math.log((ct + 1.0) / (9 + d)) - math.log((cr + 1.0) / (8 + d))
+    assertApprox(dsir(4L)._3, 3 * lw(9, 3), 1e-9)  // target-like raw doc
+    assertApprox(dsir(5L)._3, 3 * lw(0, 3), 1e-9)  // disjoint raw doc
+    assertApprox(dsir(6L)._3, 2 * lw(0, 2), 1e-9)
+    // identical text ⇒ identical weight regardless of slice
+    assertApprox(dsir(1L)._3, dsir(4L)._3, 1e-12)
+    // target-like raw content ranks strictly above the disjoint doc —
+    // the resampling order DSIR exists to produce
+    assert(dsir(4L)._3 > dsir(5L)._3)
+  }
+
+  // ---- kAnonymity --------------------------------------------------------
+
+  test("kAnonymity: 3-level rollup risk table") {
+    val rows =
+      Seq.fill(4)(("en", "a", 5L)) ++ Seq.fill(2)(("en", "a", 15L)) ++
+        Seq(("en", "b", 3L)) ++ Seq.fill(3)(("de", "a", 7L))
+    val out = TextAnalysis
+      .kAnonymity(rows.toDF("lang", "source", "n_chars"),
+        "lang", "source", "n_chars", width = 10L, k = 3L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    // level 0: (en,a,0)=4, (en,a,1)=2, (en,b,0)=1, (de,a,0)=3
+    assert(out(0L) == (4L, 2L, 3L, 1L, 0.3))
+    // level 1: (en,a)=6, (en,b)=1, (de,a)=3
+    assert(out(1L) == (3L, 1L, 1L, 1L, 0.1))
+    // level 2: en=7, de=3 — fully safe
+    assert(out(2L) == (2L, 0L, 0L, 3L, 0.0))
+  }
+
+  // ---- botScores ---------------------------------------------------------
+
+  test("botScores: planted bot fires, diverse slow user does not") {
+    val sec = Events.NsPerSec
+    val bot = (0 until 40).map(i =>
+      (i.toLong, 10L * i * sec, 1L, "x"))            // 10 s gaps, one type
+    val human = (0 until 10).map(i =>
+      (100L + i, 2L * Events.NsPerHour * i, 2L, if (i % 2 == 0) "x" else "y"))
+    val ev = (bot ++ human).toDF("event_id", "ts", "user_id", "event_type")
+    val out = Events.botScores(ev).collect().map(r =>
+      r.getLong(0) -> r).toMap
+
+    val b = out(1L)
+    assert(b.getLong(1) == 40L && b.getLong(2) == 1L)   // n_events, n_types
+    assert(b.getLong(3) == 39L)                          // n_fast
+    assert(b.getLong(4) == 390L)                         // span_sec
+    assertApprox(b.getDouble(5), 0.0, 1e-12)             // entropy of 1 type
+    assert(b.getLong(6) == 1L)                           // is_bot
+
+    val h = out(2L)
+    assert(h.getLong(1) == 10L && h.getLong(2) == 2L && h.getLong(3) == 0L)
+    assertApprox(h.getDouble(5), math.log(2.0), 1e-12)   // 5/5 split
+    assert(h.getLong(6) == 0L)
+  }
+}
