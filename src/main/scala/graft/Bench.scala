@@ -226,7 +226,9 @@ object Bench {
     // 3-level ROLLUP k-anonymity lattice in one shuffled aggregate
     "pii_kanon",
     // bot signals: one user-keyed exchange shared by window + 2 aggs
-    "events_bots")
+    "events_bots",
+    // degree moments + assortativity folded to one row off the edge set
+    "graph_degree_stats")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

@@ -213,6 +213,16 @@ object RelationalEntries {
         .select(col("a.p").as("src"), col("b.p").as("dst"))
       gate(Graph.triangleCounts(edges), "node")
     }),
+    // ext: 1-row structural profile of the same graph — degree moments
+    // + Newman assortativity; exact int64 sums, double-only final ratio
+    "graph_degree_stats" -> ((s, dir) => {
+      val li = Relational.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("src"), col("b.p").as("dst"))
+      gate(Graph.degreeStats(edges), "n_nodes")
+    }),
     // ext: fixed-round k-core peeling on the same co-ordered-parts
     // graph — per round two survivor semi-joins + one degree aggregate;
     // exact integer degrees, monotone shrink
@@ -929,6 +939,30 @@ object RelationalEntries {
         |      UNION ALL SELECT y FROM tri
         |      UNION ALL SELECT z FROM tri)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same exact int64 sums; the assortativity ratio is the identical
+    // left-to-right double op sequence on both engines
+    "graph_degree_stats" ->
+      s"""WITH e AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON b.l_orderkey = a.l_orderkey AND b.l_partkey > a.l_partkey),
+        |deg AS MATERIALIZED (
+        |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+        |  FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        |  GROUP BY 1),
+        |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |              CAST(MIN(deg) AS BIGINT) AS min_degree,
+        |              CAST(MAX(deg) AS BIGINT) AS max_degree,
+        |              ${r6sql("CAST(SUM(deg) AS BIGINT) / CAST(COUNT(*) AS DOUBLE)")} AS mean_degree
+        |       FROM deg),
+        |es AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+        |              CAST(SUM(d1.deg * d2.deg) AS BIGINT) AS sjk,
+        |              CAST(SUM(d1.deg + d2.deg) AS BIGINT) AS sj,
+        |              CAST(SUM(d1.deg * d1.deg + d2.deg * d2.deg) AS BIGINT) AS sj2
+        |       FROM e JOIN deg d1 ON d1.node = e.u JOIN deg d2 ON d2.node = e.v)
+        |SELECT n_nodes, m AS n_edges, min_degree, max_degree, mean_degree,
+        |       ${r6sql("CASE WHEN 2.0 * CAST(m AS DOUBLE) * CAST(sj2 AS DOUBLE) - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE) = 0.0 THEN 0.0 ELSE (4.0 * CAST(m AS DOUBLE) * CAST(sjk AS DOUBLE) - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE)) / (2.0 * CAST(m AS DOUBLE) * CAST(sj2 AS DOUBLE) - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE)) END")} AS assortativity
+        |FROM ns, es""".stripMargin,
     // identical wedge derivation through the capped shared neighbor;
     // the RA term is CAST(1 AS DOUBLE)/deg — division only, correctly
     // rounded IEEE in both engines — and the sum is r6-snapped at the

@@ -139,6 +139,66 @@ object Graph {
   }
 
   /**
+   * One-row structural profile of an undirected graph: node/edge counts,
+   * degree extremes and mean, and Newman's degree assortativity (Newman
+   * 2002) — the signed correlation between the degrees at the two ends
+   * of an edge. Positive r = hub-to-hub wiring, negative = hub-to-leaf;
+   * the first number to read before trusting a clustering or dedup pass
+   * over the graph (strongly disassortative co-occurrence graphs are the
+   * hub-skew regime the capped/salted kernels exist for).
+   *
+   * The Pearson r over the symmetrized edge-endpoint multiset reduces to
+   * exact int64 sums: with M edges, Sjk = Σ du·dv, Sj = Σ (du+dv),
+   * Sj2 = Σ (du²+dv²), r = (4M·Sjk − Sj²) / (2M·Sj2 − Sj²). The SUMS
+   * stay exact int64 (safe while Σ dmax² < 2^63); the final ratio is
+   * computed in DOUBLE — 4M·Sjk alone can pass 2^63 on a skewed
+   * million-edge graph — as a fixed left-to-right IEEE op sequence, so
+   * any engine produces bit-identical values from the identical exact
+   * sums. Degenerate regular graphs (zero variance) return r = 0 rather
+   * than NaN.
+   *
+   * Scale shape: one distinct edge collapse, one node-sized degree
+   * aggregate, two degree joins back onto edges, then everything folds
+   * to a single row — no inequality join, no driver action beyond the
+   * 1-row result.
+   */
+  def degreeStats(edges: DataFrame): DataFrame = {
+    val und = edges.select(
+        least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val nodeStats = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      min("deg").as("min_degree"),
+      max("deg").as("max_degree"),
+      (sum("deg").cast("double") / count(lit(1))).as("mean_degree"))
+    val edgeSums = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .agg(
+        count(lit(1)).as("n_edges"),
+        sum(col("du") * col("dv")).as("sjk"),
+        sum(col("du") + col("dv")).as("sj"),
+        sum(col("du") * col("du") + col("dv") * col("dv")).as("sj2"))
+      .select(col("n_edges"), {
+        val m = col("n_edges").cast("double")
+        val sjk = col("sjk").cast("double")
+        val sj = col("sj").cast("double")
+        val sj2 = col("sj2").cast("double")
+        val num = lit(4.0) * m * sjk - sj * sj
+        val den = lit(2.0) * m * sj2 - sj * sj
+        when(den === 0.0, 0.0).otherwise(num / den).as("assortativity")
+      })
+    nodeStats.crossJoin(broadcast(edgeSums))
+      .select(col("n_nodes"), col("n_edges"), col("min_degree"),
+        col("max_degree"), col("mean_degree"), col("assortativity"))
+  }
+
+  /**
    * Fixed-round k-core peeling (Seidman 1983 coreness, the Batagelj–
    * Zaveršnik cascade run a bounded number of rounds): start from all
    * nodes; each round recomputes every node's degree within the subgraph

@@ -96,7 +96,9 @@ class PlanAuditSpec extends SparkSpec {
       "quality_psi",
       // 1-row (target-total, raw-total) scalar broadcast over the
       // dim-row DSIR language-model counts
-      "corpus_dsir")
+      "corpus_dsir",
+      // two 1-row summary frames crossed into the single profile row
+      "graph_degree_stats")
 
   test("no contract query plans a cartesian product or unsanctioned BNLJ") {
     assume(new File(sfDir).isDirectory, s"$sfDir missing")

@@ -292,4 +292,23 @@ class GraphSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getAs[Double]("hub")).toMap
     assertApprox(d(2L), 8.0 / 13.0, 1e-12)
   }
+
+  test("degreeStats: star is perfectly disassortative, cycle degenerates to 0") {
+    // K_{1,3}: hub degree 3, leaves 1 — Newman r = −1 by hand:
+    // M=3, Sjk=9, Sj=12, Sj2=30 → (4·3·9−144)/(2·3·30−144) = −36/36
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val s1 = Graph.degreeStats(star).collect().head
+    assert(s1.getLong(0) == 4L && s1.getLong(1) == 3L)
+    assert(s1.getLong(2) == 1L && s1.getLong(3) == 3L)
+    assertApprox(s1.getDouble(4), 1.5, 1e-12)
+    assertApprox(s1.getDouble(5), -1.0, 1e-12)
+
+    // C4 is 2-regular: zero degree variance → the guard returns 0, not NaN;
+    // duplicate and reversed edges collapse to the same undirected set
+    val cycle = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 1L), (4L, 1L))
+      .toDF("src", "dst")
+    val s2 = Graph.degreeStats(cycle).collect().head
+    assert(s2.getLong(1) == 4L)
+    assertApprox(s2.getDouble(5), 0.0, 1e-12)
+  }
 }

@@ -77,4 +77,37 @@ class BotStreamParitySpec extends SparkSpec {
     assert(rows.contains((2L, 0L, 7200L))) // after batch 1: no fast gap
     assert(rows.contains((3L, 1L, 7200L))) // late event: fast vs frontier
   }
+
+  test("botDeltas resumes from checkpoint: frontier and counters survive the restart") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bot_ckpt").toFile
+    val got = scala.collection.mutable.ArrayBuffer.empty[BotUpdate]
+    val in = MemoryStream[IdStreamEvent]
+    def start() = EventsStream.botDeltas(in.toDS())
+      .writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[BotUpdate], _: Long) =>
+        got.synchronized { got ++= df.collect() }; ()
+      }
+      .start()
+
+    val (a, b) = events.splitAt(20) // restart lands mid-user-1 history
+    val q1 = start()
+    try { in.addData(a); q1.processAllAvailable() } finally q1.stop()
+    val q2 = start()
+    try { in.addData(b); q2.processAllAvailable() } finally q2.stop()
+
+    val batch = Events.botScores(events.map(e =>
+        (e.event_id, e.ts.getTime * 1000000L, e.user_id, e.event_type))
+        .toDF("event_id", "ts", "user_id", "event_type"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(6))).toMap
+    val last = got.synchronized { got.toSeq }
+      .groupBy(_.user_id).map { case (u, rs) => u -> rs.maxBy(_.n_events) }
+    assert(last.keySet == Set(1L, 2L))
+    for ((u, r) <- last)
+      assert((r.n_events, r.n_types, r.n_fast, r.span_sec, r.is_bot) == batch(u),
+        s"user $u diverged across the restart")
+  }
 }
