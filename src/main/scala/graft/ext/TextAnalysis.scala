@@ -621,6 +621,69 @@ object TextAnalysis {
   }
 
   /**
+   * Fit the DSIR importance model as a dense `dim`-length log-ratio
+   * table — the "train offline" half of the deploy story ([[dsirScore]]
+   * is the "score online" half). Buckets unseen in EITHER slice get the
+   * add-1 smoothed default `ln((tr+dim)/(tt+dim))` — exactly what the
+   * formula assigns to zero counts — so a NEW document (a live crawl
+   * stream) whose token hashes into a bucket the training corpus never
+   * touched still scores, which the join-based [[dsirWeights]] never
+   * has to handle (every training token's bucket is in its own counts).
+   *
+   * A `dim`-row collect is the sanctioned model-sized eager fit (the
+   * k-means / PQ-codebook convention): the table is 128 doubles
+   * regardless of corpus size.
+   */
+  def dsirFit(docs: DataFrame, idCol: String, textCol: String,
+      srcCol: String, target: String, dim: Int = DsirDim): Array[Double] = {
+    require(dim > 0)
+    val bucket = expr(s"CAST((${TextHash.avalancheSql(TextHash.tokenValue("token"), DsirSalt)}) % $dim AS BIGINT)")
+    val counts = docs
+      .select(when(col(srcCol) === target, 1L).otherwise(0L).as("is_target"),
+        explode(split(col(textCol), WhitespacePattern)).as("token"))
+      .where(col("token") =!= "")
+      .select(col("is_target"), bucket.as("j"))
+      .groupBy("j").agg(
+        sum(col("is_target")).as("ct"),
+        sum(lit(1L) - col("is_target")).as("cr"))
+      .collect()
+      .map(r => r.getLong(0).toInt -> (r.getLong(1), r.getLong(2))).toMap
+    val tt = counts.valuesIterator.map(_._1).sum
+    val tr = counts.valuesIterator.map(_._2).sum
+    Array.tabulate(dim) { j =>
+      val (ct, cr) = counts.getOrElse(j, (0L, 0L))
+      math.log((ct + 1.0) / (tt + dim)) - math.log((cr + 1.0) / (tr + dim))
+    }
+  }
+
+  /**
+   * Score documents against a fitted DSIR table ([[dsirFit]]) — the
+   * "score online" half: the table folds into the plan as a `dim`-element
+   * array LITERAL and the score is a row-local HOF fold over the token
+   * array. ZERO exchanges, zero state, no broadcast even — a pure
+   * codegen'd map stage that runs unchanged on an unbounded stream
+   * (DsirKanonBotsSpec pins stream parity), which is how a live crawl
+   * filter actually deploys DSIR. Doubles round-trip through their
+   * shortest decimal string (exact by Double.toString's contract), so
+   * the literal table is bit-identical to the fitted one.
+   */
+  def dsirScore(docs: DataFrame, idCol: String, textCol: String,
+      lw: Array[Double], dim: Int = DsirDim): DataFrame = {
+    require(lw.length == dim, s"table length ${lw.length} != dim $dim")
+    val arr = lw.map(v => s"CAST('$v' AS DOUBLE)").mkString("array(", ", ", ")")
+    val pat = WhitespacePattern.replace("\\", "\\\\")
+    val bucketX =
+      s"CAST((${TextHash.avalancheSql(TextHash.tokenValue("x"), DsirSalt)}) % $dim AS INT) + 1"
+    docs
+      .select(col(idCol).as("doc_id"),
+        expr(s"filter(split($textCol, '$pat'), x -> x <> '')").as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        expr(s"aggregate(toks, CAST(0.0 AS DOUBLE), (a, x) -> a + element_at($arr, $bucketX))")
+          .as("log_weight"))
+  }
+
+  /**
    * The DSIR selection step: keep the `m` RAW documents whose importance
    * weight ranks highest ([[dsirWeights]] descending, doc_id tie-break) —
    * the resampled slice a target-steered training mix actually ingests.

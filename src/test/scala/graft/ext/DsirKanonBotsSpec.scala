@@ -46,6 +46,44 @@ class DsirKanonBotsSpec extends SparkSpec {
     assert(dsir(4L)._3 > dsir(5L)._3)
   }
 
+  test("dsirFit/dsirScore: literal-table scoring matches the join path; unseen buckets smooth") {
+    val lw = TextAnalysis.dsirFit(dsirDocs, "doc_id", "text", "source", "tgt")
+    val d = TextAnalysis.DsirDim
+    // at most 3 buckets are occupied (aa, bb, cc); every other entry is
+    // the add-1 default ln((tr+dim)/(tt+dim)) = ln(136/137) — the value a
+    // never-seen token scores on a live stream
+    val default = math.log((8.0 + d) / (9.0 + d))
+    assert(lw.count(v => math.abs(v - default) > 1e-12) <= 3)
+    assert(lw.count(v => math.abs(v - default) <= 1e-12) >= d - 3)
+
+    val scored = TextAnalysis.dsirScore(dsirDocs, "doc_id", "text", lw)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    for ((id, (_, nTok, w)) <- dsir) { // join path vs row-local fold
+      assert(scored(id)._1 == nTok)
+      assertApprox(scored(id)._2, w, 1e-9)
+    }
+  }
+
+  test("dsirScore: the same plan runs unchanged on an unbounded stream") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val lw = TextAnalysis.dsirFit(dsirDocs, "doc_id", "text", "source", "tgt")
+    val batch = TextAnalysis.dsirScore(dsirDocs, "doc_id", "text", lw)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = TextAnalysis.dsirScore(
+        in.toDS().toDF("doc_id", "text"), "doc_id", "text", lw)
+      .writeStream.format("memory").queryName("dsir_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(dsirDocs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("dsir_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch) // bit-identical: same row-local fold
+  }
+
   // ---- kAnonymity --------------------------------------------------------
 
   test("kAnonymity: 3-level rollup risk table") {
