@@ -472,12 +472,12 @@ object TextEntries {
     // scoring join, integer token counts
     "corpus_dsir" -> ((s, dir) =>
       gate(TextAnalysis.dsirWeights(docs(s, dir), "doc_id", "text",
-        "source", DsirTarget), "doc_id")),
+        "source", DsirTarget, pin = _.localCheckpoint()), "doc_id")),
     // ext: the DSIR selection step — snapped-weight TakeOrdered top-m,
     // doc_id tie-break; the resampled raw slice itself
     "corpus_dsir_sample" -> ((s, dir) =>
       gate(TextAnalysis.dsirSample(docs(s, dir), "doc_id", "text",
-        "source", DsirTarget, DsirSampleM), "rank")),
+        "source", DsirTarget, DsirSampleM, pin = _.localCheckpoint()), "rank")),
     // ext: k-anonymity release audit over the (lang, source, len-bucket)
     // quasi-identifiers — one ROLLUP pass over a 3-level generalization
     // lattice, int64 risk counts, one share division

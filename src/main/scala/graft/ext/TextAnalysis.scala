@@ -590,20 +590,25 @@ object TextAnalysis {
    * the scoring join is a `dim`-row broadcast back onto the doc×bucket
    * frame. No data-sized structure ever crosses the driver, and the
    * feature space stays fixed at any corpus size (same argument as
-   * [[featureHash]]).
+   * [[featureHash]]). The tf frame feeds the LM counts AND the scoring
+   * join; without `pin`, Catalyst's per-branch column pruning defeats
+   * exchange reuse and the corpus is tokenized three times — pass
+   * `pin = _.localCheckpoint()` (the kCoreAlive convention) to
+   * materialize the token-aggregate-sized frame once.
    */
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
-      srcCol: String, target: String, dim: Int = DsirDim): DataFrame = {
+      srcCol: String, target: String, dim: Int = DsirDim,
+      pin: DataFrame => DataFrame = identity): DataFrame = {
     require(dim > 0)
     val bucket = expr(s"CAST((${TextHash.avalancheSql(TextHash.tokenValue("token"), DsirSalt)}) % $dim AS BIGINT)")
-    val dtf = docs
+    val dtf = pin(docs
       .select(col(idCol).as("doc_id"),
         when(col(srcCol) === target, 1L).otherwise(0L).as("is_target"),
         explode(split(col(textCol), WhitespacePattern)).as("token"))
       .where(col("token") =!= "")
       .select(col("doc_id"), col("is_target"), bucket.as("j"))
       .groupBy("doc_id", "is_target", "j")
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf")))
     val counts = dtf.groupBy("j").agg(
       sum(when(col("is_target") === 1L, col("tf")).otherwise(0L)).as("ct"),
       sum(when(col("is_target") === 0L, col("tf")).otherwise(0L)).as("cr"))
@@ -695,9 +700,10 @@ object TextAnalysis {
    * the m-row result (model-sized by construction).
    */
   def dsirSample(docs: DataFrame, idCol: String, textCol: String,
-      srcCol: String, target: String, m: Int, dim: Int = DsirDim): DataFrame = {
+      srcCol: String, target: String, m: Int, dim: Int = DsirDim,
+      pin: DataFrame => DataFrame = identity): DataFrame = {
     require(m > 0)
-    val raw = dsirWeights(docs, idCol, textCol, srcCol, target, dim)
+    val raw = dsirWeights(docs, idCol, textCol, srcCol, target, dim, pin)
       .where(col("is_target") === 0L)
       .select(col("doc_id"), snapCol(col("log_weight")).as("log_weight"))
     val order = Seq(col("log_weight").desc, col("doc_id").asc)
