@@ -228,7 +228,13 @@ object Bench {
     // bot signals: one user-keyed exchange shared by window + 2 aggs
     "events_bots",
     // degree moments + assortativity folded to one row off the edge set
-    "graph_degree_stats")
+    "graph_degree_stats",
+    // per-lang BPE fertility: (lang, word) aggregate + vocab-sized join
+    "vocab_fertility",
+    // k-anon enforcement: 3 class counts joined back, row-local pick
+    "pii_kanon_scrub",
+    // weekly (dow, hod) heatmap in pure epoch int64 arithmetic
+    "events_seasonality")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

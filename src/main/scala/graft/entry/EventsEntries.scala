@@ -215,7 +215,11 @@ object EventsEntries {
     // and an int64-exact flag; ONE exchange (window + both aggregates
     // share the user_id clustering)
     "events_bots" -> ((s, dir) =>
-      gate(Events.botScores(Events.read(s, dir)), "user_id"))
+      gate(Events.botScores(Events.read(s, dir)), "user_id")),
+    // ext: weekly calendar heatmap — (dow, hod) volume/reach cells in
+    // pure int64 epoch arithmetic; share via the ≤168-row window
+    "events_seasonality" -> ((s, dir) =>
+      gate(Events.seasonality(Events.read(s, dir)), "dow", "hod"))
   )
 
   /** Frame width (chars) and sampling stride for the frames contract. */
@@ -804,6 +808,20 @@ object EventsEntries {
         |       ${r6sql("ln(CAST(SUM(c) AS DOUBLE)) - SUM(c * ln(CAST(c AS DOUBLE))) / SUM(c)")} AS type_entropy,
         |       CAST(CASE WHEN SUM(c) >= 30 AND SUM(nf) * 4 >= SUM(c) - 1
         |                 THEN 1 ELSE 0 END AS BIGINT) AS is_bot
-        |FROM pt GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM pt GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // same epoch div/% cell arithmetic; share over the cell-table total
+    "events_seasonality" ->
+      s"""WITH ev AS (SELECT epoch_ns(ts) AS tns, user_id FROM events),
+        |cell AS (SELECT ((tns // ${Events.NsPerDay}) + 3) % 7 AS dow,
+        |                (tns // ${Events.NsPerHour}) % 24 AS hod,
+        |                user_id
+        |         FROM ev),
+        |agg AS (SELECT dow, hod, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |        FROM cell GROUP BY 1, 2),
+        |tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS t FROM agg)
+        |SELECT dow, hod, n_events, n_users,
+        |       ${r6sql("n_events / CAST(t AS DOUBLE)")} AS share
+        |FROM agg, tot ORDER BY dow, hod""".stripMargin
   )
 }

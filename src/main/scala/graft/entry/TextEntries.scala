@@ -379,6 +379,12 @@ object TextEntries {
     "vocab_bpe_encode" -> ((s, dir) =>
       gate(TextAnalysis.bpeEncodeStats(docs(s, dir), "doc_id", "text",
         BpeRounds), "n_types")),
+    // ext: per-language fertility under the trained BPE — the
+    // cross-language tokenizer-fairness readout; one (lang, word)
+    // aggregate + a vocab-sized join onto |symbols| per word
+    "vocab_fertility" -> ((s, dir) =>
+      gate(TextAnalysis.bpeFertilityByLang(docs(s, dir), "doc_id", "text",
+        "lang", BpeRounds), "lang")),
     // ext: distilled quality classifier — 5 full-batch GD steps of
     // logistic regression labeled by the rule gate; emitted weights +
     // log-loss are continuous (no threshold counts), snap-safe
@@ -483,7 +489,12 @@ object TextEntries {
     // lattice, int64 risk counts, one share division
     "pii_kanon" -> ((s, dir) =>
       gate(TextAnalysis.kAnonymity(docs(s, dir), "lang", "source",
-        "n_chars", KanonWidth, KanonK), "level"))
+        "n_chars", KanonWidth, KanonK), "level")),
+    // ext: the enforcement step — per row, the cheapest generalization
+    // level that clears k; '*' / -1 suppression sentinels, never NULL
+    "pii_kanon_scrub" -> ((s, dir) =>
+      gate(TextAnalysis.kAnonymize(docs(s, dir), "doc_id", "lang", "source",
+        "n_chars", KanonWidth, KanonK), "doc_id"))
   )
 
   /** Range-shard contract: 8 shards over the HistWidth-bucket sketch. */
@@ -1754,6 +1765,23 @@ object TextEntries {
         |  ${r6sql("CAST(total_syms AS DOUBLE) / CAST(n_tokens AS DOUBLE)")} AS syms_per_token,
         |  ${r6sql("CAST(total_chars AS DOUBLE) / CAST(total_syms AS DOUBLE)")} AS chars_per_sym
         |FROM ws CROSS JOIN ss""".stripMargin),
+    // same symbol table; the per-lang word counts come from the SAME tok
+    // CTE the word-type table w is built from
+    "vocab_fertility" ->
+      (bpeChainSql(rewriteLast = true) + s""",
+        |ns AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_syms
+        |       FROM s$BpeRounds GROUP BY 1),
+        |lw AS (SELECT d.lang, tok.token AS word, CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM tok JOIN documents d USING (doc_id) GROUP BY 1, 2)
+        |SELECT lang,
+        |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(*) AS BIGINT) AS n_types,
+        |  CAST(SUM(c * n_syms) AS BIGINT) AS n_syms_total,
+        |  CAST(SUM(c * length(word)) AS BIGINT) AS n_chars,
+        |  ${r6sql("CAST(SUM(c * n_syms) AS BIGINT) / CAST(SUM(c) AS DOUBLE)")} AS fertility,
+        |  ${r6sql("CAST(SUM(c * length(word)) AS BIGINT) / CAST(SUM(c * n_syms) AS DOUBLE)")} AS chars_per_sym
+        |FROM lw JOIN ns USING (word)
+        |GROUP BY 1 ORDER BY lang""".stripMargin),
     // same histogram → cumulative-crossing boundaries → count-of-
     // boundaries-at-or-below shard rule; duplicate boundaries collapse
     // on both sides (DISTINCT here, .distinct in the Scala fit)
@@ -1833,7 +1861,32 @@ object TextEntries {
         |       CAST(MIN(n) AS BIGINT) AS min_group,
         |       ${r6sql(s"SUM(CASE WHEN n < $KanonK THEN n ELSE 0 END) / CAST(SUM(n) AS DOUBLE)")} AS risk_share
         |FROM cells WHERE level < 3
-        |GROUP BY 1 ORDER BY level""".stripMargin
+        |GROUP BY 1 ORDER BY level""".stripMargin,
+    // same three class counts, same monotone level pick, same sentinels
+    "pii_kanon_scrub" ->
+      s"""WITH base AS (SELECT doc_id, lang AS qi1, source AS qi2,
+        |                      CAST(n_chars AS BIGINT) // $KanonWidth AS qi3
+        |               FROM documents),
+        |c0 AS (SELECT qi1, qi2, qi3, CAST(COUNT(*) AS BIGINT) AS n0
+        |       FROM base GROUP BY 1, 2, 3),
+        |c1 AS (SELECT qi1, qi2, CAST(COUNT(*) AS BIGINT) AS n1
+        |       FROM base GROUP BY 1, 2),
+        |c2 AS (SELECT qi1, CAST(COUNT(*) AS BIGINT) AS n2
+        |       FROM base GROUP BY 1),
+        |lv AS (SELECT b.doc_id, b.qi1, b.qi2, b.qi3,
+        |              CAST(CASE WHEN n0 >= $KanonK THEN 0
+        |                        WHEN n1 >= $KanonK THEN 1
+        |                        WHEN n2 >= $KanonK THEN 2
+        |                        ELSE 3 END AS BIGINT) AS level
+        |       FROM base b
+        |       JOIN c0 USING (qi1, qi2, qi3)
+        |       JOIN c1 USING (qi1, qi2)
+        |       JOIN c2 USING (qi1))
+        |SELECT doc_id, level,
+        |       CASE WHEN level <= 2 THEN qi1 ELSE '*' END AS rel_lang,
+        |       CASE WHEN level <= 1 THEN qi2 ELSE '*' END AS rel_source,
+        |       CASE WHEN level = 0 THEN qi3 ELSE -1 END AS rel_bucket
+        |FROM lv ORDER BY doc_id""".stripMargin
   )
 
   /** The GD-distillation oracle: the shared weight-threading chain with

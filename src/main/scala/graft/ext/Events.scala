@@ -448,6 +448,32 @@ object Events {
   }
 
   /**
+   * Calendar seasonality profile: event volume and distinct-user reach
+   * per (day-of-week, hour-of-day) cell — the weekly heatmap an ops /
+   * capacity review reads, and the denominator a seasonality-aware
+   * anomaly monitor normalizes by (hourlyAnomaly z-scores against the
+   * type's GLOBAL distribution; this is the calendar-conditional one).
+   * `dow` is 0 = Monday (epoch day 0, 1970-01-01, was a Thursday — the
+   * `+ 3` aligns it), pure int64 `div`/`%` arithmetic, no timezone or
+   * calendar library on either engine. `share` divides by the one-row
+   * total via a window over the ≤168-row aggregate — cell-bounded, the
+   * quantileNormalize argument, never the event stream.
+   */
+  def seasonality(events: DataFrame): DataFrame = {
+    val all = Window.partitionBy()
+    events
+      .select(
+        expr(s"((ts div $NsPerDay) + 3) % 7").as("dow"),
+        expr(s"(ts div $NsPerHour) % 24").as("hod"),
+        col("user_id"))
+      .groupBy("dow", "hod")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .withColumn("share",
+        col("n_events").cast("double") / sum("n_events").over(all))
+  }
+
+  /**
    * Gap-based sessionization: a new session starts when a user's gap since
    * their previous event exceeds `gapNs`. Session ids number 1..n per user
    * in time order. One row per session with its span and value total.

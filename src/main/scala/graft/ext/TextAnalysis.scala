@@ -751,6 +751,44 @@ object TextAnalysis {
         (risky.cast("double") / sum(col("n")).cast("double")).as("risk_share"))
   }
 
+  /**
+   * The enforcement step to [[kAnonymity]]'s audit: release each row's
+   * quasi-identifiers at the CHEAPEST generalization level whose
+   * equivalence class reaches k — full (lang, source, bucket) when the
+   * exact class is big enough, the bucket generalized to −1 when only
+   * (lang, source) clears k, source also masked to `"*"` when only the
+   * language class clears, and the row fully suppressed (level 3)
+   * when even that fails. Classic global-recoding k-anonymization with
+   * the standard `*` / −1 suppression sentinels (never NULL — the
+   * release stays join-safe and engine-hash-stable). Per-row minimality
+   * holds because class counts are monotone up the lattice: a row's
+   * level-1 class contains its level-0 class.
+   *
+   * Scale: three class-count aggregates (bounded by QI cardinality,
+   * map-side partials) joined back on their natural keys — the coarser
+   * two broadcast by size — then a pure row-local level pick. No
+   * row-level state, no window.
+   */
+  def kAnonymize(docs: DataFrame, idCol: String, qi1: String, qi2: String,
+      numCol: String, width: Long, k: Long): DataFrame = {
+    require(width > 0 && k > 0)
+    val base = docs.select(col(idCol).as("doc_id"), col(qi1).as("qi1"),
+      col(qi2).as("qi2"), expr(s"CAST($numCol AS BIGINT) div $width").as("qi3"))
+    val c0 = base.groupBy("qi1", "qi2", "qi3").agg(count(lit(1)).as("n0"))
+    val c1 = base.groupBy("qi1", "qi2").agg(count(lit(1)).as("n1"))
+    val c2 = base.groupBy("qi1").agg(count(lit(1)).as("n2"))
+    val level = when(col("n0") >= k, 0L).when(col("n1") >= k, 1L)
+      .when(col("n2") >= k, 2L).otherwise(3L)
+    base
+      .join(c0, Seq("qi1", "qi2", "qi3"))
+      .join(broadcast(c1), Seq("qi1", "qi2"))
+      .join(broadcast(c2), Seq("qi1"))
+      .select(col("doc_id"), level.as("level"),
+        when(level <= 2L, col("qi1")).otherwise(lit("*")).as("rel_lang"),
+        when(level <= 1L, col("qi2")).otherwise(lit("*")).as("rel_source"),
+        when(level === 0L, col("qi3")).otherwise(lit(-1L)).as("rel_bucket"))
+  }
+
   /** HyperLogLog geometry: 2^6 = 64 registers; the 31-bit mix state
     * leaves 25 bits of geometric evidence per token. Constants are part
     * of the operator contract (the oracle mirrors them). */
@@ -2014,6 +2052,44 @@ object TextAnalysis {
         (col("total_syms").cast("double") / col("n_tokens").cast("double"))
           .as("syms_per_token"),
         (col("total_chars").cast("double") / col("total_syms").cast("double"))
+          .as("chars_per_sym"))
+  }
+
+  /**
+   * Per-language tokenizer fertility under the trained BPE: for each
+   * language, tokens (whitespace words), word types, emitted BPE
+   * symbols, characters — and the two health ratios a tokenizer review
+   * reads: FERTILITY (symbols per word; a language systematically above
+   * the corpus mean is under-served by the learned merges and pays more
+   * sequence length per sentence) and chars-per-symbol (compression).
+   * The cross-language fairness readout (cf. the fertility analyses
+   * around multilingual tokenizers) for [[bpeEncodeStats]]' corpus-wide
+   * numbers.
+   *
+   * Scale: the fit collapses the corpus to WORD TYPES once (the
+   * [[bpeFit]] argument); fertility adds one (lang, word) count — the
+   * only corpus-sized aggregate — and a vocabulary-sized equi-join onto
+   * the |symbols|-per-word table, folding to one row per language.
+   */
+  def bpeFertilityByLang(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, rounds: Int): DataFrame = {
+    val (_, syms) = bpeFit(docs, textCol, rounds, rewriteLast = true)
+    val nsyms = syms.select(col("word"), size(col("s")).cast("long").as("n_syms"))
+    val symTotal = sum(col("c") * col("n_syms"))
+    docs
+      .select(col(langCol).as("lang"),
+        explode(split(col(textCol), WhitespacePattern)).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("lang", "word").agg(count(lit(1)).as("c"))
+      .join(nsyms, "word")
+      .groupBy("lang")
+      .agg(
+        sum("c").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        symTotal.as("n_syms_total"),
+        sum(col("c") * length(col("word"))).as("n_chars"),
+        (symTotal.cast("double") / sum("c")).as("fertility"),
+        (sum(col("c") * length(col("word"))).cast("double") / symTotal)
           .as("chars_per_sym"))
   }
 

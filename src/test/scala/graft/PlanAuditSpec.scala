@@ -95,8 +95,9 @@ class PlanAuditSpec extends SparkSpec {
       // histogram
       "quality_psi",
       // 1-row (target-total, raw-total) scalar broadcast over the
-      // dim-row DSIR language-model counts
-      "corpus_dsir",
+      // dim-row DSIR language-model counts (the selection step reuses
+      // the same weights plan)
+      "corpus_dsir", "corpus_dsir_sample",
       // two 1-row summary frames crossed into the single profile row
       "graph_degree_stats")
 

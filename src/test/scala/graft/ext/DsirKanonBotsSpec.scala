@@ -104,6 +104,66 @@ class DsirKanonBotsSpec extends SparkSpec {
     assert(out(2L) == (2L, 0L, 0L, 3L, 0.0))
   }
 
+  test("kAnonymize: each row releases at the cheapest level that clears k") {
+    val rows =
+      Seq.tabulate(4)(i => (10L + i, "en", "a", 5L)) ++
+        Seq.tabulate(2)(i => (20L + i, "en", "a", 15L)) ++
+        Seq((30L, "en", "b", 3L)) ++
+        Seq.tabulate(3)(i => (40L + i, "de", "a", 7L)) ++
+        Seq((50L, "zz", "q", 1L))
+    val out = TextAnalysis.kAnonymize(
+        rows.toDF("doc_id", "lang", "source", "n_chars"),
+        "doc_id", "lang", "source", "n_chars", width = 10L, k = 3L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getString(3), r.getLong(4)))).toMap
+    assert(out(10L) == ((0L, "en", "a", 0L)))   // class of 4: full release
+    assert(out(20L) == ((1L, "en", "a", -1L)))  // bucket generalized
+    assert(out(30L) == ((2L, "en", "*", -1L)))  // only lang class clears
+    assert(out(40L) == ((0L, "de", "a", 0L)))
+    assert(out(50L) == ((3L, "*", "*", -1L)))   // fully suppressed
+  }
+
+  // ---- seasonality -------------------------------------------------------
+
+  test("seasonality: epoch arithmetic lands on the right calendar cells") {
+    val sec = Events.NsPerSec
+    // epoch day 0 (1970-01-01) was a THURSDAY (dow 3 with 0 = Monday);
+    // epoch day 4 (1970-01-05) a Monday
+    val ev = Seq(
+      (1L, 0L * sec, 1L, "x"),                                  // Thu 00
+      (2L, 3600L * sec, 1L, "x"),                               // Thu 01
+      (3L, 3600L * sec + 1L, 2L, "x"),                          // Thu 01
+      (4L, 4L * 86400L * sec + 5L * 3600L * sec, 2L, "x"))      // Mon 05
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val cells = Events.seasonality(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(cells((3L, 0L)) == ((1L, 1L, 0.25)))
+    assert(cells((3L, 1L)) == ((2L, 2L, 0.5)))
+    assert(cells((0L, 5L)) == ((1L, 1L, 0.25)))
+    assertApprox(cells.values.map(_._3).sum, 1.0, 1e-12)
+  }
+
+  // ---- bpeFertilityByLang ------------------------------------------------
+
+  test("bpeFertilityByLang: per-lang totals tie out to the corpus encode stats") {
+    val docs = Seq(
+      (1L, "low lower lowest", "en"), (2L, "low low newer", "en"),
+      (3L, "neu neuer neuestes", "de"))
+      .toDF("doc_id", "text", "lang")
+    val byLang = TextAnalysis.bpeFertilityByLang(docs, "doc_id", "text", "lang", 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    val corpus = TextAnalysis.bpeEncodeStats(docs, "doc_id", "text", 3)
+      .collect().head
+    // Σ per-lang tokens / emitted symbols / chars == the corpus totals
+    assert(byLang.values.map(_._1).sum == corpus.getLong(1))
+    assert(byLang.values.map(_._2).sum == corpus.getLong(3))
+    assert(byLang.values.map(_._3).sum == corpus.getLong(4))
+    // fertility is symbols-per-word: at least 1, at most the word length
+    for ((_, (_, _, _, f)) <- byLang) assert(f >= 1.0 && f <= 8.0)
+  }
+
   // ---- botScores ---------------------------------------------------------
 
   test("botScores: planted bot fires, diverse slow user does not") {
