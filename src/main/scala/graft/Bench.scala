@@ -234,7 +234,9 @@ object Bench {
     // k-anon enforcement: 3 class counts joined back, row-local pick
     "pii_kanon_scrub",
     // weekly (dow, hod) heatmap in pure epoch int64 arithmetic
-    "events_seasonality")
+    "events_seasonality",
+    // IVF list-occupancy audit off the shared Lloyd assignment
+    "ann_ivf_balance")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

@@ -82,6 +82,12 @@ object AnnEntries {
     "embed_silhouette" -> ((s, dir) =>
       gate(Embeddings.silhouette(embeddings(s, dir), "vec_id", "embedding",
         k = KMeansK, iters = KMeansIters), "cluster")),
+    // ext: IVF inverted-list occupancy — per-list share + load factor
+    // off the same Lloyd assignment; the skew table that prices probe
+    // cost before a corpus commits to an IVF layout
+    "ann_ivf_balance" -> ((s, dir) =>
+      gate(Embeddings.ivfListBalance(embeddings(s, dir), "vec_id",
+        "embedding", k = KMeansK, iters = KMeansIters), "cluster")),
     // ext: the nprobe recall/cost pareto curve — exact recall@5 vs
     // candidate volume per probe budget, ONE scored table fanned out
     // over nprobe (a candidate lives in exactly one list, so each pair
@@ -329,6 +335,31 @@ object AnnEntries {
     * inverted lists (cb), nprobe-nearest query probes (qp), cosine rank
     * within probed lists. Shared by ann_ivf_kmeans AND ann_ivf_persist:
     * the persisted index must reproduce the in-plan search exactly. */
+  /** The 2 unrolled Lloyd rounds up to the UNFILTERED final argmin table
+    * `a2` (vec_id, cid, d2, rn) — shared by embed_kmeans (rn = 1 rows)
+    * and ann_ivf_balance (per-list occupancy of the rn = 1 assignment). */
+  private lazy val kmeansAssignChainSql: String =
+    s"""WITH u AS (SELECT vec_id, i, CAST(embedding[i+1] AS DOUBLE) AS x
+      |           FROM embeddings, UNNEST(range(len(embedding))) AS r(i)),
+      |seed AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid
+      |         FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $KMeansK)),
+      |c0 AS (SELECT s.cid, u.i, u.x AS c FROM u JOIN seed s ON u.vec_id = s.vec_id),
+      |d1 AS (SELECT u.vec_id, c.cid,
+      |              ${r6sql("SUM((u.x - c.c) * (u.x - c.c))")} AS d2
+      |       FROM u JOIN c0 c ON u.i = c.i GROUP BY 1, 2),
+      |a1 AS (SELECT vec_id, cid FROM
+      |         (SELECT vec_id, cid,
+      |                 row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |          FROM d1) WHERE rn = 1),
+      |c1 AS (SELECT a.cid, u.i, ${r6sql("AVG(u.x)")} AS c
+      |       FROM u JOIN a1 a ON u.vec_id = a.vec_id GROUP BY 1, 2),
+      |d2t AS (SELECT u.vec_id, c.cid,
+      |               ${r6sql("SUM((u.x - c.c) * (u.x - c.c))")} AS d2
+      |        FROM u JOIN c1 c ON u.i = c.i GROUP BY 1, 2),
+      |a2 AS (SELECT vec_id, cid, d2,
+      |              row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |       FROM d2t)""".stripMargin
+
   private lazy val ivfKMeansOracle: String =
     s"""WITH u AS (SELECT vec_id, i, CAST(embedding[i+1] AS DOUBLE) AS x
         |           FROM embeddings, UNNEST(range(len(embedding))) AS r(i)),
@@ -641,28 +672,21 @@ object AnnEntries {
     // 2 unrolled Lloyd rounds mirroring Embeddings.kMeansAssign: snapped
     // squared distances + snapped centroid means, argmin tiebreak by cid
     "embed_kmeans" ->
-      s"""WITH u AS (SELECT vec_id, i, CAST(embedding[i+1] AS DOUBLE) AS x
-        |           FROM embeddings, UNNEST(range(len(embedding))) AS r(i)),
-        |seed AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid
-        |         FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $KMeansK)),
-        |c0 AS (SELECT s.cid, u.i, u.x AS c FROM u JOIN seed s ON u.vec_id = s.vec_id),
-        |d1 AS (SELECT u.vec_id, c.cid,
-        |              ${r6sql("SUM((u.x - c.c) * (u.x - c.c))")} AS d2
-        |       FROM u JOIN c0 c ON u.i = c.i GROUP BY 1, 2),
-        |a1 AS (SELECT vec_id, cid FROM
-        |         (SELECT vec_id, cid,
-        |                 row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-        |          FROM d1) WHERE rn = 1),
-        |c1 AS (SELECT a.cid, u.i, ${r6sql("AVG(u.x)")} AS c
-        |       FROM u JOIN a1 a ON u.vec_id = a.vec_id GROUP BY 1, 2),
-        |d2t AS (SELECT u.vec_id, c.cid,
-        |               ${r6sql("SUM((u.x - c.c) * (u.x - c.c))")} AS d2
-        |        FROM u JOIN c1 c ON u.i = c.i GROUP BY 1, 2),
-        |a2 AS (SELECT vec_id, cid, d2,
-        |              row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-        |       FROM d2t)
+      s"""$kmeansAssignChainSql
         |SELECT vec_id, CAST(cid AS BIGINT) AS cluster, d2 AS dist2
         |FROM a2 WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // same assignment chain folded to per-list occupancy; the totals
+    // cross back from the 1-row frame
+    "ann_ivf_balance" ->
+      s"""$kmeansAssignChainSql,
+        |cnt AS (SELECT CAST(cid AS BIGINT) AS cluster, CAST(COUNT(*) AS BIGINT) AS n
+        |        FROM a2 WHERE rn = 1 GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS kk
+        |        FROM cnt)
+        |SELECT cluster, n,
+        |       ${r6sql("n / CAST(t AS DOUBLE)")} AS share,
+        |       ${r6sql("CAST(n * kk AS BIGINT) / CAST(t AS DOUBLE)")} AS load_factor
+        |FROM cnt, tot ORDER BY cluster""".stripMargin,
     // the same 2 unrolled rounds on the unit sphere: exact-division unit
     // components, snapped dots with (d DESC, cid) argmax, re-normalized
     // snapped mean-direction updates

@@ -859,6 +859,33 @@ object Embeddings {
    * duplicate (query, candidate) pairs. Determinism: snapped distances
    * with cid tiebreaks, as everywhere in the k-means family.
    */
+  /**
+   * IVF inverted-list occupancy audit: vectors per trained cluster, each
+   * list's corpus share, and its load factor (n·k/N — 1.0 = perfectly
+   * uniform). The skew table that prices an IVF deployment BEFORE
+   * committing a 100 TB corpus to one: probe cost is the occupancy of
+   * the probed lists, so a hot list (load ≫ 1) makes every query routed
+   * there scan a corpus-sized fraction regardless of nprobe — the
+   * companion to [[ivfParetoSweep]], which prices the nprobe knob but
+   * averages over this imbalance. Output is k rows; the readout to act
+   * on is max load (split hot lists / raise k / re-seed).
+   *
+   * Scale: the Lloyd assignment is the one data-sized stage (the
+   * embed_kmeans plan); counts fold to k rows with map-side partials and
+   * the totals cross back as a 1-row scalar broadcast.
+   */
+  def ivfListBalance(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    val cnt = kMeansAssign(emb, idCol, vecCol, k, iters)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+    cnt
+      .crossJoin(broadcast(cnt.agg(sum("n").as("t"), count(lit(1)).as("kk"))))
+      .select(col("cluster"), col("n"),
+        (col("n").cast("double") / col("t").cast("double")).as("share"),
+        ((col("n") * col("kk")).cast("double") / col("t").cast("double"))
+          .as("load_factor"))
+  }
+
   def ivfKMeansTopK(candidates: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, kClusters: Int = 8, iters: Int = 2,
       nprobe: Int = 2, materializeCodebook: Boolean = true,

@@ -99,7 +99,9 @@ class PlanAuditSpec extends SparkSpec {
       // the same weights plan)
       "corpus_dsir", "corpus_dsir_sample",
       // two 1-row summary frames crossed into the single profile row
-      "graph_degree_stats")
+      "graph_degree_stats",
+      // 1-row (total, k) scalar broadcast over the k-row occupancy table
+      "ann_ivf_balance")
 
   test("no contract query plans a cartesian product or unsanctioned BNLJ") {
     assume(new File(sfDir).isDirectory, s"$sfDir missing")

@@ -687,4 +687,23 @@ class EmbeddingsSpec extends SparkSpec {
     assertApprox(row.getDouble(2), (1.0 - 0.707107) / 4, 1e-6)
     assert(row.getLong(4) == 1L)                           // only id 4 moved
   }
+
+  test("ivfListBalance: planted 2-vs-4 split, hand-computed load factors") {
+    // two tight groups; id-seeding puts both seeds in group A, but one
+    // Lloyd update pulls the centroids apart and round 2 assigns 2 vs 4
+    val skewed = Seq(
+      (1L, Seq(0.0f, 0.0f)), (2L, Seq(1.0f, 1.0f)),
+      (3L, Seq(10.0f, 10.0f)), (4L, Seq(10.0f, 11.0f)),
+      (5L, Seq(11.0f, 10.0f)), (6L, Seq(11.0f, 11.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Embeddings.ivfListBalance(skewed, "vec_id", "embedding",
+        k = 2, iters = 2)
+      .collect().map(r => r.getLong(1) -> (r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(2L, 4L))
+    assertApprox(out(0)._2._1, 2.0 / 6, 1e-12)   // share
+    assertApprox(out(1)._2._1, 4.0 / 6, 1e-12)
+    assertApprox(out(0)._2._2, 4.0 / 6, 1e-12)   // load = n·k/N
+    assertApprox(out(1)._2._2, 8.0 / 6, 1e-12)
+  }
 }
