@@ -236,7 +236,9 @@ object Bench {
     // weekly (dow, hod) heatmap in pure epoch int64 arithmetic
     "events_seasonality",
     // IVF list-occupancy audit off the shared Lloyd assignment
-    "ann_ivf_balance")
+    "ann_ivf_balance",
+    // seasonality-adjusted z per (type, dow, hod) cell, exact ints
+    "events_anomaly_seasonal")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

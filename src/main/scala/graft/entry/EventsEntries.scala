@@ -219,7 +219,13 @@ object EventsEntries {
     // ext: weekly calendar heatmap — (dow, hod) volume/reach cells in
     // pure int64 epoch arithmetic; share via the ≤168-row window
     "events_seasonality" -> ((s, dir) =>
-      gate(Events.seasonality(Events.read(s, dir)), "dow", "hod"))
+      gate(Events.seasonality(Events.read(s, dir)), "dow", "hod")),
+    // ext: seasonality-adjusted anomaly — each hour scored against its
+    // own (type, dow, hod) cell; z = (k·n − s1)/sqrt(k·s2 − s1²), exact
+    // ints under one sqrt + one division
+    "events_anomaly_seasonal" -> ((s, dir) =>
+      gate(Events.seasonalAnomaly(Events.read(s, dir)),
+        "hour_start_sec", "event_type"))
   )
 
   /** Frame width (chars) and sampling stride for the frames contract. */
@@ -822,6 +828,24 @@ object EventsEntries {
         |tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS t FROM agg)
         |SELECT dow, hod, n_events, n_users,
         |       ${r6sql("n_events / CAST(t AS DOUBLE)")} AS share
-        |FROM agg, tot ORDER BY dow, hod""".stripMargin
+        |FROM agg, tot ORDER BY dow, hod""".stripMargin,
+    // same integer z algebra: exact ints under one sqrt + one division
+    "events_anomaly_seasonal" ->
+      s"""WITH ev AS (SELECT epoch_ns(ts) AS tns, event_type FROM events),
+        |h AS (SELECT (tns // $nsHour) * 3600 AS hour_start_sec, event_type,
+        |             CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM ev GROUP BY 1, 2),
+        |c AS (SELECT *, ((hour_start_sec // 86400) + 3) % 7 AS dow,
+        |             (hour_start_sec // 3600) % 24 AS hod
+        |      FROM h),
+        |st AS (SELECT event_type, dow, hod, CAST(COUNT(*) AS BIGINT) AS k,
+        |              CAST(SUM(n) AS BIGINT) AS s1,
+        |              CAST(SUM(n * n) AS BIGINT) AS s2
+        |       FROM c GROUP BY 1, 2, 3)
+        |SELECT c.hour_start_sec, c.event_type, c.n AS n_events,
+        |       c.dow, c.hod, st.k,
+        |       ${r6sql("CASE WHEN st.k * st.s2 - st.s1 * st.s1 = 0 THEN 0.0 ELSE (st.k * c.n - st.s1) / sqrt(CAST(st.k * st.s2 - st.s1 * st.s1 AS DOUBLE)) END")} AS z
+        |FROM c JOIN st USING (event_type, dow, hod)
+        |ORDER BY hour_start_sec, event_type""".stripMargin
   )
 }

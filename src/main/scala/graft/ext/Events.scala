@@ -448,6 +448,39 @@ object Events {
   }
 
   /**
+   * Seasonality-ADJUSTED hourly anomaly: each (type, hour) volume scored
+   * against the distribution of its OWN calendar cell — the same (type,
+   * day-of-week, hour-of-day) slot across the weeks — instead of
+   * [[hourlyAnomaly]]'s global per-type distribution, which flags every
+   * ordinary weekday peak. The z statistic is kept engine-exact: with
+   * k cell samples, s1 = Σn and s2 = Σn², population z reduces to
+   * `(k·n − s1) / sqrt(k·s2 − s1²)` — integer numerator, one correctly-
+   * rounded sqrt of an exact int64, one division. Zero-variance cells
+   * score 0. Hours with no events are absent (the [[hourly]] contract);
+   * at ≥ a few weeks of history every live cell has samples.
+   *
+   * Scale: the hourly rollup is the one event-sized aggregate; cell
+   * stats are ≤ types×168 rows joined back onto the hour-sized frame.
+   */
+  def seasonalAnomaly(events: DataFrame): DataFrame = {
+    val cells = hourly(events)
+      .select(col("hour_start_sec"), col("event_type"), col("n_events"))
+      .withColumn("dow", expr("((hour_start_sec div 86400) + 3) % 7"))
+      .withColumn("hod", expr("(hour_start_sec div 3600) % 24"))
+    val stats = cells.groupBy("event_type", "dow", "hod")
+      .agg(count(lit(1)).as("k"), sum("n_events").as("s1"),
+        sum(col("n_events") * col("n_events")).as("s2"))
+    val varTerm = col("k") * col("s2") - col("s1") * col("s1")
+    cells
+      .join(broadcast(stats), Seq("event_type", "dow", "hod"))
+      .select(col("hour_start_sec"), col("event_type"), col("n_events"),
+        col("dow"), col("hod"), col("k"),
+        when(varTerm === 0L, 0.0)
+          .otherwise((col("k") * col("n_events") - col("s1")).cast("double") /
+            sqrt(varTerm.cast("double"))).as("z"))
+  }
+
+  /**
    * Calendar seasonality profile: event volume and distinct-user reach
    * per (day-of-week, hour-of-day) cell — the weekly heatmap an ops /
    * capacity review reads, and the denominator a seasonality-aware

@@ -144,6 +144,25 @@ class DsirKanonBotsSpec extends SparkSpec {
     assertApprox(cells.values.map(_._3).sum, 1.0, 1e-12)
   }
 
+  test("seasonalAnomaly: exact z against the cell's own weekly samples") {
+    val h = Events.NsPerHour
+    val week = 7L * 24L * h
+    // the same (type, Thu, 00) cell two weeks running: n = 10 then 14
+    // → k=2, s1=24, s2=296, var-term=16 → z = ±1 exactly;
+    // a once-seen cell (Thu 01) has zero variance → z = 0
+    val ev =
+      (0 until 10).map(i => (i.toLong, i.toLong, 1L, "x", 0.0)) ++
+        (0 until 14).map(i => (100L + i, week + i, 1L, "x", 0.0)) ++
+        (0 until 3).map(i => (200L + i, h + i, 1L, "x", 0.0))
+    val out = Events.seasonalAnomaly(
+        ev.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(5), r.getDouble(6)))
+      .toMap
+    assert(out(0L) == ((10L, 2L, -1.0)))
+    assert(out(week / Events.NsPerSec * 1L) == ((14L, 2L, 1.0)))
+    assert(out(3600L) == ((3L, 1L, 0.0)))
+  }
+
   // ---- bpeFertilityByLang ------------------------------------------------
 
   test("bpeFertilityByLang: per-lang totals tie out to the corpus encode stats") {
