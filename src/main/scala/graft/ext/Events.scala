@@ -462,17 +462,33 @@ object Events {
    * Scale: the hourly rollup is the one event-sized aggregate; cell
    * stats are ≤ types×168 rows joined back onto the hour-sized frame.
    */
-  def seasonalAnomaly(events: DataFrame): DataFrame = {
-    val cells = hourly(events)
+  def seasonalAnomaly(events: DataFrame): DataFrame =
+    seasonalScore(seasonalHours(hourly(events)),
+      seasonalCellStats(events))
+
+  /** Calendar-cell columns over an hourly count frame (batch or a
+    * watermark-finalized hourly stream — the expression is row-local). */
+  def seasonalHours(hourCounts: DataFrame): DataFrame =
+    hourCounts
       .select(col("hour_start_sec"), col("event_type"), col("n_events"))
       .withColumn("dow", expr("((hour_start_sec div 86400) + 3) % 7"))
       .withColumn("hod", expr("(hour_start_sec div 3600) % 24"))
-    val stats = cells.groupBy("event_type", "dow", "hod")
+
+  /** The (type, dow, hod) cell moments [[seasonalAnomaly]] scores
+    * against — ≤ types×168 rows; the FIT half of the monitor, reusable
+    * as the static side of the streaming scorer
+    * ([[graft.streaming.EventsStream.seasonalScores]]). */
+  def seasonalCellStats(events: DataFrame): DataFrame =
+    seasonalHours(hourly(events))
+      .groupBy("event_type", "dow", "hod")
       .agg(count(lit(1)).as("k"), sum("n_events").as("s1"),
         sum(col("n_events") * col("n_events")).as("s2"))
+
+  /** The engine-exact z join: (k·n − s1) / sqrt(k·s2 − s1²). */
+  def seasonalScore(hours: DataFrame, cellStats: DataFrame): DataFrame = {
     val varTerm = col("k") * col("s2") - col("s1") * col("s1")
-    cells
-      .join(broadcast(stats), Seq("event_type", "dow", "hod"))
+    hours
+      .join(broadcast(cellStats), Seq("event_type", "dow", "hod"))
       .select(col("hour_start_sec"), col("event_type"), col("n_events"),
         col("dow"), col("hod"), col("k"),
         when(varTerm === 0L, 0.0)

@@ -969,6 +969,23 @@ object EventsStream {
   }
 
   /**
+   * Seasonal anomaly scoring on the LIVE hourly stream — the
+   * fit-offline / score-online deployment of
+   * [[graft.ext.Events.seasonalAnomaly]]: `cellStats` is the static
+   * (type, dow, hod) moment table fit on history
+   * ([[graft.ext.Events.seasonalCellStats]]); each watermark-finalized
+   * hour from the streaming tumbling aggregate joins it (stream-static,
+   * static side broadcast — ≤ types×168 rows) and scores with the same
+   * engine-exact integer z. Hours whose calendar cell never occurred in
+   * the history drop (inner join) — a new cell has no distribution to
+   * score against, the honest semantics for a fit/score split.
+   */
+  def seasonalScores(events: DataFrame, cellStats: DataFrame,
+      watermark: String = "2 hours"): DataFrame =
+    graft.ext.Events.seasonalScore(
+      graft.ext.Events.seasonalHours(hourly(events, watermark)), cellStats)
+
+  /**
    * Streaming per-user bot signals — the unbounded twin of
    * [[graft.ext.Events.botScores]], the live face of an abuse monitor.
    * State per user is four longs plus one counter per distinct event

@@ -78,6 +78,43 @@ class BotStreamParitySpec extends SparkSpec {
     assert(rows.contains((3L, 1L, 7200L))) // late event: fast vs frontier
   }
 
+  test("seasonalScores: static cell stats score the live hourly stream exactly as batch") {
+    val week = 7L * 24 * 3600 * 1000
+    def sev(id: Long, ms: Long, tpe: String) =
+      StreamEvent(id, new Timestamp(base + ms), tpe, 0.0)
+    // the same (x, Fri 00) cell two weeks running (3 then 5 events) plus
+    // a singleton cell — base is 2024-03-01 00:00 UTC, a Friday
+    val evs =
+      (0 until 3).map(i => sev(i.toLong, i * 1000L, "x")) ++
+        (0 until 5).map(i => sev(10L + i, week + i * 1000L, "x")) ++
+        Seq(sev(20L, 3600L * 1000, "x"))
+    val batchDF = evs.zipWithIndex.map { case (e, i) =>
+      (i.toLong, e.ts.getTime * 1000000L, e.user_id, e.event_type, e.value)
+    }.toSeq.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val stats = Events.seasonalCellStats(batchDF)
+    val batch = Events.seasonalAnomaly(batchDF).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(5), r.getDouble(6)))
+      .toMap
+
+    val in = MemoryStream[StreamEvent]
+    val q = EventsStream.seasonalScores(in.toDF(), stats)
+      .writeStream.format("memory").queryName("seasonal_live")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(evs: _*)
+      q.processAllAvailable()
+      in.addData(sev(99L, week * 3, "zz")) // advance the watermark
+      q.processAllAvailable()
+    } finally q.stop()
+    val live = spark.table("seasonal_live").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(5), r.getDouble(6)))
+      .toMap
+    assert(live == batch) // zz has no cell in the stats → dropped
+    // and the planted cell really separates: 3-vs-5 gives z = ±1
+    val t0 = Timestamp.valueOf("2024-03-01 00:00:00").getTime / 1000
+    assert(batch((t0, "x"))._3 == -1.0 && batch((t0 + week / 1000, "x"))._3 == 1.0)
+  }
+
   test("botDeltas resumes from checkpoint: frontier and counters survive the restart") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bot_ckpt").toFile
     val got = scala.collection.mutable.ArrayBuffer.empty[BotUpdate]
