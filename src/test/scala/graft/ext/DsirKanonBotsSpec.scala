@@ -183,6 +183,20 @@ class DsirKanonBotsSpec extends SparkSpec {
     for ((_, (_, _, _, f)) <- byLang) assert(f >= 1.0 && f <= 8.0)
   }
 
+  test("semanticThresholdSweep: identical pair survives every threshold at recall 1") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)), (3L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semanticThresholdSweep(emb, "vec_id", "embedding",
+        Seq(0.5, 0.99), dim = 2)
+      .collect().map(r => r.getDouble(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // only the identical pair clears 0.5; identical vectors share every
+    // LSH bucket, so the candidate route finds it: recall exactly 1
+    assert(out(0.5) == ((1L, 2L, 1L, 1.0)))
+    assert(out(0.99) == ((1L, 2L, 1L, 1.0)))
+  }
+
   // ---- botScores ---------------------------------------------------------
 
   test("botScores: planted bot fires, diverse slow user does not") {
