@@ -240,7 +240,9 @@ object Bench {
     // seasonality-adjusted z per (type, dow, hod) cell, exact ints
     "events_anomaly_seasonal",
     // cosine-threshold sweep: exhaustive truth × LSH-route recall
-    "dedup_semantic_sweep")
+    "dedup_semantic_sweep",
+    // the probe-depth half: recall AND candidate volume per depth
+    "dedup_semantic_sweep_probes")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

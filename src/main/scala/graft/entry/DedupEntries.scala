@@ -32,6 +32,11 @@ object DedupEntries {
     "dedup_semantic_sweep" -> ((s, dir) =>
       gate(Dedup.semanticThresholdSweep(embeddings(s, dir), "vec_id",
         "embedding", SemSweepThresholds), "t")),
+    // ext: the probe-depth half — recall AND candidate volume per
+    // (threshold, Hamming depth); deeper probing priced, not guessed
+    "dedup_semantic_sweep_probes" -> ((s, dir) =>
+      gate(Dedup.semanticProbeSweep(embeddings(s, dir), "vec_id",
+        "embedding", SemSweepThresholds, ProbeDepths), "t", "h")),
     // ext: b-bit (b = 1) minhash audit — the 64×-compressed signature's
     // debiased estimate ĵ₁ = max(0, 2f − 1) next to the full-signature
     // estimate and the exact Jaccard: compression priced, not guessed
@@ -330,6 +335,14 @@ object DedupEntries {
   /** Cosine grid of the semantic sweep (brackets the 0.4 contract floor). */
   private val SemSweepThresholds = Seq(0.2, 0.3, 0.4, 0.5, 0.6, 0.8)
 
+  /** Probe depths priced by the probe sweep. */
+  private val ProbeDepths = Seq(1, 2)
+
+  /** VALUES list of every 6-bit mask with ≤ h bits set. */
+  private def probeMasksSql(h: Int): String =
+    graft.ext.Embeddings.lshProbeMasks(graft.ext.Embeddings.LshPlanes, h)
+      .map(m => s"($m)").mkString("(VALUES ", ", ", ")")
+
   /** Planted mega-star contract: the hub star converges in one round;
     * two rounds prove propagation holds the fixed point. 8 salts mirrors
     * the aligned_pairs_salted convention. */
@@ -618,6 +631,44 @@ object DedupEntries {
         |FROM th LEFT JOIN np USING (t) LEFT JOIN nd USING (t)
         |LEFT JOIN nc USING (t)
         |ORDER BY t""".stripMargin),
+    // same bucket table, one candidate set per probe-mask depth;
+    // COUNT(col) over the LEFT JOIN keeps empty thresholds at 0
+    "dedup_semantic_sweep_probes" ->
+      (embCosSql + s""",
+        |hp AS (SELECT * FROM ${lshPlanesSql(64)}),
+        |proj AS (SELECT u.vec_id, hp.k, SUM(hp.h * u.v) AS s
+        |         FROM u JOIN hp ON hp.i = u.i GROUP BY 1, 2),
+        |bkt AS (SELECT vec_id,
+        |               CAST(SUM(CASE WHEN s > 0 THEN 1 << k ELSE 0 END) AS BIGINT) AS bucket
+        |        FROM proj GROUP BY vec_id),
+        |mk1 AS (SELECT * FROM ${probeMasksSql(1)} v(mask)),
+        |mk2 AS (SELECT * FROM ${probeMasksSql(2)} v(mask)),
+        |cnd1 AS MATERIALIZED (SELECT c.v0, c.v1, c.cosine FROM c
+        |       JOIN bkt b0 ON b0.vec_id = c.v0
+        |       JOIN bkt b1 ON b1.vec_id = c.v1
+        |       JOIN mk1 ON xor(b0.bucket, b1.bucket) = CAST(mk1.mask AS BIGINT)),
+        |cnd2 AS MATERIALIZED (SELECT c.v0, c.v1, c.cosine FROM c
+        |       JOIN bkt b0 ON b0.vec_id = c.v0
+        |       JOIN bkt b1 ON b1.vec_id = c.v1
+        |       JOIN mk2 ON xor(b0.bucket, b1.bucket) = CAST(mk2.mask AS BIGINT)),
+        |th AS (SELECT CAST(unnest([${SemSweepThresholds.mkString(", ")}]) AS DOUBLE) AS t),
+        |np AS (SELECT th.t, CAST(COUNT(c.v0) AS BIGINT) AS n_pairs
+        |       FROM th LEFT JOIN c ON c.cosine >= th.t GROUP BY 1),
+        |h1 AS (SELECT th.t, CAST(COUNT(c1.v0) AS BIGINT) AS n_cand
+        |       FROM th LEFT JOIN cnd1 c1 ON c1.cosine >= th.t GROUP BY 1),
+        |h2 AS (SELECT th.t, CAST(COUNT(c2.v0) AS BIGINT) AS n_cand
+        |       FROM th LEFT JOIN cnd2 c2 ON c2.cosine >= th.t GROUP BY 1),
+        |uu AS (SELECT t, CAST(1 AS BIGINT) AS h, n_cand,
+        |              (SELECT CAST(COUNT(*) AS BIGINT) FROM cnd1) AS cand_volume
+        |       FROM h1
+        |       UNION ALL
+        |       SELECT t, CAST(2 AS BIGINT) AS h, n_cand,
+        |              (SELECT CAST(COUNT(*) AS BIGINT) FROM cnd2) AS cand_volume
+        |       FROM h2)
+        |SELECT ${r6sql("uu.t")} AS t, uu.h, np.n_pairs, uu.n_cand, uu.cand_volume,
+        |  ${r6sql("CASE WHEN np.n_pairs = 0 THEN 1.0 ELSE uu.n_cand / CAST(np.n_pairs AS DOUBLE) END")} AS recall
+        |FROM uu JOIN np USING (t)
+        |ORDER BY t, h""".stripMargin),
     // unigram tf, df-capped vocabulary, Σmin via the token-keyed pair
     // join, Σmax reconstructed from per-doc totals (S0 + S1 − Σmin);
     // the threshold compares the UNsnapped ratio on both sides (all

@@ -1247,12 +1247,12 @@ object Dedup {
    * Cosines are 1e-6-snapped on both routes, so `>= t` can never
    * disagree across engines.
    *
-   * Measured on the sf0.01 contract corpus (16 planes, Hamming-1
+   * Measured on the sf0.01 contract corpus (6 planes, Hamming-1
    * probes): recall 0.26 at t = 0.2, 0.42 at the 0.4 contract floor,
    * 1.0 from t = 0.5 — i.e. the banded route as configured is safe for
    * high-similarity dedup but NOT for 0.4-grade semantic matching
    * without more probes. Exactly the decision this table exists to
-   * force into the open.
+   * force into the open; [[semanticProbeSweep]] prices the fix.
    */
   def semanticThresholdSweep(emb: DataFrame, idCol: String, vecCol: String,
       thresholds: Seq[Double], dim: Int = 64): DataFrame = {
@@ -1277,6 +1277,48 @@ object Dedup {
       .withColumn("lsh_recall",
         when(col("n_pairs") === 0L, 1.0)
           .otherwise(col("n_cand").cast("double") / col("n_pairs").cast("double")))
+  }
+
+  /**
+   * The probe-depth half of the calibration: per (threshold, Hamming
+   * depth), the LSH route's recall against the exhaustive truth AND its
+   * candidate volume — recall is what deeper probing buys, candidate
+   * volume is what it costs (the verify join scans every candidate).
+   * Depth h probes Σ_{j≤h} C(planes, j) masks; a pair at bucket-Hamming
+   * d is found by exactly one mask, so volumes are exact, not
+   * multi-counted. Read with [[semanticThresholdSweep]]: pick the
+   * cheapest depth whose recall clears the curation bar at the chosen
+   * threshold.
+   *
+   * Scale: one exhaustive truth table (sampled at 100 TB, as above) and
+   * per depth one bucket equi-join — the route being priced is the same
+   * route production runs.
+   */
+  def semanticProbeSweep(emb: DataFrame, idCol: String, vecCol: String,
+      thresholds: Seq[Double], depths: Seq[Int] = Seq(1, 2),
+      dim: Int = 64): DataFrame = {
+    require(thresholds.nonEmpty && depths.nonEmpty)
+    def sweep(df: DataFrame) = df
+      .select(explode(array(thresholds.map(lit): _*)).as("t"), col("cosine"))
+      .where(col("cosine") >= col("t"))
+    val tDf = emb.sparkSession.createDataFrame(thresholds.map(Tuple1(_))).toDF("t")
+    val nPairs = sweep(Embeddings.allPairsCosine(emb, idCol, vecCol))
+      .groupBy("t").agg(count(lit(1)).as("n_pairs"))
+    depths.map { h =>
+      val cand = Embeddings.lshNearPairsCosine(emb, idCol, vecCol, dim,
+        maxHamming = h)
+      val vol = cand.agg(count(lit(1)).as("cand_volume"))
+      val hits = sweep(cand).groupBy("t").agg(count(lit(1)).as("n_cand"))
+      tDf.join(hits, Seq("t"), "left").na.fill(0L, Seq("n_cand"))
+        .crossJoin(broadcast(vol))
+        .withColumn("h", lit(h.toLong))
+    }.reduce(_ unionByName _)
+      .join(nPairs, Seq("t"), "left").na.fill(0L, Seq("n_pairs"))
+      .withColumn("recall",
+        when(col("n_pairs") === 0L, 1.0)
+          .otherwise(col("n_cand").cast("double") / col("n_pairs").cast("double")))
+      .select(col("t"), col("h"), col("n_pairs"), col("n_cand"),
+        col("cand_volume"), col("recall"))
   }
 
   def embeddingDups(emb: DataFrame, idCol: String, vecCol: String,

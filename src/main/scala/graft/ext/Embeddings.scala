@@ -331,8 +331,18 @@ object Embeddings {
    * matches and the output needs no dedup. Rows are (id, bucket) only —
    * the replication never touches the vectors themselves.
    */
-  def lshNearPairs(buckets: DataFrame, planes: Int = LshPlanes): DataFrame = {
-    val maskArr = array((0L +: (0 until planes).map(j => 1L << j)).map(lit): _*)
+  /** Probe masks for bucket differences up to `maxHamming` sign bits:
+    * every `planes`-bit value with ≤ maxHamming bits set. A candidate
+    * pair at bucket-Hamming d matches exactly ONE mask (= the XOR of
+    * the two buckets), so deeper probing never duplicates a pair. */
+  def lshProbeMasks(planes: Int, maxHamming: Int): Seq[Long] = {
+    require(maxHamming >= 0 && maxHamming <= planes)
+    (0L until (1L << planes)).filter(m => java.lang.Long.bitCount(m) <= maxHamming)
+  }
+
+  def lshNearPairs(buckets: DataFrame, planes: Int = LshPlanes,
+      maxHamming: Int = 1): DataFrame = {
+    val maskArr = array(lshProbeMasks(planes, maxHamming).map(lit): _*)
     val probed = buckets
       .select(col("vec_id"), explode(maskArr).as("mask"),
         col("bucket"))
@@ -351,9 +361,10 @@ object Embeddings {
    * ≈ 1 in the near-duplicate regime (θ → 0) this kernel exists for.
    */
   def lshNearPairsCosine(emb: DataFrame, idCol: String, vecCol: String,
-      dim: Int, planes: Int = LshPlanes): DataFrame = {
+      dim: Int, planes: Int = LshPlanes, maxHamming: Int = 1): DataFrame = {
     val n = withNorms(emb, idCol, vecCol)
-    val cands = lshNearPairs(lshBuckets(emb, idCol, vecCol, dim, planes), planes)
+    val cands = lshNearPairs(lshBuckets(emb, idCol, vecCol, dim, planes),
+      planes, maxHamming)
     cands
       .join(n.select(col("vec_id").as("v0"), col("emb").as("e0"), col("nrm").as("n0")), "v0")
       .join(n.select(col("vec_id").as("v1"), col("emb").as("e1"), col("nrm").as("n1")), "v1")

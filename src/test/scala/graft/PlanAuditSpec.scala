@@ -101,7 +101,12 @@ class PlanAuditSpec extends SparkSpec {
       // two 1-row summary frames crossed into the single profile row
       "graph_degree_stats",
       // 1-row (total, k) scalar broadcast over the k-row occupancy table
-      "ann_ivf_balance")
+      "ann_ivf_balance",
+      // the calibration sweeps' TRUTH side IS allPairsCosine's
+      // sanctioned all-pairs broadcast scan (plus, for the probe sweep,
+      // a 1-row candidate-volume scalar broadcast per depth); the LSH
+      // candidate side stays equi-join
+      "dedup_semantic_sweep", "dedup_semantic_sweep_probes")
 
   test("no contract query plans a cartesian product or unsanctioned BNLJ") {
     assume(new File(sfDir).isDirectory, s"$sfDir missing")
