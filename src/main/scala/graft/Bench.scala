@@ -242,7 +242,9 @@ object Bench {
     // cosine-threshold sweep: exhaustive truth × LSH-route recall
     "dedup_semantic_sweep",
     // the probe-depth half: recall AND candidate volume per depth
-    "dedup_semantic_sweep_probes")
+    "dedup_semantic_sweep_probes",
+    // the full selection sweep: clean gates + DSIR rank + top-m cut
+    "corpus_select")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

@@ -298,6 +298,16 @@ object DedupEntries {
         TextEntries.QfMinAvgLen, TextEntries.QfMaxAvgLen,
         TextEntries.QfMaxStop, TextEntries.QfMinTtr,
         pin = _.localCheckpoint()), "doc_id")),
+    // ext: the full selection sweep — clean gates (eval slice = src1
+    // here, so the DSIR target slice src0 stays a real domain) + DSIR
+    // ranking of the clean RAW survivors + the top-m cut
+    "corpus_select" -> ((s, dir) =>
+      gate(graft.ext.Pipelines.selectCorpus(docs(s, dir), "doc_id", "text",
+        "source", SelectEvalSource, TextEntries.DsirTarget, SelectM,
+        TextEntries.QfMinTokens, TextEntries.QfMaxTokens,
+        TextEntries.QfMinAvgLen, TextEntries.QfMaxAvgLen,
+        TextEntries.QfMaxStop, TextEntries.QfMinTtr,
+        pin = _.localCheckpoint()), "rank")),
     // the full sweep a training run consumes: clean, then GROUP-ATOMIC
     // split by the representative's hash (leakage-free by construction)
     "corpus_clean_split" -> ((s, dir) =>
@@ -337,6 +347,11 @@ object DedupEntries {
 
   /** Probe depths priced by the probe sweep. */
   private val ProbeDepths = Seq(1, 2)
+
+  /** Eval slice of the selection pipeline (≠ the DSIR target src0, so
+    * both gates stay meaningful) and its kept-documents cut. */
+  private val SelectEvalSource = "src1"
+  private val SelectM = 100
 
   /** VALUES list of every 6-bit mask with ≤ h bits set. */
   private def probeMasksSql(h: Int): String =
@@ -511,7 +526,11 @@ object DedupEntries {
   /** The cleanCorpus CTE chain (groups → election → quality bounds →
     * eval-shingle probe) up to the final SELECT — shared by the
     * corpus_clean and corpus_clean_split oracles. */
-  private lazy val cleanChainSql: String =
+  private lazy val cleanChainSql: String = cleanChainSqlFor(EvalSource)
+
+  /** [[cleanChainSql]] with a caller-chosen eval slice (corpus_select
+    * holds out src1 so the DSIR target src0 stays a real domain). */
+  private def cleanChainSqlFor(evalSource: String): String =
     groupsChainSql + s""",
       |tc AS MATERIALIZED (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS score
       |       FROM tok GROUP BY doc_id),
@@ -537,7 +556,7 @@ object DedupEntries {
       |           AND stopword_ratio <= ${TextEntries.QfMaxStop}
       |           AND ttr >= ${TextEntries.QfMinTtr}),
       |evs AS (SELECT DISTINCT s.sh FROM shg s JOIN documents d USING (doc_id)
-      |        WHERE d.source = '$EvalSource'),
+      |        WHERE d.source = '$evalSource'),
       |cont AS MATERIALIZED (SELECT DISTINCT s.doc_id FROM shg s JOIN evs USING (sh))""".stripMargin
 
   /** Embedding pairwise-cosine CTE chain (unnest-based exact mirror). */
@@ -1102,6 +1121,23 @@ object DedupEntries {
         |WHERE d.source <> '$EvalSource'
         |  AND q.doc_id NOT IN (SELECT doc_id FROM cont)
         |ORDER BY q.doc_id""".stripMargin),
+    // the clean chain (src1 eval slice) + the ds-prefixed DSIR CTEs,
+    // ranked over the snapped weights of the clean RAW survivors
+    "corpus_select" ->
+      (cleanChainSqlFor(SelectEvalSource) + TextEntries.dsirCtesSql + s""",
+        |cln AS (SELECT q.doc_id, k.group_rep, q.n_tokens
+        |        FROM qual q JOIN kept k USING (doc_id)
+        |        JOIN documents d USING (doc_id)
+        |        WHERE d.source <> '$SelectEvalSource'
+        |          AND q.doc_id NOT IN (SELECT doc_id FROM cont)),
+        |dw AS (SELECT d.doc_id, ${r6sql("SUM(tf * lw)")} AS log_weight
+        |       FROM dstf d JOIN dslw USING (j)
+        |       WHERE d.is_target = 0 GROUP BY 1),
+        |rk AS (SELECT c.doc_id, c.group_rep, c.n_tokens, dw.log_weight,
+        |              CAST(row_number() OVER (ORDER BY dw.log_weight DESC, c.doc_id) AS BIGINT) AS rank
+        |       FROM cln c JOIN dw USING (doc_id))
+        |SELECT doc_id, group_rep, n_tokens, log_weight, rank
+        |FROM rk WHERE rank <= $SelectM ORDER BY rank""".stripMargin),
     // cumulative per-gate survivor counts over the same chain
     "corpus_funnel" ->
       (cleanChainSql + s""",

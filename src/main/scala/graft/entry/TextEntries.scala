@@ -692,34 +692,41 @@ object TextEntries {
 
   /** Target slice of the DSIR contract (5% of docs at every sf — the
     * small high-quality domain the raw crawl is steered toward). */
-  private val DsirTarget = "src0"
+  private[entry] val DsirTarget = "src0"
   /** Kept raw docs of the DSIR selection contract (~10% at sf0.01). */
   private val DsirSampleM = 50
 
-  /** Shared DSIR oracle chain: hashed-unigram buckets → per-(doc, slice,
-    * bucket) tf → the two add-1 smoothed LMs → per-bucket log ratio.
-    * `dtf` is MATERIALIZED — both finals reference it twice and DuckDB
-    * 1.0 inlines CTEs at every reference. */
-  private lazy val dsirChainSql: String = {
+  /** The DSIR CTEs after `tok` (names ds-prefixed — the clean chain this
+    * composes with in DedupEntries owns `cnt`/`tot`-style names): buckets
+    * → per-(doc, slice, bucket) tf → the two add-1 smoothed LMs →
+    * per-bucket log ratio. `dstf` is MATERIALIZED — the finals reference
+    * it twice and DuckDB 1.0 inlines CTEs at every reference. Exposed
+    * separately so a chain already carrying `tok` can append it. */
+  private[entry] lazy val dsirCtesSql: String = {
     import TextAnalysis.{DsirDim, DsirSalt}
-    tokSql + s""",
-      |lab AS (SELECT doc_id,
+    s""",
+      |dslab AS (SELECT doc_id,
       |               CAST(CASE WHEN source = '$DsirTarget' THEN 1 ELSE 0 END AS BIGINT) AS is_target
       |        FROM documents),
-      |bk AS (SELECT tok.doc_id, lab.is_target,
+      |dsbk AS (SELECT tok.doc_id, dslab.is_target,
       |              CAST((${TextHash.avalancheSql(TextHash.tokenValue("token"), DsirSalt)}) % $DsirDim AS BIGINT) AS j
-      |       FROM tok JOIN lab USING (doc_id)),
-      |dtf AS MATERIALIZED (SELECT doc_id, is_target, j, CAST(COUNT(*) AS BIGINT) AS tf
-      |        FROM bk GROUP BY 1, 2, 3),
-      |cnt AS (SELECT j,
+      |       FROM tok JOIN dslab USING (doc_id)),
+      |dstf AS MATERIALIZED (SELECT doc_id, is_target, j, CAST(COUNT(*) AS BIGINT) AS tf
+      |        FROM dsbk GROUP BY 1, 2, 3),
+      |dscnt AS (SELECT j,
       |               CAST(SUM(CASE WHEN is_target = 1 THEN tf ELSE 0 END) AS BIGINT) AS ct,
       |               CAST(SUM(CASE WHEN is_target = 0 THEN tf ELSE 0 END) AS BIGINT) AS cr
-      |        FROM dtf GROUP BY 1),
-      |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt, CAST(SUM(cr) AS BIGINT) AS tr FROM cnt),
-      |lw AS (SELECT j, ln((ct + 1) / CAST(tt + $DsirDim AS DOUBLE))
+      |        FROM dstf GROUP BY 1),
+      |dstot AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt, CAST(SUM(cr) AS BIGINT) AS tr FROM dscnt),
+      |dslw AS (SELECT j, ln((ct + 1) / CAST(tt + $DsirDim AS DOUBLE))
       |               - ln((cr + 1) / CAST(tr + $DsirDim AS DOUBLE)) AS lw
-      |       FROM cnt, tot)""".stripMargin
+      |       FROM dscnt, dstot)""".stripMargin
   }
+
+  /** [[dsirCtesSql]] with its own tokenizer prefix (the standalone
+    * DSIR oracles' chain). */
+  private lazy val dsirChainSql: String = tokSql + dsirCtesSql
+
 
   /** Length-bucket width and k threshold of the k-anonymity contract:
     * n_chars spans ~[40, 4000], so 500 gives ~8 buckets — QI classes of
@@ -1832,14 +1839,14 @@ object TextEntries {
       s"""$dsirChainSql
         |SELECT d.doc_id, d.is_target, CAST(SUM(tf) AS BIGINT) AS n_tokens,
         |       ${r6sql("SUM(tf * lw)")} AS log_weight
-        |FROM dtf d JOIN lw USING (j)
+        |FROM dstf d JOIN dslw USING (j)
         |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
     // the selection step: rank the SNAPPED weights (identical on both
     // engines by the r6 argument), doc_id tie-break, keep top m
     "corpus_dsir_sample" ->
       s"""$dsirChainSql,
         |w AS (SELECT d.doc_id, ${r6sql("SUM(tf * lw)")} AS log_weight
-        |      FROM dtf d JOIN lw USING (j)
+        |      FROM dstf d JOIN dslw USING (j)
         |      WHERE d.is_target = 0 GROUP BY 1),
         |rk AS (SELECT doc_id, log_weight,
         |              CAST(row_number() OVER (ORDER BY log_weight DESC, doc_id) AS BIGINT) AS rank

@@ -159,6 +159,47 @@ object Pipelines {
   }
 
   /**
+   * The full DATA-SELECTION sweep: [[cleanCorpus]]'s gates (dup-cluster
+   * election, quality bounds, eval-slice removal, decontamination)
+   * followed by DSIR importance ranking toward a target domain
+   * ([[TextAnalysis.dsirWeights]]) and the top-`m` cut — the end-to-end
+   * "which m documents do we actually train on" answer, composed from
+   * the same tested primitives in the order a production sweep runs
+   * them. The DSIR model fits on the FULL corpus (target slice vs raw
+   * rest — the fit wants all the evidence); the ranking applies to the
+   * CLEAN raw survivors only, so a document can never buy its way past
+   * a quality or contamination gate with a good importance score.
+   * Ranking reads the 1e-6-snapped weight (the [[TextAnalysis
+   * .dsirSample]] determinism argument), doc_id tie-break.
+   *
+   * Scale shape: the clean chain's and the DSIR chain's own shapes plus
+   * one doc_id equi-join and a TakeOrdered top-m — nothing new shuffles.
+   */
+  def selectCorpus(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, evalSource: String, targetSource: String, m: Int,
+      minTokens: Long = 10, maxTokens: Long = 100000,
+      minAvgTokenLen: Double = 2.0, maxAvgTokenLen: Double = 12.0,
+      maxStopwordRatio: Double = 0.6, minTtr: Double = 0.2,
+      pin: DataFrame => DataFrame = identity): DataFrame = {
+    require(m > 0)
+    val clean = cleanCorpus(docs, idCol, textCol, sourceCol, evalSource,
+      minTokens, maxTokens, minAvgTokenLen, maxAvgTokenLen,
+      maxStopwordRatio, minTtr, pin)
+    val weights = TextAnalysis.dsirWeights(docs, idCol, textCol,
+        sourceCol, targetSource, pin = pin)
+      .where(col("is_target") === 0L)
+      .select(col("doc_id"),
+        (floor(col("log_weight") * lit(1e6) + lit(0.50001)) / lit(1e6))
+          .as("log_weight"))
+    val order = Seq(col("log_weight").desc, col("doc_id").asc)
+    clean.join(weights, "doc_id")
+      .orderBy(order: _*).limit(m)
+      .withColumn("rank", org.apache.spark.sql.functions.row_number()
+        .over(org.apache.spark.sql.expressions.Window.orderBy(order: _*))
+        .cast("long"))
+  }
+
+  /**
    * INCREMENTAL cleaning sweep (VERDICT r6 ask #7) — the same contract as
    * [[cleanCorpus]] over the NEW corpus snapshot, but the expensive work
    * (shingling, MinHash banding, candidate verification) runs only on the

@@ -95,9 +95,9 @@ class PlanAuditSpec extends SparkSpec {
       // histogram
       "quality_psi",
       // 1-row (target-total, raw-total) scalar broadcast over the
-      // dim-row DSIR language-model counts (the selection step reuses
-      // the same weights plan)
-      "corpus_dsir", "corpus_dsir_sample",
+      // dim-row DSIR language-model counts (the selection step and the
+      // composed selection pipeline reuse the same weights plan)
+      "corpus_dsir", "corpus_dsir_sample", "corpus_select",
       // two 1-row summary frames crossed into the single profile row
       "graph_degree_stats",
       // 1-row (total, k) scalar broadcast over the k-row occupancy table
