@@ -244,7 +244,9 @@ object Bench {
     // the probe-depth half: recall AND candidate volume per depth
     "dedup_semantic_sweep_probes",
     // the full selection sweep: clean gates + DSIR rank + top-m cut
-    "corpus_select")
+    "corpus_select",
+    // per-type top-k via the bounded-heap Aggregator (no window sort)
+    "events_top_users")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

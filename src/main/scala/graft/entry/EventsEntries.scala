@@ -225,7 +225,12 @@ object EventsEntries {
     // ints under one sqrt + one division
     "events_anomaly_seasonal" -> ((s, dir) =>
       gate(Events.seasonalAnomaly(Events.read(s, dir)),
-        "hour_start_sec", "event_type"))
+        "hour_start_sec", "event_type")),
+    // ext: per-type top-k users via the bounded-heap typed Aggregator
+    // (no window sort of group contents); oracle = the window spelling
+    "events_top_users" -> ((s, dir) =>
+      gate(Events.topUsersPerType(Events.read(s, dir), TopUsersK),
+        "event_type", "rank"))
   )
 
   /** Frame width (chars) and sampling stride for the frames contract. */
@@ -313,6 +318,9 @@ object EventsEntries {
 
   /** Heavy keys reported by the skew-audit contract. */
   private val SkewTopN = 20
+
+  /** Kept users per type in the top-k aggregator contract. */
+  private val TopUsersK = 5
 
   val oracles: Map[String, String] = Map(
     "events_hourly" ->
@@ -846,6 +854,18 @@ object EventsEntries {
         |       c.dow, c.hod, st.k,
         |       ${r6sql("CASE WHEN st.k * st.s2 - st.s1 * st.s1 = 0 THEN 0.0 ELSE (st.k * c.n - st.s1) / sqrt(CAST(st.k * st.s2 - st.s1 * st.s1 AS DOUBLE)) END")} AS z
         |FROM c JOIN st USING (event_type, dow, hod)
-        |ORDER BY hour_start_sec, event_type""".stripMargin
+        |ORDER BY hour_start_sec, event_type""".stripMargin,
+    // the window spelling IS the oracle — the aggregator must reproduce
+    // it exactly (n DESC, user_id tie-break)
+    "events_top_users" ->
+      s"""WITH c AS (SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, user_id, n,
+        |             CAST(row_number() OVER (PARTITION BY event_type
+        |                                     ORDER BY n DESC, user_id) AS BIGINT) AS rank
+        |      FROM c)
+        |SELECT event_type, rank, user_id, n AS n_events
+        |FROM r WHERE rank <= $TopUsersK
+        |ORDER BY event_type, rank""".stripMargin
   )
 }

@@ -497,6 +497,32 @@ object Events {
   }
 
   /**
+   * Top-k users by event volume per event type — spelled with the
+   * bounded-heap [[graft.functions.TopKAgg]] typed Aggregator instead of
+   * the `row_number() OVER (... ORDER BY n DESC)` window: the window
+   * SORTS every group's full row set to keep k rows of it, the
+   * aggregator keeps O(k) state with map-side partials and no sort of
+   * group contents at any cardinality. Plan-pinned (TopKAggSpec): zero
+   * Sort / Window operators, and the PARTIAL top-k runs before the
+   * type-keyed exchange, so that exchange moves only k-bounded buffers
+   * per partition — the (type, user) counts never travel again.
+   *
+   * Ties break (n DESC, user_id ASC) — int64-exact, engine-reproducible.
+   */
+  def topUsersPerType(events: DataFrame, k: Int): DataFrame = {
+    require(k >= 1)
+    val topk = org.apache.spark.sql.functions.udaf(new graft.functions.TopKAgg(k))
+    events
+      .groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("event_type")
+      .agg(topk(col("n"), col("user_id")).as("top"))
+      .select(col("event_type"), posexplode(col("top")).as(Seq("r", "pair")))
+      .select(col("event_type"), (col("r") + 1).cast("long").as("rank"),
+        col("pair")(1).as("user_id"), col("pair")(0).as("n_events"))
+  }
+
+  /**
    * Calendar seasonality profile: event volume and distinct-user reach
    * per (day-of-week, hour-of-day) cell — the weekly heatmap an ops /
    * capacity review reads, and the denominator a seasonality-aware
