@@ -1034,6 +1034,22 @@ object Embeddings {
   }
 
   /** Window-rank scored (query_id, vec_id, cosine) rows to the top k. */
+  /**
+   * Rank each query's candidates (snapped cosine DESC, vec_id ASC) and
+   * keep the top k. Deliberately the WINDOW spelling, not the
+   * bounded-heap [[graft.functions.TopKAgg]] — both were built and
+   * MEASURED (values bit-identical: every caller snaps first, so the
+   * 1e-6-scaled int64 ordering equals the double ordering): the
+   * aggregator was 1.2–1.9× slower across the family at sf0.1 AND at
+   * the 10× replica (ann_pareto 2.7 s → 5.0 s, retrieval_mmr 4.5 →
+   * 5.2), because ObjectHashAggregate drops whole-stage codegen and
+   * pays a typed ser/de per input row, while the window's
+   * UnsafeExternalSorter is codegen-fed. The aggregator remains the
+   * right tool when a single group's candidates cannot FIT/spill in a
+   * sort (its state is O(k) per group vs the window's full-group sort
+   * buffer) — that regime is [[graft.ext.Events.topUsersPerType]]'s
+   * documented territory, not this broadcast-bounded one.
+   */
   private def rank(scored: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")

@@ -507,6 +507,14 @@ object Events {
    * type-keyed exchange, so that exchange moves only k-bounded buffers
    * per partition — the (type, user) counts never travel again.
    *
+   * When to pick which (measured, see [[graft.ext.Embeddings]]'s rank):
+   * the window's codegen-fed sorter has the better CONSTANT — it wins
+   * wall-clock whenever group contents fit a sort buffer — while the
+   * aggregator's O(k) state is the MEMORY bound: it cannot spill-sort a
+   * mega-group because it never holds one. Use it where a group is a
+   * whole key's fan-in (here: all users of a type) rather than an
+   * already-bounded candidate list.
+   *
    * Ties break (n DESC, user_id ASC) — int64-exact, engine-reproducible.
    */
   def topUsersPerType(events: DataFrame, k: Int): DataFrame = {
