@@ -57,6 +57,19 @@ final case class BotUserState(lastTsMs: Long, minTsMs: Long, maxTsMs: Long,
 final case class BotUpdate(user_id: Long, n_events: Long, n_types: Long,
     n_fast: Long, span_sec: Long, type_entropy: Double, is_bot: Long)
 
+/** One Space-Saving counter: the tracked id, its estimated count, and
+  * the over-count error it inherited at adoption time. */
+final case class SSCounter(user: Long, n: Long, err: Long)
+
+/** Per-type Space-Saving state: ≤ capacity counters, whatever the true
+  * user cardinality. */
+final case class SSState(counters: Seq[SSCounter])
+
+/** One live top-k row — output of [[EventsStream.topUsersDeltas]].
+  * `n_est` overestimates the true count by at most `err`. */
+final case class TopUserUpdate(event_type: String, rank: Long,
+    user_id: Long, n_est: Long, err: Long)
+
 /** One buffered funnel-step event: event-time plus the 0-based index of
   * the step its type matches. */
 final case class FunnelBuf(tsMs: Long, step: Int)
@@ -965,6 +978,57 @@ object EventsStream {
           else Iterator(CupedDelta(userId,
             graft.ext.Export.mixBucketLong(userId, 2, salt), dn, dx, dy,
             x1 * x1 - x0 * x0, y1 * y1 - y0 * y0, x1 * y1 - x0 * y0))
+      }
+  }
+
+  /**
+   * Streaming top-k users per event type under a HARD memory cap —
+   * Space-Saving (Metwally et al. 2005), the canonical bounded-counter
+   * heavy-hitters sketch, completing this library's sketch family
+   * (CMS frequencies / HLL cardinality / KMV bottom-k / histogram
+   * quantiles / b-bit minhash). Exact streaming top-k needs a counter
+   * per DISTINCT user forever; Space-Saving keeps exactly `capacity`
+   * counters per type: a new user past the cap ADOPTS the minimum
+   * counter — inheriting its count as both estimate floor and recorded
+   * `err` — so for every survivor `true ≤ n_est ≤ true + err`, and any
+   * user with true count above the evicted minimum is guaranteed
+   * tracked. With `capacity ≥` the type's distinct users the sketch
+   * degenerates to exact counting (err = 0) and the last update per
+   * type equals [[graft.ext.Events.topUsersPerType]] row-for-row
+   * (parity-pinned; the overflow guarantee is spec-pinned separately).
+   *
+   * Update mode — a running top-k never finalizes, nothing for a
+   * watermark to close. Each micro-batch folds in (ts, user) order so
+   * replays and slicings evict identically. State: `capacity` counters
+   * per event type, period.
+   */
+  def topUsersDeltas(events: Dataset[StreamEvent], capacity: Int,
+      k: Int): Dataset[TopUserUpdate] = {
+    import events.sparkSession.implicits._
+    require(capacity >= 1 && k >= 1 && k <= capacity)
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (tpe: String, batch: Iterator[StreamEvent], state: GroupState[SSState]) =>
+          var cs = state.getOption
+            .map(_.counters.map(c => c.user -> ((c.n, c.err))).toMap)
+            .getOrElse(Map.empty[Long, (Long, Long)])
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.user_id)).foreach { e =>
+            val u = e.user_id
+            cs.get(u) match {
+              case Some((n, err)) => cs = cs.updated(u, (n + 1L, err))
+              case None if cs.size < capacity => cs = cs.updated(u, (1L, 0L))
+              case None =>
+                val (mu, (mn, _)) = cs.minBy { case (uu, (nn, _)) => (nn, uu) }
+                cs = (cs - mu).updated(u, (mn + 1L, mn))
+            }
+          }
+          state.update(SSState(
+            cs.toSeq.map { case (u, (n, e)) => SSCounter(u, n, e) }))
+          cs.toSeq.sortBy { case (u, (n, _)) => (-n, u) }.take(k).zipWithIndex
+            .map { case ((u, (n, err)), i) =>
+              TopUserUpdate(tpe, i + 1L, u, n, err)
+            }.iterator
       }
   }
 

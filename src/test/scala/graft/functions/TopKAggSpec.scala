@@ -51,6 +51,53 @@ class TopKAggSpec extends SparkSpec {
     assert(!plan.contains("Sort ["), "group contents are being sorted")
   }
 
+  test("topUsersDeltas: at capacity ≥ users the sketch is exact and matches batch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val batch = Events.topUsersPerType(ev, k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[graft.streaming.StreamEvent]
+    val q = graft.streaming.EventsStream.topUsersDeltas(in.toDS(), capacity = 16, k = 2)
+      .writeStream.format("memory").queryName("ss_topk")
+      .outputMode("update").start()
+    try {
+      val evs = ev.collect().map(r => graft.streaming.StreamEvent(
+        r.getLong(2), new java.sql.Timestamp(r.getLong(1) / 1000000L), r.getString(3), 0.0))
+      val (a, b) = evs.splitAt(6)
+      in.addData(a); q.processAllAvailable()
+      in.addData(b); q.processAllAvailable()
+    } finally q.stop()
+    // last update per (type, rank): exact parity, err = 0 throughout
+    val rows = spark.table("ss_topk").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.forall(_._5 == 0L))
+    val last = rows.zipWithIndex
+      .groupBy(t => (t._1._1, t._1._2))
+      .map { case (key, ts) => key -> ts.maxBy(_._2)._1 }
+    for (((tpe, rank), (u, n)) <- batch)
+      assert(last((tpe, rank)) == ((tpe, rank, u, n, 0L)), s"($tpe, $rank)")
+  }
+
+  test("topUsersDeltas: past capacity the heavy hitter survives with a bounded error") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // 1 heavy user (10 hits) + 6 one-hit users through capacity 3
+    val evs = (0 until 10).map(i => graft.streaming.StreamEvent(
+        1L, new java.sql.Timestamp(i * 1000L), "x", 0.0)) ++
+      (0 until 6).map(i => graft.streaming.StreamEvent(
+        100L + i, new java.sql.Timestamp(20000L + i * 1000L), "x", 0.0))
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[graft.streaming.StreamEvent]
+    val q = graft.streaming.EventsStream.topUsersDeltas(in.toDS(), capacity = 3, k = 1)
+      .writeStream.format("memory").queryName("ss_overflow")
+      .outputMode("update").start()
+    try { in.addData(evs); q.processAllAvailable() } finally q.stop()
+    val top = spark.table("ss_overflow").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).last
+    assert(top._2 == 1L)                        // the heavy hitter is rank 1
+    assert(top._3 >= 10L && top._3 <= 10L + top._4) // true ≤ est ≤ true + err
+  }
+
   test("TopKAgg: merge trims to k and reduce skips losers without growing") {
     val a = new TopKAgg(2)
     val b = Seq(TopKEntry(9, 1), TopKEntry(7, 2))
