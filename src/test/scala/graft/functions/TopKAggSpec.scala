@@ -98,6 +98,34 @@ class TopKAggSpec extends SparkSpec {
     assert(top._3 >= 10L && top._3 <= 10L + top._4) // true ≤ est ≤ true + err
   }
 
+  test("topUsersDeltas resumes from checkpoint: counters survive the restart") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ss_ckpt").toFile
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[graft.streaming.StreamEvent]
+    def ev(u: Long, sec: Long) = graft.streaming.StreamEvent(
+      u, new java.sql.Timestamp(sec * 1000L), "x", 0.0)
+    def start() = graft.streaming.EventsStream.topUsersDeltas(in.toDS(), 8, 1)
+      .writeStream.option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("update")
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[graft.streaming.TopUserUpdate], _: Long) =>
+          got.synchronized {
+            got ++= df.collect().map(t => (t.rank, t.user_id, t.n_est))
+          }; ()
+      }.start()
+
+    val q1 = start()
+    try { in.addData((0 until 4).map(i => ev(1L, i))); q1.processAllAvailable() }
+    finally q1.stop()
+    val q2 = start()
+    try { in.addData((0 until 3).map(i => ev(1L, 10L + i))); q2.processAllAvailable() }
+    finally q2.stop()
+    // the recovered counter kept the pre-restart 4: final estimate is 7
+    assert(got.synchronized(got.last) == ((1L, 1L, 7L)), got)
+  }
+
   test("TopKAgg: merge trims to k and reduce skips losers without growing") {
     val a = new TopKAgg(2)
     val b = Seq(TopKEntry(9, 1), TopKEntry(7, 2))
