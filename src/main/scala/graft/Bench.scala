@@ -246,7 +246,9 @@ object Bench {
     // the full selection sweep: clean gates + DSIR rank + top-m cut
     "corpus_select",
     // per-type top-k via the bounded-heap Aggregator (no window sort)
-    "events_top_users")
+    "events_top_users",
+    // RFM terciles from histogram-sketch thresholds, no global sort
+    "rel_rfm_segments")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

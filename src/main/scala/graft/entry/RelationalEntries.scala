@@ -213,6 +213,11 @@ object RelationalEntries {
         .select(col("a.p").as("src"), col("b.p").as("dst"))
       gate(Graph.triangleCounts(edges), "node")
     }),
+    // ext: RFM customer segmentation — recency/frequency/monetary
+    // tercile scores from histogram-sketch thresholds (no global sort),
+    // exact int64 metrics and boundary compares
+    "rel_rfm_segments" -> ((s, dir) =>
+      gate(Relational.rfmSegments(Relational.orders(s, dir)), "o_custkey")),
     // ext: 1-row structural profile of the same graph — degree moments
     // + Newman assortativity; exact int64 sums, double-only final ratio
     "graph_degree_stats" -> ((s, dir) => {
@@ -939,6 +944,60 @@ object RelationalEntries {
         |      UNION ALL SELECT y FROM tri
         |      UNION ALL SELECT z FROM tri)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same histogram crossing rule per metric (min bucket with cum ≥
+    // 1+floor(q·(n−1)), value = bucket·width), same int64 boundary
+    // compares; qs interpolated from the SAME Scala doubles
+    "rel_rfm_segments" -> {
+      val (db, sb) = (30L, 100000000L)
+      s"""WITH od AS (SELECT o_custkey,
+        |                   epoch_us(o_orderdate) // 86400000000 AS day,
+        |                   CAST(floor(o_totalprice * 1e4 + 0.5) AS BIGINT) AS price_e4
+        |            FROM orders),
+        |per AS MATERIALIZED (SELECT o_custkey, MAX(day) AS last_day,
+        |              CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |              CAST(SUM(price_e4) AS BIGINT) AS spend_e4
+        |       FROM od GROUP BY 1),
+        |anc AS (SELECT MAX(last_day) AS a FROM per),
+        |mm AS MATERIALIZED (SELECT o_custkey, a - last_day AS days_since,
+        |             n_orders, spend_e4 FROM per, anc),
+        |qs AS (SELECT CAST(unnest([${Relational.RfmQs.mkString(", ")}]) AS DOUBLE) AS q),
+        |hr AS (SELECT days_since // $db AS bucket, CAST(COUNT(*) AS BIGINT) AS c FROM mm GROUP BY 1),
+        |crr AS (SELECT bucket, SUM(c) OVER (ORDER BY bucket) AS cum FROM hr),
+        |nr AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM hr),
+        |trr AS (SELECT q, CAST(1 + floor(q * (n - 1)) AS BIGINT) AS rn FROM nr, qs),
+        |vr AS (SELECT t.q, CAST(MIN(c.bucket) * $db AS BIGINT) AS v
+        |       FROM trr t JOIN crr c ON c.cum >= t.rn GROUP BY t.q),
+        |xr AS (SELECT MIN(CASE WHEN q < 0.5 THEN v END) AS t1,
+        |              MIN(CASE WHEN q > 0.5 THEN v END) AS t2 FROM vr),
+        |hf AS (SELECT n_orders AS bucket, CAST(COUNT(*) AS BIGINT) AS c FROM mm GROUP BY 1),
+        |cff AS (SELECT bucket, SUM(c) OVER (ORDER BY bucket) AS cum FROM hf),
+        |nf AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM hf),
+        |tff AS (SELECT q, CAST(1 + floor(q * (n - 1)) AS BIGINT) AS rn FROM nf, qs),
+        |vf AS (SELECT t.q, CAST(MIN(c.bucket) AS BIGINT) AS v
+        |       FROM tff t JOIN cff c ON c.cum >= t.rn GROUP BY t.q),
+        |xf AS (SELECT MIN(CASE WHEN q < 0.5 THEN v END) AS t1,
+        |              MIN(CASE WHEN q > 0.5 THEN v END) AS t2 FROM vf),
+        |hm AS (SELECT spend_e4 // $sb AS bucket, CAST(COUNT(*) AS BIGINT) AS c FROM mm GROUP BY 1),
+        |cmm AS (SELECT bucket, SUM(c) OVER (ORDER BY bucket) AS cum FROM hm),
+        |nm AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM hm),
+        |tmm AS (SELECT q, CAST(1 + floor(q * (n - 1)) AS BIGINT) AS rn FROM nm, qs),
+        |vm AS (SELECT t.q, CAST(MIN(c.bucket) * $sb AS BIGINT) AS v
+        |       FROM tmm t JOIN cmm c ON c.cum >= t.rn GROUP BY t.q),
+        |xm AS (SELECT MIN(CASE WHEN q < 0.5 THEN v END) AS t1,
+        |              MIN(CASE WHEN q > 0.5 THEN v END) AS t2 FROM vm),
+        |sc AS (SELECT mm.o_custkey, mm.days_since, mm.n_orders, mm.spend_e4,
+        |         CAST(3 - (CASE WHEN days_since > xr.t1 THEN 1 ELSE 0 END
+        |                 + CASE WHEN days_since > xr.t2 THEN 1 ELSE 0 END) AS BIGINT) AS r_score,
+        |         CAST(1 + CASE WHEN n_orders > xf.t1 THEN 1 ELSE 0 END
+        |                + CASE WHEN n_orders > xf.t2 THEN 1 ELSE 0 END AS BIGINT) AS f_score,
+        |         CAST(1 + CASE WHEN spend_e4 > xm.t1 THEN 1 ELSE 0 END
+        |                + CASE WHEN spend_e4 > xm.t2 THEN 1 ELSE 0 END AS BIGINT) AS m_score
+        |       FROM mm, xr, xf, xm)
+        |SELECT o_custkey, days_since, n_orders, spend_e4,
+        |       r_score, f_score, m_score,
+        |       r_score * 100 + f_score * 10 + m_score AS segment
+        |FROM sc ORDER BY o_custkey""".stripMargin
+    },
     // same exact int64 sums; the assortativity ratio is the identical
     // left-to-right double op sequence on both engines
     "graph_degree_stats" ->

@@ -1041,6 +1041,66 @@ object Relational {
         "dominated_qty")
   }
 
+  /** Tercile cut points of the RFM contract (interpolated verbatim into
+    * the oracle so both engines floor the identical doubles). */
+  val RfmQs: Seq[Double] = Seq(1.0 / 3, 2.0 / 3)
+
+  /**
+   * RFM customer segmentation — the classic CRM rollup: per customer,
+   * days since last order (recency, anchored at the corpus max day),
+   * order count (frequency), lifetime spend in exact e4 money
+   * (monetary), each scored 1–3 by tercile and packed into the familiar
+   * `r·100 + f·10 + m` segment code (333 = best in all three).
+   *
+   * The tercile thresholds come from the HISTOGRAM quantile sketch
+   * ([[TextAnalysis.quantileSketchHist]]) — customers are data-sized, so
+   * an exact rank would be a global single-partition sort; the sketch's
+   * bucket-floor thresholds are deterministic, bounded-state, and carry
+   * the documented ≤ bucket-width error envelope (`dayBucket` days /
+   * 1 order / `spendBucket` e4). Scores compare exact int64 metrics to
+   * those int64 thresholds — no double ever decides a boundary.
+   *
+   * Scale: one order-sized customer rollup, three histogram-bounded
+   * threshold fits, four 1-row/2-row scalar broadcasts back onto the
+   * customer frame.
+   */
+  def rfmSegments(orders: DataFrame, dayBucket: Long = 30L,
+      spendBucket: Long = 100000000L): DataFrame = {
+    require(dayBucket >= 1 && spendBucket >= 1)
+    val per = orders
+      .select(col("o_custkey"),
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("day"),
+        expr("CAST(floor(o_totalprice * 1e4 + 0.5) AS BIGINT)").as("price_e4"))
+      .groupBy("o_custkey")
+      .agg(max("day").as("last_day"), count(lit(1)).as("n_orders"),
+        sum("price_e4").as("spend_e4"))
+    val metrics = per
+      .crossJoin(broadcast(per.agg(max("last_day").as("anchor"))))
+      .select(col("o_custkey"),
+        (col("anchor") - col("last_day")).as("days_since"),
+        col("n_orders"), col("spend_e4"))
+    def cuts(valueCol: String, width: Long, t1: String, t2: String) =
+      broadcast(TextAnalysis
+        .quantileSketchHist(metrics.withColumn("g", lit(1)), "g", valueCol,
+          RfmQs, width)
+        .agg(min(when(col("q") < 0.5, col(s"${valueCol}_q"))).as(t1),
+          min(when(col("q") > 0.5, col(s"${valueCol}_q"))).as(t2)))
+    def score(v: String, t1: String, t2: String) =
+      (lit(1L) + when(col(v) > col(t1), 1L).otherwise(0L) +
+        when(col(v) > col(t2), 1L).otherwise(0L))
+    val scored = metrics
+      .crossJoin(cuts("days_since", dayBucket, "rt1", "rt2"))
+      .crossJoin(cuts("n_orders", 1L, "ft1", "ft2"))
+      .crossJoin(cuts("spend_e4", spendBucket, "mt1", "mt2"))
+      .select(col("o_custkey"), col("days_since"), col("n_orders"),
+        col("spend_e4"),
+        (lit(4L) - score("days_since", "rt1", "rt2")).as("r_score"),
+        score("n_orders", "ft1", "ft2").as("f_score"),
+        score("spend_e4", "mt1", "mt2").as("m_score"))
+    scored.withColumn("segment",
+      col("r_score") * 100L + col("f_score") * 10L + col("m_score"))
+  }
+
   def tableProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty)
     cols.map { c =>

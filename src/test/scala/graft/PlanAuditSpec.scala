@@ -102,6 +102,9 @@ class PlanAuditSpec extends SparkSpec {
       "graph_degree_stats",
       // 1-row (total, k) scalar broadcast over the k-row occupancy table
       "ann_ivf_balance",
+      // the anchor-day and three 1-row tercile-threshold scalar
+      // broadcasts over the customer frame
+      "rel_rfm_segments",
       // the calibration sweeps' TRUTH side IS allPairsCosine's
       // sanctioned all-pairs broadcast scan (plus, for the probe sweep,
       // a 1-row candidate-volume scalar broadcast per depth); the LSH
