@@ -217,7 +217,8 @@ object RelationalEntries {
     // tercile scores from histogram-sketch thresholds (no global sort),
     // exact int64 metrics and boundary compares
     "rel_rfm_segments" -> ((s, dir) =>
-      gate(Relational.rfmSegments(Relational.orders(s, dir)), "o_custkey")),
+      gate(Relational.rfmSegments(Relational.orders(s, dir),
+        pin = _.localCheckpoint()), "o_custkey")),
     // ext: 1-row structural profile of the same graph — degree moments
     // + Newman assortativity; exact int64 sums, double-only final ratio
     "graph_degree_stats" -> ((s, dir) => {

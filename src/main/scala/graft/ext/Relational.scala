@@ -1062,10 +1062,13 @@ object Relational {
    *
    * Scale: one order-sized customer rollup, three histogram-bounded
    * threshold fits, four 1-row/2-row scalar broadcasts back onto the
-   * customer frame.
+   * customer frame. The metrics frame feeds all three fits AND the
+   * final scoring — pass `pin = _.localCheckpoint()` (the established
+   * hook) so the order scan and rollup run once, not four times.
    */
   def rfmSegments(orders: DataFrame, dayBucket: Long = 30L,
-      spendBucket: Long = 100000000L): DataFrame = {
+      spendBucket: Long = 100000000L,
+      pin: DataFrame => DataFrame = identity): DataFrame = {
     require(dayBucket >= 1 && spendBucket >= 1)
     val per = orders
       .select(col("o_custkey"),
@@ -1074,11 +1077,11 @@ object Relational {
       .groupBy("o_custkey")
       .agg(max("day").as("last_day"), count(lit(1)).as("n_orders"),
         sum("price_e4").as("spend_e4"))
-    val metrics = per
+    val metrics = pin(per
       .crossJoin(broadcast(per.agg(max("last_day").as("anchor"))))
       .select(col("o_custkey"),
         (col("anchor") - col("last_day")).as("days_since"),
-        col("n_orders"), col("spend_e4"))
+        col("n_orders"), col("spend_e4")))
     def cuts(valueCol: String, width: Long, t1: String, t2: String) =
       broadcast(TextAnalysis
         .quantileSketchHist(metrics.withColumn("g", lit(1)), "g", valueCol,
