@@ -248,7 +248,9 @@ object Bench {
     // per-type top-k via the bounded-heap Aggregator (no window sort)
     "events_top_users",
     // RFM terciles from histogram-sketch thresholds, no global sort
-    "rel_rfm_segments")
+    "rel_rfm_segments",
+    // basket rules: canonical pair join + result-sized support joins
+    "rel_basket_rules")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

@@ -213,6 +213,12 @@ object RelationalEntries {
         .select(col("a.p").as("src"), col("b.p").as("dst"))
       gate(Graph.triangleCounts(edges), "node")
     }),
+    // ext: market-basket rules — support/confidence/lift for directed
+    // co-ordered part pairs above min support; exact int64 counts, the
+    // canonical order-keyed pair join, result-sized support joins
+    "rel_basket_rules" -> ((s, dir) =>
+      gate(Relational.basketRules(Relational.lineitem(s, dir),
+        BasketMinSupport), "ante", "cons")),
     // ext: RFM customer segmentation — recency/frequency/monetary
     // tercile scores from histogram-sketch thresholds (no global sort),
     // exact int64 metrics and boundary compares
@@ -400,6 +406,10 @@ object RelationalEntries {
     * the [[ProfitNamePart]]-matched parts in the [[RevFrom]] year — 53
     * dominant suppliers at sf0.01). */
   private val DomDenom = 2L
+
+  /** Minimum pair support of the basket-rules contract (≥3 shared
+    * orders keeps the rule table result-sized at both gate sfs). */
+  private val BasketMinSupport = 3L
 
   /** k-core contract: threshold and peel rounds chosen so the cascade
     * genuinely removes nodes across MULTIPLE rounds at both gate scale
@@ -945,6 +955,25 @@ object RelationalEntries {
         |      UNION ALL SELECT y FROM tri
         |      UNION ALL SELECT z FROM tri)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same distinct collapse, same canonical pair join, same exact-int
+    // ratios (one division each)
+    "rel_basket_rules" ->
+      s"""WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |               FROM lineitem),
+        |item AS MATERIALIZED (SELECT p, CAST(COUNT(*) AS BIGINT) AS sup FROM op GROUP BY 1),
+        |no AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM op),
+        |pr AS MATERIALIZED (SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS sup_ab
+        |      FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= $BasketMinSupport),
+        |dr AS (SELECT pa AS ante, pb AS cons, sup_ab FROM pr
+        |       UNION ALL SELECT pb, pa, sup_ab FROM pr)
+        |SELECT dr.ante, dr.cons, dr.sup_ab,
+        |       ia.sup AS sup_a, ic.sup AS sup_c,
+        |       ${r6sql("dr.sup_ab / CAST(ia.sup AS DOUBLE)")} AS confidence,
+        |       ${r6sql("CAST(dr.sup_ab * no.n_orders AS BIGINT) / CAST(ia.sup * ic.sup AS DOUBLE)")} AS lift
+        |FROM dr JOIN item ia ON ia.p = dr.ante
+        |JOIN item ic ON ic.p = dr.cons, no
+        |ORDER BY ante, cons""".stripMargin,
     // same histogram crossing rule per metric (min bucket with cum ≥
     // 1+floor(q·(n−1)), value = bucket·width), same int64 boundary
     // compares; qs interpolated from the SAME Scala doubles

@@ -1041,6 +1041,53 @@ object Relational {
         "dominated_qty")
   }
 
+  /**
+   * Market-basket association rules over co-ordered parts — support,
+   * confidence, and lift for every DIRECTED part pair above a minimum
+   * pair support (Agrawal–Srikant itemsets at size 2, the level a
+   * recommendation/cross-sell readout actually consumes):
+   * `support(a,b) = orders containing both`, `confidence(a→b) =
+   * sup(a,b)/sup(a)`, `lift = confidence / (sup(b)/N)` — all from exact
+   * int64 order counts; the two ratios divide exactly once each.
+   *
+   * Scale shape: one DISTINCT (order, part) collapse; item supports are
+   * one map-side-partial aggregate; pair supports ride the SAME
+   * order-keyed self-equi-join every co-ordered-parts graph query uses
+   * (canonical a < b, emitted in both directions afterward — the join
+   * never doubles); `minSupport` prunes BEFORE the support joins, so
+   * the rule table is result-sized. The classic Apriori pruning
+   * argument bounds the pair explosion: a part in p orders contributes
+   * ≤ C(basket,2) per order, and the min-support filter discards the
+   * long tail before anything joins back.
+   */
+  def basketRules(lineitem: DataFrame, minSupport: Long): DataFrame = {
+    require(minSupport >= 1)
+    val op = lineitem.select(col("l_orderkey").as("ok"),
+      col("l_partkey").as("p")).distinct()
+    val item = op.groupBy("p").agg(count(lit(1)).as("sup"))
+    val nOrders = op.select("ok").distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val pairs = op.as("a").join(op.as("b"),
+        col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+      .agg(count(lit(1)).as("sup_ab"))
+      .where(col("sup_ab") >= minSupport)
+    val directed = pairs.select(col("pa").as("ante"), col("pb").as("cons"),
+        col("sup_ab"))
+      .unionByName(pairs.select(col("pb").as("ante"), col("pa").as("cons"),
+        col("sup_ab")))
+    directed
+      .join(item.select(col("p").as("ante"), col("sup").as("sup_a")), "ante")
+      .join(item.select(col("p").as("cons"), col("sup").as("sup_c")), "cons")
+      .crossJoin(broadcast(nOrders))
+      .select(col("ante"), col("cons"), col("sup_ab"), col("sup_a"),
+        col("sup_c"),
+        (col("sup_ab").cast("double") / col("sup_a").cast("double"))
+          .as("confidence"),
+        ((col("sup_ab") * col("n_orders")).cast("double") /
+          (col("sup_a") * col("sup_c")).cast("double")).as("lift"))
+  }
+
   /** Tercile cut points of the RFM contract (interpolated verbatim into
     * the oracle so both engines floor the identical doubles). */
   val RfmQs: Seq[Double] = Seq(1.0 / 3, 2.0 / 3)

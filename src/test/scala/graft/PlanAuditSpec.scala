@@ -105,6 +105,8 @@ class PlanAuditSpec extends SparkSpec {
       // the anchor-day and three 1-row tercile-threshold scalar
       // broadcasts over the customer frame
       "rel_rfm_segments",
+      // the 1-row order-count scalar broadcast over the rule table
+      "rel_basket_rules",
       // the calibration sweeps' TRUTH side IS allPairsCosine's
       // sanctioned all-pairs broadcast scan (plus, for the probe sweep,
       // a 1-row candidate-volume scalar broadcast per depth); the LSH
