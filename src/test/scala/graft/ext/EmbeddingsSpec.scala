@@ -688,6 +688,16 @@ class EmbeddingsSpec extends SparkSpec {
     assert(row.getLong(4) == 1L)                           // only id 4 moved
   }
 
+  test("lshProbeMasks: exactly the 6-bit masks with ≤ h bits, unique, zero included") {
+    for (h <- 0 to 3) {
+      val ms = Embeddings.lshProbeMasks(6, h)
+      assert(ms.distinct.size == ms.size)
+      assert(ms.contains(0L))
+      assert(ms.toSet ==
+        (0L until 64L).filter(m => java.lang.Long.bitCount(m) <= h).toSet, s"h=$h")
+    }
+  }
+
   test("ivfListBalance: planted 2-vs-4 split, hand-computed load factors") {
     // two tight groups; id-seeding puts both seeds in group A, but one
     // Lloyd update pulls the centroids apart and round 2 assigns 2 vs 4
