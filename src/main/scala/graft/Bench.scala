@@ -250,7 +250,10 @@ object Bench {
     // RFM terciles from histogram-sketch thresholds, no global sort
     "rel_rfm_segments",
     // basket rules: canonical pair join + result-sized support joins
-    "rel_basket_rules")
+    "rel_basket_rules",
+    // weighted sampling via exponential-race keys over the DSIR weights
+    // (ADVICE r8: was the one r8 query missing from the headline list)
+    "corpus_dsir_sample")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

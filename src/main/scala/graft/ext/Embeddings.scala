@@ -336,8 +336,16 @@ object Embeddings {
     * pair at bucket-Hamming d matches exactly ONE mask (= the XOR of
     * the two buckets), so deeper probing never duplicates a pair. */
   def lshProbeMasks(planes: Int, maxHamming: Int): Seq[Long] = {
+    require(planes >= 1 && planes <= 62, "planes must be in [1, 62]")
     require(maxHamming >= 0 && maxHamming <= planes)
-    (0L until (1L << planes)).filter(m => java.lang.Long.bitCount(m) <= maxHamming)
+    // combinatorial generation (choose <= maxHamming of `planes` bit
+    // positions): O(C(planes, maxHamming)) for ANY plane count, where the
+    // old filter over 0..2^planes was infeasible past ~30 planes and
+    // silently wrapped past 62 (ADVICE r8)
+    def choose(start: Int, left: Int): Seq[Long] =
+      if (left == 0) Seq(0L)
+      else (start until planes).flatMap(b => choose(b + 1, left - 1).map(_ | (1L << b)))
+    (0 to maxHamming).flatMap(h => choose(0, h)).sorted
   }
 
   def lshNearPairs(buckets: DataFrame, planes: Int = LshPlanes,

@@ -189,8 +189,7 @@ object Pipelines {
         sourceCol, targetSource, pin = pin)
       .where(col("is_target") === 0L)
       .select(col("doc_id"),
-        (floor(col("log_weight") * lit(1e6) + lit(0.50001)) / lit(1e6))
-          .as("log_weight"))
+        TextAnalysis.snapCol(col("log_weight")).as("log_weight"))
     val order = Seq(col("log_weight").desc, col("doc_id").asc)
     clean.join(weights, "doc_id")
       .orderBy(order: _*).limit(m)

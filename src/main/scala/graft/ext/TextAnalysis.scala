@@ -1322,8 +1322,10 @@ object TextAnalysis {
   }
 
   /** Snap a double column to the 1e-6 comparison grid (biased floor —
-    * the [[graft.entry.EntryUtil.gate]] convention). */
-  private def snapCol(c: Column) =
+    * the [[graft.entry.EntryUtil.gate]] convention). Package-visible so
+    * composed pipelines ([[Pipelines.selectCorpus]]) reuse THIS spelling
+    * instead of inlining a copy that could drift (ADVICE r8). */
+  private[ext] def snapCol(c: Column) =
     floor(c * lit(1e6) + lit(0.50001)) / lit(1e6)
 
   /**

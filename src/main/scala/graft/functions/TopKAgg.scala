@@ -38,9 +38,24 @@ class TopKAgg(k: Int)
 
   override def zero: Seq[TopKEntry] = Seq.empty
 
-  override def reduce(b: Seq[TopKEntry], a: TopKEntry): Seq[TopKEntry] =
-    if (b.lengthCompare(k) < 0 || ord.lt(a, b.last)) (b :+ a).sorted(ord).take(k)
-    else b
+  override def reduce(b: Seq[TopKEntry], a: TopKEntry): Seq[TopKEntry] = {
+    // the buffer is kept sorted by construction (zero is empty, merge
+    // re-sorts), so an accepted row binary-inserts in O(log k) compares +
+    // one O(k) splice instead of re-sorting the whole buffer per row
+    // (ADVICE r8: O(k log k) per input on the hot aggregation path)
+    val full = b.lengthCompare(k) >= 0
+    if (full && ord.lteq(b.last, a)) b
+    else {
+      var lo = 0
+      var hi = b.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (ord.lt(b(mid), a)) lo = mid + 1 else hi = mid
+      }
+      val (pre, post) = b.splitAt(lo)
+      (pre :+ a) ++ (if (full) post.dropRight(1) else post)
+    }
+  }
 
   override def merge(b1: Seq[TopKEntry], b2: Seq[TopKEntry]): Seq[TopKEntry] =
     (b1 ++ b2).sorted(ord).take(k)
