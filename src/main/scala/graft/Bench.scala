@@ -249,8 +249,10 @@ object Bench {
     "events_top_users",
     // RFM terciles from histogram-sketch thresholds, no global sort
     "rel_rfm_segments",
-    // basket rules: canonical pair join + result-sized support joins
-    "rel_basket_rules",
+    // basket rules: canonical pair join + result-sized support joins;
+    // the planted mega-basket pair measures the C(basket,2) mass the
+    // basket-size cap removes (r9: the aligned_pairs_skew pattern)
+    "rel_basket_rules", "rel_basket_rules_skew", "rel_basket_rules_skew_capped",
     // weighted sampling via exponential-race keys over the DSIR weights
     // (ADVICE r8: was the one r8 query missing from the headline list)
     "corpus_dsir_sample")

@@ -215,10 +215,28 @@ object RelationalEntries {
     }),
     // ext: market-basket rules — support/confidence/lift for directed
     // co-ordered part pairs above min support; exact int64 counts, the
-    // canonical order-keyed pair join, result-sized support joins
+    // canonical order-keyed pair join, result-sized support joins.
+    // maxBasket is part of the contract (r8 ask #2): the cap is far
+    // above the TPC-H basket tail (≤ 7 parts), so it prunes nothing
+    // here — the planted twins below prove it prunes the right thing
     "rel_basket_rules" -> ((s, dir) =>
       gate(Relational.basketRules(Relational.lineitem(s, dir),
-        BasketMinSupport), "ante", "cons")),
+        BasketMinSupport, BasketMaxItems), "ante", "cons")),
+    // the PLANTED MEGA-BASKET twins (VERDICT r8 ask #2, the
+    // aligned_pairs_skew pattern): one synthetic order (key −1) holding
+    // EVERY distinct part — C(|parts|, 2) pair rows through one task
+    // before min-support sees anything, the bot-cart regime the cap
+    // exists for. The uncapped twin carries the quadratic mass (its own
+    // oracle mirrors the planted order's +1 on every pair support); the
+    // capped twin drops the mega-basket and must reproduce the base
+    // query's rows EXACTLY (shared oracle — the cap removes the planted
+    // order and nothing else). Bench times them side by side.
+    "rel_basket_rules_skew" -> ((s, dir) =>
+      gate(Relational.basketRules(megaBasketLineitem(s, dir),
+        BasketMinSupport, BasketNoCap), "ante", "cons")),
+    "rel_basket_rules_skew_capped" -> ((s, dir) =>
+      gate(Relational.basketRules(megaBasketLineitem(s, dir),
+        BasketMinSupport, BasketMaxItems), "ante", "cons")),
     // ext: RFM customer segmentation — recency/frequency/monetary
     // tercile scores from histogram-sketch thresholds (no global sort),
     // exact int64 metrics and boundary compares
@@ -411,6 +429,26 @@ object RelationalEntries {
     * orders keeps the rule table result-sized at both gate sfs). */
   private val BasketMinSupport = 3L
 
+  /** Basket-size cap of the rel_basket_rules contract — far above the
+    * TPC-H basket tail (≤ 7 distinct parts per order), so the base
+    * query keeps every order; the planted mega-basket (all parts in
+    * one order) sits far above it. */
+  private val BasketMaxItems = 100L
+
+  /** Effectively-uncapped setting for the skew twin: keeps the planted
+    * mega-basket so Bench can measure the C(basket, 2) blowup the cap
+    * removes. */
+  private val BasketNoCap = 10000000L
+
+  /** The planted mega-basket fixture: lineitem plus one synthetic order
+    * (key −1, below every real key) containing every distinct part. */
+  private def megaBasketLineitem(s: SparkSession, dir: String): DataFrame = {
+    val li = Relational.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+    li.unionByName(li.select(col("l_partkey")).distinct()
+      .select(lit(-1L).as("l_orderkey"), col("l_partkey")))
+  }
+
   /** k-core contract: threshold and peel rounds chosen so the cascade
     * genuinely removes nodes across MULTIPLE rounds at both gate scale
     * factors (sf0.001: 200 → 185 → 177 → 169; sf0.01: 2000 → 1972 →
@@ -437,6 +475,34 @@ object RelationalEntries {
       |  CAST(COUNT(*) AS BIGINT) AS n_items
       |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** The mega-basket fixture's (order, part) source rows, mirroring
+    * [[megaBasketLineitem]]. */
+  private val megaBasketSql: String =
+    """SELECT l_orderkey AS ok0, l_partkey AS p0 FROM lineitem
+      |       UNION ALL SELECT DISTINCT CAST(-1 AS BIGINT), l_partkey FROM lineitem""".stripMargin
+
+  /** The basket-rules oracle chain over a (ok0, p0) source query, with
+    * the basket-size cap mirrored as a HAVING semi-join — shared by the
+    * base contract query and both planted-skew twins. */
+  private def basketRulesOracle(src: String, cap: Long): String =
+    s"""WITH op0 AS MATERIALIZED (SELECT DISTINCT ok0 AS ok, p0 AS p FROM ($src)),
+      |bs AS MATERIALIZED (SELECT ok FROM op0 GROUP BY ok HAVING COUNT(*) <= $cap),
+      |op AS MATERIALIZED (SELECT op0.ok, op0.p FROM op0 JOIN bs USING (ok)),
+      |item AS MATERIALIZED (SELECT p, CAST(COUNT(*) AS BIGINT) AS sup FROM op GROUP BY 1),
+      |no AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM op),
+      |pr AS MATERIALIZED (SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS sup_ab
+      |      FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p
+      |      GROUP BY 1, 2 HAVING COUNT(*) >= $BasketMinSupport),
+      |dr AS (SELECT pa AS ante, pb AS cons, sup_ab FROM pr
+      |       UNION ALL SELECT pb, pa, sup_ab FROM pr)
+      |SELECT dr.ante, dr.cons, dr.sup_ab,
+      |       ia.sup AS sup_a, ic.sup AS sup_c,
+      |       ${r6sql("dr.sup_ab / CAST(ia.sup AS DOUBLE)")} AS confidence,
+      |       ${r6sql("CAST(dr.sup_ab * no.n_orders AS BIGINT) / CAST(ia.sup * ic.sup AS DOUBLE)")} AS lift
+      |FROM dr JOIN item ia ON ia.p = dr.ante
+      |JOIN item ic ON ic.p = dr.cons, no
+      |ORDER BY ante, cons""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // money sums mirror the Spark side's r6∘r2 composition exactly: the
@@ -955,25 +1021,21 @@ object RelationalEntries {
         |      UNION ALL SELECT y FROM tri
         |      UNION ALL SELECT z FROM tri)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
-    // same distinct collapse, same canonical pair join, same exact-int
-    // ratios (one division each)
-    "rel_basket_rules" ->
-      s"""WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
-        |               FROM lineitem),
-        |item AS MATERIALIZED (SELECT p, CAST(COUNT(*) AS BIGINT) AS sup FROM op GROUP BY 1),
-        |no AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM op),
-        |pr AS MATERIALIZED (SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS sup_ab
-        |      FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p
-        |      GROUP BY 1, 2 HAVING COUNT(*) >= $BasketMinSupport),
-        |dr AS (SELECT pa AS ante, pb AS cons, sup_ab FROM pr
-        |       UNION ALL SELECT pb, pa, sup_ab FROM pr)
-        |SELECT dr.ante, dr.cons, dr.sup_ab,
-        |       ia.sup AS sup_a, ic.sup AS sup_c,
-        |       ${r6sql("dr.sup_ab / CAST(ia.sup AS DOUBLE)")} AS confidence,
-        |       ${r6sql("CAST(dr.sup_ab * no.n_orders AS BIGINT) / CAST(ia.sup * ic.sup AS DOUBLE)")} AS lift
-        |FROM dr JOIN item ia ON ia.p = dr.ante
-        |JOIN item ic ON ic.p = dr.cons, no
-        |ORDER BY ante, cons""".stripMargin,
+    // same distinct collapse, same basket-size cap semi-join, same
+    // canonical pair join, same exact-int ratios (one division each)
+    "rel_basket_rules" -> basketRulesOracle(
+      "SELECT l_orderkey AS ok0, l_partkey AS p0 FROM lineitem",
+      BasketMaxItems),
+    // planted mega-basket (order −1 = every part) kept by the huge cap:
+    // the oracle carries the +1 the synthetic order adds to every pair
+    // and item support, and the +1 order in N
+    "rel_basket_rules_skew" -> basketRulesOracle(megaBasketSql, BasketNoCap),
+    // the cap drops EXACTLY the planted order, so the capped twin must
+    // reproduce the base query bit for bit — same oracle text modulo the
+    // planted source proves the cap removes the mega-basket and nothing
+    // else
+    "rel_basket_rules_skew_capped" ->
+      basketRulesOracle(megaBasketSql, BasketMaxItems),
     // same histogram crossing rule per metric (min bucket with cum ≥
     // 1+floor(q·(n−1)), value = bucket·width), same int64 boundary
     // compares; qs interpolated from the SAME Scala doubles

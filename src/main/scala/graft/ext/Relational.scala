@@ -1059,11 +1059,31 @@ object Relational {
    * argument bounds the pair explosion: a part in p orders contributes
    * ≤ C(basket,2) per order, and the min-support filter discards the
    * long tail before anything joins back.
+   *
+   * `maxBasket` is the hot-key cap (the [[graft.ext.Graph.linkPredict]]
+   * maxDeg / dfCapShingles analogue, VERDICT r8 ask #2): the pair join
+   * emits C(basket, 2) rows per order BEFORE min-support can prune, so
+   * one pathological mega-basket (a bot order with 10⁵ items) is 5×10⁹
+   * rows in the single task owning that order key. Orders with more
+   * than `maxBasket` DISTINCT parts are dropped from the WHOLE support
+   * universe (item supports, order count, and pairs) before the join —
+   * population-consistent semantics: every support/confidence/lift is
+   * exact over the retained orders, and a C(cap, 2) per-order bound
+   * holds by construction. Recall contract: co-occurrence evidence that
+   * exists ONLY inside dropped mega-baskets is not counted — exactly
+   * the evidence a basket model calls uninformative (a basket of
+   * everything recommends nothing). Size it well above the honest
+   * basket tail (TPC-H's is ≤ 7; retail carts ~10²).
    */
-  def basketRules(lineitem: DataFrame, minSupport: Long): DataFrame = {
+  def basketRules(lineitem: DataFrame, minSupport: Long,
+      maxBasket: Long): DataFrame = {
     require(minSupport >= 1)
-    val op = lineitem.select(col("l_orderkey").as("ok"),
+    require(maxBasket >= 2, "a basket needs 2 items to form a pair")
+    val op0 = lineitem.select(col("l_orderkey").as("ok"),
       col("l_partkey").as("p")).distinct()
+    val keep = op0.groupBy("ok").agg(count(lit(1)).as("basket"))
+      .where(col("basket") <= maxBasket).select("ok")
+    val op = op0.join(keep, Seq("ok"), "left_semi")
     val item = op.groupBy("p").agg(count(lit(1)).as("sup"))
     val nOrders = op.select("ok").distinct()
       .agg(count(lit(1)).as("n_orders"))

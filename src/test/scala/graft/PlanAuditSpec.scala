@@ -106,7 +106,7 @@ class PlanAuditSpec extends SparkSpec {
       // broadcasts over the customer frame
       "rel_rfm_segments",
       // the 1-row order-count scalar broadcast over the rule table
-      "rel_basket_rules",
+      "rel_basket_rules", "rel_basket_rules_skew", "rel_basket_rules_skew_capped",
       // the calibration sweeps' TRUTH side IS allPairsCosine's
       // sanctioned all-pairs broadcast scan (plus, for the probe sweep,
       // a 1-row candidate-volume scalar broadcast per depth); the LSH

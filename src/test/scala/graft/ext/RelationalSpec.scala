@@ -660,4 +660,36 @@ class RelationalSpec extends SparkSpec {
     assert(r.head.getAs[Long]("n_dominated_parts") === 1L)
     assert(r.head.getAs[Long]("dominated_qty") === 6L)
   }
+
+  test("basketRules: maxBasket drops mega-baskets from the whole support universe") {
+    // orders 1-3 are honest 2-3 item baskets; order 9 is a 5-item mega-basket
+    val li = Seq(
+      (1L, 10L), (1L, 20L),
+      (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 20L), (3L, 30L),
+      (9L, 10L), (9L, 20L), (9L, 30L), (9L, 40L), (9L, 50L))
+      .toDF("l_orderkey", "l_partkey")
+    // uncapped: N = 4 orders; pairs with support >= 2:
+    // (10,20)=4, (10,30)=2, (20,30)=2 -> 6 directed rules
+    val un = Relational.basketRules(li, minSupport = 2L, maxBasket = 100L)
+      .collect()
+    assert(un.length === 6)
+    val r1030 = un.find(r => r.getAs[Long]("ante") == 10L &&
+      r.getAs[Long]("cons") == 30L).get
+    assert(r1030.getAs[Long]("sup_ab") === 2L)
+    assert(r1030.getAs[Long]("sup_a") === 4L)
+    assert(r1030.getAs[Long]("sup_c") === 2L)
+    assertApprox(r1030.getAs[Double]("confidence"), 0.5)
+    assertApprox(r1030.getAs[Double]("lift"), 1.0)
+    // capped at 3: order 9 leaves the WHOLE universe - N = 3,
+    // sup(10)=sup(20)=3, only (10,20) reaches support 2 -> 2 rules,
+    // and the surviving rule's supports exclude the mega-basket
+    val cp = Relational.basketRules(li, minSupport = 2L, maxBasket = 3L)
+      .collect()
+    assert(cp.length === 2)
+    assert(cp.forall(r => Set(10L, 20L)(r.getAs[Long]("ante"))))
+    assert(cp.forall(_.getAs[Long]("sup_ab") == 3L))
+    assert(cp.forall(_.getAs[Long]("sup_a") == 3L))
+    cp.foreach(r => assertApprox(r.getAs[Double]("lift"), 1.0))
+  }
 }
