@@ -85,14 +85,17 @@ object CoreEntries {
     // pin = persist: the contract query runs once, so materializing the
     // shared normalized/candidate tables beats recomputing them per branch
     // (Bench clears the cache between reps; Verify's session is one-shot)
+    // plane count SELF-SIZES from the vector count (SparseAnn.AutoPlanes
+    // → derivePlanes; r9, replacing the SPARK_GRAFT_ANN_PLANES rescue) —
+    // the oracle below derives the IDENTICAL count in SQL
     "cosine_topk_ann" -> ((s, dir) =>
       gate(graft.ext.SparseAnn.topSimilarAnn(analysis(s), supplierPartMatrix(s, dir), 5,
-        pin = _.persist(), planes = AnnPlanes, center = AnnCenter), "vector", "rank")),
+        pin = _.persist(), center = AnnCenter), "vector", "rank")),
     // ANN-routed missing-value prediction: same CF weighting as
     // cosine_predict, neighbors restricted to the LSH candidate rule
     "cosine_predict_ann" -> ((s, dir) =>
       gate(graft.ext.SparseAnn.predictMissingAnn(analysis(s), supplierPartMatrix(s, dir), 5,
-        pin = _.persist(), planes = AnnPlanes, center = AnnCenter), "y", "x")),
+        pin = _.persist(), center = AnnCenter), "y", "x")),
     // document-frequency cap before alignment (the Zipf-head scale guard)
     "aligned_pairs_dfcap" -> ((s, dir) => {
       val a = analysis(s)
@@ -124,16 +127,6 @@ object CoreEntries {
 
   /** df cap for aligned_pairs_dfcap — prunes the head coordinates at every sf. */
   private val DfCapMax = 20L
-
-  /** Sparse-ANN hyperplane count for the contract pair. Default = the
-    * library default (6 → 64 buckets, the driver contract); overridable
-    * via SPARK_GRAFT_ANN_PLANES for scaled runs — the ORACLE below is
-    * built from the same value, so the correctness compare stays
-    * self-consistent at any setting (the sfx1 spot-bench runs these two
-    * queries at 12 planes, where the fixed-width 64-bucket candidate
-    * surface had blown past local disk). */
-  private val AnnPlanes: Int = sys.env.get("SPARK_GRAFT_ANN_PLANES")
-    .map(_.toInt).getOrElse(graft.ext.SparseAnn.Planes)
 
   /** Mean-centered sign test (SPARK_GRAFT_ANN_CENTER=1): the scaled-run
     * switch for positively-valued matrices, where every vector is
@@ -170,12 +163,35 @@ object CoreEntries {
     |       floor((v2)*1e6 + 0.50001)/1e6 AS value2
     |FROM p ORDER BY vector0, vector1, prediction_axis""".stripMargin
 
-  /** Sparse sign-LSH candidate chain (buckets → hamming≤1 pairs → snapped
-    * dense cosine, symmetrized) mirroring graft.ext.SparseAnn — the shared
-    * prefix of the cosine_topk_ann / cosine_predict_ann oracles. */
+  /** Every plane index the oracle must be prepared to use: the Spark
+    * side derives planes ∈ [SparseAnn.Planes, SparseAnn.MaxPlanes] from
+    * the vector count, so the oracle computes EVERY candidate plane's
+    * projection and masks the bits at or above the derived count. */
+  private val AllPlanes = 0 until graft.ext.SparseAnn.MaxPlanes
+
+  /** 1-row derived plane count, mirroring [[graft.ext.SparseAnn
+    * .derivePlanes]] with pure integer compares (never log2 on a
+    * double): np = 6 + Σ_{p=6}^{15} [4·n > 2^p] over the SAME
+    * COUNT(DISTINCT vector) the Spark side runs. */
+  private val annNpSql: String = {
+    val terms = (graft.ext.SparseAnn.Planes until graft.ext.SparseAnn.MaxPlanes)
+      .map(p => s"(CASE WHEN 4 * nv.n > ${1L << p} THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s""",
+      |np AS MATERIALIZED (SELECT ${graft.ext.SparseAnn.Planes} + $terms AS np
+      |      FROM (SELECT CAST(COUNT(DISTINCT y) AS BIGINT) AS n FROM n) nv)""".stripMargin
+  }
+
+  /** Sparse sign-LSH candidate chain (derived plane count → buckets →
+    * hamming≤1 pairs → snapped dense cosine, symmetrized) mirroring
+    * graft.ext.SparseAnn — the shared prefix of the cosine_topk_ann /
+    * cosine_predict_ann oracles. (mask, plane-index) rows: mask 0 (own
+    * bucket, index −1) plus each single-bit flip; the candidate join
+    * keeps only indices below the derived count. */
   private val annProbeMasksSql: String =
-    (0L +: (0 until AnnPlanes).map(j => 1L << j))
-      .map(m => s"($m)").mkString("(VALUES ", ", ", ") AS v(mask)")
+    ((0L, -1) +: AllPlanes.map(j => (1L << j, j)))
+      .map { case (m, j) => s"($m, $j)" }
+      .mkString("(VALUES ", ", ", ") AS v(mask, j)")
 
   /** The 1-row centering shift (per-plane mean-vector projection + the
     * vector count) mirrored from the Spark side's `center = true` path —
@@ -183,24 +199,24 @@ object CoreEntries {
   private val annTotSql: String =
     if (!AnnCenter) ""
     else s""",
-      |stot AS (SELECT ${(0 until AnnPlanes)
+      |stot AS MATERIALIZED (SELECT ${AllPlanes
           .map(k => s"SUM(${graft.ext.SparseAnn.planeComponent(k, "x")} * nv) AS t_$k")
           .mkString(", ")},
       |                CAST(COUNT(DISTINCT y) AS DOUBLE) AS n_vec
       |         FROM n)""".stripMargin
 
-  private val annCandSql: String = annTotSql + s""",
-    |sproj AS (SELECT y, ${(0 until AnnPlanes)
+  private val annCandSql: String = annNpSql + annTotSql + s""",
+    |sproj AS MATERIALIZED (SELECT y, ${AllPlanes
         .map(k => s"SUM(${graft.ext.SparseAnn.planeComponent(k, "x")} * nv) AS p_$k")
         .mkString(", ")}
-    |          FROM n GROUP BY y${if (AnnCenter) "),\nsprojc AS (SELECT y, " +
-          (0 until AnnPlanes).map(k => s"sproj.p_$k - stot.t_$k / stot.n_vec AS p_$k")
+    |          FROM n GROUP BY y${if (AnnCenter) "),\nsprojc AS MATERIALIZED (SELECT y, " +
+          AllPlanes.map(k => s"sproj.p_$k - stot.t_$k / stot.n_vec AS p_$k")
             .mkString(", ") + " FROM sproj CROSS JOIN stot" else ""}),
-    |sbkt AS (SELECT y AS v, CAST(${(0 until AnnPlanes)
-        .map(k => s"CASE WHEN floor(p_$k*1e6 + 0.50001)/1e6 > 0 THEN ${1L << k} ELSE 0 END")
+    |sbkt AS MATERIALIZED (SELECT y AS v, CAST(${AllPlanes
+        .map(k => s"CASE WHEN $k < np.np AND floor(p_$k*1e6 + 0.50001)/1e6 > 0 THEN ${1L << k} ELSE 0 END")
         .mkString(" + ")} AS BIGINT) AS bucket
-    |         FROM ${if (AnnCenter) "sprojc" else "sproj"}),
-    |mk AS (SELECT * FROM $annProbeMasksSql),
+    |         FROM ${if (AnnCenter) "sprojc" else "sproj"}, np),
+    |mk AS MATERIALIZED (SELECT v.mask FROM $annProbeMasksSql, np WHERE v.j < np.np),
     |cand AS (SELECT hi.v AS vector0, lo.v AS vector1
     |         FROM sbkt lo JOIN sbkt hi ON lo.v < hi.v
     |         JOIN mk ON xor(lo.bucket, hi.bucket) = CAST(mk.mask AS BIGINT)),

@@ -151,4 +151,21 @@ class SparseAnnSpec extends SparkSpec {
       assertApprox(r.getDouble(3), exact((r.getString(0), r.getString(2))), 1e-9)
     }
   }
+
+  test("derivePlanes: +1 plane per vector doubling, 4x bucket headroom, clamped") {
+    import SparseAnn.derivePlanes
+    // 4n <= 64 stays at the 6-plane floor
+    assert(derivePlanes(1L) === 6)
+    assert(derivePlanes(16L) === 6)
+    // first doubling past the floor
+    assert(derivePlanes(17L) === 7)
+    // the measured sfx1 rescue band: 10k vectors -> every term fires
+    assert(derivePlanes(1000L) === 12)
+    assert(derivePlanes(10000L) === 16)
+    // clamp at MaxPlanes regardless of corpus size
+    assert(derivePlanes(Long.MaxValue / 8) === SparseAnn.MaxPlanes)
+    // monotone non-decreasing across the whole range we exercise
+    val samples = Seq(1L, 10L, 100L, 1000L, 10000L, 100000L, 1000000L)
+    assert(samples.map(derivePlanes) === samples.map(derivePlanes).sorted)
+  }
 }
