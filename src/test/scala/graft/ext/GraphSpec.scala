@@ -311,4 +311,49 @@ class GraphSpec extends SparkSpec {
     assert(s2.getLong(1) == 4L)
     assertApprox(s2.getDouble(5), 0.0, 1e-12)
   }
+
+  test("kCoreFixpoint peels a path to empty with a measured, converging count") {
+    // path a-b-c-d-e: 2-core of a tree is empty; each round peels the
+    // current leaves, so the counts shrink monotonically to 0
+    val path = Seq(("a","b"), ("b","c"), ("c","d"), ("d","e"))
+      .toDF("src", "dst")
+    val r = Graph.kCoreFixpoint(path, k = 2, maxRounds = 10)
+    assert(r.converged)
+    assert(r.core.count() === 0L)
+    assert(r.aliveCounts.last === 0L)
+    assert(r.aliveCounts === r.aliveCounts.sorted.reverse) // monotone
+    // needs 3+ peel rounds (ends 2 rounds before a blind 10-round run)
+    assert(r.aliveCounts.length >= 3 && r.aliveCounts.length < 10)
+  }
+
+  test("kCoreFixpoint keeps a clique and matches a deep fixed-round peel") {
+    // 4-clique with a pendant tail f-g: the 2-core fixpoint is the clique
+    val cl = for { x <- Seq("a","b","c","d"); y <- Seq("a","b","c","d") if x < y }
+      yield (x, y)
+    val edges = (cl ++ Seq(("d","f"), ("f","g"))).toDF("src", "dst")
+    val r = Graph.kCoreFixpoint(edges, k = 2, maxRounds = 10)
+    assert(r.converged)
+    val fix = r.core.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(fix === Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+    // a fixed-round run deep enough must agree row-for-row
+    val deep = Graph.kCoreAlive(edges, 2, rounds = 10)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(deep === fix)
+  }
+
+  test("labelPropagationConverged stops at zero changes and matches deep fixed rounds") {
+    // two 3-cliques joined by one bridge — the labelPropagation fixture
+    val cl = Seq(("a","b"), ("b","c"), ("a","c"),
+      ("x","y"), ("y","z"), ("x","z"), ("c","x")).toDF("src", "dst")
+    val r = Graph.labelPropagationConverged(cl, maxRounds = 15)
+    assert(r.converged)
+    assert(r.changesPerRound.last === 0L)
+    assert(r.changesPerRound.length < 15) // measured stop, not the budget
+    val conv = r.labels.collect().map(x => x.getString(0) -> x.getString(1)).toMap
+    // converged labels are a fixed point: one more synchronous round of
+    // the fixed-round form at the SAME depth reproduces them
+    val deep = Graph.labelPropagation(cl, rounds = r.changesPerRound.length + 3)
+      .collect().map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(deep === conv)
+  }
 }
