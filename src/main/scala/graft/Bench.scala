@@ -259,7 +259,11 @@ object Bench {
     // r9: the measured-stopping-rule graph twins — same per-round plans
     // as graph_kcore / graph_lpa plus one driver-side count per round,
     // stopping at the fixed point instead of a blind round budget
-    "graph_kcore_fixpoint", "graph_lpa_converged")
+    "graph_kcore_fixpoint", "graph_lpa_converged",
+    // r9: the IVF-routed sparse cosine ANN (hashed features → Lloyd
+    // lists → symmetric nprobe candidates → exact cosine) and its
+    // recall audit against the exact dense top-k
+    "cosine_topk_ivf", "cosine_topk_ivf_recall")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

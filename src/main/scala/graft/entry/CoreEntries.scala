@@ -96,6 +96,26 @@ object CoreEntries {
     "cosine_predict_ann" -> ((s, dir) =>
       gate(graft.ext.SparseAnn.predictMissingAnn(analysis(s), supplierPartMatrix(s, dir), 5,
         pin = _.persist(), center = AnnCenter), "y", "x")),
+    // IVF-routed top-k (r8 ask #4): feature-hash the sparse vectors to a
+    // fixed dim, Lloyd the hashed corpus into inverted lists, candidates
+    // from symmetric nprobe routing, EXACT sparse cosine on candidates —
+    // the quadratic-free route for the dense-support regime where
+    // sign-LSH measurably loses (bench_sf1.json)
+    "cosine_topk_ivf" -> ((s, dir) =>
+      gate(graft.ext.SparseAnn.topSimilarIvf(analysis(s), supplierPartMatrix(s, dir), 5,
+        pin = _.persist()), "vector", "rank")),
+    // the route's self-audit: per-vector recall of the IVF top-5 against
+    // the exact dense top-5 (the ann_recall contract for this route)
+    "cosine_topk_ivf_recall" -> ((s, dir) => {
+      val a = analysis(s)
+      val m = supplierPartMatrix(s, dir)
+      val exact = a.fit(m, isSparse = false).topSimilar(5)
+        .select(col("vector").as("query_id"), col("neighbor").as("vec_id"))
+      val ivf = graft.ext.SparseAnn.topSimilarIvf(a, m, 5, pin = _.persist())
+        .select(col("vector").as("query_id"), col("neighbor").as("vec_id"))
+      gate(graft.ext.Embeddings.recallAtK(exact, ivf)
+        .withColumnRenamed("query_id", "vector"), "vector")
+    }),
     // document-frequency cap before alignment (the Zipf-head scale guard)
     "aligned_pairs_dfcap" -> ((s, dir) => {
       val a = analysis(s)
@@ -229,6 +249,70 @@ object CoreEntries {
     |csym AS (SELECT vector0 AS v, vector1 AS u, s FROM csim
     |         UNION ALL SELECT vector1 AS v, vector0 AS u, s FROM csim)""".stripMargin
 
+  /** IVF candidate chain mirroring graft.ext.SparseAnn.candidateSimsIvf
+    * stage by stage: hashed features → seeded, unrolled Lloyd rounds
+    * (snapped centroids and distances) → symmetric nprobe candidates →
+    * exact snapped cosine over the pipeline's vm/num CTEs, symmetrized
+    * as `icsym`. */
+  private val ivfCandSql: String = {
+    import graft.ext.SparseAnn.{IvfDim, IvfIters, IvfLists, IvfNprobe, ivfDimSql}
+    val rounds = (1 to IvfIters).map { i =>
+      val cent = s"cent${i - 1}"
+      val update =
+        if (i == IvfIters) ""
+        else s""",
+          |ias$i AS MATERIALIZED (SELECT y, cid FROM
+          |  (SELECT y, cid, row_number() OVER (PARTITION BY y ORDER BY d2, cid) AS rn
+          |   FROM d$i) WHERE rn = 1),
+          |isz$i AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS cn FROM ias$i GROUP BY 1),
+          |cent$i AS MATERIALIZED (
+          |  SELECT a.cid, hh.j, floor((SUM(hh.hv) / sz.cn)*1e6 + 0.50001)/1e6 AS c
+          |  FROM hh JOIN ias$i a USING (y) JOIN isz$i sz ON sz.cid = a.cid
+          |  GROUP BY a.cid, hh.j, sz.cn)""".stripMargin
+      s"""cd$i AS MATERIALIZED (
+        |  SELECT cc.cid, rng.j, COALESCE(c.c, 0.0) AS c
+        |  FROM (SELECT DISTINCT cid FROM $cent) cc CROSS JOIN rng
+        |  LEFT JOIN $cent c ON c.cid = cc.cid AND c.j = rng.j),
+        |ic2$i AS (SELECT cid, SUM(c*c) AS c2 FROM cd$i GROUP BY 1),
+        |idt$i AS (SELECT hh.y, cd$i.cid, SUM(hh.hv * cd$i.c) AS dot
+        |          FROM hh JOIN cd$i USING (j) GROUP BY 1, 2),
+        |d$i AS MATERIALIZED (
+        |  SELECT t.y, t.cid,
+        |         floor((x2.x2 + c.c2 - 2*t.dot)*1e6 + 0.50001)/1e6 AS d2
+        |  FROM idt$i t JOIN x2 USING (y) JOIN ic2$i c USING (cid))$update""".stripMargin
+    }.mkString(",\n")
+    s""",
+      |hh AS MATERIALIZED (SELECT y, CAST(${ivfDimSql("x", IvfDim)} AS BIGINT) AS j,
+      |             SUM(nv) AS hv FROM n GROUP BY 1, 2),
+      |x2 AS MATERIALIZED (SELECT y, SUM(hv*hv) AS x2 FROM hh GROUP BY 1),
+      |sd AS MATERIALIZED (SELECT y, CAST(rn - 1 AS BIGINT) AS cid FROM
+      |  (SELECT y, row_number() OVER (ORDER BY y) AS rn
+      |   FROM (SELECT DISTINCT y FROM hh)) WHERE rn <= $IvfLists),
+      |rng AS (SELECT CAST(unnest(range(0, $IvfDim)) AS BIGINT) AS j),
+      |cent0 AS MATERIALIZED (SELECT sd.cid, hh.j, hh.hv AS c FROM hh JOIN sd USING (y)),
+      |$rounds,
+      |rkq AS MATERIALIZED (SELECT y, cid,
+      |        row_number() OVER (PARTITION BY y ORDER BY d2, cid) AS rn
+      |      FROM d$IvfIters),
+      |iasg AS MATERIALIZED (SELECT y, cid FROM rkq WHERE rn = 1),
+      |iprb AS MATERIALIZED (SELECT y, cid FROM rkq WHERE rn <= $IvfNprobe),
+      |icand AS MATERIALIZED (
+      |  SELECT DISTINCT v0 AS vector0, v1 AS vector1 FROM (
+      |    SELECT p.y AS v0, a.y AS v1 FROM iprb p JOIN iasg a USING (cid)
+      |    WHERE p.y > a.y
+      |    UNION ALL
+      |    SELECT a.y AS v0, p.y AS v1 FROM iasg a JOIN iprb p USING (cid)
+      |    WHERE a.y > p.y)),
+      |icsim AS (SELECT c.vector0, c.vector1,
+      |                 floor(COALESCE(num.numtr / (va.md * vb.md), 0.0)*1e6 + 0.50001)/1e6 AS s
+      |          FROM icand c
+      |          JOIN vm va ON va.vector = c.vector0
+      |          JOIN vm vb ON vb.vector = c.vector1
+      |          LEFT JOIN num ON num.vector0 = c.vector0 AND num.vector1 = c.vector1),
+      |icsym AS (SELECT vector0 AS v, vector1 AS u, s FROM icsim
+      |          UNION ALL SELECT vector1 AS v, vector0 AS u, s FROM icsim)""".stripMargin
+  }
+
   /** Dense sims snapped + symmetrized, shared by the topk/predict oracles. */
   private val symSimsSql: String = """,
     |sims AS (SELECT d.vector0, d.vector1,
@@ -301,6 +385,30 @@ object CoreEntries {
         |        FROM csym)
         |SELECT v AS vector, CAST(rn AS BIGINT) AS rank, u AS neighbor, s AS similarity_value
         |FROM crk WHERE rn <= 5 ORDER BY vector, rank""".stripMargin),
+    // the IVF candidate rule's ranked readout — same tail as
+    // cosine_topk_ann over the icsym chain
+    "cosine_topk_ivf" ->
+      (pipelineSql + ivfCandSql + """,
+        |irk AS (SELECT v, u, s, row_number() OVER (PARTITION BY v ORDER BY s DESC, u) AS rn
+        |        FROM icsym)
+        |SELECT v AS vector, CAST(rn AS BIGINT) AS rank, u AS neighbor, s AS similarity_value
+        |FROM irk WHERE rn <= 5 ORDER BY vector, rank""".stripMargin),
+    // per-vector overlap of the IVF top-5 with the exact dense top-5 —
+    // both chains replayed, joined on (vector, neighbor)
+    "cosine_topk_ivf_recall" ->
+      (pipelineSql + symSimsSql + ivfCandSql + """,
+        |xrk AS (SELECT v, u, row_number() OVER (PARTITION BY v ORDER BY s DESC, u) AS rn
+        |        FROM sym),
+        |tt AS (SELECT v, u FROM xrk WHERE rn <= 5),
+        |irk AS (SELECT v, u, row_number() OVER (PARTITION BY v ORDER BY s DESC, u) AS rn
+        |        FROM icsym),
+        |aa AS (SELECT v, u FROM irk WHERE rn <= 5),
+        |hits AS (SELECT tt.v, CAST(COUNT(*) AS BIGINT) AS hits
+        |         FROM tt JOIN aa ON aa.v = tt.v AND aa.u = tt.u GROUP BY 1),
+        |kk AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS k FROM tt GROUP BY 1)
+        |SELECT kk.v AS vector, kk.k, CAST(COALESCE(hits.hits, 0) AS BIGINT) AS hits,
+        |       floor((CAST(COALESCE(hits.hits, 0) AS DOUBLE) / kk.k)*1e6 + 0.50001)/1e6 AS recall
+        |FROM kk LEFT JOIN hits ON hits.v = kk.v ORDER BY vector""".stripMargin),
     // cosine_predict's CF tail over the SAME candidate CTE chain
     "cosine_predict_ann" ->
       (pipelineSql + annCandSql + """,

@@ -168,4 +168,33 @@ class SparseAnnSpec extends SparkSpec {
     val samples = Seq(1L, 10L, 100L, 1000L, 10000L, 100000L, 1000000L)
     assert(samples.map(derivePlanes) === samples.map(derivePlanes).sorted)
   }
+
+  test("topSimilarIvf: exact cosine values, equi-join plan, full-probe = exact top-k") {
+    val ivf = SparseAnn.topSimilarIvf(analysis, matrix, k = 3, lists = 4)
+    val plan = ivf.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    val rows = ivf.collect()
+    assert(rows.nonEmpty)
+    // every reported similarity equals the exact snapped dense cosine
+    val exactSims = analysis.fit(matrix, isSparse = false).allSimilarityValue
+      .collect().flatMap { sv =>
+        val snapped = math.floor(sv.similarity_value * 1e6 + 0.50001) / 1e6
+        Seq((sv.vector0, sv.vector1) -> snapped, (sv.vector1, sv.vector0) -> snapped)
+      }.toMap
+    rows.foreach { r =>
+      val key = (r.getString(0), r.getString(2))
+      assert(math.abs(r.getDouble(3) - exactSims(key)) < 1e-9,
+        s"$key: ${r.getDouble(3)} vs ${exactSims(key)}")
+    }
+    // probing EVERY list makes the candidate set exhaustive: the route
+    // must then reproduce the exact dense top-k bit for bit
+    val full = SparseAnn.topSimilarIvf(analysis, matrix, k = 3, lists = 4,
+        nprobe = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    val exact = analysis.fit(matrix, isSparse = false).topSimilar(3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(full.toSeq === exact.toSeq)
+  }
 }
