@@ -159,6 +159,16 @@ object DedupEntries {
         d.where(col("source") =!= EvalSource),
         d.where(col("source") === EvalSource), "doc_id", "text"), "doc_id")
     }),
+    // EXACT-substring decontamination (Lee et al. semantics, r8 ask
+    // #7): every 50-char window at every character offset, matched
+    // verbatim — catches arbitrary-alignment quotes the probabilistic
+    // and token-aligned probes can miss
+    "decontaminate_substring" -> ((s, dir) => {
+      val d = docs(s, dir)
+      gate(Dedup.substringContamination(
+        d.where(col("source") =!= EvalSource),
+        d.where(col("source") === EvalSource), "doc_id", "text"), "doc_id")
+    }),
     // near-dup leakage across the same split (MinHash bands + verify)
     "decontaminate_fuzzy" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -913,6 +923,26 @@ object DedupEntries {
         |       ${r6sql("CAST(SUM(CASE WHEN ev.sh IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)")} AS contamination
         |FROM tr LEFT JOIN ev ON tr.sh = ev.sh
         |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin),
+    // same stride-1 character windows via range+substr, same distinct
+    // collapse per side, same left-join probe — matching on the raw
+    // window string in both engines (no hash anywhere)
+    "decontaminate_substring" -> {
+      val L = graft.ext.Dedup.SubstrLen
+      s"""WITH tg AS MATERIALIZED (
+        |  SELECT DISTINCT d.doc_id, substr(d.text, r.i + 1, $L) AS g
+        |  FROM documents d, UNNEST(range(length(d.text) - ${L - 1})) AS r(i)
+        |  WHERE d.source <> '$EvalSource' AND length(d.text) >= $L),
+        |ev AS MATERIALIZED (
+        |  SELECT DISTINCT substr(d.text, r.i + 1, $L) AS g
+        |  FROM documents d, UNNEST(range(length(d.text) - ${L - 1})) AS r(i)
+        |  WHERE d.source = '$EvalSource' AND length(d.text) >= $L)
+        |SELECT tg.doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |       CAST(SUM(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hit_grams,
+        |       ${r6sql("CAST(SUM(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)")} AS contamination
+        |FROM tg LEFT JOIN ev ON tg.g = ev.g
+        |GROUP BY tg.doc_id ORDER BY doc_id""".stripMargin
+    },
     // the same Bloom chain: k salted avalanche positions per shingle,
     // distinct set-bit table, all-k-positions-hit flag per train shingle
     "decontaminate_bloom" -> {

@@ -997,6 +997,68 @@ object Dedup {
         (col("hit_shingles").cast("double") / col("n_shingles")).as("contamination"))
   }
 
+  /** Character-gram length of the EXACT-substring decontamination
+    * contract: a shared verbatim run of `SubstrLen`+ characters is
+    * caught at ANY alignment, deterministically. ~50 characters ≈ the
+    * 13-token probe's width in bytes, the Lee et al. ballpark. */
+  val SubstrLen = 50
+
+  /**
+   * Every distinct `len`-character window of each document at EVERY
+   * character offset (stride 1) — the flat spelling of a sorted-suffix
+   * block: two documents share a ≥ len-char verbatim substring iff two
+   * of their suffixes share a len-char prefix iff they share one of
+   * these windows. Documents shorter than `len` emit no row (nothing
+   * long enough to leak). One explode + one per-doc distinct; output is
+   * one row per character of input, linear like any suffix structure.
+   */
+  def substringGrams(docs: DataFrame, idCol: String, textCol: String,
+      len: Int): DataFrame = {
+    require(len >= 2)
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("t"))
+      .where(length(col("t")) >= len)
+      .select(col("doc_id"), col("t"),
+        explode(expr(s"sequence(0, length(t) - $len)")).as("p"))
+      .select(col("doc_id"), expr(s"substr(t, p + 1, $len)").as("g"))
+      .distinct()
+  }
+
+  /**
+   * EXACT-substring decontamination (Lee et al. 2022, "Deduplicating
+   * Training Data Makes Language Models Better" — the exact-substring
+   * semantics): for each train document, how many of its distinct
+   * `len`-character windows occur verbatim ANYWHERE in the eval corpus,
+   * at ANY character alignment. This is the guarantee the probabilistic
+   * probes cannot give: a 50-token quote pasted mid-document is caught
+   * with certainty here, where [[fuzzyContamination]]'s document-level
+   * MinHash misses it whenever the surrounding text dilutes the Jaccard
+   * below threshold (spec-pinned), and token-n-gram probes
+   * ([[contamination]]) depend on the tokenizer segmenting both copies
+   * identically. Matching is on the raw window STRING — no hash, no
+   * false positives, no false negatives above `len`.
+   *
+   * Scale shape: the standard Lee-et-al. suffix trade, spelled as a
+   * join — the eval side (benchmarks, MBs) collapses to its distinct
+   * window set and broadcasts; the train side streams one row per
+   * character through that probe once and aggregates map-side per
+   * document. Linear in train bytes — the same asymptotics as building
+   * the suffix array, with Spark's exchange machinery in place of the
+   * sort — and never train-vs-train.
+   */
+  def substringContamination(train: DataFrame, evalCorpus: DataFrame,
+      idCol: String, textCol: String, len: Int = SubstrLen): DataFrame = {
+    val tg = substringGrams(train, idCol, textCol, len)
+    val ev = substringGrams(evalCorpus, idCol, textCol, len)
+      .select(col("g")).distinct().withColumn("hit", lit(1L))
+    tg.join(ev, Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("hit_grams"))
+      .select(col("doc_id"), col("n_grams"), col("hit_grams"),
+        (col("hit_grams").cast("double") / col("n_grams")).as("contamination"))
+  }
+
   /** Bloom-filter geometry for [[bloomContamination]]: 2^14 bit
     * positions × 3 hashes. Part of the operator contract (the oracle
     * mirrors the constants), sized so the sf0.01 eval set loads the
