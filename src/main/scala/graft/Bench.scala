@@ -263,7 +263,11 @@ object Bench {
     // r9: the IVF-routed sparse cosine ANN (hashed features → Lloyd
     // lists → symmetric nprobe candidates → exact cosine) and its
     // recall audit against the exact dense top-k
-    "cosine_topk_ivf", "cosine_topk_ivf_recall")
+    "cosine_topk_ivf", "cosine_topk_ivf_recall",
+    // r9: exact-substring decontamination — the stride-1 window probe
+    // (eval side distinct-collapsed and broadcast, train side streamed
+    // once; linear in train characters like the suffix array it spells)
+    "decontaminate_substring")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

@@ -1135,15 +1135,30 @@ object Relational {
    */
   def rfmSegments(orders: DataFrame, dayBucket: Long = 30L,
       spendBucket: Long = 100000000L,
+      pin: DataFrame => DataFrame = identity): DataFrame =
+    rfmSegmentsFromRollup(rfmRollup(orders), dayBucket, spendBucket, pin)
+
+  /** The per-customer RFM register rollup — max/count/sum, all
+    * associative + commutative, which is exactly why the STREAMING twin
+    * ([[graft.streaming.RfmStream]]) can maintain the identical frame
+    * incrementally with built-in streaming-aggregation state and agree
+    * with batch under any micro-batch slicing. Shared verbatim by both
+    * faces so the register semantics can never drift. */
+  def rfmRollup(orders: DataFrame): DataFrame = orders
+    .select(col("o_custkey"),
+      expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("day"),
+      expr("CAST(floor(o_totalprice * 1e4 + 0.5) AS BIGINT)").as("price_e4"))
+    .groupBy("o_custkey")
+    .agg(max("day").as("last_day"), count(lit(1)).as("n_orders"),
+      sum("price_e4").as("spend_e4"))
+
+  /** Anchor + sketch-tercile scoring over a register frame — the
+    * snapshot-time half of the RFM contract, shared by the batch
+    * pipeline and any snapshot of the streaming registers. */
+  def rfmSegmentsFromRollup(per: DataFrame, dayBucket: Long = 30L,
+      spendBucket: Long = 100000000L,
       pin: DataFrame => DataFrame = identity): DataFrame = {
     require(dayBucket >= 1 && spendBucket >= 1)
-    val per = orders
-      .select(col("o_custkey"),
-        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("day"),
-        expr("CAST(floor(o_totalprice * 1e4 + 0.5) AS BIGINT)").as("price_e4"))
-      .groupBy("o_custkey")
-      .agg(max("day").as("last_day"), count(lit(1)).as("n_orders"),
-        sum("price_e4").as("spend_e4"))
     val metrics = pin(per
       .crossJoin(broadcast(per.agg(max("last_day").as("anchor"))))
       .select(col("o_custkey"),
