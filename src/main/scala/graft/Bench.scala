@@ -267,7 +267,11 @@ object Bench {
     // r9: exact-substring decontamination — the stride-1 window probe
     // (eval side distinct-collapsed and broadcast, train side streamed
     // once; linear in train characters like the suffix array it spells)
-    "decontaminate_substring")
+    "decontaminate_substring",
+    // r9: the training-set-sized selection cut — same rows/ranks as
+    // corpus_select but through Export.globalTopM (deterministic range
+    // buckets + offsets; no GlobalLimit/TakeOrdered single-task sink)
+    "corpus_select_shards")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

@@ -100,7 +100,10 @@ object CoreEntries {
     // fixed dim, Lloyd the hashed corpus into inverted lists, candidates
     // from symmetric nprobe routing, EXACT sparse cosine on candidates —
     // the quadratic-free route for the dense-support regime where
-    // sign-LSH measurably loses (bench_sf1.json)
+    // sign-LSH measurably loses (bench_sf1.json). List count SELF-SIZES
+    // from the vector count (SparseAnn.AutoLists → deriveLists, target
+    // occupancy ≤ 32) — the first cut's fixed 8 lists exhausted local
+    // disk at sfx1; the oracle's `nl` CTE derives the IDENTICAL count
     "cosine_topk_ivf" -> ((s, dir) =>
       gate(graft.ext.SparseAnn.topSimilarIvf(analysis(s), supplierPartMatrix(s, dir), 5,
         pin = _.persist()), "vector", "rank")),
@@ -255,7 +258,14 @@ object CoreEntries {
     * exact snapped cosine over the pipeline's vm/num CTEs, symmetrized
     * as `icsym`. */
   private val ivfCandSql: String = {
-    import graft.ext.SparseAnn.{IvfDim, IvfIters, IvfLists, IvfNprobe, ivfDimSql}
+    import graft.ext.SparseAnn.{IvfDim, IvfIters, IvfLists, IvfNprobe,
+      ListOccupancy, MaxListDoublings, ivfDimSql}
+    // 1-row derived list count, mirroring graft.ext.SparseAnn.deriveLists
+    // with pure integer compares: nl = 8 << Σ_{i=0}^{13} [n > 256·2^i]
+    // over the SAME COUNT(DISTINCT vector) the Spark side runs
+    val nlTerms = (0 until MaxListDoublings)
+      .map(i => s"(CASE WHEN nv.n > ${(IvfLists.toLong * ListOccupancy) << i} THEN 1 ELSE 0 END)")
+      .mkString(" + ")
     val rounds = (1 to IvfIters).map { i =>
       val cent = s"cent${i - 1}"
       val update =
@@ -285,9 +295,11 @@ object CoreEntries {
       |hh AS MATERIALIZED (SELECT y, CAST(${ivfDimSql("x", IvfDim)} AS BIGINT) AS j,
       |             SUM(nv) AS hv FROM n GROUP BY 1, 2),
       |x2 AS MATERIALIZED (SELECT y, SUM(hv*hv) AS x2 FROM hh GROUP BY 1),
+      |nl AS MATERIALIZED (SELECT CAST($IvfLists * (1 << ($nlTerms)) AS BIGINT) AS nl
+      |  FROM (SELECT CAST(COUNT(DISTINCT y) AS BIGINT) AS n FROM n) nv),
       |sd AS MATERIALIZED (SELECT y, CAST(rn - 1 AS BIGINT) AS cid FROM
       |  (SELECT y, row_number() OVER (ORDER BY y) AS rn
-      |   FROM (SELECT DISTINCT y FROM hh)) WHERE rn <= $IvfLists),
+      |   FROM (SELECT DISTINCT y FROM hh)) WHERE rn <= (SELECT nl FROM nl)),
       |rng AS (SELECT CAST(unnest(range(0, $IvfDim)) AS BIGINT) AS j),
       |cent0 AS MATERIALIZED (SELECT sd.cid, hh.j, hh.hv AS c FROM hh JOIN sd USING (y)),
       |$rounds,

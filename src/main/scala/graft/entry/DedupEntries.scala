@@ -318,6 +318,19 @@ object DedupEntries {
         TextEntries.QfMinAvgLen, TextEntries.QfMaxAvgLen,
         TextEntries.QfMaxStop, TextEntries.QfMinTtr,
         pin = _.localCheckpoint()), "rank")),
+    // the same selection at TRAINING-SET size: identical rows and ranks,
+    // but the top-m cut runs through Export.globalTopM (deterministic
+    // range buckets + bucket offsets) instead of orderBy().limit(m) —
+    // no GlobalLimit/TakeOrdered single-task sink — and each row carries
+    // its export shard = floor((rank-1)*nShards/m)
+    "corpus_select_shards" -> ((s, dir) =>
+      gate(graft.ext.Pipelines.selectCorpusShards(docs(s, dir), "doc_id", "text",
+        "source", SelectEvalSource, TextEntries.DsirTarget, SelectM,
+        SelectShards, SelectParts, SelectWidth,
+        TextEntries.QfMinTokens, TextEntries.QfMaxTokens,
+        TextEntries.QfMinAvgLen, TextEntries.QfMaxAvgLen,
+        TextEntries.QfMaxStop, TextEntries.QfMinTtr,
+        pin = _.localCheckpoint()), "rank")),
     // the full sweep a training run consumes: clean, then GROUP-ATOMIC
     // split by the representative's hash (leakage-free by construction)
     "corpus_clean_split" -> ((s, dir) =>
@@ -362,6 +375,12 @@ object DedupEntries {
     * both gates stay meaningful) and its kept-documents cut. */
   private val SelectEvalSource = "src1"
   private val SelectM = 100
+  /** corpus_select_shards contract: export shard count and globalTopM's
+    * bucket/width (key grid = log_weight·1e6, so width 1e6 = 1.0 in
+    * weight units — a bounded histogram over any real weight range). */
+  private val SelectShards = 8
+  private val SelectParts = 16
+  private val SelectWidth = 1000000L
 
   /** VALUES list of every 6-bit mask with ≤ h bits set. */
   private def probeMasksSql(h: Int): String =
@@ -1167,6 +1186,24 @@ object DedupEntries {
         |              CAST(row_number() OVER (ORDER BY dw.log_weight DESC, c.doc_id) AS BIGINT) AS rank
         |       FROM cln c JOIN dw USING (doc_id))
         |SELECT doc_id, group_rep, n_tokens, log_weight, rank
+        |FROM rk WHERE rank <= $SelectM ORDER BY rank""".stripMargin),
+    // identical selection to corpus_select (the physical plan is what
+    // differs on the Spark side) plus the rank-derived export shard
+    "corpus_select_shards" ->
+      (cleanChainSqlFor(SelectEvalSource) + TextEntries.dsirCtesSql + s""",
+        |cln AS (SELECT q.doc_id, k.group_rep, q.n_tokens
+        |        FROM qual q JOIN kept k USING (doc_id)
+        |        JOIN documents d USING (doc_id)
+        |        WHERE d.source <> '$SelectEvalSource'
+        |          AND q.doc_id NOT IN (SELECT doc_id FROM cont)),
+        |dw AS (SELECT d.doc_id, ${r6sql("SUM(tf * lw)")} AS log_weight
+        |       FROM dstf d JOIN dslw USING (j)
+        |       WHERE d.is_target = 0 GROUP BY 1),
+        |rk AS (SELECT c.doc_id, c.group_rep, c.n_tokens, dw.log_weight,
+        |              CAST(row_number() OVER (ORDER BY dw.log_weight DESC, c.doc_id) AS BIGINT) AS rank
+        |       FROM cln c JOIN dw USING (doc_id))
+        |SELECT doc_id, group_rep, n_tokens, log_weight, rank,
+        |       CAST(floor(((rank - 1) * $SelectShards) / $SelectM) AS BIGINT) AS shard
         |FROM rk WHERE rank <= $SelectM ORDER BY rank""".stripMargin),
     // cumulative per-gate survivor counts over the same chain
     "corpus_funnel" ->

@@ -210,6 +210,69 @@ object Export {
    * count. `pos` orders each shard by (key, id); (shard, pos) is a
    * total order over the corpus.
    */
+  /**
+   * EXACT global top-`m` by (long key asc, id asc) WITHOUT a driver-sized
+   * sink — the training-set-sized cut `orderBy().limit(m)` cannot plan
+   * (Spark's GlobalLimit/TakeOrdered funnels all m rows through one
+   * task; fine for a readout, driver-bound when m is 10% of a 100 TB
+   * corpus). Returns the input columns plus a 1-based `rank`, rows with
+   * `rank <= m` only.
+   *
+   * Plan: deterministic range BUCKETS from the histogram-sketch
+   * quantiles of the key ([[rangeShards]]' boundary machinery — never
+   * `repartitionByRange`, whose reservoir-sampled boundaries can differ
+   * between the count pass and the rank pass and silently corrupt the
+   * offsets), then ONE `parts`-row count aggregate collected to the
+   * driver (the pageRank-convention model-sized action) turns bucket
+   * counts into cumulative offsets, and `rank = bucket offset +
+   * row_number within bucket`. Buckets whose offset is already >= m are
+   * dropped BEFORE the window, so the sort only touches ~m rows spread
+   * across the head buckets.
+   *
+   * Exactness: the bucket rule assigns every row with the same key to
+   * the same bucket (boundaries compare the key itself), so within-bucket
+   * row_number over (key, id) + the offset IS the global rank — no tie
+   * can straddle a boundary. Balance (not correctness) degrades with the
+   * histogram's one-`width`-bucket boundary error and with any single
+   * key heavier than m rows (that bucket's sort runs in one task — the
+   * same envelope [[rangeShards]] documents).
+   *
+   * `pin` is the caller's caching hook for the bucketed table (it feeds
+   * the count pass and the rank pass; an unpinned expensive upstream
+   * recomputes twice).
+   */
+  def globalTopM(df: DataFrame, keyCol: String, idCol: String, m: Long,
+      parts: Int = 64, width: Long = 1024,
+      pin: DataFrame => DataFrame = identity): DataFrame = {
+    require(m > 0 && parts >= 1 && width >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qs = (1 until parts).map(i => i.toDouble / parts)
+    val bounds: Seq[Long] =
+      if (qs.isEmpty) Seq.empty
+      else TextAnalysis.quantileSketchHist(
+          df.select(lit(0L).as("grp"), col(keyCol).as("v")),
+          "grp", "v", qs, width)
+        .collect().map(_.getAs[Long]("v_q")).toSeq.distinct.sorted
+    val bucketExpr = bounds.foldLeft(lit(0L).cast("long")) { (acc, b) =>
+      acc + when(col(keyCol) >= lit(b), lit(1L)).otherwise(lit(0L))
+    }
+    val bucketed = pin(df.withColumn("_bkt", bucketExpr))
+    val counts = bucketed.groupBy("_bkt").agg(count(lit(1)).as("_n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts
+      .scanLeft((-1L, 0L, 0L)) { case ((_, off, n), (b, c)) => (b, off + n, c) }
+      .drop(1)
+      .collect { case (b, off, _) if off < m => (b, off) }
+    val offDf = broadcast(offsets.toSeq.toDF("_bkt", "_off"))
+    val w = Window.partitionBy(col("_bkt"))
+      .orderBy(col(keyCol).asc, col(idCol).asc)
+    bucketed.join(offDf, "_bkt")
+      .withColumn("rank", (col("_off") + row_number().over(w)).cast("long"))
+      .where(col("rank") <= m)
+      .drop("_bkt", "_off")
+  }
+
   def rangeShards(df: DataFrame, idCol: String, keyCol: String,
       nShards: Int, width: Long): DataFrame = {
     require(nShards >= 1 && width >= 1)

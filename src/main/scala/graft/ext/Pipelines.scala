@@ -199,6 +199,50 @@ object Pipelines {
   }
 
   /**
+   * [[selectCorpus]] at TRAINING-SET size: the identical selection
+   * contract (same gates, same DSIR ranking, same (log_weight desc,
+   * doc_id) order, same top-`m` rows and ranks) but the cut runs through
+   * [[Export.globalTopM]] instead of `orderBy().limit(m)` — no
+   * GlobalLimit/TakeOrdered single-task sink, so `m` can be a double-digit
+   * percentage of a 100 TB corpus. Each selected row also carries its
+   * export `shard` = ⌊(rank−1)·nShards/m⌋, so rank order is recoverable
+   * from (shard, rank) and the result writes directly via
+   * `partitionBy("shard")` without any further global sort.
+   *
+   * The ranking key is the SNAPPED weight scaled onto its own 1e-6 grid
+   * and negated (`-round(log_weight·1e6)` — exact integer on the snap
+   * grid, strictly monotone, so ascending key order IS descending weight
+   * order and ties break by doc_id exactly as [[selectCorpus]] breaks
+   * them). Scale shape: the clean and DSIR chains unchanged, plus
+   * globalTopM's histogram pass, one parts-row driver aggregate, and a
+   * bucket-partitioned window over ~m head rows.
+   */
+  def selectCorpusShards(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, evalSource: String, targetSource: String, m: Int,
+      nShards: Int = 8, parts: Int = 64, width: Long = 1000000L,
+      minTokens: Long = 10, maxTokens: Long = 100000,
+      minAvgTokenLen: Double = 2.0, maxAvgTokenLen: Double = 12.0,
+      maxStopwordRatio: Double = 0.6, minTtr: Double = 0.2,
+      pin: DataFrame => DataFrame = identity): DataFrame = {
+    require(m > 0 && nShards > 0)
+    val clean = cleanCorpus(docs, idCol, textCol, sourceCol, evalSource,
+      minTokens, maxTokens, minAvgTokenLen, maxAvgTokenLen,
+      maxStopwordRatio, minTtr, pin)
+    val weights = TextAnalysis.dsirWeights(docs, idCol, textCol,
+        sourceCol, targetSource, pin = pin)
+      .where(col("is_target") === 0L)
+      .select(col("doc_id"),
+        TextAnalysis.snapCol(col("log_weight")).as("log_weight"))
+    val keyed = clean.join(weights, "doc_id")
+      .withColumn("_key", -round(col("log_weight") * lit(1e6)).cast("long"))
+    Export.globalTopM(keyed, "_key", "doc_id", m, parts, width, pin)
+      .withColumn("shard",
+        floor(((col("rank") - lit(1L)) * lit(nShards.toLong)) / lit(m.toLong))
+          .cast("long"))
+      .drop("_key")
+  }
+
+  /**
    * INCREMENTAL cleaning sweep (VERDICT r6 ask #7) — the same contract as
    * [[cleanCorpus]] over the NEW corpus snapshot, but the expensive work
    * (shingling, MinHash banding, candidate verification) runs only on the

@@ -271,11 +271,48 @@ object SparseAnn {
   /** Salt of the IVF feature-hash bucket chain (independent of
     * [[TextAnalysis.FeatureHashSalt]] / DsirSalt). */
   val IvfSalt: Long = 74093L
-  /** Inverted lists (k-means k), Lloyd rounds, and probe depth of the
-    * IVF contract. */
+  /** MINIMUM inverted-list count (k-means k), Lloyd rounds, and probe
+    * depth of the IVF contract. Like [[Planes]], the list count no
+    * longer ships FIXED: passing [[AutoLists]] (the default everywhere)
+    * derives it from one vector COUNT via [[deriveLists]]. The r8-ask-#4
+    * first cut kept `lists = 8` at every scale, which is the same
+    * fixed-width failure class the sign-LSH route had — average list
+    * occupancy grows linearly with the corpus, so the candidate surface
+    * Σ_list C(occupancy, 2) degrades toward quadratic, and the sfx1 run
+    * (10× vectors, ~600 coords each) exhausted local disk in the
+    * candidate×coords verification join before finishing. */
   val IvfLists: Int = 8
   val IvfIters: Int = 2
   val IvfNprobe: Int = 2
+
+  /** Sentinel list count meaning "derive from the data" — the IVF twin
+    * of [[AutoPlanes]]. */
+  val AutoLists: Int = 0
+
+  /** Target MAXIMUM average list occupancy of the self-sized IVF: the
+    * verification join touches ≈ n·occupancy/2·(1 + nprobe) candidate
+    * pairs × coords-per-vector rows, so bounding occupancy bounds the
+    * exact-cosine stage linearly in the corpus. */
+  val ListOccupancy: Int = 32
+
+  /** Doubling-ladder length of [[deriveLists]]: caps the derived count
+    * at IvfLists·2^14 = 131072 lists (a ≤ lists×dim ≈ 4.2M-row codebook
+    * broadcast — still model-sized). Beyond ~4M vectors occupancy grows
+    * past the target linearly; at that corpus size move to the trained/
+    * persisted IVF in [[Embeddings]] rather than refitting per query. */
+  val MaxListDoublings: Int = 14
+
+  /**
+   * Data-derived inverted-list count: the smallest `L = IvfLists·2^t`
+   * (t ≤ [[MaxListDoublings]]) with `n ≤ L·ListOccupancy` — one more
+   * doubling per doubling of vectors past the 256-vector floor, keeping
+   * average occupancy ≤ 32. Integer-compare form (`n > 256·2^i`, never
+   * log2 on a double) so the DuckDB oracle derives the IDENTICAL count
+   * from the same COUNT(DISTINCT vector).
+   */
+  def deriveLists(nVectors: Long): Int =
+    IvfLists << (0 until MaxListDoublings)
+      .count(i => nVectors > ((IvfLists.toLong * ListOccupancy) << i))
 
   /** SQL text of a coordinate's hashed IVF dimension in [0, dim) — the
     * same text runs in Spark (`expr`) and DuckDB (the oracle), so the
@@ -317,7 +354,7 @@ object SparseAnn {
    * exact-cosine verification touches candidates only.
    */
   def candidateSimsIvf(analysis: CosineAnalysis, matrix: Dataset[MatrixElement],
-      pin: DataFrame => DataFrame = identity, lists: Int = IvfLists,
+      pin: DataFrame => DataFrame = identity, lists: Int = AutoLists,
       iters: Int = IvfIters, nprobe: Int = IvfNprobe,
       dim: Int = IvfDim): DataFrame = {
     val n = pin(normTable(analysis, matrix))
@@ -327,7 +364,15 @@ object SparseAnn {
   /** The (vector0 > vector1) IVF candidate pairs from a prepared
     * normalized table — [[candidateSimsIvf]]'s routing stage. */
   private def ivfCandidates(n: DataFrame, pin: DataFrame => DataFrame,
-      lists: Int, iters: Int, nprobe: Int, dim: Int): DataFrame = {
+      lists0: Int, iters: Int, nprobe: Int, dim: Int): DataFrame = {
+    // AutoLists: ONE driver-side COUNT over the (ideally pinned) norm
+    // table sizes the inverted-list count with the corpus — the same
+    // self-sizing convention as derivePlanes (derived occupancy ≤ 32
+    // bounds the candidate×coords verification join linearly in n)
+    val lists =
+      if (lists0 == AutoLists)
+        deriveLists(n.select("vector").distinct().count())
+      else lists0
     require(lists >= 2 && iters >= 1 && nprobe >= 1 && nprobe <= lists)
     require(dim >= 1)
     val h = pin(n.groupBy(col("vector"),
@@ -399,7 +444,7 @@ object SparseAnn {
    */
   def topSimilarIvf(analysis: CosineAnalysis, matrix: Dataset[MatrixElement],
       k: Int = 5, pin: DataFrame => DataFrame = identity,
-      lists: Int = IvfLists, iters: Int = IvfIters, nprobe: Int = IvfNprobe,
+      lists: Int = AutoLists, iters: Int = IvfIters, nprobe: Int = IvfNprobe,
       dim: Int = IvfDim): DataFrame = {
     require(k > 0)
     val w = Window.partitionBy("vector")

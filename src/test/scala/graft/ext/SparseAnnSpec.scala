@@ -169,6 +169,28 @@ class SparseAnnSpec extends SparkSpec {
     assert(samples.map(derivePlanes) === samples.map(derivePlanes).sorted)
   }
 
+  test("deriveLists: doubles per vector doubling past the 256 floor, occupancy <= 32") {
+    import SparseAnn.{deriveLists, IvfLists, ListOccupancy, MaxListDoublings}
+    // up to lists*occupancy vectors stay at the 8-list floor
+    assert(deriveLists(1L) === IvfLists)
+    assert(deriveLists(256L) === IvfLists)
+    // first doubling past the floor
+    assert(deriveLists(257L) === 16)
+    // the sf0.1 / sfx1 bands: ~1k vectors -> 32 lists, ~10k -> 512
+    assert(deriveLists(1000L) === 32)
+    assert(deriveLists(10000L) === 512)
+    // derived occupancy stays at or under the target through the ladder
+    (1 to MaxListDoublings).foreach { t =>
+      val n = (IvfLists.toLong * ListOccupancy) << (t - 1)
+      assert(deriveLists(n).toLong * ListOccupancy >= n)
+    }
+    // clamp at the ladder top regardless of corpus size
+    assert(deriveLists(Long.MaxValue / 8) === (IvfLists << MaxListDoublings))
+    // monotone non-decreasing
+    val samples = Seq(1L, 10L, 300L, 1000L, 10000L, 100000L, 10000000L)
+    assert(samples.map(deriveLists) === samples.map(deriveLists).sorted)
+  }
+
   test("topSimilarIvf: exact cosine values, equi-join plan, full-probe = exact top-k") {
     val ivf = SparseAnn.topSimilarIvf(analysis, matrix, k = 3, lists = 4)
     val plan = ivf.queryExecution.executedPlan.toString
