@@ -259,7 +259,7 @@ object CoreEntries {
     * as `icsym`. */
   private val ivfCandSql: String = {
     import graft.ext.SparseAnn.{IvfDim, IvfIters, IvfLists, IvfNprobe,
-      ListOccupancy, MaxListDoublings, ivfDimSql}
+      IvfSubSalt, ListOccupancy, MaxListDoublings, ivfDimSql}
     // 1-row derived list count, mirroring graft.ext.SparseAnn.deriveLists
     // with pure integer compares: nl = 8 << Σ_{i=0}^{13} [n > 256·2^i]
     // over the SAME COUNT(DISTINCT vector) the Spark side runs
@@ -308,12 +308,21 @@ object CoreEntries {
       |      FROM d$IvfIters),
       |iasg AS MATERIALIZED (SELECT y, cid FROM rkq WHERE rn = 1),
       |iprb AS MATERIALIZED (SELECT y, cid FROM rkq WHERE rn <= $IvfNprobe),
+      |insb AS MATERIALIZED (SELECT cid,
+      |         CAST(((COUNT(*) - 1) // $ListOccupancy) + 1 AS BIGINT) AS n_sub
+      |       FROM iasg GROUP BY 1),
+      |iasgs AS MATERIALIZED (SELECT a.y, a.cid,
+      |         (${graft.ext.TextHash.avalancheSql(graft.ext.TextHash.tokenValue("a.y"), IvfSubSalt)}) % s.n_sub AS sub
+      |       FROM iasg a JOIN insb s USING (cid)),
+      |iprbs AS MATERIALIZED (SELECT p.y, p.cid,
+      |         (${graft.ext.TextHash.avalancheSql(graft.ext.TextHash.tokenValue("p.y"), IvfSubSalt)}) % s.n_sub AS sub
+      |       FROM iprb p JOIN insb s USING (cid)),
       |icand AS MATERIALIZED (
       |  SELECT DISTINCT v0 AS vector0, v1 AS vector1 FROM (
-      |    SELECT p.y AS v0, a.y AS v1 FROM iprb p JOIN iasg a USING (cid)
+      |    SELECT p.y AS v0, a.y AS v1 FROM iprbs p JOIN iasgs a USING (cid, sub)
       |    WHERE p.y > a.y
       |    UNION ALL
-      |    SELECT a.y AS v0, p.y AS v1 FROM iasg a JOIN iprb p USING (cid)
+      |    SELECT a.y AS v0, p.y AS v1 FROM iasgs a JOIN iprbs p USING (cid, sub)
       |    WHERE a.y > p.y)),
       |icsim AS (SELECT c.vector0, c.vector1,
       |                 floor(COALESCE(num.numtr / (va.md * vb.md), 0.0)*1e6 + 0.50001)/1e6 AS s

@@ -289,6 +289,10 @@ object SparseAnn {
     * of [[AutoPlanes]]. */
   val AutoLists: Int = 0
 
+  /** Salt of the oversized-list sub-split hash (independent of
+    * [[IvfSalt]] and the feature-hash salts). */
+  val IvfSubSalt: Long = 90121L
+
   /** Target MAXIMUM average list occupancy of the self-sized IVF: the
     * verification join touches ≈ n·occupancy/2·(1 + nprobe) candidate
     * pairs × coords-per-vector rows, so bounding occupancy bounds the
@@ -356,15 +360,16 @@ object SparseAnn {
   def candidateSimsIvf(analysis: CosineAnalysis, matrix: Dataset[MatrixElement],
       pin: DataFrame => DataFrame = identity, lists: Int = AutoLists,
       iters: Int = IvfIters, nprobe: Int = IvfNprobe,
-      dim: Int = IvfDim): DataFrame = {
+      dim: Int = IvfDim, maxOcc: Int = ListOccupancy): DataFrame = {
     val n = pin(normTable(analysis, matrix))
-    exactSims(ivfCandidates(n, pin, lists, iters, nprobe, dim), n)
+    exactSims(ivfCandidates(n, pin, lists, iters, nprobe, dim, maxOcc), n)
   }
 
   /** The (vector0 > vector1) IVF candidate pairs from a prepared
     * normalized table — [[candidateSimsIvf]]'s routing stage. */
   private def ivfCandidates(n: DataFrame, pin: DataFrame => DataFrame,
-      lists0: Int, iters: Int, nprobe: Int, dim: Int): DataFrame = {
+      lists0: Int, iters: Int, nprobe: Int, dim: Int,
+      maxOcc: Int = ListOccupancy): DataFrame = {
     // AutoLists: ONE driver-side COUNT over the (ideally pinned) norm
     // table sizes the inverted-list count with the corpus — the same
     // self-sizing convention as derivePlanes (derived occupancy ≤ 32
@@ -374,7 +379,7 @@ object SparseAnn {
         deriveLists(n.select("vector").distinct().count())
       else lists0
     require(lists >= 2 && iters >= 1 && nprobe >= 1 && nprobe <= lists)
-    require(dim >= 1)
+    require(dim >= 1 && maxOcc >= 1)
     val h = pin(n.groupBy(col("vector"),
         expr(ivfDimSql("coord", dim)).cast("long").as("j"))
       .agg(sum("nv").as("hv")))
@@ -423,14 +428,45 @@ object SparseAnn {
     val ranked = pin(dist.withColumn("rn", row_number().over(w)))
     val asg = ranked.where(col("rn") === 1).select("vector", "cid")
     val probes = ranked.where(col("rn") <= nprobe).select("vector", "cid")
+    // OCCUPANCY ENFORCEMENT (the hot-key-cap convention: phash
+    // maxBucket, dfCapShingles, basketRules maxBasket): on a
+    // single-mode matrix Lloyd COLLAPSES no matter how many lists are
+    // derived — measured at sfx1, both Euclidean (norm-banded, top list
+    // 3179 of 10k vectors) and spherical (4719 of 10k) put most of the
+    // corpus in a handful of lists, and Σ C(occupancy, 2) went
+    // quadratic again (21M candidate pairs × coords exhausted local
+    // disk). Lists above `maxOcc` are therefore SUB-SPLIT
+    // deterministically: n_sub = ⌈occupancy/maxOcc⌉ per list, each
+    // vector's sub-bucket a portable avalanche hash of its id mod
+    // n_sub (the DuckDB oracle derives the identical split), and
+    // candidates require (cid, sub) equality. That bounds the per-list
+    // pair surface at ~n_sub·C(maxOcc, 2) BY CONSTRUCTION — no data
+    // distribution can take the route quadratic — at the documented
+    // recall cost that a prober only meets 1/n_sub of an oversized
+    // list (the recall audit query prices exactly this). Lists at or
+    // under the target keep n_sub = 1: the cap is inert where Lloyd
+    // actually partitions.
+    val sizes = asg.groupBy("cid").agg(count(lit(1)).as("occ"))
+    val nsub = sizes.select(col("cid"),
+      (expr(s"CAST((occ - 1) DIV $maxOcc AS BIGINT)") + lit(1L)).as("n_sub"))
+    val subHash = expr(TextHash.avalancheSql(
+      TextHash.tokenValue("vector"), IvfSubSalt))
+    def subbed(df: DataFrame): DataFrame =
+      df.join(broadcast(nsub), "cid")
+        .withColumn("sub", subHash % col("n_sub"))
+        .select("vector", "cid", "sub")
+    val asgS = subbed(asg)
+    val prbS = subbed(probes)
     // pair (v0 > v1) is a candidate iff either side's assigned list is
-    // probed by the other — both directions unioned, distinct (a
-    // same-list pair matches both ways)
-    val c1 = probes.select(col("vector").as("vector0"), col("cid"))
-      .join(asg.select(col("vector").as("vector1"), col("cid")), "cid")
+    // probed by the other AND they share the sub-bucket — both
+    // directions unioned, distinct (a same-list pair matches both ways)
+    val c1 = prbS.select(col("vector").as("vector0"), col("cid"), col("sub"))
+      .join(asgS.select(col("vector").as("vector1"), col("cid"), col("sub")),
+        Seq("cid", "sub"))
       .where(col("vector0") > col("vector1"))
-    val c2 = asg.select(col("vector").as("vector0"), col("cid"))
-      .join(probes.select(col("vector").as("vector1"), col("cid")), "cid")
+    val c2 = asgS.select(col("vector").as("vector0"), col("cid"), col("sub"))
+      .join(prbS.select(col("vector").as("vector1"), col("cid"), col("sub")),
+        Seq("cid", "sub"))
       .where(col("vector0") > col("vector1"))
     c1.select("vector0", "vector1")
       .union(c2.select("vector0", "vector1"))
@@ -445,11 +481,11 @@ object SparseAnn {
   def topSimilarIvf(analysis: CosineAnalysis, matrix: Dataset[MatrixElement],
       k: Int = 5, pin: DataFrame => DataFrame = identity,
       lists: Int = AutoLists, iters: Int = IvfIters, nprobe: Int = IvfNprobe,
-      dim: Int = IvfDim): DataFrame = {
+      dim: Int = IvfDim, maxOcc: Int = ListOccupancy): DataFrame = {
     require(k > 0)
     val w = Window.partitionBy("vector")
       .orderBy(col("similarity_value").desc, col("neighbor").asc)
-    candidateSimsIvf(analysis, matrix, pin, lists, iters, nprobe, dim)
+    candidateSimsIvf(analysis, matrix, pin, lists, iters, nprobe, dim, maxOcc)
       .withColumnRenamed("s", "similarity_value")
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
