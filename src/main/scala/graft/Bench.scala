@@ -264,6 +264,10 @@ object Bench {
     // lists → symmetric nprobe candidates → exact cosine) and its
     // recall audit against the exact dense top-k
     "cosine_topk_ivf", "cosine_topk_ivf_recall",
+    // r9: the route's per-list occupancy readout (assigned count + the
+    // enforced sub-split factor) — the audit that measured the Lloyd
+    // collapse and now proves the cap's bound at any scale
+    "cosine_ivf_occupancy",
     // r9: exact-substring decontamination — the stride-1 window probe
     // (eval side distinct-collapsed and broadcast, train side streamed
     // once; linear in train characters like the suffix array it spells)

@@ -107,6 +107,12 @@ object CoreEntries {
     "cosine_topk_ivf" -> ((s, dir) =>
       gate(graft.ext.SparseAnn.topSimilarIvf(analysis(s), supplierPartMatrix(s, dir), 5,
         pin = _.persist()), "vector", "rank")),
+    // the route's occupancy self-audit: per inverted list, assigned
+    // count + the enforced sub-split factor (n_sub = ceil(occ/32); 1 =
+    // cap inert) — the readout that measured the sfx1 Lloyd collapse
+    "cosine_ivf_occupancy" -> ((s, dir) =>
+      gate(graft.ext.SparseAnn.listOccupancyIvf(analysis(s), supplierPartMatrix(s, dir),
+        pin = _.persist()), "cid")),
     // the route's self-audit: per-vector recall of the IVF top-5 against
     // the exact dense top-5 (the ann_recall contract for this route)
     "cosine_topk_ivf_recall" -> ((s, dir) => {
@@ -257,9 +263,9 @@ object CoreEntries {
     * (snapped centroids and distances) → symmetric nprobe candidates →
     * exact snapped cosine over the pipeline's vm/num CTEs, symmetrized
     * as `icsym`. */
-  private val ivfCandSql: String = {
+  private val ivfFitSql: String = {
     import graft.ext.SparseAnn.{IvfDim, IvfIters, IvfLists, IvfNprobe,
-      IvfSubSalt, ListOccupancy, MaxListDoublings, ivfDimSql}
+      ListOccupancy, MaxListDoublings, ivfDimSql}
     // 1-row derived list count, mirroring graft.ext.SparseAnn.deriveLists
     // with pure integer compares: nl = 8 << Σ_{i=0}^{13} [n > 256·2^i]
     // over the SAME COUNT(DISTINCT vector) the Spark side runs
@@ -310,7 +316,16 @@ object CoreEntries {
       |iprb AS MATERIALIZED (SELECT y, cid FROM rkq WHERE rn <= $IvfNprobe),
       |insb AS MATERIALIZED (SELECT cid,
       |         CAST(((COUNT(*) - 1) // $ListOccupancy) + 1 AS BIGINT) AS n_sub
-      |       FROM iasg GROUP BY 1),
+      |       FROM iasg GROUP BY 1)""".stripMargin
+  }
+
+  /** The candidate tail of the IVF chain (sub-split join + exact snapped
+    * cosine over vm/num, symmetrized as `icsym`) — appended to
+    * [[ivfFitSql]] for the topk/recall oracles; the occupancy audit
+    * stops at the fit. */
+  private val ivfCandSql: String = {
+    import graft.ext.SparseAnn.IvfSubSalt
+    ivfFitSql + s""",
       |iasgs AS MATERIALIZED (SELECT a.y, a.cid,
       |         (${graft.ext.TextHash.avalancheSql(graft.ext.TextHash.tokenValue("a.y"), IvfSubSalt)}) % s.n_sub AS sub
       |       FROM iasg a JOIN insb s USING (cid)),
@@ -406,6 +421,12 @@ object CoreEntries {
         |        FROM csym)
         |SELECT v AS vector, CAST(rn AS BIGINT) AS rank, u AS neighbor, s AS similarity_value
         |FROM crk WHERE rn <= 5 ORDER BY vector, rank""".stripMargin),
+    // the fit chain's per-list readout, stopping at insb
+    "cosine_ivf_occupancy" ->
+      (pipelineSql + ivfFitSql + """
+        |SELECT a.cid, CAST(COUNT(*) AS BIGINT) AS occ, s.n_sub
+        |FROM iasg a JOIN insb s USING (cid)
+        |GROUP BY a.cid, s.n_sub ORDER BY cid""".stripMargin),
     // the IVF candidate rule's ranked readout — same tail as
     // cosine_topk_ann over the icsym chain
     "cosine_topk_ivf" ->

@@ -370,16 +370,15 @@ object SparseAnn {
   private def ivfCandidates(n: DataFrame, pin: DataFrame => DataFrame,
       lists0: Int, iters: Int, nprobe: Int, dim: Int,
       maxOcc: Int = ListOccupancy): DataFrame = {
-    // AutoLists: ONE driver-side COUNT over the (ideally pinned) norm
-    // table sizes the inverted-list count with the corpus — the same
-    // self-sizing convention as derivePlanes (derived occupancy ≤ 32
-    // bounds the candidate×coords verification join linearly in n)
-    val lists =
-      if (lists0 == AutoLists)
-        deriveLists(n.select("vector").distinct().count())
-      else lists0
-    require(lists >= 2 && iters >= 1 && nprobe >= 1 && nprobe <= lists)
-    require(dim >= 1 && maxOcc >= 1)
+    require(maxOcc >= 1)
+    ivfCandidatesTail(ivfRanked(n, pin, lists0, iters, nprobe, dim),
+      nprobe, maxOcc)
+  }
+
+  /** The Lloyd fit proper (seeds → `iters` rounds → final snapped
+    * distances, ranked per vector). */
+  private def ivfRankedFit(n: DataFrame, pin: DataFrame => DataFrame,
+      lists: Int, iters: Int, dim: Int): DataFrame = {
     val h = pin(n.groupBy(col("vector"),
         expr(ivfDimSql("coord", dim)).cast("long").as("j"))
       .agg(sum("nv").as("hv")))
@@ -425,7 +424,28 @@ object SparseAnn {
             snap(col("sv") / col("cn").cast("double")).as("c"))
       }
     }
-    val ranked = pin(dist.withColumn("rn", row_number().over(w)))
+    pin(dist.withColumn("rn", row_number().over(w)))
+  }
+
+  /** The Lloyd fit and final ranked list distances — (vector, cid, d2,
+    * rn) with rn the per-vector nearest-list rank — shared by the
+    * candidate stage and the occupancy audit. AutoLists: ONE driver-side
+    * COUNT over the (ideally pinned) norm table sizes the inverted-list
+    * count with the corpus — the same self-sizing convention as
+    * derivePlanes. */
+  private def ivfRanked(n: DataFrame, pin: DataFrame => DataFrame,
+      lists0: Int, iters: Int, nprobe: Int, dim: Int): DataFrame = {
+    val lists =
+      if (lists0 == AutoLists)
+        deriveLists(n.select("vector").distinct().count())
+      else lists0
+    require(lists >= 2 && iters >= 1 && nprobe >= 1 && nprobe <= lists)
+    require(dim >= 1)
+    ivfRankedFit(n, pin, lists, iters, dim)
+  }
+
+  private def ivfCandidatesTail(ranked: DataFrame, nprobe: Int,
+      maxOcc: Int): DataFrame = {
     val asg = ranked.where(col("rn") === 1).select("vector", "cid")
     val probes = ranked.where(col("rn") <= nprobe).select("vector", "cid")
     // OCCUPANCY ENFORCEMENT (the hot-key-cap convention: phash
@@ -471,6 +491,31 @@ object SparseAnn {
     c1.select("vector0", "vector1")
       .union(c2.select("vector0", "vector1"))
       .distinct()
+  }
+
+  /**
+   * The sparse-IVF route's occupancy SELF-AUDIT: per inverted list, its
+   * assigned-vector count and the sub-split factor the candidate stage
+   * enforces (`n_sub = ⌈occ/maxOcc⌉`; 1 = the cap is inert there). This
+   * readout is how the sfx1 collapse was measured — a single-mode matrix
+   * shows a few lists holding most of the corpus with n_sub ≫ 1, a
+   * clustered corpus shows occupancies near the ≤ 32 target with n_sub
+   * = 1 everywhere — and it is the dense route's
+   * [[Embeddings]] list-balance audit re-expressed for the sparse
+   * cosine core. Scale shape: the fit's own shapes plus one lists-sized
+   * aggregate; nothing here touches candidate pairs.
+   */
+  def listOccupancyIvf(analysis: CosineAnalysis, matrix: Dataset[MatrixElement],
+      pin: DataFrame => DataFrame = identity, lists: Int = AutoLists,
+      iters: Int = IvfIters, nprobe: Int = IvfNprobe, dim: Int = IvfDim,
+      maxOcc: Int = ListOccupancy): DataFrame = {
+    require(maxOcc >= 1)
+    val n = pin(normTable(analysis, matrix))
+    ivfRanked(n, pin, lists, iters, nprobe, dim)
+      .where(col("rn") === 1)
+      .groupBy("cid").agg(count(lit(1)).as("occ"))
+      .select(col("cid"), col("occ"),
+        (expr(s"CAST((occ - 1) DIV $maxOcc AS BIGINT)") + lit(1L)).as("n_sub"))
   }
 
   /**
