@@ -96,8 +96,10 @@ class PlanAuditSpec extends SparkSpec {
       "quality_psi",
       // 1-row (target-total, raw-total) scalar broadcast over the
       // dim-row DSIR language-model counts (the selection step and the
-      // composed selection pipeline reuse the same weights plan)
+      // composed selection pipelines reuse the same weights plan;
+      // _shards swaps only the cut, whose joins are equi)
       "corpus_dsir", "corpus_dsir_sample", "corpus_select",
+      "corpus_select_shards",
       // two 1-row summary frames crossed into the single profile row
       "graph_degree_stats",
       // 1-row (total, k) scalar broadcast over the k-row occupancy table
