@@ -191,6 +191,30 @@ class SparseAnnSpec extends SparkSpec {
     assert(samples.map(deriveLists) === samples.map(deriveLists).sorted)
   }
 
+  test("listOccupancyIvf: counts cover the corpus; n_sub enforces the cap") {
+    // under the default cap every list is inert (n_sub = 1)
+    val audit = SparseAnn.listOccupancyIvf(analysis, matrix, lists = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(audit.map(_._2).sum === 20L)
+    assert(audit.forall(_._3 == 1L))
+    // a tiny forced cap sub-splits exactly at ceil(occ/maxOcc)
+    val capped = SparseAnn.listOccupancyIvf(analysis, matrix, lists = 4, maxOcc = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    capped.foreach { case (occ, nSub) => assert(nSub === (occ - 1) / 2 + 1) }
+    // and the capped candidate rule still reports exact cosines (the cap
+    // changes the candidate SET, never the value)
+    val ann = SparseAnn.topSimilarIvf(analysis, matrix, k = 3, lists = 4, maxOcc = 2)
+      .collect()
+    val exact = analysis.fit(matrix, isSparse = false).allSimilarityValue
+      .collect().flatMap { sv =>
+        val snapped = math.floor(sv.similarity_value * 1e6 + 0.50001) / 1e6
+        Seq((sv.vector0, sv.vector1) -> snapped, (sv.vector1, sv.vector0) -> snapped)
+      }.toMap
+    ann.foreach { r =>
+      assertApprox(r.getDouble(3), exact((r.getString(0), r.getString(2))), 1e-9)
+    }
+  }
+
   test("topSimilarIvf: exact cosine values, equi-join plan, full-probe = exact top-k") {
     val ivf = SparseAnn.topSimilarIvf(analysis, matrix, k = 3, lists = 4)
     val plan = ivf.queryExecution.executedPlan.toString
