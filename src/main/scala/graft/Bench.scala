@@ -23,6 +23,7 @@ object Bench {
     "text_stats", "lang_id", "quality_percentiles", "corpus_mix",
     "doc_fingerprint", "sample_stratified", "doc_chunks", "vocab_topk",
     "dedup_exact", "dedup_exact_norm", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_simhash_wide",
     "decontaminate", "decontaminate_fuzzy",
     "dedup_ngram_jaccard", "dedup_embedding", "dedup_groups",
     "dedup_groups_converged", "dedup_spans", "dedup_spans_scrub", "ann_topk_brute",
@@ -37,7 +38,8 @@ object Bench {
     "knn_classify", "corpus_stats", "corpus_diff", "dedup_source_matrix",
     "events_retention", "events_user_profile", "vocab_topk_by_lang",
     "dedup_containment", "embed_label_coherence", "corpus_divergence",
-    "quality_bigram", "corpus_clean", "dedup_recall", "quality_corr",
+    "quality_bigram", "quality_lm_heldout", "corpus_clean", "dedup_recall",
+    "quality_corr",
     "events_anomaly", "export_manifest", "embed_outliers",
     "vocab_cms_audit", "dedup_split_leakage", "pii_scrub",
     "rel_pricing_summary", "rel_top_orders", "rel_region_revenue",

@@ -112,6 +112,13 @@ object DedupEntries {
       gate(Dedup.minHashDups(docs(s, dir), "doc_id", "text"), "doc0", "doc1")),
     "dedup_simhash" -> ((s, dir) =>
       gate(Dedup.simHashDups(docs(s, dir), "doc_id", "text"), "doc0", "doc1")),
+    // the WIDE-sketch scale twin (r9): 15-bit chunks where the narrow
+    // geometry's 6-bit chunks measured structurally quadratic at the
+    // sfx1 spot-bench (22x wall for 10x docs), plus the required
+    // band-bucket occupancy cap
+    "dedup_simhash_wide" -> ((s, dir) =>
+      gate(Dedup.simHashWideDups(docs(s, dir), "doc_id", "text",
+        SimHashWideMaxBucket), "doc0", "doc1")),
     "dedup_embedding" -> ((s, dir) =>
       gate(Dedup.embeddingDups(embeddings(s, dir), "vec_id", "embedding"), "v0", "v1")),
     // cross-source duplicate-leakage matrix over the minhash near-dups
@@ -524,6 +531,21 @@ object DedupEntries {
     s"CASE WHEN s_$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END"
   }.mkString(" + ")
 
+  /** Band-bucket occupancy cap of the wide-SimHash contract — inert on
+    * organic text (measured max occupancy 4 at sf0.1), present for the
+    * hot collision classes (the phash/basket cap convention). */
+  private val SimHashWideMaxBucket = 200L
+
+  private val simhashWideSums = (0 until Dedup.SimHashWideBits).map { i =>
+    val half = Dedup.SimHashWideBits / 2
+    val (src, j) = if (i < half) ("a1", i) else ("a2", i - half)
+    s"SUM(CASE WHEN ($src >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s_$i"
+  }.mkString(", ")
+
+  private val simhashWideBits = (0 until Dedup.SimHashWideBits).map { i =>
+    s"CASE WHEN s_$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END"
+  }.mkString(" + ")
+
   /** The full dedup_groups CTE chain — shingles → minhash bands →
     * verified dup pairs → GroupRounds unrolled min-label-propagation
     * rounds, ending at `l$GroupRounds(doc_id, rep)`. Shared by the
@@ -896,6 +918,33 @@ object DedupEntries {
         |FROM sh64 a JOIN sh64 b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         |ORDER BY doc0, doc1""".stripMargin),
+    // wide twin: the banding + occupancy-cap candidate rule is mirrored
+    // EXACTLY (kb/keep CTEs = the Spark left_semi cap) — unlike the
+    // narrow oracle above, the cap makes banding part of the contract
+    "dedup_simhash_wide" -> {
+      val chunkBits = Dedup.SimHashWideBits / Dedup.SimHashWideChunks
+      val mask = (1L << chunkBits) - 1
+      shgSql + s""",
+        |av AS (SELECT doc_id,
+        |         ${TextHash.avalancheSql("sh", Dedup.SimHashWideSaltA)} AS a1,
+        |         ${TextHash.avalancheSql("sh", Dedup.SimHashWideSaltB)} AS a2
+        |       FROM shg),
+        |sums AS (SELECT doc_id, $simhashWideSums FROM av GROUP BY doc_id),
+        |shw AS MATERIALIZED (SELECT doc_id, ($simhashWideBits) AS simhash FROM sums),
+        |ch AS (SELECT doc_id, simhash, c AS chunk,
+        |              (simhash >> (c * $chunkBits)) & $mask AS cval
+        |       FROM shw, UNNEST(range(${Dedup.SimHashWideChunks})) AS rc(c)),
+        |keep AS (SELECT chunk, cval FROM ch GROUP BY chunk, cval
+        |         HAVING COUNT(*) <= $SimHashWideMaxBucket),
+        |kb AS MATERIALIZED (SELECT ch.* FROM ch JOIN keep USING (chunk, cval)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc0, b.doc_id AS doc1,
+        |                a.simhash AS h0, b.simhash AS h1
+        |         FROM kb a JOIN kb b ON a.chunk = b.chunk AND a.cval = b.cval
+        |          AND a.doc_id < b.doc_id)
+        |SELECT doc0, doc1, CAST(bit_count(xor(h0, h1)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(h0, h1)) <= 3
+        |ORDER BY doc0, doc1""".stripMargin
+    },
     // candidate rule mirrored from Embeddings.lshNearPairs: only pairs whose
     // sign-LSH buckets are within hamming 1 are cosine-verified
     "dedup_embedding" ->

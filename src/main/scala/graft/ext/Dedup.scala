@@ -1277,6 +1277,100 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Wide-sketch geometry: 60 sign bits (30 from each of two avalanched
+    * shingle hashes), banded into 4 fifteen-bit chunks — 32768 values
+    * per chunk where [[SimHashBits]]/[[SimHashChunks]]' six-bit chunks
+    * have 64. The narrow geometry is a MEASURED scale inversion: the
+    * broadened sfx1 spot-bench (bench_sf1.json r9) timed `dedup_simhash`
+    * at 22× wall for 10× docs because candidates grow ~N²/2·2^chunkBits —
+    * at 64 values per chunk the band join is structurally quadratic
+    * (852k candidate pairs at sf0.1, ~85M at sfx1), the same
+    * fixed-width-too-narrow class as the r8 sign-LSH plane bug. 15-bit
+    * chunks put the same corpus at 1.9k candidates (sf0.1, measured
+    * ~460× fewer) — the [[graft.ext.Multimodal.phashDups]] band geometry
+    * exactly, with the same occupancy cap for hot collision classes. */
+  val SimHashWideBits = 60
+  /** Pigeonhole-complete for hamming ≤ 3, like the narrow twin. */
+  val SimHashWideChunks = 4
+  /** Salts of the two avalanche chains widening the ~30 usable shingle
+    * bits to 60 independent vote positions. */
+  val SimHashWideSaltA = 70001L
+  val SimHashWideSaltB = 70003L
+
+  /**
+   * 60-bit SimHash over the distinct shingle set — [[simHash]] widened
+   * for corpus scale: bit i < 30 votes by bit i of `avalanche(sh,
+   * SaltA)`, bit i ≥ 30 by bit i−30 of `avalanche(sh, SaltB)` (the
+   * affine chain alone is an LCG whose low bits lattice-lock; the
+   * squared chain cascades carries, so all 60 positions are unbiased
+   * votes). Same shape as the narrow sketch: one aggregate, 60 counter
+   * columns, no row explosion.
+   */
+  def simHashWide(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val half = SimHashWideBits / 2
+    val av = shingles(docs, idCol, textCol).select(col("doc_id"),
+      expr(TextHash.avalancheSql("sh", SimHashWideSaltA)).as("a1"),
+      expr(TextHash.avalancheSql("sh", SimHashWideSaltB)).as("a2"))
+    val sums = (0 until SimHashWideBits).map { i =>
+      val (src, j) = if (i < half) ("a1", i) else ("a2", i - half)
+      sum(when(expr(s"shiftright($src, $j) & 1") === 1, 1L).otherwise(-1L))
+        .as(s"s_$i")
+    }
+    val hash = (0 until SimHashWideBits)
+      .map(i => when(col(s"s_$i") > 0, lit(1L << i)).otherwise(lit(0L)): Column)
+      .reduce(_ + _)
+    av.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), hash.as("simhash"))
+  }
+
+  /**
+   * Near-dup pairs by WIDE SimHash hamming ≤ `maxHamming` — the scale
+   * path for [[simHashDups]]: the same pigeonhole banding over 15-bit
+   * chunks, plus the REQUIRED band-bucket occupancy cap ([[graft.ext.
+   * Multimodal.phashDups]]' maxBucket / `basketRules`' maxBasket
+   * convention): a (chunk, value) bucket holding more than `maxBucket`
+   * sketches is dropped from candidate generation entirely. On healthy
+   * text the cap is inert (measured max occupancy 4 at sf0.1); it
+   * exists for the hot collision classes — empty/boilerplate documents
+   * whose sketches coincide — where one bucket would otherwise emit
+   * C(occ, 2) pairs. Recall contract: a pair is missed only if EVERY
+   * chunk the two sketches agree on is saturated; with 4 chunks and the
+   * cap far above organic occupancy that requires the pair to live
+   * entirely inside collision hotspots — exactly the evidence a
+   * near-dup miner calls uninformative.
+   *
+   * Scale shape: sketching is one row-local aggregate; candidates are a
+   * chunk equi-join whose per-bucket fan-out is ≤ C(maxBucket, 2) by
+   * construction; the hamming verify rides the candidate row (both
+   * sketches carried, no join back). Nothing quadratic survives.
+   */
+  def simHashWideDups(docs: DataFrame, idCol: String, textCol: String,
+      maxBucket: Long, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < SimHashWideChunks,
+      s"${SimHashWideChunks}-chunk pigeonhole is complete only for hamming < $SimHashWideChunks")
+    require(maxBucket >= 2, "a bucket below 2 can never pair")
+    val chunkBits = SimHashWideBits / SimHashWideChunks
+    val mask = (1L << chunkBits) - 1
+    val chunked = simHashWide(docs, idCol, textCol)
+      .select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until SimHashWideChunks).map(c =>
+          expr(s"shiftright(simhash, ${c * chunkBits}) & $mask")): _*))
+          .as(Seq("chunk", "cval")))
+    val keep = chunked.groupBy("chunk", "cval")
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") <= maxBucket).select("chunk", "cval")
+    val kb = chunked.join(keep, Seq("chunk", "cval"), "left_semi")
+    kb.as("a").join(kb.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc0"), col("b.doc_id").as("doc1"),
+        col("a.simhash").as("h0"), col("b.simhash").as("h1"))
+      .distinct()
+      .select(col("doc0"), col("doc1"),
+        expr("CAST(bit_count(h0 ^ h1) AS BIGINT)").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
   /**
    * Embedding-cosine near-duplicates: pairs with cosine ≥ `minCosine`
    * (rounded to the 1e-6 grid first so thresholding is reproducible).

@@ -1681,6 +1681,79 @@ object TextAnalysis {
   }
 
   /**
+   * HELD-OUT interpolated-bigram perplexity — the honest version of the
+   * [[unigramLogProb]]/[[bigramLogProb]] proxies: those self-score the
+   * training corpus (every observed n-gram has count ≥ 1, so duplicated
+   * boilerplate scores *well*), while a real perplexity gate fits the
+   * model on one split and scores documents the model has never seen —
+   * the CCNet/Gopher-style "perplexity against a reference LM" filter,
+   * with the reference LM fit from the corpus itself on a disjoint
+   * id-hash split ([[Export.mixBucket]], so the assignment is a pure
+   * function of the id and reproducible in the oracle).
+   *
+   * Model: Jelinek–Mercer interpolation of the train-split MLE bigram
+   * with an add-one train-split unigram,
+   * `P(w₂|w₁) = 0.75·c(w₁w₂)/c(w₁·) + 0.25·Pu(w₂)` where
+   * `Pu(w) = (c(w)+1)/(T+V+1)` — the +1 mass makes Pu strictly positive
+   * for OOV targets, and an unseen CONTEXT (c(w₁·)=0) backs off to
+   * `Pu(w₂)` entirely. λ = 0.75 is an exact binary double, mirrored
+   * literally in the oracle. Output per held-out document (absent if it
+   * has < 2 tokens): bigram count, OOV-target count, mean ln P, and
+   * `perplexity = exp(−mean ln P)`.
+   *
+   * Scale shape: the model is three map-side-partial aggregates over
+   * the train split (bigram counts, prefix totals off the aggregated
+   * bigram table, unigram counts) + one 1-row total; scoring is three
+   * vocab-sized equi-joins back to the held-out bigram stream (Catalyst
+   * broadcasts them when the vocab is small; they stay key-partitioned
+   * equi-joins when it is not) + one doc-keyed aggregate. The corpus is
+   * read twice (train pass, score pass) and nothing is quadratic.
+   */
+  def heldoutPerplexity(docs: DataFrame, idCol: String, textCol: String,
+      trainPermille: Int = 800, salt: Long = 0L): DataFrame = {
+    require(trainPermille > 0 && trainPermille < 1000,
+      "both splits need mass: trainPermille in (0, 1000)")
+    val bucket = graft.ext.Export.mixBucket(col(idCol), 1000, salt)
+    val train = docs.where(bucket < trainPermille)
+    val held = docs.where(bucket >= trainPermille)
+    val pairs =
+      "transform(sequence(1, size(t) - 1), " +
+        "i -> named_struct('w1', element_at(t, i), 'w2', element_at(t, i + 1)))"
+    def bigrams(d: DataFrame): DataFrame =
+      tokenArray(d, idCol, textCol)
+        .where(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(expr(pairs)).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val trainTok = tokenArray(train, idCol, textCol)
+      .select(explode(col("t")).as("token"))
+    val cu = trainTok.groupBy("token").agg(count(lit(1)).as("cu"))
+    val tot = cu.agg(sum(col("cu")).as("tt"), count(lit(1)).as("vv"))
+    val cb = bigrams(train).groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val cp = cb.groupBy("w1").agg(sum(col("cb")).as("cp"))
+    // op order below (cast placement, +1 before cast, λ·ratio + (1−λ)·pu)
+    // is mirrored TOKEN-FOR-TOKEN in the oracle SQL; ln/exp ulp and
+    // avg sum-order noise sit far below the r6 rounding grid
+    val pu = (coalesce(col("cu"), lit(0L)) + lit(1L)).cast("double") /
+      (col("tt") + col("vv") + lit(1L)).cast("double")
+    val p = when(col("cp").isNull, pu)
+      .otherwise(lit(0.75) * (coalesce(col("cb"), lit(0L)).cast("double") /
+        col("cp").cast("double")) + lit(0.25) * pu)
+    bigrams(held)
+      .join(cb, Seq("w1", "w2"), "left")
+      .join(cp, Seq("w1"), "left")
+      .join(cu.withColumnRenamed("token", "w2"), Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        when(col("cu").isNull, lit(1L)).otherwise(lit(0L)).as("oov"),
+        log(p).as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("oov")).as("n_oov"),
+        avg(col("lp")).as("avg_logprob"),
+        exp(-avg(col("lp"))).as("perplexity"))
+  }
+
+  /**
    * Per-slice distribution drift: the Jensen–Shannon divergence (in
    * nats) between each group's unigram distribution P and the GLOBAL
    * corpus distribution Q — the one-number-per-slice audit behind

@@ -23,6 +23,9 @@ class PlanAuditSpec extends SparkSpec {
       // 1-row grand-total aggregate crossed back over the vocab — the
       // sanctioned scalar-broadcast shape (constant keys fold away)
       "quality_unigram",
+      // same 1-row (T, V) train-total scalar broadcast over the
+      // held-out bigram stream; the three model joins are equi-joins
+      "quality_lm_heldout",
       // same 1-row global-token-total broadcast over the slice vocab
       "corpus_divergence",
       // knn_classify votes over ann_topk_brute's sanctioned all-pairs

@@ -121,6 +121,39 @@ class DedupSpec extends SparkSpec {
     assert(wide == wantWide)
   }
 
+  test("wide simhash: identical docs pair at hamming 0; banding complete vs brute force") {
+    val h = Dedup.simHashWide(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(0L) == h(1L))
+    assert((h(0L) >> Dedup.SimHashWideBits) == 0L) // sketch stays in 60 bits
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(0L), h(2L)) < ham(h(0L), h(3L)))
+    // with the cap inert (far above this corpus), banding must equal the
+    // direct all-pairs compare — the pigeonhole completeness contract
+    val want = (for {
+      a <- h.keys; b <- h.keys if a < b
+      if ham(h(a), h(b)) <= 3
+    } yield (a, b)).toSet
+    val banded = Dedup.simHashWideDups(docs, "doc_id", "text", maxBucket = 100L)
+    val got = banded.select("doc0", "doc1").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && got.contains((0L, 1L)))
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("wide simhash cap: a saturated bucket stops pairing (the hot-collision guard)") {
+    // three byte-identical docs share EVERY chunk bucket: occupancy 3
+    val tri = Seq(0L, 1L, 2L).map(i => (i, "same exact text repeated here always"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.simHashWideDups(tri, "doc_id", "text", maxBucket = 2L)
+      .count()
+    assert(capped == 0L) // every shared bucket is over the cap
+    val uncapped = Dedup.simHashWideDups(tri, "doc_id", "text", maxBucket = 3L)
+      .count()
+    assert(uncapped == 3L) // C(3,2) identical pairs at hamming 0
+  }
+
   test("minHashDups leaves no cached RDDs behind (caller-owned caching)") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     Dedup.minHashDups(docs, "doc_id", "text").count()

@@ -426,6 +426,65 @@ class TextAnalysisSpec extends SparkSpec {
     assertApprox(r(1L)._3, math.log(0.2), 1e-9)       // rarest token: c
   }
 
+  test("heldoutPerplexity matches a hand-rolled JM model; train docs absent") {
+    // deterministic texts over a tiny vocab; the id-hash split is the
+    // SAME mixBucketLong the operator uses, so the reference model below
+    // fits on exactly the operator's train slice
+    val texts = Seq("a b a c", "b b a", "c a b", "a a", "b c a b", "a c c",
+      "c b", "b a a c", "a b b", "c c a", "b a", "a b c a", "c a", "a b",
+      "b c", "a c b a", "b b", "c b a", "a a b", "c a a")
+    val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val d = rows.toDF("doc_id", "text")
+    val isTrain = (id: Long) => Export.mixBucketLong(id, 1000, 0L) < 800
+    val train = rows.filter(r => isTrain(r._1))
+    val held = rows.filterNot(r => isTrain(r._1))
+    assert(train.nonEmpty && held.nonEmpty, "split must cut both ways")
+
+    // reference JM model, plain Scala
+    def toks(t: String) = t.split("\\s+").filter(_.nonEmpty).toSeq
+    val cu = train.flatMap(r => toks(r._2)).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val (tt, vv) = (cu.values.sum, cu.size.toLong)
+    val tbg = train.flatMap(r => { val w = toks(r._2); w.zip(w.drop(1)) })
+    val cb = tbg.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val cp = tbg.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    def pu(w: String) = (cu.getOrElse(w, 0L) + 1).toDouble / (tt + vv + 1).toDouble
+    def p(w1: String, w2: String) = cp.get(w1) match {
+      case None => pu(w2)
+      case Some(c) => 0.75 * (cb.getOrElse((w1, w2), 0L).toDouble / c) + 0.25 * pu(w2)
+    }
+    val expected = held.flatMap { case (id, t) =>
+      val w = toks(t)
+      if (w.size < 2) None
+      else {
+        val lps = w.zip(w.drop(1)).map { case (a, b) => math.log(p(a, b)) }
+        Some(id -> ((lps.size.toLong, lps.sum / lps.size)))
+      }
+    }.toMap
+
+    val r = TextAnalysis.heldoutPerplexity(d, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(3), x.getDouble(4))))
+      .toMap
+    assert(r.keySet == expected.keySet) // no train doc leaks into the readout
+    expected.foreach { case (id, (n, avg)) =>
+      assert(r(id)._1 == n)
+      assertApprox(r(id)._2, avg, 1e-9)
+      assertApprox(r(id)._3, math.exp(-avg), 1e-9)
+    }
+  }
+
+  test("heldoutPerplexity: all-OOV held-out doc scores exactly exp(ln(tt+vv+1))") {
+    // find a held-out id under the operator's own split
+    val heldId = (0L to 100L).find(Export.mixBucketLong(_, 1000, 0L) >= 800).get
+    val trainIds = (0L to 100L).filter(Export.mixBucketLong(_, 1000, 0L) < 800).take(3)
+    val d = (trainIds.map(i => (i, "a b c")) :+ ((heldId, "zz qq zz")))
+      .toDF("doc_id", "text")
+    // train: tt = 9 tokens, vv = 3 types → OOV unigram mass 1/(9+3+1)
+    val r = TextAnalysis.heldoutPerplexity(d, "doc_id", "text").collect()
+    assert(r.length == 1 && r(0).getLong(0) == heldId)
+    assert(r(0).getLong(1) == 2L && r(0).getLong(2) == 2L) // 2 bigrams, both OOV
+    assertApprox(r(0).getDouble(4), 13.0, 1e-9)            // perplexity = tt+vv+1
+  }
+
   test("zipfHistogram: decade buckets by digit count, exact integers") {
     // counts: x=12 (two digits), y=2, z=1 (one digit)
     val d = Seq((0L, ("x " * 12).trim), (1L, "y y z")).toDF("doc_id", "text")
