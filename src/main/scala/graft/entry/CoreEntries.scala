@@ -104,15 +104,21 @@ object CoreEntries {
     // from the vector count (SparseAnn.AutoLists → deriveLists, target
     // occupancy ≤ 32) — the first cut's fixed 8 lists exhausted local
     // disk at sfx1; the oracle's `nl` CTE derives the IDENTICAL count
+    // pin = EAGER localCheckpoint (the Graph per-round convention), not
+    // lazy persist: the Lloyd loop pins per-round model tables, and a
+    // persisted-but-lazy lineage kept nesting round over round — the
+    // driver spent ~10x the cluster's task time re-canonicalizing the
+    // deep cached plans (measured 547 s wall over 37 task-seconds at
+    // sf0.1); checkpoint truncation makes planning flat per round
     "cosine_topk_ivf" -> ((s, dir) =>
       gate(graft.ext.SparseAnn.topSimilarIvf(analysis(s), supplierPartMatrix(s, dir), 5,
-        pin = _.persist()), "vector", "rank")),
+        pin = _.localCheckpoint()), "vector", "rank")),
     // the route's occupancy self-audit: per inverted list, assigned
     // count + the enforced sub-split factor (n_sub = ceil(occ/32); 1 =
     // cap inert) — the readout that measured the sfx1 Lloyd collapse
     "cosine_ivf_occupancy" -> ((s, dir) =>
       gate(graft.ext.SparseAnn.listOccupancyIvf(analysis(s), supplierPartMatrix(s, dir),
-        pin = _.persist()), "cid")),
+        pin = _.localCheckpoint()), "cid")),
     // the route's self-audit: per-vector recall of the IVF top-5 against
     // the exact dense top-5 (the ann_recall contract for this route)
     "cosine_topk_ivf_recall" -> ((s, dir) => {
@@ -120,7 +126,7 @@ object CoreEntries {
       val m = supplierPartMatrix(s, dir)
       val exact = a.fit(m, isSparse = false).topSimilar(5)
         .select(col("vector").as("query_id"), col("neighbor").as("vec_id"))
-      val ivf = graft.ext.SparseAnn.topSimilarIvf(a, m, 5, pin = _.persist())
+      val ivf = graft.ext.SparseAnn.topSimilarIvf(a, m, 5, pin = _.localCheckpoint())
         .select(col("vector").as("query_id"), col("neighbor").as("vec_id"))
       gate(graft.ext.Embeddings.recallAtK(exact, ivf)
         .withColumnRenamed("query_id", "vector"), "vector")

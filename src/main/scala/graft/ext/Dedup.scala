@@ -1260,6 +1260,14 @@ object Dedup {
    * Wider bounds fall back to the direct sketch self-join (quadratic in
    * document count — only the ≤ int64 sketches are scanned, but at corpus
    * scale prefer a tighter bound or more chunks).
+   *
+   * SCALE CAVEAT (measured, bench_sf1.json r9): complete banding over
+   * 6-bit chunks is itself ~quadratic — candidates grow ~N²/32 and the
+   * sfx1 spot-bench timed this operator at 22× wall for 10× docs. At
+   * corpus scale use [[simHashWideDups]] (15-bit chunks + occupancy
+   * cap, same hamming ≤ 3 contract over a 60-bit sketch); this narrow
+   * variant stays for small/medium corpora and for its exact 24-bit
+   * all-pairs equivalence.
    */
   def simHashDups(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {

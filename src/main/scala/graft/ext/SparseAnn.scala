@@ -362,7 +362,9 @@ object SparseAnn {
       iters: Int = IvfIters, nprobe: Int = IvfNprobe,
       dim: Int = IvfDim, maxOcc: Int = ListOccupancy): DataFrame = {
     val n = pin(normTable(analysis, matrix))
-    exactSims(ivfCandidates(n, pin, lists, iters, nprobe, dim, maxOcc), n)
+    // the candidate table feeds three joins in exactSims (dots + both
+    // mod sides) — pinned so the routing stages run once, not per branch
+    exactSims(pin(ivfCandidates(n, pin, lists, iters, nprobe, dim, maxOcc)), n)
   }
 
   /** The (vector0 > vector1) IVF candidate pairs from a prepared
@@ -404,15 +406,23 @@ object SparseAnn {
       .select(col("cid"), col("j"), col("hv").as("c"))
     var dist: DataFrame = null
     val w = Window.partitionBy("vector").orderBy(col("d2").asc, col("cid").asc)
+    // every per-round table below is MODEL-SIZED (cd/c2: lists·dim rows,
+    // dist: vectors·lists) but feeds ≥ 2 consumers — and a broadcast
+    // subquery re-executes its whole unpinned subtree per consumer, so
+    // without the pins each round recomputed the full chain back through
+    // the normalize scan (measured: 317 stages / 940 task-seconds for a
+    // 5000-row readout at sf0.1; pinned, the same fit is a round-linear
+    // chain — the localCheckpoint-per-round convention of Graph.pageRank,
+    // expressed through the caller's pin hook)
     for (round <- 1 to iters) {
-      val cd = densify(cent)
+      val cd = pin(densify(cent))
       val c2 = cd.groupBy("cid").agg(sum(col("c") * col("c")).as("c2"))
       val dots = h.join(broadcast(cd), "j")
         .groupBy(col("vector"), col("cid"))
         .agg(sum(col("hv") * col("c")).as("dot"))
-      dist = dots.join(x2, "vector").join(broadcast(c2), "cid")
+      dist = pin(dots.join(x2, "vector").join(broadcast(c2), "cid")
         .select(col("vector"), col("cid"),
-          snap(col("x2") + col("c2") - lit(2.0) * col("dot")).as("d2"))
+          snap(col("x2") + col("c2") - lit(2.0) * col("dot")).as("d2")))
       if (round < iters) {
         val assign = dist.withColumn("rn", row_number().over(w))
           .where(col("rn") === 1).select("vector", "cid")
