@@ -87,6 +87,46 @@ class BandingPropertySpec extends SparkSpec {
     }
   }
 
+  test("wide simhash banding is complete vs brute force on random documents") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    // 12 base docs of 30 random tokens + 12 variants (exact copy or one
+    // token swapped) — enough near-identical sketches that the expected
+    // hamming<=3 pair set is non-trivial
+    val word: Gen[String] = Gen.listOfN(4, Gen.alphaLowerChar).map(_.mkString)
+    val genDocs: Gen[Seq[String]] = for {
+      base <- Gen.listOfN(12, Gen.listOfN(30, word).map(_.mkString(" ")))
+      variants <- Gen.sequence[Seq[String], String](base.map { t =>
+        for {
+          exact <- Gen.oneOf(true, false)
+          i <- Gen.choose(0, 29)
+          w <- word
+        } yield if (exact) t
+          else { val a = t.split(" "); a(i) = w; a.mkString(" ") }
+      })
+    } yield base ++ variants
+    forAllSampled(genDocs, n = 2) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val h = Dedup.simHashWide(df, "doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = (for {
+        a <- h.keys; b <- h.keys if a < b
+        if hamming(h(a), h(b)) <= 3
+      } yield (a, b)).toSet
+      // cap far above any bucket: banding must equal the direct compare
+      val got = Dedup.simHashWideDups(df, "doc_id", "text", maxBucket = 1000L)
+        .select("doc0", "doc1").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want, s"missed: ${want.diff(got).take(5)} extra: ${got.diff(want).take(5)}")
+      // a binding cap only ever REMOVES pairs, never invents them
+      val capped = Dedup.simHashWideDups(df, "doc_id", "text", maxBucket = 2L)
+        .select("doc0", "doc1").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(capped.subsetOf(want))
+    }
+  }
+
   /** Planted (doc, doc+1) shingle-set pairs with exact Jaccard
     * s/(2n-s); shingle values are distinct per pair, drawn < TextHash.M
     * from a fixed seed. Returns the (doc_id, sh) table. */
