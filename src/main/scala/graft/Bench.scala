@@ -38,7 +38,8 @@ object Bench {
     "knn_classify", "corpus_stats", "corpus_diff", "dedup_source_matrix",
     "events_retention", "events_user_profile", "vocab_topk_by_lang",
     "dedup_containment", "embed_label_coherence", "corpus_divergence",
-    "quality_bigram", "quality_lm_heldout", "corpus_clean", "dedup_recall",
+    "quality_bigram", "quality_lm_heldout", "quality_lm_cross",
+    "corpus_clean", "dedup_recall",
     "quality_corr",
     "events_anomaly", "export_manifest", "embed_outliers",
     "vocab_cms_audit", "dedup_split_leakage", "pii_scrub",

@@ -241,6 +241,15 @@ object TextEntries {
     "quality_lm_heldout" -> ((s, dir) =>
       gate(TextAnalysis.heldoutPerplexity(docs(s, dir), "doc_id", "text",
         LmTrainPermille), "doc_id")),
+    // ext: the cross-corpus deployment of the same gate — fit the LM on
+    // the curated reference slice (every source but src0), score the
+    // target slice against it (the decontaminate family's split)
+    "quality_lm_cross" -> ((s, dir) => {
+      val d = docs(s, dir)
+      gate(TextAnalysis.perplexityAgainst(
+        d.where(col("source") =!= LmTargetSource),
+        d.where(col("source") === LmTargetSource), "doc_id", "text"), "doc_id")
+    }),
     // ext: per-source token-budget sampling in deterministic hash order
     "corpus_budget" -> ((s, dir) =>
       gate(TextAnalysis.budgetSample(docs(s, dir), "doc_id", "text", "source",
@@ -744,6 +753,11 @@ object TextEntries {
     * the LM, the remaining 200‰ is scored — enough held-out docs at
     * every gate sf (sf0.001: ~10, sf0.01: ~100) for a stable readout. */
   private val LmTrainPermille = 800
+
+  /** Target slice of the cross-corpus perplexity contract — the same
+    * source the decontamination family treats as the eval corpus, so the
+    * reference LM fits on every OTHER source (19/20 of the corpus). */
+  private val LmTargetSource = "src0"
 
   /** Tokens-with-position CTE mirroring [[TextAnalysis.tokensWithPosition]]. */
   val tokSql: String =
@@ -1451,6 +1465,39 @@ object TextEntries {
       val pu = "(CAST(COALESCE(cu, 0) + 1 AS DOUBLE) / CAST(tt + vv + 1 AS DOUBLE))"
       tokSql + s""",
         |sp AS (SELECT doc_id, CASE WHEN $mix < $LmTrainPermille THEN 1 ELSE 0 END AS is_train
+        |       FROM documents),
+        |ad AS (SELECT tok.doc_id, is_train, token AS w1,
+        |              lead(token) OVER (PARTITION BY tok.doc_id ORDER BY pos) AS w2
+        |       FROM tok JOIN sp ON sp.doc_id = tok.doc_id),
+        |tbg AS (SELECT w1, w2 FROM ad WHERE is_train = 1 AND w2 IS NOT NULL),
+        |hbg AS (SELECT doc_id, w1, w2 FROM ad WHERE is_train = 0 AND w2 IS NOT NULL),
+        |cu AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cu
+        |       FROM tok JOIN sp ON sp.doc_id = tok.doc_id WHERE is_train = 1 GROUP BY token),
+        |tot AS (SELECT CAST(SUM(cu) AS BIGINT) AS tt, CAST(COUNT(*) AS BIGINT) AS vv FROM cu),
+        |cb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb FROM tbg GROUP BY 1, 2),
+        |cp AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS cp FROM cb GROUP BY 1),
+        |sc AS (SELECT hbg.doc_id,
+        |              CASE WHEN u.cu IS NULL THEN 1 ELSE 0 END AS oov,
+        |              ln(CASE WHEN cp.cp IS NULL THEN $pu
+        |                 ELSE 0.75 * (CAST(COALESCE(cb.cb, 0) AS DOUBLE) / CAST(cp.cp AS DOUBLE))
+        |                      + 0.25 * $pu END) AS lp
+        |       FROM hbg
+        |       LEFT JOIN cb ON cb.w1 = hbg.w1 AND cb.w2 = hbg.w2
+        |       LEFT JOIN cp ON cp.w1 = hbg.w1
+        |       LEFT JOIN cu u ON u.token = hbg.w2
+        |       CROSS JOIN tot)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |       CAST(SUM(oov) AS BIGINT) AS n_oov,
+        |       ${r6sql("AVG(lp)")} AS avg_logprob,
+        |       ${r6sql("exp(-AVG(lp))")} AS perplexity
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+    // cross-corpus twin: identical model/score chain with the split CASE
+    // replaced by the source test (reference = every source but src0)
+    "quality_lm_cross" -> {
+      val pu = "(CAST(COALESCE(cu, 0) + 1 AS DOUBLE) / CAST(tt + vv + 1 AS DOUBLE))"
+      tokSql + s""",
+        |sp AS (SELECT doc_id, CASE WHEN source <> '$LmTargetSource' THEN 1 ELSE 0 END AS is_train
         |       FROM documents),
         |ad AS (SELECT tok.doc_id, is_train, token AS w1,
         |              lead(token) OVER (PARTITION BY tok.doc_id ORDER BY pos) AS w2

@@ -1714,8 +1714,23 @@ object TextAnalysis {
     require(trainPermille > 0 && trainPermille < 1000,
       "both splits need mass: trainPermille in (0, 1000)")
     val bucket = graft.ext.Export.mixBucket(col(idCol), 1000, salt)
-    val train = docs.where(bucket < trainPermille)
-    val held = docs.where(bucket >= trainPermille)
+    perplexityAgainst(docs.where(bucket < trainPermille),
+      docs.where(bucket >= trainPermille), idCol, textCol)
+  }
+
+  /**
+   * CROSS-CORPUS perplexity — [[heldoutPerplexity]]'s model/score core
+   * with the two corpora supplied by the caller: fit the interpolated
+   * bigram LM on `reference` (a curated corpus), score every document of
+   * `target` (a raw crawl) against it. This is the deployed shape of the
+   * CCNet reference-LM filter; the held-out variant is this function
+   * driven by an id-hash split of one corpus. Same model, same OOV
+   * handling, same output schema (absent rows for target docs with < 2
+   * tokens); same scale shape — the reference is read twice to build the
+   * vocab-sized model tables, the target once.
+   */
+  def perplexityAgainst(reference: DataFrame, target: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
     val pairs =
       "transform(sequence(1, size(t) - 1), " +
         "i -> named_struct('w1', element_at(t, i), 'w2', element_at(t, i + 1)))"
@@ -1724,11 +1739,11 @@ object TextAnalysis {
         .where(size(col("t")) >= 2)
         .select(col("doc_id"), explode(expr(pairs)).as("b"))
         .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val trainTok = tokenArray(train, idCol, textCol)
+    val trainTok = tokenArray(reference, idCol, textCol)
       .select(explode(col("t")).as("token"))
     val cu = trainTok.groupBy("token").agg(count(lit(1)).as("cu"))
     val tot = cu.agg(sum(col("cu")).as("tt"), count(lit(1)).as("vv"))
-    val cb = bigrams(train).groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val cb = bigrams(reference).groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
     val cp = cb.groupBy("w1").agg(sum(col("cb")).as("cp"))
     // op order below (cast placement, +1 before cast, λ·ratio + (1−λ)·pu)
     // is mirrored TOKEN-FOR-TOKEN in the oracle SQL; ln/exp ulp and
@@ -1738,7 +1753,7 @@ object TextAnalysis {
     val p = when(col("cp").isNull, pu)
       .otherwise(lit(0.75) * (coalesce(col("cb"), lit(0L)).cast("double") /
         col("cp").cast("double")) + lit(0.25) * pu)
-    bigrams(held)
+    bigrams(target)
       .join(cb, Seq("w1", "w2"), "left")
       .join(cp, Seq("w1"), "left")
       .join(cu.withColumnRenamed("token", "w2"), Seq("w2"), "left")

@@ -25,7 +25,7 @@ class PlanAuditSpec extends SparkSpec {
       "quality_unigram",
       // same 1-row (T, V) train-total scalar broadcast over the
       // held-out bigram stream; the three model joins are equi-joins
-      "quality_lm_heldout",
+      "quality_lm_heldout", "quality_lm_cross",
       // same 1-row global-token-total broadcast over the slice vocab
       "corpus_divergence",
       // knn_classify votes over ann_topk_brute's sanctioned all-pairs

@@ -485,6 +485,20 @@ class TextAnalysisSpec extends SparkSpec {
     assertApprox(r(0).getDouble(4), 13.0, 1e-9)            // perplexity = tt+vv+1
   }
 
+  test("perplexityAgainst: the held-out variant IS this core driven by the hash split") {
+    val rows = (0L to 30L).map(i => (i, s"tok${i % 4} tok${(i + 1) % 4} tok${(i + 2) % 5}"))
+    val d = rows.toDF("doc_id", "text")
+    val isTrain = (id: Long) => Export.mixBucketLong(id, 1000, 0L) < 800
+    val viaSplit = TextAnalysis.heldoutPerplexity(d, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    val viaCorpora = TextAnalysis.perplexityAgainst(
+        d.where(col("doc_id").isin(rows.map(_._1).filter(isTrain): _*)),
+        d.where(!col("doc_id").isin(rows.map(_._1).filter(isTrain): _*)),
+        "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    assert(viaSplit == viaCorpora && viaSplit.nonEmpty)
+  }
+
   test("zipfHistogram: decade buckets by digit count, exact integers") {
     // counts: x=12 (two digits), y=2, z=1 (one digit)
     val d = Seq((0L, ("x " * 12).trim), (1L, "y y z")).toDF("doc_id", "text")
