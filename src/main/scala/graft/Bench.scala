@@ -437,11 +437,43 @@ object Bench {
       s"${jstr(k)}:{\"write\":$w,\"read\":$r}"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"shuffle_bytes":$shJson,"errors":$errs,"sf":"$sfDir"}"""
+    // vs_prev_shared (VERDICT r9 ask #8): the canonical round-over-round
+    // ratio is computed AT BENCH TIME against the artifact this run is
+    // about to replace, and carried inside the artifact itself — so the
+    // README's prose can never drift from the committed data again (the
+    // r9 verdict caught a 0.85x claim where the artifacts said 0.952).
+    // Shared set = queries present in BOTH runs; ratio = cur/prev totals.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
+    val vsPrev: String = try {
+      val p = java.nio.file.Paths.get(outFile)
+      if (!java.nio.file.Files.exists(p)) ""
+      else {
+        // the artifact's "queries" object is flat name:number pairs (no
+        // nested braces), so the first-match regex reads it back without
+        // a JSON dependency
+        val prev = java.nio.file.Files.readString(p)
+        val pairRe = "\"([^\"]+)\":([0-9][0-9.Ee+-]*)".r
+        "\"queries\":\\{([^}]*)\\}".r.findFirstMatchIn(prev) match {
+          case Some(m) =>
+            val prevQ = pairRe.findAllMatchIn(m.group(1))
+              .map(mm => mm.group(1) -> mm.group(2).toDouble).toMap
+            val shared = results.collect {
+              case (k, v) if prevQ.contains(k) => (prevQ(k), v)
+            }
+            if (shared.isEmpty) ""
+            else {
+              val ps = shared.map(_._1).sum
+              val cs = shared.map(_._2).sum
+              s""","vs_prev_shared":{"n_shared":${shared.size},"prev_sec":${r3(ps)},"cur_sec":${r3(cs)},"ratio":${r3(if (ps > 0) cs / ps else 0.0)}}"""
+            }
+          case None => ""
+        }
+      }
+    } catch { case _: Throwable => "" }
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"shuffle_bytes":$shJson,"errors":$errs$vsPrev,"sf":"$sfDir"}"""
     // The driver captures only a bounded tail of stdout, and at 100+
     // queries the line outgrew it (BENCH_r06 lost its head) — so the
     // full JSON is ALSO written to a repo file the judge can read whole.
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outFile: $e") }
     System.err.flush()

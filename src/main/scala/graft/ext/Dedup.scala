@@ -1011,6 +1011,17 @@ object Dedup {
    * these windows. Documents shorter than `len` emit no row (nothing
    * long enough to leak). One explode + one per-doc distinct; output is
    * one row per character of input, linear like any suffix structure.
+   *
+   * Windows are carried as a FIXED-WIDTH 120-bit hash — two int64
+   * columns `(g1, g2)` cut from sha256 of the window bytes (VERDICT r9
+   * ask #3): the distinct and the probe join exchange 16 bytes per
+   * window instead of the raw `len`-character string (~50 chars, up to
+   * ~150 UTF-8 bytes — at 100 TB the string payload IS the shuffle).
+   * Identical strings hash identically, so the no-false-negative
+   * direction is preserved exactly; a false positive needs a 2^-120
+   * sha256-prefix collision — below any hardware-error floor. The
+   * DuckDB oracle derives the IDENTICAL pair via
+   * [[substringHashSqlDuck]], so the contract compare covers the hash.
    */
   def substringGrams(docs: DataFrame, idCol: String, textCol: String,
       len: Int): DataFrame = {
@@ -1019,8 +1030,22 @@ object Dedup {
       .where(length(col("t")) >= len)
       .select(col("doc_id"), col("t"),
         explode(expr(s"sequence(0, length(t) - $len)")).as("p"))
-      .select(col("doc_id"), expr(s"substr(t, p + 1, $len)").as("g"))
+      .select(col("doc_id"),
+        expr(s"sha2(cast(substr(t, p + 1, $len) as binary), 256)").as("h"))
+      // two 15-hex-char slices → two exact int64s (60 bits each; conv's
+      // unsigned parse stays below 2^63 so the BIGINT cast is exact)
+      .select(col("doc_id"),
+        expr("CAST(conv(substr(h, 1, 15), 16, 10) AS BIGINT)").as("g1"),
+        expr("CAST(conv(substr(h, 16, 15), 16, 10) AS BIGINT)").as("g2"))
       .distinct()
+  }
+
+  /** DuckDB spelling of [[substringGrams]]' window-hash pair: int64
+    * column `gN` from the same sha256 hex slice (`'0x' || slice` casts
+    * exactly in DuckDB 1.0; Spark spells the same parse via `conv`). */
+  def substringHashSqlDuck(windowExpr: String, part: Int): String = {
+    val off = if (part == 1) 1 else 16
+    s"CAST('0x' || substr(sha256($windowExpr), $off, 15) AS BIGINT)"
   }
 
   /**
@@ -1034,8 +1059,10 @@ object Dedup {
    * MinHash misses it whenever the surrounding text dilutes the Jaccard
    * below threshold (spec-pinned), and token-n-gram probes
    * ([[contamination]]) depend on the tokenizer segmenting both copies
-   * identically. Matching is on the raw window STRING — no hash, no
-   * false positives, no false negatives above `len`.
+   * identically. Matching is on the fixed-width 120-bit window hash
+   * ([[substringGrams]]) — no false negatives ever (identical windows
+   * hash identically), false positives only at the 2^-120 sha256-prefix
+   * collision rate, mirrored exactly by the oracle.
    *
    * Scale shape: the standard Lee-et-al. suffix trade, spelled as a
    * join — the eval side (benchmarks, MBs) collapses to its distinct
@@ -1043,14 +1070,16 @@ object Dedup {
    * character through that probe once and aggregates map-side per
    * document. Linear in train bytes — the same asymptotics as building
    * the suffix array, with Spark's exchange machinery in place of the
-   * sort — and never train-vs-train.
+   * sort — and never train-vs-train. The exchanged key is 16 bytes per
+   * window (two int64s), not the window string (VERDICT r9 ask #3:
+   * ~6× less exchange payload at the 50-char default).
    */
   def substringContamination(train: DataFrame, evalCorpus: DataFrame,
       idCol: String, textCol: String, len: Int = SubstrLen): DataFrame = {
     val tg = substringGrams(train, idCol, textCol, len)
     val ev = substringGrams(evalCorpus, idCol, textCol, len)
-      .select(col("g")).distinct().withColumn("hit", lit(1L))
-    tg.join(ev, Seq("g"), "left")
+      .select(col("g1"), col("g2")).distinct().withColumn("hit", lit(1L))
+    tg.join(ev, Seq("g1", "g2"), "left")
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_grams"),
@@ -1249,8 +1278,32 @@ object Dedup {
       .distinct()
   }
 
+  /** Default band-bucket occupancy cap of the wide SimHash route when
+    * reached through the obvious [[simHashDups]] name: far above the
+    * measured organic occupancy (4 at sf0.1), so it only fires on hot
+    * collision classes (empty/boilerplate sketch coincidences). */
+  val SimHashDefaultMaxBucket: Long = 200L
+
   /**
-   * Near-dup pairs by SimHash hamming distance ≤ `maxHamming`.
+   * Near-dup pairs by SimHash hamming distance — THE DEFAULT ROUTE,
+   * which is the WIDE 60-bit sketch with 15-bit pigeonhole banding and
+   * the occupancy cap ([[simHashWideDups]]). The narrow 24-bit variant
+   * ([[simHashDups24]]) is a MEASURED scale inversion (bench_sf1.json
+   * r9: 22.8× wall for 10× docs, candidates ~N²/32), so since r10 no
+   * caller can inherit that quadratic by taking the obvious name
+   * (VERDICT r9 ask #2): narrow is reachable only through its explicit
+   * width-suffixed API.
+   */
+  def simHashDups(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3,
+      maxBucket: Long = SimHashDefaultMaxBucket): DataFrame =
+    simHashWideDups(docs, idCol, textCol, maxBucket, maxHamming)
+
+  /**
+   * Near-dup pairs by NARROW 24-bit SimHash hamming distance ≤
+   * `maxHamming` — the documented exact-24-bit API (small/medium
+   * corpora and all-pairs-equivalence audits ONLY; the default route is
+   * the wide twin behind [[simHashDups]]).
    *
    * For `maxHamming < SimHashChunks` candidates come from
    * [[simHashCandidates]]'s chunk equi-join, which is complete by
@@ -1264,12 +1317,12 @@ object Dedup {
    * SCALE CAVEAT (measured, bench_sf1.json r9): complete banding over
    * 6-bit chunks is itself ~quadratic — candidates grow ~N²/32 and the
    * sfx1 spot-bench timed this operator at 22× wall for 10× docs. At
-   * corpus scale use [[simHashWideDups]] (15-bit chunks + occupancy
-   * cap, same hamming ≤ 3 contract over a 60-bit sketch); this narrow
-   * variant stays for small/medium corpora and for its exact 24-bit
-   * all-pairs equivalence.
+   * corpus scale use [[simHashDups]]/[[simHashWideDups]] (15-bit chunks
+   * + occupancy cap, same hamming ≤ 3 contract over a 60-bit sketch);
+   * this narrow variant stays for small/medium corpora and for its
+   * exact 24-bit all-pairs equivalence.
    */
-  def simHashDups(docs: DataFrame, idCol: String, textCol: String,
+  def simHashDups24(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     val cands =
       if (maxHamming < SimHashChunks) simHashCandidates(simHash(docs, idCol, textCol))
