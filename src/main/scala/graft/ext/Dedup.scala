@@ -1024,20 +1024,32 @@ object Dedup {
    * [[substringHashSqlDuck]], so the contract compare covers the hash.
    */
   def substringGrams(docs: DataFrame, idCol: String, textCol: String,
-      len: Int): DataFrame = {
+      len: Int): DataFrame =
+    substringGramsLocal(docs, idCol, textCol, len).distinct()
+
+  /**
+   * [[substringGrams]] WITHOUT the per-doc distinct — a purely ROW-LOCAL
+   * stage (projection + explode + hash; no exchange, no aggregate), so
+   * it also runs natively on an unbounded STREAM ([[graft.streaming
+   * .DedupStream.substringContaminationFlag]] — a streaming distinct
+   * would be stateful; the stream's per-doc flag dedup makes it
+   * unnecessary there). `keepCols` ride along per window row.
+   */
+  def substringGramsLocal(docs: DataFrame, idCol: String, textCol: String,
+      len: Int, keepCols: Seq[String] = Nil): DataFrame = {
     require(len >= 2)
-    docs.select(col(idCol).as("doc_id"), col(textCol).as("t"))
+    val keep = keepCols.map(col)
+    docs.select(col(idCol).as("doc_id") +: col(textCol).as("t") +: keep: _*)
       .where(length(col("t")) >= len)
-      .select(col("doc_id"), col("t"),
-        explode(expr(s"sequence(0, length(t) - $len)")).as("p"))
-      .select(col("doc_id"),
-        expr(s"sha2(cast(substr(t, p + 1, $len) as binary), 256)").as("h"))
+      .select(col("doc_id") +: col("t") +:
+        explode(expr(s"sequence(0, length(t) - $len)")).as("p") +: keep: _*)
+      .select(col("doc_id") +:
+        expr(s"sha2(cast(substr(t, p + 1, $len) as binary), 256)").as("h") +: keep: _*)
       // two 15-hex-char slices → two exact int64s (60 bits each; conv's
       // unsigned parse stays below 2^63 so the BIGINT cast is exact)
-      .select(col("doc_id"),
-        expr("CAST(conv(substr(h, 1, 15), 16, 10) AS BIGINT)").as("g1"),
-        expr("CAST(conv(substr(h, 16, 15), 16, 10) AS BIGINT)").as("g2"))
-      .distinct()
+      .select(col("doc_id") +:
+        expr("CAST(conv(substr(h, 1, 15), 16, 10) AS BIGINT)").as("g1") +:
+        expr("CAST(conv(substr(h, 16, 15), 16, 10) AS BIGINT)").as("g2") +: keep: _*)
   }
 
   /** DuckDB spelling of [[substringGrams]]' window-hash pair: int64

@@ -63,6 +63,37 @@ object DedupStream {
       .dropDuplicatesWithinWatermark("doc_id")
 
   /**
+   * Streaming EXACT-SUBSTRING decontamination guard — the ingest-time
+   * form of [[graft.ext.Dedup.substringContamination]] (VERDICT r9 ask
+   * #7): flag arriving documents containing ANY `len`-character window
+   * that occurs verbatim, at any alignment, in a STATIC eval-corpus
+   * window table (`evalGrams` = [[graft.ext.Dedup.substringGrams]] over
+   * the eval slice, materialized to parquet at eval-set build time —
+   * (g1, g2) fixed-width 120-bit window-hash rows). This is the
+   * deterministic guarantee the trigram/Bloom guards above cannot give:
+   * a 50-char quote pasted mid-document is caught with certainty, with
+   * no dependence on tokenization alignment.
+   *
+   * Stream-native, no foreachBatch: window hashing is ROW-LOCAL
+   * ([[graft.ext.Dedup.substringGramsLocal]] — explode + hash, no
+   * distinct, no aggregate), the probe is ONE stream-static equi-join
+   * on the 16-byte hash pair (the static side's distinct set
+   * broadcasts), and the per-document flag dedup is
+   * `dropDuplicatesWithinWatermark` keyed by doc id — the only stateful
+   * operator, watermark-bounded. Emits one (doc_id, ts) row per
+   * contaminated document. Batch parity is spec-pinned: the flag set
+   * equals `substringContamination(...)` rows with `hit_grams > 0`.
+   */
+  def substringContaminationFlag(docs: DataFrame, idCol: String,
+      textCol: String, tsCol: String, evalGrams: DataFrame,
+      len: Int = Dedup.SubstrLen, watermark: String = "1 hour"): DataFrame =
+    Dedup.substringGramsLocal(docs, idCol, textCol, len, keepCols = Seq(tsCol))
+      .join(evalGrams.select(col("g1"), col("g2")).distinct(), Seq("g1", "g2"))
+      .select(col("doc_id"), col(tsCol))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("doc_id")
+
+  /**
    * Streaming decontamination guard over a BLOOM bit-set — the
    * fixed-memory twin of [[contaminationFlag]]: when the eval corpus's
    * distinct shingle set outgrows a comfortable broadcast, the static

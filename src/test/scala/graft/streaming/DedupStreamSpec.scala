@@ -4,6 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.SparkSpec
@@ -56,6 +57,44 @@ class DedupStreamSpec extends SparkSpec {
       val flagged = spark.table("contam_out").collect().map(_.getLong(0))
       // doc 0 flagged exactly once (watermark-deduped); 1 and 2 clean
       assert(flagged.toSeq == Seq(0L), flagged.mkString(", "))
+    } finally q.stop()
+  }
+
+  test("substringContaminationFlag: planted mid-doc quote flagged, parity with batch probe") {
+    import graft.ext.Dedup
+    // a >= 50-char verbatim eval passage; the stream doc pastes it
+    // mid-document where token-trigram and fuzzy probes can miss it
+    val quote = "the seventeen amber foxes vaulted nimbly across the frozen aqueduct at dawn"
+    assert(quote.length >= Dedup.SubstrLen)
+    val evalDocs = Seq((100L, s"benchmark preamble text. $quote. closing remarks.."))
+      .toDF("doc_id", "text")
+    val evalGrams = Dedup.substringGrams(evalDocs, "doc_id", "text", Dedup.SubstrLen)
+    val streamed = Seq(
+      (0L, ts(0), s"unrelated lead-in words here and then suddenly $quote and the document keeps going afterwards"),
+      (1L, ts(1), "completely unrelated text about engines and query planners, long enough to clear the fifty character window threshold easily"),
+      (2L, ts(2), "too short"))
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val docs = in.toDF().toDF("doc_id", "ts", "text")
+    val df = DedupStream.substringContaminationFlag(docs, "doc_id", "text", "ts", evalGrams)
+    val q = df.writeStream.format("memory").queryName("substr_contam_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(streamed: _*)
+      q.processAllAvailable()
+      in.addData((0L, ts(3), s"$quote again")) // same id re-arrives
+      q.processAllAvailable()
+      val flagged = spark.table("substr_contam_out").collect().map(_.getLong(0))
+      assert(flagged.toSeq == Seq(0L), flagged.mkString(", "))
+      // BATCH PARITY: the stream's flag set equals the batch exact-substring
+      // probe's hit_grams > 0 rows over the same (first-arrival) corpus
+      val batchDocs = streamed.map { case (id, _, t) => (id, t) }.toDF("doc_id", "text")
+      val batchFlags = Dedup.substringContamination(batchDocs, evalDocs, "doc_id", "text")
+        .where(col("hit_grams") > 0).select("doc_id")
+        .collect().map(_.getLong(0)).toSeq.sorted
+      assert(batchFlags == flagged.toSeq.sorted)
+      // row-local probe: the only stateful operator is the per-doc dedup
+      val logical = df.queryExecution.logical.toString
+      assert(logical.contains("DeduplicateWithinWatermark"), logical)
     } finally q.stop()
   }
 
