@@ -278,7 +278,11 @@ object Bench {
     // r9: the training-set-sized selection cut — same rows/ranks as
     // corpus_select but through Export.globalTopM (deterministic range
     // buckets + offsets; no GlobalLimit/TakeOrdered single-task sink)
-    "corpus_select_shards")
+    "corpus_select_shards",
+    // r10: unigram-LM tokenizer training (hard EM + row-local Viterbi
+    // folds over word types) and its encode readout — the probabilistic
+    // twin of vocab_bpe / vocab_bpe_encode, timed side by side
+    "vocab_unigram_lm", "vocab_unigram_encode")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

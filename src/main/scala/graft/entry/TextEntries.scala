@@ -400,6 +400,19 @@ object TextEntries {
     "vocab_fertility" -> ((s, dir) =>
       gate(TextAnalysis.bpeFertilityByLang(docs(s, dir), "doc_id", "text",
         "lang", BpeRounds), "lang")),
+    // ext: unigram-LM (SentencePiece-style) tokenizer training (r9 ask
+    // #6) — the probabilistic half of the tokenizer story: hard EM over
+    // word types with a row-local Viterbi DP fold; the oracle replays
+    // both EM rounds with a recursive-CTE DP (the vocab_bpe pattern)
+    "vocab_unigram_lm" -> ((s, dir) =>
+      gate(TextAnalysis.unigramVocab(docs(s, dir), "doc_id", "text",
+        TextAnalysis.UniIters, UniTopK), "rank")),
+    // ext: the fertility readout of the final unigram segmentation —
+    // same columns as vocab_bpe_encode, so pieces_per_token vs
+    // syms_per_token compares the two tokenizers on the same corpus
+    "vocab_unigram_encode" -> ((s, dir) =>
+      gate(TextAnalysis.unigramEncodeStats(docs(s, dir), "doc_id", "text",
+        TextAnalysis.UniIters), "n_types")),
     // ext: distilled quality classifier — 5 full-batch GD steps of
     // logistic regression labeled by the rule gate; emitted weights +
     // log-loss are continuous (no threshold counts), snap-safe
@@ -604,6 +617,84 @@ object TextEntries {
       |              substr(word, CAST(i + 1 AS INTEGER), 1) AS sym
       |       FROM w, UNNEST(range(length(word))) AS r(i)),
       |$rounds""".stripMargin
+  }
+
+  /** Pieces emitted by the vocab_unigram_lm contract. */
+  private val UniTopK = 40
+
+  /**
+   * The unigram-LM chain mirroring [[TextAnalysis.unigramVocab]] stage
+   * by stage: word-frequency table → (end, k) candidate grid → seed
+   * vocabulary (chars + top-[[TextAnalysis.UniSeedMulti]] substrings,
+   * snapped ln(cnt/Σ)) → per EM round a dense log-prob list per word
+   * (`list(lp ORDER BY idx)`), the Viterbi DP as a RECURSIVE CTE
+   * carrying the (score, backpointer) struct list (one row per word
+   * per position — DuckDB's spelling of the Spark side's row-local
+   * fold), a recursive backtrace, and the piece-count M-step. Struct
+   * 'max' is lexicographic in both engines, so the longer-piece
+   * tie-break agrees; DP scores are sums of identical snapped doubles.
+   * Every non-recursive stage CTE is MATERIALIZED (the CTE-inlining
+   * gotcha); the chain opens tokSql with WITH RECURSIVE.
+   */
+  private lazy val unigramChainSql: String = {
+    import TextAnalysis.{UniMaxPiece, UniNegInf, UniSeedMulti, UniIters}
+    def roundSql(r: Int): String = s"""
+      |l$r AS MATERIALIZED (
+      |  SELECT g.word, g.n, g.e, g.k, COALESCE(v.logp, $UniNegInf) AS lp
+      |  FROM ugrid g LEFT JOIN v${r - 1} v ON v.piece = g.piece),
+      |a$r AS MATERIALIZED (
+      |  SELECT word, n, list(lp ORDER BY (e - 1) * $UniMaxPiece + k) AS lps,
+      |         CAST(MAX(e) AS BIGINT) AS L
+      |  FROM l$r GROUP BY word, n),
+      |d$r AS (
+      |  SELECT word, n, lps, L, CAST(0 AS BIGINT) AS pos,
+      |         [{'sc': CAST(0.0 AS DOUBLE), 'bk': CAST(0 AS BIGINT)}] AS dp
+      |  FROM a$r
+      |  UNION ALL
+      |  SELECT word, n, lps, L, pos + 1,
+      |         list_append(dp, list_aggregate(
+      |           list_transform(range(1, least($UniMaxPiece, pos + 1) + 1),
+      |             k -> {'sc': dp[CAST(pos + 2 - k AS INTEGER)]['sc']
+      |                         + lps[CAST(pos * $UniMaxPiece + k AS INTEGER)],
+      |                   'bk': k}),
+      |           'max'))
+      |  FROM d$r WHERE pos < L),
+      |f$r AS MATERIALIZED (SELECT word, n, L, dp FROM d$r WHERE pos = L),
+      |b$r AS (
+      |  SELECT word, n, dp, L AS pos, CAST([] AS VARCHAR[]) AS pieces FROM f$r
+      |  UNION ALL
+      |  SELECT word, n, dp, pos - dp[CAST(pos + 1 AS INTEGER)]['bk'],
+      |         list_append(pieces, substr(word,
+      |           CAST(pos - dp[CAST(pos + 1 AS INTEGER)]['bk'] + 1 AS INTEGER),
+      |           CAST(dp[CAST(pos + 1 AS INTEGER)]['bk'] AS INTEGER)))
+      |  FROM b$r WHERE pos > 0),
+      |sg$r AS MATERIALIZED (SELECT word, n, pieces FROM b$r WHERE pos = 0),
+      |c$r AS MATERIALIZED (SELECT u.piece, CAST(SUM(s.n) AS BIGINT) AS cnt
+      |  FROM sg$r s, UNNEST(s.pieces) AS u(piece) GROUP BY 1),
+      |v$r AS MATERIALIZED (SELECT piece, cnt,
+      |    ${r6sql("ln(CAST(cnt AS DOUBLE) / t.tot)")} AS logp
+      |  FROM c$r, (SELECT CAST(SUM(cnt) AS DOUBLE) AS tot FROM c$r) t)""".stripMargin
+    tokSql.replaceFirst("WITH ", "WITH RECURSIVE ") + s""",
+      |w AS MATERIALIZED (SELECT token AS word, CAST(COUNT(*) AS BIGINT) AS n
+      |      FROM tok GROUP BY 1),
+      |ugrid AS MATERIALIZED (
+      |  SELECT w.word, w.n, e.e AS e, k.k AS k,
+      |         CASE WHEN k.k <= e.e THEN substr(w.word,
+      |           CAST(e.e - k.k + 1 AS INTEGER), CAST(k.k AS INTEGER)) END AS piece
+      |  FROM w, UNNEST(range(1, length(w.word) + 1)) AS e(e),
+      |       UNNEST(range(1, ${UniMaxPiece + 1})) AS k(k)),
+      |occ AS MATERIALIZED (
+      |  SELECT piece, CAST(SUM(n) AS BIGINT) AS cnt FROM ugrid
+      |  WHERE piece IS NOT NULL GROUP BY 1),
+      |v0c AS MATERIALIZED (
+      |  SELECT piece, cnt FROM occ WHERE length(piece) = 1
+      |  UNION ALL
+      |  SELECT piece, cnt FROM (SELECT piece, cnt FROM occ WHERE length(piece) > 1
+      |                          ORDER BY cnt DESC, piece ASC LIMIT $UniSeedMulti)),
+      |v0 AS MATERIALIZED (SELECT piece, cnt,
+      |    ${r6sql("ln(CAST(cnt AS DOUBLE) / t.tot)")} AS logp
+      |  FROM v0c, (SELECT CAST(SUM(cnt) AS DOUBLE) AS tot FROM v0c) t),
+      |${(1 to UniIters).map(roundSql).mkString(",\n")}""".stripMargin
   }
 
   /** Token allowance per source for the budget-sampling contract (each
@@ -1883,6 +1974,29 @@ object TextEntries {
         |  ${r6sql("CAST(SUM(c * length(word)) AS BIGINT) / CAST(SUM(c * n_syms) AS DOUBLE)")} AS chars_per_sym
         |FROM lw JOIN ns USING (word)
         |GROUP BY 1 ORDER BY lang""".stripMargin),
+    // both hard-EM rounds replayed: recursive-CTE Viterbi DP per round,
+    // recursive backtrace, piece-count M-step — the final model ranked
+    // by (cnt DESC, piece), top UniTopK
+    "vocab_unigram_lm" ->
+      (unigramChainSql + s"""
+        |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece ASC) AS BIGINT) AS rank,
+        |       piece, cnt, logp
+        |FROM v${TextAnalysis.UniIters} ORDER BY rank LIMIT $UniTopK""".stripMargin),
+    // the final segmentation folded to the one-row fertility readout
+    // (vocab_bpe_encode's columns, so the two tokenizers compare 1:1)
+    "vocab_unigram_encode" ->
+      (unigramChainSql + s""",
+        |uws AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+        |               CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |               CAST(SUM(n * len(pieces)) AS BIGINT) AS total_pieces,
+        |               CAST(SUM(n * length(word)) AS BIGINT) AS total_chars
+        |        FROM sg${TextAnalysis.UniIters}),
+        |uvs AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size
+        |        FROM v${TextAnalysis.UniIters})
+        |SELECT n_types, n_tokens, vocab_size, total_pieces, total_chars,
+        |  ${r6sql("CAST(total_pieces AS DOUBLE) / CAST(n_tokens AS DOUBLE)")} AS pieces_per_token,
+        |  ${r6sql("CAST(total_chars AS DOUBLE) / CAST(total_pieces AS DOUBLE)")} AS chars_per_piece
+        |FROM uws CROSS JOIN uvs""".stripMargin),
     // same histogram → cumulative-crossing boundaries → count-of-
     // boundaries-at-or-below shard rule; duplicate boundaries collapse
     // on both sides (DISTINCT here, .distinct in the Scala fit)

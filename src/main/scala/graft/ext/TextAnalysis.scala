@@ -2226,6 +2226,181 @@ object TextAnalysis {
     (learned.toSeq, syms)
   }
 
+  /** Unigram-LM trainer geometry (contract constants — the oracle
+    * mirrors them): candidate pieces up to 4 chars; the seed vocabulary
+    * keeps every single character (coverage guarantee) plus the 512
+    * most frequent longer substrings; 2 hard-EM rounds; -1e9 is the
+    * "piece not in vocabulary" log-prob sentinel (far below any real
+    * path, exact in both engines). */
+  val UniMaxPiece = 4
+  val UniSeedMulti = 512
+  val UniIters = 2
+  val UniNegInf = -1.0e9
+
+  /**
+   * Unigram-LM (SentencePiece-style, Kudo 2018) tokenizer training —
+   * the OTHER half of the production tokenizer story next to
+   * [[bpeMerges]] (VERDICT r9 ask #6): instead of greedy merge rules,
+   * fit a piece-probability model by hard EM over word types:
+   *
+   *   1. SEED: all single characters plus the [[UniSeedMulti]] most
+   *      frequent substrings of length 2..[[UniMaxPiece]] (occurrence
+   *      counts weighted by word frequency; ties lexicographic), with
+   *      log-probs ln(cnt/Σcnt) snapped to the 1e-6 grid.
+   *   2. E-STEP (×`iters`): VITERBI-segment every word type — the
+   *      classic DP dp[e] = max_k dp[e−k] + logp(word[e−k..e)) — as a
+   *      ROW-LOCAL `aggregate` fold over positions (no per-position
+   *      join), ties preferring the longer piece; piece usage counts
+   *      are word-frequency-weighted.
+   *   3. M-STEP: logp = snapped ln(cnt/Σcnt); pieces with zero count
+   *      drop (every word stays segmentable — its previous round's
+   *      pieces all survive by construction).
+   *
+   * Returns the final model's `k` most used pieces: (rank, piece, cnt,
+   * logp), rank by (cnt DESC, piece ASC).
+   *
+   * Determinism: counts are exact int64; log-probs snap BEFORE any
+   * comparison; DP scores are sums of identical snapped doubles built
+   * by the identical recurrence, so the argmax (and therefore every
+   * segmentation) is engine-exact — the contract oracle replays both
+   * EM rounds in SQL (recursive-CTE DP; the vocab_bpe replay pattern).
+   *
+   * Scale shape: the corpus collapses ONCE to its word-frequency table
+   * (the only corpus-sized exchange — [[bpeFit]]'s shape); each round
+   * is one vocabulary-sized candidate join (≤ 4·chars rows per word
+   * TYPE), two row-local folds (DP + backtrace), and one piece-keyed
+   * aggregate; the model is vocabulary-sized throughout. Real trainers
+   * run this loop with pruning schedules over millions of types — the
+   * constants bound work per call, not the design.
+   */
+  def unigramVocab(docs: DataFrame, idCol: String, textCol: String,
+      iters: Int = UniIters, k: Int = 40): DataFrame = {
+    require(k > 0)
+    val (_, vocab, _) = unigramFit(docs, textCol, iters)
+    val w = Window.orderBy(col("cnt").desc, col("piece").asc)
+    vocab
+      .orderBy(col("cnt").desc, col("piece").asc).limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select("rank", "piece", "cnt", "logp")
+  }
+
+  /**
+   * Encoding statistics of the FINAL unigram segmentation — the
+   * fertility readout against [[bpeEncodeStats]] (same columns, so
+   * `pieces_per_token` vs `syms_per_token` is a direct tokenizer
+   * comparison on the same corpus): word types, tokens, vocabulary
+   * size, total emitted pieces, characters, pieces per token, chars
+   * per piece. One row; the fit's own shapes plus two 1-row folds.
+   */
+  def unigramEncodeStats(docs: DataFrame, idCol: String, textCol: String,
+      iters: Int = UniIters): DataFrame = {
+    val (_, vocab, seg) = unigramFit(docs, textCol, iters)
+    val vs = vocab.agg(count(lit(1)).as("vocab_size"))
+    seg.agg(
+        count(lit(1)).as("n_types"),
+        sum(col("n")).as("n_tokens"),
+        sum(col("n") * size(col("pieces")).cast("long")).as("total_pieces"),
+        sum(col("n") * length(col("word")).cast("long")).as("total_chars"))
+      .crossJoin(broadcast(vs))
+      .select(col("n_types"), col("n_tokens"), col("vocab_size"),
+        col("total_pieces"), col("total_chars"),
+        (col("total_pieces").cast("double") / col("n_tokens").cast("double"))
+          .as("pieces_per_token"),
+        (col("total_chars").cast("double") / col("total_pieces").cast("double"))
+          .as("chars_per_piece"))
+  }
+
+  /** The shared unigram-LM fit: word-frequency table → seed vocabulary
+    * → `iters` hard-EM rounds. Returns (words, final vocab with counts
+    * and snapped log-probs, final segmentation (word, n, pieces)). */
+  private def unigramFit(docs: DataFrame, textCol: String,
+      iters: Int): (DataFrame, DataFrame, DataFrame) = {
+    require(iters >= 1)
+    val pat = WhitespacePattern.replace("\\", "\\\\")
+    val words = docs
+      .select(explode(expr(s"filter(split($textCol, '$pat'), x -> x <> '')")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    // every substring occurrence up to UniMaxPiece chars, freq-weighted
+    val occ = words
+      .select(col("n"), explode(expr(
+        s"""flatten(transform(sequence(1, length(word)), e ->
+           |  transform(sequence(1, least($UniMaxPiece, e)), k ->
+           |    substring(word, e - k + 1, k))))""".stripMargin)).as("piece"))
+      .groupBy("piece").agg(sum(col("n")).as("cnt"))
+    val seed = occ.where(length(col("piece")) === 1)
+      .unionByName(occ.where(length(col("piece")) > 1)
+        .orderBy(col("cnt").desc, col("piece").asc).limit(UniSeedMulti))
+    var vocab = withUnigramLogp(seed).localCheckpoint()
+    var seg: DataFrame = null
+    for (_ <- 1 to iters) {
+      seg = viterbiSegment(words, vocab).localCheckpoint()
+      val counts = seg.select(col("n"), explode(col("pieces")).as("piece"))
+        .groupBy("piece").agg(sum(col("n")).as("cnt"))
+      vocab = withUnigramLogp(counts).localCheckpoint()
+    }
+    (words, vocab, seg)
+  }
+
+  /** M-step: snapped ln(cnt/Σcnt) over a (piece, cnt) table (the
+    * 1-row total is the sanctioned scalar broadcast). */
+  private def withUnigramLogp(counts: DataFrame): DataFrame = {
+    val tot = counts.agg(sum(col("cnt")).cast("double").as("tot"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("piece"), col("cnt"),
+        snapCol(log(col("cnt").cast("double") / col("tot"))).as("logp"))
+  }
+
+  /**
+   * One Viterbi E-step, entirely ROW-LOCAL past the candidate join:
+   * per word, a dense (end, k)-indexed log-prob array (absent pieces
+   * at [[UniNegInf]]), the DP fold carrying (score, backpointer)
+   * structs, then the backtrace fold emitting the piece array.
+   */
+  private def viterbiSegment(words: DataFrame, vocab: DataFrame): DataFrame = {
+    val grid = words
+      .select(col("word"), col("n"), explode(expr(
+        s"""flatten(transform(sequence(1, length(word)), e ->
+           |  transform(sequence(1, $UniMaxPiece), k ->
+           |    named_struct(
+           |      'idx', (e - 1) * $UniMaxPiece + k,
+           |      'piece', IF(k <= e, substring(word, e - k + 1, k),
+           |                  CAST(NULL AS STRING))))))""".stripMargin)).as("g"))
+      .select(col("word"), col("n"),
+        col("g.idx").as("idx"), col("g.piece").as("piece"))
+    val lps = grid
+      .join(vocab.select(col("piece"), col("logp")), Seq("piece"), "left")
+      .groupBy("word", "n")
+      .agg(expr(
+        s"""transform(
+           |  array_sort(collect_list(named_struct(
+           |    'idx', idx, 'lp', coalesce(logp, ${UniNegInf}D)))),
+           |  x -> x.lp)""".stripMargin).as("lps"))
+    val dpExpr =
+      s"""aggregate(sequence(1, length(word)),
+         |  array(named_struct('sc', 0.0D, 'bk', 0)),
+         |  (acc, e) -> concat(acc, array(array_max(transform(
+         |    filter(sequence(1, $UniMaxPiece), k -> k <= e),
+         |    k -> named_struct(
+         |      'sc', element_at(acc, e - k + 1).sc +
+         |            element_at(lps, (e - 1) * $UniMaxPiece + k),
+         |      'bk', k))))),
+         |  acc -> acc)""".stripMargin
+    val backExpr =
+      s"""aggregate(sequence(1, length(word)),
+         |  named_struct('pos', length(word),
+         |               'out', CAST(array() AS ARRAY<STRING>)),
+         |  (acc, i) -> IF(acc.pos <= 0, acc,
+         |    named_struct(
+         |      'pos', acc.pos - element_at(dps, acc.pos + 1).bk,
+         |      'out', concat(acc.out, array(substring(word,
+         |        acc.pos - element_at(dps, acc.pos + 1).bk + 1,
+         |        element_at(dps, acc.pos + 1).bk))))),
+         |  acc -> acc.out)""".stripMargin
+    lps.withColumn("dps", expr(dpExpr))
+      .select(col("word"), col("n"), expr(backExpr).as("pieces"))
+  }
+
   /** Greedy left-to-right single-rule BPE rewrite of a symbol array: a
     * left fold whose accumulator carries the emitted prefix plus one
     * pending symbol — pending `a` followed by `b` emits the merged

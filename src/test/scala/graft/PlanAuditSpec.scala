@@ -54,6 +54,9 @@ class PlanAuditSpec extends SparkSpec {
       "cluster_terms",
       // two 1-row aggregates crossed into the single stats row
       "vocab_bpe_encode",
+      // the unigram M-step's 1-row piece-total scalar broadcast (per EM
+      // round), and for the encode readout the 1-row vocab-size cross
+      "vocab_unigram_lm", "vocab_unigram_encode",
       // the exact-Σf² and sketch-min 1-row frames crossed into the
       // single audit row
       "pair_budget_sketch",
