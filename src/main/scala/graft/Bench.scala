@@ -282,7 +282,14 @@ object Bench {
     // r10: unigram-LM tokenizer training (hard EM + row-local Viterbi
     // folds over word types) and its encode readout — the probabilistic
     // twin of vocab_bpe / vocab_bpe_encode, timed side by side
-    "vocab_unigram_lm", "vocab_unigram_encode")
+    "vocab_unigram_lm", "vocab_unigram_encode",
+    // r10: the clustered-fixture route shootout (VERDICT r9 ask #1) —
+    // exact dense top-k vs sign-LSH vs IVF on the planted multi-mode
+    // matrix, plus the IVF occupancy/recall audits; the committed rows
+    // are the measured answer to whether any ANN route wins its regime
+    "cosine_topk_clustered", "cosine_topk_clustered_ann",
+    "cosine_topk_clustered_ivf", "cosine_clustered_occupancy",
+    "cosine_clustered_ivf_recall")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

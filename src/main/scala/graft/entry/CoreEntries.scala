@@ -131,6 +131,43 @@ object CoreEntries {
       gate(graft.ext.Embeddings.recallAtK(exact, ivf)
         .withColumnRenamed("query_id", "vector"), "vector")
     }),
+    // THE CLUSTERED-FIXTURE ROUTE SHOOTOUT (VERDICT r9 ask #1): the same
+    // top-k contract on the planted multi-mode matrix — exact dense
+    // C(V,2) path vs the sign-LSH route vs the IVF route, all three
+    // oracle-checked and timed side by side by Bench. Cross-cluster
+    // cosine is exactly 0 by construction, so this is the regime the
+    // candidate routes exist for; the committed bench row is the
+    // measured answer to "does any ANN route ever win".
+    "cosine_topk_clustered" -> ((s, dir) =>
+      gate(analysis(s).fit(clusteredSupplierMatrix(s, dir), isSparse = false)
+        .topSimilar(5), "vector", "rank")),
+    "cosine_topk_clustered_ann" -> ((s, dir) =>
+      gate(graft.ext.SparseAnn.topSimilarAnn(analysis(s),
+        clusteredSupplierMatrix(s, dir), 5,
+        pin = _.persist(), center = AnnCenter), "vector", "rank")),
+    "cosine_topk_clustered_ivf" -> ((s, dir) =>
+      gate(graft.ext.SparseAnn.topSimilarIvf(analysis(s),
+        clusteredSupplierMatrix(s, dir), 5,
+        pin = _.localCheckpoint()), "vector", "rank")),
+    // the clustered fixture's occupancy audit: a REAL multi-mode corpus
+    // should show occupancies near the <= 32 target with the sub-split
+    // cap inert (n_sub = 1) — the counter-exhibit to the single-mode
+    // Lloyd collapse cosine_ivf_occupancy measured at sfx1
+    "cosine_clustered_occupancy" -> ((s, dir) =>
+      gate(graft.ext.SparseAnn.listOccupancyIvf(analysis(s),
+        clusteredSupplierMatrix(s, dir), pin = _.localCheckpoint()), "cid")),
+    // per-vector recall of the clustered IVF top-5 vs the exact dense
+    // top-5 — the audit floor the bench row is conditioned on
+    "cosine_clustered_ivf_recall" -> ((s, dir) => {
+      val a = analysis(s)
+      val m = clusteredSupplierMatrix(s, dir)
+      val exact = a.fit(m, isSparse = false).topSimilar(5)
+        .select(col("vector").as("query_id"), col("neighbor").as("vec_id"))
+      val ivf = graft.ext.SparseAnn.topSimilarIvf(a, m, 5, pin = _.localCheckpoint())
+        .select(col("vector").as("query_id"), col("neighbor").as("vec_id"))
+      gate(graft.ext.Embeddings.recallAtK(exact, ivf)
+        .withColumnRenamed("query_id", "vector"), "vector")
+    }),
     // document-frequency cap before alignment (the Zipf-head scale guard)
     "aligned_pairs_dfcap" -> ((s, dir) => {
       val a = analysis(s)
@@ -171,8 +208,10 @@ object CoreEntries {
   private val AnnCenter: Boolean =
     sys.env.get("SPARK_GRAFT_ANN_CENTER").exists(v => v == "1" || v == "true")
 
-  /** Shared oracle CTE chain mirroring the pipeline stage by stage. */
-  private val pipelineSql: String = matrixSql + """,
+  /** Shared oracle CTE chain mirroring the pipeline stage by stage —
+    * suffix appended to a matrix CTE prefix (`m(y, x, v)`), so the same
+    * chain replays over the supplier, skew, and clustered fixtures. */
+  private val pipelineChainSql: String = """,
     |mx AS (SELECT y, MAX(v) AS mv FROM m GROUP BY y),
     |n AS (SELECT m.y, m.x, m.v / mx.mv AS nv FROM m JOIN mx ON m.y = mx.y),
     |p AS (SELECT a.y AS vector0, b.y AS vector1, a.x AS coord, a.nv AS v1, b.nv AS v2
@@ -183,6 +222,11 @@ object CoreEntries {
     |smods AS (SELECT vector0, vector1, sqrt(SUM(v1*v1)) AS mod1, sqrt(SUM(v2*v2)) AS mod2
     |          FROM p GROUP BY 1, 2),
     |num AS (SELECT vector0, vector1, SUM(v1*v2) AS numtr FROM p GROUP BY 1, 2)""".stripMargin
+
+  private val pipelineSql: String = matrixSql + pipelineChainSql
+
+  /** The identical chain over the clustered multi-mode fixture. */
+  private val clusteredPipelineSql: String = clusteredMatrixSql + pipelineChainSql
 
   private val subsetList = subsetIds.map(v => s"'$v'").mkString("(", ", ", ")")
 
@@ -445,6 +489,46 @@ object CoreEntries {
     // both chains replayed, joined on (vector, neighbor)
     "cosine_topk_ivf_recall" ->
       (pipelineSql + symSimsSql + ivfCandSql + """,
+        |xrk AS (SELECT v, u, row_number() OVER (PARTITION BY v ORDER BY s DESC, u) AS rn
+        |        FROM sym),
+        |tt AS (SELECT v, u FROM xrk WHERE rn <= 5),
+        |irk AS (SELECT v, u, row_number() OVER (PARTITION BY v ORDER BY s DESC, u) AS rn
+        |        FROM icsym),
+        |aa AS (SELECT v, u FROM irk WHERE rn <= 5),
+        |hits AS (SELECT tt.v, CAST(COUNT(*) AS BIGINT) AS hits
+        |         FROM tt JOIN aa ON aa.v = tt.v AND aa.u = tt.u GROUP BY 1),
+        |kk AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS k FROM tt GROUP BY 1)
+        |SELECT kk.v AS vector, kk.k, CAST(COALESCE(hits.hits, 0) AS BIGINT) AS hits,
+        |       floor((CAST(COALESCE(hits.hits, 0) AS DOUBLE) / kk.k)*1e6 + 0.50001)/1e6 AS recall
+        |FROM kk LEFT JOIN hits ON hits.v = kk.v ORDER BY vector""".stripMargin),
+    // the clustered-fixture shootout: the SAME chains (exact sym-sims,
+    // sign-LSH candidates, IVF fit + candidates) replayed over the
+    // multi-mode matrix prefix
+    "cosine_topk_clustered" ->
+      (clusteredPipelineSql + symSimsSql + """,
+        |rk AS (SELECT v, u, s, row_number() OVER (PARTITION BY v ORDER BY s DESC, u) AS rn
+        |       FROM sym)
+        |SELECT v AS vector, CAST(rn AS BIGINT) AS rank, u AS neighbor, s AS similarity_value
+        |FROM rk WHERE rn <= 5 ORDER BY vector, rank""".stripMargin),
+    "cosine_topk_clustered_ann" ->
+      (clusteredPipelineSql + annCandSql + """,
+        |crk AS (SELECT v, u, s, row_number() OVER (PARTITION BY v ORDER BY s DESC, u) AS rn
+        |        FROM csym)
+        |SELECT v AS vector, CAST(rn AS BIGINT) AS rank, u AS neighbor, s AS similarity_value
+        |FROM crk WHERE rn <= 5 ORDER BY vector, rank""".stripMargin),
+    "cosine_topk_clustered_ivf" ->
+      (clusteredPipelineSql + ivfCandSql + """,
+        |irk AS (SELECT v, u, s, row_number() OVER (PARTITION BY v ORDER BY s DESC, u) AS rn
+        |        FROM icsym)
+        |SELECT v AS vector, CAST(rn AS BIGINT) AS rank, u AS neighbor, s AS similarity_value
+        |FROM irk WHERE rn <= 5 ORDER BY vector, rank""".stripMargin),
+    "cosine_clustered_occupancy" ->
+      (clusteredPipelineSql + ivfFitSql + """
+        |SELECT a.cid, CAST(COUNT(*) AS BIGINT) AS occ, s.n_sub
+        |FROM iasg a JOIN insb s USING (cid)
+        |GROUP BY a.cid, s.n_sub ORDER BY cid""".stripMargin),
+    "cosine_clustered_ivf_recall" ->
+      (clusteredPipelineSql + symSimsSql + ivfCandSql + """,
         |xrk AS (SELECT v, u, row_number() OVER (PARTITION BY v ORDER BY s DESC, u) AS rn
         |        FROM sym),
         |tt AS (SELECT v, u FROM xrk WHERE rn <= 5),

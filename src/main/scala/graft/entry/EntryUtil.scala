@@ -176,6 +176,55 @@ object EntryUtil {
     base.unionByName(hot).as[MatrixElement]
   }
 
+  /** Coordinate-cluster count / within-cluster coordinate width of
+    * [[clusteredSupplierMatrix]] (contract constants, oracle-mirrored). */
+  val ClusterModes = 32
+  val ClusterCoords = 64
+
+  /**
+   * The planted MULTI-MODE (clustered) matrix (VERDICT r9 ask #1): a
+   * supplier×coordinate COO matrix whose coordinate space is partitioned
+   * into [[ClusterModes]] DISJOINT blocks — supplier y draws coordinates
+   * ONLY from block `y % ClusterModes` (coordinate id = cluster·1000 +
+   * partkey % [[ClusterCoords]]), so cross-cluster vectors share NO
+   * coordinate and their dense cosine is exactly 0, while within-cluster
+   * vectors share most of their 64-coordinate support with positive
+   * values (high cosine). This is the "corpus with real cluster
+   * structure" regime the sparse-ANN routes exist for, which no prior
+   * fixture provided: every earlier matrix was single-mode (all vectors
+   * near-parallel to the mean), where Lloyd collapses and sign bits
+   * correlate — the regime where the routes measurably LOSE. Here the
+   * exact dense path still materializes all C(V,2) pairs (mostly the
+   * zeros), while a candidate route only ever examines within-mode
+   * neighborhoods — the structural gap the ANN family is supposed to
+   * exploit, now measurable (Bench times exact vs sign-LSH vs IVF on
+   * this fixture side by side).
+   *
+   * Scale shape under [[graft.ScaleUp]]: key offsets are multiples of
+   * 10M ≡ 0 (mod 32 and 64), so every replica's suppliers land in the
+   * SAME cluster blocks — cluster populations scale linearly, coordinate
+   * count stays fixed at 32·64 = 2048.
+   */
+  def clusteredSupplierMatrix(spark: SparkSession, dir: String): Dataset[MatrixElement] = {
+    import spark.implicits._
+    lineitem(spark, dir)
+      .groupBy(
+        col("l_suppkey").cast("string").as("y"),
+        (pmod(col("l_suppkey"), lit(ClusterModes)) * lit(1000) +
+          pmod(col("l_partkey"), lit(ClusterCoords))).cast("string").as("x"))
+      .agg(sum($"l_quantity").as("value"))
+      .as[MatrixElement]
+  }
+
+  /** DuckDB CTE mirroring [[clusteredSupplierMatrix]]. */
+  val clusteredMatrixSql: String =
+    s"""WITH m AS (
+      |  SELECT CAST(l_suppkey AS VARCHAR) AS y,
+      |         CAST((l_suppkey % $ClusterModes) * 1000 + (l_partkey % $ClusterCoords) AS VARCHAR) AS x,
+      |         CAST(SUM(l_quantity) AS DOUBLE) AS v
+      |  FROM lineitem GROUP BY 1, 2
+      |)""".stripMargin
+
   /** DuckDB CTE mirroring [[skewedCustomerMatrix]]. */
   val skewMatrixSql: String =
     """WITH m AS (
