@@ -289,7 +289,10 @@ object Bench {
     // are the measured answer to whether any ANN route wins its regime
     "cosine_topk_clustered", "cosine_topk_clustered_ann",
     "cosine_topk_clustered_ivf", "cosine_clustered_occupancy",
-    "cosine_clustered_ivf_recall")
+    "cosine_clustered_ivf_recall",
+    // r10: margin-based pair mining — ann_topk_brute's scan + the
+    // fwd/bwd density windows
+    "embed_margin_mining")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

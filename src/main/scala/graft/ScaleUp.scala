@@ -13,11 +13,18 @@ import org.apache.spark.sql.functions._
  *   - every key domain (order/cust/supp/part/doc/event/user/vec) offsets
  *     by copy × 10M, so foreign keys stay consistent within a copy and
  *     copies never join each other;
- *   - document TEXT is Caesar-shifted per copy (a letter bijection):
- *     token equality WITHIN a copy is preserved exactly (same near-dup /
- *     shingle / quality structure), while tokens across copies never
- *     collide — so dedup pair surfaces grow 10×, not C(10,2)×-per-doc as
- *     verbatim cloning would plant;
+ *   - document TEXT is remapped per copy by an AFFINE letter bijection
+ *     c → a·c + b (mod 26), a coprime to 26: token equality WITHIN a copy
+ *     is preserved exactly (same near-dup / shingle / quality structure),
+ *     while tokens across copies essentially never collide — two distinct
+ *     affine maps agree on at most two letters (gcd(Δa,26) = 2; all
+ *     coprime slopes are odd), so only a token written entirely in those
+ *     ≤2 fixed letters can cross-collide, and a whole document never can.
+ *     312 distinct maps
+ *     (12 slopes × 26 offsets) cover copies ≤ 312; the earlier Caesar
+ *     version recycled at copy 26 (i % 26), which at copies=100 would
+ *     have planted verbatim cross-copy duplicates in 4-copy groups and
+ *     superlinearized every dedup surface;
  *   - dimension tables (region, nation) are shared, like any scale
  *     factor's.
  */
@@ -25,6 +32,17 @@ object ScaleUp {
   private val OFF = 10000000L
   private val Lower = "abcdefghijklmnopqrstuvwxyz"
   private val Upper = Lower.toUpperCase
+  // slopes coprime to 26 — each (slope, offset) pair is a distinct letter
+  // bijection; slope 1 / offset 0 (copy 0) is the identity
+  private val Slopes = Array(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+
+  /** The copy-i affine image of the lower-case alphabet. */
+  private[graft] def mappedAlphabet(i: Int): String = {
+    require(i < Slopes.length * 26, s"copy $i exceeds ${Slopes.length * 26} distinct affine maps")
+    val a = Slopes((i / 26) % Slopes.length)
+    val b = i % 26
+    (0 until 26).map(c => Lower((a * c + b) % 26)).mkString
+  }
 
   def main(args: Array[String]): Unit = {
     val Array(inDir, outDir, copiesStr) = args
@@ -38,11 +56,11 @@ object ScaleUp {
       (0 until copies).map { i =>
         val keyed = keyCols.foldLeft(base)((d, c) =>
           d.withColumn(c, col(c) + lit(i * OFF)))
-        val s = i % 26
+        val mapped = mappedAlphabet(i)
         textCols.foldLeft(keyed)((d, c) =>
-          if (s == 0) d
+          if (i == 0) d
           else d.withColumn(c, translate(col(c), Lower + Upper,
-            Lower.drop(s) + Lower.take(s) + Upper.drop(s) + Upper.take(s))))
+            mapped + mapped.toUpperCase)))
       }.reduce(_.unionByName(_))
         .write.mode("overwrite").parquet(s"$outDir/$table.parquet")
     }

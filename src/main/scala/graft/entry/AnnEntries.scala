@@ -226,7 +226,18 @@ object AnnEntries {
     // per-vector within-label outlier z-score (mislabel drill-down)
     "embed_outliers" -> ((s, dir) =>
       gate(Embeddings.labelOutliers(embeddings(s, dir), "vec_id", "embedding",
-        "label"), "vec_id"))
+        "label"), "vec_id")),
+    // margin-based pair mining (Artetxe & Schwenk 2019): per query its
+    // best candidate scored by the local-density-normalized ratio margin
+    // (fwd/bwd top-MarginK means off one score matrix), with the mined
+    // cut and the mutual-best flag — the alignment-mining step that
+    // turns two embedded corpora into paired training data
+    "embed_margin_mining" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      gate(Embeddings.marginMine(e, e.where(col("vec_id") < QueryCount),
+        "vec_id", "embedding", k = MarginK, threshold = MarginTau),
+        "query_id")
+    })
   )
 
   /** Input embedding width and the projection contract's output width. */
@@ -248,6 +259,11 @@ object AnnEntries {
 
   /** Neighbors voting in the kNN-classification contract. */
   private val KnnVoteK = 10
+
+  /** Neighborhood width / mined-pair ratio cut for the margin-mining
+    * contract (τ chosen to split this corpus's best-pair margins). */
+  private val MarginK = 4
+  private val MarginTau = 1.25
 
   /** Hyperplane/probe-mask VALUES tables shared with [[DedupEntries]]. */
   private val planesSql = lshPlanesSql(64)
@@ -565,6 +581,27 @@ object AnnEntries {
         |       FROM neg)
         |SELECT query_id, CAST(rn AS BIGINT) AS rank, cand_id AS vec_id, cosine
         |FROM rk WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin),
+    // ann_topk_brute's chain + fwd/bwd rank windows; the ratio margin is
+    // r6-snapped identically on both sides so the mined cut agrees
+    "embed_margin_mining" ->
+      (cosSql(s"a.vec_id < $QueryCount") + s""",
+        |rk AS (SELECT query_id, cand_id, cosine,
+        |              row_number() OVER (PARTITION BY query_id
+        |                                 ORDER BY cosine DESC, cand_id) AS rf,
+        |              row_number() OVER (PARTITION BY cand_id
+        |                                 ORDER BY cosine DESC, query_id) AS rb
+        |       FROM cosr),
+        |fa AS (SELECT query_id, AVG(cosine) AS favg FROM rk
+        |       WHERE rf <= $MarginK GROUP BY 1),
+        |ba AS (SELECT cand_id, AVG(cosine) AS bavg FROM rk
+        |       WHERE rb <= $MarginK GROUP BY 1)
+        |SELECT r.query_id, r.cand_id, r.cosine,
+        |  ${r6sql("r.cosine * 2.0 / (fa.favg + ba.bavg)")} AS margin,
+        |  (${r6sql("r.cosine * 2.0 / (fa.favg + ba.bavg)")}
+        |     >= CAST($MarginTau AS DOUBLE)) AS mined,
+        |  (r.rb = 1) AS mutual
+        |FROM rk r JOIN fa USING (query_id) JOIN ba USING (cand_id)
+        |WHERE r.rf = 1 ORDER BY r.query_id""".stripMargin),
     // the same two chains; metrics mirror Retrieval.rankEval with the
     // SAME JVM-computed gain literals (no engine-side log anywhere)
     "retrieval_ndcg" -> {

@@ -119,6 +119,65 @@ object Embeddings {
   }
 
   /**
+   * Margin-based pair mining (Artetxe & Schwenk 2019, "Margin-based
+   * Parallel Corpus Mining with Multilingual Sentence Embeddings") — the
+   * standard alignment-mining criterion for building parallel/paired
+   * training data from two embedded corpora: a raw cosine threshold
+   * over-mines in dense neighborhoods and under-mines in sparse ones, so
+   * each pair's score is NORMALIZED by its two endpoints' local densities:
+   *
+   *   margin(q,c) = cos(q,c) / ((avgTopK_fwd(q) + avgTopK_bwd(c)) / 2)
+   *
+   * where avgTopK_fwd(q) is the mean of q's k best candidate cosines and
+   * avgTopK_bwd(c) the mean of c's k best QUERY cosines — both read off
+   * the same query×candidate score matrix. Per query the single best
+   * candidate is emitted with its ratio margin, a `mined` flag
+   * (margin ≥ threshold on the 1e-6 snap grid, so the cut is
+   * engine-exact) and a `mutual` flag (this query is also its candidate's
+   * best query — the forward∩backward intersection the paper reports as
+   * the highest-precision mining mode).
+   *
+   * Scale shape: one broadcast-queries × candidate scan builds the score
+   * matrix ([[topK]]'s plan, FloatDot codegen'd); the two row_number/avg
+   * windows partition by query_id (|C| rows per group) and by vec_id
+   * (|Q| rows per group) — no group ever exceeds the broadcast query
+   * count or the candidate count, and nothing quadratic in |C| alone
+   * materializes. At full scale swap the score-matrix stage through the
+   * IVF route ([[ivfKMeansTopK]]) and feed the surviving candidate lists
+   * here; exact mining is the calibration path.
+   */
+  def marginMine(candidates: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, threshold: Double): DataFrame = {
+    val cand = withNorms(candidates, idCol, vecCol)
+    val q = withNorms(queries, idCol, vecCol)
+      .withColumnRenamed("vec_id", "query_id")
+      .withColumnRenamed("emb", "qemb")
+      .withColumnRenamed("nrm", "qnrm")
+    val scored = cand.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        (expr(dotSql("qemb", "emb")) / (col("qnrm") * col("nrm"))).as("c"))
+      .select(col("query_id"), col("vec_id"), snap("c").as("cosine"))
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("cosine").desc, col("query_id").asc)
+    val ranked = scored
+      .withColumn("rf", row_number().over(wf))
+      .withColumn("rb", row_number().over(wb))
+    val fwd = ranked.where(col("rf") <= k)
+      .groupBy("query_id").agg(avg("cosine").as("favg"))
+    val bwd = ranked.where(col("rb") <= k)
+      .groupBy("vec_id").agg(avg("cosine").as("bavg"))
+    val margin = snapCol(col("cosine") * lit(2.0) / (col("favg") + col("bavg")))
+    ranked.where(col("rf") === 1)
+      .join(fwd, "query_id").join(bwd, "vec_id")
+      .select(col("query_id"), col("vec_id").as("cand_id"), col("cosine"),
+        margin.as("margin"),
+        (margin >= lit(threshold)).as("mined"),
+        (col("rb") === 1).as("mutual"))
+  }
+
+  /**
    * Maximal-marginal-relevance top-k (Carbonell & Goldstein 1998) — the
    * diversity-aware re-rank between retrieval and use: from each query's
    * relevance top-`poolSize` pool, greedily select `k` results maximizing

@@ -42,6 +42,10 @@ class PlanAuditSpec extends SparkSpec {
       // exact hard-negative mining IS ann_topk_brute's broadcast scan
       // with a label inequality riding the same join
       "hard_negatives",
+      // margin mining scores off ann_topk_brute's sanctioned
+      // broadcast-queries × candidate scan; the margin layer itself is
+      // windows + result-sized equi-joins
+      "embed_margin_mining",
       // 1-row max-timestamp scalar broadcast for the decay reference
       "events_decay",
       // 1-row nation-total scalar broadcast over the per-part values

@@ -102,7 +102,7 @@ def main():
     out = {
         "metric": "total", "unit": "sec",
         "sf": "sfx1 (graft.ScaleUp 10x sf0.1: ~6M lineitem, 1.5M orders, "
-              "50k docs Caesar-shifted per copy; local[32], 1 rep; "
+              "50k docs affine-remapped per copy; local[32], 1 rep; "
               "tools/run_sfx1.sh)",
         "value": round(sum(q.values()), 1),
         "n_queries": len(q),
