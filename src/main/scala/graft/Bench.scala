@@ -292,7 +292,10 @@ object Bench {
     "cosine_clustered_ivf_recall",
     // r10: margin-based pair mining — ann_topk_brute's scan + the
     // fwd/bwd density windows
-    "embed_margin_mining")
+    "embed_margin_mining",
+    // r10: exact water-fill epoch allocation (sources-sized after one
+    // token-count aggregate)
+    "corpus_epochs")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

@@ -145,6 +145,12 @@ object TextEntries {
     "corpus_temperature" -> ((s, dir) =>
       gate(TextAnalysis.temperatureMix(docs(s, dir), "source", "text",
         MixTau, MixBudget).withColumnRenamed("grp", "source"), "source")),
+    // ext: data-constrained epoch allocation — the EXACT water-fill that
+    // caps each source at maxEpochs and redistributes the freed budget
+    "corpus_epochs" -> ((s, dir) =>
+      gate(TextAnalysis.epochsPlan(docs(s, dir), "source", "text",
+        EpochsTau, EpochsBudget, EpochsMax).withColumnRenamed("grp", "source"),
+        "source")),
     // ext: hashing-trick doc vectors (fixed-dim bridge into the
     // cosine/ANN/k-means families), sparse long form
     "feature_hash" -> ((s, dir) =>
@@ -705,6 +711,14 @@ object TextEntries {
     * standard up-sample-small-sources range, a budget near corpus size. */
   private val MixTau = 0.7
   private val MixBudget = 20000L
+
+  /** Water-fill contract: τ=0.5 up-samples small sources, the 4-epoch
+    * repetition cap is the data-constrained-scaling sweet spot, and the
+    * budget (~4× this corpus's tokens) lands the saturation frontier
+    * MID-corpus so both branches of the fill are exercised. */
+  private val EpochsTau = 0.5
+  private val EpochsBudget = 100000L
+  private val EpochsMax = 4.0
 
   /** BM25 contract: one rare term (df≈5% of docs) + two common ones. */
   private val Bm25Terms = Seq("dup", "window", "spark")
@@ -1343,6 +1357,37 @@ object TextEntries {
         |  ${r6sql(s"$MixBudget.0 * pow(CAST(n_tokens AS DOUBLE), $MixTau) / z")} AS alloc_tokens,
         |  ${r6sql(s"$MixBudget.0 * pow(CAST(n_tokens AS DOUBLE), $MixTau) / z / CAST(n_tokens AS DOUBLE)")} AS epochs
         |FROM sz CROSS JOIN zt ORDER BY source""".stripMargin),
+    // the same per-source totals; the water-fill replays as ONE window
+    // pass over the sources-sized frame — cumulative cap/weight sums in
+    // the shared (r, grp) total order, the saturation test against the
+    // r6-snapped level (snap-before-the-cut on BOTH engines), then the
+    // final level recomputed from the flagged set
+    "corpus_epochs" ->
+      (tokSql + s""",
+        |sz AS (SELECT d.source AS grp, CAST(COUNT(*) AS BIGINT) AS n_tokens
+        |       FROM tok JOIN documents d USING (doc_id) GROUP BY 1),
+        |base AS (SELECT grp, n_tokens,
+        |         pow(CAST(n_tokens AS DOUBLE), $EpochsTau) AS w,
+        |         CAST(n_tokens AS DOUBLE) * $EpochsMax AS cap_tokens FROM sz),
+        |wb AS (SELECT *, ${r6sql("cap_tokens / w")} AS r FROM base),
+        |cum AS (SELECT *, SUM(cap_tokens) OVER (ORDER BY r, grp) AS cum_cap,
+        |               SUM(w) OVER (ORDER BY r, grp) AS cum_w,
+        |               SUM(w) OVER () AS w_total,
+        |               SUM(cap_tokens) OVER () AS cap_total FROM wb),
+        |fl AS MATERIALIZED (SELECT *, CASE WHEN w_total - cum_w > 0
+        |       THEN r <= ${r6sql(s"($EpochsBudget.0 - cum_cap) / (w_total - cum_w)")}
+        |       ELSE cap_total <= $EpochsBudget.0 END AS saturated FROM cum),
+        |lv AS (SELECT $EpochsBudget.0 - SUM(CASE WHEN saturated THEN cap_tokens ELSE 0.0 END) AS b_rem,
+        |              SUM(CASE WHEN saturated THEN 0.0 ELSE w END) AS w_rem FROM fl),
+        |al AS (SELECT fl.*, CASE WHEN saturated THEN cap_tokens
+        |         ELSE (CASE WHEN w_rem > 0 THEN b_rem / w_rem ELSE 0.0 END) * w
+        |       END AS alloc FROM fl CROSS JOIN lv)
+        |SELECT grp AS source, n_tokens,
+        |  ${r6sql("w / w_total")} AS weight,
+        |  ${r6sql("cap_tokens")} AS cap_tokens, saturated,
+        |  ${r6sql("alloc")} AS alloc_tokens,
+        |  ${r6sql("alloc / CAST(n_tokens AS DOUBLE)")} AS epochs
+        |FROM al ORDER BY source""".stripMargin),
     // the identical HLL chain: full 31-bit mix state, register = h2 % 64,
     // geometric evidence from the remaining 25 bits via the same integer
     // CASE chain, exact dyadic register sums, one ln at the very end

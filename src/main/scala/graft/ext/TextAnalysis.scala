@@ -516,6 +516,74 @@ object TextAnalysis {
           col("z") / col("n_tokens").cast("double")).as("epochs"))
   }
 
+  /**
+   * Data-constrained epoch allocation (the repetition-budget planner of
+   * Muennighoff et al. 2023, "Scaling Data-Constrained Language Models"):
+   * [[temperatureMix]]'s n^τ rule says how a token budget WANTS to split
+   * across sources, but repeating a small source beyond a few epochs has
+   * sharply diminishing value — so each source's intake is CAPPED at
+   * `maxEpochs` × its unique tokens and the freed budget is
+   * redistributed to the uncapped sources. This is the EXACT water-fill,
+   * not an iterative approximation: with sources sorted by
+   * r_d = cap_d / w_d ascending, the saturated set is a prefix, and row
+   * d saturates iff r_d ≤ λ(d) where λ(d) = (B − Σ_{≤d} cap) /
+   * (W − Σ_{≤d} w) — the water level if everything up to and including d
+   * is capped. The final level λ* recomputes from the flagged set, and
+   * alloc_d = saturated ? cap_d : λ*·w_d, so Σ alloc = min(B, Σ cap)
+   * exactly. Both r and λ snap to the 1e-6 grid BEFORE the comparison
+   * (the snap-before-the-cut convention), so the saturation frontier is
+   * engine-exact despite pow's last-ulp differences.
+   *
+   * Output per source: unique tokens, normalized weight, the epoch cap
+   * in tokens, the saturation flag, the allocated tokens and the implied
+   * epochs (≤ maxEpochs by construction).
+   *
+   * Scale shape: one token-count aggregate keyed by source (map-side
+   * partials) — the ONLY data-sized stage; everything after operates on
+   * the sources-sized frame (one unpartitioned window sort + two 1-row
+   * scalar broadcasts, the sanctioned shape). The cumulative sums run in
+   * a total order (r asc, grp asc) shared with the oracle, so the
+   * prefix doubles are bit-identical across engines.
+   */
+  def epochsPlan(docs: DataFrame, groupCol: String, textCol: String,
+      tau: Double, budgetTokens: Long, maxEpochs: Double): DataFrame = {
+    require(tau > 0.0 && budgetTokens > 0 && maxEpochs > 0.0)
+    val snap6 = (c: org.apache.spark.sql.Column) =>
+      floor(c * lit(1e6) + lit(0.50001)) / lit(1e6)
+    val sizes = tokenArray(docs, groupCol, textCol)
+      .groupBy(col("doc_id").as("grp"))
+      .agg(sum(size(col("t"))).cast("long").as("n_tokens"))
+      .withColumn("w", pow(col("n_tokens").cast("double"), tau))
+      .withColumn("cap_tokens", col("n_tokens").cast("double") * lit(maxEpochs))
+      .withColumn("r", snap6(col("cap_tokens") / col("w")))
+    val tot = sizes.agg(sum("w").as("w_total"), sum("cap_tokens").as("cap_total"))
+    val ord = Window.orderBy(col("r").asc, col("grp").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flagged = sizes.crossJoin(broadcast(tot))
+      .withColumn("cum_cap", sum("cap_tokens").over(ord))
+      .withColumn("cum_w", sum("w").over(ord))
+      .withColumn("saturated",
+        when(col("w_total") - col("cum_w") > 0.0,
+          col("r") <= snap6((lit(budgetTokens.toDouble) - col("cum_cap")) /
+            (col("w_total") - col("cum_w"))))
+          .otherwise(col("cap_total") <= lit(budgetTokens.toDouble)))
+    val level = flagged.agg(
+      (lit(budgetTokens.toDouble) -
+        sum(when(col("saturated"), col("cap_tokens")).otherwise(lit(0.0)))).as("b_rem"),
+      sum(when(col("saturated"), lit(0.0)).otherwise(col("w"))).as("w_rem"))
+    flagged.crossJoin(broadcast(level))
+      .withColumn("lambda",
+        when(col("w_rem") > 0.0, col("b_rem") / col("w_rem")).otherwise(lit(0.0)))
+      .withColumn("alloc_tokens",
+        when(col("saturated"), col("cap_tokens"))
+          .otherwise(col("lambda") * col("w")))
+      .select(col("grp"), col("n_tokens"),
+        snap6(col("w") / col("w_total")).as("weight"),
+        col("cap_tokens"), col("saturated"),
+        snap6(col("alloc_tokens")).as("alloc_tokens"),
+        snap6(col("alloc_tokens") / col("n_tokens").cast("double")).as("epochs"))
+  }
+
   /** Dimensionality of the hashing-trick document vectors — small enough
     * that a dense codebook/centroid over it is trivially model-sized,
     * large enough that the synthetic vocab doesn't saturate every

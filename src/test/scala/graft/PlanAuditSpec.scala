@@ -35,6 +35,9 @@ class PlanAuditSpec extends SparkSpec {
       "events_skew",
       // 1-row Σ n^τ scalar broadcast over the groups-sized mix table
       "corpus_temperature",
+      // the water-fill's two 1-row scalar broadcasts (totals + final
+      // level) over the sources-sized frame
+      "corpus_epochs",
       // both fuse/score the brute exact top-10 — ann_topk_brute's
       // sanctioned all-pairs broadcast scan is one input; the fusion /
       // metrics layers themselves are result-sized equi-joins
