@@ -295,7 +295,9 @@ object Bench {
     "embed_margin_mining",
     // r10: exact water-fill epoch allocation (sources-sized after one
     // token-count aggregate)
-    "corpus_epochs")
+    "corpus_epochs",
+    // r10: blocklist density gate (row-local explode + aggregate)
+    "quality_blocklist")
 
   /**
    * Per-query shuffle-volume accounting (VERDICT r6 ask #5): wall time at

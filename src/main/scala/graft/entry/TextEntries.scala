@@ -151,6 +151,11 @@ object TextEntries {
       gate(TextAnalysis.epochsPlan(docs(s, dir), "source", "text",
         EpochsTau, EpochsBudget, EpochsMax).withColumnRenamed("grp", "source"),
         "source")),
+    // ext: blocklist density gate (C4 bad-words rule) — row-local
+    // explode + aggregate, density snapped before the cut
+    "quality_blocklist" -> ((s, dir) =>
+      gate(TextAnalysis.blocklistGate(docs(s, dir), "doc_id", "text",
+        BlockPatterns, BlockMaxDensity), "doc_id")),
     // ext: hashing-trick doc vectors (fixed-dim bridge into the
     // cosine/ANN/k-means families), sparse long form
     "feature_hash" -> ((s, dir) =>
@@ -719,6 +724,12 @@ object TextEntries {
   private val EpochsTau = 0.5
   private val EpochsBudget = 100000L
   private val EpochsMax = 4.0
+
+  /** Blocklist contract: three corpus-common terms (~10% combined mean
+    * density) and a cut just above it, so the flag splits the corpus on
+    * per-document concentration rather than mere presence. */
+  private val BlockPatterns = Seq("slow", "merge", "scan")
+  private val BlockMaxDensity = 0.105
 
   /** BM25 contract: one rare term (df≈5% of docs) + two common ones. */
   private val Bm25Terms = Seq("dup", "window", "spark")
@@ -1388,6 +1399,19 @@ object TextEntries {
         |  ${r6sql("alloc")} AS alloc_tokens,
         |  ${r6sql("alloc / CAST(n_tokens AS DOUBLE)")} AS epochs
         |FROM al ORDER BY source""".stripMargin),
+    // same shared tokenization; the membership test folds into the
+    // aggregate, density r6-snapped before the cut on both engines
+    "quality_blocklist" ->
+      (tokSql + s""",
+        |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN token IN (${BlockPatterns.map(p => s"'$p'").mkString(", ")})
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+        |  FROM tok GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_hits,
+        |  ${r6sql("CAST(n_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE)")} AS density,
+        |  (${r6sql("CAST(n_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE)")}
+        |     > CAST($BlockMaxDensity AS DOUBLE)) AS blocked
+        |FROM agg ORDER BY doc_id""".stripMargin),
     // the identical HLL chain: full 31-bit mix state, register = h2 % 64,
     // geometric evidence from the remaining 25 bits via the same integer
     // CASE chain, exact dyadic register sums, one ln at the very end

@@ -584,6 +584,38 @@ object TextAnalysis {
         snap6(col("alloc_tokens") / col("n_tokens").cast("double")).as("epochs"))
   }
 
+  /**
+   * Blocklist density gate (the C4 "bad words" filter, Raffel et al.
+   * 2020): count each document's tokens that hit a blocklist and gate on
+   * the hit DENSITY rather than any-hit — a single incidental term in a
+   * long document survives, a concentrated page does not. Emits the
+   * per-doc token count, hit count, density and the gate flag; density
+   * snaps to the 1e-6 grid BEFORE the cut so the flag is engine-exact.
+   *
+   * Scale shape: pure row-local — one explode + one (doc)-keyed
+   * aggregate with the membership test folded into the sum (the pattern
+   * set rides the plan as a literal array). A blocklist too large for a
+   * literal (10⁵+ phrases) becomes a broadcast left-semi join against a
+   * pattern table — same aggregate, one extra dim-sized broadcast; this
+   * entry point is the in-plan form.
+   */
+  def blocklistGate(docs: DataFrame, idCol: String, textCol: String,
+      patterns: Seq[String], maxDensity: Double): DataFrame = {
+    require(patterns.nonEmpty && maxDensity >= 0.0)
+    val snap6 = (c: org.apache.spark.sql.Column) =>
+      floor(c * lit(1e6) + lit(0.50001)) / lit(1e6)
+    val hit = col("token").isin(patterns: _*)
+    tokensWithPosition(docs, idCol, textCol)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(hit, lit(1L)).otherwise(lit(0L))).as("n_hits"))
+      .select(col("doc_id"), col("n_tokens"), col("n_hits"),
+        snap6(col("n_hits").cast("double") / col("n_tokens").cast("double"))
+          .as("density"),
+        (snap6(col("n_hits").cast("double") / col("n_tokens").cast("double"))
+          > lit(maxDensity)).as("blocked"))
+  }
+
   /** Dimensionality of the hashing-trick document vectors — small enough
     * that a dense codebook/centroid over it is trivially model-sized,
     * large enough that the synthetic vocab doesn't saturate every
