@@ -592,23 +592,32 @@ object TextAnalysis {
    * per-doc token count, hit count, density and the gate flag; density
    * snaps to the 1e-6 grid BEFORE the cut so the flag is engine-exact.
    *
-   * Scale shape: pure row-local — one explode + one (doc)-keyed
-   * aggregate with the membership test folded into the sum (the pattern
-   * set rides the plan as a literal array). A blocklist too large for a
-   * literal (10⁵+ phrases) becomes a broadcast left-semi join against a
-   * pattern table — same aggregate, one extra dim-sized broadcast; this
-   * entry point is the in-plan form.
+   * Scale shape: ZERO-exchange row-local — the token split, the
+   * membership count and the density all fold into one higher-order-
+   * function projection (no explode, no aggregate, no shuffle), so the
+   * operator is also STATELESS-STREAM-SAFE: apply it unchanged to a
+   * readStream frame (the pattern set rides the plan as a literal
+   * array). A blocklist too large for a literal (10⁵+ phrases) becomes a
+   * broadcast left-semi join against a pattern table — one explode + one
+   * doc-keyed aggregate + one dim-sized broadcast; this entry point is
+   * the in-plan form. Docs whose text splits to zero tokens are dropped,
+   * matching [[tokenArray]]'s convention.
    */
   def blocklistGate(docs: DataFrame, idCol: String, textCol: String,
       patterns: Seq[String], maxDensity: Double): DataFrame = {
     require(patterns.nonEmpty && maxDensity >= 0.0)
     val snap6 = (c: org.apache.spark.sql.Column) =>
       floor(c * lit(1e6) + lit(0.50001)) / lit(1e6)
-    val hit = col("token").isin(patterns: _*)
-    tokensWithPosition(docs, idCol, textCol)
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(when(hit, lit(1L)).otherwise(lit(0L))).as("n_hits"))
+    val pat = WhitespacePattern.replace("\\", "\\\\")
+    val lits = patterns.map(p => s"'${p.replace("'", "''")}'").mkString(", ")
+    docs
+      .select(col(idCol).as("doc_id"),
+        expr(s"filter(split($textCol, '$pat'), x -> x <> '')").as("t"))
+      .where(size(col("t")) > 0)
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        expr(s"size(filter(t, x -> array_contains(array($lits), x)))")
+          .cast("long").as("n_hits"))
       .select(col("doc_id"), col("n_tokens"), col("n_hits"),
         snap6(col("n_hits").cast("double") / col("n_tokens").cast("double"))
           .as("density"),

@@ -29,6 +29,26 @@ class BlocklistSpec extends SparkSpec {
     assert(!rows(3L).getAs[Boolean]("blocked"))
   }
 
+  test("stateless stream-safety: the same function on a MemoryStream matches batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = TextAnalysis.blocklistGate(in.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", Seq("bad"), maxDensity = 0.2)
+      .writeStream.format("memory").queryName("blocklist_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((1L, "bad bad bad word here"), (2L, "one bad token in a long clean document of words"))
+      q.processAllAvailable()
+      val got = spark.table("blocklist_out")
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_hits"), r.getAs[Boolean]("blocked"))).toMap
+      assert(got(1L) == ((3L, true)))
+      assert(got(2L) == ((1L, false)))
+    } finally q.stop()
+  }
+
   test("multi-pattern lists count every member") {
     val r = TextAnalysis.blocklistGate(docs, "doc_id", "text",
       Seq("bad", "word", "here"), maxDensity = 0.99)
