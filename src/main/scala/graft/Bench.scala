@@ -425,6 +425,13 @@ object Bench {
       if (ok) {
         val sec = (System.nanoTime() - t0) / 1e9
         best(name) = best.get(name).fold(sec)(math.min(_, sec))
+        // eager per-query progress on STDERR (the stdout JSON contract
+        // line stays the only stdout output): long single-rep runs are
+        // monitorable, and a mid-run death (the r10 sfx10 disk-fill)
+        // loses only the in-flight query instead of every timing
+        System.err.println(f"[bench] $group $sec%.2fs")
+      } else {
+        System.err.println(s"[bench] $group FAILED ${errors.getOrElse(name, "?")}")
       }
     }
     val results = names.flatMap(n => best.get(n).map(n -> _))
