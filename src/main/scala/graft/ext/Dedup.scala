@@ -370,7 +370,11 @@ object Dedup {
       minJaccard: Double = 0.3,
       pin: DataFrame => DataFrame = identity): DataFrame = {
     val sh = pin(shingles(docs, idCol, textCol))
-    jaccardFor(prefixCandidates(sh, minJaccard), sh)
+    // intersection-first verification: at low thresholds the prefix
+    // candidates are a constant fraction of the sharing surface, so the
+    // pair-first jaccardFor ships each doc's shingle set per pair
+    // (measured 72 GB / disk-fill at 100×); see jaccardForBySh's regime note
+    jaccardForBySh(prefixCandidates(sh, minJaccard), sh)
       .where(col("jaccard") >= minJaccard)
       .select("doc0", "doc1", "jaccard")
   }
@@ -893,6 +897,41 @@ object Dedup {
     pairs.join(a, "doc0").join(b, Seq("doc1", "sh"))
       .groupBy("doc0", "doc1")
       .agg(count(lit(1)).as("i"))
+      .join(counts.withColumnRenamed("doc_id", "doc0").withColumnRenamed("n", "n0"), "doc0")
+      .join(counts.withColumnRenamed("doc_id", "doc1").withColumnRenamed("n", "n1"), "doc1")
+      .withColumn("jaccard", col("i").cast("double") / (col("n0") + col("n1") - col("i")))
+      .select("doc0", "doc1", "jaccard")
+  }
+
+  /**
+   * [[jaccardFor]] with the INTERSECTION-FIRST physical shape (r10,
+   * after the sfx10 disk-fill): the pair-first spelling ships each
+   * document's shingle set once per candidate pair — |candidates| ×
+   * shingles-per-doc wide rows through the (doc1, sh) exchange, measured
+   * ~72 GB for the prefix route's 70M candidates at 100× (500k docs)
+   * where it filled local disk. Here the per-pair overlap counts come
+   * from the shingle-keyed self-join FIRST — Σ_sh C(df_sh, 2) SKINNY
+   * (doc0, doc1) rows with map-side partial counts — then an inner join
+   * keeps candidate pairs only (~2 GB at the same scale, ~30×
+   * less). Same output: a candidate pair sharing no shingle produces no
+   * row in either spelling.
+   *
+   * REGIME: right when the candidate set is dense relative to the
+   * sharing surface — exactly the low-threshold prefix route, whose
+   * candidates ARE a constant fraction of Σ_sh C(df, 2). Wrong when
+   * candidates are few and the corpus carries a df-head (a banded-
+   * MinHash candidate list on a Zipf corpus): the self-join would pay
+   * C(df_head, 2) for pairs the candidate filter already pruned — keep
+   * [[jaccardFor]] there. Both verifications are exact; the choice is
+   * bytes, not answers.
+   */
+  def jaccardForBySh(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc0"), col("b.doc_id").as("doc1"))
+      .agg(count(lit(1)).as("i"))
+    pairs.join(inter, Seq("doc0", "doc1"))
       .join(counts.withColumnRenamed("doc_id", "doc0").withColumnRenamed("n", "n0"), "doc0")
       .join(counts.withColumnRenamed("doc_id", "doc1").withColumnRenamed("n", "n1"), "doc1")
       .withColumn("jaccard", col("i").cast("double") / (col("n0") + col("n1") - col("i")))

@@ -230,7 +230,97 @@ object SparseAnn {
    * no shared coordinate get similarity 0.0 (dense semantics); pairs the
    * candidate rule never emits are not considered at all.
    */
-  private def exactSims(cands: DataFrame, n: DataFrame): DataFrame = {
+  /**
+   * GROUP-LOCAL exact re-scoring for the IVF route (r10, after the sfx10
+   * disk-fill): [[exactSims]] re-scores candidates through a
+   * coordinate-keyed join whose exchange is |pairs| × vector density —
+   * measured 8.6 GB of shuffle at sfx1 (~19 KB per pair on the ~600-
+   * nonzero supplier matrix) and a projected ~86 GB at sfx10, which
+   * filled the box's disk and killed the run. The IVF route's groups are
+   * OCCUPANCY-BOUNDED (assigned ≤ maxOcc after the sub-split; probers of
+   * a sub-bucket ≈ maxOcc·nprobe on a collapsed list), so instead each
+   * vector's coordinate map ships ONCE PER PROBED LIST (≤ 1 + nprobe
+   * copies, vs once per candidate pair ≈ maxOcc·(1+nprobe)/2 copies —
+   * ~40× fewer bytes at the contract constants), pairs materialize as a
+   * salted equi-join on the (cid, sub, prober-chunk) key, and the dot
+   * product is [[graft.functions.SparseDot]]'s codegen'd two-pointer
+   * merge over the coord-sorted entry arrays — O(d0+d1) per pair,
+   * accumulated in ascending coord order, so both orientations of a
+   * pair — and re-derivations in different groups — produce
+   * bit-identical sums and the pair-level distinct dedupes exactly.
+   * Candidate set and similarity values are IDENTICAL to [[exactSims]]
+   * over [[ivfCandidatesTail]] (spec-pinned); only the physical shape
+   * changes.
+   */
+  /** Per-(cid, sub) PROBER-chunk width for [[exactSimsLocal]]'s grouped
+    * rows: bounds every collected group at ~(cap + maxOcc) vector maps
+    * even when a SMALL list is probed by most of the corpus (the
+    * single-mode matrix's second-nearest probes — occupancy sub-splits
+    * bound the ASSIGNED side only, so without this a benign list's group
+    * would collect every prober's map into one row). Assigned members
+    * replicate into each chunk; the replication overhead is bounded by
+    * probers·maxOcc/cap ≈ one extra corpus copy at the contract
+    * constants. Physical only — the pair set is a partition of the same
+    * probers × assigned surface. */
+  val PairGroupCap = 96
+  private val PairChunkSalt = 77377L
+
+  private[ext] def exactSimsLocal(memb: DataFrame, n: DataFrame,
+      cap: Int = PairGroupCap): DataFrame = {
+    require(cap >= 1)
+    graft.functions.GraftFunctions.register(n.sparkSession)
+    // coord-SORTED entry arrays: sparse_dot's two-pointer merge needs
+    // them ordered, and the ascending-coord accumulation order makes the
+    // dot argument-order-independent (the distinct() below relies on it)
+    val arr = n.groupBy("vector").agg(
+      sort_array(collect_list(struct(col("coord"), col("nv")))).as("cv"),
+      sqrt(sum(col("nv") * col("nv"))).as("mod"))
+    val m2 = memb.join(arr, "vector")
+    val grpN = m2.groupBy("cid", "sub").agg(count(lit(1)).as("grp_n"))
+    val withN = m2.join(grpN, Seq("cid", "sub"))
+      .withColumn("npb", (expr(s"CAST((grp_n - 1) DIV $cap AS BIGINT)") + lit(1L)))
+    val chunkHash = expr(TextHash.avalancheSql(
+      TextHash.tokenValue("vector"), PairChunkSalt))
+    // prober role: every membership row, hashed into ONE chunk of its
+    // group; assigned role: replicated into EVERY chunk so each prober
+    // chunk sees the full (occupancy-capped) assigned set
+    // pair generation is a plain EQUI-JOIN on the salted group key —
+    // prober side hashed into one chunk, assigned side replicated into
+    // every chunk (the salted-join pattern: a group probed by most of
+    // the corpus spreads across ~probers/cap tasks instead of one). No
+    // collect_list anywhere: a grouped-row spelling was measured 7.7×
+    // SLOWER at sfx1 (1512 s) because the generate copied the whole
+    // member array once per crossed row (~4 MB × |group|² memcpy on
+    // 600-coord vectors); the join streams skinny pair rows instead.
+    val probers = withN
+      .withColumn("pchunk", chunkHash % col("npb"))
+      .select(col("cid"), col("sub"), col("pchunk"),
+        col("vector").as("pv"), col("cv").as("pcv"), col("mod").as("pmod"))
+    val assigned = withN.where(col("is_assigned"))
+      .withColumn("pchunk", explode(sequence(lit(0L), col("npb") - 1)))
+      .select(col("cid"), col("sub"), col("pchunk"),
+        col("vector").as("av"), col("cv").as("acv"), col("mod").as("amod"))
+    val crossed = probers
+      .join(assigned, Seq("cid", "sub", "pchunk"))
+      .where(col("pv") =!= col("av"))
+      .select(
+        greatest(col("pv"), col("av")).as("vector0"),
+        least(col("pv"), col("av")).as("vector1"),
+        expr("sparse_dot(pcv, acv)").as("dot"),
+        (col("pmod") * col("amod")).as("modprod"))
+    val sims = crossed
+      .select(col("vector0"), col("vector1"),
+        snap(col("dot") / col("modprod")).as("s"))
+      .distinct()
+    sims.select(explode(array(
+        struct(col("vector0").as("vector"), col("vector1").as("neighbor"), col("s")),
+        struct(col("vector1").as("vector"), col("vector0").as("neighbor"), col("s"))))
+        .as("p"))
+      .select(col("p.vector").as("vector"), col("p.neighbor").as("neighbor"),
+        col("p.s").as("s"))
+  }
+
+  private[ext] def exactSims(cands: DataFrame, n: DataFrame): DataFrame = {
     val mods = n.groupBy("vector")
       .agg(sqrt(sum(col("nv") * col("nv"))).as("mod"))
     val a = n.select(col("vector").as("vector0"), col("coord"), col("nv").as("nv0"))
@@ -375,8 +465,24 @@ object SparseAnn {
       iters: Int = IvfIters, nprobe: Int = IvfNprobe,
       dim: Int = IvfDim, maxOcc: Int = ListOccupancy): DataFrame = {
     val n = pin(normTable(analysis, matrix))
-    // the candidate table feeds three joins in exactSims (dots + both
-    // mod sides) — pinned so the routing stages run once, not per branch
+    // the membership table feeds one group-local scorer (pinned so the
+    // Lloyd routing runs once); scoring ships each vector once per
+    // probed list, never once per pair — see exactSimsLocal
+    exactSimsLocal(
+      pin(ivfMembershipTail(ivfRanked(n, pin, lists, iters, nprobe, dim),
+        nprobe, maxOcc)), n)
+  }
+
+  /** [[candidateSimsIvf]] through the ORIGINAL pair-keyed coordinate
+    * join ([[exactSims]] over [[ivfCandidatesTail]]) — retained as the
+    * equality reference for [[exactSimsLocal]]'s spec; not on any
+    * contract path (its exchange is |pairs| × density — the sfx10
+    * disk-fill shape). */
+  private[ext] def candidateSimsIvfReference(analysis: CosineAnalysis,
+      matrix: Dataset[MatrixElement], pin: DataFrame => DataFrame = identity,
+      lists: Int = AutoLists, iters: Int = IvfIters, nprobe: Int = IvfNprobe,
+      dim: Int = IvfDim, maxOcc: Int = ListOccupancy): DataFrame = {
+    val n = pin(normTable(analysis, matrix))
     exactSims(pin(ivfCandidates(n, pin, lists, iters, nprobe, dim, maxOcc)), n)
   }
 
@@ -467,7 +573,31 @@ object SparseAnn {
     ivfRankedFit(n, pin, lists, iters, dim)
   }
 
-  private def ivfCandidatesTail(ranked: DataFrame, nprobe: Int,
+  /**
+   * IVF LIST MEMBERSHIP — (vector, cid, sub, is_assigned) for every
+   * (vector, probed list) pair, sub-split like [[ivfCandidatesTail]].
+   * This is the route's locality table: a vector appears once per probed
+   * list (≤ 1 + nprobe rows), and BOTH sides of every candidate pair
+   * co-reside in some (cid, sub) group, so pair generation and exact
+   * re-scoring can run INSIDE the group ([[exactSimsLocal]]) instead of
+   * shipping coordinates once per pair.
+   */
+  private[ext] def ivfMembershipTail(ranked: DataFrame, nprobe: Int,
+      maxOcc: Int): DataFrame = {
+    val probes = ranked.where(col("rn") <= nprobe)
+      .select(col("vector"), col("cid"), (col("rn") === 1).as("is_assigned"))
+    val sizes = ranked.where(col("rn") === 1)
+      .groupBy("cid").agg(count(lit(1)).as("occ"))
+    val nsub = sizes.select(col("cid"),
+      (expr(s"CAST((occ - 1) DIV $maxOcc AS BIGINT)") + lit(1L)).as("n_sub"))
+    val subHash = expr(TextHash.avalancheSql(
+      TextHash.tokenValue("vector"), IvfSubSalt))
+    probes.join(broadcast(nsub), "cid")
+      .withColumn("sub", subHash % col("n_sub"))
+      .select("vector", "cid", "sub", "is_assigned")
+  }
+
+  private[ext] def ivfCandidatesTail(ranked: DataFrame, nprobe: Int,
       maxOcc: Int): DataFrame = {
     val asg = ranked.where(col("rn") === 1).select("vector", "cid")
     val probes = ranked.where(col("rn") <= nprobe).select("vector", "cid")

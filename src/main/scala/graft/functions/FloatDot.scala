@@ -97,7 +97,7 @@ object GraftFunctions {
   }
 
   /** Idempotently register graft's custom SQL functions (`float_dot`,
-    * `z_interleave`) so their `expr(...)` spellings resolve. */
+    * `sparse_dot`, `z_interleave`) so their `expr(...)` spellings resolve. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     val fd = FunctionIdentifier("float_dot")
@@ -108,6 +108,16 @@ object GraftFunctions {
         (exprs: Seq[Expression]) => {
           require(exprs.length == 2, s"float_dot takes 2 arguments, got ${exprs.length}")
           FloatDot(exprs.head, exprs(1))
+        })
+    }
+    val sd = FunctionIdentifier("sparse_dot")
+    if (!registry.functionExists(sd)) {
+      registry.registerFunction(
+        sd,
+        new ExpressionInfo(classOf[SparseDot].getName, "sparse_dot"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 2, s"sparse_dot takes 2 arguments, got ${exprs.length}")
+          SparseDot(exprs.head, exprs(1))
         })
     }
     val zi = FunctionIdentifier("z_interleave")

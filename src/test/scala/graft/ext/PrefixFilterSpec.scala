@@ -101,4 +101,35 @@ class PrefixFilterSpec extends SparkSpec {
     // a prefix shingle at all
     assert(cand == 0L, s"expected empty candidate set, got $cand")
   }
+
+  test("intersection-first verification equals pair-first row for row") {
+    // jaccardForBySh (r10: the sfx10 disk-fill fix — overlaps from the
+    // shingle-keyed self-join, candidates joined after) must agree with
+    // jaccardFor on every candidate pair, including its drop-no-overlap
+    // semantics, on both the LSH and the prefix candidate tables
+    val sh = Dedup.shingles(corpus, "doc_id", "text").localCheckpoint()
+    for (cands <- Seq(
+        Dedup.prefixCandidates(sh, 0.3),
+        Dedup.minHashCandidates(Dedup.minHashSignatures(sh)))) {
+      val byPair = Dedup.jaccardFor(cands, sh)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .sortBy(_._1)
+      val bySh = Dedup.jaccardForBySh(cands, sh)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .sortBy(_._1)
+      assert(byPair.toSeq == bySh.toSeq)
+      assert(byPair.nonEmpty)
+    }
+  }
+
+  test("end-to-end prefixJaccardDups (intersection-first) still equals the exhaustive kernel") {
+    val viaPrefix = Dedup.prefixJaccardDups(corpus, "doc_id", "text", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val sh = Dedup.shingles(corpus, "doc_id", "text")
+    val exhaustive = Dedup.jaccardPairs(sh)
+      .where(col("jaccard") >= 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(viaPrefix.keySet == exhaustive.keySet)
+    viaPrefix.foreach { case (k, v) => assertApprox(v, exhaustive(k)) }
+  }
 }

@@ -243,4 +243,54 @@ class SparseAnnSpec extends SparkSpec {
       .sortBy(t => (t._1, t._2))
     assert(full.toSeq === exact.toSeq)
   }
+
+  test("group-local IVF scoring equals the pair-join reference row for row") {
+    // the r10 physical rewrite (exactSimsLocal: arrays ship once per
+    // probed list, pairs materialize inside the occupancy-bounded group)
+    // must leave the logical result — candidate set AND snapped values —
+    // bit-identical to the original pair-keyed coordinate join, at sane
+    // AND at stressed occupancy (maxOcc=2 forces sub-splits everywhere)
+    for (occ <- Seq(32, 2)) {
+      val local = SparseAnn.candidateSimsIvf(analysis, matrix,
+          lists = 4, maxOcc = occ)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2))
+      val ref = SparseAnn.candidateSimsIvfReference(analysis, matrix,
+          lists = 4, maxOcc = occ)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2))
+      assert(local.toSeq === ref.toSeq, s"maxOcc=$occ")
+      assert(local.nonEmpty)
+    }
+  }
+
+  test("prober chunking (cap=2) leaves the result identical — replication is physical only") {
+    // stress the mega-prober guard on a hand-built membership: one small
+    // assigned list probed by MANY vectors. cap=2 splits the probers
+    // into many chunks with the assigned set replicated into each; the
+    // scored pairs must be byte-identical to the unchunked run.
+    val sess = spark
+    import sess.implicits._
+    val nt = (for { v <- 0 until 20; c <- 0 until 6 if (v + c) % 4 != 0 }
+      yield (f"v$v%02d", s"c$c", ((v * c) % 7 + 2).toDouble))
+      .toDF("vector", "coord", "nv")
+    // vectors v00/v01 assigned to (cid 0, sub 0); everyone probes it
+    val memb = ((0 until 20).map(v => (f"v$v%02d", 0L, 0L, v < 2))).toSeq
+      .toDF("vector", "cid", "sub", "is_assigned")
+    def run(cap: Int) = SparseAnn.exactSimsLocal(memb, nt, cap)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2))
+    val wide = run(SparseAnn.PairGroupCap)
+    val tiny = run(2)
+    assert(wide.toSeq == tiny.toSeq)
+    // every non-assigned prober pairs with both assigned vectors
+    assert(wide.count(t => t._2 == "v00" || t._2 == "v01") >= 18 * 2)
+  }
+
+  test("group-local scoring emits each unordered pair exactly once per direction") {
+    val sims = SparseAnn.candidateSimsIvf(analysis, matrix, lists = 4)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(sims.length == sims.distinct.length,
+      "duplicate (vector, neighbor) rows — canonical-orientation dot failed to dedupe")
+  }
 }
