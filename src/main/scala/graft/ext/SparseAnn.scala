@@ -403,11 +403,21 @@ object SparseAnn {
   val ListOccupancy: Int = 32
 
   /** Doubling-ladder length of [[deriveLists]]: caps the derived count
-    * at IvfLists·2^14 = 131072 lists (a ≤ lists×dim ≈ 4.2M-row codebook
-    * broadcast — still model-sized). Beyond ~4M vectors occupancy grows
-    * past the target linearly; at that corpus size move to the trained/
-    * persisted IVF in [[Embeddings]] rather than refitting per query. */
-  val MaxListDoublings: Int = 14
+    * at IvfLists·2^7 = 1024 lists. The cap is NOT about codebook size —
+    * it bounds the Lloyd ASSIGNMENT, whose distance table is V×L rows
+    * (every vector scores every centroid): with the r9 ladder top of
+    * 2^14, deriveLists(100k) = 4096 made that table 410M rows and the
+    * sfx10 run died filling local disk on the ranked-distance sort —
+    * the V-proportional list count turns assignment O(V²/occupancy).
+    * At 1024 lists assignment is ≤ 102M rows per 100k vectors and
+    * SCALE-LINEAR beyond (the sfx1 bands derive ≤ 512 and are
+    * unchanged); past ~32k vectors occupancy grows over the target
+    * instead, which the candidate stage's deterministic sub-split
+    * absorbs ([[ivfMembershipTail]]) at the recall price the audits
+    * report. The principled 10⁶⁺-vector fix is a two-level coarse→fine
+    * assignment (score √L super-lists, then only their children) — the
+    * named next step, not this cap. */
+  val MaxListDoublings: Int = 7
 
   /**
    * Data-derived inverted-list count: the smallest `L = IvfLists·2^t`

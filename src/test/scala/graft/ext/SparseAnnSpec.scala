@@ -184,7 +184,12 @@ class SparseAnnSpec extends SparkSpec {
       val n = (IvfLists.toLong * ListOccupancy) << (t - 1)
       assert(deriveLists(n).toLong * ListOccupancy >= n)
     }
-    // clamp at the ladder top regardless of corpus size
+    // clamp at the 1024-list ladder top regardless of corpus size: the
+    // assignment distance table is V×L rows, so a V-proportional L turns
+    // Lloyd quadratic (deriveLists(100k)=4096 filled local disk at
+    // sfx10); past the cap the occupancy SUB-SPLIT carries the bound
+    assert(MaxListDoublings === 7)
+    assert(deriveLists(100000L) === 1024)
     assert(deriveLists(Long.MaxValue / 8) === (IvfLists << MaxListDoublings))
     // monotone non-decreasing
     val samples = Seq(1L, 10L, 300L, 1000L, 10000L, 100000L, 10000000L)
