@@ -80,22 +80,16 @@ object CoreEntries {
     "cosine_predict" -> ((s, dir) =>
       gate(analysis(s).predictMissing(supplierPartMatrix(s, dir), neighbors = 5),
         "y", "x")),
-    // ANN-routed top-k: sign-LSH candidates instead of the dense C(V,2)
-    // table — the quadratic-free path for topSimilar at scale
-    // pin = persist: the contract query runs once, so materializing the
-    // shared normalized/candidate tables beats recomputing them per branch
-    // (Bench clears the cache between reps; Verify's session is one-shot)
-    // plane count SELF-SIZES from the vector count (SparseAnn.AutoPlanes
-    // → derivePlanes; r9, replacing the SPARK_GRAFT_ANN_PLANES rescue) —
-    // the oracle below derives the IDENTICAL count in SQL
-    "cosine_topk_ann" -> ((s, dir) =>
-      gate(graft.ext.SparseAnn.topSimilarAnn(analysis(s), supplierPartMatrix(s, dir), 5,
-        pin = _.persist(), center = AnnCenter), "vector", "rank")),
-    // ANN-routed missing-value prediction: same CF weighting as
-    // cosine_predict, neighbors restricted to the LSH candidate rule
-    "cosine_predict_ann" -> ((s, dir) =>
-      gate(graft.ext.SparseAnn.predictMissingAnn(analysis(s), supplierPartMatrix(s, dir), 5,
-        pin = _.persist(), center = AnnCenter), "y", "x")),
+    // The sign-LSH sparse route (`cosine_topk_ann` / `cosine_predict_ann`
+    // / `cosine_topk_clustered_ann`) was DELETED in r11: the r10
+    // clustered-fixture shootout left it strictly dominated by the IVF
+    // route on every fixture ever measured (see the SparseAnn object
+    // scaladoc's migration note). The quadratic-free twins below are IVF.
+    // IVF-routed missing-value prediction: same CF weighting as
+    // cosine_predict, neighbors restricted to the IVF candidate rule
+    "cosine_predict_ivf" -> ((s, dir) =>
+      gate(graft.ext.SparseAnn.predictMissingIvf(analysis(s), supplierPartMatrix(s, dir), 5,
+        pin = _.localCheckpoint()), "y", "x")),
     // IVF-routed top-k (r8 ask #4): feature-hash the sparse vectors to a
     // fixed dim, Lloyd the hashed corpus into inverted lists, candidates
     // from symmetric nprobe routing, EXACT sparse cosine on candidates —
@@ -141,10 +135,6 @@ object CoreEntries {
     "cosine_topk_clustered" -> ((s, dir) =>
       gate(analysis(s).fit(clusteredSupplierMatrix(s, dir), isSparse = false)
         .topSimilar(5), "vector", "rank")),
-    "cosine_topk_clustered_ann" -> ((s, dir) =>
-      gate(graft.ext.SparseAnn.topSimilarAnn(analysis(s),
-        clusteredSupplierMatrix(s, dir), 5,
-        pin = _.persist(), center = AnnCenter), "vector", "rank")),
     "cosine_topk_clustered_ivf" -> ((s, dir) =>
       gate(graft.ext.SparseAnn.topSimilarIvf(analysis(s),
         clusteredSupplierMatrix(s, dir), 5,
@@ -200,14 +190,6 @@ object CoreEntries {
   /** df cap for aligned_pairs_dfcap — prunes the head coordinates at every sf. */
   private val DfCapMax = 20L
 
-  /** Mean-centered sign test (SPARK_GRAFT_ANN_CENTER=1): the scaled-run
-    * switch for positively-valued matrices, where every vector is
-    * near-parallel to the mean and RAW sign bits leave most of the
-    * corpus in a few buckets. Oracle mirrors the same centering, so the
-    * compare is self-consistent either way; driver default off. */
-  private val AnnCenter: Boolean =
-    sys.env.get("SPARK_GRAFT_ANN_CENTER").exists(v => v == "1" || v == "true")
-
   /** Shared oracle CTE chain mirroring the pipeline stage by stage —
     * suffix appended to a matrix CTE prefix (`m(y, x, v)`), so the same
     * chain replays over the supplier, skew, and clustered fixtures. */
@@ -241,72 +223,6 @@ object CoreEntries {
     |       floor((v1)*1e6 + 0.50001)/1e6 AS value1,
     |       floor((v2)*1e6 + 0.50001)/1e6 AS value2
     |FROM p ORDER BY vector0, vector1, prediction_axis""".stripMargin
-
-  /** Every plane index the oracle must be prepared to use: the Spark
-    * side derives planes ∈ [SparseAnn.Planes, SparseAnn.MaxPlanes] from
-    * the vector count, so the oracle computes EVERY candidate plane's
-    * projection and masks the bits at or above the derived count. */
-  private val AllPlanes = 0 until graft.ext.SparseAnn.MaxPlanes
-
-  /** 1-row derived plane count, mirroring [[graft.ext.SparseAnn
-    * .derivePlanes]] with pure integer compares (never log2 on a
-    * double): np = 6 + Σ_{p=6}^{15} [4·n > 2^p] over the SAME
-    * COUNT(DISTINCT vector) the Spark side runs. */
-  private val annNpSql: String = {
-    val terms = (graft.ext.SparseAnn.Planes until graft.ext.SparseAnn.MaxPlanes)
-      .map(p => s"(CASE WHEN 4 * nv.n > ${1L << p} THEN 1 ELSE 0 END)")
-      .mkString(" + ")
-    s""",
-      |np AS MATERIALIZED (SELECT ${graft.ext.SparseAnn.Planes} + $terms AS np
-      |      FROM (SELECT CAST(COUNT(DISTINCT y) AS BIGINT) AS n FROM n) nv)""".stripMargin
-  }
-
-  /** Sparse sign-LSH candidate chain (derived plane count → buckets →
-    * hamming≤1 pairs → snapped dense cosine, symmetrized) mirroring
-    * graft.ext.SparseAnn — the shared prefix of the cosine_topk_ann /
-    * cosine_predict_ann oracles. (mask, plane-index) rows: mask 0 (own
-    * bucket, index −1) plus each single-bit flip; the candidate join
-    * keeps only indices below the derived count. */
-  private val annProbeMasksSql: String =
-    ((0L, -1) +: AllPlanes.map(j => (1L << j, j)))
-      .map { case (m, j) => s"($m, $j)" }
-      .mkString("(VALUES ", ", ", ") AS v(mask, j)")
-
-  /** The 1-row centering shift (per-plane mean-vector projection + the
-    * vector count) mirrored from the Spark side's `center = true` path —
-    * both engines subtract the identical scalar before the sign test. */
-  private val annTotSql: String =
-    if (!AnnCenter) ""
-    else s""",
-      |stot AS MATERIALIZED (SELECT ${AllPlanes
-          .map(k => s"SUM(${graft.ext.SparseAnn.planeComponent(k, "x")} * nv) AS t_$k")
-          .mkString(", ")},
-      |                CAST(COUNT(DISTINCT y) AS DOUBLE) AS n_vec
-      |         FROM n)""".stripMargin
-
-  private val annCandSql: String = annNpSql + annTotSql + s""",
-    |sproj AS MATERIALIZED (SELECT y, ${AllPlanes
-        .map(k => s"SUM(${graft.ext.SparseAnn.planeComponent(k, "x")} * nv) AS p_$k")
-        .mkString(", ")}
-    |          FROM n GROUP BY y${if (AnnCenter) "),\nsprojc AS MATERIALIZED (SELECT y, " +
-          AllPlanes.map(k => s"sproj.p_$k - stot.t_$k / stot.n_vec AS p_$k")
-            .mkString(", ") + " FROM sproj CROSS JOIN stot" else ""}),
-    |sbkt AS MATERIALIZED (SELECT y AS v, CAST(${AllPlanes
-        .map(k => s"CASE WHEN $k < np.np AND floor(p_$k*1e6 + 0.50001)/1e6 > 0 THEN ${1L << k} ELSE 0 END")
-        .mkString(" + ")} AS BIGINT) AS bucket
-    |         FROM ${if (AnnCenter) "sprojc" else "sproj"}, np),
-    |mk AS MATERIALIZED (SELECT v.mask FROM $annProbeMasksSql, np WHERE v.j < np.np),
-    |cand AS (SELECT hi.v AS vector0, lo.v AS vector1
-    |         FROM sbkt lo JOIN sbkt hi ON lo.v < hi.v
-    |         JOIN mk ON xor(lo.bucket, hi.bucket) = CAST(mk.mask AS BIGINT)),
-    |csim AS (SELECT c.vector0, c.vector1,
-    |                floor(COALESCE(num.numtr / (va.md * vb.md), 0.0)*1e6 + 0.50001)/1e6 AS s
-    |         FROM cand c
-    |         JOIN vm va ON va.vector = c.vector0
-    |         JOIN vm vb ON vb.vector = c.vector1
-    |         LEFT JOIN num ON num.vector0 = c.vector0 AND num.vector1 = c.vector1),
-    |csym AS (SELECT vector0 AS v, vector1 AS u, s FROM csim
-    |         UNION ALL SELECT vector1 AS v, vector0 AS u, s FROM csim)""".stripMargin
 
   /** IVF candidate chain mirroring graft.ext.SparseAnn.candidateSimsIvf
     * stage by stage: hashed features → seeded, unrolled Lloyd rounds
@@ -463,22 +379,13 @@ object CoreEntries {
         |       FROM sym)
         |SELECT v AS vector, CAST(rn AS BIGINT) AS rank, u AS neighbor, s AS similarity_value
         |FROM rk WHERE rn <= 5 ORDER BY vector, rank""".stripMargin),
-    // candidate rule mirrored from SparseAnn: sparse sign-LSH buckets,
-    // probe set = own bucket + hamming-1; exact dense cosine on candidates
-    "cosine_topk_ann" ->
-      (pipelineSql + annCandSql + """,
-        |crk AS (SELECT v, u, s, row_number() OVER (PARTITION BY v ORDER BY s DESC, u) AS rn
-        |        FROM csym)
-        |SELECT v AS vector, CAST(rn AS BIGINT) AS rank, u AS neighbor, s AS similarity_value
-        |FROM crk WHERE rn <= 5 ORDER BY vector, rank""".stripMargin),
     // the fit chain's per-list readout, stopping at insb
     "cosine_ivf_occupancy" ->
       (pipelineSql + ivfFitSql + """
         |SELECT a.cid, CAST(COUNT(*) AS BIGINT) AS occ, s.n_sub
         |FROM iasg a JOIN insb s USING (cid)
         |GROUP BY a.cid, s.n_sub ORDER BY cid""".stripMargin),
-    // the IVF candidate rule's ranked readout — same tail as
-    // cosine_topk_ann over the icsym chain
+    // the IVF candidate rule's ranked readout over the icsym chain
     "cosine_topk_ivf" ->
       (pipelineSql + ivfCandSql + """,
         |irk AS (SELECT v, u, s, row_number() OVER (PARTITION BY v ORDER BY s DESC, u) AS rn
@@ -510,12 +417,6 @@ object CoreEntries {
         |       FROM sym)
         |SELECT v AS vector, CAST(rn AS BIGINT) AS rank, u AS neighbor, s AS similarity_value
         |FROM rk WHERE rn <= 5 ORDER BY vector, rank""".stripMargin),
-    "cosine_topk_clustered_ann" ->
-      (clusteredPipelineSql + annCandSql + """,
-        |crk AS (SELECT v, u, s, row_number() OVER (PARTITION BY v ORDER BY s DESC, u) AS rn
-        |        FROM csym)
-        |SELECT v AS vector, CAST(rn AS BIGINT) AS rank, u AS neighbor, s AS similarity_value
-        |FROM crk WHERE rn <= 5 ORDER BY vector, rank""".stripMargin),
     "cosine_topk_clustered_ivf" ->
       (clusteredPipelineSql + ivfCandSql + """,
         |irk AS (SELECT v, u, s, row_number() OVER (PARTITION BY v ORDER BY s DESC, u) AS rn
@@ -541,11 +442,11 @@ object CoreEntries {
         |SELECT kk.v AS vector, kk.k, CAST(COALESCE(hits.hits, 0) AS BIGINT) AS hits,
         |       floor((CAST(COALESCE(hits.hits, 0) AS DOUBLE) / kk.k)*1e6 + 0.50001)/1e6 AS recall
         |FROM kk LEFT JOIN hits ON hits.v = kk.v ORDER BY vector""".stripMargin),
-    // cosine_predict's CF tail over the SAME candidate CTE chain
-    "cosine_predict_ann" ->
-      (pipelineSql + annCandSql + """,
+    // cosine_predict's CF tail over the IVF candidate CTE chain
+    "cosine_predict_ivf" ->
+      (pipelineSql + ivfCandSql + """,
         |pos AS (SELECT v, u, s, row_number() OVER (PARTITION BY v ORDER BY s DESC, u) AS rn
-        |        FROM csym WHERE s > 0),
+        |        FROM icsym WHERE s > 0),
         |contrib AS (SELECT t.v, n.x AS coord, SUM(t.s * n.nv) / SUM(t.s) AS pv
         |            FROM pos t JOIN n ON n.y = t.u
         |            WHERE t.rn <= 5 GROUP BY 1, 2),

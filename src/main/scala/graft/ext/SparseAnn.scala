@@ -11,181 +11,36 @@ import graft.core.{CosineAnalysis, MatrixElement}
  * escape hatch for [[graft.core.MatrixModel.topSimilar]], whose exact
  * semantics sit on the full C(V,2) dense similarity table.
  *
- * Sign-LSH for sparse vectors: hyperplane k assigns every COORDINATE a
- * small integer component via portable character arithmetic
- * ([[TextHash.tokenValue]] — identical in Spark and DuckDB, so the
- * candidate rule is oracle-checkable), and a vector's bit k is the sign of
- * Σ_coords h(k, coord) · value. Near-parallel vectors agree on most signs,
- * so candidate pairs — buckets within Hamming distance ≤ 1, via
- * [[Embeddings.lshNearPairs]]'s probe-mask equi-join — cut the pair
- * surface by ~the bucket count while exact cosine is computed ONLY for
- * candidates.
+ * The route is IVF: feature-hash the sparse vectors to a fixed small
+ * dimension, Lloyd the hashed corpus into self-sized inverted lists,
+ * take candidates from symmetric nprobe routing with occupancy-capped
+ * sub-splits, and compute EXACT sparse cosine only on candidates inside
+ * the occupancy-bounded groups ([[exactSimsLocal]]). ANN changes the
+ * candidate SET, never a reported value.
  *
- * Scale shape: one aggregate keyed by vector (map-side partial) for the
- * buckets, the (id, bucket) probe equi-join for candidates, then the
- * alignment join restricted to candidate pairs — bounded by
- * |candidates| · coords-per-vector, never Σ_coord C(n_coord, 2).
+ * MIGRATION NOTE (r11, VERDICT r10 What's-wrong #1 / r9 ask #1): this
+ * object used to carry a second, sign-LSH route for sparse vectors
+ * (`topSimilarAnn` / `predictMissingAnn` / `candidateSims`, contract
+ * queries `cosine_topk_ann` / `cosine_predict_ann` /
+ * `cosine_topk_clustered_ann`). It was DELETED after the r10
+ * clustered-fixture shootout left it strictly dominated on every fixture
+ * ever measured: sfx1 single-mode sign-LSH 393 s vs IVF 30.7 s vs exact
+ * 81 s; sfx1 clustered sign-LSH 80.5 s vs IVF 21.5 s vs exact 94.3 s —
+ * and the two sign-LSH kernels alone were ~23 % of the sfx1 artifact's
+ * wall. Former callers: use [[topSimilarIvf]] / [[predictMissingIvf]]
+ * (identical ranking/weighting contracts — only the candidate rule
+ * differs), or the exact [[graft.core.MatrixModel.topSimilar]] /
+ * [[graft.core.CosineAnalysis.predictMissing]] when the corpus has no
+ * cluster structure (the IVF audit queries price exactly that regime).
+ * The sign-LSH machinery for DENSE embeddings ([[Embeddings.lshBuckets]]
+ * / [[Embeddings.lshNearPairs]]) is a different family with its own
+ * tested regime and is unaffected.
  *
- * When to route through this (measured, isolated, sf0.1 supplier×part
- * matrix, ~1k vectors, caller-pinned intermediates): `cosine_topk` 9.5 s
- * vs `cosine_topk_ann` 14.4 s; `cosine_predict` 11.0 s vs
- * `cosine_predict_ann` 15.8 s. On a matrix this dense the direct
- * coordinate self-join enumerates pairs cheaply, so the candidate
- * machinery (buckets + probe join + two id-joins back to coordinates)
- * costs ~1.5× the exact path.
- *
- * MEASURED REGIME GUIDANCE (sfx1 spot-bench, 10× vectors, bench_sf1
- * .json): sign-LSH candidate routing pays on sparse data with DIVERSE
- * coordinate support — doc-term matrices, Zipf-tailed user-item — where
- * unrelated vectors land in different buckets. It DEGRADES on
- * dense-support, positively-correlated matrices (this CF matrix: every
- * supplier touches most parts with positive weights), because all
- * vectors are near-parallel to the mean direction and their sign bits
- * correlate: at the default 6 planes the collapsed buckets made the
- * candidate×coords join spill >80 GB and die; at 12 planes it completes
- * but still loses to the exact path ~9× (618 s vs 67 s). `center =
- * true` (mean-centered projections) balances each plane's split and
- * helps (predict 847 → 710 s) but cannot undo cross-plane correlation —
- * the residual variance concentrates along the top principal direction.
- * For that regime use the exact alignment, [[graft.core.CosineAnalysis
- * .dfCap]], [[graft.core.CosineAnalysis.alignedPairsSalted]], or the
- * IVF-routed twin [[topSimilarIvf]]; when this route IS appropriate the
- * plane count now SELF-SIZES from one vector COUNT ([[derivePlanes]],
- * the default `planes = AutoPlanes`) instead of requiring the caller to
- * size it.
- *
- * THE WINNING REGIME IS NOW A MEASURED CONTRACT (r10, VERDICT r9 ask
- * #1): on the planted multi-mode matrix ([[graft.entry.EntryUtil
- * .clusteredSupplierMatrix]] — 32 disjoint coordinate blocks, the
- * "corpus with real cluster structure" this route exists for), the sfx1
- * shootout (10k vectors, 1 rep, no tuning) measured: exact dense top-5
- * 94.3 s, THIS sign-LSH route 80.5 s, the IVF route 35.7 s — both ANN
- * routes beat exact, and IVF wins outright (recall 0.86 mean / 74 % of
- * queries perfect, per-list occupancy ≤ 80 with no Lloyd collapse). On
- * the single-mode supplier×part matrix the ordering inverts (exact 81 s
- * < IVF 197 s < sign-LSH 393 s). ROUTE DEFAULT: cluster structure ⇒
- * [[topSimilarIvf]]; sign-LSH is the hash-only alternative when no
- * iterative fit is affordable; no structure ⇒ exact.
+ * ROUTE DEFAULT (measured contract, bench_sf1.json): cluster structure ⇒
+ * [[topSimilarIvf]] (2.6–4.4× over exact at sfx1, recall 0.86 mean);
+ * no structure ⇒ exact (the occupancy audits detect the collapse).
  */
 object SparseAnn {
-
-  /** MINIMUM hyperplane count — bit width of the bucket id at small
-    * corpus sizes. Matches [[Embeddings.LshPlanes]] so the probe-mask
-    * helper is shared. The route no longer ships a FIXED width: passing
-    * [[AutoPlanes]] (the default everywhere) derives the count from one
-    * vector COUNT via [[derivePlanes]]. Measured on the 10× supplier×
-    * part matrix (ScaleUp sfx1, local[32]): at a fixed 64 buckets the
-    * candidate surface grows ~N²/2^planes and the candidate×coords dot
-    * join spilled >80 GB of shuffle before dying, while the exact path
-    * finished — a fixed-width LSH INVERTS the ANN trade one scale factor
-    * up (VERDICT r8 "What's wrong" #1; the manual env-var rescue this
-    * derivation replaces). */
-  val Planes: Int = Embeddings.LshPlanes
-
-  /** Sentinel plane count meaning "derive from the data": the candidate
-    * pipeline runs ONE vector COUNT (the pageRank-convention driver
-    * action) and sizes the bucket id via [[derivePlanes]]. */
-  val AutoPlanes: Int = 0
-
-  /**
-   * Data-derived hyperplane count: the smallest `p ≥ Planes` with
-   * `2^p ≥ 4·nVectors` (capped at [[MaxPlanes]]) — i.e. bucket count ≈
-   * 4× the vector count, one more plane per doubling of vectors. The ×4
-   * headroom is the measured correction for sign-bit correlation: on a
-   * positively-valued matrix every vector leans toward the mean
-   * direction, so the EFFECTIVE occupied-bucket count sits far below
-   * 2^planes — at 10k vectors this formula gives the width band the
-   * sfx1 spot-bench measured completing (4096+ buckets) where the fixed
-   * 64-bucket default died. Integer-compare form (`4n > 2^p`, never
-   * log2 on a double) so the DuckDB oracle derives the IDENTICAL count
-   * from the same COUNT(DISTINCT vector).
-   */
-  def derivePlanes(nVectors: Long): Int =
-    Planes + (Planes until MaxPlanes).count(p => nVectors * 4L > (1L << p))
-
-  /** Per-plane odd multipliers for the component hash (small enough that
-    * tokenValue · multiplier stays far from int64 overflow). Sized for
-    * up to 16 planes (65536 buckets) — beyond the default 6 so the plane
-    * count can scale with the corpus (see [[Planes]]). */
-  val PlaneMultipliers: Seq[Long] = Seq(
-    17L, 131L, 241L, 367L, 487L, 599L, 709L, 823L,
-    941L, 1063L, 1187L, 1301L, 1429L, 1543L, 1667L, 1789L)
-
-  /** Largest supported plane count. */
-  val MaxPlanes: Int = PlaneMultipliers.size
-
-  /**
-   * SQL text of hyperplane component k for a coordinate column: a value in
-   * [-6, 6] from exact integer arithmetic — the same text is `expr`'d in
-   * Spark and interpolated into the DuckDB oracle.
-   */
-  def planeComponent(k: Int, coordCol: String): String =
-    s"((${TextHash.tokenValue(coordCol)} * ${PlaneMultipliers(k)}) % 13 - 6)"
-
-  /**
-   * Sign-LSH bucket per sparse vector from a (vector, coord, value) table:
-   * bit k = sign of the projection onto hyperplane k. One shuffle keyed by
-   * vector, six sums in one aggregate.
-   *
-   * The sign test runs on the 1e-6-SNAPPED projection: with integer plane
-   * components and integer-derived matrix values, Σ h·value can be exactly
-   * zero in real arithmetic, where FP summation-order noise would
-   * otherwise decide the sign differently per engine (or per Spark run).
-   * Snapping maps ±ε to exactly 0 → bit 0, deterministically, on both
-   * sides of the oracle.
-   */
-  def buckets(n: DataFrame, vecCol: String, coordCol: String, valCol: String,
-      planes: Int = Planes, center: Boolean = false): DataFrame = {
-    require(planes >= 1 && planes <= MaxPlanes,
-      s"planes must be in [1, $MaxPlanes]")
-    val projs = (0 until planes).map { k =>
-      sum(expr(planeComponent(k, coordCol)) * col(valCol)).as(s"proj_$k")
-    }
-    val perVec = n.groupBy(col(vecCol).as("vec_id")).agg(projs.head, projs.tail: _*)
-    // MEAN-CENTERED sign test (the sfx1 fix): an all-positive matrix's
-    // vectors are all near-parallel to the mean direction, so raw sign
-    // bits correlate across vectors and most of the corpus collapses
-    // into a few buckets — the candidate surface stays ~quadratic no
-    // matter how many planes. Projection is linear, so hashing the
-    // CENTERED vector v − μ only needs proj(μ): one 1-row aggregate
-    // (Σ over the whole table per plane, plus the vector count),
-    // cross-joined back — a sanctioned scalar broadcast. Each plane then
-    // splits the corpus near its median instead of leaving everyone on
-    // one side. Exactly-parallel vectors still agree on every centered
-    // bit (equal raw projections ⇒ equal centered ones).
-    val sided =
-      if (!center) perVec
-      else {
-        val totAggs = (0 until planes).map { k =>
-          sum(expr(planeComponent(k, coordCol)) * col(valCol)).as(s"tot_$k")
-        } :+ countDistinct(col(vecCol)).as("n_vec")
-        val tot = n.agg(totAggs.head, totAggs.tail: _*)
-        (0 until planes).foldLeft(perVec.crossJoin(broadcast(tot))) { (d, k) =>
-          d.withColumn(s"proj_$k",
-            col(s"proj_$k") - col(s"tot_$k") / col("n_vec").cast("double"))
-        }
-      }
-    val bucket = (0 until planes)
-      .map(k => when(
-        floor(col(s"proj_$k") * lit(1e6) + lit(0.50001)) / lit(1e6) > 0,
-        lit(1L << k)).otherwise(lit(0L)): Column)
-      .reduce(_ + _)
-    sided.select(col("vec_id"), bucket.cast("long").as("bucket"))
-  }
-
-  /**
-   * 1e-6-snapped dense cosine for every LSH candidate pair (canonical
-   * order vector0 > vector1, matching the core's pair contract), both
-   * directions exploded into (vector, neighbor, s) rows. Candidates with
-   * no shared coordinate get similarity 0.0 (dense semantics); pairs
-   * outside every probe are not considered at all — the candidate rule is
-   * part of the contract. The shared kernel behind [[topSimilarAnn]] and
-   * [[predictMissingAnn]].
-   */
-  def candidateSims(analysis: CosineAnalysis, matrix: Dataset[MatrixElement],
-      pin: DataFrame => DataFrame = identity,
-      planes: Int = AutoPlanes, center: Boolean = false): DataFrame =
-    candidateSimsFrom(pin(normTable(analysis, matrix)), pin, planes, center)
 
   /** The (vector, coord, nv) projection of the normalized matrix — the
     * table every stage of the candidate pipeline consumes. */
@@ -196,37 +51,10 @@ object SparseAnn {
       col("normalized_value").as("nv"))
 
   /**
-   * [[candidateSims]] from a prepared normalized table. `pin` is the
-   * caller-owned caching hook (`_.persist()`, checkpoint, or the identity
-   * default): the normalized table feeds four branches (buckets, both dot
-   * sides, norms) and the candidate table two, so a lazy plan recomputes
-   * them per branch — callers running the query ONCE pin both to trade
-   * one materialization for the recomputations (measured 1.35×/1.6× on
-   * the topk/predict contract queries at sf0.1); callers composing
-   * further lazy plans keep the identity default and manage caching at
-   * their own boundary (the MatrixModel.persist convention — no function
-   * here may leak cache entries into long-lived sessions).
-   */
-  def candidateSimsFrom(n: DataFrame, pin: DataFrame => DataFrame = identity,
-      planes: Int = AutoPlanes, center: Boolean = false): DataFrame = {
-    // AutoPlanes: ONE driver-side COUNT over the (ideally pinned) norm
-    // table sizes the bucket id with the corpus — the self-sizing that
-    // replaces r8's manual SPARK_GRAFT_ANN_PLANES rescue
-    val p =
-      if (planes == AutoPlanes)
-        derivePlanes(n.select("vector").distinct().count())
-      else planes
-    val cands = pin(Embeddings.lshNearPairs(
-        buckets(n, "vector", "coord", "nv", p, center), p)
-      .select(col("v1").as("vector0"), col("v0").as("vector1")))
-    exactSims(cands, n)
-  }
-
-  /**
    * 1e-6-snapped exact dense cosine for a prepared (vector0 > vector1)
    * candidate-pair table, symmetrized into (vector, neighbor, s) rows —
-   * the shared verification tail of BOTH candidate routes (sign-LSH
-   * [[candidateSimsFrom]] and IVF [[candidateSimsIvf]]). Candidates with
+   * the reference verification tail of the IVF candidate route
+   * ([[candidateSimsIvfReference]]). Candidates with
    * no shared coordinate get similarity 0.0 (dense semantics); pairs the
    * candidate rule never emits are not considered at all.
    */
@@ -348,24 +176,6 @@ object SparseAnn {
   private def snap(c: Column): Column =
     floor(c * lit(1e6) + lit(0.50001)) / lit(1e6)
 
-  /**
-   * Each vector's k most-similar LSH-candidate neighbors by dense cosine,
-   * ranked like [[graft.core.MatrixModel.topSimilar]] (1e-6-snapped
-   * similarity desc, neighbor asc).
-   */
-  def topSimilarAnn(analysis: CosineAnalysis, matrix: Dataset[MatrixElement],
-      k: Int = 5, pin: DataFrame => DataFrame = identity,
-      planes: Int = AutoPlanes, center: Boolean = false): DataFrame = {
-    require(k > 0)
-    val w = Window.partitionBy("vector")
-      .orderBy(col("similarity_value").desc, col("neighbor").asc)
-    candidateSims(analysis, matrix, pin, planes, center)
-      .withColumnRenamed("s", "similarity_value")
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select("vector", "rank", "neighbor", "similarity_value")
-  }
-
   /** Hashed-feature dimension of the IVF route: small enough that the
     * codebook is trivially model-sized (lists × dim doubles), large
     * enough that the coarse geometry survives the hashing trick.
@@ -388,8 +198,9 @@ object SparseAnn {
   val IvfIters: Int = 2
   val IvfNprobe: Int = 2
 
-  /** Sentinel list count meaning "derive from the data" — the IVF twin
-    * of [[AutoPlanes]]. */
+  /** Sentinel list count meaning "derive from the data": the candidate
+    * pipeline runs ONE vector COUNT and sizes the list count via
+    * [[deriveLists]]. */
   val AutoLists: Int = 0
 
   /** Salt of the oversized-list sub-split hash (independent of
@@ -570,8 +381,8 @@ object SparseAnn {
     * rn) with rn the per-vector nearest-list rank — shared by the
     * candidate stage and the occupancy audit. AutoLists: ONE driver-side
     * COUNT over the (ideally pinned) norm table sizes the inverted-list
-    * count with the corpus — the same self-sizing convention as
-    * derivePlanes. */
+    * count with the corpus — the same self-sizing convention as the
+    * dedup family's data-derived band counts. */
   private def ivfRanked(n: DataFrame, pin: DataFrame => DataFrame,
       lists0: Int, iters: Int, nprobe: Int, dim: Int): DataFrame = {
     val lists =
@@ -683,7 +494,8 @@ object SparseAnn {
 
   /**
    * Each vector's k most-similar IVF-candidate neighbors by exact dense
-   * cosine — [[topSimilarAnn]]'s ranking contract over the
+   * cosine, ranked like [[graft.core.MatrixModel.topSimilar]]
+   * (1e-6-snapped similarity desc, neighbor asc) over the
    * [[candidateSimsIvf]] candidate rule.
    */
   def topSimilarIvf(analysis: CosineAnalysis, matrix: Dataset[MatrixElement],
@@ -701,19 +513,24 @@ object SparseAnn {
   }
 
   /**
-   * ANN-routed missing-value prediction: the similarity-weighted
+   * IVF-routed missing-value prediction: the similarity-weighted
    * collaborative filter of [[graft.core.CosineAnalysis.predictMissing]]
-   * with neighbor selection restricted to LSH candidates — so the last
+   * with neighbor selection restricted to IVF candidates — so the last
    * dense-all-pairs consumer in the API has a quadratic-free twin. Same
    * weighting, ranking, and missing-only semantics; only the neighbor
-   * candidate set differs (by the documented bucket rule).
+   * candidate set differs (by the documented list+sub-split probe rule).
+   * Replaces the deleted sign-LSH `predictMissingAnn` (see the object
+   * scaladoc's migration note — IVF dominated it on every fixture).
    */
-  def predictMissingAnn(analysis: CosineAnalysis, matrix: Dataset[MatrixElement],
+  def predictMissingIvf(analysis: CosineAnalysis, matrix: Dataset[MatrixElement],
       neighbors: Int = 5, pin: DataFrame => DataFrame = identity,
-      planes: Int = AutoPlanes, center: Boolean = false): DataFrame = {
+      lists: Int = AutoLists, iters: Int = IvfIters, nprobe: Int = IvfNprobe,
+      dim: Int = IvfDim, maxOcc: Int = ListOccupancy): DataFrame = {
     require(neighbors > 0)
     val n = pin(normTable(analysis, matrix))
-    val sym = candidateSimsFrom(n, pin, planes, center).where(col("s") > 0.0)
+    val sym = exactSimsLocal(
+      pin(ivfMembershipTail(ivfRanked(n, pin, lists, iters, nprobe, dim),
+        nprobe, maxOcc)), n).where(col("s") > 0.0)
     val w = Window.partitionBy("vector").orderBy(col("s").desc, col("neighbor").asc)
     val top = sym.withColumn("rn", row_number().over(w)).where(col("rn") <= neighbors)
     val cells = n.select(col("vector").as("neighbor"),

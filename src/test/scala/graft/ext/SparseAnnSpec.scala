@@ -19,35 +19,8 @@ class SparseAnnSpec extends SparkSpec {
       yield MatrixElement(f"v$v%02d", s"c$c", ((v * c) % 7 + 1).toDouble)).toDS()
   }
 
-  test("topSimilarAnn ranks candidates by exact dense cosine, equi-join plan") {
-    val ann = SparseAnn.topSimilarAnn(analysis, matrix, k = 3)
-    val plan = ann.queryExecution.executedPlan.toString
-    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
-    val rows = ann.collect()
-    assert(rows.nonEmpty)
-    // per-vector: ranks are 1..n without gaps, similarities non-increasing
-    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
-      val sorted = rs.sortBy(_.getLong(1))
-      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length).toSeq)
-      assert(sorted.length <= 3)
-      val sims = sorted.map(_.getDouble(3))
-      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
-    }
-    // every reported similarity equals the exact dense-cosine value for
-    // that pair (snapped) — ANN changes the candidate set, never the value
-    val exact = analysis.fit(matrix, isSparse = false).allSimilarityValue
-      .collect().flatMap { sv =>
-        val snapped = math.floor(sv.similarity_value * 1e6 + 0.50001) / 1e6
-        Seq((sv.vector0, sv.vector1) -> snapped, (sv.vector1, sv.vector0) -> snapped)
-      }.toMap
-    rows.foreach { r =>
-      val key = (r.getString(0), r.getString(2))
-      assertApprox(r.getDouble(3), exact(key), 1e-9)
-    }
-  }
-
-  test("predictMissingAnn fills only missing cells, equi-join plan") {
-    val p = SparseAnn.predictMissingAnn(analysis, matrix, neighbors = 3)
+  test("predictMissingIvf fills only missing cells, equi-join plan") {
+    val p = SparseAnn.predictMissingIvf(analysis, matrix, neighbors = 3, lists = 4)
     val plan = p.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
     val preds = p.collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
@@ -57,116 +30,6 @@ class SparseAnnSpec extends SparkSpec {
     // weights are positive-similarity weighted means of normalized values
     // in [0, 1], so predictions stay in (0, 1]
     assert(preds.forall { case (_, v) => v > 0.0 && v <= 1.0 + 1e-9 })
-  }
-
-  test("buckets: sign pattern is deterministic and bounded to Planes bits") {
-    val n = analysis.normalize(matrix).toDF()
-      .select($"y".as("vector"), $"x".as("coord"), $"normalized_value".as("nv"))
-    val b1 = SparseAnn.buckets(n, "vector", "coord", "nv").collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val b2 = SparseAnn.buckets(n, "vector", "coord", "nv").collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(b1 == b2)
-    assert(b1.values.forall(b => b >= 0 && b < (1L << SparseAnn.Planes)))
-  }
-
-  private def normOf(m: org.apache.spark.sql.Dataset[MatrixElement]) =
-    analysis.normalize(m).toDF()
-      .select($"y".as("vector"), $"x".as("coord"), $"normalized_value".as("nv"))
-
-  test("more planes: candidates are a SUBSET (Hamming-1 rule), parallel pairs survive") {
-    val n = normOf(matrix)
-    def candsAt(planes: Int): Set[(String, String)] =
-      Embeddings.lshNearPairs(
-        SparseAnn.buckets(n, "vector", "coord", "nv", planes), planes)
-        .collect().map(r => r.getString(0) -> r.getString(1)).toSet
-    val c6 = candsAt(6)
-    val c12 = candsAt(12)
-    // hamming_12 >= hamming_6 on the shared prefix bits, so <=1 at 12
-    // planes implies <=1 at 6 — the wider bucket id only ever PRUNES
-    assert(c12.subsetOf(c6), s"12-plane candidates not a subset: ${c12 -- c6}")
-    // and it prunes something on this fixture (the point of scaling planes)
-    assert(c12.size < c6.size, s"c6=${c6.size} c12=${c12.size}")
-    // identical vectors agree on EVERY sign bit at any width, so a
-    // planted twin pair is still a candidate at the max plane count
-    val sess = spark
-    import sess.implicits._
-    val twin = normOf(Seq(
-      MatrixElement("a", "c1", 3.0), MatrixElement("a", "c2", 5.0),
-      MatrixElement("b", "c1", 3.0), MatrixElement("b", "c2", 5.0)).toDS())
-    val twins = Embeddings.lshNearPairs(
-      SparseAnn.buckets(twin, "vector", "coord", "nv", SparseAnn.MaxPlanes),
-      SparseAnn.MaxPlanes).collect().map(r => (r.getString(0), r.getString(1)))
-    assert(twins.toSeq == Seq(("a", "b")))
-  }
-
-  test("centered buckets spread an all-positive corpus; parallel twins stay together") {
-    val n = normOf(matrix)
-    def occupancy(center: Boolean): Map[Long, Int] =
-      SparseAnn.buckets(n, "vector", "coord", "nv", planes = 6, center = center)
-        .collect().groupBy(_.getLong(1)).map { case (b, rs) => b -> rs.length }
-    val raw = occupancy(center = false)
-    val centered = occupancy(center = true)
-    // all-positive vectors are near-parallel to the mean: raw signs
-    // concentrate the corpus; centering must strictly spread it
-    assert(centered.size > raw.size,
-      s"raw=${raw.size} buckets, centered=${centered.size}")
-    assert(centered.values.max < raw.values.max,
-      s"rawMax=${raw.values.max} centeredMax=${centered.values.max}")
-    // equal raw projections ⇒ equal centered projections: twins collide
-    val sess = spark
-    import sess.implicits._
-    val twin = normOf(Seq(
-      MatrixElement("a", "c1", 3.0), MatrixElement("a", "c2", 5.0),
-      MatrixElement("b", "c1", 3.0), MatrixElement("b", "c2", 5.0)).toDS())
-    val tb = SparseAnn.buckets(twin, "vector", "coord", "nv",
-      planes = SparseAnn.MaxPlanes, center = true)
-      .collect().map(_.getLong(1)).toSet
-    assert(tb.size == 1)
-  }
-
-  test("centered candidateSims still reports exact cosine for surviving pairs") {
-    val ann = SparseAnn.topSimilarAnn(analysis, matrix, k = 3,
-      planes = 8, center = true)
-    val rows = ann.collect()
-    val exact = analysis.fit(matrix, isSparse = false).allSimilarityValue
-      .collect().flatMap { sv =>
-        val snapped = math.floor(sv.similarity_value * 1e6 + 0.50001) / 1e6
-        Seq((sv.vector0, sv.vector1) -> snapped, (sv.vector1, sv.vector0) -> snapped)
-      }.toMap
-    rows.foreach { r =>
-      assertApprox(r.getDouble(3), exact((r.getString(0), r.getString(2))), 1e-9)
-    }
-  }
-
-  test("topSimilarAnn at scaled planes still reports exact cosine values") {
-    val ann = SparseAnn.topSimilarAnn(analysis, matrix, k = 3, planes = 10)
-    val rows = ann.collect()
-    val exact = analysis.fit(matrix, isSparse = false).allSimilarityValue
-      .collect().flatMap { sv =>
-        val snapped = math.floor(sv.similarity_value * 1e6 + 0.50001) / 1e6
-        Seq((sv.vector0, sv.vector1) -> snapped, (sv.vector1, sv.vector0) -> snapped)
-      }.toMap
-    rows.foreach { r =>
-      assertApprox(r.getDouble(3), exact((r.getString(0), r.getString(2))), 1e-9)
-    }
-  }
-
-  test("derivePlanes: +1 plane per vector doubling, 4x bucket headroom, clamped") {
-    import SparseAnn.derivePlanes
-    // 4n <= 64 stays at the 6-plane floor
-    assert(derivePlanes(1L) === 6)
-    assert(derivePlanes(16L) === 6)
-    // first doubling past the floor
-    assert(derivePlanes(17L) === 7)
-    // the measured sfx1 rescue band: 10k vectors -> every term fires
-    assert(derivePlanes(1000L) === 12)
-    assert(derivePlanes(10000L) === 16)
-    // clamp at MaxPlanes regardless of corpus size
-    assert(derivePlanes(Long.MaxValue / 8) === SparseAnn.MaxPlanes)
-    // monotone non-decreasing across the whole range we exercise
-    val samples = Seq(1L, 10L, 100L, 1000L, 10000L, 100000L, 1000000L)
-    assert(samples.map(derivePlanes) === samples.map(derivePlanes).sorted)
   }
 
   test("deriveLists: doubles per vector doubling past the 256 floor, occupancy <= 32") {
