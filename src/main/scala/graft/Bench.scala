@@ -18,8 +18,8 @@ object Bench {
   val headline: Seq[String] = Seq(
     "max_values", "normalize", "vector_mods", "aligned_pairs",
     "aligned_pairs_salted", "pair_mods_sparse", "cosine_sparse_all",
-    "cosine_dense_all", "cosine_subset", "cosine_topk", "cosine_topk_ann",
-    "cosine_predict", "cosine_predict_ann", "tf_matrix", "tf_stopwords", "tfidf_matrix",
+    "cosine_dense_all", "cosine_subset", "cosine_topk",
+    "cosine_predict", "cosine_predict_ivf", "tf_matrix", "tf_stopwords", "tfidf_matrix",
     "text_stats", "lang_id", "quality_percentiles", "corpus_mix",
     "doc_fingerprint", "sample_stratified", "doc_chunks", "vocab_topk",
     "dedup_exact", "dedup_exact_norm", "dedup_minhash_lsh", "dedup_simhash",
@@ -52,7 +52,12 @@ object Bench {
     // r7 cont.: the lossless sub-quadratic jaccard join vs the full
     // kernel it replaces, the bounded-state quantile path, the
     // group-atomic split (dedup-groups chain + hash)
-    "dedup_jaccard_prefix", "quality_quantiles_sketch", "split_by_group",
+    "dedup_jaccard_prefix",
+    // r11: the planted boilerplate-head pair — uncapped exhibit vs the
+    // maxDf-capped twin (the basket-rules-skew pattern for the prefix
+    // verify's df-head; VERDICT r10 ask #4)
+    "dedup_jaccard_prefix_head", "dedup_jaccard_prefix_head_capped",
+    "quality_quantiles_sketch", "split_by_group",
     "embed_covariance", "hybrid_rrf", "retrieval_ndcg", "quality_robust_z",
     "decontaminate_13gram", "hard_negatives", "embedding_drift",
     "events_hourly_uniques", "corpus_clean_split", "doc_chunks_sliding",
@@ -284,10 +289,11 @@ object Bench {
     // twin of vocab_bpe / vocab_bpe_encode, timed side by side
     "vocab_unigram_lm", "vocab_unigram_encode",
     // r10: the clustered-fixture route shootout (VERDICT r9 ask #1) —
-    // exact dense top-k vs sign-LSH vs IVF on the planted multi-mode
-    // matrix, plus the IVF occupancy/recall audits; the committed rows
-    // are the measured answer to whether any ANN route wins its regime
-    "cosine_topk_clustered", "cosine_topk_clustered_ann",
+    // exact dense top-k vs IVF on the planted multi-mode matrix, plus
+    // the IVF occupancy/recall audits; the committed rows are the
+    // measured answer to whether any ANN route wins its regime (the
+    // dominated sign-LSH twins were deleted in r11 — see SparseAnn)
+    "cosine_topk_clustered",
     "cosine_topk_clustered_ivf", "cosine_clustered_occupancy",
     "cosine_clustered_ivf_recall",
     // r10: margin-based pair mining — ann_topk_brute's scan + the

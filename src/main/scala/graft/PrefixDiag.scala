@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ext.Dedup
@@ -22,15 +21,10 @@ object PrefixDiag {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
     val docs = entry.EntryUtil.docs(spark, dir)
     val sh = Dedup.shingles(docs, "doc_id", "text").localCheckpoint()
-    val (num, den) = (math.round(t * 1000).toInt, 1000)
-    val dfs = sh.groupBy("sh").agg(count(lit(1)).as("df_sh"))
-    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val alpha = (lit(num.toLong) * col("n") + lit((den - 1).toLong)) / lit(den.toLong)
-    val prefix = sh.join(dfs, "sh").join(n, "doc_id")
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("df_sh"), col("sh"))))
-      .where(col("rk") <= col("n") - alpha.cast("long") + lit(1L))
-      .select("doc_id", "sh").localCheckpoint()
+    // the SAME prefix-selection code path prefixCandidates joins over
+    // (Dedup.prefixTable) — extracted so this diagnostic can never
+    // desynchronize from the join it exists to explain
+    val prefix = Dedup.prefixTable(sh, t).localCheckpoint()
     val pdf = prefix.groupBy("sh").agg(count(lit(1)).as("pdf"))
     val surface = pdf.agg(
       sum((col("pdf") * (col("pdf") - 1) / 2).cast("long")).as("pairs"),

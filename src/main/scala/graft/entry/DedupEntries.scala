@@ -61,6 +61,22 @@ object DedupEntries {
     "dedup_jaccard_prefix" -> ((s, dir) =>
       gate(Dedup.prefixJaccardDups(docs(s, dir), "doc_id", "text",
         minJaccard = PrefixJac, pin = _.localCheckpoint()), "doc0", "doc1")),
+    // THE PLANTED BOILERPLATE-HEAD PAIR (r11, VERDICT r10 ask #4 — the
+    // basket-rules-skew pattern): every doc gets a shared boilerplate
+    // suffix (~9 trigrams with df = |corpus|) plus a near-dup variant.
+    // The prefix filter correctly EXCLUDES the head from candidates
+    // (common shingles sit at the end of the rarity order), but the
+    // uncapped intersection-first verify still pays Σ_sh C(df, 2) for
+    // it — ~C(2N, 2) rows per boilerplate shingle. The twin threads
+    // maxDf (population-consistent dfCapShingles) and removes exactly
+    // that term; Bench times both, the oracle checks both.
+    "dedup_jaccard_prefix_head" -> ((s, dir) =>
+      gate(Dedup.prefixJaccardDups(boilerplateDocs(s, dir), "doc_id", "text",
+        minJaccard = PrefixJac, pin = _.localCheckpoint()), "doc0", "doc1")),
+    "dedup_jaccard_prefix_head_capped" -> ((s, dir) =>
+      gate(Dedup.prefixJaccardDups(boilerplateDocs(s, dir), "doc_id", "text",
+        minJaccard = PrefixJac, pin = _.localCheckpoint(),
+        maxDf = Some(PrefixHeadMaxDf)), "doc0", "doc1")),
     // asymmetric containment: the subset-dup detector Jaccard misses
     "dedup_containment" -> ((s, dir) =>
       gate(Dedup.containmentDups(docs(s, dir), "doc_id", "text"), "doc0", "doc1")),
@@ -427,6 +443,32 @@ object DedupEntries {
     * different thresholds (the prefix length rule depends on t). */
   private val PrefixJac = 0.3
 
+  /** Boilerplate suffix of the prefix-head pair: 11 words ⇒ 9 internal
+    * trigrams shared by EVERY fixture doc (df = |fixture|) — the planted
+    * Zipf head. The two boundary trigrams (last text words × first
+    * suffix words) stay doc-specific. */
+  private val BpSuffix =
+    " all rights reserved terms of service apply contact support online now"
+
+  /** df cap of the capped twin: far above the fixture's organic df head
+    * (each text appears twice, so organic max df ≈ 14 at sf0.01), far
+    * below the boilerplate df (2N ≥ 1000) — the cap excises exactly the
+    * planted head while near-dup pairs keep their full overlap. */
+  private val PrefixHeadMaxDf = 24L
+
+  /** The planted boilerplate-head corpus: every document with [[BpSuffix]]
+    * appended, plus a near-dup variant (id + 400000, two extra leading
+    * words) — so every doc is a candidate endpoint (the semi-join prune
+    * in jaccardForBySh is deliberately a no-op here) and the verify's
+    * df-head term is isolated as the measured difference between the
+    * uncapped and capped twins. */
+  private def boilerplateDocs(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+      .select(col("doc_id"), concat(col("text"), lit(BpSuffix)).as("text"))
+    base.unionByName(base.select((col("doc_id") + lit(400000L)).as("doc_id"),
+      concat(lit("zz qq"), lit(" "), col("text")).as("text")))
+  }
+
   /** Edit-distance contract: Levenshtein cap and block-prefix length —
     * the planted ' zz' tail edit sits inside the cap and after the
     * prefix, so blocking surfaces every planted pair. */
@@ -501,6 +543,47 @@ object DedupEntries {
       |        FROM tvs),
       |shg AS MATERIALIZED (SELECT DISTINCT doc_id, ${TextHash.shingleHash("v", "v2", "v3")} AS sh
       |        FROM tv3 WHERE v3 IS NOT NULL)""".stripMargin
+  }
+
+  /** Exhaustive-kernel oracle over the boilerplate-head fixture —
+    * [[shingleSql]]'s chain rebuilt from the planted corpus (every doc +
+    * [[BpSuffix]], plus the `zz qq`-prefixed variant), optionally with
+    * the df-capped shingle population (`shc`) feeding BOTH the counts
+    * and the pair join — mirroring prefixJaccardDups' population-
+    * consistent `maxDf` semantics. */
+  private def prefixHeadSql(maxDf: Option[Long]): String = {
+    val tv = TextHash.tokenValue("token")
+    val shSrc = maxDf.fold("shg")(_ => "shc")
+    val capCte = maxDf.fold("")(m => s""",
+      |shc AS MATERIALIZED (SELECT s.doc_id, s.sh FROM shg s
+      |        JOIN (SELECT sh FROM shg GROUP BY sh
+      |              HAVING COUNT(*) <= $m) k USING (sh))""".stripMargin)
+    s"""WITH bpd AS MATERIALIZED (
+      |  SELECT doc_id, text || '$BpSuffix' AS text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 400000 AS doc_id, 'zz qq ' || text || '$BpSuffix' AS text
+      |  FROM documents),
+      |t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM bpd),
+      |tok AS MATERIALIZED (SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i+1] AS token
+      |        FROM t, UNNEST(range(len(toks))) AS r(i)
+      |        WHERE toks[i+1] <> ''),
+      |tvs AS (SELECT doc_id, pos, $tv AS v FROM tok),
+      |tv3 AS (SELECT doc_id, v,
+      |        lead(v, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS v2,
+      |        lead(v, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS v3
+      |        FROM tvs),
+      |shg AS MATERIALIZED (SELECT DISTINCT doc_id, ${TextHash.shingleHash("v", "v2", "v3")} AS sh
+      |        FROM tv3 WHERE v3 IS NOT NULL)$capCte,
+      |cnt AS MATERIALIZED (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM $shSrc GROUP BY 1),
+      |inter AS MATERIALIZED (SELECT a.doc_id AS doc0, b.doc_id AS doc1, CAST(COUNT(*) AS BIGINT) AS i
+      |          FROM $shSrc a JOIN $shSrc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |jac AS (SELECT doc0, doc1, CAST(i AS DOUBLE) / (c0.n + c1.n - i) AS jaccard
+      |        FROM inter
+      |        JOIN cnt c0 ON c0.doc_id = doc0
+      |        JOIN cnt c1 ON c1.doc_id = doc1)
+      |SELECT doc0, doc1, ${r6sql("jaccard")} AS jaccard FROM jac
+      |WHERE jaccard >= $PrefixJac ORDER BY doc0, doc1""".stripMargin
   }
 
   /** Shingle + Jaccard CTE chain mirroring Dedup.shingles/jaccardPairs. */
@@ -820,6 +903,13 @@ object DedupEntries {
       (shingleSql + s"""
         |SELECT doc0, doc1, ${r6sql("jaccard")} AS jaccard FROM jac
         |WHERE jaccard >= $PrefixJac ORDER BY doc0, doc1""".stripMargin),
+    // the boilerplate-head pair: exhaustive kernel over the planted
+    // fixture; the capped twin's kernel runs over the df-capped shingle
+    // population (the same population the Spark side caps BEFORE both
+    // the candidate and the verify branch — a green row proves the
+    // prefix filter stays lossless over the capped population)
+    "dedup_jaccard_prefix_head" -> prefixHeadSql(None),
+    "dedup_jaccard_prefix_head_capped" -> prefixHeadSql(Some(PrefixHeadMaxDf)),
     "dedup_containment" ->
       (shingleSql + s"""
         |SELECT doc0, doc1,

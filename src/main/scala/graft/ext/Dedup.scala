@@ -301,6 +301,28 @@ object Dedup {
       .where(col("wjaccard") >= minWj)
   }
 
+  /** The per-document PREFIX of the rarity-ordered shingle list — the
+    * first `n − ⌈t·n⌉ + 1` shingles by (df, sh) order. Shared by
+    * [[prefixCandidates]] (the candidate join runs only over these rows)
+    * and [[graft.PrefixDiag]] (which prints the pair surface this table
+    * implies) so the diagnostic can never desynchronize from the code
+    * path it explains. The threshold enters in pure integer arithmetic
+    * (`ceil(t·n)` = `(num·n + den − 1) div den` on a 1/1000 grid) — no
+    * doubles anywhere, so no float rounding can shorten a prefix below
+    * the lemma's bound. */
+  private[graft] def prefixTable(sh: DataFrame, minJaccard: Double): DataFrame = {
+    val (num, den) = (math.round(minJaccard * 1000).toInt, 1000)
+    require(num > 0 && num <= den, "minJaccard must be in (0, 1]")
+    val dfs = sh.groupBy("sh").agg(count(lit(1)).as("df_sh"))
+    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val alpha = (lit(num.toLong) * col("n") + lit((den - 1).toLong)) / lit(den.toLong)
+    sh.join(dfs, "sh").join(n, "doc_id")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df_sh"), col("sh"))))
+      .where(col("rk") <= col("n") - alpha.cast("long") + lit(1L))
+      .select("doc_id", "sh")
+  }
+
   /**
    * Prefix-filtering candidate generation (AllPairs / PPJoin family —
    * Bayardo et al. WWW'07, Xiao et al. WWW'08): the EXACT sub-quadratic
@@ -338,17 +360,7 @@ object Dedup {
    * same constant-vs-asymptote trade the ANN twins document.
    */
   def prefixCandidates(sh: DataFrame, minJaccard: Double): DataFrame = {
-    val (num, den) = (math.round(minJaccard * 1000).toInt, 1000)
-    require(num > 0 && num <= den, "minJaccard must be in (0, 1]")
-    val dfs = sh.groupBy("sh").agg(count(lit(1)).as("df_sh"))
-    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // integer ceil(t·n): (num·n + den − 1) div den — no doubles anywhere
-    val alpha = (lit(num.toLong) * col("n") + lit((den - 1).toLong)) / lit(den.toLong)
-    val prefix = sh.join(dfs, "sh").join(n, "doc_id")
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("df_sh"), col("sh"))))
-      .where(col("rk") <= col("n") - alpha.cast("long") + lit(1L))
-      .select("doc_id", "sh")
+    val prefix = prefixTable(sh, minJaccard)
     prefix.as("a")
       .join(prefix.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -368,8 +380,20 @@ object Dedup {
    */
   def prefixJaccardDups(docs: DataFrame, idCol: String, textCol: String,
       minJaccard: Double = 0.3,
-      pin: DataFrame => DataFrame = identity): DataFrame = {
-    val sh = pin(shingles(docs, idCol, textCol))
+      pin: DataFrame => DataFrame = identity,
+      maxDf: Option[Long] = None): DataFrame = {
+    // `maxDf` (r11, VERDICT r10 ask #4): the [[dfCapShingles]] Zipf-head
+    // kill switch, threaded with POPULATION-CONSISTENT semantics — the
+    // cap is applied ONCE, before BOTH the candidate and the verify
+    // branch, so the prefix filter's lossless lemma holds over the
+    // capped population (capped candidate rule + capped Jaccard =
+    // exhaustive capped kernel; capping only one side would break the
+    // prefix-length bound). Without it a boilerplate shingle shared by
+    // k candidate docs costs C(k, 2) verify rows no matter how well the
+    // prefix filter pruned — the same hot-key class as basketRules'
+    // maxBasket, priced by the dedup_jaccard_prefix_head bench pair.
+    val sh0 = pin(shingles(docs, idCol, textCol))
+    val sh = maxDf.fold(sh0)(dfCapShingles(sh0, _))
     // intersection-first verification: at low thresholds the prefix
     // candidates are a constant fraction of the sharing surface, so the
     // pair-first jaccardFor ships each doc's shingle set per pair
@@ -926,9 +950,22 @@ object Dedup {
    * bytes, not answers.
    */
   def jaccardForBySh(pairs: DataFrame, sh: DataFrame): DataFrame = {
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a")
-      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+    // CANDIDATE-DOC PRUNE (r11, ADVICE r10): the self-join only ever
+    // contributes rows for pairs whose BOTH endpoints appear in `pairs`,
+    // so semi-join the shingle table down to candidate documents first.
+    // Semantics-free (intersection counts and set sizes of surviving
+    // docs are untouched) and it removes the Σ_sh C(df, 2) term for
+    // every document the candidate filter already excluded — on a
+    // boilerplate-headed corpus where candidates touch a small doc
+    // fraction, the df-head collapses with them. When candidates touch
+    // most docs the prune is a no-op and the caller needs the population
+    // cap instead ([[prefixJaccardDups]]'s `maxDf`).
+    val candDocs = pairs.select(col("doc0").as("doc_id"))
+      .union(pairs.select(col("doc1").as("doc_id"))).distinct()
+    val shp = sh.join(candDocs, Seq("doc_id"), "left_semi")
+    val counts = shp.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = shp.as("a")
+      .join(shp.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc0"), col("b.doc_id").as("doc1"))
       .agg(count(lit(1)).as("i"))
     pairs.join(inter, Seq("doc0", "doc1"))
