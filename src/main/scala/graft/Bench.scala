@@ -302,7 +302,8 @@ object Bench {
     // r10: exact water-fill epoch allocation (sources-sized after one
     // token-count aggregate)
     "corpus_epochs",
-    // r10: blocklist density gate (row-local explode + aggregate)
+    // r10: blocklist density gate (zero-exchange higher-order-function
+    // projection — no explode, no aggregate; stream-safe by shape)
     "quality_blocklist")
 
   /**

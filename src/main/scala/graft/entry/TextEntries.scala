@@ -151,8 +151,10 @@ object TextEntries {
       gate(TextAnalysis.epochsPlan(docs(s, dir), "source", "text",
         EpochsTau, EpochsBudget, EpochsMax).withColumnRenamed("grp", "source"),
         "source")),
-    // ext: blocklist density gate (C4 bad-words rule) — row-local
-    // explode + aggregate, density snapped before the cut
+    // ext: blocklist density gate (C4 bad-words rule) — zero-exchange
+    // higher-order-function projection (no explode, no aggregate; the
+    // stream-safety spec depends on this shape), density snapped
+    // before the cut
     "quality_blocklist" -> ((s, dir) =>
       gate(TextAnalysis.blocklistGate(docs(s, dir), "doc_id", "text",
         BlockPatterns, BlockMaxDensity), "doc_id")),

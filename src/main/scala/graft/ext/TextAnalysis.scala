@@ -609,14 +609,19 @@ object TextAnalysis {
     val snap6 = (c: org.apache.spark.sql.Column) =>
       floor(c * lit(1e6) + lit(0.50001)) / lit(1e6)
     val pat = WhitespacePattern.replace("\\", "\\\\")
-    val lits = patterns.map(p => s"'${p.replace("'", "''")}'").mkString(", ")
+    // patterns enter as Column LITERALS, never spliced into SQL text:
+    // Spark string literals are backslash-escaped (NOT SQL-standard ''
+    // doubling — 'it''s' parses as adjacent literals 'its'), so any
+    // quoting scheme written into expr() silently mis-parses some
+    // pattern; lit() sidesteps parsing entirely
+    val patArr = array(patterns.map(lit): _*)
     docs
       .select(col(idCol).as("doc_id"),
         expr(s"filter(split($textCol, '$pat'), x -> x <> '')").as("t"))
       .where(size(col("t")) > 0)
       .select(col("doc_id"),
         size(col("t")).cast("long").as("n_tokens"),
-        expr(s"size(filter(t, x -> array_contains(array($lits), x)))")
+        size(filter(col("t"), x => array_contains(patArr, x)))
           .cast("long").as("n_hits"))
       .select(col("doc_id"), col("n_tokens"), col("n_hits"),
         snap6(col("n_hits").cast("double") / col("n_tokens").cast("double"))
