@@ -288,6 +288,8 @@ object Bench {
     // folds over word types) and its encode readout — the probabilistic
     // twin of vocab_bpe / vocab_bpe_encode, timed side by side
     "vocab_unigram_lm", "vocab_unigram_encode",
+    // r11: the character-coverage twin (floor M-step, planted multi-script doc)
+    "vocab_unigram_coverage",
     // r10: the clustered-fixture route shootout (VERDICT r9 ask #1) —
     // exact dense top-k vs IVF on the planted multi-mode matrix, plus
     // the IVF occupancy/recall audits; the committed rows are the

@@ -426,6 +426,14 @@ object TextEntries {
     "vocab_unigram_encode" -> ((s, dir) =>
       gate(TextAnalysis.unigramEncodeStats(docs(s, dir), "doc_id", "text",
         TextAnalysis.UniIters), "n_types")),
+    // ext: the character-coverage twin (r10 ask #7 — SentencePiece's
+    // coverage guarantee): trained over the corpus plus a planted
+    // CJK/emoji/accent doc with charCoverage on, so every corpus
+    // character survives each M-step at a floor count of 1 and any
+    // string over the corpus character set stays losslessly encodable
+    "vocab_unigram_coverage" -> ((s, dir) =>
+      gate(TextAnalysis.unigramVocab(coverageDocs(s, dir), "doc_id", "text",
+        TextAnalysis.UniIters, UniTopK, charCoverage = true), "rank")),
     // ext: distilled quality classifier — 5 full-batch GD steps of
     // logistic regression labeled by the rule gate; emitted weights +
     // log-loss are continuous (no threshold counts), snap-safe
@@ -635,6 +643,22 @@ object TextEntries {
   /** Pieces emitted by the vocab_unigram_lm contract. */
   private val UniTopK = 40
 
+  /** The planted multi-script doc of the coverage contract: CJK words,
+    * an emoji run, and an accented Latin word — scripts the corpus does
+    * not carry, exercising exactly the characters the coverage floor
+    * exists to retain. No apostrophes (the text is spliced into a SQL
+    * literal on the oracle side). */
+  private val CoveragePlant =
+    "你好 世界 😀😀 你好世界 café café"
+
+  /** Documents plus the planted multi-script doc (id 900001, above every
+    * real id band). */
+  private def coverageDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir).select(col("doc_id"), col("text"))
+      .unionByName(Seq((900001L, CoveragePlant)).toDF("doc_id", "text"))
+  }
+
   /**
    * The unigram-LM chain mirroring [[TextAnalysis.unigramVocab]] stage
    * by stage: word-frequency table → (end, k) candidate grid → seed
@@ -649,7 +673,14 @@ object TextEntries {
    * Every non-recursive stage CTE is MATERIALIZED (the CTE-inlining
    * gotcha); the chain opens tokSql with WITH RECURSIVE.
    */
-  private lazy val unigramChainSql: String = {
+  private lazy val unigramChainSql: String = unigramChain(false, "documents")
+
+  /** [[unigramChainSql]] parameterized: `coverage` mirrors the Scala
+    * side's `charCoverage` floor (every corpus character re-enters each
+    * M-step at cnt ≥ 1 via the `chset` universe), `docsSrc` lets the
+    * coverage contract replay the chain over the CJK/emoji-planted
+    * fixture instead of the bare documents table. */
+  private def unigramChain(coverage: Boolean, docsSrc: String): String = {
     import TextAnalysis.{UniMaxPiece, UniNegInf, UniSeedMulti, UniIters}
     def roundSql(r: Int): String = s"""
       |l$r AS MATERIALIZED (
@@ -682,12 +713,20 @@ object TextEntries {
       |           CAST(dp[CAST(pos + 1 AS INTEGER)]['bk'] AS INTEGER)))
       |  FROM b$r WHERE pos > 0),
       |sg$r AS MATERIALIZED (SELECT word, n, pieces FROM b$r WHERE pos = 0),
-      |c$r AS MATERIALIZED (SELECT u.piece, CAST(SUM(s.n) AS BIGINT) AS cnt
+      |cu$r AS MATERIALIZED (SELECT u.piece, CAST(SUM(s.n) AS BIGINT) AS cnt
       |  FROM sg$r s, UNNEST(s.pieces) AS u(piece) GROUP BY 1),
+      |c$r AS MATERIALIZED (${if (coverage) s"""
+      |  SELECT piece, cnt FROM cu$r
+      |  UNION ALL
+      |  SELECT ch.piece, CAST(1 AS BIGINT) AS cnt FROM chset ch
+      |  WHERE NOT EXISTS (SELECT 1 FROM cu$r u WHERE u.piece = ch.piece)"""
+        else s"""
+      |  SELECT piece, cnt FROM cu$r"""}),
       |v$r AS MATERIALIZED (SELECT piece, cnt,
       |    ${r6sql("ln(CAST(cnt AS DOUBLE) / t.tot)")} AS logp
       |  FROM c$r, (SELECT CAST(SUM(cnt) AS DOUBLE) AS tot FROM c$r) t)""".stripMargin
-    tokSql.replaceFirst("WITH ", "WITH RECURSIVE ") + s""",
+    tokSql.replaceFirst("WITH ", "WITH RECURSIVE ")
+      .replaceFirst("FROM documents", s"FROM $docsSrc") + s""",
       |w AS MATERIALIZED (SELECT token AS word, CAST(COUNT(*) AS BIGINT) AS n
       |      FROM tok GROUP BY 1),
       |ugrid AS MATERIALIZED (
@@ -706,7 +745,8 @@ object TextEntries {
       |                          ORDER BY cnt DESC, piece ASC LIMIT $UniSeedMulti)),
       |v0 AS MATERIALIZED (SELECT piece, cnt,
       |    ${r6sql("ln(CAST(cnt AS DOUBLE) / t.tot)")} AS logp
-      |  FROM v0c, (SELECT CAST(SUM(cnt) AS DOUBLE) AS tot FROM v0c) t),
+      |  FROM v0c, (SELECT CAST(SUM(cnt) AS DOUBLE) AS tot FROM v0c) t),${if (coverage) """
+      |chset AS MATERIALIZED (SELECT piece FROM occ WHERE length(piece) = 1),""" else ""}
       |${(1 to UniIters).map(roundSql).mkString(",\n")}""".stripMargin
   }
 
@@ -2068,6 +2108,15 @@ object TextEntries {
         |  ${r6sql("CAST(total_pieces AS DOUBLE) / CAST(n_tokens AS DOUBLE)")} AS pieces_per_token,
         |  ${r6sql("CAST(total_chars AS DOUBLE) / CAST(total_pieces AS DOUBLE)")} AS chars_per_piece
         |FROM uws CROSS JOIN uvs""".stripMargin),
+    // the coverage twin: the same chain with the floor M-step over the
+    // planted fixture (documents UNION the multi-script doc)
+    "vocab_unigram_coverage" ->
+      (unigramChain(true,
+        s"(SELECT doc_id, text FROM documents UNION ALL " +
+        s"SELECT 900001 AS doc_id, '$CoveragePlant' AS text) cd") + s"""
+        |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece ASC) AS BIGINT) AS rank,
+        |       piece, cnt, logp
+        |FROM v${TextAnalysis.UniIters} ORDER BY rank LIMIT $UniTopK""".stripMargin),
     // same histogram → cumulative-crossing boundaries → count-of-
     // boundaries-at-or-below shard rule; duplicate boundaries collapse
     // on both sides (DISTINCT here, .distinct in the Scala fit)

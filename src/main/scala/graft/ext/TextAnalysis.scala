@@ -2388,9 +2388,10 @@ object TextAnalysis {
    * constants bound work per call, not the design.
    */
   def unigramVocab(docs: DataFrame, idCol: String, textCol: String,
-      iters: Int = UniIters, k: Int = 40): DataFrame = {
+      iters: Int = UniIters, k: Int = 40,
+      charCoverage: Boolean = false): DataFrame = {
     require(k > 0)
-    val (_, vocab, _) = unigramFit(docs, textCol, iters)
+    val (_, vocab, _) = unigramFit(docs, textCol, iters, charCoverage)
     val w = Window.orderBy(col("cnt").desc, col("piece").asc)
     vocab
       .orderBy(col("cnt").desc, col("piece").asc).limit(k)
@@ -2407,8 +2408,8 @@ object TextAnalysis {
    * per piece. One row; the fit's own shapes plus two 1-row folds.
    */
   def unigramEncodeStats(docs: DataFrame, idCol: String, textCol: String,
-      iters: Int = UniIters): DataFrame = {
-    val (_, vocab, seg) = unigramFit(docs, textCol, iters)
+      iters: Int = UniIters, charCoverage: Boolean = false): DataFrame = {
+    val (_, vocab, seg) = unigramFit(docs, textCol, iters, charCoverage)
     val vs = vocab.agg(count(lit(1)).as("vocab_size"))
     seg.agg(
         count(lit(1)).as("n_types"),
@@ -2426,9 +2427,23 @@ object TextAnalysis {
 
   /** The shared unigram-LM fit: word-frequency table → seed vocabulary
     * → `iters` hard-EM rounds. Returns (words, final vocab with counts
-    * and snapped log-probs, final segmentation (word, n, pieces)). */
-  private def unigramFit(docs: DataFrame, textCol: String,
-      iters: Int): (DataFrame, DataFrame, DataFrame) = {
+    * and snapped log-probs, final segmentation (word, n, pieces)).
+    *
+    * `charCoverage` (r11, VERDICT r10 ask #7 — SentencePiece's
+    * character-coverage guarantee): with it OFF, a single-character
+    * piece whose every occurrence gets absorbed by a longer piece in
+    * the E-step has zero count and DROPS in the M-step, so a vocabulary
+    * trained this way can fail to encode new text containing that
+    * character in an unseen context. With it ON, every character of the
+    * corpus is retained in every round's vocabulary at a floor count of
+    * 1 (the add-one convention the LM-perplexity family already uses;
+    * characters the Viterbi actually used keep their real counts) — so
+    * ANY string over the corpus's character set stays losslessly
+    * encodable, scripts with rare characters (CJK long-tail, emoji)
+    * included. The floor enters Σcnt, so log-probs shift accordingly
+    * on both engines (oracle-mirrored). */
+  private[ext] def unigramFit(docs: DataFrame, textCol: String,
+      iters: Int, charCoverage: Boolean = false): (DataFrame, DataFrame, DataFrame) = {
     require(iters >= 1)
     val pat = WhitespacePattern.replace("\\", "\\\\")
     val words = docs
@@ -2442,15 +2457,27 @@ object TextAnalysis {
            |  transform(sequence(1, least($UniMaxPiece, e)), k ->
            |    substring(word, e - k + 1, k))))""".stripMargin)).as("piece"))
       .groupBy("piece").agg(sum(col("n")).as("cnt"))
-    val seed = occ.where(length(col("piece")) === 1)
+    val singles = occ.where(length(col("piece")) === 1)
+    val seed = singles
       .unionByName(occ.where(length(col("piece")) > 1)
         .orderBy(col("cnt").desc, col("piece").asc).limit(UniSeedMulti))
+    // the character universe is model-sized (distinct corpus chars);
+    // pinned once because every coverage round left-anti-joins it
+    val charSet =
+      if (charCoverage) singles.select("piece").localCheckpoint() else null
     var vocab = withUnigramLogp(seed).localCheckpoint()
     var seg: DataFrame = null
     for (_ <- 1 to iters) {
       seg = viterbiSegment(words, vocab).localCheckpoint()
-      val counts = seg.select(col("n"), explode(col("pieces")).as("piece"))
+      val used = seg.select(col("n"), explode(col("pieces")).as("piece"))
         .groupBy("piece").agg(sum(col("n")).as("cnt"))
+      // coverage floor: characters the segmentation never used re-enter
+      // at cnt = 1 instead of dropping (used chars keep real counts)
+      val counts =
+        if (!charCoverage) used
+        else used.unionByName(
+          charSet.join(used, Seq("piece"), "left_anti")
+            .select(col("piece"), lit(1L).as("cnt")))
       vocab = withUnigramLogp(counts).localCheckpoint()
     }
     (words, vocab, seg)

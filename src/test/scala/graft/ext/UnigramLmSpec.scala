@@ -65,4 +65,45 @@ class UnigramLmSpec extends SparkSpec {
       .collect().head.getLong(0)
     assert(enc.getLong(4) == charSum)
   }
+
+  test("charCoverage retains zero-usage characters; OFF drops them") {
+    // every 'ab' occurrence segments as the whole-word piece 'ab' after
+    // round 1 (ln(1/3) beats 2·ln(1/3)), so the singles a/b get zero
+    // Viterbi usage: without coverage they DROP from the vocabulary;
+    // with it they survive at the floor count 1 (add-one convention)
+    val ab = Seq((0L, "ab ab ab ab"), (1L, "ab ab")).toDF("doc_id", "text")
+    val plain = TextAnalysis.unigramVocab(ab, "doc_id", "text", k = 10)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(plain.keySet == Set("ab"), plain.toString)
+    val cov = TextAnalysis.unigramVocab(ab, "doc_id", "text", k = 10,
+      charCoverage = true)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(cov.keySet == Set("ab", "a", "b"), cov.toString)
+    assert(cov("ab") == 6L && cov("a") == 1L && cov("b") == 1L)
+  }
+
+  test("a planted CJK/emoji doc encodes losslessly under charCoverage") {
+    val multi = docs.unionByName(Seq(
+      (900001L, "你好 世界 😀😀 你好世界 café café")).toDF("doc_id", "text"))
+    val (_, vocab, seg) = TextAnalysis.unigramFit(multi, "text",
+      TextAnalysis.UniIters, charCoverage = true)
+    // the backtrace emits pieces back-to-front: reversed concatenation
+    // must reproduce every word type exactly (losslessness), CJK and
+    // emoji included
+    seg.collect().foreach { r =>
+      val word = r.getString(0)
+      val pieces = r.getSeq[String](2)
+      assert(pieces.reverse.mkString == word, s"$word from $pieces")
+    }
+    // the coverage guarantee proper: every character of the corpus is a
+    // piece of the FINAL vocabulary (cnt >= 1), so any new string over
+    // this character set remains encodable — scripts included
+    val vs = vocab.collect().map(_.getString(0)).toSet
+    val chars = multi.select(org.apache.spark.sql.functions.expr(
+        "explode(flatten(transform(filter(split(text, '\\\\s+'), x -> x <> ''), " +
+        "w -> transform(sequence(1, length(w)), i -> substring(w, i, 1)))))"))
+      .collect().map(_.getString(0)).toSet
+    assert(chars.subsetOf(vs), (chars -- vs).toString)
+    assert(Seq("你", "好", "世", "界", "😀", "é").forall(vs.contains))
+  }
 }
