@@ -117,6 +117,33 @@ class IncrementalCleanSpec extends SparkSpec {
     assert(!pairs.contains((4L, 7L)), pairs)
   }
 
+  test("a delta that BRIDGES two groups re-elects exactly one representative") {
+    // doc 300's text is half TA, half TC: it near-dups BOTH the {1, 2}
+    // cluster and the {8, 4'} cluster (4 changed to TC-like in v2), so
+    // the delta MERGES two previously-independent groups. The merged
+    // component must elect exactly one representative, and the
+    // incremental path must be row-identical to the full recompute —
+    // the group-atomicity the splitAssignByGroup convention demands.
+    val bridge = TA + " " + TC
+    val v2m = v2.unionByName(Seq((300L, bridge, "train")).toDF("doc_id", "text", "source"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-incr4").toString
+    DedupStream.nearDupBatch(v1, "doc_id", "text", dir, 0.2, batchId = 0L)
+    val incr = Pipelines.incrementalClean(v1, v2m, "doc_id", "text",
+      "source", "eval", dir, batchId = 1L,
+      minTokens = 3, maxTokens = 1000, minAvgTokenLen = 1.0,
+      maxAvgTokenLen = 30.0, maxStopwordRatio = 1.0, minTtr = 0.0,
+      pin = _.localCheckpoint())
+    val got = asSet(incr)
+    val want = asSet(clean(v2m))
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    // the merge actually happened: 1, 2, 4, 8 and 300 share ONE group
+    // representative in the survivor set — exactly one of them survives
+    val merged = got.filter(r => Set(1L, 2L, 4L, 8L, 300L).contains(r._1))
+    assert(merged.size == 1, s"one survivor from the merged group: $merged")
+    assert(merged.head._2 == merged.head._1 || Set(1L, 2L, 4L, 8L, 300L)
+      .contains(merged.head._2), merged.toString)
+  }
+
   test("re-ingest verification uses current versions only (no shingle merge)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-incr3").toString
     DedupStream.nearDupBatch(
