@@ -293,10 +293,10 @@ object CoreEntries {
     import graft.ext.SparseAnn.IvfSubSalt
     ivfFitSql + s""",
       |iasgs AS MATERIALIZED (SELECT a.y, a.cid,
-      |         (${graft.ext.TextHash.avalancheSql(graft.ext.TextHash.tokenValue("a.y"), IvfSubSalt)}) % s.n_sub AS sub
+      |         (${graft.ext.TextHash.avalancheSql(graft.ext.TextHash.charFoldDuck("a.y"), IvfSubSalt)}) % s.n_sub AS sub
       |       FROM iasg a JOIN insb s USING (cid)),
       |iprbs AS MATERIALIZED (SELECT p.y, p.cid,
-      |         (${graft.ext.TextHash.avalancheSql(graft.ext.TextHash.tokenValue("p.y"), IvfSubSalt)}) % s.n_sub AS sub
+      |         (${graft.ext.TextHash.avalancheSql(graft.ext.TextHash.charFoldDuck("p.y"), IvfSubSalt)}) % s.n_sub AS sub
       |       FROM iprb p JOIN insb s USING (cid)),
       |icand AS MATERIALIZED (
       |  SELECT DISTINCT v0 AS vector0, v1 AS vector1 FROM (

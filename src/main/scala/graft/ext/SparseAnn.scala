@@ -44,7 +44,7 @@ object SparseAnn {
 
   /** The (vector, coord, nv) projection of the normalized matrix — the
     * table every stage of the candidate pipeline consumes. */
-  private def normTable(analysis: CosineAnalysis, matrix: Dataset[MatrixElement]): DataFrame =
+  private[ext] def normTable(analysis: CosineAnalysis, matrix: Dataset[MatrixElement]): DataFrame =
     analysis.normalize(matrix).toDF().select(
       col(analysis.axis).as("vector"),
       col(analysis.predictionAxis).as("coord"),
@@ -107,8 +107,11 @@ object SparseAnn {
     val grpN = m2.groupBy("cid", "sub").agg(count(lit(1)).as("grp_n"))
     val withN = m2.join(grpN, Seq("cid", "sub"))
       .withColumn("npb", (expr(s"CAST((grp_n - 1) DIV $cap AS BIGINT)") + lit(1L)))
+    // FULL-STRING id fold (r11): tokenValue's probe classes collapsed
+    // 100k integer ids into ~9k groups and broke the chunk cap — see
+    // TextHash.charFold's scaladoc and the IvfDiag measurements
     val chunkHash = expr(TextHash.avalancheSql(
-      TextHash.tokenValue("vector"), PairChunkSalt))
+      TextHash.charFold("vector"), PairChunkSalt))
     // prober role: every membership row, hashed into ONE chunk of its
     // group; assigned role: replicated into EVERY chunk so each prober
     // chunk sees the full (occupancy-capped) assigned set
@@ -445,7 +448,7 @@ object SparseAnn {
     * COUNT over the (ideally pinned) norm table sizes the inverted-list
     * count with the corpus — the same self-sizing convention as the
     * dedup family's data-derived band counts. */
-  private def ivfRanked(n: DataFrame, pin: DataFrame => DataFrame,
+  private[ext] def ivfRanked(n: DataFrame, pin: DataFrame => DataFrame,
       lists0: Int, iters: Int, nprobe: Int, dim: Int): DataFrame = {
     val lists =
       if (lists0 == AutoLists)
@@ -477,7 +480,7 @@ object SparseAnn {
     val nsub = sizes.select(col("cid"),
       (expr(s"CAST((occ - 1) DIV $maxOcc AS BIGINT)") + lit(1L)).as("n_sub"))
     val subHash = expr(TextHash.avalancheSql(
-      TextHash.tokenValue("vector"), IvfSubSalt))
+      TextHash.charFold("vector"), IvfSubSalt))
     probes.join(broadcast(nsub), "cid")
       .withColumn("sub", subHash % col("n_sub"))
       .select("vector", "cid", "sub", "is_assigned")
@@ -509,7 +512,7 @@ object SparseAnn {
     val nsub = sizes.select(col("cid"),
       (expr(s"CAST((occ - 1) DIV $maxOcc AS BIGINT)") + lit(1L)).as("n_sub"))
     val subHash = expr(TextHash.avalancheSql(
-      TextHash.tokenValue("vector"), IvfSubSalt))
+      TextHash.charFold("vector"), IvfSubSalt))
     def subbed(df: DataFrame): DataFrame =
       df.join(broadcast(nsub), "cid")
         .withColumn("sub", subHash % col("n_sub"))

@@ -2587,6 +2587,33 @@ object TextHash {
       s"ascii(substr($c, CAST(length($c) AS INT), 1))*31 + " +
       s"ascii(substr($c, CAST(floor((length($c)+1)/2.0) AS INT), 1)))"
 
+  /**
+   * FULL-STRING Horner char fold, bounded < M — the id-hash value for
+   * paths that hash DOCUMENT/VECTOR IDS rather than vocabulary tokens
+   * (r11, after the sfx10 IVF hot-spot): [[tokenValue]] probes only
+   * (length, first, middle, last), which is fine for natural-language
+   * vocabularies but collapses INTEGER-STRING id spaces into ~9k
+   * collision classes — at 100k sequential ids every class holds ~11
+   * ids, so a `hash(id) % n_sub` sub-split degrades into ~30× hot
+   * groups (measured by IvfDiag: max assigned 977 against the 32 cap,
+   * pair surface 55× for 10× data). The fold reads EVERY character, so
+   * ids are injective into [0, M) up to hash-width limits. Spark
+   * spelling (SQL lambda fold; each step keeps acc < M before the ×31,
+   * exact int64). [[charFoldDuck]] is the value-identical DuckDB 1.0
+   * spelling for the oracles.
+   */
+  def charFold(c: String): String =
+    s"aggregate(sequence(1, length($c)), CAST(7 AS BIGINT), " +
+      s"(acc, i) -> (acc * 31 + ascii(substr($c, i, 1))) % $M)"
+
+  /** [[charFold]]'s value in DuckDB 1.0 syntax (list_reduce; DuckDB has
+    * no aggregate-with-lambda fold under that name). */
+  def charFoldDuck(c: String): String =
+    s"list_reduce(list_prepend(CAST(7 AS BIGINT), " +
+      s"list_transform(range(1, length($c) + 1), i -> " +
+      s"CAST(ascii(substr($c, CAST(i AS INT), 1)) AS BIGINT))), " +
+      s"(acc, x) -> (acc * 31 + x) % $M)"
+
   /** One fingerprint term: position-weighted token value, bounded < M. */
   def fingerprintTerm(posCol: String, tokCol: String): String =
     s"(CAST($posCol + 1 AS BIGINT) * ${tokenValue(tokCol)}) % $M"

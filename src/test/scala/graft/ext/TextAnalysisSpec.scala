@@ -814,4 +814,21 @@ class TextAnalysisSpec extends SparkSpec {
     // every word is one symbol — zero rules at any round budget
     assert(TextAnalysis.bpeMerges(d, "doc_id", "text", 5).count() === 0L)
   }
+
+  test("charFold reads every character: injective on integer-id bands, reference-exact") {
+    // tokenValue's probe classes collapsed 100k sequential ids into ~9k
+    // groups (the r11 IVF hot-spot) — the full fold must (a) match the
+    // Scala Horner reference bit for bit (the DuckDB list_reduce
+    // spelling is pinned by the contract compare) and (b) separate ids
+    // that share (length, first, middle, last)
+    val ids = Seq("0", "1", "12345", "12845", "12945", "99999", "abcdef")
+    val got = ids.toDF("v")
+      .selectExpr(s"v", TextHash.charFold("v") + " AS h")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val M = TextHash.M
+    def ref(sx: String): Long = sx.foldLeft(7L)((a, c) => (a * 31 + c.toLong) % M)
+    ids.foreach(i => assert(got(i) == ref(i), i))
+    // 12345 / 12845 / 12945 share every tokenValue probe; the fold splits them
+    assert(Set(got("12345"), got("12845"), got("12945")).size == 3)
+  }
 }
