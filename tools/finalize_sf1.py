@@ -13,119 +13,122 @@ import json
 import sys
 
 FINDINGS = [
-    "THE IVF ROUTE NOW BEATS EXACT ON BOTH FIXTURES (r10, after the "
-    "pair-verification rewrite): cosine_topk_ivf 196.6 -> 30.7s at sfx1 "
-    "(shuffle 8.6 -> 2.7GB) vs the exact path's 81s on the single-mode "
-    "matrix, clustered twin 35.7 -> 21.5s vs exact's 94.3s. The r9 "
-    "'honestly priced losing regime' was the PLAN, not the route: "
-    "exactSims shipped ~19KB of coordinates per candidate pair; "
-    "exactSimsLocal ships each vector's sorted entry array once per "
-    "probed list, pairs form as a salted equi-join on the (list, "
-    "occupancy-sub, prober-chunk) key, and the codegen'd sparse_dot "
-    "two-pointer merge scores them. Two rejected spellings are "
-    "measured in scaladoc (collect_list cross 1512s; map element_at "
-    "fold interpreted O(d^2)).",
+    "THE SPARSE-ANN ROUTE IS NOW IVF-ONLY AND WINS EVERYWHERE MEASURED "
+    "(r11): the sign-LSH sparse route was DELETED per VERDICT r10 "
+    "What's-wrong #1 (it was strictly dominated on every fixture ever "
+    "measured - 393s vs IVF's 30.7s single-mode, 80.5s vs 21.5s "
+    "clustered at r10 sfx1 - and its two kernels were ~23% of the r10 "
+    "artifact's wall). After the r11 fit + id-hash fixes the IVF route "
+    "beats the exact path on BOTH fixtures at sfx1: single-mode topk "
+    "13.5s vs exact 32.0s, clustered 8.6s vs 22.0s, predict 22.6s vs "
+    "42.9s. Migration note in ext/SparseAnn's scaladoc.",
 
-    "PREFIX-JACCARD VERIFICATION INVERTED AT 100x AND IS FIXED: the "
-    "pair-first jaccardFor shipped each doc's shingles per candidate "
+    "LLOYD ASSIGNMENT RESPELLED AS MODEL-BROADCAST SCORING (r11, VERDICT "
+    "r10 ask #2a): the fit scored list assignment through a j-keyed join "
+    "producing V*nnz*L rows per round (3.3 BILLION at sfx10 where "
+    "deriveLists hits the 1024-list cap) plus a V*L ranked-table "
+    "localCheckpoint - the fit ALONE was 25x wall for 10x data "
+    "(cosine_ivf_occupancy 18->456s). The codebook is model-sized "
+    "(<=1024x32 doubles), so each round now collects it to the driver "
+    "and every vector scores all live lists in one zero-exchange "
+    "compiled projection emitting only top-nprobe. Occupancy fit at "
+    "sfx10: 456 -> 36s (sublinear across the decade). An interpreted "
+    "HOF spelling of the same kernel was measured LOSING (clustered "
+    "fit 32->39s at sfx1) and is documented in the scaladoc.",
+
+    "PROBE-HASH ID COLLAPSE FOUND AND FIXED (r11, VERDICT r10 ask #2b - "
+    "the actual cause of the single-mode IVF superlinearity): the "
+    "occupancy sub-split and prober-chunk hashes keyed on "
+    "TextHash.tokenValue, which probes only (length, first, middle, "
+    "last chars). 100k sequential integer-string ids collapse into ~9k "
+    "collision classes (~11 ids each), so hash(id) %% n_sub placed whole "
+    "classes into single sub-buckets: IvfDiag measured max "
+    "assigned-per-group 977 against the 32 cap and a 67.3M pair surface "
+    "at sfx10 (55x for 10x data). TextHash.charFold (full-string Horner "
+    "fold, DuckDB list_reduce twin for the oracles) restores the bound: "
+    "max assigned 39, pair surface 5.9M (linear), cosine_topk_ivf at "
+    "sfx10 422 -> 147s = 7.6x for 10x data. NOT npb prober-chunk "
+    "replication (r10's hypothesis) - the replication surface was "
+    "measured linear once the hash actually spread ids.",
+
+    "PREFIX-JACCARD DF-HEAD BOUNDED (r11, VERDICT r10 ask #4): "
+    "jaccardForBySh now (a) semi-joins the shingle table down to "
+    "candidate documents before its self-join (semantics-free) and (b) "
+    "prefixJaccardDups threads maxDf with population-consistent "
+    "dfCapShingles semantics through BOTH branches. The planted "
+    "boilerplate-head pair (every doc + a 9-trigram df=|corpus| "
+    "suffix + a near-dup variant, so the prune is deliberately "
+    "inert): uncapped twin 62.8s at sf0.1 (isolated 1 rep) paying "
+    "~C(2N,2) verify rows per boilerplate shingle vs capped twin 7.2s "
+    "= 8.7x removed, and the capped twin holds 15.7s at sfx1. "
+    "dedup_jaccard_prefix itself holds 9.7s at sfx1 and 53.1s at "
+    "sfx10 - the kernel that filled local disk in the first 100x pass "
+    "is now a two-decade linear curve.",
+
+    "PREFIX-JACCARD VERIFICATION INVERTED AT 100x AND IS FIXED (r10): "
+    "the pair-first jaccardFor shipped each doc's shingles per candidate "
     "pair - ~72GB exchange for 70M candidates at sfx10, which filled "
     "local disk and killed the first 100x pass. Intersection-first "
-    "verification (jaccardForBySh: shingle-keyed self-join, candidates "
-    "joined after) drops sfx1 wall 51.3 -> 6.8s. PrefixDiag measured "
-    "the candidate surface itself LINEAR across both decades (7.0M -> "
-    "69.9M pairs, max prefix-df 12) - the defect was verification "
-    "bytes, not candidate count.",
+    "verification (jaccardForBySh) plus the r11 guards above carry the "
+    "route across both decades.",
 
-    "THE ANN WINNING REGIME IS NOW MEASURED (r9 ask #1 done): on the "
-    "planted multi-mode matrix (clusteredSupplierMatrix - 32 disjoint "
-    "coordinate blocks, the 'corpus with real cluster structure' the "
-    "routes exist for) the sfx1 shootout ran the SAME top-5 contract "
-    "through all three paths with zero tuning: exact dense 94.3s, "
-    "sign-LSH 80.5s, IVF 35.7s - both ANN routes beat exact and IVF wins "
-    "2.6x, with recall 0.86 mean / 74% of queries perfect and per-list "
-    "occupancy <=80 (no Lloyd collapse; the single-mode matrix's top "
-    "list was 3179/10k). The regime guidance that carried the family is "
-    "now a tested contract: cluster structure => IVF; none => exact.",
-
-    "SELF-SIZED ANN CARRIES THE 10x RUN WITH NO MANUAL CONFIG (r8 ask #1 "
-    "done): derivePlanes(10k vectors) -> 16 planes / 65536 buckets; "
-    "cosine_topk_ann 618->393s and cosine_predict_ann 847->260s vs last "
-    "round's manual SPARK_GRAFT_ANN_PLANES=12 rescue, shuffle bounded at "
-    "~19GB where the fixed 6-plane default spilled >80GB and died. The "
-    "env-var rescue and its config_notes caveat are deleted.",
-
-    "IVF ROUTE LANDS (r8 ask #4): cosine_topk_ivf 197s at sfx1 - beats "
-    "the 618s sign-LSH number the ask named and the 393s self-sized "
-    "sign-LSH, with the occupancy sub-split keeping it alive where Lloyd "
-    "collapses on this single-mode matrix (audit: top list 3179/10k). "
-    "The exact triangle path (81s) still wins outright HERE - the route "
-    "is for corpora with real cluster structure, and the cap guarantees "
-    "it cannot die when that assumption fails. Found-and-fixed this "
-    "round: the Lloyd loop's unpinned per-round model tables made every "
-    "broadcast subquery recompute the chain (226s at sf0.1 for a "
-    "5000-row readout, 10x the cluster task time in driver overhead); "
-    "pinned + checkpoint-truncated it is 26s cold, 13.6s in the min-of-3 harness (bench_out.json).",
+    "DOC_WINNOW r9 ANOMALY EXPLAINED (VERDICT r10 ask #6): the r9 "
+    "4.94s sf0.1 reading was harness interleave, not a plan change - "
+    "the operator's code has exactly one commit since introduction "
+    "(git log -S confirms no modification), its shuffle_bytes are the "
+    "59-byte empty-exchange sentinel in every round (the query is a "
+    "zero-exchange row-local fold), and re-measured it sits at 1.18s "
+    "(sf0.1 min-of-3) / 1.29s (sfx1, one cold rep) - scan-bound and "
+    "flat across the decade, exactly what a shuffle-free plan predicts.",
 
     "FIXED-WIDTH BANDING INVERTS AGAIN, SAME CLASS NEW OPERATOR: "
     "dedup_simhash (24-bit sketch, 6-bit chunks = 64 values) measured "
     "22x wall for 10x docs (38.5s) - candidates grow ~N^2/32 (852k at "
-    "sf0.1). The new wide twin (60-bit sketch from two avalanched "
-    "shingle hashes, 4x15-bit chunks - the phashDups geometry - plus "
-    "the required occupancy cap) runs 5.85s at sfx1 with ~460x fewer "
-    "candidates at sf0.1 (1.9k). Narrow stays for its exact 24-bit "
-    "all-pairs equivalence; scaladoc routes corpus-scale callers wide.",
+    "sf0.1). The wide twin (60-bit sketch, 4x15-bit chunks + occupancy "
+    "cap) runs 5.1s at sfx1 with ~460x fewer candidates; wide is the "
+    "default route since r10.",
 
-    "BASKET CAP MEASURED (r8 ask #2 done): the planted mega-basket pair "
-    "at sf0.1 runs 94.6s uncapped (C(20k,2) ~ 2e8 pre-filter pairs in "
-    "one order) vs 3.4s capped - 28x, growing quadratically. At sfx1 "
-    "the uncapped twin would emit C(200k,2) ~ 2e10 pairs from the one "
-    "planted order and is deliberately not run (the cap IS the fix); "
-    "the capped twin holds 8.9s at 10x.",
+    "BASKET CAP MEASURED: the planted mega-basket pair at sf0.1 runs "
+    "uncapped 43.3s vs capped 3.0s; at sfx1 the uncapped twin would "
+    "emit C(200k,2) ~ 2e10 pairs from the one planted order and is "
+    "deliberately not run (the cap IS the fix); the capped twin holds "
+    "8.2s at 10x and 32.2s at 100x (bench_sf10.json).",
 
-    "SKEW SALTING DIRECTION STABLE: aligned_pairs_skew 138s plain vs "
-    "17.3s salted (8.0x) at sfx1, vs 10.4x last round - the planted hot "
-    "coordinate's C(n,2) head lands on one task unsalted. "
-    "dedup_groups_skew stays the counter-example (grouping skew is "
-    "linear; plain 3.3s beats salted 12.1s).",
+    "SKEW SALTING DIRECTION STABLE: aligned_pairs_skew 108.9s plain vs "
+    "14.4s salted (7.5x) at sfx1 - the planted hot coordinate's C(n,2) "
+    "head lands on one task unsalted. dedup_groups_skew stays the "
+    "counter-example (grouping skew is linear; plain beats salted).",
 
-    "GRAPH FIXES HOLDING: graph_triangles 25s at sfx1 (387s before the "
-    "r8 shuffle-hash hint, 43s after - now faster still under AQE). "
-    "Convergence-stopped twins price their stopping rule honestly: "
-    "graph_lpa_converged 32.7s vs fixed-round 23.2s; kcore_fixpoint "
-    "15.1s vs 11.9s - one extra readout per round buys the exact stop.",
-
-    "ROUND-OVER-ROUND AT THE SAME 10x SCALE: the 55 queries shared with "
-    "the r8 sfx1 run went 2692s -> 1425s (1.9x faster), zero errors, no "
-    "manual configuration. The broadened run covers 90 queries.",
-
-    "EXACT-SUBSTRING DECONTAMINATION IS CHEAP AT 10x: 0.36s - ~15M "
-    "distinct 50-char windows stream through one broadcast probe, "
-    "linear in train characters as designed.",
-
-    "SINGLE-REP COLD CONSTANTS inflate small-query ratios (events_cuped "
-    "0.34->7.6s, multimodal_audio 0.61->13.7s, quality_ks 0.46->7.4s): "
-    "all three shapes re-audited linear (one or two scans + a 1-row "
-    "fold / codec seam); the sf0.1 column is min-of-3 warm, sfx1 is one "
-    "cold pass.",
+    "COVERAGE EXTENDED TO 182 QUERIES (VERDICT r10 ask #5): the full "
+    "relational family, core cosine chain, dedup verification kernels, "
+    "embedding/ANN family, events batch twins, and the tokenizer "
+    "family all have a 10x number now; exclusions are documented in "
+    "config_notes (the two deliberately-uncapped quadratic exhibits "
+    "and three correctness-only plan variants).",
 ]
 
 CONFIG_NOTES = {
-    "run": "tools/run_sfx1.sh - graft.ScaleUp 10x replica of sf0.1, "
-           "local[32], 1 rep, 1800s watchdog, NO manual tuning env vars "
-           "(the r8 SPARK_GRAFT_ANN_PLANES rescue is deleted; plane and "
-           "list counts self-size from vector counts, oracle-mirrored)",
-    "rel_basket_rules_skew": "uncapped planted-mega-basket twin timed at "
-           "sf0.1 only (94.6s, bench_out.json); at sfx1 it would emit "
-           "C(200k,2) ~ 2e10 pre-filter pairs from the planted order - "
-           "the quadratic the capped twin exists to remove",
-    "cosine_topk_ivf": "re-measured after the Lloyd per-round pinning fix "
-           "(isolated run, same harness flags); the 88-query pass carried "
-           "the pre-fix route",
-    "clustered_shootout": "the cosine_*_clustered rows were run r10 as an "
-           "isolated 6-query pass against the regenerated (affine-map) "
-           "sfx1 replica; the matrix fixtures are text-independent so the "
-           "replica change does not affect their workload shape",
+    "run": "tools/run_sfx1.sh recipe - graft.ScaleUp 10x replica of "
+           "sf0.1, local[32], 1 rep, 1800s watchdog, NO manual tuning "
+           "env vars; r11 run used the snapshotted-classpath java "
+           "invocation (run_sfx10.sh pattern) over the full "
+           "tools/sfx1_queries.txt (182 queries)",
+    "exclusions": "rel_basket_rules_skew and dedup_jaccard_prefix_head "
+           "(the deliberately-UNCAPPED planted-quadratic exhibits) are "
+           "timed at sf0.1 only - one decade up they would emit "
+           "C(200k,2) basket pairs / ~9xC(100k,2) verify rows BY "
+           "DESIGN; their capped twins carry the 10x (and 100x) "
+           "curves. aligned_pairs_dfcap / pair_dot / pair_mods_dense "
+           "are correctness-only variants of benched plans "
+           "(aligned_pairs / pair_mods_sparse) and are not in Bench's "
+           "headline set.",
+    "aligned_pairs_skew_salted": "the fixture's OUTPUT is quadratic by "
+           "construction (planted hot coordinate, C(df,2) pairs with "
+           "df growing with sf) - salting distributes the head, it "
+           "cannot shrink it; the 100x row (981.6s, bench_sf10.json) "
+           "prices exactly that.",
 }
+
 
 
 def main():
