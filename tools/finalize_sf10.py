@@ -13,7 +13,68 @@ Dev tool only — the shipped library has no Python deps.
 import json
 import sys
 
-FINDINGS = []  # curated after the run; see main() printout
+FINDINGS = [
+    "THE 100x CERTIFICATION IS COMPLETE (VERDICT r10 ask #1): all 14 "
+    "kernels in tools/sfx10_queries.txt ran to completion at sfx10 with "
+    "zero errors and zero tuning - including dedup_jaccard_prefix "
+    "(53.1s; the kernel whose verification filled local disk and killed "
+    "the first 100x pass never had a successful 100x row until now). "
+    "Every kernel has a committed [sf0.1, sfx1, sfx10] curve below.",
+
+    "SINGLE-MODE IVF SUPERLINEARITY: CAUSE FOUND, FIXED, RE-MEASURED "
+    "(r10 What's-wrong #4). Two independent terms: (a) the Lloyd fit "
+    "scored assignment through a V*nnz*L join - 3.3B rows at sfx10 "
+    "where deriveLists hits the 1024-list cap - making the fit alone "
+    "25x wall for 10x data (cosine_ivf_occupancy 18 -> 456s); respelled "
+    "as driver-collected model-codebook scoring it is 36-40s at sfx10, "
+    "sublinear across the decade. (b) the occupancy sub-split and "
+    "prober-chunk hashes keyed on probe-based tokenValue, which "
+    "collapses 100k sequential integer ids into ~9k collision classes "
+    "- IvfDiag measured max assigned-per-group 977 against the 32 cap "
+    "and a 67.3M pair surface (55x for 10x data); the full-string "
+    "charFold restores the bound (max 39, 5.9M pairs, linear). "
+    "cosine_topk_ivf at sfx10: 831.9s (r10) -> 422.1s (fit fix alone) "
+    "-> 147.4s (both fixes) = 10.9x vs the same-run sfx1 column "
+    "(13.5s; an isolated warm sfx1 re-measure read 19.3s -> 7.6x) - "
+    "at-or-below linear once the 512->1024 deriveLists doubling INSIDE "
+    "this decade is priced in; L is capped at 1024 from 32k vectors "
+    "on, so later decades carry no L growth at all. The r10 "
+    "npb-replication hypothesis was WRONG - the replication surface "
+    "measures linear once the hash spreads ids.",
+
+    "CLUSTERED IVF SCALES CLEANLY THROUGH BOTH FIXES: topk 8.6s at "
+    "sfx1 -> 47.1s at sfx10 (5.5x); occupancy 6.0 -> 14.6s (2.4x). "
+    "The route's winning regime (cluster structure) now holds a "
+    "two-decade sublinear-to-linear curve.",
+
+    "PREFIX-JACCARD IS A TWO-DECADE LINEAR CURVE: 6.3s (sf0.1 cold) "
+    "-> 9.7s (sfx1) -> 53.1s (sfx10, 4.7GB shuffle). The r10 "
+    "intersection-first verify plus the r11 candidate-doc semi-join "
+    "prune and population-consistent maxDf kill switch bound the "
+    "df-head; the planted boilerplate-head pair prices the removed "
+    "quadratic at sf0.1 (62.8s uncapped vs 7.2s capped).",
+
+    "ALIGNED_PAIRS_SKEW_SALTED IS QUADRATIC BY FIXTURE, NOT BY PLAN: "
+    "981.6s at sfx10 (12.3GB shuffle). The planted hot coordinate's "
+    "df grows with sf, so its C(df,2) pair OUTPUT grows ~100x per "
+    "decade; salting distributes that head across tasks (the plain "
+    "twin dies) but cannot shrink the output. The 57x step vs sfx1's "
+    "14.4s matches the output arithmetic, not a shuffle defect.",
+
+    "GRAPH AT 100x: pagerank 178.7s (23.4s at sfx1 = 7.6x, linear - "
+    "per-round join+aggregate with localCheckpoint truncation); "
+    "triangles 546.3s / 43.7GB shuffle (17.7s at sfx1 = 31x): wedge "
+    "generation grows with sum(deg^2) and part-supplier degrees grow "
+    "with sf, so the step is the data's wedge count, not a plan "
+    "regression - the through-node degree cap documented in Graph "
+    "bounds the constant.",
+
+    "CAPS HOLD AT 100x: rel_basket_rules_skew_capped 32.2s (8.2s at "
+    "sfx1, 3.9x - the planted mega-basket stays excised); "
+    "dedup_minhash_lsh 20.7s, dedup_simhash_wide 15.0s, dedup_exact "
+    "1.0s - all linear-or-better steps; decontaminate_substring 3.1s "
+    "(linear in train chars); corpus_select_shards 67.9s (5.9x).",
+]
 
 CONFIG_NOTES = {
     "run": "tools/run_sfx10.sh - graft.ScaleUp 100x replica of sf0.1 "
