@@ -217,21 +217,23 @@ object SparseAnn {
   val ListOccupancy: Int = 32
 
   /** Doubling-ladder length of [[deriveLists]]: caps the derived count
-    * at IvfLists·2^7 = 1024 lists. The cap is NOT about codebook size —
-    * it bounds the Lloyd ASSIGNMENT, whose distance table is V×L rows
-    * (every vector scores every centroid): with the r9 ladder top of
-    * 2^14, deriveLists(100k) = 4096 made that table 410M rows and the
-    * sfx10 run died filling local disk on the ranked-distance sort —
-    * the V-proportional list count turns assignment O(V²/occupancy).
-    * At 1024 lists assignment is ≤ 102M rows per 100k vectors and
-    * SCALE-LINEAR beyond (the sfx1 bands derive ≤ 512 and are
-    * unchanged); past ~32k vectors occupancy grows over the target
-    * instead, which the candidate stage's deterministic sub-split
-    * absorbs ([[ivfMembershipTail]]) at the recall price the audits
-    * report. The principled 10⁶⁺-vector fix is a two-level coarse→fine
-    * assignment (score √L super-lists, then only their children) — the
-    * named next step, not this cap. */
-  val MaxListDoublings: Int = 7
+    * at IvfLists·2^9 = 4096 lists, keeping average occupancy at the
+    * ≤ 32 target through ~128k vectors. HISTORY: r9's 2^14 ladder top
+    * made the OLD join-spelled assignment's V×L distance table 410M
+    * rows and killed the sfx10 run; r10 capped the ladder at 2^7 (1024
+    * lists), trading occupancy (≈ 98 at 100k vectors, absorbed by the
+    * sub-split at a recall price) for a bounded table. The r11
+    * model-broadcast rewrite removed that constraint entirely —
+    * assignment is now V·nnz·L FLOPS against a driver-collected
+    * codebook, zero shuffled rows — so the ladder rose back to where
+    * the occupancy target puts it. What bounds it NOW is the codebook
+    * itself: L×dim doubles collected per round and shipped in the
+    * scoring closure (4096×32 = 1 MB — comfortably model-sized; 2^14
+    * would make it 4 MB per task binary for no occupancy benefit below
+    * 4M vectors). Past ~128k vectors occupancy grows over target again
+    * and the candidate stage's deterministic sub-split absorbs it
+    * ([[ivfMembershipTail]]) at the recall price the audits report. */
+  val MaxListDoublings: Int = 9
 
   /**
    * Data-derived inverted-list count: the smallest `L = IvfLists·2^t`
@@ -394,8 +396,17 @@ object SparseAnn {
         var x2 = 0.0
         i = 0
         while (i < n) { x2 += hv(i) * hv(i); i += 1 }
+        // allocation-free top-k selection: materializing + sorting all
+        // L (d2, cid) tuples cost 400M boxed allocations per fit at the
+        // 4096-list ladder top (measured: occupancy fit 40 → 77 s at
+        // sfx10 when the ladder rose) — only the k = nprobe smallest
+        // are ever consumed, so insert into k-sized primitive arrays
+        // with the exact (d2 ASC, cid ASC) Window tie-break instead
         val nL = cids.length
-        val ds = new Array[(Double, Long)](nL)
+        val kk = math.min(k, nL)
+        val outD = new Array[Double](kk)
+        val outC = new Array[Long](kk)
+        var filled = 0
         var l = 0
         while (l < nL) {
           val c = comps(l)
@@ -404,11 +415,21 @@ object SparseAnn {
           while (t < n) { dot += hv(t) * c(js(t)); t += 1 }
           // the gate-grid snap, bit-identical to the Column spelling
           val d2 = math.floor((x2 + c2s(l) - 2.0 * dot) * 1e6 + 0.50001) / 1e6
-          ds(l) = (d2, cids(l))
+          val cid = cids(l)
+          if (filled < kk || d2 < outD(filled - 1) ||
+              (d2 == outD(filled - 1) && cid < outC(filled - 1))) {
+            var pos = if (filled < kk) filled else kk - 1
+            while (pos > 0 && (d2 < outD(pos - 1) ||
+                (d2 == outD(pos - 1) && cid < outC(pos - 1)))) {
+              outD(pos) = outD(pos - 1); outC(pos) = outC(pos - 1)
+              pos -= 1
+            }
+            outD(pos) = d2; outC(pos) = cid
+            if (filled < kk) filled += 1
+          }
           l += 1
         }
-        // (d2 ASC, cid ASC) — the exact Window tie-break this replaces
-        ds.sorted.take(k).map { case (d2, cid) => (cid, d2) }.toSeq
+        (0 until filled).map(i => (outC(i), outD(i)))
       }
       hArr.select(col("vector"), posexplode(score(col("hj"))))
         .select(col("vector"), col("col._1").as("cid"),

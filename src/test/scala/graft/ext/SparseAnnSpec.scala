@@ -47,12 +47,13 @@ class SparseAnnSpec extends SparkSpec {
       val n = (IvfLists.toLong * ListOccupancy) << (t - 1)
       assert(deriveLists(n).toLong * ListOccupancy >= n)
     }
-    // clamp at the 1024-list ladder top regardless of corpus size: the
-    // assignment distance table is V×L rows, so a V-proportional L turns
-    // Lloyd quadratic (deriveLists(100k)=4096 filled local disk at
-    // sfx10); past the cap the occupancy SUB-SPLIT carries the bound
-    assert(MaxListDoublings === 7)
-    assert(deriveLists(100000L) === 1024)
+    // clamp at the 4096-list ladder top regardless of corpus size: the
+    // r11 model-broadcast assignment made the old V×L-row constraint
+    // moot, so the cap is now the codebook-collect/closure size (L×dim
+    // doubles ≈ 1 MB at the top); past the cap the occupancy SUB-SPLIT
+    // carries the bound
+    assert(MaxListDoublings === 9)
+    assert(deriveLists(100000L) === 4096)
     assert(deriveLists(Long.MaxValue / 8) === (IvfLists << MaxListDoublings))
     // monotone non-decreasing
     val samples = Seq(1L, 10L, 300L, 1000L, 10000L, 100000L, 10000000L)

@@ -20,8 +20,13 @@ FINDINGS = [
     "clustered at r10 sfx1 - and its two kernels were ~23% of the r10 "
     "artifact's wall). After the r11 fit + id-hash fixes the IVF route "
     "beats the exact path on BOTH fixtures at sfx1: single-mode topk "
-    "13.5s vs exact 32.0s, clustered 8.6s vs 22.0s, predict 22.6s vs "
-    "42.9s. Migration note in ext/SparseAnn's scaladoc.",
+    "18.6s (13.5s in the interleaved full pass) vs exact 32.0s, "
+    "clustered 5.4s vs 22.0s, predict 32.5s vs 42.9s. Migration note "
+    "in ext/SparseAnn's scaladoc. The IVF rows are the isolated "
+    "final-kernel re-measure (bench_sf1_ivf_patch.json): r11 also "
+    "raised the deriveLists ladder to 4096 (the old 1024 cap existed "
+    "for the deleted V*L-row assignment join) and replaced the "
+    "scorer's sort with an allocation-free insertion top-k.",
 
     "LLOYD ASSIGNMENT RESPELLED AS MODEL-BROADCAST SCORING (r11, VERDICT "
     "r10 ask #2a): the fit scored list assignment through a j-keyed join "

@@ -34,18 +34,23 @@ FINDINGS = [
     "and a 67.3M pair surface (55x for 10x data); the full-string "
     "charFold restores the bound (max 39, 5.9M pairs, linear). "
     "cosine_topk_ivf at sfx10: 831.9s (r10) -> 422.1s (fit fix alone) "
-    "-> 147.4s (both fixes) = 10.9x vs the same-run sfx1 column "
-    "(13.5s; an isolated warm sfx1 re-measure read 19.3s -> 7.6x) - "
-    "at-or-below linear once the 512->1024 deriveLists doubling INSIDE "
-    "this decade is priced in; L is capped at 1024 from 32k vectors "
-    "on, so later decades carry no L growth at all. The r10 "
+    "-> 147.4s (both fixes, 1024-list ladder) -> 113.5s (final: the "
+    "ladder raised to 4096 lists - the 1024 cap existed only for the "
+    "deleted V*L-row assignment join, and at 4096 occupancy sits at "
+    "the <=32 target through the whole decade - plus an "
+    "allocation-free insertion top-k in the scorer). The committed "
+    "row is the final config; the step vs the sfx1 column (18.6s "
+    "isolated / 13.5s interleaved) is ~6-8x for 10x data. The r10 "
     "npb-replication hypothesis was WRONG - the replication surface "
     "measures linear once the hash spreads ids.",
 
-    "CLUSTERED IVF SCALES CLEANLY THROUGH BOTH FIXES: topk 8.6s at "
-    "sfx1 -> 47.1s at sfx10 (5.5x); occupancy 6.0 -> 14.6s (2.4x). "
-    "The route's winning regime (cluster structure) now holds a "
-    "two-decade sublinear-to-linear curve.",
+    "CLUSTERED IVF SCALES CLEANLY THROUGH ALL FIXES: topk 5.4s at "
+    "sfx1 -> 59.2s at sfx10; occupancy 4.1 -> 28.2s. Single-rep "
+    "variance on these kernels is +-40% across the three sfx10 "
+    "configurations measured this round (e.g. clustered topk 47.1 / "
+    "42.5 / 59.2s); every configuration holds the decade step at or "
+    "under ~11x. The route's winning regime (cluster structure) holds "
+    "a two-decade at-most-linear curve.",
 
     "PREFIX-JACCARD IS A TWO-DECADE LINEAR CURVE: 6.3s (sf0.1 cold) "
     "-> 9.7s (sfx1) -> 53.1s (sfx10, 4.7GB shuffle). The r10 "
