@@ -68,11 +68,19 @@ FINDINGS = [
 
     "GRAPH AT 100x: pagerank 178.7s (23.4s at sfx1 = 7.6x, linear - "
     "per-round join+aggregate with localCheckpoint truncation); "
-    "triangles 546.3s / 43.7GB shuffle (17.7s at sfx1 = 31x): wedge "
-    "generation grows with sum(deg^2) and part-supplier degrees grow "
-    "with sf, so the step is the data's wedge count, not a plan "
-    "regression - the through-node degree cap documented in Graph "
-    "bounds the constant.",
+    "triangles 546.3s / 43.7GB shuffle (17.7s at sfx1 = 31x). The "
+    "LOGICAL surface is measured LINEAR - the co-ordered-parts graph "
+    "has wedges 1.478B at sfx1 vs 14.78B at sfx10 (exactly 10x; max "
+    "degree 222 in BOTH decades, so sum(deg^2) scales with nodes, not "
+    "degree growth) - and shuffle bytes are linear with it. The "
+    "super-proportional WALL step is single-box I/O: 4.4GB of wedge "
+    "shuffle fits the page cache at sfx1, 43.7GB at sfx10 is written "
+    "and re-read through local disk. On a multi-executor cluster the "
+    "same job spreads those bytes over aggregate disk bandwidth - the "
+    "plan (degree-oriented wedges + shuffle-hash semi close, never a "
+    "wedge sort) is already the byte-minimal spelling: an "
+    "adjacency-intersection rewrite would ship sum(deg)x arrays "
+    "~= 120GB, 3x more.",
 
     "CAPS HOLD AT 100x: rel_basket_rules_skew_capped 32.2s (8.2s at "
     "sfx1, 3.9x - the planted mega-basket stays excised); "
