@@ -156,6 +156,29 @@ class SparseAnnSpec extends SparkSpec {
     assert(wide.count(t => t._2 == "v00" || t._2 == "v01") >= 18 * 2)
   }
 
+  test("sub-split spreads SEQUENTIAL integer ids (the r11 probe-hash regression pin)") {
+    // the r10 sub-split keyed on tokenValue (probes only length/first/
+    // middle/last chars), which collapses sequential integer-string ids
+    // into collision classes and concentrated ~30x hot groups one scale
+    // decade up (IvfDiag: max assigned 977 against the 32 cap). The
+    // full-string charFold must keep every split near-uniform on
+    // exactly that id population: max bucket <= 3x the mean at several
+    // (n, k) shapes. A regression back to probe-based id hashing fails
+    // this immediately (measured: tokenValue at n=10000, k=100 puts
+    // >300 ids in one bucket).
+    val sess = spark
+    import sess.implicits._
+    for ((n, k) <- Seq((2000, 20), (10000, 100), (10000, 7))) {
+      val ids = (0 until n).map(_.toString).toDF("vector")
+      val h = TextHash.avalancheSql(TextHash.charFold("vector"), 90121L)
+      val maxBucket = ids.selectExpr(s"($h) % $k AS b")
+        .groupBy("b").count().agg(org.apache.spark.sql.functions.max("count"))
+        .collect()(0).getLong(0)
+      val mean = n.toDouble / k
+      assert(maxBucket <= 3 * mean, s"n=$n k=$k max=$maxBucket mean=$mean")
+    }
+  }
+
   test("group-local scoring emits each unordered pair exactly once per direction") {
     val sims = SparseAnn.candidateSimsIvf(analysis, matrix, lists = 4)
       .collect().map(r => (r.getString(0), r.getString(1)))
