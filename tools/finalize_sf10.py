@@ -85,6 +85,18 @@ FINDINGS = [
     "adjacency-intersection rewrite would ship sum(deg)x arrays "
     "~= 120GB, 3x more.",
 
+    "THE PREFIX DF-CAP AT 100x REMOVES A 4.5-TRILLION-PAIR SURFACE: "
+    "on the planted boilerplate-head fixture at sfx10 (1M docs, 9 "
+    "shared trigrams at df = 1M), the UNCAPPED verify surface measures "
+    "4.50e12 pairs; maxDf = 24 excises 511,849 over-cap shingles "
+    "carrying 99.993% of it, leaving 328.5M pairs - measured LINEAR "
+    "across the decade (33.2M at sfx1, 9.9x for 10x docs). The capped "
+    "twin completes in 316.7s (15.7s at sfx1; the 20x wall step is the "
+    "single-box I/O knee again - 0.46 -> 11.4GB of shuffle through "
+    "local disk - on a linear logical surface). cosine_predict_ivf "
+    "lands its first 100x row too: 210.4s (32.5s at sfx1 = 6.5x, "
+    "sublinear).",
+
     "CAPS HOLD AT 100x: rel_basket_rules_skew_capped 32.2s (8.2s at "
     "sfx1, 3.9x - the planted mega-basket stays excised); "
     "dedup_minhash_lsh 20.7s, dedup_simhash_wide 15.0s, dedup_exact "
