@@ -44,6 +44,16 @@ FINDINGS = [
     "npb-replication hypothesis was WRONG - the replication surface "
     "measures linear once the hash spreads ids.",
 
+    "RECALL AT THE FINAL TREE (sfx1, 10k vectors, measured from the "
+    "verify dump): clustered fixture 0.868 mean / 75% of queries "
+    "perfect - IDENTICAL to the r10 headline (0.86/74%), so neither "
+    "the charFold sub-split nor the 4096-list ladder damaged the "
+    "route's winning regime. Single-mode fixture 0.02 mean - the "
+    "documented LOSING regime (Lloyd collapse; the occupancy audit's "
+    "n_sub >> 1 readout is precisely its detector, and the route "
+    "guidance sends that corpus to the exact path, which also WINS on "
+    "wall there at every measured scale).",
+
     "CLUSTERED IVF SCALES CLEANLY THROUGH ALL FIXES: topk 5.4s at "
     "sfx1 -> 59.2s at sfx10; occupancy 4.1 -> 28.2s. Single-rep "
     "variance on these kernels is +-40% across the three sfx10 "
