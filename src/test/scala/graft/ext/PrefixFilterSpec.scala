@@ -119,6 +119,14 @@ class PrefixFilterSpec extends SparkSpec {
         .sortBy(_._1)
       assert(byPair.toSeq == bySh.toSeq)
       assert(byPair.nonEmpty)
+      // the r12 regime gate must be semantics-free in BOTH forced modes
+      // (auto, exercised above, picks one of them)
+      for (forced <- Seq(true, false)) {
+        val f = Dedup.jaccardForBySh(cands, sh, Some(forced))
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+          .sortBy(_._1)
+        assert(f.toSeq == byPair.toSeq, s"prune=$forced")
+      }
     }
   }
 

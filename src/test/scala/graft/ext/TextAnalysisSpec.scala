@@ -831,4 +831,15 @@ class TextAnalysisSpec extends SparkSpec {
     // 12345 / 12845 / 12945 share every tokenValue probe; the fold splits them
     assert(Set(got("12345"), got("12845"), got("12945")).size == 3)
   }
+
+  test("charFold('') is the seed 7 in BOTH spellings (the r11 descending-sequence pin)") {
+    // Spark's sequence(1, length('')) = sequence(1, 0) is DESCENDING
+    // ([1, 0]), so an unguarded fold runs two steps over ascii('') = 0
+    // and returns 6727 while DuckDB's range(1, 1) is empty and returns
+    // the seed — the CASE guard pins both engines to 7 (ADVICE r11)
+    val got = Seq("").toDF("v")
+      .selectExpr(TextHash.charFold("v") + " AS h")
+      .collect()(0).getLong(0)
+    assert(got == 7L)
+  }
 }
