@@ -472,11 +472,13 @@ object DedupEntries {
 
   /** The planted boilerplate-head corpus: every document with [[BpSuffix]]
     * appended, plus a near-dup variant (id + 400000, two extra leading
-    * words) — so every doc is a candidate endpoint (jaccardForBySh's
-    * auto regime gate correctly turns the candidate-doc semi-join OFF
-    * here — it would be a no-op) and the verify's df-head term is
-    * isolated as the measured difference between the uncapped and
-    * capped twins. */
+    * words) — every doc is a candidate endpoint, so the candidate-doc
+    * semi-join is a row-level no-op here, yet jaccardForBySh's auto
+    * gate (max_df² > postings) correctly keeps it ON: its shuffle
+    * forces the AQE-splittable SortMergeJoin plan on the hot-key
+    * expansion (measured 57.9 s vs 106.4 s as a broadcast join at
+    * sf0.1). The verify's df-head term is isolated as the measured
+    * difference between the uncapped and capped twins. */
   private def boilerplateDocs(s: SparkSession, dir: String): DataFrame = {
     val base = docs(s, dir)
       .select(col("doc_id"), concat(col("text"), lit(BpSuffix)).as("text"))

