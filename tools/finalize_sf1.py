@@ -13,6 +13,34 @@ import json
 import sys
 
 FINDINGS = [
+    "R12 PRUNE GATE: jaccardForBySh's candidate-doc semi-join is now "
+    "regime-gated on the measured df-head (prune iff max_df^2 > "
+    "postings, one aggregate over the shingle table). Isolating the "
+    "alternatives at sf0.1 on the planted head fixture measured the "
+    "no-op semi-join as PHYSICALLY load-bearing - its shuffle output "
+    "forces the sh-keyed self-join into an AQE-skew-splittable "
+    "SortMergeJoin (57.9s) where the directly-scanned checkpoint "
+    "planned as a BroadcastHashJoin whose hot-key expansion AQE cannot "
+    "split (106.4s, same 12,137 output rows) - while on the head-free "
+    "contract corpus the prune is pure overhead (2.94s gated vs 4.03s "
+    "always-on in r11). The gate picks the right plan in both regimes.",
+
+    "R12 NEW KERNELS AT 10x: dedup_auto (the kernel router - one "
+    "corpus pass measuring sigma-C(df,2) against a corpus-linear pair "
+    "budget, choice flips exact/prefix_dfcap/minhash_banded across the "
+    "planted three-regime fixture) and aligned_pairs_skew_dfcap (the "
+    "dfCap mitigation twin of the skew exhibit - cap 64 excises "
+    "exactly the planted head; capped pair surface 8.98M -> 89.8M -> "
+    "898M per decade, linear by construction).",
+
+    "R12 IVF DIM HASH ON charFold: the last tokenValue-on-ids path "
+    "(ivfDimSql's coordinate feature-hash bucket) moved to the "
+    "full-string fold (max/mean dim-bucket load 1.04-1.08 vs "
+    "1.39-1.89 on 100k sequential integer coords). Clustered-fixture "
+    "recall IMPROVED (sf0.01: 0.46 -> 0.66 mean), single-mode (the "
+    "documented losing regime) dipped (0.52 -> 0.43); topk at sfx1 "
+    "is unchanged (16.5s vs r11's 18.6s isolated).",
+
     "THE SPARSE-ANN ROUTE IS NOW IVF-ONLY AND WINS EVERYWHERE MEASURED "
     "(r11): the sign-LSH sparse route was DELETED per VERDICT r10 "
     "What's-wrong #1 (it was strictly dominated on every fixture ever "
