@@ -80,6 +80,16 @@ FINDINGS = [
     "mean 0.46 -> 0.66); single-mode recall (the documented losing "
     "regime with the occupancy detector) dipped 0.52 -> 0.43.",
 
+    "THE KERNEL ROUTER SCALES AND ITS CHOICE IS SCALE-STABLE (VERDICT "
+    "r11 ask #8): dedup_auto runs 0.70 / 0.82 / 3.33s across the "
+    "decades (one corpus pass), and the three-regime flip HOLDS at "
+    "100x because the budget is corpus-linear by design: benign 12.4k "
+    "uncapped pairs under its 634k budget -> exact; headed 1.25e11 "
+    "uncapped -> 1.44e7 capped with 84% postings retained -> "
+    "prefix_dfcap; template surface over budget with 0% retained "
+    "under the cap -> minhash_banded (verified by a committed sfx10 "
+    "decision dump, same rows the sf0.01 oracle checks).",
+
     "CAPS STILL HOLD AT 100x: rel_basket_rules_skew_capped 31.7s "
     "(r11 32.2); dedup_minhash_lsh 19.6s, dedup_simhash_wide 11.7s, "
     "dedup_exact 1.0s, decontaminate_substring 1.0s - all "
@@ -98,8 +108,8 @@ CONFIG_NOTES = {
            "(bench_sf10_rep2.json); corpus_select_shards additionally "
            "re-measured alone. Committed time = min of observations; "
            "two_rep carries both.",
-    "kernel_list": "tools/sfx10_queries.txt - the 17 scale-critical "
-           "kernels whose caps/banding were sized at 10x; r12 adds "
+    "kernel_list": "tools/sfx10_queries.txt - the 18 scale-critical "
+           "kernels whose caps/banding were sized at 10x; r12 adds dedup_auto (the router, via bench_sf10_auto_patch.json) and "
            "aligned_pairs_skew_dfcap (the skew exhibit's mitigation "
            "twin, VERDICT r11 ask #1).",
 }
