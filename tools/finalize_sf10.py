@@ -76,9 +76,13 @@ FINDINGS = [
     "3.6x for 10x data, sublinear), and the clustered twins improve "
     "outright (topk_clustered 17.9 vs 59.2; clustered_occupancy 11.8 "
     "vs 28.2; single-mode occupancy fit 28.3 vs 49.9). "
-    "Clustered-fixture recall IMPROVED with the uniform hash (sf0.01 "
-    "mean 0.46 -> 0.66); single-mode recall (the documented losing "
-    "regime with the occupancy detector) dipped 0.52 -> 0.43.",
+    "Recall at the final tree is INTACT (re-measured at sfx1, 10k "
+    "vectors, from the r12 verify dump): clustered 0.854 mean / 73.4% "
+    "of queries perfect vs r11's 0.868/75% - unchanged within noise; "
+    "single-mode 0.008 vs r11's 0.02 - both deep in the documented "
+    "losing regime whose detector (occupancy n_sub >> 1) routes that "
+    "corpus to the exact path. At sf0.01 the uniform hash IMPROVED "
+    "clustered recall outright (0.46 -> 0.66 mean).",
 
     "THE KERNEL ROUTER SCALES AND ITS CHOICE IS SCALE-STABLE (VERDICT "
     "r11 ask #8): dedup_auto runs 0.70 / 0.82 / 3.33s across the "
