@@ -378,6 +378,16 @@ object Dedup {
    * and the verification branch; pass `pin = _.localCheckpoint()` to
    * shingle the corpus once (caller-owned caching, the [[dupGroups]]
    * convention).
+   *
+   * EAGER EXECUTION NOTE (ADVICE r12, the ivfRankedFit convention):
+   * [[jaccardForBySh]]'s auto prune gate runs a 1-row aggregate+collect
+   * over the (capped) shingle table at DataFrame-CONSTRUCTION time, so
+   * calling this executes one corpus pass immediately — and with the
+   * default `pin = identity` that pass re-derives the shingle chain
+   * from the source scan. Library callers who need lazy construction or
+   * a single shingle derivation should pass the checkpoint pin (the
+   * contract entries do) or force the gate via
+   * `jaccardForBySh(..., pruneCandidateDocs = Some(b))`.
    */
   def prefixJaccardDups(docs: DataFrame, idCol: String, textCol: String,
       minJaccard: Double = 0.3,
@@ -2084,9 +2094,19 @@ object Dedup {
    */
   def autoRoute(docs: DataFrame, idCol: String, textCol: String,
       groupCol: String, maxDf: Long = AutoRouteMaxDf,
+      budgetPairsPerDoc: Long = AutoRouteBudgetPerDoc): DataFrame =
+    autoRouteFromShingles(
+      shinglesLocal(docs, idCol, textCol, keepCols = Seq(groupCol)),
+      groupCol, maxDf, budgetPairsPerDoc)
+
+  /** [[autoRoute]] over an already-built shingle table (`doc_id`, `sh`,
+    * `groupCol`) — the probe half factored out so [[autoDedupPairs]] can
+    * feed probe AND kernel from ONE shingle derivation (ADVICE r12: the
+    * combined path used to shingle the corpus twice). */
+  def autoRouteFromShingles(sh: DataFrame, groupCol: String,
+      maxDf: Long = AutoRouteMaxDf,
       budgetPairsPerDoc: Long = AutoRouteBudgetPerDoc): DataFrame = {
     require(maxDf >= 1 && budgetPairsPerDoc >= 0)
-    val sh = shinglesLocal(docs, idCol, textCol, keepCols = Seq(groupCol))
     val dfs = sh.groupBy(col(groupCol), col("sh"))
       .agg(count(lit(1)).as("df"))
     val nd = sh.groupBy(col(groupCol))
@@ -2119,18 +2139,20 @@ object Dedup {
    * `exact` and `prefix_dfcap` produce the identical exact answer over
    * their (un)capped populations; `minhash_banded` inherits the LSH
    * recall curve. The 1-row decision collect is model-sized (the
-   * k-means-centroid convention); the shingle table is built once and
-   * feeds both the probe and the chosen kernel (eager localCheckpoint —
-   * the probe executes at call time anyway).
+   * k-means-centroid convention); the shingle table is built ONCE
+   * (eager localCheckpoint — the probe executes at call time anyway)
+   * and the checkpoint feeds both the probe aggregate
+   * ([[autoRouteFromShingles]]) and the chosen kernel, so the corpus is
+   * tokenized/shingled exactly one time per call (pinned by
+   * DedupSpec's per-row evaluation counter).
    */
   def autoDedupPairs(docs: DataFrame, idCol: String, textCol: String,
       minJaccard: Double = 0.3, maxDf: Long = AutoRouteMaxDf,
       budgetPairsPerDoc: Long = AutoRouteBudgetPerDoc): DataFrame = {
-    val d = docs.withColumn("__grp", lit(1))
-    val route = autoRoute(d, idCol, textCol, "__grp", maxDf, budgetPairsPerDoc)
-      .select("kernel").collect()
-    val kernel = if (route.isEmpty) "exact" else route(0).getString(0)
     val sh = shingles(docs, idCol, textCol).localCheckpoint()
+    val route = autoRouteFromShingles(sh.withColumn("__grp", lit(1)),
+      "__grp", maxDf, budgetPairsPerDoc).select("kernel").collect()
+    val kernel = if (route.isEmpty) "exact" else route(0).getString(0)
     kernel match {
       case "exact" =>
         jaccardPairs(sh).where(col("jaccard") >= minJaccard)

@@ -39,6 +39,18 @@ import graft.core.{CosineAnalysis, MatrixElement}
  * ROUTE DEFAULT (measured contract, bench_sf1.json): cluster structure ⇒
  * [[topSimilarIvf]] (2.6–4.4× over exact at sfx1, recall 0.86 mean);
  * no structure ⇒ exact (the occupancy audits detect the collapse).
+ *
+ * THE `pin` PARAMETER (every public entry point): a function that pins
+ * a corpus-sized intermediate and MUST RETURN A NEW DataFrame —
+ * `_.localCheckpoint()` is the intended (and contract-used) value. The
+ * IVF fit detects "caller didn't pin" by reference identity and then
+ * checkpoints internally (its driver-side Lloyd collects would
+ * otherwise re-execute the normalize chain per round), so a pin that
+ * mutates and returns the SAME object (`_.persist()` / `_.cache()`
+ * return `this`) is indistinguishable from identity: the caller's
+ * persist stays, but an eager localCheckpoint is layered on top of it
+ * (ADVICE r12). Pass a checkpoint-style pin, or `identity` to accept
+ * the internal one.
  */
 object SparseAnn {
 
@@ -357,6 +369,14 @@ object SparseAnn {
     // the caller didn't pin, the corpus-sized h/hArr tables are
     // localCheckpointed here (ipin). Callers passing their own pin
     // (the contract entries pass `_.localCheckpoint()`) keep it.
+    // CONTRACT (ADVICE r12): a caller-supplied pin must RETURN A NEW
+    // DataFrame (localCheckpoint-style). The no-pin detection below is
+    // reference identity, and Spark's `persist()`/`cache()` return
+    // `this` — such a pin is indistinguishable from identity, so a
+    // caching caller additionally pays the eager localCheckpoint here.
+    // Documented on every public `pin` parameter rather than sniffed
+    // further, because there is no reliable way to tell "identity"
+    // from "same-object mutation" at this layer.
     val ipin: DataFrame => DataFrame = df => {
       val p = pin(df)
       if (p eq df) df.localCheckpoint() else p

@@ -730,4 +730,23 @@ class DedupSpec extends SparkSpec {
     assert(routed.toSeq == direct.toSeq)
     assert(routed.nonEmpty)
   }
+
+  test("autoDedupPairs shingles the corpus exactly once (r13, ADVICE r12)") {
+    // ADVICE r12: the combined path used to tokenize/shingle twice —
+    // autoRoute built its own shingle table and the kernel a second.
+    // Pin the unified derivation with a per-row evaluation counter on
+    // the text column: the checkpointed shingle table is the ONLY
+    // consumer of the source text, so each doc's text is read once.
+    // (asNondeterministic stops Catalyst duplicating the counter into
+    // several projection sites within one pass.)
+    val acc = spark.sparkContext.longAccumulator("text-evals")
+    val counted = org.apache.spark.sql.functions
+      .udf((t: String) => { acc.add(1); t }).asNondeterministic()
+    val d = docs.withColumn("text",
+      counted(org.apache.spark.sql.functions.col("text")))
+    Dedup.autoDedupPairs(d, "doc_id", "text", minJaccard = 0.2).collect()
+    val n = docs.count()
+    assert(acc.value == n,
+      s"text evaluated ${acc.value} times for $n docs — shingle chain ran more than once")
+  }
 }

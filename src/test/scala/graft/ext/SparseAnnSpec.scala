@@ -206,6 +206,35 @@ class SparseAnnSpec extends SparkSpec {
     val sims = SparseAnn.candidateSimsIvf(analysis, matrix, lists = 4)
       .collect().map(r => (r.getString(0), r.getString(1)))
     assert(sims.length == sims.distinct.length,
-      "duplicate (vector, neighbor) rows — canonical-orientation dot failed to dedupe")
+      "duplicate (vector, neighbor) rows — duplicate unordered pair derivation")
+  }
+
+  // THE CLUSTERED-REGIME RECALL FLOOR (r13, VERDICT r12 What's-wrong #3):
+  // cosine_topk_ivf_recall and its clustered twin assert no floor at the
+  // contract layer, so a dim-hash or ladder change could silently degrade
+  // the WINNING regime (the r12 charFold change moved clustered sf0.01
+  // recall 0.46→0.66 and single-mode 0.52→0.43 with every row still
+  // oracle-green — recall is self-consistent by construction). This pin
+  // makes such a drop RED: the cosine_topk_clustered_ivf CONTRACT fixture
+  // (disjoint coordinate blocks — the regime the IVF route is FOR, and
+  // the regime the route's bench wins are conditioned on) must keep mean
+  // top-5 recall at or above a measured-with-margin floor.
+  test("clustered-regime IVF recall holds the measured floor (contract fixture, sf0.01)") {
+    val sess = spark
+    import sess.implicits._
+    val m = graft.entry.EntryUtil
+      .clusteredSupplierMatrix(spark, "/root/testdata/sf0.01")
+    val exact = analysis.fit(m, isSparse = false).topSimilar(5)
+      .select($"vector".as("query_id"), $"neighbor".as("vec_id"))
+    val ivf = SparseAnn.topSimilarIvf(analysis, m, 5, pin = _.localCheckpoint())
+      .select($"vector".as("query_id"), $"neighbor".as("vec_id"))
+    val recalls = Embeddings.recallAtK(exact, ivf)
+      .select("recall").collect().map(_.getDouble(0))
+    val mean = recalls.sum / recalls.length
+    info(f"clustered contract-fixture mean IVF recall = $mean%.3f")
+    // 0.66 measured at r12's charFold hash (bench_sf1.json finding);
+    // 0.5 is VERDICT r12's suggested floor — margin below the measured
+    // value, far above the single-mode losing regime (~0.43)
+    assert(mean >= 0.5, f"clustered-regime mean recall $mean%.3f fell below the 0.5 floor")
   }
 }
