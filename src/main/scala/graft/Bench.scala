@@ -62,6 +62,9 @@ object Bench {
     "dedup_jaccard_prefix_head", "dedup_jaccard_prefix_head_capped",
     // r12: the kernel router — one corpus pass pricing all three rungs
     "dedup_auto",
+    // r13: the cosine-core kernel router — one cell pass pricing the
+    // exact/salted/dfcap alignment ladder over the three-regime fixture
+    "cosine_auto",
     "quality_quantiles_sketch", "split_by_group",
     "embed_covariance", "hybrid_rrf", "retrieval_ndcg", "quality_robust_z",
     "decontaminate_13gram", "hard_negatives", "embedding_drift",

@@ -202,8 +202,66 @@ object CoreEntries {
       gate(a.alignedPairs(
           a.dfCap(a.normalize(skewedCustomerMatrix(s, dir)), SkewDfCapMax)).toDF(),
         "vector0", "vector1", "prediction_axis")
-    })
+    }),
+    // THE COSINE-CORE KERNEL ROUTER (r13, VERDICT r12 ask #1): "which
+    // alignment kernel do I run on 100 TB" answered from the measured
+    // Σ C(df,2) / C(max_df,2) surfaces — one decision row per planted
+    // regime, the CHOICE flipping across them: the organic customer×part
+    // matrix fits the vector-linear budget with a flat df profile
+    // (→ exact); the same matrix with a planted 60 % boilerplate head
+    // goes over budget while the df cap retains ~94 % of its cells
+    // (→ dfcap — exactly aligned_pairs_skew's regime); and a
+    // sparse-support matrix whose ONLY pair surface is one √N-df hot
+    // coordinate (perfect-square custkeys — df grows as √N, so C(df,2)
+    // stays matrix-LINEAR and the choice is scale-stable) is affordable
+    // but >⅔-concentrated (→ salted). Integer arithmetic end to end;
+    // the oracle replays the ladder verbatim.
+    "cosine_auto" -> ((s, dir) =>
+      gate(graft.core.CosineAnalysis.autoRouteAligned(
+        autoRegimeCells(s, dir), "y", "x", "regime"), "regime"))
   )
+
+  /** cosine_auto's planted three-regime cell table (the dedup_auto
+    * fixture pattern): one row per (regime, vector, coordinate) cell.
+    * `benign` = the organic customer×part support; `headed` = the same
+    * plus 4 hot coordinates planted into 60 % of customers (the
+    * skewedCustomerMatrix head, wide enough to clear the budget at
+    * sf0.01); `skewed` = one private coordinate per customer (df = 1 —
+    * zero pairs) plus one hot coordinate on perfect-square custkeys
+    * (⌊√k⌋² = k — IEEE sqrt of a perfect square ≤ 2^52 is exact, so the
+    * predicate is engine-neutral). */
+  private def autoRegimeCells(s: SparkSession, dir: String): DataFrame = {
+    val ord = s.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val custs = ord.select(col("o_custkey")).distinct()
+    val organic = EntryUtil.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").cast("string").as("y"),
+        col("l_partkey").cast("string").as("x"))
+      .distinct()
+    val sq = floor(sqrt(col("o_custkey"))).cast("long")
+    organic.withColumn("regime", lit("benign"))
+      .unionByName(organic.withColumn("regime", lit("headed")))
+      .unionByName(custs.where(pmod(col("o_custkey"), lit(10)) < 6)
+        .select(col("o_custkey").cast("string").as("y"),
+          explode(array((0 until AutoHotCoords).map(h => lit(s"hot$h")): _*)).as("x"))
+        .withColumn("regime", lit("headed")))
+      .unionByName(custs
+        .select(col("o_custkey").cast("string").as("y"),
+          concat(lit("p"), col("o_custkey").cast("string")).as("x"))
+        .withColumn("regime", lit("skewed")))
+      .unionByName(custs.where(sq * sq === col("o_custkey"))
+        .select(col("o_custkey").cast("string").as("y"), lit("hot").as("x"))
+        .withColumn("regime", lit("skewed")))
+      .select("regime", "y", "x")
+  }
+
+  /** Planted hot-coordinate count of cosine_auto's headed regime: 4 ×
+    * C(0.6·N, 2) clears the vector-linear budget already at sf0.01
+    * (measured 2.50M vs the 1.50M budget; one coordinate alone, 404k,
+    * would not). */
+  private val AutoHotCoords = 4
 
   /** df cap for aligned_pairs_dfcap — prunes the head coordinates at every sf. */
   private val DfCapMax = 20L
@@ -381,6 +439,56 @@ object CoreEntries {
       |       floor((v1)*1e6 + 0.50001)/1e6 AS value1,
       |       floor((v2)*1e6 + 0.50001)/1e6 AS value2
       |FROM pf ORDER BY vector0, vector1, prediction_axis""".stripMargin),
+    // the cosine-core kernel router: the three-regime cell fixture
+    // rebuilt verbatim, then the integer rule ladder replayed
+    "cosine_auto" -> {
+      val cap = graft.core.CosineAnalysis.AutoAlignMaxDf
+      val bud = graft.core.CosineAnalysis.AutoAlignBudgetPerVec
+      val hn = graft.core.CosineAnalysis.AutoAlignHotNum
+      val hd = graft.core.CosineAnalysis.AutoAlignHotDen
+      s"""WITH base AS MATERIALIZED (
+        |  SELECT CAST(o.o_custkey AS VARCHAR) AS y,
+        |         CAST(l.l_partkey AS VARCHAR) AS x
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 2),
+        |custs AS MATERIALIZED (SELECT DISTINCT o_custkey FROM orders),
+        |cells AS (
+        |  SELECT 'benign' AS regime, y, x FROM base
+        |  UNION ALL SELECT 'headed', y, x FROM base
+        |  UNION ALL
+        |  SELECT 'headed', CAST(o_custkey AS VARCHAR),
+        |         'hot' || CAST(h AS VARCHAR)
+        |  FROM custs, UNNEST(range($AutoHotCoords)) r(h)
+        |  WHERE o_custkey % 10 < 6
+        |  UNION ALL
+        |  SELECT 'skewed', CAST(o_custkey AS VARCHAR),
+        |         'p' || CAST(o_custkey AS VARCHAR) FROM custs
+        |  UNION ALL
+        |  SELECT 'skewed', CAST(o_custkey AS VARCHAR), 'hot' FROM custs
+        |  WHERE CAST(floor(sqrt(o_custkey)) AS BIGINT)
+        |        * CAST(floor(sqrt(o_custkey)) AS BIGINT) = o_custkey),
+        |dfs AS (SELECT regime, x, CAST(COUNT(*) AS BIGINT) AS df
+        |        FROM cells GROUP BY 1, 2),
+        |nv AS (SELECT regime, CAST(COUNT(DISTINCT y) AS BIGINT) AS n_vectors
+        |       FROM cells GROUP BY 1),
+        |agg AS (SELECT regime,
+        |  CAST(SUM(df) AS BIGINT) AS postings,
+        |  CAST(MAX(df) AS BIGINT) AS max_df,
+        |  CAST(SUM(df * (df - 1) // 2) AS BIGINT) AS uncapped_pairs,
+        |  CAST(SUM(CASE WHEN df <= $cap THEN df * (df - 1) // 2 ELSE 0 END) AS BIGINT) AS capped_pairs,
+        |  CAST(SUM(CASE WHEN df <= $cap THEN df ELSE 0 END) AS BIGINT) AS retained_postings
+        |  FROM dfs GROUP BY 1)
+        |SELECT a.regime, nv.n_vectors, a.postings, a.max_df,
+        |  CAST(a.max_df * (a.max_df - 1) // 2 AS BIGINT) AS hot_pairs,
+        |  a.uncapped_pairs, a.capped_pairs, a.retained_postings,
+        |  CAST(nv.n_vectors * $bud AS BIGINT) AS budget_pairs,
+        |  CASE WHEN a.uncapped_pairs <= nv.n_vectors * $bud
+        |            AND a.max_df * (a.max_df - 1) // 2 * $hn
+        |                <= a.uncapped_pairs * $hd THEN 'exact'
+        |       WHEN a.uncapped_pairs <= nv.n_vectors * $bud THEN 'salted'
+        |       ELSE 'dfcap' END AS kernel
+        |FROM agg a JOIN nv USING (regime) ORDER BY regime""".stripMargin
+    },
     "pair_mods_sparse" ->
       (pipelineSql + "\nSELECT vector0, vector1, floor((mod1)*1e6 + 0.50001)/1e6 AS mod1, floor((mod2)*1e6 + 0.50001)/1e6 AS mod2 FROM smods ORDER BY vector0, vector1"),
     "pair_mods_dense" ->

@@ -107,4 +107,57 @@ class CosineAnalysisSpec extends SparkSpec {
     val sims = simMap(analysis.fit(dup, isSparse = false))
     assertApprox(sims(("D", "A")), 1.0)
   }
+
+  test("autoRouteAligned: the kernel choice flips across planted regimes (r13 router)") {
+    val s = spark
+    import s.implicits._
+    // benign: 12 vectors, each on its own 2 coordinates plus one shared
+    // pair per consecutive vectors — small flat surface, under budget.
+    val benign = for { v <- 0 until 12; c <- Seq(s"b$v", s"b${v + 1}") }
+      yield ("benign", s"v$v", c)
+    // skewed: 12 vectors, one private coordinate each (df = 1, zero
+    // pairs) + one hot coordinate on 5 of them — the WHOLE surface is
+    // C(5,2) = 10 pairs, affordable but 100 % concentrated.
+    val skewed = (0 until 12).map(v => ("skewed", s"v$v", s"p$v")) ++
+      (0 until 5).map(v => ("skewed", s"v$v", "hot"))
+    // headed: 12 vectors all sharing 3 boilerplate coordinates (df = 12
+    // each: 3·C(12,2) = 198 pairs > the 12·8 budget) + a private one.
+    val headed = (0 until 12).flatMap(v =>
+      ("headed", s"v$v", s"q$v") +: (0 until 3).map(c => ("headed", s"v$v", s"bp$c")))
+    val cells = (benign ++ skewed ++ headed).toDF("regime", "y", "x")
+    val got = CosineAnalysis.autoRouteAligned(cells, "y", "x", "regime",
+        maxDf = 4L, budgetPairsPerVec = 8L)
+      .collect().map(r => r.getString(0) -> r.getString(9)).toMap
+    assert(got == Map("benign" -> "exact", "skewed" -> "salted",
+      "headed" -> "dfcap"), got.toString)
+  }
+
+  test("autoAlignedPairs dispatches to the chosen kernel's exact rows") {
+    val s = spark
+    import s.implicits._
+    def rows(ds: org.apache.spark.sql.Dataset[FactorNormalizedValue]) =
+      ds.collect().map(p => (p.vector0, p.vector1, p.prediction_axis)).sorted.toSeq
+    // the tiny fixture routes to `exact`: identical rows to the direct kernel
+    val a = analysis
+    assert(rows(a.autoAlignedPairs(fixture)) ==
+      rows(a.alignedPairs(a.normalize(fixture))))
+    // a >2/3-concentrated affordable matrix routes to `salted` — same
+    // exact rows, different physical plan
+    val hot = (for { v <- 0 until 8 } yield MatrixElement(s"v$v", "hot", 1.0 + v))
+      .++(for { v <- 0 until 8 } yield MatrixElement(s"v$v", s"p$v", 2.0))
+      .toDS()
+    assert(rows(a.autoAlignedPairs(hot, budgetPairsPerVec = 8L)) ==
+      rows(a.alignedPairs(a.normalize(hot))))
+    assert(rows(a.autoAlignedPairs(hot, budgetPairsPerVec = 8L)).nonEmpty)
+    // an over-budget head routes to `dfcap`: rows equal the capped
+    // kernel's — the 3 df=10 boilerplate coordinates are excised, the
+    // df=2 chain coordinates survive (so the capped output is non-empty)
+    val headed = ((for { v <- 0 until 10; c <- 0 until 3 }
+      yield MatrixElement(s"v$v", s"bp$c", 1.0 + c)) ++
+      (for { v <- 0 until 10; c <- Seq(s"c$v", s"c${v + 1}") }
+        yield MatrixElement(s"v$v", c, 3.0))).toDS()
+    val capped = rows(a.autoAlignedPairs(headed, maxDf = 4L, budgetPairsPerVec = 2L))
+    assert(capped == rows(a.alignedPairs(a.dfCap(a.normalize(headed), 4L))))
+    assert(capped.nonEmpty)
+  }
 }

@@ -112,7 +112,7 @@ CONFIG_NOTES = {
            "(bench_sf10_rep2.json); corpus_select_shards additionally "
            "re-measured alone. Committed time = min of observations; "
            "two_rep carries both.",
-    "kernel_list": "tools/sfx10_queries.txt - the 18 scale-critical "
+    "kernel_list": "tools/sfx10_queries.txt - the 19 scale-critical "
            "kernels whose caps/banding were sized at 10x; r12 adds dedup_auto (the router, via bench_sf10_auto_patch.json) and "
            "aligned_pairs_skew_dfcap (the skew exhibit's mitigation "
            "twin, VERDICT r11 ask #1).",
