@@ -8,6 +8,7 @@ certifies the cap/banding design or catches the next inversion class.
 Findings are curated by hand in this script.
 
 Usage: python3 tools/finalize_sf10.py bench_sf10_raw.json [patch.json ...]
+       [--isolated bench_sf10_iso.json]
 Dev tool only — the shipped library has no Python deps.
 """
 import json
@@ -106,12 +107,12 @@ CONFIG_NOTES = {
     "run": "tools/run_sfx10.sh - graft.ScaleUp 100x replica of sf0.1 "
            "(~60M lineitem, 15M orders, 500k docs, 100k vectors; affine "
            "per-copy letter bijections so no verbatim cross-copy text), "
-           "local[32], 3600s watchdog, NO tuning env vars. rep1 = the "
-           "full 17-kernel in-run pass; rep2 = a second isolated-batch "
-           "pass over the ten biggest/suspect kernels "
-           "(bench_sf10_rep2.json); corpus_select_shards additionally "
-           "re-measured alone. Committed time = min of observations; "
-           "two_rep carries both.",
+           "local[32], 3600s watchdog, NO tuning env vars. The full "
+           "kernel list runs once in-run; the ten state-sensitive "
+           "kernels are then re-measured ISOLATED (one JVM each, "
+           "tools/run_sfx10_isolated.sh) and the isolated draw is the "
+           "committed number (r13 protocol, VERDICT r12 ask #7); "
+           "'observations' carries both draws.",
     "kernel_list": "tools/sfx10_queries.txt - the 19 scale-critical "
            "kernels whose caps/banding were sized at 10x; r12 adds dedup_auto (the router, via bench_sf10_auto_patch.json) and "
            "aligned_pairs_skew_dfcap (the skew exhibit's mitigation "
@@ -121,14 +122,22 @@ CONFIG_NOTES = {
 
 def main():
     args = sys.argv[1:]
-    # --rep2 <file>: a second independent observation of (some) kernels
-    # (VERDICT r11 ask #6). The headline time stays min-of-reps (the
-    # Bench convention); both observations are committed per kernel so
-    # the >=100s curves are no longer single draws from a +-40% band.
-    rep2 = {}
-    if "--rep2" in args:
-        i = args.index("--rep2")
-        rep2 = json.load(open(args[i + 1]))["queries"]
+    # --isolated <file> (r13, VERDICT r12 ask #7; replaces r12's --rep2
+    # min-of-reps): bench_sf10_iso.json from tools/run_sfx10_isolated.sh
+    # — one JVM per state-sensitive kernel. The ISOLATED time is the
+    # committed number for those kernels (it is the only draw whose
+    # starting state is defined: a fresh JVM and whatever the page cache
+    # holds after its own replica scan); the in-run draw from the full
+    # pass is kept as the context column under "observations". r12's
+    # min-of-reps rescued a bad in-run draw with a second pass; this
+    # makes the defined-state draw the protocol.
+    iso = {}
+    iso_sh = {}
+    if "--isolated" in args:
+        i = args.index("--isolated")
+        d = json.load(open(args[i + 1]))
+        iso = d["queries"]
+        iso_sh = d.get("shuffle_bytes", {})
         args = args[:i] + args[i + 2:]
     raw = json.load(open(args[0]))
     q = dict(raw["queries"])
@@ -137,11 +146,13 @@ def main():
         d = json.load(open(p))
         q.update(d["queries"])
         sh.update(d.get("shuffle_bytes", {}))
-    two_rep = {k: {"rep1": round(q[k], 2), "rep2": round(rep2[k], 2)}
-               for k in rep2 if k in q}
-    for k, v in rep2.items():
-        if k in q:
-            q[k] = min(q[k], v)
+    two_rep = {k: {"isolated": round(v, 2),
+                   "in_run": round(q[k], 2) if k in q else None}
+               for k, v in iso.items()}
+    for k, v in iso.items():
+        q[k] = v
+        if k in iso_sh:
+            sh[k] = iso_sh[k]
     sf01 = json.load(open("bench_out.json"))["queries"]
     sfx1 = json.load(open("bench_sf1.json"))["queries"]
     curves = {}
@@ -162,7 +173,16 @@ def main():
         "value": round(sum(q.values()), 1),
         "n_queries": len(q),
         "queries": {k: round(v, 2) for k, v in sorted(q.items())},
-        "two_rep": two_rep,
+        "observations": {
+            "note": "state-sensitive kernels (tools/"
+                    "sfx10_isolated_kernels.txt): committed time = the "
+                    "ISOLATED draw (one JVM per kernel, "
+                    "tools/run_sfx10_isolated.sh); in_run = the same "
+                    "kernel inside the full pass, kept as context "
+                    "(r12 measured 5-6x in-run/isolated bands on "
+                    "byte-identical shuffle plans)",
+            "rows": two_rep,
+        },
         "errors": raw.get("errors", {}),
         "shuffle_bytes": sh,
         "scaling_curves": {
