@@ -157,8 +157,12 @@ object Multimodal {
       payloadCol: String = "payload")(
       implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
+    // repartition: the byte-light id scan packs into ~1 partition while
+    // the derived codec work is CPU-heavy — see [[withWavPayload]]'s
+    // scaladoc (r13; the audio twin measured the collapse)
     docs.select(col(idCol).cast("long"))
       .as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
       .mapPartitions(_.map(id => (id, plantedPng(id))))
       .toDF(idCol, payloadCol)
   }
@@ -467,7 +471,51 @@ object Multimodal {
    * lossless, so whatever parses the RIFF container back must read
    * exactly the planted int16s — the audio twin of [[plantedPng]].
    */
-  def plantedWav(docId: Long): Array[Byte] = {
+  def plantedWav(docId: Long): Array[Byte] = plantedWav(docId, wavWriter())
+
+  /**
+   * THE PROVIDER HOIST (r13, VERDICT r12 What's-missing #4 — the
+   * multimodal_audio 17× sfx1 step, root-caused by stage timing +
+   * jstack sampling): `AudioSystem.write` / `AudioSystem
+   * .getAudioInputStream` resolve their codec provider through the JDK
+   * sound registry on EVERY call, and under Spark executor task threads
+   * that resolution re-runs the ServiceLoader provider scan instead of
+   * hitting the registry's cache (measured: 50k tiny clips encode in
+   * 0.5 s single-threaded in a plain JVM, 1.1 s on 32 plain threads —
+   * but 4–8 s inside Spark tasks, with jstack samples landing in
+   * `JSSecurityManager.getProviders` on every pull; the identical
+   * encode with the writer resolved ONCE runs 0.3 s). So the codec
+   * provider is looked up once per PARTITION through the public
+   * `javax.sound.sampled.spi` ServiceLoader surface and invoked
+   * directly per row — same JDK codec, same bytes, ~20× the
+   * throughput. The per-call [[plantedWav]]/[[audioStats]] semantics
+   * are unchanged; only the lookup is hoisted.
+   */
+  private[ext] def wavWriter(): javax.sound.sampled.spi.AudioFileWriter = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter],
+        classOf[javax.sound.sampled.AudioSystem].getClassLoader)
+      .asScala
+      .find(_.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+      .getOrElse(throw new IllegalStateException(
+        "no WAVE AudioFileWriter provider in this JDK"))
+  }
+
+  /** The registered audio readers, resolved once (see [[wavWriter]]);
+    * [[audioStats]] tries them in registry order per payload — the same
+    * loop `AudioSystem.getAudioInputStream` runs, minus the per-call
+    * provider resolution. */
+  private[ext] def audioReaders(): Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader],
+        classOf[javax.sound.sampled.AudioSystem].getClassLoader)
+      .asScala.toSeq
+  }
+
+  private[ext] def plantedWav(docId: Long,
+      writer: javax.sound.sampled.spi.AudioFileWriter): Array[Byte] = {
     val n = plantedSampleCount(docId)
     val pcm = new Array[Byte](n * 2)
     var i = 0
@@ -481,21 +529,36 @@ object Multimodal {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
     val bos = new java.io.ByteArrayOutputStream(512)
-    javax.sound.sampled.AudioSystem.write(
-      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    writer.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
 
   /** Attach a REAL WAV payload column derived from the id column — the
     * fixture generator for the audio-decode path (same partition-batch
-    * seam as [[withPngPayload]]). */
+    * seam as [[withPngPayload]]).
+    *
+    * The id table is REPARTITIONED to the session's default parallelism
+    * first (r13, VERDICT r12 What's-missing #4): the ids' source scan
+    * is byte-light (a 50k-doc replica packs into ONE file-scan
+    * partition under maxPartitionBytes), but the work DERIVED from each
+    * row — codec encode here, the real RIFF parse in [[audioStats]]
+    * downstream, both inheriting this partitioning through narrow maps —
+    * is CPU-heavy, so scan-byte partitioning collapses the whole
+    * encode→decode chain onto one core (measured: the sfx1 decade step
+    * was 8.8 s single-task; 1.5 s after this spread). The exchange
+    * moves only (id) longs, negligible at any scale next to the codec
+    * work it distributes. */
   def withWavPayload(docs: DataFrame, idCol: String,
       payloadCol: String = "payload")(
       implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     docs.select(col(idCol).cast("long"))
       .as[Long]
-      .mapPartitions(_.map(id => (id, plantedWav(id))))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        val writer = wavWriter() // provider hoist — see [[wavWriter]]
+        it.map(id => (id, plantedWav(id, writer)))
+      }
       .toDF(idCol, payloadCol)
   }
 
@@ -515,10 +578,30 @@ object Multimodal {
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(payloadCol))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.flatMap { case (id, payload) =>
+      .mapPartitions { part =>
+        val readers = audioReaders() // provider hoist — see [[wavWriter]]
+        // adaptive reader order: after the first successful parse, try
+        // that reader FIRST for the rest of the partition. The registry
+        // order puts the MIDI-soundbank reader before the RIFF one, and
+        // its rejection path runs `MidiSystem.getSequence` — ANOTHER
+        // per-call provider resolution (jstack-sampled) — per payload.
+        var preferred: javax.sound.sampled.spi.AudioFileReader = null
+        part.flatMap { case (id, payload) =>
         try {
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(payload))
+          val ordered =
+            if (preferred == null) readers
+            else preferred +: readers.filterNot(_ eq preferred)
+          val ais = ordered.iterator.flatMap { r =>
+            try {
+              val a = r.getAudioInputStream(
+                new java.io.ByteArrayInputStream(payload))
+              preferred = r
+              Some(a)
+            } catch {
+              case _: javax.sound.sampled.UnsupportedAudioFileException => None
+            }
+          }.nextOption().getOrElse(
+            throw new javax.sound.sampled.UnsupportedAudioFileException())
           val fmt = ais.getFormat
           val bytes = ais.readAllBytes()
           val little = !fmt.isBigEndian
@@ -541,7 +624,8 @@ object Multimodal {
           case _: javax.sound.sampled.UnsupportedAudioFileException |
               _: java.io.IOException => None
         }
-      })
+        }
+      }
   }
 
   /**
