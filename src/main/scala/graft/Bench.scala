@@ -65,6 +65,9 @@ object Bench {
     // r13: the cosine-core kernel router — one cell pass pricing the
     // exact/salted/dfcap alignment ladder over the three-regime fixture
     "cosine_auto",
+    // r13: the ANN kernel router — one Lloyd fit + moment pass pricing
+    // the brute/ivf/lsh_banded ladder over the three-regime embeddings
+    "ann_auto",
     "quality_quantiles_sketch", "split_by_group",
     "embed_covariance", "hybrid_rrf", "retrieval_ndcg", "quality_robust_z",
     "decontaminate_13gram", "hard_negatives", "embedding_drift",

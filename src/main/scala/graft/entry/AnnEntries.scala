@@ -1,7 +1,7 @@
 package graft.entry
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, pmod}
+import org.apache.spark.sql.functions.{col, expr, lit, pmod}
 
 import graft.ext.Embeddings
 import EntryUtil._
@@ -88,6 +88,27 @@ object AnnEntries {
     "ann_ivf_balance" -> ((s, dir) =>
       gate(Embeddings.ivfListBalance(embeddings(s, dir), "vec_id",
         "embedding", k = KMeansK, iters = KMeansIters), "cluster")),
+    // THE ANN KERNEL ROUTER (r13): "which near-duplicate blocking do I
+    // run on this embedding corpus at 100 TB" answered from measured
+    // surfaces — the dedup_auto / cosine_auto pattern applied to the
+    // third family. One decision row per planted regime, the CHOICE
+    // flipping across them: a constant-size pilot slice whose C(n,2)
+    // fits the vector-linear budget (→ brute — and, uniquely in this
+    // family, a rung that CORRECTLY flips to a bucketed kernel when the
+    // slice outgrows the budget: all-pairs surfaces have no df profile
+    // to stay flat); the same corpus with 8 planted well-separated
+    // modes, where the Lloyd fit's explained-variance ratio certifies
+    // that inverted lists bound candidates (→ ivf); and the organic
+    // isotropic blob (measured label-EVR 3e-4) where Voronoi cells
+    // carry no similarity signal and only sign-LSH banding bounds
+    // candidates (→ lsh_banded). Snapped-double EVR + integer pair
+    // arithmetic; the oracle replays the ladder verbatim.
+    "ann_auto" -> ((s, dir) =>
+      gate(Seq("blob", "clustered", "pilot").map { r =>
+        Embeddings.annRoute(annAutoRegime(s, dir, r), "vec_id",
+          "embedding", KMeansK, KMeansIters, AnnAutoBudgetPerVec)
+          .select(lit(r).as("regime"), col("*"))
+      }.reduce(_ unionByName _), "regime")),
     // ext: the nprobe recall/cost pareto curve — exact recall@5 vs
     // candidate volume per probe budget, ONE scored table fanned out
     // over nprobe (a candidate lives in exactly one list, so each pair
@@ -253,6 +274,38 @@ object AnnEntries {
   private val KMeansK = 8
   private val KMeansIters = 2
   private val Nprobe = 2
+
+  /** ann_auto contract: the pilot slice is CONSTANT-size (ids < 200 —
+    * the same 200 vectors at every sf, so its brute choice is trivially
+    * scale-stable), the budget is 128 candidate pairs per vector
+    * (C(200,2) = 19,900 ≤ 25,600 at the pilot; C(500,2) = 124,750 >
+    * 64,000 already at the smallest full corpus), and the clustered
+    * plant shifts every dimension by 4·(vec_id mod 8) — 32× the
+    * organic per-dim spread (std 0.125), so the 8 modes are
+    * unambiguous, the id-ordered seeds 0..7 land one per mode, and the
+    * fit's EVR clears the 0.5 rung by construction (~0.98 vs the
+    * blob's ~0.03). */
+  private val AnnAutoPilot = 200L
+  private val AnnAutoBudgetPerVec = 128L
+  private val AnnAutoOffset = "4.0"
+
+  /** ann_auto's planted three-regime corpora, derived from the one
+    * embeddings table: `pilot` = the constant-size slice; `clustered` =
+    * every vector shifted (in double precision, so the DuckDB twin is
+    * IEEE-identical) onto one of 8 well-separated diagonal modes;
+    * `blob` = the organic corpus as-is. */
+  private def annAutoRegime(s: SparkSession, dir: String,
+      regime: String): DataFrame = {
+    val e = embeddings(s, dir)
+    regime match {
+      case "pilot" => e.where(col("vec_id") < AnnAutoPilot)
+      case "clustered" => e.select(col("vec_id"),
+        expr(s"transform(embedding, x -> CAST(x AS DOUBLE) + " +
+          s"CAST($AnnAutoOffset AS DOUBLE) * CAST(vec_id % $KMeansK AS DOUBLE))")
+          .as("embedding"))
+      case _ => e
+    }
+  }
 
   /** Probe budgets swept by the pareto contract (half the codebook). */
   private val MaxNprobe = 4
@@ -431,7 +484,78 @@ object AnnEntries {
         |SELECT query_id, CAST(rn AS BIGINT) AS rank, cand_id AS vec_id, cosine
         |FROM rk WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** One ann_auto regime's decision chain: the kmeansAssignChainSql
+    * Lloyd rounds over a regime-transformed cell table, folded to the
+    * router's decision row — within/total per-cell variance, snapped
+    * EVR, integer pair surfaces, and the CASE ladder replayed verbatim
+    * (brute iff C(n,2) fits the linear budget; ivf iff EVR ≥ 0.5; else
+    * lsh_banded). */
+  private def annAutoChainSql(tag: String, regime: String, xExpr: String,
+      where: String): String =
+    s"""u$tag AS MATERIALIZED (
+      |  SELECT vec_id, i, $xExpr AS x
+      |  FROM embeddings, UNNEST(range(len(embedding))) AS r(i) $where),
+      |seed$tag AS (SELECT vec_id,
+      |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid
+      |  FROM (SELECT DISTINCT vec_id FROM u$tag ORDER BY vec_id LIMIT $KMeansK)),
+      |c0$tag AS (SELECT s.cid, u.i, u.x AS c
+      |  FROM u$tag u JOIN seed$tag s ON u.vec_id = s.vec_id),
+      |d1$tag AS (SELECT u.vec_id, c.cid,
+      |    ${r6sql("SUM((u.x - c.c) * (u.x - c.c))")} AS d2
+      |  FROM u$tag u JOIN c0$tag c ON u.i = c.i GROUP BY 1, 2),
+      |a1$tag AS (SELECT vec_id, cid FROM
+      |  (SELECT vec_id, cid,
+      |     row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |   FROM d1$tag) WHERE rn = 1),
+      |c1$tag AS (SELECT a.cid, u.i, ${r6sql("AVG(u.x)")} AS c
+      |  FROM u$tag u JOIN a1$tag a ON u.vec_id = a.vec_id GROUP BY 1, 2),
+      |d2$tag AS (SELECT u.vec_id, c.cid,
+      |    ${r6sql("SUM((u.x - c.c) * (u.x - c.c))")} AS d2
+      |  FROM u$tag u JOIN c1$tag c ON u.i = c.i GROUP BY 1, 2),
+      |w$tag AS (SELECT SUM(d2) AS w FROM
+      |  (SELECT vec_id, d2,
+      |     row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |   FROM d2$tag) WHERE rn = 1),
+      |mu$tag AS (SELECT i, ${r6sql("AVG(x)")} AS m FROM u$tag GROUP BY 1),
+      |t$tag AS (SELECT SUM((u.x - m.m) * (u.x - m.m)) AS t
+      |  FROM u$tag u JOIN mu$tag m ON u.i = m.i),
+      |n$tag AS (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n,
+      |  CAST(MAX(i) + 1 AS BIGINT) AS dim FROM u$tag),
+      |dec$tag AS (SELECT '$regime' AS regime, n.n AS n_vectors,
+      |  n.dim AS dim,
+      |  CAST(n.n * (n.n - 1) / 2 AS BIGINT) AS uncapped_pairs,
+      |  n.n * $AnnAutoBudgetPerVec AS budget_pairs,
+      |  ${r6sql("w.w / CAST(n.n * n.dim AS DOUBLE)")} AS within_var,
+      |  ${r6sql("t.t / CAST(n.n * n.dim AS DOUBLE)")} AS total_var,
+      |  CASE WHEN t.t > 0 THEN ${r6sql("1.0 - w.w / t.t")}
+      |       ELSE 0.0 END AS evr,
+      |  CASE WHEN CAST(n.n * (n.n - 1) / 2 AS BIGINT)
+      |            <= n.n * $AnnAutoBudgetPerVec THEN 'brute'
+      |       WHEN (CASE WHEN t.t > 0 THEN ${r6sql("1.0 - w.w / t.t")}
+      |             ELSE 0.0 END) >= 0.5 THEN 'ivf'
+      |       ELSE 'lsh_banded' END AS kernel
+      |  FROM n$tag n, w$tag w, t$tag t)""".stripMargin
+
+  private lazy val annAutoOracle: String = {
+    val blob = annAutoChainSql("B", "blob",
+      "CAST(embedding[i+1] AS DOUBLE)", "")
+    val clustered = annAutoChainSql("C", "clustered",
+      s"CAST(embedding[i+1] AS DOUBLE) + CAST($AnnAutoOffset AS DOUBLE)" +
+        s" * CAST(vec_id % $KMeansK AS DOUBLE)", "")
+    val pilot = annAutoChainSql("P", "pilot",
+      "CAST(embedding[i+1] AS DOUBLE)", s"WHERE vec_id < $AnnAutoPilot")
+    s"""WITH $blob,
+      |$clustered,
+      |$pilot
+      |SELECT regime, n_vectors, dim, uncapped_pairs, budget_pairs,
+      |       within_var, total_var, evr, kernel
+      |FROM (SELECT * FROM decB UNION ALL SELECT * FROM decC
+      |      UNION ALL SELECT * FROM decP)
+      |ORDER BY regime""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "ann_auto" -> annAutoOracle,
     // full- and prefix-dim cosines from the same exploded elements (the
     // prefix is i < TruncDim), each r6-snapped BEFORE the abs diff —
     // identical doubles in both engines, so every comparison agrees

@@ -964,6 +964,123 @@ object Embeddings {
           .as("load_factor"))
   }
 
+  /**
+   * ANN KERNEL ROUTER — "which near-duplicate blocking do I run on this
+   * embedding corpus at 100 TB", answered from MEASURED surfaces (r13;
+   * the third family to get the [[graft.ext.Dedup.autoRoute]] /
+   * [[graft.core.CosineAnalysis.autoRouteAligned]] pattern). One row:
+   * the corpus's pair surface, a vector-LINEAR pair budget, and the
+   * Lloyd fit's explained-variance ratio (EVR = 1 − within/total — how
+   * much of the corpus's spread cluster membership explains), feeding a
+   * three-rung ladder:
+   *
+   *  1. `uncapped_pairs ≤ budget_pairs` → `brute` — C(n,2) fits the
+   *     linear budget, so the exact [[allPairsCosine]] is affordable and
+   *     is always the right answer when it is. Unlike the dedup/cosine
+   *     routers' shape-based first rungs, this one is inherently
+   *     ABSOLUTE-size-bounded (an all-pairs surface has no df profile to
+   *     stay flat): a pilot slice that routes `brute` today correctly
+   *     flips to a bucketed kernel when it grows past the budget — the
+   *     flip IS the router working, not instability.
+   *  2. snapped EVR ≥ 0.5 → `ivf` — the fit separates the corpus, so
+   *     nearest-centroid inverted lists put near-duplicates in the same
+   *     list and within-list pairs bound candidates at Σ_l C(n_l, 2)
+   *     with balanced modes (multi-mode corpora: the [[ivfListBalance]]
+   *     regime IVF deployments want).
+   *  3. else → `lsh_banded` — an isotropic blob (the measured organic
+   *     embeddings fixture: label-EVR 3e-4) defeats Voronoi blocking:
+   *     neighbors straddle every cell boundary, so list membership
+   *     carries no similarity signal. Sign-LSH banding
+   *     ([[lshNearPairsCosine]]) bounds candidates by bucket geometry
+   *     independent of mode structure — the minhash_banded analogue.
+   *
+   * Decision inputs are one COUNT, one Lloyd fit (the [[kMeansAssign]]
+   * plan — O(N·k) aggregated rows, the corpus's one data-sized pass),
+   * and one per-dim moment aggregate; everything else is row arithmetic
+   * on a 1-row frame. EVR and the pair counts are snapped/integral so
+   * the DuckDB oracle replays the ladder verbatim. The budget is
+   * vector-linear (`budgetPerVec`·n): affordable work is O(N) at any
+   * scale, so rungs 2–3 are scale-stable for a same-SHAPED corpus.
+   *
+   * Works on `array<float>` and `array<double>` vector columns alike
+   * (the decision path never calls [[dotSql float_dot]]).
+   */
+  def annRoute(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, budgetPerVec: Long): DataFrame = {
+    require(k > 0 && iters >= 1 && budgetPerVec > 0)
+    val cells = cellsOf(emb, idCol, vecCol)
+    val nv = emb.select(size(col(vecCol)).as("d"))
+      .agg(count(lit(1)).cast("long").as("n_vectors"),
+        max(col("d")).cast("long").as("dim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("d2").asc, col("cid").asc)
+    val within = lloydFinalDistances(emb, idCol, vecCol, k, iters, "id")
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .agg(sum(col("d2")).as("within_sum"))
+    val mu = cells.groupBy("i").agg(snapCol(avg(col("x"))).as("m"))
+    val tot = cells.join(mu, "i")
+      .agg(sum((col("x") - col("m")) * (col("x") - col("m"))).as("total_sum"))
+    nv.crossJoin(within).crossJoin(tot)
+      // n(n−1) is even, so /2 is exact in double up to n ~ 9e7 (n² < 2^53)
+      .withColumn("uncapped_pairs",
+        (col("n_vectors") * (col("n_vectors") - 1) / lit(2)).cast("long"))
+      .withColumn("budget_pairs", col("n_vectors") * lit(budgetPerVec))
+      // PER-CELL variances, not raw sums: dividing by the exact n·dim
+      // count keeps the reported magnitudes O(spread²), so double
+      // summation-order noise sits ~5 decades under the 1e-6 compare
+      // grid at any corpus size (a raw sum's noise grows with N·|x| and
+      // reaches the grid around 32k cells). EVR is a ratio, so it is
+      // identical either way.
+      .withColumn("within_var",
+        col("within_sum") / (col("n_vectors") * col("dim")).cast("double"))
+      .withColumn("total_var",
+        col("total_sum") / (col("n_vectors") * col("dim")).cast("double"))
+      .withColumn("evr", when(col("total_var") > 0,
+        snapCol(lit(1.0) - col("within_var") / col("total_var")))
+        .otherwise(lit(0.0)))
+      .withColumn("kernel",
+        when(col("uncapped_pairs") <= col("budget_pairs"), lit("brute"))
+          .when(col("evr") >= 0.5, lit("ivf"))
+          .otherwise(lit("lsh_banded")))
+      .select(col("n_vectors"), col("dim"), col("uncapped_pairs"),
+        col("budget_pairs"), col("within_var"), col("total_var"),
+        col("evr"), col("kernel"))
+  }
+
+  /**
+   * Executes [[annRoute]]'s decision: near-duplicate pairs (v0 < v1,
+   * snapped cosine ≥ `simThreshold`) through the chosen kernel —
+   * `brute` = [[allPairsCosine]]; `ivf` = within-list pairs of the same
+   * Lloyd fit the route measured (candidates bounded by Σ_l C(n_l, 2));
+   * `lsh_banded` = [[lshNearPairsCosine]]. The 1-row route collect is
+   * model-sized (the [[graft.ext.Dedup.autoDedupPairs]] convention), so
+   * calling this executes the route probe eagerly. `vecCol` must be
+   * `array<float>` (the kernels' [[dotSql float_dot]] contract); recall
+   * is kernel-dependent — brute is exact, ivf misses cross-list pairs
+   * (≈ none when the route chose it for a separated corpus), lsh_banded
+   * follows the sign-LSH cone analysis (≈ 1 in the near-dup regime).
+   */
+  def annAutoPairs(emb: DataFrame, idCol: String, vecCol: String,
+      simThreshold: Double, dim: Int, k: Int = 8, iters: Int = 2,
+      budgetPerVec: Long = 128L): DataFrame = {
+    val kernel = annRoute(emb, idCol, vecCol, k, iters, budgetPerVec)
+      .select(col("kernel")).head().getString(0)
+    val pairs = kernel match {
+      case "brute" => allPairsCosine(emb, idCol, vecCol)
+      case "ivf" =>
+        val n = withNorms(emb, idCol, vecCol)
+          .join(kMeansAssign(emb, idCol, vecCol, k, iters)
+            .select(col("vec_id"), col("cluster")), "vec_id")
+        n.as("a").join(n.as("b"), col("a.cluster") === col("b.cluster") &&
+            col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("v0"), col("b.vec_id").as("v1"),
+            snapCol(expr(dotSql("a.emb", "b.emb")) /
+              (col("a.nrm") * col("b.nrm"))).as("cosine"))
+      case _ => lshNearPairsCosine(emb, idCol, vecCol, dim)
+    }
+    pairs.where(col("cosine") >= lit(simThreshold))
+  }
+
   def ivfKMeansTopK(candidates: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, kClusters: Int = 8, iters: Int = 2,
       nprobe: Int = 2, materializeCodebook: Boolean = true,

@@ -117,6 +117,11 @@ class PlanAuditSpec extends SparkSpec {
       "graph_degree_stats",
       // 1-row (total, k) scalar broadcast over the k-row occupancy table
       "ann_ivf_balance",
+      // the router's three 1-row surface frames (count, within-mass,
+      // total-mass) crossed into one decision row per regime — the
+      // graph_degree_stats / vocab_kmv_audit shape; the Lloyd fit and
+      // moment aggregates feeding them are equi-join/aggregate only
+      "ann_auto",
       // the anchor-day and three 1-row tercile-threshold scalar
       // broadcasts over the customer frame
       "rel_rfm_segments",
