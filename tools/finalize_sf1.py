@@ -13,6 +13,24 @@ import json
 import sys
 
 FINDINGS = [
+    "R13 DECADE-STEP ATTRIBUTIONS (VERDICT r12 ask #4) - all three >8x "
+    "sfx1 steps settled by isolated re-reps + surface measurement, none "
+    "a scale defect: (1) multimodal_audio 17.4x was REAL and is FIXED "
+    "in code - AudioSystem.write/getAudioInputStream re-ran the JDK "
+    "sound-provider ServiceLoader scan per row under Spark task "
+    "threads (jstack-sampled); providers now resolve once per "
+    "partition and readers reorder adaptively: 9.94s -> 0.45s at sfx1. "
+    "(2) rel_join_bucketed 9.4x was measurement semantics: the sf0.1 "
+    "min-of-3 denominator reuses the bucketed warehouse tables written "
+    "by rep 1 (0.44s warm) while the 1-rep sfx1 run pays the cold "
+    "two-table bucketed rebuild; isolated cold-vs-cold it is 4.06s -> "
+    "5.31s (1.31x) on byte-identical 1,691-byte join shuffles (the "
+    "bucketing holds - no exchange at either scale). (3) "
+    "dedup_semantic_sweep_probes 11.0x was the same warm-denominator "
+    "artifact: isolated cold-vs-cold 1.42s -> 8.64s (6.1x) on 9.4x "
+    "shuffle bytes (198,995 -> 1,878,687) - linear surface, sublinear "
+    "time.",
+
     "R12 PRUNE GATE: jaccardForBySh's candidate-doc semi-join is now "
     "regime-gated on the measured df-head (prune iff max_df^2 > "
     "postings, one aggregate over the shingle table). Isolating the "

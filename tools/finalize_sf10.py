@@ -113,10 +113,11 @@ CONFIG_NOTES = {
            "tools/run_sfx10_isolated.sh) and the isolated draw is the "
            "committed number (r13 protocol, VERDICT r12 ask #7); "
            "'observations' carries both draws.",
-    "kernel_list": "tools/sfx10_queries.txt - the 19 scale-critical "
-           "kernels whose caps/banding were sized at 10x; r12 adds dedup_auto (the router, via bench_sf10_auto_patch.json) and "
-           "aligned_pairs_skew_dfcap (the skew exhibit's mitigation "
-           "twin, VERDICT r11 ask #1).",
+    "kernel_list": "tools/sfx10_queries.txt - the 20 scale-critical "
+           "kernels whose caps/banding were sized at 10x; r12 added "
+           "dedup_auto (the router) and aligned_pairs_skew_dfcap (the "
+           "skew exhibit's mitigation twin, VERDICT r11 ask #1); r13 "
+           "adds the cosine_auto and ann_auto routers.",
 }
 
 
