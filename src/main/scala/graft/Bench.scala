@@ -133,6 +133,13 @@ object Bench {
     // degree-ordered node-iterator triangle count over the co-ordered
     // parts graph (the skew-bounded wedge join)
     "graph_triangles",
+    // r13: the triangle kernel router — one edge-linear orient +
+    // out-degree probe pricing the exact-vs-colorful ladder over the
+    // organic / planted-clique / tight-budget regimes
+    "graph_triangles_auto",
+    // r13: the routed sampled kernel measured beside the exact one —
+    // monochromatic edges at 4 colors cut the wedge shuffle ~16×
+    "graph_triangles_colorful",
     // the persisted-index lifecycle: search through the reloaded
     // cid-partitioned lists (amortized training; pruned probe scans)
     "ann_ivf_persist",

@@ -253,6 +253,44 @@ object RelationalEntries {
         .select(col("a.p").as("src"), col("b.p").as("dst"))
       gate(Graph.degreeStats(edges), "n_nodes")
     }),
+    // THE TRIANGLE KERNEL ROUTER (r13): "exact wedge join or sampled
+    // estimate" answered from the measured wedge surface — the
+    // dedup_auto / cosine_auto / ann_auto pattern applied to the fourth
+    // quadratic-prone family, aimed straight at the measured 100×
+    // wedge-shuffle disk wall (43.66 GB written). One decision row per
+    // regime, the CHOICE flipping across them: the organic co-ordered
+    // graph's wedges/edge ratio is scale-constant (measured 26–34
+    // across three decades), so the 128/edge budget routes `exact` at
+    // any scale; a planted 1200-node clique (disjoint synthetic ids —
+    // the template/bot-cart analogue for graphs) carries a CONSTANT
+    // ~2.9e8 wedge mass that blows the budget → `colorful` with the
+    // measured ⌈√(wedges/budget)⌉ color count — and, because the budget
+    // is edge-linear, a fixed clique inside a growing organic graph
+    // re-flips to exact once affordable (the flip IS the router
+    // working); the tight-budget twin prices the same organic surface
+    // against a 4/edge budget, showing the color ladder track the
+    // affordability gap. Decision-only rows (the dedup_auto shape):
+    // probes are one edge-linear orient + out-degree aggregate each.
+    "graph_triangles_auto" -> ((s, dir) => {
+      val org = coOrderedPartEdges(s, dir)
+      val headed = org.unionByName(plantedCliqueEdges(s))
+      gate(Seq(
+        ("organic", Graph.triangleRoute(org, TriBudgetPerEdge)),
+        ("headed", Graph.triangleRoute(headed, TriBudgetPerEdge)),
+        ("tight", Graph.triangleRoute(org, TriBudgetTight)))
+        .map { case (n, df) => df.select(lit(n).as("regime"), col("*")) }
+        .reduce(_ unionByName _), "regime")
+    }),
+    // ext: the routed sampled kernel itself, measured — Pagh &
+    // Tsourakakis colorful counting at a fixed 4 colors over the same
+    // organic graph Bench times the exact kernel on: monochromatic
+    // edges only, so the wedge shuffle (THE measured disk wall at 100×)
+    // carries ~1/16 of the exact kernel's bytes while the estimate
+    // stays a deterministic pure function of the graph (int64 hash
+    // colors, oracle-replayed bit for bit)
+    "graph_triangles_colorful" -> ((s, dir) =>
+      gate(Graph.colorfulTriangleTotal(coOrderedPartEdges(s, dir),
+        TriColors), "n_colors")),
     // ext: fixed-round k-core peeling on the same co-ordered-parts
     // graph — per round two survivor semi-joins + one degree aggregate;
     // exact integer degrees, monotone shrink
@@ -494,6 +532,49 @@ object RelationalEntries {
     * pure-function convention). */
   private val LpaRounds = 3
 
+  /** Triangle-router contract (r13): the organic co-ordered-parts graph
+    * holds a scale-CONSTANT wedges/edge ratio (measured 26.3 / 33.4 /
+    * 34.4 at sf0.001/0.01/0.1), so 128 wedges/edge routes `exact` at
+    * every scale with ~4× margin, while 4/edge forces the sampled
+    * kernel on the same surface (n_colors = 3 at every measured sf). */
+  private val TriBudgetPerEdge = 128L
+  private val TriBudgetTight = 4L
+
+  /** The planted dense block: a [[TriCliqueK]]-node clique on synthetic
+    * ids starting at [[TriCliqueBase]] (disjoint from every real
+    * partkey at any scale — sfx10 partkeys top out near 1e9). Its wedge
+    * mass is constant C(k, 3) ≈ 2.87e8 ≥ 128·C(k, 2) ≈ 9.2e7, so the
+    * headed regime routes `colorful` at the gate scales — and, the
+    * budget being edge-linear, correctly re-flips to exact once the
+    * organic graph outgrows it (~12.7M edges, between sfx0.1 and sfx1). */
+  private val TriCliqueK = 1200
+  private val TriCliqueBase = 2000000000L
+
+  /** Fixed color count of the measured sampled kernel (wedge shuffle
+    * ÷ n² = 16 vs the exact kernel on the same graph). */
+  private val TriColors = 4
+
+  /** The co-ordered-parts undirected graph every graph_* contract row
+    * shares: parts are adjacent iff some order contains both. */
+  private def coOrderedPartEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = Relational.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+    li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("src"), col("b.p").as("dst"))
+  }
+
+  /** All C(k, 2) clique edges decoded row-locally from one range scan
+    * (id → (i, j) via div/mod, i < j kept) — no inequality join, no
+    * cartesian; the DuckDB twin spells the identical arithmetic. */
+  private def plantedCliqueEdges(s: SparkSession): DataFrame =
+    s.range(TriCliqueK.toLong * TriCliqueK).toDF("id")
+      .select(expr(s"id div $TriCliqueK").as("i"),
+        (col("id") % TriCliqueK).as("j"))
+      .where(col("i") < col("j"))
+      .select((lit(TriCliqueBase) + col("i")).as("src"),
+        (lit(TriCliqueBase) + col("j")).as("dst"))
+
   /** Link-prediction contract: noise floor on shared neighbors, and the
     * through-node degree cap (measured sf0.01/sf0.1 part degrees run
     * ~115 median / ~220 max, so 96 keeps the informative sub-hub tail
@@ -557,6 +638,36 @@ object RelationalEntries {
       |SELECT node, CAST(label AS BIGINT) AS label
       |FROM l$nRounds ORDER BY node""".stripMargin
   }
+
+  /** Per-graph triangle-route CTE block over an edge CTE `g` holding
+    * canonical (u < v) rows: degree table, the degree-oriented
+    * out-degree aggregate, and the 1-row surface — mirrors
+    * [[graft.ext.Graph.triangleRoute]]'s derivation exactly. */
+  private def triRouteCtes(g: String): String =
+    s"""deg_$g AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM (
+       |    SELECT u AS node FROM $g UNION ALL SELECT v FROM $g) GROUP BY 1),
+       |od_$g AS (SELECT a, COUNT(*) AS d FROM (
+       |    SELECT CASE WHEN x.deg < y.deg OR (x.deg = y.deg AND $g.u < $g.v)
+       |                THEN $g.u ELSE $g.v END AS a
+       |    FROM $g JOIN deg_$g x ON x.node = $g.u
+       |            JOIN deg_$g y ON y.node = $g.v) GROUP BY 1),
+       |r_$g AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg_$g) AS n_nodes,
+       |                (SELECT CAST(COUNT(*) AS BIGINT) FROM $g) AS n_edges,
+       |                CAST(COALESCE(SUM((d * (d - 1)) // 2), 0) AS BIGINT) AS wedges
+       |         FROM od_$g)""".stripMargin
+
+  /** One decision row off a [[triRouteCtes]] surface at `budget`
+    * wedges/edge — the integer ladder [[graft.ext.Graph.triangleRoute]]
+    * spells, replayed verbatim (same IEEE divide/√/ceil chain). */
+  private def triRouteSelect(g: String, budget: Long, regime: String): String =
+    s"""SELECT '$regime' AS regime, n_nodes, n_edges, wedges,
+       |  CAST(n_edges * $budget AS BIGINT) AS budget_wedges,
+       |  CASE WHEN wedges <= n_edges * $budget THEN CAST(1 AS BIGINT)
+       |       ELSE CAST(ceil(sqrt(wedges / CAST(n_edges * $budget AS DOUBLE))) AS BIGINT)
+       |  END AS n_colors,
+       |  CASE WHEN wedges <= n_edges * $budget THEN 'exact'
+       |       ELSE 'colorful' END AS kernel
+       |FROM r_$g""".stripMargin
 
   /** The mega-basket fixture's (order, part) source rows, mirroring
     * [[megaBasketLineitem]]. */
@@ -1073,6 +1184,59 @@ object RelationalEntries {
         |      UNION ALL SELECT y FROM tri
         |      UNION ALL SELECT z FROM tri)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the router's three surfaces replayed verbatim: same canonical
+    // edges, same degree orientation, same Σ d(d−1)/2 integral wedge
+    // sum, same IEEE divide/√/ceil color ladder — over the organic
+    // graph (two budgets) and the organic ∪ planted-clique graph
+    "graph_triangles_auto" -> {
+      val k = TriCliqueK
+      s"""WITH e AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON b.l_orderkey = a.l_orderkey AND b.l_partkey > a.l_partkey),
+        |h AS MATERIALIZED (
+        |  SELECT u, v FROM e
+        |  UNION ALL
+        |  SELECT $TriCliqueBase + (t.i // $k) AS u, $TriCliqueBase + (t.i % $k) AS v
+        |  FROM range(0, ${k.toLong * k}) t(i) WHERE (t.i // $k) < (t.i % $k)),
+        |${triRouteCtes("e")},
+        |${triRouteCtes("h")}
+        |${triRouteSelect("e", TriBudgetPerEdge, "organic")}
+        |UNION ALL
+        |${triRouteSelect("h", TriBudgetPerEdge, "headed")}
+        |UNION ALL
+        |${triRouteSelect("e", TriBudgetTight, "tight")}
+        |ORDER BY regime""".stripMargin
+    },
+    // same monochromatic-edge filter (identical int64 hash color), same
+    // degree-oriented close, exact int64 counts ×n² — the sampled
+    // kernel is a pure function of the graph, so the oracle reproduces
+    // the ESTIMATE bit for bit, not just its distribution
+    "graph_triangles_colorful" ->
+      s"""WITH e0 AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON b.l_orderkey = a.l_orderkey AND b.l_partkey > a.l_partkey),
+        |cs AS MATERIALIZED (
+        |  SELECT u, v FROM e0
+        |  WHERE ((u * 2654435761) % 2147483647) % $TriColors
+        |      = ((v * 2654435761) % 2147483647) % $TriColors),
+        |dg AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM (
+        |    SELECT u AS node FROM cs UNION ALL SELECT v FROM cs) GROUP BY 1),
+        |o AS MATERIALIZED (
+        |  SELECT CASE WHEN x.deg < y.deg OR (x.deg = y.deg AND cs.u < cs.v)
+        |              THEN cs.u ELSE cs.v END AS a,
+        |         CASE WHEN x.deg < y.deg OR (x.deg = y.deg AND cs.u < cs.v)
+        |              THEN cs.v ELSE cs.u END AS b
+        |  FROM cs JOIN dg x ON x.node = cs.u JOIN dg y ON y.node = cs.v),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt
+        |      FROM o o1 JOIN o o2 ON o2.a = o1.a AND o2.b > o1.b
+        |      JOIN cs ON cs.u = o1.b AND cs.v = o2.b)
+        |SELECT CAST($TriColors AS BIGINT) AS n_colors,
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM cs) AS n_edges_sampled,
+        |       nt AS n_triangles_sampled,
+        |       CAST(nt * ${TriColors * TriColors} AS BIGINT) AS triangles_est
+        |FROM t""".stripMargin,
     // same distinct collapse, same basket-size cap semi-join, same
     // canonical pair join, same exact-int ratios (one division each)
     "rel_basket_rules" -> basketRulesOracle(

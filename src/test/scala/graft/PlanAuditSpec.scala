@@ -122,6 +122,11 @@ class PlanAuditSpec extends SparkSpec {
       // graph_degree_stats / vocab_kmv_audit shape; the Lloyd fit and
       // moment aggregates feeding them are equi-join/aggregate only
       "ann_auto",
+      // the triangle router's three 1-row surface frames (nodes, edges,
+      // wedge sum) crossed into one decision row per regime, and the
+      // colorful kernel's 1-row sampled-edge count crossed with its
+      // 1-row triangle count — the same sanctioned scalar-cross shape
+      "graph_triangles_auto", "graph_triangles_colorful",
       // the anchor-day and three 1-row tercile-threshold scalar
       // broadcasts over the customer frame
       "rel_rfm_segments",
