@@ -286,14 +286,35 @@ final class CosineAnalysis(
    * Call [[MatrixModel.persist]] when the model will serve MANY queries —
    * that is the reference's interactive pattern, made explicit.
    */
-  def fit(matrix: Dataset[MatrixElement], isSparse: Boolean = true): MatrixModel = {
-    val normalized = normalize(matrix)
+  def fit(matrix: Dataset[MatrixElement], isSparse: Boolean = true): MatrixModel =
+    fit(matrix, isSparse, identity)
+
+  /**
+   * [[fit]] with the repo's `pin` hook (r13): the normalized table feeds
+   * BOTH the pair alignment and the norm branch, and the matrix itself is
+   * usually an aggregate over a fact table — unpinned, the physical plan
+   * re-derives the source scan → matrix aggregate → normalize join once
+   * per consumer (measured: cosine_topk re-scanned the fact table 8× at
+   * sf0.1 — 20 Exchanges for a V=1,000 pipeline). Pass
+   * `pin = _.localCheckpoint()` (the Graph/SparseAnn convention) to
+   * derive it once; the default `identity` keeps the library's lazy
+   * one-shot-plan contract. Results are pin-invariant (double sums ride
+   * the contract's 1e-6 snap).
+   */
+  def fit(matrix: Dataset[MatrixElement], isSparse: Boolean,
+      pin: DataFrame => DataFrame): MatrixModel = {
+    val normalized = pinned(normalize(matrix), pin)
     val pairs = alignedPairs(normalized)
     val mods =
       if (isSparse) pairModsSparse(pairs)
       else pairModsDense(vectorMods(normalized))
     new MatrixModel(spark, pairs, mods, isSparse)
   }
+
+  /** Apply the caller's pin to a typed table, preserving the encoder. */
+  private def pinned[T: org.apache.spark.sql.Encoder](ds: Dataset[T],
+      pin: DataFrame => DataFrame): Dataset[T] =
+    pin(ds.toDF()).as[T]
 
   /**
    * Predict missing cells from pairwise similarity — the reference's
@@ -314,10 +335,20 @@ final class CosineAnalysis(
    * vector), one equi-join neighbor→cells, one aggregate — the candidate
    * set is bounded by V · neighbors · cells-per-vector, never V².
    */
-  def predictMissing(matrix: Dataset[MatrixElement], neighbors: Int = 5): DataFrame = {
+  def predictMissing(matrix: Dataset[MatrixElement], neighbors: Int = 5): DataFrame =
+    predictMissing(matrix, neighbors, identity)
+
+  /** [[predictMissing]] with the `pin` hook (r13): the normalized table
+    * feeds the similarity fit AND the neighbor-cell join — see
+    * [[fit(matrix:Dataset[MatrixElement],isSparse:Boolean,pin:DataFrame=>DataFrame)*]].
+    * The fit is built directly over the pinned normalized table so the
+    * whole prediction derives the matrix exactly once. */
+  def predictMissing(matrix: Dataset[MatrixElement], neighbors: Int,
+      pin: DataFrame => DataFrame): DataFrame = {
     require(neighbors > 0)
-    val n = normalize(matrix)
-    val sims = fit(matrix, isSparse = false).allSimilarityValue.toDF()
+    val n = pinned(normalize(matrix), pin)
+    val sims = new MatrixModel(spark, alignedPairs(n),
+      pairModsDense(vectorMods(n)), isSparse = false).allSimilarityValue.toDF()
     // both directions of each canonical pair in ONE pass over sims — a
     // union of two selects would evaluate the whole dense pipeline twice
     val sym = sims.select(explode(array(

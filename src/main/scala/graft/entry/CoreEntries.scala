@@ -62,23 +62,23 @@ object CoreEntries {
     }),
     // §2-P+Q sparse fit → all pairwise similarities
     "cosine_sparse_all" -> ((s, dir) =>
-      gate(analysis(s).fit(supplierPartMatrix(s, dir), isSparse = true)
+      gate(analysis(s).fit(supplierPartMatrix(s, dir), isSparse = true, pin = _.localCheckpoint())
         .allSimilarityValue.toDF(), "vector0", "vector1")),
     // §2-N right-outer join + coalesce(0.0): dense fit → all pairs
     "cosine_dense_all" -> ((s, dir) =>
-      gate(analysis(s).fit(supplierPartMatrix(s, dir), isSparse = false)
+      gate(analysis(s).fit(supplierPartMatrix(s, dir), isSparse = false, pin = _.localCheckpoint())
         .allSimilarityValue.toDF(), "vector0", "vector1")),
     // §2-O subset filter on both endpoints
     "cosine_subset" -> ((s, dir) =>
-      gate(analysis(s).fit(supplierPartMatrix(s, dir), isSparse = false)
+      gate(analysis(s).fit(supplierPartMatrix(s, dir), isSparse = false, pin = _.localCheckpoint())
         .similarity(subsetIds).toDF(), "vector0", "vector1")),
     // k most-similar neighbors per vector (windowed rank over dense sims)
     "cosine_topk" -> ((s, dir) =>
-      gate(analysis(s).fit(supplierPartMatrix(s, dir), isSparse = false)
+      gate(analysis(s).fit(supplierPartMatrix(s, dir), isSparse = false, pin = _.localCheckpoint())
         .topSimilar(5), "vector", "rank")),
     // the reference's announced missing-value prediction, implemented
     "cosine_predict" -> ((s, dir) =>
-      gate(analysis(s).predictMissing(supplierPartMatrix(s, dir), neighbors = 5),
+      gate(analysis(s).predictMissing(supplierPartMatrix(s, dir), 5, pin = _.localCheckpoint()),
         "y", "x")),
     // The sign-LSH sparse route (`cosine_topk_ann` / `cosine_predict_ann`
     // / `cosine_topk_clustered_ann`) was DELETED in r11: the r10
@@ -118,7 +118,7 @@ object CoreEntries {
     "cosine_topk_ivf_recall" -> ((s, dir) => {
       val a = analysis(s)
       val m = supplierPartMatrix(s, dir)
-      val exact = a.fit(m, isSparse = false).topSimilar(5)
+      val exact = a.fit(m, isSparse = false, pin = _.localCheckpoint()).topSimilar(5)
         .select(col("vector").as("query_id"), col("neighbor").as("vec_id"))
       val ivf = graft.ext.SparseAnn.topSimilarIvf(a, m, 5, pin = _.localCheckpoint())
         .select(col("vector").as("query_id"), col("neighbor").as("vec_id"))
@@ -133,7 +133,7 @@ object CoreEntries {
     // candidate routes exist for; the committed bench row is the
     // measured answer to "does any ANN route ever win".
     "cosine_topk_clustered" -> ((s, dir) =>
-      gate(analysis(s).fit(clusteredSupplierMatrix(s, dir), isSparse = false)
+      gate(analysis(s).fit(clusteredSupplierMatrix(s, dir), isSparse = false, pin = _.localCheckpoint())
         .topSimilar(5), "vector", "rank")),
     "cosine_topk_clustered_ivf" -> ((s, dir) =>
       gate(graft.ext.SparseAnn.topSimilarIvf(analysis(s),
@@ -151,7 +151,7 @@ object CoreEntries {
     "cosine_clustered_ivf_recall" -> ((s, dir) => {
       val a = analysis(s)
       val m = clusteredSupplierMatrix(s, dir)
-      val exact = a.fit(m, isSparse = false).topSimilar(5)
+      val exact = a.fit(m, isSparse = false, pin = _.localCheckpoint()).topSimilar(5)
         .select(col("vector").as("query_id"), col("neighbor").as("vec_id"))
       val ivf = graft.ext.SparseAnn.topSimilarIvf(a, m, 5, pin = _.localCheckpoint())
         .select(col("vector").as("query_id"), col("neighbor").as("vec_id"))

@@ -48,7 +48,13 @@ object Graph {
       pin: DataFrame => DataFrame = identity): DataFrame = {
     require(iters >= 0, "iters must be non-negative")
     require(damping >= 0 && damping <= 1, "damping must be in [0, 1]")
-    val e = edges.select(col("src"), col("dst"), col("weight").cast("long").as("w"))
+    // pin the edge projection itself (r13): it feeds FOUR separate
+    // actions (the out-weight aggregate, the probability pin, the node
+    // pin, the dst-only validation count) and the caller's edge table is
+    // typically itself a join (the co-ordered-parts self-join) — without
+    // the pin each action re-executes that build (measured: 3 rebuilds
+    // of the pair join per call at sf0.1)
+    val e = pin(edges.select(col("src"), col("dst"), col("weight").cast("long").as("w")))
     val ow = e.groupBy("src").agg(sum("w").as("wout"))
     val p = pin(e.join(ow, "src")
       .select(col("src"), col("dst"),
@@ -486,11 +492,14 @@ object Graph {
   def labelPropagation(edges: DataFrame, rounds: Int,
       pin: DataFrame => DataFrame = identity): DataFrame = {
     require(rounds >= 1, "rounds must be at least 1")
-    val canon = edges.select(
+    // canon pinned (r13): the symmetrized+self-loop table and the node
+    // set both derive from it — unpinned, the caller's edge build ran
+    // 3x inside the und pin alone
+    val canon = pin(edges.select(
         least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .where(col("u") =!= col("v"))
-      .distinct()
+      .distinct())
     val nodes = canon.select(col("u").as("node"))
       .union(canon.select(col("v").as("node"))).distinct()
     val und = pin(canon
@@ -539,11 +548,12 @@ object Graph {
   def labelPropagationConverged(edges: DataFrame, maxRounds: Int = 20,
       pin: DataFrame => DataFrame = identity): LpaResult = {
     require(maxRounds >= 1, "maxRounds must be at least 1")
-    val canon = edges.select(
+    // canon pinned (r13) — see [[labelPropagation]]
+    val canon = pin(edges.select(
         least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .where(col("u") =!= col("v"))
-      .distinct()
+      .distinct())
     val nodes = canon.select(col("u").as("node"))
       .union(canon.select(col("v").as("node"))).distinct()
     val und = pin(canon
@@ -754,7 +764,9 @@ object Graph {
       pin: DataFrame => DataFrame = identity): DataFrame = {
     require(iters >= 0, "iters must be non-negative")
     require(damping >= 0 && damping <= 1, "damping must be in [0, 1]")
-    val e = edges.select(col("src"), col("dst"), col("weight").cast("long").as("w"))
+    // pinned for the same reason as [[pageRank]]'s edge projection: five
+    // downstream actions would otherwise each rebuild the caller's edges
+    val e = pin(edges.select(col("src"), col("dst"), col("weight").cast("long").as("w")))
     val ow = e.groupBy("src").agg(sum("w").as("wout"))
     val p = pin(e.join(ow, "src")
       .select(col("src"), col("dst"),
@@ -791,7 +803,9 @@ object Graph {
       pin: DataFrame => DataFrame, tol: Option[Double]): RankResult = {
     require(iters >= 0, "iters must be non-negative")
     require(damping >= 0 && damping <= 1, "damping must be in [0, 1]")
-    val e = edges.select(col("src"), col("dst"), col("weight").cast("long").as("w"))
+    // pinned for the same reason as [[pageRank]]'s edge projection: five
+    // downstream actions would otherwise each rebuild the caller's edges
+    val e = pin(edges.select(col("src"), col("dst"), col("weight").cast("long").as("w")))
     val ow = e.groupBy("src").agg(sum("w").as("wout"))
     val p = pin(e.join(ow, "src")
       .select(col("src"), col("dst"),

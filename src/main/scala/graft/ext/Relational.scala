@@ -1081,17 +1081,13 @@ object Relational {
     require(maxBasket >= 2, "a basket needs 2 items to form a pair")
     val op0 = lineitem.select(col("l_orderkey").as("ok"),
       col("l_partkey").as("p")).distinct()
-    val keep = op0.groupBy("ok").agg(count(lit(1)).as("basket"))
-      .where(col("basket") <= maxBasket).select("ok")
+    val sizes = op0.groupBy("ok").agg(count(lit(1)).as("basket"))
+    val keep = sizes.where(col("basket") <= maxBasket).select("ok")
     val op = op0.join(keep, Seq("ok"), "left_semi")
     val item = op.groupBy("p").agg(count(lit(1)).as("sup"))
     val nOrders = op.select("ok").distinct()
       .agg(count(lit(1)).as("n_orders"))
-    val pairs = op.as("a").join(op.as("b"),
-        col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
-      .agg(count(lit(1)).as("sup_ab"))
-      .where(col("sup_ab") >= minSupport)
+    val pairs = basketPairSupports(op, sizes, minSupport, maxBasket)
     val directed = pairs.select(col("pa").as("ante"), col("pb").as("cons"),
         col("sup_ab"))
       .unionByName(pairs.select(col("pb").as("ante"), col("pa").as("cons"),
@@ -1106,6 +1102,83 @@ object Relational {
           .as("confidence"),
         ((col("sup_ab") * col("n_orders")).cast("double") /
           (col("sup_a") * col("sup_c")).cast("double")).as("lift"))
+  }
+
+  /** Heavy-basket split threshold of [[basketPairSupports]]: orders with
+    * more than this many distinct parts are counted through the
+    * candidate-restricted path instead of the pair self-join. Sized so
+    * the self-join's per-order expansion stays bounded (C(1024, 2) ≈
+    * 5·10⁵ pairs) — far above every organic basket tail (TPC-H ≤ 7,
+    * retail carts ~10²), so ordinary corpora never take the split. */
+  val BasketSplitThreshold: Long = 1024L
+
+  /**
+   * Pair supports `(pa < pb, sup_ab)` at `sup_ab ≥ minSupport` over the
+   * retained (order, part) table — [[basketRules]]' counting stage, with
+   * the HEAVY-BASKET SPLIT (r13, guide §2.5/§8: special-case the hot
+   * keys; decide with small rows): a single uncapped mega-basket pays
+   * C(basket, 2) pair rows through the self-join AND a same-sized hash
+   * aggregate (measured 1,567 task-seconds at sf0.1 for the planted
+   * 20k-part order — 2·10⁸ pair rows, ~all of them counted once and then
+   * discarded by the min-support filter). The split never enumerates a
+   * heavy basket's pair surface:
+   *
+   *   - orders are partitioned into SMALL (basket ≤
+   *     [[BasketSplitThreshold]]) and BIG; `m = |BIG|` comes from the
+   *     already-needed basket-size aggregate (1-row collect, the
+   *     doPrune/model-sized-decision convention);
+   *   - `sup_ab = sup_small + sup_big` exactly, and `sup_big ≤ m` for
+   *     every pair — so when `m < minSupport`, a pair can only pass the
+   *     filter if `sup_small ≥ minSupport − m`: count the small-order
+   *     pairs (the bounded self-join), keep that candidate set, and add
+   *     each candidate's exact big-order co-occurrence count via two
+   *     postings joins against the BIG rows only (candidate-sized work —
+   *     a pair seen ONLY inside big orders has sup ≤ m and can never
+   *     pass, so it is never materialized);
+   *   - when `m ≥ minSupport` (several mega-carts could alone lift a
+   *     pair over the threshold) the split is UNSOUND and the exact
+   *     self-join runs unchanged — the regime-gate fallback.
+   *
+   * Output is row-identical to the plain self-join in every regime (the
+   * capped twin's oracle pins it). When `maxBasket ≤` the threshold the
+   * cap already bounds the expansion and the plain plan runs with ZERO
+   * added work (no probe, no collect — the base contract query and the
+   * capped twin keep their exact r12 plans).
+   *
+   * EAGER EXECUTION NOTE (the ivfRankedFit convention): on the split
+   * path this runs the basket-size probe at DataFrame-construction time
+   * and pins the retained postings + candidate pairs with eager
+   * localCheckpoints (each is consumed by 2–3 downstream branches).
+   */
+  private def basketPairSupports(op: DataFrame, sizes: DataFrame,
+      minSupport: Long, maxBasket: Long): DataFrame = {
+    def exactPairs(t: DataFrame): DataFrame =
+      t.as("a").join(t.as("b"),
+          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+        .agg(count(lit(1)).as("sup_ab"))
+    if (maxBasket <= BasketSplitThreshold)
+      return exactPairs(op).where(col("sup_ab") >= minSupport)
+    val bigOk = sizes.where(col("basket") > BasketSplitThreshold &&
+      col("basket") <= maxBasket).select("ok")
+    val m = bigOk.agg(count(lit(1))).collect()(0).getLong(0)
+    if (m == 0 || m >= minSupport)
+      return exactPairs(op).where(col("sup_ab") >= minSupport)
+    val opp = op.localCheckpoint()
+    val small = opp.join(broadcast(bigOk), Seq("ok"), "left_anti")
+    val big = opp.join(broadcast(bigOk), Seq("ok"), "left_semi")
+    val cand = exactPairs(small)
+      .where(col("sup_ab") >= minSupport - m)
+      .withColumnRenamed("sup_ab", "sup_s")
+      .localCheckpoint()
+    val bsup = cand.select("pa", "pb")
+      .join(big.select(col("ok"), col("p").as("pa")), "pa")
+      .join(big.select(col("ok"), col("p").as("pb")), Seq("pb", "ok"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("sup_b"))
+    cand.join(bsup, Seq("pa", "pb"), "left")
+      .select(col("pa"), col("pb"),
+        (col("sup_s") + coalesce(col("sup_b"), lit(0L))).as("sup_ab"))
+      .where(col("sup_ab") >= minSupport)
   }
 
   /** Tercile cut points of the RFM contract (interpolated verbatim into
