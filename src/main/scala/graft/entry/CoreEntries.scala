@@ -60,9 +60,16 @@ object CoreEntries {
         .agg(sum(col("value1") * col("value2")).as("dot"))
       gate(dot, "vector0", "vector1")
     }),
-    // §2-P+Q sparse fit → all pairwise similarities
+    // §2-P+Q sparse fit → all pairwise similarities. NO pin here (r13
+    // A/B: 3.87 s unpinned vs 4.79 s pinned, min-of-3 paired JVMs): the
+    // sparse path consumes the normalized table exactly once — numerator
+    // and both norms ride ONE aggregation pass — so an eager
+    // localCheckpoint is pure materialization overhead, precisely the
+    // "cache build dominated the sparse pipeline" profile in
+    // [[graft.core.CosineAnalysis.fit]]'s scaladoc. The dense entries
+    // below DO pin: their normalized table fans out to 2+ consumers.
     "cosine_sparse_all" -> ((s, dir) =>
-      gate(analysis(s).fit(supplierPartMatrix(s, dir), isSparse = true, pin = _.localCheckpoint())
+      gate(analysis(s).fit(supplierPartMatrix(s, dir), isSparse = true)
         .allSimilarityValue.toDF(), "vector0", "vector1")),
     // §2-N right-outer join + coalesce(0.0): dense fit → all pairs
     "cosine_dense_all" -> ((s, dir) =>

@@ -1014,46 +1014,9 @@ object Dedup {
         sh.join(candDocs, Seq("doc_id"), "left_semi")
       } else sh
     val counts = shp.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // INTERSECTION JOIN SPELLING (r13, guide §2.5): on a df-HEADED table
-    // the plain sh-keyed self-join hands each head shingle's whole
-    // C(df, 2) expansion to the one task owning that shingle — and AQE
-    // cannot help: the join's INPUT partitions are tiny (the planted
-    // boilerplate head reads ~1 MB/partition at sf0.1, so skew-split
-    // never fires and coalescing shrinks the stage to 4 tasks — measured
-    // 375 task-seconds through 4 tasks). The doPrune head signal
-    // (max_df² > postings) already says when that regime holds, so reuse
-    // it: in the head regime the self-join runs through the
-    // triangle-bucket salt ([[graft.core.CosineAnalysis.alignedPairsSalted]]
-    // pattern — every shingle's expansion split S(S+1)/2 ways
-    // deterministically, at the cost of replicating each posting ~S/2+1
-    // times into the shuffle); head-free tables keep the plain join (the
-    // replication would be pure overhead there). Output rows identical
-    // in both spellings — counts per canonical (doc0 < doc1) pair.
-    val inter = (if (doPrune) {
-      val salts = 8
-      val sess = shp.sparkSession
-      import sess.implicits._
-      val tasks = (for { i <- 0 until salts; j <- i until salts }
-        yield (i, j, i.toLong * salts + j)).toDF("ti", "tj", "task")
-      val v = shp.withColumn("s", pmod(hash(col("doc_id")), lit(salts)))
-      val left = v.join(tasks, col("s") === col("ti"))
-        .select(col("sh"), col("task"), col("ti"), col("tj"),
-          col("doc_id").as("da"))
-      val right = v.join(tasks.select(col("tj").as("rj"), col("task").as("rtask")),
-          col("s") === col("rj"))
-        .select(col("sh").as("rsh"), col("rtask"), col("doc_id").as("db"))
-      left.join(right, col("sh") === col("rsh") && col("task") === col("rtask"))
-        // i < j tasks hold every cross-bucket pair once (either
-        // orientation); i = j tasks need the in-bucket canonical filter
-        .where(col("ti") < col("tj") || col("da") < col("db"))
-        .select(
-          when(col("da") < col("db"), col("da")).otherwise(col("db")).as("doc0"),
-          when(col("da") < col("db"), col("db")).otherwise(col("da")).as("doc1"))
-    } else {
-      shp.as("a")
-        .join(shp.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc0"), col("b.doc_id").as("doc1"))
-    }).groupBy(col("doc0"), col("doc1"))
+    val inter = shp.as("a")
+      .join(shp.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc0"), col("b.doc_id").as("doc1"))
       .agg(count(lit(1)).as("i"))
     pairs.join(inter, Seq("doc0", "doc1"))
       .join(counts.withColumnRenamed("doc_id", "doc0").withColumnRenamed("n", "n0"), "doc0")
