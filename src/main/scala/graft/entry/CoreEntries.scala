@@ -60,32 +60,40 @@ object CoreEntries {
         .agg(sum(col("value1") * col("value2")).as("dot"))
       gate(dot, "vector0", "vector1")
     }),
-    // §2-P+Q sparse fit → all pairwise similarities. NO pin here (r13
-    // A/B: 3.87 s unpinned vs 4.79 s pinned, min-of-3 paired JVMs): the
-    // sparse path consumes the normalized table exactly once — numerator
-    // and both norms ride ONE aggregation pass — so an eager
-    // localCheckpoint is pure materialization overhead, precisely the
-    // "cache build dominated the sparse pipeline" profile in
-    // [[graft.core.CosineAnalysis.fit]]'s scaladoc. The dense entries
-    // below DO pin: their normalized table fans out to 2+ consumers.
+    // §2-P+Q sparse fit → all pairwise similarities. NO entry pins
+    // anywhere in the fit family (r13, two measurements):
+    //  - sparse: 3.87 s unpinned vs 4.79 s pinned at sf0.1 (paired
+    //    min-of-3 JVMs) — the sparse path consumes the normalized table
+    //    exactly once, so the checkpoint is pure overhead ("cache build
+    //    dominated the sparse pipeline", [[graft.core.CosineAnalysis
+    //    .fit]]'s scaladoc).
+    //  - dense: pinning won 0.81–0.94× at sf0.1 (the fan-out argument)
+    //    but CLIFFED at the 10× replica — cosine_topk 32.7 → 280.0 s,
+    //    cosine_predict 37.0 → 73.1 s, dense_all 3.5 → 7.3 s: the
+    //    checkpointed normalized table reaches the quadratic pair join
+    //    as a stats-less LogicalRDD, and the plan that follows it
+    //    degrades with scale. A local-only win that breaks at 10× is
+    //    the config-game the optimization rules exclude; the `pin` hook
+    //    stays on the API (default identity) for model-serving callers
+    //    who persist deliberately.
     "cosine_sparse_all" -> ((s, dir) =>
       gate(analysis(s).fit(supplierPartMatrix(s, dir), isSparse = true)
         .allSimilarityValue.toDF(), "vector0", "vector1")),
     // §2-N right-outer join + coalesce(0.0): dense fit → all pairs
     "cosine_dense_all" -> ((s, dir) =>
-      gate(analysis(s).fit(supplierPartMatrix(s, dir), isSparse = false, pin = _.localCheckpoint())
+      gate(analysis(s).fit(supplierPartMatrix(s, dir), isSparse = false)
         .allSimilarityValue.toDF(), "vector0", "vector1")),
     // §2-O subset filter on both endpoints
     "cosine_subset" -> ((s, dir) =>
-      gate(analysis(s).fit(supplierPartMatrix(s, dir), isSparse = false, pin = _.localCheckpoint())
+      gate(analysis(s).fit(supplierPartMatrix(s, dir), isSparse = false)
         .similarity(subsetIds).toDF(), "vector0", "vector1")),
     // k most-similar neighbors per vector (windowed rank over dense sims)
     "cosine_topk" -> ((s, dir) =>
-      gate(analysis(s).fit(supplierPartMatrix(s, dir), isSparse = false, pin = _.localCheckpoint())
+      gate(analysis(s).fit(supplierPartMatrix(s, dir), isSparse = false)
         .topSimilar(5), "vector", "rank")),
     // the reference's announced missing-value prediction, implemented
     "cosine_predict" -> ((s, dir) =>
-      gate(analysis(s).predictMissing(supplierPartMatrix(s, dir), 5, pin = _.localCheckpoint()),
+      gate(analysis(s).predictMissing(supplierPartMatrix(s, dir), neighbors = 5),
         "y", "x")),
     // The sign-LSH sparse route (`cosine_topk_ann` / `cosine_predict_ann`
     // / `cosine_topk_clustered_ann`) was DELETED in r11: the r10
@@ -125,7 +133,7 @@ object CoreEntries {
     "cosine_topk_ivf_recall" -> ((s, dir) => {
       val a = analysis(s)
       val m = supplierPartMatrix(s, dir)
-      val exact = a.fit(m, isSparse = false, pin = _.localCheckpoint()).topSimilar(5)
+      val exact = a.fit(m, isSparse = false).topSimilar(5)
         .select(col("vector").as("query_id"), col("neighbor").as("vec_id"))
       val ivf = graft.ext.SparseAnn.topSimilarIvf(a, m, 5, pin = _.localCheckpoint())
         .select(col("vector").as("query_id"), col("neighbor").as("vec_id"))
@@ -140,7 +148,7 @@ object CoreEntries {
     // candidate routes exist for; the committed bench row is the
     // measured answer to "does any ANN route ever win".
     "cosine_topk_clustered" -> ((s, dir) =>
-      gate(analysis(s).fit(clusteredSupplierMatrix(s, dir), isSparse = false, pin = _.localCheckpoint())
+      gate(analysis(s).fit(clusteredSupplierMatrix(s, dir), isSparse = false)
         .topSimilar(5), "vector", "rank")),
     "cosine_topk_clustered_ivf" -> ((s, dir) =>
       gate(graft.ext.SparseAnn.topSimilarIvf(analysis(s),
@@ -158,7 +166,7 @@ object CoreEntries {
     "cosine_clustered_ivf_recall" -> ((s, dir) => {
       val a = analysis(s)
       val m = clusteredSupplierMatrix(s, dir)
-      val exact = a.fit(m, isSparse = false, pin = _.localCheckpoint()).topSimilar(5)
+      val exact = a.fit(m, isSparse = false).topSimilar(5)
         .select(col("vector").as("query_id"), col("neighbor").as("vec_id"))
       val ivf = graft.ext.SparseAnn.topSimilarIvf(a, m, 5, pin = _.localCheckpoint())
         .select(col("vector").as("query_id"), col("neighbor").as("vec_id"))

@@ -492,14 +492,19 @@ object Graph {
   def labelPropagation(edges: DataFrame, rounds: Int,
       pin: DataFrame => DataFrame = identity): DataFrame = {
     require(rounds >= 1, "rounds must be at least 1")
-    // canon pinned (r13): the symmetrized+self-loop table and the node
-    // set both derive from it — unpinned, the caller's edge build ran
-    // 3x inside the und pin alone
-    val canon = pin(edges.select(
+    // canon NOT pinned here (r13, measured both ways): pinning it saved
+    // 2.4 s at sf0.1 (the und pin re-derives the caller's edge build 3×)
+    // but regressed the kernel 4.3× at the 10× replica (16.5 → 71.1 s) —
+    // the un-checkpointed lazy round chain below plans against canon's
+    // statistics, and a stats-less LogicalRDD under 8 unrolled rounds
+    // degrades with scale. [[labelPropagationConverged]] DOES pin canon:
+    // its per-round checkpoint makes every round's plan shallow, and its
+    // sfx1 draw was flat (33.4 → 33.0 s) with the pin in place.
+    val canon = edges.select(
         least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .where(col("u") =!= col("v"))
-      .distinct())
+      .distinct()
     val nodes = canon.select(col("u").as("node"))
       .union(canon.select(col("v").as("node"))).distinct()
     val und = pin(canon
