@@ -529,6 +529,11 @@ object Bench {
     // the in-tree file (marked "worktree") only when git is unusable.
     // Shared set = queries present in BOTH runs; ratio = cur/prev totals.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
+    // the previous committed artifact's slowest-12 names: unioned into
+    // the final stdout line's query set (r14, VERDICT r13 ask #2) so a
+    // query that gets FASTER and drops out of today's top 12 still
+    // reports a number instead of tripping PERF's dropped_from_bench
+    var prevSlowest: Set[String] = Set.empty
     val vsPrev: String = try {
       import scala.sys.process._
       val repoDir = new java.io.File("/root/repo")
@@ -556,6 +561,7 @@ object Bench {
             case Some(m) =>
               val prevQ = pairRe.findAllMatchIn(m.group(1))
                 .map(mm => mm.group(1) -> mm.group(2).toDouble).toMap
+              prevSlowest = prevQ.toSeq.sortBy(-_._2).take(12).map(_._1).toSet
               val shared = results.collect {
                 case (k, v) if prevQ.contains(k) => (prevQ(k), v)
               }
@@ -583,7 +589,13 @@ object Bench {
     // always-parseable summary: total + the slowest queries + error and
     // query counts. The full per-query artifact lives in bench_out.json
     // (committed) for the judge to read whole.
-    val slowest = results.sortBy(-_._2).take(12)
+    // top 12 of THIS run ∪ the previous artifact's top 12 (bounded at
+    // 24 entries ≈ 850 chars, safely inside the tail capture): the
+    // union keeps round-over-round comparison keys stable even when an
+    // optimization pushes a query out of today's slowest set
+    val slowNames = results.sortBy(-_._2).take(12).map(_._1).toSet ++
+      prevSlowest.intersect(results.map(_._1).toSet)
+    val slowest = results.filter(r => slowNames(r._1)).sortBy(-_._2)
       .map { case (k, v) => s"${jstr(k)}:${r3(v)}" }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","queries":$slowest,"n_queries":${results.size},"n_errors":${errors.size},"full":"bench_out.json"}""")
     System.out.flush()

@@ -13,6 +13,11 @@ package graft
  */
 object ExplainDump {
   def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println(
+        "usage: runMain graft.ExplainDump <sfDir> <outDir> [q1,q2,...]")
+      sys.exit(2)
+    }
     val sfDir = args(0)
     val outDir = java.nio.file.Paths.get(args(1))
     java.nio.file.Files.createDirectories(outDir)

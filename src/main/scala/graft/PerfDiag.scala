@@ -72,6 +72,10 @@ object PerfDiag {
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println("usage: runMain graft.PerfDiag <sfDir> q1,q2,...")
+      sys.exit(2)
+    }
     val sfDir = args(0)
     val names = args(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val spark = SparkSessions.local("graft-perfdiag",
@@ -93,10 +97,19 @@ object PerfDiag {
       try {
         all(n)(spark, sfDir).count()
         val wall = (System.nanoTime() - t0) / 1e9
-        // give the async listener bus a moment to drain the group's
-        // final stage-completion events before reading the totals
-        Thread.sleep(300)
-        val a = l.byGroup.getOrElse(group, new Acc)
+        // drain the async listener bus deterministically (ADVICE r13:
+        // a fixed sleep undercounts on stage-heavy or backed-up runs):
+        // poll the group's stage/task counters until they stop moving
+        // for 300 ms, capped at 5 s
+        val a = l.byGroup.getOrElseUpdate(group, new Acc)
+        val deadline = System.nanoTime() + 5000000000L
+        var last = (-1, -1)
+        var stableMs = 0
+        while (stableMs < 300 && System.nanoTime() < deadline) {
+          Thread.sleep(50)
+          val cur = (a.stages, a.tasks)
+          if (cur == last) stableMs += 50 else { stableMs = 0; last = cur }
+        }
         println(f"""{"q":"$n","rep":$rep,"wall":$wall%.2f,"task_s":${a.runMs / 1e3}%.2f,"cpu_s":${a.cpuNs / 1e9}%.2f,"gc_s":${a.gcMs / 1e3}%.2f,"jobs":${a.jobs},"stages":${a.stages},"tasks":${a.tasks},"sh_read_mb":${a.shRead / 1e6}%.1f,"sh_write_mb":${a.shWrite / 1e6}%.1f,"fetch_wait_s":${a.fetchWaitMs / 1e3}%.2f,"write_s":${a.writeMs / 1e3}%.2f,"spill_disk_mb":${a.spillDisk / 1e6}%.1f}""")
       } catch {
         case e: Throwable => println(s"""{"q":"$n","rep":$rep,"error":"${e.getClass.getSimpleName}"}""")

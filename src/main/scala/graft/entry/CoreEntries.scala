@@ -18,6 +18,20 @@ object CoreEntries {
 
   private def analysis(spark: SparkSession) = new CosineAnalysis(spark, axis = "y")
 
+  /** Stats-preserving eager pin for the dense fit entries (r14, VERDICT
+    * r13 ask #4): persist to the columnar cache and materialize. An
+    * InMemoryRelation KEEPS Catalyst stats (sizeInBytes of the
+    * materialized batches), where `localCheckpoint`'s stats-less
+    * LogicalRDD made the downstream quadratic plans degrade 8.6× at the
+    * 10× replica (the r13 revert). Bench and Verify `clearCache()` after
+    * every rep, so the cache entry never outlives its own timed run —
+    * nothing is reused across reps or queries. */
+  private def statPin(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    p.count()
+    p
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2-F per-vector max aggregate
     "max_values" -> ((s, dir) =>
@@ -60,41 +74,41 @@ object CoreEntries {
         .agg(sum(col("value1") * col("value2")).as("dot"))
       gate(dot, "vector0", "vector1")
     }),
-    // §2-P+Q sparse fit → all pairwise similarities. NO entry pins
-    // anywhere in the fit family (r13, two measurements):
-    //  - sparse: 3.87 s unpinned vs 4.79 s pinned at sf0.1 (paired
-    //    min-of-3 JVMs) — the sparse path consumes the normalized table
-    //    exactly once, so the checkpoint is pure overhead ("cache build
-    //    dominated the sparse pipeline", [[graft.core.CosineAnalysis
-    //    .fit]]'s scaladoc).
-    //  - dense: pinning won 0.81–0.94× at sf0.1 (the fan-out argument)
-    //    but CLIFFED at the 10× replica — cosine_topk 32.7 → 280.0 s,
-    //    cosine_predict 37.0 → 73.1 s, dense_all 3.5 → 7.3 s: the
-    //    checkpointed normalized table reaches the quadratic pair join
-    //    as a stats-less LogicalRDD, and the plan that follows it
-    //    degrades with scale. A local-only win that breaks at 10× is
-    //    the config-game the optimization rules exclude; the `pin` hook
-    //    stays on the API (default identity) for model-serving callers
-    //    who persist deliberately.
+    // §2-P+Q sparse fit → all pairwise similarities. The SPARSE fit
+    // stays unpinned (r13 measurement: 3.87 s unpinned vs 4.79 s pinned
+    // at sf0.1, paired min-of-3 JVMs — the sparse path consumes the
+    // normalized table exactly once, so any pin is pure overhead:
+    // "cache build dominated the sparse pipeline",
+    // [[graft.core.CosineAnalysis.fit]]'s scaladoc). The DENSE fits pin
+    // with [[statPin]] (r14, VERDICT r13 ask #4): r13's localCheckpoint
+    // pins won 0.81–0.94× at sf0.1 but CLIFFED at the 10× replica
+    // (cosine_topk 32.7 → 280.0 s) because LogicalRDD drops Catalyst
+    // stats under the quadratic pair join; the columnar-cache pin keeps
+    // them — certified by the r14 paired A/B + sfx1 spot.
     "cosine_sparse_all" -> ((s, dir) =>
       gate(analysis(s).fit(supplierPartMatrix(s, dir), isSparse = true)
         .allSimilarityValue.toDF(), "vector0", "vector1")),
-    // §2-N right-outer join + coalesce(0.0): dense fit → all pairs
+    // §2-N right-outer join + coalesce(0.0): dense fit → all pairs.
+    // Dense entries pin with [[statPin]] (r14): the normalized table
+    // feeds every downstream branch, and the r13 localCheckpoint pins —
+    // whose Exchange collapse was real (cosine_topk 54 → 22) — cliffed
+    // at 10× only because LogicalRDD drops stats; the columnar-cache pin
+    // keeps them.
     "cosine_dense_all" -> ((s, dir) =>
-      gate(analysis(s).fit(supplierPartMatrix(s, dir), isSparse = false)
-        .allSimilarityValue.toDF(), "vector0", "vector1")),
+      gate(analysis(s).fit(supplierPartMatrix(s, dir), isSparse = false,
+        statPin).allSimilarityValue.toDF(), "vector0", "vector1")),
     // §2-O subset filter on both endpoints
     "cosine_subset" -> ((s, dir) =>
-      gate(analysis(s).fit(supplierPartMatrix(s, dir), isSparse = false)
-        .similarity(subsetIds).toDF(), "vector0", "vector1")),
+      gate(analysis(s).fit(supplierPartMatrix(s, dir), isSparse = false,
+        statPin).similarity(subsetIds).toDF(), "vector0", "vector1")),
     // k most-similar neighbors per vector (windowed rank over dense sims)
     "cosine_topk" -> ((s, dir) =>
-      gate(analysis(s).fit(supplierPartMatrix(s, dir), isSparse = false)
-        .topSimilar(5), "vector", "rank")),
+      gate(analysis(s).fit(supplierPartMatrix(s, dir), isSparse = false,
+        statPin).topSimilar(5), "vector", "rank")),
     // the reference's announced missing-value prediction, implemented
     "cosine_predict" -> ((s, dir) =>
-      gate(analysis(s).predictMissing(supplierPartMatrix(s, dir), neighbors = 5),
-        "y", "x")),
+      gate(analysis(s).predictMissing(supplierPartMatrix(s, dir),
+        neighbors = 5, statPin), "y", "x")),
     // The sign-LSH sparse route (`cosine_topk_ann` / `cosine_predict_ann`
     // / `cosine_topk_clustered_ann`) was DELETED in r11: the r10
     // clustered-fixture shootout left it strictly dominated by the IVF

@@ -953,12 +953,14 @@ object Dedup {
    *
    * REGIME: right when the candidate set is dense relative to the
    * sharing surface — exactly the low-threshold prefix route, whose
-   * candidates ARE a constant fraction of Σ_sh C(df, 2). Wrong when
-   * candidates are few and the corpus carries a df-head (a banded-
-   * MinHash candidate list on a Zipf corpus): the self-join would pay
-   * C(df_head, 2) for pairs the candidate filter already pruned — keep
-   * [[jaccardFor]] there. Both verifications are exact; the choice is
-   * bytes, not answers.
+   * candidates ARE a constant fraction of Σ_sh C(df, 2). The one case
+   * where the self-join used to lose — few candidates on a df-HEADED
+   * corpus, where it paid C(df_head, 2) for pairs the candidate filter
+   * already pruned — is handled in-kernel since r14 by the
+   * heavy-shingle split below: head shingles are counted candidate-first
+   * (the [[jaccardFor]] shape), everything else keeps the skinny
+   * self-join. Both verifications are exact; the split is bytes, not
+   * answers.
    */
   def jaccardForBySh(pairs0: DataFrame, sh: DataFrame,
       pruneCandidateDocs: Option[Boolean] = None): DataFrame = {
@@ -1014,10 +1016,53 @@ object Dedup {
         sh.join(candDocs, Seq("doc_id"), "left_semi")
       } else sh
     val counts = shp.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = shp.as("a")
-      .join(shp.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc0"), col("b.doc_id").as("doc1"))
-      .agg(count(lit(1)).as("i"))
+    // HEAVY-SHINGLE SPLIT (r14, the basketPairSupports pattern, guide
+    // §2.5 — special-case the hot keys): in the df-head regime the
+    // self-join's Σ_sh C(df, 2) surface is owned by a handful of
+    // boilerplate shingles (df ≈ |corpus|) whose pair expansions the
+    // candidate filter has ALREADY pruned — the prefix rule excludes
+    // common shingles from candidacy, yet the verify re-enumerated
+    // their C(df, 2) surface anyway (measured 420 task-seconds / 85 s
+    // wall at sf0.1 on 9 planted shingles with df = 10,000). Split the
+    // shingle population by the SAME rule as the prune gate, applied
+    // per shingle: a shingle is HEAVY iff its own pair surface exceeds
+    // the postings count (df² > Σdf). Intersection counts partition by
+    // shingle, so i = i_light + i_heavy exactly:
+    //   - light shingles keep the skinny self-join (every df ≤ √Σdf,
+    //     so no single key can expand past the postings count);
+    //   - heavy shingles are counted CANDIDATE-FIRST (the [[jaccardFor]]
+    //     shape, safe here because heavy postings per doc are few by
+    //     construction: ≤ √Σdf distinct heavy shingles exist at all) —
+    //     |pairs| × heavy-shingles-per-doc rows, never C(df, 2).
+    // Split only in the prune regime: without a df-head no shingle
+    // satisfies df² > Σdf and the split would be a no-op tax, so the
+    // head-free plan keeps its exact previous shape. The 1-row Σdf
+    // aggregate rides the plan as a broadcast scalar (no extra driver
+    // action — the lazy-construction contract for Some(b) callers holds).
+    val inter = if (doPrune) {
+      val dfs = shp.groupBy("sh").agg(count(lit(1)).as("df"))
+      val tot = dfs.agg(coalesce(sum(col("df")), lit(0L)).as("p"))
+      val heavy = dfs.crossJoin(broadcast(tot))
+        .where(col("df") * col("df") > col("p")).select("sh")
+      val shLight = shp.join(broadcast(heavy), Seq("sh"), "left_anti")
+      val shHeavy = shp.join(broadcast(heavy), Seq("sh"), "left_semi")
+      val iLight = shLight.as("a")
+        .join(shLight.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc0"), col("b.doc_id").as("doc1"))
+        .agg(count(lit(1)).as("il"))
+      val iHeavy = pairs
+        .join(shHeavy.select(col("doc_id").as("doc0"), col("sh")), Seq("doc0"))
+        .join(shHeavy.select(col("doc_id").as("doc1"), col("sh")), Seq("doc1", "sh"))
+        .groupBy("doc0", "doc1").agg(count(lit(1)).as("ih"))
+      iLight.join(iHeavy, Seq("doc0", "doc1"), "full_outer")
+        .select(col("doc0"), col("doc1"),
+          (coalesce(col("il"), lit(0L)) + coalesce(col("ih"), lit(0L))).as("i"))
+    } else {
+      shp.as("a")
+        .join(shp.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc0"), col("b.doc_id").as("doc1"))
+        .agg(count(lit(1)).as("i"))
+    }
     pairs.join(inter, Seq("doc0", "doc1"))
       .join(counts.withColumnRenamed("doc_id", "doc0").withColumnRenamed("n", "n0"), "doc0")
       .join(counts.withColumnRenamed("doc_id", "doc1").withColumnRenamed("n", "n1"), "doc1")

@@ -1074,6 +1074,13 @@ object Relational {
    * the evidence a basket model calls uninformative (a basket of
    * everything recommends nothing). Size it well above the honest
    * basket tail (TPC-H's is ≤ 7; retail carts ~10²).
+   *
+   * EAGER EXECUTION (ADVICE r13): when `maxBasket >` the heavy-basket
+   * split threshold ([[BasketSplitThreshold]]), constructing this
+   * DataFrame runs Spark jobs immediately — the basket-size probe
+   * collect plus two eager localCheckpoint pins (see
+   * [[basketPairSupports]]). With `maxBasket ≤` the threshold the
+   * build stays fully lazy.
    */
   def basketRules(lineitem: DataFrame, minSupport: Long,
       maxBasket: Long): DataFrame = {
@@ -1124,9 +1131,11 @@ object Relational {
    * heavy basket's pair surface:
    *
    *   - orders are partitioned into SMALL (basket ≤
-   *     [[BasketSplitThreshold]]) and BIG; `m = |BIG|` comes from the
-   *     already-needed basket-size aggregate (1-row collect, the
-   *     doPrune/model-sized-decision convention);
+   *     [[BasketSplitThreshold]]) and BIG; the BIG key set (m rows,
+   *     m < minSupport whenever the split runs) is collected ONCE from
+   *     the already-needed basket-size aggregate and drives the
+   *     partition as an isin literal (r14, ADVICE r13: the previous
+   *     count + two broadcast joins re-ran that aggregate three times);
    *   - `sup_ab = sup_small + sup_big` exactly, and `sup_big ≤ m` for
    *     every pair — so when `m < minSupport`, a pair can only pass the
    *     filter if `sup_small ≥ minSupport − m`: count the small-order
@@ -1161,12 +1170,23 @@ object Relational {
       return exactPairs(op).where(col("sup_ab") >= minSupport)
     val bigOk = sizes.where(col("basket") > BasketSplitThreshold &&
       col("basket") <= maxBasket).select("ok")
-    val m = bigOk.agg(count(lit(1))).collect()(0).getLong(0)
-    if (m == 0 || m >= minSupport)
+    // ONE action over bigOk (ADVICE r13: the m count plus two broadcast
+    // joins each re-ran the full sizes aggregate — three lineitem
+    // scan+aggregates for one small key set): collect at most
+    // min(minSupport, 10⁶) keys; hitting the cap proves m ≥ the gate
+    // bound without needing the exact count, and below it the collected
+    // list IS the complete big-order key set (m < minSupport rows),
+    // reused as an isin literal so the small/big partition is a plain
+    // filter over the pinned postings — no joins, no extra scans.
+    val capN = math.min(minSupport, 1000000L).toInt
+    val bigKeys = bigOk.limit(capN).collect().map(_.get(0))
+    val m = bigKeys.length.toLong
+    if (m == 0 || m >= minSupport || (m == capN && minSupport > capN))
       return exactPairs(op).where(col("sup_ab") >= minSupport)
     val opp = op.localCheckpoint()
-    val small = opp.join(broadcast(bigOk), Seq("ok"), "left_anti")
-    val big = opp.join(broadcast(bigOk), Seq("ok"), "left_semi")
+    val isBig = col("ok").isin(bigKeys.toSeq: _*)
+    val small = opp.where(!isBig)
+    val big = opp.where(isBig)
     val cand = exactPairs(small)
       .where(col("sup_ab") >= minSupport - m)
       .withColumnRenamed("sup_ab", "sup_s")

@@ -140,4 +140,56 @@ class PrefixFilterSpec extends SparkSpec {
     assert(viaPrefix.keySet == exhaustive.keySet)
     viaPrefix.foreach { case (k, v) => assertApprox(v, exhaustive(k)) }
   }
+
+  test("heavy-shingle split verification is exact on a planted df-head") {
+    // r14: jaccardForBySh's prune branch splits the verify by shingle
+    // weight (heavy iff df² > Σdf) — this fixture makes the split's
+    // three row classes all non-empty and checks byte-equality with the
+    // pair-first reference on a candidate list that includes them:
+    //   - docs 0/1 share ONLY heavy shingles (i must come from the
+    //     candidate-first branch alone — the full_outer's right side),
+    //   - docs 2/3 share ONLY light shingles (left side alone),
+    //   - docs 4/5 share both (the coalesce-sum),
+    //   - docs 6/7 share nothing (no row in either spelling).
+    // Heavy head: 3 shingles (900, 901, 902) in EVERY doc of a 40-doc
+    // chorus → df = 44-ish, Σdf ≈ 40·13 + extras, so df² > Σdf fires.
+    val chorus = (10 until 50).map { d =>
+      d.toLong -> ((900L to 902L) ++ (1L to 10L).map(_ + 1000L * d))
+    }
+    val planted = Seq(
+      0L -> ((900L to 902L) :+ 5000L),          // heavy-only overlap with 1
+      1L -> ((900L to 902L) :+ 5001L),
+      2L -> Seq(6000L, 6001L, 6002L, 6003L),     // light-only overlap with 3
+      3L -> Seq(6000L, 6001L, 6002L, 6004L),
+      4L -> ((900L to 902L) ++ Seq(7000L, 7001L)), // both with 5
+      5L -> ((900L to 902L) ++ Seq(7000L, 7002L)),
+      6L -> Seq(8000L, 8001L),                   // nothing with 7
+      7L -> Seq(8100L, 8101L))
+    val sh = (chorus ++ planted).flatMap { case (d, ss) => ss.map(d -> _) }
+      .toDF("doc_id", "sh").localCheckpoint()
+    // sanity: the head really is heavy under the split's own rule
+    val postings = sh.count()
+    val maxDf = sh.groupBy("sh").count().agg(org.apache.spark.sql.functions.max("count"))
+      .collect()(0).getLong(0)
+    assert(maxDf * maxDf > postings, s"fixture not df-headed: $maxDf² ≤ $postings")
+    val cands = Seq((0L, 1L), (2L, 3L), (4L, 5L), (6L, 7L), (0L, 2L))
+      .toDF("doc0", "doc1")
+    val reference = Dedup.jaccardFor(cands, sh)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .sortBy(_._1)
+    for (forced <- Seq(Some(true), None)) {
+      val split = Dedup.jaccardForBySh(cands, sh, forced)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .sortBy(_._1)
+      assert(split.toSeq == reference.toSeq, s"prune=$forced")
+    }
+    // the classes behaved as designed: heavy-only pair present with the
+    // right jaccard (3 shared of 4+4), light-only (3 of 4+4), mixed
+    // (4 of 5+5), no-overlap absent
+    val m = reference.toMap
+    assertApprox(m((0L, 1L)), 3.0 / 5)
+    assertApprox(m((2L, 3L)), 3.0 / 5)
+    assertApprox(m((4L, 5L)), 4.0 / 6)
+    assert(!m.contains((6L, 7L)))
+  }
 }
