@@ -18,20 +18,6 @@ object CoreEntries {
 
   private def analysis(spark: SparkSession) = new CosineAnalysis(spark, axis = "y")
 
-  /** Stats-preserving eager pin for the dense fit entries (r14, VERDICT
-    * r13 ask #4): persist to the columnar cache and materialize. An
-    * InMemoryRelation KEEPS Catalyst stats (sizeInBytes of the
-    * materialized batches), where `localCheckpoint`'s stats-less
-    * LogicalRDD made the downstream quadratic plans degrade 8.6× at the
-    * 10× replica (the r13 revert). Bench and Verify `clearCache()` after
-    * every rep, so the cache entry never outlives its own timed run —
-    * nothing is reused across reps or queries. */
-  private def statPin(df: DataFrame): DataFrame = {
-    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    p.count()
-    p
-  }
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2-F per-vector max aggregate
     "max_values" -> ((s, dir) =>
@@ -74,41 +60,47 @@ object CoreEntries {
         .agg(sum(col("value1") * col("value2")).as("dot"))
       gate(dot, "vector0", "vector1")
     }),
-    // §2-P+Q sparse fit → all pairwise similarities. The SPARSE fit
-    // stays unpinned (r13 measurement: 3.87 s unpinned vs 4.79 s pinned
-    // at sf0.1, paired min-of-3 JVMs — the sparse path consumes the
-    // normalized table exactly once, so any pin is pure overhead:
-    // "cache build dominated the sparse pipeline",
-    // [[graft.core.CosineAnalysis.fit]]'s scaladoc). The DENSE fits pin
-    // with [[statPin]] (r14, VERDICT r13 ask #4): r13's localCheckpoint
-    // pins won 0.81–0.94× at sf0.1 but CLIFFED at the 10× replica
-    // (cosine_topk 32.7 → 280.0 s) because LogicalRDD drops Catalyst
-    // stats under the quadratic pair join; the columnar-cache pin keeps
-    // them — certified by the r14 paired A/B + sfx1 spot.
+    // §2-P+Q sparse fit → all pairwise similarities. NO entry pins
+    // anywhere in the fit family (r13 + r14, three measurements —
+    // closed; do NOT retry):
+    //  - sparse: 3.87 s unpinned vs 4.79 s pinned at sf0.1 (r13 paired
+    //    min-of-3 JVMs) — the sparse path consumes the normalized table
+    //    exactly once, so the checkpoint is pure overhead ("cache build
+    //    dominated the sparse pipeline", [[graft.core.CosineAnalysis
+    //    .fit]]'s scaladoc).
+    //  - dense, localCheckpoint (r13): won 0.81–0.94× at sf0.1 but
+    //    CLIFFED at the 10× replica (cosine_topk 32.7 → 280.0 s) — the
+    //    stats-less LogicalRDD degrades the quadratic pair plan.
+    //  - dense, persist(MEMORY_AND_DISK)+count (r14, VERDICT r13 ask #4
+    //    — the stats-preserving retry): LOST at sf0.1 itself. Paired
+    //    A/B min-of-3: dense_all 2.00 → 3.43 s (1.71×), subset 1.38 →
+    //    2.49 s (1.81×), topk 1.13× — the columnar cache build costs
+    //    more than the Exchange collapse saves on 2–6 s queries — AND
+    //    the cache churn poisons LATER same-JVM queries even after
+    //    clearCache (cosine_predict_ivf 11.9 → 25.0 s, recall 9.1 →
+    //    14.5 s in-run; both normal when run alone — clearCache's
+    //    non-blocking unpersist leaves blocks competing with the Lloyd
+    //    fits' execution memory). Two strikes; the `pin` hook stays on
+    //    the API (default identity) for model-serving callers.
     "cosine_sparse_all" -> ((s, dir) =>
       gate(analysis(s).fit(supplierPartMatrix(s, dir), isSparse = true)
         .allSimilarityValue.toDF(), "vector0", "vector1")),
-    // §2-N right-outer join + coalesce(0.0): dense fit → all pairs.
-    // Dense entries pin with [[statPin]] (r14): the normalized table
-    // feeds every downstream branch, and the r13 localCheckpoint pins —
-    // whose Exchange collapse was real (cosine_topk 54 → 22) — cliffed
-    // at 10× only because LogicalRDD drops stats; the columnar-cache pin
-    // keeps them.
+    // §2-N right-outer join + coalesce(0.0): dense fit → all pairs
     "cosine_dense_all" -> ((s, dir) =>
-      gate(analysis(s).fit(supplierPartMatrix(s, dir), isSparse = false,
-        statPin).allSimilarityValue.toDF(), "vector0", "vector1")),
+      gate(analysis(s).fit(supplierPartMatrix(s, dir), isSparse = false)
+        .allSimilarityValue.toDF(), "vector0", "vector1")),
     // §2-O subset filter on both endpoints
     "cosine_subset" -> ((s, dir) =>
-      gate(analysis(s).fit(supplierPartMatrix(s, dir), isSparse = false,
-        statPin).similarity(subsetIds).toDF(), "vector0", "vector1")),
+      gate(analysis(s).fit(supplierPartMatrix(s, dir), isSparse = false)
+        .similarity(subsetIds).toDF(), "vector0", "vector1")),
     // k most-similar neighbors per vector (windowed rank over dense sims)
     "cosine_topk" -> ((s, dir) =>
-      gate(analysis(s).fit(supplierPartMatrix(s, dir), isSparse = false,
-        statPin).topSimilar(5), "vector", "rank")),
+      gate(analysis(s).fit(supplierPartMatrix(s, dir), isSparse = false)
+        .topSimilar(5), "vector", "rank")),
     // the reference's announced missing-value prediction, implemented
     "cosine_predict" -> ((s, dir) =>
-      gate(analysis(s).predictMissing(supplierPartMatrix(s, dir),
-        neighbors = 5, statPin), "y", "x")),
+      gate(analysis(s).predictMissing(supplierPartMatrix(s, dir), neighbors = 5),
+        "y", "x")),
     // The sign-LSH sparse route (`cosine_topk_ann` / `cosine_predict_ann`
     // / `cosine_topk_clustered_ann`) was DELETED in r11: the r10
     // clustered-fixture shootout left it strictly dominated by the IVF

@@ -136,7 +136,11 @@ class PlanAuditSpec extends SparkSpec {
       // sanctioned all-pairs broadcast scan (plus, for the probe sweep,
       // a 1-row candidate-volume scalar broadcast per depth); the LSH
       // candidate side stays equi-join
-      "dedup_semantic_sweep", "dedup_semantic_sweep_probes")
+      "dedup_semantic_sweep", "dedup_semantic_sweep_probes",
+      // the heavy-shingle split's 1-row Σdf scalar broadcast crossed
+      // over the per-shingle df table (r14 — the rel_basket_rules
+      // order-count shape); every data-sized join in the split is equi
+      "dedup_jaccard_prefix_head")
 
   test("no contract query plans a cartesian product or unsanctioned BNLJ") {
     assume(new File(sfDir).isDirectory, s"$sfDir missing")

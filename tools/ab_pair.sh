@@ -8,6 +8,8 @@
 #
 # Usage: OLD_CLASSES=/tmp/classes_old NEW_CLASSES=target/scala-2.13/classes \
 #        tools/ab_pair.sh OUTDIR REPS q1,q2,...
+# Pass ALL as the query list to bench every declared query (the
+# full-suite paired baseline).
 set -euo pipefail
 cd /root/repo
 OUTDIR=$1; REPS=$2; QUERIES=$3
@@ -26,9 +28,11 @@ for rep in $(seq 1 "$REPS"); do
   for side in old new; do
     [ "$side" = old ] && CLASSES=$OLD_CLASSES || CLASSES=$NEW_CLASSES
     echo "[ab] rep $rep side $side" >&2
+    ONLY_ENV=()
+    [ "$QUERIES" != ALL ] && ONLY_ENV=(SPARK_GRAFT_BENCH_ONLY="$QUERIES")
     # shellcheck disable=SC2086
-    SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_BENCH_REPS=1 \
-    SPARK_GRAFT_BENCH_ONLY="$QUERIES" \
+    env SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_BENCH_REPS=1 \
+    "${ONLY_ENV[@]}" \
     SPARK_GRAFT_BENCH_OUT="$OUTDIR/${side}_$rep.json" \
     java $JFLAGS -cp "$CLASSES:/opt/spark/jars/*" graft.Bench \
       > "$OUTDIR/${side}_$rep.log" 2>&1 || echo "[ab] $side rep $rep FAILED" >&2
